@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the confs this engine relies on.
+  *
+  * Tuned for the local[32] test harness but the settings are the ones a
+  * 1000-executor deployment would want too: AQE on (runtime re-plan, skew
+  * join splitting), partition coalescing, and a shuffle-partition count
+  * sized to the parallelism at hand rather than the 200 default.
+  */
+object GraftSession {
+
+  /** Apply engine-required SQL confs to an externally-created session
+    * (e.g. the driver's Verify/Bench session). Safe to call repeatedly.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    // The driver's synthetic `events` table carries TIMESTAMP(NANOS)
+    // parquet columns, which Spark rejects natively; read them as raw
+    // nanosecond longs and convert in Tables.readTable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Plain-parquet "table directory" helpers: existence-tolerant reads and
+  * staged atomic-swap overwrites.
+  *
+  * The reference gets transactional batch loads from MySQL
+  * (`loader_default.go:30-67`); on plain parquet we emulate the atomicity
+  * with write-to-staging + directory rename, the classic pattern a Delta
+  * transaction log replaces in production. The swap is two metadata ops —
+  * on a 100 TB table the cost is the rewrite itself, which the loader
+  * bounds by only rewriting when REPLACE/REMOVE rows exist (appends never
+  * rewrite).
+  */
+object ParquetTable {
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def read(spark: SparkSession, path: String): Option[DataFrame] =
+    if (exists(spark, path)) Some(spark.read.parquet(path)) else None
+
+  /** Materialise `df` (which may itself read from `path`) into a staging
+    * dir, then swap it in. The read happens fully before the old data is
+    * touched.
+    */
+  def overwriteAtomic(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path + s".__staging_${System.nanoTime()}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val old = new Path(path + s".__old_${System.nanoTime()}")
+    if (fs.exists(p)) fs.rename(p, old)
+    fs.rename(staging, p)
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  def append(spark: SparkSession, path: String, df: DataFrame): Unit =
+    df.write.mode("append").parquet(path)
+}

@@ -1,0 +1,153 @@
+package graft.core
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators._
+
+/** Pipeline lifecycle states — reference state machine
+  * (`state.go:5-27` in /root/reference).
+  */
+sealed trait RunState
+object RunState {
+  case object New      extends RunState
+  case object Running  extends RunState
+  case object Paused   extends RunState
+  case object Stopping extends RunState
+  case object Stopped  extends RunState
+}
+
+/** One bound per-table pipeline: extract → transform → load → commit
+  * tracking (reference `Iteration` + the per-table goroutine body,
+  * `migrator.go:329-423`).
+  *
+  * Commit ordering is the corrected one (SURVEY §7.4 H2): the tracking
+  * position AND any extractor side-effects (queue acks) persist only
+  * after the sink succeeded — at-least-once with idempotent REPLACE, no
+  * lost batches on crash (the reference's `TODO.md:4-11` wants this).
+  */
+final class Pipeline(spark: SparkSession, val spec: PipelineSpec,
+                     tracking: TrackingStore) {
+
+  val extractor: Extractor = Registry.extractor(spec.extractor)
+  val transformer: Transformer = Registry.transformer(spec.transformer)
+
+  def init(): TrackingStatus = {
+    extractor.validate(spark, spec)
+    tracking.getOrSeed(spec.sourceDatabase, spec.sourceTable, spec.sourceKey)
+  }
+
+  /** One micro-batch. @return (rows loaded by method, moreData). */
+  def runBatch(status: TrackingStatus): (Map[String, Long], Boolean, TrackingStatus) = {
+    val res = extractor.extract(spark, spec, status)
+    val batch = TableBatch(spec.destinationDatabase, spec.destinationTable, res.df)
+    val outBatches = transformer(batch, spec.params)
+    val counts = outBatches.map { b =>
+      MethodRoutedLoader.load(spark, b, spec.destinationPath, spec.pkColumns, spec.params)
+    }.foldLeft(Map.empty[String, Long].withDefaultValue(0L)) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a(k) + v) }
+    }
+    // commit AFTER load: tracking position, then extractor side-effects
+    tracking.put(res.newStatus)
+    res.commit()
+    res.df.unpersist()
+    (counts, res.moreData, res.newStatus)
+  }
+
+  /** Drain until the extractor reports no more data (the reference loops
+    * immediately while `moreData`, `migrator.go:329-423`).
+    * @return total rows loaded by method.
+    */
+  def drain(maxBatches: Int = Int.MaxValue): Map[String, Long] = {
+    var status = init()
+    var more = true
+    var batches = 0
+    var totals = Map.empty[String, Long].withDefaultValue(0L)
+    while (more && batches < maxBatches) {
+      val (counts, m, st) = runBatch(status)
+      totals = counts.foldLeft(totals) { case (a, (k, v)) => a.updated(k, a(k) + v) }
+      status = st
+      more = m
+      batches += 1
+    }
+    totals
+  }
+}
+
+/** Multi-pipeline job — reference `Migrator` (`migrator.go:27-59`): one
+  * worker thread per pipeline (ST7), shared SparkSession, pause/stop
+  * lifecycle (ST6), per-stage error callback with retry-and-backoff
+  * (ST8, `migrator.go:312-327`).
+  *
+  * Spark-first note: concurrent pipelines are concurrent jobs on one
+  * scheduler — Spark's FAIR/FIFO pool replaces the reference's
+  * connection-pool arithmetic (`migrator.go:215-216`).
+  */
+final class Runner(spark: SparkSession, specs: Seq[PipelineSpec],
+                   trackingPath: String,
+                   errorCallback: (String, Throwable) => Unit = (_, _) => ()) {
+
+  private val state = new AtomicReference[RunState](RunState.New)
+  private val tracking = new TrackingStore(spark, trackingPath)
+  val pipelines: Seq[Pipeline] = specs.map(new Pipeline(spark, _, tracking))
+  private var threads: Seq[Thread] = Nil
+
+  def currentState: RunState = state.get()
+  def pause(): Unit = state.compareAndSet(RunState.Running, RunState.Paused)
+  def unpause(): Unit = state.compareAndSet(RunState.Paused, RunState.Running)
+  def quit(): Unit = state.set(RunState.Stopping)
+
+  /** Start one thread per pipeline; each loops drain → idle sleep
+    * (reference `SleepBetweenRuns`, `migrator.go:390-394` — the jitter is
+    * unnecessary under one scheduler, SURVEY §4).
+    */
+  def run(): Unit = {
+    state.set(RunState.Running)
+    threads = pipelines.map { p =>
+      val t = new Thread(() => {
+        var status = p.init()
+        while (state.get() != RunState.Stopping) {
+          if (state.get() == RunState.Paused) Thread.sleep(100)
+          else {
+            try {
+              val (_, more, st) = p.runBatch(status)
+              status = st
+              if (!more) sleepInterruptibly(p.spec.params.sleepBetweenRunsSec)
+            } catch {
+              case e: Throwable =>
+                errorCallback(s"${p.spec.sourceTable}", e)
+                sleepInterruptibly(p.spec.params.sleepBetweenRunsSec)
+            }
+          }
+        }
+      }, s"graft-pipeline-${p.spec.sourceTable}")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+  }
+
+  /** Interruptible sleep, polling the stop flag (reference
+    * `migrator.go:273-280`).
+    */
+  private def sleepInterruptibly(seconds: Double): Unit = {
+    val deadline = System.nanoTime() + (seconds * 1e9).toLong
+    while (System.nanoTime() < deadline && state.get() != RunState.Stopping)
+      Thread.sleep(50)
+  }
+
+  /** Block until all pipeline threads exit (reference `wg.Wait()`,
+    * `cmd/migrator/main.go:140-141`).
+    */
+  def awaitTermination(): Unit = {
+    threads.foreach(_.join())
+    state.set(RunState.Stopped)
+  }
+
+  /** Run every pipeline's full drain once, synchronously — the batch
+    * ("availableNow") facade used by tests and the verify harness.
+    */
+  def drainOnce(): Map[String, Map[String, Long]] =
+    pipelines.map(p => p.spec.sourceTable -> p.drain()).toMap
+}

@@ -1,0 +1,119 @@
+package graft.core
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-(source db, source table) stream position — reference
+  * `TrackingStatus` (`tracking.go:12-20`), persisted schema parity with
+  * `tracking.sql:1-9`.
+  */
+final case class TrackingStatus(
+    sourceDatabase: String,
+    sourceTable: String,
+    columnName: String,
+    sequentialPosition: Long = 0L,
+    timestampPosition: Option[Timestamp] = None,
+    lastRun: Option[Timestamp] = None)
+
+/** Parquet-backed tracking table (reference `EtlPosition`,
+  * `tracking.go:33-45`): bootstrap-if-missing, point reads, and
+  * committed-snapshot updates.
+  *
+  * Updates stage the new snapshot to a versioned subdirectory and flip a
+  * pointer file last, so a crash mid-write never corrupts the previous
+  * snapshot (the reference gets durability from MySQL transactions; on a
+  * real deployment this component would be a Delta table and commit via
+  * its log).
+  *
+  * The table is O(#pipelines) rows — never a scale concern.
+  */
+final class TrackingStore(spark: SparkSession, root: String) {
+
+  private val schema = StructType(Seq(
+    StructField("sourceDatabase", StringType, nullable = false),
+    StructField("sourceTable", StringType, nullable = false),
+    StructField("columnName", StringType, nullable = false),
+    StructField("sequentialPosition", LongType, nullable = false),
+    StructField("timestampPosition", TimestampType, nullable = true),
+    StructField("lastRun", TimestampType, nullable = true)))
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def fs = new Path(root).getFileSystem(hconf)
+  private val pointer = new Path(root, "_CURRENT")
+
+  private def currentSnapshot(): Option[String] = {
+    if (!fs.exists(pointer)) None
+    else {
+      val in = fs.open(pointer)
+      try {
+        val v = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        if (v.isEmpty) None else Some(v)
+      } finally in.close()
+    }
+  }
+
+  /** All tracking rows (empty DataFrame with the right schema if the
+    * store was never written).
+    */
+  def all(): DataFrame = currentSnapshot() match {
+    case Some(v) => spark.read.schema(schema).parquet(s"$root/$v")
+    case None    => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** Point read — reference `GetTrackingStatus` (`tracking.go:59-64`). */
+  def get(sourceDatabase: String, sourceTable: String): Option[TrackingStatus] =
+    all()
+      .filter(col("sourceDatabase") === sourceDatabase &&
+        col("sourceTable") === sourceTable)
+      .limit(1).collect().headOption.map(fromRow)
+
+  /** Bootstrap a fresh row if none exists — reference seeds at init
+    * (`migrator.go:236-264`) with position 0, which under the strict-`>`
+    * watermark silently skips key 0 (fine for MySQL SERIAL, which starts
+    * at 1). We seed at Long.MinValue so "nothing consumed yet" holds for
+    * any integral key domain — a deliberate semantic fix.
+    */
+  def getOrSeed(sourceDatabase: String, sourceTable: String, columnName: String): TrackingStatus =
+    get(sourceDatabase, sourceTable).getOrElse {
+      val seeded = TrackingStatus(sourceDatabase, sourceTable, columnName,
+        sequentialPosition = Long.MinValue)
+      put(seeded)
+      seeded
+    }
+
+  /** Upsert one row and atomically flip to the new snapshot — reference
+    * `SerializeTrackingStatus` (`tracking.go:91-95`), but committed
+    * *after* load per the corrected ordering (`TODO.md:4-11`).
+    */
+  def put(ts: TrackingStatus): Unit = synchronized {
+    val remaining = all()
+      .filter(!(col("sourceDatabase") === ts.sourceDatabase &&
+        col("sourceTable") === ts.sourceTable))
+      .collect().toSeq
+    val rows = remaining :+ toRow(ts)
+    val next = s"v${System.nanoTime()}"
+    spark
+      .createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$root/$next")
+    val tmp = new Path(root, s"_CURRENT.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+    // rename over the pointer: single small-file flip, last step of commit
+    if (fs.exists(pointer)) fs.delete(pointer, false)
+    fs.rename(tmp, pointer)
+  }
+
+  private def toRow(t: TrackingStatus): Row = Row(
+    t.sourceDatabase, t.sourceTable, t.columnName, t.sequentialPosition,
+    t.timestampPosition.orNull, t.lastRun.orNull)
+
+  private def fromRow(r: Row): TrackingStatus = TrackingStatus(
+    r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+    Option(r.get(4)).map(_.asInstanceOf[Timestamp]),
+    Option(r.get(5)).map(_.asInstanceOf[Timestamp]))
+}

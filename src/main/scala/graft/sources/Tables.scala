@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table catalog over a directory of parquet files (one per table),
+  * the layout the test harness provides (`TESTDATA.md`).
+  *
+  * The reference engine infers schema from the live result set at extract
+  * time (`extractor_sequential.go:45-78` in /root/reference) — fully
+  * dynamic. We keep that property: everything below is `DataFrame`-typed
+  * and column names come from the parquet footer, not compile-time types.
+  *
+  * Scale note: a plain `spark.read.parquet(dir)` is already the right call
+  * at 100 TB — Catalyst pushes filters into the scan (row-group pruning)
+  * and prunes columns; nothing here materialises data.
+  */
+object Tables {
+
+  /** Columns stored as TIMESTAMP(NANOS) parquet, which Spark reads as a
+    * raw nanosecond `long` under `spark.sql.legacy.parquet.nanosAsLong`.
+    * We convert them to microsecond-precision TIMESTAMP_NTZ (truncating,
+    * matching `date_trunc('microseconds', …)` semantics in the oracle).
+    */
+  private val nanosTimestampCols: Map[String, Seq[String]] =
+    Map("events" -> Seq("ts"))
+
+  def readTable(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    graft.GraftSession.configure(spark)
+    val raw = spark.read.parquet(s"$sfDir/$table.parquet")
+    nanosTimestampCols.getOrElse(table, Nil).foldLeft(raw) { (df, c) =>
+      if (df.schema.fieldNames.contains(c) &&
+          df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn(c, expr(s"cast(timestamp_micros($c div 1000) as timestamp_ntz)"))
+      else df
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = readTable(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = readTable(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = readTable(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = readTable(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = readTable(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame    = readTable(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = readTable(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame    = readTable(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = readTable(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = readTable(spark, dir, "embeddings")
+}
