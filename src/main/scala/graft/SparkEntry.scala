@@ -1,13 +1,222 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.RelationalQueries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator coverage surface (SURVEY §2 + [EXT]);
+  * `oracleSql` carries, per query, equivalent SQL the driver runs in
+  * DuckDB over the same parquet tables (views named after the tables).
+  * Column names and value rounding are aligned on both sides because the
+  * driver hash-compares values after sorting columns by name.
+  *
+  * The `events` table stores TIMESTAMP(NANOS); the Spark side reads it
+  * through [[graft.sources.Tables.readTable]] which truncates to
+  * microseconds, so every oracle goes through the same truncation
+  * (`cast(ts as timestamp)`) before filtering/ordering — otherwise
+  * nanosecond-boundary rows would diverge.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q3TopK(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ [EXT]). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg(_, _)),
+    "q3_topk" -> (q3TopK(_, _)),
+    "join_broadcast" -> (joinBroadcast(_, _)),
+    "window_rank" -> (windowRank(_, _)),
+    "window_running" -> (windowRunning(_, _)),
+    "setops" -> (setOps(_, _)),
+    "rollup_agg" -> (rollupAgg(_, _)),
+    "scalar_funcs" -> (scalarFuncs(_, _)),
+    "json_extract" -> (jsonExtract(_, _)),
+    "events_tumbling" -> (eventsTumbling(_, _)),
+    "seq_scan" -> (seqScan(_, _)),
+    "ts_scan" -> (tsScan(_, _)),
+    "coalesce_scan" -> (coalesceScan(_, _)),
+    "cdc_latest" -> (cdcLatest(_, _)),
+    "upsert_emulation" -> (upsertEmulation(_, _)),
+    "delete_antijoin" -> (deleteAntiJoin(_, _)),
+    "semi_join" -> (semiJoin(_, _)),
+    "asof_signup" -> (asofSignup(_, _)),
+    "method_routing" -> (methodRouting(_, _)),
+    "distinct_agg" -> (distinctAgg(_, _)),
+    "conditional_agg" -> (conditionalAgg(_, _)),
+  )
+
+  /** Normalised `events` view used by every oracle touching events:
+    * nanosecond timestamps truncated to microseconds, matching the Spark
+    * side's read path.
+    */
+  private val eventsCte =
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT r_name, count(*) AS suppliers, round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_running" ->
+      s"""WITH $eventsCte
+         |SELECT event_id, user_id,
+         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+         |FROM ev ORDER BY event_id""".stripMargin,
+
+    "setops" ->
+      """WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     m AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'),
+        |     o AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        |SELECT k FROM (
+        |  SELECT k FROM (
+        |    SELECT DISTINCT k FROM (SELECT k FROM b UNION ALL SELECT k FROM m)
+        |    INTERSECT SELECT k FROM o)
+        |  EXCEPT (SELECT k FROM b INTERSECT SELECT k FROM m))
+        |ORDER BY k""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substring(p_type, 1, 5) AS type5,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  round(p_retailprice * 1.1, 2) AS bumped,
+        |  p_size % 7 AS size_mod
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "json_extract" ->
+      s"""WITH $eventsCte
+         |SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, count(*) AS n
+         |FROM ev GROUP BY k ORDER BY k""".stripMargin,
+
+    "events_tumbling" ->
+      s"""WITH $eventsCte
+         |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |  count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM ev GROUP BY hour_start, event_type
+         |ORDER BY hour_start, event_type""".stripMargin,
+
+    "seq_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM (SELECT * FROM orders WHERE o_orderkey > 100
+        |      ORDER BY o_orderkey LIMIT 200)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "ts_scan" ->
+      s"""WITH $eventsCte
+         |SELECT event_id, ts, user_id, event_type
+         |FROM ev
+         |WHERE ts > TIMESTAMP '2024-01-05 00:00:00'
+         |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+         |ORDER BY ts, event_id LIMIT 500""".stripMargin,
+
+    "coalesce_scan" ->
+      s"""WITH $eventsCte
+         |SELECT event_id,
+         |  coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE ts END,
+         |           date_trunc('day', ts)) AS pos,
+         |  event_type
+         |FROM ev
+         |WHERE coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE ts END,
+         |               date_trunc('day', ts)) > TIMESTAMP '2024-01-03 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+
+    "cdc_latest" ->
+      s"""WITH $eventsCte
+         |SELECT user_id, event_id, event_type
+         |FROM (SELECT user_id, event_id, event_type,
+         |        row_number() OVER (PARTITION BY user_id
+         |          ORDER BY ts DESC, event_id DESC) AS rn
+         |      FROM ev)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "upsert_emulation" ->
+      """WITH u AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+        |           FROM orders WHERE o_orderkey % 10 = 0),
+        |     k AS (SELECT o_orderkey, o_totalprice FROM orders
+        |           WHERE NOT (o_orderkey % 10 = 0))
+        |SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM (SELECT * FROM k UNION ALL SELECT * FROM u)
+        |WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "delete_antijoin" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_mktsegment = 'MACHINERY')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "asof_signup" ->
+      s"""WITH $eventsCte
+         |SELECT event_id, user_id,
+         |  last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+         |FROM ev ORDER BY event_id""".stripMargin,
+
+    "method_routing" ->
+      s"""WITH $eventsCte
+         |SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+         |            WHEN event_type = 'error' THEN 'REMOVE'
+         |            ELSE 'REPLACE' END AS method, count(*) AS n
+         |FROM ev GROUP BY method ORDER BY method""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS parts,
+        |  count(DISTINCT l_suppkey) AS supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "conditional_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS sum_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS sum_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 2) AS sum_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
 }

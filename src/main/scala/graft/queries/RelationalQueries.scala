@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The relational + pipeline-semantics query surface.
+  *
+  * Each query is a declarative DataFrame plan — Catalyst pushes the
+  * filters/projections into the parquet scan and picks the physical
+  * join/agg strategy; AQE re-plans at runtime. Scale notes are on each
+  * query. All float aggregates are rounded in-plan so results are
+  * bit-stable across partial-aggregation orders (the driver hash-compares
+  * against a single-threaded DuckDB oracle).
+  *
+  * Pipeline-semantics queries (seq_scan, ts_scan, …) express the
+  * reference's extractor/loader SQL shapes (SURVEY §2.1–§2.6) as plain
+  * Spark plans; the stateful drain loop around them lives in
+  * [[graft.core.Runner]].
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-shaped grouped aggregation (§2.9: grouped agg).
+    * Scale: map-side partial agg on 6 groups → single tiny shuffle; at
+    * 100 TB this is scan-bound, the ideal shape.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped join + top-k (§2.9: multi-join, top-k).
+    * Scale: filters push into all three scans before the joins; the final
+    * `orderBy.limit` plans as TakeOrderedAndProject (per-partition top-k
+    * + driver merge, no global sort).
+    */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Star join through two small dims, explicitly broadcast (§2.9:
+    * broadcast join). Scale: nation/region are O(100) rows at any SF —
+    * broadcasting keeps the supplier scan shuffle-free.
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("suppliers"), round(sum("s_acctbal"), 2).as("total_bal"))
+      .orderBy("r_name")
+
+  /** Ranking window: top-3 orders per customer (§2.9: window functions).
+    * Scale: one shuffle on o_custkey; rank early-stops per partition.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running-sum analytic frame over an event stream (§2.9: analytic
+    * window frames). Scale: shuffle on user_id only; frame is the
+    * default cumulative one, evaluated streaming per partition.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("running_value", round(sum("value").over(w), 2))
+      .select("event_id", "user_id", "running_value")
+      .orderBy("event_id")
+  }
+
+  /** union / intersect / except pipeline (§2.9: set ops).
+    * Scale: set ops hash-partition on the full row — single narrow
+    * column keeps the shuffle minimal.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val machinery = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey").as("k"))
+    val withOrders = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+    building.union(machinery).distinct()
+      .intersect(withOrders.distinct())
+      .except(building.intersect(machinery))
+      .orderBy("k")
+  }
+
+  /** ROLLUP grouping sets (§2.9: grouping sets / rollup / cube). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Scalar string/math function coverage (§2.9: scalar library) —
+    * all codegen'd builtins, no UDFs.
+    */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        round(col("p_retailprice") * 1.1, 2).as("bumped"),
+        (col("p_size") % 7).as("size_mod"))
+      .orderBy("p_partkey")
+
+  /** JSON field extraction from a string column (§2.9: JSON scalar fns).
+    * Scale: get_json_object is codegen'd; stays inside WholeStageCodegen.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** Tumbling event-time window aggregation — the batch expression of a
+    * Structured Streaming windowed agg (§2.9: tumbling windows). The
+    * same plan runs under readStream with a watermark.
+    */
+  def eventsTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** S1: sequential incremental scan — keyset pagination
+    * `key > pos ORDER BY key LIMIT n` (reference
+    * `extractor_sequential.go:39`). Deterministic batch (SURVEY H5).
+    * Scale: predicate + limit push into the scan; TakeOrderedAndProject.
+    */
+  def seqScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") > 100)
+      .orderBy("o_orderkey")
+      .limit(200)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+
+  /** S2: timestamp watermark scan with OnlyPast upper bound (reference
+    * `extractor_timestamp.go:42-46`). The bound is a fixed literal here
+    * so the oracle is reproducible; the live extractor uses now().
+    */
+  def tsScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") > lit("2024-01-05 00:00:00").cast("timestamp_ntz") &&
+        col("ts") <= lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+      .orderBy("ts", "event_id")
+      .limit(500)
+      .select("event_id", "ts", "user_id", "event_type")
+
+  /** S3: IFNULL(a,b) fallback position column (reference
+    * `extractor_timestamp_fallback.go:34-44`) — `a` is NULL for error
+    * events, falling back to the day-truncated timestamp.
+    */
+  def coalesceScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("pos", coalesce(
+        when(col("event_type") === "error", lit(null)).otherwise(col("ts")),
+        date_trunc("day", col("ts")).cast("timestamp_ntz")))
+      .filter(col("pos") > lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+      .select("event_id", "pos", "event_type")
+      .orderBy("event_id")
+
+  /** H4: last-write-wins CDC dedup — latest change per key via
+    * row_number over (key, ts desc), the queue-batch collapse the
+    * engine's queue extractor performs. Scale: one shuffle on the key.
+    */
+  def cdcLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
+  /** K2: MERGE-shaped upsert emulation — target rows not touched by the
+    * update set, union the updates (the loader's anti-join + union,
+    * `Loaders.scala`). Scale: the "updates" side broadcasts; target
+    * streams through with no shuffle.
+    */
+  def upsertEmulation(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+    val kept = orders.select("o_orderkey", "o_totalprice")
+      .join(broadcast(updates.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+    kept.unionByName(updates)
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** K3: REMOVE as anti-join (reference `batched_queries.go:28-74`
+    * delete semantics, Spark-side `left_anti`).
+    */
+  def deleteAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val doomed = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+    Tables.orders(spark, dir)
+      .join(broadcast(doomed), col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Semi join — EXISTS (§2.9: semi/anti joins). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigLines = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 49)
+    Tables.orders(spark, dir)
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** As-of lookup: for every event, the most recent signup time of the
+    * same user at-or-before it (§2.9: as-of join, expressed as an
+    * IGNORE NULLS last_value frame — one shuffle, no range join).
+    */
+  def asofSignup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("last_signup",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "last_signup")
+      .orderBy("event_id")
+  }
+
+  /** A4/R7: method tagging + method-routed grouping — the loader's
+    * bucket-by-change-verb (`loader_default.go:20-26`) as a plan.
+    */
+  def methodRouting(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("method",
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type") === "error", "REMOVE")
+          .otherwise("REPLACE"))
+      .groupBy("method").agg(count(lit(1)).as("n"))
+      .orderBy("method")
+
+  /** Exact distinct aggregation per group (§2.9: distinct). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("parts"),
+        countDistinct("l_suppkey").as("supps"))
+      .orderBy("l_returnflag")
+
+  /** Conditional (pivot-style) aggregation — sum(case when …) fan-out. */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("sum_f"),
+        round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2).as("sum_o"),
+        round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0)), 2).as("sum_p"))
+      .orderBy("o_orderpriority")
+}
