@@ -47,6 +47,18 @@ object SparkEntry {
     "method_routing" -> (methodRouting(_, _)),
     "distinct_agg" -> (distinctAgg(_, _)),
     "conditional_agg" -> (conditionalAgg(_, _)),
+    // [EXT] training-data pipeline operators (SURVEY §7 [EXT])
+    "text_stats" -> (graft.queries.ExtQueries.textStats(_, _)),
+    "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
+    "text_fingerprint" -> (graft.queries.ExtQueries.textFingerprint(_, _)),
+    "text_simhash" -> (graft.queries.ExtQueries.textSimhash(_, _)),
+    "dedup_exact" -> (graft.queries.ExtQueries.dedupExact(_, _)),
+    "dedup_minhash_bands" -> (graft.queries.ExtQueries.dedupMinhashBands(_, _)),
+    "dedup_minhash_pairs" -> (graft.queries.ExtQueries.dedupMinhashPairs(_, _)),
+    "dedup_jaccard_pairs" -> (graft.queries.ExtQueries.dedupJaccardPairs(_, _)),
+    "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
+    "embed_lsh_buckets" -> (graft.queries.ExtQueries.embedLshBuckets(_, _)),
+    "embed_neardup_pairs" -> (graft.queries.ExtQueries.embedNearDupPairs(_, _)),
   )
 
   /** Normalised `events` view used by every oracle touching events:
@@ -218,5 +230,5 @@ object SparkEntry {
         |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS sum_o,
         |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 2) AS sum_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-  )
+  ) ++ graft.queries.ExtOracles.sql
 }

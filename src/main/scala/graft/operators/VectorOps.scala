@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators — approximate-nearest-neighbour search
+  * and embedding near-dup detection over an `Array[Float]` column
+  * ([EXT] surface, SURVEY §7).
+  *
+  * Dot products are `zip_with` + `aggregate` higher-order expressions on
+  * arrays cast to double — deterministic left-to-right folds (so the
+  * DuckDB oracle reproduces them exactly), no UDF, no collect.
+  *
+  * Scale shape:
+  *  - brute-force top-k broadcasts the (small) query set and streams the
+  *    corpus once — the right baseline at any corpus size when the query
+  *    set is bounded;
+  *  - the sign-LSH variant buckets vectors by the sign pattern of their
+  *    leading dimensions (a fixed hyperplane family), turning the n²
+  *    pair search into an equi-join per bucket — the IVF-style scale
+  *    path. Residual skew (hot buckets) is AQE's skew-join territory;
+  *    a production deployment would raise `signBits` with corpus size.
+  */
+object VectorOps {
+
+  /** embedding cast to array<double> (float math differs between
+    * engines; double is exact for 23-bit float inputs).
+    */
+  private def vec(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(vec(a), vec(b), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). Ranks on the rounded similarity
+    * with vec_id tiebreak so ordering is reproducible.
+    */
+  def cosineTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = embeddings.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qvec"), col("embedding")), 5))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  /** Sign-pattern bucket of the first `signBits` dimensions — the LSH
+    * key. Fixed axis-aligned hyperplanes keep it engine-portable; a
+    * random-rotation family drops in by replacing the projection.
+    */
+  def signBucket(embedding: Column, signBits: Int = 8): Column =
+    concat((0 until signBits).map(i =>
+      (element_at(embedding, i + 1) >= 0f).cast("string")): _*)
+
+  /** Bucket histogram — the ANN index statistics (bucket key → size). */
+  def lshBuckets(embeddings: DataFrame, signBits: Int = 8): DataFrame =
+    embeddings
+      .withColumn("bucket", signBucket(col("embedding"), signBits))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+
+  /** Bucketed near-dup pairs: cosine over same-bucket pairs only —
+    * the quadratic search collapses to an equi-join on the bucket key.
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double, signBits: Int = 8): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), signBits).as("bucket"))
+    e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(cosine(col("x.embedding"), col("y.embedding")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

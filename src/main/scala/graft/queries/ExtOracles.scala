@@ -1,0 +1,142 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the [EXT] queries. Each statement replays the
+  * Spark plan step-for-step (same md5 hashing, same rounding, same
+  * tiebreaks) so the driver's hash compare is exact. Shared CTE
+  * fragments are assembled here; the simhash oracle is generated from
+  * the same bit layout as [[graft.operators.TextOps.simhash]].
+  */
+object ExtOracles {
+
+  private val tokCte = "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
+
+  private val shCte =
+    """sh AS (SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+      |       FROM tok, unnest(range(len(t) - 2)) AS u(i))""".stripMargin
+
+  private val minhashCte = {
+    val mins = (0 until TextOpsConsts.seeds)
+      .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(",\n  ")
+    s"mh AS (SELECT doc_id,\n  $mins\n  FROM sh GROUP BY doc_id)"
+  }
+
+  private val bandsCte = {
+    val rows = (0 until TextOpsConsts.bands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bk FROM mh")
+      .mkString(" UNION ALL ")
+    s"bands AS ($rows)"
+  }
+
+  private val embCte = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)"
+
+  private val cosExpr =
+    "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
+
+  private def bucketExpr(alias: String) =
+    (0 until 8).map(i => s"($alias.embedding[${i + 1}] >= 0)").mkString("concat(", ", ", ")")
+
+  private val simhashSql: String = {
+    val nibbles = (0 until 4)
+      .map(i => s"strpos('0123456789abcdef', substring(md5(w), ${i + 1}, 1)) - 1 AS n$i")
+      .mkString(",\n  ")
+    val sums = (0 until 16).map { j =>
+      val nib = s"n${j / 4}"
+      val mask = 1 << (j % 4)
+      s"sum(CASE WHEN ($nib // $mask) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n  ")
+    val fp = (0 until 16)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |nib AS (SELECT doc_id,
+       |  $nibbles
+       |  FROM tokw),
+       |sums AS (SELECT doc_id,
+       |  $sums
+       |  FROM nib GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash16
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  val sql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH $tokCte
+         |SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |  round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS distinct_ratio,
+         |  round(list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE), 4) AS avg_token_len
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $tokCte,
+         |s AS (SELECT doc_id,
+         |  round(len(list_filter(t, x -> x = 'the' OR x = 'a')) / CAST(len(t) AS DOUBLE), 4) AS stop_ratio
+         |  FROM tok)
+         |SELECT doc_id, stop_ratio,
+         |  CASE WHEN stop_ratio > 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
+
+    "text_simhash" -> simhashSql,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "dedup_minhash_bands" ->
+      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte
+         |SELECT doc_id, band, bk FROM bands ORDER BY doc_id, band""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      s"""WITH $tokCte, $shCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b, round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) AS jaccard
+         |FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    "embed_topk" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |scored AS (SELECT qid, e.vec_id,
+         |  round(list_dot_product(qv, v) /
+         |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 5) AS cos
+         |  FROM e JOIN q ON e.vec_id <> qid),
+         |ranked AS (SELECT qid, vec_id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    "embed_lsh_buckets" ->
+      s"""WITH $embCte
+         |SELECT ${bucketExpr("e")} AS bucket, count(*) AS n
+         |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "embed_neardup_pairs" ->
+      s"""WITH $embCte
+         |SELECT x.vec_id AS a, y.vec_id AS b, round($cosExpr, 4) AS cos
+         |FROM e x JOIN e y
+         |  ON ${bucketExpr("x")} = ${bucketExpr("y")} AND x.vec_id < y.vec_id
+         |WHERE round($cosExpr, 4) >= 0.4
+         |ORDER BY a, b""".stripMargin,
+  )
+}
+
+/** Constants shared with TextOps (kept here to avoid a val-object cycle). */
+private[queries] object TextOpsConsts {
+  val seeds = graft.operators.TextOps.MinhashSeeds
+  val bands = graft.operators.TextOps.MinhashBands
+}

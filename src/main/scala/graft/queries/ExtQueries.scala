@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextOps, VectorOps}
+import graft.sources.Tables
+
+/** [EXT] query surface: dedup, text analysis, similarity search over the
+  * `documents` / `embeddings` tables (SURVEY §7 [EXT]; north star in
+  * BASELINE.json). Thin bindings of the operators in
+  * [[graft.operators.TextOps]] / [[graft.operators.VectorOps]] to the
+  * driver's (spark, sfDir) contract.
+  */
+object ExtQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(docs(spark, dir)).orderBy("doc_id")
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(spark, dir)).orderBy("doc_id")
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(docs(spark, dir)).orderBy("doc_id")
+
+  def textSimhash(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simhash(docs(spark, dir)).orderBy("doc_id")
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.exactDedup(docs(spark, dir)).orderBy("fp")
+
+  def dedupMinhashBands(spark: SparkSession, dir: String): DataFrame =
+    TextOps.minhashBands(docs(spark, dir)).orderBy("doc_id", "band")
+
+  def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.minhashCandidatePairs(docs(spark, dir)).orderBy("a", "b")
+
+  def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.jaccardPairs(docs(spark, dir), threshold = 0.5).orderBy("a", "b")
+
+  def embedTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.cosineTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .orderBy("qid", "rn")
+
+  def embedLshBuckets(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.lshBuckets(embs(spark, dir)).orderBy("bucket")
+
+  def embedNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.nearDupPairs(embs(spark, dir), threshold = 0.4).orderBy("a", "b")
+}

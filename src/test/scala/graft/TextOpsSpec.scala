@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+
+  private lazy val docs = sources.Tables.documents(spark, sf)
+
+  test("exact dedup keeps one representative per content hash") {
+    import spark.implicits._
+    val withDup = docs.select("doc_id", "text")
+      .union(Seq((100000L, docs.select("text").head().getString(0))).toDF("doc_id", "text"))
+    val res = TextOps.exactDedup(withDup)
+    assert(res.count() === docs.count()) // one group per distinct content
+    val dup = res.filter(col("n_copies") > 1).collect()
+    assert(dup.length === 1 && dup.head.getAs[Long]("keep_doc_id") < 100000L)
+  }
+
+  test("minhash candidates cover all high-jaccard pairs (LSH recall)") {
+    val trueDups = TextOps.jaccardPairs(docs, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = TextOps.minhashCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trueDups.subsetOf(candidates),
+      s"missed: ${trueDups -- candidates}")
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val sh = TextOps.simhash(docs)
+    // the planted near-dup pairs (jaccard >= 0.8) should have close simhashes
+    val nearDups = TextOps.jaccardPairs(docs, threshold = 0.8).select("a", "b")
+    val joined = nearDups
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("simhash16", "sa"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("simhash16", "sb"), "b")
+      .withColumn("hamming", expr(
+        "bit_count(cast(sa as int) ^ cast(sb as int))"))
+      .agg(max("hamming")).head()
+    if (!joined.isNullAt(0)) assert(joined.getInt(0) <= 4)
+  }
+
+  test("text stats are internally consistent") {
+    val bad = TextOps.textStats(docs)
+      .filter(col("n_distinct") > col("n_tokens") ||
+        col("distinct_ratio") > 1.0 || col("avg_token_len") <= 0)
+    assert(bad.count() === 0)
+  }
+}
