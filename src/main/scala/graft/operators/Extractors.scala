@@ -169,17 +169,14 @@ object QueueExtractor extends Extractor {
   private def queuePath(spec: PipelineSpec): String =
     spec.queuePath.getOrElse(s"${spec.sourcePath}/MigratorRecordQueue")
 
-  def extract(spark: SparkSession, spec: PipelineSpec, status: TrackingStatus): ExtractResult = {
+  /** Build the method-tagged change batch from a set of changelog
+    * entries: last-write-wins dedup per PK (H4), broadcast lookup join
+    * for updates (J1), REMOVE-row synthesis (R8). Shared by the
+    * micro-batch extractor and the Structured Streaming facade
+    * ([[graft.streaming.StreamingPipeline]]).
+    */
+  def changeBatch(spark: SparkSession, spec: PipelineSpec, entries: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-
-    val n = spec.params.batchSize
-    val entries = queue(spark, spec)
-      .filter(col("sourceDatabase") === spec.sourceDatabase &&
-        col("sourceTable") === spec.sourceTable)
-      .orderBy(col("timestampUpdated"), col("pkValue"))
-      .limit(n)
-      .cache()
-    val cnt = entries.count()
 
     // H4: last-write-wins — keep only the newest entry per PK so one
     // set-based pass equals the reference's ordered per-entry replay.
@@ -222,7 +219,20 @@ object QueueExtractor extends Extractor {
       else df.withColumn(c, lit(null).cast(updates.schema(c).dataType))
     }.select(updates.columns.map(col): _*)
 
-    val batch = updates.unionByName(removeAligned)
+    updates.unionByName(removeAligned)
+  }
+
+  def extract(spark: SparkSession, spec: PipelineSpec, status: TrackingStatus): ExtractResult = {
+    val n = spec.params.batchSize
+    val entries = queue(spark, spec)
+      .filter(col("sourceDatabase") === spec.sourceDatabase &&
+        col("sourceTable") === spec.sourceTable)
+      .orderBy(col("timestampUpdated"), col("pkValue"))
+      .limit(n)
+      .cache()
+    val cnt = entries.count()
+
+    val batch = changeBatch(spark, spec, entries)
 
     val ack = () => {
       // delete consumed entries only after sink success (commit-after-load)

@@ -125,6 +125,17 @@ object ExtOracles {
          |SELECT ${bucketExpr("e")} AS bucket, count(*) AS n
          |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha256,
+        |  'application/x-fake-' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS mime
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "embed_neardup_pairs" ->
       s"""WITH $embCte
          |SELECT x.vec_id AS a, y.vec_id AS b, round($cosExpr, 4) AS cos

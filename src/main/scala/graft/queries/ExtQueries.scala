@@ -52,4 +52,13 @@ object ExtQueries {
 
   def embedNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     VectorOps.nearDupPairs(embs(spark, dir), threshold = 0.4).orderBy("a", "b")
+
+  /** Binary-column metadata extraction over the fabricated media table
+    * ([[graft.operators.MultimodalOps]]): payload byte length + sha256
+    * are real binary ops; the decode stage itself is stubbed.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MultimodalOps.metadata(
+      graft.operators.MultimodalOps.fromDocuments(docs(spark, dir)))
+      .orderBy("media_id")
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.operators.{MethodRoutedLoader, QueueExtractor}
+
+/** Structured Streaming facade over the CDC changelog (SURVEY §7.2
+  * step 7): `readStream` on the queue directory → per-micro-batch
+  * change application via `foreachBatch` → method-routed load.
+  *
+  * Offset management is Spark's file-source checkpoint (the WAL the
+  * reference's LevelDB `PersistenceQueue` wanted to be, `queue.go:14-30`
+  * + `TODO.md:4-8`): processed queue files are recorded in
+  * `checkpointLocation`, so restarts resume exactly where they left off
+  * and consumed entries never need the batch path's ack-delete.
+  *
+  * Scale notes: each micro-batch is bounded by
+  * `maxFilesPerTrigger`; the change application itself is the same
+  * broadcast-join plan as the batch queue extractor, so executor-side
+  * cost is identical — this facade only swaps the driver loop for
+  * Spark's trigger scheduler.
+  */
+object StreamingPipeline {
+
+  /** Changelog schema parity: `record_queue.sql:2-13`. */
+  val queueSchema: StructType = StructType(Seq(
+    StructField("sourceDatabase", StringType, nullable = false),
+    StructField("sourceTable", StringType, nullable = false),
+    StructField("pkColumn", StringType, nullable = false),
+    StructField("pkValue", StringType, nullable = false),
+    StructField("timestampUpdated", TimestampType, nullable = false),
+    StructField("method", StringType, nullable = false)))
+
+  def changelogStream(spark: SparkSession, queuePath: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(queueSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(queuePath)
+  }
+
+  /** Drain all currently-available changelog entries into the
+    * destination, then stop (`Trigger.AvailableNow` — the streaming
+    * equivalent of the batch drain loop). Re-running with the same
+    * checkpoint processes only queue files added since the last run.
+    */
+  def runAvailableNow(spark: SparkSession, spec: PipelineSpec,
+                      checkpoint: String): Unit = {
+    val queuePath = spec.queuePath.getOrElse(s"${spec.sourcePath}/MigratorRecordQueue")
+    val stream = changelogStream(spark, queuePath)
+      .filter(col("sourceDatabase") === spec.sourceDatabase &&
+        col("sourceTable") === spec.sourceTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (entries: DataFrame, _: Long) =>
+        val batch = QueueExtractor.changeBatch(spark, spec, entries)
+        MethodRoutedLoader.load(spark,
+          TableBatch(spec.destinationDatabase, spec.destinationTable, batch),
+          spec.destinationPath, spec.pkColumns, spec.params)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked tumbling-window aggregation — the streaming form of the
+    * `events_tumbling` batch query; late rows beyond `lateness` are
+    * dropped by the watermark, state is bounded per window × type.
+    */
+  def windowedCounts(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+}

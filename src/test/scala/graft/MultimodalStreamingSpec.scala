@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.operators.MultimodalOps
+import graft.streaming.StreamingPipeline
+
+class MultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal: metadata + feature extraction keep row alignment") {
+    val docs = sources.Tables.documents(spark, sf)
+    val media = MultimodalOps.fromDocuments(docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val meta = MultimodalOps.metadata(media)
+    assert(meta.count() === docs.count())
+    // byte_len of UTF-8 payload ≥ char count only when multibyte absent;
+    // here text is ASCII so they are equal
+    val mismatch = meta.join(docs, col("media_id") === col("doc_id"))
+      .filter(col("byte_len") =!= length(col("text")).cast("long"))
+    assert(mismatch.count() === 0)
+    val feats = MultimodalOps.extractFeatures(spark, media, dim = 8)
+    assert(feats.count() === docs.count())
+    assert(feats.head().getAs[Seq[Double]]("features").size === 8)
+  }
+
+  test("multimodal: frame sampling fans out n frames per video") {
+    val media = MultimodalOps.fromDocuments(sources.Tables.documents(spark, sf))
+    val videos = media.filter(col("kind") === "video").count()
+    val frames = MultimodalOps.sampleFrames(media, n = 4)
+    assert(frames.count() === videos * 4)
+    // frame byte ranges tile the payload exactly
+    val total = frames.groupBy("media_id").agg(sum("frame_bytes").as("s"))
+      .join(media, "media_id")
+      .filter(col("s") =!= col("meta.byte_len"))
+    assert(total.count() === 0)
+  }
+
+  test("streaming CDC: availableNow drain applies changes; checkpoint skips replay") {
+    val src = tmpDir("st-src"); val dest = tmpDir("st-dest")
+    val ckpt = tmpDir("st-ckpt")
+    Seq((1L, "one"), (2L, "two-v2"), (3L, "three"))
+      .toDF("id", "v").write.parquet(s"$src/t.parquet")
+    Seq((2L, "two-v1"), (4L, "gone")).toDF("id", "v")
+      .write.parquet(s"$dest/t.parquet")
+    val ts = Timestamp.valueOf("2024-06-01 00:00:00")
+    Seq(("a", "t", "id", "1", ts, "UPDATE"), ("a", "t", "id", "2", ts, "UPDATE"),
+        ("a", "t", "id", "3", ts, "UPDATE"), ("a", "t", "id", "4", ts, "REMOVE"))
+      .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+        "timestampUpdated", "method")
+      .write.parquet(s"$src/queue")
+    val spec = PipelineSpec("a", "t", "id", "b", "t", src, dest,
+      extractor = "queue", queuePath = Some(s"$src/queue"))
+
+    StreamingPipeline.runAvailableNow(spark, spec, ckpt)
+    val got = spark.read.parquet(s"$dest/t.parquet").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "one"), (2L, "two-v2"), (3L, "three")))
+
+    // second run with the same checkpoint: no new files → no changes,
+    // even though the queue files still exist (offsets, not acks)
+    Seq((1L, "one-NEW")).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$src/t.parquet")
+    StreamingPipeline.runAvailableNow(spark, spec, ckpt)
+    val again = spark.read.parquet(s"$dest/t.parquet").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(again === got)
+
+    // new queue file arrives → only it is processed
+    val ts2 = Timestamp.valueOf("2024-06-02 00:00:00")
+    Seq(("a", "t", "id", "1", ts2, "UPDATE"))
+      .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+        "timestampUpdated", "method")
+      .write.mode("append").parquet(s"$src/queue")
+    StreamingPipeline.runAvailableNow(spark, spec, ckpt)
+    val v1 = spark.read.parquet(s"$dest/t.parquet")
+      .filter(col("id") === 1L).head().getString(1)
+    assert(v1 === "one-NEW")
+  }
+
+  test("streaming: watermarked tumbling window matches the batch plan") {
+    val src = tmpDir("wm-src")
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:01"),
+        if (i % 2 == 0) "a" else "b", i * 1.5)
+    }
+    rows.toDF("event_id", "ts", "event_type", "value").write.parquet(s"$src/ev")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$src/ev").schema)
+      .parquet(s"$src/ev")
+    val out = tmpDir("wm-out"); val ckpt = tmpDir("wm-ckpt")
+    val q = StreamingPipeline.windowedCounts(stream).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val batch = StreamingPipeline.windowedCounts(
+      spark.read.parquet(s"$src/ev"))
+    // append-mode emits only watermark-closed windows; with availableNow
+    // the final watermark closes all but the max-event-time window
+    assert(streamed.count() >= batch.count() - 2)
+    val joined = streamed.as("s").join(batch.as("b"),
+      Seq("hour_start", "event_type"))
+      .filter(col("s.n") =!= col("b.n") || col("s.sum_value") =!= col("b.sum_value"))
+    assert(joined.count() === 0)
+  }
+}
