@@ -39,6 +39,16 @@ object ParquetTable {
     if (fs.exists(old)) fs.delete(old, true)
   }
 
-  def append(spark: SparkSession, path: String, df: DataFrame): Unit =
-    df.write.mode("append").parquet(path)
+  /** Append with bounded rows per output file — the Spark analog of the
+    * reference's multi-row statement chunking (`InsertBatchSize`,
+    * `batched_queries.go:95-97`): both cap the unit of work a single
+    * sink write handles.
+    */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+             maxRecordsPerFile: Int = 0): Unit = {
+    val w = df.write.mode("append")
+    (if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile.toLong) else w)
+      .parquet(path)
+  }
 }

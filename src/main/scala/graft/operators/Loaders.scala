@@ -58,7 +58,8 @@ object MethodRoutedLoader {
       }
       ParquetTable.overwriteAtomic(spark, target, kept.unionByName(replaces))
     }
-    if (nIns > 0) ParquetTable.append(spark, target, inserts)
+    if (nIns > 0)
+      ParquetTable.append(spark, target, inserts, params.insertBatchSize)
 
     df.unpersist()
     Map(Method.Insert.name -> nIns, Method.Replace.name -> nRep,
