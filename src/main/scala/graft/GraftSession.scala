@@ -23,6 +23,7 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 

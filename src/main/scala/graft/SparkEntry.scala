@@ -47,6 +47,8 @@ object SparkEntry {
     "method_routing" -> (methodRouting(_, _)),
     "distinct_agg" -> (distinctAgg(_, _)),
     "conditional_agg" -> (conditionalAgg(_, _)),
+    "events_sessionize" -> (eventsSessionize(_, _)),
+    "salted_agg" -> (saltedAgg(_, _)),
     // [EXT] training-data pipeline operators (SURVEY §7 [EXT])
     "text_stats" -> (graft.queries.ExtQueries.textStats(_, _)),
     "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
@@ -219,6 +221,28 @@ object SparkEntry {
          |            WHEN event_type = 'error' THEN 'REMOVE'
          |            ELSE 'REPLACE' END AS method, count(*) AS n
          |FROM ev GROUP BY method ORDER BY method""".stripMargin,
+
+    "events_sessionize" ->
+      s"""WITH $eventsCte,
+         |g AS (SELECT user_id, event_id, ts, value,
+         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |      FROM ev),
+         |s AS (SELECT *, CASE WHEN prev IS NULL
+         |        OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+         |      FROM g),
+         |i AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      FROM s)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  min(ts) AS session_start, count(*) AS n_events,
+         |  round(sum(value), 2) AS session_value
+         |FROM i GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "salted_agg" ->
+      s"""WITH $eventsCte
+         |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS parts,

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over two numeric arrays — a whole-stage-codegen
+  * Catalyst `Expression` replacing the interpreted
+  * `aggregate(zip_with(...))` fold in the embedding hot path (SURVEY
+  * §7.3's "only custom Catalyst-adjacent code" slot; preference order
+  * (b) of the builder brief: a native Expression beats a UDF).
+  *
+  * Semantics match the higher-order fold exactly: elements multiplied in
+  * double precision and summed left-to-right, so the DuckDB oracle and
+  * previous plans reproduce bit-identical results. Null elements are not
+  * supported (embeddings are dense); a null array yields null via the
+  * standard null-intolerant contract.
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+      if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"array_dot needs two array<float|double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val (la, ra) = (elemType(left), elemType(right))
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (la == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (ra == FloatType) b.getFloat(i).toDouble else b.getDouble(i)
+      sum += x * y
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(arr: String, t: DataType, i: String) =
+        if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ${get(a, elemType(left), i)} * ${get(b, elemType(right), i)};
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * for cluster deployments, or [[GraftFunctions.register]] on a live
+  * session (what `GraftSession.configure` does).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.arrayDotDescriptor)
+}
+
+object GraftFunctions {
+  val arrayDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_dot"),
+    new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+    (children: Seq[Expression]) => ArrayDot(children(0), children(1)))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", children => ArrayDot(children(0), children(1)), "built-in")
+}

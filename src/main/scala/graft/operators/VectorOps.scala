@@ -28,8 +28,17 @@ object VectorOps {
     */
   private def vec(c: Column): Column = c.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(vec(a), vec(b), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Native codegen'd dot product ([[graft.functions.ArrayDot]]) —
+    * same left-to-right double fold as the higher-order
+    * `aggregate(zip_with(...))` form it replaces, with none of the
+    * per-row lambda interpretation or intermediate array allocation.
+    * Also exposed as SQL `array_dot(a, b)` via
+    * [[graft.functions.GraftExtensions]].
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    column(graft.functions.ArrayDot(expression(a), expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -276,6 +276,42 @@ object RelationalQueries {
         countDistinct("l_suppkey").as("supps"))
       .orderBy("l_returnflag")
 
+  /** Sessionization: gaps-and-islands with a 30-minute inactivity gap —
+    * the batch form of a session window (§2.9: session windows; the
+    * streaming form is `session_window` + watermark). One shuffle on
+    * user_id; both window passes reuse the same partitioning.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          col("ts").cast("timestamp").cast("long") -
+            col("prev").cast("timestamp").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .select("user_id", "session_id", "session_start", "n_events", "session_value")
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Skew-resistant two-phase aggregation: pre-aggregate on (key, salt)
+    * — the salt spreads a hot key over `buckets` reducers — then merge
+    * partials. Same result as a direct groupBy (the oracle is the plain
+    * GROUP BY); the plan is the one that survives a skewed 100 TB key.
+    */
+  def saltedAgg(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("_salt", pmod(hash(col("event_id")), lit(buckets)))
+      .groupBy("event_type", "_salt")
+      .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+      .groupBy("event_type")
+      .agg(sum("pn").as("n"), round(sum("pv"), 2).as("sum_value"))
+      .orderBy("event_type")
+
   /** Conditional (pivot-style) aggregation — sum(case when …) fan-out. */
   def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+
+class ArrayDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("array_dot matches the higher-order fold bit-for-bit") {
+    val df = sources.Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val both = df
+      .withColumn("native", VectorOps.dot(col("embedding"), col("embedding")))
+      .withColumn("fold", expr(
+        """aggregate(zip_with(cast(embedding as array<double>),
+          |  cast(embedding as array<double>), (x, y) -> x * y),
+          |  0.0d, (acc, x) -> acc + x)""".stripMargin))
+    assert(both.filter(col("native") =!= col("fold")).count() === 0)
+  }
+
+  test("array_dot is registered as a SQL function") {
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) === 11.0)
+    // float arrays work without casting
+    val f = spark.sql(
+      "SELECT array_dot(array(cast(1.5 as float)), array(cast(2.0 as float))) AS d").head()
+    assert(f.getDouble(0) === 3.0)
+  }
+
+  test("array_dot rejects non-numeric-array inputs at analysis") {
+    val e = intercept[Exception](
+      spark.sql("SELECT array_dot(array('a'), array('b'))").head())
+    assert(e.getMessage.toLowerCase.contains("array_dot"))
+  }
+
+  test("null array yields null, not a crash") {
+    val r = spark.sql(
+      "SELECT array_dot(cast(null as array<double>), array(1.0d)) AS d").head()
+    assert(r.isNullAt(0))
+  }
+}
