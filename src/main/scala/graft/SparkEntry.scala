@@ -49,6 +49,7 @@ object SparkEntry {
     "conditional_agg" -> (conditionalAgg(_, _)),
     "events_sessionize" -> (eventsSessionize(_, _)),
     "salted_agg" -> (saltedAgg(_, _)),
+    "percentile_agg" -> (percentileAgg(_, _)),
     // [EXT] training-data pipeline operators (SURVEY §7 [EXT])
     "text_stats" -> (graft.queries.ExtQueries.textStats(_, _)),
     "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
@@ -243,6 +244,13 @@ object SparkEntry {
       s"""WITH $eventsCte
          |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "percentile_agg" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(max(o_totalprice), 2) AS mx
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS parts,

@@ -312,6 +312,20 @@ object RelationalQueries {
       .agg(sum("pn").as("n"), round(sum("pv"), 2).as("sum_value"))
       .orderBy("event_type")
 
+  /** Exact interpolated percentiles per group (§2.9: ordered-set
+    * aggregates). Scale note: exact percentile sorts per group — at
+    * 100 TB the swap is `approx_percentile` (t-digest sketch, map-side
+    * combinable) with the same call shape.
+    */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(max("o_totalprice"), 2).as("mx"))
+      .orderBy("o_orderpriority")
+
   /** Conditional (pivot-style) aggregation — sum(case when …) fan-out. */
   def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -27,6 +27,15 @@ object Tables {
 
   def readTable(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     graft.GraftSession.configure(spark)
+    // JDBC source roots slot in behind the same catalog contract the
+    // reference uses (MySQL DSN, `migrator.go:208-229`): a `jdbc:` root
+    // maps table reads to the connector, with Catalyst pushing the
+    // incremental predicates down as the reference ships its WHERE
+    // clause. (Exercised via the API contract only — this container has
+    // no database to integration-test against.)
+    if (sfDir.startsWith("jdbc:"))
+      return spark.read.format("jdbc")
+        .option("url", sfDir).option("dbtable", table).load()
     val raw = spark.read.parquet(s"$sfDir/$table.parquet")
     nanosTimestampCols.getOrElse(table, Nil).foldLeft(raw) { (df, c) =>
       if (df.schema.fieldNames.contains(c) &&
