@@ -72,6 +72,7 @@ object Config {
         sleepBetweenRunsSec = p("SleepBetweenRuns", 5.0, _.toString.toDouble),
         onlyPast = p("OnlyPast", false, _.toString.toBoolean),
         sequentialReplace = p("SequentialReplace", false, _.toString.toBoolean),
+        partitionBuckets = p("PartitionBuckets", 0, _.toString.toInt),
         tableName = params.get("TableName").map(_.toString),
         expressions = params.get("Expressions")
           .map(_.asInstanceOf[java.util.Map[String, Any]].asScala
@@ -79,7 +80,8 @@ object Config {
           .getOrElse(Map.empty),
         extra = params.collect {
           case (k, v) if !Set("BatchSize", "InsertBatchSize", "SleepBetweenRuns",
-            "OnlyPast", "SequentialReplace", "TableName", "Expressions")(k) =>
+            "OnlyPast", "SequentialReplace", "TableName", "Expressions",
+            "PartitionBuckets")(k) =>
             k -> String.valueOf(v)
         }.toMap))
 

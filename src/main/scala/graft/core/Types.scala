@@ -50,6 +50,10 @@ final case class Params(
       * replacement for the reference's stubbed JS hook,
       * `transformer_js.go:24-84`). */
     expressions: Map[String, String] = Map.empty,
+    /** hash-bucket the destination table into this many partitions so
+      * REPLACE/REMOVE rewrites touch only affected partitions instead of
+      * the whole table (SURVEY §7.4 H1). 0 = unpartitioned. */
+    partitionBuckets: Int = 0,
     /** free-form passthrough, reference `Parameters = map[string]any`. */
     extra: Map[String, String] = Map.empty)
 

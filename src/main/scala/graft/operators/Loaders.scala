@@ -48,21 +48,83 @@ object MethodRoutedLoader {
     val nRep = replaces.count()
     val nRem = removes.count()
 
-    if (nRep > 0 || nRem > 0) {
-      val touchedKeys = replaces.select(pkCols.map(col): _*)
-        .union(removes.select(pkCols.map(col): _*))
-      val existing = ParquetTable.read(spark, target)
-      val kept = existing match {
-        case Some(t) => t.join(broadcast(touchedKeys), pkCols, "left_anti")
-        case None    => replaces.limit(0) // empty, replaces schema
+    if (params.partitionBuckets > 0)
+      loadBucketed(spark, target, pkCols, params, inserts, replaces, removes,
+        nIns, nRep, nRem)
+    else {
+      if (nRep > 0 || nRem > 0) {
+        val touchedKeys = replaces.select(pkCols.map(col): _*)
+          .union(removes.select(pkCols.map(col): _*))
+        val existing = ParquetTable.read(spark, target)
+        val kept = existing match {
+          case Some(t) => t.join(broadcast(touchedKeys), pkCols, "left_anti")
+          case None    => replaces.limit(0) // empty, replaces schema
+        }
+        ParquetTable.overwriteAtomic(spark, target, kept.unionByName(replaces))
       }
-      ParquetTable.overwriteAtomic(spark, target, kept.unionByName(replaces))
+      if (nIns > 0)
+        ParquetTable.append(spark, target, inserts, params.insertBatchSize)
     }
-    if (nIns > 0)
-      ParquetTable.append(spark, target, inserts, params.insertBatchSize)
 
     df.unpersist()
     Map(Method.Insert.name -> nIns, Method.Replace.name -> nRep,
       Method.Remove.name -> nRem)
+  }
+
+  /** Partition-pruned variant (SURVEY §7.4 H1): the destination is
+    * hash-bucketed on the PK into `partitionBuckets` directory
+    * partitions; REPLACE/REMOVE computes the touched bucket set from the
+    * batch keys (≤ batch size) and rewrites ONLY those partitions via
+    * dynamic partition overwrite — on a 100 TB table the rewrite cost is
+    * `touched_buckets / buckets` of the table, not all of it, and the
+    * target read is partition-pruned by the same bucket filter.
+    */
+  private def loadBucketed(spark: SparkSession, target: String,
+                           pkCols: Seq[String], params: Params,
+                           inserts: DataFrame, replaces: DataFrame,
+                           removes: DataFrame,
+                           nIns: Long, nRep: Long, nRem: Long): Unit = {
+    val n = params.partitionBuckets
+    def bucketed(d: DataFrame): DataFrame =
+      d.withColumn(BucketCol, pmod(xxhash64(pkCols.map(col): _*), lit(n.toLong)))
+
+    if (nRep > 0 || nRem > 0) {
+      val touched = bucketed(replaces).select(BucketCol)
+        .union(bucketed(removes).select(BucketCol))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val touchedKeys = replaces.select(pkCols.map(col): _*)
+        .union(removes.select(pkCols.map(col): _*))
+      val kept = ParquetTable.read(spark, target) match {
+        case Some(t) =>
+          t.filter(col(BucketCol).isin(touched: _*)) // partition pruning
+            .join(broadcast(touchedKeys), pkCols, "left_anti")
+        case None => bucketed(replaces).limit(0)
+      }
+      val out = kept.unionByName(bucketed(replaces))
+      withDynamicOverwrite(spark) {
+        out.write.mode("overwrite").partitionBy(BucketCol).parquet(target)
+      }
+    }
+    if (nIns > 0) {
+      val w = bucketed(inserts).write.mode("append").partitionBy(BucketCol)
+      (if (params.insertBatchSize > 0)
+        w.option("maxRecordsPerFile", params.insertBatchSize.toLong) else w)
+        .parquet(target)
+    }
+  }
+
+  /** Partition column for bucketed destinations — a system column,
+    * dropped by consumers that want the logical schema.
+    */
+  val BucketCol = "_bucket"
+
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }

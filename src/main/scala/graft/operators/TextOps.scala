@@ -131,6 +131,11 @@ object TextOps {
     * shingles, not n².
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // The shingle subplan appears three times (sizes + both join sides);
+    // measured head-to-head that beats both a window-carried size column
+    // (the per-shingle window shuffle quintuples the join input) and a
+    // localCheckpoint materialisation — the sizes joins broadcast
+    // (O(docs) rows), so re-deriving shingles is the cheaper currency.
     val sh = shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
