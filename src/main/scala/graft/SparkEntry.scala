@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> (graft.queries.ExtQueries.dedupMinhashPairs(_, _)),
     "dedup_jaccard_pairs" -> (graft.queries.ExtQueries.dedupJaccardPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
+    "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),
     "embed_lsh_buckets" -> (graft.queries.ExtQueries.embedLshBuckets(_, _)),
     "embed_neardup_pairs" -> (graft.queries.ExtQueries.embedNearDupPairs(_, _)),
     "multimodal_meta" -> (graft.queries.ExtQueries.multimodalMeta(_, _)),

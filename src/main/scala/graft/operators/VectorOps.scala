@@ -77,6 +77,57 @@ object VectorOps {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
 
+  /** IVF-style ANN: a KMeans coarse quantizer (nlist cells, fixed seed)
+    * partitions the corpus; queries probe their `nprobe` nearest cells
+    * and rank exactly within them. The classic recall/cost dial:
+    * cost ≈ nprobe/nlist of brute force. Not oracle-replayable (KMeans
+    * isn't SQL) — covered by determinism + recall specs instead.
+    *
+    * Scale shape: training samples the corpus (KMeans on a bounded
+    * sample at 100 TB), assignment is one broadcast of nlist centroids,
+    * the probe search is an equi-join on the cell id — the same join
+    * layout as the sign-LSH variant with a learned partitioner.
+    */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+
+    val spark = embeddings.sparkSession
+    val fe = embeddings
+      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(fe)
+    val corpus = model.transform(fe)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+
+    val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    // probe the nprobe nearest cells per query (nlist rows per query)
+    val wCell = Window.partitionBy("qid").orderBy(col("cdist").desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(col("qvec"), col("centroid")))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= nprobe)
+      .select("qid", "qvec", "cell")
+
+    // exact rank within the probed cells only
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qvec"), col("embedding")), 5))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
   /** Bucketed near-dup pairs: cosine over same-bucket pairs only —
     * the quadratic search collapses to an equi-join on the bucket key.
     */

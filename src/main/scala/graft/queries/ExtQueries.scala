@@ -47,6 +47,13 @@ object ExtQueries {
     VectorOps.cosineTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
       .orderBy("qid", "rn")
 
+  /** IVF ANN (no oracle — KMeans isn't SQL-replayable; the driver
+    * records a rows-only check, exactness is covered by specs).
+    */
+  def embedIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.ivfTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+      .orderBy("qid", "rn")
+
   def embedLshBuckets(spark: SparkSession, dir: String): DataFrame =
     VectorOps.lshBuckets(embs(spark, dir)).orderBy("bucket")
 

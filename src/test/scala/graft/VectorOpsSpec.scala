@@ -43,6 +43,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(bucketed === brute)
   }
 
+  test("ivf top-k: deterministic, well-formed, and overlaps brute force") {
+    val ivf1 = VectorOps.ivfTopK(embs, Seq(0L, 1L, 2L), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val ivf2 = VectorOps.ivfTopK(embs, Seq(0L, 1L, 2L), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(ivf1 === ivf2) // fixed-seed KMeans → reproducible
+    assert(ivf1.size === 30)
+    // recall vs exact brute force: probing 4/16 cells must still find a
+    // meaningful share of the true neighbours
+    val exact = VectorOps.cosineTopK(embs, Seq(0L, 1L, 2L), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = ivf1.map { case (q, v, _) => (q, v) }.count(exact.contains)
+    assert(hits >= 6, s"IVF recall too low: $hits/30")
+  }
+
   test("lsh bucket histogram partitions the corpus") {
     val total = VectorOps.lshBuckets(embs).agg(sum("n")).head().getLong(0)
     assert(total === embs.count())
