@@ -52,6 +52,7 @@ object SparkEntry {
     "percentile_agg" -> (percentileAgg(_, _)),
     // [EXT] training-data pipeline operators (SURVEY §7 [EXT])
     "text_stats" -> (graft.queries.ExtQueries.textStats(_, _)),
+    "text_quality_filter" -> (graft.queries.ExtQueries.textQualityFilter(_, _)),
     "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
     "text_fingerprint" -> (graft.queries.ExtQueries.textFingerprint(_, _)),
     "text_simhash" -> (graft.queries.ExtQueries.textSimhash(_, _)),

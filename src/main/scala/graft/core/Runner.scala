@@ -106,7 +106,18 @@ final class Runner(spark: SparkSession, specs: Seq[PipelineSpec],
     state.set(RunState.Running)
     threads = pipelines.map { p =>
       val t = new Thread(() => {
-        var status = p.init()
+        // init with retry-forever (reference `migrator.go:312-327`):
+        // a missing source/tracking store at start-up must not kill the
+        // pipeline thread silently
+        var status: TrackingStatus = null
+        while (status == null && state.get() != RunState.Stopping) {
+          try status = p.init()
+          catch {
+            case e: Throwable =>
+              errorCallback(s"${p.spec.sourceTable}", e)
+              sleepInterruptibly(p.spec.params.sleepBetweenRunsSec)
+          }
+        }
         while (state.get() != RunState.Stopping) {
           if (state.get() == RunState.Paused) Thread.sleep(100)
           else {

@@ -77,6 +77,16 @@ object ExtOracles {
          |  CASE WHEN stop_ratio > 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
          |FROM s ORDER BY doc_id""".stripMargin,
 
+    "text_quality_filter" ->
+      s"""WITH $tokCte,
+         |st AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS distinct_ratio
+         |  FROM tok)
+         |SELECT doc_id, n_tokens, distinct_ratio FROM st
+         |WHERE n_tokens >= 20 AND n_tokens <= 120 AND distinct_ratio >= 0.3
+         |ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
 

@@ -28,6 +28,18 @@ object ExtQueries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(docs(spark, dir)).orderBy("doc_id")
 
+  /** Quality filtering — the composite keep/drop decision a training
+    * pipeline applies: length band + lexical-diversity floor. Pure
+    * column predicates over [[TextOps.textStats]] (codegen'd, pushes
+    * into the scan's row-group pruning where stats allow).
+    */
+  def textQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(docs(spark, dir))
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 120 &&
+        col("distinct_ratio") >= 0.3)
+      .select("doc_id", "n_tokens", "distinct_ratio")
+      .orderBy("doc_id")
+
   def textSimhash(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhash(docs(spark, dir)).orderBy("doc_id")
 
