@@ -53,6 +53,9 @@ object SparkEntry {
     // [EXT] training-data pipeline operators (SURVEY §7 [EXT])
     "text_stats" -> (graft.queries.ExtQueries.textStats(_, _)),
     "text_quality_filter" -> (graft.queries.ExtQueries.textQualityFilter(_, _)),
+    "text_token_counts" -> (graft.queries.ExtQueries.textTokenCounts(_, _)),
+    "text_bm25" -> (graft.queries.ExtQueries.textBm25(_, _)),
+    "approx_distinct" -> (graft.queries.ExtQueries.approxDistinct(_, _)),
     "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
     "text_fingerprint" -> (graft.queries.ExtQueries.textFingerprint(_, _)),
     "text_simhash" -> (graft.queries.ExtQueries.textSimhash(_, _)),

@@ -151,6 +151,47 @@ object TextOps {
       .select("a", "b", "jaccard")
   }
 
+  /** Token counting beyond whitespace: a BPE-ish regex pass (letter
+    * runs / digit runs / single other chars — the shape of a byte-level
+    * BPE pre-tokenizer) plus the chars/4 heuristic LLM pipelines use for
+    * budget estimates.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("bigint").as("bpe_ish_tokens"),
+      ceil(length(col("text")) / 4.0).cast("bigint").as("est_bpe_tokens"))
+
+  /** BM25 ranking of documents against a fixed term set — scoring built
+    * entirely from relational primitives (term explode → tf/df
+    * aggregates → broadcast scalar join), so it runs at corpus scale as
+    * three shuffles and replays exactly in the SQL oracle.
+    * k1 = 1.2, b = 0.75, idf = ln((N - df + 0.5)/(df + 0.5) + 1).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val tok = docs.select(col("doc_id"), explode(tokens).as("w"))
+    val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val scalars = docLen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg("len").as("avg_len"))
+    val tf = tok.filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(df_), "w")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("term_score",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avg_len"))))
+      .groupBy("doc_id").agg(round(sum("term_score"), 4).as("bm25"))
+    scored.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
   /** 16-bit SimHash over the token multiset: per token, md5's first 4
     * hex nibbles give 16 bits; each bit votes ±1; the fingerprint keeps
     * the sign. One explode + one groupBy with 16 partial sums —

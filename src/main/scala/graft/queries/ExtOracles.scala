@@ -87,6 +87,27 @@ object ExtOracles {
          |WHERE n_tokens >= 20 AND n_tokens <= 120 AND distinct_ratio >= 0.3
          |ORDER BY doc_id""".stripMargin,
 
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bm25" ->
+      """WITH tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tokw GROUP BY doc_id),
+        |sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tokw
+        |       WHERE w IN ('fast', 'join', 'table') GROUP BY doc_id, w),
+        |dfq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+        |term AS (SELECT tf.doc_id,
+        |    ln((sc.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1) * tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / sc.avg_len)) AS s
+        |  FROM tf JOIN dfq USING (w) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN sc)
+        |SELECT doc_id, round(sum(s), 4) AS bm25 FROM term GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
 

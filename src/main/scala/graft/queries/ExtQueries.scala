@@ -40,6 +40,24 @@ object ExtQueries {
       .select("doc_id", "n_tokens", "distinct_ratio")
       .orderBy("doc_id")
 
+  def textTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(docs(spark, dir)).orderBy("doc_id")
+
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25TopK(docs(spark, dir),
+      terms = Seq("fast", "join", "table"), k = 10)
+
+  /** HLL sketch distinct counts (rows-only driver check — approx
+    * algorithms differ across engines; the operator coverage is the
+    * point, exactness is meaningless for a sketch).
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang")
+      .agg(approx_count_distinct("source").as("approx_sources"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
   def textSimhash(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhash(docs(spark, dir)).orderBy("doc_id")
 
