@@ -24,6 +24,8 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     graft.functions.GraftFunctions.register(spark)
+    spark.udf.register("geomean",
+      org.apache.spark.sql.functions.udaf(graft.functions.GeoMean))
     spark
   }
 

@@ -50,6 +50,9 @@ object SparkEntry {
     "events_sessionize" -> (eventsSessionize(_, _)),
     "salted_agg" -> (saltedAgg(_, _)),
     "percentile_agg" -> (percentileAgg(_, _)),
+    "pivot_agg" -> (pivotAgg(_, _)),
+    "geomean_agg" -> (geomeanAgg(_, _)),
+    "setops_all" -> (setOpsAll(_, _)),
     // [EXT] training-data pipeline operators (SURVEY §7 [EXT])
     "text_stats" -> (graft.queries.ExtQueries.textStats(_, _)),
     "text_quality_filter" -> (graft.queries.ExtQueries.textQualityFilter(_, _)),
@@ -256,6 +259,25 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
         |  round(max(o_totalprice), 2) AS mx
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "geomean_agg" ->
+      """SELECT o_orderpriority,
+        |  round(exp(avg(ln(o_totalprice))), 2) AS geo_price, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "setops_all" ->
+      """SELECT k, count(*) AS extra_orders FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS k FROM customer)
+        |GROUP BY k ORDER BY k""".stripMargin,
 
     "distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS parts,

@@ -326,6 +326,38 @@ object RelationalQueries {
         round(max("o_totalprice"), 2).as("mx"))
       .orderBy("o_orderpriority")
 
+  /** True pivot operator — fixed value list so the output schema is
+    * static (the dynamic-list variant needs an extra pass to collect
+    * values; at scale always pass the list).
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderpriority")
+
+  /** Custom typed UDAF (§2.9): geometric mean via log-domain
+    * [[graft.functions.GeoMean]] — two-scalar buffer, map-side
+    * combinable like any built-in aggregate.
+    */
+  def geomeanAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(round(expr("geomean(o_totalprice)"), 2).as("geo_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Multiset set-ops (EXCEPT ALL) — §2.9 set-op coverage beyond the
+    * distinct variants in `setops`.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+    val b = Tables.customer(spark, dir).select(col("c_custkey").as("k"))
+    a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("extra_orders"))
+      .orderBy("k")
+  }
+
   /** Conditional (pivot-style) aggregation — sum(case when …) fan-out. */
   def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
