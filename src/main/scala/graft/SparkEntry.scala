@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_minhash_bands" -> (graft.queries.ExtQueries.dedupMinhashBands(_, _)),
     "dedup_minhash_pairs" -> (graft.queries.ExtQueries.dedupMinhashPairs(_, _)),
     "dedup_jaccard_pairs" -> (graft.queries.ExtQueries.dedupJaccardPairs(_, _)),
+    "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),
     "embed_lsh_buckets" -> (graft.queries.ExtQueries.embedLshBuckets(_, _)),

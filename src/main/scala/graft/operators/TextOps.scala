@@ -82,6 +82,32 @@ object TextOps {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** SimHash near-dup candidate pairs: pigeonhole banding — two
+    * fingerprints within hamming distance ≤ 3 must agree on at least one
+    * of 4 four-bit bands, so the quadratic search becomes an equi-join
+    * on (band, nibble) and a `bit_count(xor)` filter. Same LSH shape as
+    * MinHash banding, over the simhash domain.
+    *
+    * The 16-bit width keeps the cross-engine oracle tractable but is
+    * coarse — on a small-vocabulary corpus unrelated docs collide, so the
+    * default threshold is tight (≤1); a production profile widens the
+    * fingerprint to 64 bits (same plan, 64 sums) before loosening it.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 1): DataFrame = {
+    val sh = simhash(docs)
+    val bands = sh.select(col("doc_id"), col("simhash16"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b as band, (simhash16 div shiftleft(1, b * 4)) % 16 as nib))")).as("e"))
+      .select(col("doc_id"), col("simhash16"), col("e.band").as("band"), col("e.nib").as("nib"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.nib") === col("y.nib") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("cast(bit_count(x.simhash16 ^ y.simhash16) as bigint)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Number of MinHash permutations (8 hashes → 4 bands of 2 rows,
     * detection threshold ≈ (1/bands)^(1/rows) ≈ 0.5 Jaccard).
     */

@@ -35,7 +35,10 @@ object ExtOracles {
   private def bucketExpr(alias: String) =
     (0 until 8).map(i => s"($alias.embedding[${i + 1}] >= 0)").mkString("concat(", ", ", ")")
 
-  private val simhashSql: String = {
+  /** CTE computing (doc_id, simhash16) — shared by the signature dump
+    * and the banded near-dup pair oracle.
+    */
+  private val simhashCte: String = {
     val nibbles = (0 until 4)
       .map(i => s"strpos('0123456789abcdef', substring(md5(w), ${i + 1}, 1)) - 1 AS n$i")
       .mkString(",\n  ")
@@ -47,15 +50,32 @@ object ExtOracles {
     val fp = (0 until 16)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    s"""tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |nib AS (SELECT doc_id,
        |  $nibbles
        |  FROM tokw),
        |sums AS (SELECT doc_id,
        |  $sums
-       |  FROM nib GROUP BY doc_id)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash16
-       |FROM sums ORDER BY doc_id""".stripMargin
+       |  FROM nib GROUP BY doc_id),
+       |shash AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM sums)""".stripMargin
+  }
+
+  private val simhashSql: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash16 FROM shash ORDER BY doc_id""".stripMargin
+
+  private val simhashPairsSql: String = {
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, simhash16, $b AS band, (simhash16 // ${1 << (b * 4)}) % 16 AS nib FROM shash")
+      .mkString(" UNION ALL ")
+    s"""WITH $simhashCte,
+       |sbands AS ($bandRows)
+       |SELECT a, b, hamming FROM (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    CAST(bit_count(xor(x.simhash16, y.simhash16)) AS BIGINT) AS hamming
+       |  FROM sbands x JOIN sbands y
+       |    ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id)
+       |WHERE hamming <= 1 ORDER BY a, b""".stripMargin
   }
 
   val sql: Map[String, String] = Map(
@@ -112,6 +132,8 @@ object ExtOracles {
       """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
 
     "text_simhash" -> simhashSql,
+
+    "dedup_simhash_pairs" -> simhashPairsSql,
 
     "dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies

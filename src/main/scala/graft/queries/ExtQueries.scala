@@ -61,6 +61,9 @@ object ExtQueries {
   def textSimhash(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhash(docs(spark, dir)).orderBy("doc_id")
 
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simhashPairs(docs(spark, dir)).orderBy("a", "b")
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     TextOps.exactDedup(docs(spark, dir)).orderBy("fp")
 
