@@ -45,6 +45,25 @@ final class TrackingStore(spark: SparkSession, root: String) {
   private def fs = new Path(root).getFileSystem(hconf)
   private val pointer = new Path(root, "_CURRENT")
 
+  /** In-memory image of the (tiny, O(#pipelines)) table, loaded once and
+    * kept in sync by `put` — point reads and commits then cost zero
+    * Spark jobs beyond the snapshot write. The store is owned by one
+    * runner; an external writer would require dropping this cache.
+    */
+  private var cached: Option[Vector[TrackingStatus]] = None
+
+  private def loadAll(): Vector[TrackingStatus] = synchronized {
+    cached.getOrElse {
+      val v = currentSnapshot() match {
+        case Some(ver) => spark.read.schema(schema).parquet(s"$root/$ver")
+          .collect().toVector.map(fromRow)
+        case None => Vector.empty
+      }
+      cached = Some(v)
+      v
+    }
+  }
+
   private def currentSnapshot(): Option[String] = {
     if (!fs.exists(pointer)) None
     else {
@@ -60,17 +79,14 @@ final class TrackingStore(spark: SparkSession, root: String) {
   /** All tracking rows (empty DataFrame with the right schema if the
     * store was never written).
     */
-  def all(): DataFrame = currentSnapshot() match {
-    case Some(v) => spark.read.schema(schema).parquet(s"$root/$v")
-    case None    => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-  }
+  def all(): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(loadAll().map(toRow), 1), schema)
 
   /** Point read — reference `GetTrackingStatus` (`tracking.go:59-64`). */
   def get(sourceDatabase: String, sourceTable: String): Option[TrackingStatus] =
-    all()
-      .filter(col("sourceDatabase") === sourceDatabase &&
-        col("sourceTable") === sourceTable)
-      .limit(1).collect().headOption.map(fromRow)
+    loadAll().find(t =>
+      t.sourceDatabase == sourceDatabase && t.sourceTable == sourceTable)
 
   /** Bootstrap a fresh row if none exists — reference seeds at init
     * (`migrator.go:236-264`) with position 0, which under the strict-`>`
@@ -91,15 +107,14 @@ final class TrackingStore(spark: SparkSession, root: String) {
     * *after* load per the corrected ordering (`TODO.md:4-11`).
     */
   def put(ts: TrackingStatus): Unit = synchronized {
-    val remaining = all()
-      .filter(!(col("sourceDatabase") === ts.sourceDatabase &&
-        col("sourceTable") === ts.sourceTable))
-      .collect().toSeq
-    val rows = remaining :+ toRow(ts)
+    val rows = loadAll().filterNot(t =>
+      t.sourceDatabase == ts.sourceDatabase &&
+        t.sourceTable == ts.sourceTable) :+ ts
     val next = s"v${System.nanoTime()}"
     spark
-      .createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .createDataFrame(spark.sparkContext.parallelize(rows.map(toRow), 1), schema)
       .write.mode("overwrite").parquet(s"$root/$next")
+    cached = Some(rows.toVector)
     val tmp = new Path(root, s"_CURRENT.tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(next.getBytes("UTF-8")) finally out.close()

@@ -44,9 +44,16 @@ object MethodRoutedLoader {
       methodOf =!= Method.Remove.name).drop(Method.Col)
     val removes = df.filter(methodOf === Method.Remove.name).drop(Method.Col)
 
-    val nIns = inserts.count()
-    val nRep = replaces.count()
-    val nRem = removes.count()
+    // one global-agg job for all three bucket counts (a count per bucket
+    // would pay three scheduler round-trips per micro-batch — the
+    // dominant cost of small-batch drains)
+    val c = df.agg(
+      sum(when(methodOf === Method.Insert.name, 1L).otherwise(0L)),
+      sum(when(methodOf === Method.Remove.name, 1L).otherwise(0L)),
+      count(lit(1))).head()
+    val nIns = if (c.isNullAt(0)) 0L else c.getLong(0)
+    val nRem = if (c.isNullAt(1)) 0L else c.getLong(1)
+    val nRep = c.getLong(2) - nIns - nRem // unknown methods → REPLACE
 
     if (params.partitionBuckets > 0)
       loadBucketed(spark, target, pkCols, params, inserts, replaces, removes,
