@@ -43,6 +43,7 @@ object SparkEntry {
     "upsert_emulation" -> (upsertEmulation(_, _)),
     "delete_antijoin" -> (deleteAntiJoin(_, _)),
     "semi_join" -> (semiJoin(_, _)),
+    "range_join" -> (rangeJoin(_, _)),
     "asof_signup" -> (asofSignup(_, _)),
     "method_routing" -> (methodRouting(_, _)),
     "distinct_agg" -> (distinctAgg(_, _)),
@@ -209,6 +210,14 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM customer
         |  WHERE c_custkey = o_custkey AND c_mktsegment = 'MACHINERY')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "range_join" ->
+      """SELECT o_orderpriority, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "semi_join" ->
       """SELECT o_orderpriority, count(*) AS n

@@ -39,6 +39,20 @@ object ParquetTable {
     if (fs.exists(old)) fs.delete(old, true)
   }
 
+  /** Compact a table's small files (the debt a long-running append /
+    * streaming drain accumulates) into ~`targetRecordsPerFile`-row
+    * files via an atomic rewrite. The maintenance companion to
+    * streaming-mode loads, where per-trigger appends produce one file
+    * per micro-batch.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetRecordsPerFile: Long = 1000000L): Unit =
+    read(spark, path).foreach { df =>
+      val total = df.count()
+      val files = math.max(1, math.ceil(total.toDouble / targetRecordsPerFile).toInt)
+      overwriteAtomic(spark, path, df.repartition(files))
+    }
+
   /** Append with bounded rows per output file — the Spark analog of the
     * reference's multi-row statement chunking (`InsertBatchSize`,
     * `batched_queries.go:95-97`): both cap the unit of work a single

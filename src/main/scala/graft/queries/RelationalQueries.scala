@@ -231,6 +231,22 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Equi + range join (§2.9: range joins): lineitems shipped within 30
+    * days of their order's date. The equi key keeps it a hash join (the
+    * range predicate rides along as a post-join filter) — the shape that
+    * scales; a pure range join without an equi key is the one to avoid
+    * at 100 TB.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(avg(col("l_quantity")), 4).as("avg_qty"))
+      .orderBy("o_orderpriority")
+
   /** Semi join — EXISTS (§2.9: semi/anti joins). */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val bigLines = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 49)

@@ -49,3 +49,22 @@ class SequentialPipelineSpec extends SparkSpec {
     assert(more("INSERT") === 0)
   }
 }
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+  test("compact merges small append files without changing content") {
+    val dir = tmpDir("compact")
+    val p = s"$dir/t.parquet"
+    // 20 tiny appends -> >= 20 files
+    (1 to 20).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").write.mode("append").parquet(p)
+    }
+    def files = new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files >= 20)
+    graft.core.ParquetTable.compact(spark, p, targetRecordsPerFile = 100)
+    assert(files === 1)
+    val got = spark.read.parquet(p).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === (1 to 20).map(i => (i.toLong, s"v$i")))
+  }
+}
