@@ -21,8 +21,15 @@ object ParquetTable {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** `mergeSchema` because destinations evolve file-by-file (a
+    * schema-widening upsert rewrites only touched partitions) — the
+    * default single-footer schema would silently drop newer columns on
+    * the next rewrite.
+    */
   def read(spark: SparkSession, path: String): Option[DataFrame] =
-    if (exists(spark, path)) Some(spark.read.parquet(path)) else None
+    if (exists(spark, path))
+      Some(spark.read.option("mergeSchema", true).parquet(path))
+    else None
 
   /** Materialise `df` (which may itself read from `path`) into a staging
     * dir, then swap it in. The read happens fully before the old data is

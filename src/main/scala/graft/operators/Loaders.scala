@@ -25,6 +25,11 @@ import graft.core._
   * streams through without a shuffle — at 100 TB the cost is the
   * target-partition rewrite, which Delta/partition-pruned rewrites would
   * bound further (SURVEY §7.4 H1).
+  *
+  * Schema evolution: upsert batches may add or omit columns relative to
+  * the destination (`allowMissingColumns` union) — absent sides fill
+  * with NULL, the dynamic-schema posture the reference gets from MySQL
+  * defaults (`types.go:58-61` schema-free rows).
   */
 object MethodRoutedLoader {
 
@@ -67,7 +72,8 @@ object MethodRoutedLoader {
           case Some(t) => t.join(broadcast(touchedKeys), pkCols, "left_anti")
           case None    => replaces.limit(0) // empty, replaces schema
         }
-        ParquetTable.overwriteAtomic(spark, target, kept.unionByName(replaces))
+        ParquetTable.overwriteAtomic(spark, target,
+          kept.unionByName(replaces, allowMissingColumns = true))
       }
       if (nIns > 0)
         ParquetTable.append(spark, target, inserts, params.insertBatchSize)
@@ -107,7 +113,7 @@ object MethodRoutedLoader {
             .join(broadcast(touchedKeys), pkCols, "left_anti")
         case None => bucketed(replaces).limit(0)
       }
-      val out = kept.unionByName(bucketed(replaces))
+      val out = kept.unionByName(bucketed(replaces), allowMissingColumns = true)
       withDynamicOverwrite(spark) {
         out.write.mode("overwrite").partitionBy(BucketCol).parquet(target)
       }

@@ -142,13 +142,33 @@ object TextOps {
     * only same-bucket docs meet. Output (a, b) with a < b, distinct
     * across bands.
     */
-  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs)
+  def minhashCandidatePairs(docs: DataFrame): DataFrame =
+    bandPairs(minhashBands(docs))
+
+  private def bandPairs(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+
+  /** Production-profile MinHash: same plan shape as the md5 variant but
+    * hashed with codegen'd `xxhash64` (numeric min, no hex strings) —
+    * ~3× cheaper per shingle. Not oracle-replayable (xxhash64 isn't in
+    * DuckDB), so the driver-gate queries keep the md5 form; recall
+    * equivalence is spec-tested instead.
+    */
+  def fastMinhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val mins = (0 until MinhashSeeds)
+      .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sig = shingles(docs).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until MinhashBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bk"))
+    }
+    bandPairs(sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk")))
   }
 
   /** Exact n-gram Jaccard over the inverted index: pairs sharing ≥1

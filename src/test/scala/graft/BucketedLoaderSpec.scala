@@ -71,3 +71,23 @@ class BucketedLoaderSpec extends SparkSpec {
     assert(got.filter(col("id") === 100L).head().getLong(1) === 200L)
   }
 }
+
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.MethodRoutedLoader
+
+  test("upsert batch with a new column evolves the destination schema") {
+    val dest = tmpDir("se-dest")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dest/t.parquet")
+    val batch = Seq((2L, "b2", "extra")).toDF("id", "v", "note")
+      .withColumn(graft.core.Method.Col, lit("REPLACE"))
+    MethodRoutedLoader.load(spark, graft.core.TableBatch("b", "t", batch),
+      dest, Seq("id"), graft.core.Params())
+    val got = spark.read.parquet(s"$dest/t.parquet").orderBy("id").collect()
+    assert(got.map(_.getString(1)).toSeq === Seq("a", "b2"))
+    // old row null in the new column, new row carries it
+    assert(got(0).isNullAt(2) && got(1).getString(2) === "extra")
+  }
+}

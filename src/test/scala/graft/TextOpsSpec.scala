@@ -27,6 +27,14 @@ class TextOpsSpec extends SparkSpec {
       s"missed: ${trueDups -- candidates}")
   }
 
+  test("fast (xxhash64) minhash variant has the same LSH recall guarantee") {
+    val trueDups = TextOps.jaccardPairs(docs, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = TextOps.fastMinhashCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trueDups.subsetOf(fast), s"missed: ${trueDups -- fast}")
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val sh = TextOps.simhash(docs)
     // the planted near-dup pairs (jaccard >= 0.8) should have close simhashes
