@@ -26,6 +26,7 @@ object GraftSession {
     graft.functions.GraftFunctions.register(spark)
     spark.udf.register("geomean",
       org.apache.spark.sql.functions.udaf(graft.functions.GeoMean))
+    graft.core.Metrics.attach(spark)
     spark
   }
 
