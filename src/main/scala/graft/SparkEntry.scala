@@ -73,6 +73,7 @@ object SparkEntry {
     "embed_lsh_buckets" -> (graft.queries.ExtQueries.embedLshBuckets(_, _)),
     "embed_neardup_pairs" -> (graft.queries.ExtQueries.embedNearDupPairs(_, _)),
     "multimodal_meta" -> (graft.queries.ExtQueries.multimodalMeta(_, _)),
+    "multimodal_frames" -> (graft.queries.ExtQueries.multimodalFrames(_, _)),
   )
 
   /** Normalised `events` view used by every oracle touching events:

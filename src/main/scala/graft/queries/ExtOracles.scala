@@ -189,6 +189,16 @@ object ExtOracles {
         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS mime
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, CAST(i AS INT) AS frame_no,
+        |  CAST(floor((i + 1) * len / 4.0) AS BIGINT)
+        |    - CAST(floor(i * len / 4.0) AS BIGINT) AS frame_bytes
+        |FROM m, unnest(range(4)) AS u(i)
+        |ORDER BY media_id, frame_no""".stripMargin,
+
     "embed_neardup_pairs" ->
       s"""WITH $embCte
          |SELECT x.vec_id AS a, y.vec_id AS b, round($cosExpr, 4) AS cos

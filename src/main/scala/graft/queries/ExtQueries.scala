@@ -101,4 +101,12 @@ object ExtQueries {
     graft.operators.MultimodalOps.metadata(
       graft.operators.MultimodalOps.fromDocuments(docs(spark, dir)))
       .orderBy("media_id")
+
+  /** Frame-sampling fan-out (generator/UDTF-shaped row multiplication
+    * via posexplode over computed byte ranges).
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MultimodalOps.sampleFrames(
+      graft.operators.MultimodalOps.fromDocuments(docs(spark, dir)), n = 4)
+      .orderBy("media_id", "frame_no")
 }
