@@ -47,14 +47,16 @@ object TextOps {
     * length — the quality-scoring primitives.
     */
   def textStats(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens.as("t"))
+    docs.select(col("doc_id"), col("text"), tokens.as("t"))
       .select(
         col("doc_id"),
         size(col("t")).cast("bigint").as("n_tokens"),
         size(array_distinct(col("t"))).cast("bigint").as("n_distinct"),
         expr("round(size(array_distinct(t)) / cast(size(t) as double), 4)").as("distinct_ratio"),
         expr("round(aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x) " +
-          "/ cast(size(t) as double), 4)").as("avg_token_len"))
+          "/ cast(size(t) as double), 4)").as("avg_token_len"),
+        expr("round(length(regexp_replace(text, '[a-z0-9 ]', '')) " +
+          "/ cast(length(text) as double), 4)").as("punct_ratio"))
 
   /** Stopword-ratio language-ID heuristic (n-gram heuristics reduce to
     * token-class ratios on this whitespace-clean corpus).

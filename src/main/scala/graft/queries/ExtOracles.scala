@@ -80,12 +80,14 @@ object ExtOracles {
 
   val sql: Map[String, String] = Map(
     "text_stats" ->
-      s"""WITH $tokCte
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
          |SELECT doc_id,
          |  CAST(len(t) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
          |  round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS distinct_ratio,
-         |  round(list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE), 4) AS avg_token_len
+         |  round(list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE), 4) AS avg_token_len,
+         |  round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+         |    / CAST(length(text) AS DOUBLE), 4) AS punct_ratio
          |FROM tok ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
