@@ -23,6 +23,17 @@ object Metrics {
   private val buf = new ConcurrentLinkedQueue[ActionMetric]()
   private val attachedFlag = "graft.metrics.attached"
 
+  /** Ring-buffer bound — a continuously-running drain executes several
+    * actions per micro-batch; unbounded accumulation would leak driver
+    * heap for the lifetime of the process.
+    */
+  val MaxEntries = 10000
+
+  private def add(m: ActionMetric): Unit = {
+    buf.add(m)
+    while (buf.size() > MaxEntries) buf.poll()
+  }
+
   /** Idempotent per-session attach (guarded by a session conf flag so
     * repeated `GraftSession.configure` calls don't stack listeners).
     */
@@ -31,13 +42,11 @@ object Metrics {
       spark.conf.set(attachedFlag, "true")
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
-                               durationNs: Long): Unit = {
-          buf.add(ActionMetric(funcName, durationNs, None)); ()
-        }
+                               durationNs: Long): Unit =
+          add(ActionMetric(funcName, durationNs, None))
         override def onFailure(funcName: String, qe: QueryExecution,
-                               exception: Exception): Unit = {
-          buf.add(ActionMetric(funcName, 0L, Some(exception.toString))); ()
-        }
+                               exception: Exception): Unit =
+          add(ActionMetric(funcName, 0L, Some(exception.toString)))
       })
     }
 

@@ -18,7 +18,23 @@ object ParquetTable {
 
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) true
+    else recoverFromOld(fs, p) // crash between the two swap renames
+  }
+
+  /** Crash recovery: a failure between `rename(p, old)` and
+    * `rename(staging, p)` leaves the table only under a `.__old_` name.
+    * Restore the newest such copy — without this, the next load would
+    * see "no table" and quietly rebuild it from one batch.
+    */
+  private def recoverFromOld(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean = {
+    val parent = p.getParent
+    if (parent == null || !fs.exists(parent)) return false
+    val prefix = p.getName + ".__old_"
+    val olds = fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).sortBy(_.getName)
+    olds.lastOption.exists(fs.rename(_, p))
   }
 
   /** `mergeSchema` because destinations evolve file-by-file (a
@@ -41,9 +57,16 @@ object ParquetTable {
     val staging = new Path(path + s".__staging_${System.nanoTime()}")
     df.write.mode("overwrite").parquet(staging.toString)
     val old = new Path(path + s".__old_${System.nanoTime()}")
-    if (fs.exists(p)) fs.rename(p, old)
-    fs.rename(staging, p)
-    if (fs.exists(old)) fs.delete(old, true)
+    val hadOld = fs.exists(p)
+    if (hadOld && !fs.rename(p, old))
+      throw new java.io.IOException(s"could not stage out current table at $p")
+    if (!fs.rename(staging, p)) {
+      // roll the previous copy back before failing — never leave the
+      // table path absent (Hadoop rename reports failure by boolean)
+      if (hadOld) fs.rename(old, p)
+      throw new java.io.IOException(s"could not swap staging into $p")
+    }
+    if (hadOld) fs.delete(old, true)
   }
 
   /** Compact a table's small files (the debt a long-running append /

@@ -65,15 +65,22 @@ final class TrackingStore(spark: SparkSession, root: String) {
   }
 
   private def currentSnapshot(): Option[String] = {
-    if (!fs.exists(pointer)) None
-    else {
-      val in = fs.open(pointer)
-      try {
-        val v = new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        if (v.isEmpty) None else Some(v)
-      } finally in.close()
+    if (!fs.exists(pointer)) {
+      // pointer lost (e.g. crash on a filesystem without atomic rename):
+      // recover the newest snapshot dir — losing the pointer must not
+      // reset every pipeline position to the seed (which would replay
+      // whole tables as duplicate INSERTs)
+      if (!fs.exists(new Path(root))) return None
+      val vs = fs.listStatus(new Path(root)).map(_.getPath.getName)
+        .filter(_.startsWith("v")).sorted
+      return vs.lastOption
     }
+    val in = fs.open(pointer)
+    try {
+      val v = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      if (v.isEmpty) None else Some(v)
+    } finally in.close()
   }
 
   /** All tracking rows (empty DataFrame with the right schema if the
@@ -110,6 +117,7 @@ final class TrackingStore(spark: SparkSession, root: String) {
     val rows = loadAll().filterNot(t =>
       t.sourceDatabase == ts.sourceDatabase &&
         t.sourceTable == ts.sourceTable) :+ ts
+    val prev = currentSnapshot()
     val next = s"v${System.nanoTime()}"
     spark
       .createDataFrame(spark.sparkContext.parallelize(rows.map(toRow), 1), schema)
@@ -118,9 +126,14 @@ final class TrackingStore(spark: SparkSession, root: String) {
     val tmp = new Path(root, s"_CURRENT.tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(next.getBytes("UTF-8")) finally out.close()
-    // rename over the pointer: single small-file flip, last step of commit
-    if (fs.exists(pointer)) fs.delete(pointer, false)
-    fs.rename(tmp, pointer)
+    // atomic overwrite-rename (FileContext supports Rename.OVERWRITE;
+    // plain FileSystem.rename would need a delete first, leaving a crash
+    // window with no pointer at all)
+    org.apache.hadoop.fs.FileContext.getFileContext(pointer.toUri, hconf)
+      .rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // GC the superseded snapshot — a long drain commits every batch and
+    // would otherwise accumulate one tiny dir per micro-batch forever
+    prev.filter(_ != next).foreach(v => fs.delete(new Path(root, v), true))
   }
 
   private def toRow(t: TrackingStatus): Row = Row(

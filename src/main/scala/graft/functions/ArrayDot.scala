@@ -26,6 +26,11 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  /** Nullable even over non-null children: length mismatch yields null,
+    * so the codegen's `ev.isNull` must be a real variable.
+    */
+  override def nullable: Boolean = true
+
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -43,7 +48,12 @@ case class ArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // length mismatch → null, matching the zip_with fold this replaces
+    // (zip_with pads the shorter side with nulls → null sum); silently
+    // truncating would hide mixed-dimension corpora behind plausible
+    // partial sums
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val (la, ra) = (elemType(left), elemType(right))
     var sum = 0.0
     var i = 0
@@ -64,12 +74,16 @@ case class ArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += ${get(a, elemType(left), i)} * ${get(b, elemType(right), i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sum += ${get(a, elemType(left), i)} * ${get(b, elemType(right), i)};
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

@@ -104,12 +104,12 @@ class TimestampExtractor(val name: String = "timestamp",
       .getOrElse(lit(true))
     val nowTs = clock()
     val upper = if (spec.params.onlyPast) pos <= lit(nowTs) else lit(true)
-    val batch = source(spark, spec)
+    val probe = source(spark, spec)
       .filter(lower && upper)
       .orderBy(pos)
       .limit(n)
       .cache()
-    val agg = batch.agg(count(lit(1)).as("c"), max(pos).as("m")).head()
+    val agg = probe.agg(count(lit(1)).as("c"), max(pos).as("m")).head()
     val cnt = agg.getLong(0)
     val newWm: Option[Timestamp] =
       if (agg.isNullAt(1)) status.timestampPosition
@@ -118,6 +118,16 @@ class TimestampExtractor(val name: String = "timestamp",
         case t: java.time.LocalDateTime => Timestamp.valueOf(t)
         case t: java.time.Instant => Timestamp.from(t)
       })
+    // Tie-safety: if the limit cut through a group of equal timestamps,
+    // the strict `> watermark` filter of the NEXT poll would skip the
+    // unconsumed ties forever. Re-derive the batch as "everything up to
+    // and including the new watermark" — at most tie-group-size rows
+    // over batchSize, and no tie is ever split across the watermark.
+    val batch =
+      if (cnt == n && newWm.isDefined)
+        source(spark, spec).filter(lower && upper && pos <= lit(newWm.get))
+      else probe
+    probe.unpersist()
     ExtractResult(
       batch.withColumn(Method.Col, lit(Method.Replace.name)),
       status.copy(timestampPosition = newWm, lastRun = Some(now())),
@@ -235,7 +245,14 @@ object QueueExtractor extends Extractor {
     val batch = changeBatch(spark, spec, entries)
 
     val ack = () => {
-      // delete consumed entries only after sink success (commit-after-load)
+      // Delete consumed entries only after sink success (commit-after-load).
+      // CAVEAT: this is a read/anti-join/swap of the whole changelog dir —
+      // entries appended between the staged read and the swap are lost,
+      // and two pipelines sharing one queuePath would clobber each other's
+      // acks. Single-consumer queues only (one pipeline per queuePath, the
+      // reference's own layout); concurrent-writer deployments should use
+      // the streaming facade, whose checkpoint offsets never rewrite the
+      // queue (graft.streaming.StreamingPipeline).
       val remaining = queue(spark, spec).join(
         entries.select(queueCols.map(col): _*),
         queueCols, "left_anti")

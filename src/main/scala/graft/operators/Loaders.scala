@@ -40,7 +40,13 @@ object MethodRoutedLoader {
            pkCols: Seq[String], params: Params): Map[String, Long] = {
     require(batch.df.columns.contains(Method.Col),
       s"batch for ${batch.table} lacks the ${Method.Col} column")
-    val df = batch.df.cache()
+    // NULL methods route to REPLACE like any other unknown verb
+    // (`loader_default.go:20-26`) — without the coalesce they would fall
+    // through every null-propagating bucket filter and be dropped while
+    // still counted.
+    val df = batch.df
+      .withColumn(Method.Col, coalesce(col(Method.Col), lit(Method.Replace.name)))
+      .cache()
     val target = s"$destPath/${batch.table}.parquet"
 
     val methodOf = col(Method.Col)
@@ -114,9 +120,25 @@ object MethodRoutedLoader {
         case None => bucketed(replaces).limit(0)
       }
       val out = kept.unionByName(bucketed(replaces), allowMissingColumns = true)
+        .cache()
+      // dynamic partition overwrite only rewrites partitions PRESENT in
+      // the output — a REMOVE that empties its bucket produces no rows
+      // for it, so the stale partition must be deleted explicitly or the
+      // deleted rows would silently survive
+      val outBuckets = out.select(BucketCol).distinct()
+        .collect().map(_.getLong(0)).toSet
       withDynamicOverwrite(spark) {
         out.write.mode("overwrite").partitionBy(BucketCol).parquet(target)
       }
+      val emptied = touched.filterNot(outBuckets)
+      if (emptied.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(target)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b"), true)
+        }
+      }
+      out.unpersist()
     }
     if (nIns > 0) {
       val w = bucketed(inserts).write.mode("append").partitionBy(BucketCol)

@@ -41,7 +41,13 @@ object StatefulSessionizer {
     events.toSeq.sortBy(_.ts.getTime).foreach { e =>
       cur match {
         case Some(s) if e.ts.getTime - s.last.getTime <= GapMs =>
-          cur = Some(s.copy(last = e.ts, n = s.n + 1, value = s.value + e.value))
+          // a late in-gap event must not regress the session bounds —
+          // `last` keeps the max (else the timeout window shrinks and a
+          // real session gets split), `start` keeps the min
+          cur = Some(s.copy(
+            start = if (e.ts.before(s.start)) e.ts else s.start,
+            last = if (e.ts.after(s.last)) e.ts else s.last,
+            n = s.n + 1, value = s.value + e.value))
         case Some(s) =>
           closed ::= Session(userId, s.start, s.n, s.value)
           cur = Some(SessionState(e.ts, e.ts, 1, e.value))

@@ -91,3 +91,67 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(got(0).isNullAt(2) && got(1).getString(2) === "extra")
   }
 }
+
+class ReviewRegressionSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.core._
+  import graft.operators.MethodRoutedLoader
+
+  test("REMOVE that empties its bucket actually deletes the rows") {
+    val dest = tmpDir("eb-dest")
+    val params = Params(partitionBuckets = 4)
+    // seed via the bucketed loader so layout matches
+    val seed = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .withColumn(Method.Col, lit("INSERT"))
+    MethodRoutedLoader.load(spark, TableBatch("b", "t", seed), dest, Seq("id"), params)
+    // find one bucket and remove ALL its keys
+    val withB = spark.read.parquet(s"$dest/t.parquet")
+    val bucketOfInterest = withB
+      .select(col(MethodRoutedLoader.BucketCol).cast("long"))
+      .head().getLong(0)
+    val doomedIds = withB
+      .filter(col(MethodRoutedLoader.BucketCol).cast("long") === bucketOfInterest)
+      .select("id").as[Long].collect().toSeq
+    val removes = doomedIds.map(i => (i, "")).toDF("id", "v")
+      .withColumn(Method.Col, lit("REMOVE"))
+    MethodRoutedLoader.load(spark, TableBatch("b", "t", removes), dest, Seq("id"), params)
+    val after = spark.read.parquet(s"$dest/t.parquet")
+    assert(after.filter(col("id").isin(doomedIds: _*)).count() === 0)
+    assert(after.count() === 40 - doomedIds.size)
+  }
+
+  test("timestamp ties spanning a batch boundary are not lost") {
+    val src = tmpDir("tie-src"); val dest = tmpDir("tie-dest")
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // 5 rows share one timestamp; batchSize 2 cuts through the group
+    (1L to 5L).map(i => (i, t)).toDF("id", "ts").write.parquet(s"$src/t.parquet")
+    val spec = PipelineSpec("a", "t", "ts", "b", "t", src, dest,
+      extractor = "timestamp", primaryKey = Some("id"),
+      params = Params(batchSize = 2))
+    new Pipeline(spark, spec, new TrackingStore(spark, s"$dest/_tracking")).drain()
+    assert(spark.read.parquet(s"$dest/t.parquet").count() === 5)
+  }
+
+  test("NULL _method routes to REPLACE instead of vanishing") {
+    val dest = tmpDir("nm-dest")
+    Seq((1L, "old")).toDF("id", "v").write.parquet(s"$dest/t.parquet")
+    val batch = Seq((1L, "new"), (2L, "added")).toDF("id", "v")
+      .withColumn(Method.Col, lit(null).cast("string"))
+    val counts = MethodRoutedLoader.load(spark,
+      TableBatch("b", "t", batch), dest, Seq("id"), Params())
+    assert(counts("REPLACE") === 2L)
+    val got = spark.read.parquet(s"$dest/t.parquet").orderBy("id").collect()
+    assert(got.map(_.getString(1)).toSeq === Seq("new", "added"))
+  }
+
+  test("tracking survives a lost pointer (crash recovery)") {
+    val root = tmpDir("tp-root")
+    val store = new TrackingStore(spark, root)
+    store.put(TrackingStatus("a", "t", "id", sequentialPosition = 42L))
+    // simulate crash losing the pointer file
+    new java.io.File(s"$root/_CURRENT").delete()
+    val fresh = new TrackingStore(spark, root)
+    assert(fresh.get("a", "t").map(_.sequentialPosition) === Some(42L))
+  }
+}
