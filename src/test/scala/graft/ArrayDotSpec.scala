@@ -35,6 +35,14 @@ class ArrayDotSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("array_dot"))
   }
 
+  test("length mismatch errors loudly instead of truncating") {
+    val e = intercept[Exception](
+      spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d)) AS d").head())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("length mismatch")))
+  }
+
   test("null array yields null, not a crash") {
     val r = spark.sql(
       "SELECT array_dot(cast(null as array<double>), array(1.0d)) AS d").head()
