@@ -35,6 +35,7 @@ object SparkEntry {
     "rollup_agg" -> (rollupAgg(_, _)),
     "scalar_funcs" -> (scalarFuncs(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
+    "string_distance" -> (stringDistance(_, _)),
     "events_tumbling" -> (eventsTumbling(_, _)),
     "seq_scan" -> (seqScan(_, _)),
     "ts_scan" -> (tsScan(_, _)),
@@ -154,6 +155,15 @@ object SparkEntry {
       s"""WITH $eventsCte
          |SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, count(*) AS n
          |FROM ev GROUP BY k ORDER BY k""".stripMargin,
+
+    "string_distance" ->
+      """WITH b AS (SELECT DISTINCT p_brand FROM part)
+        |SELECT x.p_brand AS a, y.p_brand AS b,
+        |  CAST(levenshtein(x.p_brand, y.p_brand) AS BIGINT) AS dist
+        |FROM b x, b y
+        |WHERE x.p_brand < y.p_brand
+        |  AND levenshtein(x.p_brand, y.p_brand) <= 2
+        |ORDER BY a, b""".stripMargin,
 
     "events_tumbling" ->
       s"""WITH $eventsCte

@@ -129,6 +129,21 @@ object RelationalQueries {
         (col("p_size") % 7).as("size_mod"))
       .orderBy("p_partkey")
 
+  /** String-distance scalar family (§2.9: string library): levenshtein
+    * across part brands — fuzzy-matching primitive for entity
+    * resolution. Pair source is the tiny distinct-brand set so the
+    * cross join is bounded.
+    */
+  def stringDistance(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Tables.part(spark, dir).select("p_brand").distinct()
+    brands.as("x").crossJoin(brands.as("y"))
+      .filter(col("x.p_brand") < col("y.p_brand"))
+      .select(col("x.p_brand").as("a"), col("y.p_brand").as("b"),
+        levenshtein(col("x.p_brand"), col("y.p_brand")).cast("bigint").as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy("a", "b")
+  }
+
   /** JSON field extraction from a string column (§2.9: JSON scalar fns).
     * Scale: get_json_object is codegen'd; stays inside WholeStageCodegen.
     */
