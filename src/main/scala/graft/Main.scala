@@ -19,8 +19,9 @@ object Main {
     val trackingPath = sys.env.getOrElse("GRAFT_TRACKING_PATH",
       specs.head.destinationPath + "/_tracking")
     val runner = new Runner(spark, specs, trackingPath,
-      errorCallback = (table, e) =>
-        System.err.println(s"[graft] pipeline $table failed batch: ${e.getMessage}"))
+      errorCallback = (ctx, e) =>
+        System.err.println(
+          s"[graft] pipeline ${ctx.table} failed at ${ctx.stage}: ${e.getMessage}"))
 
     if (args.length > 1 && args(1) == "--once") {
       val totals = runner.drainOnce()

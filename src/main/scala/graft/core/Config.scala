@@ -72,7 +72,7 @@ object Config {
         sleepBetweenRunsSec = p("SleepBetweenRuns", 5.0, _.toString.toDouble),
         onlyPast = p("OnlyPast", false, _.toString.toBoolean),
         sequentialReplace = p("SequentialReplace", false, _.toString.toBoolean),
-        partitionBuckets = p("PartitionBuckets", 0, _.toString.toInt),
+        partitionBuckets = p("PartitionBuckets", Params.AutoBuckets, _.toString.toInt),
         tableName = params.get("TableName").map(_.toString),
         expressions = params.get("Expressions")
           .map(_.asInstanceOf[java.util.Map[String, Any]].asScala

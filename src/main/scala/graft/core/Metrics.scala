@@ -29,9 +29,21 @@ object Metrics {
     */
   val MaxEntries = 10000
 
+  /** Tracked alongside the queue because `ConcurrentLinkedQueue.size()`
+    * is O(n) — calling it per recorded action would cost a ~10k-node
+    * traversal on every Spark action once the buffer fills, in exactly
+    * the small-batch drain loops the listener is meant to observe.
+    */
+  private val size = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def add(m: ActionMetric): Unit = {
     buf.add(m)
-    while (buf.size() > MaxEntries) buf.poll()
+    var n = size.incrementAndGet()
+    while (n > MaxEntries) {
+      n = if (buf.poll() != null) size.decrementAndGet()
+          else size.get() // racing clear() emptied it first
+      if (n <= MaxEntries || buf.isEmpty) return
+    }
   }
 
   /** Idempotent per-session attach (guarded by a session conf flag so
@@ -52,7 +64,7 @@ object Metrics {
 
   def snapshot(): Seq[ActionMetric] = buf.iterator().asScala.toSeq
 
-  def clear(): Unit = buf.clear()
+  def clear(): Unit = { buf.clear(); size.set(0) }
 
   /** (actions, failures, total wall seconds) since the last clear. */
   def summary(): (Int, Int, Double) = {

@@ -16,6 +16,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ParquetTable {
 
+  /** Monotonic name stamp for staging/old/snapshot dirs. Wall-clock
+    * based (so ordering survives JVM restarts — `System.nanoTime()` has
+    * an arbitrary per-JVM origin and can even be negative, making
+    * lexicographic OR numeric cross-restart comparison meaningless) and
+    * strictly increasing within the process (so two swaps in one
+    * millisecond never collide).
+    */
+  private val lastStamp = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def stamp(): Long =
+    lastStamp.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+
+  /** Numeric suffix of a staged-dir name, for temporal ordering; names
+    * written by older builds used raw nanoTime — still parsed, just not
+    * meaningfully comparable across restarts (documented limitation the
+    * wall-clock stamp removes going forward).
+    */
+  private def numericSuffix(name: String, prefix: String): Long =
+    try name.substring(prefix.length).toLong
+    catch { case _: NumberFormatException => Long.MinValue }
+
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -26,16 +46,56 @@ object ParquetTable {
   /** Crash recovery: a failure between `rename(p, old)` and
     * `rename(staging, p)` leaves the table only under a `.__old_` name.
     * Restore the newest such copy — without this, the next load would
-    * see "no table" and quietly rebuild it from one batch.
+    * see "no table" and quietly rebuild it from one batch. "Newest" is
+    * decided by the PARSED numeric suffix: lexicographic comparison of
+    * unpadded numbers would order "9…" after "10…" and resurrect an
+    * older snapshot.
     */
   private def recoverFromOld(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean = {
     val parent = p.getParent
     if (parent == null || !fs.exists(parent)) return false
     val prefix = p.getName + ".__old_"
     val olds = fs.listStatus(parent).map(_.getPath)
-      .filter(_.getName.startsWith(prefix)).sortBy(_.getName)
+      .filter(_.getName.startsWith(prefix))
+      .sortBy(path => numericSuffix(path.getName, prefix))
     olds.lastOption.exists(fs.rename(_, p))
   }
+
+  /** Name of the bucket-count marker file a hash-bucketed table carries
+    * inside its directory. Underscore-prefixed so parquet readers ignore
+    * it like `_SUCCESS`. The marker makes the layout self-describing:
+    * later loads (and the queue extractor's bucket-pruned lookups) read
+    * the count from the table instead of trusting a config value that
+    * could silently disagree with the physical hash partitioning.
+    */
+  val BucketMarker = "_graft_buckets"
+
+  def writeBucketMarker(spark: SparkSession, tablePath: String, n: Int): Unit = {
+    val p = new Path(tablePath, BucketMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readBucketMarker(spark: SparkSession, tablePath: String): Option[Int] = {
+    if (tablePath.startsWith("jdbc:")) return None
+    val p = new Path(tablePath, BucketMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Marker lookup by (catalog root, table) — the layout the extract
+    * side sees. JDBC roots have no directory layout → None.
+    */
+  def readBucketMarker(spark: SparkSession, root: String, table: String): Option[Int] =
+    if (root.startsWith("jdbc:")) None
+    else readBucketMarker(spark, s"$root/$table.parquet")
 
   /** `mergeSchema` because destinations evolve file-by-file (a
     * schema-widening upsert rewrites only touched partitions) — the
@@ -54,9 +114,9 @@ object ParquetTable {
   def overwriteAtomic(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(path + s".__staging_${System.nanoTime()}")
+    val staging = new Path(path + s".__staging_${stamp()}")
     df.write.mode("overwrite").parquet(staging.toString)
-    val old = new Path(path + s".__old_${System.nanoTime()}")
+    val old = new Path(path + s".__old_${stamp()}")
     val hadOld = fs.exists(p)
     if (hadOld && !fs.rename(p, old))
       throw new java.io.IOException(s"could not stage out current table at $p")

@@ -18,6 +18,21 @@ object RunState {
   case object Stopped  extends RunState
 }
 
+/** Per-stage failure context — the reference's `ErrorCallback` receives
+  * a map naming the failing stage and table (`migrator.go:50`, invoked
+  * at `migrator.go:353-359` extract and `migrator.go:371-379` load);
+  * collapsing that to just a table name loses the distinction an ops
+  * runbook actually branches on.
+  */
+final case class ErrorContext(stage: String, table: String)
+object ErrorContext {
+  val Init = "init"; val Extract = "extract"; val Transform = "transform"
+  val Load = "load"; val Commit = "commit"
+}
+
+private[core] final class StageFailure(val stage: String, cause: Throwable)
+  extends RuntimeException(s"[$stage] ${cause.getMessage}", cause)
+
 /** One bound per-table pipeline: extract → transform → load → commit
   * tracking (reference `Iteration` + the per-table goroutine body,
   * `migrator.go:329-423`).
@@ -38,21 +53,34 @@ final class Pipeline(spark: SparkSession, val spec: PipelineSpec,
     tracking.getOrSeed(spec.sourceDatabase, spec.sourceTable, spec.sourceKey)
   }
 
+  private def stage[T](name: String)(body: => T): T =
+    try body catch {
+      case e: StageFailure => throw e
+      case e: Throwable    => throw new StageFailure(name, e)
+    }
+
   /** One micro-batch. @return (rows loaded by method, moreData). */
   def runBatch(status: TrackingStatus): (Map[String, Long], Boolean, TrackingStatus) = {
-    val res = extractor.extract(spark, spec, status)
-    val batch = TableBatch(spec.destinationDatabase, spec.destinationTable, res.df)
-    val outBatches = transformer(batch, spec.params)
-    val counts = outBatches.map { b =>
-      MethodRoutedLoader.load(spark, b, spec.destinationPath, spec.pkColumns, spec.params)
-    }.foldLeft(Map.empty[String, Long].withDefaultValue(0L)) { (acc, m) =>
-      m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a(k) + v) }
-    }
-    // commit AFTER load: tracking position, then extractor side-effects
-    tracking.put(res.newStatus)
-    res.commit()
-    res.df.unpersist()
-    (counts, res.moreData, res.newStatus)
+    val res = stage(ErrorContext.Extract) { extractor.extract(spark, spec, status) }
+    try {
+      val batch = TableBatch(spec.destinationDatabase, spec.destinationTable, res.df)
+      val outBatches = stage(ErrorContext.Transform) { transformer(batch, spec.params) }
+      val counts = stage(ErrorContext.Load) {
+        outBatches.map { b =>
+          MethodRoutedLoader.load(spark, b, spec.destinationPath, spec.pkColumns, spec.params)
+        }.foldLeft(Map.empty[String, Long].withDefaultValue(0L)) { (acc, m) =>
+          m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a(k) + v) }
+        }
+      }
+      // commit AFTER load: tracking position, then extractor side-effects
+      stage(ErrorContext.Commit) {
+        tracking.put(res.newStatus)
+        res.commit()
+      }
+      (counts, res.moreData, res.newStatus)
+    } finally res.cleanup() // ALWAYS release extractor caches — a leaked
+    // entry both holds memory and poisons the next identical plan with
+    // stale results (see ExtractResult.cleanup)
   }
 
   /** Drain until the extractor reports no more data (the reference loops
@@ -86,7 +114,7 @@ final class Pipeline(spark: SparkSession, val spec: PipelineSpec,
   */
 final class Runner(spark: SparkSession, specs: Seq[PipelineSpec],
                    trackingPath: String,
-                   errorCallback: (String, Throwable) => Unit = (_, _) => ()) {
+                   errorCallback: (ErrorContext, Throwable) => Unit = (_, _) => ()) {
 
   private val state = new AtomicReference[RunState](RunState.New)
   private val tracking = new TrackingStore(spark, trackingPath)
@@ -109,12 +137,13 @@ final class Runner(spark: SparkSession, specs: Seq[PipelineSpec],
         // init with retry-forever (reference `migrator.go:312-327`):
         // a missing source/tracking store at start-up must not kill the
         // pipeline thread silently
+        val table = p.spec.sourceTable
         var status: TrackingStatus = null
         while (status == null && state.get() != RunState.Stopping) {
           try status = p.init()
           catch {
             case e: Throwable =>
-              errorCallback(s"${p.spec.sourceTable}", e)
+              errorCallback(ErrorContext(ErrorContext.Init, table), e)
               sleepInterruptibly(p.spec.params.sleepBetweenRunsSec)
           }
         }
@@ -126,8 +155,11 @@ final class Runner(spark: SparkSession, specs: Seq[PipelineSpec],
               status = st
               if (!more) sleepInterruptibly(p.spec.params.sleepBetweenRunsSec)
             } catch {
+              case sf: StageFailure =>
+                errorCallback(ErrorContext(sf.stage, table), sf.getCause)
+                sleepInterruptibly(p.spec.params.sleepBetweenRunsSec)
               case e: Throwable =>
-                errorCallback(s"${p.spec.sourceTable}", e)
+                errorCallback(ErrorContext(ErrorContext.Extract, table), e)
                 sleepInterruptibly(p.spec.params.sleepBetweenRunsSec)
             }
           }

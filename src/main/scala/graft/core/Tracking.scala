@@ -64,6 +64,17 @@ final class TrackingStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Numeric snapshot version from a `v<number>` dir name; unparseable
+    * names sort lowest. Parsing (instead of lexicographic name order)
+    * matters because an unpadded or negative numeric suffix — e.g. the
+    * raw `nanoTime` names older builds wrote, whose origin is arbitrary
+    * per JVM — would make "newest by name" resurrect an OLDER snapshot
+    * after a crash in a new JVM, regressing every pipeline position and
+    * replaying whole tables as duplicate INSERTs.
+    */
+  private def versionNum(name: String): Long =
+    try name.drop(1).toLong catch { case _: NumberFormatException => Long.MinValue }
+
   private def currentSnapshot(): Option[String] = {
     if (!fs.exists(pointer)) {
       // pointer lost (e.g. crash on a filesystem without atomic rename):
@@ -72,7 +83,7 @@ final class TrackingStore(spark: SparkSession, root: String) {
       // whole tables as duplicate INSERTs)
       if (!fs.exists(new Path(root))) return None
       val vs = fs.listStatus(new Path(root)).map(_.getPath.getName)
-        .filter(_.startsWith("v")).sorted
+        .filter(_.startsWith("v")).sortBy(versionNum)
       return vs.lastOption
     }
     val in = fs.open(pointer)
@@ -118,12 +129,15 @@ final class TrackingStore(spark: SparkSession, root: String) {
       t.sourceDatabase == ts.sourceDatabase &&
         t.sourceTable == ts.sourceTable) :+ ts
     val prev = currentSnapshot()
-    val next = s"v${System.nanoTime()}"
+    // strictly-increasing persisted version: one past the newest existing
+    // snapshot (recovery then picks the true latest by numeric order even
+    // with the pointer gone — see versionNum)
+    val next = s"v${math.max(prev.map(versionNum).getOrElse(0L), 0L) + 1L}"
     spark
       .createDataFrame(spark.sparkContext.parallelize(rows.map(toRow), 1), schema)
       .write.mode("overwrite").parquet(s"$root/$next")
     cached = Some(rows.toVector)
-    val tmp = new Path(root, s"_CURRENT.tmp${System.nanoTime()}")
+    val tmp = new Path(root, s"_CURRENT.tmp${ParquetTable.stamp()}")
     val out = fs.create(tmp, true)
     try out.write(next.getBytes("UTF-8")) finally out.close()
     // atomic overwrite-rename (FileContext supports Rename.OVERWRITE;

@@ -52,10 +52,21 @@ final case class Params(
     expressions: Map[String, String] = Map.empty,
     /** hash-bucket the destination table into this many partitions so
       * REPLACE/REMOVE rewrites touch only affected partitions instead of
-      * the whole table (SURVEY §7.4 H1). 0 = unpartitioned. */
-    partitionBuckets: Int = 0,
+      * the whole table (SURVEY §7.4 H1). 0 = unpartitioned;
+      * [[Params.AutoBuckets]] (the default) lets the loader decide: an
+      * existing table keeps its recorded layout, a new table created by
+      * a REPLACE/REMOVE-bearing batch is bucketed at
+      * [[graft.operators.MethodRoutedLoader.DefaultAutoBuckets]], and an
+      * insert-only table stays flat (appends never rewrite, so bucketing
+      * would only cost small files). */
+    partitionBuckets: Int = Params.AutoBuckets,
     /** free-form passthrough, reference `Parameters = map[string]any`. */
     extra: Map[String, String] = Map.empty)
+
+object Params {
+  /** Sentinel for `partitionBuckets`: let the loader pick the layout. */
+  val AutoBuckets: Int = -1
+}
 
 /** One per-table pipeline definition — reference `Iteration`
   * (`migrator.go:63-102`). `sourcePath` / `destinationPath` are
@@ -100,4 +111,14 @@ final case class ExtractResult(
       * e.g. the queue extractor acks (deletes) consumed changelog
       * entries here, fixing the reference's lossy ack-during-extract
       * (`extractor_queue.go:130`, acknowledged in `TODO.md:4-11`). */
-    commit: () => Unit = () => ())
+    commit: () => Unit = () => (),
+    /** always-run resource release (success OR failure): extractors that
+      * `cache()` a plan hand back the unpersist of that EXACT cached
+      * reference. Unpersisting a plan derived from the cached one does
+      * not release the entry (non-cascading sameResult match), and a
+      * stale entry is worse than a leak: an idle poll whose position did
+      * not advance rebuilds an identical plan and Spark's CacheManager
+      * silently substitutes the stale (possibly empty) cached result —
+      * rows appended after the first empty poll would never be extracted
+      * again. */
+    cleanup: () => Unit = () => ())

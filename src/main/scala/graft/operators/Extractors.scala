@@ -55,19 +55,26 @@ object SequentialExtractor extends Extractor {
   def extract(spark: SparkSession, spec: PipelineSpec, status: TrackingStatus): ExtractResult = {
     val key = spec.keyColumns.head
     val n = spec.params.batchSize
+    val method = if (spec.params.sequentialReplace) Method.Replace else Method.Insert
+    // cache the FINAL returned plan: caching an intermediate and
+    // returning a derived `withColumn` would leak the entry (the
+    // runner's unpersist wouldn't match it) and, on an idle poll whose
+    // position didn't move, poison the next identical plan with the
+    // stale empty result (see ExtractResult.cleanup).
     val batch = source(spark, spec)
       .filter(col(key) > lit(status.sequentialPosition))
       .orderBy(spec.keyColumns.map(col): _*)
       .limit(n)
+      .withColumn(Method.Col, lit(method.name))
       .cache()
     val agg = batch.agg(count(lit(1)).as("c"), max(col(key).cast(LongType)).as("m")).head()
     val cnt = agg.getLong(0)
     val newPos = if (agg.isNullAt(1)) status.sequentialPosition else agg.getLong(1)
-    val method = if (spec.params.sequentialReplace) Method.Replace else Method.Insert
     ExtractResult(
-      batch.withColumn(Method.Col, lit(method.name)),
+      batch,
       status.copy(sequentialPosition = newPos, lastRun = Some(now())),
-      moreData = cnt == n)
+      moreData = cnt == n,
+      cleanup = () => { batch.unpersist(); () })
   }
 }
 
@@ -111,27 +118,37 @@ class TimestampExtractor(val name: String = "timestamp",
       .cache()
     val agg = probe.agg(count(lit(1)).as("c"), max(pos).as("m")).head()
     val cnt = agg.getLong(0)
-    val newWm: Option[Timestamp] =
-      if (agg.isNullAt(1)) status.timestampPosition
-      else Some(agg.get(1) match {
-        case t: Timestamp => t
-        case t: java.time.LocalDateTime => Timestamp.valueOf(t)
-        case t: java.time.Instant => Timestamp.from(t)
-      })
+    def toTs(v: Any): Timestamp = v match {
+      case t: Timestamp => t
+      case t: java.time.LocalDateTime => Timestamp.valueOf(t)
+      case t: java.time.Instant => Timestamp.from(t)
+    }
+    val top: Option[Timestamp] =
+      if (agg.isNullAt(1)) None else Some(toTs(agg.get(1)))
     // Tie-safety: if the limit cut through a group of equal timestamps,
     // the strict `> watermark` filter of the NEXT poll would skip the
-    // unconsumed ties forever. Re-derive the batch as "everything up to
-    // and including the new watermark" — at most tie-group-size rows
-    // over batchSize, and no tie is ever split across the watermark.
-    val batch =
-      if (cnt == n && newWm.isDefined)
-        source(spark, spec).filter(lower && upper && pos <= lit(newWm.get))
-      else probe
-    probe.unpersist()
+    // unconsumed ties forever. BOUNDED handling: advance the watermark
+    // only past the last COMPLETE tie group below the cut and defer the
+    // (possibly split) boundary group to the next poll — the batch never
+    // exceeds batchSize. Re-deriving "everything <= max" instead would
+    // balloon a 1k batch to millions of rows on a coarse (e.g.
+    // day-granularity) position column. Only when ALL n rows share one
+    // timestamp must the whole group be taken at once to make progress
+    // (unbounded by the group size alone — the irreducible case).
+    val (batch, newWm) =
+      if (cnt == n && top.isDefined) {
+        val below = probe.filter(pos < lit(top.get)).agg(max(pos)).head()
+        if (!below.isNullAt(0)) {
+          val wm = toTs(below.get(0))
+          (source(spark, spec).filter(lower && upper && pos <= lit(wm)), Some(wm))
+        } else
+          (source(spark, spec).filter(lower && upper && pos <= lit(top.get)), top)
+      } else (probe, top.orElse(status.timestampPosition))
     ExtractResult(
       batch.withColumn(Method.Col, lit(Method.Replace.name)),
       status.copy(timestampPosition = newWm, lastRun = Some(now())),
-      moreData = cnt == n)
+      moreData = cnt == n,
+      cleanup = () => { probe.unpersist(); () })
   }
 }
 
@@ -154,16 +171,26 @@ class TimestampFallbackExtractor(clock: () => Timestamp = () => new Timestamp(Sy
   *
   * Where the reference does one point query per entry (an index-driven
   * nested-loop join), we run ONE broadcast hash join of the (≤ batch,
-  * always small) queue batch against the base table — the base side
-  * streams, nothing but the queue batch is collected. Per SURVEY §7.4 H4
-  * the batch is first deduped to the latest entry per PK
-  * (`row_number() over (partition by pk order by timestampUpdated desc)`)
-  * so set-based processing converges to the same end state as the
-  * reference's strictly-ordered per-entry replay.
+  * always small) queue batch against the base table, on the REAL typed
+  * PK columns — the comma-joined `pkValue` string (reference
+  * `extractor_queue.go:75-90`) is split and cast ONCE on the tiny queue
+  * side, never concat-built per base row, so the join key is the base
+  * table's own columns and min/max row-group pruning applies. When the
+  * base table is hash-bucketed (its dir carries a bucket-count marker,
+  * [[graft.core.ParquetTable.readBucketMarker]]), the base read is
+  * additionally pruned to the buckets the batch touches — an O(batch)
+  * lookup like the reference's indexed point reads, not an O(table)
+  * scan. Per SURVEY §7.4 H4 the batch is first deduped to the latest
+  * entry per PK so set-based processing converges to the same end state
+  * as the reference's strictly-ordered per-entry replay.
   *
-  * Queue entries are acked (deleted) in the deferred `commit` callback —
-  * i.e. only after the sink succeeded — fixing the reference's lossy
-  * ack-during-extract (`extractor_queue.go:130`, `TODO.md:4-11`).
+  * Acks are append-only: consumed entries are recorded in a sibling
+  * `<queue>__acks` table in the deferred `commit` callback (only after
+  * the sink succeeded), and the queue read anti-joins the acks. An ack
+  * is O(batch) and never rewrites the changelog, so entries appended by
+  * a live CDC producer mid-batch are never lost (the previous
+  * read/anti-join/swap design deleted them). [[compactQueue]] folds
+  * accumulated acks back into the changelog as explicit maintenance.
   */
 object QueueExtractor extends Extractor {
   val name = "queue"
@@ -172,17 +199,53 @@ object QueueExtractor extends Extractor {
   val queueCols = Seq("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
     "timestampUpdated", "method")
 
-  private def queue(spark: SparkSession, spec: PipelineSpec): DataFrame =
-    ParquetTable.read(spark, queuePath(spec)).getOrElse(
+  /** Logical queue view: raw changelog minus acked entries. */
+  private def queue(spark: SparkSession, spec: PipelineSpec): DataFrame = {
+    val raw = ParquetTable.read(spark, queuePath(spec)).getOrElse(
       throw new IllegalArgumentException(s"queue table missing at ${queuePath(spec)}"))
+    ParquetTable.read(spark, ackPath(spec)) match {
+      case Some(acks) => raw.join(acks, queueCols, "left_anti")
+      case None       => raw
+    }
+  }
+
+  /** Pending (un-acked) entries for this pipeline's source table — the
+    * drained-queue assertion surface for tests and ops.
+    */
+  def pending(spark: SparkSession, spec: PipelineSpec): DataFrame =
+    queue(spark, spec)
+      .filter(col("sourceDatabase") === spec.sourceDatabase &&
+        col("sourceTable") === spec.sourceTable)
+
+  /** Maintenance: fold accumulated acks into the changelog (rewrite the
+    * queue minus acked entries, then drop the ack table). Run it when
+    * the ack table has grown enough to slow the anti-joined read.
+    * REQUIRES a quiesced producer: entries appended between the staged
+    * rewrite and the swap are lost — the same window the per-batch ack
+    * used to have on EVERY batch, now confined to an explicit op.
+    */
+  def compactQueue(spark: SparkSession, spec: PipelineSpec): Unit = {
+    val acks = ParquetTable.read(spark, ackPath(spec))
+    if (acks.isDefined) {
+      ParquetTable.overwriteAtomic(spark, queuePath(spec), queue(spark, spec))
+      // deleting acks AFTER the swap is safe: acked entries are already
+      // gone from the rewritten queue, so a crash between the two steps
+      // only leaves no-op acks behind
+      val p = new org.apache.hadoop.fs.Path(ackPath(spec))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 
   private def queuePath(spec: PipelineSpec): String =
     spec.queuePath.getOrElse(s"${spec.sourcePath}/MigratorRecordQueue")
 
+  private def ackPath(spec: PipelineSpec): String = queuePath(spec) + "__acks"
+
   /** Build the method-tagged change batch from a set of changelog
-    * entries: last-write-wins dedup per PK (H4), broadcast lookup join
-    * for updates (J1), REMOVE-row synthesis (R8). Shared by the
-    * micro-batch extractor and the Structured Streaming facade
+    * entries: last-write-wins dedup per PK (H4), typed broadcast lookup
+    * join for updates (J1), REMOVE-row synthesis (R8), bucket-pruned
+    * base read when the base layout allows. Shared by the micro-batch
+    * extractor and the Structured Streaming facade
     * ([[graft.streaming.StreamingPipeline]]).
     */
   def changeBatch(spark: SparkSession, spec: PipelineSpec, entries: DataFrame): DataFrame = {
@@ -197,30 +260,48 @@ object QueueExtractor extends Extractor {
       .filter(col("_rn") === 1)
       .drop("_rn")
 
-    val base = source(spark, spec)
+    val base0 = source(spark, spec)
     val pkCols = spec.pkColumns
+    val pkTypes = pkCols.map(c => base0.schema(c).dataType)
 
-    // Composite PKs arrive comma-joined (reference `extractor_queue.go:75-90`);
-    // match by joining on the same canonical string form of the base PK.
-    val basePkStr = concat_ws(",", pkCols.map(c => col(c).cast(StringType)): _*)
+    // Composite PKs arrive comma-joined (reference
+    // `extractor_queue.go:75-90`): split ONCE on the ≤batch-size queue
+    // side into the base's own typed columns. Joining on real columns
+    // (instead of a concat_ws string built per base row) keeps the base
+    // scan free of derived-key work and lets parquet min/max stats and
+    // partition pruning see the predicate.
+    def typedKeys(df: DataFrame): DataFrame = {
+      val parts = split(col("pkValue"), ",")
+      df.select(pkCols.zip(pkTypes).zipWithIndex.map {
+        case ((c, dt), i) => parts.getItem(i).cast(dt).as(c)
+      }: _*)
+    }
+
+    val updateKeys = typedKeys(latest.filter(col("method") =!= "REMOVE"))
+
+    // O(batch) base read when the base is hash-bucketed: prune to the
+    // buckets the batch touches (reference parity: indexed point
+    // lookups, `extractor_queue.go:74-96`). The bucket-id collect is
+    // bounded by the batch size.
+    val bucketed = ParquetTable.readBucketMarker(spark, spec.sourcePath,
+      spec.sourceTable).filter(_ => base0.columns.contains(MethodRoutedLoader.BucketCol))
+    val base = bucketed match {
+      case Some(nb) =>
+        val touched = updateKeys
+          .select(pmod(xxhash64(pkCols.map(col): _*), lit(nb.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        base0.filter(col(MethodRoutedLoader.BucketCol).isin(touched: _*))
+      case None => base0
+    }
 
     val updates = base
-      .join(broadcast(latest.filter(col("method") =!= "REMOVE").select(col("pkValue"))),
-        basePkStr === col("pkValue"), "inner")
-      .drop("pkValue")
+      .join(broadcast(updateKeys), pkCols, "inner")
+      .drop(MethodRoutedLoader.BucketCol)
       .withColumn(Method.Col, lit(Method.Replace.name))
 
     // R8: deletes synthesize a PK-only row — the base row is gone.
-    val removeEntries = latest.filter(col("method") === "REMOVE")
-    val pkTypes = pkCols.map(c => base.schema(c).dataType)
-    val removeRows = {
-      val parts = split(col("pkValue"), ",")
-      val typedCols = pkCols.zip(pkTypes).zipWithIndex.map {
-        case ((c, dt), i) => parts.getItem(i).cast(dt).as(c)
-      }
-      removeEntries.select(typedCols: _*)
-        .withColumn(Method.Col, lit(Method.Remove.name))
-    }
+    val removeRows = typedKeys(latest.filter(col("method") === "REMOVE"))
+      .withColumn(Method.Col, lit(Method.Remove.name))
 
     // Align REMOVE rows to the full batch schema (missing cols → null)
     // so the two legs union cleanly; the loader only reads the PK cols.
@@ -234,30 +315,31 @@ object QueueExtractor extends Extractor {
 
   def extract(spark: SparkSession, spec: PipelineSpec, status: TrackingStatus): ExtractResult = {
     val n = spec.params.batchSize
-    val entries = queue(spark, spec)
-      .filter(col("sourceDatabase") === spec.sourceDatabase &&
-        col("sourceTable") === spec.sourceTable)
+    val view = pending(spark, spec)
       .orderBy(col("timestampUpdated"), col("pkValue"))
       .limit(n)
-      .cache()
-    val cnt = entries.count()
+    // Pin the consumed batch as DATA, not as a cached plan: a producer
+    // appending to the changelog through the same session triggers
+    // CacheManager.recacheByPath, which silently RE-COMPUTES a cached
+    // plan over the refreshed file listing — the "snapshot" would grow
+    // mid-batch and the ack below would ack entries that were never
+    // applied. The batch is ≤ batchSize rows of queue metadata, the same
+    // volume the broadcast join ships anyway.
+    val snap = view.collect().toIndexedSeq
+    val cnt = snap.length.toLong
+    val entries = spark.createDataFrame(
+      spark.sparkContext.parallelize(snap, 1), view.schema)
 
     val batch = changeBatch(spark, spec, entries)
 
     val ack = () => {
-      // Delete consumed entries only after sink success (commit-after-load).
-      // CAVEAT: this is a read/anti-join/swap of the whole changelog dir —
-      // entries appended between the staged read and the swap are lost,
-      // and two pipelines sharing one queuePath would clobber each other's
-      // acks. Single-consumer queues only (one pipeline per queuePath, the
-      // reference's own layout); concurrent-writer deployments should use
-      // the streaming facade, whose checkpoint offsets never rewrite the
-      // queue (graft.streaming.StreamingPipeline).
-      val remaining = queue(spark, spec).join(
-        entries.select(queueCols.map(col): _*),
-        queueCols, "left_anti")
-      ParquetTable.overwriteAtomic(spark, queuePath(spec), remaining)
-      entries.unpersist()
+      // Append-only ack, recorded only after sink success
+      // (commit-after-load): O(batch), and safe under live producers —
+      // nothing in the changelog dir is rewritten, and `entries` is a
+      // pinned snapshot, so exactly the consumed rows are acked.
+      if (cnt > 0)
+        ParquetTable.append(spark, ackPath(spec),
+          entries.select(queueCols.map(col): _*))
       ()
     }
 

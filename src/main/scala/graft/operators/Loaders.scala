@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,9 +23,21 @@ import graft.core._
   * plan", so a REMOVE-then-reINSERT of the same PK in one batch resolves
   * by method, not by file-write ordering. The touched-key set is ≤ batch
   * size, so the anti-join broadcasts the keys and the target table
-  * streams through without a shuffle — at 100 TB the cost is the
-  * target-partition rewrite, which Delta/partition-pruned rewrites would
-  * bound further (SURVEY §7.4 H1).
+  * streams through without a shuffle.
+  *
+  * Destination layout (SURVEY §7.4 H1): upsert-bearing tables default to
+  * a PK-hash-bucketed directory layout so the REPLACE/REMOVE rewrite
+  * touches only the buckets the batch hits — `touched/buckets` of the
+  * table instead of all of it, the difference between O(batch) and
+  * O(table) per micro-batch at 100 TB. The layout is self-describing
+  * (a [[graft.core.ParquetTable.BucketMarker]] file records the count),
+  * which also lets the queue extractor prune its lookup joins. Layout
+  * resolution: an existing marker is LAW (a config value disagreeing
+  * with the physical hash partitioning would corrupt pruning); with no
+  * marker, an existing table stays flat (legacy layout), a new table is
+  * bucketed at [[MethodRoutedLoader.DefaultAutoBuckets]] if the creating
+  * batch carries REPLACE/REMOVE rows, and insert-only tables stay flat
+  * (appends never rewrite; bucketing them would only fragment files).
   *
   * Schema evolution: upsert batches may add or omit columns relative to
   * the destination (`allowMissingColumns` union) — absent sides fill
@@ -32,6 +45,32 @@ import graft.core._
   * defaults (`types.go:58-61` schema-free rows).
   */
 object MethodRoutedLoader {
+
+  /** Partition column for bucketed destinations — a system column,
+    * dropped by consumers that want the logical schema.
+    */
+  val BucketCol = "_bucket"
+
+  /** Bucket count for tables auto-created by an upsert-bearing batch
+    * under [[graft.core.Params.AutoBuckets]]. Sized for the local
+    * harness; a 100 TB deployment sets `PartitionBuckets` explicitly
+    * (target ≈ table_size / a-few-GB per bucket).
+    */
+  val DefaultAutoBuckets = 32
+
+  /** Resolve the physical layout for this load. Marker > explicit param
+    * > auto heuristic; see the class doc for the rules.
+    */
+  private def resolveBuckets(spark: SparkSession, target: String,
+                             params: Params, batchRewrites: Boolean): Int =
+    ParquetTable.readBucketMarker(spark, target) match {
+      case Some(n) => n // physical layout is law
+      case None if ParquetTable.exists(spark, target) => 0 // legacy flat table
+      case None =>
+        if (params.partitionBuckets == Params.AutoBuckets)
+          (if (batchRewrites) DefaultAutoBuckets else 0)
+        else math.max(params.partitionBuckets, 0)
+    }
 
   /** @return rows loaded per method, for logging/metrics parity with the
     *         reference's per-batch loglines (`loader_default.go:61`).
@@ -66,9 +105,10 @@ object MethodRoutedLoader {
     val nRem = if (c.isNullAt(1)) 0L else c.getLong(1)
     val nRep = c.getLong(2) - nIns - nRem // unknown methods → REPLACE
 
-    if (params.partitionBuckets > 0)
-      loadBucketed(spark, target, pkCols, params, inserts, replaces, removes,
-        nIns, nRep, nRem)
+    val buckets = resolveBuckets(spark, target, params, nRep > 0 || nRem > 0)
+    if (buckets > 0)
+      loadBucketed(spark, target, pkCols, params, buckets, inserts, replaces,
+        removes, nIns, nRep, nRem)
     else {
       if (nRep > 0 || nRem > 0) {
         val touchedKeys = replaces.select(pkCols.map(col): _*)
@@ -90,22 +130,30 @@ object MethodRoutedLoader {
       Method.Remove.name -> nRem)
   }
 
-  /** Partition-pruned variant (SURVEY §7.4 H1): the destination is
-    * hash-bucketed on the PK into `partitionBuckets` directory
-    * partitions; REPLACE/REMOVE computes the touched bucket set from the
-    * batch keys (≤ batch size) and rewrites ONLY those partitions via
-    * dynamic partition overwrite — on a 100 TB table the rewrite cost is
-    * `touched_buckets / buckets` of the table, not all of it, and the
-    * target read is partition-pruned by the same bucket filter.
+  /** Partition-pruned variant (SURVEY §7.4 H1): REPLACE/REMOVE computes
+    * the touched bucket set from the batch keys (≤ batch size) and
+    * rewrites ONLY those partitions — the target read is partition-
+    * pruned by the same bucket filter.
+    *
+    * The rewritten rows are fully materialised into a staging directory
+    * BEFORE any target partition is touched (read-before-overwrite
+    * safety: the output derives from the partitions it replaces, and on
+    * a cluster a lost executor would otherwise recompute it from a
+    * half-overwritten target — a `cache()` is only a hint, not a
+    * barrier). Staged partitions are then swapped in per bucket; a
+    * bucket emptied by REMOVEs produces no staged partition and its
+    * stale directory is deleted by the same per-bucket pass.
     */
   private def loadBucketed(spark: SparkSession, target: String,
-                           pkCols: Seq[String], params: Params,
+                           pkCols: Seq[String], params: Params, n: Int,
                            inserts: DataFrame, replaces: DataFrame,
                            removes: DataFrame,
                            nIns: Long, nRep: Long, nRem: Long): Unit = {
-    val n = params.partitionBuckets
     def bucketed(d: DataFrame): DataFrame =
       d.withColumn(BucketCol, pmod(xxhash64(pkCols.map(col): _*), lit(n.toLong)))
+
+    val p = new Path(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     if (nRep > 0 || nRem > 0) {
       val touched = bucketed(replaces).select(BucketCol)
@@ -120,25 +168,21 @@ object MethodRoutedLoader {
         case None => bucketed(replaces).limit(0)
       }
       val out = kept.unionByName(bucketed(replaces), allowMissingColumns = true)
-        .cache()
-      // dynamic partition overwrite only rewrites partitions PRESENT in
-      // the output — a REMOVE that empties its bucket produces no rows
-      // for it, so the stale partition must be deleted explicitly or the
-      // deleted rows would silently survive
-      val outBuckets = out.select(BucketCol).distinct()
-        .collect().map(_.getLong(0)).toSet
-      withDynamicOverwrite(spark) {
-        out.write.mode("overwrite").partitionBy(BucketCol).parquet(target)
+
+      // 1. materialise to staging (completes the read of the target)
+      val staging = new Path(target + s".__staging_${ParquetTable.stamp()}")
+      out.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+      // 2. swap per touched bucket: staged partition in, stale (possibly
+      //    emptied) partition out. Output buckets ⊆ touched buckets, so
+      //    one pass over `touched` covers both.
+      if (!fs.exists(p)) fs.mkdirs(p)
+      touched.foreach { b =>
+        val dst = new Path(p, s"$BucketCol=$b")
+        val src = new Path(staging, s"$BucketCol=$b")
+        fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
       }
-      val emptied = touched.filterNot(outBuckets)
-      if (emptied.nonEmpty) {
-        val p = new org.apache.hadoop.fs.Path(target)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        emptied.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b"), true)
-        }
-      }
-      out.unpersist()
+      fs.delete(staging, true)
     }
     if (nIns > 0) {
       val w = bucketed(inserts).write.mode("append").partitionBy(BucketCol)
@@ -146,20 +190,9 @@ object MethodRoutedLoader {
         w.option("maxRecordsPerFile", params.insertBatchSize.toLong) else w)
         .parquet(target)
     }
-  }
-
-  /** Partition column for bucketed destinations — a system column,
-    * dropped by consumers that want the logical schema.
-    */
-  val BucketCol = "_bucket"
-
-  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    // self-describing layout: later loads and the extract side's bucket
+    // pruning read the count from the table, never from config
+    if (ParquetTable.readBucketMarker(spark, target).isEmpty)
+      ParquetTable.writeBucketMarker(spark, target, n)
   }
 }

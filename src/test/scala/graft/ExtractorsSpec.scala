@@ -94,6 +94,107 @@ class ExtractorsSpec extends SparkSpec {
     // REMOVE deleted (2,10); UPDATE upserted (1,11)
     assert(got.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ===
       Seq((1L, 11L, "update-me")))
+    // acks are append-only: the logical queue is drained...
+    assert(QueueExtractor.pending(spark, spec).count() === 0)
+    // ...and compaction folds the acks into the physical changelog
+    QueueExtractor.compactQueue(spark, spec)
     assert(spark.read.parquet(s"$src/MigratorRecordQueue").count() === 0)
+  }
+
+  test("sequential extractor: rows appended after an idle poll are still extracted") {
+    val src = tmpDir("sc-src"); val dest = tmpDir("sc-dest")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$src/t.parquet")
+    val spec = PipelineSpec("a", "t", "id", "b", "t", src, dest)
+    val p = new Pipeline(spark, spec, new TrackingStore(spark, s"$dest/_tracking"))
+    var st = p.init()
+    st = p.runBatch(st)._3 // consumes id=1
+    st = p.runBatch(st)._3 // idle poll: empty batch, position unchanged
+    // producer appends; the next poll builds a plan IDENTICAL to the idle
+    // one — a leaked cache entry from the idle poll would be silently
+    // substituted and the new row never extracted (ADVICE r1, high)
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(s"$src/t.parquet")
+    val (counts, _, _) = p.runBatch(st)
+    assert(counts("INSERT") === 1L)
+    assert(spark.read.parquet(s"$dest/t.parquet").count() === 2)
+  }
+
+  test("timestamp ties: batch stays bounded — watermark advances only past complete groups") {
+    val src = tmpDir("tb-src"); val dest = tmpDir("tb-dest")
+    val day1 = mkTs("2024-01-01 00:00:00"); val day2 = mkTs("2024-01-02 00:00:00")
+    // coarse (day-granularity) position column: 3 rows per day
+    ((1L to 3L).map((_, day1)) ++ (4L to 6L).map((_, day2)))
+      .toDF("id", "ts").write.parquet(s"$src/t.parquet")
+    val p = new Pipeline(spark, tsSpec(src, dest, "timestamp", batch = 4),
+      new TrackingStore(spark, s"$dest/_tracking"))
+    var st = p.init()
+    // poll 1 cuts through the day2 group: the batch must NOT balloon to
+    // "everything <= day2" (the unbounded re-derive) — it defers the
+    // split group and advances the watermark to day1 only
+    val (c1, more1, st1) = p.runBatch(st)
+    assert(c1("REPLACE") === 3L, "batch must stop at the last complete tie group")
+    assert(more1)
+    assert(st1.timestampPosition.get === day1)
+    val (c2, _, st2) = p.runBatch(st1)
+    assert(c2("REPLACE") === 3L)
+    assert(st2.timestampPosition.get === day2)
+    assert(spark.read.parquet(s"$dest/t.parquet").count() === 6)
+  }
+
+  test("queue ack is append-only: entries from a live producer mid-batch survive") {
+    val src = tmpDir("qa-src"); val dest = tmpDir("qa-dest")
+    Seq((1L, "one"), (2L, "two")).toDF("id", "v").write.parquet(s"$src/t.parquet")
+    val ts = mkTs("2024-06-01 00:00:00")
+    def entry(pk: String, t: Timestamp) =
+      ("a", "t", "id", pk, t, "UPDATE")
+    Seq(entry("1", ts))
+      .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+        "timestampUpdated", "method")
+      .write.parquet(s"$src/MigratorRecordQueue")
+    val spec = PipelineSpec("a", "t", "id", "b", "t", src, dest, extractor = "queue")
+    val status = TrackingStatus("a", "t", "id")
+    val res = QueueExtractor.extract(spark, spec, status)
+    // live producer appends while the batch is in flight — the old
+    // read/anti-join/swap ack would delete this entry unapplied
+    Seq(entry("2", mkTs("2024-06-01 00:00:01")))
+      .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+        "timestampUpdated", "method")
+      .write.mode("append").parquet(s"$src/MigratorRecordQueue")
+    res.commit()  // ack of the consumed entry only
+    res.cleanup()
+    val pend = QueueExtractor.pending(spark, spec).collect()
+    assert(pend.map(_.getAs[String]("pkValue")).toSeq === Seq("2"))
+    // compaction folds acks into the changelog without touching pending
+    QueueExtractor.compactQueue(spark, spec)
+    assert(spark.read.parquet(s"$src/MigratorRecordQueue").count() === 1)
+    assert(QueueExtractor.pending(spark, spec).count() === 1)
+  }
+
+  test("queue lookup join prunes to touched buckets on a bucketed base") {
+    val src = tmpDir("qb-src"); val dest = tmpDir("qb-dest")
+    // base table written through the bucketed loader: layout + marker
+    val seed = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .withColumn(Method.Col, lit("INSERT"))
+    MethodRoutedLoader.load(spark, TableBatch("a", "t", seed), src,
+      Seq("id"), Params(partitionBuckets = 4))
+    val spec = PipelineSpec("a", "t", "id", "b", "t", src, dest, extractor = "queue")
+    val entries = Seq(("a", "t", "id", "7", mkTs("2024-06-01 00:00:00"), "UPDATE"))
+      .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+        "timestampUpdated", "method")
+    val batch = QueueExtractor.changeBatch(spark, spec, entries)
+    // correctness: the looked-up base row, REPLACE-tagged, no system col
+    val rows = batch.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("id") === 7L)
+    assert(rows.head.getAs[String](Method.Col) === "REPLACE")
+    assert(!batch.columns.contains(MethodRoutedLoader.BucketCol))
+    // plan: the base scan carries a partition filter on the bucket col —
+    // the O(batch) point-lookup shape, not a full-table scan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = batch.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == MethodRoutedLoader.BucketCol))),
+      s"no bucket partition filter in:\n${batch.queryExecution.sparkPlan}")
   }
 }

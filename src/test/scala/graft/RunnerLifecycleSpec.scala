@@ -36,20 +36,50 @@ class RunnerLifecycleSpec extends SparkSpec {
     assert(st.sequentialPosition === 50L)
   }
 
-  test("error callback fires per failed batch; runner keeps going") {
+  test("error callback fires per failed batch with stage+table context; runner keeps going") {
     val dest = tmpDir("re-dest")
     // source table missing -> every batch errors
     val spec = PipelineSpec("a", "missing", "id", "b", "t",
       tmpDir("re-empty"), dest,
       params = Params(sleepBetweenRunsSec = 0.1))
     val errors = new AtomicInteger(0)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
     val runner = new Runner(spark, Seq(spec), s"$dest/_tracking",
-      errorCallback = (_, _) => { errors.incrementAndGet(); () })
+      errorCallback = (ctx, _) => {
+        seen.add((ctx.stage, ctx.table)); errors.incrementAndGet(); ()
+      })
     runner.run()
     eventually(20000)(errors.get() >= 2) // repeated retry, not a crash
     runner.quit()
     runner.awaitTermination()
     assert(errors.get() >= 2)
+    // per-stage context (reference migrator.go:50): a missing source
+    // fails pipeline INIT (validate reads the schema), tagged as such
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.forall(_._2 === "missing"))
+    assert(seen.asScala.map(_._1).subsetOf(
+      Set(ErrorContext.Init, ErrorContext.Extract)))
+    assert(seen.asScala.nonEmpty)
+  }
+
+  test("load-stage failures carry the load tag") {
+    val src = tmpDir("rl2-src"); val dest = tmpDir("rl2-dest")
+    (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.parquet(s"$src/t.parquet")
+    // destination path that cannot be created: a FILE where the loader
+    // needs a directory
+    val blocker = new java.io.File(s"$dest/t.parquet")
+    blocker.getParentFile.mkdirs(); blocker.createNewFile()
+    val spec = PipelineSpec("a", "t", "id", "b", "t", src, dest,
+      params = Params(sleepBetweenRunsSec = 0.1))
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val runner = new Runner(spark, Seq(spec), s"$dest/_tracking",
+      errorCallback = (ctx, _) => { stages.add(ctx.stage); () })
+    runner.run()
+    eventually(20000)(stages.contains(ErrorContext.Load))
+    runner.quit()
+    runner.awaitTermination()
+    assert(stages.contains(ErrorContext.Load))
   }
 
   private def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
