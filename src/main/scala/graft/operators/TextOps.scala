@@ -84,28 +84,42 @@ object TextOps {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** SimHash near-dup candidate pairs: pigeonhole banding — two
-    * fingerprints within hamming distance ≤ 3 must agree on at least one
-    * of 4 four-bit bands, so the quadratic search becomes an equi-join
-    * on (band, nibble) and a `bit_count(xor)` filter. Same LSH shape as
-    * MinHash banding, over the simhash domain.
+  /** SimHash near-dup candidate pairs: pigeonhole banding — two 64-bit
+    * fingerprints within hamming distance ≤ bands-1 must agree on at
+    * least one of the `bands` equal-width bit bands, so the quadratic
+    * search becomes an equi-join on (band, band-value) and a bit_count
+    * filter. Same LSH shape as MinHash banding, over the simhash domain.
     *
-    * The 16-bit width keeps the cross-engine oracle tractable but is
-    * coarse — on a small-vocabulary corpus unrelated docs collide, so the
-    * default threshold is tight (≤1); a production profile widens the
-    * fingerprint to 64 bits (same plan, 64 sums) before loosening it.
+    * The default 4 bands of 16 bits give 65 536 bucket values per band —
+    * at corpus scale band buckets stay small (vs 16 values for the
+    * 4-bit nibbles a 16-bit fingerprint allows, where every bucket is
+    * corpus/16 and the within-bucket pairing is quadratic). Raising
+    * `bands` (8×8-bit) raises the guaranteed-caught hamming radius at
+    * the cost of coarser buckets; both sides of that dial are exposed.
+    *
+    * Hamming distance is computed per band (`bit_count` of the XOR of
+    * two ≤16-bit non-negative band values, summed) — equivalent to
+    * bit_count over the packed fingerprint but free of 64-bit sign
+    * pitfalls in engines that lack unsigned integers.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 1): DataFrame = {
-    val sh = simhash(docs)
-    val bands = sh.select(col("doc_id"), col("simhash16"),
-      explode(expr("transform(sequence(0, 3), b -> " +
-        "struct(b as band, (simhash16 div shiftleft(1, b * 4)) % 16 as nib))")).as("e"))
-      .select(col("doc_id"), col("simhash16"), col("e.band").as("band"), col("e.nib").as("nib"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.nib") === col("y.nib") &&
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(SimhashBits % bands == 0 && SimhashBits / bands <= 30,
+      s"bands must split $SimhashBits bits into <=30-bit bands, got $bands")
+    val bandBits = SimhashBits / bands
+    val withBands = (0 until bands).foldLeft(simhashSums(docs)) { (df, b) =>
+      df.withColumn(s"b$b", bandValExpr(b, bandBits))
+    }.select(col("doc_id") +: (0 until bands).map(b => col(s"b$b")): _*)
+    val bandRows = withBands.select(
+      col("doc_id") +: (0 until bands).map(b => col(s"b$b")) :+
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bv"))): _*)).as("e"): _*)
+    val hamming = (0 until bands)
+      .map(b => s"bit_count(x.b$b ^ y.b$b)").mkString(" + ")
+    bandRows.as("x").join(bandRows.as("y"),
+        col("x.e.band") === col("y.e.band") && col("x.e.bv") === col("y.e.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        expr("cast(bit_count(x.simhash16 ^ y.simhash16) as bigint)").as("hamming"))
+        expr(s"cast($hamming as bigint)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -240,28 +254,51 @@ object TextOps {
     scored.orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
 
-  /** 16-bit SimHash over the token multiset: per token, md5's first 4
-    * hex nibbles give 16 bits; each bit votes ±1; the fingerprint keeps
-    * the sign. One explode + one groupBy with 16 partial sums —
-    * map-side combinable, scales linearly.
+  /** Fingerprint width. 64 bits keeps band buckets fine-grained at
+    * corpus scale (see [[simhashPairs]]).
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  val SimhashBits = 64
+
+  /** Per-document ±1 bit votes: per token, md5's first 16 hex nibbles
+    * give 64 bits; each bit votes ±1 over the token multiset. One
+    * explode + one groupBy with 64 partial sums — map-side combinable,
+    * scales linearly. md5 keeps every step replayable in the DuckDB
+    * oracle (same trade as MinHash; see [[fastMinhashCandidatePairs]]
+    * for the xxhash64 pattern a production profile would use).
+    */
+  private[graft] def simhashSums(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens).as("w"))
       .withColumn("h", md5(col("w")))
-    val withNibbles = (0 until 4).foldLeft(tok) { (df, i) =>
+    val withNibbles = (0 until SimhashBits / 4).foldLeft(tok) { (df, i) =>
       df.withColumn(s"n$i",
         conv(substring(col("h"), i + 1, 1), 16, 10).cast("int"))
     }
-    val sums = (0 until 16).map { j =>
+    val sums = (0 until SimhashBits).map { j =>
       val nib = s"n${j / 4}"
       val bitMask = 1 << (j % 4)
       sum(when(expr(s"($nib div $bitMask) % 2") === 1, 1).otherwise(-1)).as(s"s$j")
     }
-    val fingerprintExpr = (0 until 16)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
-    withNibbles.groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), expr(fingerprintExpr).cast("bigint").as("simhash16"))
+    withNibbles.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+  }
+
+  /** Value of band `b` (bandBits wide, non-negative int) from the sign
+    * of the per-bit vote sums.
+    */
+  private def bandValExpr(b: Int, bandBits: Int): Column =
+    expr((0 until bandBits)
+      .map(t => s"(CASE WHEN s${b * bandBits + t} > 0 THEN ${1 << t} ELSE 0 END)")
+      .mkString("(", " + ", ")"))
+
+  /** Packed 64-bit SimHash fingerprint (two's-complement bigint; bit 63
+    * contributes Long.MinValue — spelled as (-max - 1) so both engines
+    * parse it without unary-minus overflow).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val packed = (0 until SimhashBits).map { j =>
+      val p = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"(CASE WHEN s$j > 0 THEN $p ELSE 0 END)"
+    }.mkString(" + ")
+    simhashSums(docs)
+      .select(col("doc_id"), expr(packed).cast("bigint").as("simhash64"))
   }
 }

@@ -35,21 +35,28 @@ object ExtOracles {
   private def bucketExpr(alias: String) =
     (0 until 8).map(i => s"($alias.embedding[${i + 1}] >= 0)").mkString("concat(", ", ", ")")
 
-  /** CTE computing (doc_id, simhash16) — shared by the signature dump
-    * and the banded near-dup pair oracle.
+  /** CTE chain computing the per-bit vote sums and the packed 64-bit
+    * fingerprint — shared by the signature dump and the banded near-dup
+    * pair oracle. Replays [[graft.operators.TextOps.simhashSums]] /
+    * [[graft.operators.TextOps.simhash]] bit-for-bit: md5's first 16 hex
+    * nibbles give 64 ±1 votes; bit 63 packs as (-max - 1) so the sum
+    * lands on the identical two's-complement BIGINT in both engines
+    * (partial sums of bits 0..62 stay ≤ 2^63-1, so left-to-right
+    * addition never overflows before the negative term).
     */
   private val simhashCte: String = {
-    val nibbles = (0 until 4)
+    val nibbles = (0 until 16)
       .map(i => s"strpos('0123456789abcdef', substring(md5(w), ${i + 1}, 1)) - 1 AS n$i")
       .mkString(",\n  ")
-    val sums = (0 until 16).map { j =>
+    val sums = (0 until 64).map { j =>
       val nib = s"n${j / 4}"
       val mask = 1 << (j % 4)
       s"sum(CASE WHEN ($nib // $mask) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
     }.mkString(",\n  ")
-    val fp = (0 until 16)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
+    val fp = (0 until 64).map { j =>
+      val p = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"(CASE WHEN s$j > 0 THEN $p ELSE 0 END)"
+    }.mkString(" + ")
     s"""tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |nib AS (SELECT doc_id,
        |  $nibbles
@@ -57,25 +64,40 @@ object ExtOracles {
        |sums AS (SELECT doc_id,
        |  $sums
        |  FROM nib GROUP BY doc_id),
-       |shash AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM sums)""".stripMargin
+       |shash AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash64 FROM sums)""".stripMargin
   }
 
   private val simhashSql: String =
     s"""WITH $simhashCte
-       |SELECT doc_id, simhash16 FROM shash ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, simhash64 FROM shash ORDER BY doc_id""".stripMargin
 
+  /** 4 bands of 16 bits, band values rebuilt from the vote sums (not the
+    * packed word) exactly as [[graft.operators.TextOps.simhashPairs]]
+    * does, and the per-band hamming sum — sign-pitfall-free because band
+    * values are non-negative ≤16-bit ints.
+    */
   private val simhashPairsSql: String = {
+    def bandVal(b: Int): String = (0 until 16)
+      .map(t => s"(CASE WHEN s${b * 16 + t} > 0 THEN ${1 << t} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val bandCols = (0 until 4)
+      .map(b => s"CAST(${bandVal(b)} AS BIGINT) AS b$b").mkString(",\n  ")
     val bandRows = (0 until 4)
-      .map(b => s"SELECT doc_id, simhash16, $b AS band, (simhash16 // ${1 << (b * 4)}) % 16 AS nib FROM shash")
+      .map(b => s"SELECT doc_id, b0, b1, b2, b3, $b AS band, b$b AS bv FROM sbv")
       .mkString(" UNION ALL ")
+    val hamming = (0 until 4)
+      .map(b => s"bit_count(xor(x.b$b, y.b$b))").mkString(" + ")
     s"""WITH $simhashCte,
+       |sbv AS (SELECT doc_id,
+       |  $bandCols
+       |  FROM sums),
        |sbands AS ($bandRows)
        |SELECT a, b, hamming FROM (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-       |    CAST(bit_count(xor(x.simhash16, y.simhash16)) AS BIGINT) AS hamming
+       |    CAST($hamming AS BIGINT) AS hamming
        |  FROM sbands x JOIN sbands y
-       |    ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id)
-       |WHERE hamming <= 1 ORDER BY a, b""".stripMargin
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
   }
 
   val sql: Map[String, String] = Map(

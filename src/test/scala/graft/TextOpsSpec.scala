@@ -40,12 +40,13 @@ class TextOpsSpec extends SparkSpec {
     // the planted near-dup pairs (jaccard >= 0.8) should have close simhashes
     val nearDups = TextOps.jaccardPairs(docs, threshold = 0.8).select("a", "b")
     val joined = nearDups
-      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("simhash16", "sa"), "a")
-      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("simhash16", "sb"), "b")
-      .withColumn("hamming", expr(
-        "bit_count(cast(sa as int) ^ cast(sb as int))"))
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("simhash64", "sa"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("simhash64", "sb"), "b")
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
       .agg(max("hamming")).head()
-    if (!joined.isNullAt(0)) assert(joined.getInt(0) <= 4)
+    // 64-bit fingerprints: random pairs land near 32; planted near-dups
+    // (jaccard >= 0.8) must stay well under the banding radius.
+    if (!joined.isNullAt(0)) assert(joined.getInt(0) <= 16)
   }
 
   test("text stats are internally consistent") {
