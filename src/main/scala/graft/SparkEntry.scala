@@ -41,6 +41,7 @@ object SparkEntry {
     "ts_scan" -> (tsScan(_, _)),
     "coalesce_scan" -> (coalesceScan(_, _)),
     "cdc_latest" -> (cdcLatest(_, _)),
+    "cdc_composite_pk" -> (cdcCompositePk(_, _)),
     "upsert_emulation" -> (upsertEmulation(_, _)),
     "delete_antijoin" -> (deleteAntiJoin(_, _)),
     "semi_join" -> (semiJoin(_, _)),
@@ -205,6 +206,23 @@ object SparkEntry {
          |          ORDER BY ts DESC, event_id DESC) AS rn
          |      FROM ev)
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // replays QueueExtractor.changeBatch end-state: newest entry per
+    // composite PK wins (REMOVE for line 1 is the 2024-02 generation).
+    // REPLACE rows carry every matching base row (the lookup join keeps
+    // base-side duplicates); REMOVE rows are synthesized ONE per PK —
+    // the changelog dedups per pkValue — hence DISTINCT on that leg
+    // (the synthetic lineitem does contain duplicate composite keys).
+    "cdc_composite_pk" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'REPLACE' AS method,
+        |         round(l_extendedprice, 2) AS price
+        |  FROM lineitem WHERE l_orderkey % 199 = 0 AND l_linenumber <> 1
+        |  UNION ALL
+        |  SELECT DISTINCT l_orderkey, 1 AS l_linenumber, 'REMOVE',
+        |         CAST(NULL AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey % 199 = 0 AND l_linenumber = 1)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "upsert_emulation" ->
       """WITH u AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice

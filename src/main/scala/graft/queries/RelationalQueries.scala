@@ -216,6 +216,45 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** J1 at full fidelity: the queue extractor's change-batch pipeline
+    * over a COMPOSITE primary key, driven through the real operator
+    * ([[graft.operators.QueueExtractor.changeBatch]]). A synthetic
+    * changelog carries two generations per touched (l_orderkey,
+    * l_linenumber) — an older REPLACE for every line and a newer REMOVE
+    * for line 1 — so the query exercises last-write-wins dedup, the
+    * comma-joined `pkValue` split into TYPED pk columns (reference
+    * `extractor_queue.go:75-90`), the broadcast lookup join on the
+    * base's real columns, and REMOVE-row synthesis, all in one
+    * SQL-replayable batch.
+    */
+  def cdcCompositePk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Method, PipelineSpec}
+    val spec = PipelineSpec(
+      sourceDatabase = "main", sourceTable = "lineitem",
+      sourceKey = "l_orderkey,l_linenumber",
+      destinationDatabase = "main", destinationTable = "lineitem_dst",
+      sourcePath = dir, destinationPath = dir, extractor = "queue")
+    val touched = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 199 === 0)
+      .select(
+        lit("main").as("sourceDatabase"), lit("lineitem").as("sourceTable"),
+        lit("l_orderkey,l_linenumber").as("pkColumn"),
+        concat_ws(",", col("l_orderkey"), col("l_linenumber")).as("pkValue"),
+        col("l_linenumber"))
+    val gen1 = touched
+      .withColumn("timestampUpdated", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("method", lit("REPLACE"))
+    val gen2 = touched.filter(col("l_linenumber") === 1)
+      .withColumn("timestampUpdated", lit("2024-02-01 00:00:00").cast("timestamp"))
+      .withColumn("method", lit("REMOVE"))
+    val entries = gen1.unionByName(gen2).drop("l_linenumber")
+    graft.operators.QueueExtractor.changeBatch(spark, spec, entries)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col(Method.Col).as("method"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** K2: MERGE-shaped upsert emulation — target rows not touched by the
     * update set, union the updates (the loader's anti-join + union,
     * `Loaders.scala`). Scale: the "updates" side broadcasts; target
