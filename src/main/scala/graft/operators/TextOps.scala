@@ -191,14 +191,32 @@ object TextOps {
     * shingle, similarity = |∩| / |∪|, thresholded. The shingle
     * self-join is the inverted-index pattern — pair cost follows shared
     * shingles, not n².
+    *
+    * Stop-shingle cap: a shingle present in more than `maxDfFrac` of the
+    * corpus discriminates nothing, and its posting list makes the
+    * self-join quadratic (one shingle in 1% of a 1B-doc corpus is a
+    * 10M×10M self-join on its own). Such shingles are dropped from the
+    * index ENTIRELY — sizes and join alike — so the reported similarity
+    * is the exact Jaccard over the informative shingle space. The stop
+    * set is small by construction (few distinct shingles can exceed a
+    * corpus-fraction DF), so it prunes the index via a broadcast
+    * anti-join; the one broadcast exchange is reused across the three
+    * shingle branches.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                   maxDfFrac: Double = 0.1): DataFrame = {
     // The shingle subplan appears three times (sizes + both join sides);
     // measured head-to-head that beats both a window-carried size column
     // (the per-shingle window shuffle quintuples the join input) and a
     // localCheckpoint materialisation — the sizes joins broadcast
     // (O(docs) rows), so re-deriving shingles is the cheaper currency.
-    val sh = shingles(docs)
+    val sh0 = shingles(docs)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val stop = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n_docs") * maxDfFrac)
+      .select("s")
+    val sh = sh0.join(broadcast(stop), Seq("s"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))

@@ -174,11 +174,17 @@ object ExtOracles {
          |  ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
 
+    // shf replays TextOps.jaccardPairs' stop-shingle DF cap: shingles in
+    // more than 10% of the corpus leave the index before sizes AND join
     "dedup_jaccard_pairs" ->
       s"""WITH $tokCte, $shCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shf AS (SELECT doc_id, s FROM (
+         |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+         |          FROM sh)
+         |        WHERE df <= (SELECT count(*) FROM documents) * 0.1),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-         |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
          |          GROUP BY 1, 2)
          |SELECT a, b, round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) AS jaccard
          |FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
