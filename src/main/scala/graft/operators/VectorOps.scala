@@ -77,28 +77,60 @@ object VectorOps {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
 
+  /** `nlist`/`nprobe` sentinel: derive from the corpus size. */
+  val Auto: Int = 0
+
+  /** Quantizer-training sample bound: KMeans never sees more rows than
+    * this, whatever the corpus size.
+    */
+  val MaxTrainRows: Long = 100000L
+
   /** IVF-style ANN: a KMeans coarse quantizer (nlist cells, fixed seed)
     * partitions the corpus; queries probe their `nprobe` nearest cells
     * and rank exactly within them. The classic recall/cost dial:
     * cost ≈ nprobe/nlist of brute force. Not oracle-replayable (KMeans
     * isn't SQL) — covered by determinism + recall specs instead.
     *
-    * Scale shape: training samples the corpus (KMeans on a bounded
-    * sample at 100 TB), assignment is one broadcast of nlist centroids,
-    * the probe search is an equi-join on the cell id — the same join
-    * layout as the sign-LSH variant with a learned partitioner.
+    * Scale shape: the quantizer trains on a seeded sample of at most
+    * [[MaxTrainRows]] rows — at 100 TB the train job is a bounded
+    * sample scan, never the corpus (k-means centroids converge on a
+    * 100k sample; FAISS trains IVF the same way). `nlist` defaults to
+    * ~sqrt(corpus) clamped to [16, 4096] — the classic balance point
+    * where cell population ≈ cell count — and `nprobe` to nlist/4.
+    * Assignment is one broadcast of nlist centroids; the probe search
+    * is an equi-join on the cell id — the same join layout as the
+    * sign-LSH variant with a learned partitioner.
     */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = Auto, nprobe: Int = Auto,
+              maxTrainRows: Long = MaxTrainRows): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
 
     val spark = embeddings.sparkSession
+    // spherical k-means: cluster UNIT vectors so the Euclidean cells the
+    // quantizer learns coincide with cosine neighbourhoods (for unit u,
+    // v: |u - v|² = 2 - 2·cos) — without this the cell ranking below
+    // (cosine vs centroid) and the cell shapes disagree and recall drops
+    val safeNorm = when(col("_nrm") === 0d, 1d).otherwise(col("_nrm"))
     val fe = embeddings
-      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(fe)
+      .withColumn("_nrm", norm(col("embedding")))
+      .withColumn("features", array_to_vector(
+        transform(col("embedding").cast("array<double>"), x => x / safeNorm)))
+      .drop("_nrm")
+    // corpus size: one count over parquet row-group stats — drives both
+    // the training-sample fraction and the auto nlist
+    val total = math.max(1L, fe.count())
+    val nlistEff =
+      if (nlist != Auto) nlist
+      else math.min(4096L, math.max(16L, math.round(math.sqrt(total.toDouble)))).toInt
+    val nprobeEff = if (nprobe != Auto) nprobe else math.max(1, nlistEff / 4)
+    val train =
+      if (total <= maxTrainRows) fe
+      else fe.sample(withReplacement = false, maxTrainRows.toDouble / total, seed = 42L)
+    val model = new KMeans().setK(nlistEff).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(train)
     val corpus = model.transform(fe)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
@@ -115,7 +147,7 @@ object VectorOps {
     val probed = queries.crossJoin(broadcast(centroids))
       .withColumn("cdist", cosine(col("qvec"), col("centroid")))
       .withColumn("crn", row_number().over(wCell))
-      .filter(col("crn") <= nprobe)
+      .filter(col("crn") <= nprobeEff)
       .select("qid", "qvec", "cell")
 
     // exact rank within the probed cells only

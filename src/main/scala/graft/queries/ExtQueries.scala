@@ -54,7 +54,7 @@ object ExtQueries {
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .groupBy("lang")
-      .agg(approx_count_distinct("source").as("approx_sources"),
+      .agg(approx_count_distinct(col("source"), 0.01).as("approx_sources"),
         count(lit(1)).as("n"))
       .orderBy("lang")
 

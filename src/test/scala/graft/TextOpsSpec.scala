@@ -49,6 +49,31 @@ class TextOpsSpec extends SparkSpec {
     if (!joined.isNullAt(0)) assert(joined.getInt(0) <= 16)
   }
 
+  test("HLL approx-distinct stays within 2% of the exact count") {
+    // the oracle-side check for the rows-only approx_distinct query:
+    // per-group relative error of the HLL sketch vs countDistinct, at
+    // the query's rsd (0.01; the 0.05 default already misses cardinality
+    // ~20 by one — the sketch precision is part of the contract)
+    val both = docs.groupBy("lang")
+      .agg(approx_count_distinct(col("source"), 0.01).as("approx"),
+        countDistinct("source").as("exact"),
+        approx_count_distinct(col("doc_id"), 0.01).as("approx_docs"),
+        countDistinct("doc_id").as("exact_docs"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      Seq(("approx", "exact"), ("approx_docs", "exact_docs")).foreach {
+        case (a, e) =>
+          val approx = r.getAs[Long](a).toDouble
+          val exact = r.getAs[Long](e).toDouble
+          val relErr = math.abs(approx - exact) / exact
+          assert(relErr <= 0.02,
+            s"HLL error ${"%.4f".format(relErr)} > 2% for lang=${r.get(0)} " +
+              s"($a=$approx $e=$exact)")
+      }
+    }
+  }
+
   test("text stats are internally consistent") {
     val bad = TextOps.textStats(docs)
       .filter(col("n_distinct") > col("n_tokens") ||

@@ -50,12 +50,51 @@ class VectorOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(ivf1 === ivf2) // fixed-seed KMeans → reproducible
     assert(ivf1.size === 30)
-    // recall vs exact brute force: probing 4/16 cells must still find a
-    // meaningful share of the true neighbours
+    // recall vs exact brute force at the default auto nlist/nprobe
     val exact = VectorOps.cosineTopK(embs, Seq(0L, 1L, 2L), k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val hits = ivf1.map { case (q, v, _) => (q, v) }.count(exact.contains)
+    info(s"IVF default-probe recall: $hits/30")
     assert(hits >= 6, s"IVF recall too low: $hits/30")
+    // explicit recall bounds. The synthetic corpus is iid-random (avg
+    // pairwise cos ≈ 0.005, max ≈ 0.33), so the "true" top-10 is
+    // noise-level and spreads across all cells — no quantizer reaches
+    // 0.9 recall at partial probe on such data. The contract asserted
+    // instead: (a) probing half the cells recovers >= half the true
+    // neighbours (measured 19/30 here), and (b) the dial's end point is
+    // EXACT — probing every cell must reproduce brute force verbatim,
+    // recall 1.0, because the candidate set grows monotonically with
+    // nprobe and at nprobe = nlist the ranking is the brute-force one.
+    val half = VectorOps.ivfTopK(embs, Seq(0L, 1L, 2L), k = 10,
+        nlist = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val halfHits = half.count(exact.contains)
+    info(s"IVF nprobe=nlist/2 recall: $halfHits/30")
+    assert(halfHits >= 15, s"IVF half-probe recall below 0.5: $halfHits/30")
+    val full = VectorOps.ivfTopK(embs, Seq(0L, 1L, 2L), k = 10,
+        nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "full-probe IVF must equal brute force (recall 1.0)")
+  }
+
+  test("ivf quantizer trains on a bounded sample, never the corpus") {
+    // force the sample path by dropping the training bound far below
+    // the corpus size: the quantizer sees a seeded subset, yet search
+    // stays deterministic, well-formed, and usefully accurate
+    val n = embs.count()
+    val sampled1 = VectorOps.ivfTopK(embs, Seq(0L, 1L, 2L), k = 10,
+      maxTrainRows = n / 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val sampled2 = VectorOps.ivfTopK(embs, Seq(0L, 1L, 2L), k = 10,
+      maxTrainRows = n / 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(sampled1 === sampled2) // seeded sample → reproducible
+    assert(sampled1.size === 30)
+    val exact = VectorOps.cosineTopK(embs, Seq(0L, 1L, 2L), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = sampled1.map { case (q, v, _) => (q, v) }.count(exact.contains)
+    info(s"sample-trained IVF recall: $hits/30")
+    assert(hits >= 6, s"sample-trained IVF recall collapsed: $hits/30")
   }
 
   test("lsh bucket histogram partitions the corpus") {
