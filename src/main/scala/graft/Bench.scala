@@ -39,7 +39,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the line must be machine-readable: print it to stdout (forked run
+    // output bypasses sbt's logger, see build.sbt outputStrategy) AND
+    // drop it in a file so log-scraping never has to parse process noise
+    println(line)
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     spark.stop()
   }
 }
