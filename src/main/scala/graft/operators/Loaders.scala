@@ -105,6 +105,28 @@ object MethodRoutedLoader {
     val nRem = if (c.isNullAt(1)) 0L else c.getLong(1)
     val nRep = c.getLong(2) - nIns - nRem // unknown methods → REPLACE
 
+    if (graft.sources.JdbcTable.isJdbc(destPath)) {
+      // JDBC destination (reference parity: MySQL sink,
+      // `migrator.go:208-229`): REPLACE/REMOVE delete their ≤batch-size
+      // touched keys in one driver-side statement batch, then REPLACE
+      // and INSERT rows bulk-append through Spark's JDBC writer.
+      if (nRep > 0 || nRem > 0) {
+        val touched = replaces.select(pkCols.map(col): _*)
+          .union(removes.select(pkCols.map(col): _*))
+          .distinct().collect().map(_.toSeq)
+        graft.sources.JdbcTable.deleteKeys(destPath, batch.table, pkCols, touched)
+        if (nRep > 0)
+          graft.sources.JdbcTable.append(replaces, destPath, batch.table,
+            params.insertBatchSize)
+      }
+      if (nIns > 0)
+        graft.sources.JdbcTable.append(inserts, destPath, batch.table,
+          params.insertBatchSize)
+      df.unpersist()
+      return Map(Method.Insert.name -> nIns, Method.Replace.name -> nRep,
+        Method.Remove.name -> nRem)
+    }
+
     val buckets = resolveBuckets(spark, target, params, nRep > 0 || nRem > 0)
     if (buckets > 0)
       loadBucketed(spark, target, pkCols, params, buckets, inserts, replaces,

@@ -31,8 +31,9 @@ object Tables {
     // reference uses (MySQL DSN, `migrator.go:208-229`): a `jdbc:` root
     // maps table reads to the connector, with Catalyst pushing the
     // incremental predicates down as the reference ships its WHERE
-    // clause. (Exercised via the API contract only — this container has
-    // no database to integration-test against.)
+    // clause. JdbcPipelineSpec drains a full pipeline over embedded
+    // Derby end-to-end (pushdown asserted on the plan); the write half
+    // lives in [[JdbcTable]].
     if (sfDir.startsWith("jdbc:"))
       return spark.read.format("jdbc")
         .option("url", sfDir).option("dbtable", table).load()
