@@ -114,14 +114,18 @@ object VectorOps {
     // v: |u - v|² = 2 - 2·cos) — without this the cell ranking below
     // (cosine vs centroid) and the cell shapes disagree and recall drops
     val safeNorm = when(col("_nrm") === 0d, 1d).otherwise(col("_nrm"))
+    // index build reads the corpus many times (k-means|| init + every
+    // training iteration + the final assignment): pin the normalised
+    // features for its duration, release them once the index exists
     val fe = embeddings
       .withColumn("_nrm", norm(col("embedding")))
       .withColumn("features", array_to_vector(
         transform(col("embedding").cast("array<double>"), x => x / safeNorm)))
       .drop("_nrm")
+      .cache()
     // corpus size: one count over parquet row-group stats — drives both
     // the training-sample fraction and the auto nlist
-    val total = math.max(1L, fe.count())
+    val total = math.max(1L, embeddings.count())
     val nlistEff =
       if (nlist != Auto) nlist
       else math.min(4096L, math.max(16L, math.round(math.sqrt(total.toDouble)))).toInt
@@ -131,8 +135,14 @@ object VectorOps {
       else fe.sample(withReplacement = false, maxTrainRows.toDouble / total, seed = 42L)
     val model = new KMeans().setK(nlistEff).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(train)
+    // materialise the assignment — this IS the IVF index (a production
+    // deployment persists it); localCheckpoint truncates the lineage so
+    // the probe query reads assignments, never re-runs the assignment
+    // pass, and the feature cache can be released immediately
     val corpus = model.transform(fe)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      .localCheckpoint()
+    fe.unpersist()
 
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex

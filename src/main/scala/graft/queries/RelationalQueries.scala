@@ -247,7 +247,10 @@ object RelationalQueries {
     val gen2 = touched.filter(col("l_linenumber") === 1)
       .withColumn("timestampUpdated", lit("2024-02-01 00:00:00").cast("timestamp"))
       .withColumn("method", lit("REMOVE"))
-    val entries = gen1.unionByName(gen2).drop("l_linenumber")
+    // pin the changelog as data, as the real extractor pins its consumed
+    // snapshot — without this the lazy entries subplan re-scans lineitem
+    // in every changeBatch leg
+    val entries = gen1.unionByName(gen2).drop("l_linenumber").localCheckpoint()
     graft.operators.QueueExtractor.changeBatch(spark, spec, entries)
       .select(col("l_orderkey"), col("l_linenumber"),
         col(Method.Col).as("method"),
