@@ -70,6 +70,19 @@ object VectorOps {
     concat((0 until signBits).map(i =>
       (element_at(embedding, i + 1) >= 0f).cast("string")): _*)
 
+  /** Bucket-width dial for the sign-LSH family: enough bits that the
+    * EXPECTED bucket holds ~`targetBucketRows`, clamped to [8, 24]
+    * (256 to 16M buckets). 8 bits is right for the test corpus; a
+    * 100 TB corpus of 10¹⁰ docs lands at 24. Expectation only — real
+    * embedding signs are skewed, which is what the hot-bucket cap in
+    * [[nearDupPairs]] is for.
+    */
+  def autoSignBits(corpusRows: Long, targetBucketRows: Long = 1024L): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetBucketRows)) / math.log(2.0))
+    math.min(24, math.max(8, needed.toInt))
+  }
+
   /** Bucket histogram — the ANN index statistics (bucket key → size). */
   def lshBuckets(embeddings: DataFrame, signBits: Int = 8): DataFrame =
     embeddings
@@ -172,11 +185,28 @@ object VectorOps {
 
   /** Bucketed near-dup pairs: cosine over same-bucket pairs only —
     * the quadratic search collapses to an equi-join on the bucket key.
+    *
+    * Skew guard: sign patterns are NOT uniform (real embeddings have
+    * correlated dimensions), so a hot bucket can hold a corpus-scale
+    * share of vectors and make the within-bucket pairing quadratic
+    * regardless of `signBits`. Buckets larger than `maxBucketRows` are
+    * dropped from the pair search via a broadcast anti-join (the same
+    * shape as the Jaccard stop-shingle cap) — an explicit recall trade:
+    * members of a dropped bucket agree on so few informative sign bits
+    * that the bucket was mostly noise pairs anyway. Set 0 to disable.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double, signBits: Int = 8): DataFrame = {
-    val e = embeddings
+  def nearDupPairs(embeddings: DataFrame, threshold: Double, signBits: Int = 8,
+                   maxBucketRows: Long = 4096L): DataFrame = {
+    val e0 = embeddings
       .select(col("vec_id"), col("embedding"),
         signBucket(col("embedding"), signBits).as("bucket"))
+    val e =
+      if (maxBucketRows <= 0) e0
+      else {
+        val hot = e0.groupBy("bucket").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucketRows).select("bucket")
+        e0.join(broadcast(hot), Seq("bucket"), "left_anti")
+      }
     e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),

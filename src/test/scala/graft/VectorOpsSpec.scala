@@ -101,4 +101,33 @@ class VectorOpsSpec extends SparkSpec {
     val total = VectorOps.lshBuckets(embs).agg(sum("n")).head().getLong(0)
     assert(total === embs.count())
   }
+
+  test("sign-LSH width scales with corpus size") {
+    assert(VectorOps.autoSignBits(1000L) === 8) // floor
+    assert(VectorOps.autoSignBits(1L << 30, 1024L) === 20)
+    assert(VectorOps.autoSignBits(10000000000L, 1024L) === 24) // ceiling
+  }
+
+  test("near-dup hot-bucket cap drops oversized buckets, keeps the rest") {
+    import spark.implicits._
+    // adversarial skew: 50 vectors share one sign pattern (a hot
+    // bucket), 4 planted near-identical vectors live in another
+    val hot = (0 until 50).map { i =>
+      (100L + i, Array.fill(8)(1.0f + i * 0.01f) ++ Array.fill(56)(0.1f))
+    }
+    val planted = (0 until 4).map { i =>
+      (200L + i, Array.fill(8)(-1.0f - i * 0.001f) ++ Array.fill(56)(0.5f))
+    }
+    val df = (hot ++ planted).toDF("vec_id", "embedding")
+    val capped = VectorOps.nearDupPairs(df, threshold = 0.9, maxBucketRows = 20)
+      .collect()
+    // the hot bucket (50 > 20) contributes nothing; the small planted
+    // bucket survives with all its C(4,2) near-dup pairs
+    assert(capped.forall(r => r.getLong(0) >= 200L && r.getLong(1) >= 200L))
+    assert(capped.length === 6)
+    // uncapped finds the hot-bucket pairs too (the quadratic cost the
+    // cap exists to avoid)
+    val uncapped = VectorOps.nearDupPairs(df, threshold = 0.9, maxBucketRows = 0)
+    assert(uncapped.count() > 6)
+  }
 }
