@@ -129,6 +129,27 @@ object ParquetTable {
     if (hadOld) fs.delete(old, true)
   }
 
+  /** [[overwriteAtomic]] with a partitioned staging write — used by the
+    * loader's flat→bucketed layout migration, where the replacement
+    * must land as `partitionCol=` directories in one staged swap.
+    */
+  def overwriteAtomicPartitioned(spark: SparkSession, path: String,
+                                 df: DataFrame, partitionCol: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path + s".__staging_${stamp()}")
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(staging.toString)
+    val old = new Path(path + s".__old_${stamp()}")
+    val hadOld = fs.exists(p)
+    if (hadOld && !fs.rename(p, old))
+      throw new java.io.IOException(s"could not stage out current table at $p")
+    if (!fs.rename(staging, p)) {
+      if (hadOld) fs.rename(old, p)
+      throw new java.io.IOException(s"could not swap staging into $p")
+    }
+    if (hadOld) fs.delete(old, true)
+  }
+
   /** Compact a table's small files (the debt a long-running append /
     * streaming drain accumulates) into ~`targetRecordsPerFile`-row
     * files via an atomic rewrite. The maintenance companion to

@@ -54,11 +54,14 @@ final case class Params(
       * REPLACE/REMOVE rewrites touch only affected partitions instead of
       * the whole table (SURVEY §7.4 H1). 0 = unpartitioned;
       * [[Params.AutoBuckets]] (the default) lets the loader decide: an
-      * existing table keeps its recorded layout, a new table created by
-      * a REPLACE/REMOVE-bearing batch is bucketed at
-      * [[graft.operators.MethodRoutedLoader.DefaultAutoBuckets]], and an
-      * insert-only table stays flat (appends never rewrite, so bucketing
-      * would only cost small files). */
+      * existing table keeps its recorded layout, and an upsert-bearing
+      * flat table auto-migrates to a growth-sized bucket count once
+      * bucketing can out-prune its overhead (balls-in-bins math in
+      * [[graft.operators.MethodRoutedLoader]]; thresholds overridable
+      * via `extra("autoBucketTargetRows")` /
+      * `extra("autoBucketPruneFactor")`). Insert-only tables stay flat
+      * (appends never rewrite, so bucketing would only cost small
+      * files). */
     partitionBuckets: Int = Params.AutoBuckets,
     /** free-form passthrough, reference `Parameters = map[string]any`. */
     extra: Map[String, String] = Map.empty)

@@ -25,19 +25,29 @@ import graft.core._
   * size, so the anti-join broadcasts the keys and the target table
   * streams through without a shuffle.
   *
-  * Destination layout (SURVEY §7.4 H1): upsert-bearing tables default to
-  * a PK-hash-bucketed directory layout so the REPLACE/REMOVE rewrite
-  * touches only the buckets the batch hits — `touched/buckets` of the
-  * table instead of all of it, the difference between O(batch) and
-  * O(table) per micro-batch at 100 TB. The layout is self-describing
+  * Destination layout (SURVEY §7.4 H1): upsert-bearing tables migrate
+  * to a PK-hash-bucketed directory layout ONCE bucketing can actually
+  * prune. The balls-in-bins math decides: a batch of k random PKs over
+  * n buckets touches n·(1−e^(−k/n)) of them, so the rewritten fraction
+  * only drops below 1 when n ≫ k — a 32-bucket table under 1000-row
+  * batches rewrites EVERYTHING every batch and pays the partitioned
+  * write overhead on top (measured 3× slower than flat in DrainBench).
+  * Auto policy therefore: tables START FLAT; when a rewrite-bearing
+  * load finds the flat table has grown to where
+  * `bytes / TargetBytesPerBucket ≥ PruneWorthyFactor × batch-keys`, it
+  * migrates to n = 2^⌈log2(bytes/TargetBytesPerBucket)⌉ buckets (capped
+  * at [[MaxAutoBuckets]]) in one rewrite and writes the marker. From
+  * then on a rewrite touches ≈ k buckets out of n; at 100 TB that is
+  * the 65k-bucket cap (~1.5 GB each) and a 1k batch rewrites ~1.5% of
+  * the table instead of all of it. The growth probe is a filesystem
+  * content summary, not a Spark job — flat small tables pay nothing. The layout is self-describing
   * (a [[graft.core.ParquetTable.BucketMarker]] file records the count),
   * which also lets the queue extractor prune its lookup joins. Layout
   * resolution: an existing marker is LAW (a config value disagreeing
-  * with the physical hash partitioning would corrupt pruning); with no
-  * marker, an existing table stays flat (legacy layout), a new table is
-  * bucketed at [[MethodRoutedLoader.DefaultAutoBuckets]] if the creating
-  * batch carries REPLACE/REMOVE rows, and insert-only tables stay flat
-  * (appends never rewrite; bucketing them would only fragment files).
+  * with the physical hash partitioning would corrupt pruning); an
+  * explicit `PartitionBuckets` pins the layout at creation; insert-only
+  * tables stay flat (appends never rewrite; bucketing them would only
+  * fragment files).
   *
   * Schema evolution: upsert batches may add or omit columns relative to
   * the destination (`allowMissingColumns` union) — absent sides fill
@@ -51,26 +61,56 @@ object MethodRoutedLoader {
     */
   val BucketCol = "_bucket"
 
-  /** Bucket count for tables auto-created by an upsert-bearing batch
-    * under [[graft.core.Params.AutoBuckets]]. Sized for the local
-    * harness; a 100 TB deployment sets `PartitionBuckets` explicitly
-    * (target ≈ table_size / a-few-GB per bucket).
+  /** Auto-migration granule: buckets are sized to hold about this many
+    * BYTES of parquet (big enough that files stay healthy, small enough
+    * that a touched bucket is cheap to rewrite). Bytes, not rows,
+    * because the trigger must cost nothing per batch — a filesystem
+    * content summary, never a Spark job. Overridable per pipeline via
+    * `params.extra("autoBucketTargetBytes")`.
     */
-  val DefaultAutoBuckets = 32
+  val TargetBytesPerBucket = 256L * 1024 * 1024
+
+  /** Bucketing must out-prune its overhead: migrate only when the bucket
+    * count would be at least this multiple of the batch's rewrite keys,
+    * i.e. a batch leaves ≥ (1 − 1/factor) of the table untouched.
+    * Overridable via `params.extra("autoBucketPruneFactor")`.
+    */
+  val PruneWorthyFactor = 8L
+
+  /** Bucket-count ceiling (directory-entry hygiene; at the cap buckets
+    * simply grow past the target size).
+    */
+  val MaxAutoBuckets = 65536
 
   /** Resolve the physical layout for this load. Marker > explicit param
-    * > auto heuristic; see the class doc for the rules.
+    * > auto (flat until growth-triggered migration, handled in [[load]]);
+    * see the class doc for the rules.
     */
   private def resolveBuckets(spark: SparkSession, target: String,
-                             params: Params, batchRewrites: Boolean): Int =
+                             params: Params): Int =
     ParquetTable.readBucketMarker(spark, target) match {
       case Some(n) => n // physical layout is law
-      case None if ParquetTable.exists(spark, target) => 0 // legacy flat table
+      case None if ParquetTable.exists(spark, target) => 0 // flat so far
       case None =>
-        if (params.partitionBuckets == Params.AutoBuckets)
-          (if (batchRewrites) DefaultAutoBuckets else 0)
+        if (params.partitionBuckets == Params.AutoBuckets) 0 // start flat
         else math.max(params.partitionBuckets, 0)
     }
+
+  /** Growth-triggered migration decision for a flat table under the
+    * auto policy: returns the new bucket count when pruning has become
+    * worth the partitioned-write overhead (see class doc math).
+    */
+  private def autoMigrationBuckets(tableBytes: Long, rewriteKeys: Long,
+                                   params: Params): Option[Int] = {
+    val targetBytes = params.extra.get("autoBucketTargetBytes")
+      .map(_.toLong).getOrElse(TargetBytesPerBucket)
+    val factor = params.extra.get("autoBucketPruneFactor")
+      .map(_.toLong).getOrElse(PruneWorthyFactor)
+    val wanted = tableBytes.toDouble / targetBytes
+    if (wanted < math.max(2L, factor * math.max(1L, rewriteKeys))) None
+    else Some(math.min(MaxAutoBuckets.toDouble,
+      math.pow(2, math.ceil(math.log(wanted) / math.log(2)))).toInt)
+  }
 
   /** @return rows loaded per method, for logging/metrics parity with the
     *         reference's per-batch loglines (`loader_default.go:61`).
@@ -127,7 +167,28 @@ object MethodRoutedLoader {
         Method.Remove.name -> nRem)
     }
 
-    val buckets = resolveBuckets(spark, target, params, nRep > 0 || nRem > 0)
+    var buckets = resolveBuckets(spark, target, params)
+    // growth-triggered auto-migration: a flat table under the auto
+    // policy converts to a bucketed layout once pruning beats the
+    // partitioned-write overhead (class doc math). The size probe is a
+    // filesystem content summary — no Spark job per batch; the
+    // migration itself is one table rewrite, amortised over every
+    // pruned rewrite after it.
+    if (buckets == 0 && (nRep > 0 || nRem > 0) &&
+        params.partitionBuckets == Params.AutoBuckets &&
+        ParquetTable.exists(spark, target)) {
+      val tp = new Path(target)
+      val bytes = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(tp).getLength
+      autoMigrationBuckets(bytes, nRep + nRem, params).foreach { n =>
+        val existing = ParquetTable.read(spark, target).get
+        ParquetTable.overwriteAtomicPartitioned(spark, target,
+          existing.withColumn(BucketCol,
+            pmod(xxhash64(pkCols.map(col): _*), lit(n.toLong))), BucketCol)
+        ParquetTable.writeBucketMarker(spark, target, n)
+        buckets = n
+      }
+    }
     if (buckets > 0)
       loadBucketed(spark, target, pkCols, params, buckets, inserts, replaces,
         removes, nIns, nRep, nRem)

@@ -50,6 +50,54 @@ class BucketedLoaderSpec extends SparkSpec {
     assert(got.filter(col("id") === 500L).head().getString(1) === "v500-NEW")
   }
 
+  test("auto policy: flat until growth makes pruning worth it, then migrates") {
+    val dest = tmpDir("am-dest")
+    val target = s"$dest/t.parquet"
+    // thresholds scaled down so a ~10 KB table triggers: wanted =
+    // bytes/1024 (a few dozen buckets) >= max(2, 2 * rewriteKeys)
+    val params = Params(extra = Map(
+      "autoBucketTargetBytes" -> "1024", "autoBucketPruneFactor" -> "2"))
+
+    // insert-only creation stays flat (appends never rewrite)
+    val seed = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .withColumn(Method.Col, lit("INSERT"))
+    MethodRoutedLoader.load(spark, TableBatch("b", "t", seed), dest, Seq("id"), params)
+    assert(ParquetTable.readBucketMarker(spark, target).isEmpty)
+
+    // a small upsert against the small table stays flat too: with
+    // pruneFactor 1000 the bucket count can never out-prune the batch
+    val stayFlat = Seq((1L, "v1-NEW")).toDF("id", "v")
+      .withColumn(Method.Col, lit("REPLACE"))
+    MethodRoutedLoader.load(spark, TableBatch("b", "t", stayFlat), dest, Seq("id"),
+      Params(extra = Map(
+        "autoBucketTargetBytes" -> "1024", "autoBucketPruneFactor" -> "100000")))
+    assert(ParquetTable.readBucketMarker(spark, target).isEmpty)
+
+    // past the threshold the same load migrates to 2^ceil(log2(bytes/1024))
+    val upsert = Seq((2L, "v2-NEW"), (3L, "v3-NEW")).toDF("id", "v")
+      .withColumn(Method.Col, lit("REPLACE"))
+    MethodRoutedLoader.load(spark, TableBatch("b", "t", upsert), dest, Seq("id"), params)
+    val marker = ParquetTable.readBucketMarker(spark, target)
+    assert(marker.exists(n => n >= 8 && (n & (n - 1)) == 0),
+      s"expected a pow-2 bucket count >= 8, got $marker")
+    assert(filesPerBucket(target).nonEmpty)
+
+    // data survived the migration and the upsert applied
+    val got = spark.read.parquet(target).drop(MethodRoutedLoader.BucketCol)
+    assert(got.count() === 1000)
+    assert(got.filter(col("id") === 1L).head().getString(1) === "v1-NEW")
+    assert(got.filter(col("id") === 2L).head().getString(1) === "v2-NEW")
+
+    // the recorded layout is now law: later loads prune against it
+    val before = filesPerBucket(target)
+    val one = Seq((500L, "v500-NEW")).toDF("id", "v")
+      .withColumn(Method.Col, lit("REPLACE"))
+    MethodRoutedLoader.load(spark, TableBatch("b", "t", one), dest, Seq("id"), params)
+    val after = filesPerBucket(target)
+    val changed = before.keySet.filter(b => before(b) != after.getOrElse(b, Set.empty))
+    assert(changed.size === 1, s"expected 1 rewritten bucket, got $changed")
+  }
+
   test("bucketed delete prunes partitions and preserves the rest") {
     val src = tmpDir("bd-src"); val dest = tmpDir("bd-dest")
     (1L to 200L).map(i => (i, i * 2)).toDF("id", "v")
