@@ -132,13 +132,19 @@ object ParquetTable {
   /** [[overwriteAtomic]] with a partitioned staging write — used by the
     * loader's flat→bucketed layout migration, where the replacement
     * must land as `partitionCol=` directories in one staged swap.
+    * `bucketMarker` writes the [[BucketMarker]] file INTO the staging
+    * dir before the rename: data and layout marker then become visible
+    * in the same atomic swap (a marker written after the swap leaves a
+    * crash window where bucketed data reads as flat).
     */
   def overwriteAtomicPartitioned(spark: SparkSession, path: String,
-                                 df: DataFrame, partitionCol: String): Unit = {
+                                 df: DataFrame, partitionCol: String,
+                                 bucketMarker: Option[Int] = None): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + s".__staging_${stamp()}")
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(staging.toString)
+    bucketMarker.foreach(n => writeBucketMarker(spark, staging.toString, n))
     val old = new Path(path + s".__old_${stamp()}")
     val hadOld = fs.exists(p)
     if (hadOld && !fs.rename(p, old))

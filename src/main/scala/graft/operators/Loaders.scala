@@ -71,8 +71,11 @@ object MethodRoutedLoader {
   val TargetBytesPerBucket = 256L * 1024 * 1024
 
   /** Bucketing must out-prune its overhead: migrate only when the bucket
-    * count would be at least this multiple of the batch's rewrite keys,
-    * i.e. a batch leaves ≥ (1 − 1/factor) of the table untouched.
+    * count would be at least this multiple of the pipeline's CONFIGURED
+    * batch size (the steady-state bound on rewrite keys per batch — the
+    * current batch's count would let one trickle batch lock in a layout
+    * that is pessimal for every full batch after it), i.e. a full batch
+    * still leaves ≥ (1 − 1/factor) of the table untouched.
     * Overridable via `params.extra("autoBucketPruneFactor")`.
     */
   val PruneWorthyFactor = 8L
@@ -100,14 +103,14 @@ object MethodRoutedLoader {
     * auto policy: returns the new bucket count when pruning has become
     * worth the partitioned-write overhead (see class doc math).
     */
-  private def autoMigrationBuckets(tableBytes: Long, rewriteKeys: Long,
+  private def autoMigrationBuckets(tableBytes: Long,
                                    params: Params): Option[Int] = {
     val targetBytes = params.extra.get("autoBucketTargetBytes")
       .map(_.toLong).getOrElse(TargetBytesPerBucket)
     val factor = params.extra.get("autoBucketPruneFactor")
       .map(_.toLong).getOrElse(PruneWorthyFactor)
     val wanted = tableBytes.toDouble / targetBytes
-    if (wanted < math.max(2L, factor * math.max(1L, rewriteKeys))) None
+    if (wanted < math.max(2L, factor * math.max(1L, params.batchSize.toLong))) None
     else Some(math.min(MaxAutoBuckets.toDouble,
       math.pow(2, math.ceil(math.log(wanted) / math.log(2)))).toInt)
   }
@@ -150,17 +153,25 @@ object MethodRoutedLoader {
       // `migrator.go:208-229`): REPLACE/REMOVE delete their ≤batch-size
       // touched keys in one driver-side statement batch, then REPLACE
       // and INSERT rows bulk-append through Spark's JDBC writer.
+      // schema alignment runs FIRST: a batch/destination mismatch must
+      // fail before the destructive key delete, not after it
+      val repAligned =
+        if (nRep > 0) graft.sources.JdbcTable.align(replaces, destPath, batch.table)
+        else replaces
+      val insAligned =
+        if (nIns > 0) graft.sources.JdbcTable.align(inserts, destPath, batch.table)
+        else inserts
       if (nRep > 0 || nRem > 0) {
         val touched = replaces.select(pkCols.map(col): _*)
           .union(removes.select(pkCols.map(col): _*))
           .distinct().collect().map(_.toSeq)
         graft.sources.JdbcTable.deleteKeys(destPath, batch.table, pkCols, touched)
         if (nRep > 0)
-          graft.sources.JdbcTable.append(replaces, destPath, batch.table,
+          graft.sources.JdbcTable.append(repAligned, destPath, batch.table,
             params.insertBatchSize)
       }
       if (nIns > 0)
-        graft.sources.JdbcTable.append(inserts, destPath, batch.table,
+        graft.sources.JdbcTable.append(insAligned, destPath, batch.table,
           params.insertBatchSize)
       df.unpersist()
       return Map(Method.Insert.name -> nIns, Method.Replace.name -> nRep,
@@ -180,12 +191,15 @@ object MethodRoutedLoader {
       val tp = new Path(target)
       val bytes = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(tp).getLength
-      autoMigrationBuckets(bytes, nRep + nRem, params).foreach { n =>
+      autoMigrationBuckets(bytes, params).foreach { n =>
         val existing = ParquetTable.read(spark, target).get
+        // marker rides inside the staged directory so layout + marker
+        // swap in atomically — a crash can never leave bucketed data
+        // that the next load would misread as flat
         ParquetTable.overwriteAtomicPartitioned(spark, target,
           existing.withColumn(BucketCol,
-            pmod(xxhash64(pkCols.map(col): _*), lit(n.toLong))), BucketCol)
-        ParquetTable.writeBucketMarker(spark, target, n)
+            pmod(xxhash64(pkCols.map(col): _*), lit(n.toLong))), BucketCol,
+          bucketMarker = Some(n))
         buckets = n
       }
     }

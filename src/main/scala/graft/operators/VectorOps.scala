@@ -83,12 +83,21 @@ object VectorOps {
     math.min(24, math.max(8, needed.toInt))
   }
 
+  /** `signBits = Auto` (0): size the family from the corpus via
+    * [[autoSignBits]] — one metadata-cheap count. At the test SFs this
+    * resolves to the 8-bit floor, so the oracle replays it exactly.
+    */
+  private def resolveSignBits(embeddings: DataFrame, signBits: Int): Int =
+    if (signBits != Auto) signBits else autoSignBits(embeddings.count())
+
   /** Bucket histogram — the ANN index statistics (bucket key → size). */
-  def lshBuckets(embeddings: DataFrame, signBits: Int = 8): DataFrame =
+  def lshBuckets(embeddings: DataFrame, signBits: Int = Auto): DataFrame = {
+    val bits = resolveSignBits(embeddings, signBits)
     embeddings
-      .withColumn("bucket", signBucket(col("embedding"), signBits))
+      .withColumn("bucket", signBucket(col("embedding"), bits))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
+  }
 
   /** `nlist`/`nprobe` sentinel: derive from the corpus size. */
   val Auto: Int = 0
@@ -195,11 +204,12 @@ object VectorOps {
     * members of a dropped bucket agree on so few informative sign bits
     * that the bucket was mostly noise pairs anyway. Set 0 to disable.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double, signBits: Int = 8,
+  def nearDupPairs(embeddings: DataFrame, threshold: Double, signBits: Int = Auto,
                    maxBucketRows: Long = 4096L): DataFrame = {
+    val bits = resolveSignBits(embeddings, signBits)
     val e0 = embeddings
       .select(col("vec_id"), col("embedding"),
-        signBucket(col("embedding"), signBits).as("bucket"))
+        signBucket(col("embedding"), bits).as("bucket"))
     val e =
       if (maxBucketRows <= 0) e0
       else {

@@ -229,12 +229,19 @@ object ExtOracles {
         |FROM m, unnest(range(4)) AS u(i)
         |ORDER BY media_id, frame_no""".stripMargin,
 
+    // eligible-bucket CTE replays VectorOps.nearDupPairs' hot-bucket cap
+    // (default maxBucketRows = 4096): buckets above the cap contribute
+    // no pairs. The test corpus never nears it, but the oracle must
+    // mirror the operator's DEFAULT semantics, not a lucky subset.
     "embed_neardup_pairs" ->
-      s"""WITH $embCte
+      s"""WITH $embCte,
+         |eb AS (SELECT e.*, count(*) OVER (PARTITION BY ${bucketExpr("e")}) AS bn
+         |       FROM e)
          |SELECT x.vec_id AS a, y.vec_id AS b, round($cosExpr, 4) AS cos
-         |FROM e x JOIN e y
+         |FROM eb x JOIN eb y
          |  ON ${bucketExpr("x")} = ${bucketExpr("y")} AND x.vec_id < y.vec_id
-         |WHERE round($cosExpr, 4) >= 0.4
+         |WHERE x.bn <= 4096 AND y.bn <= 4096
+         |  AND round($cosExpr, 4) >= 0.4
          |ORDER BY a, b""".stripMargin,
   )
 }

@@ -54,8 +54,9 @@ class BucketedLoaderSpec extends SparkSpec {
     val dest = tmpDir("am-dest")
     val target = s"$dest/t.parquet"
     // thresholds scaled down so a ~10 KB table triggers: wanted =
-    // bytes/1024 (a few dozen buckets) >= max(2, 2 * rewriteKeys)
-    val params = Params(extra = Map(
+    // bytes/1024 (a few dozen buckets) >= max(2, factor * batchSize)
+    // with the CONFIGURED batch size as the steady-state key bound
+    val params = Params(batchSize = 2, extra = Map(
       "autoBucketTargetBytes" -> "1024", "autoBucketPruneFactor" -> "2"))
 
     // insert-only creation stays flat (appends never rewrite)
