@@ -37,13 +37,36 @@ object Tables {
     if (sfDir.startsWith("jdbc:"))
       return spark.read.format("jdbc")
         .option("url", sfDir).option("dbtable", table).load()
-    val raw = spark.read.parquet(s"$sfDir/$table.parquet")
+    val raw = readFile(spark, sfDir, table)
     nanosTimestampCols.getOrElse(table, Nil).foldLeft(raw) { (df, c) =>
       if (df.schema.fieldNames.contains(c) &&
           df.schema(c).dataType == org.apache.spark.sql.types.LongType)
         df.withColumn(c, expr(s"cast(timestamp_micros($c div 1000) as timestamp_ntz)"))
       else df
     }
+  }
+
+  /** File-format resolution: `<table>.parquet` wins, then `.orc`,
+    * `.csv` (header + inferSchema — a production pipeline supplies an
+    * explicit schema instead of paying the inference scan), then
+    * `.json` (schema-inferred likewise). The reference is JDBC-only;
+    * these are the Spark-built-in formats a storage-rooted catalog gets
+    * for free, behind the same contract.
+    */
+  private def readFile(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(suffix: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$table.$suffix")
+      p.getFileSystem(conf).exists(p)
+    }
+    if (exists("parquet")) spark.read.parquet(s"$sfDir/$table.parquet")
+    else if (exists("orc")) spark.read.orc(s"$sfDir/$table.orc")
+    else if (exists("csv"))
+      spark.read.option("header", true).option("inferSchema", true)
+        .csv(s"$sfDir/$table.csv")
+    else if (exists("json")) spark.read.json(s"$sfDir/$table.json")
+    else // surface the canonical path in the error, as a plain read would
+      spark.read.parquet(s"$sfDir/$table.parquet")
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = readTable(spark, dir, "lineitem")
