@@ -1,0 +1,67 @@
+package graft
+
+/** Physical-plan regression guards for the headline queries: the plan
+  * properties that make them scale are asserted, not just observed in
+  * PLANS.md — a refactor that silently turns a broadcast join into a
+  * shuffle join or unpushes a scan filter fails here, long before a
+  * benchmark would notice.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q3_topk: filters pushed to scans, dims broadcast, top-k not a global sort") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not plan a global sort")
+    assert(p.contains("BroadcastHashJoin"), "customer/orders sides must broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed to the customer scan:\n$p")
+  }
+
+  test("seq_scan: incremental predicate reaches the parquet scan") {
+    val p = plan("seq_scan")
+    assert(p.contains("TakeOrderedAndProject"), "batch limit must be a top-k")
+    assert(p.contains("GreaterThan(o_orderkey"),
+      s"position predicate not pushed:\n$p")
+  }
+
+  test("join_broadcast: dimension joins stay broadcast, fact side never shuffles") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to a shuffle join:\n$p")
+  }
+
+  test("q1_agg: partial aggregation before the exchange (map-side combine)") {
+    val p = plan("q1_agg")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // the OUTPUT side of the plan tree prints top-down: the final agg
+    // appears first, the exchange between the two HashAggregates
+    assert(p.indexOf("HashAggregate", exchange) > 0,
+      s"no partial aggregate below the exchange:\n$p")
+  }
+
+  test("dedup_exact: one shuffle on the content hash, nothing else") {
+    val p = plan("dedup_exact")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, s"exact dedup should shuffle once (+1 for ordering), got $shuffles:\n$p")
+  }
+
+  test("cdc lookup join: queue side broadcasts, base side does not shuffle") {
+    val p = plan("cdc_composite_pk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"queue->base lookup must broadcast the batch side:\n$p")
+  }
+
+  test("embed_topk: query set broadcasts against the corpus stream") {
+    val p = plan("embed_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bounded query set must broadcast:\n$p")
+    assert(p.contains("arraydot"), s"native codegen dot product missing:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must use the group-limit pushdown, not a full window sort:\n$p")
+  }
+}
