@@ -67,6 +67,21 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup over a document stream: first sighting of a
+    * content fingerprint wins, duplicates within the watermark horizon
+    * are dropped, and — the part plain `dropDuplicates` gets wrong at
+    * scale — state for fingerprints older than `lateness` is EVICTED
+    * (`dropDuplicatesWithinWatermark`), so state size follows the event
+    * rate × horizon, not corpus lifetime. The streaming face of
+    * [[graft.operators.TextOps.exactDedup]] for ingest-time dedup; the
+    * batch operator remains the corpus-wide authority.
+    */
+  def dedupStream(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(lower(col("text"))))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Watermarked tumbling-window aggregation — the streaming form of the
     * `events_tumbling` batch query; late rows beyond `lateness` are
     * dropped by the watermark, state is bounded per window × type.

@@ -81,6 +81,32 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(v1 === "one-NEW")
   }
 
+  test("streaming: watermarked exact dedup keeps first sighting, bounds state") {
+    val src = tmpDir("sd-src")
+    // 60 docs: 20 distinct texts, each appearing 3x with later timestamps
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 10:${i % 50}%02d:00"),
+        s"doc body number ${i % 20}")
+    }
+    rows.toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$src/docs")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$src/docs").schema)
+      .parquet(s"$src/docs")
+    val out = tmpDir("sd-out"); val ckpt = tmpDir("sd-ckpt")
+    val q = StreamingPipeline.dedupStream(stream).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 20) // one survivor per distinct content
+    assert(got.select("fp").distinct().count() === 20)
+    // the plan carries the state-evicting dedup operator, not the
+    // unbounded-state dropDuplicates
+    assert(StreamingPipeline.dedupStream(stream).queryExecution.logical.toString
+      .contains("WithinWatermark"))
+  }
+
   test("streaming: watermarked tumbling window matches the batch plan") {
     val src = tmpDir("wm-src")
     val rows = (0 until 200).map { i =>
