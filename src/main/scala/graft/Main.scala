@@ -14,10 +14,14 @@ import graft.core.{Config, Runner}
 object Main {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Main <config.yaml> [timeoutSeconds|--once]")
-    val specs = Config.load(args(0))
+    val loaded = Config.loadFull(args(0))
+    val specs = loaded.pipelines
     val spark = GraftSession.local()
-    val trackingPath = sys.env.getOrElse("GRAFT_TRACKING_PATH",
-      specs.head.destinationPath + "/_tracking")
+    // precedence: YAML `tracking-path` > env > beside the first sink
+    // (reference: TrackingTableName config, cmd/migrator/main.go:35)
+    val trackingPath = loaded.trackingPath
+      .orElse(sys.env.get("GRAFT_TRACKING_PATH"))
+      .getOrElse(specs.head.destinationPath + "/_tracking")
     val runner = new Runner(spark, specs, trackingPath,
       errorCallback = (ctx, e) =>
         System.err.println(

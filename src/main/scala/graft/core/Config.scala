@@ -30,16 +30,30 @@ import org.yaml.snakeyaml.Yaml
   */
 object Config {
 
-  def parse(yaml: String): Seq[PipelineSpec] = {
+  /** Whole config file: pipelines plus the engine-level settings the
+    * reference keeps at the root (`TrackingTableName`,
+    * `cmd/migrator/main.go:35` — here a tracking PATH, since position
+    * state lives in a table directory, not a MySQL table name).
+    */
+  final case class Loaded(pipelines: Seq[PipelineSpec],
+                          trackingPath: Option[String])
+
+  def parse(yaml: String): Seq[PipelineSpec] = parseFull(yaml).pipelines
+
+  def parseFull(yaml: String): Loaded = {
     val root = new Yaml().load[java.util.Map[String, Any]](yaml)
     require(root != null && root.containsKey("pipelines"),
       "config needs a top-level `pipelines` list")
-    root.get("pipelines").asInstanceOf[java.util.List[java.util.Map[String, Any]]]
-      .asScala.toSeq.map(parsePipeline)
+    Loaded(
+      root.get("pipelines").asInstanceOf[java.util.List[java.util.Map[String, Any]]]
+        .asScala.toSeq.map(parsePipeline),
+      Option(root.get("tracking-path")).map(_.toString))
   }
 
-  def load(path: String): Seq[PipelineSpec] =
-    parse(new String(java.nio.file.Files.readAllBytes(
+  def load(path: String): Seq[PipelineSpec] = loadFull(path).pipelines
+
+  def loadFull(path: String): Loaded =
+    parseFull(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8"))
 
   private def parsePipeline(m: java.util.Map[String, Any]): PipelineSpec = {

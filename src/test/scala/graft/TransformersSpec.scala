@@ -47,6 +47,23 @@ class TransformersSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("config: top-level tracking-path surfaces (reference TrackingTableName)") {
+    val y = """tracking-path: /state/track
+              |pipelines:
+              |  - source-database: a
+              |    source-table: t
+              |    key: id
+              |    source-path: /tmp/x
+              |    destination-path: /tmp/y
+              |""".stripMargin
+    val loaded = Config.parseFull(y)
+    assert(loaded.trackingPath === Some("/state/track"))
+    assert(loaded.pipelines.size === 1)
+    // absent key -> None (callers fall back to env / sink-side default)
+    assert(Config.parseFull(y.linesIterator.drop(1).mkString("\n"))
+      .trackingPath.isEmpty)
+  }
+
   test("property: REPLACE load is idempotent (twice ≡ once)") {
     val src = tmpDir("prop-src")
     (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
