@@ -61,6 +61,9 @@ object SparkEntry {
     "text_quality_filter" -> (graft.queries.ExtQueries.textQualityFilter(_, _)),
     "text_token_counts" -> (graft.queries.ExtQueries.textTokenCounts(_, _)),
     "text_bm25" -> (graft.queries.ExtQueries.textBm25(_, _)),
+    "text_pii_scrub" -> (graft.queries.ExtQueries.textPiiScrub(_, _)),
+    "text_contamination" -> (graft.queries.ExtQueries.textContamination(_, _)),
+    "text_surprisal" -> (graft.queries.ExtQueries.textSurprisal(_, _)),
     "approx_distinct" -> (graft.queries.ExtQueries.approxDistinct(_, _)),
     "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
     "text_fingerprint" -> (graft.queries.ExtQueries.textFingerprint(_, _)),

@@ -203,6 +203,22 @@ object TextOps {
     * anti-join; the one broadcast exchange is reused across the three
     * shingle branches.
     */
+  /** The inverted index minus stop-shingles: shingles present in more
+    * than `maxDfFrac` of the corpus leave ENTIRELY (they discriminate
+    * nothing and their posting lists quadratic-ify any shingle join).
+    * The stop set is small by construction → broadcast anti-join.
+    * Shared by [[jaccardPairs]] and [[contamination]].
+    */
+  private def informativeShingles(docs: DataFrame, maxDfFrac: Double): DataFrame = {
+    val sh0 = shingles(docs)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val stop = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n_docs") * maxDfFrac)
+      .select("s")
+    sh0.join(broadcast(stop), Seq("s"), "left_anti")
+  }
+
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                    maxDfFrac: Double = 0.1): DataFrame = {
     // The shingle subplan appears three times (sizes + both join sides);
@@ -210,13 +226,7 @@ object TextOps {
     // (the per-shingle window shuffle quintuples the join input) and a
     // localCheckpoint materialisation — the sizes joins broadcast
     // (O(docs) rows), so re-deriving shingles is the cheaper currency.
-    val sh0 = shingles(docs)
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val stop = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") > col("n_docs") * maxDfFrac)
-      .select("s")
-    val sh = sh0.join(broadcast(stop), Seq("s"), "left_anti")
+    val sh = informativeShingles(docs, maxDfFrac)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -229,6 +239,67 @@ object TextOps {
         round(col("common") / (col("na") + col("nb") - col("common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+  }
+
+  /** Benchmark-contamination detection — the eval-hygiene pass every
+    * training pipeline runs: documents sharing ≥ `minShared`
+    * informative shingles with any benchmark document are flagged, with
+    * the shared-shingle and benchmark-doc counts as evidence. The
+    * shingle equi-join is the inverted-index shape (cost follows true
+    * overlap, not corpus × benchmark), and the stop-shingle cap keeps
+    * boilerplate from flagging everything.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+                    minShared: Int = 3, maxDfFrac: Double = 0.1): DataFrame = {
+    val sh = informativeShingles(docs, maxDfFrac)
+    val bench = shingles(benchmark)
+      .withColumnRenamed("doc_id", "bench_id")
+    sh.join(bench, "s")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct("s").as("shared_shingles"),
+        countDistinct("bench_id").as("benchmark_docs"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
+  /** PII scrubbing: emails and IPv4 literals are redacted with typed
+    * placeholders and counted per document — regex built-ins only
+    * (codegen'd, streamed, oracle-replayable; both patterns parse
+    * identically under Java regex and RE2).
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      // function form (not expr/SQL literals): Spark SQL string parsing
+      // would eat the regex backslashes
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("bigint").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0)))
+        .cast("bigint").as("n_ips"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>")).as("scrub_fp"))
+
+  /** Unigram-surprisal quality score — the cheap language-model proxy
+    * (mean −ln p(token) under the corpus unigram distribution): low =
+    * repetitive/templated text, high = rare-token soup; both tails are
+    * filter candidates. Two shuffles (corpus frequencies, per-doc mean);
+    * the frequency join keys on the token, the natural layout when the
+    * vocabulary outgrows a broadcast.
+    */
+  def surprisal(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).cast("double").as("n"))
+    tok.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        round(avg(-log(col("c") / col("n"))), 4).as("mean_surprisal"),
+        count(lit(1)).cast("bigint").as("n_tokens"))
   }
 
   /** Token counting beyond whitespace: a BPE-ish regex pass (letter

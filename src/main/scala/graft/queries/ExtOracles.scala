@@ -10,6 +10,12 @@ object ExtOracles {
 
   private val tokCte = "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
 
+  /** One row per (doc, token) — the exploded form the surprisal oracle
+    * consumes.
+    */
+  private val tokCte2 =
+    "tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)"
+
   private val shCte =
     """sh AS (SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
       |       FROM tok, unnest(range(len(t) - 2)) AS u(i))""".stripMargin
@@ -137,6 +143,60 @@ object ExtOracles {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays TextOps.piiScrub over the same derived-PII text; DuckDB
+    // regexp_replace needs the 'g' flag for replace-all (Spark's default)
+    "text_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact doc' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |    AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |    AS n_emails,
+        |  len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_fp
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // replays TextOps.contamination: corpus shingles (every-100th docs
+    // excluded) minus stop-shingles, equi-joined to benchmark shingles
+    "text_contamination" ->
+      """WITH tokc AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE doc_id % 100 <> 0),
+        |shc0 AS (SELECT DISTINCT doc_id,
+        |           t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        |         FROM tokc, unnest(range(len(t) - 2)) AS u(i)),
+        |shc AS (SELECT doc_id, s FROM (
+        |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+        |          FROM shc0)
+        |        WHERE df <= (SELECT count(*) FROM documents
+        |                     WHERE doc_id % 100 <> 0) * 0.1),
+        |tokb AS (SELECT doc_id, string_split(text, ' ') AS t
+        |         FROM documents WHERE doc_id % 100 = 0),
+        |shb AS (SELECT DISTINCT doc_id AS bench_id,
+        |          t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        |        FROM tokb, unnest(range(len(t) - 2)) AS u(i))
+        |SELECT c.doc_id,
+        |  count(DISTINCT c.s) AS shared_shingles,
+        |  count(DISTINCT b.bench_id) AS benchmark_docs
+        |FROM shc c JOIN shb b ON c.s = b.s AND c.doc_id <> b.bench_id
+        |GROUP BY 1 HAVING count(DISTINCT c.s) >= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // replays TextOps.surprisal: corpus unigram distribution, per-doc
+    // mean -ln p(token)
+    "text_surprisal" ->
+      s"""WITH $tokCte2,
+         |freq AS (SELECT w, count(*) AS c FROM tokw GROUP BY w),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tokw)
+         |SELECT doc_id, round(avg(-ln(c / n)), 4) AS mean_surprisal,
+         |  count(*) AS n_tokens
+         |FROM tokw JOIN freq USING (w), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_bm25" ->
       """WITH tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -64,6 +64,31 @@ object ExtQueries {
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashPairs(docs(spark, dir)).orderBy("a", "b")
 
+  /** The clean synthetic corpus carries no PII, so the scrub query
+    * derives deterministic PII columns from the table itself (the same
+    * move `cdc_composite_pk` makes for its changelog) and redacts them.
+    */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact doc"), col("doc_id"), lit("@example.com from 10.0."),
+        col("doc_id") % 256, lit(".7")).as("text"))
+    TextOps.piiScrub(withPii).orderBy("doc_id")
+  }
+
+  /** Benchmark set = every 100th document; the rest is the training
+    * corpus screened against it.
+    */
+  def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.contamination(
+      d.filter(col("doc_id") % 100 =!= 0),
+      d.filter(col("doc_id") % 100 === 0)).orderBy("doc_id")
+  }
+
+  def textSurprisal(spark: SparkSession, dir: String): DataFrame =
+    TextOps.surprisal(docs(spark, dir)).orderBy("doc_id")
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     TextOps.exactDedup(docs(spark, dir)).orderBy("fp")
 
