@@ -72,6 +72,10 @@ object SparkEntry {
     "dedup_minhash_bands" -> (graft.queries.ExtQueries.dedupMinhashBands(_, _)),
     "dedup_minhash_pairs" -> (graft.queries.ExtQueries.dedupMinhashPairs(_, _)),
     "dedup_jaccard_pairs" -> (graft.queries.ExtQueries.dedupJaccardPairs(_, _)),
+    "dedup_clusters" -> (graft.queries.ExtQueries.dedupClusters(_, _)),
+    "text_repetition" -> (graft.queries.ExtQueries.textRepetition(_, _)),
+    "sample_stratified" -> (graft.queries.ExtQueries.sampleStratified(_, _)),
+    "pack_sequences" -> (graft.queries.ExtQueries.packSequences(_, _)),
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators: deterministic sampling and token-budget
+  * sequence packing — the steps between "filtered corpus" and "training
+  * shards" in an LLM data pipeline ([EXT] surface, SURVEY §7).
+  */
+object CorpusOps {
+
+  /** 16-bit deterministic hash of an id: the first four hex nibbles of
+    * md5(id). Engine-portable (the DuckDB oracle replays it with the
+    * strpos nibble trick), uniform enough for sampling, and stable
+    * across runs/partitionings — the property random() lacks.
+    */
+  def hash16(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("bigint")
+
+  /** Deterministic stratified sampling: per-stratum keep-rates applied
+    * through [[hash16]] of the document id, so the sample is
+    * reproducible row-for-row regardless of partitioning or cluster
+    * size (Spark's `sample()` is seed-stable only per partitioning).
+    * A pure codegen'd filter — no shuffle, scales embarrassingly; the
+    * keep decision pushes no further than the md5 (the scan still
+    * prunes to the three referenced columns).
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), hash16(col("doc_id")).as("h16"))
+      .filter(col("h16") < rate * 65536)
+  }
+
+  /** Greedy sequential packing of documents into fixed token-budget
+    * bins, per language: documents are taken in doc_id order and a
+    * document opens bin ⌊exclusive-cumsum ∕ budget⌋ — i.e. a new bin
+    * starts whenever the running total crosses a budget boundary (a
+    * straddling document carries into its bin; the budget is a target,
+    * not a hard ceiling — the semantics sequence-packing pipelines use
+    * when documents must not be split).
+    *
+    * Scale shape: one window cumsum PARTITIONED by the stratum (never a
+    * global window — the per-lang partitions parallelise across the
+    * cluster) + one hash aggregation. Token estimate = the chars/4
+    * heuristic from [[TextOps.tokenCounts]].
+    */
+  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("lang"),
+        ceil(length(col("text")) / 4.0).cast("bigint").as("est_tokens"))
+      .withColumn("cum", sum("est_tokens").over(w))
+      .withColumn("bin_id",
+        floor((col("cum") - col("est_tokens")) / lit(budget.toDouble)).cast("bigint"))
+      .groupBy("lang", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("est_tokens").as("bin_tokens"))
+  }
+}

@@ -302,6 +302,32 @@ object TextOps {
         count(lit(1)).cast("bigint").as("n_tokens"))
   }
 
+  /** Gopher-style repetition signals — the repetitious-text filters a
+    * training pipeline runs alongside [[textStats]]: fraction of
+    * duplicate tokens, fraction of duplicate bigrams, and the share of
+    * the single most frequent token. The duplicate fractions are pure
+    * array-side work per document (no shuffle); the mode needs one
+    * explode + two-level aggregation, both map-side combinable.
+    * Documents under two tokens have no bigrams and are skipped.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= 2)
+    val top = tok.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max("c") / sum("c").cast("double"), 4).as("top_token_frac"))
+    tok.select(col("doc_id"), col("t"),
+        expr("transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))")
+          .as("bg"))
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4)
+          .as("dup_token_frac"),
+        round(lit(1.0) - size(array_distinct(col("bg"))) / size(col("bg")).cast("double"), 4)
+          .as("dup_bigram_frac"))
+      .join(top, "doc_id")
+  }
+
   /** Token counting beyond whitespace: a BPE-ish regex pass (letter
     * runs / digit runs / single other chars — the shape of a byte-level
     * BPE pre-tokenizer) plus the chars/4 heuristic LLM pipelines use for

@@ -251,6 +251,66 @@ object ExtOracles {
          |WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) >= 0.5
          |ORDER BY a, b""".stripMargin,
 
+    // transitive closure of the minhash candidate pairs via recursive
+    // CTE (min reachable id = Spark's min-label-propagation fixpoint)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $tokCte, $shCte, $minhashCte, $bandsCte,
+         |cp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a AS src, b AS dst FROM cp UNION SELECT b, a FROM cp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
+
+    // replays TextOps.repetition: dup token/bigram fractions are
+    // list-side; the top-token share is unnest + two-level aggregation
+    "text_repetition" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 2),
+         |tw AS (SELECT doc_id, unnest(t) AS w FROM tk),
+         |cnt AS (SELECT doc_id, w, count(*) AS c FROM tw GROUP BY 1, 2),
+         |top AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4)
+         |          AS top_token_frac FROM cnt GROUP BY 1),
+         |ar AS (SELECT doc_id, t,
+         |         list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) AS bg
+         |       FROM tk)
+         |SELECT ar.doc_id AS doc_id,
+         |  round(1 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS dup_token_frac,
+         |  round(1 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 4) AS dup_bigram_frac,
+         |  top_token_frac
+         |FROM ar JOIN top ON ar.doc_id = top.doc_id ORDER BY ar.doc_id""".stripMargin,
+
+    // replays CorpusOps.stratifiedSample: first four md5 nibbles of the
+    // id string via the strpos hex trick = Spark's conv(substring(...))
+    "sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m
+        |           FROM documents),
+        |v AS (SELECT doc_id, lang,
+        |  CAST((strpos('0123456789abcdef', substring(m, 1, 1)) - 1) * 4096 +
+        |       (strpos('0123456789abcdef', substring(m, 2, 1)) - 1) * 256 +
+        |       (strpos('0123456789abcdef', substring(m, 3, 1)) - 1) * 16 +
+        |       (strpos('0123456789abcdef', substring(m, 4, 1)) - 1) AS BIGINT) AS h16
+        |  FROM h)
+        |SELECT doc_id, lang, h16 FROM v
+        |WHERE h16 < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+        |             ELSE 0.1 END) * 65536
+        |ORDER BY doc_id""".stripMargin,
+
+    // replays CorpusOps.packSequences (budget 2048); sum(BIGINT) is
+    // HUGEINT in DuckDB → cast back for schema parity
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens FROM documents),
+        |c AS (SELECT *, sum(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT lang, CAST(floor((cum - est_tokens) / 2048.0) AS BIGINT) AS bin_id,
+        |  count(*) AS n_docs, CAST(sum(est_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin,
+
     "embed_topk" ->
       s"""WITH $embCte,
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TextOps, VectorOps}
+import graft.operators.{CorpusOps, GraphOps, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** [EXT] query surface: dedup, text analysis, similarity search over the
@@ -100,6 +100,26 @@ object ExtQueries {
 
   def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.jaccardPairs(docs(spark, dir), threshold = 0.5).orderBy("a", "b")
+
+  /** Duplicate clusters: transitive closure of the MinHash candidate
+    * pairs ([[GraphOps.connectedComponents]]) — the "keep one canonical
+    * doc per group" step that follows pair generation.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.connectedComponents(
+      TextOps.minhashCandidatePairs(docs(spark, dir))).orderBy("doc_id")
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetition(docs(spark, dir)).orderBy("doc_id")
+
+  /** Deterministic stratified sample: boost en/zh, thin the rest. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.stratifiedSample(docs(spark, dir),
+      rates = Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1)
+      .orderBy("doc_id")
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.packSequences(docs(spark, dir)).orderBy("lang", "bin_id")
 
   def embedTopK(spark: SparkSession, dir: String): DataFrame =
     VectorOps.cosineTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, TextOps}
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a a a a", "en"),
+    (2L, "b c d e", "en"),
+    (3L, "x y x y", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  test("repetition fractions match hand computation") {
+    val r = TextOps.repetition(docs).orderBy("doc_id")
+      .select("doc_id", "dup_token_frac", "dup_bigram_frac", "top_token_frac")
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2), x.getDouble(3)))
+    // doc1 [a,a,a,a]: dup tokens 1-1/4, bigrams ["a a"]×3 → 1-1/3, mode 4/4
+    // doc2 [b,c,d,e]: no repetition, mode 1/4
+    // doc3 [x,y,x,y]: dup 1-2/4, bigrams [x y, y x, x y] → 1-2/3, mode 2/4
+    assert(r.toSeq == Seq(
+      (1L, 0.75, 0.6667, 1.0),
+      (2L, 0.0, 0.0, 0.25),
+      (3L, 0.5, 0.3333, 0.5)))
+  }
+
+  test("repetition skips single-token documents") {
+    val one = Seq((9L, "solo", "en")).toDF("doc_id", "text", "lang")
+    assert(TextOps.repetition(one).count() === 0)
+  }
+
+  test("stratified sample is deterministic and respects stratum rates") {
+    val d = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+      .withColumn("text", lit("irrelevant"))
+    // rate 1.0 keeps the whole stratum, rate 0.0 drops the other entirely
+    val kept = CorpusOps.stratifiedSample(d, Map("en" -> 1.0), defaultRate = 0.0)
+    assert(kept.filter(col("lang") === "de").count() === 0)
+    assert(kept.filter(col("lang") === "en").count() === 500)
+    // a 50% hash rate lands near half (hash16 uniformity), and twice
+    // the same plan yields the identical sample (no RNG)
+    val half = CorpusOps.stratifiedSample(d, Map("en" -> 0.5), defaultRate = 0.0)
+    val n = half.count()
+    assert(n > 175 && n < 325, s"expected ~250 of 500, got $n")
+    val again = CorpusOps.stratifiedSample(d, Map("en" -> 0.5), defaultRate = 0.0)
+    assert(half.exceptAll(again).isEmpty && again.exceptAll(half).isEmpty)
+  }
+
+  test("pack sequences: per-lang bins, token totals conserved, budget boundaries") {
+    // est_tokens = ceil(7/4) = 2 for every doc; budget 2 ⇒ each en doc
+    // opens its own bin (cum-exclusive 0, 2), de has one bin
+    val out = CorpusOps.packSequences(docs, budget = 2)
+      .orderBy("lang", "bin_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("de", 0L, 1L, 2L),
+      ("en", 0L, 1L, 2L),
+      ("en", 1L, 1L, 2L)))
+  }
+
+  test("pack sequences conserves the corpus token total at sf0.001") {
+    val d = graft.sources.Tables.documents(spark, sf)
+    val total = d.select(ceil(length(col("text")) / 4.0).cast("bigint").as("e"))
+      .agg(sum("e")).head.getLong(0)
+    val packed = CorpusOps.packSequences(d, budget = 512)
+    assert(packed.agg(sum("bin_tokens")).head.getLong(0) === total)
+    assert(packed.agg(sum("n_docs")).head.getLong(0) === d.count())
+    // bins are dense from 0 within every lang
+    val gaps = packed.groupBy("lang")
+      .agg(min("bin_id").as("mn"), max("bin_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(gaps.isEmpty, "bin ids must be contiguous from 0 per lang")
+  }
+}
