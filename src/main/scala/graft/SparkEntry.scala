@@ -64,6 +64,8 @@ object SparkEntry {
     "text_pii_scrub" -> (graft.queries.ExtQueries.textPiiScrub(_, _)),
     "text_contamination" -> (graft.queries.ExtQueries.textContamination(_, _)),
     "text_surprisal" -> (graft.queries.ExtQueries.textSurprisal(_, _)),
+    "text_bigram_surprisal" -> (graft.queries.ExtQueries.textBigramSurprisal(_, _)),
+    "embed_quantize" -> (graft.queries.ExtQueries.embedQuantize(_, _)),
     "approx_distinct" -> (graft.queries.ExtQueries.approxDistinct(_, _)),
     "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
     "text_fingerprint" -> (graft.queries.ExtQueries.textFingerprint(_, _)),

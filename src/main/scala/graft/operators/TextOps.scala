@@ -328,6 +328,29 @@ object TextOps {
       .join(top, "doc_id")
   }
 
+  /** Bigram-LM surprisal — one modelling step past [[surprisal]]: mean
+    * −ln p(w₂|w₁) under the corpus bigram distribution,
+    * p(w₂|w₁) = c(w₁w₂) ∕ c(w₁·). Catches templated word ORDER that
+    * unigram frequencies miss. Plan: bigram explode → two frequency
+    * aggregations (both map-side combinable) → two equi-joins keyed on
+    * the bigram/prefix — the layout that holds when the vocabulary
+    * outgrows a broadcast — → per-doc mean.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cw1 = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
+    bg.join(cbg, Seq("w1", "w2")).join(cw1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("cb") / col("cw"))), 4).as("mean_bigram_surprisal"),
+        count(lit(1)).cast("bigint").as("n_bigrams"))
+  }
+
   /** Token counting beyond whitespace: a BPE-ish regex pass (letter
     * runs / digit runs / single other chars — the shape of a byte-level
     * BPE pre-tokenizer) plus the chars/4 heuristic LLM pipelines use for

@@ -192,6 +192,28 @@ object VectorOps {
       .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
   }
 
+  /** Int8 scalar quantization of the embedding column — the compression
+    * step an embedding store runs before indexing (4× smaller than
+    * float32, 8× smaller than the double math). Per vector: symmetric
+    * scale = max|x|∕127, codes = ⌊x∕scale + 0.5⌋ (floor-based rounding —
+    * identical in every engine, unlike round()'s half-even/half-up
+    * split), plus the reconstruction RMSE as the quality metric.
+    * Pure array-side codegen'd work, no shuffle; emits the code SUM as
+    * the oracle-checkable digest of the code vector (codes are integers
+    * in double space, so any summation order is exact).
+    */
+  def quantize(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("scale", greatest(
+        array_max(transform(col("v"), x => abs(x))) / 127.0, lit(1e-12)))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("q_scale"),
+        expr("cast(aggregate(transform(v, x -> floor(x / scale + 0.5d)), 0d, " +
+          "(acc, x) -> acc + x) as bigint)").as("code_sum"),
+        expr("round(sqrt(aggregate(transform(v, x -> pow(x - floor(x / scale + 0.5d) * scale, 2)), " +
+          "0d, (acc, x) -> acc + x) / size(v)), 5)").as("rmse"))
+
   /** Bucketed near-dup pairs: cosine over same-bucket pairs only —
     * the quadratic search collapses to an equi-join on the bucket key.
     *

@@ -198,6 +198,20 @@ object ExtOracles {
          |FROM tokw JOIN freq USING (w), tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // replays TextOps.bigramSurprisal: p(w2|w1) = c(w1w2)/c(w1·)
+    "text_bigram_surprisal" ->
+      s"""WITH $tokCte,
+         |bg AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+         |       FROM tok, unnest(range(len(t) - 1)) AS u(i)
+         |       WHERE len(t) >= 2),
+         |cbg AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, count(*) AS cw FROM bg GROUP BY 1)
+         |SELECT doc_id,
+         |  round(avg(-ln(cb / CAST(cw AS DOUBLE))), 4) AS mean_bigram_surprisal,
+         |  count(*) AS n_bigrams
+         |FROM bg JOIN cbg USING (w1, w2) JOIN cw1 USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_bm25" ->
       """WITH tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |dl AS (SELECT doc_id, count(*) AS len FROM tokw GROUP BY doc_id),
@@ -322,6 +336,22 @@ object ExtOracles {
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
          |  FROM scored)
          |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    // replays VectorOps.quantize: floor-based int8 codes (round() has
+    // half-even/half-up splits across engines; floor(x+0.5) does not)
+    "embed_quantize" ->
+      s"""WITH $embCte,
+         |s AS (SELECT vec_id, v,
+         |        greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+         |                 1e-12) AS scale
+         |      FROM e)
+         |SELECT vec_id, round(scale, 6) AS q_scale,
+         |  CAST(list_sum(list_transform(v, x -> floor(x / scale + 0.5)))
+         |    AS BIGINT) AS code_sum,
+         |  round(sqrt(list_sum(list_transform(v,
+         |    x -> pow(x - floor(x / scale + 0.5) * scale, 2))) / len(v)), 5)
+         |    AS rmse
+         |FROM s ORDER BY vec_id""".stripMargin,
 
     "embed_lsh_buckets" ->
       s"""WITH $embCte

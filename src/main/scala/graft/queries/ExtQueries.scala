@@ -89,6 +89,9 @@ object ExtQueries {
   def textSurprisal(spark: SparkSession, dir: String): DataFrame =
     TextOps.surprisal(docs(spark, dir)).orderBy("doc_id")
 
+  def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bigramSurprisal(docs(spark, dir)).orderBy("doc_id")
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     TextOps.exactDedup(docs(spark, dir)).orderBy("fp")
 
@@ -131,6 +134,9 @@ object ExtQueries {
   def embedIvfTopK(spark: SparkSession, dir: String): DataFrame =
     VectorOps.ivfTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
       .orderBy("qid", "rn")
+
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.quantize(embs(spark, dir)).orderBy("vec_id")
 
   def embedLshBuckets(spark: SparkSession, dir: String): DataFrame =
     VectorOps.lshBuckets(embs(spark, dir)).orderBy("bucket")

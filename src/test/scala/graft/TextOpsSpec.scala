@@ -80,4 +80,29 @@ class TextOpsSpec extends SparkSpec {
         col("distinct_ratio") > 1.0 || col("avg_token_len") <= 0)
     assert(bad.count() === 0)
   }
+
+  test("bigram surprisal matches hand computation on a toy corpus") {
+    import spark.implicits._
+    // corpus bigrams: d1 -> (a,b),(b,a); d2 -> (a,c)
+    // c(a,b)=1 c(b,a)=1 c(a,c)=1; prefix counts c(a·)=2, c(b·)=1
+    // d1: mean(-ln(1/2), -ln(1/1)) = ln2/2 ; d2: -ln(1/2) = ln2
+    val toy = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextOps.bigramSurprisal(toy).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+    val ln2 = math.log(2.0)
+    assert(r.toSeq == Seq(
+      (1L, math.rint(ln2 / 2 * 1e4) / 1e4, 2L),
+      (2L, math.rint(ln2 * 1e4) / 1e4, 1L)))
+  }
+
+  test("bigram surprisal flags repeated word order below unigram-identical text") {
+    import spark.implicits._
+    // same unigram distribution, different order regularity: the looping
+    // doc repeats one bigram pattern -> lower bigram surprisal
+    val toy = Seq(
+      (1L, "x y x y x y x y"),
+      (2L, "x x y y x y y x")).toDF("doc_id", "text")
+    val r = TextOps.bigramSurprisal(toy).orderBy("doc_id").collect()
+    assert(r(0).getDouble(1) < r(1).getDouble(1))
+  }
 }

@@ -130,4 +130,31 @@ class VectorOpsSpec extends SparkSpec {
     val uncapped = VectorOps.nearDupPairs(df, threshold = 0.9, maxBucketRows = 0)
     assert(uncapped.count() > 6)
   }
+
+  test("int8 quantization: codes in range, rmse bounded by half a step") {
+    val q = VectorOps.quantize(embs).cache()
+    assert(q.count() === embs.count())
+    // max reconstruction error of floor(x/s + .5) is s/2 per element, so
+    // rmse <= s/2 (plus rounding slack)
+    val bad = q.filter(col("rmse") > col("q_scale") / 2 + 1e-5)
+    assert(bad.count() === 0)
+    // code_sum is the sum of 64 codes, each in [-127, 127]
+    val dim = embs.select(size(col("embedding"))).head.getInt(0)
+    assert(q.filter(abs(col("code_sum")) > dim * 127L).count() === 0)
+    // scale is positive (zero vectors are guarded)
+    assert(q.filter(col("q_scale") <= 0).count() === 0)
+    q.unpersist()
+  }
+
+  test("quantization round-trips a known vector exactly at the grid") {
+    import spark.implicits._
+    // values sit exactly on the int8 grid: scale = 127/127 = 1.0,
+    // codes = the values themselves, rmse = 0
+    val df = Seq((1L, Array(127.0f, -127.0f, 64.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = VectorOps.quantize(df).head
+    assert(r.getAs[Double]("q_scale") === 1.0)
+    assert(r.getAs[Long]("code_sum") === 64L)
+    assert(r.getAs[Double]("rmse") === 0.0)
+  }
 }
