@@ -27,7 +27,7 @@ object RunState {
 final case class ErrorContext(stage: String, table: String)
 object ErrorContext {
   val Init = "init"; val Extract = "extract"; val Transform = "transform"
-  val Load = "load"; val Commit = "commit"
+  val Load = "load"; val Commit = "commit"; val Compact = "compact"
 }
 
 private[core] final class StageFailure(val stage: String, cause: Throwable)
@@ -99,7 +99,33 @@ final class Pipeline(spark: SparkSession, val spec: PipelineSpec,
       more = m
       batches += 1
     }
+    if (!more) maybeCompact()
     totals
+  }
+
+  /** End-of-drain small-file maintenance: when the destination is a
+    * FLAT parquet table holding more than
+    * [[Params.compactFileThreshold]] data files, rewrite it into
+    * ~1M-row files through the atomic-swap compactor
+    * ([[ParquetTable.compact]]). Runs only at drain boundaries — one
+    * metadata listing per drain, never per batch — so steady-state
+    * micro-batch cost is untouched. Bucketed layouts are skipped (the
+    * flat rewrite would destroy the partition dirs the loader prunes
+    * by); JDBC destinations have no files.
+    */
+  def maybeCompact(): Unit = {
+    val th = spec.params.compactFileThreshold
+    if (th <= 0 || spec.destinationPath.startsWith("jdbc:")) return
+    val table = spec.params.tableName.getOrElse(spec.destinationTable)
+    val path = s"${spec.destinationPath}/$table.parquet"
+    if (ParquetTable.readBucketMarker(spark, path).nonEmpty) return
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val nFiles = fs.listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    if (nFiles > th)
+      stage(ErrorContext.Compact) { ParquetTable.compact(spark, path) }
   }
 }
 
@@ -153,7 +179,10 @@ final class Runner(spark: SparkSession, specs: Seq[PipelineSpec],
             try {
               val (_, more, st) = p.runBatch(status)
               status = st
-              if (!more) sleepInterruptibly(p.spec.params.sleepBetweenRunsSec)
+              if (!more) {
+                p.maybeCompact() // drain boundary: bounded-file upkeep
+                sleepInterruptibly(p.spec.params.sleepBetweenRunsSec)
+              }
             } catch {
               case sf: StageFailure =>
                 errorCallback(ErrorContext(sf.stage, table), sf.getCause)

@@ -63,6 +63,13 @@ final case class Params(
       * (appends never rewrite, so bucketing would only cost small
       * files). */
     partitionBuckets: Int = Params.AutoBuckets,
+    /** compact the destination at drain boundaries once it holds more
+      * than this many data files (streaming-mode drains append ~one
+      * file per micro-batch; the debt is bounded small files, SURVEY
+      * §7.4). 0 (default) disables; flat parquet destinations only
+      * (bucketed layouts keep their partition dirs, JDBC has no
+      * files). */
+    compactFileThreshold: Int = 0,
     /** free-form passthrough, reference `Parameters = map[string]any`. */
     extra: Map[String, String] = Map.empty)
 

@@ -67,6 +67,48 @@ class CompactionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got === (1 to 20).map(i => (i.toLong, s"v$i")))
   }
+
+  test("drain-integrated compaction bounds the destination's file count") {
+    def spec(dest: String, threshold: Int) = PipelineSpec(
+      sourceDatabase = "sf", sourceTable = "orders", sourceKey = "o_orderkey",
+      destinationDatabase = "out", destinationTable = "orders",
+      sourcePath = sf, destinationPath = dest,
+      extractor = "sequential",
+      params = Params(batchSize = 150, compactFileThreshold = threshold))
+    def files(dest: String): Int =
+      new java.io.File(s"$dest/orders.parquet").listFiles
+        .count(_.getName.endsWith(".parquet"))
+
+    // threshold 0 (default off): ten 150-row append batches leave >= 10 files
+    val off = tmpDir("compact-off")
+    new Pipeline(spark, spec(off, 0), new TrackingStore(spark, s"$off/_tk")).drain()
+    assert(files(off) >= 10)
+
+    // threshold 5: the drain-boundary compactor folds them into one file
+    // without changing content
+    val on = tmpDir("compact-on")
+    new Pipeline(spark, spec(on, 5), new TrackingStore(spark, s"$on/_tk")).drain()
+    assert(files(on) === 1)
+    val src = sources.Tables.orders(spark, sf)
+    val got = spark.read.parquet(s"$on/orders.parquet")
+    assert(got.count() === src.count())
+    assert(got.join(src, got.columns.toSeq, "left_anti").count() === 0)
+  }
+
+  test("CompactFileThreshold parses from YAML parameters") {
+    val specs = Config.parse(
+      """pipelines:
+        |  - source-database: a
+        |    source-table: t
+        |    key: id
+        |    source-path: /tmp/src
+        |    destination-path: /tmp/dst
+        |    parameters:
+        |      CompactFileThreshold: 32
+        |""".stripMargin)
+    assert(specs.head.params.compactFileThreshold === 32)
+    assert(!specs.head.params.extra.contains("CompactFileThreshold"))
+  }
 }
 
 class MetricsSpec extends SparkSpec {
