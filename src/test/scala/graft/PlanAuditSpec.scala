@@ -64,4 +64,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"per-query top-k must use the group-limit pushdown, not a full window sort:\n$p")
   }
+
+  test("embed_quantize: pure array-side work, no shuffle") {
+    // the orderBy exchange is the query's presentation sort; the
+    // quantization itself must add no hashpartitioning exchange
+    val p = plan("embed_quantize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantization must not shuffle:\n$p")
+  }
+
+  test("sample_stratified: a scan-side filter, no shuffle, pruned read") {
+    val p = plan("sample_stratified")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash sampling must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string"),
+      s"scan must prune to the referenced columns:\n$p")
+  }
+
+  test("pack_sequences: window partitioned by stratum, never a global window") {
+    val p = plan("pack_sequences")
+    assert(p.contains("Window"), s"packing lost its window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must never plan a single-partition (global) window:\n$p")
+  }
+
+  test("dedup_clusters: propagation rounds read materialized edges, not lineage") {
+    // the returned plan must sit on the checkpointed label RDD — i.e.
+    // the minhash pipeline ran during construction and is NOT re-run
+    // per downstream action
+    val p = plan("dedup_clusters")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"cluster labels must come from the materialized fixpoint:\n$p")
+    assert(!p.contains("md5"), s"minhash pipeline must not replay per action:\n$p")
+  }
 }
