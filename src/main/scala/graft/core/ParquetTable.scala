@@ -170,6 +170,15 @@ object ParquetTable {
       overwriteAtomic(spark, path, df.repartition(files))
     }
 
+  /** [[compact]] with an explicit output file count — used when the
+    * caller already sized the target from file-listing metadata (bytes)
+    * and a row count() would be a second full-table pass.
+    */
+  def compactToFileCount(spark: SparkSession, path: String, files: Int): Unit =
+    read(spark, path).foreach { df =>
+      overwriteAtomic(spark, path, df.repartition(math.max(1, files)))
+    }
+
   /** Append with bounded rows per output file — the Spark analog of the
     * reference's multi-row statement chunking (`InsertBatchSize`,
     * `batched_queries.go:95-97`): both cap the unit of work a single

@@ -72,6 +72,9 @@ final class Pipeline(spark: SparkSession, val spec: PipelineSpec,
           m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a(k) + v) }
         }
       }
+      // remember what was actually written (transformers rename/fan out)
+      // so drain-boundary compaction follows the loader, not the spec
+      outBatches.foreach(b => touchedTables += b.table)
       // commit AFTER load: tracking position, then extractor side-effects
       stage(ErrorContext.Commit) {
         tracking.put(res.newStatus)
@@ -99,34 +102,69 @@ final class Pipeline(spark: SparkSession, val spec: PipelineSpec,
       more = m
       batches += 1
     }
-    if (!more) maybeCompact()
+    if (!more) {
+      // maintenance must not fail a drain that already succeeded: the
+      // caller still needs the totals; the failure is logged and the
+      // next drain boundary retries
+      try maybeCompact() catch {
+        case e: StageFailure => log.warn(
+          s"compaction of ${spec.destinationTable} failed (drain unaffected)", e)
+      }
+    }
     totals
   }
 
-  /** End-of-drain small-file maintenance: when the destination is a
-    * FLAT parquet table holding more than
-    * [[Params.compactFileThreshold]] data files, rewrite it into
-    * ~1M-row files through the atomic-swap compactor
-    * ([[ParquetTable.compact]]). Runs only at drain boundaries — one
-    * metadata listing per drain, never per batch — so steady-state
-    * micro-batch cost is untouched. Bucketed layouts are skipped (the
-    * flat rewrite would destroy the partition dirs the loader prunes
-    * by); JDBC destinations have no files.
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[Pipeline])
+
+  /** Destination tables the loader actually wrote this run — the
+    * transformer owns the final table name(s) (rename, 1→N fan-out),
+    * so compaction must follow what was written, not the spec field.
+    */
+  private val touchedTables = scala.collection.mutable.LinkedHashSet[String]()
+
+  /** End-of-drain small-file maintenance: for each FLAT parquet
+    * destination written this run, if it holds more than
+    * [[Params.compactFileThreshold]] data files AND those files are
+    * meaningfully smaller than the ~256 MB target (the rewrite would
+    * cut the file count at least in half), rewrite it through the
+    * atomic-swap compactor. Both tests come from ONE metadata listing —
+    * no count(), no data read unless compaction actually runs — and the
+    * post-compaction layout fails the trigger, so a large healthy table
+    * is never rewritten again and again merely for being big. Runs only
+    * at drain boundaries; bucketed layouts are skipped (the flat
+    * rewrite would destroy the partition dirs the loader prunes by);
+    * JDBC destinations have no files.
     */
   def maybeCompact(): Unit = {
     val th = spec.params.compactFileThreshold
-    if (th <= 0 || spec.destinationPath.startsWith("jdbc:")) return
-    val table = spec.params.tableName.getOrElse(spec.destinationTable)
-    val path = s"${spec.destinationPath}/$table.parquet"
-    if (ParquetTable.readBucketMarker(spark, path).nonEmpty) return
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    val nFiles = fs.listStatus(p)
-      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
-    if (nFiles > th)
-      stage(ErrorContext.Compact) { ParquetTable.compact(spark, path) }
+    if (th <= 0 || graft.sources.JdbcTable.isJdbc(spec.destinationPath)) return
+    // NB: no early returns inside the staged block — `return` from a
+    // by-name body unwinds via ControlThrowable and would be wrapped
+    stage(ErrorContext.Compact) { touchedTables.toSeq.foreach { table =>
+      val path = s"${spec.destinationPath}/$table.parquet"
+      if (ParquetTable.readBucketMarker(spark, path).isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) {
+          val files = fs.listStatus(p)
+            .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          val totalBytes = files.map(_.getLen).sum
+          val desired = math.max(1L,
+            math.ceil(totalBytes.toDouble / Pipeline.CompactTargetFileBytes).toLong)
+          if (files.length > th && files.length >= 2 * desired)
+            ParquetTable.compactToFileCount(spark, path, desired.toInt)
+        }
+      }
+    } }
   }
+}
+
+object Pipeline {
+  /** Compaction sizes output files toward this many bytes (the row-group
+    * scale object stores and parquet readers like).
+    */
+  val CompactTargetFileBytes: Long = 256L * 1024 * 1024
 }
 
 /** Multi-pipeline job — reference `Migrator` (`migrator.go:27-59`): one

@@ -70,6 +70,17 @@ object GraphOps {
       iter += 1
     }
     sym.unpersist()
+    // fail loudly rather than hand back mid-propagation labels: a
+    // non-converged result silently splits components, and a dedup
+    // built on it KEEPS duplicates with no signal (same erroring-over-
+    // wrong-answers stance as ArrayDot's length check)
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter or pre-contract " +
+          "the graph (large-star/small-star)")
+    }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 }

@@ -35,10 +35,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc.count() === n.toLong)
   }
 
-  test("maxIter caps the rounds (partial labels, not an infinite loop)") {
+  test("exceeding maxIter fails loudly instead of returning split components") {
     val pairs = (1 until 10).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
-    // one round is not enough for a diameter-9 path, but it must return
-    val cc = GraphOps.connectedComponents(pairs, maxIter = 1)
-    assert(cc.count() === 10L)
+    // one round cannot close a diameter-9 path: wrong labels must throw,
+    // not silently leave one component looking like several
+    val e = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 }

@@ -87,12 +87,36 @@ class CompactionSpec extends SparkSpec {
     // threshold 5: the drain-boundary compactor folds them into one file
     // without changing content
     val on = tmpDir("compact-on")
-    new Pipeline(spark, spec(on, 5), new TrackingStore(spark, s"$on/_tk")).drain()
+    val tk = new TrackingStore(spark, s"$on/_tk")
+    new Pipeline(spark, spec(on, 5), tk).drain()
     assert(files(on) === 1)
     val src = sources.Tables.orders(spark, sf)
     val got = spark.read.parquet(s"$on/orders.parquet")
     assert(got.count() === src.count())
     assert(got.join(src, got.columns.toSeq, "left_anti").count() === 0)
+    // second drain boundary: already-compacted layout fails the trigger
+    // (no perpetual rewrite) — the data file is left physically untouched
+    def dataFiles(dest: String) = new java.io.File(s"$dest/orders.parquet")
+      .listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toSeq.sorted
+    val before = dataFiles(on)
+    new Pipeline(spark, spec(on, 5), tk).drain()
+    assert(dataFiles(on) === before)
+  }
+
+  test("compaction follows the transformer's table rename, not the spec field") {
+    val dest = tmpDir("compact-renamed")
+    val spec = PipelineSpec(
+      sourceDatabase = "sf", sourceTable = "orders", sourceKey = "o_orderkey",
+      destinationDatabase = "out", destinationTable = "orders",
+      sourcePath = sf, destinationPath = dest,
+      extractor = "sequential", transformer = "tablerenamer",
+      params = Params(batchSize = 150, compactFileThreshold = 5,
+        tableName = Some("orders_renamed")))
+    new Pipeline(spark, spec, new TrackingStore(spark, s"$dest/_tk")).drain()
+    val f = new java.io.File(s"$dest/orders_renamed.parquet")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(f === 1, s"renamed destination must be the compacted one, got $f files")
   }
 
   test("CompactFileThreshold parses from YAML parameters") {
