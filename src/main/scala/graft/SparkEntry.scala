@@ -37,6 +37,7 @@ object SparkEntry {
     "json_extract" -> (jsonExtract(_, _)),
     "string_distance" -> (stringDistance(_, _)),
     "events_tumbling" -> (eventsTumbling(_, _)),
+    "events_hopping" -> (eventsHopping(_, _)),
     "seq_scan" -> (seqScan(_, _)),
     "ts_scan" -> (tsScan(_, _)),
     "coalesce_scan" -> (coalesceScan(_, _)),
@@ -181,6 +182,19 @@ object SparkEntry {
          |  count(*) AS n, round(sum(value), 2) AS sum_value
          |FROM ev GROUP BY hour_start, event_type
          |ORDER BY hour_start, event_type""".stripMargin,
+
+    // each event lands in its 2 hopping windows: start_k =
+    // 1800·floor(epoch/1800) − k·1800 for k in {0,1}; make_timestamp
+    // rebuilds a plain (ntz) TIMESTAMP from epoch micros, matching
+    // Spark's window.start
+    "events_hopping" ->
+      s"""WITH $eventsCte
+         |SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - i * 1800)
+         |         * 1000000 AS BIGINT)) AS win_start,
+         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM ev, unnest(range(2)) AS u(i)
+         |GROUP BY win_start, event_type
+         |ORDER BY win_start, event_type""".stripMargin,
 
     "seq_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS price

@@ -164,6 +164,20 @@ object RelationalQueries {
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Hopping (sliding) window aggregation — 1-hour windows every 30
+    * minutes, so each event contributes to exactly size∕slide = 2
+    * windows. Spark's `window(ts, size, slide)` generator fans the rows
+    * out before one hash aggregation (map-side combinable); the oracle
+    * replays the fan-out arithmetically (window k starts at
+    * 30 min · ⌊epoch∕30 min⌋ − k · 30 min).
+    */
+  def eventsHopping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   /** S1: sequential incremental scan — keyset pagination
     * `key > pos ORDER BY key LIMIT n` (reference
     * `extractor_sequential.go:39`). Deterministic batch (SURVEY H5).

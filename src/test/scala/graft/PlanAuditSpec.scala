@@ -88,6 +88,20 @@ class PlanAuditSpec extends SparkSpec {
       s"packing must never plan a single-partition (global) window:\n$p")
   }
 
+  test("events_hopping: 2x fan-out before one combinable aggregation") {
+    val hop = SparkEntry.queries("events_hopping")(spark, sf)
+    val events = sources.Tables.events(spark, sf).count()
+    // size/slide = 2 windows per event, so the n column sums to 2x rows
+    assert(hop.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+      === 2 * events)
+    val p = hop.queryExecution.executedPlan.toString
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0 &&
+      p.indexOf("HashAggregate", exchange) > 0,
+      s"hopping agg must partial-aggregate below the exchange:\n$p")
+  }
+
   test("dedup_clusters: propagation rounds read materialized edges, not lineage") {
     // the returned plan must sit on the checkpointed label RDD — i.e.
     // the minhash pipeline ran during construction and is NOT re-run
