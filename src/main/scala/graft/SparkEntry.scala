@@ -33,6 +33,7 @@ object SparkEntry {
     "window_running" -> (windowRunning(_, _)),
     "setops" -> (setOps(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
+    "cube_agg" -> (cubeAgg(_, _)),
     "scalar_funcs" -> (scalarFuncs(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "string_distance" -> (stringDistance(_, _)),
@@ -152,6 +153,13 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "scalar_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_uc,

@@ -114,6 +114,17 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE grouping sets — all 2ᵏ margins in one Expand + one
+    * aggregation pass (vs rollup's k+1 prefixes); completes §2.9's
+    * grouping-sets family.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Scalar string/math function coverage (§2.9: scalar library) —
     * all codegen'd builtins, no UDFs.
     */
