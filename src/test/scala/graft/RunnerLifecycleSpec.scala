@@ -23,7 +23,7 @@ class RunnerLifecycleSpec extends SparkSpec {
     runner.run()
     assert(runner.currentState === RunState.Running)
     // let it drain fully (5 batches + idle sleeps)
-    eventually(20000)(spark.read.parquet(s"$dest/t.parquet").count() === 50)
+    eventually(60000)(spark.read.parquet(s"$dest/t.parquet").count() === 50)
     runner.pause()
     assert(runner.currentState === RunState.Paused)
     runner.unpause()
@@ -49,7 +49,7 @@ class RunnerLifecycleSpec extends SparkSpec {
         seen.add((ctx.stage, ctx.table)); errors.incrementAndGet(); ()
       })
     runner.run()
-    eventually(20000)(errors.get() >= 2) // repeated retry, not a crash
+    eventually(60000)(errors.get() >= 2) // repeated retry, not a crash
     runner.quit()
     runner.awaitTermination()
     assert(errors.get() >= 2)
@@ -76,7 +76,7 @@ class RunnerLifecycleSpec extends SparkSpec {
     val runner = new Runner(spark, Seq(spec), s"$dest/_tracking",
       errorCallback = (ctx, _) => { stages.add(ctx.stage); () })
     runner.run()
-    eventually(20000)(stages.contains(ErrorContext.Load))
+    eventually(60000)(stages.contains(ErrorContext.Load))
     runner.quit()
     runner.awaitTermination()
     assert(stages.contains(ErrorContext.Load))
