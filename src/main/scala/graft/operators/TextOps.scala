@@ -351,6 +351,70 @@ object TextOps {
         count(lit(1)).cast("bigint").as("n_bigrams"))
   }
 
+  /** Paragraph-level dedup (the MassiveText/Gopher pass that removes
+    * boilerplate repeated ACROSS documents without dropping the
+    * documents themselves). The corpus is single-line, so "paragraph"
+    * is a fixed window of `segTokens` whitespace tokens — the plumbing
+    * (segment → global first-occurrence → in-order reassembly) is the
+    * real operator; a newline splitter is a one-line swap.
+    *
+    * Keep rule: the globally FIRST occurrence of a segment hash (by
+    * (doc_id, seg_no)) survives; later copies are dropped. One shuffle,
+    * hash-partitioned on the segment hash: a row_number window whose
+    * partitions are tiny (one per distinct segment) — never a global
+    * sort. Reassembly is a per-doc aggregation: collect the kept
+    * (seg_no, seg) pairs, array_sort restores document order without a
+    * second window.
+    *
+    * Output per document: segment counts before/after and the md5 of
+    * the deduplicated text (md5('') when every segment was dropped).
+    */
+  def paragraphDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seg = docs.select(col("doc_id"), tokens.as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(t) - 1) div $segTokens), " +
+          s"i -> concat_ws(' ', slice(t, i * $segTokens + 1, $segTokens)))")))
+      .select(col("doc_id"), col("pos").as("seg_no"), col("col").as("seg"))
+    val firstSeen = Window.partitionBy(md5(col("seg")))
+      .orderBy(col("doc_id"), col("seg_no"))
+    seg.withColumn("kept", row_number().over(firstSeen) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        // collect_list skips nulls, so only kept segments enter; the
+        // struct sort restores seg_no order deterministically
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_no, seg) END)), x -> x.seg)")))
+          .as("kept_fp"))
+  }
+
+  /** TF-IDF keyword extraction: top-k tokens per document by
+    * tf · ln(N/df), df = number of documents containing the token.
+    * Plan: one explode → (doc, token) counts (map-side combinable) →
+    * vocabulary df aggregation → join keyed on the token (the layout
+    * that holds when the vocabulary outgrows a broadcast; Catalyst/AQE
+    * still broadcasts it when small) → per-doc row_number window (doc
+    * partitions parallelise across the cluster). Scores are rounded
+    * BEFORE ranking so tiebreaks replay identically in the oracle.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfW = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    tf.join(dfW, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("w")))
+        .cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("doc_id", "w", "score", "rn")
+  }
+
   /** Token counting beyond whitespace: a BPE-ish regex pass (letter
     * runs / digit runs / single other chars — the shape of a byte-level
     * BPE pre-tokenizer) plus the chars/4 heuristic LLM pipelines use for
