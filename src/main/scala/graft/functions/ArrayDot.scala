@@ -96,16 +96,36 @@ case class ArrayDot(left: Expression, right: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.arrayDotDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
-  val arrayDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("array_dot"),
-    new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-    (children: Seq[Expression]) => ArrayDot(children(0), children(1)))
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val descriptors: Seq[Descriptor] = Seq(
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      children => ArrayDot(children(0), children(1))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      children => SimHash64(children(0))),
+    // minhash_sig(text[, k[, seeds]]) — k/seeds must be foldable ints
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      children => MinhashSig(children(0),
+        children.lift(1).map(foldInt("minhash_sig", "k", _)).getOrElse(3),
+        children.lift(2).map(foldInt("minhash_sig", "seeds", _)).getOrElse(8))))
+
+  private def foldInt(fn: String, arg: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: `$arg` must be an integer literal, got $e")
+  }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", children => ArrayDot(children(0), children(1)), "built-in")
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

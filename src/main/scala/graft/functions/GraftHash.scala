@@ -1,0 +1,207 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass document-hash kernels for the dedup operators.
+  *
+  * The composed-builtin plans (explode tokens → 64 partial sums for
+  * SimHash; explode shingles → 8 string-min aggregates for MinHash)
+  * are correct and map-side combinable, but they pay an explode, a
+  * wide aggregation buffer, and a shuffle per document table. These
+  * kernels compute the same signatures in ONE pass over each row —
+  * no explode, no aggregation, no exchange: the signature becomes a
+  * plain projected column, computed wherever the scan runs. At 100 TB
+  * that is the difference between "a shuffle of every token in the
+  * corpus" and "no shuffle at all" for the signature stage.
+  *
+  * Semantics are bit-identical to the composed plans (spec-enforced):
+  * tokens are `split(text, ' ')` (Java regex semantics, trailing empty
+  * strings kept), hashes are md5 over UTF-8 bytes, min is taken in
+  * unsigned digest order — the same order as the lowercase-hex string
+  * min the oracle SQL computes, so the DuckDB gate replays unchanged.
+  */
+object GraftHash {
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Split on single spaces with Java `split(" ", -1)` semantics, i.e.
+    * what `org.apache.spark.sql.functions.split(col, " ")` produces:
+    * consecutive separators yield empty tokens and trailing empties are
+    * kept (Spark passes limit -1).
+    */
+  private[functions] def tokenize(text: UTF8String): Array[String] =
+    text.toString.split(" ", -1)
+
+  /** 64-bit SimHash over the whitespace token multiset: per token, the
+    * first 8 bytes of md5 vote ±1 on each of 64 bits (bit j reads nibble
+    * j/4, mask 1<<(j%4) — hex-nibble order, matching the oracle's
+    * `conv(substring(md5(w), j/4+1, 1), 16, 10)` extraction); positive
+    * vote sums set the bit in the packed two's-complement long.
+    */
+  def simhash64(text: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    val md = md5.get()
+    val toks = tokenize(text)
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes("UTF-8"))
+      var j = 0
+      while (j < 64) {
+        // nibble j/4 of the hex string = high nibble of byte j/8 when
+        // (j/4) is even, low nibble when odd
+        val byteIdx = j >> 3
+        val nib =
+          if (((j >> 2) & 1) == 0) (d(byteIdx) >> 4) & 0xF
+          else d(byteIdx) & 0xF
+        if (((nib >> (j & 3)) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var packed = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) packed |= (1L << j)
+      j += 1
+    }
+    packed
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xF).toByte
+      out(2 * i + 1) = HexChars(d(i) & 0xF).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Unsigned lexicographic digest comparison ≡ lowercase-hex string
+    * order (each hex char encodes 4 bits in order).
+    */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xFF
+      val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** MinHash signature: for seed i in [0, seeds), the minimum of
+    * md5(s"$i:" + shingle) over the document's k-token shingles
+    * (shingle = k consecutive tokens joined by ' '), returned as
+    * lowercase hex — exactly `min(md5(concat('i:', s)))` over the
+    * shingle inverted index. Duplicate shingles cannot change a min, so
+    * the index's `distinct()` needs no replication here. Documents with
+    * fewer than k tokens have no shingles: null (the composed plan
+    * drops them; callers filter `size >= k` to match).
+    */
+  def minhashSig(text: UTF8String, k: Int, seeds: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < k) return null
+    val mins = new Array[Array[Byte]](seeds)
+    val md = md5.get()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val shingleBytes = sb.toString.getBytes("UTF-8")
+      var s = 0
+      while (s < seeds) {
+        md.reset()
+        md.update(String.valueOf(s).getBytes("UTF-8"))
+        md.update(':'.toByte)
+        md.update(shingleBytes)
+        val d = md.digest()
+        if (mins(s) == null || less(d, mins(s))) mins(s) = d
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(toHex(_).asInstanceOf[Any]))
+  }
+}
+
+/** `simhash64(text)`: packed 64-bit SimHash of the whitespace token
+  * multiset — the one-pass kernel behind `TextOps.simhash`.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs a string argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(text)`: the md5 MinHash signature (array of `seeds`
+  * lowercase-hex minima over k-token shingles). Null for documents with
+  * fewer than k tokens — callers filter those out, as the inverted-index
+  * plan does implicitly.
+  */
+case class MinhashSig(child: Expression, k: Int, seeds: Int)
+    extends UnaryExpression {
+
+  override def nullable: Boolean = true // < k tokens → no shingles
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs a string argument, got ${t.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else GraftHash.minhashSig(v.asInstanceOf[UTF8String], k, seeds)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.GraftHash.minhashSig($c, $k, $seeds);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}

@@ -106,20 +106,22 @@ object TextOps {
     require(SimhashBits % bands == 0 && SimhashBits / bands <= 30,
       s"bands must split $SimhashBits bits into <=30-bit bands, got $bands")
     val bandBits = SimhashBits / bands
-    val withBands = (0 until bands).foldLeft(simhashSums(docs)) { (df, b) =>
-      df.withColumn(s"b$b", bandValExpr(b, bandBits))
-    }.select(col("doc_id") +: (0 until bands).map(b => col(s"b$b")): _*)
-    val bandRows = withBands.select(
-      col("doc_id") +: (0 until bands).map(b => col(s"b$b")) :+
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), col(s"b$b").as("bv"))): _*)).as("e"): _*)
-    val hamming = (0 until bands)
-      .map(b => s"bit_count(x.b$b ^ y.b$b)").mkString(" + ")
+    val mask = (1L << bandBits) - 1
+    // Band b is simply bits [b*bandBits, (b+1)*bandBits) of the packed
+    // fingerprint — extracted with an unsigned shift (bit 63 rides in
+    // the top band), so the fingerprint is computed once per document
+    // (one-pass kernel, no shuffle) and banding is pure bit arithmetic.
+    val bandRows = simhash(docs).select(
+      col("doc_id"), col("simhash64"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash64"), b * bandBits)
+            .bitwiseAND(mask).as("bv"))): _*)).as("e"))
     bandRows.as("x").join(bandRows.as("y"),
         col("x.e.band") === col("y.e.band") && col("x.e.bv") === col("y.e.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        expr(s"cast($hamming as bigint)").as("hamming"))
+        expr("cast(bit_count(x.simhash64 ^ y.simhash64) as bigint)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -134,8 +136,26 @@ object TextOps {
     * md5("i:" + shingle). String-min over hex is engine-portable; a
     * production tuning would swap md5 for xxhash64 (same plan shape,
     * one less allocation) at the cost of the cross-engine oracle.
+    *
+    * Computed by the one-pass [[graft.functions.MinhashSig]] kernel —
+    * a projected column over the scan, no explode/aggregate/shuffle
+    * (the inverted-index form it replaces is kept as
+    * [[minhashSignaturesComposed]] and spec-checked equivalent).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    val sig = column(graft.functions.MinhashSig(
+      expression(col("text")), k, MinhashSeeds))
+    docs.filter(size(tokens) >= k)
+      .select(col("doc_id") +: (0 until MinhashSeeds)
+        .map(i => element_at(sig, i + 1).as(s"h$i")): _*)
+  }
+
+  /** The explode-shingles → 8-way min-aggregate form of
+    * [[minhashSignatures]]: same result through the inverted index —
+    * retained as the equivalence oracle for the one-pass kernel.
+    */
+  private[graft] def minhashSignaturesComposed(docs: DataFrame): DataFrame = {
     val mins = (0 until MinhashSeeds)
       .map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
     shingles(docs).groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -483,19 +503,26 @@ object TextOps {
     withNibbles.groupBy("doc_id").agg(sums.head, sums.tail: _*)
   }
 
-  /** Value of band `b` (bandBits wide, non-negative int) from the sign
-    * of the per-bit vote sums.
-    */
-  private def bandValExpr(b: Int, bandBits: Int): Column =
-    expr((0 until bandBits)
-      .map(t => s"(CASE WHEN s${b * bandBits + t} > 0 THEN ${1 << t} ELSE 0 END)")
-      .mkString("(", " + ", ")"))
-
-  /** Packed 64-bit SimHash fingerprint (two's-complement bigint; bit 63
-    * contributes Long.MinValue — spelled as (-max - 1) so both engines
-    * parse it without unary-minus overflow).
+  /** Packed 64-bit SimHash fingerprint (two's-complement bigint).
+    *
+    * Computed by the one-pass [[graft.functions.SimHash64]] kernel — a
+    * projected column over the scan: no token explode, no 64-sum
+    * aggregation, no shuffle. The composed form is retained as
+    * [[simhashComposed]] and spec-checked bit-identical.
     */
   def simhash(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    docs.select(col("doc_id"),
+      column(graft.functions.SimHash64(expression(col("text"))))
+        .as("simhash64"))
+  }
+
+  /** The explode-tokens → 64-vote-sum form of [[simhash]] (bit 63
+    * spelled as (-max - 1) so both engines parse it without unary-minus
+    * overflow) — retained as the equivalence oracle for the one-pass
+    * kernel; the DuckDB oracle SQL replays this same shape.
+    */
+  private[graft] def simhashComposed(docs: DataFrame): DataFrame = {
     val packed = (0 until SimhashBits).map { j =>
       val p = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
       s"(CASE WHEN s$j > 0 THEN $p ELSE 0 END)"
