@@ -23,6 +23,13 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // runtime bloom-filter join pruning: a selective dimension side
+    // injects a might_contain() filter into the fact-side scan of a
+    // shuffle join — at 100 TB that skips most of the probe shuffle.
+    // Pinned on (it is the Spark 4 default) with the default size
+    // thresholds: the 10 GB application-side floor is the right guard
+    // against paying the filter build on small scans.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     graft.functions.GraftFunctions.register(spark)
     spark.udf.register("geomean",
       org.apache.spark.sql.functions.udaf(graft.functions.GeoMean))

@@ -49,6 +49,9 @@ object SparkEntry {
     "semi_join" -> (semiJoin(_, _)),
     "range_join" -> (rangeJoin(_, _)),
     "asof_signup" -> (asofSignup(_, _)),
+    "asof_next" -> (asofNext(_, _)),
+    "histogram_agg" -> (histogramAgg(_, _)),
+    "salted_join" -> (saltedJoin(_, _)),
     "method_routing" -> (methodRouting(_, _)),
     "distinct_agg" -> (distinctAgg(_, _)),
     "conditional_agg" -> (conditionalAgg(_, _)),
@@ -293,6 +296,29 @@ object SparkEntry {
          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
          |FROM ev ORDER BY event_id""".stripMargin,
+
+    "asof_next" ->
+      s"""WITH $eventsCte
+         |SELECT event_id, user_id,
+         |  first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
+         |FROM ev ORDER BY event_id""".stripMargin,
+
+    "histogram_agg" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the salt is a plan-level device: the oracle is the PLAIN join —
+    // salting must not change the result, only the key distribution
+    "salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "method_routing" ->
       s"""WITH $eventsCte

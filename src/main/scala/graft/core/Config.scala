@@ -87,6 +87,7 @@ object Config {
         onlyPast = p("OnlyPast", false, _.toString.toBoolean),
         sequentialReplace = p("SequentialReplace", false, _.toString.toBoolean),
         partitionBuckets = p("PartitionBuckets", Params.AutoBuckets, _.toString.toInt),
+        partitionByCol = params.get("PartitionBy").map(_.toString),
         compactFileThreshold = p("CompactFileThreshold", 0, _.toString.toInt),
         tableName = params.get("TableName").map(_.toString),
         expressions = params.get("Expressions")
@@ -96,7 +97,7 @@ object Config {
         extra = params.collect {
           case (k, v) if !Set("BatchSize", "InsertBatchSize", "SleepBetweenRuns",
             "OnlyPast", "SequentialReplace", "TableName", "Expressions",
-            "PartitionBuckets", "CompactFileThreshold")(k) =>
+            "PartitionBuckets", "PartitionBy", "CompactFileThreshold")(k) =>
             k -> String.valueOf(v)
         }.toMap))
 

@@ -63,6 +63,16 @@ final case class Params(
       * (appends never rewrite, so bucketing would only cost small
       * files). */
     partitionBuckets: Int = Params.AutoBuckets,
+    /** value-partition the destination by this (string or integral)
+      * column — the lakehouse layout for predicate pruning: incremental
+      * timestamp scans and any query filtering on the column read only
+      * the matching partition directories (`PartitionFilters` in the
+      * scan), and REPLACE/REMOVE rewrites touch only the partitions the
+      * batch's rows live in. Mutually exclusive with hash bucketing
+      * (`PartitionBuckets`): bucketing prunes by PRIMARY KEY for point
+      * upserts; `PartitionBy` prunes by PREDICATE columns for scans —
+      * pick per table. */
+    partitionByCol: Option[String] = None,
     /** compact the destination at drain boundaries once it holds more
       * than this many data files (streaming-mode drains append ~one
       * file per micro-batch; the debt is bounded small files, SURVEY

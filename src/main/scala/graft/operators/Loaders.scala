@@ -178,6 +178,18 @@ object MethodRoutedLoader {
         Method.Remove.name -> nRem)
     }
 
+    // value-partitioned layout (PartitionBy) is an explicit, exclusive
+    // choice: an existing bucket marker still wins (physical layout is
+    // law), otherwise the column layout applies to every load
+    if (params.partitionByCol.isDefined &&
+        ParquetTable.readBucketMarker(spark, target).isEmpty) {
+      loadValuePartitioned(spark, target, pkCols, params,
+        params.partitionByCol.get, inserts, replaces, removes, nIns, nRep, nRem)
+      df.unpersist()
+      return Map(Method.Insert.name -> nIns, Method.Replace.name -> nRep,
+        Method.Remove.name -> nRem)
+    }
+
     var buckets = resolveBuckets(spark, target, params)
     // growth-triggered auto-migration: a flat table under the auto
     // policy converts to a bucketed layout once pruning beats the
@@ -225,6 +237,84 @@ object MethodRoutedLoader {
     df.unpersist()
     Map(Method.Insert.name -> nIns, Method.Replace.name -> nRep,
       Method.Remove.name -> nRem)
+  }
+
+  /** Value-partitioned destination (`PartitionBy`): the lakehouse layout
+    * for PREDICATE pruning — incremental timestamp scans and any filter
+    * on the partition column read only matching directories
+    * (`PartitionFilters` in the scan), and REPLACE/REMOVE rewrites
+    * touch only the partitions the batch's rows live in.
+    *
+    * Pruning contract: the partition column must be IMMUTABLE per key
+    * (creation date, region, tenant — the standard lakehouse
+    * constraint). An update that moved a row across partitions would
+    * leave its old version untouched in an unpruned partition. Rows
+    * whose partition value is unknown (NULL — e.g. a CDC-synthesized
+    * REMOVE that only carries the PK) make the batch unprunable: the
+    * load falls back to one full anti-join rewrite, still written in
+    * the partitioned layout.
+    *
+    * Same read-before-overwrite discipline as [[loadBucketed]]: rewrite
+    * output is fully staged before any target partition is swapped, and
+    * a partition emptied by REMOVEs is deleted in the same pass (its
+    * dir name derived with the exact escaping Spark's writer uses).
+    */
+  private def loadValuePartitioned(spark: SparkSession, target: String,
+                                   pkCols: Seq[String], params: Params,
+                                   pcol: String,
+                                   inserts: DataFrame, replaces: DataFrame,
+                                   removes: DataFrame,
+                                   nIns: Long, nRep: Long, nRem: Long): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val p = new Path(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def dirName(v: Any): String =
+      ExternalCatalogUtils.getPartitionPathString(pcol, String.valueOf(v))
+
+    if (nRep > 0 || nRem > 0) {
+      val existing = ParquetTable.read(spark, target)
+      // partition-dir names must round-trip values exactly; permit the
+      // types whose toString matches Spark's partition encoding
+      existing.orElse(Some(replaces)).foreach { d =>
+        val t = d.schema(pcol).dataType
+        require(Seq("string", "bigint", "int", "smallint", "tinyint")
+          .contains(t.simpleString),
+          s"PartitionBy column `$pcol` must be string or integral, got $t")
+      }
+      val touchedVals = replaces.select(pcol).union(removes.select(pcol))
+        .distinct().collect().map(r => if (r.isNullAt(0)) null else r.get(0))
+      val prunable = !touchedVals.contains(null) && existing.isDefined
+      val touchedKeys = replaces.select(pkCols.map(col): _*)
+        .union(removes.select(pkCols.map(col): _*))
+      val kept = existing match {
+        case Some(t) if prunable =>
+          t.filter(col(pcol).isin(touchedVals: _*)) // partition pruning
+            .join(broadcast(touchedKeys), pkCols, "left_anti")
+        case Some(t) => t.join(broadcast(touchedKeys), pkCols, "left_anti")
+        case None => replaces.limit(0)
+      }
+      val out = kept.unionByName(replaces, allowMissingColumns = true)
+      if (prunable) {
+        val staging = new Path(target + s".__staging_${ParquetTable.stamp()}")
+        out.write.mode("overwrite").partitionBy(pcol).parquet(staging.toString)
+        if (!fs.exists(p)) fs.mkdirs(p)
+        touchedVals.foreach { v =>
+          val dst = new Path(p, dirName(v))
+          val src = new Path(staging, dirName(v))
+          fs.delete(dst, true)
+          if (fs.exists(src)) fs.rename(src, dst)
+        }
+        fs.delete(staging, true)
+      } else
+        ParquetTable.overwriteAtomicPartitioned(spark, target, out, pcol)
+    }
+    if (nIns > 0) {
+      val w = inserts.write.mode("append").partitionBy(pcol)
+      (if (params.insertBatchSize > 0)
+        w.option("maxRecordsPerFile", params.insertBatchSize.toLong) else w)
+        .parquet(target)
+    }
   }
 
   /** Partition-pruned variant (SURVEY §7.4 H1): REPLACE/REMOVE computes

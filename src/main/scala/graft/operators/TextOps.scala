@@ -32,15 +32,18 @@ object TextOps {
   def tokens: Column = split(col("text"), " ")
 
   /** Distinct k-word shingles per document: the (doc_id, shingle)
-    * inverted index all near-dup operators share.
+    * inverted index all near-dup operators share. Deduplication is
+    * per-document by construction, so it happens map-side
+    * (`array_distinct` before the explode) — a global `.distinct()`
+    * would shuffle the full posting list just to remove duplicates
+    * that never leave their row.
     */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
     val slide = (0 until k).map(j => s"t[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
     docs.select(col("doc_id"), tokens.as("t"))
       .filter(size(col("t")) >= k)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, size(t) - $k), i -> $slide)")).as("s"))
-      .distinct()
+        explode(expr(s"array_distinct(transform(sequence(0, size(t) - $k), i -> $slide))")).as("s"))
   }
 
   /** Per-document stats: token counts, lexical diversity, mean token

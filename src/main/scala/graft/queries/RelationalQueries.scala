@@ -466,4 +466,58 @@ object RelationalQueries {
         round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2).as("sum_o"),
         round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0)), 2).as("sum_p"))
       .orderBy("o_orderpriority")
+
+  /** Forward as-of: for every event, the time of the user's NEXT
+    * purchase at-or-after it — the mirror of [[asofSignup]]'s backward
+    * lookup, expressed as an IGNORE NULLS first_value over a forward
+    * frame. Same scale shape: one shuffle on user_id, no range join.
+    */
+  def asofNext(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .withColumn("next_purchase",
+        first(when(col("event_type") === "purchase", col("ts")),
+          ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "next_purchase")
+      .orderBy("event_id")
+  }
+
+  /** Equi-width histogram: one groupBy on the bucket id (floor
+    * division — engine-portable where width_bucket is not), map-side
+    * combinable, output bounded by the bucket count regardless of
+    * input size.
+    */
+  def histogramAgg(spark: SparkSession, dir: String, width: Double = 5000.0): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(floor(col("l_extendedprice") / width).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 2).as("lo"),
+        round(max("l_extendedprice"), 2).as("hi"))
+      .orderBy("bucket")
+
+  /** Skew-resistant salted JOIN (the join-side complement of
+    * [[saltedAgg]]): the probe side gets a random-but-deterministic
+    * salt, the build side is replicated once per salt value, and the
+    * join key becomes (key, salt) — a hot key's rows now land on
+    * `buckets` different reducers instead of one. Replicating the
+    * build side ×buckets is the documented price; it only pays off
+    * when a key is hot enough to stall a reducer (AQE's skew-join
+    * split is the first line of defence; salting survives even a
+    * single gigantic key that AQE cannot split, e.g. in a
+    * sort-merge-join whose one key exceeds an executor).
+    */
+  def saltedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("_salt", pmod(hash(col("l_partkey"), col("l_suppkey")), lit(buckets)))
+    val ords = Tables.orders(spark, dir)
+      .withColumn("_salt", explode(array((0 until buckets).map(lit(_)): _*)))
+    li.join(ords,
+        col("l_orderkey") === col("o_orderkey") && li("_salt") === ords("_salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(expr("l_extendedprice * (1 - l_discount)")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }

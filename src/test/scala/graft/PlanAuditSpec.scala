@@ -102,6 +102,27 @@ class PlanAuditSpec extends SparkSpec {
       s"hopping agg must partial-aggregate below the exchange:\n$p")
   }
 
+  test("histogram_agg: partial aggregation, output bounded by bucket count") {
+    val p = plan("histogram_agg")
+    val exchange = p.indexOf("Exchange")
+    assert(p.indexOf("HashAggregate", exchange) > 0,
+      s"histogram must partial-aggregate below the exchange:\n$p")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
+      s"histogram scan must prune to the bucketed column:\n$p")
+  }
+
+  test("salted_join: joins on (key, salt), never a plain hot-key join") {
+    val p = plan("salted_join")
+    assert(p.contains("_salt"), s"salt column must reach the join keys:\n$p")
+  }
+
+  test("asof_next: one user_id shuffle feeding the forward window") {
+    val p = plan("asof_next")
+    assert(p.contains("Window"), s"forward as-of lost its window:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("TakeOrdered"),
+      s"as-of must never plan a global single-partition window:\n$p")
+  }
+
   test("dedup_clusters: propagation rounds read materialized edges, not lineage") {
     // the returned plan must sit on the checkpointed label RDD — i.e.
     // the minhash pipeline ran during construction and is NOT re-run
