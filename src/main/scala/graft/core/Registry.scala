@@ -18,7 +18,8 @@ object Registry {
   val transformers: Map[String, Transformer] = Map(
     DefaultTransformer.name -> DefaultTransformer,
     TableRenamerTransformer.name -> TableRenamerTransformer,
-    ExprTransformer.name -> ExprTransformer)
+    ExprTransformer.name -> ExprTransformer,
+    DedupTransformer.name -> DedupTransformer)
 
   def extractor(name: String): Extractor =
     extractors.getOrElse(name,

@@ -64,7 +64,10 @@ final class Pipeline(spark: SparkSession, val spec: PipelineSpec,
     val res = stage(ErrorContext.Extract) { extractor.extract(spark, spec, status) }
     try {
       val batch = TableBatch(spec.destinationDatabase, spec.destinationTable, res.df)
-      val outBatches = stage(ErrorContext.Transform) { transformer(batch, spec.params) }
+      val outBatches = stage(ErrorContext.Transform) {
+        transformer(batch, spec.params,
+          graft.operators.TransformContext(spark, spec.destinationPath, spec.pkColumns))
+      }
       val counts = stage(ErrorContext.Load) {
         outBatches.map { b =>
           MethodRoutedLoader.load(spark, b, spec.destinationPath, spec.pkColumns, spec.params)

@@ -13,7 +13,25 @@ import graft.core._
 trait Transformer {
   def name: String
   def apply(batch: TableBatch, params: Params): Seq[TableBatch]
+
+  /** Context-aware hook: transformers that consult the destination
+    * (e.g. [[DedupTransformer]] anti-joining arriving rows against
+    * already-loaded content) override this; the default delegates to
+    * the pure form, so simple transformers stay two-argument.
+    */
+  def apply(batch: TableBatch, params: Params,
+            ctx: TransformContext): Seq[TableBatch] =
+    apply(batch, params)
 }
+
+/** What the pipeline knows that a destination-aware transformer may
+  * need: the session, the destination root, and the pipeline's PK
+  * columns (for deterministic survivor selection).
+  */
+final case class TransformContext(
+    spark: org.apache.spark.sql.SparkSession,
+    destinationPath: String,
+    pkCols: Seq[String])
 
 /** Identity — wraps rows in one batch (`transformer_default.go:8-21`). */
 object DefaultTransformer extends Transformer {
@@ -45,5 +63,71 @@ object ExprTransformer extends Transformer {
       d.withColumn(c, expr(e))
     }
     Seq(batch.copy(df = df))
+  }
+}
+
+/** Ingest-time exact dedup — the transformer every training-data
+  * pipeline wants between extract and load: arriving rows whose
+  * normalised content fingerprint (md5 of lowercased `DedupColumn`,
+  * default `text` — the same key as `TextOps.exactDedup`) already
+  * exists in the DESTINATION are dropped, and within a batch one
+  * deterministic survivor is kept per fingerprint (min PK order, so a
+  * re-run picks the same rows). REMOVE rows pass through untouched —
+  * a delete must reach the loader even if its content repeats.
+  *
+  * Scale shape: the batch side is ≤ BatchSize rows, so both joins
+  * BROADCAST the batch, never the destination — the destination
+  * contributes one column-pruned scan of the fingerprint column per
+  * batch (`left_semi` against the broadcast batch yields the ≤ batch
+  * collision set, which then anti-joins the batch). The destination is
+  * never shuffled. At 100 TB with small batches, amortise the scan
+  * with larger batches or maintain a bucketed fingerprint index table;
+  * the join direction here is the one that survives either way.
+  */
+object DedupTransformer extends Transformer {
+  val name = "dedup"
+  private val FpCol = "__fp"
+
+  def apply(batch: TableBatch, params: Params): Seq[TableBatch] =
+    throw new IllegalStateException(
+      "dedup transformer needs destination context (pipeline invokes the 3-arg hook)")
+
+  override def apply(batch: TableBatch, params: Params,
+                     ctx: TransformContext): Seq[TableBatch] = {
+    import org.apache.spark.sql.expressions.Window
+    val dedupCol = params.extra.getOrElse("DedupColumn", "text")
+    require(batch.df.columns.contains(dedupCol),
+      s"dedup transformer: batch for ${batch.table} has no `$dedupCol` column")
+    val hasMethod = batch.df.columns.contains(Method.Col)
+    val removes =
+      if (hasMethod) batch.df.filter(col(Method.Col) === Method.Remove.name)
+      else batch.df.limit(0)
+    val rest =
+      if (hasMethod) batch.df.filter(
+        coalesce(col(Method.Col), lit("")) =!= Method.Remove.name)
+      else batch.df
+
+    val withFp = rest.withColumn(FpCol, md5(lower(col(dedupCol))))
+    // deterministic in-batch survivor: min PK within each fingerprint
+    val order = ctx.pkCols.filter(rest.columns.contains)
+    val inBatch =
+      if (order.nonEmpty)
+        withFp.withColumn("__rn", row_number().over(
+            Window.partitionBy(FpCol).orderBy(order.map(col): _*)))
+          .filter(col("__rn") === 1).drop("__rn")
+      else withFp.dropDuplicates(FpCol)
+
+    val target = s"${ctx.destinationPath}/${batch.table}.parquet"
+    val deduped = graft.core.ParquetTable.read(ctx.spark, target) match {
+      case Some(dest) if dest.columns.contains(dedupCol) =>
+        val destFps = dest.select(md5(lower(col(dedupCol))).as(FpCol))
+        // ≤ batch-size collision set; the destination only streams
+        val hits = destFps.join(
+          broadcast(inBatch.select(FpCol).distinct()), Seq(FpCol), "left_semi")
+          .distinct()
+        inBatch.join(broadcast(hits), Seq(FpCol), "left_anti")
+      case _ => inBatch
+    }
+    Seq(batch.copy(df = deduped.drop(FpCol).unionByName(removes)))
   }
 }

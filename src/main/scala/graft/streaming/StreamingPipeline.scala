@@ -82,6 +82,27 @@ object StreamingPipeline {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dup suppression: first sighting of a 64-bit SimHash
+    * fingerprint wins — lightly mutated copies (boilerplate tweaks,
+    * whitespace churn) that exact hashing misses collapse to the same
+    * fingerprint and are dropped within the watermark horizon. Built on
+    * the one-pass [[graft.functions.SimHash64]] kernel, so the
+    * fingerprint is a stateless projected column and the ONLY state is
+    * the watermark-evicted sighting set — rate × horizon, not corpus
+    * lifetime. Same eviction discipline as [[dedupStream]]; a hamming
+    * tolerance above 0 needs the banded batch pass
+    * ([[graft.operators.TextOps.simhashPairs]]) — per-record streaming
+    * state cannot hold a corpus-wide band index.
+    */
+  def nearDedupStream(docs: DataFrame, lateness: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    docs
+      .withColumn("simhash64",
+        column(graft.functions.SimHash64(expression(col("text")))))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("simhash64")
+  }
+
   /** Watermarked tumbling-window aggregation — the streaming form of the
     * `events_tumbling` batch query; late rows beyond `lateness` are
     * dropped by the watermark, state is bounded per window × type.

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.operators.{DedupTransformer, MethodRoutedLoader, TransformContext}
+import graft.streaming.StreamingPipeline
+
+/** Ingest-time dedup: the `dedup` transformer (batch pipelines) and the
+  * SimHash near-dup stream (streaming ingest).
+  */
+class DedupTransformerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ctx(dest: String) = TransformContext(spark, dest, Seq("id"))
+
+  test("in-batch duplicates collapse to the deterministic min-PK survivor") {
+    val dest = tmpDir("dt-mem")
+    val batch = Seq(
+      (3L, "Same Content"), (1L, "same content"), (2L, "other content"))
+      .toDF("id", "text")
+    val out = DedupTransformer(TableBatch("b", "t", batch), Params(), ctx(dest))
+      .head.df
+    assert(out.count() === 2)
+    // md5(lower(text)) is the key: id=1 wins over id=3 (min PK)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("rows whose content already reached the destination are dropped") {
+    val dest = tmpDir("dt-dest")
+    val params = Params(extra = Map("DedupColumn" -> "text"))
+    val first = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+      .withColumn(Method.Col, lit("INSERT"))
+    MethodRoutedLoader.load(spark, TableBatch("b", "t", first), dest,
+      Seq("id"), params)
+
+    val second = Seq((3L, "ALPHA"), (4L, "gamma")).toDF("id", "text")
+    val out = DedupTransformer(TableBatch("b", "t", second), params, ctx(dest))
+      .head.df
+    assert(out.select("id").collect().map(_.getLong(0)).toSet === Set(4L),
+      "case-normalised repeat of 'alpha' must be dropped")
+  }
+
+  test("REMOVE rows pass through even when their content repeats") {
+    val dest = tmpDir("dt-rm")
+    val params = Params()
+    val first = Seq((1L, "alpha")).toDF("id", "text")
+      .withColumn(Method.Col, lit("INSERT"))
+    MethodRoutedLoader.load(spark, TableBatch("b", "t", first), dest,
+      Seq("id"), params)
+    val batch = Seq((1L, "alpha", "REMOVE"), (9L, "alpha", "INSERT"))
+      .toDF("id", "text", Method.Col)
+    val out = DedupTransformer(TableBatch("b", "t", batch), params, ctx(dest))
+      .head.df
+    val kept = out.select("id", Method.Col).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept === Set((1L, "REMOVE")),
+      s"delete must survive, duplicate insert must not: $kept")
+  }
+
+  test("a full pipeline drain with the dedup transformer loads each content once") {
+    val src = tmpDir("dt-src"); val dest = tmpDir("dt-pipe")
+    (1L to 100L).map(i => (i, s"content ${i % 40}")).toDF("id", "text")
+      .write.parquet(s"$src/t.parquet")
+    val cfg = Config.parse(
+      s"""pipelines:
+         |  - source-database: a
+         |    source-table: t
+         |    key: id
+         |    source-path: $src
+         |    destination-path: $dest
+         |    transformer: dedup
+         |    parameters: { BatchSize: 30 }
+         |""".stripMargin)
+    new Pipeline(spark, cfg.head, new TrackingStore(spark, s"$dest/_tracking")).drain()
+    val got = spark.read.parquet(s"$dest/t.parquet")
+    assert(got.count() === 40, "one survivor per distinct content")
+    // survivors are the min PK of each content group — reproducible
+    assert(got.agg(sum("id")).head.getLong(0) === (1L to 40L).sum)
+  }
+
+  test("streaming near-dedup drops repeated simhash sightings, bounds state") {
+    val src = tmpDir("nd-src")
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 10:${i % 50}%02d:00"),
+        s"doc body number ${i % 20} with shared filler words")
+    }
+    rows.toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$src/docs")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$src/docs").schema)
+      .parquet(s"$src/docs")
+    val out = tmpDir("nd-out"); val ckpt = tmpDir("nd-ckpt")
+    val q = StreamingPipeline.nearDedupStream(stream).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 20)
+    assert(StreamingPipeline.nearDedupStream(stream)
+      .queryExecution.logical.toString.contains("WithinWatermark"))
+  }
+}
