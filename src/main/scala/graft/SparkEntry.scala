@@ -71,6 +71,7 @@ object SparkEntry {
     "text_surprisal" -> (graft.queries.ExtQueries.textSurprisal(_, _)),
     "text_bigram_surprisal" -> (graft.queries.ExtQueries.textBigramSurprisal(_, _)),
     "embed_quantize" -> (graft.queries.ExtQueries.embedQuantize(_, _)),
+    "hybrid_rrf" -> (graft.queries.ExtQueries.hybridRrf(_, _)),
     "approx_distinct" -> (graft.queries.ExtQueries.approxDistinct(_, _)),
     "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
     "text_fingerprint" -> (graft.queries.ExtQueries.textFingerprint(_, _)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),
+    "embed_pq" -> (graft.queries.ExtQueries.embedPq(_, _)),
     "embed_lsh_buckets" -> (graft.queries.ExtQueries.embedLshBuckets(_, _)),
     "embed_neardup_pairs" -> (graft.queries.ExtQueries.embedNearDupPairs(_, _)),
     "multimodal_meta" -> (graft.queries.ExtQueries.multimodalMeta(_, _)),

@@ -226,6 +226,67 @@ object VectorOps {
     * members of a dropped bucket agree on so few informative sign bits
     * that the bucket was mostly noise pairs anyway. Set 0 to disable.
     */
+  /** Product quantization — the memory-compression leg of the standard
+    * IVF-PQ architecture ([[ivfTopK]] being the routing leg): the
+    * vector space is split into `m` sub-spaces, each gets its own
+    * k-means codebook (k centroids), and a vector is stored as `m`
+    * small codes (m=8, k=16 → 32 bits per 64-dim vector, a 64×
+    * compression of float32). At 100 TB this is what makes the
+    * candidate set RAM-resident: the asymmetric-distance scan reads
+    * codes, not vectors.
+    *
+    * Codebooks train on a seeded ≤`maxTrainRows` sample (same
+    * discipline as the IVF quantizer — training is never O(corpus))
+    * and are broadcast into the encode expression as literals, so
+    * encoding is a stateless projected column over the scan: no
+    * shuffle, no UDF (argmin over k squared distances via higher-order
+    * array functions). `recon_rmse` is the per-vector quantization
+    * error — the quality dial for choosing m/k.
+    *
+    * Not SQL-replayable (k-means), so rows-only at the driver gate;
+    * determinism and error bounds are spec-pinned in `VectorOpsSpec`.
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+               maxTrainRows: Long = MaxTrainRows): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val dim = embeddings.select(size(vec(col("embedding"))).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m sub-vectors")
+    val dsub = dim / m
+    val v = embeddings.select(col("vec_id"), vec(col("embedding")).as("v")).cache()
+    val total = math.max(1L, v.count())
+    val train =
+      if (total <= maxTrainRows) v
+      else v.sample(withReplacement = false, maxTrainRows.toDouble / total, seed = 42L)
+    val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { s =>
+      val sub = train.select(
+        array_to_vector(slice(col("v"), s * dsub + 1, dsub)).as("features"))
+      new KMeans().setK(k).setSeed(42L + s).setMaxIter(10)
+        .setFeaturesCol("features").fit(sub)
+        .clusterCenters.map(_.toArray)
+    }
+    v.unpersist()
+
+    // encode: per sub-space, squared distances to the k centroid
+    // literals, argmin = the code; first-index tie-break is
+    // deterministic, and the shared `dists` trees fall to codegen
+    // subexpression elimination
+    val dists = (0 until m).map { s =>
+      val cents = array(codebooks(s).map(c => array(c.map(lit(_)): _*)): _*)
+      val sub = slice(col("v"), s * dsub + 1, dsub)
+      transform(cents, c =>
+        aggregate(zip_with(c, sub, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+    }
+    embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        array(dists.map(d =>
+          (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"),
+        round(sqrt(dists.map(array_min).reduce(_ + _) / lit(dim.toDouble)), 5)
+          .as("recon_rmse"))
+  }
+
   def nearDupPairs(embeddings: DataFrame, threshold: Double, signBits: Int = Auto,
                    maxBucketRows: Long = 4096L): DataFrame = {
     val bits = resolveSignBits(embeddings, signBits)

@@ -229,6 +229,40 @@ object ExtOracles {
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
 
+    // hybrid retrieval: the bm25 pipeline (same CTEs as text_bm25, top
+    // 50), the cosine pipeline (same shape as embed_topk, query vec 0,
+    // top 50), ranks fused with 1/(60+rank); double division forced —
+    // DuckDB's bare 1.0 is DECIMAL and divides under different rounding
+    "hybrid_rrf" ->
+      s"""WITH tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS len FROM tokw GROUP BY doc_id),
+         |sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len FROM dl),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tokw
+         |       WHERE w IN ('fast', 'join', 'table') GROUP BY doc_id, w),
+         |dfq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         |term AS (SELECT tf.doc_id,
+         |    ln((sc.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1) * tf.tf * 2.2 /
+         |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / sc.avg_len)) AS s
+         |  FROM tf JOIN dfq USING (w) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN sc),
+         |bm AS (SELECT doc_id, round(sum(s), 4) AS bm25 FROM term GROUP BY doc_id),
+         |tr AS (SELECT doc_id, r_t FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_t
+         |    FROM bm) WHERE r_t <= 50),
+         |$embCte,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |scored AS (SELECT e.vec_id AS doc_id,
+         |    round(list_dot_product(qv, v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 5) AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+         |vr AS (SELECT doc_id, r_v FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_v
+         |    FROM scored) WHERE r_v <= 50)
+         |SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, r_t, r_v,
+         |  round(coalesce(1.0::DOUBLE / (60 + r_t), 0) +
+         |        coalesce(1.0::DOUBLE / (60 + r_v), 0), 6) AS rrf
+         |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
     "text_simhash" -> simhashSql,
 
     "dedup_simhash_pairs" -> simhashPairsSql,

@@ -138,6 +138,37 @@ object ExtQueries {
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
     VectorOps.quantize(embs(spark, dir)).orderBy("vec_id")
 
+  /** Hybrid retrieval: BM25 keyword ranking and cosine vector ranking
+    * fused by reciprocal-rank fusion (rrf = Σ 1/(60 + rank) over the
+    * rankings a doc appears in — Cormack et al.'s constant). Both
+    * rankings are top-`kTop` pipelines that scale independently (BM25:
+    * inverted-index joins; cosine: broadcast query × corpus stream);
+    * the fusion itself joins two ≤kTop row sets, so the rank windows
+    * and the outer join are bounded by k, never by the corpus.
+    */
+  def hybridRrf(spark: SparkSession, dir: String,
+                kTop: Int = 50, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // kTop rows only — a global rank window over a bounded set
+    val text = TextOps.bm25TopK(docs(spark, dir),
+        Seq("fast", "join", "table"), kTop)
+      .withColumn("r_t", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("bigint"))
+      .select(col("doc_id"), col("r_t"))
+    val vec = VectorOps.cosineTopK(embs(spark, dir), queryIds = Seq(0L), k = kTop)
+      .select(col("vec_id").as("doc_id"), col("rn").cast("bigint").as("r_v"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("r_t")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_v")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "r_t", "r_v", "rrf")
+  }
+
+  def embedPq(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.pqEncode(embs(spark, dir)).orderBy("vec_id")
+
   def embedLshBuckets(spark: SparkSession, dir: String): DataFrame =
     VectorOps.lshBuckets(embs(spark, dir)).orderBy("bucket")
 

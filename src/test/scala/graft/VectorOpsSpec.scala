@@ -157,4 +157,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("code_sum") === 64L)
     assert(r.getAs[Double]("rmse") === 0.0)
   }
+
+  test("PQ: deterministic codes in range, error beats the mean-only codebook") {
+    val a = VectorOps.pqEncode(embs).orderBy("vec_id").collect()
+    val b = VectorOps.pqEncode(embs).orderBy("vec_id").collect()
+    assert(a.toSeq === b.toSeq, "seeded PQ must be reproducible")
+    assert(a.length === embs.count())
+    // codes live in [0, k)
+    assert(a.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    // finer codebooks must beat the coarsest trainable one (k=2) on
+    // mean reconstruction error — k-means has to capture SOME variance
+    // per added centroid or the training is broken
+    val rmse16 = a.map(_.getAs[Double]("recon_rmse")).sum / a.length
+    val rmse2 = VectorOps.pqEncode(embs, k = 2).collect()
+      .map(_.getAs[Double]("recon_rmse")).sum / a.length
+    assert(rmse16 < rmse2 * 0.98,
+      s"k=16 rmse $rmse16 should beat k=2 rmse $rmse2")
+  }
+
+  test("PQ encodes a vector equal to a centroid with zero error") {
+    import spark.implicits._
+    // train on a tiny separable corpus: clones of two far-apart points;
+    // the k-means centroids land ON the points, so their recon error is 0
+    val pts = (0 until 32).map { i =>
+      (i.toLong, Array.fill(8)(if (i % 2 == 0) 1.0f else -1.0f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val enc = VectorOps.pqEncode(df, m = 2, k = 2)
+    assert(enc.filter(col("recon_rmse") > 1e-9).count() === 0)
+  }
 }
