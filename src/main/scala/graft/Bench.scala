@@ -62,27 +62,37 @@ object Bench {
     // blocks so earlier passes' heap debt can't bill later queries.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // (seconds, succeeded) per query per pass: a failed pass must not
+    // feed the min — a query that throws in 0.3 s and succeeds in 5 s
+    // ran for 5 s
     val allPasses = (1 to passes).map { p =>
       spark.catalog.clearCache()
       System.gc()
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
+    val failed = names.map(_._1).filter(n =>
+      allPasses.forall(!_.find(_._1 == n).get._3))
     val results = names.map(_._1).map { name =>
-      name -> allPasses.map(_.find(_._1 == name).get._2).min
+      val runs = allPasses.map(_.find(_._1 == name).get)
+      val good = runs.filter(_._3)
+      name -> (if (good.nonEmpty) good.map(_._2).min else runs.map(_._2).max)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val passTotals = allPasses.map(p => f"${p.map(_._2).sum}%.3f").mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"failed":$failedJson}"""
     // the line must be machine-readable: print it to stdout (forked run
     // output bypasses sbt's logger, see build.sbt outputStrategy) AND
     // drop it in a file so log-scraping never has to parse process noise

@@ -104,6 +104,13 @@ object Config {
     // fail-fast registry validation (`cmd/migrator/main.go:61-82`)
     Registry.extractor(spec.extractor)
     Registry.transformer(spec.transformer)
+    // the two destination layouts are mutually exclusive; resolving a
+    // contradiction by silent precedence would leave the user to
+    // discover the wrong layout from the directory tree
+    require(spec.params.partitionByCol.isEmpty ||
+      spec.params.partitionBuckets == Params.AutoBuckets,
+      s"pipeline ${spec.sourceTable}: PartitionBy and PartitionBuckets " +
+        "are mutually exclusive destination layouts — configure one")
     spec
   }
 }

@@ -146,7 +146,11 @@ final class Pipeline(spark: SparkSession, val spec: PipelineSpec,
     // by-name body unwinds via ControlThrowable and would be wrapped
     stage(ErrorContext.Compact) { touchedTables.toSeq.foreach { table =>
       val path = s"${spec.destinationPath}/$table.parquet"
-      if (ParquetTable.readBucketMarker(spark, path).isEmpty) {
+      // both partitioned layouts keep their directories: bucketed
+      // tables are told by the marker, value-partitioned (PartitionBy)
+      // ones by config — compacting either would collapse the layout
+      if (spec.params.partitionByCol.isEmpty &&
+          ParquetTable.readBucketMarker(spark, path).isEmpty) {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) {

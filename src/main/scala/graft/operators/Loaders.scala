@@ -272,16 +272,32 @@ object MethodRoutedLoader {
     def dirName(v: Any): String =
       ExternalCatalogUtils.getPartitionPathString(pcol, String.valueOf(v))
 
+    // partition-dir names must round-trip values exactly; permit the
+    // types whose toString matches Spark's partition encoding. Checked
+    // on EVERY load (insert-only ones included): an unsupported type
+    // must fail before it lays out a table no rewrite could service
+    (if (nIns > 0) inserts else if (nRep > 0) replaces else removes)
+      .schema.find(_.name == pcol).foreach { f =>
+        require(Seq("string", "bigint", "int", "smallint", "tinyint")
+          .contains(f.dataType.simpleString),
+          s"PartitionBy column `$pcol` must be string or integral, got ${f.dataType}")
+      }
+
+    // layout guard: a destination seeded BEFORE PartitionBy was
+    // configured holds root-level data files. Writing partition dirs
+    // next to them would duplicate replaced rows and break partition
+    // discovery, so such a table is migrated to the partitioned layout
+    // in one atomic rewrite first (mirror of the bucket-marker "physical
+    // layout is law" rule, with the flat files as the tell).
+    def isFlatLayout: Boolean = fs.exists(p) &&
+      fs.listStatus(p).exists(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    if (isFlatLayout)
+      ParquetTable.read(spark, target).foreach { existing =>
+        ParquetTable.overwriteAtomicPartitioned(spark, target, existing, pcol)
+      }
+
     if (nRep > 0 || nRem > 0) {
       val existing = ParquetTable.read(spark, target)
-      // partition-dir names must round-trip values exactly; permit the
-      // types whose toString matches Spark's partition encoding
-      existing.orElse(Some(replaces)).foreach { d =>
-        val t = d.schema(pcol).dataType
-        require(Seq("string", "bigint", "int", "smallint", "tinyint")
-          .contains(t.simpleString),
-          s"PartitionBy column `$pcol` must be string or integral, got $t")
-      }
       val touchedVals = replaces.select(pcol).union(removes.select(pcol))
         .distinct().collect().map(r => if (r.isNullAt(0)) null else r.get(0))
       val prunable = !touchedVals.contains(null) && existing.isDefined
@@ -302,7 +318,12 @@ object MethodRoutedLoader {
         touchedVals.foreach { v =>
           val dst = new Path(p, dirName(v))
           val src = new Path(staging, dirName(v))
-          fs.delete(dst, true)
+          // displace the live partition INTO the staging dir before the
+          // swap: a crash mid-swap leaves the old data recoverable in
+          // .__staging_* instead of deleted outright (the staging dir is
+          // only removed after every touched partition has swapped)
+          if (fs.exists(dst))
+            fs.rename(dst, new Path(staging, s"__displaced_${dirName(v)}"))
           if (fs.exists(src)) fs.rename(src, dst)
         }
         fs.delete(staging, true)
@@ -366,7 +387,10 @@ object MethodRoutedLoader {
       touched.foreach { b =>
         val dst = new Path(p, s"$BucketCol=$b")
         val src = new Path(staging, s"$BucketCol=$b")
-        fs.delete(dst, true)
+        // displace rather than delete: a crash mid-swap leaves the old
+        // bucket recoverable inside .__staging_* instead of gone
+        if (fs.exists(dst))
+          fs.rename(dst, new Path(staging, s"__displaced_$BucketCol=$b"))
         if (fs.exists(src)) fs.rename(src, dst)
       }
       fs.delete(staging, true)

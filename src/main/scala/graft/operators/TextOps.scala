@@ -149,6 +149,8 @@ object TextOps {
     import org.apache.spark.sql.graftshim.ColumnBridge._
     val sig = column(graft.functions.MinhashSig(
       expression(col("text")), k, MinhashSeeds))
+    // size(null) = -1 < k, so null text drops here like the composed
+    // plan's explode would
     docs.filter(size(tokens) >= k)
       .select(col("doc_id") +: (0 until MinhashSeeds)
         .map(i => element_at(sig, i + 1).as(s"h$i")): _*)
@@ -515,9 +517,13 @@ object TextOps {
     */
   def simhash(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge._
-    docs.select(col("doc_id"),
-      column(graft.functions.SimHash64(expression(col("text"))))
-        .as("simhash64"))
+    // null text drops the document, as the composed plan's explode does
+    // (and as the oracle SQL replays) — without the filter the kernel
+    // would emit a (doc_id, null) row the oracle never sees
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        column(graft.functions.SimHash64(expression(col("text"))))
+          .as("simhash64"))
   }
 
   /** The explode-tokens → 64-vote-sum form of [[simhash]] (bit 63

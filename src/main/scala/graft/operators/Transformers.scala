@@ -67,13 +67,16 @@ object ExprTransformer extends Transformer {
 }
 
 /** Ingest-time exact dedup — the transformer every training-data
-  * pipeline wants between extract and load: arriving rows whose
+  * pipeline wants between extract and load: arriving INSERT rows whose
   * normalised content fingerprint (md5 of lowercased `DedupColumn`,
   * default `text` — the same key as `TextOps.exactDedup`) already
   * exists in the DESTINATION are dropped, and within a batch one
   * deterministic survivor is kept per fingerprint (min PK order, so a
-  * re-run picks the same rows). REMOVE rows pass through untouched —
-  * a delete must reach the loader even if its content repeats.
+  * re-run picks the same rows). Non-INSERT rows pass through
+  * untouched: a REMOVE stands regardless of content, and a REPLACE is
+  * an update — its content column repeating (or not changing) says
+  * nothing about its sibling columns. Rows with a NULL dedup value
+  * pass through too ("no content" is not one piece of shared content).
   *
   * Scale shape: the batch side is ≤ BatchSize rows, so both joins
   * BROADCAST the batch, never the destination — the destination
@@ -99,13 +102,23 @@ object DedupTransformer extends Transformer {
     require(batch.df.columns.contains(dedupCol),
       s"dedup transformer: batch for ${batch.table} has no `$dedupCol` column")
     val hasMethod = batch.df.columns.contains(Method.Col)
-    val removes =
-      if (hasMethod) batch.df.filter(col(Method.Col) === Method.Remove.name)
-      else batch.df.limit(0)
+    // dedup applies to NEW content only: REMOVE must reach the loader
+    // (a delete stands regardless of content), and REPLACE must too —
+    // an update whose content column happens to repeat (or didn't
+    // change) still carries updated sibling columns. NULL-method rows
+    // route to REPLACE in the loader and pass through for the same
+    // reason. Rows with a NULL dedup value also pass: "no content" is
+    // not one piece of shared content.
+    val passthrough =
+      if (hasMethod) batch.df.filter(
+        coalesce(col(Method.Col), lit(Method.Replace.name)) =!= Method.Insert.name ||
+          col(dedupCol).isNull)
+      else batch.df.filter(col(dedupCol).isNull)
     val rest =
       if (hasMethod) batch.df.filter(
-        coalesce(col(Method.Col), lit("")) =!= Method.Remove.name)
-      else batch.df
+        coalesce(col(Method.Col), lit(Method.Replace.name)) === Method.Insert.name &&
+          col(dedupCol).isNotNull)
+      else batch.df.filter(col(dedupCol).isNotNull)
 
     val withFp = rest.withColumn(FpCol, md5(lower(col(dedupCol))))
     // deterministic in-batch survivor: min PK within each fingerprint
@@ -128,6 +141,6 @@ object DedupTransformer extends Transformer {
         inBatch.join(broadcast(hits), Seq(FpCol), "left_anti")
       case _ => inBatch
     }
-    Seq(batch.copy(df = deduped.drop(FpCol).unionByName(removes)))
+    Seq(batch.copy(df = deduped.drop(FpCol).unionByName(passthrough)))
   }
 }

@@ -246,45 +246,105 @@ object VectorOps {
     * Not SQL-replayable (k-means), so rows-only at the driver gate;
     * determinism and error bounds are spec-pinned in `VectorOpsSpec`.
     */
-  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
-               maxTrainRows: Long = MaxTrainRows): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  /** Rows the PQ codebooks train on — collected to the DRIVER: m
+    * sub-space k-means over ≤10k × (dim/m)-double rows is a
+    * driver-scale problem (the FAISS posture — codebooks train in one
+    * process; only the ENCODE is corpus-scale and distributed). Going
+    * through m separate cluster fits costs m × (init + iterations)
+    * scheduler round-trips for work measured in milliseconds.
+    */
+  val PqTrainRows: Long = 10000L
 
+  /** Seeded k-means++ & Lloyd on driver-local data. k-means++ never
+    * seeds two centroids on the same point (D² = 0), so clone-heavy
+    * corpora converge to the exact points; empty clusters keep their
+    * previous centroid.
+    */
+  private def localKMeans(data: Array[Array[Double]], k: Int, iters: Int,
+                          seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val d = data(0).length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centroids = Array.fill(k)(new Array[Double](d))
+    centroids(0) = data(rnd.nextInt(data.length)).clone()
+    val minD2 = data.map(dist2(_, centroids(0)))
+    for (c <- 1 until k) {
+      val totalW = minD2.sum
+      centroids(c) =
+        if (totalW <= 0) data(rnd.nextInt(data.length)).clone()
+        else {
+          var r = rnd.nextDouble() * totalW; var i = 0
+          while (i < data.length - 1 && r > minD2(i)) { r -= minD2(i); i += 1 }
+          data(i).clone()
+        }
+      var i = 0
+      while (i < data.length) {
+        minD2(i) = math.min(minD2(i), dist2(data(i), centroids(c)))
+        i += 1
+      }
+    }
+    // Lloyd
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      data.foreach { x =>
+        var best = 0; var bd = dist2(x, centroids(0)); var c = 1
+        while (c < k) {
+          val dd = dist2(x, centroids(c))
+          if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += x(i); i += 1 }
+      }
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until d)
+        centroids(c)(i) = sums(c)(i) / counts(c)
+    }
+    centroids
+  }
+
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+               maxTrainRows: Long = PqTrainRows): DataFrame = {
     val dim = embeddings.select(size(vec(col("embedding"))).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m sub-vectors")
     val dsub = dim / m
-    val v = embeddings.select(col("vec_id"), vec(col("embedding")).as("v")).cache()
-    val total = math.max(1L, v.count())
-    val train =
-      if (total <= maxTrainRows) v
-      else v.sample(withReplacement = false, maxTrainRows.toDouble / total, seed = 42L)
+    val v = embeddings.select(vec(col("embedding")).as("v"))
+    val total = math.max(1L, embeddings.count())
+    val sample =
+      (if (total <= maxTrainRows) v
+       else v.sample(withReplacement = false, maxTrainRows.toDouble / total, seed = 42L))
+        .collect().map(_.getSeq[Double](0).toArray)
     val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { s =>
-      val sub = train.select(
-        array_to_vector(slice(col("v"), s * dsub + 1, dsub)).as("features"))
-      new KMeans().setK(k).setSeed(42L + s).setMaxIter(10)
-        .setFeaturesCol("features").fit(sub)
-        .clusterCenters.map(_.toArray)
+      val sub = sample.map(_.slice(s * dsub, (s + 1) * dsub))
+      localKMeans(sub, k, iters = 10, seed = 42L + s)
     }
-    v.unpersist()
 
     // encode: per sub-space, squared distances to the k centroid
-    // literals, argmin = the code; first-index tie-break is
-    // deterministic, and the shared `dists` trees fall to codegen
-    // subexpression elimination
-    val dists = (0 until m).map { s =>
+    // literals, argmin = the code. The distance arrays are materialised
+    // as named columns in their own projection — higher-order-function
+    // trees evaluate via CodegenFallback, which subexpression
+    // elimination skips, so referencing the shared tree from both the
+    // codes and the rmse column would compute every distance twice
+    val withDists = (0 until m).foldLeft(
+        embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))) { (df, s) =>
       val cents = array(codebooks(s).map(c => array(c.map(lit(_)): _*)): _*)
       val sub = slice(col("v"), s * dsub + 1, dsub)
-      transform(cents, c =>
+      df.withColumn(s"_d$s", transform(cents, c =>
         aggregate(zip_with(c, sub, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
+          lit(0.0), (acc, x) => acc + x)))
     }
-    embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
-      .select(col("vec_id"),
-        array(dists.map(d =>
-          (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"),
-        round(sqrt(dists.map(array_min).reduce(_ + _) / lit(dim.toDouble)), 5)
-          .as("recon_rmse"))
+    val dists = (0 until m).map(s => col(s"_d$s"))
+    withDists.select(col("vec_id"),
+      array(dists.map(d =>
+        (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"),
+      round(sqrt(dists.map(array_min).reduce(_ + _) / lit(dim.toDouble)), 5)
+        .as("recon_rmse"))
   }
 
   def nearDupPairs(embeddings: DataFrame, threshold: Double, signBits: Int = Auto,

@@ -60,6 +60,30 @@ class DedupTransformerSpec extends SparkSpec {
       s"delete must survive, duplicate insert must not: $kept")
   }
 
+  test("REPLACE rows pass through — an update's unchanged content is not a dup") {
+    val dest = tmpDir("dt-rep")
+    val params = Params()
+    val first = Seq((1L, "alpha")).toDF("id", "text")
+      .withColumn(Method.Col, lit("INSERT"))
+    MethodRoutedLoader.load(spark, TableBatch("b", "t", first), dest,
+      Seq("id"), params)
+    // same content, but it is an UPDATE of the same key — must load
+    val batch = Seq((1L, "alpha")).toDF("id", "text")
+      .withColumn(Method.Col, lit("REPLACE"))
+    val out = DedupTransformer(TableBatch("b", "t", batch), params, ctx(dest))
+      .head.df
+    assert(out.count() === 1, "update with repeating content must reach the loader")
+  }
+
+  test("rows with NULL content pass through undeduplicated") {
+    val dest = tmpDir("dt-null")
+    val batch = Seq((1L, null: String), (2L, null: String), (3L, "real"))
+      .toDF("id", "text")
+    val out = DedupTransformer(TableBatch("b", "t", batch), Params(), ctx(dest))
+      .head.df
+    assert(out.count() === 3, "'no content' is not one piece of shared content")
+  }
+
   test("a full pipeline drain with the dedup transformer loads each content once") {
     val src = tmpDir("dt-src"); val dest = tmpDir("dt-pipe")
     (1L to 100L).map(i => (i, s"content ${i % 40}")).toDF("id", "text")

@@ -27,7 +27,8 @@ class GraftHashSpec extends SparkSpec {
       (4L, "double  space"),
       (5L, "trailing space "),
       (6L, "naïve café über tokens here"),
-      (7L, "x y z x y z x y z")
+      (7L, "x y z x y z x y z"),
+      (8L, null: String) // composed plans drop null text via explode
     ).toDF("doc_id", "text")
   }
 

@@ -99,6 +99,34 @@ class PartitionedDestinationSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() === 200)
   }
 
+  test("a pre-existing FLAT table migrates to the layout before any pruned swap") {
+    val dest = tmpDir("pb-flat")
+    val target = s"$dest/t.parquet"
+    // seeded WITHOUT PartitionBy: root-level part-* files
+    (1L to 300L).map(i => (i, s"c${i % 3}", s"v$i")).toDF("id", "cat", "v")
+      .write.parquet(target)
+    // first PartitionBy load is a rewrite batch — it must not leave the
+    // old flat files beside fresh partition dirs (duplicate rows)
+    val batch = Seq((5L, "c2", "v5-NEW")).toDF("id", "cat", "v")
+      .withColumn(Method.Col, lit("REPLACE"))
+    MethodRoutedLoader.load(spark, TableBatch("b", "t", batch), dest,
+      Seq("id"), params)
+    assert(partDirs(target).keySet === Set("cat=c0", "cat=c1", "cat=c2"))
+    val got = spark.read.parquet(target)
+    assert(got.count() === 300, "no duplicated or resurrected rows")
+    // NB the partition column reads back LAST after migration — select
+    assert(got.filter(col("id") === 5L).select("v").head().getString(0) === "v5-NEW")
+    // and insert-only loads migrate too (mixed layout breaks discovery)
+    val dest2 = tmpDir("pb-flat2")
+    (1L to 10L).map(i => (i, s"c${i % 2}", s"v$i")).toDF("id", "cat", "v")
+      .write.parquet(s"$dest2/t.parquet")
+    val ins = Seq((11L, "c0", "v11")).toDF("id", "cat", "v")
+      .withColumn(Method.Col, lit("INSERT"))
+    MethodRoutedLoader.load(spark, TableBatch("b", "t", ins), dest2,
+      Seq("id"), params)
+    assert(spark.read.parquet(s"$dest2/t.parquet").count() === 11)
+  }
+
   test("NULL partition value (PK-only REMOVE) falls back to a full rewrite") {
     val dest = tmpDir("pb-null")
     val target = seed(dest)

@@ -183,6 +183,8 @@ class VectorOpsSpec extends SparkSpec {
       (i.toLong, Array.fill(8)(if (i % 2 == 0) 1.0f else -1.0f))
     }
     val df = pts.toDF("vec_id", "embedding")
+    // k-means++ seeding never lands two centroids on the same point,
+    // so the clone corpus converges to the exact points
     val enc = VectorOps.pqEncode(df, m = 2, k = 2)
     assert(enc.filter(col("recon_rmse") > 1e-9).count() === 0)
   }
