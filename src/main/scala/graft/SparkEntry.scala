@@ -50,6 +50,7 @@ object SparkEntry {
     "range_join" -> (rangeJoin(_, _)),
     "asof_signup" -> (asofSignup(_, _)),
     "asof_next" -> (asofNext(_, _)),
+    "events_funnel" -> (eventsFunnel(_, _)),
     "histogram_agg" -> (histogramAgg(_, _)),
     "salted_join" -> (saltedJoin(_, _)),
     "method_routing" -> (methodRouting(_, _)),
@@ -306,6 +307,22 @@ object SparkEntry {
          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
          |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
          |FROM ev ORDER BY event_id""".stripMargin,
+
+    "events_funnel" ->
+      s"""WITH $eventsCte,
+         |s AS (SELECT user_id,
+         |        min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+         |      FROM ev GROUP BY user_id),
+         |p AS (SELECT ev.user_id, min(ev.ts) AS first_purchase
+         |      FROM ev JOIN s ON ev.user_id = s.user_id
+         |      WHERE ev.event_type = 'purchase' AND ev.ts >= s.first_signup
+         |      GROUP BY ev.user_id)
+         |SELECT s.user_id, first_signup, first_purchase,
+         |  CAST(first_signup IS NOT NULL AND first_purchase IS NOT NULL AS INT)
+         |    AS converted,
+         |  date_diff('second', first_signup, first_purchase) AS secs_to_convert
+         |FROM s LEFT JOIN p ON s.user_id = p.user_id
+         |ORDER BY s.user_id""".stripMargin,
 
     "histogram_agg" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,

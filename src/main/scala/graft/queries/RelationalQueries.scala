@@ -497,6 +497,31 @@ object RelationalQueries {
         round(max("l_extendedprice"), 2).as("hi"))
       .orderBy("bucket")
 
+  /** Funnel analysis — the event-sequence op behind conversion
+    * reporting: each user's first signup, their first purchase at or
+    * after it, and the seconds between. Two aggregations and one
+    * equi-join, all shuffling on user_id — AQE reuses the partitioning
+    * and the whole funnel is one exchange of the events table per leg,
+    * regardless of funnel depth extensions.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("first_signup"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(signups, "user_id")
+      .filter(col("ts") >= col("first_signup"))
+      .groupBy("user_id").agg(min("ts").as("first_purchase"))
+    signups.join(firstPurchase, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("first_signup"), col("first_purchase"),
+        (col("first_signup").isNotNull && col("first_purchase").isNotNull)
+          .cast("int").as("converted"),
+        (col("first_purchase").cast("timestamp").cast("long") -
+          col("first_signup").cast("timestamp").cast("long")).as("secs_to_convert"))
+      .orderBy("user_id")
+  }
+
   /** Skew-resistant salted JOIN (the join-side complement of
     * [[saltedAgg]]): the probe side gets a random-but-deterministic
     * salt, the build side is replicated once per salt value, and the
