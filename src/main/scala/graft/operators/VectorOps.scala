@@ -214,18 +214,6 @@ object VectorOps {
         expr("round(sqrt(aggregate(transform(v, x -> pow(x - floor(x / scale + 0.5d) * scale, 2)), " +
           "0d, (acc, x) -> acc + x) / size(v)), 5)").as("rmse"))
 
-  /** Bucketed near-dup pairs: cosine over same-bucket pairs only —
-    * the quadratic search collapses to an equi-join on the bucket key.
-    *
-    * Skew guard: sign patterns are NOT uniform (real embeddings have
-    * correlated dimensions), so a hot bucket can hold a corpus-scale
-    * share of vectors and make the within-bucket pairing quadratic
-    * regardless of `signBits`. Buckets larger than `maxBucketRows` are
-    * dropped from the pair search via a broadcast anti-join (the same
-    * shape as the Jaccard stop-shingle cap) — an explicit recall trade:
-    * members of a dropped bucket agree on so few informative sign bits
-    * that the bucket was mostly noise pairs anyway. Set 0 to disable.
-    */
   /** Product quantization — the memory-compression leg of the standard
     * IVF-PQ architecture ([[ivfTopK]] being the routing leg): the
     * vector space is split into `m` sub-spaces, each gets its own
@@ -309,8 +297,11 @@ object VectorOps {
     centroids
   }
 
-  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
-               maxTrainRows: Long = PqTrainRows): DataFrame = {
+  /** Train the m sub-space codebooks on a seeded bounded sample.
+    * @return (dim, dsub, codebooks[m][k][dsub])
+    */
+  private def pqCodebooks(embeddings: DataFrame, m: Int, k: Int,
+                          maxTrainRows: Long): (Int, Int, Seq[Array[Array[Double]]]) = {
     val dim = embeddings.select(size(vec(col("embedding"))).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m sub-vectors")
     val dsub = dim / m
@@ -320,18 +311,23 @@ object VectorOps {
       (if (total <= maxTrainRows) v
        else v.sample(withReplacement = false, maxTrainRows.toDouble / total, seed = 42L))
         .collect().map(_.getSeq[Double](0).toArray)
-    val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { s =>
+    val codebooks = (0 until m).map { s =>
       val sub = sample.map(_.slice(s * dsub, (s + 1) * dsub))
       localKMeans(sub, k, iters = 10, seed = 42L + s)
     }
+    (dim, dsub, codebooks)
+  }
 
-    // encode: per sub-space, squared distances to the k centroid
-    // literals, argmin = the code. The distance arrays are materialised
-    // as named columns in their own projection — higher-order-function
-    // trees evaluate via CodegenFallback, which subexpression
-    // elimination skips, so referencing the shared tree from both the
-    // codes and the rmse column would compute every distance twice
-    val withDists = (0 until m).foldLeft(
+  /** (vec_id, _d0.._dm-1) — per sub-space squared distances to the k
+    * centroid literals, materialised as named columns in their own
+    * projection: higher-order-function trees evaluate via
+    * CodegenFallback, which subexpression elimination skips, so
+    * downstream columns referencing a shared tree would compute every
+    * distance twice.
+    */
+  private def withSubDists(embeddings: DataFrame, dsub: Int,
+                           codebooks: Seq[Array[Array[Double]]]): DataFrame =
+    codebooks.indices.foldLeft(
         embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))) { (df, s) =>
       val cents = array(codebooks(s).map(c => array(c.map(lit(_)): _*)): _*)
       val sub = slice(col("v"), s * dsub + 1, dsub)
@@ -339,14 +335,79 @@ object VectorOps {
         aggregate(zip_with(c, sub, (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x)))
     }
+
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+               maxTrainRows: Long = PqTrainRows): DataFrame = {
+    val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, k, maxTrainRows)
+    // encode: argmin over each sub-space's distances = the code
     val dists = (0 until m).map(s => col(s"_d$s"))
-    withDists.select(col("vec_id"),
+    withSubDists(embeddings, dsub, codebooks).select(col("vec_id"),
       array(dists.map(d =>
         (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"),
       round(sqrt(dists.map(array_min).reduce(_ + _) / lit(dim.toDouble)), 5)
         .as("recon_rmse"))
   }
 
+  /** Asymmetric-distance top-k over PQ codes — the search loop of
+    * IVF-PQ: each query precomputes one lookup table per sub-space
+    * (query-sub · centroid inner products, plus the centroid norms),
+    * and scoring a corpus vector is m table lookups over its CODES —
+    * the full-precision corpus vectors are never read. The LUTs ride
+    * into the plan as literals on a ≤|queries| broadcast row set, so
+    * the scan stays a stateless projection + one top-k per query.
+    * Scores are asymmetric cosine: q·recon(x) / (|q|·|recon(x)|), with
+    * |recon(x)|² = Σ_s |c_s|² (sub-spaces are orthogonal coordinates).
+    */
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+             m: Int = 8, kCent: Int = 16,
+             maxTrainRows: Long = PqTrainRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    val (_, dsub, codebooks) = pqCodebooks(embeddings, m, kCent, maxTrainRows)
+    val codes = pqEncode(embeddings, m, kCent, maxTrainRows)
+      .select("vec_id", "codes")
+
+    val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    import spark.implicits._
+    val lutRows = queries.map { case (qid, q) =>
+      val qNorm = math.sqrt(q.map(x => x * x).sum)
+      val ipLut = (0 until m).map { s =>
+        codebooks(s).map(c =>
+          c.indices.map(i => c(i) * q(s * dsub + i)).sum).toSeq
+      }
+      val nLut = (0 until m).map(s =>
+        codebooks(s).map(c => c.map(x => x * x).sum).toSeq)
+      (qid, qNorm, ipLut, nLut)
+    }.toSeq.toDF("qid", "qnorm", "iplut", "nlut")
+
+    // score = Σ_s iplut[s][code_s] / (qnorm · sqrt(Σ_s nlut[s][code_s]))
+    val w = Window.partitionBy("qid").orderBy(col("adc_cos").desc, col("vec_id"))
+    codes.join(broadcast(lutRows), col("vec_id") =!= col("qid"))
+      .withColumn("ip", expr(
+        "aggregate(zip_with(codes, iplut, (c, l) -> l[c]), 0d, (a, x) -> a + x)"))
+      .withColumn("rnorm2", expr(
+        "aggregate(zip_with(codes, nlut, (c, l) -> l[c]), 0d, (a, x) -> a + x)"))
+      .withColumn("adc_cos",
+        round(col("ip") / greatest(col("qnorm") * sqrt(col("rnorm2")), lit(1e-12)), 5))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("adc_cos"), col("rn"))
+  }
+
+  /** Bucketed near-dup pairs: cosine over same-bucket pairs only —
+    * the quadratic search collapses to an equi-join on the bucket key.
+    *
+    * Skew guard: sign patterns are NOT uniform (real embeddings have
+    * correlated dimensions), so a hot bucket can hold a corpus-scale
+    * share of vectors and make the within-bucket pairing quadratic
+    * regardless of `signBits`. Buckets larger than `maxBucketRows` are
+    * dropped from the pair search via a broadcast anti-join (the same
+    * shape as the Jaccard stop-shingle cap) — an explicit recall trade:
+    * members of a dropped bucket agree on so few informative sign bits
+    * that the bucket was mostly noise pairs anyway. Set 0 to disable.
+    */
   def nearDupPairs(embeddings: DataFrame, threshold: Double, signBits: Int = Auto,
                    maxBucketRows: Long = 4096L): DataFrame = {
     val bits = resolveSignBits(embeddings, signBits)

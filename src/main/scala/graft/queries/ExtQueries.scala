@@ -169,6 +169,10 @@ object ExtQueries {
   def embedPq(spark: SparkSession, dir: String): DataFrame =
     VectorOps.pqEncode(embs(spark, dir)).orderBy("vec_id")
 
+  def embedPqTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.pqTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+      .orderBy("qid", "rn")
+
   def embedLshBuckets(spark: SparkSession, dir: String): DataFrame =
     VectorOps.lshBuckets(embs(spark, dir)).orderBy("bucket")
 

@@ -188,4 +188,38 @@ class VectorOpsSpec extends SparkSpec {
     val enc = VectorOps.pqEncode(df, m = 2, k = 2)
     assert(enc.filter(col("recon_rmse") > 1e-9).count() === 0)
   }
+
+  test("PQ ADC search ranks exact-code matches first on a separable corpus") {
+    import spark.implicits._
+    // 16 clones of +1^8, 16 of -1^8; query = vec 0 (+1 class). ADC
+    // cosine of same-class clones is exactly 1, cross-class -1, so the
+    // top 15 must be every other +1 clone (even ids), in id order
+    val pts = (0 until 32).map { i =>
+      (i.toLong, Array.fill(8)(if (i % 2 == 0) 1.0f else -1.0f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val top = VectorOps.pqTopK(df, queryIds = Seq(0L), k = 15, m = 2, kCent = 2)
+      .orderBy("rn").collect()
+    assert(top.length === 15)
+    assert(top.forall(_.getLong(1) % 2 == 0), "only +1-class clones in top-15")
+    assert(top.forall(_.getAs[Double]("adc_cos") === 1.0))
+    // and the ADC ranking agrees with the exact ranking on this corpus
+    val exact = VectorOps.cosineTopK(df, queryIds = Seq(0L), k = 15)
+      .orderBy("rn").collect().map(_.getLong(1)).toSeq
+    assert(top.map(_.getLong(1)).toSeq === exact)
+  }
+
+  test("PQ ADC self-score reflects quantization: near 1 for in-sample vectors") {
+    // scoring a vector against its own codes is cosine(q, recon(q));
+    // with codebooks trained on the full (small) corpus that stays high
+    val withSelf = VectorOps.pqTopK(embs, queryIds = Seq(7L), k = embs.count().toInt,
+        m = 8, kCent = 16)
+      .filter(col("vec_id") === 7L)
+    // query 7 excluded from its own candidates (vec_id != qid)
+    assert(withSelf.isEmpty)
+    val all = VectorOps.pqTopK(embs, queryIds = Seq(7L), k = 10)
+    assert(all.count() === 10)
+    assert(all.filter(col("adc_cos") > 1.0 + 1e-9).isEmpty,
+      "asymmetric cosine must stay within [-1, 1] up to rounding")
+  }
 }
