@@ -83,6 +83,8 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> (graft.queries.ExtQueries.dedupJaccardPairs(_, _)),
     "dedup_clusters" -> (graft.queries.ExtQueries.dedupClusters(_, _)),
     "text_repetition" -> (graft.queries.ExtQueries.textRepetition(_, _)),
+    "text_tfidf" -> (graft.queries.ExtQueries.textTfidf(_, _)),
+    "dedup_paragraph" -> (graft.queries.ExtQueries.dedupParagraph(_, _)),
     "sample_stratified" -> (graft.queries.ExtQueries.sampleStratified(_, _)),
     "pack_sequences" -> (graft.queries.ExtQueries.packSequences(_, _)),
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),

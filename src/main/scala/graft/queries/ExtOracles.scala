@@ -332,6 +332,39 @@ object ExtOracles {
          |  top_token_frac
          |FROM ar JOIN top ON ar.doc_id = top.doc_id ORDER BY ar.doc_id""".stripMargin,
 
+    // replays TextOps.tfidfKeywords: scores rounded BEFORE ranking so
+    // the rank tiebreak (score desc, token asc) is identical
+    "text_tfidf" ->
+      s"""WITH $tokCte2,
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tokw GROUP BY 1, 2),
+         |dfw AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+         |SELECT doc_id, w, score, rn FROM (
+         |  SELECT doc_id, w, round(tf * ln(n_docs / df), 4) AS score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY round(tf * ln(n_docs / df), 4) DESC, w) AS BIGINT) AS rn
+         |  FROM tf JOIN dfw USING (w) CROSS JOIN nd)
+         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    // replays TextOps.paragraphDedup: 10-token segments, global
+    // first-occurrence (by doc_id, seg_no) per segment hash survives;
+    // string_agg ignores the NULLs the dropped segments leave, and the
+    // all-dropped case fingerprints the empty string like concat_ws
+    "dedup_paragraph" ->
+      s"""WITH $tokCte,
+         |seg AS (SELECT doc_id, CAST(i AS INT) AS seg_no,
+         |          array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ') AS seg
+         |        FROM tok, unnest(range((len(t) - 1) // 10 + 1)) AS u(i)),
+         |k AS (SELECT doc_id, seg_no, seg,
+         |        row_number() OVER (PARTITION BY md5(seg)
+         |          ORDER BY doc_id, seg_no) = 1 AS kept
+         |      FROM seg)
+         |SELECT doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN kept THEN seg END, ' '
+         |    ORDER BY seg_no), '')) AS kept_fp
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // replays CorpusOps.stratifiedSample: first four md5 nibbles of the
     // id string via the strpos hex trick = Spark's conv(substring(...))
     "sample_stratified" ->

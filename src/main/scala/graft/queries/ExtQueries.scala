@@ -115,6 +115,17 @@ object ExtQueries {
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetition(docs(spark, dir)).orderBy("doc_id")
 
+  /** TF-IDF keyword extraction: top-3 tokens per document. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfKeywords(docs(spark, dir), k = 3).orderBy("doc_id", "rn")
+
+  /** Cross-document paragraph dedup (MassiveText-style): global
+    * first-occurrence wins per segment; per-doc before/after counts plus
+    * the fingerprint of the deduplicated text.
+    */
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame =
+    TextOps.paragraphDedup(docs(spark, dir)).orderBy("doc_id")
+
   /** Deterministic stratified sample: boost en/zh, thin the rest. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.stratifiedSample(docs(spark, dir),

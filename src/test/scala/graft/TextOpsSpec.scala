@@ -105,4 +105,39 @@ class TextOpsSpec extends SparkSpec {
     val r = TextOps.bigramSurprisal(toy).orderBy("doc_id").collect()
     assert(r(0).getDouble(1) < r(1).getDouble(1))
   }
+
+  test("tfidf keywords: corpus-wide tokens score zero, rare tokens rank first") {
+    import spark.implicits._
+    // 'the' appears in every doc -> idf = ln(1) = 0; each doc's unique
+    // token must outrank it
+    val toy = Seq(
+      (1L, "the zebra the the"),
+      (2L, "the quark the"),
+      (3L, "the lemma the")).toDF("doc_id", "text")
+    val r = TextOps.tfidfKeywords(toy, k = 2).orderBy("doc_id", "rn").collect()
+    val first = r.filter(_.getAs[Long]("rn") == 1L)
+    assert(first.map(_.getAs[String]("w")).toSeq == Seq("zebra", "quark", "lemma"))
+    assert(first.forall(_.getAs[Double]("score") > 0))
+    assert(r.filter(_.getAs[String]("w") == "the")
+      .forall(_.getAs[Double]("score") == 0.0))
+  }
+
+  test("paragraph dedup drops repeated segments globally, keeps first occurrence") {
+    import spark.implicits._
+    // 10-token segments; doc 2 repeats doc 1's first segment as its
+    // SECOND segment -> doc 2 keeps 1 of 2, doc 1 keeps all
+    val seg1 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val seg2 = (11 to 20).map(i => s"u$i").mkString(" ")
+    val toy = Seq(
+      (1L, s"$seg1 $seg2"),
+      (2L, s"$seg2 $seg1")).toDF("doc_id", "text")
+    val r = TextOps.paragraphDedup(toy).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // doc 1 wins both segments (first occurrence by doc_id); doc 2 loses both
+    assert(r.toSeq == Seq((1L, 2L, 2L), (2L, 2L, 0L)))
+    // fingerprint of the all-dropped doc is md5("")
+    val fp2 = TextOps.paragraphDedup(toy).filter(col("doc_id") === 2L)
+      .select("kept_fp").head().getString(0)
+    assert(fp2 == "d41d8cd98f00b204e9800998ecf8427e")
+  }
 }
