@@ -85,6 +85,11 @@ object SparkEntry {
     "text_repetition" -> (graft.queries.ExtQueries.textRepetition(_, _)),
     "text_tfidf" -> (graft.queries.ExtQueries.textTfidf(_, _)),
     "dedup_paragraph" -> (graft.queries.ExtQueries.dedupParagraph(_, _)),
+    "dedup_containment" -> (graft.queries.ExtQueries.dedupContainment(_, _)),
+    "text_kl_sources" -> (graft.queries.ExtQueries.textKlSources(_, _)),
+    "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
+    "sample_per_group" -> (graft.queries.ExtQueries.samplePerGroup(_, _)),
+    "events_retention" -> (eventsRetention(_, _)),
     "sample_stratified" -> (graft.queries.ExtQueries.sampleStratified(_, _)),
     "pack_sequences" -> (graft.queries.ExtQueries.packSequences(_, _)),
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
@@ -326,6 +331,17 @@ object SparkEntry {
          |  date_diff('second', first_signup, first_purchase) AS secs_to_convert
          |FROM s LEFT JOIN p ON s.user_id = p.user_id
          |ORDER BY s.user_id""".stripMargin,
+
+    "events_retention" ->
+      s"""WITH $eventsCte,
+         |f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+         |      FROM ev GROUP BY user_id)
+         |SELECT cohort_day,
+         |  date_diff('day', cohort_day, date_trunc('day', ev.ts)) AS day_offset,
+         |  count(DISTINCT ev.user_id) AS active_users
+         |FROM ev JOIN f USING (user_id)
+         |GROUP BY cohort_day, day_offset
+         |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "histogram_agg" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,

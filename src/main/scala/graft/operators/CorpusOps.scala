@@ -59,4 +59,50 @@ object CorpusOps {
       .groupBy("lang", "bin_id")
       .agg(count(lit(1)).as("n_docs"), sum("est_tokens").as("bin_tokens"))
   }
+
+  /** Temperature-scaled mixture weights per source — the data-mixing
+    * step that decides how much each source contributes to a training
+    * run: wᵢ ∝ pᵢ^α with pᵢ the source's token share and α ∈ (0, 1]
+    * flattening the natural distribution (α = 1 keeps it; α → 0
+    * approaches uniform — the multilingual-sampling exponent of
+    * mBERT/XLM-R, typically 0.3–0.7). `alloc_tokens` divides a total
+    * token budget by the smoothed weights (⌊·⌋ so allocations never
+    * overshoot the budget).
+    *
+    * Plan: one map-side-combinable aggregation to per-source totals,
+    * then two broadcast scalar joins over the (tiny, one row per
+    * source) result — corpus-size work is the single count pass.
+    */
+  def mixtureWeights(docs: DataFrame, alpha: Double = 0.5,
+                     budgetTokens: Long = 1000000L): DataFrame = {
+    val per = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(ceil(length(col("text")) / 4.0).cast("bigint")).as("est_tokens"))
+    val tot = per.agg(sum("est_tokens").cast("double").as("total"))
+    val withPa = per.crossJoin(broadcast(tot))
+      .withColumn("pa", pow(col("est_tokens") / col("total"), alpha))
+    val z = withPa.agg(sum("pa").as("z"))
+    withPa.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        col("est_tokens").cast("bigint").as("est_tokens"),
+        round(col("pa") / col("z"), 6).as("mix_weight"),
+        floor(col("pa") / col("z") * budgetTokens).cast("bigint").as("alloc_tokens"))
+  }
+
+  /** Deterministic exact-k sample per group: rank group members by
+    * [[hash16]]-extended hash order (md5 of the id, id tiebreak) and
+    * keep the first `k` — the reservoir-sampling contract (every group
+    * contributes min(k, |group|) rows) with none of reservoir's
+    * order-dependence: the winner set is a pure function of the ids, so
+    * re-runs, retries, and repartitions reproduce it bit-for-bit.
+    * One row_number window partitioned by the group column — partitions
+    * parallelise across the cluster, no global sort.
+    */
+  def samplePerGroup(docs: DataFrame, k: Int, groupCol: String = "lang"): DataFrame =
+    docs.select(col("doc_id"), col(groupCol),
+        row_number().over(
+          Window.partitionBy(groupCol)
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("bigint").as("rn"))
+      .filter(col("rn") <= k)
 }

@@ -244,13 +244,16 @@ object TextOps {
     sh0.join(broadcast(stop), Seq("s"), "left_anti")
   }
 
-  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                   maxDfFrac: Double = 0.1): DataFrame = {
-    // The shingle subplan appears three times (sizes + both join sides);
-    // measured head-to-head that beats both a window-carried size column
-    // (the per-shingle window shuffle quintuples the join input) and a
-    // localCheckpoint materialisation — the sizes joins broadcast
-    // (O(docs) rows), so re-deriving shingles is the cheaper currency.
+  /** Shared overlap statistics for set-similarity pair operators:
+    * (a, b, common, na, nb) for every pair sharing ≥1 informative
+    * shingle. The shingle subplan appears three times (sizes + both
+    * join sides); measured head-to-head that beats both a
+    * window-carried size column (the per-shingle window shuffle
+    * quintuples the join input) and a localCheckpoint materialisation —
+    * the sizes joins broadcast (O(docs) rows), so re-deriving shingles
+    * is the cheaper currency.
+    */
+  private def shinglePairStats(docs: DataFrame, maxDfFrac: Double): DataFrame = {
     val sh = informativeShingles(docs, maxDfFrac)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
@@ -260,11 +263,31 @@ object TextOps {
     common
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+  }
+
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                   maxDfFrac: Double = 0.1): DataFrame =
+    shinglePairStats(docs, maxDfFrac)
       .withColumn("jaccard",
         round(col("common") / (col("na") + col("nb") - col("common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-  }
+
+  /** Containment near-dup pairs: |A∩B| ∕ min(|A|,|B|) — the
+    * subset/superset detector Jaccard misses. A short document pasted
+    * verbatim into a much longer one scores containment ≈ 1 while its
+    * Jaccard (∩/∪) is diluted by the longer doc's extra shingles below
+    * any dedup threshold; boilerplate-wrapped duplicates and
+    * quote-expansions are exactly this shape. Same inverted-index plan
+    * as [[jaccardPairs]] (one shared stats subplan), different ratio.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       maxDfFrac: Double = 0.1): DataFrame =
+    shinglePairStats(docs, maxDfFrac)
+      .withColumn("containment",
+        round(col("common") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
 
   /** Benchmark-contamination detection — the eval-hygiene pass every
     * training pipeline runs: documents sharing ≥ `minShared`
@@ -524,6 +547,38 @@ object TextOps {
       .select(col("doc_id"),
         column(graft.functions.SimHash64(expression(col("text"))))
           .as("simhash64"))
+  }
+
+  /** Per-source distribution drift: KL(P_source ‖ P_corpus) over the
+    * unigram token distributions — the corpus-mixing diagnostic that
+    * ranks how far each source's language deviates from the blend it
+    * feeds (high = domain-specific vocabulary, near 0 = generic).
+    * KL = Σ_w p_s(w)·ln(p_s(w)∕p(w)); only w with p_s(w) > 0 contribute
+    * and every such w has p(w) > 0 (the corpus contains the source), so
+    * the sum is always finite.
+    *
+    * Plan: one token explode feeds three map-side-combinable counts
+    * (per-(source, w), per-w, per-source); the per-w join keys on the
+    * token — the layout that holds when the vocabulary outgrows a
+    * broadcast — and the per-source totals broadcast (one row per
+    * source). Output is one row per source: aggregation output bounded
+    * by group count at any corpus size.
+    */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), explode(tokens).as("w"))
+    val srcCnt = tok.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+    val wCnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val srcTot = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+    val tot = tok.agg(count(lit(1)).cast("double").as("n"))
+    srcCnt.join(wCnt, "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(
+        round(sum((col("cs") / col("ns")) *
+          log((col("cs") / col("ns")) / (col("c") / col("n")))), 4)
+          .as("kl_vs_corpus"),
+        max("ns").cast("bigint").as("n_tokens"))
   }
 
   /** The explode-tokens → 64-vote-sum form of [[simhash]] (bit 63

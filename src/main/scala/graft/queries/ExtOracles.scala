@@ -299,6 +299,65 @@ object ExtOracles {
          |WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) >= 0.5
          |ORDER BY a, b""".stripMargin,
 
+    // replays TextOps.containmentPairs: same pair-stats CTEs as jaccard,
+    // ratio = common / min(|A|, |B|)
+    "dedup_containment" ->
+      s"""WITH $tokCte, $shCte,
+         |shf AS (SELECT doc_id, s FROM (
+         |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+         |          FROM sh)
+         |        WHERE df <= (SELECT count(*) FROM documents) * 0.1),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |          FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b, round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 4)
+         |    AS containment
+         |FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |WHERE round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.8
+         |ORDER BY a, b""".stripMargin,
+
+    // replays TextOps.sourceKl: KL(P_source || P_corpus) over unigrams
+    "text_kl_sources" ->
+      s"""WITH tokw AS (SELECT source, unnest(string_split(text, ' ')) AS w
+         |              FROM documents),
+         |sc AS (SELECT source, w, count(*) AS cs FROM tokw GROUP BY 1, 2),
+         |wc AS (SELECT w, count(*) AS c FROM tokw GROUP BY 1),
+         |st AS (SELECT source, count(*) AS ns FROM tokw GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tokw)
+         |SELECT source,
+         |  round(sum((cs / CAST(ns AS DOUBLE)) *
+         |    ln((cs / CAST(ns AS DOUBLE)) / (c / n))), 4) AS kl_vs_corpus,
+         |  CAST(max(ns) AS BIGINT) AS n_tokens
+         |FROM sc JOIN wc USING (w) JOIN st USING (source) CROSS JOIN tt
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // replays CorpusOps.mixtureWeights (alpha = 0.5, budget 1e6);
+    // sum(BIGINT) is HUGEINT in DuckDB -> cast back for schema parity
+    "corpus_mixture" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+        |      AS est_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(est_tokens) AS DOUBLE) AS total FROM per),
+        |pa AS (SELECT per.*, pow(est_tokens / total, 0.5) AS pa
+        |       FROM per CROSS JOIN tot),
+        |z AS (SELECT sum(pa) AS z FROM pa)
+        |SELECT source, n_docs, est_tokens,
+        |  round(pa / z, 6) AS mix_weight,
+        |  CAST(floor(pa / z * 1000000) AS BIGINT) AS alloc_tokens
+        |FROM pa CROSS JOIN z ORDER BY source""".stripMargin,
+
+    // replays CorpusOps.samplePerGroup (k = 20 per lang): md5-of-id
+    // hash order with id tiebreak
+    "sample_per_group" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
     // transitive closure of the minhash candidate pairs via recursive
     // CTE (min reachable id = Spark's min-label-propagation fixpoint)
     "dedup_clusters" ->

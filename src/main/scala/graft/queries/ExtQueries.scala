@@ -104,6 +104,26 @@ object ExtQueries {
   def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.jaccardPairs(docs(spark, dir), threshold = 0.5).orderBy("a", "b")
 
+  /** Containment pairs at 0.8 — catches subset/superset near-dups whose
+    * Jaccard is diluted by the larger doc.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    TextOps.containmentPairs(docs(spark, dir), threshold = 0.8).orderBy("a", "b")
+
+  /** Per-source unigram KL divergence vs the corpus distribution. */
+  def textKlSources(spark: SparkSession, dir: String): DataFrame =
+    TextOps.sourceKl(docs(spark, dir)).orderBy("source")
+
+  /** Temperature-scaled (α = 0.5) mixture weights + token allocations
+    * per source.
+    */
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.mixtureWeights(docs(spark, dir)).orderBy("source")
+
+  /** Deterministic exact-k per-group sample (k = 20 per lang). */
+  def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.samplePerGroup(docs(spark, dir), k = 20).orderBy("lang", "rn")
+
   /** Duplicate clusters: transitive closure of the MinHash candidate
     * pairs ([[GraphOps.connectedComponents]]) — the "keep one canonical
     * doc per group" step that follows pair generation.

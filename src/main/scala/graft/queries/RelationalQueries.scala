@@ -522,6 +522,31 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Cohort retention — the product-analytics staple: users cohorted by
+    * the day of their first event; for each (cohort day, day offset),
+    * how many distinct cohort members were active. Plan: one
+    * map-side-combinable min-aggregation to per-user firsts, one join
+    * keyed on user_id (the aggregation's own partitioning — at scale
+    * both sides hash-partition on user_id and the exchange is reused),
+    * one distinct-count aggregation whose output is bounded by
+    * days × offsets, never by event volume.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // day-truncated TIMESTAMPs (not DATEs): date columns round-trip
+    // differently through parquet/pandas in the driver's compare
+    val firsts = ev.groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+    ev.select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .join(firsts, "user_id")
+      .withColumn("day_offset",
+        ((col("d").cast("long") - col("cohort_day").cast("long")) / 86400L)
+          .cast("bigint"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Skew-resistant salted JOIN (the join-side complement of
     * [[saltedAgg]]): the probe side gets a random-but-deterministic
     * salt, the build side is replicated once per salt value, and the

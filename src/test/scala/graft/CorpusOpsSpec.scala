@@ -60,6 +60,49 @@ class CorpusOpsSpec extends SparkSpec {
       ("en", 1L, 1L, 2L)))
   }
 
+  test("mixture weights: temperature flattens shares but preserves order") {
+    val d = graft.sources.Tables.documents(spark, sf)
+      .withColumnRenamed("lang", "ignored") // uses `source`
+    val natural = CorpusOps.mixtureWeights(d, alpha = 1.0)
+      .select("source", "mix_weight").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val smoothed = CorpusOps.mixtureWeights(d, alpha = 0.5)
+      .select("source", "mix_weight").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(natural.keySet === smoothed.keySet)
+    // weights are a distribution
+    assert(math.abs(natural.values.sum - 1.0) < 1e-4)
+    assert(math.abs(smoothed.values.sum - 1.0) < 1e-4)
+    // α < 1 moves every share toward uniform: biggest shrinks, smallest grows
+    val bigSrc = natural.maxBy(_._2)._1
+    val smallSrc = natural.minBy(_._2)._1
+    if (natural(bigSrc) > natural(smallSrc)) {
+      assert(smoothed(bigSrc) <= natural(bigSrc) + 1e-9)
+      assert(smoothed(smallSrc) >= natural(smallSrc) - 1e-9)
+      // ranking by weight is preserved (monotone transform)
+      assert(smoothed(bigSrc) >= smoothed(smallSrc))
+    }
+    // allocations never overshoot the budget (floor semantics)
+    val alloc = CorpusOps.mixtureWeights(d).agg(sum("alloc_tokens")).head.getLong(0)
+    assert(alloc <= 1000000L)
+  }
+
+  test("per-group sample: exact k, deterministic, small groups kept whole") {
+    val d = spark.range(500).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "en")
+        .when(col("id") % 3 === 1, "de").otherwise("zh").as("lang"))
+    val s = CorpusOps.samplePerGroup(d, k = 10)
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 10L))
+    // deterministic: identical winner set on re-run
+    val s2 = CorpusOps.samplePerGroup(d, k = 10)
+    assert(s.exceptAll(s2).isEmpty && s2.exceptAll(s).isEmpty)
+    // a group smaller than k survives in full
+    val tiny = d.limit(4)
+    assert(CorpusOps.samplePerGroup(tiny, k = 10).count() === 4)
+  }
+
   test("pack sequences conserves the corpus token total at sf0.001") {
     val d = graft.sources.Tables.documents(spark, sf)
     val total = d.select(ceil(length(col("text")) / 4.0).cast("bigint").as("e"))

@@ -106,6 +106,39 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0).getDouble(1) < r(1).getDouble(1))
   }
 
+  test("containment flags a doc pasted into a longer one that jaccard misses") {
+    import spark.implicits._
+    val short = (1 to 12).map(i => s"s$i").mkString(" ")
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val toy = Seq(
+      (1L, short),                 // 10 shingles
+      (2L, s"$short $filler")      // superset: all of doc 1's shingles + 60
+    ).toDF("doc_id", "text")
+    // maxDfFrac = 1.0: on a 2-doc corpus the default DF cap would treat
+    // every shared shingle as a stop-shingle
+    val cont = TextOps.containmentPairs(toy, threshold = 0.8, maxDfFrac = 1.0).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getDouble(2) === 1.0) // every shingle of the short doc is in the long one
+    // the same pair is invisible to jaccard at the dedup threshold
+    assert(TextOps.jaccardPairs(toy, threshold = 0.5, maxDfFrac = 1.0).count() === 0)
+  }
+
+  test("source KL: skewed-vocabulary source diverges more than a generic one") {
+    import spark.implicits._
+    // 'generic' matches the corpus blend; 'jargon' is all rare tokens
+    val toy = Seq(
+      (1L, "the cat sat on the mat", "generic"),
+      (2L, "the dog ran to the cat", "generic"),
+      (3L, "qbit qflux qgate qbit qflux qnode", "jargon"))
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.sourceKl(toy).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("jargon") > r("generic"))
+    assert(r.values.forall(_ >= 0.0)) // KL is non-negative
+  }
+
   test("tfidf keywords: corpus-wide tokens score zero, rare tokens rank first") {
     import spark.implicits._
     // 'the' appears in every doc -> idf = ln(1) = 0; each doc's unique
