@@ -97,6 +97,7 @@ object SparkEntry {
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),
     "embed_pq" -> (graft.queries.ExtQueries.embedPq(_, _)),
     "embed_pq_topk" -> (graft.queries.ExtQueries.embedPqTopK(_, _)),
+    "embed_ivf_pq_topk" -> (graft.queries.ExtQueries.embedIvfPqTopK(_, _)),
     "embed_lsh_buckets" -> (graft.queries.ExtQueries.embedLshBuckets(_, _)),
     "embed_neardup_pairs" -> (graft.queries.ExtQueries.embedNearDupPairs(_, _)),
     "multimodal_meta" -> (graft.queries.ExtQueries.multimodalMeta(_, _)),

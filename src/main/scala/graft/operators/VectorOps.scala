@@ -123,14 +123,17 @@ object VectorOps {
     * is an equi-join on the cell id — the same join layout as the
     * sign-LSH variant with a learned partitioner.
     */
-  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
-              nlist: Int = Auto, nprobe: Int = Auto,
-              maxTrainRows: Long = MaxTrainRows): DataFrame = {
+  /** Coarse-quantizer index build shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]: spherical k-means over unit vectors, assignment
+    * materialised. Returns the assigned corpus (vec_id, embedding,
+    * cell), the centroid array (driver-local — nlist × dim doubles),
+    * and the effective nprobe.
+    */
+  private def ivfAssign(embeddings: DataFrame, nlist: Int, nprobe: Int,
+                        maxTrainRows: Long): (DataFrame, Array[Array[Double]], Int) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.expressions.Window
 
-    val spark = embeddings.sparkSession
     // spherical k-means: cluster UNIT vectors so the Euclidean cells the
     // quantizer learns coincide with cosine neighbourhoods (for unit u,
     // v: |u - v|² = 2 - 2·cos) — without this the cell ranking below
@@ -165,10 +168,21 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
       .localCheckpoint()
     fe.unpersist()
+    (corpus, model.clusterCenters.map(_.toArray), nprobeEff)
+  }
+
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+              nlist: Int = Auto, nprobe: Int = Auto,
+              maxTrainRows: Long = MaxTrainRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val spark = embeddings.sparkSession
+    val (corpus, centers, nprobeEff) =
+      ivfAssign(embeddings, nlist, nprobe, maxTrainRows)
 
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
 
     val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
@@ -326,9 +340,10 @@ object VectorOps {
     * distance twice.
     */
   private def withSubDists(embeddings: DataFrame, dsub: Int,
-                           codebooks: Seq[Array[Array[Double]]]): DataFrame =
+                           codebooks: Seq[Array[Array[Double]]],
+                           keep: Seq[String] = Seq("vec_id")): DataFrame =
     codebooks.indices.foldLeft(
-        embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))) { (df, s) =>
+        embeddings.select(keep.map(col) :+ vec(col("embedding")).as("v"): _*)) { (df, s) =>
       val cents = array(codebooks(s).map(c => array(c.map(lit(_)): _*)): _*)
       val sub = slice(col("v"), s * dsub + 1, dsub)
       df.withColumn(s"_d$s", transform(cents, c =>
@@ -336,16 +351,29 @@ object VectorOps {
           lit(0.0), (acc, x) => acc + x)))
     }
 
+  /** Encode against ALREADY-TRAINED codebooks — the shape the search
+    * paths use so the (seeded, deterministic) codebook training runs
+    * once, not once per consumer. `keep` carries extra columns (e.g.
+    * the IVF cell) through the projection.
+    */
+  private def pqEncodeWith(embeddings: DataFrame, dim: Int, dsub: Int,
+                           codebooks: Seq[Array[Array[Double]]],
+                           keep: Seq[String] = Seq("vec_id")): DataFrame = {
+    val m = codebooks.size
+    // encode: argmin over each sub-space's distances = the code
+    val dists = (0 until m).map(s => col(s"_d$s"))
+    withSubDists(embeddings, dsub, codebooks, keep).select(
+      keep.map(col) ++ Seq(
+        array(dists.map(d =>
+          (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"),
+        round(sqrt(dists.map(array_min).reduce(_ + _) / lit(dim.toDouble)), 5)
+          .as("recon_rmse")): _*)
+  }
+
   def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
                maxTrainRows: Long = PqTrainRows): DataFrame = {
     val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, k, maxTrainRows)
-    // encode: argmin over each sub-space's distances = the code
-    val dists = (0 until m).map(s => col(s"_d$s"))
-    withSubDists(embeddings, dsub, codebooks).select(col("vec_id"),
-      array(dists.map(d =>
-        (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"),
-      round(sqrt(dists.map(array_min).reduce(_ + _) / lit(dim.toDouble)), 5)
-        .as("recon_rmse"))
+    pqEncodeWith(embeddings, dim, dsub, codebooks)
   }
 
   /** Asymmetric-distance top-k over PQ codes — the search loop of
@@ -358,33 +386,39 @@ object VectorOps {
     * Scores are asymmetric cosine: q·recon(x) / (|q|·|recon(x)|), with
     * |recon(x)|² = Σ_s |c_s|² (sub-spaces are orthogonal coordinates).
     */
-  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
-             m: Int = 8, kCent: Int = 16,
-             maxTrainRows: Long = PqTrainRows): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = embeddings.sparkSession
-    val (_, dsub, codebooks) = pqCodebooks(embeddings, m, kCent, maxTrainRows)
-    val codes = pqEncode(embeddings, m, kCent, maxTrainRows)
-      .select("vec_id", "codes")
-
-    val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
+  /** Collect the query vectors (≤|queryIds| — driver-scale by
+    * contract) as (qid, vector) pairs.
+    */
+  private def collectQueries(embeddings: DataFrame,
+                             queryIds: Seq[Long]): Array[(Long, Array[Double])] =
+    embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    import spark.implicits._
-    val lutRows = queries.map { case (qid, q) =>
-      val qNorm = math.sqrt(q.map(x => x * x).sum)
-      val ipLut = (0 until m).map { s =>
-        codebooks(s).map(c =>
-          c.indices.map(i => c(i) * q(s * dsub + i)).sum).toSeq
-      }
-      val nLut = (0 until m).map(s =>
-        codebooks(s).map(c => c.map(x => x * x).sum).toSeq)
-      (qid, qNorm, ipLut, nLut)
-    }.toSeq.toDF("qid", "qnorm", "iplut", "nlut")
 
-    // score = Σ_s iplut[s][code_s] / (qnorm · sqrt(Σ_s nlut[s][code_s]))
+  /** Per-query ADC lookup tables: qnorm, per-sub-space query·centroid
+    * inner products, per-sub-space centroid squared norms.
+    */
+  private def pqLut(q: Array[Double], dsub: Int,
+                    codebooks: Seq[Array[Array[Double]]])
+      : (Double, Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    val m = codebooks.size
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val ipLut = (0 until m).map { s =>
+      codebooks(s).map(c =>
+        c.indices.map(i => c(i) * q(s * dsub + i)).sum).toSeq
+    }
+    val nLut = (0 until m).map(s =>
+      codebooks(s).map(c => c.map(x => x * x).sum).toSeq)
+    (qNorm, ipLut, nLut)
+  }
+
+  /** ADC scoring + per-query top-k over a (codes ⨝ LUT) row set:
+    * score = Σ_s iplut[s][code_s] / (qnorm · √Σ_s nlut[s][code_s]).
+    */
+  private def adcTopK(joined: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("adc_cos").desc, col("vec_id"))
-    codes.join(broadcast(lutRows), col("vec_id") =!= col("qid"))
+    joined
       .withColumn("ip", expr(
         "aggregate(zip_with(codes, iplut, (c, l) -> l[c]), 0d, (a, x) -> a + x)"))
       .withColumn("rnorm2", expr(
@@ -394,6 +428,71 @@ object VectorOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("adc_cos"), col("rn"))
+  }
+
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+             m: Int = 8, kCent: Int = 16,
+             maxTrainRows: Long = PqTrainRows): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, kCent, maxTrainRows)
+    val codes = pqEncodeWith(embeddings, dim, dsub, codebooks)
+      .select("vec_id", "codes")
+
+    import spark.implicits._
+    val lutRows = collectQueries(embeddings, queryIds).map { case (qid, q) =>
+      val (qNorm, ipLut, nLut) = pqLut(q, dsub, codebooks)
+      (qid, qNorm, ipLut, nLut)
+    }.toSeq.toDF("qid", "qnorm", "iplut", "nlut")
+
+    adcTopK(codes.join(broadcast(lutRows), col("vec_id") =!= col("qid")), k)
+  }
+
+  /** IVF-PQ — the two legs composed, i.e. the architecture FAISS ships
+    * for billion-scale ANN: the coarse quantizer routes each query to
+    * its `nprobe` nearest cells ([[ivfTopK]]'s recall/cost dial) and
+    * within those cells candidates are scored by asymmetric distance
+    * over PQ CODES ([[pqTopK]]'s memory dial) — cost ≈ nprobe/nlist of
+    * an ADC scan, reading 32-bit codes instead of full vectors, so at
+    * 100 TB the search touches ~0.1% of ~1% of the raw bytes.
+    *
+    * Plan shape: the cell-pruned candidate fetch is a broadcast hash
+    * join of the code table against the ≤|queries|·nprobe (qid, cell,
+    * LUT) row set on the CELL id (an equi-join — contrast the
+    * all-corpus nested-loop of plain [[pqTopK]]); cell probing itself
+    * is driver-side math over the nlist × dim centroid array (the same
+    * data the LUTs need anyway). Rows-only at the driver gate (two
+    * k-means trainings are not SQL); ranking fidelity is spec-pinned.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+                nlist: Int = Auto, nprobe: Int = Auto,
+                m: Int = 8, kCent: Int = 16,
+                maxTrainRows: Long = MaxTrainRows): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (corpus, centers, nprobeEff) =
+      ivfAssign(embeddings, nlist, nprobe, maxTrainRows)
+    val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, kCent, PqTrainRows)
+    // one projection carries codes AND the routing cell — the IVF-PQ
+    // "index shard" layout (cell, codes); full vectors leave the plan here
+    val codes = pqEncodeWith(corpus, dim, dsub, codebooks,
+        keep = Seq("vec_id", "cell"))
+      .select("vec_id", "cell", "codes")
+
+    import spark.implicits._
+    val lutRows = collectQueries(embeddings, queryIds).flatMap { case (qid, q) =>
+      val (qNorm, ipLut, nLut) = pqLut(q, dsub, codebooks)
+      // driver-side probe: rank cells by cosine(q, centroid) with cell-id
+      // tiebreak — the same ordering ivfTopK computes relationally
+      val probed = centers.zipWithIndex.map { case (c, i) =>
+        val ip = c.indices.map(j => c(j) * q(j)).sum
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        (i, ip / math.max(qNorm * cn, 1e-12))
+      }.sortBy { case (i, cos) => (-cos, i) }.take(nprobeEff).map(_._1)
+      probed.map(cell => (qid, cell, qNorm, ipLut, nLut))
+    }.toSeq.toDF("qid", "cell", "qnorm", "iplut", "nlut")
+
+    adcTopK(
+      codes.join(broadcast(lutRows), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid")), k)
   }
 
   /** Bucketed near-dup pairs: cosine over same-bucket pairs only —

@@ -204,6 +204,13 @@ object ExtQueries {
     VectorOps.pqTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
       .orderBy("qid", "rn")
 
+  /** Full IVF-PQ search (rows-only — two k-means trainings are not
+    * SQL-replayable; fidelity is spec-pinned in `VectorOpsSpec`).
+    */
+  def embedIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.ivfPqTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+      .orderBy("qid", "rn")
+
   def embedLshBuckets(spark: SparkSession, dir: String): DataFrame =
     VectorOps.lshBuckets(embs(spark, dir)).orderBy("bucket")
 

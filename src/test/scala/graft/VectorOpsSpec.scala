@@ -209,6 +209,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(top.map(_.getLong(1)).toSeq === exact)
   }
 
+  test("IVF-PQ: single-probe search solves the separable corpus exactly") {
+    import spark.implicits._
+    // 16 clones of +1^8, 16 of -1^8; nlist=2 puts one centroid on each
+    // class, nprobe=1 routes the +1 query to the +1 cell only, and ADC
+    // within it scores every clone exactly 1
+    val pts = (0 until 32).map { i =>
+      (i.toLong, Array.fill(8)(if (i % 2 == 0) 1.0f else -1.0f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val top = VectorOps.ivfPqTopK(df, queryIds = Seq(0L), k = 15,
+        nlist = 2, nprobe = 1, m = 2, kCent = 2)
+      .orderBy("rn").collect()
+    assert(top.length === 15)
+    assert(top.forall(_.getLong(1) % 2 == 0), "only +1-class clones in top-15")
+    assert(top.forall(_.getAs[Double]("adc_cos") === 1.0))
+    val exact = VectorOps.cosineTopK(df, queryIds = Seq(0L), k = 15)
+      .orderBy("rn").collect().map(_.getLong(1)).toSeq
+    assert(top.map(_.getLong(1)).toSeq === exact)
+  }
+
+  test("IVF-PQ at full probe equals the plain ADC scan (routing is lossless)") {
+    // nprobe = nlist scores every cell, so the cell routing must change
+    // nothing vs pqTopK with the same codebooks — isolates the IVF leg
+    val qs = Seq(0L, 1L, 2L)
+    val full = VectorOps.ivfPqTopK(embs, qs, k = 10, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val flat = VectorOps.pqTopK(embs, qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(full === flat)
+  }
+
   test("PQ ADC self-score reflects quantization: near 1 for in-sample vectors") {
     // scoring a vector against its own codes is cosine(q, recon(q));
     // with codebooks trained on the full (small) corpus that stays high
