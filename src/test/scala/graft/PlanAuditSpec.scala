@@ -132,4 +132,47 @@ class PlanAuditSpec extends SparkSpec {
       s"cluster labels must come from the materialized fixpoint:\n$p")
     assert(!p.contains("md5"), s"minhash pipeline must not replay per action:\n$p")
   }
+
+  test("dedup_containment: stop-shingle set prunes via broadcast, pair join is an equi-join") {
+    val p = plan("dedup_containment")
+    // the DF cap must anti-join a BROADCAST stop set (tiny by
+    // construction), and the pair search must be a hash equi-join on
+    // the shingle — a nested loop there would be the quadratic disaster
+    // (the one-row n_docs scalar legitimately plans a broadcast cross)
+    assert(p.contains("LeftAnti"),
+      s"stop-shingle cap must be an anti-join:\n$p")
+    assert("""BroadcastHashJoin \[s#\d+\], \[s#\d+\], Inner""".r
+        .findFirstIn(p).isDefined,
+      s"pair search must be a hash equi-join on the shingle:\n$p")
+  }
+
+  test("embed_ivf_pq_topk: candidate fetch is a broadcast equi-join on the cell") {
+    val p = plan("embed_ivf_pq_topk")
+    // the probed (qid, cell, LUT) rows broadcast against the code table;
+    // plain pqTopK's all-corpus nested loop must NOT appear here
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell routing must plan a broadcast hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ candidate fetch degraded to the all-corpus nested loop:\n$p")
+  }
+
+  test("events_retention: partial distinct-count aggregation, user join not a nested loop") {
+    val p = plan("events_retention")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cohort join must stay an equi-join:\n$p")
+    // count(DISTINCT user_id) plans as the two-level expand/partial-agg
+    // shape — at least one partial HashAggregate below an exchange
+    val exchange = p.indexOf("Exchange")
+    assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > 0,
+      s"no partial aggregate below the exchange:\n$p")
+  }
+
+  test("corpus_mixture: per-source rollup is map-side combinable, scalars broadcast") {
+    val p = plan("corpus_mixture")
+    val exchange = p.indexOf("Exchange")
+    assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > 0,
+      s"per-source totals must partial-aggregate before the exchange:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row total/Z scalars must broadcast:\n$p")
+  }
 }
