@@ -89,6 +89,7 @@ object SparkEntry {
     "text_kl_sources" -> (graft.queries.ExtQueries.textKlSources(_, _)),
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "sample_per_group" -> (graft.queries.ExtQueries.samplePerGroup(_, _)),
+    "corpus_assemble" -> (graft.queries.ExtQueries.corpusAssemble(_, _)),
     "events_retention" -> (eventsRetention(_, _)),
     "sample_stratified" -> (graft.queries.ExtQueries.sampleStratified(_, _)),
     "pack_sequences" -> (graft.queries.ExtQueries.packSequences(_, _)),

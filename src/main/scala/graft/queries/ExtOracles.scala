@@ -358,6 +358,27 @@ object ExtOracles {
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
 
+    // replays ExtQueries.corpusAssemble: quality stats gate, exact-dedup
+    // survivor semi-join, embedding norm attach (vec_id = doc_id)
+    "corpus_assemble" ->
+      s"""WITH st AS (SELECT doc_id, lang, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    round(len(list_distinct(string_split(text, ' ')))
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS distinct_ratio
+         |  FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+         |         GROUP BY md5(lower(text))),
+         |en AS (SELECT vec_id AS doc_id,
+         |    round(sqrt(list_dot_product(embedding::DOUBLE[],
+         |      embedding::DOUBLE[])), 4) AS emb_norm
+         |  FROM embeddings)
+         |SELECT st.doc_id, lang, source, n_tokens, distinct_ratio, emb_norm
+         |FROM st
+         |JOIN keep ON st.doc_id = keep.doc_id
+         |JOIN en ON st.doc_id = en.doc_id
+         |WHERE n_tokens >= 20 AND n_tokens <= 120 AND distinct_ratio >= 0.3
+         |ORDER BY st.doc_id""".stripMargin,
+
     // transitive closure of the minhash candidate pairs via recursive
     // CTE (min reachable id = Spark's min-label-propagation fixpoint)
     "dedup_clusters" ->

@@ -124,6 +124,33 @@ object ExtQueries {
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.samplePerGroup(docs(spark, dir), k = 20).orderBy("lang", "rn")
 
+  /** The corpus-assembly capstone: quality gate → exact-dedup
+    * survivors → embedding attach, composed as ONE declarative plan —
+    * what a training-data pipeline runs end-to-end before sharding.
+    * Catalyst fuses the stats projection into the scan, the dedup
+    * keep-set is the one content-hash shuffle, and the embedding
+    * attach joins on the id both sides are already keyed by. Output:
+    * one row per kept document with its quality stats and the norm of
+    * its attached embedding (via the codegen'd [[VectorOps.dot]]).
+    */
+  def corpusAssemble(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val quality = TextOps.textStats(d)
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 120 &&
+        col("distinct_ratio") >= 0.3)
+      .select("doc_id", "n_tokens", "distinct_ratio")
+    val survivors = TextOps.exactDedup(d)
+      .select(col("keep_doc_id").as("doc_id"))
+    val emb = embs(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.norm(col("embedding")), 4).as("emb_norm"))
+    d.select("doc_id", "lang", "source")
+      .join(quality, "doc_id")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(emb, "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Duplicate clusters: transitive closure of the MinHash candidate
     * pairs ([[GraphOps.connectedComponents]]) — the "keep one canonical
     * doc per group" step that follows pair generation.
