@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> (graft.queries.ExtQueries.dedupMinhashPairs(_, _)),
     "dedup_jaccard_pairs" -> (graft.queries.ExtQueries.dedupJaccardPairs(_, _)),
     "dedup_clusters" -> (graft.queries.ExtQueries.dedupClusters(_, _)),
+    "dedup_clusters_star" -> (graft.queries.ExtQueries.dedupClustersStar(_, _)),
     "text_repetition" -> (graft.queries.ExtQueries.textRepetition(_, _)),
     "text_tfidf" -> (graft.queries.ExtQueries.textTfidf(_, _)),
     "dedup_paragraph" -> (graft.queries.ExtQueries.dedupParagraph(_, _)),

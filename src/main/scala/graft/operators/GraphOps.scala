@@ -83,4 +83,94 @@ object GraphOps {
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the adversarial-diameter companion to
+    * [[connectedComponents]]: where min-label propagation needs
+    * diameter rounds (a 10⁶-hop chain means 10⁶ joins), star
+    * contraction HALVES tree heights each round and converges in
+    * O(log n) rounds on any graph shape.
+    *
+    *  - large-star, per node u: hook every neighbour LARGER than u to
+    *    the minimum of u's closed neighbourhood;
+    *  - small-star, per node u: hook u and its smaller neighbours to
+    *    that minimum.
+    *
+    * Both steps are one groupBy-min plus one equi-join on the node id —
+    * the identical shuffle currency as the propagation loop, so the
+    * same AQE/skew machinery applies; edges stay canonical (lo < hi,
+    * distinct) between rounds and each round's output is
+    * checkpoint-materialised, keeping lineage O(1). The fixpoint is a
+    * set of stars rooted at each component's minimum id, read off
+    * directly as the label table.
+    *
+    * Same output contract as [[connectedComponents]]: one
+    * `(doc_id, cluster_id)` row per vertex with ≥1 edge, cluster_id =
+    * the component's smallest vertex id; same loud failure if maxIter
+    * is exhausted (with log-round convergence that indicates a bug,
+    * not a big graph).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("src"), col("dst")).as("lo"),
+          greatest(col("src"), col("dst")).as("hi"))
+        .filter(col("lo") < col("hi"))
+        .distinct()
+
+    var edges = canon(pairs.select(col("a").cast("bigint").as("src"),
+        col("b").cast("bigint").as("dst")))
+      .localCheckpoint(true)
+
+    // fixpoint test: the edge SET is literally unchanged once every
+    // component is a star, so (count, order-independent hash fold)
+    // equality is a sound convergence proxy — same one-row-action
+    // currency as the propagation loop's label checksum. XOR, not sum:
+    // xxhash64 spans the full long range and a sum overflows under ANSI
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(lo, hi))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = checksum(edges)
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: per node u (both orientations), m = min(N(u) ∪ {u});
+      // every neighbour v > u hooks to m
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mL = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = canon(sym.join(mL, "u").filter(col("v") > col("u"))
+          .select(col("v").as("src"), col("m").as("dst")))
+        .localCheckpoint(true)
+      // small-star: per node u over its SMALLER neighbours (v < u),
+      // m = min of them; u and each v hook to m
+      val dir = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val mS = dir.groupBy("u").agg(min("v").as("m"))
+      val ss = canon(dir.join(mS, "u")
+          .select(col("v").as("src"), col("m").as("dst"))
+          .union(mS.select(col("u").as("src"), col("m").as("dst"))))
+        .localCheckpoint(true)
+      ls.unpersist()
+      edges.unpersist()
+      edges = ss
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIter rounds — " +
+          "log-round convergence makes this a bug, not a big graph")
+    }
+    // fixpoint stars: (lo = root, hi = child) edges ARE the label table
+    edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .union(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")))
+      .distinct()
+  }
 }

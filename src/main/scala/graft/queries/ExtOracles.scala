@@ -106,6 +106,24 @@ object ExtOracles {
        |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
   }
 
+  /** Transitive closure of the minhash candidate pairs via recursive
+    * CTE — min reachable id per vertex, i.e. the fixpoint both the
+    * min-label-propagation AND the star-contraction implementations
+    * converge to.
+    */
+  private val dedupClustersSql: String =
+    s"""WITH RECURSIVE $tokCte, $shCte, $minhashCte, $bandsCte,
+       |cp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |       FROM bands x JOIN bands y
+       |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |edges AS (SELECT a AS src, b AS dst FROM cp UNION SELECT b, a FROM cp),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
@@ -379,20 +397,13 @@ object ExtOracles {
          |WHERE n_tokens >= 20 AND n_tokens <= 120 AND distinct_ratio >= 0.3
          |ORDER BY st.doc_id""".stripMargin,
 
+    // star contraction computes the same closure — one oracle, two
+    // algorithms (the driver replays this SQL for both queries)
+    "dedup_clusters_star" -> dedupClustersSql,
+
     // transitive closure of the minhash candidate pairs via recursive
     // CTE (min reachable id = Spark's min-label-propagation fixpoint)
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $tokCte, $shCte, $minhashCte, $bandsCte,
-         |cp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |       FROM bands x JOIN bands y
-         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
-         |edges AS (SELECT a AS src, b AS dst FROM cp UNION SELECT b, a FROM cp),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id)
-         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-         |ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
 
     // replays TextOps.repetition: dup token/bigram fractions are
     // list-side; the top-token share is unnest + two-level aggregation

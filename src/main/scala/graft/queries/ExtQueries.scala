@@ -159,6 +159,14 @@ object ExtQueries {
     GraphOps.connectedComponents(
       TextOps.minhashCandidatePairs(docs(spark, dir))).orderBy("doc_id")
 
+  /** Same clusters via large-star/small-star contraction — the
+    * O(log n)-round algorithm for adversarial component diameters;
+    * oracle-identical to [[dedupClusters]] by definition.
+    */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.connectedComponentsStar(
+      TextOps.minhashCandidatePairs(docs(spark, dir))).orderBy("doc_id")
+
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetition(docs(spark, dir)).orderBy("doc_id")
 
