@@ -107,6 +107,9 @@ object GraftFunctions {
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       children => ArrayDot(children(0), children(1))),
+    (FunctionIdentifier("lut_sum"),
+      new ExpressionInfo(classOf[LutSum].getName, "lut_sum"),
+      children => LutSum(children(0), children(1))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       children => SimHash64(children(0))),

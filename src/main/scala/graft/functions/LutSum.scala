@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native lookup-table sum — the asymmetric-distance scoring kernel of
+  * PQ search ([[graft.operators.VectorOps.pqTopK]] / `ivfPqTopK`):
+  * `lut_sum(codes, luts) = Σ_s luts[s][codes[s]]`.
+  *
+  * Replaces the interpreted `aggregate(zip_with(codes, lut, (c, l) ->
+  * l[c]), 0d, (a, x) -> a + x)` pair in the ADC scan: higher-order
+  * lambdas evaluate through CodegenFallback with per-element closure
+  * dispatch and an intermediate zipped array per row — this expression
+  * is a branch-free generated loop over the code bytes, the part of
+  * IVF-PQ that runs once per corpus vector and therefore IS the scan
+  * cost at 100 TB. Summation is left-to-right in double precision,
+  * bit-identical to the fold it replaces (spec-enforced).
+  *
+  * Loud failure on shape violations (code set vs LUT count, code out
+  * of a LUT's range) — same erroring-over-wrong-answers stance as
+  * [[ArrayDot]]: a silently null score would rank real candidates
+  * below missing ones.
+  */
+case class LutSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"lut_sum needs (array<int>, array<array<double>>), got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val luts = r.asInstanceOf[ArrayData]
+    if (codes.numElements() != luts.numElements())
+      throw new IllegalArgumentException(
+        s"lut_sum: ${codes.numElements()} codes vs ${luts.numElements()} LUTs")
+    val n = codes.numElements()
+    var sum = 0.0
+    var s = 0
+    while (s < n) {
+      val c = codes.getInt(s)
+      val lut = luts.getArray(s)
+      if (c < 0 || c >= lut.numElements())
+        throw new IllegalArgumentException(
+          s"lut_sum: code $c outside LUT of ${lut.numElements()} at sub-space $s")
+      sum += lut.getDouble(c)
+      s += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, luts) => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val lut = ctx.freshName("lut")
+      val sum = ctx.freshName("sum")
+      s"""
+         |if ($codes.numElements() != $luts.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "lut_sum: " + $codes.numElements() + " codes vs " + $luts.numElements() + " LUTs");
+         |}
+         |int $n = $codes.numElements();
+         |double $sum = 0.0;
+         |for (int $s = 0; $s < $n; $s++) {
+         |  int $c = $codes.getInt($s);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $lut = $luts.getArray($s);
+         |  if ($c < 0 || $c >= $lut.numElements()) {
+         |    throw new IllegalArgumentException(
+         |      "lut_sum: code " + $c + " outside LUT of " + $lut.numElements() + " at sub-space " + $s);
+         |  }
+         |  $sum += $lut.getDouble($c);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LutSum =
+    copy(left = newLeft, right = newRight)
+}

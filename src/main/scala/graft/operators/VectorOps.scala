@@ -414,15 +414,21 @@ object VectorOps {
 
   /** ADC scoring + per-query top-k over a (codes ⨝ LUT) row set:
     * score = Σ_s iplut[s][code_s] / (qnorm · √Σ_s nlut[s][code_s]).
+    * The per-row lookup sums run in the codegen'd
+    * [[graft.functions.LutSum]] kernel (bit-identical to the
+    * interpreted `aggregate(zip_with(...))` fold it replaced — this is
+    * the once-per-corpus-vector loop, i.e. the whole scan cost of an
+    * ADC search).
     */
   private def adcTopK(joined: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    def lutSum(codes: Column, luts: Column): Column =
+      column(graft.functions.LutSum(expression(codes), expression(luts)))
     val w = Window.partitionBy("qid").orderBy(col("adc_cos").desc, col("vec_id"))
     joined
-      .withColumn("ip", expr(
-        "aggregate(zip_with(codes, iplut, (c, l) -> l[c]), 0d, (a, x) -> a + x)"))
-      .withColumn("rnorm2", expr(
-        "aggregate(zip_with(codes, nlut, (c, l) -> l[c]), 0d, (a, x) -> a + x)"))
+      .withColumn("ip", lutSum(col("codes"), col("iplut")))
+      .withColumn("rnorm2", lutSum(col("codes"), col("nlut")))
       .withColumn("adc_cos",
         round(col("ip") / greatest(col("qnorm") * sqrt(col("rnorm2")), lit(1e-12)), 5))
       .withColumn("rn", row_number().over(w))

@@ -48,4 +48,33 @@ class ArrayDotSpec extends SparkSpec {
       "SELECT array_dot(cast(null as array<double>), array(1.0d)) AS d").head()
     assert(r.isNullAt(0))
   }
+
+  test("lut_sum matches the higher-order fold bit-for-bit on random LUTs") {
+    // deterministic pseudo-random codes + LUTs derived from the id
+    val df = spark.range(200).select(col("id"),
+      expr("transform(sequence(0, 7), s -> cast(pmod(hash(id, s), 16) as int))")
+        .as("codes"),
+      expr("""transform(sequence(0, 7), s ->
+             |  transform(sequence(0, 15), c ->
+             |    cast(pmod(hash(id, s, c), 1000) as double) / 7.0d))""".stripMargin)
+        .as("luts"))
+    val both = df
+      .withColumn("native", expr("lut_sum(codes, luts)"))
+      .withColumn("fold", expr(
+        "aggregate(zip_with(codes, luts, (c, l) -> l[c]), 0d, (a, x) -> a + x)"))
+    assert(both.filter(col("native") =!= col("fold")).count() === 0)
+  }
+
+  test("lut_sum rejects shape violations loudly") {
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // code count != LUT count
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT lut_sum(array(0, 1), array(array(1.0d))) AS s").head())
+    assert(messages(e1).exists(_.contains("codes vs")))
+    // code outside its LUT
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT lut_sum(array(3), array(array(1.0d, 2.0d))) AS s").head())
+    assert(messages(e2).exists(_.contains("outside LUT")))
+  }
 }
