@@ -19,7 +19,8 @@ object Registry {
     DefaultTransformer.name -> DefaultTransformer,
     TableRenamerTransformer.name -> TableRenamerTransformer,
     ExprTransformer.name -> ExprTransformer,
-    DedupTransformer.name -> DedupTransformer)
+    DedupTransformer.name -> DedupTransformer,
+    QualityFilterTransformer.name -> QualityFilterTransformer)
 
   def extractor(name: String): Extractor =
     extractors.getOrElse(name,

@@ -66,6 +66,55 @@ object ExprTransformer extends Transformer {
   }
 }
 
+/** Ingest-time quality gate — the filter leg of a training-data
+  * pipeline run where it is cheapest: between extract and load, before
+  * low-quality rows ever hit the destination (dropping them later
+  * costs a REPLACE rewrite per row). INSERT rows must clear the
+  * [[TextOps.textStats]]-style thresholds — token-count band, lexical
+  * diversity floor, punctuation ceiling — all computed as codegen'd
+  * column predicates over the batch: no shuffle, no extra pass, the
+  * filter rides the batch's existing plan. Non-INSERT rows pass
+  * through untouched (a REMOVE stands regardless of content; a
+  * REPLACE is an update whose quality was adjudicated at insert time —
+  * filtering it would silently drop the update while the stale row
+  * lives on). NULL-content INSERTs are dropped: no content is not
+  * quality content.
+  *
+  * Thresholds via `params.extra` (all optional): `QualityColumn`
+  * (default `text`), `MinTokens` (20), `MaxTokens` (0 = unbounded),
+  * `MinDistinctRatio` (0.0), `MaxPunctRatio` (1.0).
+  */
+object QualityFilterTransformer extends Transformer {
+  val name = "quality_filter"
+
+  def apply(batch: TableBatch, params: Params): Seq[TableBatch] = {
+    val qcol = params.extra.getOrElse("QualityColumn", "text")
+    require(batch.df.columns.contains(qcol),
+      s"quality_filter: batch for ${batch.table} has no `$qcol` column")
+    val minTokens = params.extra.getOrElse("MinTokens", "20").toInt
+    val maxTokens = params.extra.getOrElse("MaxTokens", "0").toInt
+    val minDistinct = params.extra.getOrElse("MinDistinctRatio", "0").toDouble
+    val maxPunct = params.extra.getOrElse("MaxPunctRatio", "1").toDouble
+
+    val t = split(col(qcol), " ")
+    val nTokens = size(t)
+    val ok = col(qcol).isNotNull &&
+      nTokens >= minTokens &&
+      (if (maxTokens > 0) nTokens <= maxTokens else lit(true)) &&
+      (size(array_distinct(t)) / nTokens.cast("double") >= minDistinct) &&
+      (length(regexp_replace(col(qcol), "[a-z0-9 ]", "")) /
+        length(col(qcol)).cast("double") <= maxPunct)
+
+    val keep =
+      if (batch.df.columns.contains(Method.Col))
+        // NULL methods route to REPLACE in the loader — pass them too
+        coalesce(col(Method.Col), lit(Method.Replace.name)) =!=
+          Method.Insert.name || ok
+      else ok
+    Seq(batch.copy(df = batch.df.filter(keep)))
+  }
+}
+
 /** Ingest-time exact dedup — the transformer every training-data
   * pipeline wants between extract and load: arriving INSERT rows whose
   * normalised content fingerprint (md5 of lowercased `DedupColumn`,
