@@ -91,6 +91,8 @@ object SparkEntry {
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "sample_per_group" -> (graft.queries.ExtQueries.samplePerGroup(_, _)),
     "corpus_assemble" -> (graft.queries.ExtQueries.corpusAssemble(_, _)),
+    "text_quality_score" -> (graft.queries.ExtQueries.textQualityScore(_, _)),
+    "events_anomaly" -> (eventsAnomaly(_, _)),
     "events_retention" -> (eventsRetention(_, _)),
     "sample_stratified" -> (graft.queries.ExtQueries.sampleStratified(_, _)),
     "pack_sequences" -> (graft.queries.ExtQueries.packSequences(_, _)),
@@ -334,6 +336,18 @@ object SparkEntry {
          |  date_diff('second', first_signup, first_purchase) AS secs_to_convert
          |FROM s LEFT JOIN p ON s.user_id = p.user_id
          |ORDER BY s.user_id""".stripMargin,
+
+    "events_anomaly" ->
+      s"""WITH $eventsCte,
+         |d AS (SELECT date_trunc('day', ts) AS day, event_type,
+         |        count(*) AS n
+         |      FROM ev GROUP BY day, event_type),
+         |m AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+         |      FROM d GROUP BY event_type)
+         |SELECT event_type, day, n, round((n - mu) / sigma, 4) AS z
+         |FROM d JOIN m USING (event_type)
+         |WHERE sigma > 0 AND abs(round((n - mu) / sigma, 4)) >= 1.5
+         |ORDER BY event_type, day""".stripMargin,
 
     "events_retention" ->
       s"""WITH $eventsCte,

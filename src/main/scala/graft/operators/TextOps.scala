@@ -549,6 +549,27 @@ object TextOps {
           .as("simhash64"))
   }
 
+  /** Model-based quality scoring, stood in by a fixed-weight logistic
+    * model over the [[textStats]] features (the deployment shape of a
+    * fastText/linear quality classifier: featurize → w·x → σ — swap
+    * the hard-coded weights for trained ones and nothing else moves).
+    * Fully deterministic and oracle-replayable, unlike an actual
+    * trained model. Pure per-row column math, no shuffle; the score
+    * thresholds into the keep flag at 0.5.
+    *
+    * Weights (documented, arbitrary-but-sensible): longer docs and
+    * lexical diversity up, punctuation soup down.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    textStats(docs).select(
+      col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-(
+        lit(-2.0) +
+          log(col("n_tokens")) * 0.6 +
+          col("distinct_ratio") * 2.0 -
+          col("punct_ratio") * 4.0))), 4).as("quality_score"))
+      .withColumn("keep", (col("quality_score") >= 0.5).cast("int"))
+
   /** Per-source distribution drift: KL(P_source ‖ P_corpus) over the
     * unigram token distributions — the corpus-mixing diagnostic that
     * ranks how far each source's language deviates from the blend it

@@ -317,6 +317,26 @@ object ExtOracles {
          |WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) >= 0.5
          |ORDER BY a, b""".stripMargin,
 
+    // replays TextOps.qualityScore: logistic over the textStats
+    // features with the documented fixed weights
+    "text_quality_score" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t
+        |             FROM documents),
+        |st AS (SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4)
+        |    AS distinct_ratio,
+        |  round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+        |    / CAST(length(text) AS DOUBLE), 4) AS punct_ratio
+        |  FROM tok)
+        |SELECT doc_id,
+        |  round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(-2.0 + ln(n_tokens) * 0.6
+        |    + distinct_ratio * 2.0 - punct_ratio * 4.0))), 4) AS quality_score,
+        |  CAST(round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(-2.0 + ln(n_tokens) * 0.6
+        |    + distinct_ratio * 2.0 - punct_ratio * 4.0))), 4) >= 0.5 AS INT)
+        |    AS keep
+        |FROM st ORDER BY doc_id""".stripMargin,
+
     // replays TextOps.containmentPairs: same pair-stats CTEs as jaccard,
     // ratio = common / min(|A|, |B|)
     "dedup_containment" ->

@@ -114,6 +114,10 @@ object ExtQueries {
   def textKlSources(spark: SparkSession, dir: String): DataFrame =
     TextOps.sourceKl(docs(spark, dir)).orderBy("source")
 
+  /** Fixed-weight logistic quality score (trained-classifier stand-in). */
+  def textQualityScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(docs(spark, dir)).orderBy("doc_id")
+
   /** Temperature-scaled (α = 0.5) mixture weights + token allocations
     * per source.
     */

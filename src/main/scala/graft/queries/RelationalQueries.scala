@@ -547,6 +547,29 @@ object RelationalQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Volume-anomaly detection — the monitoring query an ingest pipeline
+    * runs over its own event stream: daily counts per event type,
+    * z-scored against that type's mean/stddev, flagged past the
+    * threshold. Two aggregations (daily rollup, then per-type moments —
+    * both map-side combinable, outputs bounded by days × types) and one
+    * broadcast join of the tiny moments table.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String,
+                    zThreshold: Double = 1.5): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val moments = daily.groupBy("event_type")
+      .agg(avg("n").as("mu"), stddev_samp(col("n")).as("sigma"))
+    daily.join(broadcast(moments), "event_type")
+      .filter(col("sigma") > 0)
+      .withColumn("z", round((col("n") - col("mu")) / col("sigma"), 4))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("event_type"), col("day"), col("n"), col("z"))
+      .orderBy("event_type", "day")
+  }
+
   /** Skew-resistant salted JOIN (the join-side complement of
     * [[saltedAgg]]): the probe side gets a random-but-deterministic
     * salt, the build side is replicated once per salt value, and the

@@ -139,6 +139,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r.values.forall(_ >= 0.0)) // KL is non-negative
   }
 
+  test("quality score ranks clean prose above punctuation soup") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, (1 to 40).map(i => s"word$i").mkString(" ")), // long, diverse
+      (2L, "a b " + "!@# $%^ &*( )!~ " * 10),            // punct-dominated
+      (3L, (1 to 40).map(_ => "spam").mkString(" "))     // zero diversity
+    ).toDF("doc_id", "text")
+    val s = TextOps.qualityScore(toy).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L) && s(1L) > s(3L))
+    assert(s.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("tfidf keywords: corpus-wide tokens score zero, rare tokens rank first") {
     import spark.implicits._
     // 'the' appears in every doc -> idf = ln(1) = 0; each doc's unique
