@@ -74,6 +74,9 @@ object SparkEntry {
     "embed_quantize" -> (graft.queries.ExtQueries.embedQuantize(_, _)),
     "hybrid_rrf" -> (graft.queries.ExtQueries.hybridRrf(_, _)),
     "approx_distinct" -> (graft.queries.ExtQueries.approxDistinct(_, _)),
+    "hll_partitioned" -> (graft.queries.ExtQueries.hllPartitioned(_, _)),
+    "percentile_sketch" -> (graft.queries.ExtQueries.percentileSketch(_, _)),
+    "frequent_tokens" -> (graft.queries.ExtQueries.frequentTokens(_, _)),
     "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
     "text_fingerprint" -> (graft.queries.ExtQueries.textFingerprint(_, _)),
     "text_simhash" -> (graft.queries.ExtQueries.textSimhash(_, _)),

@@ -61,6 +61,54 @@ object ExtQueries {
   def textSimhash(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhash(docs(spark, dir)).orderBy("doc_id")
 
+  /** Mergeable-sketch rollup — the two-level aggregation shape sketches
+    * exist for: per-(lang, source) HLL sketches built in one pass, then
+    * MERGED per lang (not re-scanned) for the distinct-doc estimate.
+    * At 100 TB the first level runs once at ingest and persists; every
+    * rollup after it is sketch-merge work over kilobytes. (rows-only:
+    * datasketches HLL internals aren't SQL-replayable; exactness is
+    * bounded in `SketchSpec`.)
+    */
+  def hllPartitioned(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang", "source")
+      .agg(expr("hll_sketch_agg(doc_id, 12)").as("sk"),
+        count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as bigint)")
+          .as("approx_docs"),
+        sum("n").as("rows"))
+      .orderBy("lang")
+
+  /** Approximate percentiles per group (Greenwald–Khanna sketch) — the
+    * single-pass, merge-combinable companion to the exact
+    * `percentile_agg`: at 100 TB the exact interpolated percentile
+    * needs a per-group sort, the sketch needs one streaming pass.
+    * (rows-only; error vs exact is bounded in `SketchSpec`.)
+    */
+  def percentileSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)")
+        .as("pcts"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("pcts"), 1), 2).as("p50"),
+        round(element_at(col("pcts"), 2), 2).as("p90"))
+      .orderBy("o_orderpriority")
+
+  /** Heavy-hitter tokens via the approx_top_k sketch — the
+    * frequent-items pass a corpus diagnostic runs without a full
+    * vocabulary aggregation; merge-combinable, fixed memory.
+    * (rows-only; agreement with the exact top-k is spec-pinned.)
+    */
+  def frequentTokens(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    docs(spark, dir)
+      .select(explode(TextOps.tokens).as("w"))
+      .agg(expr(s"approx_top_k(w, $k, 100000)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("token"))
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashPairs(docs(spark, dir)).orderBy("a", "b")
 
