@@ -20,9 +20,13 @@ import org.apache.spark.sql.types._
   * bit-identical to the fold it replaces (spec-enforced).
   *
   * Loud failure on shape violations (code set vs LUT count, code out
-  * of a LUT's range) — same erroring-over-wrong-answers stance as
-  * [[ArrayDot]]: a silently null score would rank real candidates
-  * below missing ones.
+  * of a LUT's range, NULL elements) — same erroring-over-wrong-answers
+  * stance as [[ArrayDot]]: a silently null score would rank real
+  * candidates below missing ones. NULL ELEMENTS are the one deliberate
+  * divergence from the fold (which propagates them to a null score):
+  * codes are machine-built, so a null slot is corrupt input, and
+  * erroring keeps the expression non-nullable and the generated loop
+  * branch-free on the hot path.
   */
 case class LutSum(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,6 +53,11 @@ case class LutSum(left: Expression, right: Expression)
     var sum = 0.0
     var s = 0
     while (s < n) {
+      // ArrayData.getInt on a null slot reads 0 — a silently wrong
+      // lookup, not a propagated null. Refuse corrupt input loudly.
+      if (codes.isNullAt(s) || luts.isNullAt(s))
+        throw new IllegalArgumentException(
+          s"lut_sum: NULL element at sub-space $s")
       val c = codes.getInt(s)
       val lut = luts.getArray(s)
       if (c < 0 || c >= lut.numElements())
@@ -75,6 +84,10 @@ case class LutSum(left: Expression, right: Expression)
          |int $n = $codes.numElements();
          |double $sum = 0.0;
          |for (int $s = 0; $s < $n; $s++) {
+         |  if ($codes.isNullAt($s) || $luts.isNullAt($s)) {
+         |    throw new IllegalArgumentException(
+         |      "lut_sum: NULL element at sub-space " + $s);
+         |  }
          |  int $c = $codes.getInt($s);
          |  org.apache.spark.sql.catalyst.util.ArrayData $lut = $luts.getArray($s);
          |  if ($c < 0 || $c >= $lut.numElements()) {

@@ -31,6 +31,20 @@ object TextOps {
   /** Whitespace tokens of the `text` column. */
   def tokens: Column = split(col("text"), " ")
 
+  /** Lexical diversity of a token array: |distinct| ∕ |tokens|. ONE
+    * definition shared by [[textStats]] (which rounds it) and the
+    * ingest-time quality gate — a drift between the scoring surface
+    * and the gate would silently disagree about the same document.
+    */
+  def distinctRatio(t: Column): Column =
+    size(array_distinct(t)) / size(t).cast("double")
+
+  /** Non-[a-z0-9 ] character share of a text column — same sharing
+    * contract as [[distinctRatio]].
+    */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", "")) / length(text).cast("double")
+
   /** Distinct k-word shingles per document: the (doc_id, shingle)
     * inverted index all near-dup operators share. Deduplication is
     * per-document by construction, so it happens map-side
@@ -55,11 +69,10 @@ object TextOps {
         col("doc_id"),
         size(col("t")).cast("bigint").as("n_tokens"),
         size(array_distinct(col("t"))).cast("bigint").as("n_distinct"),
-        expr("round(size(array_distinct(t)) / cast(size(t) as double), 4)").as("distinct_ratio"),
+        round(distinctRatio(col("t")), 4).as("distinct_ratio"),
         expr("round(aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x) " +
           "/ cast(size(t) as double), 4)").as("avg_token_len"),
-        expr("round(length(regexp_replace(text, '[a-z0-9 ]', '')) " +
-          "/ cast(length(text) as double), 4)").as("punct_ratio"))
+        round(punctRatio(col("text")), 4).as("punct_ratio"))
 
   /** Stopword-ratio language-ID heuristic (n-gram heuristics reduce to
     * token-class ratios on this whitespace-clean corpus).

@@ -98,12 +98,13 @@ object QualityFilterTransformer extends Transformer {
 
     val t = split(col(qcol), " ")
     val nTokens = size(t)
+    // feature definitions shared with TextOps.textStats — the gate and
+    // the scoring surface must agree about the same document
     val ok = col(qcol).isNotNull &&
       nTokens >= minTokens &&
       (if (maxTokens > 0) nTokens <= maxTokens else lit(true)) &&
-      (size(array_distinct(t)) / nTokens.cast("double") >= minDistinct) &&
-      (length(regexp_replace(col(qcol), "[a-z0-9 ]", "")) /
-        length(col(qcol)).cast("double") <= maxPunct)
+      (TextOps.distinctRatio(t) >= minDistinct) &&
+      (TextOps.punctRatio(col(qcol)) <= maxPunct)
 
     val keep =
       if (batch.df.columns.contains(Method.Col))

@@ -469,14 +469,21 @@ object VectorOps {
     * data the LUTs need anyway). Rows-only at the driver gate (two
     * k-means trainings are not SQL); ranking fidelity is spec-pinned.
     */
+  /** @param maxTrainRows sample bound for the IVF (Spark k-means)
+    *                      training — the distributed, corpus-touching leg
+    * @param pqTrainRows  sample bound for the PQ codebooks (driver-local
+    *                      k-means) — deliberately a separate knob: the
+    *                      two trainings have different cost models
+    */
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
                 nlist: Int = Auto, nprobe: Int = Auto,
                 m: Int = 8, kCent: Int = 16,
-                maxTrainRows: Long = MaxTrainRows): DataFrame = {
+                maxTrainRows: Long = MaxTrainRows,
+                pqTrainRows: Long = PqTrainRows): DataFrame = {
     val spark = embeddings.sparkSession
     val (corpus, centers, nprobeEff) =
       ivfAssign(embeddings, nlist, nprobe, maxTrainRows)
-    val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, kCent, PqTrainRows)
+    val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, kCent, pqTrainRows)
     // one projection carries codes AND the routing cell — the IVF-PQ
     // "index shard" layout (cell, codes); full vectors leave the plan here
     val codes = pqEncodeWith(corpus, dim, dsub, codebooks,

@@ -76,5 +76,11 @@ class ArrayDotSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql(
       "SELECT lut_sum(array(3), array(array(1.0d, 2.0d))) AS s").head())
     assert(messages(e2).exists(_.contains("outside LUT")))
+    // NULL element: ArrayData.getInt on a null slot would silently read
+    // 0 (a wrong lookup, not a null score) — must refuse loudly instead
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT lut_sum(array(cast(null as int), 1), " +
+        "array(array(5.0d, 6.0d), array(7.0d, 8.0d))) AS s").head())
+    assert(messages(e3).exists(_.contains("NULL element")))
   }
 }

@@ -9,12 +9,10 @@ import org.apache.spark.sql.functions._
   */
 class SketchSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
-
   test("partitioned HLL rollup stays within 2% of exact distinct counts per lang") {
-    val approx = graft.queries.ExtQueries.hllPartitioned(spark, sfDir)
+    val approx = graft.queries.ExtQueries.hllPartitioned(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = sources.Tables.documents(spark, sfDir)
+    val exact = sources.Tables.documents(spark, sf)
       .groupBy("lang").agg(countDistinct("doc_id").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet)
@@ -30,9 +28,9 @@ class SketchSpec extends SparkSpec {
     // element's quantile position must sit within epsilon of the target
     // (value-distance to the interpolated exact percentile can be large
     // wherever adjacent group values are far apart)
-    val approx = graft.queries.ExtQueries.percentileSketch(spark, sfDir)
+    val approx = graft.queries.ExtQueries.percentileSketch(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val orders = sources.Tables.orders(spark, sfDir)
+    val orders = sources.Tables.orders(spark, sf)
       .select("o_orderpriority", "o_totalprice")
     approx.foreach { case (g, (a50, a90)) =>
       val grp = orders.filter(col("o_orderpriority") === g)
@@ -46,9 +44,9 @@ class SketchSpec extends SparkSpec {
   }
 
   test("frequent-tokens sketch agrees with the exact top-k counts") {
-    val approx = graft.queries.ExtQueries.frequentTokens(spark, sfDir, k = 10)
+    val approx = graft.queries.ExtQueries.frequentTokens(spark, sf, k = 10)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val exact = sources.Tables.documents(spark, sfDir)
+    val exact = sources.Tables.documents(spark, sf)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w"))
