@@ -46,10 +46,17 @@ object StreamingPipeline {
     * destination, then stop (`Trigger.AvailableNow` — the streaming
     * equivalent of the batch drain loop). Re-running with the same
     * checkpoint processes only queue files added since the last run.
+    *
+    * The spec's TRANSFORMER runs inside each micro-batch exactly as
+    * the batch `Pipeline` runs it (same registry instance, same
+    * context) — a YAML pipeline means the same thing under either
+    * scheduler; skipping it here would make `transformer: dedup` /
+    * `quality_filter` silently batch-only.
     */
   def runAvailableNow(spark: SparkSession, spec: PipelineSpec,
                       checkpoint: String): Unit = {
     val queuePath = spec.queuePath.getOrElse(s"${spec.sourcePath}/MigratorRecordQueue")
+    val transformer = Registry.transformer(spec.transformer)
     val stream = changelogStream(spark, queuePath)
       .filter(col("sourceDatabase") === spec.sourceDatabase &&
         col("sourceTable") === spec.sourceTable)
@@ -58,9 +65,15 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (entries: DataFrame, _: Long) =>
         val batch = QueueExtractor.changeBatch(spark, spec, entries)
-        MethodRoutedLoader.load(spark,
+        val outBatches = transformer(
           TableBatch(spec.destinationDatabase, spec.destinationTable, batch),
-          spec.destinationPath, spec.pkColumns, spec.params)
+          spec.params,
+          graft.operators.TransformContext(spark, spec.destinationPath,
+            spec.pkColumns))
+        outBatches.foreach { b =>
+          MethodRoutedLoader.load(spark, b, spec.destinationPath,
+            spec.pkColumns, spec.params)
+        }
         ()
       }
       .start()

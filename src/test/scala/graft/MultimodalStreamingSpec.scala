@@ -81,6 +81,29 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(v1 === "one-NEW")
   }
 
+  test("streaming CDC honours the spec's transformer like the batch pipeline") {
+    val src = tmpDir("sttr-src"); val dest = tmpDir("sttr-dest")
+    val ckpt = tmpDir("sttr-ckpt")
+    Seq((1L, "one"), (2L, "two")).toDF("id", "v").write.parquet(s"$src/t.parquet")
+    val ts = Timestamp.valueOf("2024-06-01 00:00:00")
+    Seq(("a", "t", "id", "1", ts, "UPDATE"), ("a", "t", "id", "2", ts, "UPDATE"))
+      .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+        "timestampUpdated", "method")
+      .write.parquet(s"$src/queue")
+    // tablerenamer: the same YAML knob must mean the same thing under
+    // the streaming scheduler — output lands in the RENAMED table
+    val spec = PipelineSpec("a", "t", "id", "b", "t", src, dest,
+      extractor = "queue", transformer = "tablerenamer",
+      queuePath = Some(s"$src/queue"),
+      params = Params(tableName = Some("renamed")))
+    StreamingPipeline.runAvailableNow(spark, spec, ckpt)
+    val got = spark.read.parquet(s"$dest/renamed.parquet").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "one"), (2L, "two")))
+    assert(!new java.io.File(s"$dest/t.parquet").exists(),
+      "rows must not ALSO land under the original table name")
+  }
+
   test("streaming: watermarked exact dedup keeps first sighting, bounds state") {
     val src = tmpDir("sd-src")
     // 60 docs: 20 distinct texts, each appearing 3x with later timestamps
