@@ -94,6 +94,8 @@ object SparkEntry {
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "sample_per_group" -> (graft.queries.ExtQueries.samplePerGroup(_, _)),
     "corpus_assemble" -> (graft.queries.ExtQueries.corpusAssemble(_, _)),
+    "corpus_chunks" -> (graft.queries.ExtQueries.corpusChunks(_, _)),
+    "dedup_semantic_clusters" -> (graft.queries.ExtQueries.dedupSemanticClusters(_, _)),
     "text_quality_score" -> (graft.queries.ExtQueries.textQualityScore(_, _)),
     "events_anomaly" -> (eventsAnomaly(_, _)),
     "events_retention" -> (eventsRetention(_, _)),

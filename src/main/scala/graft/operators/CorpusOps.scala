@@ -89,6 +89,34 @@ object CorpusOps {
         floor(col("pa") / col("z") * budgetTokens).cast("bigint").as("alloc_tokens"))
   }
 
+  /** Overlapping token-window chunking — the embedding-prep step that
+    * splits long documents into model-window-sized pieces with
+    * `overlap` tokens of context carried between neighbours (the RAG /
+    * embedding-pipeline standard). Chunk i covers tokens
+    * [i·stride, i·stride + chunkTokens) with stride = chunkTokens −
+    * overlap; every document yields ⌈max(0, n − chunk)∕stride⌉ + 1
+    * chunks, so short documents stay whole. Pure array work + one
+    * posexplode — no shuffle, scales embarrassingly. Emits the chunk
+    * fingerprint rather than the text (the downstream embed step reads
+    * the chunk; the gate compares compact digests).
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+                     overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
+    val stride = chunkTokens - overlap
+    docs.select(col("doc_id"), TextOps.tokens.as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(0,
+           |    cast(ceil((size(t) - $chunkTokens) / ${stride}d) as int))),
+           |  i -> concat_ws(' ', slice(t, i * $stride + 1, $chunkTokens)))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos").as("chunk_no"),
+        size(split(col("col"), " ")).cast("bigint").as("n_chunk_tokens"),
+        md5(col("col")).as("chunk_fp"))
+  }
+
   /** Deterministic exact-k sample per group: rank group members by
     * [[hash16]]-extended hash order (md5 of the id, id tiebreak) and
     * keep the first `k` — the reservoir-sampling contract (every group

@@ -557,6 +557,38 @@ object ExtOracles {
         |FROM m, unnest(range(4)) AS u(i)
         |ORDER BY media_id, frame_no""".stripMargin,
 
+    // replays CorpusOps.chunkDocuments (64-token windows, stride 48)
+    "corpus_chunks" ->
+      s"""WITH $tokCte,
+         |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_no,
+         |         array_to_string(list_slice(t, i * 48 + 1, i * 48 + 64), ' ')
+         |           AS chunk
+         |       FROM tok, unnest(range(greatest(0,
+         |         CAST(ceil((len(t) - 64) / 48.0) AS BIGINT)) + 1)) AS u(i))
+         |SELECT doc_id, chunk_no,
+         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens,
+         |  md5(chunk) AS chunk_fp
+         |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // semantic dedup: the embed_neardup_pairs candidate graph closed by
+    // recursive CTE (= the star-contraction fixpoint)
+    "dedup_semantic_clusters" ->
+      s"""WITH RECURSIVE $embCte,
+         |eb AS (SELECT e.*, count(*) OVER (PARTITION BY ${bucketExpr("e")}) AS bn
+         |       FROM e),
+         |cp AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |       FROM eb x JOIN eb y
+         |         ON ${bucketExpr("x")} = ${bucketExpr("y")} AND x.vec_id < y.vec_id
+         |       WHERE x.bn <= 4096 AND y.bn <= 4096
+         |         AND round($cosExpr, 4) >= 0.4),
+         |edges AS (SELECT a AS src, b AS dst FROM cp UNION SELECT b, a FROM cp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.src, rr.r FROM edges e2 JOIN reach rr ON e2.dst = rr.id)
+         |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+         |ORDER BY vec_id""".stripMargin,
+
     // eligible-bucket CTE replays VectorOps.nearDupPairs' hot-bucket cap
     // (default maxBucketRows = 4096): buckets above the cap contribute
     // no pairs. The test corpus never nears it, but the oracle must

@@ -176,6 +176,21 @@ object ExtQueries {
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.samplePerGroup(docs(spark, dir), k = 20).orderBy("lang", "rn")
 
+  /** Overlapping token-window chunking (64-token windows, 16 overlap). */
+  def corpusChunks(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.chunkDocuments(docs(spark, dir)).orderBy("doc_id", "chunk_no")
+
+  /** Semantic dedup end-to-end: embedding near-dup pairs closed into
+    * clusters by star contraction — the vector-space face of
+    * [[dedupClusters]] (same keep-one-per-group contract, similarity
+    * measured in embedding space instead of shingle space).
+    */
+  def dedupSemanticClusters(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.connectedComponentsStar(
+        VectorOps.nearDupPairs(embs(spark, dir), threshold = 0.4))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+
   /** The corpus-assembly capstone: quality gate → exact-dedup
     * survivors → embedding attach, composed as ONE declarative plan —
     * what a training-data pipeline runs end-to-end before sharding.

@@ -103,6 +103,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.samplePerGroup(tiny, k = 10).count() === 4)
   }
 
+  test("chunking: windows overlap by the configured amount, short docs stay whole") {
+    val d = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, (1 to 5).map(i => s"s$i").mkString(" "))    // short -> one chunk
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.chunkDocuments(d, chunkTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // doc 1: stride 24, ceil((100-32)/24) = 3 -> 4 chunks covering
+    // [0,32) [24,56) [48,80) [72,100): sizes 32,32,32,28
+    assert(out.filter(_._1 == 1L).toSeq ===
+      Seq((1L, 0, 32L), (1L, 1, 32L), (1L, 2, 32L), (1L, 3, 28L)))
+    // doc 2: one whole chunk of 5
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, 5L)))
+  }
+
+  test("chunking: every token position is covered (no gaps at any length)") {
+    val d = spark.range(1, 80).select(col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(1, cast(id as int)), i -> concat('w', i)))")
+        .as("text"))
+    val chunks = CorpusOps.chunkDocuments(d, chunkTokens = 16, overlap = 4)
+    // per doc: last chunk must END at the doc's token count, i.e.
+    // stride * last_chunk_no + its size == n  (windows tile with overlap)
+    val bad = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_no") * 12 + col("n_chunk_tokens")).as("covered"))
+      .join(d.select(col("doc_id"), col("doc_id").as("n")), "doc_id")
+      .filter(col("covered") =!= col("n"))
+    assert(bad.isEmpty, bad.collect().mkString(","))
+  }
+
   test("pack sequences conserves the corpus token total at sf0.001") {
     val d = graft.sources.Tables.documents(spark, sf)
     val total = d.select(ceil(length(col("text")) / 4.0).cast("bigint").as("e"))
