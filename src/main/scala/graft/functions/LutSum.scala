@@ -63,6 +63,11 @@ case class LutSum(left: Expression, right: Expression)
       if (c < 0 || c >= lut.numElements())
         throw new IllegalArgumentException(
           s"lut_sum: code $c outside LUT of ${lut.numElements()} at sub-space $s")
+      // same silent-zero hazard one level down: getDouble on a null LUT
+      // slot reads 0.0
+      if (lut.isNullAt(c))
+        throw new IllegalArgumentException(
+          s"lut_sum: NULL LUT entry $c at sub-space $s")
       sum += lut.getDouble(c)
       s += 1
     }
@@ -93,6 +98,10 @@ case class LutSum(left: Expression, right: Expression)
          |  if ($c < 0 || $c >= $lut.numElements()) {
          |    throw new IllegalArgumentException(
          |      "lut_sum: code " + $c + " outside LUT of " + $lut.numElements() + " at sub-space " + $s);
+         |  }
+         |  if ($lut.isNullAt($c)) {
+         |    throw new IllegalArgumentException(
+         |      "lut_sum: NULL LUT entry " + $c + " at sub-space " + $s);
          |  }
          |  $sum += $lut.getDouble($c);
          |}

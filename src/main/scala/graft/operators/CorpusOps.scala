@@ -105,16 +105,21 @@ object CorpusOps {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
     val stride = chunkTokens - overlap
+    // token count = min(chunkTokens, n − i·stride), computed while the
+    // token array is still in hand — re-splitting the joined chunk
+    // string would tokenize every chunk twice
     docs.select(col("doc_id"), TextOps.tokens.as("t"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(
            |  sequence(0, greatest(0,
            |    cast(ceil((size(t) - $chunkTokens) / ${stride}d) as int))),
-           |  i -> concat_ws(' ', slice(t, i * $stride + 1, $chunkTokens)))"""
+           |  i -> struct(
+           |    concat_ws(' ', slice(t, i * $stride + 1, $chunkTokens)) AS chunk,
+           |    least($chunkTokens, size(t) - i * $stride) AS n))"""
           .stripMargin)))
       .select(col("doc_id"), col("pos").as("chunk_no"),
-        size(split(col("col"), " ")).cast("bigint").as("n_chunk_tokens"),
-        md5(col("col")).as("chunk_fp"))
+        col("col.n").cast("bigint").as("n_chunk_tokens"),
+        md5(col("col.chunk")).as("chunk_fp"))
   }
 
   /** Deterministic exact-k sample per group: rank group members by

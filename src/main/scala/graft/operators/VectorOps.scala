@@ -468,12 +468,12 @@ object VectorOps {
     * is driver-side math over the nlist × dim centroid array (the same
     * data the LUTs need anyway). Rows-only at the driver gate (two
     * k-means trainings are not SQL); ranking fidelity is spec-pinned.
-    */
-  /** @param maxTrainRows sample bound for the IVF (Spark k-means)
-    *                      training — the distributed, corpus-touching leg
+    *
+    * @param maxTrainRows sample bound for the IVF (Spark k-means)
+    *                     training — the distributed, corpus-touching leg
     * @param pqTrainRows  sample bound for the PQ codebooks (driver-local
-    *                      k-means) — deliberately a separate knob: the
-    *                      two trainings have different cost models
+    *                     k-means) — deliberately a separate knob: the
+    *                     two trainings have different cost models
     */
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
                 nlist: Int = Auto, nprobe: Int = Auto,

@@ -50,8 +50,13 @@ object StreamingPipeline {
     * The spec's TRANSFORMER runs inside each micro-batch exactly as
     * the batch `Pipeline` runs it (same registry instance, same
     * context) — a YAML pipeline means the same thing under either
-    * scheduler; skipping it here would make `transformer: dedup` /
-    * `quality_filter` silently batch-only.
+    * scheduler. Note which transformers can actually act here:
+    * `tablerenamer` / `expr` apply to every row, while the
+    * content-gating pair (`dedup`, `quality_filter`) deliberately
+    * passes non-INSERT rows through — and a CDC change batch is all
+    * REPLACE/REMOVE by construction, so on THIS path they are
+    * correctly inert (an update's content was adjudicated at insert
+    * time; a delete stands regardless).
     */
   def runAvailableNow(spark: SparkSession, spec: PipelineSpec,
                       checkpoint: String): Unit = {

@@ -82,5 +82,9 @@ class ArrayDotSpec extends SparkSpec {
       "SELECT lut_sum(array(cast(null as int), 1), " +
         "array(array(5.0d, 6.0d), array(7.0d, 8.0d))) AS s").head())
     assert(messages(e3).exists(_.contains("NULL element")))
+    // NULL inside a LUT: getDouble on a null slot would read 0.0
+    val e4 = intercept[Exception](spark.sql(
+      "SELECT lut_sum(array(0), array(array(cast(null as double)))) AS s").head())
+    assert(messages(e4).exists(_.contains("NULL LUT entry")))
   }
 }
