@@ -83,6 +83,8 @@ object SparkEntry {
     "dedup_exact" -> (graft.queries.ExtQueries.dedupExact(_, _)),
     "dedup_minhash_bands" -> (graft.queries.ExtQueries.dedupMinhashBands(_, _)),
     "dedup_minhash_pairs" -> (graft.queries.ExtQueries.dedupMinhashPairs(_, _)),
+    "dedup_minhash_estimate" -> (graft.queries.ExtQueries.dedupMinhashEstimate(_, _)),
+    "text_lang_mismatch" -> (graft.queries.ExtQueries.textLangMismatch(_, _)),
     "dedup_jaccard_pairs" -> (graft.queries.ExtQueries.dedupJaccardPairs(_, _)),
     "dedup_clusters" -> (graft.queries.ExtQueries.dedupClusters(_, _)),
     "dedup_clusters_star" -> (graft.queries.ExtQueries.dedupClustersStar(_, _)),

@@ -206,6 +206,29 @@ object TextOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
 
+  /** MinHash-ESTIMATED Jaccard for the candidate pairs — the estimator
+    * LSH exists to serve: agreement fraction of the two signatures
+    * (E[h_min agree] = J by the MinHash property), so similarity costs
+    * 8 comparisons per pair instead of a shingle-set intersection. The
+    * gap vs [[jaccardPairs]] is the classic accuracy/cost dial: ±1∕√k
+    * standard error at k hashes. Plan: the band self-join produces the
+    * pairs; two joins on the (doc-count-sized) signature table attach
+    * the signatures; everything stays keyed on doc ids.
+    */
+  def minhashJaccardEstimate(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    def side(s: String): DataFrame =
+      sig.toDF(sig.columns.map(c => if (c == "doc_id") s else s"${c}_$s"): _*)
+    val agree = (0 until MinhashSeeds)
+      .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    minhashCandidatePairs(docs)
+      .join(side("a"), "a")
+      .join(side("b"), "b")
+      .select(col("a"), col("b"),
+        round(agree / lit(MinhashSeeds.toDouble), 4).as("est_jaccard"))
+  }
+
   /** Production-profile MinHash: same plan shape as the md5 variant but
     * hashed with codegen'd `xxhash64` (numeric min, no hex strings) —
     * ~3× cheaper per shingle. Not oracle-replayable (xxhash64 isn't in

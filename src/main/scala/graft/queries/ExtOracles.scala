@@ -300,6 +300,38 @@ object ExtOracles {
          |  ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
 
+    // replays TextOps.minhashJaccardEstimate: candidate pairs from the
+    // band join, then the 8-hash agreement fraction
+    "dedup_minhash_estimate" -> {
+      val agree = (0 until TextOpsConsts.seeds)
+        .map(i => s"(CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte,
+         |cp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+         |SELECT a, b,
+         |  round(($agree) / ${TextOpsConsts.seeds}.0, 4) AS est_jaccard
+         |FROM cp JOIN mh x ON cp.a = x.doc_id JOIN mh y ON cp.b = y.doc_id
+         |ORDER BY a, b""".stripMargin
+    },
+
+    // replays ExtQueries.textLangMismatch: binary en/unk guess vs the
+    // binary en/not-en label, disagreement rate per source
+    "text_lang_mismatch" ->
+      s"""WITH $tokCte,
+         |g AS (SELECT doc_id,
+         |  round(len(list_filter(t, x -> x = 'the' OR x = 'a'))
+         |    / CAST(len(t) AS DOUBLE), 4) AS stop_ratio
+         |  FROM tok),
+         |j AS (SELECT d.source,
+         |        CASE WHEN (CASE WHEN g.stop_ratio > 0.05 THEN 'en' ELSE 'unk' END
+         |               = 'en') <> (d.lang = 'en') THEN 1 ELSE 0 END AS mismatch
+         |      FROM g JOIN documents d USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(mismatch), 4) AS mismatch_rate
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
     // shf replays TextOps.jaccardPairs' stop-shingle DF cap: shingles in
     // more than 10% of the corpus leave the index before sizes AND join
     "dedup_jaccard_pairs" ->

@@ -149,6 +149,26 @@ object ExtQueries {
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.minhashCandidatePairs(docs(spark, dir)).orderBy("a", "b")
 
+  /** Signature-agreement Jaccard estimate for the candidate pairs. */
+  def dedupMinhashEstimate(spark: SparkSession, dir: String): DataFrame =
+    TextOps.minhashJaccardEstimate(docs(spark, dir)).orderBy("a", "b")
+
+  /** Language-ID drift diagnostic: per source, how often the n-gram
+    * heuristic's guess disagrees with the labelled language — the
+    * label-quality / heuristic-quality cross-check a corpus audit runs.
+    * One projection + one bounded aggregation.
+    */
+  def textLangMismatch(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(spark, dir))
+      .join(docs(spark, dir).select(col("doc_id"), col("lang").as("label"),
+        col("source")), "doc_id")
+      .withColumn("mismatch",
+        ((col("lang_guess") === "en") =!= (col("label") === "en")).cast("int"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("mismatch"), 4).as("mismatch_rate"))
+      .orderBy("source")
+
   def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.jaccardPairs(docs(spark, dir), threshold = 0.5).orderBy("a", "b")
 

@@ -35,6 +35,22 @@ class TextOpsSpec extends SparkSpec {
     assert(trueDups.subsetOf(fast), s"missed: ${trueDups -- fast}")
   }
 
+  test("minhash jaccard estimate is high exactly where exact jaccard is high") {
+    // signature space is uncapped shingles, so compare against the
+    // uncapped exact jaccard
+    val exact = TextOps.jaccardPairs(docs, threshold = 0.8, maxDfFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val est = TextOps.minhashJaccardEstimate(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    est.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // every planted near-dup pair the bands caught must estimate high:
+    // J >= 0.8 -> P(single-hash agree) >= 0.8 -> est below 0.5 is a
+    // < 1% binomial tail at 8 hashes
+    exact.filter(est.contains).foreach { p =>
+      assert(est(p) >= 0.5, s"pair $p: exact>=0.8 but est=${est(p)}")
+    }
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val sh = TextOps.simhash(docs)
     // the planted near-dup pairs (jaccard >= 0.8) should have close simhashes
