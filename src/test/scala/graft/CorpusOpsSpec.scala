@@ -133,6 +133,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad.isEmpty, bad.collect().mkString(","))
   }
 
+  test("corpus operators are total on an empty corpus") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val emptyS = empty.withColumnRenamed("lang", "source")
+    assert(CorpusOps.chunkDocuments(empty).count() === 0)
+    assert(CorpusOps.packSequences(empty).count() === 0)
+    assert(CorpusOps.samplePerGroup(empty, k = 5).count() === 0)
+    assert(CorpusOps.stratifiedSample(empty, Map("en" -> 0.5), 0.1).count() === 0)
+    assert(CorpusOps.mixtureWeights(emptyS).count() === 0)
+  }
+
   test("pack sequences conserves the corpus token total at sf0.001") {
     val d = graft.sources.Tables.documents(spark, sf)
     val total = d.select(ceil(length(col("text")) / 4.0).cast("bigint").as("e"))

@@ -35,6 +35,30 @@ class TextOpsSpec extends SparkSpec {
     assert(trueDups.subsetOf(fast), s"missed: ${trueDups -- fast}")
   }
 
+  test("text operators are total on an empty corpus (no throw, empty result)") {
+    import spark.implicits._
+    // a drain loop feeds operators empty batches constantly — every
+    // operator must return empty, not divide-by-zero or head() a
+    // missing row
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyS = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TextOps.textStats(empty).count() === 0)
+    assert(TextOps.exactDedup(empty).count() === 0)
+    assert(TextOps.minhashCandidatePairs(empty).count() === 0)
+    assert(TextOps.minhashJaccardEstimate(empty).count() === 0)
+    assert(TextOps.jaccardPairs(empty).count() === 0)
+    assert(TextOps.containmentPairs(empty).count() === 0)
+    assert(TextOps.simhashPairs(empty).count() === 0)
+    assert(TextOps.surprisal(empty).count() === 0)
+    assert(TextOps.bigramSurprisal(empty).count() === 0)
+    assert(TextOps.tfidfKeywords(empty).count() === 0)
+    assert(TextOps.paragraphDedup(empty).count() === 0)
+    assert(TextOps.qualityScore(empty).count() === 0)
+    assert(TextOps.repetition(empty).count() === 0)
+    assert(TextOps.bm25TopK(empty, Seq("x")).count() === 0)
+    assert(TextOps.sourceKl(emptyS).count() === 0)
+  }
+
   test("minhash jaccard estimate is high exactly where exact jaccard is high") {
     // signature space is uncapped shingles, so compare against the
     // uncapped exact jaccard
