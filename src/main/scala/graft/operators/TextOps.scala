@@ -74,16 +74,25 @@ object TextOps {
           "/ cast(size(t) as double), 4)").as("avg_token_len"),
         round(punctRatio(col("text")), 4).as("punct_ratio"))
 
+  /** Stopword ratio of a token array — the language-ID feature, shared
+    * by [[langId]] and the drift diagnostic so the audited classifier
+    * and the audit agree by construction.
+    */
+  def stopRatio(t: Column): Column =
+    round(size(filter(t, x => x === "the" || x === "a")) /
+      size(t).cast("double"), 4)
+
+  /** en/unk decision at the 0.05 stop-ratio threshold. */
+  def langGuess(stopRatio: Column): Column =
+    when(stopRatio > 0.05, "en").otherwise("unk")
+
   /** Stopword-ratio language-ID heuristic (n-gram heuristics reduce to
     * token-class ratios on this whitespace-clean corpus).
     */
   def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens.as("t"))
-      .select(col("doc_id"),
-        expr("round(size(filter(t, x -> x = 'the' or x = 'a')) / cast(size(t) as double), 4)")
-          .as("stop_ratio"))
-      .withColumn("lang_guess",
-        when(col("stop_ratio") > 0.05, "en").otherwise("unk"))
+      .select(col("doc_id"), stopRatio(col("t")).as("stop_ratio"))
+      .withColumn("lang_guess", langGuess(col("stop_ratio")))
 
   /** Normalised-content fingerprint (rolling-hash document fingerprinting
     * collapses to a full-content hash once content is normalised).
@@ -182,12 +191,18 @@ object TextOps {
   /** LSH band table: (doc_id, band, bucket-key) with bucket-key =
     * md5 of the band's concatenated signature rows.
     */
-  def minhashBands(docs: DataFrame): DataFrame = {
+  def minhashBands(docs: DataFrame): DataFrame =
+    bandsOf(minhashSignatures(docs))
+
+  /** Band table from an existing signature table — lets callers that
+    * need both (e.g. the Jaccard estimator) compute signatures once.
+    */
+  private def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until MinhashBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bk"))
     }
-    minhashSignatures(docs)
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
   }
@@ -216,13 +231,19 @@ object TextOps {
     * the signatures; everything stays keyed on doc ids.
     */
   def minhashJaccardEstimate(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
+    // materialise the signature table ONCE: the plan reads it three
+    // times (band x/y sides + both signature joins), and Spark performs
+    // no common-subexpression reuse across self-join sides — without
+    // the checkpoint the per-document signature kernel would run 4×.
+    // A production pipeline persists signatures anyway (they ARE the
+    // index); ~32 bytes × MinhashSeeds per document.
+    val sig = minhashSignatures(docs).localCheckpoint()
     def side(s: String): DataFrame =
       sig.toDF(sig.columns.map(c => if (c == "doc_id") s else s"${c}_$s"): _*)
     val agree = (0 until MinhashSeeds)
       .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
       .reduce(_ + _)
-    minhashCandidatePairs(docs)
+    bandPairs(bandsOf(sig))
       .join(side("a"), "a")
       .join(side("b"), "b")
       .select(col("a"), col("b"),

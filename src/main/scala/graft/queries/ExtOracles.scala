@@ -33,6 +33,22 @@ object ExtOracles {
     s"bands AS ($rows)"
   }
 
+  /** Band-self-join candidate pairs — ONE definition for every oracle
+    * that consumes the LSH candidate graph (pairs, clusters, the
+    * Jaccard estimator); a banding-scheme change edits one string.
+    */
+  private val cpCte =
+    """cp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |       FROM bands x JOIN bands y
+      |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Stop-ratio heuristic over the token list `t` — shared by the
+    * language-ID oracle and the drift diagnostic (one classifier, one
+    * definition).
+    */
+  private val stopRatioExpr =
+    "round(len(list_filter(t, x -> x = 'the' OR x = 'a')) / CAST(len(t) AS DOUBLE), 4)"
+
   private val embCte = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)"
 
   private val cosExpr =
@@ -113,9 +129,7 @@ object ExtOracles {
     */
   private val dedupClustersSql: String =
     s"""WITH RECURSIVE $tokCte, $shCte, $minhashCte, $bandsCte,
-       |cp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |       FROM bands x JOIN bands y
-       |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |$cpCte,
        |edges AS (SELECT a AS src, b AS dst FROM cp UNION SELECT b, a FROM cp),
        |reach(id, r) AS (
        |  SELECT src, src FROM edges
@@ -138,9 +152,7 @@ object ExtOracles {
 
     "text_langid" ->
       s"""WITH $tokCte,
-         |s AS (SELECT doc_id,
-         |  round(len(list_filter(t, x -> x = 'the' OR x = 'a')) / CAST(len(t) AS DOUBLE), 4) AS stop_ratio
-         |  FROM tok)
+         |s AS (SELECT doc_id, $stopRatioExpr AS stop_ratio FROM tok)
          |SELECT doc_id, stop_ratio,
          |  CASE WHEN stop_ratio > 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
          |FROM s ORDER BY doc_id""".stripMargin,
@@ -294,11 +306,8 @@ object ExtOracles {
          |SELECT doc_id, band, bk FROM bands ORDER BY doc_id, band""".stripMargin,
 
     "dedup_minhash_pairs" ->
-      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte
-         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
-         |ORDER BY a, b""".stripMargin,
+      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte, $cpCte
+         |SELECT a, b FROM cp ORDER BY a, b""".stripMargin,
 
     // replays TextOps.minhashJaccardEstimate: candidate pairs from the
     // band join, then the 8-hash agreement fraction
@@ -306,10 +315,7 @@ object ExtOracles {
       val agree = (0 until TextOpsConsts.seeds)
         .map(i => s"(CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte,
-         |cp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |       FROM bands x JOIN bands y
-         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte, $cpCte
          |SELECT a, b,
          |  round(($agree) / ${TextOpsConsts.seeds}.0, 4) AS est_jaccard
          |FROM cp JOIN mh x ON cp.a = x.doc_id JOIN mh y ON cp.b = y.doc_id
@@ -317,17 +323,14 @@ object ExtOracles {
     },
 
     // replays ExtQueries.textLangMismatch: binary en/unk guess vs the
-    // binary en/not-en label, disagreement rate per source
+    // binary en/not-en label, disagreement rate per source — one scan,
+    // the guess computed beside the label
     "text_lang_mismatch" ->
-      s"""WITH $tokCte,
-         |g AS (SELECT doc_id,
-         |  round(len(list_filter(t, x -> x = 'the' OR x = 'a'))
-         |    / CAST(len(t) AS DOUBLE), 4) AS stop_ratio
-         |  FROM tok),
-         |j AS (SELECT d.source,
-         |        CASE WHEN (CASE WHEN g.stop_ratio > 0.05 THEN 'en' ELSE 'unk' END
-         |               = 'en') <> (d.lang = 'en') THEN 1 ELSE 0 END AS mismatch
-         |      FROM g JOIN documents d USING (doc_id))
+      s"""WITH j AS (SELECT source,
+         |  CASE WHEN (($stopRatioExpr) > 0.05) <> (lang = 'en')
+         |       THEN 1 ELSE 0 END AS mismatch
+         |  FROM (SELECT source, lang, string_split(text, ' ') AS t
+         |        FROM documents))
          |SELECT source, count(*) AS n_docs,
          |  round(avg(mismatch), 4) AS mismatch_rate
          |FROM j GROUP BY source ORDER BY source""".stripMargin,

@@ -156,14 +156,15 @@ object ExtQueries {
   /** Language-ID drift diagnostic: per source, how often the n-gram
     * heuristic's guess disagrees with the labelled language — the
     * label-quality / heuristic-quality cross-check a corpus audit runs.
-    * One projection + one bounded aggregation.
+    * One projection + one bounded aggregation (the guess rides the
+    * same scan as the label; no self-join to reattach columns).
     */
   def textLangMismatch(spark: SparkSession, dir: String): DataFrame =
-    TextOps.langId(docs(spark, dir))
-      .join(docs(spark, dir).select(col("doc_id"), col("lang").as("label"),
-        col("source")), "doc_id")
+    docs(spark, dir)
+      .select(col("source"), col("lang"),
+        TextOps.langGuess(TextOps.stopRatio(TextOps.tokens)).as("guess"))
       .withColumn("mismatch",
-        ((col("lang_guess") === "en") =!= (col("label") === "en")).cast("int"))
+        ((col("guess") === "en") =!= (col("lang") === "en")).cast("int"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         round(avg("mismatch"), 4).as("mismatch_rate"))
