@@ -62,6 +62,18 @@ object Bench {
     // blocks so earlier passes' heap debt can't bill later queries.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Pass 0: one full UNTIMED pass over the suite. The table/KMeans/sink
+    // primers above cover shared infrastructure, but each query's own
+    // codegen + first-run class-loading still lands on pass 1 (r03
+    // measured passes at 93.5 s vs 66.6 s — ~27 s of warm-up skew the
+    // per-query-min protocol absorbs but pass TOTALS shouldn't carry).
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
+    (1 to warmups).foreach { _ =>
+      names.foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
     // (seconds, succeeded) per query per pass: a failed pass must not
     // feed the min — a query that throws in 0.3 s and succeeds in 5 s
     // ran for 5 s
@@ -93,10 +105,19 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"failed":$failedJson}"""
-    // the line must be machine-readable: print it to stdout (forked run
+    // Short headline FIRST and LAST around the full per-query line: the
+    // driver's stdout-tail capture has truncated the 86-query line
+    // mid-object (r01/r03 "parsed: null") — a short line on both sides
+    // survives truncation from either end and parses on its own.
+    val headline =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passTotals,"sf":"$sfDir"}"""
+    // the lines must be machine-readable: print to stdout (forked run
     // output bypasses sbt's logger, see build.sbt outputStrategy) AND
-    // drop it in a file so log-scraping never has to parse process noise
+    // drop the full line in a file so log-scraping never has to parse
+    // process noise
+    println(headline)
     println(line)
+    println(headline)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(out, line.getBytes("UTF-8"))

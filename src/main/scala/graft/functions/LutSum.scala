@@ -25,8 +25,13 @@ import org.apache.spark.sql.types._
   * candidates below missing ones. NULL ELEMENTS are the one deliberate
   * divergence from the fold (which propagates them to a null score):
   * codes are machine-built, so a null slot is corrupt input, and
-  * erroring keeps the expression non-nullable and the generated loop
-  * branch-free on the hot path.
+  * erroring keeps the generated loop branch-free on the hot path.
+  * A WHOLE-ARRAY null input, by contrast, follows standard null
+  * semantics (nullSafeEval/nullSafeCodeGen propagate it to a null
+  * score — the expression is nullable like any binary expression);
+  * both producers ([[graft.operators.VectorOps.pqEncodeWith]] codes,
+  * broadcast-literal LUT rows) are non-null by construction, so the
+  * element-level checks are the ones guarding real corruption.
   */
 case class LutSum(left: Expression, right: Expression)
     extends BinaryExpression {

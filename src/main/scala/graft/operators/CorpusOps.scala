@@ -75,9 +75,14 @@ object CorpusOps {
     */
   def mixtureWeights(docs: DataFrame, alpha: Double = 0.5,
                      budgetTokens: Long = 1000000L): DataFrame = {
+    // materialised (one tiny row per source): tot and z below both
+    // derive from it, and without the checkpoint each scalar cross-join
+    // re-runs the corpus count pass unless exchange reuse happens to
+    // kick in — with it, corpus-size work IS the single count pass
     val per = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(ceil(length(col("text")) / 4.0).cast("bigint")).as("est_tokens"))
+      .localCheckpoint()
     val tot = per.agg(sum("est_tokens").cast("double").as("total"))
     val withPa = per.crossJoin(broadcast(tot))
       .withColumn("pa", pow(col("est_tokens") / col("total"), alpha))

@@ -123,9 +123,11 @@ object GraphOps {
       .localCheckpoint(true)
 
     // fixpoint test: the edge SET is literally unchanged once every
-    // component is a star, so (count, order-independent hash fold)
-    // equality is a sound convergence proxy — same one-row-action
-    // currency as the propagation loop's label checksum. XOR, not sum:
+    // component is a star. The (count, XOR-of-xxhash64) checksum is a
+    // cheap PROBABILISTIC proxy — a colliding round could alias two
+    // different edge sets — so checksum equality only triggers the
+    // exact confirmation below (one exceptAll on the final round);
+    // convergence is never declared on the hash alone. XOR, not sum:
     // xxhash64 spans the full long range and a sum overflows under ANSI
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
@@ -155,10 +157,14 @@ object GraphOps {
           .union(mS.select(col("u").as("src"), col("m").as("dst"))))
         .localCheckpoint(true)
       ls.unpersist()
+      val cur = checksum(ss)
+      // exact confirmation: counts already match (they're in the
+      // checksum) and both sides are distinct sets, so an empty
+      // one-direction difference proves set equality — runs only on
+      // rounds whose checksums agree (normally just the last)
+      converged = cur == prev && ss.exceptAll(edges).isEmpty
       edges.unpersist()
       edges = ss
-      val cur = checksum(edges)
-      converged = cur == prev
       prev = cur
       iter += 1
     }

@@ -259,6 +259,15 @@ object ExtOracles {
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
 
+    // exact token top-10: approx_top_k is EXACT while its tracked-item
+    // budget (100k) exceeds the vocabulary — which holds at every test
+    // SF (spec-pinned in SketchSpec), so the sketch replays as plain
+    // group/order/limit
+    "frequent_tokens" ->
+      s"""WITH $tokCte2
+         |SELECT w AS token, count(*) AS n FROM tokw
+         |GROUP BY w ORDER BY n DESC, token LIMIT 10""".stripMargin,
+
     // hybrid retrieval: the bm25 pipeline (same CTEs as text_bm25, top
     // 50), the cosine pipeline (same shape as embed_topk, query vec 0,
     // top 50), ranks fused with 1/(60+rank); double division forced —

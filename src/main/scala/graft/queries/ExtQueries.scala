@@ -99,15 +99,23 @@ object ExtQueries {
   /** Heavy-hitter tokens via the approx_top_k sketch — the
     * frequent-items pass a corpus diagnostic runs without a full
     * vocabulary aggregation; merge-combinable, fixed memory.
-    * (rows-only; agreement with the exact top-k is spec-pinned.)
+    * Hash-checked against the EXACT top-k oracle: the sketch is exact
+    * while its tracked-item budget exceeds the vocabulary, which holds
+    * at every test SF (spec-pinned in `SketchSpec`). The sketch's OWN
+    * boundary tie-break is arbitrary, so the query over-fetches 2k
+    * items and re-ranks deterministically (count desc, token asc)
+    * before the limit — exact as long as the rank-k tie group fits in
+    * the 2k over-fetch (it always does here: ties need the margin, and
+    * the margin is k).
     */
   def frequentTokens(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     docs(spark, dir)
       .select(explode(TextOps.tokens).as("w"))
-      .agg(expr(s"approx_top_k(w, $k, 100000)").as("top"))
+      .agg(expr(s"approx_top_k(w, ${2 * k}, 100000)").as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.item").as("token"), col("e.count").as("n"))
       .orderBy(col("n").desc, col("token"))
+      .limit(k)
 
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashPairs(docs(spark, dir)).orderBy("a", "b")
@@ -320,8 +328,20 @@ object ExtQueries {
       .select("doc_id", "r_t", "r_v", "rrf")
   }
 
+  /** PQ encode audit (rows-only — k-means codebooks aren't
+    * SQL-replayable). The raw `codes` array is projected to an md5
+    * digest: the driver's pandas compare sorts by every output column,
+    * and array cells are unsortable/unhashable there — the same
+    * scalar-digest contract as `embed_quantize`'s `code_sum` and
+    * `corpus_chunks`' `chunk_fp`. [[VectorOps.pqEncode]] itself keeps
+    * returning the array (downstream search consumes it).
+    */
   def embedPq(spark: SparkSession, dir: String): DataFrame =
-    VectorOps.pqEncode(embs(spark, dir)).orderBy("vec_id")
+    VectorOps.pqEncode(embs(spark, dir))
+      .select(col("vec_id"),
+        md5(concat_ws("-", col("codes").cast("array<string>"))).as("codes_digest"),
+        col("recon_rmse"))
+      .orderBy("vec_id")
 
   def embedPqTopK(spark: SparkSession, dir: String): DataFrame =
     VectorOps.pqTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))

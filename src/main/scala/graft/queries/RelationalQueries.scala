@@ -539,9 +539,12 @@ object RelationalQueries {
       .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
     ev.select(col("user_id"), date_trunc("day", col("ts")).as("d"))
       .join(firsts, "user_id")
+      // civil-day boundaries (datediff of the DATEs), not elapsed-secs/86400:
+      // the epoch arithmetic is only equivalent under a DST-free session
+      // timezone and would silently drift from the oracle's
+      // date_diff('day', ...) if reused with a local zone
       .withColumn("day_offset",
-        ((col("d").cast("long") - col("cohort_day").cast("long")) / 86400L)
-          .cast("bigint"))
+        datediff(to_date(col("d")), to_date(col("cohort_day"))).cast("bigint"))
       .groupBy("cohort_day", "day_offset")
       .agg(countDistinct("user_id").as("active_users"))
       .orderBy("cohort_day", "day_offset")
