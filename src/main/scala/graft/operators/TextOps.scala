@@ -74,25 +74,53 @@ object TextOps {
           "/ cast(size(t) as double), 4)").as("avg_token_len"),
         round(punctRatio(col("text")), 4).as("punct_ratio"))
 
-  /** Stopword ratio of a token array — the language-ID feature, shared
-    * by [[langId]] and the drift diagnostic so the audited classifier
-    * and the audit agree by construction.
+  /** Character trigrams of `text` — the language-ID feature space
+    * (textcat/CLD-style n-gram profiling). Callers must pre-filter
+    * `length(text) >= 3`: Spark's `sequence(1, 0)` counts DOWN, so an
+    * unguarded short document would fabricate trigrams.
     */
-  def stopRatio(t: Column): Column =
-    round(size(filter(t, x => x === "the" || x === "a")) /
-      size(t).cast("double"), 4)
+  def charTrigrams: Column =
+    expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
 
-  /** en/unk decision at the 0.05 stop-ratio threshold. */
-  def langGuess(stopRatio: Column): Column =
-    when(stopRatio > 0.05, "en").otherwise("unk")
-
-  /** Stopword-ratio language-ID heuristic (n-gram heuristics reduce to
-    * token-class ratios on this whitespace-clean corpus).
+  /** N-gram-profile language ID (Cavnar–Trenkle-style, multinomial
+    * scoring): per-language character-trigram profiles are BUILT FROM
+    * the corpus's own labelled `lang` column, and each document is
+    * assigned the language maximising Σ_g tf(g)·ln p̂(g|lang) with
+    * Laplace smoothing p̂ = (c+1)∕(n_lang+V) — the classic trained
+    * classifier shape (swap the label source and nothing else moves).
+    * Fully relational and oracle-replayable: no model object, the
+    * "training" is two aggregations over the same trigram explode.
+    *
+    * Plan shape at scale: one trigram explode feeds the per-doc tf and
+    * the profile (both map-side combinable); the profile and the
+    * per-lang totals are bounded by |trigram vocab| × |langs| — small
+    * by construction — so scoring is the corpus-scale tf table
+    * cross-joined with the ≤|langs| row set and broadcast-joined to the
+    * profile, then one (doc, lang)-keyed aggregation and a per-doc
+    * argmax window (partitions of |langs| rows). Scores are rounded
+    * BEFORE ranking so the argmax tiebreak (score desc, lang asc)
+    * replays identically in the oracle.
     */
-  def langId(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens.as("t"))
-      .select(col("doc_id"), stopRatio(col("t")).as("stop_ratio"))
-      .withColumn("lang_guess", langGuess(col("stop_ratio")))
+  def langId(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tri = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(charTrigrams).as("g"))
+    val dtf = tri.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val prof = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    val langTot = prof.groupBy("lang").agg(sum("c").as("nl"))
+    val vocab = tri.agg(countDistinct("g").as("v"))
+    val scored = dtf
+      .crossJoin(broadcast(langTot.crossJoin(vocab)))
+      .join(broadcast(prof), Seq("lang", "g"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(round(sum(col("tf") *
+        log((coalesce(col("c"), lit(0L)) + 1.0) /
+          (col("nl") + col("v")).cast("double"))), 4).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("lang_guess"), col("score"))
+  }
 
   /** Normalised-content fingerprint (rolling-hash document fingerprinting
     * collapses to a full-content hash once content is normalised).

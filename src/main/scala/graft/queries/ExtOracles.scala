@@ -42,12 +42,31 @@ object ExtOracles {
       |       FROM bands x JOIN bands y
       |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
 
-  /** Stop-ratio heuristic over the token list `t` — shared by the
-    * language-ID oracle and the drift diagnostic (one classifier, one
-    * definition).
+  /** CTE chain replaying [[graft.operators.TextOps.langId]]'s trained
+    * trigram classifier — shared by the language-ID oracle and the
+    * drift diagnostic (one classifier, one definition). `range(n)` is
+    * empty for n ≤ 0, mirroring the Spark side's length ≥ 3 guard;
+    * 1.0::DOUBLE forces float division (DuckDB's bare 1.0 is DECIMAL).
     */
-  private val stopRatioExpr =
-    "round(len(list_filter(t, x -> x = 'the' OR x = 'a')) / CAST(len(t) AS DOUBLE), 4)"
+  private val langIdCte =
+    """tri AS (SELECT doc_id, lang,
+      |          unnest(list_transform(range(length(text) - 2),
+      |            i -> substring(text, CAST(i + 1 AS INT), 3))) AS g
+      |        FROM documents WHERE length(text) >= 3),
+      |dtf AS (SELECT doc_id, g, count(*) AS tf FROM tri GROUP BY 1, 2),
+      |prof AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY 1, 2),
+      |lt AS (SELECT lang, sum(c) AS nl FROM prof GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT g) AS v FROM tri),
+      |scored AS (SELECT dtf.doc_id, lt.lang,
+      |    round(sum(dtf.tf * ln((coalesce(prof.c, 0) + 1.0::DOUBLE)
+      |      / CAST(lt.nl + vv.v AS DOUBLE))), 4) AS score
+      |  FROM dtf CROSS JOIN lt CROSS JOIN vv
+      |  LEFT JOIN prof ON prof.lang = lt.lang AND prof.g = dtf.g
+      |  GROUP BY 1, 2),
+      |guess AS (SELECT doc_id, lang AS lang_guess, score FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, lang) AS rn FROM scored)
+      |  WHERE rn = 1)""".stripMargin
 
   private val embCte = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)"
 
@@ -151,11 +170,8 @@ object ExtOracles {
          |FROM tok ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
-      s"""WITH $tokCte,
-         |s AS (SELECT doc_id, $stopRatioExpr AS stop_ratio FROM tok)
-         |SELECT doc_id, stop_ratio,
-         |  CASE WHEN stop_ratio > 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
-         |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $langIdCte
+         |SELECT doc_id, lang_guess, score FROM guess ORDER BY doc_id""".stripMargin,
 
     "text_quality_filter" ->
       s"""WITH $tokCte,
@@ -331,18 +347,17 @@ object ExtOracles {
          |ORDER BY a, b""".stripMargin
     },
 
-    // replays ExtQueries.textLangMismatch: binary en/unk guess vs the
-    // binary en/not-en label, disagreement rate per source — one scan,
-    // the guess computed beside the label
+    // replays ExtQueries.textLangMismatch: the trained trigram guess vs
+    // the label, disagreement rate per source; a NULL label counts in
+    // the denominator as a non-mismatch (CASE → 0), matching the Spark
+    // side's coalesce
     "text_lang_mismatch" ->
-      s"""WITH j AS (SELECT source,
-         |  CASE WHEN (($stopRatioExpr) > 0.05) <> (lang = 'en')
-         |       THEN 1 ELSE 0 END AS mismatch
-         |  FROM (SELECT source, lang, string_split(text, ' ') AS t
-         |        FROM documents))
-         |SELECT source, count(*) AS n_docs,
-         |  round(avg(mismatch), 4) AS mismatch_rate
-         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+      s"""WITH $langIdCte
+         |SELECT d.source, count(*) AS n_docs,
+         |  round(avg(CASE WHEN g.lang_guess <> d.lang THEN 1 ELSE 0 END), 4)
+         |    AS mismatch_rate
+         |FROM documents d JOIN guess g USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // shf replays TextOps.jaccardPairs' stop-shingle DF cap: shingles in
     // more than 10% of the corpus leave the index before sizes AND join

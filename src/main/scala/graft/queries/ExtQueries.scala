@@ -161,18 +161,21 @@ object ExtQueries {
   def dedupMinhashEstimate(spark: SparkSession, dir: String): DataFrame =
     TextOps.minhashJaccardEstimate(docs(spark, dir)).orderBy("a", "b")
 
-  /** Language-ID drift diagnostic: per source, how often the n-gram
-    * heuristic's guess disagrees with the labelled language — the
-    * label-quality / heuristic-quality cross-check a corpus audit runs.
-    * One projection + one bounded aggregation (the guess rides the
-    * same scan as the label; no self-join to reattach columns).
+  /** Language-ID drift diagnostic: per source, how often the trained
+    * trigram classifier's guess ([[TextOps.langId]]) disagrees with the
+    * labelled language — the label-quality / classifier-quality
+    * cross-check a corpus audit runs. The guess table joins back on
+    * doc_id (bounded: one row per classified document); a NULL label
+    * compares null-safely to 0 so it counts in the rate denominator
+    * without registering as a mismatch, matching the oracle's CASE.
     */
   def textLangMismatch(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("source"), col("lang"),
-        TextOps.langGuess(TextOps.stopRatio(TextOps.tokens)).as("guess"))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(TextOps.langId(docs(spark, dir))
+        .select(col("doc_id"), col("lang_guess")), "doc_id")
       .withColumn("mismatch",
-        ((col("guess") === "en") =!= (col("lang") === "en")).cast("int"))
+        coalesce((col("lang_guess") =!= col("lang")).cast("int"), lit(0)))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         round(avg("mismatch"), 4).as("mismatch_rate"))

@@ -35,6 +35,28 @@ class TextOpsSpec extends SparkSpec {
     assert(trueDups.subsetOf(fast), s"missed: ${trueDups -- fast}")
   }
 
+  test("trigram langId recovers separable languages and guards short docs") {
+    import spark.implicits._
+    // two "languages" with disjoint character inventories: the trained
+    // profiles are fully separable, so the classifier must recover
+    // every label exactly
+    val corpus = Seq(
+      (0L, "aaa aab aba abb aab", "aaish"),
+      (1L, "aab aaa abb aba aaa", "aaish"),
+      (2L, "zzz zzy zyz zyy zzy", "zzish"),
+      (3L, "zzy zzz zyy zyz zzz", "zzish"),
+      // too short for any trigram: must be dropped, not fabricated
+      (4L, "ab", "aaish")).toDF("doc_id", "text", "lang")
+    val got = TextOps.langId(corpus)
+      .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(got === Map(0L -> "aaish", 1L -> "aaish", 2L -> "zzish", 3L -> "zzish"),
+      s"misclassified: $got")
+    // scores are finite (Laplace smoothing never hits ln 0) and the
+    // argmax emits exactly one row per classifiable document
+    val scores = TextOps.langId(corpus).select("score").as[Double].collect()
+    assert(scores.length === 4 && scores.forall(s => !s.isNaN && !s.isInfinite))
+  }
+
   test("text operators are total on an empty corpus (no throw, empty result)") {
     import spark.implicits._
     // a drain loop feeds operators empty batches constantly — every
@@ -57,6 +79,8 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.repetition(empty).count() === 0)
     assert(TextOps.bm25TopK(empty, Seq("x")).count() === 0)
     assert(TextOps.sourceKl(emptyS).count() === 0)
+    val emptyL = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(TextOps.langId(emptyL).count() === 0)
   }
 
   test("minhash jaccard estimate is high exactly where exact jaccard is high") {
