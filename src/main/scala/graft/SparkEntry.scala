@@ -113,6 +113,7 @@ object SparkEntry {
     "embed_neardup_pairs" -> (graft.queries.ExtQueries.embedNearDupPairs(_, _)),
     "multimodal_meta" -> (graft.queries.ExtQueries.multimodalMeta(_, _)),
     "multimodal_frames" -> (graft.queries.ExtQueries.multimodalFrames(_, _)),
+    "multimodal_decode" -> (graft.queries.ExtQueries.multimodalDecode(_, _)),
   )
 
   /** Normalised `events` view used by every oracle touching events:

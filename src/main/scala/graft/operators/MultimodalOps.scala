@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extraction / resize / frame-sample
   * run as per-partition batch transforms over the binary column.
   *
-  * The decode step itself is a clearly-marked STUB (the container ships
-  * no image/audio codecs): it derives a deterministic fake feature
-  * vector from the payload bytes. Everything around it — schema,
-  * partition-parallel batch shape, explode-based frame fan-out,
-  * metadata extraction — is the real Spark plumbing a codec would slot
-  * into (swap [[stubDecode]] for the JNI/codec call; on PySpark this is
-  * the `mapInPandas` batch seam).
+  * The image leg is REAL: payloads are genuine PNG byte streams
+  * (encoded with the JDK's `javax.imageio` — no external codec), and
+  * [[imageFeatures]] / [[resizeImages]] decode them pixel-for-pixel in
+  * the executors. The fabricated pixels follow a closed-form pattern
+  * ([[patternChannel]]), which is what makes the decode END-TO-END
+  * verifiable: the driver's DuckDB oracle computes the expected pixel
+  * sums from the formula alone, while the Spark side has to reproduce
+  * them through encode → PNG container → decode. Audio/video codecs
+  * stay out of scope (none ship in a JVM), but they would slot into
+  * the same per-partition seam.
   *
   * Scale notes: payload bytes never reach the driver; metadata
   * extraction is codegen'd column work; the per-partition decode is
@@ -57,26 +60,137 @@ object MultimodalOps {
       col("meta.sha256").as("sha256"),
       col("meta.mime").as("mime"))
 
-  /** STUB decode: deterministic fake "features" from payload bytes.
-    * ??? -- replace with a real codec (e.g. JNI decode) — the Spark
-    * seam (per-partition iterator of payloads → fixed-width vectors)
-    * is what this pins down.
+  /** Fabricated image edge length (8×8 keeps the per-row byte cost
+    * trivial while exercising a real container round-trip).
     */
-  private[operators] def stubDecode(payload: Array[Byte], dim: Int): Array[Double] =
-    Array.tabulate(dim)(i => if (payload.isEmpty) 0.0
-      else (payload(i % payload.length) & 0xff) / 255.0)
+  val PatternSize: Int = 8
 
-  /** Per-partition batch feature extraction over the binary column.
-    * Runs as a typed `mapPartitions` — one iterator per input split,
-    * the same batch shape a vectorised decode would use.
+  /** Closed-form channel value of the fabricated test pattern —
+    * channel 0/1/2 = R/G/B. THE pixel contract shared by the encoder,
+    * the decode specs, and the DuckDB gate oracle (which evaluates this
+    * formula relationally instead of decoding).
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame = {
+  def patternChannel(id: Long, channel: Int, x: Int, y: Int): Int = channel match {
+    case 0 => ((id * 31 + x * 7 + y * 13) % 256).toInt
+    case 1 => ((id * 17 + x * 11 + y * 3) % 256).toInt
+    case _ => ((id * 29 + x * 5 + y * 19) % 256).toInt
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    // ImageIO.write returns false (no writer) rather than throwing —
+    // surface that loudly, a 0-byte payload downstream is undebuggable
+    if (!javax.imageio.ImageIO.write(img, "png", baos))
+      throw new IllegalStateException("no PNG writer in this JVM")
+    baos.toByteArray
+  }
+
+  /** Fabricate a REAL-PNG media table from the documents corpus: one
+    * 8×8 RGB test-pattern image per document, encoded in the executors
+    * via `javax.imageio`. Real ingestion would
+    * `spark.read.format("binaryFile")` and keep this exact shape.
+    */
+  def pngMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ds: Dataset[(Long, Array[Byte])] = media
-      .select(col("media_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-    ds.mapPartitions(_.map { case (id, payload) => (id, stubDecode(payload, dim)) })
-      .toDF("media_id", "features")
+    val n = PatternSize
+    docs.select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          n, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < n) {
+          var x = 0
+          while (x < n) {
+            img.setRGB(x, y,
+              (patternChannel(id, 0, x, y) << 16) |
+                (patternChannel(id, 1, x, y) << 8) |
+                patternChannel(id, 2, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        (id, encodePng(img))
+      })
+      .toDF("media_id", "payload")
+      .withColumn("kind", lit("image"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        lit("image/png").as("mime")))
+      .select("media_id", "kind", "payload", "meta")
+  }
+
+  private def decodeImage(id: Long, payload: Array[Byte]): java.awt.image.BufferedImage = {
+    // ImageIO.read returns null on an unrecognised container — refuse
+    // loudly (same erroring-over-wrong-answers stance as LutSum): a
+    // silently skipped row would undercount the corpus with no signal
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"media $id: payload is not a decodable image (${payload.length} bytes)")
+    img
+  }
+
+  /** REAL per-partition image decode + feature extraction over the
+    * binary column: `javax.imageio` parses the PNG container and the
+    * features are integer pixel-channel sums over the decoded raster —
+    * exact (no float rounding), so the driver gate hash-compares them
+    * against the pattern formula evaluated relationally in DuckDB.
+    * Runs as a typed `mapPartitions` — one iterator per input split,
+    * the same batch shape any vectorised codec uses.
+    */
+  def imageFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = decodeImage(id, payload)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.getWidth, img.getHeight, sr, sg, sb)
+      })
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** REAL image resize: decode → nearest-neighbour rescale on a
+    * `Graphics2D` raster → re-encode PNG. Binary-in/binary-out with
+    * refreshed metadata — the transform shape a thumbnailing pipeline
+    * runs; nearest-neighbour keeps the resampled pixels deterministic
+    * across JVMs (no AA/interpolation variance).
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   width: Int, height: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, payload) =>
+        val src = decodeImage(id, payload)
+        val dst = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(src, 0, 0, width, height, null)
+        } finally g.dispose()
+        (id, kind, encodePng(dst))
+      })
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        lit("image/png").as("mime")))
   }
 
   /** Frame sampling: fan one video payload out to `n` byte-range
@@ -94,14 +208,4 @@ object MultimodalOps {
       .select(col("media_id"), col("fb.frame_no").as("frame_no"),
         (col("fb.stop") - col("fb.start")).cast("long").as("frame_bytes"))
 
-  /** STUB resize: byte-range truncation standing in for an image
-    * resize; keeps the binary-in/binary-out transform shape.
-    */
-  def resizeStub(media: DataFrame, maxBytes: Int): DataFrame =
-    media.withColumn("payload",
-      expr(s"substring(payload, 1, $maxBytes)"))
-      .withColumn("meta", struct(
-        length(col("payload")).cast("long").as("byte_len"),
-        sha2(col("payload"), 256).as("sha256"),
-        col("meta.mime").as("mime")))
 }

@@ -606,6 +606,19 @@ object ExtOracles {
         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS mime
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // replays MultimodalOps.patternChannel relationally: the Spark side
+    // must reproduce these sums through a real PNG encode → decode
+    // round-trip, the oracle never touches a pixel
+    "multimodal_decode" ->
+      """WITH px AS (SELECT doc_id AS media_id,
+        |    CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
+        |  FROM documents, unnest(range(8)) AS xx(i), unnest(range(8)) AS yy(i))
+        |SELECT media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(sum((media_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((media_id * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((media_id * 29 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     "multimodal_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS len

@@ -379,4 +379,16 @@ object ExtQueries {
     graft.operators.MultimodalOps.sampleFrames(
       graft.operators.MultimodalOps.fromDocuments(docs(spark, dir)), n = 4)
       .orderBy("media_id", "frame_no")
+
+  /** REAL image decode gate: one genuine 8×8 PNG per document
+    * (fabricated + encoded in the executors with `javax.imageio`),
+    * decoded back pixel-for-pixel, integer channel sums emitted. The
+    * oracle evaluates the same pattern formula relationally — so a
+    * hash-green row proves the Spark side's encode → PNG container →
+    * decode round-trip reproduced every pixel.
+    */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MultimodalOps.imageFeatures(spark,
+      graft.operators.MultimodalOps.pngMedia(spark, docs(spark, dir)))
+      .orderBy("media_id")
 }

@@ -11,7 +11,7 @@ import graft.streaming.StreamingPipeline
 class MultimodalStreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  test("multimodal: metadata + feature extraction keep row alignment") {
+  test("multimodal: metadata projection keeps row alignment") {
     val docs = sources.Tables.documents(spark, sf)
     val media = MultimodalOps.fromDocuments(docs)
     assert(media.schema("payload").dataType.typeName === "binary")
@@ -22,9 +22,47 @@ class MultimodalStreamingSpec extends SparkSpec {
     val mismatch = meta.join(docs, col("media_id") === col("doc_id"))
       .filter(col("byte_len") =!= length(col("text")).cast("long"))
     assert(mismatch.count() === 0)
-    val feats = MultimodalOps.extractFeatures(spark, media, dim = 8)
-    assert(feats.count() === docs.count())
-    assert(feats.head().getAs[Seq[Double]]("features").size === 8)
+  }
+
+  test("multimodal: REAL PNG round-trip — decoded pixel sums match the pattern formula") {
+    val docs = sources.Tables.documents(spark, sf).limit(40)
+    val media = MultimodalOps.pngMedia(spark, docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    // the payloads are genuine PNG containers (magic bytes), not fakes
+    val magic = media.select("payload").head().getAs[Array[Byte]](0).take(8)
+    assert(magic.map(_ & 0xff).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val feats = MultimodalOps.imageFeatures(spark, media)
+    assert(feats.count() === 40)
+    // every decoded channel sum equals the closed-form pattern sum
+    val n = MultimodalOps.PatternSize
+    feats.collect().foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") === n && r.getAs[Int]("height") === n)
+      for ((cname, c) <- Seq("sum_r" -> 0, "sum_g" -> 1, "sum_b" -> 2)) {
+        val expected = (for (x <- 0 until n; y <- 0 until n)
+          yield MultimodalOps.patternChannel(id, c, x, y).toLong).sum
+        assert(r.getAs[Long](cname) === expected, s"media $id channel $cname")
+      }
+    }
+  }
+
+  test("multimodal: REAL resize rescales the raster; corrupt payloads fail loudly") {
+    val docs = sources.Tables.documents(spark, sf).limit(10)
+    val resized = MultimodalOps.resizeImages(
+      spark, MultimodalOps.pngMedia(spark, docs), 4, 4)
+    val f = MultimodalOps.imageFeatures(spark, resized)
+    assert(f.count() === 10)
+    assert(f.filter(col("width") =!= 4 || col("height") =!= 4).count() === 0)
+    // nearest-neighbour 8→4 keeps pixels from the source raster, so
+    // every channel sum is bounded by the source total
+    val bad = Seq((7L, "definitely not a png".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.imageFeatures(spark, bad).count()
+    }
+    assert(e.getMessage.contains("not a decodable image") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
   }
 
   test("multimodal: frame sampling fans out n frames per video") {
