@@ -59,15 +59,26 @@ object StreamingPipeline {
     * time; a delete stands regardless).
     */
   def runAvailableNow(spark: SparkSession, spec: PipelineSpec,
-                      checkpoint: String): Unit = {
+                      checkpoint: String): Unit =
+    start(spark, spec, checkpoint, Trigger.AvailableNow()).awaitTermination()
+
+  /** Start the changelog drain under an arbitrary trigger and hand the
+    * live query back (a `Trigger.ProcessingTime` here is the
+    * continuously-running deployment; producers appending queue files
+    * MID-RUN are picked up by the file source's next listing — the
+    * offsets log records files, so a file that lands while a batch is
+    * in flight is neither lost nor double-applied).
+    */
+  def start(spark: SparkSession, spec: PipelineSpec, checkpoint: String,
+            trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
     val queuePath = spec.queuePath.getOrElse(s"${spec.sourcePath}/MigratorRecordQueue")
     val transformer = Registry.transformer(spec.transformer)
     val stream = changelogStream(spark, queuePath)
       .filter(col("sourceDatabase") === spec.sourceDatabase &&
         col("sourceTable") === spec.sourceTable)
-    val q = stream.writeStream
+    stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (entries: DataFrame, _: Long) =>
         val batch = QueueExtractor.changeBatch(spark, spec, entries)
         val outBatches = transformer(
@@ -82,7 +93,6 @@ object StreamingPipeline {
         ()
       }
       .start()
-    q.awaitTermination()
   }
 
   /** Streaming exact dedup over a document stream: first sighting of a

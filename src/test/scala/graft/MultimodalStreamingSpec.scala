@@ -119,6 +119,52 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(v1 === "one-NEW")
   }
 
+  test("streaming CDC: a producer appending mid-drain loses no changes") {
+    val src = tmpDir("cp-src"); val dest = tmpDir("cp-dest")
+    val ckpt = tmpDir("cp-ckpt")
+    // base carries the post-update truth the queue entries point at;
+    // dest starts stale for 1..10 and holds two rows due for deletion
+    (1 to 10).map(i => (i.toLong, s"new-$i")).toDF("id", "v")
+      .write.parquet(s"$src/t.parquet")
+    ((1 to 10).map(i => (i.toLong, "stale")) ++
+      Seq((11L, "doomed"), (12L, "doomed"))).toDF("id", "v")
+      .write.parquet(s"$dest/t.parquet")
+    val spec = PipelineSpec("a", "t", "id", "b", "t", src, dest,
+      extractor = "queue", queuePath = Some(s"$src/queue"))
+    // seed one entry so the stream has a first batch to chew on
+    def enqueue(id: Long, method: String, day: Int): Unit =
+      Seq(("a", "t", "id", id.toString,
+          Timestamp.valueOf(f"2024-06-$day%02d 00:00:00"), method))
+        .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+          "timestampUpdated", "method")
+        .write.mode("append").parquet(s"$src/queue")
+    enqueue(1L, "UPDATE", 1)
+
+    val q = StreamingPipeline.start(spark, spec, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      // concurrent producer: appends land WHILE micro-batches run —
+      // the file source must pick every one up on a later listing
+      for (i <- 2 to 10) { enqueue(i.toLong, "UPDATE", i); Thread.sleep(60) }
+      enqueue(11L, "REMOVE", 11)
+      enqueue(12L, "REMOVE", 12)
+      val expected = (1 to 10).map(i => (i.toLong, s"new-$i")).toSet
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var got = Set.empty[(Long, String)]
+      while (got != expected && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        // dest swaps atomically per micro-batch; a read can race the
+        // swap, so tolerate transient failures while polling
+        got = try spark.read.parquet(s"$dest/t.parquet").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        catch { case _: Throwable => got }
+      }
+      assert(got === expected,
+        s"drain missed concurrent appends: ${expected -- got} absent, " +
+          s"${got -- expected} unexpected")
+    } finally q.stop()
+  }
+
   test("streaming CDC honours the spec's transformer like the batch pipeline") {
     val src = tmpDir("sttr-src"); val dest = tmpDir("sttr-dest")
     val ckpt = tmpDir("sttr-ckpt")
