@@ -350,13 +350,39 @@ object TextOps {
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
   }
 
-  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                   maxDfFrac: Double = 0.1): DataFrame =
-    shinglePairStats(docs, maxDfFrac)
+  private def jaccardOf(stats: DataFrame, threshold: Double): DataFrame =
+    stats
       .withColumn("jaccard",
         round(col("common") / (col("na") + col("nb") - col("common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+
+  private def containmentOf(stats: DataFrame, threshold: Double): DataFrame =
+    stats
+      .withColumn("containment",
+        round(col("common") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                   maxDfFrac: Double = 0.1): DataFrame =
+    jaccardOf(shinglePairStats(docs, maxDfFrac), threshold)
+
+  /** Both set-similarity projections over ONE materialised overlap-stats
+    * index — the honest production cost model: a pipeline that wants
+    * Jaccard AND containment computes the inverted-index self-join once
+    * (it IS the index) and reads two cheap projections off it, instead
+    * of paying the join per consumer as the self-contained gate queries
+    * do. `localCheckpoint` pins the stats table (O(#candidate pairs)
+    * rows — far smaller than the posting-list join that built it).
+    */
+  def setSimilarityPairs(docs: DataFrame, jaccardThreshold: Double = 0.5,
+                         containmentThreshold: Double = 0.8,
+                         maxDfFrac: Double = 0.1): (DataFrame, DataFrame) = {
+    val stats = shinglePairStats(docs, maxDfFrac).localCheckpoint()
+    (jaccardOf(stats, jaccardThreshold),
+      containmentOf(stats, containmentThreshold))
+  }
 
   /** Containment near-dup pairs: |A∩B| ∕ min(|A|,|B|) — the
     * subset/superset detector Jaccard misses. A short document pasted
@@ -368,11 +394,7 @@ object TextOps {
     */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
                        maxDfFrac: Double = 0.1): DataFrame =
-    shinglePairStats(docs, maxDfFrac)
-      .withColumn("containment",
-        round(col("common") / least(col("na"), col("nb")), 4))
-      .filter(col("containment") >= threshold)
-      .select("a", "b", "containment")
+    containmentOf(shinglePairStats(docs, maxDfFrac), threshold)
 
   /** Benchmark-contamination detection — the eval-hygiene pass every
     * training pipeline runs: documents sharing ≥ `minShared`

@@ -232,8 +232,11 @@ object VectorOps {
     * IVF-PQ architecture ([[ivfTopK]] being the routing leg): the
     * vector space is split into `m` sub-spaces, each gets its own
     * k-means codebook (k centroids), and a vector is stored as `m`
-    * small codes (m=8, k=16 → 32 bits per 64-dim vector, a 64×
-    * compression of float32). At 100 TB this is what makes the
+    * small codes (default m=16, k=16 → 64 bits per 64-dim vector, a
+    * 32× compression of float32 — chosen from the measured
+    * bits-per-vector/recall dial in PLANS.md: 32-bit codes recall
+    * 0.15@10 on the unstructured test embeddings vs 0.36 at 64 bits,
+    * and the encode cost is flat in m·k). At 100 TB this is what makes the
     * candidate set RAM-resident: the asymmetric-distance scan reads
     * codes, not vectors.
     *
@@ -370,7 +373,7 @@ object VectorOps {
           .as("recon_rmse")): _*)
   }
 
-  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+  def pqEncode(embeddings: DataFrame, m: Int = 16, k: Int = 16,
                maxTrainRows: Long = PqTrainRows): DataFrame = {
     val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, k, maxTrainRows)
     pqEncodeWith(embeddings, dim, dsub, codebooks)
@@ -437,7 +440,7 @@ object VectorOps {
   }
 
   def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
-             m: Int = 8, kCent: Int = 16,
+             m: Int = 16, kCent: Int = 16,
              maxTrainRows: Long = PqTrainRows): DataFrame = {
     val spark = embeddings.sparkSession
     val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, kCent, maxTrainRows)
@@ -477,7 +480,7 @@ object VectorOps {
     */
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
                 nlist: Int = Auto, nprobe: Int = Auto,
-                m: Int = 8, kCent: Int = 16,
+                m: Int = 16, kCent: Int = 16,
                 maxTrainRows: Long = MaxTrainRows,
                 pqTrainRows: Long = PqTrainRows): DataFrame = {
     val spark = embeddings.sparkSession

@@ -35,6 +35,14 @@ class TextOpsSpec extends SparkSpec {
     assert(trueDups.subsetOf(fast), s"missed: ${trueDups -- fast}")
   }
 
+  test("shared set-similarity index equals the self-contained pair queries") {
+    val (j, c) = TextOps.setSimilarityPairs(docs)
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(j) === key(TextOps.jaccardPairs(docs, threshold = 0.5)))
+    assert(key(c) === key(TextOps.containmentPairs(docs, threshold = 0.8)))
+  }
+
   test("trigram langId recovers separable languages and guards short docs") {
     import spark.implicits._
     // two "languages" with disjoint character inventories: the trained
