@@ -39,6 +39,9 @@ object AnnRecall {
         }
 
     val truth = topSet(VectorOps.cosineTopK(emb, queryIds, k))
+    require(queryIds.forall(truth.contains),
+      s"ground truth missing query vec_ids ${queryIds.filterNot(truth.contains)} — " +
+        s"does $sfDir/embeddings contain them?")
     def recall(got: Map[Long, Set[Long]]): Double =
       queryIds.map(q => (truth(q) & got.getOrElse(q, Set.empty)).size.toDouble / k)
         .sum / queryIds.size

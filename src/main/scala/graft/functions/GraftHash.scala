@@ -143,6 +143,61 @@ object GraftHash {
     }
     new GenericArrayData(mins.map(toHex(_).asInstanceOf[Any]))
   }
+
+  /** Character n-grams by code point: identical output to the composed
+    * `transform(sequence(1, length(text) - n + 1), i -> substring(text,
+    * i, n))` (higher-order functions evaluate through CodegenFallback
+    * with a lambda dispatch + int-array materialisation per row; this
+    * is one generated call). Null for texts shorter than n — callers
+    * filter, as with [[minhashSig]].
+    */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val len = text.numChars()
+    if (len < n) return null
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      out(i) = text.substring(i, i + n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `char_ngrams(text, n)`: code-point n-gram array — the language-ID
+  * feature extractor behind `TextOps.charTrigrams`. Null for texts with
+  * fewer than n characters (callers filter, mirroring [[MinhashSig]]).
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"char_ngrams needs n >= 1, got $n")
+
+  override def nullable: Boolean = true // < n chars → no n-grams
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams needs a string argument, got ${t.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else GraftHash.charNgrams(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.GraftHash.charNgrams($c, $n);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
 }
 
 /** `simhash64(text)`: packed 64-bit SimHash of the whitespace token

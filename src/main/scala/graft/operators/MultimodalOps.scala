@@ -77,6 +77,11 @@ object MultimodalOps {
   }
 
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    // ImageIO defaults to useCache=true — a disk temp file per
+    // encode/decode even for in-memory byte arrays. Pure waste in the
+    // per-row hot path, and a hard failure on executors with an
+    // unwritable java.io.tmpdir. (JVM-global static; idempotent.)
+    javax.imageio.ImageIO.setUseCache(false)
     val baos = new java.io.ByteArrayOutputStream()
     // ImageIO.write returns false (no writer) rather than throwing —
     // surface that loudly, a 0-byte payload downstream is undebuggable
@@ -121,6 +126,7 @@ object MultimodalOps {
   }
 
   private def decodeImage(id: Long, payload: Array[Byte]): java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false) // see encodePng
     // ImageIO.read returns null on an unrecognised container — refuse
     // loudly (same erroring-over-wrong-answers stance as LutSum): a
     // silently skipped row would undercount the corpus with no signal

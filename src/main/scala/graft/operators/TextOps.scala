@@ -75,11 +75,23 @@ object TextOps {
         round(punctRatio(col("text")), 4).as("punct_ratio"))
 
   /** Character trigrams of `text` — the language-ID feature space
-    * (textcat/CLD-style n-gram profiling). Callers must pre-filter
-    * `length(text) >= 3`: Spark's `sequence(1, 0)` counts DOWN, so an
-    * unguarded short document would fabricate trigrams.
+    * (textcat/CLD-style n-gram profiling). Computed by the codegen'd
+    * [[graft.functions.CharNgrams]] kernel (spec-checked identical to
+    * the composed `transform(sequence(1, length(text) - 2), i ->
+    * substring(text, i, 3))`, which evaluates through CodegenFallback).
+    * Callers pre-filter `length(text) >= 3`; the kernel returns null
+    * below that, which `explode` would drop anyway.
     */
-  def charTrigrams: Column =
+  def charTrigrams: Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    column(graft.functions.CharNgrams(expression(col("text")), 3))
+  }
+
+  /** The higher-order-function form of [[charTrigrams]] — retained as
+    * the equivalence oracle for the kernel (and the shape the DuckDB
+    * oracle SQL replays).
+    */
+  private[graft] def charTrigramsComposed: Column =
     expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
 
   /** N-gram-profile language ID (Cavnar–Trenkle-style, multinomial
@@ -103,13 +115,23 @@ object TextOps {
     */
   def langId(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tri = docs.filter(length(col("text")) >= 3)
+    // ONE corpus scan + trigram explode, reduced immediately to the
+    // per-(doc, g) tf table (doc_id → lang is functional, so carrying
+    // the label adds no rows) and MATERIALISED: profile, per-lang
+    // totals, vocabulary and the scoring pass below all derive from it,
+    // and without the checkpoint each consumer would re-run the full
+    // tokenization (four corpus passes — the re-scan pattern
+    // mixtureWeights/setSimilarityPairs checkpoint away). This tf table
+    // is the "features + training set" artifact a production pipeline
+    // persists anyway.
+    val dtf = docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), explode(charTrigrams).as("g"))
-    val dtf = tri.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
-    val prof = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val prof = dtf.groupBy("lang", "g").agg(sum("tf").as("c"))
     val langTot = prof.groupBy("lang").agg(sum("c").as("nl"))
-    val vocab = tri.agg(countDistinct("g").as("v"))
-    val scored = dtf
+    val vocab = dtf.agg(countDistinct("g").as("v"))
+    val scored = dtf.select("doc_id", "g", "tf")
       .crossJoin(broadcast(langTot.crossJoin(vocab)))
       .join(broadcast(prof), Seq("lang", "g"), "left")
       .groupBy("doc_id", "lang")

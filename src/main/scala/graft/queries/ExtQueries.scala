@@ -102,20 +102,27 @@ object ExtQueries {
     * Hash-checked against the EXACT top-k oracle: the sketch is exact
     * while its tracked-item budget exceeds the vocabulary, which holds
     * at every test SF (spec-pinned in `SketchSpec`). The sketch's OWN
-    * boundary tie-break is arbitrary, so the query over-fetches 2k
-    * items and re-ranks deterministically (count desc, token asc)
-    * before the limit — exact as long as the rank-k tie group fits in
-    * the 2k over-fetch (it always does here: ties need the margin, and
-    * the margin is k).
+    * boundary tie-break is arbitrary, so the query fetches the FULL
+    * tracked set (k = budget) and re-ranks deterministically
+    * (count desc, token asc) before the limit — no assumption about
+    * how wide the rank-k tie group is; the only correctness condition
+    * is the budget ≥ vocabulary one the oracle promotion already
+    * rests on. The fetched row is ≤ budget structs — the same data the
+    * sketch holds anyway.
     */
   def frequentTokens(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     docs(spark, dir)
       .select(explode(TextOps.tokens).as("w"))
-      .agg(expr(s"approx_top_k(w, ${2 * k}, 100000)").as("top"))
+      .agg(expr(s"approx_top_k(w, $SketchBudget, $SketchBudget)").as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.item").as("token"), col("e.count").as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Tracked-item budget shared by the frequent-token sketch call and
+    * its full-set fetch.
+    */
+  private val SketchBudget = 100000
 
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashPairs(docs(spark, dir)).orderBy("a", "b")

@@ -43,6 +43,18 @@ class TextOpsSpec extends SparkSpec {
     assert(key(c) === key(TextOps.containmentPairs(docs, threshold = 0.8)))
   }
 
+  test("char-ngram kernel is identical to the composed transform/substring plan") {
+    val d = docs.filter(length(col("text")) >= 3)
+    val diff = d.select(col("doc_id"), TextOps.charTrigrams.as("k"),
+        TextOps.charTrigramsComposed.as("c"))
+      .filter(col("k") =!= col("c"))
+    assert(diff.count() === 0)
+    // sub-length text → null from the kernel (explode would drop it)
+    import spark.implicits._
+    val short = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(short.select(TextOps.charTrigrams).head().isNullAt(0))
+  }
+
   test("trigram langId recovers separable languages and guards short docs") {
     import spark.implicits._
     // two "languages" with disjoint character inventories: the trained
