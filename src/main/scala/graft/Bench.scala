@@ -69,9 +69,14 @@ object Bench {
     // per-query-min protocol absorbs but pass TOTALS shouldn't carry).
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
     (1 to warmups).foreach { _ =>
-      names.foreach { case (_, fn) =>
+      names.foreach { case (name, fn) =>
+        // NonFatal only: an OOM/LinkageError here poisons the JVM the
+        // timed passes run in — that must propagate, not hide. Failures
+        // are logged so a blown warm-up is visible next to the timings.
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+        }
       }
     }
     // (seconds, succeeded) per query per pass: a failed pass must not

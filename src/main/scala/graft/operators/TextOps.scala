@@ -138,7 +138,11 @@ object TextOps {
       .agg(round(sum(col("tf") *
         log((coalesce(col("c"), lit(0L)) + 1.0) /
           (col("nl") + col("v")).cast("double"))), 4).as("score"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    // asc_nulls_last: a NULL-labelled profile must lose score ties the
+    // same way in both engines (Spark default sorts NULLS FIRST, the
+    // oracle's ORDER BY lang sorts them LAST)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("lang").asc_nulls_last)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("lang_guess"), col("score"))

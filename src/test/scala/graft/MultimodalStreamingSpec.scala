@@ -54,8 +54,17 @@ class MultimodalStreamingSpec extends SparkSpec {
     val f = MultimodalOps.imageFeatures(spark, resized)
     assert(f.count() === 10)
     assert(f.filter(col("width") =!= 4 || col("height") =!= 4).count() === 0)
-    // nearest-neighbour 8→4 keeps pixels from the source raster, so
-    // every channel sum is bounded by the source total
+    // nearest-neighbour 8→4 keeps pixels from the source raster, so per
+    // medium every resized channel sum is positive and bounded by the
+    // source image's sum (all channel values non-negative)
+    val src = MultimodalOps.imageFeatures(
+      spark, MultimodalOps.pngMedia(spark, docs))
+    val outOfBounds = f.as("r").join(src.as("s"), "media_id")
+      .filter(
+        col("r.sum_r") <= 0 || col("r.sum_r") > col("s.sum_r") ||
+        col("r.sum_g") <= 0 || col("r.sum_g") > col("s.sum_g") ||
+        col("r.sum_b") <= 0 || col("r.sum_b") > col("s.sum_b"))
+    assert(outOfBounds.count() === 0)
     val bad = Seq((7L, "definitely not a png".getBytes("UTF-8")))
       .toDF("media_id", "payload")
     val e = intercept[org.apache.spark.SparkException] {

@@ -66,15 +66,22 @@ class TextOpsSpec extends SparkSpec {
       (2L, "zzz zzy zyz zyy zzy", "zzish"),
       (3L, "zzy zzz zyy zyz zzz", "zzish"),
       // too short for any trigram: must be dropped, not fabricated
-      (4L, "ab", "aaish")).toDF("doc_id", "text", "lang")
-    val got = TextOps.langId(corpus)
+      (4L, "ab", "aaish"),
+      // an unlabelled document trains a NULL-keyed profile — the
+      // classifier must stay total and deterministic around it
+      (5L, "qqq qqr qrq", null)).toDF("doc_id", "text", "lang")
+    val res = TextOps.langId(corpus).cache()
+    val got = res.filter(col("doc_id") <= 3L)
       .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
     assert(got === Map(0L -> "aaish", 1L -> "aaish", 2L -> "zzish", 3L -> "zzish"),
       s"misclassified: $got")
     // scores are finite (Laplace smoothing never hits ln 0) and the
-    // argmax emits exactly one row per classifiable document
-    val scores = TextOps.langId(corpus).select("score").as[Double].collect()
-    assert(scores.length === 4 && scores.forall(s => !s.isNaN && !s.isInfinite))
+    // argmax emits exactly one row per classifiable document (incl. the
+    // NULL-labelled one)
+    val scores = res.select("score").as[Double].collect()
+    assert(scores.length === 5 && scores.forall(s => !s.isNaN && !s.isInfinite))
+    assert(res.filter(col("doc_id") === 5L).count() === 1)
+    res.unpersist()
   }
 
   test("text operators are total on an empty corpus (no throw, empty result)") {
