@@ -86,6 +86,8 @@ object SparkEntry {
     "dedup_minhash_estimate" -> (graft.queries.ExtQueries.dedupMinhashEstimate(_, _)),
     "text_lang_mismatch" -> (graft.queries.ExtQueries.textLangMismatch(_, _)),
     "dedup_jaccard_pairs" -> (graft.queries.ExtQueries.dedupJaccardPairs(_, _)),
+    "dedup_cosine_pairs" -> (graft.queries.ExtQueries.dedupCosinePairs(_, _)),
+    "dedup_canonical" -> (graft.queries.ExtQueries.dedupCanonical(_, _)),
     "dedup_clusters" -> (graft.queries.ExtQueries.dedupClusters(_, _)),
     "dedup_clusters_star" -> (graft.queries.ExtQueries.dedupClustersStar(_, _)),
     "text_repetition" -> (graft.queries.ExtQueries.textRepetition(_, _)),

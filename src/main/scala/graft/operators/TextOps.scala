@@ -422,6 +422,44 @@ object TextOps {
                        maxDfFrac: Double = 0.1): DataFrame =
     containmentOf(shinglePairStats(docs, maxDfFrac), threshold)
 
+  /** IDF-weighted sparse cosine near-dup pairs — the WEIGHTED
+    * complement to [[jaccardPairs]]: each distinct shingle carries
+    * weight idf = ln(N∕df), and similarity is the cosine of the two
+    * IDF vectors, cos(A,B) = Σ_{s∈A∩B} idf(s)² ∕ (‖A‖·‖B‖) with
+    * ‖X‖² = Σ_{s∈X} idf(s)². Rare shared shingles dominate, common
+    * ones barely count — the discrimination Jaccard's flat set math
+    * lacks (two docs sharing only near-stop shingles score ≈ 0 here
+    * even when their Jaccard clears a threshold).
+    *
+    * Same inverted-index plan as [[jaccardPairs]]: DF-capped posting
+    * lists ([[informativeShingles]]), per-doc norms as one map-side
+    * aggregation, the pair search an equi-join on the shingle with
+    * weights multiplied at the match — cost follows shared shingles,
+    * never n². Weights and norms are rounded only at the final cosine
+    * (4 dp) so the oracle replays the arithmetic exactly.
+    */
+  def cosinePairs(docs: DataFrame, threshold: Double = 0.5,
+                  maxDfFrac: Double = 0.1): DataFrame = {
+    val sh = informativeShingles(docs, maxDfFrac)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("s"), pow(log(col("n_docs") / col("df")), 2).as("w2"))
+    val sw = sh.join(w, "s")
+    val norms = sw.groupBy("doc_id").agg(sum("w2").as("n2"))
+    val common = sw.as("x").join(sw.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.w2").as("w2"))
+      .groupBy("a", "b").agg(sum("w2").as("dot"))
+    common
+      .join(norms.withColumnRenamed("doc_id", "a").withColumnRenamed("n2", "na2"), "a")
+      .join(norms.withColumnRenamed("doc_id", "b").withColumnRenamed("n2", "nb2"), "b")
+      .withColumn("cos", round(col("dot") / sqrt(col("na2") * col("nb2")), 4))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
   /** Benchmark-contamination detection — the eval-hygiene pass every
     * training pipeline runs: documents sharing ≥ `minShared`
     * informative shingles with any benchmark document are flagged, with

@@ -359,6 +359,56 @@ object ExtOracles {
          |FROM documents d JOIN guess g USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
+    // replays TextOps.cosinePairs: DF-capped index, per-shingle weight
+    // idf² = ln(N/df)², per-doc norms, pair dot via the same self-join
+    "dedup_cosine_pairs" ->
+      s"""WITH $tokCte, $shCte,
+         |shf AS (SELECT doc_id, s FROM (
+         |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+         |          FROM sh)
+         |        WHERE df <= (SELECT count(*) FROM documents) * 0.1),
+         |wts AS (SELECT s, pow(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+         |          / df), 2) AS w2
+         |        FROM (SELECT s, count(*) AS df FROM shf GROUP BY s)),
+         |sw AS (SELECT doc_id, shf.s, w2 FROM shf JOIN wts USING (s)),
+         |norms AS (SELECT doc_id, sum(w2) AS n2 FROM sw GROUP BY doc_id),
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, sum(x.w2) AS dot
+         |          FROM sw x JOIN sw y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b, round(dot / sqrt(na.n2 * nb.n2), 4) AS cos
+         |FROM pairs JOIN norms na ON a = na.doc_id JOIN norms nb ON b = nb.doc_id
+         |WHERE round(dot / sqrt(na.n2 * nb.n2), 4) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    // replays ExtQueries.dedupCanonical: the recursive-CTE closure of
+    // the candidate graph joined to the quality score, best-quality
+    // member (doc_id tiebreak) kept per cluster
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $tokCte, $shCte, $minhashCte, $bandsCte,
+         |$cpCte,
+         |edges AS (SELECT a AS src, b AS dst FROM cp UNION SELECT b, a FROM cp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |qtok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         |qs AS (SELECT doc_id,
+         |    round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(-2.0
+         |      + ln(CAST(len(t) AS BIGINT)) * 0.6
+         |      + round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) * 2.0
+         |      - round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+         |          / CAST(length(text) AS DOUBLE), 4) * 4.0))), 4) AS quality_score
+         |  FROM qtok),
+         |j AS (SELECT cl.cluster_id, cl.doc_id, qs.quality_score,
+         |        row_number() OVER (PARTITION BY cl.cluster_id
+         |          ORDER BY qs.quality_score DESC, cl.doc_id) AS rn
+         |      FROM cl JOIN qs USING (doc_id))
+         |SELECT cluster_id, count(*) AS n_members,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+         |  max(CASE WHEN rn = 1 THEN quality_score END) AS keep_quality
+         |FROM j GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
     // shf replays TextOps.jaccardPairs' stop-shingle DF cap: shingles in
     // more than 10% of the corpus leave the index before sizes AND join
     "dedup_jaccard_pairs" ->

@@ -191,6 +191,38 @@ object ExtQueries {
   def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.jaccardPairs(docs(spark, dir), threshold = 0.5).orderBy("a", "b")
 
+  /** IDF-weighted shingle cosine pairs at 0.5 — the weighted sparse
+    * similarity complement to the flat-set Jaccard/containment pair.
+    */
+  def dedupCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.cosinePairs(docs(spark, dir), threshold = 0.5).orderBy("a", "b")
+
+  /** Canonical-survivor selection — the step that completes the dedup
+    * pipeline: duplicate clusters (star contraction over the MinHash
+    * candidate graph) joined to the quality score, keeping the
+    * HIGHEST-QUALITY member per cluster (doc_id tiebreak) rather than
+    * the smallest id — what a production pipeline actually ships.
+    * Output is one row per cluster: aggregation bounded by cluster
+    * count; the argmax window partitions by cluster (small by
+    * construction for near-dup graphs).
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val clusters = GraphOps.connectedComponentsStar(
+      TextOps.minhashCandidatePairs(d))
+    val scored = clusters
+      .join(TextOps.qualityScore(d).select("doc_id", "quality_score"), "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("keep_doc_id"),
+        max(when(col("rn") === 1, col("quality_score"))).as("keep_quality"))
+      .orderBy("cluster_id")
+  }
+
   /** Containment pairs at 0.8 — catches subset/superset near-dups whose
     * Jaccard is diluted by the larger doc.
     */

@@ -43,6 +43,44 @@ class TextOpsSpec extends SparkSpec {
     assert(key(c) === key(TextOps.containmentPairs(docs, threshold = 0.8)))
   }
 
+  test("IDF-weighted cosine pairs: identical docs score 1, range bounded") {
+    import spark.implicits._
+    val withDup = docs.select("doc_id", "text")
+      .union(Seq((100000L, docs.orderBy("doc_id").select("text").head().getString(0)))
+        .toDF("doc_id", "text"))
+    val pairs = TextOps.cosinePairs(withDup, threshold = 0.0).cache()
+    // the verbatim copy pairs with its source at cosine exactly 1
+    val dup = pairs.filter(col("b") === 100000L && col("a") === 0L).collect()
+    assert(dup.length === 1 && dup.head.getDouble(2) === 1.0)
+    // cosine is bounded (a >1 value means the dot/norm algebra broke)
+    assert(pairs.filter(col("cos") > 1.0 || col("cos") < 0.0).count() === 0)
+    pairs.unpersist()
+    // empty corpus: total, not throwing
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.cosinePairs(empty).count() === 0)
+  }
+
+  test("canonical survivor is a cluster member holding the top quality score") {
+    val d = sources.Tables.documents(spark, sf)
+    val clusters = graft.operators.GraphOps.connectedComponentsStar(
+      TextOps.minhashCandidatePairs(d))
+    val best = clusters
+      .join(TextOps.qualityScore(d).select("doc_id", "quality_score"), "doc_id")
+      .groupBy("cluster_id")
+      .agg(max("quality_score").as("mx"), count(lit(1)).as("n"))
+    val res = graft.queries.ExtQueries.dedupCanonical(spark, sf).cache()
+    assert(res.count() > 0)
+    // the kept doc really belongs to the cluster it claims
+    val notMember = res.select(col("keep_doc_id").as("doc_id"), col("cluster_id"))
+      .join(clusters, Seq("doc_id", "cluster_id"), "left_anti")
+    assert(notMember.count() === 0)
+    // and carries the cluster's max quality with the right member count
+    val wrong = res.join(best, "cluster_id")
+      .filter(col("keep_quality") =!= col("mx") || col("n_members") =!= col("n"))
+    assert(wrong.count() === 0)
+    res.unpersist()
+  }
+
   test("char-ngram kernel is identical to the composed transform/substring plan") {
     val d = docs.filter(length(col("text")) >= 3)
     val diff = d.select(col("doc_id"), TextOps.charTrigrams.as("k"),
