@@ -123,6 +123,39 @@ class PlanAuditSpec extends SparkSpec {
       s"as-of must never plan a global single-partition window:\n$p")
   }
 
+  test("text_langid: scoring reads the materialized tf table, profile joins broadcast") {
+    val p = plan("text_langid")
+    // the (doc, lang, trigram) tf table is localCheckpoint'd — the
+    // scoring plan must sit on it, not replay the corpus explode
+    assert(p.contains("ExistingRDD"),
+      s"langId scoring must read the checkpointed tf table:\n$p")
+    assert(!p.contains("char_ngrams") && !p.contains("Generate"),
+      s"trigram explode must not replay inside the scoring plan:\n$p")
+    // the bounded profile/totals sides broadcast into the scoring join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"profile join must broadcast:\n$p")
+  }
+
+  test("dedup_cosine_pairs: pair search is a shingle equi-join, weights join broadcast-free of cartesians") {
+    val p = plan("dedup_cosine_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"cosine pair search must never plan a cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"pair search must be an equi-join on the shingle:\n$p")
+  }
+
+  test("multimodal_decode: decode is partition-parallel over a pruned scan") {
+    val p = plan("multimodal_decode")
+    // mapPartitions shows as (De)SerializeFromObject + MapPartitions —
+    // and nothing in the plan may shuffle before the decode
+    assert(p.contains("MapPartitions"), s"decode must run as mapPartitions:\n$p")
+    val mp = p.indexOf("MapPartitions")
+    val ex = p.indexOf("Exchange hashpartitioning")
+    assert(ex < 0 || ex < mp,
+      s"no shuffle may sit below the decode (payloads must not be exchanged):\n$p")
+  }
+
   test("dedup_clusters: propagation rounds read materialized edges, not lineage") {
     // the returned plan must sit on the checkpointed label RDD — i.e.
     // the minhash pipeline ran during construction and is NOT re-run
