@@ -72,6 +72,7 @@ object SparkEntry {
     "text_surprisal" -> (graft.queries.ExtQueries.textSurprisal(_, _)),
     "text_bigram_surprisal" -> (graft.queries.ExtQueries.textBigramSurprisal(_, _)),
     "embed_quantize" -> (graft.queries.ExtQueries.embedQuantize(_, _)),
+    "embed_project" -> (graft.queries.ExtQueries.embedProject(_, _)),
     "hybrid_rrf" -> (graft.queries.ExtQueries.hybridRrf(_, _)),
     "approx_distinct" -> (graft.queries.ExtQueries.approxDistinct(_, _)),
     "hll_partitioned" -> (graft.queries.ExtQueries.hllPartitioned(_, _)),

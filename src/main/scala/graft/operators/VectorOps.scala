@@ -206,6 +206,36 @@ object VectorOps {
       .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
   }
 
+  /** Seeded ±1 random projection to `outDim` dimensions — the classic
+    * Johnson–Lindenstrauss dimensionality reduction an embedding
+    * pipeline runs before indexing (Achlioptas' database-friendly
+    * sparse projection: entries ±1∕√outDim, no Gaussian sampling
+    * needed). The matrix is NEVER materialised: entry sign(i, j) is a
+    * closed-form hash of the coordinates, so the projection is a
+    * stateless per-row column expression — no shuffle, no broadcast,
+    * nothing to persist, identical on every executor and in the DuckDB
+    * oracle. Emits the projected vector plus its norm; JL guarantees
+    * pairwise distances are preserved within ε for
+    * outDim = O(ln n ∕ ε²).
+    */
+  def randomProject(embeddings: DataFrame, outDim: Int = 16): DataFrame = {
+    // sign(i, j) = +1 when (i*31 + j*17) mod 2 = 0 else -1 — a fixed,
+    // engine-portable pseudo-random ±1 family (i = 1-based input dim,
+    // j = 0-based output dim)
+    val comps = (0 until outDim).map { j =>
+      expr(s"aggregate(sequence(1, size(v)), 0d, (acc, i) -> " +
+        s"acc + element_at(v, i) * (case when (i * 31 + $j * 17) % 2 = 0 " +
+        s"then 1.0d else -1.0d end)) / sqrt(${outDim}d)").as(s"p$j")
+    }
+    val withP = embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .select(col("vec_id") +: comps: _*)
+    withP.select(col("vec_id"),
+      array((0 until outDim).map(j => col(s"p$j")): _*).as("proj"),
+      round(sqrt((0 until outDim).map(j => col(s"p$j") * col(s"p$j"))
+        .reduce(_ + _)), 4).as("proj_norm"))
+  }
+
   /** Int8 scalar quantization of the embedding column — the compression
     * step an embedding store runs before indexing (4× smaller than
     * float32, 8× smaller than the double math). Per vector: symmetric

@@ -640,6 +640,21 @@ object ExtOracles {
          |    AS rmse
          |FROM s ORDER BY vec_id""".stripMargin,
 
+    // replays VectorOps.randomProject (±1 family, 64 -> 16, /sqrt(16)):
+    // Spark's i is 1-based (sequence(1, size)), DuckDB's range is
+    // 0-based, hence (i+1); both sum left-to-right
+    "embed_project" ->
+      s"""WITH $embCte,
+         |p AS (SELECT vec_id,
+         |    list_transform(range(16), j -> list_sum(list_transform(range(len(v)),
+         |      i -> v[i+1] * (CASE WHEN ((i+1)*31 + j*17) % 2 = 0
+         |                     THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)))
+         |      / sqrt(16.0::DOUBLE)) AS proj
+         |  FROM e)
+         |SELECT vec_id, round(list_sum(proj), 4) AS proj_sum,
+         |  round(sqrt(list_sum(list_transform(proj, x -> x * x))), 4) AS proj_norm
+         |FROM p ORDER BY vec_id""".stripMargin,
+
     "embed_lsh_buckets" ->
       s"""WITH $embCte
          |SELECT ${bucketExpr("e")} AS bucket, count(*) AS n

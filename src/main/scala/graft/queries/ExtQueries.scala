@@ -342,6 +342,17 @@ object ExtQueries {
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
     VectorOps.quantize(embs(spark, dir)).orderBy("vec_id")
 
+  /** Seeded ±1 random projection 64 → 16 dims (Johnson–Lindenstrauss
+    * preprocessing); the projected vector is digested to its
+    * left-to-right sum + norm so the gate compares scalars.
+    */
+  def embedProject(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.randomProject(embs(spark, dir))
+      .select(col("vec_id"),
+        round(expr("aggregate(proj, 0d, (acc, x) -> acc + x)"), 4).as("proj_sum"),
+        col("proj_norm"))
+      .orderBy("vec_id")
+
   /** Hybrid retrieval: BM25 keyword ranking and cosine vector ranking
     * fused by reciprocal-rank fusion (rrf = Σ 1/(60 + rank) over the
     * rankings a doc appears in — Cormack et al.'s constant). Both

@@ -6,6 +6,23 @@ import graft.operators.VectorOps
 
 class VectorOpsSpec extends SparkSpec {
 
+  test("random projection preserves norms on average (JL property) and is deterministic") {
+    import org.apache.spark.sql.functions._
+    val embs = sources.Tables.embeddings(spark, sf)
+    val proj = VectorOps.randomProject(embs)
+    // E[|proj|^2] = |v|^2 for a +-1/sqrt(d) family: the mean squared-norm
+    // ratio over the corpus must sit near 1 (individual rows vary)
+    val ratio = proj
+      .join(embs.select(col("vec_id"),
+        VectorOps.norm(col("embedding").cast("array<double>")).as("n0")), "vec_id")
+      .select(avg(pow(col("proj_norm") / col("n0"), 2))).head.getDouble(0)
+    assert(ratio > 0.8 && ratio < 1.2, s"JL norm preservation broken: $ratio")
+    // closed-form matrix => bit-identical across runs
+    val a = proj.orderBy("vec_id").collect().map(_.getDouble(2))
+    val b = VectorOps.randomProject(embs).orderBy("vec_id").collect().map(_.getDouble(2))
+    assert(a.sameElements(b))
+  }
+
   private lazy val embs = sources.Tables.embeddings(spark, sf)
 
   test("cosine of a vector with itself is 1") {
