@@ -144,6 +144,36 @@ object GraftHash {
     new GenericArrayData(mins.map(toHex(_).asInstanceOf[Any]))
   }
 
+  /** Per-row n-gram COUNTS, sorted by gram: the (g, tf) pairs
+    * `explode(charNgrams) → groupBy(doc, g).count` would produce, but
+    * computed inside the row — so the langId tf table needs NO explode
+    * of raw gram occurrences and NO aggregation shuffle at all (the
+    * explode emits pre-counted pairs, ~2× fewer rows, zero exchanges).
+    * Deterministic order (TreeMap) so downstream arrays are stable.
+    */
+  def charNgramCounts(text: UTF8String, n: Int): ArrayData = {
+    val len = text.numChars()
+    if (len < n) return null
+    val m = new java.util.TreeMap[UTF8String, Integer]()
+    var i = 0
+    while (i <= len - n) {
+      val g = text.substring(i, i + n)
+      val c = m.get(g)
+      m.put(g, if (c == null) 1 else c + 1)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue.intValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Character n-grams by code point: identical output to the composed
     * `transform(sequence(1, length(text) - n + 1), i -> substring(text,
     * i, n))` (higher-order functions evaluate through CodegenFallback
@@ -197,6 +227,45 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+/** `char_ngram_counts(text, n)`: sorted (g, tf) n-gram count pairs —
+  * the pre-aggregated form of [[CharNgrams]] (spec-checked equivalent
+  * to explode + group-count). Null below n characters, like its
+  * siblings.
+  */
+case class CharNgramCounts(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"char_ngram_counts needs n >= 1, got $n")
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("g", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_counts needs a string argument, got ${t.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else GraftHash.charNgramCounts(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.GraftHash.charNgramCounts($c, $n);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramCounts =
     copy(child = newChild)
 }
 

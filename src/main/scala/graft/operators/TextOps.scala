@@ -94,6 +94,15 @@ object TextOps {
   private[graft] def charTrigramsComposed: Column =
     expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
 
+  /** Pre-counted per-row (trigram, tf) pairs — [[charTrigrams]] with
+    * the group-count folded into the kernel, so consumers skip the
+    * occurrence explode AND its aggregation shuffle entirely.
+    */
+  private[graft] def charTrigramCounts: Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    column(graft.functions.CharNgramCounts(expression(col("text")), 3))
+  }
+
   /** N-gram-profile language ID (Cavnar–Trenkle-style, multinomial
     * scoring): per-language character-trigram profiles are BUILT FROM
     * the corpus's own labelled `lang` column, and each document is
@@ -115,18 +124,20 @@ object TextOps {
     */
   def langId(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ONE corpus scan + trigram explode, reduced immediately to the
-    // per-(doc, g) tf table (doc_id → lang is functional, so carrying
-    // the label adds no rows) and MATERIALISED: profile, per-lang
-    // totals, vocabulary and the scoring pass below all derive from it,
-    // and without the checkpoint each consumer would re-run the full
-    // tokenization (four corpus passes — the re-scan pattern
-    // mixtureWeights/setSimilarityPairs checkpoint away). This tf table
-    // is the "features + training set" artifact a production pipeline
-    // persists anyway.
+    // ONE corpus scan, NO aggregation shuffle: the per-doc (g, tf)
+    // pairs come pre-counted from the codegen'd CharNgramCounts kernel
+    // (spec-checked identical to explode + group-count), so the tf
+    // table is a projection + generator over the scan. MATERIALISED:
+    // profile, per-lang totals, vocabulary and the scoring pass below
+    // all derive from it, and without the checkpoint each consumer
+    // would re-run the full tokenization (four corpus passes — the
+    // re-scan pattern mixtureWeights/setSimilarityPairs checkpoint
+    // away). This tf table is the "features + training set" artifact a
+    // production pipeline persists anyway.
     val dtf = docs.filter(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"), explode(charTrigrams).as("g"))
-      .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("lang"), explode(charTrigramCounts).as("e"))
+      .select(col("doc_id"), col("lang"),
+        col("e.g").as("g"), col("e.tf").cast("bigint").as("tf"))
       .localCheckpoint()
     val prof = dtf.groupBy("lang", "g").agg(sum("tf").as("c"))
     val langTot = prof.groupBy("lang").agg(sum("c").as("nl"))

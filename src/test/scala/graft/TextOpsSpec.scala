@@ -91,6 +91,13 @@ class TextOpsSpec extends SparkSpec {
     import spark.implicits._
     val short = Seq((1L, "ab")).toDF("doc_id", "text")
     assert(short.select(TextOps.charTrigrams).head().isNullAt(0))
+    assert(short.select(TextOps.charTrigramCounts).head().isNullAt(0))
+    // the pre-counted kernel equals explode + group-count exactly
+    val viaKernel = d.select(col("doc_id"), explode(TextOps.charTrigramCounts).as("e"))
+      .select(col("doc_id"), col("e.g").as("g"), col("e.tf").cast("bigint").as("tf"))
+    val viaGroup = d.select(col("doc_id"), explode(TextOps.charTrigrams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    assert(viaKernel.exceptAll(viaGroup).isEmpty && viaGroup.exceptAll(viaKernel).isEmpty)
   }
 
   test("trigram langId recovers separable languages and guards short docs") {
