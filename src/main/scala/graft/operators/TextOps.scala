@@ -456,7 +456,13 @@ object TextOps {
     val w = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("s"), pow(log(col("n_docs") / col("df")), 2).as("w2"))
-    val sw = sh.join(w, "s")
+    // materialise the weighted index ONCE: the plan reads it four times
+    // (both pair-join sides + the norms joined to a AND b) and Spark
+    // performs no common-subexpression reuse across self-join sides —
+    // without the checkpoint each replay re-runs the shingle explode,
+    // DF cap, and idf aggregation (same pattern and size budget as
+    // minhashJaccardEstimate's signature table: posting-list rows)
+    val sw = sh.join(w, "s").localCheckpoint()
     val norms = sw.groupBy("doc_id").agg(sum("w2").as("n2"))
     val common = sw.as("x").join(sw.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))

@@ -218,14 +218,37 @@ object VectorOps {
     * pairwise distances are preserved within ε for
     * outDim = O(ln n ∕ ε²).
     */
+  /** The seeded ±1 projection matrix, shared with the oracle-SQL
+    * generator so both engines embed the SAME literals — a full-rank
+    * pseudo-random family. (A first cut derived signs from
+    * `(i*31 + j*17) % 2`, which collapses to `(i+j) % 2` — a RANK-ONE
+    * map whose huge kernel destroys the JL property; closed-form
+    * linear index mixing mod 2 is always that trap, hence a real
+    * seeded draw materialised as literals.)
+    */
+  private[graft] def projSigns(inDim: Int, outDim: Int): Array[Array[Int]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(inDim, outDim)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
   def randomProject(embeddings: DataFrame, outDim: Int = 16): DataFrame = {
-    // sign(i, j) = +1 when (i*31 + j*17) mod 2 = 0 else -1 — a fixed,
-    // engine-portable pseudo-random ±1 family (i = 1-based input dim,
-    // j = 0-based output dim)
+    val head = embeddings.select(size(vec(col("embedding"))).as("d")).limit(1).collect()
+    if (head.isEmpty)
+      // empty corpus: stay total with the right schema, like the
+      // text-operator totality contract
+      return embeddings.select(col("vec_id"),
+        expr("array()").cast("array<double>").as("proj"),
+        lit(null).cast("double").as("proj_norm"))
+    val dim = head(0).getInt(0)
+    val signs = projSigns(dim, outDim)
+    // literal-weighted sums: fully codegen'd (no higher-order lambda),
+    // left-to-right in i so the oracle replays the fold order; a row
+    // whose array is shorter than `dim` fails loudly under ANSI
+    // element_at (the ArrayDot stance — ragged embeddings are corrupt)
     val comps = (0 until outDim).map { j =>
-      expr(s"aggregate(sequence(1, size(v)), 0d, (acc, i) -> " +
-        s"acc + element_at(v, i) * (case when (i * 31 + $j * 17) % 2 = 0 " +
-        s"then 1.0d else -1.0d end)) / sqrt(${outDim}d)").as(s"p$j")
+      ((0 until dim).map(i =>
+        element_at(col("v"), i + 1) * lit(signs(i)(j).toDouble))
+        .reduce(_ + _) / math.sqrt(outDim.toDouble)).as(s"p$j")
     }
     val withP = embeddings
       .select(col("vec_id"), vec(col("embedding")).as("v"))

@@ -70,6 +70,20 @@ object ExtOracles {
 
   private val embCte = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)"
 
+  /** The fixed-weight logistic quality score — ONE definition serving
+    * `text_quality_score` and `dedup_canonical` (the same one-classifier
+    * contract as [[langIdCte]]; a weight/regex change edits one string).
+    */
+  private val qualityCte =
+    """qtok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      |qs AS (SELECT doc_id,
+      |    round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(-2.0
+      |      + ln(CAST(len(t) AS BIGINT)) * 0.6
+      |      + round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) * 2.0
+      |      - round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+      |          / CAST(length(text) AS DOUBLE), 4) * 4.0))), 4) AS quality_score
+      |  FROM qtok)""".stripMargin
+
   private val cosExpr =
     "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
 
@@ -392,14 +406,7 @@ object ExtOracles {
          |  UNION
          |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
          |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |qtok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-         |qs AS (SELECT doc_id,
-         |    round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(-2.0
-         |      + ln(CAST(len(t) AS BIGINT)) * 0.6
-         |      + round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) * 2.0
-         |      - round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-         |          / CAST(length(text) AS DOUBLE), 4) * 4.0))), 4) AS quality_score
-         |  FROM qtok),
+         |$qualityCte,
          |j AS (SELECT cl.cluster_id, cl.doc_id, qs.quality_score,
          |        row_number() OVER (PARTITION BY cl.cluster_id
          |          ORDER BY qs.quality_score DESC, cl.doc_id) AS rn
@@ -426,25 +433,13 @@ object ExtOracles {
          |WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) >= 0.5
          |ORDER BY a, b""".stripMargin,
 
-    // replays TextOps.qualityScore: logistic over the textStats
-    // features with the documented fixed weights
+    // replays TextOps.qualityScore via the shared logistic CTE; keep
+    // thresholds the already-rounded score exactly as the Spark side
     "text_quality_score" ->
-      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t
-        |             FROM documents),
-        |st AS (SELECT doc_id,
-        |  CAST(len(t) AS BIGINT) AS n_tokens,
-        |  round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4)
-        |    AS distinct_ratio,
-        |  round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-        |    / CAST(length(text) AS DOUBLE), 4) AS punct_ratio
-        |  FROM tok)
-        |SELECT doc_id,
-        |  round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(-2.0 + ln(n_tokens) * 0.6
-        |    + distinct_ratio * 2.0 - punct_ratio * 4.0))), 4) AS quality_score,
-        |  CAST(round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(-2.0 + ln(n_tokens) * 0.6
-        |    + distinct_ratio * 2.0 - punct_ratio * 4.0))), 4) >= 0.5 AS INT)
-        |    AS keep
-        |FROM st ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCte
+         |SELECT doc_id, quality_score,
+         |  CAST(quality_score >= 0.5 AS INT) AS keep
+         |FROM qs ORDER BY doc_id""".stripMargin,
 
     // replays TextOps.containmentPairs: same pair-stats CTEs as jaccard,
     // ratio = common / min(|A|, |B|)
@@ -640,20 +635,22 @@ object ExtOracles {
          |    AS rmse
          |FROM s ORDER BY vec_id""".stripMargin,
 
-    // replays VectorOps.randomProject (±1 family, 64 -> 16, /sqrt(16)):
-    // Spark's i is 1-based (sequence(1, size)), DuckDB's range is
-    // 0-based, hence (i+1); both sum left-to-right
-    "embed_project" ->
+    // replays VectorOps.randomProject: the SAME seeded ±1 matrix
+    // (VectorOps.projSigns — one definition, both engines) embedded as
+    // literals, components summed left-to-right in i exactly as the
+    // Spark expression folds
+    "embed_project" -> {
+      val signs = graft.operators.VectorOps.projSigns(64, 16)
+      val comps = (0 until 16).map { j =>
+        (0 until 64).map(i => s"v[${i + 1}] * ${signs(i)(j)}.0")
+          .mkString("(", " + ", ") / sqrt(16.0::DOUBLE)")
+      }.mkString("[", ",\n      ", "]")
       s"""WITH $embCte,
-         |p AS (SELECT vec_id,
-         |    list_transform(range(16), j -> list_sum(list_transform(range(len(v)),
-         |      i -> v[i+1] * (CASE WHEN ((i+1)*31 + j*17) % 2 = 0
-         |                     THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)))
-         |      / sqrt(16.0::DOUBLE)) AS proj
-         |  FROM e)
+         |p AS (SELECT vec_id, $comps AS proj FROM e)
          |SELECT vec_id, round(list_sum(proj), 4) AS proj_sum,
          |  round(sqrt(list_sum(list_transform(proj, x -> x * x))), 4) AS proj_norm
-         |FROM p ORDER BY vec_id""".stripMargin,
+         |FROM p ORDER BY vec_id""".stripMargin
+    },
 
     "embed_lsh_buckets" ->
       s"""WITH $embCte

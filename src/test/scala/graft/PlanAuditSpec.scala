@@ -150,9 +150,13 @@ class PlanAuditSpec extends SparkSpec {
     // mapPartitions shows as (De)SerializeFromObject + MapPartitions —
     // and nothing in the plan may shuffle before the decode
     assert(p.contains("MapPartitions"), s"decode must run as mapPartitions:\n$p")
-    val mp = p.indexOf("MapPartitions")
-    val ex = p.indexOf("Exchange hashpartitioning")
-    assert(ex < 0 || ex < mp,
+    // the plan prints top-down, so anything AFTER MapPartitions in the
+    // string sits BELOW the decode — no exchange of any kind may appear
+    // there (checking only the first occurrence would let a
+    // payload-shuffling regression hide behind a legitimate post-decode
+    // exchange)
+    val below = p.substring(p.indexOf("MapPartitions"))
+    assert(!below.contains("Exchange"),
       s"no shuffle may sit below the decode (payloads must not be exchanged):\n$p")
   }
 

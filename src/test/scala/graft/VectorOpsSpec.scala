@@ -17,10 +17,29 @@ class VectorOpsSpec extends SparkSpec {
         VectorOps.norm(col("embedding").cast("array<double>")).as("n0")), "vec_id")
       .select(avg(pow(col("proj_norm") / col("n0"), 2))).head.getDouble(0)
     assert(ratio > 0.8 && ratio < 1.2, s"JL norm preservation broken: $ratio")
-    // closed-form matrix => bit-identical across runs
+    // seeded matrix => bit-identical across runs
     val a = proj.orderBy("vec_id").collect().map(_.getDouble(2))
     val b = VectorOps.randomProject(embs).orderBy("vec_id").collect().map(_.getDouble(2))
     assert(a.sameElements(b))
+    // PAIRWISE distance preservation — the JL property a norm-only
+    // check cannot see (a rank-deficient sign family preserved mean
+    // norms while collapsing distances; this guards the actual claim):
+    // most pair distance ratios must sit in a moderate band
+    val orig = embs.orderBy("vec_id").limit(15).collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val pr = proj.orderBy("vec_id").limit(15).collect()
+      .map(_.getSeq[Double](1).toArray)
+    def d2(x: Array[Double], y: Array[Double]): Double =
+      x.indices.map(i => (x(i) - y(i)) * (x(i) - y(i))).sum
+    val ratios = for (i <- orig.indices; j <- 0 until i)
+      yield d2(pr(i), pr(j)) / d2(orig(i), orig(j))
+    val inBand = ratios.count(r => r > 0.2 && r < 3.0)
+    assert(inBand >= (ratios.size * 0.9).toInt,
+      s"distance preservation broken: only $inBand/${ratios.size} pair ratios in (0.2, 3)")
+    // empty corpus: total, not throwing
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(VectorOps.randomProject(empty).count() === 0)
   }
 
   private lazy val embs = sources.Tables.embeddings(spark, sf)
