@@ -94,6 +94,7 @@ object SparkEntry {
     "text_repetition" -> (graft.queries.ExtQueries.textRepetition(_, _)),
     "text_tfidf" -> (graft.queries.ExtQueries.textTfidf(_, _)),
     "dedup_paragraph" -> (graft.queries.ExtQueries.dedupParagraph(_, _)),
+    "dedup_substring" -> (graft.queries.ExtQueries.dedupSubstring(_, _)),
     "dedup_containment" -> (graft.queries.ExtQueries.dedupContainment(_, _)),
     "text_kl_sources" -> (graft.queries.ExtQueries.textKlSources(_, _)),
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),

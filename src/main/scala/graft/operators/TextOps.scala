@@ -626,6 +626,49 @@ object TextOps {
           .as("kept_fp"))
   }
 
+  /** Cross-document repeated-SPAN detection (the relational
+    * re-expression of Lee et al.'s exact-substring dedup, "Deduplicating
+    * Training Data Makes Language Models Better"): every stride-1
+    * window of `k` tokens is rolling-hashed, windows whose hash occurs
+    * in ≥2 distinct documents are duplicated spans, and each document
+    * reports how much of it is covered by such spans. Catches
+    * arbitrary-alignment boilerplate that [[paragraphDedup]]'s FIXED
+    * segmentation misses (a span straddling a segment boundary hides
+    * from segment hashing; it cannot hide from stride-1 windows ≥ k).
+    *
+    * Scale shape: the window table is O(total tokens) rows — the same
+    * budget as every token-explode operator here — aggregated map-side
+    * to the duplicated-hash set; only DUPLICATED windows (rare by
+    * construction) fan out k× for the coverage union, so the expensive
+    * leg follows the amount of true duplication, not corpus size. The
+    * literature's suffix-array construction detects the same ≥k-token
+    * spans; windows are the shuffle-friendly formulation.
+    *
+    * Output (docs with ≥1 duplicated window): n_tokens, window count,
+    * covered-token count and fraction.
+    */
+  def substringDedup(docs: DataFrame, k: Int = 20): DataFrame = {
+    val win = docs.select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), size(col("t")).cast("bigint").as("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, size(t) - $k), " +
+            s"i -> md5(concat_ws(' ', slice(t, i + 1, $k))))")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("bigint").as("pos"), col("col").as("h"))
+    val dupH = win.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    win.join(dupH, "h")
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("idx"))
+      .groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"),
+        countDistinct("pos").as("n_dup_windows"),
+        countDistinct("idx").as("dup_tokens"))
+      .withColumn("dup_token_frac",
+        round(col("dup_tokens") / col("n_tokens"), 4))
+  }
+
   /** TF-IDF keyword extraction: top-k tokens per document by
     * tf · ln(N/df), df = number of documents containing the token.
     * Plan: one explode → (doc, token) counts (map-side combinable) →

@@ -580,6 +580,27 @@ object ExtOracles {
          |    ORDER BY seg_no), '')) AS kept_fp
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // replays TextOps.substringDedup: stride-1 20-token window hashes,
+    // hashes spanning >= 2 docs are duplicated spans, coverage is the
+    // distinct-index union of their [pos, pos+20) ranges
+    "dedup_substring" ->
+      s"""WITH $tokCte,
+         |win AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |          CAST(i AS BIGINT) AS pos,
+         |          md5(array_to_string(list_slice(t, i + 1, i + 20), ' ')) AS h
+         |        FROM tok, unnest(range(len(t) - 19)) AS u(i)
+         |        WHERE len(t) >= 20),
+         |duph AS (SELECT h FROM win GROUP BY h
+         |         HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT doc_id, n_tokens, pos, pos + o AS idx
+         |        FROM win JOIN duph USING (h), unnest(range(20)) AS v(o))
+         |SELECT doc_id, max(n_tokens) AS n_tokens,
+         |  count(DISTINCT pos) AS n_dup_windows,
+         |  count(DISTINCT idx) AS dup_tokens,
+         |  round(count(DISTINCT idx) / CAST(max(n_tokens) AS DOUBLE), 4)
+         |    AS dup_token_frac
+         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // replays CorpusOps.stratifiedSample: first four md5 nibbles of the
     // id string via the strpos hex trick = Spark's conv(substring(...))
     "sample_stratified" ->

@@ -319,6 +319,12 @@ object ExtQueries {
   def dedupParagraph(spark: SparkSession, dir: String): DataFrame =
     TextOps.paragraphDedup(docs(spark, dir)).orderBy("doc_id")
 
+  /** Exact repeated-span coverage (Lee et al.-style substring dedup):
+    * stride-1 20-token windows shared across ≥2 documents.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    TextOps.substringDedup(docs(spark, dir)).orderBy("doc_id")
+
   /** Deterministic stratified sample: boost en/zh, thin the rest. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.stratifiedSample(docs(spark, dir),

@@ -43,6 +43,34 @@ class TextOpsSpec extends SparkSpec {
     assert(key(c) === key(TextOps.containmentPairs(docs, threshold = 0.8)))
   }
 
+  test("substring dedup catches straddling spans, stays silent on unique text") {
+    import spark.implicits._
+    // doc 2 copies a 25-token span of doc 1 at an offset no fixed
+    // segmentation aligns with — stride-1 windows must still flag both
+    val span = (0 until 25).map(i => s"copy$i").mkString(" ")
+    val pre = (0 until 7).map(i => s"p$i").mkString(" ")
+    val post = (0 until 9).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$span ${(0 until 15).map(i => s"a$i").mkString(" ")}"),
+      (2L, s"$pre $span $post"),
+      (3L, (0 until 40).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val res = TextOps.substringDedup(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(res.keySet === Set(1L, 2L), s"flagged: $res")
+    // the full 25-token copied span is covered in both documents
+    assert(res(1L) === 25 && res(2L) === 25, s"coverage: $res")
+    // a corpus of unique texts yields nothing
+    val unique = Seq(
+      (1L, (0 until 40).map(i => s"x$i").mkString(" ")),
+      (2L, (0 until 40).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text")
+    assert(TextOps.substringDedup(unique).count() === 0)
+    // totality on empty + sub-window-length corpora
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.substringDedup(empty).count() === 0)
+    assert(TextOps.substringDedup(
+      Seq((1L, "short text")).toDF("doc_id", "text")).count() === 0)
+  }
+
   test("IDF-weighted cosine pairs: identical docs score 1, range bounded") {
     import spark.implicits._
     val withDup = docs.select("doc_id", "text")
