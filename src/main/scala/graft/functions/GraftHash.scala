@@ -144,6 +144,35 @@ object GraftHash {
     new GenericArrayData(mins.map(toHex(_).asInstanceOf[Any]))
   }
 
+  /** md5 hex of every stride-1 k-token window — the window table of
+    * the exact-substring dedup pass, computed in one generated call
+    * instead of an interpreted `transform(sequence, i -> md5(concat_ws(
+    * slice)))` chain. Shares [[minhashSig]]'s shingle-build loop (k
+    * tokens joined by ' ', md5 over UTF-8, lowercase hex) so the DuckDB
+    * oracle replays unchanged. Null below k tokens.
+    */
+  def tokenWindowHashes(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < k) return null
+    val md = md5.get()
+    val sb = new java.lang.StringBuilder()
+    val out = new Array[Any](toks.length - k + 1)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      out(i) = toHex(md.digest(sb.toString.getBytes("UTF-8")))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-row n-gram COUNTS, sorted by gram: the (g, tf) pairs
     * `explode(charNgrams) → groupBy(doc, g).count` would produce, but
     * computed inside the row — so the langId tf table needs NO explode
@@ -266,6 +295,42 @@ case class CharNgramCounts(child: Expression, n: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramCounts =
+    copy(child = newChild)
+}
+
+/** `token_window_hashes(text, k)`: md5 hex per stride-1 k-token window
+  * (the substring-dedup window table). Null below k tokens — callers
+  * filter, mirroring [[MinhashSig]].
+  */
+case class TokenWindowHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, s"token_window_hashes needs k >= 1, got $k")
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_window_hashes needs a string argument, got ${t.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else GraftHash.tokenWindowHashes(v.asInstanceOf[UTF8String], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.GraftHash.tokenWindowHashes($c, $k);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes =
     copy(child = newChild)
 }
 

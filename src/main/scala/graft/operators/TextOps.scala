@@ -648,12 +648,14 @@ object TextOps {
     * covered-token count and fraction.
     */
   def substringDedup(docs: DataFrame, k: Int = 20): DataFrame = {
-    val win = docs.select(col("doc_id"), tokens.as("t"))
-      .filter(size(col("t")) >= k)
-      .select(col("doc_id"), size(col("t")).cast("bigint").as("n_tokens"),
-        posexplode(expr(
-          s"transform(sequence(0, size(t) - $k), " +
-            s"i -> md5(concat_ws(' ', slice(t, i + 1, $k))))")))
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    // window hashes from the one-pass codegen kernel (spec-checked
+    // identical to the transform/slice/md5 composition it replaces)
+    val winHashes =
+      column(graft.functions.TokenWindowHashes(expression(col("text")), k))
+    val win = docs.filter(size(tokens) >= k)
+      .select(col("doc_id"), size(tokens).cast("bigint").as("n_tokens"),
+        posexplode(winHashes))
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("bigint").as("pos"), col("col").as("h"))
     val dupH = win.groupBy("h").agg(countDistinct("doc_id").as("nd"))

@@ -69,6 +69,15 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.substringDedup(empty).count() === 0)
     assert(TextOps.substringDedup(
       Seq((1L, "short text")).toDF("doc_id", "text")).count() === 0)
+    // the window-hash kernel equals the composed transform/slice/md5
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    val d = docs.filter(size(TextOps.tokens) >= 20)
+    val diff = d.select(
+        column(graft.functions.TokenWindowHashes(expression(col("text")), 20)).as("k"),
+        expr("transform(sequence(0, size(split(text, ' ')) - 20), " +
+          "i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 20))))").as("c"))
+      .filter(col("k") =!= col("c"))
+    assert(diff.count() === 0)
   }
 
   test("IDF-weighted cosine pairs: identical docs score 1, range bounded") {
