@@ -104,6 +104,22 @@ object GraftHash {
     false
   }
 
+  /** k consecutive tokens joined by a single space — THE shingle/window
+    * format every md5-hashing kernel and the DuckDB oracles share (one
+    * definition; a delimiter change here is the only place to make it).
+    */
+  private def joinWindow(sb: java.lang.StringBuilder, toks: Array[String],
+                         i: Int, k: Int): String = {
+    sb.setLength(0)
+    var j = 0
+    while (j < k) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks(i + j))
+      j += 1
+    }
+    sb.toString
+  }
+
   /** MinHash signature: for seed i in [0, seeds), the minimum of
     * md5(s"$i:" + shingle) over the document's k-token shingles
     * (shingle = k consecutive tokens joined by ' '), returned as
@@ -121,14 +137,7 @@ object GraftHash {
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i <= toks.length - k) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      val shingleBytes = sb.toString.getBytes("UTF-8")
+      val shingleBytes = joinWindow(sb, toks, i, k).getBytes("UTF-8")
       var s = 0
       while (s < seeds) {
         md.reset()
@@ -147,9 +156,14 @@ object GraftHash {
   /** md5 hex of every stride-1 k-token window — the window table of
     * the exact-substring dedup pass, computed in one generated call
     * instead of an interpreted `transform(sequence, i -> md5(concat_ws(
-    * slice)))` chain. Shares [[minhashSig]]'s shingle-build loop (k
+    * slice)))` chain. Shares [[joinWindow]] with [[minhashSig]] (k
     * tokens joined by ' ', md5 over UTF-8, lowercase hex) so the DuckDB
-    * oracle replays unchanged. Null below k tokens.
+    * oracle replays unchanged. Deliberately a FULL md5 per window, not
+    * a true rolling hash — O(n·k) bytes hashed per document instead of
+    * O(n) — because the cross-engine oracle needs a hash both engines
+    * implement; a production profile would swap in a rolling polynomial
+    * (same plan shape, same trade as fastMinhashCandidatePairs). Null
+    * below k tokens.
     */
   def tokenWindowHashes(text: UTF8String, k: Int): ArrayData = {
     val toks = tokenize(text)
@@ -159,15 +173,8 @@ object GraftHash {
     val out = new Array[Any](toks.length - k + 1)
     var i = 0
     while (i <= toks.length - k) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
       md.reset()
-      out(i) = toHex(md.digest(sb.toString.getBytes("UTF-8")))
+      out(i) = toHex(md.digest(joinWindow(sb, toks, i, k).getBytes("UTF-8")))
       i += 1
     }
     new GenericArrayData(out)

@@ -629,9 +629,11 @@ object TextOps {
   /** Cross-document repeated-SPAN detection (the relational
     * re-expression of Lee et al.'s exact-substring dedup, "Deduplicating
     * Training Data Makes Language Models Better"): every stride-1
-    * window of `k` tokens is rolling-hashed, windows whose hash occurs
-    * in ≥2 distinct documents are duplicated spans, and each document
-    * reports how much of it is covered by such spans. Catches
+    * window of `k` tokens is hashed (full md5 per window — the
+    * cross-engine-oracle trade; see the kernel's doc for the rolling
+    * production profile), windows whose hash occurs in ≥2 distinct
+    * documents are duplicated spans, and each document reports how
+    * much of it is covered by such spans. Catches
     * arbitrary-alignment boilerplate that [[paragraphDedup]]'s FIXED
     * segmentation misses (a span straddling a segment boundary hides
     * from segment hashing; it cannot hide from stride-1 windows ≥ k).
@@ -653,11 +655,18 @@ object TextOps {
     // identical to the transform/slice/md5 composition it replaces)
     val winHashes =
       column(graft.functions.TokenWindowHashes(expression(col("text")), k))
-    val win = docs.filter(size(tokens) >= k)
+    // no size >= k pre-filter: the kernel returns null below k tokens
+    // and non-outer posexplode drops null arrays — the guard would
+    // just re-tokenize every row. MATERIALISED: the table is read
+    // twice (duplicated-hash aggregation + join probe side) and the
+    // exchanges differ, so without the checkpoint every window would
+    // be md5-hashed twice (the cosinePairs replay pattern).
+    val win = docs
       .select(col("doc_id"), size(tokens).cast("bigint").as("n_tokens"),
         posexplode(winHashes))
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("bigint").as("pos"), col("col").as("h"))
+      .localCheckpoint()
     val dupH = win.groupBy("h").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2).select("h")
     win.join(dupH, "h")
