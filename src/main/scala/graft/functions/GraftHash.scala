@@ -153,6 +153,28 @@ object GraftHash {
     new GenericArrayData(mins.map(toHex(_).asInstanceOf[Any]))
   }
 
+  /** DISTINCT k-token shingles per row, first-occurrence order (the
+    * `array_distinct(transform(sequence, i -> concat_ws(slice)))`
+    * composition as one generated call) — the inverted-index feed of
+    * every shingle-based dedup operator. Null below k tokens.
+    */
+  def tokenShingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < k) return null
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - k) {
+      seen.add(UTF8String.fromString(joinWindow(sb, toks, i, k)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** md5 hex of every stride-1 k-token window — the window table of
     * the exact-substring dedup pass, computed in one generated call
     * instead of an interpreted `transform(sequence, i -> md5(concat_ws(
@@ -338,6 +360,42 @@ case class TokenWindowHashes(child: Expression, k: Int) extends UnaryExpression 
     })
 
   override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes =
+    copy(child = newChild)
+}
+
+/** `token_shingles(text, k)`: distinct k-token shingles in
+  * first-occurrence order — the shingle inverted-index feed. Null
+  * below k tokens, like its siblings.
+  */
+case class TokenShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, s"token_shingles needs k >= 1, got $k")
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_shingles needs a string argument, got ${t.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else GraftHash.tokenShingles(v.asInstanceOf[UTF8String], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.GraftHash.tokenShingles($c, $k);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
     copy(child = newChild)
 }
 

@@ -47,12 +47,26 @@ object TextOps {
 
   /** Distinct k-word shingles per document: the (doc_id, shingle)
     * inverted index all near-dup operators share. Deduplication is
-    * per-document by construction, so it happens map-side
-    * (`array_distinct` before the explode) — a global `.distinct()`
-    * would shuffle the full posting list just to remove duplicates
-    * that never leave their row.
+    * per-document by construction, so it happens map-side (inside the
+    * kernel, before the explode) — a global `.distinct()` would
+    * shuffle the full posting list just to remove duplicates that
+    * never leave their row. Computed by the codegen'd
+    * [[graft.functions.TokenShingles]] kernel (spec-checked identical
+    * to the `array_distinct(transform(...))` composition, which
+    * evaluates through CodegenFallback); short docs drop via the
+    * kernel's null + explode, no pre-filter scan needed.
     */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    docs.select(col("doc_id"),
+      explode(column(graft.functions.TokenShingles(expression(col("text")), k))).as("s"))
+  }
+
+  /** The composed higher-order-function form of [[shingles]] — retained
+    * as the equivalence oracle for the kernel (and the shape the DuckDB
+    * oracle SQL replays).
+    */
+  private[graft] def shinglesComposed(docs: DataFrame, k: Int = 3): DataFrame = {
     val slide = (0 until k).map(j => s"t[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
     docs.select(col("doc_id"), tokens.as("t"))
       .filter(size(col("t")) >= k)

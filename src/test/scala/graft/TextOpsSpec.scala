@@ -43,6 +43,18 @@ class TextOpsSpec extends SparkSpec {
     assert(key(c) === key(TextOps.containmentPairs(docs, threshold = 0.8)))
   }
 
+  test("shingle kernel is identical to the composed array_distinct/transform plan") {
+    import spark.implicits._
+    val a = TextOps.shingles(docs)
+    val b = TextOps.shinglesComposed(docs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // short + null text drop exactly like the composed filter
+    val edge = Seq((1L, "one two"), (2L, null.asInstanceOf[String]),
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val got = TextOps.shingles(edge).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet === Set((3L, "a b c"), (3L, "b c d")))
+  }
+
   test("substring dedup catches straddling spans, stays silent on unique text") {
     import spark.implicits._
     // doc 2 copies a 25-token span of doc 1 at an offset no fixed
