@@ -410,11 +410,29 @@ object VectorOps {
   /** Encode against ALREADY-TRAINED codebooks — the shape the search
     * paths use so the (seeded, deterministic) codebook training runs
     * once, not once per consumer. `keep` carries extra columns (e.g.
-    * the IVF cell) through the projection.
+    * the IVF cell) through the projection. Runs in the codegen'd
+    * [[graft.functions.PqEncode]] kernel (one generated call per row;
+    * spec-checked fold-order identical to the HOF composition retained
+    * as [[pqEncodeWithComposed]]).
     */
   private def pqEncodeWith(embeddings: DataFrame, dim: Int, dsub: Int,
                            codebooks: Seq[Array[Array[Double]]],
                            keep: Seq[String] = Seq("vec_id")): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    val enc = column(graft.functions.PqEncode(
+      expression(vec(col("embedding"))), codebooks.toArray))
+    embeddings.select(keep.map(col) :+ enc.as("enc"): _*)
+      .select(keep.map(col) ++ Seq(
+        col("enc.codes").as("codes"),
+        round(sqrt(col("enc.err2") / lit(dim.toDouble)), 5).as("recon_rmse")): _*)
+  }
+
+  /** The higher-order-function form of [[pqEncodeWith]] — retained as
+    * the equivalence oracle for the kernel.
+    */
+  private def pqEncodeWithComposed(embeddings: DataFrame, dim: Int, dsub: Int,
+                                   codebooks: Seq[Array[Array[Double]]],
+                                   keep: Seq[String] = Seq("vec_id")): DataFrame = {
     val m = codebooks.size
     // encode: argmin over each sub-space's distances = the code
     val dists = (0 until m).map(s => col(s"_d$s"))
@@ -424,6 +442,15 @@ object VectorOps {
           (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"),
         round(sqrt(dists.map(array_min).reduce(_ + _) / lit(dim.toDouble)), 5)
           .as("recon_rmse")): _*)
+  }
+
+  /** Composed-plan twin of [[pqEncode]], for the kernel-equivalence
+    * spec.
+    */
+  private[graft] def pqEncodeComposed(embeddings: DataFrame, m: Int = 16, k: Int = 16,
+                                      maxTrainRows: Long = PqTrainRows): DataFrame = {
+    val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, k, maxTrainRows)
+    pqEncodeWithComposed(embeddings, dim, dsub, codebooks)
   }
 
   def pqEncode(embeddings: DataFrame, m: Int = 16, k: Int = 16,

@@ -6,6 +6,31 @@ import graft.operators.VectorOps
 
 class VectorOpsSpec extends SparkSpec {
 
+  test("PqEncode kernel is fold-order identical to the composed HOF encode") {
+    import org.apache.spark.sql.functions._
+    val embs = sources.Tables.embeddings(spark, sf)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(r =>
+        (r.getLong(0), r.getSeq[Int](1).toList, r.getDouble(2)))
+    val a = dump(VectorOps.pqEncode(embs))
+    val b = dump(VectorOps.pqEncodeComposed(embs))
+    assert(a.sameElements(b))
+    // ragged input fails loudly instead of silently mis-encoding
+    import spark.implicits._
+    // the kernel's own per-row shape guard fires loudly on a ragged
+    // vector (driven directly — a ragged row in the corpus would trip
+    // the trainer's dim require first)
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    val cb = Array(Array(Array(0.0, 0.0)), Array(Array(0.0, 0.0)))
+    val ragged = Seq((1L, Array(0.1, 0.2, 0.3))).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      ragged.select(column(
+        graft.functions.PqEncode(expression(col("v")), cb))).collect()
+    }
+    assert(e.getMessage.contains("cannot split") ||
+      Option(e.getCause).exists(_.getMessage.contains("cannot split")))
+  }
+
   test("random projection preserves norms on average (JL property) and is deterministic") {
     import org.apache.spark.sql.functions._
     val embs = sources.Tables.embeddings(spark, sf)
