@@ -15,8 +15,9 @@ import org.apache.spark.sql.types._
   *
   * Replaces the per-sub-space `transform(cents, c -> aggregate(
   * zip_with(c, sub, (a,b) -> (a-b)²), 0d, acc+x))` + `array_position(
-  * array_min)` HOF trees ([[graft.operators.VectorOps.pqEncodeWith]]):
-  * those evaluate through CodegenFallback with a lambda dispatch and an
+  * array_min)` HOF trees (retained as
+  * `VectorOps.pqEncodeWithComposed`, the equivalence oracle —
+  * `pqEncodeWith` itself now calls this kernel): those evaluate through CodegenFallback with a lambda dispatch and an
   * intermediate array per (row, sub-space, centroid); this is one
   * generated call per row. Math is fold-order identical (distances
   * accumulate left-to-right over the sub-vector; ties pick the FIRST
@@ -25,15 +26,20 @@ import org.apache.spark.sql.types._
   *
   * Codebooks ride the expression node and reach generated code via
   * `addReferenceObj` — broadcast-literal semantics, nothing shuffled.
-  * Input must be `array<double>` of exactly `m × dsub` elements; a
-  * ragged row errors loudly ([[ArrayDot]]'s stance — corrupt input
-  * must not silently mis-encode).
+  * Input must be `array<double>` of exactly `m × dsub` NON-NULL
+  * elements; a ragged row or a null element errors loudly
+  * ([[ArrayDot]]'s / [[LutSum]]'s stance — ArrayData reads a null slot
+  * as 0.0, a silently wrong encode, so corrupt input must throw).
   */
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression {
 
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_encode needs at least one centroid per sub-space")
   private val m = codebooks.length
   private val dsub = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == dsub)),
+    s"pq_encode codebooks must be rectangular (dsub = $dsub)")
 
   override def nullIntolerant: Boolean = true
 
@@ -70,11 +76,25 @@ object PqEncode {
       throw new IllegalArgumentException(
         s"pq_encode: vector of ${v.numElements()} dims cannot split into " +
           s"$m sub-spaces of $dsub")
+    // one guarded copy per row: catches null slots loudly (ArrayData
+    // reads them as 0.0 — a silently wrong encode) and turns the
+    // m×k×dsub inner-loop reads into local array accesses instead of
+    // per-element accessor calls with an index multiply
+    val vv = new Array[Double](m * dsub)
+    var p = 0
+    while (p < vv.length) {
+      if (v.isNullAt(p))
+        throw new IllegalArgumentException(
+          s"pq_encode: NULL element at dimension $p")
+      vv(p) = v.getDouble(p)
+      p += 1
+    }
     val codes = new Array[Int](m)
     var err2 = 0.0
     var s = 0
     while (s < m) {
       val cents = codebooks(s)
+      val base = s * dsub
       var best = 0
       var bestD = Double.PositiveInfinity
       var c = 0
@@ -83,7 +103,7 @@ object PqEncode {
         var d = 0.0
         var i = 0
         while (i < dsub) {
-          val t = cent(i) - v.getDouble(s * dsub + i)
+          val t = cent(i) - vv(base + i)
           d += t * t
           i += 1
         }
@@ -96,6 +116,6 @@ object PqEncode {
       err2 += bestD
       s += 1
     }
-    new GenericInternalRow(Array[Any](new GenericArrayData(codes.map(Int.box(_): Any)), err2))
+    new GenericInternalRow(Array[Any](new GenericArrayData(codes), err2))
   }
 }
