@@ -10,7 +10,13 @@ import graft.operators.{TextOps, VectorOps}
   *  1. recall@10 of the IVF and IVF-PQ search paths against brute-force
   *     cosine ground truth, across nprobe ∈ {1, nlist/4 (auto), nlist}
   *     — the empirical leg of the recall/cost dial both operators
-  *     document;
+  *     document. Run on TWO corpora: the driver's near-uniform parquet
+  *     embeddings (the distance-concentration WORST case — absolute
+  *     recall sits on the random floor there) and a seeded
+  *     mixture-of-Gaussians corpus of the same size/dim (the regime
+  *     real text embeddings live in: clustered, where the coarse
+  *     quantizer explains most of each vector and residual PQ encoding
+  *     pays off);
   *  2. wall time of the self-contained Jaccard + containment gate
   *     queries vs [[TextOps.setSimilarityPairs]]' shared materialised
   *     overlap index — the production cost model when both projections
@@ -19,16 +25,38 @@ import graft.operators.{TextOps, VectorOps}
   * Env: `SPARK_GRAFT_SF_DIR` (default sf0.1).
   */
 object AnnRecall {
+
+  /** Seeded mixture-of-Gaussians corpus: `kClusters` unit-norm centers,
+    * each vector = center(id mod k) + N(0, sigma²) noise per dim. At
+    * sigma ≈ 0.08 with 64 dims the intra-cluster spread (‖noise‖ ≈
+    * sigma·√dim ≈ 0.64) is comparable to FAISS's clustered benchmark
+    * regimes — neighbours are overwhelmingly same-cluster, but ranking
+    * WITHIN the cluster still needs fine-grained distances, which is
+    * precisely what PQ codes must preserve.
+    */
+  private[graft] def clusteredCorpus(spark: org.apache.spark.sql.SparkSession,
+                                     n: Int, dim: Int, kClusters: Int,
+                                     sigma: Double, seed: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(kClusters) {
+      val c = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      c.map(x => x / nrm)
+    }
+    (0 until n).map { i =>
+      val c = centers(i % kClusters)
+      (i.toLong, Array.tabulate(dim)(j => (c(j) + sigma * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(
       Runtime.getRuntime.availableProcessors())
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb = graft.sources.Tables.readTable(spark, sfDir, "embeddings")
-    val total = emb.count()
-    val nlist = math.min(4096L, math.max(16L,
-      math.round(math.sqrt(total.toDouble)))).toInt
     val queryIds = (0L until 50L).toSeq
     val k = 10
 
@@ -38,30 +66,52 @@ object AnnRecall {
           q -> rs.map(_.getLong(1)).toSet
         }
 
-    val truth = topSet(VectorOps.cosineTopK(emb, queryIds, k))
-    require(queryIds.forall(truth.contains),
-      s"ground truth missing query vec_ids ${queryIds.filterNot(truth.contains)} — " +
-        s"does $sfDir/embeddings contain them?")
-    def recall(got: Map[Long, Set[Long]]): Double =
-      queryIds.map(q => (truth(q) & got.getOrElse(q, Set.empty)).size.toDouble / k)
-        .sum / queryIds.size
+    def recallTable(tag: String, emb: org.apache.spark.sql.DataFrame): Unit = {
+      val total = emb.count()
+      val nlist = math.min(4096L, math.max(16L,
+        math.round(math.sqrt(total.toDouble)))).toInt
+      val truth = topSet(VectorOps.cosineTopK(emb, queryIds, k))
+      require(queryIds.forall(truth.contains),
+        s"ground truth missing query vec_ids ${queryIds.filterNot(truth.contains)} — " +
+          s"does the $tag corpus contain them?")
+      def recall(got: Map[Long, Set[Long]]): Double =
+        queryIds.map(q => (truth(q) & got.getOrElse(q, Set.empty)).size.toDouble / k)
+          .sum / queryIds.size
 
-    println(f"[annrecall] sf=$sfDir corpus=$total nlist=$nlist queries=${queryIds.size} k=$k")
-    for (nprobe <- Seq(1, math.max(1, nlist / 4), nlist)) {
-      val rIvf = recall(topSet(
-        VectorOps.ivfTopK(emb, queryIds, k, nlist = nlist, nprobe = nprobe)))
-      val rIvfPq = recall(topSet(
-        VectorOps.ivfPqTopK(emb, queryIds, k, nlist = nlist, nprobe = nprobe)))
-      println(f"[annrecall] nprobe=$nprobe%4d ivf_recall@10=$rIvf%.3f ivfpq_recall@10=$rIvfPq%.3f")
+      println(f"[annrecall] corpus=$tag n=$total nlist=$nlist queries=${queryIds.size} k=$k")
+      for (nprobe <- Seq(1, math.max(1, nlist / 4), nlist)) {
+        val rIvf = recall(topSet(
+          VectorOps.ivfTopK(emb, queryIds, k, nlist = nlist, nprobe = nprobe)))
+        val rIvfPq = recall(topSet(
+          VectorOps.ivfPqTopK(emb, queryIds, k, nlist = nlist, nprobe = nprobe)))
+        println(f"[annrecall] $tag nprobe=$nprobe%4d ivf_recall@10=$rIvf%.3f ivfpq_recall@10=$rIvfPq%.3f")
+      }
+      // PQ-only ADC (no routing loss, raw-vector codes): isolates plain
+      // quantization error across the bits-per-vector dial (m sub-spaces
+      // × log2(kCent) bits each); the gap between full-probe IVF-PQ
+      // above and the same-bit-rate row here is the residual-encoding
+      // payoff
+      for ((m, kc) <- Seq((8, 16), (16, 16), (8, 256), (16, 64), (32, 16))) {
+        val rPq = recall(topSet(
+          VectorOps.pqTopK(emb, queryIds, k, m = m, kCent = kc)))
+        val bits = m * (math.log(kc) / math.log(2)).round
+        println(f"[annrecall] $tag adc-only m=$m%2d kCent=$kc%3d bits=$bits%3d pq_recall@10=$rPq%.3f")
+      }
+      // the same two 64-bit layouts through the RESIDUAL path at auto
+      // nprobe — m×kCent is a shape dial (few wide codebooks vs many
+      // narrow ones), separate from the bit-rate dial above
+      for ((m, kc) <- Seq((16, 16), (8, 256))) {
+        val r = recall(topSet(VectorOps.ivfPqTopK(emb, queryIds, k,
+          nlist = nlist, nprobe = math.max(1, nlist / 4), m = m, kCent = kc)))
+        println(f"[annrecall] $tag ivfpq-64bit m=$m%2d kCent=$kc%3d recall@10=$r%.3f")
+      }
     }
-    // PQ-only ADC (no routing loss): isolates quantization error across
-    // the bits-per-vector dial (m sub-spaces × log2(kCent) bits each)
-    for ((m, kc) <- Seq((8, 16), (16, 16), (16, 64), (32, 16))) {
-      val rPq = recall(topSet(
-        VectorOps.pqTopK(emb, queryIds, k, m = m, kCent = kc)))
-      val bits = m * (math.log(kc) / math.log(2)).round
-      println(f"[annrecall] adc-only m=$m%2d kCent=$kc%3d bits=$bits%3d pq_recall@10=$rPq%.3f")
-    }
+
+    val emb = graft.sources.Tables.readTable(spark, sfDir, "embeddings")
+    recallTable("uniform", emb)
+    recallTable("clustered",
+      clusteredCorpus(spark, n = emb.count().toInt, dim = 64,
+        kClusters = 32, sigma = 0.08, seed = 7L).localCheckpoint())
 
     // shared-index timing: 3 passes each, min (same protocol as Bench)
     val docs = graft.sources.Tables.readTable(spark, sfDir, "documents")

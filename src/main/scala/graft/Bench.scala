@@ -108,8 +108,16 @@ object Bench {
     val total = results.map(_._2).sum
     val passTotals = allPasses.map(p => f"${p.map(_._2).sum}%.3f").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-pass per-query detail: a contended draw is diagnosable from
+    // the artifact alone (the r4 driver file carried 5×-inflated cheap
+    // queries that only a clean re-run could adjudicate — with every
+    // pass recorded, "pass 1 says 3.2 s, pass 2 says 0.4 s" is visible
+    // in the JSON itself)
+    val perPass = allPasses.map(p =>
+      p.map { case (n, t, _) => "\"" + n + f"\":$t%.3f" }.mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"failed":$failedJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"per_pass":$perPass,"failed":$failedJson}"""
     // Short headline FIRST and LAST around the full per-query line: the
     // driver's stdout-tail capture has truncated the 86-query line
     // mid-object (r01/r03 "parsed: null") — a short line on both sides

@@ -71,9 +71,14 @@ object MultimodalOps {
     * formula relationally instead of decoding).
     */
   def patternChannel(id: Long, channel: Int, x: Int, y: Int): Int = channel match {
-    case 0 => ((id * 31 + x * 7 + y * 13) % 256).toInt
-    case 1 => ((id * 17 + x * 11 + y * 3) % 256).toInt
-    case _ => ((id * 29 + x * 5 + y * 19) % 256).toInt
+    // floorMod, not %: Scala % is negative for negative ids, and a
+    // negative channel value bit-ored into setRGB's packed int would
+    // silently corrupt the neighbouring channels — while the oracle's
+    // SQL % has its own (different) negative semantics. floorMod keeps
+    // the contract total over all of Long.
+    case 0 => Math.floorMod(id * 31 + x * 7 + y * 13, 256).toInt
+    case 1 => Math.floorMod(id * 17 + x * 11 + y * 3, 256).toInt
+    case _ => Math.floorMod(id * 29 + x * 5 + y * 19, 256).toInt
   }
 
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {

@@ -232,14 +232,24 @@ object VectorOps {
   }
 
   def randomProject(embeddings: DataFrame, outDim: Int = 16): DataFrame = {
-    val head = embeddings.select(size(vec(col("embedding"))).as("d")).limit(1).collect()
+    val head = embeddings
+      .select(col("vec_id"), size(vec(col("embedding"))).as("d"))
+      .limit(1).collect()
     if (head.isEmpty)
       // empty corpus: stay total with the right schema, like the
       // text-operator totality contract
       return embeddings.select(col("vec_id"),
         expr("array()").cast("array<double>").as("proj"),
         lit(null).cast("double").as("proj_norm"))
-    val dim = head(0).getInt(0)
+    // the probed row drives the WHOLE projection's dimensionality — a
+    // null or empty embedding here must fail loudly with the offending
+    // id (the ArrayDot/PqEncode corrupt-input stance), not NPE opaquely
+    // or mis-size the matrix
+    if (head(0).isNullAt(1) || head(0).getInt(1) <= 0)
+      throw new IllegalArgumentException(
+        s"randomProject: vec_id=${head(0).get(0)} has a null/empty embedding — " +
+          "cannot derive the projection's input dimension from a corrupt row")
+    val dim = head(0).getInt(1)
     val signs = projSigns(dim, outDim)
     // literal-weighted sums: fully codegen'd (no higher-order lambda),
     // left-to-right in i so the oracle replays the fold order; a row
@@ -285,11 +295,14 @@ object VectorOps {
     * IVF-PQ architecture ([[ivfTopK]] being the routing leg): the
     * vector space is split into `m` sub-spaces, each gets its own
     * k-means codebook (k centroids), and a vector is stored as `m`
-    * small codes (default m=16, k=16 → 64 bits per 64-dim vector, a
-    * 32× compression of float32 — chosen from the measured
-    * bits-per-vector/recall dial in PLANS.md: 32-bit codes recall
-    * 0.15@10 on the unstructured test embeddings vs 0.36 at 64 bits,
-    * and the encode cost is flat in m·k). At 100 TB this is what makes the
+    * small codes (default m=8, k=256 → 64 bits per 64-dim vector, a
+    * 32× compression of float32 — the classic PQ shape, and the better
+    * end of the measured SHAPE dial in PLANS.md: at the same 64-bit
+    * rate, 8 wide codebooks recall 0.46@10 on the uniform test
+    * embeddings vs 0.36 for 16 narrow ones, because each codebook
+    * quantizes an 8-dim sub-vector with 256 centroids instead of a
+    * 4-dim one with 16; the bit-RATE dial 32→128 bits is monotone on
+    * top of that). At 100 TB this is what makes the
     * candidate set RAM-resident: the asymmetric-distance scan reads
     * codes, not vectors.
     *
@@ -447,13 +460,13 @@ object VectorOps {
   /** Composed-plan twin of [[pqEncode]], for the kernel-equivalence
     * spec.
     */
-  private[graft] def pqEncodeComposed(embeddings: DataFrame, m: Int = 16, k: Int = 16,
+  private[graft] def pqEncodeComposed(embeddings: DataFrame, m: Int = 8, k: Int = 256,
                                       maxTrainRows: Long = PqTrainRows): DataFrame = {
     val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, k, maxTrainRows)
     pqEncodeWithComposed(embeddings, dim, dsub, codebooks)
   }
 
-  def pqEncode(embeddings: DataFrame, m: Int = 16, k: Int = 16,
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 256,
                maxTrainRows: Long = PqTrainRows): DataFrame = {
     val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, k, maxTrainRows)
     pqEncodeWith(embeddings, dim, dsub, codebooks)
@@ -496,8 +509,12 @@ object VectorOps {
   }
 
   /** ADC scoring + per-query top-k over a (codes ⨝ LUT) row set:
-    * score = Σ_s iplut[s][code_s] / (qnorm · √Σ_s nlut[s][code_s]).
-    * The per-row lookup sums run in the codegen'd
+    * score = (qc + Σ_s iplut[s][code_s]) / (qnorm · √Σ_s nlut[s][code_s]).
+    * `qc` is the reconstruction-offset inner product — 0 for plain PQ
+    * (codes reconstruct the vector directly), q·centroid(cell) for
+    * residual IVF-PQ (codes reconstruct x − centroid, so the centroid
+    * term of q·recon(x) is a per-(query, cell) scalar that rides on the
+    * LUT row). The per-row lookup sums run in the codegen'd
     * [[graft.functions.LutSum]] kernel (bit-identical to the
     * interpreted `aggregate(zip_with(...))` fold it replaced — this is
     * the once-per-corpus-vector loop, i.e. the whole scan cost of an
@@ -510,7 +527,7 @@ object VectorOps {
       column(graft.functions.LutSum(expression(codes), expression(luts)))
     val w = Window.partitionBy("qid").orderBy(col("adc_cos").desc, col("vec_id"))
     joined
-      .withColumn("ip", lutSum(col("codes"), col("iplut")))
+      .withColumn("ip", col("qc") + lutSum(col("codes"), col("iplut")))
       .withColumn("rnorm2", lutSum(col("codes"), col("nlut")))
       .withColumn("adc_cos",
         round(col("ip") / greatest(col("qnorm") * sqrt(col("rnorm2")), lit(1e-12)), 5))
@@ -520,7 +537,7 @@ object VectorOps {
   }
 
   def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
-             m: Int = 16, kCent: Int = 16,
+             m: Int = 8, kCent: Int = 256,
              maxTrainRows: Long = PqTrainRows): DataFrame = {
     val spark = embeddings.sparkSession
     val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, kCent, maxTrainRows)
@@ -530,8 +547,8 @@ object VectorOps {
     import spark.implicits._
     val lutRows = collectQueries(embeddings, queryIds).map { case (qid, q) =>
       val (qNorm, ipLut, nLut) = pqLut(q, dsub, codebooks)
-      (qid, qNorm, ipLut, nLut)
-    }.toSeq.toDF("qid", "qnorm", "iplut", "nlut")
+      (qid, qNorm, 0.0, ipLut, nLut)
+    }.toSeq.toDF("qid", "qnorm", "qc", "iplut", "nlut")
 
     adcTopK(codes.join(broadcast(lutRows), col("vec_id") =!= col("qid")), k)
   }
@@ -541,8 +558,23 @@ object VectorOps {
     * its `nprobe` nearest cells ([[ivfTopK]]'s recall/cost dial) and
     * within those cells candidates are scored by asymmetric distance
     * over PQ CODES ([[pqTopK]]'s memory dial) — cost ≈ nprobe/nlist of
-    * an ADC scan, reading 32-bit codes instead of full vectors, so at
+    * an ADC scan, reading 64-bit codes instead of full vectors, so at
     * 100 TB the search touches ~0.1% of ~1% of the raw bytes.
+    *
+    * RESIDUAL encoding (Jégou et al.'s IVFADC layout): the PQ codebooks
+    * train on, and the codes reconstruct, `x̂ − centroid(cell)` over
+    * UNIT vectors — the space the spherical quantizer partitioned — not
+    * the raw vector. Residuals are small (the coarse quantizer already
+    * explains most of each vector), so the same bit-rate quantizes a
+    * much tighter distribution; the round-4 recall table (PLANS.md)
+    * showed raw-vector encoding pinned full-probe recall to the plain
+    * ADC ceiling, i.e. all end-to-end error was quantization error that
+    * residuals shrink. Scoring stays exact-in-the-reconstruction:
+    * recon(x) = centroid + recon(residual), so q·recon(x) decomposes
+    * into a per-(query, cell) scalar `qc = q·centroid` plus the usual
+    * per-sub-space residual LUT sums, and |recon(x)|² is a per-CELL LUT
+    * `|c_sub + r_code|²` — both ride the ≤|queries|·nprobe broadcast
+    * row set; the per-corpus-row scan cost is unchanged (2m lookups).
     *
     * Plan shape: the cell-pruned candidate fetch is a broadcast hash
     * join of the code table against the ≤|queries|·nprobe (qid, cell,
@@ -560,31 +592,67 @@ object VectorOps {
     */
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
                 nlist: Int = Auto, nprobe: Int = Auto,
-                m: Int = 16, kCent: Int = 16,
+                m: Int = 8, kCent: Int = 256,
                 maxTrainRows: Long = MaxTrainRows,
                 pqTrainRows: Long = PqTrainRows): DataFrame = {
     val spark = embeddings.sparkSession
     val (corpus, centers, nprobeEff) =
       ivfAssign(embeddings, nlist, nprobe, maxTrainRows)
-    val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, kCent, pqTrainRows)
+
+    import spark.implicits._
+    val centroidsDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+    // residual table: x̂ − centroid(cell), x̂ the unit vector (zero
+    // vectors stay zero via the safe norm — their residual is just
+    // −centroid, consistent between train and encode). The centroid
+    // join is a broadcast of nlist rows; checkpointing matches the
+    // corpus-assignment treatment — this IS the data the index encodes,
+    // and it is read three times (count, training sample, encode scan).
+    val safeN = greatest(norm(col("embedding")), lit(1e-12))
+    val residuals = corpus.join(broadcast(centroidsDf), Seq("cell"))
+      .withColumn("_n", safeN)
+      .select(col("vec_id"), col("cell"),
+        zip_with(vec(col("embedding")), col("centroid"),
+          (x, c) => x / col("_n") - c).as("embedding"))
+      .localCheckpoint()
+    // codebooks train on residuals of the bounded sample — the tighter
+    // distribution is the whole point of the residual layout
+    val (dim, dsub, codebooks) = pqCodebooks(residuals, m, kCent, pqTrainRows)
     // one projection carries codes AND the routing cell — the IVF-PQ
     // "index shard" layout (cell, codes); full vectors leave the plan here
-    val codes = pqEncodeWith(corpus, dim, dsub, codebooks,
+    val codes = pqEncodeWith(residuals, dim, dsub, codebooks,
         keep = Seq("vec_id", "cell"))
       .select("vec_id", "cell", "codes")
 
-    import spark.implicits._
+    // per-cell reconstruction-norm LUT: |recon|² = Σ_s |c_sub + r_code|²
+    // (sub-spaces are orthogonal coordinates). Query-independent —
+    // nlist × m × kCent doubles, computed once.
+    val nlutByCell: Array[Seq[Seq[Double]]] = centers.map { c =>
+      (0 until m).map { s =>
+        codebooks(s).map { r =>
+          var sum = 0.0
+          var i = 0
+          while (i < dsub) { val t = c(s * dsub + i) + r(i); sum += t * t; i += 1 }
+          sum
+        }.toSeq
+      }
+    }
     val lutRows = collectQueries(embeddings, queryIds).flatMap { case (qid, q) =>
-      val (qNorm, ipLut, nLut) = pqLut(q, dsub, codebooks)
+      // iplut holds q · r_code per sub-space (residual codebooks); the
+      // centroid half of q·recon(x) is the per-cell scalar qc below
+      val (qNorm, ipLut, _) = pqLut(q, dsub, codebooks)
       // driver-side probe: rank cells by cosine(q, centroid) with cell-id
       // tiebreak — the same ordering ivfTopK computes relationally
       val probed = centers.zipWithIndex.map { case (c, i) =>
         val ip = c.indices.map(j => c(j) * q(j)).sum
         val cn = math.sqrt(c.map(x => x * x).sum)
-        (i, ip / math.max(qNorm * cn, 1e-12))
-      }.sortBy { case (i, cos) => (-cos, i) }.take(nprobeEff).map(_._1)
-      probed.map(cell => (qid, cell, qNorm, ipLut, nLut))
-    }.toSeq.toDF("qid", "cell", "qnorm", "iplut", "nlut")
+        (i, ip, ip / math.max(qNorm * cn, 1e-12))
+      }.sortBy { case (i, _, cos) => (-cos, i) }.take(nprobeEff)
+      probed.map { case (cell, qc, _) =>
+        (qid, cell, qNorm, qc, ipLut, nlutByCell(cell))
+      }
+    }.toSeq.toDF("qid", "cell", "qnorm", "qc", "iplut", "nlut")
 
     adcTopK(
       codes.join(broadcast(lutRows), Seq("cell"))

@@ -22,8 +22,26 @@ object ExtQueries {
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.textStats(docs(spark, dir)).orderBy("doc_id")
 
+  /** Trained language-ID artifact, shared by its two consumers
+    * (`text_langid` and `text_lang_mismatch`): ONE trigram-profile
+    * training + scoring pass per (session, scale dir), materialised,
+    * then read by both queries. The cached value is the classifier
+    * OUTPUT — O(#docs) rows of (doc_id, lang_guess, score), the
+    * artifact a production pipeline persists once and joins everywhere
+    * (the train-once posture of [[TextOps.setSimilarityPairs]]' shared
+    * overlap index; cost model measured in PLANS.md). Keyed by
+    * (session, dir) so another scale or a restarted session never sees
+    * a stale artifact; values are deterministic, so sharing cannot
+    * change either gate row.
+    */
+  private val langGuessCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def langGuesses(spark: SparkSession, dir: String): DataFrame =
+    langGuessCache.getOrElseUpdate((spark, dir),
+      TextOps.langId(docs(spark, dir)).localCheckpoint())
+
   def textLangId(spark: SparkSession, dir: String): DataFrame =
-    TextOps.langId(docs(spark, dir)).orderBy("doc_id")
+    langGuesses(spark, dir).orderBy("doc_id")
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(docs(spark, dir)).orderBy("doc_id")
@@ -108,7 +126,12 @@ object ExtQueries {
     * how wide the rank-k tie group is; the only correctness condition
     * is the budget ≥ vocabulary one the oracle promotion already
     * rests on. The fetched row is ≤ budget structs — the same data the
-    * sketch holds anyway.
+    * sketch holds anyway. Explicit memory bound: that single aggregate
+    * row materialises ≤ `SketchBudget` (token, count) structs (~a few
+    * MB at the 100k budget) on ONE task before the explode — the
+    * documented price of a deterministic boundary; it is bounded by the
+    * budget, never the corpus, but a deployment re-ranking a much wider
+    * budget should fetch `k` + a tie margin instead.
     */
   def frequentTokens(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     docs(spark, dir)

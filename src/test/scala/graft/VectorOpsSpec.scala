@@ -224,16 +224,16 @@ class VectorOpsSpec extends SparkSpec {
     val b = VectorOps.pqEncode(embs).orderBy("vec_id").collect()
     assert(a.toSeq === b.toSeq, "seeded PQ must be reproducible")
     assert(a.length === embs.count())
-    // codes live in [0, k)
-    assert(a.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    // codes live in [0, k) — k = 256, the default codebook width
+    assert(a.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 256)))
     // finer codebooks must beat the coarsest trainable one (k=2) on
     // mean reconstruction error — k-means has to capture SOME variance
     // per added centroid or the training is broken
-    val rmse16 = a.map(_.getAs[Double]("recon_rmse")).sum / a.length
+    val rmse256 = a.map(_.getAs[Double]("recon_rmse")).sum / a.length
     val rmse2 = VectorOps.pqEncode(embs, k = 2).collect()
       .map(_.getAs[Double]("recon_rmse")).sum / a.length
-    assert(rmse16 < rmse2 * 0.98,
-      s"k=16 rmse $rmse16 should beat k=2 rmse $rmse2")
+    assert(rmse256 < rmse2 * 0.98,
+      s"k=256 rmse $rmse256 should beat k=2 rmse $rmse2")
   }
 
   test("PQ encodes a vector equal to a centroid with zero error") {
@@ -290,15 +290,50 @@ class VectorOpsSpec extends SparkSpec {
     assert(top.map(_.getLong(1)).toSeq === exact)
   }
 
-  test("IVF-PQ at full probe equals the plain ADC scan (routing is lossless)") {
-    // nprobe = nlist scores every cell, so the cell routing must change
-    // nothing vs pqTopK with the same codebooks — isolates the IVF leg
-    val qs = Seq(0L, 1L, 2L)
-    val full = VectorOps.ivfPqTopK(embs, qs, k = 10, nlist = 8, nprobe = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-    val flat = VectorOps.pqTopK(embs, qs, k = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-    assert(full === flat)
+  test("IVF-PQ residual encoding: tighter scores than the plain ADC scan on clustered data, deterministic") {
+    // residual encoding's claim: when the coarse quantizer explains
+    // most of each vector (clustered data — the regime real embeddings
+    // live in), quantizing x̂ − centroid(cell) at the same bit-rate is
+    // strictly tighter than quantizing the raw vector. Measured two
+    // ways on a seeded mixture-of-Gaussians corpus, full probe so
+    // routing is out of the picture: (a) ADC score fidelity vs exact
+    // cosine (the direct quantization-error metric — stable), and
+    // (b) recall@10 vs exact ground truth (the end-to-end metric).
+    // On a near-UNIFORM corpus both paths sit in the same
+    // distance-concentration floor and (b) is noise — which is why
+    // this spec fabricates cluster structure instead of using the
+    // parquet fixture (AnnRecall measures both regimes).
+    val emb = graft.AnnRecall.clusteredCorpus(spark, n = 500, dim = 64,
+      kClusters = 16, sigma = 0.08, seed = 7L).localCheckpoint()
+    val qs = (0L until 10L).toSeq
+    val k = 10
+    val exact = VectorOps.cosineTopK(emb, qs, k).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      qs.map(q => (exact(q) & got.getOrElse(q, Set.empty[Long])).size.toDouble / k).sum / qs.size
+    }
+    val full1 = VectorOps.ivfPqTopK(emb, qs, k, nlist = 16, nprobe = 16).collect()
+    val flat = VectorOps.pqTopK(emb, qs, k).collect()
+    assert(recall(full1) >= recall(flat),
+      s"residual full-probe recall ${recall(full1)} < flat ADC recall ${recall(flat)}")
+    // score fidelity: mean |adc_cos − cos| against every corpus vector
+    // for query 0 — residual codes must reconstruct tighter
+    val exactAll = VectorOps.cosineTopK(emb, Seq(0L), 500)
+      .select(col("vec_id"), col("cos"))
+    def mae(df: org.apache.spark.sql.DataFrame): Double =
+      df.filter(col("qid") === 0L).select(col("vec_id"), col("adc_cos"))
+        .join(exactAll, "vec_id")
+        .select(avg(abs(col("adc_cos") - col("cos")))).head().getDouble(0)
+    val maeRes = mae(VectorOps.ivfPqTopK(emb, Seq(0L), 499, nlist = 16, nprobe = 16))
+    val maeFlat = mae(VectorOps.pqTopK(emb, Seq(0L), 499))
+    assert(maeRes < maeFlat,
+      s"residual ADC mae $maeRes should beat raw-vector ADC mae $maeFlat")
+    // seeded trainings → bit-identical reruns
+    val full2 = VectorOps.ivfPqTopK(emb, qs, k, nlist = 16, nprobe = 16).collect()
+    def dump(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(dump(full1) === dump(full2))
   }
 
   test("PQ ADC self-score reflects quantization: near 1 for in-sample vectors") {
