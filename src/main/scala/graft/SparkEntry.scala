@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_paragraph" -> (graft.queries.ExtQueries.dedupParagraph(_, _)),
     "dedup_substring" -> (graft.queries.ExtQueries.dedupSubstring(_, _)),
     "dedup_containment" -> (graft.queries.ExtQueries.dedupContainment(_, _)),
+    "dedup_shared_index" -> (graft.queries.ExtQueries.dedupSharedIndex(_, _)),
     "text_kl_sources" -> (graft.queries.ExtQueries.textKlSources(_, _)),
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "sample_per_group" -> (graft.queries.ExtQueries.samplePerGroup(_, _)),

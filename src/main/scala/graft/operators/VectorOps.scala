@@ -626,18 +626,22 @@ object VectorOps {
       .select("vec_id", "cell", "codes")
 
     // per-cell reconstruction-norm LUT: |recon|² = Σ_s |c_sub + r_code|²
-    // (sub-spaces are orthogonal coordinates). Query-independent —
-    // nlist × m × kCent doubles, computed once.
-    val nlutByCell: Array[Seq[Seq[Double]]] = centers.map { c =>
-      (0 until m).map { s =>
+    // (sub-spaces are orthogonal coordinates). Query-INDEPENDENT, so it
+    // ships as its own nlist-row broadcast joined on the cell id rather
+    // than riding (duplicated) on every (query, cell) LUT row — at full
+    // probe the duplicated form is |queries|·nlist·m·kCent doubles of
+    // task payload for nlist·m·kCent of information.
+    val nlutDf = centers.indices.map { cell =>
+      val c = centers(cell)
+      (cell, (0 until m).map { s =>
         codebooks(s).map { r =>
           var sum = 0.0
           var i = 0
           while (i < dsub) { val t = c(s * dsub + i) + r(i); sum += t * t; i += 1 }
           sum
         }.toSeq
-      }
-    }
+      })
+    }.toDF("cell", "nlut")
     val lutRows = collectQueries(embeddings, queryIds).flatMap { case (qid, q) =>
       // iplut holds q · r_code per sub-space (residual codebooks); the
       // centroid half of q·recon(x) is the per-cell scalar qc below
@@ -649,13 +653,12 @@ object VectorOps {
         val cn = math.sqrt(c.map(x => x * x).sum)
         (i, ip, ip / math.max(qNorm * cn, 1e-12))
       }.sortBy { case (i, _, cos) => (-cos, i) }.take(nprobeEff)
-      probed.map { case (cell, qc, _) =>
-        (qid, cell, qNorm, qc, ipLut, nlutByCell(cell))
-      }
-    }.toSeq.toDF("qid", "cell", "qnorm", "qc", "iplut", "nlut")
+      probed.map { case (cell, qc, _) => (qid, cell, qNorm, qc, ipLut) }
+    }.toSeq.toDF("qid", "cell", "qnorm", "qc", "iplut")
 
     adcTopK(
       codes.join(broadcast(lutRows), Seq("cell"))
+        .join(broadcast(nlutDf), Seq("cell"))
         .filter(col("vec_id") =!= col("qid")), k)
   }
 

@@ -459,6 +459,31 @@ object ExtOracles {
          |WHERE round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.8
          |ORDER BY a, b""".stripMargin,
 
+    // replays ExtQueries.dedupSharedIndex: the SAME pair-stats CTEs as
+    // dedup_jaccard_pairs / dedup_containment, read twice — the oracle
+    // face of the shared-index cost model (one index, two projections)
+    "dedup_shared_index" ->
+      s"""WITH $tokCte, $shCte,
+         |shf AS (SELECT doc_id, s FROM (
+         |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+         |          FROM sh)
+         |        WHERE df <= (SELECT count(*) FROM documents) * 0.1),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |          FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT kind, a, b, score FROM (
+         |  SELECT 'jaccard' AS kind, a, b,
+         |    round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) AS score
+         |  FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |  WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) >= 0.5
+         |  UNION ALL
+         |  SELECT 'containment' AS kind, a, b,
+         |    round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS score
+         |  FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |  WHERE round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.8)
+         |ORDER BY kind, a, b""".stripMargin,
+
     // replays TextOps.sourceKl: KL(P_source || P_corpus) over unigrams
     "text_kl_sources" ->
       s"""WITH tokw AS (SELECT source, unnest(string_split(text, ' ')) AS w

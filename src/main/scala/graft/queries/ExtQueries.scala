@@ -252,6 +252,22 @@ object ExtQueries {
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
     TextOps.containmentPairs(docs(spark, dir), threshold = 0.8).orderBy("a", "b")
 
+  /** Jaccard AND containment projections off ONE materialised
+    * overlap-stats index ([[TextOps.setSimilarityPairs]]) — the shared
+    * production cost model (one inverted-index self-join serves both
+    * consumers at 0.53× the self-contained cost, measured in PLANS.md)
+    * promoted to a correctness row: both pair sets, kind-tagged and
+    * unioned, hash-checked against the union of the two oracles.
+    */
+  def dedupSharedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val (j, c) = TextOps.setSimilarityPairs(docs(spark, dir))
+    j.select(lit("jaccard").as("kind"), col("a"), col("b"),
+        col("jaccard").as("score"))
+      .unionAll(c.select(lit("containment").as("kind"), col("a"), col("b"),
+        col("containment").as("score")))
+      .orderBy("kind", "a", "b")
+  }
+
   /** Per-source unigram KL divergence vs the corpus distribution. */
   def textKlSources(spark: SparkSession, dir: String): DataFrame =
     TextOps.sourceKl(docs(spark, dir)).orderBy("source")
