@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.TextOps
+
+/** Checkpoint-artifact scale probe (methodology + results recorded in
+  * PLANS.md; re-runnable any time):
+  *
+  *  1. rows + materialised bytes of the three O(total tokens)
+  *     `localCheckpoint` artifacts the text operators persist — the
+  *     langId tf table, the IDF-weighted posting index, the substring
+  *     window table — at every SF dir given (default sf0.01 and
+  *     sf0.1), pinning the linear-growth claim a 100 TB capacity plan
+  *     rests on;
+  *  2. wall time of the md5 vs rolling-polynomial substring-dedup
+  *     profiles (same plan, different window hash — the O(n·k) vs
+  *     O(n) bytes-hashed trade documented on the kernels).
+  *
+  * Args: SF dirs (defaults to /root/testdata/sf0.01 /root/testdata/sf0.1).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(Runtime.getRuntime.availableProcessors())
+    spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
+
+    def probe(sf: String, name: String, df: DataFrame): Unit = {
+      val before = sc.getRDDStorageInfo.map(_.id).toSet
+      val cp = df.localCheckpoint()
+      val rows = cp.count()
+      val info = sc.getRDDStorageInfo.filterNot(i => before(i.id))
+      val mb = info.map(i => i.memSize + i.diskSize).sum / 1e6
+      println(f"[scaleprobe] $sf $name rows=$rows bytesMB=$mb%.1f")
+      cp.unpersist()
+    }
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    for (dir <- dirs) {
+      val sf = dir.split('/').last
+      val docs = graft.sources.Tables.documents(spark, dir)
+      probe(sf, "langid_tf", TextOps.langIdTf(docs))
+      probe(sf, "cosine_weighted_index", TextOps.cosineWeightedIndex(docs))
+      probe(sf, "substring_window_table", TextOps.substringWindowTable(docs))
+      // profile timing: 3 passes each, min (the Bench protocol)
+      val md5T = (1 to 3).map(_ => time(sink(TextOps.substringDedup(docs)))).min
+      val rollT = (1 to 3).map(_ => time(sink(TextOps.substringDedupRolling(docs)))).min
+      println(f"[scaleprobe] $sf substring md5=$md5T%.2fs rolling=$rollT%.2fs ratio=${rollT / md5T}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -202,6 +202,49 @@ object GraftHash {
     new GenericArrayData(out)
   }
 
+  /** Rolling-polynomial window hashes — the PRODUCTION profile of
+    * [[tokenWindowHashes]]: each token's bytes are hashed ONCE (64-bit
+    * FNV-1a), and the k-token window hash is the degree-(k−1)
+    * polynomial Σ_j h(tok_{i+j})·B^(k−1−j) in natural mod-2⁶⁴
+    * arithmetic, advanced in O(1) per stride — O(n) bytes hashed per
+    * document vs the md5 profile's O(n·k). Not cross-engine-replayable
+    * (no shared hash with DuckDB), which is exactly why the GATE query
+    * stays on md5; the equivalence spec pins both profiles to the same
+    * flagged-span sets. 64-bit collisions across a window table are
+    * ~n²∕2⁶⁴ — negligible at any corpus a single table holds.
+    */
+  def tokenWindowHashesRolling(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < k) return null
+    val B = 0x100000001b3L // FNV prime doubles as the polynomial base
+    // per-token 64-bit FNV-1a: every byte of the document hashed once
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val bytes = toks(i).getBytes
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < bytes.length) { h ^= bytes(j) & 0xffL; h *= B; j += 1 }
+      th(i) = h
+      i += 1
+    }
+    var bk = 1L // B^(k-1), the roll-out coefficient
+    i = 1
+    while (i < k) { bk *= B; i += 1 }
+    val out = new Array[Any](toks.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + th(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= toks.length - k) {
+      h = (h - th(i - 1) * bk) * B + th(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-row n-gram COUNTS, sorted by gram: the (g, tf) pairs
     * `explode(charNgrams) → groupBy(doc, g).count` would produce, but
     * computed inside the row — so the langId tf table needs NO explode
@@ -360,6 +403,43 @@ case class TokenWindowHashes(child: Expression, k: Int) extends UnaryExpression 
     })
 
   override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes =
+    copy(child = newChild)
+}
+
+/** `token_window_hashes_rolling(text, k)`: 64-bit rolling-polynomial
+  * hash per stride-1 k-token window — the O(n)-bytes-hashed production
+  * profile of [[TokenWindowHashes]] (see
+  * [[GraftHash.tokenWindowHashesRolling]]). Null below k tokens.
+  */
+case class TokenWindowHashesRolling(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, s"token_window_hashes_rolling needs k >= 1, got $k")
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_window_hashes_rolling needs a string argument, got ${t.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else GraftHash.tokenWindowHashesRolling(v.asInstanceOf[UTF8String], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.GraftHash.tokenWindowHashesRolling($c, $k);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashesRolling =
     copy(child = newChild)
 }
 

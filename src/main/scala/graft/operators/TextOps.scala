@@ -148,11 +148,7 @@ object TextOps {
     // re-scan pattern mixtureWeights/setSimilarityPairs checkpoint
     // away). This tf table is the "features + training set" artifact a
     // production pipeline persists anyway.
-    val dtf = docs.filter(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"), explode(charTrigramCounts).as("e"))
-      .select(col("doc_id"), col("lang"),
-        col("e.g").as("g"), col("e.tf").cast("bigint").as("tf"))
-      .localCheckpoint()
+    val dtf = langIdTf(docs).localCheckpoint()
     val prof = dtf.groupBy("lang", "g").agg(sum("tf").as("c"))
     val langTot = prof.groupBy("lang").agg(sum("c").as("nl"))
     val vocab = dtf.agg(countDistinct("g").as("v"))
@@ -172,6 +168,17 @@ object TextOps {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("lang_guess"), col("score"))
   }
+
+  /** The langId tf table — the (doc, lang, trigram, tf) training +
+    * feature artifact [[langId]] checkpoints (one corpus scan, zero
+    * pre-checkpoint shuffles). Exposed for the scale probe
+    * ([[graft.ScaleProbe]]) that pins its linear growth.
+    */
+  private[graft] def langIdTf(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(charTrigramCounts).as("e"))
+      .select(col("doc_id"), col("lang"),
+        col("e.g").as("g"), col("e.tf").cast("bigint").as("tf"))
 
   /** Normalised-content fingerprint (rolling-hash document fingerprinting
     * collapses to a full-content hash once content is normalised).
@@ -465,18 +472,13 @@ object TextOps {
     */
   def cosinePairs(docs: DataFrame, threshold: Double = 0.5,
                   maxDfFrac: Double = 0.1): DataFrame = {
-    val sh = informativeShingles(docs, maxDfFrac)
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val w = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("s"), pow(log(col("n_docs") / col("df")), 2).as("w2"))
     // materialise the weighted index ONCE: the plan reads it four times
     // (both pair-join sides + the norms joined to a AND b) and Spark
     // performs no common-subexpression reuse across self-join sides —
     // without the checkpoint each replay re-runs the shingle explode,
     // DF cap, and idf aggregation (same pattern and size budget as
     // minhashJaccardEstimate's signature table: posting-list rows)
-    val sw = sh.join(w, "s").localCheckpoint()
+    val sw = cosineWeightedIndex(docs, maxDfFrac).localCheckpoint()
     val norms = sw.groupBy("doc_id").agg(sum("w2").as("n2"))
     val common = sw.as("x").join(sw.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -489,6 +491,20 @@ object TextOps {
       .withColumn("cos", round(col("dot") / sqrt(col("na2") * col("nb2")), 4))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
+  }
+
+  /** The IDF-weighted posting-list index — the (doc_id, s, w2) artifact
+    * [[cosinePairs]] checkpoints. Exposed for the scale probe
+    * ([[graft.ScaleProbe]]) that pins its linear growth.
+    */
+  private[graft] def cosineWeightedIndex(docs: DataFrame,
+                                         maxDfFrac: Double = 0.1): DataFrame = {
+    val sh = informativeShingles(docs, maxDfFrac)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("s"), pow(log(col("n_docs") / col("df")), 2).as("w2"))
+    sh.join(w, "s")
   }
 
   /** Benchmark-contamination detection — the eval-hygiene pass every
@@ -667,20 +683,50 @@ object TextOps {
     import org.apache.spark.sql.graftshim.ColumnBridge._
     // window hashes from the one-pass codegen kernel (spec-checked
     // identical to the transform/slice/md5 composition it replaces)
-    val winHashes =
-      column(graft.functions.TokenWindowHashes(expression(col("text")), k))
-    // no size >= k pre-filter: the kernel returns null below k tokens
-    // and non-outer posexplode drops null arrays — the guard would
-    // just re-tokenize every row. MATERIALISED: the table is read
-    // twice (duplicated-hash aggregation + join probe side) and the
-    // exchanges differ, so without the checkpoint every window would
-    // be md5-hashed twice (the cosinePairs replay pattern).
-    val win = docs
+    substringDedupOn(docs,
+      column(graft.functions.TokenWindowHashes(expression(col("text")), k)), k)
+  }
+
+  /** [[substringDedup]] on the rolling-polynomial window-hash profile
+    * ([[graft.functions.TokenWindowHashesRolling]]) — O(n) bytes hashed
+    * per document instead of the md5 profile's O(n·k); the production
+    * choice once no cross-engine oracle needs to replay the hash. Plan
+    * shape identical (only the `h` column's type changes); the
+    * equivalence spec pins both profiles to the same flagged-span sets.
+    */
+  def substringDedupRolling(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    substringDedupOn(docs,
+      column(graft.functions.TokenWindowHashesRolling(expression(col("text")), k)), k)
+  }
+
+  /** The stride-1 window table — the (doc_id, n_tokens, pos, h)
+    * artifact [[substringDedup]] checkpoints (md5 profile). Exposed for
+    * the scale probe ([[graft.ScaleProbe]]) that pins its linear
+    * growth.
+    */
+  private[graft] def substringWindowTable(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    windowTableOn(docs,
+      column(graft.functions.TokenWindowHashes(expression(col("text")), k)))
+  }
+
+  // no size >= k pre-filter: the kernel returns null below k tokens
+  // and non-outer posexplode drops null arrays — the guard would
+  // just re-tokenize every row
+  private def windowTableOn(docs: DataFrame, winHashes: Column): DataFrame =
+    docs
       .select(col("doc_id"), size(tokens).cast("bigint").as("n_tokens"),
         posexplode(winHashes))
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("bigint").as("pos"), col("col").as("h"))
-      .localCheckpoint()
+
+  private def substringDedupOn(docs: DataFrame, winHashes: Column, k: Int): DataFrame = {
+    // MATERIALISED: the table is read twice (duplicated-hash
+    // aggregation + join probe side) and the exchanges differ, so
+    // without the checkpoint every window would be hashed twice (the
+    // cosinePairs replay pattern).
+    val win = windowTableOn(docs, winHashes).localCheckpoint()
     val dupH = win.groupBy("h").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2).select("h")
     win.join(dupH, "h")

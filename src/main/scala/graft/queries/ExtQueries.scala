@@ -202,7 +202,7 @@ object ExtQueries {
   def textLangMismatch(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"))
-      .join(TextOps.langId(docs(spark, dir))
+      .join(langGuesses(spark, dir)
         .select(col("doc_id"), col("lang_guess")), "doc_id")
       .withColumn("mismatch",
         coalesce((col("lang_guess") =!= col("lang")).cast("int"), lit(0)))

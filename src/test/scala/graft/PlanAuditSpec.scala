@@ -124,7 +124,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("text_langid: scoring reads the materialized tf table, profile joins broadcast") {
-    val p = plan("text_langid")
+    // audit the OPERATOR's training+scoring plan directly: the gate
+    // query now returns the memoized per-(session, dir) guess artifact
+    // (its plan is just a checkpoint scan — audited below), so the
+    // interesting plan lives one level down in TextOps.langId
+    val p = graft.operators.TextOps.langId(
+        graft.sources.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
     // the (doc, lang, trigram) tf table is localCheckpoint'd — the
     // scoring plan must sit on it, not replay the corpus explode
     assert(p.contains("ExistingRDD"),
@@ -134,6 +140,10 @@ class PlanAuditSpec extends SparkSpec {
     // the bounded profile/totals sides broadcast into the scoring join
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"profile join must broadcast:\n$p")
+    // and the gate binding itself must be the artifact read, nothing more
+    val g = plan("text_langid")
+    assert(g.contains("ExistingRDD") && !g.contains("BroadcastHashJoin"),
+      s"gate binding must read the shared guess artifact:\n$g")
   }
 
   test("dedup_cosine_pairs: pair search is a shingle equi-join, weights join broadcast-free of cartesians") {

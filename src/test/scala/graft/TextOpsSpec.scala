@@ -92,6 +92,41 @@ class TextOpsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("rolling window-hash profile flags the identical duplicated-span set as md5") {
+    import spark.implicits._
+    // the production (rolling-polynomial) and oracle (md5) profiles
+    // must agree on EVERY output row — same docs flagged, same window
+    // and coverage counts — on the corpus fixture AND the adversarial
+    // straddling-span scenario; only the internal hash domain differs
+    def dump(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_dup_windows"), r.getAs[Long]("dup_tokens"),
+        r.getAs[Double]("dup_token_frac"))).toSet
+    assert(dump(TextOps.substringDedupRolling(docs)) ===
+      dump(TextOps.substringDedup(docs)))
+    val span = (0 until 25).map(i => s"copy$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$span ${(0 until 15).map(i => s"a$i").mkString(" ")}"),
+      (2L, s"h0 h1 h2 $span t0 t1"),
+      (3L, (0 until 40).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    assert(dump(TextOps.substringDedupRolling(corpus)) ===
+      dump(TextOps.substringDedup(corpus)))
+    // rolling advance equals direct polynomial evaluation: windows
+    // sharing content hash equal regardless of their offset in the doc
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    val twin = Seq(
+      (1L, "x0 x1 x2 a b c"),
+      (2L, "a b c y0 y1")).toDF("doc_id", "text")
+    val hs = twin.select(col("doc_id"),
+        explode(column(graft.functions.TokenWindowHashesRolling(
+          expression(col("text")), 3))).as("h"))
+    // the shared 3-token window "a b c" sits at offset 3 in doc 1 (roll
+    // path) and offset 0 in doc 2 (direct init path) — hashes must meet
+    val shared = hs.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") === 2)
+    assert(shared.count() === 1)
+  }
+
   test("IDF-weighted cosine pairs: identical docs score 1, range bounded") {
     import spark.implicits._
     val withDup = docs.select("doc_id", "text")
