@@ -66,8 +66,8 @@ object AnnRecall {
           q -> rs.map(_.getLong(1)).toSet
         }
 
-    def recallTable(tag: String, emb: org.apache.spark.sql.DataFrame): Unit = {
-      val total = emb.count()
+    def recallTable(tag: String, emb: org.apache.spark.sql.DataFrame,
+                    total: Long): Unit = {
       val nlist = math.min(4096L, math.max(16L,
         math.round(math.sqrt(total.toDouble)))).toInt
       val truth = topSet(VectorOps.cosineTopK(emb, queryIds, k))
@@ -108,26 +108,28 @@ object AnnRecall {
     }
 
     val emb = graft.sources.Tables.readTable(spark, sfDir, "embeddings")
-    recallTable("uniform", emb)
-    recallTable("clustered",
-      clusteredCorpus(spark, n = emb.count().toInt, dim = 64,
-        kClusters = 32, sigma = 0.08, seed = 7L).localCheckpoint())
+    val total = emb.count()
+    recallTable("uniform", emb, total)
+    // the clustered corpus mirrors the parquet corpus size, clamped:
+    // it is fabricated DRIVER-side (a measurement fixture, not an
+    // operator), so a huge SF dir must not overflow the Int row count
+    // or materialise an absurd Seq — 200k rows measures the same dial
+    val nClustered = math.min(total, 200000L).toInt
+    val clustered = clusteredCorpus(spark, n = nClustered, dim = 64,
+      kClusters = 32, sigma = 0.08, seed = 7L).localCheckpoint()
+    recallTable("clustered", clustered, nClustered.toLong)
 
     // shared-index timing: 3 passes each, min (same protocol as Bench)
     val docs = graft.sources.Tables.readTable(spark, sfDir, "documents")
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    def sink(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    val separate = (1 to 3).map(_ => time {
+    import BenchUtil.{minOf, sink}
+    val separate = minOf(3) {
       sink(TextOps.jaccardPairs(docs, threshold = 0.5))
       sink(TextOps.containmentPairs(docs, threshold = 0.8))
-    }).min
-    val shared = (1 to 3).map(_ => time {
+    }
+    val shared = minOf(3) {
       val (j, c) = TextOps.setSimilarityPairs(docs)
       sink(j); sink(c)
-    }).min
+    }
     println(f"[annrecall] set-similarity separate=$separate%.2fs sharedIndex=$shared%.2fs ratio=${shared / separate}%.2f")
     spark.stop()
   }

@@ -73,7 +73,7 @@ object Bench {
         // NonFatal only: an OOM/LinkageError here poisons the JVM the
         // timed passes run in — that must propagate, not hide. Failures
         // are logged so a blown warm-up is visible next to the timings.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try BenchUtil.sink(fn(spark, sfDir))
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
         }
@@ -88,7 +88,7 @@ object Bench {
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          try { BenchUtil.sink(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
@@ -112,9 +112,13 @@ object Bench {
     // the artifact alone (the r4 driver file carried 5×-inflated cheap
     // queries that only a clean re-run could adjudicate — with every
     // pass recorded, "pass 1 says 3.2 s, pass 2 says 0.4 s" is visible
-    // in the JSON itself)
+    // in the JSON itself). A FAILED run is recorded as the NEGATED
+    // wall time, so a fast failure (threw at 0.3 s) can never be
+    // mistaken for a fast clean draw when adjudicating from the file.
     val perPass = allPasses.map(p =>
-      p.map { case (n, t, _) => "\"" + n + f"\":$t%.3f" }.mkString("{", ",", "}"))
+      p.map { case (n, t, ok) =>
+        "\"" + n + f"""\":${if (ok) t else -t}%.3f"""
+      }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"per_pass":$perPass,"failed":$failedJson}"""

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.DataFrame
+
+/** Shared measurement helpers for the benchmark/probe mains
+  * ([[Bench]], [[AnnRecall]], [[ScaleProbe]]) — one implementation of
+  * the protocol so a change (pass count, sink, release policy) cannot
+  * silently diverge across the three.
+  */
+private[graft] object BenchUtil {
+
+  def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Full materialisation through a noop-format write — a bare
+    * `count()` would let Catalyst prune the computed columns and time
+    * only the row count.
+    */
+  def sink(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Min-of-N wall time — the per-query Bench protocol: a host
+    * contention spike must hit every pass to survive the min.
+    */
+  def minOf(passes: Int)(f: => Unit): Double =
+    (1 to passes).map(_ => time(f)).min
+
+  /** Unpersist every RDD pinned since `beforeIds` was snapshotted
+    * (`sc.getPersistentRDDs.keySet`). This is the release path for
+    * `localCheckpoint` artifacts: `Dataset.unpersist` does NOT cover
+    * them (it only clears CacheManager entries; checkpoints persist at
+    * the RDD level and otherwise wait for a nondeterministic GC +
+    * ContextCleaner sweep).
+    */
+  def releaseNewRdds(sc: SparkContext, beforeIds: Set[Int]): Unit =
+    sc.getPersistentRDDs.filterNot { case (id, _) => beforeIds(id) }
+      .values.foreach(_.unpersist(blocking = false))
+}

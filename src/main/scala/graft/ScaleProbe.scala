@@ -29,20 +29,15 @@ object ScaleProbe {
     val sc = spark.sparkContext
 
     def probe(sf: String, name: String, df: DataFrame): Unit = {
-      val before = sc.getRDDStorageInfo.map(_.id).toSet
+      val before = sc.getPersistentRDDs.keySet.toSet
       val cp = df.localCheckpoint()
       val rows = cp.count()
       val info = sc.getRDDStorageInfo.filterNot(i => before(i.id))
       val mb = info.map(i => i.memSize + i.diskSize).sum / 1e6
       println(f"[scaleprobe] $sf $name rows=$rows bytesMB=$mb%.1f")
-      cp.unpersist()
+      // RDD-level release — Dataset.unpersist would be a no-op here
+      BenchUtil.releaseNewRdds(sc, before)
     }
-
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    def sink(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
 
     for (dir <- dirs) {
       val sf = dir.split('/').last
@@ -50,9 +45,13 @@ object ScaleProbe {
       probe(sf, "langid_tf", TextOps.langIdTf(docs))
       probe(sf, "cosine_weighted_index", TextOps.cosineWeightedIndex(docs))
       probe(sf, "substring_window_table", TextOps.substringWindowTable(docs))
-      // profile timing: 3 passes each, min (the Bench protocol)
-      val md5T = (1 to 3).map(_ => time(sink(TextOps.substringDedup(docs)))).min
-      val rollT = (1 to 3).map(_ => time(sink(TextOps.substringDedupRolling(docs)))).min
+      // profile timing: 3 passes each, min (the Bench protocol); the
+      // six window-table checkpoints the passes create are released
+      // before moving on so later dirs measure on a clean BlockManager
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val md5T = BenchUtil.minOf(3)(BenchUtil.sink(TextOps.substringDedup(docs)))
+      val rollT = BenchUtil.minOf(3)(BenchUtil.sink(TextOps.substringDedupRolling(docs)))
+      BenchUtil.releaseNewRdds(sc, before)
       println(f"[scaleprobe] $sf substring md5=$md5T%.2fs rolling=$rollT%.2fs ratio=${rollT / md5T}%.2f")
     }
     spark.stop()

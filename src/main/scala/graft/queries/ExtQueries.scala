@@ -32,13 +32,22 @@ object ExtQueries {
     * overlap index; cost model measured in PLANS.md). Keyed by
     * (session, dir) so another scale or a restarted session never sees
     * a stale artifact; values are deterministic, so sharing cannot
-    * change either gate row.
+    * change either gate row. Entries of STOPPED sessions are swept on
+    * every access — a JVM that cycles SparkSessions (test forks,
+    * embedders) must not accumulate dead sessions, DataFrames and
+    * checkpoint lineage behind unreachable keys. Within one live
+    * session the artifact is immutable by contract (regenerating the
+    * parquet under the same dir mid-session would serve stale guesses —
+    * the same contract every persisted model artifact carries).
     */
   private val langGuessCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def langGuesses(spark: SparkSession, dir: String): DataFrame =
+  private def langGuesses(spark: SparkSession, dir: String): DataFrame = {
+    langGuessCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(langGuessCache.remove)
     langGuessCache.getOrElseUpdate((spark, dir),
       TextOps.langId(docs(spark, dir)).localCheckpoint())
+  }
 
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     langGuesses(spark, dir).orderBy("doc_id")
