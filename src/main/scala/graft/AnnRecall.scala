@@ -60,11 +60,21 @@ object AnnRecall {
     val queryIds = (0L until 50L).toSeq
     val k = 10
 
-    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.select("qid", "vec_id").collect()
+    // collect the top-k set, then release every RDD the search pinned
+    // (each IVF/IVF-PQ build localCheckpoints an assignment + residual
+    // table — ~corpus-sized; a dozen builds per recall table would
+    // otherwise accumulate in the BlockManager until a GC sweep,
+    // pressuring the very runs being measured). Snapshot-scoped, so
+    // the corpus fixtures checkpointed before the call stay pinned.
+    val sc = spark.sparkContext
+    def topSet(df: => org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      try df.select("qid", "vec_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) =>
           q -> rs.map(_.getLong(1)).toSet
         }
+      finally BenchUtil.releaseNewRdds(sc, before)
+    }
 
     def recallTable(tag: String, emb: org.apache.spark.sql.DataFrame,
                     total: Long): Unit = {
@@ -79,11 +89,14 @@ object AnnRecall {
           .sum / queryIds.size
 
       println(f"[annrecall] corpus=$tag n=$total nlist=$nlist queries=${queryIds.size} k=$k")
-      for (nprobe <- Seq(1, math.max(1, nlist / 4), nlist)) {
+      val autoNprobe = math.max(1, nlist / 4)
+      var autoShapeRecall = 0.0 // auto-nprobe, default (m=8, kCent=256)
+      for (nprobe <- Seq(1, autoNprobe, nlist).distinct) {
         val rIvf = recall(topSet(
           VectorOps.ivfTopK(emb, queryIds, k, nlist = nlist, nprobe = nprobe)))
         val rIvfPq = recall(topSet(
           VectorOps.ivfPqTopK(emb, queryIds, k, nlist = nlist, nprobe = nprobe)))
+        if (nprobe == autoNprobe) autoShapeRecall = rIvfPq
         println(f"[annrecall] $tag nprobe=$nprobe%4d ivf_recall@10=$rIvf%.3f ivfpq_recall@10=$rIvfPq%.3f")
       }
       // PQ-only ADC (no routing loss, raw-vector codes): isolates plain
@@ -99,12 +112,13 @@ object AnnRecall {
       }
       // the same two 64-bit layouts through the RESIDUAL path at auto
       // nprobe — m×kCent is a shape dial (few wide codebooks vs many
-      // narrow ones), separate from the bit-rate dial above
-      for ((m, kc) <- Seq((16, 16), (8, 256))) {
-        val r = recall(topSet(VectorOps.ivfPqTopK(emb, queryIds, k,
-          nlist = nlist, nprobe = math.max(1, nlist / 4), m = m, kCent = kc)))
-        println(f"[annrecall] $tag ivfpq-64bit m=$m%2d kCent=$kc%3d recall@10=$r%.3f")
-      }
+      // narrow ones), separate from the bit-rate dial above. (8,256) IS
+      // the default shape the auto-nprobe row already built and
+      // searched — reuse it rather than re-paying both trainings
+      val r1616 = recall(topSet(VectorOps.ivfPqTopK(emb, queryIds, k,
+        nlist = nlist, nprobe = autoNprobe, m = 16, kCent = 16)))
+      println(f"[annrecall] $tag ivfpq-64bit m=16 kCent= 16 recall@10=$r1616%.3f")
+      println(f"[annrecall] $tag ivfpq-64bit m= 8 kCent=256 recall@10=$autoShapeRecall%.3f")
     }
 
     val emb = graft.sources.Tables.readTable(spark, sfDir, "embeddings")

@@ -221,7 +221,10 @@ object GraftHash {
     val th = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
-      val bytes = toks(i).getBytes
+      // explicit UTF-8, like every other kernel here: the platform
+      // default charset differs across JVMs (POSIX locale → US-ASCII),
+      // which would hash the same token differently per executor
+      val bytes = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var h = 0xcbf29ce484222325L
       var j = 0
       while (j < bytes.length) { h ^= bytes(j) & 0xffL; h *= B; j += 1 }

@@ -491,22 +491,26 @@ object VectorOps {
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
-  /** Per-query ADC lookup tables: qnorm, per-sub-space query·centroid
-    * inner products, per-sub-space centroid squared norms.
+  /** Per-query ADC lookup table: qnorm plus per-sub-space
+    * query·centroid inner products.
     */
-  private def pqLut(q: Array[Double], dsub: Int,
-                    codebooks: Seq[Array[Array[Double]]])
-      : (Double, Seq[Seq[Double]], Seq[Seq[Double]]) = {
-    val m = codebooks.size
+  private def pqIpLut(q: Array[Double], dsub: Int,
+                      codebooks: Seq[Array[Array[Double]]])
+      : (Double, Seq[Seq[Double]]) = {
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    val ipLut = (0 until m).map { s =>
+    val ipLut = codebooks.indices.map { s =>
       codebooks(s).map(c =>
         c.indices.map(i => c(i) * q(s * dsub + i)).sum).toSeq
     }
-    val nLut = (0 until m).map(s =>
-      codebooks(s).map(c => c.map(x => x * x).sum).toSeq)
-    (qNorm, ipLut, nLut)
+    (qNorm, ipLut)
   }
+
+  /** Query-INDEPENDENT centroid squared-norm LUT — computed once per
+    * codebook set, not per query (the residual path replaces it with a
+    * per-cell reconstruction LUT and never needs this one).
+    */
+  private def pqNormLut(codebooks: Seq[Array[Array[Double]]]): Seq[Seq[Double]] =
+    codebooks.map(_.map(c => c.map(x => x * x).sum).toSeq)
 
   /** ADC scoring + per-query top-k over a (codes ⨝ LUT) row set:
     * score = (qc + Σ_s iplut[s][code_s]) / (qnorm · √Σ_s nlut[s][code_s]).
@@ -545,8 +549,9 @@ object VectorOps {
       .select("vec_id", "codes")
 
     import spark.implicits._
+    val nLut = pqNormLut(codebooks)
     val lutRows = collectQueries(embeddings, queryIds).map { case (qid, q) =>
-      val (qNorm, ipLut, nLut) = pqLut(q, dsub, codebooks)
+      val (qNorm, ipLut) = pqIpLut(q, dsub, codebooks)
       (qid, qNorm, 0.0, ipLut, nLut)
     }.toSeq.toDF("qid", "qnorm", "qc", "iplut", "nlut")
 
@@ -609,7 +614,12 @@ object VectorOps {
     // join is a broadcast of nlist rows; checkpointing matches the
     // corpus-assignment treatment — this IS the data the index encodes,
     // and it is read three times (count, training sample, encode scan).
-    val safeN = greatest(norm(col("embedding")), lit(1e-12))
+    // Zero-ONLY guard, identical to ivfAssign's: a greatest(·, ε) floor
+    // would disagree with the routing normalisation on tiny-but-nonzero
+    // norms (cell picked from the true unit vector, residual computed
+    // from a collapsed one — the codes would encode −centroid).
+    val safeN = when(norm(col("embedding")) === 0d, 1d)
+      .otherwise(norm(col("embedding")))
     val residuals = corpus.join(broadcast(centroidsDf), Seq("cell"))
       .withColumn("_n", safeN)
       .select(col("vec_id"), col("cell"),
@@ -645,7 +655,7 @@ object VectorOps {
     val lutRows = collectQueries(embeddings, queryIds).flatMap { case (qid, q) =>
       // iplut holds q · r_code per sub-space (residual codebooks); the
       // centroid half of q·recon(x) is the per-cell scalar qc below
-      val (qNorm, ipLut, _) = pqLut(q, dsub, codebooks)
+      val (qNorm, ipLut) = pqIpLut(q, dsub, codebooks)
       // driver-side probe: rank cells by cosine(q, centroid) with cell-id
       // tiebreak — the same ordering ivfTopK computes relationally
       val probed = centers.zipWithIndex.map { case (c, i) =>

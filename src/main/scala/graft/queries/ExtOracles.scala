@@ -722,9 +722,13 @@ object ExtOracles {
         |    CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
         |  FROM documents, unnest(range(8)) AS xx(i), unnest(range(8)) AS yy(i))
         |SELECT media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
-        |  CAST(sum((media_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
-        |  CAST(sum((media_id * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
-        |  CAST(sum((media_id * 29 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
+        |  -- floored mod (((v%256)+256)%256), matching patternChannel's
+        |  -- floorMod: SQL % truncates toward zero, which diverges on
+        |  -- negative media_ids — both sides of the pixel contract must
+        |  -- be total over all of BIGINT
+        |  CAST(sum(((media_id * 31 + x * 7 + y * 13) % 256 + 256) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum(((media_id * 17 + x * 11 + y * 3) % 256 + 256) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum(((media_id * 29 + x * 5 + y * 19) % 256 + 256) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "multimodal_frames" ->

@@ -41,13 +41,19 @@ object ExtQueries {
     * the same contract every persisted model artifact carries).
     */
   private val langGuessCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def langGuesses(spark: SparkSession, dir: String): DataFrame = {
-    langGuessCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(langGuessCache.remove)
-    langGuessCache.getOrElseUpdate((spark, dir),
-      TextOps.langId(docs(spark, dir)).localCheckpoint())
-  }
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  private def langGuesses(spark: SparkSession, dir: String): DataFrame =
+    // coarse lock over sweep + get-or-train: TrieMap.getOrElseUpdate
+    // can run the thunk twice under a concurrent first access, and a
+    // losing thunk here is a fully-trained orphaned localCheckpoint
+    // pinned in the BlockManager — exactly what the sweep exists to
+    // prevent. Training takes seconds; lock contention is irrelevant.
+    langGuessCache.synchronized {
+      langGuessCache.keys.filter(_._1.sparkContext.isStopped).toList
+        .foreach(langGuessCache.remove)
+      langGuessCache.getOrElseUpdate((spark, dir),
+        TextOps.langId(docs(spark, dir)).localCheckpoint())
+    }
 
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     langGuesses(spark, dir).orderBy("doc_id")
