@@ -600,6 +600,29 @@ object VectorOps {
                 m: Int = 8, kCent: Int = 256,
                 maxTrainRows: Long = MaxTrainRows,
                 pqTrainRows: Long = PqTrainRows): DataFrame = {
+    val model = buildIvfPqModel(embeddings, nlist, nprobe, m, kCent,
+      maxTrainRows, pqTrainRows)
+    ivfPqSearch(model, collectQueries(embeddings, queryIds), k)
+  }
+
+  /** A trained IVF-PQ index: everything a search needs, with the code
+    * table as a DataFrame so the SAME search path runs over an
+    * in-memory checkpoint ([[ivfPqTopK]]) or a cell-partitioned parquet
+    * index loaded from disk ([[VectorIndex]]) — the production
+    * build-once/search-many separation.
+    */
+  final case class IvfPqModel(
+      centers: Array[Array[Double]], nprobe: Int,
+      dim: Int, dsub: Int, m: Int, kCent: Int,
+      codebooks: Seq[Array[Array[Double]]], codes: DataFrame)
+
+  /** The build half of [[ivfPqTopK]]: train the coarse quantizer,
+    * compute residuals, train residual codebooks, encode the corpus.
+    */
+  private[graft] def buildIvfPqModel(embeddings: DataFrame,
+      nlist: Int = Auto, nprobe: Int = Auto, m: Int = 8, kCent: Int = 256,
+      maxTrainRows: Long = MaxTrainRows,
+      pqTrainRows: Long = PqTrainRows): IvfPqModel = {
     val spark = embeddings.sparkSession
     val (corpus, centers, nprobeEff) =
       ivfAssign(embeddings, nlist, nprobe, maxTrainRows)
@@ -634,7 +657,25 @@ object VectorOps {
     val codes = pqEncodeWith(residuals, dim, dsub, codebooks,
         keep = Seq("vec_id", "cell"))
       .select("vec_id", "cell", "codes")
+    IvfPqModel(centers, nprobeEff, dim, dsub, m, kCent, codebooks, codes)
+  }
 
+  /** The search half of [[ivfPqTopK]]: probe cells per query
+    * driver-side, ship LUTs as broadcasts, ADC-score the probed slice
+    * of the code table. The code table is pre-filtered to the UNION of
+    * probed cells — over an in-memory checkpoint that skips rows; over
+    * the [[VectorIndex]] parquet layout (partitioned by cell) it is
+    * partition PRUNING: the scan never opens the other nlist − probed
+    * directories, which is the read-cost contract of an IVF index at
+    * 100 TB (touch nprobe/nlist of the bytes).
+    */
+  private[graft] def ivfPqSearch(model: IvfPqModel,
+      queries: Seq[(Long, Array[Double])], k: Int,
+      nprobe: Int = Auto): DataFrame = {
+    val IvfPqModel(centers, modelNprobe, _, dsub, m, _, codebooks, codes) = model
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val nprobeEff = if (nprobe != Auto) nprobe else modelNprobe
     // per-cell reconstruction-norm LUT: |recon|² = Σ_s |c_sub + r_code|²
     // (sub-spaces are orthogonal coordinates). Query-INDEPENDENT, so it
     // ships as its own nlist-row broadcast joined on the cell id rather
@@ -652,7 +693,7 @@ object VectorOps {
         }.toSeq
       })
     }.toDF("cell", "nlut")
-    val lutRows = collectQueries(embeddings, queryIds).flatMap { case (qid, q) =>
+    val lutTuples = queries.flatMap { case (qid, q) =>
       // iplut holds q · r_code per sub-space (residual codebooks); the
       // centroid half of q·recon(x) is the per-cell scalar qc below
       val (qNorm, ipLut) = pqIpLut(q, dsub, codebooks)
@@ -664,10 +705,13 @@ object VectorOps {
         (i, ip, ip / math.max(qNorm * cn, 1e-12))
       }.sortBy { case (i, _, cos) => (-cos, i) }.take(nprobeEff)
       probed.map { case (cell, qc, _) => (qid, cell, qNorm, qc, ipLut) }
-    }.toSeq.toDF("qid", "cell", "qnorm", "qc", "iplut")
+    }.toSeq
+    val lutRows = lutTuples.toDF("qid", "cell", "qnorm", "qc", "iplut")
+    val probedCells = lutTuples.map(_._2).distinct
 
     adcTopK(
-      codes.join(broadcast(lutRows), Seq("cell"))
+      codes.filter(col("cell").isin(probedCells: _*))
+        .join(broadcast(lutRows), Seq("cell"))
         .join(broadcast(nlutDf), Seq("cell"))
         .filter(col("vec_id") =!= col("qid")), k)
   }

@@ -467,6 +467,43 @@ object ExtQueries {
     VectorOps.ivfPqTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
       .orderBy("qid", "rn")
 
+  /** One persisted index per (session, SF dir) — the [[langGuesses]]
+    * posture applied to the ANN index: the build (two k-means
+    * trainings + the partitioned write) runs once per session, and
+    * every search measures the production read path — a
+    * partition-PRUNED parquet scan of only the probed cells. Same
+    * sweep/locking contract as the lang cache.
+    */
+  private val ivfIndexCache =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), String]
+  private def ivfIndexPath(spark: SparkSession, dir: String): String =
+    ivfIndexCache.synchronized {
+      ivfIndexCache.keys.filter(_._1.sparkContext.isStopped).toList
+        .foreach(ivfIndexCache.remove)
+      ivfIndexCache.getOrElseUpdate((spark, dir), {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ivfpq-index").toString
+        graft.operators.VectorIndex.writeIvfPq(embs(spark, dir), path)
+        path
+      })
+    }
+
+  /** ANN search against the PERSISTED index ([[graft.operators.VectorIndex]])
+    * — identical results to `embed_ivf_pq_topk` (spec-pinned identity in
+    * `VectorIndexSpec`), but the timed path is load-meta → probe →
+    * pruned parquet scan, i.e. what a deployed 100 TB searcher pays
+    * per query batch (rows-only at the gate, like the in-memory leg).
+    */
+  def embedIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val path = ivfIndexPath(spark, dir)
+    val queries = embs(spark, dir)
+      .filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    graft.operators.VectorIndex.searchIvfPq(spark, path, queries)
+      .orderBy("qid", "rn")
+  }
+
   def embedLshBuckets(spark: SparkSession, dir: String): DataFrame =
     VectorOps.lshBuckets(embs(spark, dir)).orderBy("bucket")
 
