@@ -66,6 +66,8 @@ object SparkEntry {
     "text_stats" -> (graft.queries.ExtQueries.textStats(_, _)),
     "text_quality_filter" -> (graft.queries.ExtQueries.textQualityFilter(_, _)),
     "text_token_counts" -> (graft.queries.ExtQueries.textTokenCounts(_, _)),
+    "text_bpe_tokens" -> (graft.queries.ExtQueries.textBpeTokens(_, _)),
+    "text_bpe_roundtrip" -> (graft.queries.ExtQueries.textBpeRoundtrip(_, _)),
     "text_bm25" -> (graft.queries.ExtQueries.textBm25(_, _)),
     "text_pii_scrub" -> (graft.queries.ExtQueries.textPiiScrub(_, _)),
     "text_contamination" -> (graft.queries.ExtQueries.textContamination(_, _)),

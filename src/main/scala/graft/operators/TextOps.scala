@@ -778,6 +778,92 @@ object TextOps {
         .cast("bigint").as("bpe_ish_tokens"),
       ceil(length(col("text")) / 4.0).cast("bigint").as("est_bpe_tokens"))
 
+  /** Train a BPE merge table (Sennrich et al. 2016) over the corpus.
+    *
+    * Split of work, sized for 100 TB: the CORPUS-scale leg — word
+    * frequency counting — is one distributed aggregation with map-side
+    * combine, truncated to the `maxWords` most frequent words
+    * (deterministic tie-break count desc, word asc). Only that bounded
+    * (word, count) table ever reaches the driver — the same
+    * sample-bounded-driver-state posture as the PQ codebook k-means.
+    * The merge LOOP is inherently sequential (merge i+1's pair counts
+    * depend on merge i having been applied), so it runs driver-side
+    * over the bounded vocabulary: numMerges × Σ|word symbols| pair
+    * scans, milliseconds at any corpus size because the input is
+    * vocab-bounded, not corpus-bounded. Truncation is the standard
+    * production trade: a word outside the top `maxWords` cannot
+    * contribute meaningful pair mass by construction (its count is
+    * below every retained word's).
+    *
+    * Each iteration merges the globally most frequent adjacent symbol
+    * pair (tie-break: pair lexicographic asc, so training is
+    * deterministic) and stops early when no pair occurs twice —
+    * a merge learned from a single occurrence is memorisation, not
+    * compression. Incremental word updates go through
+    * [[graft.functions.BpeTokens.mergeOnce]] — the SAME merge pass the
+    * tokenizer kernel applies at inference, so tokenizing a training
+    * word replays the trainer's final state exactly (spec-pinned).
+    *
+    * @return the learned merges, in training order (= rank order)
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 200,
+      maxWords: Int = 50000): Seq[(String, String)] = {
+    import graft.functions.BpeTokens
+    val rows = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxWords)
+      .collect()
+    val words: Array[(Array[String], Long)] =
+      rows.map(r => (BpeTokens.codePointSymbols(r.getString(0)), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val pairOrd = Ordering.Tuple2(Ordering.String, Ordering.String)
+    var done = words.isEmpty
+    while (!done && merges.size < numMerges) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, n) <- words) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      // deterministic argmax: count desc, then pair lexicographic asc
+      var best: (String, String) = null
+      var bestN = 0L
+      for ((p, n) <- counts)
+        if (n > bestN || (n == bestN && best != null && pairOrd.lt(p, best))) {
+          best = p; bestN = n
+        }
+      if (best == null || bestN < 2) done = true
+      else {
+        merges += best
+        var w = 0
+        while (w < words.length) {
+          val (syms, n) = words(w)
+          val merged = BpeTokens.mergeOnce(syms, best._1, best._2)
+          if (merged ne syms) words(w) = (merged, n)
+          w += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a trained merge table to the `text` column — the
+    * [[graft.functions.BpeTokens]] codegen kernel: the 50 KB merge
+    * table rides the plan as a reference object, tokenization is a
+    * pure projection, ZERO exchanges over the corpus.
+    */
+  def bpeTokens(merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    column(graft.functions.BpeTokens(expression(col("text")), merges))
+  }
+
   /** BM25 ranking of documents against a fixed term set — scoring built
     * entirely from relational primitives (term explode → tf/df
     * aggregates → broadcast scalar join), so it runs at corpus scale as

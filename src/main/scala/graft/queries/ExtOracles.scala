@@ -204,6 +204,19 @@ object ExtOracles {
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the BPE round-trip invariants, computed INDEPENDENTLY of the
+    // tokenizer: however the trained merge table splits a document, the
+    // subword characters must sum to the space-free text length and the
+    // concatenation must reconstruct it (ExtQueries.textBpeRoundtrip
+    // computes both FROM the kernel's tokens; any dropped/duplicated/
+    // reordered code point diverges). text_bpe_tokens itself is
+    // rows-only — a trained subword vocabulary is not SQL-replayable.
+    "text_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+        |  true AS intact
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // replays TextOps.piiScrub over the same derived-PII text; DuckDB
     // regexp_replace needs the 'g' flag for replace-all (Spark's default)
     "text_pii_scrub" ->

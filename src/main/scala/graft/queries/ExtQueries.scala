@@ -76,6 +76,57 @@ object ExtQueries {
   def textTokenCounts(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(docs(spark, dir)).orderBy("doc_id")
 
+  /** Trained BPE merge-table artifact, shared by the two BPE gate
+    * queries — the same (session, dir)-keyed, stopped-session-swept,
+    * coarse-locked cache contract as [[langGuesses]]. The cached value
+    * is ~numMerges string pairs (a few KB): the tokenizer model a
+    * production pipeline trains once and ships to every executor as an
+    * expression-literal.
+    */
+  private val bpeMergesCache = scala.collection.mutable.HashMap
+    .empty[(SparkSession, String), Seq[(String, String)]]
+  private def bpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesCache.synchronized {
+      bpeMergesCache.keys.filter(_._1.sparkContext.isStopped).toList
+        .foreach(bpeMergesCache.remove)
+      bpeMergesCache.getOrElseUpdate((spark, dir),
+        TextOps.bpeTrain(docs(spark, dir)))
+    }
+
+  /** Subword tokenization of the corpus with the trained merge table —
+    * per doc the token count and an order-sensitive digest of the token
+    * stream (tokens are whitespace-free, so the space-joined digest is
+    * collision-free). Rows-only at the gate (a trained subword
+    * vocabulary is not SQL-replayable); exactness is spec-pinned
+    * (`BpeSpec`: reference-implementation equality, trainer-replay
+    * guarantee) and the character-conservation leg is hash-checked by
+    * `text_bpe_roundtrip`.
+    */
+  def textBpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.bpeTokens(bpeMerges(spark, dir))
+    docs(spark, dir).select(col("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      md5(concat_ws(" ", toks)).as("toks_digest"))
+      .orderBy("doc_id")
+  }
+
+  /** ORACLE-CHECKED invariants of the BPE kernel's corpus output,
+    * computed from the tokens Spark-side and INDEPENDENTLY from the raw
+    * text by the DuckDB oracle: total subword characters must equal the
+    * text's space-free length (no character created or destroyed), and
+    * the in-order concatenation must reconstruct the space-free text
+    * exactly. A kernel that drops, duplicates or reorders a single code
+    * point anywhere in the corpus goes red here.
+    */
+  def textBpeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.bpeTokens(bpeMerges(spark, dir))
+    docs(spark, dir).select(col("doc_id"),
+      aggregate(transform(toks, t => length(t)), lit(0L), (acc, x) => acc + x)
+        .as("chars"),
+      (concat_ws("", toks) === translate(col("text"), " ", "")).as("intact"))
+      .orderBy("doc_id")
+  }
+
   def textBm25(spark: SparkSession, dir: String): DataFrame =
     TextOps.bm25TopK(docs(spark, dir),
       terms = Seq("fast", "join", "table"), k = 10)
