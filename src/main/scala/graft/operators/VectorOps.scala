@@ -485,8 +485,8 @@ object VectorOps {
   /** Collect the query vectors (≤|queryIds| — driver-scale by
     * contract) as (qid, vector) pairs.
     */
-  private def collectQueries(embeddings: DataFrame,
-                             queryIds: Seq[Long]): Array[(Long, Array[Double])] =
+  private[graft] def collectQueries(embeddings: DataFrame,
+      queryIds: Seq[Long]): Array[(Long, Array[Double])] =
     embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -614,7 +614,26 @@ object VectorOps {
   final case class IvfPqModel(
       centers: Array[Array[Double]], nprobe: Int,
       dim: Int, dsub: Int, m: Int, kCent: Int,
-      codebooks: Seq[Array[Array[Double]]], codes: DataFrame)
+      codebooks: Seq[Array[Array[Double]]], codes: DataFrame) {
+
+    /** Per-cell reconstruction-norm LUT: |recon|² = Σ_s |c_sub + r_code|²
+      * (sub-spaces are orthogonal coordinates). Model state, not query
+      * state — nlist·m·kCent·dsub multiply-adds computed ONCE per model
+      * (lazily) and reused by every [[ivfPqSearch]] against it, so the
+      * build-once/search-many split holds for the LUT too.
+      */
+    lazy val normLut: Seq[(Int, Seq[Seq[Double]])] = centers.indices.map { cell =>
+      val c = centers(cell)
+      (cell, (0 until m).map { s =>
+        codebooks(s).map { r =>
+          var sum = 0.0
+          var i = 0
+          while (i < dsub) { val t = c(s * dsub + i) + r(i); sum += t * t; i += 1 }
+          sum
+        }.toSeq
+      })
+    }
+  }
 
   /** The build half of [[ivfPqTopK]]: train the coarse quantizer,
     * compute residuals, train residual codebooks, encode the corpus.
@@ -676,23 +695,13 @@ object VectorOps {
     val spark = codes.sparkSession
     import spark.implicits._
     val nprobeEff = if (nprobe != Auto) nprobe else modelNprobe
-    // per-cell reconstruction-norm LUT: |recon|² = Σ_s |c_sub + r_code|²
-    // (sub-spaces are orthogonal coordinates). Query-INDEPENDENT, so it
-    // ships as its own nlist-row broadcast joined on the cell id rather
-    // than riding (duplicated) on every (query, cell) LUT row — at full
-    // probe the duplicated form is |queries|·nlist·m·kCent doubles of
-    // task payload for nlist·m·kCent of information.
-    val nlutDf = centers.indices.map { cell =>
-      val c = centers(cell)
-      (cell, (0 until m).map { s =>
-        codebooks(s).map { r =>
-          var sum = 0.0
-          var i = 0
-          while (i < dsub) { val t = c(s * dsub + i) + r(i); sum += t * t; i += 1 }
-          sum
-        }.toSeq
-      })
-    }.toDF("cell", "nlut")
+    // the model's cached reconstruction-norm LUT ([[IvfPqModel.normLut]]):
+    // query-INDEPENDENT, so it ships as its own nlist-row broadcast
+    // joined on the cell id rather than riding (duplicated) on every
+    // (query, cell) LUT row — at full probe the duplicated form is
+    // |queries|·nlist·m·kCent doubles of task payload for
+    // nlist·m·kCent of information.
+    val nlutDf = model.normLut.toDF("cell", "nlut")
     val lutTuples = queries.flatMap { case (qid, q) =>
       // iplut holds q · r_code per sub-space (residual codebooks); the
       // centroid half of q·recon(x) is the per-cell scalar qc below

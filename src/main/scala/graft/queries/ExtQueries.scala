@@ -29,31 +29,14 @@ object ExtQueries {
     * OUTPUT — O(#docs) rows of (doc_id, lang_guess, score), the
     * artifact a production pipeline persists once and joins everywhere
     * (the train-once posture of [[TextOps.setSimilarityPairs]]' shared
-    * overlap index; cost model measured in PLANS.md). Keyed by
-    * (session, dir) so another scale or a restarted session never sees
-    * a stale artifact; values are deterministic, so sharing cannot
-    * change either gate row. Entries of STOPPED sessions are swept on
-    * every access — a JVM that cycles SparkSessions (test forks,
-    * embedders) must not accumulate dead sessions, DataFrames and
-    * checkpoint lineage behind unreachable keys. Within one live
-    * session the artifact is immutable by contract (regenerating the
-    * parquet under the same dir mid-session would serve stale guesses —
-    * the same contract every persisted model artifact carries).
+    * overlap index; cost model measured in PLANS.md). Values are
+    * deterministic, so sharing cannot change either gate row; keying,
+    * sweeping and locking are the [[SessionCache]] contract.
     */
-  private val langGuessCache =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  private val langGuessCache = new SessionCache[DataFrame]
   private def langGuesses(spark: SparkSession, dir: String): DataFrame =
-    // coarse lock over sweep + get-or-train: TrieMap.getOrElseUpdate
-    // can run the thunk twice under a concurrent first access, and a
-    // losing thunk here is a fully-trained orphaned localCheckpoint
-    // pinned in the BlockManager — exactly what the sweep exists to
-    // prevent. Training takes seconds; lock contention is irrelevant.
-    langGuessCache.synchronized {
-      langGuessCache.keys.filter(_._1.sparkContext.isStopped).toList
-        .foreach(langGuessCache.remove)
-      langGuessCache.getOrElseUpdate((spark, dir),
-        TextOps.langId(docs(spark, dir)).localCheckpoint())
-    }
+    langGuessCache.get(spark, dir)(
+      TextOps.langId(docs(spark, dir)).localCheckpoint())
 
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     langGuesses(spark, dir).orderBy("doc_id")
@@ -77,21 +60,14 @@ object ExtQueries {
     TextOps.tokenCounts(docs(spark, dir)).orderBy("doc_id")
 
   /** Trained BPE merge-table artifact, shared by the two BPE gate
-    * queries — the same (session, dir)-keyed, stopped-session-swept,
-    * coarse-locked cache contract as [[langGuesses]]. The cached value
+    * queries — the [[SessionCache]] contract, like [[langGuesses]]. The cached value
     * is ~numMerges string pairs (a few KB): the tokenizer model a
     * production pipeline trains once and ships to every executor as an
     * expression-literal.
     */
-  private val bpeMergesCache = scala.collection.mutable.HashMap
-    .empty[(SparkSession, String), Seq[(String, String)]]
+  private val bpeMergesCache = new SessionCache[Seq[(String, String)]]
   private def bpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
-    bpeMergesCache.synchronized {
-      bpeMergesCache.keys.filter(_._1.sparkContext.isStopped).toList
-        .foreach(bpeMergesCache.remove)
-      bpeMergesCache.getOrElseUpdate((spark, dir),
-        TextOps.bpeTrain(docs(spark, dir)))
-    }
+    bpeMergesCache.get(spark, dir)(TextOps.bpeTrain(docs(spark, dir)))
 
   /** Subword tokenization of the corpus with the trained merge table —
     * per doc the token count and an order-sensitive digest of the token
@@ -522,21 +498,20 @@ object ExtQueries {
     * posture applied to the ANN index: the build (two k-means
     * trainings + the partitioned write) runs once per session, and
     * every search measures the production read path — a
-    * partition-PRUNED parquet scan of only the probed cells. Same
-    * sweep/locking contract as the lang cache.
+    * partition-PRUNED parquet scan of only the probed cells. Cached under the
+    * [[SessionCache]] contract, with eviction reclaiming the directory.
     */
   private val ivfIndexCache =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String), String]
+    // evicting a stopped session's entry must also reclaim its on-disk
+    // index — the sweep otherwise orphans a full encoded-corpus copy
+    // under /tmp per session cycle
+    new SessionCache[String](SessionCache.deleteTree)
   private def ivfIndexPath(spark: SparkSession, dir: String): String =
-    ivfIndexCache.synchronized {
-      ivfIndexCache.keys.filter(_._1.sparkContext.isStopped).toList
-        .foreach(ivfIndexCache.remove)
-      ivfIndexCache.getOrElseUpdate((spark, dir), {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-ivfpq-index").toString
-        graft.operators.VectorIndex.writeIvfPq(embs(spark, dir), path)
-        path
-      })
+    ivfIndexCache.get(spark, dir) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-index").toString
+      graft.operators.VectorIndex.writeIvfPq(embs(spark, dir), path)
+      path
     }
 
   /** ANN search against the PERSISTED index ([[graft.operators.VectorIndex]])
@@ -547,10 +522,8 @@ object ExtQueries {
     */
   def embedIndexSearch(spark: SparkSession, dir: String): DataFrame = {
     val path = ivfIndexPath(spark, dir)
-    val queries = embs(spark, dir)
-      .filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val queries =
+      VectorOps.collectQueries(embs(spark, dir), Seq(0L, 1L, 2L, 3L, 4L)).toSeq
     graft.operators.VectorIndex.searchIvfPq(spark, path, queries)
       .orderBy("qid", "rn")
   }

@@ -18,9 +18,7 @@ class VectorIndexSpec extends SparkSpec {
     // both paths share every trained artifact's seed, so results must
     // be IDENTICAL rows, not merely similar recall
     val written = VectorIndex.writeIvfPq(embs, path)
-    val queries = embs.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val queries = VectorOps.collectQueries(embs, queryIds).toSeq
 
     val inMem = dump(VectorOps.ivfPqTopK(embs, queryIds))
     val viaWritten = dump(VectorOps.ivfPqSearch(written, queries, k = 10))
@@ -48,9 +46,7 @@ class VectorIndexSpec extends SparkSpec {
     // the search's cell filter must reach the parquet scan as a
     // PARTITION filter (pruned directories), not a post-scan Filter:
     // that is the index's entire read-cost contract
-    val queries = Seq((0L, embs.filter(col("vec_id") === 0L)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray))
+    val queries = VectorOps.collectQueries(embs, Seq(0L)).toSeq
     val plan = VectorOps.ivfPqSearch(loaded, queries, k = 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell#") ||
