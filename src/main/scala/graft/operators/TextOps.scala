@@ -528,6 +528,54 @@ object TextOps {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Benchmark DEcontamination at corpus scale — the removal pass that
+    * follows [[contamination]]'s detection, restructured around the
+    * broadcast-Bloom prefilter every 100 TB deployment uses: the
+    * benchmark's distinct shingles (BOUNDED by contract — eval sets
+    * are small) aggregate into ONE serialized Bloom sketch
+    * ([[graft.functions.Bloom]]), collected driver-side (one binary
+    * value, the PQ-codebook posture) and shipped as an expression
+    * literal; the corpus side then drops non-candidate shingles in a
+    * pure PROJECTION — no shuffle, no join touches the ~(1 − hit-rate)
+    * of the corpus that shares nothing with the benchmark. Bloom
+    * filters have no false negatives, so the exact confirmation join
+    * over the surviving candidates returns EXACTLY the plain
+    * inverted-index join's answer (spec-pinned equivalence; the gate
+    * oracle replays the exact form in SQL) — false positives only buy
+    * back join input, they never change the result.
+    *
+    * Kept-set semantics match [[contamination]]: a document is dropped
+    * when it shares ≥ `minShared` distinct informative shingles with
+    * the benchmark; the returned frame is `docs` minus the dropped
+    * rows (all columns — this is the corpus a training run consumes).
+    * `docs` and `benchmark` are assumed DISJOINT row sets (the normal
+    * corpus/eval split); contamination's self-match exclusion has no
+    * analog here because a kept-set decision has no per-bench-doc leg.
+    *
+    * @param bitsPerItem Bloom width per benchmark shingle (10 ≈ 1%
+    *                    false positives, 16 ≈ 0.04% — purely a
+    *                    prefilter-selectivity knob)
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    minShared: Int = 3, maxDfFrac: Double = 0.1,
+                    bitsPerItem: Int = 16): DataFrame = {
+    import graft.functions.Bloom
+    val bench = shingles(benchmark).select("s").distinct()
+    val nBench = math.max(1L, bench.count())
+    val sketch = bench
+      .agg(Bloom.bloomAgg(col("s"), nBench, nBench * bitsPerItem).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val candidates = informativeShingles(docs, maxDfFrac)
+      .filter(Bloom.mightContain(sketch, col("s")))
+    val dropped = candidates.join(bench, "s")
+      .groupBy("doc_id")
+      .agg(countDistinct("s").as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("doc_id")
+    // dropped is bounded by the contaminated-doc count — broadcast side
+    docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+  }
+
   /** PII scrubbing: emails and IPv4 literals are redacted with typed
     * placeholders and counted per document — regex built-ins only
     * (codegen'd, streamed, oracle-replayable; both patterns parse

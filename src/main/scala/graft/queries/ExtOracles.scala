@@ -260,6 +260,33 @@ object ExtOracles {
         |GROUP BY 1 HAVING count(DISTINCT c.s) >= 3
         |ORDER BY doc_id""".stripMargin,
 
+    // replays TextOps.decontaminate with the PLAIN exact join — no
+    // Bloom anywhere in the oracle: the sketch prefilter has no false
+    // negatives, so the kept set must equal the exact form's exactly.
+    // Same shingle/df-cap CTEs as text_contamination; bench side needs
+    // only distinct shingles (no per-bench-doc evidence in the kept-set
+    // decision).
+    "text_decontaminate" ->
+      """WITH tokc AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE doc_id % 100 <> 0),
+        |shc0 AS (SELECT DISTINCT doc_id,
+        |           t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        |         FROM tokc, unnest(range(len(t) - 2)) AS u(i)),
+        |shc AS (SELECT doc_id, s FROM (
+        |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+        |          FROM shc0)
+        |        WHERE df <= (SELECT count(*) FROM documents
+        |                     WHERE doc_id % 100 <> 0) * 0.1),
+        |tokb AS (SELECT doc_id, string_split(text, ' ') AS t
+        |         FROM documents WHERE doc_id % 100 = 0),
+        |shb AS (SELECT DISTINCT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        |        FROM tokb, unnest(range(len(t) - 2)) AS u(i)),
+        |bad AS (SELECT c.doc_id FROM shc c JOIN shb b ON c.s = b.s
+        |        GROUP BY 1 HAVING count(DISTINCT c.s) >= 3)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+
     // replays TextOps.surprisal: corpus unigram distribution, per-doc
     // mean -ln p(token)
     "text_surprisal" ->

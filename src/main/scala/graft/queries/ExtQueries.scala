@@ -214,6 +214,20 @@ object ExtQueries {
       d.filter(col("doc_id") % 100 === 0)).orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered benchmark decontamination over the same
+    * corpus/benchmark split as `text_contamination` — ORACLE-CHECKED
+    * against the plain exact-join SQL, which is the whole point: the
+    * broadcast-sketch prefilter must be semantically invisible (no
+    * false negatives), only cheaper.
+    */
+  def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.decontaminate(
+      d.filter(col("doc_id") % 100 =!= 0),
+      d.filter(col("doc_id") % 100 === 0))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   def textSurprisal(spark: SparkSession, dir: String): DataFrame =
     TextOps.surprisal(docs(spark, dir)).orderBy("doc_id")
 

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bloom
+import graft.operators.TextOps
+
+/** Bloom-prefiltered decontamination: the sketch must be semantically
+  * invisible (kept set EXACTLY equals the plain inverted-index form —
+  * bloom filters have no false negatives) and operationally selective
+  * (the prefilter drops the non-candidate corpus before any join).
+  */
+class DecontaminateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // a doc is 's<i> w<i*7> …' so corpora share nothing by accident;
+  // contaminated docs copy a bench doc's text verbatim (all shingles
+  // shared), the boundary doc shares exactly 2 distinct shingles
+  private def mk(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val benchText = "alpha beta gamma delta epsilon zeta"
+  private val bench = mk(Seq((100L, benchText),
+    (101L, "eta theta iota kappa lambda mu")))
+
+  private val corpus = mk(Seq(
+    (1L, benchText),                                  // full copy → dropped
+    (2L, "alpha beta gamma delta nu xi"),             // 3 shared shingles? see below
+    (3L, "alpha beta gamma omicron pi rho"),          // 1 shared shingle → kept
+    (4L, "sigma tau upsilon phi chi psi"),            // disjoint → kept
+    (5L, "eta theta iota kappa omega aa")))           // 2 shared → kept at minShared=3
+
+  test("kept set equals the exact inverted-index form (no false negatives)") {
+    // exact form: contamination's flagged ids over the same inputs
+    for (minShared <- Seq(2, 3)) {
+      val dropped = TextOps.contamination(corpus, bench,
+          minShared = minShared, maxDfFrac = 1.0)
+        .select("doc_id").as[Long].collect().toSet
+      val keptExact = corpus.select("doc_id").as[Long].collect().toSet -- dropped
+      val kept = TextOps.decontaminate(corpus, bench,
+          minShared = minShared, maxDfFrac = 1.0)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == keptExact,
+        s"minShared=$minShared: bloom path kept $kept, exact form kept $keptExact")
+    }
+  }
+
+  test("boundary semantics: verbatim copy dropped, ≤2 shared shingles kept") {
+    val kept = TextOps.decontaminate(corpus, bench, minShared = 3,
+      maxDfFrac = 1.0).select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L), "verbatim benchmark copy must be dropped")
+    // doc 2 shares 'alpha beta gamma' + 'beta gamma delta' = 2 < 3 → kept
+    assert(kept.contains(2L) && kept.contains(3L) && kept.contains(4L) &&
+      kept.contains(5L), s"only the copy is over threshold: $kept")
+  }
+
+  test("sketch prefilter is selective and complete over a real corpus") {
+    val docs = sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+    val benchD = docs.filter(col("doc_id") % 100 === 0)
+    val benchGrams = TextOps.shingles(benchD).select("s").distinct()
+    val n = benchGrams.count()
+    val sketch = benchGrams
+      .agg(Bloom.bloomAgg(col("s"), n, n * 16).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val corpusGrams = TextOps.shingles(corpus).select("s").distinct()
+    val total = corpusGrams.count()
+    val truth = corpusGrams.join(benchGrams, "s").count()
+    val candidates = corpusGrams
+      .filter(Bloom.mightContain(sketch, col("s"))).count()
+    // completeness: every truly shared gram survives the prefilter
+    assert(candidates >= truth, s"false negatives: $candidates < $truth")
+    // selectivity: false positives bounded — 16 bits/item ≈ 0.04% fpp,
+    // allow generous slack (1% of the non-shared grams) for a tiny sketch
+    assert(candidates <= truth + math.max(10L, (total - truth) / 100),
+      s"prefilter not selective: $candidates candidates, $truth shared, $total grams")
+  }
+
+  test("plan: prefilter is a projection-side Filter; dropped side broadcasts") {
+    val plan = TextOps.decontaminate(corpus, bench, maxDfFrac = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the physical plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"kept-set anti-join should broadcast the bounded dropped side:\n$plan")
+  }
+
+  test("gate query runs and keeps only uncontaminated corpus docs at sf0.001") {
+    val docs = sources.Tables.documents(spark, sf)
+    val corpusIds = docs.filter(col("doc_id") % 100 =!= 0)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = queries.ExtQueries.textDecontaminate(spark, sf)
+      .as[Long].collect()
+    assert(kept.sameElements(kept.sorted), "gate output must be ordered")
+    assert(kept.toSet.subsetOf(corpusIds), "kept set must come from the corpus split")
+    assert(kept.nonEmpty, "a whole corpus cannot be contaminated")
+  }
+}
