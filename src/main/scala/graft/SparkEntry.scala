@@ -58,6 +58,7 @@ object SparkEntry {
     "conditional_agg" -> (conditionalAgg(_, _)),
     "events_sessionize" -> (eventsSessionize(_, _)),
     "salted_agg" -> (saltedAgg(_, _)),
+    "topk_group_agg" -> (topkGroupAgg(_, _)),
     "percentile_agg" -> (percentileAgg(_, _)),
     "pivot_agg" -> (pivotAgg(_, _)),
     "geomean_agg" -> (geomeanAgg(_, _)),
@@ -420,6 +421,15 @@ object SparkEntry {
       s"""WITH $eventsCte
          |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "topk_group_agg" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank,
+        |  o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
 
     "percentile_agg" ->
       """SELECT o_orderpriority,

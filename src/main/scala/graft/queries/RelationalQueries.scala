@@ -424,6 +424,28 @@ object RelationalQueries {
         round(max("o_totalprice"), 2).as("mx"))
       .orderBy("o_orderpriority")
 
+  /** Per-group top-k through the typed-UDAF surface
+    * ([[graft.functions.TopKAgg]], §2.9): bounded mergeable heaps
+    * partial-aggregate map-side, so the exchange carries ≤ k rows per
+    * (group, task) instead of the window form's every-row sort shuffle
+    * — the fixed-size-sketch shape applied to ranking. The oracle
+    * replays the `row_number()` window form: identical rows prove the
+    * buffer's total order (price desc, orderkey asc) is exact, not
+    * approximately ranked.
+    */
+  def topkGroupAgg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top.rows")))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("col._2").as("o_orderkey"),
+        round(col("col._1"), 2).as("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
   /** True pivot operator — fixed value list so the output schema is
     * static (the dynamic-list variant needs an extra pass to collect
     * values; at scale always pass the list).
