@@ -15,7 +15,10 @@ import graft.operators.TextOps
   *     rests on;
   *  2. wall time of the md5 vs rolling-polynomial substring-dedup
   *     profiles (same plan, different window hash — the O(n·k) vs
-  *     O(n) bytes-hashed trade documented on the kernels).
+  *     O(n) bytes-hashed trade documented on the kernels);
+  *  3. decontamination Bloom-prefilter selectivity: corpus shingles
+  *     vs truly-shared vs sketch candidates — the fraction of the
+  *     corpus the confirmation join never sees.
   *
   * Args: SF dirs (defaults to /root/testdata/sf0.01 /root/testdata/sf0.1).
   */
@@ -53,6 +56,22 @@ object ScaleProbe {
       val rollT = BenchUtil.minOf(3)(BenchUtil.sink(TextOps.substringDedupRolling(docs)))
       BenchUtil.releaseNewRdds(sc, before)
       println(f"[scaleprobe] $sf substring md5=$md5T%.2fs rolling=$rollT%.2fs ratio=${rollT / md5T}%.2f")
+      // bloom-prefilter selectivity over the gate's corpus/bench split
+      import org.apache.spark.sql.functions.col
+      val corpusGrams = TextOps.shingles(docs.filter(col("doc_id") % 100 =!= 0))
+        .select("s").distinct().localCheckpoint()
+      val benchGrams = TextOps.shingles(docs.filter(col("doc_id") % 100 === 0))
+        .select("s").distinct()
+      val nBench = math.max(1L, benchGrams.count())
+      val sketch = benchGrams
+        .agg(graft.functions.Bloom.bloomAgg(col("s"), nBench, nBench * 16))
+        .head.getAs[Array[Byte]](0)
+      val total = corpusGrams.count()
+      val truth = corpusGrams.join(benchGrams, "s").count()
+      val cand = corpusGrams
+        .filter(graft.functions.Bloom.mightContain(sketch, col("s"))).count()
+      println(f"[scaleprobe] $sf bloom grams=$total shared=$truth candidates=$cand " +
+        f"joinInputFrac=${cand.toDouble / total}%.5f fp=${cand - truth}")
     }
     spark.stop()
   }
