@@ -37,4 +37,21 @@ private[graft] object BenchUtil {
   def releaseNewRdds(sc: SparkContext, beforeIds: Set[Int]): Unit =
     sc.getPersistentRDDs.filterNot { case (id, _) => beforeIds(id) }
       .values.foreach(_.unpersist(blocking = false))
+
+  /** Bloom-prefilter selectivity measurement over distinct gram
+    * tables — ONE implementation shared by [[ScaleProbe]] and
+    * `DecontaminateSpec` so the published numbers and the spec's
+    * bounds can never measure different pipelines.
+    *
+    * @return (total corpus grams, truly shared, sketch candidates)
+    */
+  def bloomStats(corpusGrams: DataFrame, benchGrams: DataFrame,
+                 bitsPerItem: Int): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val sketch = graft.functions.Bloom.sketchOf(benchGrams, "s", bitsPerItem)
+    (corpusGrams.count(),
+      corpusGrams.join(benchGrams, "s").count(),
+      corpusGrams.filter(
+        graft.functions.Bloom.mightContain(sketch, col("s"))).count())
+  }
 }

@@ -56,20 +56,19 @@ object ScaleProbe {
       val rollT = BenchUtil.minOf(3)(BenchUtil.sink(TextOps.substringDedupRolling(docs)))
       BenchUtil.releaseNewRdds(sc, before)
       println(f"[scaleprobe] $sf substring md5=$md5T%.2fs rolling=$rollT%.2fs ratio=${rollT / md5T}%.2f")
-      // bloom-prefilter selectivity over the gate's corpus/bench split
+      // bloom-prefilter selectivity over the gate's corpus/bench
+      // split. The prefilter in decontaminate runs on RAW shingles
+      // (before the stop-shingle cap — the reorder that keeps
+      // non-candidates out of every exchange), so raw distinct grams
+      // IS the denominator the sketch actually filters.
       import org.apache.spark.sql.functions.col
+      val beforeBloom = sc.getPersistentRDDs.keySet.toSet
       val corpusGrams = TextOps.shingles(docs.filter(col("doc_id") % 100 =!= 0))
         .select("s").distinct().localCheckpoint()
       val benchGrams = TextOps.shingles(docs.filter(col("doc_id") % 100 === 0))
-        .select("s").distinct()
-      val nBench = math.max(1L, benchGrams.count())
-      val sketch = benchGrams
-        .agg(graft.functions.Bloom.bloomAgg(col("s"), nBench, nBench * 16))
-        .head.getAs[Array[Byte]](0)
-      val total = corpusGrams.count()
-      val truth = corpusGrams.join(benchGrams, "s").count()
-      val cand = corpusGrams
-        .filter(graft.functions.Bloom.mightContain(sketch, col("s"))).count()
+        .select("s").distinct().localCheckpoint()
+      val (total, truth, cand) = BenchUtil.bloomStats(corpusGrams, benchGrams, 16)
+      BenchUtil.releaseNewRdds(sc, beforeBloom)
       println(f"[scaleprobe] $sf bloom grams=$total shared=$truth candidates=$cand " +
         f"joinInputFrac=${cand.toDouble / total}%.5f fp=${cand - truth}")
     }

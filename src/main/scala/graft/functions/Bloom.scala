@@ -29,11 +29,33 @@ object Bloom {
     * (binary). `items` sizes the expected distinct count; `numBits`
     * the filter width (optimal hash count is derived by Spark's
     * sketch library).
+    *
+    * CLAMP: Spark caps both arguments at the runtime-filter confs
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits`, defaults 4M items / 64Mbit = 8 MB) — a key set
+    * beyond ~4M entries silently gets a saturating filter and a far
+    * higher false-positive rate than `numBits / items` implies.
+    * Correctness is unaffected (false positives only; the
+    * [[graft.operators.TextOps.decontaminate]] pattern re-confirms
+    * exactly), but a deployment sketching a benchmark that large
+    * should raise those confs alongside this call.
     */
   def bloomAgg(c: Column, items: Long, numBits: Long): Column =
     column(new BloomFilterAggregate(
       expression(xxhash64(c)),
       Literal(items), Literal(numBits)).toAggregateExpression())
+
+  /** Build and collect the sketch of `grams(column)` driver-side —
+    * the one-binary-value artifact the prefilter pattern ships as a
+    * literal. One count job + one aggregate job; callers holding a
+    * multi-use `grams` should `localCheckpoint()` it first.
+    */
+  def sketchOf(grams: org.apache.spark.sql.DataFrame, column: String,
+               bitsPerItem: Int): Array[Byte] = {
+    val n = math.max(1L, grams.count())
+    grams.agg(bloomAgg(org.apache.spark.sql.functions.col(column),
+      n, n * bitsPerItem)).head.getAs[Array[Byte]](0)
+  }
 
   /** Membership probe of `c` against a driver-held serialized sketch,
     * shipped as a foldable binary literal (broadcast-literal

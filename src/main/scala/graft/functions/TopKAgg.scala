@@ -37,9 +37,17 @@ final class TopKAgg(k: Int)
 
   require(k > 0, s"top-k needs k > 0, got $k")
 
-  // score desc, id asc — the total order shared with the SQL oracle
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // score desc, id asc — the total order shared with the SQL oracle.
+  // Double.compare (not >/==) keeps the order TOTAL for NaN scores
+  // (NaN ranks greatest, as SQL DESC ordering does in both Spark and
+  // DuckDB — with IEEE comparisons a NaN row would freeze at the
+  // buffer head and break the sorted invariant); -0.0 is normalised
+  // to 0.0 first because Double.compare splits them but SQL does not.
+  private def norm0(x: Double): Double = if (x == 0d) 0d else x
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(norm0(a._1), norm0(b._1))
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: TopKBuf = TopKBuf(Nil)
 

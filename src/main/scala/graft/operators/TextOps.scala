@@ -377,8 +377,17 @@ object TextOps {
     * The stop set is small by construction → broadcast anti-join.
     * Shared by [[jaccardPairs]] and [[contamination]].
     */
-  private def informativeShingles(docs: DataFrame, maxDfFrac: Double): DataFrame = {
-    val sh0 = shingles(docs)
+  private def informativeShingles(docs: DataFrame, maxDfFrac: Double): DataFrame =
+    dfCap(shingles(docs), docs, maxDfFrac)
+
+  /** Drop the stop shingles of `sh0` (per-doc-distinct (doc_id, s)
+    * rows): those appearing in more than `maxDfFrac` of `docs`. A
+    * shingle's document frequency is its ROW count in `sh0`, so any
+    * upstream filter that keeps either all or none of a shingle's rows
+    * (e.g. [[decontaminate]]'s sketch prefilter) commutes with this
+    * cap — surviving shingles' df values are unchanged.
+    */
+  private def dfCap(sh0: DataFrame, docs: DataFrame, maxDfFrac: Double): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val stop = sh0.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -560,14 +569,22 @@ object TextOps {
                     minShared: Int = 3, maxDfFrac: Double = 0.1,
                     bitsPerItem: Int = 16): DataFrame = {
     import graft.functions.Bloom
-    val bench = shingles(benchmark).select("s").distinct()
-    val nBench = math.max(1L, bench.count())
-    val sketch = bench
-      .agg(Bloom.bloomAgg(col("s"), nBench, nBench * bitsPerItem).as("bf"))
-      .head.getAs[Array[Byte]](0)
-    val candidates = informativeShingles(docs, maxDfFrac)
-      .filter(Bloom.mightContain(sketch, col("s")))
-    val dropped = candidates.join(bench, "s")
+    // materialise the bench shingle set ONCE: it feeds the sketch's
+    // count + aggregate jobs and the confirmation join (Spark performs
+    // no common-subexpression reuse across actions)
+    val bench = shingles(benchmark).select("s").distinct().localCheckpoint()
+    val sketch = Bloom.sketchOf(bench, "s", bitsPerItem)
+    // prefilter BEFORE the stop-shingle cap: the cap's df aggregation
+    // then shuffles only candidate rows — non-candidate shingles never
+    // reach any exchange. Semantically free ([[dfCap]]: a per-shingle-
+    // value filter keeps all or none of a shingle's rows, so surviving
+    // df values are unchanged) and the load-bearing half of the scale
+    // claim: without the reorder the df groupBy re-shuffles the whole
+    // corpus the sketch just excused.
+    val candidates = dfCap(
+      shingles(docs).filter(Bloom.mightContain(sketch, col("s"))),
+      docs, maxDfFrac)
+    val dropped = candidates.join(broadcast(bench), "s")
       .groupBy("doc_id")
       .agg(countDistinct("s").as("shared"))
       .filter(col("shared") >= minShared)

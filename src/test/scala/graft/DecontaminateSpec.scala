@@ -15,9 +15,11 @@ class DecontaminateSpec extends SparkSpec {
 
   import spark.implicits._
 
-  // a doc is 's<i> w<i*7> …' so corpora share nothing by accident;
-  // contaminated docs copy a bench doc's text verbatim (all shingles
-  // shared), the boundary doc shares exactly 2 distinct shingles
+  // every doc draws from its own Greek-letter word set, so corpus and
+  // benchmark share shingles only where the fixture plants them: doc 1
+  // copies a bench doc verbatim (all shingles shared), doc 2 shares
+  // exactly 2 distinct shingles (the minShared=3 boundary), docs 3–5
+  // share 1, 0 and 2
   private def mk(rows: Seq[(Long, String)]): DataFrame =
     rows.toDF("doc_id", "text")
 
@@ -57,19 +59,14 @@ class DecontaminateSpec extends SparkSpec {
   }
 
   test("sketch prefilter is selective and complete over a real corpus") {
+    // the SAME measurement ScaleProbe publishes (BenchUtil.bloomStats)
     val docs = sources.Tables.documents(spark, sf)
-    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
-    val benchD = docs.filter(col("doc_id") % 100 === 0)
-    val benchGrams = TextOps.shingles(benchD).select("s").distinct()
-    val n = benchGrams.count()
-    val sketch = benchGrams
-      .agg(Bloom.bloomAgg(col("s"), n, n * 16).as("bf"))
-      .head.getAs[Array[Byte]](0)
-    val corpusGrams = TextOps.shingles(corpus).select("s").distinct()
-    val total = corpusGrams.count()
-    val truth = corpusGrams.join(benchGrams, "s").count()
-    val candidates = corpusGrams
-      .filter(Bloom.mightContain(sketch, col("s"))).count()
+    val (total, truth, candidates) = BenchUtil.bloomStats(
+      TextOps.shingles(docs.filter(col("doc_id") % 100 =!= 0))
+        .select("s").distinct(),
+      TextOps.shingles(docs.filter(col("doc_id") % 100 === 0))
+        .select("s").distinct(),
+      bitsPerItem = 16)
     // completeness: every truly shared gram survives the prefilter
     assert(candidates >= truth, s"false negatives: $candidates < $truth")
     // selectivity: false positives bounded — 16 bits/item ≈ 0.04% fpp,

@@ -31,6 +31,27 @@ class TopKAggSpec extends SparkSpec {
     }
   }
 
+  test("order stays total on NaN and -0.0 scores") {
+    // IEEE comparisons would freeze a NaN row at the buffer head and
+    // let later rows insert ahead of it (unsorted buffer, order-
+    // dependent results); Double.compare ranks NaN greatest, matching
+    // SQL DESC in both Spark and DuckDB, and -0.0 ties 0.0 so the id
+    // tiebreak (not the sign bit) decides
+    val agg = new TopKAgg(2)
+    val rows = Seq((1.0, 1L), (Double.NaN, 2L), (2.0, 3L))
+    val want = List((Double.NaN, 2L), (2.0, 3L))
+    for (perm <- rows.permutations) {
+      val got = agg.finish(perm.foldLeft(agg.zero)(agg.reduce)).rows
+      assert(got.map(_._2) == want.map(_._2) &&
+        got.head._1.isNaN && got(1)._1 == 2.0,
+        s"perm $perm: $got")
+    }
+    val zeros = Seq((0.0, 5L), (-0.0, 1L), (-1.0, 9L))
+    val got = agg.finish(zeros.foldLeft(agg.zero)(agg.reduce)).rows
+    assert(got.map(_._2) == List(1L, 5L),
+      s"-0.0 must tie 0.0 and fall to the id tiebreak: $got")
+  }
+
   test("equals the window form on orders; invariant under repartitioning") {
     val orders = sources.Tables.orders(spark, sf)
     val w = Window.partitionBy("o_orderpriority")
