@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_containment" -> (graft.queries.ExtQueries.dedupContainment(_, _)),
     "dedup_shared_index" -> (graft.queries.ExtQueries.dedupSharedIndex(_, _)),
     "text_kl_sources" -> (graft.queries.ExtQueries.textKlSources(_, _)),
+    "corpus_shuffle" -> (graft.queries.ExtQueries.corpusShuffle(_, _)),
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "sample_per_group" -> (graft.queries.ExtQueries.samplePerGroup(_, _)),
     "corpus_assemble" -> (graft.queries.ExtQueries.corpusAssemble(_, _)),

@@ -35,6 +35,25 @@ object CorpusOps {
       .filter(col("h16") < rate * 65536)
   }
 
+  /** Deterministic corpus shuffle — the training-order randomisation
+    * pass before shard writing: rows ordered by `md5(seed ∥ doc_id)`,
+    * a reproducible pseudorandom permutation independent of input
+    * partitioning (the same engine-portable-hash rationale as
+    * [[hash16]]; a new `seed` is a fresh permutation). Scale shape:
+    * Spark plans the global sort as a RANGE-partitioned sort — sampled
+    * split points, per-task sorts, the TeraSort shape — so the
+    * permutation streams to shard files with no single-task
+    * bottleneck. Deliberately NO materialised global position column:
+    * a corpus-wide `row_number` would serialise on one window
+    * partition; the row order IS the deliverable (consumers write
+    * shards in encounter order), and the sort key column makes the
+    * permutation reproducible and oracle-checkable.
+    */
+  def shuffleOrder(docs: DataFrame, seed: String): DataFrame =
+    docs
+      .withColumn("skey", md5(concat(lit(seed), col("doc_id").cast("string"))))
+      .orderBy("skey")
+
   /** Greedy sequential packing of documents into fixed token-budget
     * bins, per language: documents are taken in doc_id order and a
     * document opens bin ⌊exclusive-cumsum ∕ budget⌋ — i.e. a new bin

@@ -565,6 +565,14 @@ object ExtOracles {
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
 
+    // replays CorpusOps.shuffleOrder's permutation key — md5 agrees
+    // byte-for-byte across engines, so the hash check covers the whole
+    // training-order permutation
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+        |  md5('graft' || CAST(doc_id AS VARCHAR)) AS skey
+        |FROM documents ORDER BY skey""".stripMargin,
+
     // replays ExtQueries.corpusAssemble: quality stats gate, exact-dedup
     // survivor semi-join, embedding norm attach (vec_id = doc_id)
     "corpus_assemble" ->

@@ -335,6 +335,15 @@ object ExtQueries {
   /** Temperature-scaled (α = 0.5) mixture weights + token allocations
     * per source.
     */
+  /** Deterministic training-order shuffle ([[CorpusOps.shuffleOrder]]):
+    * the driver compare is order-insensitive (it sorts by columns), so
+    * the emitted sort KEY carries the permutation — hash-green means
+    * the full permutation matches DuckDB exactly.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.shuffleOrder(docs(spark, dir), seed = "graft")
+      .select("doc_id", "skey")
+
   def corpusMixture(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.mixtureWeights(docs(spark, dir)).orderBy("source")
 

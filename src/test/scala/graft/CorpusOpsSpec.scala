@@ -165,4 +165,26 @@ class CorpusOpsSpec extends SparkSpec {
       assert(gaps.isEmpty, "no doc exceeds the budget, so bins must be dense")
     }
   }
+
+  test("shuffle order: reproducible permutation, seed-sensitive, range-sorted plan") {
+    val d = graft.sources.Tables.documents(spark, sf)
+    val once = CorpusOps.shuffleOrder(d, seed = "graft")
+      .select("doc_id").as[Long].collect()
+    // a permutation: every doc exactly once
+    assert(once.sorted.toSeq == d.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(once.toSeq != once.sorted.toSeq, "order must actually be shuffled")
+    // reproducible across partitionings; a new seed is a new permutation
+    val again = CorpusOps.shuffleOrder(d.repartition(7), seed = "graft")
+      .select("doc_id").as[Long].collect()
+    assert(again.sameElements(once), "permutation must not depend on partitioning")
+    val other = CorpusOps.shuffleOrder(d, seed = "graft2")
+      .select("doc_id").as[Long].collect()
+    assert(!other.sameElements(once), "a fresh seed must re-permute")
+    // the global sort must plan as a range-partitioned sort (TeraSort
+    // shape), never a single-partition collapse
+    val plan = CorpusOps.shuffleOrder(d, seed = "graft")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"global sort should range-partition:\n$plan")
+  }
 }
