@@ -95,6 +95,7 @@ object SparkEntry {
     "dedup_canonical" -> (graft.queries.ExtQueries.dedupCanonical(_, _)),
     "dedup_clusters" -> (graft.queries.ExtQueries.dedupClusters(_, _)),
     "dedup_clusters_star" -> (graft.queries.ExtQueries.dedupClustersStar(_, _)),
+    "dedup_rate" -> (graft.queries.ExtQueries.dedupRate(_, _)),
     "text_repetition" -> (graft.queries.ExtQueries.textRepetition(_, _)),
     "text_tfidf" -> (graft.queries.ExtQueries.textTfidf(_, _)),
     "dedup_paragraph" -> (graft.queries.ExtQueries.dedupParagraph(_, _)),
@@ -103,6 +104,7 @@ object SparkEntry {
     "dedup_shared_index" -> (graft.queries.ExtQueries.dedupSharedIndex(_, _)),
     "text_kl_sources" -> (graft.queries.ExtQueries.textKlSources(_, _)),
     "corpus_shuffle" -> (graft.queries.ExtQueries.corpusShuffle(_, _)),
+    "corpus_split" -> (graft.queries.ExtQueries.corpusSplit(_, _)),
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "sample_per_group" -> (graft.queries.ExtQueries.samplePerGroup(_, _)),
     "corpus_assemble" -> (graft.queries.ExtQueries.corpusAssemble(_, _)),

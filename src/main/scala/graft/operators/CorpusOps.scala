@@ -54,6 +54,30 @@ object CorpusOps {
       .withColumn("skey", md5(concat(lit(seed), col("doc_id").cast("string"))))
       .orderBy("skey")
 
+  /** Deterministic train/val/test split assignment: bucket =
+    * `hash16(seed ∥ doc_id) mod 100`, split boundaries at `trainPct` /
+    * `trainPct + valPct`. The assignment is a pure function of the id —
+    * reproducible across runs, partitionings and cluster sizes, and any
+    * later re-ingest of a document lands it in the SAME split (the
+    * leakage guarantee a random() split cannot give). A pure codegen'd
+    * projection: no shuffle, no state, embarrassingly parallel at any
+    * scale. The 16-bit hash's mod-100 bias is ≤ 0.06% per bucket
+    * (655..656 of 65536 values per residue) — negligible against the
+    * sampling noise of any real split, and the determinism is the
+    * point. A fresh `seed` is a fresh independent split.
+    */
+  def splitAssign(docs: DataFrame, seed: String,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"splitAssign: need 0 < trainPct and trainPct + valPct < 100, " +
+        s"got train=$trainPct val=$valPct")
+    val bucket = hash16(concat(lit(seed), col("doc_id").cast("string"))) % 100
+    docs.select(col("doc_id"), col("source"), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Greedy sequential packing of documents into fixed token-budget
     * bins, per language: documents are taken in doc_id order and a
     * document opens bin ⌊exclusive-cumsum ∕ budget⌋ — i.e. a new bin

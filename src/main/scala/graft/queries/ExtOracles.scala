@@ -573,6 +573,23 @@ object ExtOracles {
         |  md5('graft' || CAST(doc_id AS VARCHAR)) AS skey
         |FROM documents ORDER BY skey""".stripMargin,
 
+    // replays CorpusOps.splitAssign (seed graftsplit, 80/10/10): first
+    // four md5 nibbles mod 100 via the strpos hex trick
+    "corpus_split" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    md5('graftsplit' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |v AS (SELECT doc_id, source,
+        |  CAST(((strpos('0123456789abcdef', substring(m, 1, 1)) - 1) * 4096 +
+        |        (strpos('0123456789abcdef', substring(m, 2, 1)) - 1) * 256 +
+        |        (strpos('0123456789abcdef', substring(m, 3, 1)) - 1) * 16 +
+        |        (strpos('0123456789abcdef', substring(m, 4, 1)) - 1)) % 100
+        |    AS BIGINT) AS bucket
+        |  FROM h)
+        |SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM v ORDER BY doc_id""".stripMargin,
+
     // replays ExtQueries.corpusAssemble: quality stats gate, exact-dedup
     // survivor semi-join, embedding norm attach (vec_id = doc_id)
     "corpus_assemble" ->
@@ -597,6 +614,29 @@ object ExtOracles {
     // star contraction computes the same closure — one oracle, two
     // algorithms (the driver replays this SQL for both queries)
     "dedup_clusters_star" -> dedupClustersSql,
+
+    // replays ExtQueries.dedupRate: the cluster closure left-joined to
+    // documents, removed = clustered member that is not the min-id
+    // keeper; sums cast back from DuckDB's HUGEINT
+    "dedup_rate" ->
+      s"""WITH RECURSIVE $tokCte, $shCte, $minhashCte, $bandsCte,
+         |$cpCte,
+         |edges AS (SELECT a AS src, b AS dst FROM cp UNION SELECT b, a FROM cp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.source, count(*) AS n_docs,
+         |  count(cl.cluster_id) AS n_clustered,
+         |  CAST(coalesce(sum(CASE WHEN cl.cluster_id IS NOT NULL
+         |      AND d.doc_id <> cl.cluster_id THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_removed,
+         |  round(coalesce(sum(CASE WHEN cl.cluster_id IS NOT NULL
+         |      AND d.doc_id <> cl.cluster_id THEN 1 ELSE 0 END), 0)
+         |    / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // transitive closure of the minhash candidate pairs via recursive
     // CTE (min reachable id = Spark's min-label-propagation fixpoint)

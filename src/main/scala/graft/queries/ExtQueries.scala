@@ -38,6 +38,37 @@ object ExtQueries {
     langGuessCache.get(spark, dir)(
       TextOps.langId(docs(spark, dir)).localCheckpoint())
 
+  /** MinHash candidate-pair artifact, shared by its four consumers
+    * (`dedup_minhash_pairs`, `dedup_clusters`, `dedup_clusters_star`,
+    * `dedup_canonical`, `dedup_rate`): the near-dup pair set is THE
+    * persisted output of a dedup stage — a production pipeline computes
+    * it once (shingle → signature → band join) and every downstream
+    * step (clustering, survivor selection, rate audits) reads the
+    * materialised table. Same [[SessionCache]] train-once contract as
+    * [[langGuesses]]; the cached value is O(#candidate pairs) rows —
+    * tiny relative to the corpus by LSH construction — and
+    * deterministic, so sharing cannot change any gate row.
+    */
+  private val minhashPairsCache = new SessionCache[DataFrame]
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsCache.get(spark, dir)(
+      TextOps.minhashCandidatePairs(docs(spark, dir)).localCheckpoint())
+
+  /** Shared overlap-stats artifact ([[TextOps.setSimilarityPairs]]):
+    * ONE inverted-index self-join per (session, dir) serves the
+    * Jaccard, containment and unioned gate queries — the measured
+    * 0.55× shared cost model (PLANS.md) applied to the query surface
+    * itself, same posture as [[minhashPairs]]. The thresholds are the
+    * standalone operators' defaults, so each projection is
+    * value-identical to its self-contained form (spec-pinned in
+    * `TextOpsSpec`); the checkpoint pinning the stats table lives
+    * inside `setSimilarityPairs`.
+    */
+  private val setSimCache = new SessionCache[(DataFrame, DataFrame)]
+  private def setSimPairs(spark: SparkSession,
+                          dir: String): (DataFrame, DataFrame) =
+    setSimCache.get(spark, dir)(TextOps.setSimilarityPairs(docs(spark, dir)))
+
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     langGuesses(spark, dir).orderBy("doc_id")
 
@@ -241,7 +272,7 @@ object ExtQueries {
     TextOps.minhashBands(docs(spark, dir)).orderBy("doc_id", "band")
 
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    TextOps.minhashCandidatePairs(docs(spark, dir)).orderBy("a", "b")
+    minhashPairs(spark, dir).orderBy("a", "b")
 
   /** Signature-agreement Jaccard estimate for the candidate pairs. */
   def dedupMinhashEstimate(spark: SparkSession, dir: String): DataFrame =
@@ -268,7 +299,7 @@ object ExtQueries {
       .orderBy("source")
 
   def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    TextOps.jaccardPairs(docs(spark, dir), threshold = 0.5).orderBy("a", "b")
+    setSimPairs(spark, dir)._1.orderBy("a", "b")
 
   /** IDF-weighted shingle cosine pairs at 0.5 — the weighted sparse
     * similarity complement to the flat-set Jaccard/containment pair.
@@ -288,8 +319,7 @@ object ExtQueries {
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(spark, dir)
-    val clusters = GraphOps.connectedComponentsStar(
-      TextOps.minhashCandidatePairs(d))
+    val clusters = GraphOps.connectedComponentsStar(minhashPairs(spark, dir))
     val scored = clusters
       .join(TextOps.qualityScore(d).select("doc_id", "quality_score"), "doc_id")
     val w = Window.partitionBy("cluster_id")
@@ -306,7 +336,7 @@ object ExtQueries {
     * Jaccard is diluted by the larger doc.
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
-    TextOps.containmentPairs(docs(spark, dir), threshold = 0.8).orderBy("a", "b")
+    setSimPairs(spark, dir)._2.orderBy("a", "b")
 
   /** Jaccard AND containment projections off ONE materialised
     * overlap-stats index ([[TextOps.setSimilarityPairs]]) — the shared
@@ -316,7 +346,7 @@ object ExtQueries {
     * unioned, hash-checked against the union of the two oracles.
     */
   def dedupSharedIndex(spark: SparkSession, dir: String): DataFrame = {
-    val (j, c) = TextOps.setSimilarityPairs(docs(spark, dir))
+    val (j, c) = setSimPairs(spark, dir)
     j.select(lit("jaccard").as("kind"), col("a"), col("b"),
         col("jaccard").as("score"))
       .unionAll(c.select(lit("containment").as("kind"), col("a"), col("b"),
@@ -343,6 +373,15 @@ object ExtQueries {
   def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.shuffleOrder(docs(spark, dir), seed = "graft")
       .select("doc_id", "skey")
+
+  /** Deterministic 80/10/10 train/val/test assignment
+    * ([[CorpusOps.splitAssign]]) — hash-green means every document's
+    * split matches DuckDB exactly, i.e. the whole assignment function
+    * is engine-portable, the property that makes a split auditable.
+    */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.splitAssign(docs(spark, dir), seed = "graftsplit")
+      .orderBy("doc_id")
 
   def corpusMixture(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.mixtureWeights(docs(spark, dir)).orderBy("source")
@@ -398,16 +437,35 @@ object ExtQueries {
     * doc per group" step that follows pair generation.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    GraphOps.connectedComponents(
-      TextOps.minhashCandidatePairs(docs(spark, dir))).orderBy("doc_id")
+    GraphOps.connectedComponents(minhashPairs(spark, dir)).orderBy("doc_id")
 
   /** Same clusters via large-star/small-star contraction — the
     * O(log n)-round algorithm for adversarial component diameters;
     * oracle-identical to [[dedupClusters]] by definition.
     */
   def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
-    GraphOps.connectedComponentsStar(
-      TextOps.minhashCandidatePairs(docs(spark, dir))).orderBy("doc_id")
+    GraphOps.connectedComponentsStar(minhashPairs(spark, dir)).orderBy("doc_id")
+
+  /** Per-source duplication-rate audit — the corpus-health diagnostic a
+    * dedup stage reports: every document left-joined to its near-dup
+    * cluster (absent ⇒ unique), removed = clustered member that is not
+    * the cluster's min-id keeper. Reads the shared [[minhashPairs]]
+    * artifact; the aggregation is bounded by |sources|, the join's
+    * cluster side by the (LSH-small) clustered-doc count.
+    */
+  def dedupRate(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select("doc_id", "source")
+      .join(GraphOps.connectedComponentsStar(minhashPairs(spark, dir)),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("cluster_id")).as("n_clustered"),
+        sum(when(col("cluster_id").isNotNull &&
+          col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .as("n_removed"))
+      .withColumn("dup_rate",
+        round(col("n_removed") / col("n_docs"), 4))
+      .orderBy("source")
 
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetition(docs(spark, dir)).orderBy("doc_id")

@@ -187,4 +187,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"),
       s"global sort should range-partition:\n$plan")
   }
+  test("splitAssign: deterministic, boundary-exact, subset-stable") {
+    val d = spark.range(500).select(col("id").as("doc_id"),
+      concat(lit("s"), col("id") % 3).as("source"), lit("x").as("text"))
+    val a = CorpusOps.splitAssign(d, "seed1").orderBy("doc_id").collect()
+    // pure function of the id: partitioning must not move anyone
+    val b = CorpusOps.splitAssign(d.repartition(7), "seed1")
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq, "assignment must not depend on partitioning")
+    // buckets in [0,100), split boundaries exact
+    assert(a.forall { r =>
+      val bk = r.getLong(2); val s = r.getString(3)
+      bk >= 0 && bk < 100 &&
+        s == (if (bk < 80) "train" else if (bk < 90) "val" else "test")
+    })
+    // roughly 80/10/10 (hash16 is uniform; 500 ids gives wide slack)
+    val frac = a.count(_.getString(3) == "train") / 500.0
+    assert(frac > 0.7 && frac < 0.9, s"train frac $frac off 0.8")
+    // subset stability: re-ingesting a filtered corpus keeps survivors'
+    // splits — the leakage guarantee
+    val sub = CorpusOps.splitAssign(d.filter(col("doc_id") % 3 === 0), "seed1")
+      .orderBy("doc_id").collect()
+    assert(sub.toSeq == a.filter(_.getLong(0) % 3 == 0).toSeq)
+    // a fresh seed is a fresh split
+    val c = CorpusOps.splitAssign(d, "seed2").orderBy("doc_id").collect()
+    assert(a.zip(c).exists { case (x, y) => x.getString(3) != y.getString(3) })
+    // invalid percentages refuse loudly
+    intercept[IllegalArgumentException] {
+      CorpusOps.splitAssign(d, "s", trainPct = 95, valPct = 10)
+    }
+  }
 }
