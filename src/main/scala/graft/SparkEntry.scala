@@ -82,6 +82,7 @@ object SparkEntry {
     "hll_partitioned" -> (graft.queries.ExtQueries.hllPartitioned(_, _)),
     "percentile_sketch" -> (graft.queries.ExtQueries.percentileSketch(_, _)),
     "frequent_tokens" -> (graft.queries.ExtQueries.frequentTokens(_, _)),
+    "sketch_cms" -> (graft.queries.ExtQueries.sketchCms(_, _)),
     "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
     "text_fingerprint" -> (graft.queries.ExtQueries.textFingerprint(_, _)),
     "text_simhash" -> (graft.queries.ExtQueries.textSimhash(_, _)),

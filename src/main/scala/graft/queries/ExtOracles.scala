@@ -338,6 +338,15 @@ object ExtOracles {
          |SELECT w AS token, count(*) AS n FROM tokw
          |GROUP BY w ORDER BY n DESC, token LIMIT 10""".stripMargin,
 
+    // replays ExtQueries.sketchCms's exact audit side; probe_ok is
+    // CMS's deterministic estimate ≥ exact guarantee — constant TRUE in
+    // SQL, real computation on the Spark side (a broken build/probe
+    // hash pairing under-counts and goes red here)
+    "sketch_cms" ->
+      s"""WITH $tokCte2
+         |SELECT w AS token, count(*) AS exact_n, TRUE AS probe_ok FROM tokw
+         |GROUP BY w ORDER BY exact_n DESC, token LIMIT 10""".stripMargin,
+
     // hybrid retrieval: the bm25 pipeline (same CTEs as text_bm25, top
     // 50), the cosine pipeline (same shape as embed_topk, query vec 0,
     // top 50), ranks fused with 1/(60+rank); double division forced —

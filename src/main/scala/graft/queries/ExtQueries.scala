@@ -69,6 +69,21 @@ object ExtQueries {
                           dir: String): (DataFrame, DataFrame) =
     setSimCache.get(spark, dir)(TextOps.setSimilarityPairs(docs(spark, dir)))
 
+  /** The duplicate-cluster closure (star contraction over
+    * [[minhashPairs]]) as its own shared artifact: the doc→cluster map
+    * is THE table a dedup stage persists — survivor selection
+    * (`dedup_canonical`), rate audits (`dedup_rate`) and the cluster
+    * listing (`dedup_clusters_star`) all read it. `dedup_clusters`
+    * stays self-contained on the plain label-propagation algorithm —
+    * the two implementations' independent agreement is part of what
+    * its gate row checks.
+    */
+  private val starClustersCache = new SessionCache[DataFrame]
+  private def starClusters(spark: SparkSession, dir: String): DataFrame =
+    starClustersCache.get(spark, dir)(
+      GraphOps.connectedComponentsStar(minhashPairs(spark, dir))
+        .localCheckpoint())
+
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     langGuesses(spark, dir).orderBy("doc_id")
 
@@ -220,6 +235,34 @@ object ExtQueries {
     */
   private val SketchBudget = 100000
 
+  /** Count-Min point-frequency audit: ONE corpus pass aggregates every
+    * token into a fixed-memory counter matrix (`count_min_sketch`,
+    * merge-combinable partials), the sketch rides the probe plan as a
+    * reference object ([[graft.functions.Cms]]), and the exact top-k
+    * tokens are probed against it. The emitted `probe_ok` is CMS's
+    * DETERMINISTIC guarantee (estimate ≥ exact count, which holds iff
+    * the probe hashes exactly the bytes the build side added) — so the
+    * hash-green row proves the whole build→serialize→ship→probe path
+    * end-to-end, while the estimate's (probabilistic, seed-dependent)
+    * over-count magnitude stays spec territory (`SketchSpec`). The
+    * exact-count side exists to AUDIT the sketch; at production scale
+    * the sketch pass alone is the operator (probes are pure
+    * projections — no join, no shuffle).
+    */
+  def sketchCms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toks = docs(spark, dir).select(explode(TextOps.tokens).as("w"))
+    val sketch = toks
+      .agg(expr("count_min_sketch(w, 0.001d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    toks.groupBy("w").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("w"))
+      .limit(k)
+      .select(col("w").as("token"), col("exact_n"),
+        (graft.functions.Cms.estimate(sketch, col("w")) >= col("exact_n"))
+          .as("probe_ok"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashPairs(docs(spark, dir)).orderBy("a", "b")
 
@@ -319,7 +362,7 @@ object ExtQueries {
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(spark, dir)
-    val clusters = GraphOps.connectedComponentsStar(minhashPairs(spark, dir))
+    val clusters = starClusters(spark, dir)
     val scored = clusters
       .join(TextOps.qualityScore(d).select("doc_id", "quality_score"), "doc_id")
     val w = Window.partitionBy("cluster_id")
@@ -444,7 +487,7 @@ object ExtQueries {
     * oracle-identical to [[dedupClusters]] by definition.
     */
   def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
-    GraphOps.connectedComponentsStar(minhashPairs(spark, dir)).orderBy("doc_id")
+    starClusters(spark, dir).orderBy("doc_id")
 
   /** Per-source duplication-rate audit — the corpus-health diagnostic a
     * dedup stage reports: every document left-joined to its near-dup
@@ -455,8 +498,7 @@ object ExtQueries {
     */
   def dedupRate(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select("doc_id", "source")
-      .join(GraphOps.connectedComponentsStar(minhashPairs(spark, dir)),
-        Seq("doc_id"), "left")
+      .join(starClusters(spark, dir), Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         count(col("cluster_id")).as("n_clustered"),

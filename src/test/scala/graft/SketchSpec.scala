@@ -57,4 +57,43 @@ class SketchSpec extends SparkSpec {
     assert(approx.map(_._2).toSeq === exact.map(_._2).toSeq)
     assert(approx.toSet === exact.toSet)
   }
+
+  test("CMS estimate is >= exact for EVERY token and within the eps*N bound") {
+    import graft.operators.TextOps
+    val toks = sources.Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens).as("w"))
+    val sketch = toks.agg(expr("count_min_sketch(w, 0.001d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val n = toks.count()
+    val rows = toks.groupBy("w").agg(count(lit(1)).as("exact"))
+      .select(col("w"), col("exact"),
+        graft.functions.Cms.estimate(sketch, col("w")).as("est"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS under-counted '$w': est=$est exact=$exact " +
+        "(build/probe hash mismatch)")
+      assert(est <= exact + (0.001 * n).ceil.toLong,
+        s"CMS over-count for '$w' beyond eps*N: est=$est exact=$exact n=$n")
+    }
+    // the codegen probe and the sketch library agree byte-for-byte
+    val direct = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketch))
+    rows.take(50).foreach { r =>
+      assert(r.getLong(2) ===
+        direct.estimateCount(r.getString(0).getBytes("UTF-8")))
+    }
+  }
+
+  test("CMS sketch bytes are partition-invariant (counter merge is exact)") {
+    import graft.operators.TextOps
+    val d = sources.Tables.documents(spark, sf)
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Seq[Byte] =
+      df.select(explode(TextOps.tokens).as("w"))
+        .agg(expr("count_min_sketch(w, 0.001d, 0.99d, 42)"))
+        .head.getAs[Array[Byte]](0).toSeq
+    assert(bytesOf(d) == bytesOf(d.repartition(7)),
+      "merged partials must equal the single-partition sketch")
+  }
 }
