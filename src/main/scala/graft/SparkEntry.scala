@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),
+    "embed_knn_classify" -> (graft.queries.ExtQueries.embedKnnClassify(_, _)),
     "embed_pq" -> (graft.queries.ExtQueries.embedPq(_, _)),
     "embed_pq_topk" -> (graft.queries.ExtQueries.embedPqTopK(_, _)),
     "embed_ivf_pq_topk" -> (graft.queries.ExtQueries.embedIvfPqTopK(_, _)),

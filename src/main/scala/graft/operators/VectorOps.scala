@@ -62,6 +62,32 @@ object VectorOps {
       .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
   }
 
+  /** k-NN label vote: classify each query vector by the majority label
+    * of its k nearest corpus neighbours (cosine, self excluded) — the
+    * auto-labelling / label-propagation step an embedding pipeline runs
+    * to extend a labelled seed set. Deterministic end-to-end: the
+    * neighbour set is [[cosineTopK]]'s rounded-cosine ranking and the
+    * vote tie-breaks by (votes desc, label asc). The vote side is
+    * |queries|·k rows — broadcast; the label attach joins on the id the
+    * corpus is keyed by. At scale the same vote composes over
+    * [[ivfTopK]] candidates instead of the brute-force ranking (swap
+    * the `nn` input); the brute-force form is the oracle-replayable
+    * baseline, same split as `embed_topk` vs `embed_ivf_topk`.
+    */
+  def knnClassify(embeddings: DataFrame, queryIds: Seq[Long],
+                  k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = cosineTopK(embeddings, queryIds, k).select("qid", "vec_id")
+    val votes = embeddings.select(col("vec_id"), col("label"))
+      .join(broadcast(nn), "vec_id")
+      .groupBy("qid", "label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+    votes.withColumn("vr", row_number().over(w))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** Sign-pattern bucket of the first `signBits` dimensions — the LSH
     * key. Fixed axis-aligned hyperplanes keep it engine-portable; a
     * random-rotation family drops in by replacing the projection.
@@ -129,6 +155,28 @@ object VectorOps {
     * cell), the centroid array (driver-local — nlist × dim doubles),
     * and the effective nprobe.
     */
+  /** A trained coarse quantizer + its corpus assignment — the artifact
+    * every IVF-family consumer shares: `corpus` is the checkpointed
+    * (vec_id, embedding, cell) index table, `centers` the nlist×dim
+    * centroid array (driver-local), `nprobe` the resolved probe width.
+    * [[ivfTopK]] and [[buildIvfPqModel]] both accept a prebuilt one
+    * (`reuse`) so a pipeline trains the quantizer ONCE and serves the
+    * plain-IVF and IVF-PQ search paths from it.
+    */
+  final case class IvfAssignment(corpus: DataFrame,
+                                 centers: Array[Array[Double]], nprobe: Int)
+
+  /** Train the coarse quantizer and assign the corpus — the build step
+    * behind [[IvfAssignment]], exposed so callers can share it.
+    */
+  def trainIvfAssignment(embeddings: DataFrame, nlist: Int = Auto,
+                         nprobe: Int = Auto,
+                         maxTrainRows: Long = MaxTrainRows): IvfAssignment = {
+    val (corpus, centers, nprobeEff) =
+      ivfAssign(embeddings, nlist, nprobe, maxTrainRows)
+    IvfAssignment(corpus, centers, nprobeEff)
+  }
+
   private def ivfAssign(embeddings: DataFrame, nlist: Int, nprobe: Int,
                         maxTrainRows: Long): (DataFrame, Array[Array[Double]], Int) = {
     import org.apache.spark.ml.clustering.KMeans
@@ -173,12 +221,13 @@ object VectorOps {
 
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
               nlist: Int = Auto, nprobe: Int = Auto,
-              maxTrainRows: Long = MaxTrainRows): DataFrame = {
+              maxTrainRows: Long = MaxTrainRows,
+              reuse: Option[IvfAssignment] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     val spark = embeddings.sparkSession
-    val (corpus, centers, nprobeEff) =
-      ivfAssign(embeddings, nlist, nprobe, maxTrainRows)
+    val IvfAssignment(corpus, centers, nprobeEff) =
+      reuse.getOrElse(trainIvfAssignment(embeddings, nlist, nprobe, maxTrainRows))
 
     import spark.implicits._
     val centroids = centers.zipWithIndex
@@ -599,9 +648,10 @@ object VectorOps {
                 nlist: Int = Auto, nprobe: Int = Auto,
                 m: Int = 8, kCent: Int = 256,
                 maxTrainRows: Long = MaxTrainRows,
-                pqTrainRows: Long = PqTrainRows): DataFrame = {
+                pqTrainRows: Long = PqTrainRows,
+                reuse: Option[IvfAssignment] = None): DataFrame = {
     val model = buildIvfPqModel(embeddings, nlist, nprobe, m, kCent,
-      maxTrainRows, pqTrainRows)
+      maxTrainRows, pqTrainRows, reuse)
     ivfPqSearch(model, collectQueries(embeddings, queryIds), k)
   }
 
@@ -641,10 +691,11 @@ object VectorOps {
   private[graft] def buildIvfPqModel(embeddings: DataFrame,
       nlist: Int = Auto, nprobe: Int = Auto, m: Int = 8, kCent: Int = 256,
       maxTrainRows: Long = MaxTrainRows,
-      pqTrainRows: Long = PqTrainRows): IvfPqModel = {
+      pqTrainRows: Long = PqTrainRows,
+      reuse: Option[IvfAssignment] = None): IvfPqModel = {
     val spark = embeddings.sparkSession
-    val (corpus, centers, nprobeEff) =
-      ivfAssign(embeddings, nlist, nprobe, maxTrainRows)
+    val IvfAssignment(corpus, centers, nprobeEff) =
+      reuse.getOrElse(trainIvfAssignment(embeddings, nlist, nprobe, maxTrainRows))
 
     import spark.implicits._
     val centroidsDf = centers.zipWithIndex

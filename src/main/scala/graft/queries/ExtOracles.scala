@@ -762,6 +762,27 @@ object ExtOracles {
          |  FROM scored)
          |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
 
+    // replays VectorOps.knnClassify over the embed_topk neighbour CTEs:
+    // label attach + majority vote, ties (votes desc, label asc)
+    "embed_knn_classify" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |scored AS (SELECT qid, e.vec_id,
+         |  round(list_dot_product(qv, v) /
+         |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 5) AS cos
+         |  FROM e JOIN q ON e.vec_id <> qid),
+         |ranked AS (SELECT qid, vec_id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored),
+         |votes AS (SELECT qid, l.label, count(*) AS votes
+         |  FROM ranked JOIN embeddings l ON ranked.vec_id = l.vec_id
+         |  WHERE rn <= 10 GROUP BY 1, 2),
+         |best AS (SELECT qid, label, votes,
+         |  row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+         |  FROM votes)
+         |SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes
+         |FROM best WHERE vr = 1 ORDER BY qid""".stripMargin,
+
     // replays VectorOps.quantize: floor-based int8 codes (round() has
     // half-even/half-up splits across engines; floor(x+0.5) does not)
     "embed_quantize" ->

@@ -84,6 +84,21 @@ object ExtQueries {
       GraphOps.connectedComponentsStar(minhashPairs(spark, dir))
         .localCheckpoint())
 
+  /** Shared coarse-quantizer artifact
+    * ([[VectorOps.trainIvfAssignment]]): ONE spherical k-means training
+    * + corpus assignment serves both the plain-IVF and the IVF-PQ
+    * search queries — FAISS's build-once index posture; the IVF-PQ
+    * consumer trains only its residual codebooks on top. The
+    * assignment's checkpoint lives inside `ivfAssign`; determinism
+    * (fixed seed, same auto params) means sharing cannot change either
+    * gate row (spec-pinned in `VectorOpsSpec`).
+    */
+  private val ivfAssignCache = new SessionCache[VectorOps.IvfAssignment]
+  private def ivfAssignment(spark: SparkSession,
+                            dir: String): VectorOps.IvfAssignment =
+    ivfAssignCache.get(spark, dir)(
+      VectorOps.trainIvfAssignment(embs(spark, dir)))
+
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     langGuesses(spark, dir).orderBy("doc_id")
 
@@ -546,8 +561,17 @@ object ExtQueries {
     * records a rows-only check, exactness is covered by specs).
     */
   def embedIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    VectorOps.ivfTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+    VectorOps.ivfTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+      reuse = Some(ivfAssignment(spark, dir)))
       .orderBy("qid", "rn")
+
+  /** k-NN majority-vote labelling of the query vectors — brute-force
+    * neighbour baseline, ORACLE-CHECKED (the IVF candidate variant is
+    * the scale path, same split as `embed_topk` / `embed_ivf_topk`).
+    */
+  def embedKnnClassify(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.knnClassify(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+      .orderBy("qid")
 
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
     VectorOps.quantize(embs(spark, dir)).orderBy("vec_id")
@@ -614,7 +638,8 @@ object ExtQueries {
     * SQL-replayable; fidelity is spec-pinned in `VectorOpsSpec`).
     */
   def embedIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
-    VectorOps.ivfPqTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+    VectorOps.ivfPqTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+      reuse = Some(ivfAssignment(spark, dir)))
       .orderBy("qid", "rn")
 
   /** One persisted index per (session, SF dir) — the [[langGuesses]]

@@ -349,4 +349,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(all.filter(col("adc_cos") > 1.0 + 1e-9).isEmpty,
       "asymmetric cosine must stay within [-1, 1] up to rounding")
   }
+
+  test("knnClassify takes the majority label with deterministic ties") {
+    import spark.implicits._
+    // query 0 at the origin-adjacent axis; neighbours engineered so
+    // label 1 wins 2 votes to 1 (k = 3)
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f), 9),   // query (own label must not vote)
+      (1L, Array(0.9f, 0.1f, 0f), 1),
+      (2L, Array(0.8f, 0.2f, 0f), 1),
+      (3L, Array(0.7f, 0.3f, 0f), 2),
+      (4L, Array(0f, 1f, 0f), 2)    // far: outside k=3
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.knnClassify(rows, Seq(0L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1, 2L)))
+    // exact tie (1 vote each at k = 2's neighbour cut...) use k = 2:
+    // labels 1 and 1 -> no tie; drive the tie with k = 4: labels
+    // {1,1,2,2} -> votes tie 2-2, smaller label wins
+    val tied = VectorOps.knnClassify(rows, Seq(0L), k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(tied.toSeq == Seq((0L, 1, 2L)), "tie must break to the smaller label")
+  }
+
+  test("IVF search over a shared assignment equals the self-trained path") {
+    val embs = sources.Tables.embeddings(spark, sf)
+    val shared = VectorOps.trainIvfAssignment(embs)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rn").collect().toSeq
+    assert(dump(VectorOps.ivfTopK(embs, Seq(0L, 1L), reuse = Some(shared))) ==
+      dump(VectorOps.ivfTopK(embs, Seq(0L, 1L))))
+    assert(dump(VectorOps.ivfPqTopK(embs, Seq(0L, 1L), reuse = Some(shared))) ==
+      dump(VectorOps.ivfPqTopK(embs, Seq(0L, 1L))))
+  }
 }
