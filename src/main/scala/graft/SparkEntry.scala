@@ -106,6 +106,7 @@ object SparkEntry {
     "text_kl_sources" -> (graft.queries.ExtQueries.textKlSources(_, _)),
     "corpus_shuffle" -> (graft.queries.ExtQueries.corpusShuffle(_, _)),
     "corpus_split" -> (graft.queries.ExtQueries.corpusSplit(_, _)),
+    "corpus_pipeline" -> (graft.queries.ExtQueries.corpusPipeline(_, _)),
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "sample_per_group" -> (graft.queries.ExtQueries.samplePerGroup(_, _)),
     "corpus_assemble" -> (graft.queries.ExtQueries.corpusAssemble(_, _)),

@@ -624,6 +624,46 @@ object ExtOracles {
     // algorithms (the driver replays this SQL for both queries)
     "dedup_clusters_star" -> dedupClustersSql,
 
+    // replays ExtQueries.corpusPipeline: closure + per-cluster quality
+    // argmax survivors unioned with unclustered docs, quality gate at
+    // 0.5, md5-bucket split — the capstone composes the closure,
+    // quality and split CTEs verbatim
+    "corpus_pipeline" ->
+      s"""WITH RECURSIVE $tokCte, $shCte, $minhashCte, $bandsCte,
+         |$cpCte,
+         |edges AS (SELECT a AS src, b AS dst FROM cp UNION SELECT b, a FROM cp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |$qualityCte,
+         |j AS (SELECT cl.doc_id,
+         |        row_number() OVER (PARTITION BY cl.cluster_id
+         |          ORDER BY qs.quality_score DESC, cl.doc_id) AS rn
+         |      FROM cl JOIN qs USING (doc_id)),
+         |surv AS (SELECT doc_id FROM j WHERE rn = 1
+         |         UNION ALL
+         |         SELECT d.doc_id FROM documents d
+         |         LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |         WHERE cl.doc_id IS NULL),
+         |sh2 AS (SELECT doc_id, source,
+         |    md5('graftsplit' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         |sv AS (SELECT doc_id, source,
+         |  CAST(((strpos('0123456789abcdef', substring(m, 1, 1)) - 1) * 4096 +
+         |        (strpos('0123456789abcdef', substring(m, 2, 1)) - 1) * 256 +
+         |        (strpos('0123456789abcdef', substring(m, 3, 1)) - 1) * 16 +
+         |        (strpos('0123456789abcdef', substring(m, 4, 1)) - 1)) % 100
+         |    AS BIGINT) AS bucket
+         |  FROM sh2)
+         |SELECT sv.doc_id, sv.source,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  qs.quality_score
+         |FROM sv JOIN surv USING (doc_id) JOIN qs USING (doc_id)
+         |WHERE qs.quality_score >= 0.5
+         |ORDER BY sv.doc_id""".stripMargin,
+
     // replays ExtQueries.dedupRate: the cluster closure left-joined to
     // documents, removed = clustered member that is not the min-id
     // keeper; sums cast back from DuckDB's HUGEINT

@@ -490,6 +490,40 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The near-dup production pipeline end-to-end, as ONE declarative
+    * plan over the shared artifacts: every document either survives
+    * near-dup dedup outright (unclustered) or is its cluster's
+    * highest-quality member; survivors then pass the quality gate
+    * (keep = score ≥ 0.5) and receive their deterministic
+    * train/val/test assignment. The near-dup complement to
+    * [[corpusAssemble]] (which routes through EXACT dedup): cluster
+    * closure and argmax are bounded by the (LSH-small) clustered-doc
+    * count, the split is a pure projection, and the gate is a codegen
+    * filter — the only corpus-scale exchange is the quality join.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val quality = TextOps.qualityScore(d)
+    val clusters = starClusters(spark, dir)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val clusteredKeep = clusters
+      .join(quality.select("doc_id", "quality_score"), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id")
+    val unclustered = d.select("doc_id")
+      .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+    val survivors = clusteredKeep.unionAll(unclustered)
+    CorpusOps.splitAssign(d, seed = "graftsplit")
+      .select("doc_id", "source", "split")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(quality.filter(col("keep") === 1)
+        .select("doc_id", "quality_score"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Duplicate clusters: transitive closure of the MinHash candidate
     * pairs ([[GraphOps.connectedComponents]]) — the "keep one canonical
     * doc per group" step that follows pair generation.

@@ -180,8 +180,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("md5"), s"minhash pipeline must not replay per action:\n$p")
   }
 
-  test("dedup_containment: stop-shingle set prunes via broadcast, pair join is an equi-join") {
-    val p = plan("dedup_containment")
+  test("containment build plan: stop-shingle set prunes via broadcast, pair join is an equi-join") {
+    // audit the SELF-CONTAINED operator: the dedup_containment gate
+    // query now reads the session-shared overlap-stats artifact (its
+    // consumer plan is a checkpoint scan by design), so the shapes
+    // below live in the artifact's BUILD plan — the one that runs once
+    val p = graft.operators.TextOps
+      .containmentPairs(sources.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
     // the DF cap must anti-join a BROADCAST stop set (tiny by
     // construction), and the pair search must be a hash equi-join on
     // the shingle — a nested loop there would be the quadratic disaster
