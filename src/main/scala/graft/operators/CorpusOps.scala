@@ -68,8 +68,11 @@ object CorpusOps {
     */
   def splitAssign(docs: DataFrame, seed: String,
                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
-      s"splitAssign: need 0 < trainPct and trainPct + valPct < 100, " +
+    // <= 100, not < 100: trainPct + valPct == 100 is the legitimate
+    // two-way train/val split (empty test residue), symmetric with the
+    // already-allowed valPct == 0 (no val set).
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"splitAssign: need 0 < trainPct and trainPct + valPct <= 100, " +
         s"got train=$trainPct val=$valPct")
     val bucket = hash16(concat(lit(seed), col("doc_id").cast("string"))) % 100
     docs.select(col("doc_id"), col("source"), bucket.as("bucket"),

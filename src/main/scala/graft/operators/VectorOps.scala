@@ -63,7 +63,8 @@ object VectorOps {
   }
 
   /** k-NN label vote: classify each query vector by the majority label
-    * of its k nearest corpus neighbours (cosine, self excluded) — the
+    * of its k nearest LABELLED corpus neighbours (cosine, self
+    * excluded; unlabelled rows never vote) — the
     * auto-labelling / label-propagation step an embedding pipeline runs
     * to extend a labelled seed set. Deterministic end-to-end: the
     * neighbour set is [[cosineTopK]]'s rounded-cosine ranking and the
@@ -78,11 +79,19 @@ object VectorOps {
                   k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nn = cosineTopK(embeddings, queryIds, k).select("qid", "vec_id")
+    // Unlabelled neighbours (label NULL — the rows this operator exists
+    // to classify) must not vote: without the filter they form a
+    // votable (qid, NULL) group, and on a vote tie Spark's NULLS FIRST
+    // ascending default would emit pred_label = NULL where DuckDB's
+    // NULLS LAST picks a real label. asc_nulls_last pins the tiebreak
+    // to the cross-engine order regardless.
     val votes = embeddings.select(col("vec_id"), col("label"))
+      .filter(col("label").isNotNull)
       .join(broadcast(nn), "vec_id")
       .groupBy("qid", "label")
       .agg(count(lit(1)).as("votes"))
-    val w = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("label").asc_nulls_last)
     votes.withColumn("vr", row_number().over(w))
       .filter(col("vr") === 1)
       .select(col("qid"), col("label").as("pred_label"), col("votes"))
@@ -149,12 +158,6 @@ object VectorOps {
     * is an equi-join on the cell id — the same join layout as the
     * sign-LSH variant with a learned partitioner.
     */
-  /** Coarse-quantizer index build shared by [[ivfTopK]] and
-    * [[ivfPqTopK]]: spherical k-means over unit vectors, assignment
-    * materialised. Returns the assigned corpus (vec_id, embedding,
-    * cell), the centroid array (driver-local — nlist × dim doubles),
-    * and the effective nprobe.
-    */
   /** A trained coarse quantizer + its corpus assignment — the artifact
     * every IVF-family consumer shares: `corpus` is the checkpointed
     * (vec_id, embedding, cell) index table, `centers` the nlist×dim
@@ -177,6 +180,12 @@ object VectorOps {
     IvfAssignment(corpus, centers, nprobeEff)
   }
 
+  /** Coarse-quantizer index build behind [[trainIvfAssignment]]:
+    * spherical k-means over unit vectors, assignment materialised.
+    * Returns the assigned corpus (vec_id, embedding, cell), the
+    * centroid array (driver-local — nlist × dim doubles), and the
+    * effective nprobe.
+    */
   private def ivfAssign(embeddings: DataFrame, nlist: Int, nprobe: Int,
                         maxTrainRows: Long): (DataFrame, Array[Array[Double]], Int) = {
     import org.apache.spark.ml.clustering.KMeans

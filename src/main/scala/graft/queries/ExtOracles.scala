@@ -816,7 +816,7 @@ object ExtOracles {
          |  FROM scored),
          |votes AS (SELECT qid, l.label, count(*) AS votes
          |  FROM ranked JOIN embeddings l ON ranked.vec_id = l.vec_id
-         |  WHERE rn <= 10 GROUP BY 1, 2),
+         |  WHERE rn <= 10 AND l.label IS NOT NULL GROUP BY 1, 2),
          |best AS (SELECT qid, label, votes,
          |  row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
          |  FROM votes)

@@ -216,5 +216,11 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusOps.splitAssign(d, "s", trainPct = 95, valPct = 10)
     }
+    // trainPct + valPct == 100 is the legitimate two-way train/val
+    // split: empty test residue, boundaries still exact
+    val twoWay = CorpusOps.splitAssign(d, "seed1", trainPct = 90, valPct = 10)
+      .collect()
+    assert(twoWay.forall(_.getString(3) != "test"), "two-way split has no test rows")
+    assert(twoWay.exists(_.getString(3) == "val"))
   }
 }

@@ -372,6 +372,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(tied.toSeq == Seq((0L, 1, 2L)), "tie must break to the smaller label")
   }
 
+  test("knnClassify: unlabelled neighbours never vote") {
+    import spark.implicits._
+    // k = 4 neighbours carry labels {1, 1, NULL, NULL}: were NULL a
+    // votable group, the 2-2 tie would resolve to NULL under Spark's
+    // NULLS FIRST ascending default (diverging from the DuckDB
+    // oracle's NULLS LAST). Unlabelled rows are the rows this operator
+    // classifies — they must not vote at all.
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f), Some(9)),
+      (1L, Array(0.9f, 0.1f, 0f), Some(1)),
+      (2L, Array(0.8f, 0.2f, 0f), Some(1)),
+      (3L, Array(0.7f, 0.3f, 0f), None),
+      (4L, Array(0.6f, 0.4f, 0f), None)
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.knnClassify(rows, Seq(0L), k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1, 2L)),
+      "NULL labels must be excluded from the vote, not win ties")
+  }
+
   test("IVF search over a shared assignment equals the self-trained path") {
     val embs = sources.Tables.embeddings(spark, sf)
     val shared = VectorOps.trainIvfAssignment(embs)
