@@ -87,6 +87,7 @@ object SparkEntry {
     "text_fingerprint" -> (graft.queries.ExtQueries.textFingerprint(_, _)),
     "text_simhash" -> (graft.queries.ExtQueries.textSimhash(_, _)),
     "dedup_exact" -> (graft.queries.ExtQueries.dedupExact(_, _)),
+    "dedup_incremental" -> (graft.queries.ExtQueries.dedupIncremental(_, _)),
     "dedup_minhash_bands" -> (graft.queries.ExtQueries.dedupMinhashBands(_, _)),
     "dedup_minhash_pairs" -> (graft.queries.ExtQueries.dedupMinhashPairs(_, _)),
     "dedup_minhash_estimate" -> (graft.queries.ExtQueries.dedupMinhashEstimate(_, _)),
@@ -121,6 +122,7 @@ object SparkEntry {
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),
     "embed_knn_classify" -> (graft.queries.ExtQueries.embedKnnClassify(_, _)),
+    "embed_outliers" -> (graft.queries.ExtQueries.embedOutliers(_, _)),
     "embed_pq" -> (graft.queries.ExtQueries.embedPq(_, _)),
     "embed_pq_topk" -> (graft.queries.ExtQueries.embedPqTopK(_, _)),
     "embed_ivf_pq_topk" -> (graft.queries.ExtQueries.embedIvfPqTopK(_, _)),

@@ -195,6 +195,41 @@ object TextOps {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: classify each NEW-batch document against
+    * the already-ingested corpus without re-deduplicating the corpus —
+    * the production shape of a continuously-fed pipeline (the same
+    * incremental posture as the reference's sequential/timestamp
+    * extractors, `extractor_sequential.go:38`: never rescan what was
+    * already processed, only reconcile the delta against it). Verdicts:
+    * `dup_of_corpus` (fingerprint already ingested), `dup_in_batch`
+    * (first batch occurrence by doc_id wins), `new`.
+    *
+    * Scale shape: the corpus side is scanned ONCE with the (small)
+    * batch fingerprint set broadcast into a semi-join — no corpus
+    * shuffle, no corpus-side state beyond its fingerprint projection;
+    * the hit set and the in-batch window are both bounded by the batch.
+    * At 100 TB the corpus projection is served by the persisted
+    * fingerprint table a dedup stage keeps anyway ([[exactDedup]]'s
+    * output), and a bloom prefilter (graft.functions.Bloom, the
+    * `text_decontaminate` pattern) slots in front of the semi-join when
+    * even one corpus pass per batch is too dear.
+    */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bfp = fingerprint(newDocs)
+    val hits = fingerprint(corpus).select("fp")
+      .join(broadcast(bfp.select("fp").distinct()), Seq("fp"), "left_semi")
+      .distinct()
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    bfp
+      .join(broadcast(hits.withColumn("in_corpus", lit(1))), Seq("fp"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("fp"),
+        when(col("in_corpus") === 1, "dup_of_corpus")
+          .when(col("rn") > 1, "dup_in_batch")
+          .otherwise("new").as("verdict"))
+  }
+
   /** SimHash near-dup candidate pairs: pigeonhole banding — two 64-bit
     * fingerprints within hamming distance ≤ bands-1 must agree on at
     * least one of the `bands` equal-width bit bands, so the quadratic

@@ -97,6 +97,45 @@ object VectorOps {
       .select(col("qid"), col("label").as("pred_label"), col("votes"))
   }
 
+  /** Per-label centroid cosine audit — the embedding-drift / outlier
+    * diagnostic a pipeline runs over a labelled (or source-keyed)
+    * corpus: each label's centroid, every member's cosine to its own
+    * centroid, and per-label dispersion stats (mean / min cosine,
+    * count on the negative side). Unlabelled rows are excluded — no
+    * centroid exists for them to drift from.
+    *
+    * Scale shape: the centroid aggregation is a posexplode + two hash
+    * aggs whose output is |labels| × dim — tiny at any corpus size —
+    * and the scoring join broadcasts it; the per-member pass is one
+    * corpus scan. Centroid components round to 6 decimals BEFORE the
+    * dot product so the audit is reproducible across engines and
+    * summation orders (the raw float-sum tail is ~1e-16 — audit
+    * thresholds must not sit on it).
+    */
+  def centroidAudit(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(round(avg("x"), 6).as("cv"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+    e.join(broadcast(cent), "label")
+      .withColumn("cos", round(cosine(col("v"), col("centroid")), 5))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("cos"), 4).as("mean_cos"),
+        // min_cos stays at the 5-dp grain the member cosines were
+        // snapped to: re-rounding a half-boundary value (…5) to 4 dp
+        // splits between decimal-string (Spark) and binary (DuckDB)
+        // rounding — the same double, two answers
+        min("cos").as("min_cos"),
+        sum(when(col("cos") < 0, 1L).otherwise(0L)).as("n_neg"))
+  }
+
   /** Sign-pattern bucket of the first `signBits` dimensions — the LSH
     * key. Fixed axis-aligned hyperplanes keep it engine-portable; a
     * random-rotation family drops in by replacing the projection.

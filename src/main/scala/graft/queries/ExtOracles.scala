@@ -389,6 +389,23 @@ object ExtOracles {
       """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
 
+    // replays TextOps.incrementalDedup over the simulated delta:
+    // batch = doc_id ≡ 7 (mod 10), corpus = the rest; verdict per the
+    // (corpus hit, first-in-batch) precedence
+    "dedup_incremental" ->
+      """WITH batch AS (SELECT doc_id, md5(lower(text)) AS fp
+        |    FROM documents WHERE doc_id % 10 = 7),
+        |corpus AS (SELECT DISTINCT md5(lower(text)) AS fp
+        |    FROM documents WHERE doc_id % 10 <> 7),
+        |r AS (SELECT b.doc_id, b.fp, (c.fp IS NOT NULL) AS hit,
+        |    row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+        |  FROM batch b LEFT JOIN corpus c USING (fp))
+        |SELECT doc_id, fp,
+        |  CASE WHEN hit THEN 'dup_of_corpus'
+        |       WHEN rn > 1 THEN 'dup_in_batch'
+        |       ELSE 'new' END AS verdict
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "dedup_minhash_bands" ->
       s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte
          |SELECT doc_id, band, bk FROM bands ORDER BY doc_id, band""".stripMargin,
@@ -822,6 +839,26 @@ object ExtOracles {
          |  FROM votes)
          |SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes
          |FROM best WHERE vr = 1 ORDER BY qid""".stripMargin,
+
+    // replays VectorOps.centroidAudit: per-label centroid (components
+    // rounded to 6 BEFORE the dot product — the cross-engine
+    // reproducibility pin), member cosine rounded to 5, dispersion agg
+    "embed_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |    FROM embeddings WHERE label IS NOT NULL),
+        |dims AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+        |    FROM e),
+        |cd AS (SELECT label, pos, round(avg(x), 6) AS cv
+        |    FROM dims GROUP BY 1, 2),
+        |cent AS (SELECT label, list(cv ORDER BY pos) AS c FROM cd GROUP BY 1),
+        |cos AS (SELECT e.label,
+        |    round(list_dot_product(v, c) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))), 5) AS cos
+        |  FROM e JOIN cent USING (label))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg(cos), 4) AS mean_cos, min(cos) AS min_cos,
+        |  CAST(sum(CASE WHEN cos < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |FROM cos GROUP BY label ORDER BY label""".stripMargin,
 
     // replays VectorOps.quantize: floor-based int8 codes (round() has
     // half-even/half-up splits across engines; floor(x+0.5) does not)

@@ -340,6 +340,18 @@ object ExtQueries {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     TextOps.exactDedup(docs(spark, dir)).orderBy("fp")
 
+  /** Incremental dedup of a simulated new batch (doc_id ≡ 7 mod 10)
+    * against the rest of the corpus — the delta-reconciliation shape of
+    * a continuously-fed pipeline ([[TextOps.incrementalDedup]]).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.incrementalDedup(
+      d.filter(col("doc_id") % 10 === 7),
+      d.filter(col("doc_id") % 10 =!= 7))
+      .orderBy("doc_id")
+  }
+
   def dedupMinhashBands(spark: SparkSession, dir: String): DataFrame =
     TextOps.minhashBands(docs(spark, dir)).orderBy("doc_id", "band")
 
@@ -622,6 +634,12 @@ object ExtQueries {
   def embedKnnClassify(spark: SparkSession, dir: String): DataFrame =
     VectorOps.knnClassify(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
       .orderBy("qid")
+
+  /** Per-label centroid cosine audit ([[VectorOps.centroidAudit]]) —
+    * the drift/outlier diagnostic over the labelled embedding corpus.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.centroidAudit(embs(spark, dir)).orderBy("label")
 
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
     VectorOps.quantize(embs(spark, dir)).orderBy("vec_id")

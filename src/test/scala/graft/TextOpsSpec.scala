@@ -18,6 +18,33 @@ class TextOpsSpec extends SparkSpec {
     assert(dup.length === 1 && dup.head.getAs[Long]("keep_doc_id") < 100000L)
   }
 
+  test("incremental dedup classifies the delta without touching corpus rows") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Alpha Beta"),   // dup_of_corpus (fingerprint is case-folded)
+      (11L, "epsilon zeta"), // new
+      (12L, "epsilon zeta"), // dup_in_batch (11 is first by doc_id)
+      (13L, "eta theta")     // new
+    ).toDF("doc_id", "text")
+    val got = TextOps.incrementalDedup(batch, corpus)
+      .select("doc_id", "verdict").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(10L -> "dup_of_corpus", 11L -> "new",
+      12L -> "dup_in_batch", 13L -> "new"))
+    // output is exactly the batch: corpus rows never appear
+    assert(got.map(_._1).toSet == Set(10L, 11L, 12L, 13L))
+    // corpus-hit precedence: a batch-internal dup that ALSO exists in
+    // the corpus reports the corpus verdict for every occurrence
+    val both = TextOps.incrementalDedup(
+      Seq((20L, "alpha beta"), (21L, "alpha beta")).toDF("doc_id", "text"),
+      corpus)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(both == Seq(20L -> "dup_of_corpus", 21L -> "dup_of_corpus"))
+  }
+
   test("minhash candidates cover all high-jaccard pairs (LSH recall)") {
     val trueDups = TextOps.jaccardPairs(docs, threshold = 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -392,6 +392,29 @@ class VectorOpsSpec extends SparkSpec {
       "NULL labels must be excluded from the vote, not win ties")
   }
 
+  test("centroidAudit: per-label dispersion with unlabelled rows excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1f, 0f), Some(0)),
+      (1L, Array(0f, 1f), Some(0)),       // label 0 centroid (0.5, 0.5)
+      (2L, Array(1f, 0f), Some(2)),
+      (3L, Array(1f, 0.1f), Some(2)),
+      (4L, Array(-1f, 0.05f), Some(2)),   // the far-side outlier
+      (5L, Array(1f, 1f), None)           // unlabelled: no centroid to drift from
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.centroidAudit(rows).orderBy("label").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(0, 2), "null label must be excluded")
+    val l0 = got(0)
+    // both members sit at cos((1,0),(0.5,0.5)) = 1/sqrt(2)
+    assert(l0.getLong(1) === 2)
+    assert(l0.getDouble(2) === 0.7071 && l0.getDouble(3) === 0.70711)
+    assert(l0.getLong(4) === 0)
+    val l2 = got(1)
+    assert(l2.getLong(1) === 3)
+    assert(l2.getLong(4) === 1, "the opposed vector must land on the negative side")
+    assert(l2.getDouble(3) < 0 && l2.getDouble(2) > l2.getDouble(3))
+  }
+
   test("IVF search over a shared assignment equals the self-trained path") {
     val embs = sources.Tables.embeddings(spark, sf)
     val shared = VectorOps.trainIvfAssignment(embs)
