@@ -117,6 +117,7 @@ object SparkEntry {
     "events_anomaly" -> (eventsAnomaly(_, _)),
     "events_retention" -> (eventsRetention(_, _)),
     "sample_stratified" -> (graft.queries.ExtQueries.sampleStratified(_, _)),
+    "sample_weighted" -> (graft.queries.ExtQueries.sampleWeighted(_, _)),
     "pack_sequences" -> (graft.queries.ExtQueries.packSequences(_, _)),
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),

@@ -189,4 +189,54 @@ object CorpusOps {
             .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
           .cast("bigint").as("rn"))
       .filter(col("rn") <= k)
+
+  /** 32-bit deterministic hash: first eight hex nibbles of
+    * `md5(seed ∥ id)` — [[hash16]] widened so a derived uniform has
+    * 2³² granularity (16 bits would quantise sampling priorities
+    * visibly at corpus scale).
+    */
+  def hash32(seed: String, id: Column): Column =
+    conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+
+  /** Deterministic weighted sampling without replacement — sequential
+    * Poisson sampling (Ohlsson 1998; the estimation-optimal variant is
+    * Duffield–Lund–Thorup priority sampling): each row draws the
+    * pseudorandom uniform uᵢ = (hash32(seed ∥ id) + 1) ∕ 2³² ∈ (0, 1]
+    * and the k rows with the largest priority qᵢ = wᵢ ∕ uᵢ win — heavy
+    * rows win more often in exact proportion-to-size tendency, and any
+    * row with wᵢ > 0 can win (no hard cutoff). The usual formulation
+    * draws uᵢ from random(); deriving it from the id's hash makes the
+    * sample a pure function of (seed, id, w) — reproducible across
+    * runs, partitionings and cluster sizes, the same determinism
+    * contract as [[stratifiedSample]].
+    *
+    * Numeric portability: the selection path is ONE division of an
+    * exactly-representable uniform (v ∕ 2³² is a power-of-two divide)
+    * by the weight — IEEE-identical in every engine, unlike the
+    * exponential-key A-ES form (−ln u ∕ w) whose libm `ln` differs by
+    * ULPs across platforms and engines. The emitted `pr6` =
+    * ⌊q · 10⁶⌋ is likewise floor-of-identical-doubles, never a
+    * half-boundary decimal round.
+    *
+    * Scale shape: a codegen'd projection plus TakeOrderedAndProject
+    * (per-partition top-k, then a k-row merge on the driver side of the
+    * exchange) — no global sort, no corpus-wide shuffle. Non-positive
+    * weights fail loudly with the offending id (the ArrayDot
+    * corrupt-input stance): a silent drop would skew every inclusion
+    * probability downstream.
+    */
+  def weightedSample(scored: DataFrame, k: Int, seed: String,
+                     weightCol: String = "quality_score"): DataFrame = {
+    val w = when(col(weightCol) > 0, col(weightCol).cast("double"))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample: non-positive $weightCol for doc_id="),
+        col("doc_id").cast("string"))))
+    val u = (hash32(seed, col("doc_id")) + 1).cast("double") / lit(4294967296.0)
+    scored
+      .select(col("doc_id"), (w / u).as("q"))
+      .select(col("doc_id"), floor(col("q") * 1e6).cast("bigint").as("pr6"))
+      .orderBy(col("pr6").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -84,6 +84,16 @@ object ExtOracles {
       |          / CAST(length(text) AS DOUBLE), 4) * 4.0))), 4) AS quality_score
       |  FROM qtok)""".stripMargin
 
+  /** Big-endian value of the first `nibbles` hex nibbles of the md5
+    * column `mExpr` — the strpos hex trick widened past [[hash16]]'s
+    * four-nibble form.
+    */
+  private def nibbleValue(mExpr: String, nibbles: Int): String =
+    (0 until nibbles).map { i =>
+      val weight = BigInt(16).pow(nibbles - 1 - i)
+      s"(strpos('0123456789abcdef', substring($mExpr, ${i + 1}, 1)) - 1) * $weight"
+    }.mkString("(", " +\n      ", ")")
+
   private val cosExpr =
     "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
 
@@ -782,6 +792,23 @@ object ExtOracles {
 
     // replays CorpusOps.stratifiedSample: first four md5 nibbles of the
     // id string via the strpos hex trick = Spark's conv(substring(...))
+    // replays CorpusOps.weightedSample over the clamped quality score:
+    // u = (first-8-md5-nibbles + 1) / 2^32, priority = w / u (division
+    // of IEEE-identical doubles — no libm call in the selection path),
+    // pr6 = floor(q * 1e6), top-25 by (pr6 DESC, doc_id)
+    "sample_weighted" ->
+      s"""WITH $qualityCte,
+         |w AS (SELECT doc_id, greatest(quality_score, 0.0001::DOUBLE) AS w
+         |      FROM qs),
+         |h AS (SELECT doc_id, w, md5('s5' || CAST(doc_id AS VARCHAR)) AS m
+         |      FROM w),
+         |q AS (SELECT doc_id,
+         |    w / ((CAST(${nibbleValue("m", 8)} AS BIGINT) + 1) / 4294967296.0)
+         |      AS q
+         |  FROM h)
+         |SELECT doc_id, CAST(floor(q * 1e6) AS BIGINT) AS pr6
+         |FROM q ORDER BY pr6 DESC, doc_id LIMIT 25""".stripMargin,
+
     "sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m
         |           FROM documents),

@@ -473,6 +473,20 @@ object ExtQueries {
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.samplePerGroup(docs(spark, dir), k = 20).orderBy("lang", "rn")
 
+  /** Quality-weighted sample (k = 25) via sequential Poisson priority
+    * sampling over the shared quality-score artifact
+    * ([[CorpusOps.weightedSample]]). The 4-dp score is clamped to
+    * ≥ 0.0001 so a floor-rounded zero cannot trip the operator's
+    * loud non-positive-weight guard — the clamp value is exactly the
+    * score grain, so only true zeros move.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.weightedSample(
+      qualityScored(spark, dir).select(col("doc_id"),
+        greatest(col("quality_score"), lit(0.0001)).as("quality_score")),
+      k = 25, seed = "s5")
+      .orderBy(col("pr6").desc, col("doc_id"))
+
   /** Overlapping token-window chunking (64-token windows, 16 overlap). */
   def corpusChunks(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.chunkDocuments(docs(spark, dir)).orderBy("doc_id", "chunk_no")

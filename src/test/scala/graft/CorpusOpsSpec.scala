@@ -103,6 +103,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.samplePerGroup(tiny, k = 10).count() === 4)
   }
 
+  test("weighted sample: deterministic, proportion-biased, loud on bad weights") {
+    val d = spark.range(400).select(col("id").as("doc_id"),
+      // ids < 40 are 'heavy' (weight 10), the rest weight 1
+      when(col("id") < 40, 10.0).otherwise(1.0).as("quality_score"))
+    val s = CorpusOps.weightedSample(d, k = 50, seed = "t")
+    val ids = s.select("doc_id").as[Long].collect().toSet
+    assert(ids.size === 50)
+    // determinism: a different partitioning reproduces the winner set
+    val s2 = CorpusOps.weightedSample(d.repartition(7), k = 50, seed = "t")
+    assert(s2.select("doc_id").as[Long].collect().toSet === ids)
+    // proportion bias: the heavy 10% carry half the total weight
+    // (40·10 = 360·1), so ~half the sample should be heavy; at the very
+    // least they must be far over-represented vs their 10% share
+    val heavy = ids.count(_ < 40)
+    assert(heavy >= 15, s"heavy docs under-sampled: $heavy of 50")
+    // a fresh seed is a fresh draw (overlap yes, identity no)
+    val s3 = CorpusOps.weightedSample(d, k = 50, seed = "u")
+    assert(s3.select("doc_id").as[Long].collect().toSet !== ids)
+    // non-positive weight fails loudly with the offending id
+    val bad = d.withColumn("quality_score",
+      when(col("doc_id") === 7, 0.0).otherwise(col("quality_score")))
+    val e = intercept[Exception] {
+      CorpusOps.weightedSample(bad, k = 5, seed = "t").collect()
+    }
+    assert(e.getMessage.contains("doc_id=7"))
+  }
+
   test("chunking: windows overlap by the configured amount, short docs stay whole") {
     val d = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
