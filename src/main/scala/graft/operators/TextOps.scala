@@ -335,6 +335,55 @@ object TextOps {
   def minhashCandidatePairs(docs: DataFrame): DataFrame =
     bandPairs(minhashBands(docs))
 
+  /** Incremental near-dup: classify each NEW-batch document against the
+    * already-ingested corpus by MinHash band collision — the LSH
+    * companion to [[incrementalDedup]]'s exact fingerprints, and the
+    * same delta-reconciliation posture (reconcile the batch, never
+    * re-pair the corpus against itself). Verdicts: `near_dup_of_corpus`
+    * (shares ≥1 band bucket with a corpus doc — collision precedence
+    * mirrors the exact op's corpus-over-batch rule),
+    * `near_dup_in_batch` (collides with an earlier-by-id batch doc),
+    * `unique`. `match_doc`/`n_matches` carry the evidence (min
+    * colliding id, distinct collider count) for the winning verdict.
+    * Documents too short to shingle (< k tokens) have no signature and
+    * no verdict, exactly as they have no bands.
+    *
+    * Scale shape: the batch band table (4 rows per batch doc) is
+    * computed once, pinned, and BROADCAST into one scan of the corpus
+    * band table — no corpus self-join, no corpus shuffle; the in-batch
+    * leg self-joins only the (small) batch. At 100 TB the corpus band
+    * table is the persisted LSH index a near-dup stage keeps anyway
+    * ([[minhashBands]]'s output), so the corpus side is an index read,
+    * not a recompute.
+    */
+  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    // pinned: read by the corpus join, the self-join (twice) and the
+    // verdict base — without it the signature kernel re-runs per branch
+    val bb = minhashBands(newDocs).localCheckpoint()
+    val ch = minhashBands(corpus).as("c")
+      .join(broadcast(bb.as("b")),
+        col("c.band") === col("b.band") && col("c.bk") === col("b.bk"))
+      .groupBy(col("b.doc_id"))
+      .agg(countDistinct(col("c.doc_id")).as("n_c"),
+        min(col("c.doc_id")).as("m_c"))
+    val bh = bb.as("x")
+      .join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("y.doc_id"))
+      .agg(countDistinct(col("x.doc_id")).as("n_b"),
+        min(col("x.doc_id")).as("m_b"))
+    bb.select("doc_id").distinct()
+      .join(ch, Seq("doc_id"), "left")
+      .join(bh, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_c").isNotNull, "near_dup_of_corpus")
+          .when(col("n_b").isNotNull, "near_dup_in_batch")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("m_c"), col("m_b")).as("match_doc"),
+        coalesce(col("n_c"), col("n_b"), lit(0L)).as("n_matches"))
+  }
+
   private def bandPairs(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&

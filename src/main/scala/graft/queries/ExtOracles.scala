@@ -416,6 +416,34 @@ object ExtOracles {
         |       ELSE 'new' END AS verdict
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // replays TextOps.incrementalNearDup over the dedup_incremental
+    // delta split: bands are a pure per-doc function, so one bands CTE
+    // over all documents splits into batch (doc_id ≡ 7 mod 10) and
+    // corpus sides; corpus-collision precedence over in-batch
+    "dedup_incremental_near" ->
+      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte,
+         |bb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 = 7),
+         |cb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 <> 7),
+         |ch AS (SELECT b.doc_id, count(DISTINCT c.doc_id) AS n_c,
+         |         min(c.doc_id) AS m_c
+         |       FROM bb b JOIN cb c ON b.band = c.band AND b.bk = c.bk
+         |       GROUP BY 1),
+         |bh AS (SELECT y.doc_id, count(DISTINCT x.doc_id) AS n_b,
+         |         min(x.doc_id) AS m_b
+         |       FROM bb x JOIN bb y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+         |       GROUP BY 1),
+         |base AS (SELECT DISTINCT doc_id FROM bb)
+         |SELECT base.doc_id,
+         |  CASE WHEN ch.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+         |       WHEN bh.doc_id IS NOT NULL THEN 'near_dup_in_batch'
+         |       ELSE 'unique' END AS verdict,
+         |  coalesce(ch.m_c, bh.m_b) AS match_doc,
+         |  coalesce(ch.n_c, bh.n_b, 0) AS n_matches
+         |FROM base LEFT JOIN ch ON base.doc_id = ch.doc_id
+         |          LEFT JOIN bh ON base.doc_id = bh.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+
     "dedup_minhash_bands" ->
       s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte
          |SELECT doc_id, band, bk FROM bands ORDER BY doc_id, band""".stripMargin,

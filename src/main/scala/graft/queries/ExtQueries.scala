@@ -352,6 +352,18 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental near-dup of the same simulated delta as
+    * [[dedupIncremental]], via MinHash band collisions against the
+    * corpus band index ([[TextOps.incrementalNearDup]]).
+    */
+  def dedupIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.incrementalNearDup(
+      d.filter(col("doc_id") % 10 === 7),
+      d.filter(col("doc_id") % 10 =!= 7))
+      .orderBy("doc_id")
+  }
+
   def dedupMinhashBands(spark: SparkSession, dir: String): DataFrame =
     TextOps.minhashBands(docs(spark, dir)).orderBy("doc_id", "band")
 

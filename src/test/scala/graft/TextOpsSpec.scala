@@ -45,6 +45,37 @@ class TextOpsSpec extends SparkSpec {
     assert(both == Seq(20L -> "dup_of_corpus", 21L -> "dup_of_corpus"))
   }
 
+  test("incremental near-dup: corpus collisions win, short docs have no verdict") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different corpus content about spark plans")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // = corpus 1
+      (11L, "fresh unseen text with plenty of tokens here"),
+      (12L, "fresh unseen text with plenty of tokens here"), // = batch 11
+      (13L, "completely novel sentence nothing shares shingles"),
+      (14L, "xy")                                            // < 3 tokens: no signature
+    ).toDF("doc_id", "text")
+    val got = TextOps.incrementalNearDup(batch, corpus).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (10L, "near_dup_of_corpus", 1L, 1L),
+      (11L, "unique", -1L, 0L),
+      (12L, "near_dup_in_batch", 11L, 1L),
+      (13L, "unique", -1L, 0L)))
+    // a batch doc colliding with BOTH sides reports the corpus verdict
+    // (identical text collides on every band with corpus 1 and batch 10)
+    val both = TextOps.incrementalNearDup(
+      batch.union(Seq((15L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")), corpus)
+      .filter(col("doc_id") === 15L).collect().head
+    assert(both.getString(1) == "near_dup_of_corpus" && both.getLong(2) == 1L)
+  }
+
   test("minhash candidates cover all high-jaccard pairs (LSH recall)") {
     val trueDups = TextOps.jaccardPairs(docs, threshold = 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
