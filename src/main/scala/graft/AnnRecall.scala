@@ -96,8 +96,14 @@ object AnnRecall {
           VectorOps.ivfTopK(emb, queryIds, k, nlist = nlist, nprobe = nprobe)))
         val rIvfPq = recall(topSet(
           VectorOps.ivfPqTopK(emb, queryIds, k, nlist = nlist, nprobe = nprobe)))
+        // the refine leg at the published 10×k ratio: same index, same
+        // probe width, exact re-scoring of the top-100 ADC candidates —
+        // the gap rerank − ivfpq is pure quantization error recovered;
+        // the gap 1.0 − rerank is routing loss (cells never probed)
+        val rRerank = recall(topSet(VectorOps.ivfPqTopKRerank(
+          emb, queryIds, k, rerankK = 100, nlist = nlist, nprobe = nprobe)))
         if (nprobe == autoNprobe) autoShapeRecall = rIvfPq
-        println(f"[annrecall] $tag nprobe=$nprobe%4d ivf_recall@10=$rIvf%.3f ivfpq_recall@10=$rIvfPq%.3f")
+        println(f"[annrecall] $tag nprobe=$nprobe%4d ivf_recall@10=$rIvf%.3f ivfpq_recall@10=$rIvfPq%.3f rerank100_recall@10=$rRerank%.3f")
       }
       // PQ-only ADC (no routing loss, raw-vector codes): isolates plain
       // quantization error across the bits-per-vector dial (m sub-spaces

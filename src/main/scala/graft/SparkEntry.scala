@@ -128,6 +128,7 @@ object SparkEntry {
     "embed_pq" -> (graft.queries.ExtQueries.embedPq(_, _)),
     "embed_pq_topk" -> (graft.queries.ExtQueries.embedPqTopK(_, _)),
     "embed_ivf_pq_topk" -> (graft.queries.ExtQueries.embedIvfPqTopK(_, _)),
+    "embed_ivf_pq_rerank" -> (graft.queries.ExtQueries.embedIvfPqRerank(_, _)),
     "embed_index_search" -> (graft.queries.ExtQueries.embedIndexSearch(_, _)),
     "embed_lsh_buckets" -> (graft.queries.ExtQueries.embedLshBuckets(_, _)),
     "embed_neardup_pairs" -> (graft.queries.ExtQueries.embedNearDupPairs(_, _)),

@@ -824,6 +824,70 @@ object VectorOps {
         .filter(col("vec_id") =!= col("qid")), k)
   }
 
+  /** Exact re-rank (refine) stage after ADC search — the standard final
+    * leg of the published IVF-PQ pipeline (FAISS's `IndexRefineFlat`):
+    * the ADC ranking is cheap but quantized, so recall saturates at the
+    * code bit-rate (PLANS.md round-5 table: 0.698@10 at 64-bit codes on
+    * the clustered corpus); refine fetches the top `rerankK` ADC
+    * candidates' RAW vectors and re-scores them with exact cosine,
+    * recovering the true ordering among the candidates — recall is then
+    * limited only by whether the true neighbour reached the candidate
+    * list, not by quantization error, and the bit-rate never moves.
+    *
+    * Scale shape: the candidate set is ≤ |queries| · rerankK ids —
+    * driver-bounded by contract, so the raw-vector fetch is ONE scan of
+    * the corpus projected to (vec_id, embedding) against a broadcast
+    * candidate list (at 100 TB with a keyed vector store this becomes a
+    * point-lookup batch; the plan's join shape — bounded build side,
+    * corpus probe side — is exactly that access path). Exact scoring
+    * reuses [[cosine]] (the [[graft.functions.ArrayDot]] kernel) with
+    * [[cosineTopK]]'s rounding + tiebreak, so at full probe and
+    * rerankK ≥ |corpus| the result is identical to the brute-force
+    * ranking (spec-pinned).
+    *
+    * @param rawVectors (vec_id, embedding) source for exact re-scoring —
+    *                   typically the corpus the index was built from
+    * @param rerankK    ADC candidates fetched per query before exact
+    *                   re-scoring; [[Auto]] = 10·k (the published
+    *                   refine ratio)
+    */
+  def ivfPqSearchRerank(model: IvfPqModel, queries: Seq[(Long, Array[Double])],
+                        rawVectors: DataFrame, k: Int,
+                        rerankK: Int = Auto, nprobe: Int = Auto): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rk = if (rerankK != Auto) rerankK else 10 * k
+    require(rk >= k, s"rerankK $rk must be >= k $k — refine narrows candidates")
+    val cands = ivfPqSearch(model, queries, rk, nprobe).select("qid", "vec_id")
+    val spark = rawVectors.sparkSession
+    import spark.implicits._
+    val qdf = queries.toDF("qid", "qvec")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    rawVectors.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(qdf), Seq("qid"))
+      .withColumn("cos", round(cosine(col("qvec"), vec(col("embedding"))), 5))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  /** [[ivfPqTopK]] with the exact re-rank leg appended — build (or
+    * reuse) the index, ADC-rank `rerankK` candidates, refine to the
+    * exact top-k. The production search shape end-to-end.
+    */
+  def ivfPqTopKRerank(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+                      rerankK: Int = Auto,
+                      nlist: Int = Auto, nprobe: Int = Auto,
+                      m: Int = 8, kCent: Int = 256,
+                      maxTrainRows: Long = MaxTrainRows,
+                      pqTrainRows: Long = PqTrainRows,
+                      reuse: Option[IvfAssignment] = None): DataFrame = {
+    val model = buildIvfPqModel(embeddings, nlist, nprobe, m, kCent,
+      maxTrainRows, pqTrainRows, reuse)
+    ivfPqSearchRerank(model, collectQueries(embeddings, queryIds),
+      embeddings, k, rerankK)
+  }
+
   /** Bucketed near-dup pairs: cosine over same-bucket pairs only —
     * the quadratic search collapses to an equi-join on the bucket key.
     *

@@ -736,6 +736,19 @@ object ExtQueries {
       reuse = Some(ivfAssignment(spark, dir)))
       .orderBy("qid", "rn")
 
+  /** IVF-PQ search refined by the exact re-rank leg
+    * ([[VectorOps.ivfPqSearchRerank]]): ADC ranks 10·k candidates, raw
+    * vectors re-score them exactly — the production search shape
+    * end-to-end (rows-only at the gate like the other trained-ANN legs;
+    * candidate-set/identity fidelity is spec-pinned in
+    * `VectorOpsSpec`).
+    */
+  def embedIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.ivfPqTopKRerank(embs(spark, dir),
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+      reuse = Some(ivfAssignment(spark, dir)))
+      .orderBy("qid", "rn")
+
   /** One persisted index per (session, SF dir) — the [[langGuesses]]
     * posture applied to the ANN index: the build (two k-means
     * trainings + the partitioned write) runs once per session, and

@@ -415,6 +415,62 @@ class VectorOpsSpec extends SparkSpec {
     assert(l2.getDouble(3) < 0 && l2.getDouble(2) > l2.getDouble(3))
   }
 
+  test("rerank at full probe with corpus-wide rerankK equals brute-force exactly") {
+    // full probe removes routing loss; rerankK >= |corpus| admits every
+    // candidate — refine then IS the brute-force ranking (same exact
+    // cosine, same rounding, same tiebreak), row for row
+    val embs = sources.Tables.embeddings(spark, sf)
+    val n = embs.count().toInt
+    val qs = Seq(0L, 1L, 2L)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val exact = dump(VectorOps.cosineTopK(embs, qs, k = 10))
+    val refined = dump(VectorOps.ivfPqTopKRerank(embs, qs, k = 10, rerankK = n,
+      nlist = 16, nprobe = 16))
+    assert(refined === exact,
+      "full-probe corpus-wide rerank must reproduce the exact ranking bit-for-bit")
+  }
+
+  test("rerank recovers quantization error: recall >= plain ADC, scores exact, deterministic") {
+    val emb = graft.AnnRecall.clusteredCorpus(spark, n = 500, dim = 64,
+      kClusters = 16, sigma = 0.08, seed = 7L).localCheckpoint()
+    val qs = (0L until 10L).toSeq
+    val k = 10
+    val exactTruth = VectorOps.cosineTopK(emb, qs, k).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      qs.map(q => (exactTruth(q) & got.getOrElse(q, Set.empty[Long])).size.toDouble / k).sum / qs.size
+    }
+    val adc = VectorOps.ivfPqTopK(emb, qs, k, nlist = 16, nprobe = 4).collect()
+    val rr = VectorOps.ivfPqTopKRerank(emb, qs, k, rerankK = 100,
+      nlist = 16, nprobe = 4).collect()
+    assert(recall(rr) >= recall(adc),
+      s"rerank recall ${recall(rr)} must not trail plain ADC ${recall(adc)}")
+    // every rerank score is the EXACT cosine (not a reconstruction):
+    // each returned (qid, vec_id) must carry the same rounded cosine the
+    // brute-force ranking computes for that pair
+    val exactAll = VectorOps.cosineTopK(emb, qs, 499).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rr.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exactAll(key) === r.getDouble(2),
+        s"rerank score for $key diverged from exact cosine")
+    }
+    // rerank must also beat ADC in absolute terms here: quantization
+    // error is the dominant loss at 64-bit codes on clustered data
+    // (PLANS.md round-5 table), and refine exists to remove it
+    assert(recall(rr) >= 0.95,
+      s"clustered-corpus rerank recall@10 ${recall(rr)} below the 0.95 refine bar")
+    // seeded end-to-end => bit-identical reruns
+    val rr2 = VectorOps.ivfPqTopKRerank(emb, qs, k, rerankK = 100,
+      nlist = 16, nprobe = 4).collect()
+    def dmp(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(dmp(rr) === dmp(rr2))
+  }
+
   test("IVF search over a shared assignment equals the self-trained path") {
     val embs = sources.Tables.embeddings(spark, sf)
     val shared = VectorOps.trainIvfAssignment(embs)
