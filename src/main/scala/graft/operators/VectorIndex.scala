@@ -87,6 +87,47 @@ object VectorIndex {
       row.getInt(2), row.getInt(3), codebooks.toSeq, loadCodes(spark, path))
   }
 
+  /** Incrementally add vectors to a persisted index under its FROZEN
+    * trained state — the ingest path a production ANN deployment runs
+    * between (rare, full) rebuilds: load the meta row, assign each new
+    * vector to its coarse cell and residual-encode it against the
+    * frozen codebooks ([[VectorOps.encodeIntoModel]]), and APPEND the
+    * codes to the cell partitions. Centroids/codebooks never move, so
+    * previously-written codes stay valid byte-for-byte and a search
+    * after the add sees old and new vectors through one identical plan
+    * (spec-pinned: build(A) + add(B) search ≡ the same model over
+    * A ∪ B's codes, and re-encoding an already-indexed vector yields
+    * bit-identical codes).
+    *
+    * Write shape mirrors the build: the batch is repartitioned on
+    * `cell` before the partitioned append, so each touched cell gains
+    * AT MOST ONE new file per add (nlist × shufflePartitions fragments
+    * otherwise — the object-store listing blowup the build guards
+    * against). Untouched cell directories are not rewritten — the add
+    * cost is O(batch), never O(corpus), matching the incremental-dedup
+    * ingest contract. Periodic compaction of a hot cell's file count is
+    * the same policy dial as queue-ack compaction
+    * ([[Extractors.compactQueue]]).
+    *
+    * Caller contract: `vec_id`s not already in the index (an upsert
+    * would need a rewrite of the touched cells — deliberately not this
+    * operator); one add at a time (two concurrent appends to the same
+    * cell directory are a parquet-commit race, same as any Spark
+    * append).
+    *
+    * @return the updated model with `codes` re-pointed at the combined
+    *         parquet
+    */
+  def addToIvfPq(spark: SparkSession, path: String,
+                 newVectors: DataFrame): VectorOps.IvfPqModel = {
+    val model = loadIvfPq(spark, path)
+    VectorOps.encodeIntoModel(model, newVectors)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/codes")
+    model.copy(codes = loadCodes(spark, path))
+  }
+
   /** Top-k ADC search against a persisted index. `queries` are raw
     * (id, vector) pairs — the index is self-contained; the corpus that
     * built it is not needed at search time.

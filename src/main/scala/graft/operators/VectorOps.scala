@@ -778,6 +778,54 @@ object VectorOps {
     IvfPqModel(centers, nprobeEff, dim, dsub, m, kCent, codebooks, codes)
   }
 
+  /** Encode NEW vectors under a FROZEN model — the ingest half of an
+    * incremental ANN index ([[VectorIndex.addToIvfPq]]): assign each
+    * vector to its nearest coarse cell, residual-encode it against the
+    * frozen codebooks, return `(vec_id, cell, codes)` rows laid out
+    * exactly like the model's own code table. Nothing retrains — the
+    * same frozen-artifact ingest posture as
+    * [[TextOps.incrementalDedup]]/[[TextOps.incrementalNearDup]]
+    * (reconcile the delta against served artifacts; never rebuild them).
+    *
+    * Cell assignment replays the training rule relationally: argmin
+    * Euclidean distance of the UNIT vector to each centroid (spherical
+    * k-means assigns in unit space; lowest cell id on exact ties). The
+    * batch crosses the nlist-row centroid broadcast — |batch| · nlist
+    * intermediate rows, batch-bounded by the ingest contract — and the
+    * residual encode is the same [[graft.functions.PqEncode]] projection
+    * the build runs, so codes for a vector are bit-identical whether it
+    * arrived at build time or in a later batch (spec-pinned in
+    * `VectorIndexSpec`).
+    */
+  def encodeIntoModel(model: IvfPqModel, newVectors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newVectors.sparkSession
+    import spark.implicits._
+    val centroidsDf = model.centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    // unit vector with the build's zero-only norm guard (ivfAssign /
+    // buildIvfPqModel): zero vectors stay zero, tiny norms stay true
+    val safeN = when(norm(col("embedding")) === 0d, 1d)
+      .otherwise(norm(col("embedding")))
+    val unit = newVectors
+      .withColumn("_n", safeN)
+      .select(col("vec_id"),
+        transform(vec(col("embedding")), x => x / col("_n")).as("u"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
+    val assigned = unit.crossJoin(broadcast(centroidsDf))
+      .withColumn("d2", aggregate(
+        zip_with(col("u"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      // residual in the build's arithmetic order: x/n − c per dimension
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("u"), col("centroid"), (x, c) => x - c).as("embedding"))
+    pqEncodeWith(assigned, model.dim, model.dsub, model.codebooks,
+        keep = Seq("vec_id", "cell"))
+      .select("vec_id", "cell", "codes")
+  }
+
   /** The search half of [[ivfPqTopK]]: probe cells per query
     * driver-side, ship LUTs as broadcasts, ADC-score the probed slice
     * of the code table. The code table is pre-filtered to the UNION of
