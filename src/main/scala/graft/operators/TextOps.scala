@@ -343,10 +343,10 @@ object TextOps {
     * (shares ≥1 band bucket with a corpus doc — collision precedence
     * mirrors the exact op's corpus-over-batch rule),
     * `near_dup_in_batch` (collides with an earlier-by-id batch doc),
-    * `unique`. `match_doc`/`n_matches` carry the evidence (min
-    * colliding id, distinct collider count) for the winning verdict.
-    * Documents too short to shingle (< k tokens) have no signature and
-    * no verdict, exactly as they have no bands.
+    * `unique`, `no_signature` (too short to shingle — every batch doc
+    * gets exactly one row). `match_doc`/`n_matches` carry the evidence
+    * (min colliding id, distinct collider count) for the winning
+    * verdict.
     *
     * Scale shape: the batch band table (4 rows per batch doc) is
     * computed once, pinned, and BROADCAST into one scan of the corpus
@@ -356,28 +356,79 @@ object TextOps {
     * ([[minhashBands]]'s output), so the corpus side is an index read,
     * not a recompute.
     */
-  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+  /** @param minJaccard 0 (default) labels from raw band collisions —
+    *   CANDIDATE-level evidence: with 4 bands × 2 rows, moderately
+    *   similar non-dup pairs collide with non-trivial probability, so
+    *   unverified verdicts carry LSH false positives. A positive value
+    *   verifies every colliding pair by EXACT shingle Jaccard (the
+    *   capstone pipeline's candidates-then-verify posture) before it
+    *   may support a verdict — the verification join touches only
+    *   colliding docs' shingle sets (collision-bounded, never
+    *   corpus × batch).
+    * @param broadcastBatch hint the batch side into the corpus scan's
+    *   join (the intended ingest shape: a bounded batch against a big
+    *   corpus). Set false for LARGE batches — an unconditional hint
+    *   bypasses `autoBroadcastJoinThreshold` and a multi-GB batch band
+    *   table would OOM executors; without the hint the optimizer
+    *   chooses from size stats.
+    */
+  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame,
+                         minJaccard: Double = 0.0,
+                         broadcastBatch: Boolean = true): DataFrame = {
     // pinned: read by the corpus join, the self-join (twice) and the
     // verdict base — without it the signature kernel re-runs per branch
     val bb = minhashBands(newDocs).localCheckpoint()
-    val ch = minhashBands(corpus).as("c")
-      .join(broadcast(bb.as("b")),
+    val bcast: DataFrame => DataFrame =
+      if (broadcastBatch) broadcast else identity
+    val corpusPairs = minhashBands(corpus).as("c")
+      .join(bcast(bb).as("b"),
         col("c.band") === col("b.band") && col("c.bk") === col("b.bk"))
-      .groupBy(col("b.doc_id"))
-      .agg(countDistinct(col("c.doc_id")).as("n_c"),
-        min(col("c.doc_id")).as("m_c"))
-    val bh = bb.as("x")
+      .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("other"))
+      .distinct()
+    val batchPairs = bb.as("x")
       .join(bb.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("y.doc_id"))
-      .agg(countDistinct(col("x.doc_id")).as("n_b"),
-        min(col("x.doc_id")).as("m_b"))
-    bb.select("doc_id").distinct()
+      .select(col("y.doc_id").as("doc_id"), col("x.doc_id").as("other"))
+      .distinct()
+    // optional exact-Jaccard verification of colliding pairs: the other
+    // side's shingles are fetched ONLY for colliders (semi-join), so
+    // the cost is bounded by the collision set, and the ratio/rounding
+    // matches [[jaccardPairs]] so thresholds mean the same thing
+    def verified(pairs: DataFrame, others: DataFrame): DataFrame =
+      if (minJaccard <= 0) pairs
+      else {
+        val bsh = shingles(newDocs)
+        val osh = shingles(others).select(col("doc_id").as("other"), col("s"))
+          .join(pairs.select("other").distinct(), Seq("other"), "left_semi")
+        val na = bsh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+        val nb = osh.groupBy("other").agg(count(lit(1)).as("nb"))
+        pairs.join(bsh, "doc_id")
+          .join(osh, Seq("other", "s"))
+          .groupBy("doc_id", "other").agg(count(lit(1)).as("common"))
+          .join(na, "doc_id").join(nb, "other")
+          .filter(round(col("common") /
+            (col("na") + col("nb") - col("common")), 4) >= minJaccard)
+          .select("doc_id", "other")
+      }
+    val ch = verified(corpusPairs, corpus)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("other")).as("n_c"), min(col("other")).as("m_c"))
+    val bh = verified(batchPairs, newDocs)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("other")).as("n_b"), min(col("other")).as("m_b"))
+    // total over the batch: docs too short to shingle (< k tokens) have
+    // no signature and CANNOT be classified — they get an explicit
+    // `no_signature` row instead of silently vanishing (an ingest gate
+    // joining on this output must see every batch doc accounted for)
+    val signed = bb.select("doc_id").distinct().withColumn("has_sig", lit(1))
+    newDocs.select("doc_id")
+      .join(signed, Seq("doc_id"), "left")
       .join(ch, Seq("doc_id"), "left")
       .join(bh, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("n_c").isNotNull, "near_dup_of_corpus")
+        when(col("has_sig").isNull, "no_signature")
+          .when(col("n_c").isNotNull, "near_dup_of_corpus")
           .when(col("n_b").isNotNull, "near_dup_in_batch")
           .otherwise("unique").as("verdict"),
         coalesce(col("m_c"), col("m_b")).as("match_doc"),

@@ -419,7 +419,8 @@ object ExtOracles {
     // replays TextOps.incrementalNearDup over the dedup_incremental
     // delta split: bands are a pure per-doc function, so one bands CTE
     // over all documents splits into batch (doc_id ≡ 7 mod 10) and
-    // corpus sides; corpus-collision precedence over in-batch
+    // corpus sides; corpus-collision precedence over in-batch; batch
+    // docs too short to shingle surface as explicit no_signature rows
     "dedup_incremental_near" ->
       s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte,
          |bb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 = 7),
@@ -433,14 +434,65 @@ object ExtOracles {
          |       FROM bb x JOIN bb y
          |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
          |       GROUP BY 1),
-         |base AS (SELECT DISTINCT doc_id FROM bb)
+         |base AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+         |sg AS (SELECT DISTINCT doc_id FROM bb)
          |SELECT base.doc_id,
-         |  CASE WHEN ch.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+         |  CASE WHEN sg.doc_id IS NULL THEN 'no_signature'
+         |       WHEN ch.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
          |       WHEN bh.doc_id IS NOT NULL THEN 'near_dup_in_batch'
          |       ELSE 'unique' END AS verdict,
          |  coalesce(ch.m_c, bh.m_b) AS match_doc,
          |  coalesce(ch.n_c, bh.n_b, 0) AS n_matches
-         |FROM base LEFT JOIN ch ON base.doc_id = ch.doc_id
+         |FROM base LEFT JOIN sg ON base.doc_id = sg.doc_id
+         |          LEFT JOIN ch ON base.doc_id = ch.doc_id
+         |          LEFT JOIN bh ON base.doc_id = bh.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+
+    // replays the VERIFIED incremental near-dup (minJaccard = 0.5):
+    // band collisions are candidates; a pair may support a verdict only
+    // if its exact shingle Jaccard clears the threshold — the same
+    // ratio + 4-dp rounding as the dedup_jaccard_pairs oracle
+    "dedup_incremental_verified" ->
+      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte,
+         |bb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 = 7),
+         |cb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 <> 7),
+         |cp2 AS (SELECT DISTINCT b.doc_id, c.doc_id AS other
+         |        FROM bb b JOIN cb c ON b.band = c.band AND b.bk = c.bk),
+         |bp2 AS (SELECT DISTINCT y.doc_id, x.doc_id AS other
+         |        FROM bb x JOIN bb y
+         |          ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |vcp AS (SELECT p.doc_id, p.other FROM
+         |          (SELECT cp2.doc_id, cp2.other, count(*) AS common
+         |           FROM cp2 JOIN sh sa ON sa.doc_id = cp2.doc_id
+         |                    JOIN sh sb ON sb.doc_id = cp2.other AND sb.s = sa.s
+         |           GROUP BY 1, 2) p
+         |        JOIN sizes za ON za.doc_id = p.doc_id
+         |        JOIN sizes zb ON zb.doc_id = p.other
+         |        WHERE round(CAST(p.common AS DOUBLE) / (za.n + zb.n - p.common), 4) >= 0.5),
+         |vbp AS (SELECT p.doc_id, p.other FROM
+         |          (SELECT bp2.doc_id, bp2.other, count(*) AS common
+         |           FROM bp2 JOIN sh sa ON sa.doc_id = bp2.doc_id
+         |                    JOIN sh sb ON sb.doc_id = bp2.other AND sb.s = sa.s
+         |           GROUP BY 1, 2) p
+         |        JOIN sizes za ON za.doc_id = p.doc_id
+         |        JOIN sizes zb ON zb.doc_id = p.other
+         |        WHERE round(CAST(p.common AS DOUBLE) / (za.n + zb.n - p.common), 4) >= 0.5),
+         |ch AS (SELECT doc_id, count(DISTINCT other) AS n_c, min(other) AS m_c
+         |       FROM vcp GROUP BY 1),
+         |bh AS (SELECT doc_id, count(DISTINCT other) AS n_b, min(other) AS m_b
+         |       FROM vbp GROUP BY 1),
+         |base AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+         |sg AS (SELECT DISTINCT doc_id FROM bb)
+         |SELECT base.doc_id,
+         |  CASE WHEN sg.doc_id IS NULL THEN 'no_signature'
+         |       WHEN ch.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+         |       WHEN bh.doc_id IS NOT NULL THEN 'near_dup_in_batch'
+         |       ELSE 'unique' END AS verdict,
+         |  coalesce(ch.m_c, bh.m_b) AS match_doc,
+         |  coalesce(ch.n_c, bh.n_b, 0) AS n_matches
+         |FROM base LEFT JOIN sg ON base.doc_id = sg.doc_id
+         |          LEFT JOIN ch ON base.doc_id = ch.doc_id
          |          LEFT JOIN bh ON base.doc_id = bh.doc_id
          |ORDER BY base.doc_id""".stripMargin,
 

@@ -113,6 +113,21 @@ object ExtQueries {
     ivfAssignCache.get(spark, dir)(
       VectorOps.trainIvfAssignment(embs(spark, dir)))
 
+  /** Shared embedding near-dup pair artifact
+    * ([[VectorOps.nearDupPairs]] at the 0.4 threshold): the SAME value
+    * `dedup_semantic_clusters` closes into clusters and
+    * `embed_neardup_pairs` lists — computed once per (session, dir) and
+    * checkpointed, exactly the [[minhashPairs]] posture applied to the
+    * embedding-space pair set (it IS the persisted output of an
+    * embedding dedup stage). Deterministic (fixed hyperplane family +
+    * bucket cap on ids), so sharing cannot change either gate row.
+    */
+  private val embPairsCache = new SessionCache[DataFrame]
+  private def embNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    embPairsCache.get(spark, dir)(
+      VectorOps.nearDupPairs(embs(spark, dir), threshold = 0.4)
+        .localCheckpoint())
+
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     langGuesses(spark, dir).orderBy("doc_id")
 
@@ -364,6 +379,22 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The same incremental near-dup delta with the exact-Jaccard
+    * verification leg on (minJaccard = 0.5): band collisions are
+    * CANDIDATES, and only pairs whose true shingle Jaccard clears the
+    * threshold may support a verdict — the capstone pipeline's
+    * candidates-then-verify posture applied at ingest, oracle-replayed
+    * end-to-end including the verification join.
+    */
+  def dedupIncrementalVerified(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.incrementalNearDup(
+      d.filter(col("doc_id") % 10 === 7),
+      d.filter(col("doc_id") % 10 =!= 7),
+      minJaccard = 0.5)
+      .orderBy("doc_id")
+  }
+
   def dedupMinhashBands(spark: SparkSession, dir: String): DataFrame =
     TextOps.minhashBands(docs(spark, dir)).orderBy("doc_id", "band")
 
@@ -509,8 +540,7 @@ object ExtQueries {
     * measured in embedding space instead of shingle space).
     */
   def dedupSemanticClusters(spark: SparkSession, dir: String): DataFrame =
-    GraphOps.connectedComponentsStar(
-        VectorOps.nearDupPairs(embs(spark, dir), threshold = 0.4))
+    GraphOps.connectedComponentsStar(embNearDupPairs(spark, dir))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
 
@@ -787,7 +817,7 @@ object ExtQueries {
     VectorOps.lshBuckets(embs(spark, dir)).orderBy("bucket")
 
   def embedNearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    VectorOps.nearDupPairs(embs(spark, dir), threshold = 0.4).orderBy("a", "b")
+    embNearDupPairs(spark, dir).orderBy("a", "b")
 
   /** Binary-column metadata extraction over the fabricated media table
     * ([[graft.operators.MultimodalOps]]): payload byte length + sha256
