@@ -18,7 +18,14 @@ import graft.operators.TextOps
   *     O(n) bytes-hashed trade documented on the kernels);
   *  3. decontamination Bloom-prefilter selectivity: corpus shingles
   *     vs truly-shared vs sketch candidates — the fraction of the
-  *     corpus the confirmation join never sees.
+  *     corpus the confirmation join never sees;
+  *  4. BPE trainer merge-budget headroom: wall time of the incremental
+  *     vs recount merge loops at a production-ish budget (2k merges) —
+  *     the super-linear gap Sennrich's update exists to close;
+  *  5. queue-ack compaction threshold: cost of the anti-joined
+  *     incremental read as the ack table grows vs the one-off rewrite
+  *     ([[graft.operators.Extractors.compactQueue]]) — the policy
+  *     dial recorded in USAGE.md.
   *
   * Args: SF dirs (defaults to /root/testdata/sf0.01 /root/testdata/sf0.1).
   */
@@ -71,6 +78,88 @@ object ScaleProbe {
       BenchUtil.releaseNewRdds(sc, beforeBloom)
       println(f"[scaleprobe] $sf bloom grams=$total shared=$truth candidates=$cand " +
         f"joinInputFrac=${cand.toDouble / total}%.5f fp=${cand - truth}")
+      // BPE merge-budget headroom: one timed pass each (the loop is a
+      // deterministic driver computation — no warmup variance worth 3
+      // passes). Recount at the 200-merge demo budget; incremental at
+      // 200 AND at a production-ish 2k budget — the recount form's cost
+      // is linear in merges × vocab symbols, the incremental form's in
+      // merges × affected symbols.
+      def secs(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val tRecount200 = secs(TextOps.bpeTrainRecount(docs, numMerges = 200))
+      val tInc200 = secs(TextOps.bpeTrain(docs, numMerges = 200))
+      var learned = 0
+      val tInc2k = secs { learned = TextOps.bpeTrain(docs, numMerges = 2000).size }
+      println(f"[scaleprobe] $sf bpe recount200=$tRecount200%.2fs inc200=$tInc200%.2fs " +
+        f"inc2000=$tInc2k%.2fs (learned=$learned) recount/inc@200=${tRecount200 / tInc200}%.1f")
+    }
+
+    // 4b. BPE budget headroom where it bites: the sf corpora run DRY
+    //     (no pair left with count ≥ 2) long before 2k merges, so the
+    //     loops above mostly measure the shared word count. A seeded
+    //     30k-word synthetic vocabulary keeps every budget busy and
+    //     isolates the merge-loop asymptotics: recount is
+    //     O(merges × Σ symbols), incremental O(merges × affected).
+    {
+      import spark.implicits._
+      def secs(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val rnd = new scala.util.Random(11)
+      val alphabet = "abcdefghijklmnopqrstuvwxyz"
+      val synth = (0 until 30000).map { i =>
+        val w = Array.fill(4 + rnd.nextInt(12))(
+          alphabet(rnd.nextInt(26))).mkString
+        (i.toLong, w)
+      }.toDF("doc_id", "text").localCheckpoint()
+      var l2k = 0
+      val tInc2k = secs { l2k = TextOps.bpeTrain(synth, numMerges = 2000).size }
+      val tRec2k = secs(TextOps.bpeTrainRecount(synth, numMerges = 2000))
+      println(f"[scaleprobe] synth30k bpe inc2000=$tInc2k%.2fs recount2000=$tRec2k%.2fs " +
+        f"(learned=$l2k) recount/inc@2000=${tRec2k / tInc2k}%.1f")
+    }
+
+    // 5. queue-ack compaction threshold (SF-independent — fabricated
+    //    changelog): the logical queue is changelog ANTI-JOIN acks, so
+    //    the per-batch read cost grows with the ack table until
+    //    compactQueue folds it in. Measure the pending-read at ack
+    //    sizes 0×/1×/10×/100× batch, then the rewrite itself, then the
+    //    post-compaction read — the numbers behind the "when to
+    //    compact" guidance in USAGE.md.
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      import graft.core.PipelineSpec
+      import graft.operators.QueueExtractor
+      def secs(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val src = java.nio.file.Files.createTempDirectory("probe-queue").toString
+      val nQueue = 400000
+      val batch = 2000
+      val ts = new java.sql.Timestamp(1717200000000L)
+      val q = (0 until nQueue)
+        .map(i => ("a", "t", "k", i.toString, ts, "UPDATE"))
+        .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+          "timestampUpdated", "method")
+      q.write.parquet(s"$src/MigratorRecordQueue")
+      val spec = PipelineSpec("a", "t", "k", "b", "t", src, src,
+        extractor = "queue")
+      val ackPath = s"$src/MigratorRecordQueue__acks"
+      for (mult <- Seq(0, 1, 10, 100)) {
+        val nAcks = mult * batch
+        if (nAcks > 0)
+          q.filter(col("pkValue").cast("int") < nAcks)
+            .write.mode("overwrite").parquet(ackPath)
+        val t = BenchUtil.minOf(3)(
+          QueueExtractor.pending(spark, spec).count())
+        println(f"[scaleprobe] queue acks=$nAcks%6d pendingRead=$t%.3fs")
+      }
+      val tCompact = secs(QueueExtractor.compactQueue(spark, spec))
+      val tAfter = BenchUtil.minOf(3)(
+        QueueExtractor.pending(spark, spec).count())
+      println(f"[scaleprobe] queue compact=$tCompact%.3fs pendingReadAfter=$tAfter%.3fs")
     }
     spark.stop()
   }

@@ -988,12 +988,17 @@ object TextOps {
     * sample-bounded-driver-state posture as the PQ codebook k-means.
     * The merge LOOP is inherently sequential (merge i+1's pair counts
     * depend on merge i having been applied), so it runs driver-side
-    * over the bounded vocabulary: numMerges × Σ|word symbols| pair
-    * scans, milliseconds at any corpus size because the input is
-    * vocab-bounded, not corpus-bounded. Truncation is the standard
-    * production trade: a word outside the top `maxWords` cannot
-    * contribute meaningful pair mass by construction (its count is
-    * below every retained word's).
+    * over the bounded vocabulary — with Sennrich's INCREMENTAL pair
+    * maintenance: counts and a pair → word index are built once, and
+    * each merge touches only the words containing the merged pair, so
+    * per-merge cost is O(affected symbols) + one argmax scan of the
+    * live pair map, not a full recount of Σ|word symbols|. That is the
+    * difference between a 200-merge demo and a production 32k-merge
+    * vocabulary (measured in PLANS.md; the recount twin
+    * [[bpeTrainRecount]] is spec-pinned equal). Truncation is the
+    * standard production trade: a word outside the top `maxWords`
+    * cannot contribute meaningful pair mass by construction (its count
+    * is below every retained word's).
     *
     * Each iteration merges the globally most frequent adjacent symbol
     * pair (tie-break: pair lexicographic asc, so training is
@@ -1006,20 +1011,115 @@ object TextOps {
     *
     * @return the learned merges, in training order (= rank order)
     */
-  def bpeTrain(docs: DataFrame, numMerges: Int = 200,
-      maxWords: Int = 50000): Seq[(String, String)] = {
+  /** The distributed word-count half of the trainer, shared by both
+    * merge-loop implementations.
+    */
+  private def bpeWordCounts(docs: DataFrame,
+      maxWords: Int): Array[(Array[String], Long)] = {
     import graft.functions.BpeTokens
-    val rows = docs
+    docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w").asc)
       .limit(maxWords)
       .collect()
-    val words: Array[(Array[String], Long)] =
-      rows.map(r => (BpeTokens.codePointSymbols(r.getString(0)), r.getLong(1)))
+      .map(r => (BpeTokens.codePointSymbols(r.getString(0)), r.getLong(1)))
+  }
+
+  /** Deterministic argmax over live pair counts: count desc, then pair
+    * lexicographic asc — a total order, so iteration order of the map
+    * never matters.
+    */
+  private val bpePairOrd = Ordering.Tuple2(Ordering.String, Ordering.String)
+  private def bpeBestPair(counts: scala.collection.Map[(String, String), Long])
+      : ((String, String), Long) = {
+    var best: (String, String) = null
+    var bestN = 0L
+    for ((p, n) <- counts)
+      if (n > bestN || (n == bestN && best != null && bpePairOrd.lt(p, best))) {
+        best = p; bestN = n
+      }
+    (best, bestN)
+  }
+
+  def bpeTrain(docs: DataFrame, numMerges: Int = 200,
+      maxWords: Int = 50000): Seq[(String, String)] = {
+    import graft.functions.BpeTokens
+    val words = bpeWordCounts(docs, maxWords)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    val pairOrd = Ordering.Tuple2(Ordering.String, Ordering.String)
+    // Sennrich's incremental update: pair counts and a pair → word index
+    // are built ONCE and maintained under each merge by touching only
+    // the words that contain the merged pair — O(affected symbols) per
+    // merge instead of the recount form's O(Σ all symbols), which is
+    // what makes production merge budgets (32k) affordable; the recount
+    // twin ([[bpeTrainRecount]]) is spec-pinned equal. The `where` sets
+    // are maintained LAZILY: rewriting a word during a merge does not
+    // chase its stale memberships under other pairs — a later merge
+    // detects staleness via mergeOnce's identity return (the word no
+    // longer contains the pair) and drops the entry then.
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    for (((syms, n), idx) <- words.zipWithIndex) {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + n)
+        where.getOrElseUpdate(p,
+          scala.collection.mutable.HashSet.empty[Int]) += idx
+        i += 1
+      }
+    }
+    var done = words.isEmpty
+    while (!done && merges.size < numMerges) {
+      val (best, bestN) = bpeBestPair(counts)
+      if (best == null || bestN < 2) done = true
+      else {
+        merges += best
+        val affected = where.getOrElse(best,
+          scala.collection.mutable.HashSet.empty[Int])
+        for (idx <- affected) {
+          val (syms, n) = words(idx)
+          val merged = BpeTokens.mergeOnce(syms, best._1, best._2)
+          // identity return ⇒ stale membership (word was rewritten away
+          // from this pair by an earlier merge) — nothing to update
+          if (merged ne syms) {
+            var i = 0
+            while (i < syms.length - 1) {
+              val p = (syms(i), syms(i + 1))
+              val c = counts(p) - n
+              if (c <= 0L) counts.remove(p) else counts.update(p, c)
+              i += 1
+            }
+            words(idx) = (merged, n)
+            i = 0
+            while (i < merged.length - 1) {
+              val p = (merged(i), merged(i + 1))
+              counts.update(p, counts.getOrElse(p, 0L) + n)
+              where.getOrElseUpdate(p,
+                scala.collection.mutable.HashSet.empty[Int]) += idx
+              i += 1
+            }
+          }
+        }
+        // fully consumed: no surviving word contains the merged pair
+        where.remove(best)
+        counts.remove(best)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The original recount-every-merge loop — retained as the
+    * equivalence oracle for [[bpeTrain]]'s incremental pair counts
+    * (the [[minhashSignaturesComposed]] twin pattern).
+    */
+  private[graft] def bpeTrainRecount(docs: DataFrame, numMerges: Int = 200,
+      maxWords: Int = 50000): Seq[(String, String)] = {
+    import graft.functions.BpeTokens
+    val words = bpeWordCounts(docs, maxWords)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = words.isEmpty
     while (!done && merges.size < numMerges) {
       val counts =
@@ -1032,13 +1132,7 @@ object TextOps {
           i += 1
         }
       }
-      // deterministic argmax: count desc, then pair lexicographic asc
-      var best: (String, String) = null
-      var bestN = 0L
-      for ((p, n) <- counts)
-        if (n > bestN || (n == bestN && best != null && pairOrd.lt(p, best))) {
-          best = p; bestN = n
-        }
+      val (best, bestN) = bpeBestPair(counts)
       if (best == null || bestN < 2) done = true
       else {
         merges += best

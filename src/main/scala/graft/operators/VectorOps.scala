@@ -477,6 +477,21 @@ object VectorOps {
     centroids
   }
 
+  /** A trained plain-PQ model (no coarse quantizer): the m sub-space
+    * codebooks plus shape — the artifact [[pqEncode]]/[[pqTopK]] train
+    * once and every consumer (including the DuckDB oracle export)
+    * shares. Deterministic for a given corpus (seeded sample + seeded
+    * k-means), so sharing never changes a result.
+    */
+  final case class PqModel(dim: Int, dsub: Int,
+                           codebooks: Seq[Array[Array[Double]]])
+
+  def trainPqModel(embeddings: DataFrame, m: Int = 8, kCent: Int = 256,
+                   maxTrainRows: Long = PqTrainRows): PqModel = {
+    val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, kCent, maxTrainRows)
+    PqModel(dim, dsub, codebooks)
+  }
+
   /** Train the m sub-space codebooks on a seeded bounded sample.
     * @return (dim, dsub, codebooks[m][k][dsub])
     */
@@ -564,8 +579,10 @@ object VectorOps {
   }
 
   def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 256,
-               maxTrainRows: Long = PqTrainRows): DataFrame = {
-    val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, k, maxTrainRows)
+               maxTrainRows: Long = PqTrainRows,
+               reuse: Option[PqModel] = None): DataFrame = {
+    val PqModel(dim, dsub, codebooks) =
+      reuse.getOrElse(trainPqModel(embeddings, m, k, maxTrainRows))
     pqEncodeWith(embeddings, dim, dsub, codebooks)
   }
 
@@ -639,9 +656,11 @@ object VectorOps {
 
   def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
              m: Int = 8, kCent: Int = 256,
-             maxTrainRows: Long = PqTrainRows): DataFrame = {
+             maxTrainRows: Long = PqTrainRows,
+             reuse: Option[PqModel] = None): DataFrame = {
     val spark = embeddings.sparkSession
-    val (dim, dsub, codebooks) = pqCodebooks(embeddings, m, kCent, maxTrainRows)
+    val PqModel(dim, dsub, codebooks) =
+      reuse.getOrElse(trainPqModel(embeddings, m, kCent, maxTrainRows))
     val codes = pqEncodeWith(embeddings, dim, dsub, codebooks)
       .select("vec_id", "codes")
 

@@ -181,7 +181,84 @@ object ExtOracles {
        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  /** CTE chain replaying [[graft.operators.VectorOps.ivfPqSearch]] over
+    * the exported trained state + code table, through the ADC ranking
+    * (`rr`); the search and rerank oracles append their own final
+    * select. Shared by `embed_ivf_pq_topk`, `embed_index_search`
+    * (spec-pinned identical searches) and `embed_ivf_pq_rerank`.
+    */
+  private def ivfPqAdcCtes: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT cell, c FROM read_parquet('${OracleArtifacts.pathFor("ivf_centroids")}/*.parquet')),
+       |meta AS (SELECT nprobe FROM read_parquet('${OracleArtifacts.pathFor("ivf_meta")}/*.parquet')),
+       |rcb AS (SELECT s, ci, c FROM read_parquet('${OracleArtifacts.pathFor("ivfpq_codebooks")}/*.parquet')),
+       |codes AS (SELECT vec_id, cell, codes FROM read_parquet('${OracleArtifacts.pathFor("ivfpq_codes")}/*.parquet')),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |pc AS (SELECT qid, cell FROM (
+       |         SELECT q.qid, cent.cell,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             list_dot_product(q.qv, cent.c) /
+       |               greatest(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.c, cent.c)), 1e-12) DESC,
+       |             cent.cell) AS crn
+       |         FROM q CROSS JOIN cent)
+       |       WHERE crn <= (SELECT nprobe FROM meta)),
+       |iplut AS (SELECT q.qid, rcb.s, rcb.ci,
+       |            list_sum(list_transform(range(1, len(rcb.c) + 1),
+       |              i -> rcb.c[i] * q.qv[rcb.s * len(rcb.c) + i])) AS ip
+       |          FROM q CROSS JOIN rcb),
+       |nlut AS (SELECT cent.cell, rcb.s, rcb.ci,
+       |           list_sum(list_transform(range(1, len(rcb.c) + 1),
+       |             i -> (cent.c[rcb.s * len(rcb.c) + i] + rcb.c[i]) * (cent.c[rcb.s * len(rcb.c) + i] + rcb.c[i]))) AS n2
+       |         FROM cent CROSS JOIN rcb),
+       |qc AS (SELECT q.qid, cent.cell, list_dot_product(q.qv, cent.c) AS qcip
+       |       FROM q CROSS JOIN cent),
+       |qn AS (SELECT qid, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+       |cand AS (SELECT pc.qid, c2.vec_id, c2.cell, c2.codes
+       |         FROM pc JOIN codes c2 ON c2.cell = pc.cell AND c2.vec_id <> pc.qid),
+       |cx AS (SELECT qid, vec_id, cell, CAST(u.s AS INT) AS s,
+       |         codes[CAST(u.s AS INT) + 1] AS code
+       |       FROM cand, unnest(range(len(codes))) AS u(s)),
+       |sc AS (SELECT cx.qid, cx.vec_id, cx.cell,
+       |         sum(i.ip) AS ipsum, sum(n.n2) AS rnorm2
+       |       FROM cx
+       |         JOIN iplut i ON i.qid = cx.qid AND i.s = cx.s AND i.ci = cx.code
+       |         JOIN nlut n ON n.cell = cx.cell AND n.s = cx.s AND n.ci = cx.code
+       |       GROUP BY 1, 2, 3),
+       |ranked AS (SELECT sc.qid, sc.vec_id,
+       |    round((qc.qcip + sc.ipsum) / greatest(qn.qnorm * sqrt(sc.rnorm2), 1e-12), 5) AS adc_cos
+       |  FROM sc JOIN qc ON qc.qid = sc.qid AND qc.cell = sc.cell
+       |       JOIN qn ON qn.qid = sc.qid),
+       |rr AS (SELECT qid, vec_id, adc_cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adc_cos DESC, vec_id) AS rn
+       |       FROM ranked)""".stripMargin
+
+  /** Replay of [[graft.operators.VectorOps.ivfPqSearch]]'s final top-k. */
+  private def ivfPqSearchSql: String =
+    s"""$ivfPqAdcCtes
+       |SELECT qid, vec_id, adc_cos, rn FROM rr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
+  /** Replay of [[graft.operators.VectorOps.ivfPqSearchRerank]]: the ADC
+    * chain ranks rerankK = 100 candidates, then exact cosine over the
+    * raw vectors re-ranks them to the final top-10 — the refine stage
+    * end-to-end in SQL.
+    */
+  private def ivfPqRerankSql: String =
+    s"""$ivfPqAdcCtes,
+       |cand100 AS (SELECT qid, vec_id FROM rr WHERE rn <= 100),
+       |ex AS (SELECT c.qid, c.vec_id,
+       |    round(list_dot_product(q.qv, e.v) /
+       |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 5) AS cos
+       |  FROM cand100 c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+       |fr AS (SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |       FROM ex)
+       |SELECT qid, vec_id, cos, rn FROM fr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
+  /** A def, not a val: the ANN oracles interpolate
+    * [[OracleArtifacts.pathFor]] paths registered when the gate queries
+    * RAN, and [[graft.Verify]] dumps the SQL after running them.
+    */
+  def sql: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
          |SELECT doc_id,
@@ -913,6 +990,109 @@ object ExtOracles {
         |SELECT lang, CAST(floor((cum - est_tokens) / 2048.0) AS BIGINT) AS bin_id,
         |  count(*) AS n_docs, CAST(sum(est_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin,
+
+    // ── ANN family via exported trained artifacts ──────────────────
+    // The k-means trainings are not SQL; their OUTPUT (codebooks,
+    // centroids, assignment, codes — bounded deterministic tables,
+    // exported by the gate queries via OracleArtifacts) is, and every
+    // downstream step (encode argmin, cell probe, ADC LUT scoring,
+    // ranking) replays here independently.
+
+    // replays VectorOps.pqEncode against the exported codebooks: per
+    // (vector, sub-space) argmin over squared distances with the
+    // first-index tiebreak, digest + rmse exactly as the Spark side
+    "embed_pq" ->
+      s"""WITH $embCte,
+         |cb AS (SELECT s, ci, c FROM read_parquet('${OracleArtifacts.pathFor("pq_codebooks")}/*.parquet')),
+         |d AS (SELECT e.vec_id, cb.s, cb.ci,
+         |        list_sum(list_transform(range(1, len(cb.c) + 1),
+         |          i -> (cb.c[i] - e.v[cb.s * len(cb.c) + i]) * (cb.c[i] - e.v[cb.s * len(cb.c) + i]))) AS d2
+         |      FROM e CROSS JOIN cb),
+         |best AS (SELECT vec_id, s, ci, d2,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, ci) AS arn
+         |         FROM d),
+         |codes AS (SELECT vec_id, s, ci, d2 FROM best WHERE arn = 1),
+         |dims AS (SELECT len(v) AS dim FROM e LIMIT 1)
+         |SELECT vec_id,
+         |  md5(string_agg(ci::VARCHAR, '-' ORDER BY s)) AS codes_digest,
+         |  round(sqrt(sum(d2) / (SELECT dim FROM dims)), 5) AS recon_rmse
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // replays VectorOps.pqTopK: the encode above + per-query inner-product
+    // LUTs + asymmetric-cosine scoring + ranking
+    "embed_pq_topk" ->
+      s"""WITH $embCte,
+         |cb AS (SELECT s, ci, c FROM read_parquet('${OracleArtifacts.pathFor("pq_codebooks")}/*.parquet')),
+         |d AS (SELECT e.vec_id, cb.s, cb.ci,
+         |        list_sum(list_transform(range(1, len(cb.c) + 1),
+         |          i -> (cb.c[i] - e.v[cb.s * len(cb.c) + i]) * (cb.c[i] - e.v[cb.s * len(cb.c) + i]))) AS d2
+         |      FROM e CROSS JOIN cb),
+         |best AS (SELECT vec_id, s, ci, d2,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, ci) AS arn
+         |         FROM d),
+         |codes AS (SELECT vec_id, s, ci FROM best WHERE arn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |iplut AS (SELECT q.qid, cb.s, cb.ci,
+         |            list_sum(list_transform(range(1, len(cb.c) + 1),
+         |              i -> cb.c[i] * q.qv[cb.s * len(cb.c) + i])) AS ip
+         |          FROM q CROSS JOIN cb),
+         |nlut AS (SELECT s, ci, list_sum(list_transform(c, x -> x * x)) AS n2 FROM cb),
+         |qn AS (SELECT qid, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+         |sc AS (SELECT i.qid, c2.vec_id, sum(i.ip) AS ipsum, sum(n.n2) AS rnorm2
+         |       FROM codes c2
+         |         JOIN iplut i ON i.s = c2.s AND i.ci = c2.ci
+         |         JOIN nlut n ON n.s = c2.s AND n.ci = c2.ci
+         |       WHERE c2.vec_id <> i.qid
+         |       GROUP BY 1, 2),
+         |ranked AS (SELECT sc.qid, sc.vec_id,
+         |    round(sc.ipsum / greatest(qn.qnorm * sqrt(sc.rnorm2), 1e-12), 5) AS adc_cos
+         |  FROM sc JOIN qn ON qn.qid = sc.qid),
+         |rr AS (SELECT qid, vec_id, adc_cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adc_cos DESC, vec_id) AS rn
+         |       FROM ranked)
+         |SELECT qid, vec_id, adc_cos, rn FROM rr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    // replays VectorOps.ivfTopK from the exported trained state: probe
+    // the nprobe nearest cells per query (cosine vs centroid, cell-id
+    // tiebreak), exact cosine rank within probed cells only
+    "embed_ivf_topk" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT cell, c FROM read_parquet('${OracleArtifacts.pathFor("ivf_centroids")}/*.parquet')),
+         |asg AS (SELECT vec_id, cell FROM read_parquet('${OracleArtifacts.pathFor("ivf_assign")}/*.parquet')),
+         |meta AS (SELECT nprobe FROM read_parquet('${OracleArtifacts.pathFor("ivf_meta")}/*.parquet')),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |pc AS (SELECT qid, cell FROM (
+         |         SELECT q.qid, cent.cell,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             list_dot_product(q.qv, cent.c) /
+         |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+         |             cent.cell) AS crn
+         |         FROM q CROSS JOIN cent)
+         |       WHERE crn <= (SELECT nprobe FROM meta)),
+         |scored AS (SELECT pc.qid, a.vec_id,
+         |    round(list_dot_product(qe.qv, e.v) /
+         |      (sqrt(list_dot_product(qe.qv, qe.qv)) * sqrt(list_dot_product(e.v, e.v))), 5) AS cos
+         |  FROM pc JOIN asg a ON a.cell = pc.cell AND a.vec_id <> pc.qid
+         |       JOIN e ON e.vec_id = a.vec_id
+         |       JOIN q qe ON qe.qid = pc.qid),
+         |rr AS (SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |       FROM scored)
+         |SELECT qid, vec_id, cos, rn FROM rr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    // replays VectorOps.ivfPqSearch from the exported index: driver-side
+    // probe (cosine vs centroid with the 1e-12 floor), residual ADC LUTs
+    // (iplut per query, per-cell reconstruction-norm LUT, qc = q·centroid),
+    // scoring over the exported CODE table — the search scan itself
+    "embed_ivf_pq_topk" -> ivfPqSearchSql,
+
+    // the persisted-index search is spec-pinned identical to the
+    // in-memory model (same seeds, same trained state — VectorIndexSpec),
+    // so one replay serves both gates
+    "embed_index_search" -> ivfPqSearchSql,
+
+    // ADC candidates re-ranked by exact cosine — the refine stage
+    "embed_ivf_pq_rerank" -> ivfPqRerankSql,
 
     "embed_topk" ->
       s"""WITH $embCte,

@@ -113,6 +113,65 @@ object ExtQueries {
     ivfAssignCache.get(spark, dir)(
       VectorOps.trainIvfAssignment(embs(spark, dir)))
 
+  /** Shared plain-PQ model (default m=8, kCent=256) for `embed_pq` and
+    * `embed_pq_topk` — ONE driver-side codebook training serves both
+    * consumers AND the oracle codebook export; deterministic (seeded),
+    * so sharing cannot change a gate row.
+    */
+  private val pqModelCache = new SessionCache[VectorOps.PqModel]
+  private def pqModel(spark: SparkSession, dir: String): VectorOps.PqModel =
+    pqModelCache.get(spark, dir)(VectorOps.trainPqModel(embs(spark, dir)))
+
+  /** Shared IVF-PQ model over the shared coarse assignment: the
+    * residual-codebook training + corpus encode runs ONCE per (session,
+    * dir) and `embed_ivf_pq_topk` / `embed_ivf_pq_rerank` / the oracle
+    * code export all read it; the code table is checkpointed so each
+    * search reads codes instead of re-running the encode projection —
+    * the in-memory twin of the persisted [[graft.operators.VectorIndex]].
+    */
+  private val ivfPqModelCache = new SessionCache[VectorOps.IvfPqModel]
+  private def ivfPqModel(spark: SparkSession, dir: String): VectorOps.IvfPqModel =
+    ivfPqModelCache.get(spark, dir) {
+      val m = VectorOps.buildIvfPqModel(embs(spark, dir),
+        reuse = Some(ivfAssignment(spark, dir)))
+      m.copy(codes = m.codes.localCheckpoint())
+    }
+
+  /** Oracle-artifact exports ([[OracleArtifacts]]): the trained,
+    * bounded, deterministic state each ANN oracle replays from —
+    * written once per (dir, key) when the owning gate query runs.
+    */
+  private def codebooksDf(spark: SparkSession,
+                          cbs: Seq[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, ci) => (s, ci, c.toSeq) }
+    }.toDF("s", "ci", "c")
+  }
+
+  private def exportPqArtifacts(spark: SparkSession, dir: String): Unit =
+    OracleArtifacts.export(dir, "pq_codebooks")(
+      codebooksDf(spark, pqModel(spark, dir).codebooks))
+
+  private def exportIvfArtifacts(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val a = ivfAssignment(spark, dir)
+    OracleArtifacts.export(dir, "ivf_centroids")(
+      a.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cell", "c"))
+    OracleArtifacts.export(dir, "ivf_assign")(a.corpus.select("vec_id", "cell"))
+    OracleArtifacts.export(dir, "ivf_meta")(Seq(a.nprobe).toDF("nprobe"))
+  }
+
+  private def exportIvfPqArtifacts(spark: SparkSession, dir: String): Unit = {
+    exportIvfArtifacts(spark, dir)
+    val m = ivfPqModel(spark, dir)
+    OracleArtifacts.export(dir, "ivfpq_codebooks")(
+      codebooksDf(spark, m.codebooks))
+    OracleArtifacts.export(dir, "ivfpq_codes")(
+      m.codes.select("vec_id", "cell", "codes"))
+  }
+
   /** Shared embedding near-dup pair artifact
     * ([[VectorOps.nearDupPairs]] at the 0.4 threshold): the SAME value
     * `dedup_semantic_clusters` closes into clusters and
@@ -675,13 +734,18 @@ object ExtQueries {
     VectorOps.cosineTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
       .orderBy("qid", "rn")
 
-  /** IVF ANN (no oracle — KMeans isn't SQL-replayable; the driver
-    * records a rows-only check, exactness is covered by specs).
+  /** IVF ANN — ORACLE-CHECKED via exported artifacts: the k-means
+    * TRAINING isn't SQL, but its trained output (centroids, corpus
+    * assignment, nprobe) is a bounded deterministic table set
+    * ([[OracleArtifacts]]), and everything downstream — cell probing,
+    * candidate fetch, exact in-cell ranking — replays in DuckDB.
     */
-  def embedIvfTopK(spark: SparkSession, dir: String): DataFrame =
+  def embedIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    exportIvfArtifacts(spark, dir)
     VectorOps.ivfTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
       reuse = Some(ivfAssignment(spark, dir)))
       .orderBy("qid", "rn")
+  }
 
   /** k-NN majority-vote labelling of the query vectors — brute-force
     * neighbour baseline, ORACLE-CHECKED (the IVF candidate variant is
@@ -747,24 +811,47 @@ object ExtQueries {
     * `corpus_chunks`' `chunk_fp`. [[VectorOps.pqEncode]] itself keeps
     * returning the array (downstream search consumes it).
     */
-  def embedPq(spark: SparkSession, dir: String): DataFrame =
-    VectorOps.pqEncode(embs(spark, dir))
+  /** PQ encode audit — ORACLE-CHECKED via the exported codebooks: the
+    * oracle replays the full encode (per-sub-space argmin over the
+    * codebook literals, first-index tiebreak) and the rmse digest in
+    * SQL. The raw `codes` array is projected to an md5 digest: the
+    * driver's pandas compare sorts by every output column, and array
+    * cells are unsortable/unhashable there — the same scalar-digest
+    * contract as `embed_quantize`'s `code_sum` and `corpus_chunks`'
+    * `chunk_fp`. [[VectorOps.pqEncode]] itself keeps returning the
+    * array (downstream search consumes it).
+    */
+  def embedPq(spark: SparkSession, dir: String): DataFrame = {
+    exportPqArtifacts(spark, dir)
+    VectorOps.pqEncode(embs(spark, dir), reuse = Some(pqModel(spark, dir)))
       .select(col("vec_id"),
         md5(concat_ws("-", col("codes").cast("array<string>"))).as("codes_digest"),
         col("recon_rmse"))
       .orderBy("vec_id")
+  }
 
-  def embedPqTopK(spark: SparkSession, dir: String): DataFrame =
-    VectorOps.pqTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
-      .orderBy("qid", "rn")
-
-  /** Full IVF-PQ search (rows-only — two k-means trainings are not
-    * SQL-replayable; fidelity is spec-pinned in `VectorOpsSpec`).
+  /** ADC top-k over PQ codes — ORACLE-CHECKED: encode + LUT scoring +
+    * ranking all replay from the exported codebooks.
     */
-  def embedIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
-    VectorOps.ivfPqTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
-      reuse = Some(ivfAssignment(spark, dir)))
+  def embedPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    exportPqArtifacts(spark, dir)
+    VectorOps.pqTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+      reuse = Some(pqModel(spark, dir)))
       .orderBy("qid", "rn")
+  }
+
+  /** Full IVF-PQ search — ORACLE-CHECKED via exported artifacts
+    * (centroids + nprobe + the encoded code table, i.e. the index a
+    * deployment persists): the oracle replays probe, residual ADC LUTs
+    * and ranking in SQL; the two k-means trainings stay outside it.
+    */
+  def embedIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    exportIvfPqArtifacts(spark, dir)
+    VectorOps.ivfPqSearch(ivfPqModel(spark, dir),
+      VectorOps.collectQueries(embs(spark, dir), Seq(0L, 1L, 2L, 3L, 4L)).toSeq,
+      k = 10)
+      .orderBy("qid", "rn")
+  }
 
   /** IVF-PQ search refined by the exact re-rank leg
     * ([[VectorOps.ivfPqSearchRerank]]): ADC ranks 10·k candidates, raw
@@ -774,9 +861,9 @@ object ExtQueries {
     * `VectorOpsSpec`).
     */
   def embedIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
-    VectorOps.ivfPqTopKRerank(embs(spark, dir),
-      queryIds = Seq(0L, 1L, 2L, 3L, 4L),
-      reuse = Some(ivfAssignment(spark, dir)))
+    VectorOps.ivfPqSearchRerank(ivfPqModel(spark, dir),
+      VectorOps.collectQueries(embs(spark, dir), Seq(0L, 1L, 2L, 3L, 4L)).toSeq,
+      embs(spark, dir), k = 10)
       .orderBy("qid", "rn")
 
   /** One persisted index per (session, SF dir) — the [[langGuesses]]
@@ -806,6 +893,10 @@ object ExtQueries {
     * per query batch (rows-only at the gate, like the in-memory leg).
     */
   def embedIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    // same oracle artifacts as embed_ivf_pq_topk: the persisted index's
+    // trained state is deterministic-identical to the in-memory model
+    // (spec-pinned in VectorIndexSpec), so one export serves both
+    exportIvfPqArtifacts(spark, dir)
     val path = ivfIndexPath(spark, dir)
     val queries =
       VectorOps.collectQueries(embs(spark, dir), Seq(0L, 1L, 2L, 3L, 4L)).toSeq

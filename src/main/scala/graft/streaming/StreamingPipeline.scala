@@ -131,6 +131,40 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("simhash64")
   }
 
+  /** Ingest-time incremental NEAR-dup against a served corpus — the
+    * streaming leg of [[graft.operators.TextOps.incrementalNearDup]],
+    * run per micro-batch via `foreachBatch` beside the watermark-state
+    * suppressors above. Where [[nearDedupStream]] needs an exact
+    * SimHash collision (hamming 0) because per-record streaming state
+    * cannot hold a corpus band index, THIS leg classifies each batch
+    * against the FULL corpus MinHash band index (the persisted LSH
+    * artifact a dedup stage keeps) by delegating to the batch operator
+    * itself — so stream-ingested verdicts CANNOT diverge from the
+    * batch query's (spec-pinned in `MultimodalStreamingSpec`).
+    *
+    * Scale shape per micro-batch: identical to the batch operator —
+    * the batch band table broadcasts into one scan of the corpus band
+    * side, no corpus shuffle, no streaming state store (the corpus
+    * artifact carries the history; the stream needs no watermark).
+    * `corpus` should be the materialised corpus (or its band index's
+    * source) — typically a checkpointed artifact refreshed on the
+    * dedup stage's own cadence, not per batch.
+    */
+  def incrementalNearDupStream(docs: DataFrame, corpus: DataFrame,
+      verdictPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      minJaccard: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextOps.incrementalNearDup(batch, corpus, minJaccard)
+          .write.mode("append").parquet(verdictPath)
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation — the streaming form of the
     * `events_tumbling` batch query; late rows beyond `lateness` are
     * dropped by the watermark, state is bounded per window × type.

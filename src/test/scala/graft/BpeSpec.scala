@@ -89,6 +89,27 @@ class BpeSpec extends SparkSpec {
       s"first merges should be the classic (e,s),(es,t): $got")
   }
 
+  test("incremental pair counts equal the recount trainer everywhere") {
+    // the production (incremental-update) merge loop must learn the
+    // SAME merge sequence as the recount-every-iteration twin — on the
+    // toy corpus, on the sf corpus, and on an overlap-adversarial
+    // corpus ('aaaa…' makes merged symbols immediately re-pair with
+    // themselves, the classic incremental-update off-by-one trap)
+    assert(TextOps.bpeTrain(toyDocs, numMerges = 50) ==
+      TextOps.bpeTrainRecount(toyDocs, numMerges = 50))
+    val docs = sources.Tables.documents(spark, sf)
+    assert(TextOps.bpeTrain(docs, numMerges = 120) ==
+      TextOps.bpeTrainRecount(docs, numMerges = 120))
+    val adversarial = Seq(
+      (1L, "aaaaaaaa aaaa aa"),
+      (2L, "aaaaaaaa bbbb abab"),
+      (3L, "abab abab baba"),
+      (4L, "xyxyxyxy xyxy")
+    ).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(adversarial, numMerges = 30) ==
+      TextOps.bpeTrainRecount(adversarial, numMerges = 30))
+  }
+
   test("kernel tokenization matches the reference on toy + corpus words") {
     val merges = TextOps.bpeTrain(toyDocs, numMerges = 50)
     val toy = toyDocs.select(col("doc_id"), col("text"),

@@ -126,4 +126,53 @@ class DedupTransformerSpec extends SparkSpec {
     assert(StreamingPipeline.nearDedupStream(stream)
       .queryExecution.logical.toString.contains("WithinWatermark"))
   }
+
+  test("streaming incremental near-dup verdicts match the batch operator") {
+    // the ingest leg delegates each micro-batch to
+    // TextOps.incrementalNearDup against the served corpus artifact —
+    // parity is by construction, and this pins it end-to-end through a
+    // real stream (and across MULTIPLE micro-batches: one file per
+    // batch doc + maxFilesPerTrigger=1 forces per-doc batches, proving
+    // the corpus join serves every batch independently)
+    val src = tmpDir("ind-src")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different corpus content about spark plans"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val batchRows = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "fresh unseen text with plenty of tokens here"),
+      (12L, "fresh unseen text with plenty of tokens here"),
+      (13L, "xy"))
+    // one part-file per doc (written one append at a time) so
+    // maxFilesPerTrigger=1 yields exactly one doc per micro-batch
+    batchRows.foreach { case (id, text) =>
+      Seq((id, text)).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$src/docs")
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$src/docs").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/docs")
+    val out = tmpDir("ind-out"); val ckpt = tmpDir("ind-ckpt")
+    StreamingPipeline.incrementalNearDupStream(stream, corpus, out, ckpt)
+      .awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // batch reference over the SAME delta split — note the in-batch leg
+    // differs under per-doc micro-batches (12 cannot see 11 in another
+    // batch), so feed the batch operator each doc alone for parity
+    val perDoc = batchRows.flatMap { case (id, text) =>
+      graft.operators.TextOps.incrementalNearDup(
+        Seq((id, text)).toDF("doc_id", "text"), corpus)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    }.sortBy(_._1)
+    assert(streamed.toSeq == perDoc.toSeq,
+      s"stream verdicts $streamed diverged from batch $perDoc")
+    // every batch doc accounted for (no_signature totality holds
+    // through the stream too)
+    assert(streamed.map(_._1).toSeq == Seq(10L, 11L, 12L, 13L))
+    assert(streamed.toMap.apply(13L) == "no_signature")
+    assert(streamed.toMap.apply(10L) == "near_dup_of_corpus")
+  }
 }
