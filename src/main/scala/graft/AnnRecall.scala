@@ -90,18 +90,30 @@ object AnnRecall {
 
       println(f"[annrecall] corpus=$tag n=$total nlist=$nlist queries=${queryIds.size} k=$k")
       val autoNprobe = math.max(1, nlist / 4)
+      // the trained state does not depend on nprobe: ONE coarse
+      // assignment + ONE default-shape IVF-PQ model serve every probe
+      // row via the nprobe override (the gate queries' shared-model
+      // posture applied to the measurement harness itself); their
+      // checkpoints are released after the table
+      val beforeShared = sc.getPersistentRDDs.keySet.toSet
+      val shared = VectorOps.trainIvfAssignment(emb, nlist = nlist)
+      val model0 = VectorOps.buildIvfPqModel(emb, nlist = nlist,
+        reuse = Some(shared))
+      val model = model0.copy(codes = model0.codes.localCheckpoint())
+      val queriesV = VectorOps.collectQueries(emb, queryIds).toSeq
       var autoShapeRecall = 0.0 // auto-nprobe, default (m=8, kCent=256)
       for (nprobe <- Seq(1, autoNprobe, nlist).distinct) {
-        val rIvf = recall(topSet(
-          VectorOps.ivfTopK(emb, queryIds, k, nlist = nlist, nprobe = nprobe)))
+        val rIvf = recall(topSet(VectorOps.ivfTopK(
+          emb, queryIds, k, nlist = nlist, nprobe = nprobe,
+          reuse = Some(shared))))
         val rIvfPq = recall(topSet(
-          VectorOps.ivfPqTopK(emb, queryIds, k, nlist = nlist, nprobe = nprobe)))
+          VectorOps.ivfPqSearch(model, queriesV, k, nprobe = nprobe)))
         // the refine leg at the published 10×k ratio: same index, same
         // probe width, exact re-scoring of the top-100 ADC candidates —
         // the gap rerank − ivfpq is pure quantization error recovered;
         // the gap 1.0 − rerank is routing loss (cells never probed)
-        val rRerank = recall(topSet(VectorOps.ivfPqTopKRerank(
-          emb, queryIds, k, rerankK = 100, nlist = nlist, nprobe = nprobe)))
+        val rRerank = recall(topSet(VectorOps.ivfPqSearchRerank(
+          model, queriesV, emb, k, rerankK = 100, nprobe = nprobe)))
         if (nprobe == autoNprobe) autoShapeRecall = rIvfPq
         println(f"[annrecall] $tag nprobe=$nprobe%4d ivf_recall@10=$rIvf%.3f ivfpq_recall@10=$rIvfPq%.3f rerank100_recall@10=$rRerank%.3f")
       }
@@ -122,9 +134,12 @@ object AnnRecall {
       // the default shape the auto-nprobe row already built and
       // searched — reuse it rather than re-paying both trainings
       val r1616 = recall(topSet(VectorOps.ivfPqTopK(emb, queryIds, k,
-        nlist = nlist, nprobe = autoNprobe, m = 16, kCent = 16)))
+        nlist = nlist, nprobe = autoNprobe, m = 16, kCent = 16,
+        reuse = Some(shared))))
       println(f"[annrecall] $tag ivfpq-64bit m=16 kCent= 16 recall@10=$r1616%.3f")
       println(f"[annrecall] $tag ivfpq-64bit m= 8 kCent=256 recall@10=$autoShapeRecall%.3f")
+      // release the shared assignment + model checkpoints this table pinned
+      BenchUtil.releaseNewRdds(sc, beforeShared)
     }
 
     val emb = graft.sources.Tables.readTable(spark, sfDir, "embeddings")

@@ -38,6 +38,10 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
 
+    def secs(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
     def probe(sf: String, name: String, df: DataFrame): Unit = {
       val before = sc.getPersistentRDDs.keySet.toSet
       val cp = df.localCheckpoint()
@@ -84,9 +88,6 @@ object ScaleProbe {
       // 200 AND at a production-ish 2k budget — the recount form's cost
       // is linear in merges × vocab symbols, the incremental form's in
       // merges × affected symbols.
-      def secs(body: => Unit): Double = {
-        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-      }
       val tRecount200 = secs(TextOps.bpeTrainRecount(docs, numMerges = 200))
       val tInc200 = secs(TextOps.bpeTrain(docs, numMerges = 200))
       var learned = 0
@@ -103,9 +104,6 @@ object ScaleProbe {
     //     O(merges × Σ symbols), incremental O(merges × affected).
     {
       import spark.implicits._
-      def secs(body: => Unit): Double = {
-        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-      }
       val rnd = new scala.util.Random(11)
       val alphabet = "abcdefghijklmnopqrstuvwxyz"
       val synth = (0 until 30000).map { i =>
@@ -132,9 +130,6 @@ object ScaleProbe {
       import org.apache.spark.sql.functions.col
       import graft.core.PipelineSpec
       import graft.operators.QueueExtractor
-      def secs(body: => Unit): Double = {
-        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-      }
       val src = java.nio.file.Files.createTempDirectory("probe-queue").toString
       val nQueue = 400000
       val batch = 2000

@@ -393,13 +393,19 @@ object TextOps {
       .distinct()
     // optional exact-Jaccard verification of colliding pairs: the other
     // side's shingles are fetched ONLY for colliders (semi-join), so
-    // the cost is bounded by the collision set, and the ratio/rounding
-    // matches [[jaccardPairs]] so thresholds mean the same thing
-    def verified(pairs: DataFrame, others: DataFrame): DataFrame =
+    // the cost is bounded by the collision set. Ratio + 4-dp rounding
+    // follow [[jaccardPairs]]'s arithmetic, but over RAW shingle sets —
+    // no [[jaccardPairs]]-style DF cap applies here (the pair set is
+    // already LSH-bounded), so on boilerplate-heavy corpora the two
+    // operators' thresholds are NOT interchangeable. The batch shingle
+    // table is pinned once and serves both legs' batch sides AND the
+    // in-batch other side — the same re-runs-per-branch reasoning as
+    // the pinned band table above.
+    lazy val bsh = shingles(newDocs).localCheckpoint()
+    def verified(pairs: DataFrame, otherShingles: DataFrame): DataFrame =
       if (minJaccard <= 0) pairs
       else {
-        val bsh = shingles(newDocs)
-        val osh = shingles(others).select(col("doc_id").as("other"), col("s"))
+        val osh = otherShingles.select(col("doc_id").as("other"), col("s"))
           .join(pairs.select("other").distinct(), Seq("other"), "left_semi")
         val na = bsh.groupBy("doc_id").agg(count(lit(1)).as("na"))
         val nb = osh.groupBy("other").agg(count(lit(1)).as("nb"))
@@ -411,10 +417,10 @@ object TextOps {
             (col("na") + col("nb") - col("common")), 4) >= minJaccard)
           .select("doc_id", "other")
       }
-    val ch = verified(corpusPairs, corpus)
+    val ch = verified(corpusPairs, shingles(corpus))
       .groupBy("doc_id")
       .agg(countDistinct(col("other")).as("n_c"), min(col("other")).as("m_c"))
-    val bh = verified(batchPairs, newDocs)
+    val bh = verified(batchPairs, bsh)
       .groupBy("doc_id")
       .agg(countDistinct(col("other")).as("n_b"), min(col("other")).as("m_b"))
     // total over the batch: docs too short to shingle (< k tokens) have

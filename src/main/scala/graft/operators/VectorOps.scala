@@ -814,12 +814,30 @@ object VectorOps {
     * residual encode is the same [[graft.functions.PqEncode]] projection
     * the build runs, so codes for a vector are bit-identical whether it
     * arrived at build time or in a later batch (spec-pinned in
-    * `VectorIndexSpec`).
+    * `VectorIndexSpec`). Honest caveat on that identity: the BUILD
+    * assigns through Spark ML's `KMeansModel.transform`, whose
+    * `fastSquaredDistance` can differ from the naive Σ(a−b)² here in
+    * the last ulp — a vector sitting within ~1 ulp of a Voronoi
+    * boundary could land in the adjacent cell. Residuals are always
+    * encoded against the cell actually chosen, so ADC scores remain
+    * correct-in-the-reconstruction either way; only the bit-identity
+    * of a boundary row's (cell, codes) pair is at stake, and the spec
+    * pins it empirically on the fixture, not structurally.
+    *
+    * Duplicate `vec_id`s in one batch are CORRUPT input (the window
+    * below would silently drop one vector's codes) and fail loudly —
+    * the [[randomProject]]/ArrayDot stance.
     */
   def encodeIntoModel(model: IvfPqModel, newVectors: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = newVectors.sparkSession
     import spark.implicits._
+    val dup = newVectors.groupBy("vec_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"encodeIntoModel: vec_id=${dup(0).get(0)} appears ${dup(0).getLong(1)} " +
+          "times in the batch — duplicate ids would silently lose codes")
     val centroidsDf = model.centers.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     // unit vector with the build's zero-only norm guard (ivfAssign /

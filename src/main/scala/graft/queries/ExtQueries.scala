@@ -803,14 +803,6 @@ object ExtQueries {
       .select("doc_id", "r_t", "r_v", "rrf")
   }
 
-  /** PQ encode audit (rows-only — k-means codebooks aren't
-    * SQL-replayable). The raw `codes` array is projected to an md5
-    * digest: the driver's pandas compare sorts by every output column,
-    * and array cells are unsortable/unhashable there — the same
-    * scalar-digest contract as `embed_quantize`'s `code_sum` and
-    * `corpus_chunks`' `chunk_fp`. [[VectorOps.pqEncode]] itself keeps
-    * returning the array (downstream search consumes it).
-    */
   /** PQ encode audit — ORACLE-CHECKED via the exported codebooks: the
     * oracle replays the full encode (per-sub-space argmin over the
     * codebook literals, first-index tiebreak) and the rmse digest in
@@ -856,15 +848,17 @@ object ExtQueries {
   /** IVF-PQ search refined by the exact re-rank leg
     * ([[VectorOps.ivfPqSearchRerank]]): ADC ranks 10·k candidates, raw
     * vectors re-score them exactly — the production search shape
-    * end-to-end (rows-only at the gate like the other trained-ANN legs;
-    * candidate-set/identity fidelity is spec-pinned in
-    * `VectorOpsSpec`).
+    * end-to-end, ORACLE-CHECKED: the replay extends the ADC oracle with
+    * the exact-cosine refine over the raw embeddings (identity/recall
+    * fidelity additionally spec-pinned in `VectorOpsSpec`).
     */
-  def embedIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
+  def embedIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    exportIvfPqArtifacts(spark, dir)
     VectorOps.ivfPqSearchRerank(ivfPqModel(spark, dir),
       VectorOps.collectQueries(embs(spark, dir), Seq(0L, 1L, 2L, 3L, 4L)).toSeq,
       embs(spark, dir), k = 10)
       .orderBy("qid", "rn")
+  }
 
   /** One persisted index per (session, SF dir) — the [[langGuesses]]
     * posture applied to the ANN index: the build (two k-means
