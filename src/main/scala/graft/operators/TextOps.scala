@@ -402,11 +402,18 @@ object TextOps {
     // in-batch other side — the same re-runs-per-branch reasoning as
     // the pinned band table above.
     lazy val bsh = shingles(newDocs).localCheckpoint()
-    def verified(pairs: DataFrame, otherShingles: DataFrame): DataFrame =
-      if (minJaccard <= 0) pairs
+    def verified(pairs0: DataFrame, otherShingles: DataFrame): DataFrame =
+      if (minJaccard <= 0) pairs0
       else {
+        // pin the (collision-bounded, tiny) pair set and collider
+        // shingle table: each is read twice below, and Spark reuses
+        // nothing across self-referencing branches — unpinned, the
+        // corpus band join and the corpus shingle kernel would run
+        // twice per call
+        val pairs = pairs0.localCheckpoint()
         val osh = otherShingles.select(col("doc_id").as("other"), col("s"))
           .join(pairs.select("other").distinct(), Seq("other"), "left_semi")
+          .localCheckpoint()
         val na = bsh.groupBy("doc_id").agg(count(lit(1)).as("na"))
         val nb = osh.groupBy("other").agg(count(lit(1)).as("nb"))
         pairs.join(bsh, "doc_id")
@@ -426,9 +433,11 @@ object TextOps {
     // total over the batch: docs too short to shingle (< k tokens) have
     // no signature and CANNOT be classified — they get an explicit
     // `no_signature` row instead of silently vanishing (an ingest gate
-    // joining on this output must see every batch doc accounted for)
+    // joining on this output must see every batch doc accounted for).
+    // distinct: exactly ONE row per batch doc_id even if a malformed
+    // batch repeats an id — the totality contract is per id
     val signed = bb.select("doc_id").distinct().withColumn("has_sig", lit(1))
-    newDocs.select("doc_id")
+    newDocs.select("doc_id").distinct()
       .join(signed, Seq("doc_id"), "left")
       .join(ch, Seq("doc_id"), "left")
       .join(bh, Seq("doc_id"), "left")

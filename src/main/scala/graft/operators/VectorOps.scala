@@ -274,8 +274,12 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
 
     val spark = embeddings.sparkSession
-    val IvfAssignment(corpus, centers, nprobeEff) =
+    val IvfAssignment(corpus, centers, assignNprobe) =
       reuse.getOrElse(trainIvfAssignment(embeddings, nlist, nprobe, maxTrainRows))
+    // an EXPLICIT nprobe always wins — a reused assignment carries only
+    // its own auto default, and silently discarding the caller's probe
+    // width would make probe-sensitivity sweeps (AnnRecall) meaningless
+    val nprobeEff = if (nprobe != Auto) nprobe else assignNprobe
 
     import spark.implicits._
     val centroids = centers.zipWithIndex
@@ -719,7 +723,8 @@ object VectorOps {
                 reuse: Option[IvfAssignment] = None): DataFrame = {
     val model = buildIvfPqModel(embeddings, nlist, nprobe, m, kCent,
       maxTrainRows, pqTrainRows, reuse)
-    ivfPqSearch(model, collectQueries(embeddings, queryIds), k)
+    // explicit nprobe overrides a reused assignment's default (see ivfTopK)
+    ivfPqSearch(model, collectQueries(embeddings, queryIds), k, nprobe)
   }
 
   /** A trained IVF-PQ index: everything a search needs, with the code
@@ -761,8 +766,10 @@ object VectorOps {
       pqTrainRows: Long = PqTrainRows,
       reuse: Option[IvfAssignment] = None): IvfPqModel = {
     val spark = embeddings.sparkSession
-    val IvfAssignment(corpus, centers, nprobeEff) =
+    val IvfAssignment(corpus, centers, assignNprobe) =
       reuse.getOrElse(trainIvfAssignment(embeddings, nlist, nprobe, maxTrainRows))
+    // explicit nprobe wins over a reused assignment's default (see ivfTopK)
+    val nprobeEff = if (nprobe != Auto) nprobe else assignNprobe
 
     import spark.implicits._
     val centroidsDf = centers.zipWithIndex
@@ -969,8 +976,9 @@ object VectorOps {
                       reuse: Option[IvfAssignment] = None): DataFrame = {
     val model = buildIvfPqModel(embeddings, nlist, nprobe, m, kCent,
       maxTrainRows, pqTrainRows, reuse)
+    // explicit nprobe overrides a reused assignment's default (see ivfTopK)
     ivfPqSearchRerank(model, collectQueries(embeddings, queryIds),
-      embeddings, k, rerankK)
+      embeddings, k, rerankK, nprobe)
   }
 
   /** Bucketed near-dup pairs: cosine over same-bucket pairs only —

@@ -30,6 +30,8 @@ private[queries] object OracleArtifacts {
     scala.collection.mutable.HashSet.empty[(String, String)]
   private val latest =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val dirsSeen =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
 
   private def root: String =
     s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-oracle-artifacts"
@@ -53,6 +55,7 @@ private[queries] object OracleArtifacts {
         written.add((dirKey(dir), key))
       }
       latest.put(key, path)
+      dirsSeen.put(key, dirsSeen.getOrElse(key, Set.empty) + dirKey(dir))
     }
     path
   }
@@ -61,8 +64,18 @@ private[queries] object OracleArtifacts {
     * interpolates at dump time (one dir per verify run). Falls back to
     * a recognizable dead path if the query never ran in this JVM (the
     * dump is filtered symmetrically, so this only surfaces when SQL is
-    * rendered without running the queries).
+    * rendered without running the queries). The dump contract
+    * (`SparkEntry.oracleSql`) carries no dir, so per-dir resolution is
+    * impossible here BY CONTRACT — last-writer-wins with a loud stderr
+    * note when a JVM has actually exported this key for multiple dirs
+    * (a test-harness shape; the driver dumps once per single-dir run).
     */
-  def pathFor(key: String): String =
+  def pathFor(key: String): String = {
+    if (dirsSeen.getOrElse(key, Set.empty).size > 1)
+      System.err.println(
+        s"[oracle-artifacts] WARNING: '$key' was exported for " +
+          s"${dirsSeen(key).size} different SF dirs in this JVM; the " +
+          "dumped oracle SQL points at the most recent one")
     latest.getOrElse(key, s"$root/unregistered/$key")
+  }
 }

@@ -159,8 +159,17 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.TextOps.incrementalNearDup(batch, corpus, minJaccard)
-          .write.mode("append").parquet(verdictPath)
+        // the batch operator pins per-batch localCheckpoints (band +
+        // shingle tables); release them once the verdicts are written,
+        // or a long-running trigger accumulates pinned blocks between
+        // GC cycles (snapshot-scoped, so the caller's corpus artifact
+        // stays cached)
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try
+          graft.operators.TextOps.incrementalNearDup(batch, corpus, minJaccard)
+            .write.mode("append").parquet(verdictPath)
+        finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }
       .start()

@@ -480,5 +480,15 @@ class VectorOpsSpec extends SparkSpec {
       dump(VectorOps.ivfTopK(embs, Seq(0L, 1L))))
     assert(dump(VectorOps.ivfPqTopK(embs, Seq(0L, 1L), reuse = Some(shared))) ==
       dump(VectorOps.ivfPqTopK(embs, Seq(0L, 1L))))
+    // an EXPLICIT nprobe must override the reused assignment's default
+    // (probe-sensitivity sweeps depend on it): reuse + nprobe=1 equals
+    // the self-trained nprobe=1 search, and differs from the auto-probe
+    // search whenever routing matters
+    assert(dump(VectorOps.ivfTopK(embs, Seq(0L, 1L), nprobe = 1,
+        reuse = Some(shared))) ==
+      dump(VectorOps.ivfTopK(embs, Seq(0L, 1L), nprobe = 1)))
+    assert(dump(VectorOps.ivfPqTopK(embs, Seq(0L, 1L), nprobe = 1,
+        reuse = Some(shared))) ==
+      dump(VectorOps.ivfPqTopK(embs, Seq(0L, 1L), nprobe = 1)))
   }
 }
