@@ -131,6 +131,7 @@ object SparkEntry {
     "embed_ivf_pq_topk" -> (graft.queries.ExtQueries.embedIvfPqTopK(_, _)),
     "embed_ivf_pq_rerank" -> (graft.queries.ExtQueries.embedIvfPqRerank(_, _)),
     "embed_index_search" -> (graft.queries.ExtQueries.embedIndexSearch(_, _)),
+    "embed_index_rerank" -> (graft.queries.ExtQueries.embedIndexRerank(_, _)),
     "embed_lsh_buckets" -> (graft.queries.ExtQueries.embedLshBuckets(_, _)),
     "embed_neardup_pairs" -> (graft.queries.ExtQueries.embedNearDupPairs(_, _)),
     "multimodal_meta" -> (graft.queries.ExtQueries.multimodalMeta(_, _)),

@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *    IVF index an index: per-query read cost is nprobe/nlist of the
   *    code bytes (themselves ~1% of the raw vector bytes), not a full
   *    scan that discards rows after reading them.
+  *  - `vectors/` (optional, `storeVectors = true`) — the raw vectors
+  *    in the same cell-partitioned layout, serving the exact re-rank
+  *    stage ([[searchIvfPqRerank]]) as a partition-pruned read.
   *  - `meta/` — a one-row parquet holding the trained driver-side
   *    state: centroids, residual codebooks, shape (dim, dsub, m,
   *    kCent), and the build's default nprobe. Bounded by
@@ -38,10 +41,20 @@ object VectorIndex {
     * Returns the written model (with `codes` re-pointed at the parquet)
     * so a caller can search immediately without re-loading.
     */
+  /** @param storeVectors also persist the RAW vectors under
+    *   `vectors/`, cell-partitioned like the codes — FAISS's
+    *   `RefineFlat` posture: the index then serves the exact re-rank
+    *   stage itself ([[searchIvfPqRerank]]), and the refine read is a
+    *   partition-PRUNED scan of only the probed cells' raw vectors
+    *   rather than a full-corpus lookup. Costs the raw vector bytes
+    *   once (vs ~1% for codes) — the standard trade for recall ≈ 1.0
+    *   at a fixed code bit-rate.
+    */
   def writeIvfPq(embeddings: DataFrame, path: String,
                  nlist: Int = Auto, m: Int = 8, kCent: Int = 256,
                  maxTrainRows: Long = MaxTrainRows,
-                 pqTrainRows: Long = PqTrainRows): IvfPqModel = {
+                 pqTrainRows: Long = PqTrainRows,
+                 storeVectors: Boolean = false): IvfPqModel = {
     val spark = embeddings.sparkSession
     val model = VectorOps.buildIvfPqModel(embeddings, nlist, Auto, m, kCent,
       maxTrainRows, pqTrainRows)
@@ -53,6 +66,12 @@ object VectorIndex {
     model.codes.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes")
+    if (storeVectors)
+      embeddings.select(col("vec_id"), col("embedding"))
+        .join(model.codes.select("vec_id", "cell"), "vec_id")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/vectors")
     import spark.implicits._
     Seq((model.dim, model.dsub, model.m, model.kCent, model.nprobe,
         model.centers.map(_.toSeq).toSeq,
@@ -121,11 +140,25 @@ object VectorIndex {
   def addToIvfPq(spark: SparkSession, path: String,
                  newVectors: DataFrame): VectorOps.IvfPqModel = {
     val model = loadIvfPq(spark, path)
-    VectorOps.encodeIntoModel(model, newVectors)
-      .repartition(col("cell"))
+    val enc = VectorOps.encodeIntoModel(model, newVectors).localCheckpoint()
+    enc.repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$path/codes")
+    // an index that stores raw vectors ([[writeIvfPq]] storeVectors)
+    // must keep its refine store complete too — append the batch's
+    // vectors under the same frozen cell assignment
+    if (hasVectors(spark, path))
+      newVectors.select(col("vec_id"), col("embedding"))
+        .join(enc.select("vec_id", "cell"), "vec_id")
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$path/vectors")
     model.copy(codes = loadCodes(spark, path))
+  }
+
+  private def hasVectors(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Top-k ADC search against a persisted index. `queries` are raw
@@ -136,4 +169,27 @@ object VectorIndex {
                   queries: Seq[(Long, Array[Double])], k: Int = 10,
                   nprobe: Int = Auto): DataFrame =
     VectorOps.ivfPqSearch(loadIvfPq(spark, path), queries, k, nprobe)
+
+  /** ADC search + exact re-rank served ENTIRELY from the persisted
+    * index (requires [[writeIvfPq]] `storeVectors = true`): candidates
+    * come from the pruned code scan, and the refine's raw-vector fetch
+    * reads ONLY the probed cells' `vectors/` partitions — every
+    * candidate lives in a probed cell by construction, so the pruned
+    * store is sufficient, and the refine read cost is
+    * nprobe/nlist of the raw bytes, not a corpus lookup. The search
+    * result is value-identical to [[VectorOps.ivfPqSearchRerank]] over
+    * the full corpus (spec-pinned).
+    */
+  def searchIvfPqRerank(spark: SparkSession, path: String,
+                        queries: Seq[(Long, Array[Double])], k: Int = 10,
+                        rerankK: Int = Auto, nprobe: Int = Auto): DataFrame = {
+    require(hasVectors(spark, path),
+      s"$path has no vectors/ store — build with storeVectors = true to refine")
+    val model = loadIvfPq(spark, path)
+    val probed = VectorOps.probedCellsFor(model, queries, nprobe)
+    val raw = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probed: _*))
+      .select("vec_id", "embedding")
+    VectorOps.ivfPqSearchRerank(model, queries, raw, k, rerankK, nprobe)
+  }
 }

@@ -879,6 +879,38 @@ object VectorOps {
     * directories, which is the read-cost contract of an IVF index at
     * 100 TB (touch nprobe/nlist of the bytes).
     */
+  /** Driver-side probe + LUT construction, shared by the ADC search
+    * and the probed-cell derivation the persisted refine read needs:
+    * one (qid, cell, qnorm, qc, iplut) tuple per probed (query, cell).
+    */
+  private def probeLuts(model: IvfPqModel,
+      queries: Seq[(Long, Array[Double])], nprobeEff: Int)
+      : Seq[(Long, Int, Double, Double, Seq[Seq[Double]])] = {
+    val IvfPqModel(centers, _, _, dsub, _, _, codebooks, _) = model
+    queries.flatMap { case (qid, q) =>
+      // iplut holds q · r_code per sub-space (residual codebooks); the
+      // centroid half of q·recon(x) is the per-cell scalar qc below
+      val (qNorm, ipLut) = pqIpLut(q, dsub, codebooks)
+      // driver-side probe: rank cells by cosine(q, centroid) with cell-id
+      // tiebreak — the same ordering ivfTopK computes relationally
+      val probed = centers.zipWithIndex.map { case (c, i) =>
+        val ip = c.indices.map(j => c(j) * q(j)).sum
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        (i, ip, ip / math.max(qNorm * cn, 1e-12))
+      }.sortBy { case (i, _, cos) => (-cos, i) }.take(nprobeEff)
+      probed.map { case (cell, qc, _) => (qid, cell, qNorm, qc, ipLut) }
+    }
+  }
+
+  /** The union of cells any query probes at `nprobe` — what a
+    * cell-partitioned store (codes OR raw vectors) prunes its scan to.
+    */
+  private[graft] def probedCellsFor(model: IvfPqModel,
+      queries: Seq[(Long, Array[Double])], nprobe: Int = Auto): Seq[Int] = {
+    val nprobeEff = if (nprobe != Auto) nprobe else model.nprobe
+    probeLuts(model, queries, nprobeEff).map(_._2).distinct
+  }
+
   private[graft] def ivfPqSearch(model: IvfPqModel,
       queries: Seq[(Long, Array[Double])], k: Int,
       nprobe: Int = Auto): DataFrame = {
@@ -893,19 +925,7 @@ object VectorOps {
     // |queries|·nlist·m·kCent doubles of task payload for
     // nlist·m·kCent of information.
     val nlutDf = model.normLut.toDF("cell", "nlut")
-    val lutTuples = queries.flatMap { case (qid, q) =>
-      // iplut holds q · r_code per sub-space (residual codebooks); the
-      // centroid half of q·recon(x) is the per-cell scalar qc below
-      val (qNorm, ipLut) = pqIpLut(q, dsub, codebooks)
-      // driver-side probe: rank cells by cosine(q, centroid) with cell-id
-      // tiebreak — the same ordering ivfTopK computes relationally
-      val probed = centers.zipWithIndex.map { case (c, i) =>
-        val ip = c.indices.map(j => c(j) * q(j)).sum
-        val cn = math.sqrt(c.map(x => x * x).sum)
-        (i, ip, ip / math.max(qNorm * cn, 1e-12))
-      }.sortBy { case (i, _, cos) => (-cos, i) }.take(nprobeEff)
-      probed.map { case (cell, qc, _) => (qid, cell, qNorm, qc, ipLut) }
-    }.toSeq
+    val lutTuples = probeLuts(model, queries, nprobeEff)
     val lutRows = lutTuples.toDF("qid", "cell", "qnorm", "qc", "iplut")
     val probedCells = lutTuples.map(_._2).distinct
 

@@ -1094,6 +1094,10 @@ object ExtOracles {
     // ADC candidates re-ranked by exact cosine — the refine stage
     "embed_ivf_pq_rerank" -> ivfPqRerankSql,
 
+    // refine served from the persisted index's own vectors/ store —
+    // value-identical search (spec-pinned), same replay
+    "embed_index_rerank" -> ivfPqRerankSql,
+
     "embed_topk" ->
       s"""WITH $embCte,
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),

@@ -876,7 +876,10 @@ object ExtQueries {
     ivfIndexCache.get(spark, dir) {
       val path = java.nio.file.Files
         .createTempDirectory("graft-ivfpq-index").toString
-      graft.operators.VectorIndex.writeIvfPq(embs(spark, dir), path)
+      // storeVectors: the same index also serves the refine gate
+      // (`embed_index_rerank`) from its pruned vectors/ partitions
+      graft.operators.VectorIndex.writeIvfPq(embs(spark, dir), path,
+        storeVectors = true)
       path
     }
 
@@ -895,6 +898,23 @@ object ExtQueries {
     val queries =
       VectorOps.collectQueries(embs(spark, dir), Seq(0L, 1L, 2L, 3L, 4L)).toSeq
     graft.operators.VectorIndex.searchIvfPq(spark, path, queries)
+      .orderBy("qid", "rn")
+  }
+
+  /** Refine served ENTIRELY from the persisted index
+    * ([[graft.operators.VectorIndex.searchIvfPqRerank]]): ADC
+    * candidates from the pruned code partitions, raw vectors for the
+    * exact re-rank from the pruned `vectors/` partitions — the full
+    * production read path of a stored RefineFlat-style index.
+    * ORACLE-CHECKED with the same refine replay as
+    * `embed_ivf_pq_rerank` (identical deterministic trained state).
+    */
+  def embedIndexRerank(spark: SparkSession, dir: String): DataFrame = {
+    exportIvfPqArtifacts(spark, dir)
+    val path = ivfIndexPath(spark, dir)
+    val queries =
+      VectorOps.collectQueries(embs(spark, dir), Seq(0L, 1L, 2L, 3L, 4L)).toSeq
+    graft.operators.VectorIndex.searchIvfPqRerank(spark, path, queries)
       .orderBy("qid", "rn")
   }
 

@@ -109,6 +109,46 @@ class VectorIndexSpec extends SparkSpec {
       s"combined-index search lost partition pruning:\n$plan")
   }
 
+  test("stored-vector refine equals the in-memory rerank and prunes both reads") {
+    val embs = sources.Tables.embeddings(spark, sf).localCheckpoint()
+    val path = tmpDir("ivfpq-refine")
+    val written = VectorIndex.writeIvfPq(embs, path, storeVectors = true)
+    val queries = VectorOps.collectQueries(embs, (0L until 5L).toSeq).toSeq
+
+    // refine from the index's own vectors/ partitions == refine over
+    // the full in-memory corpus (every candidate lives in a probed
+    // cell, so the pruned store is sufficient)
+    val viaIndex = dump(VectorIndex.searchIvfPqRerank(spark, path, queries))
+    val inMem = dump(VectorOps.ivfPqSearchRerank(written, queries, embs, k = 10))
+    assert(viaIndex.sameElements(inMem),
+      "persisted refine diverged from the in-memory rerank")
+
+    // the refine's raw-vector scan must partition-prune on cell
+    val plan = VectorIndex.searchIvfPqRerank(spark, path, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[.*cell.*"),
+      s"refine read lost partition pruning:\n$plan")
+
+    // an add keeps the vectors store complete: the appended batch is
+    // refine-searchable afterwards
+    val path2 = tmpDir("ivfpq-refine-add")
+    val a = embs.filter(col("vec_id") < 400)
+    val b = embs.filter(col("vec_id") >= 400)
+    VectorIndex.writeIvfPq(a, path2, storeVectors = true)
+    VectorIndex.addToIvfPq(spark, path2, b)
+    assert(spark.read.parquet(s"$path2/vectors").count() === embs.count(),
+      "added batch's raw vectors missing from the refine store")
+    val afterAdd = VectorIndex.searchIvfPqRerank(spark, path2, queries)
+    assert(afterAdd.count() === 50)
+
+    // refine without a vectors store fails loudly
+    val path3 = tmpDir("ivfpq-norefine")
+    VectorIndex.writeIvfPq(embs, path3)
+    val e = intercept[IllegalArgumentException](
+      VectorIndex.searchIvfPqRerank(spark, path3, queries))
+    assert(e.getMessage.contains("storeVectors"))
+  }
+
   test("loading a non-index path fails loudly") {
     val path = tmpDir("ivfpq-bad")
     // meta with two rows — a partial/duplicated write must not load
