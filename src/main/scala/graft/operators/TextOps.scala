@@ -374,13 +374,23 @@ object TextOps {
     */
   def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame,
                          minJaccard: Double = 0.0,
-                         broadcastBatch: Boolean = true): DataFrame = {
+                         broadcastBatch: Boolean = true): DataFrame =
     // pinned: read by the corpus join, the self-join (twice) and the
     // verdict base — without it the signature kernel re-runs per branch
-    val bb = minhashBands(newDocs).localCheckpoint()
+    incrementalNearDupFrom(minhashBands(newDocs).localCheckpoint(),
+      newDocs, minhashBands(corpus), corpus, minJaccard, broadcastBatch)
+
+  /** The classify core behind [[incrementalNearDup]] and the
+    * index-served [[BandIndex.classify]]: batch bands are PRE-pinned
+    * (`bb`) and the corpus side arrives as an arbitrary band table —
+    * recomputed from docs, or a pruned scan of the persisted index.
+    */
+  private[operators] def incrementalNearDupFrom(bb: DataFrame,
+      newDocs: DataFrame, corpusBands: DataFrame, corpus: DataFrame,
+      minJaccard: Double, broadcastBatch: Boolean): DataFrame = {
     val bcast: DataFrame => DataFrame =
       if (broadcastBatch) broadcast else identity
-    val corpusPairs = minhashBands(corpus).as("c")
+    val corpusPairs = corpusBands.as("c")
       .join(bcast(bb).as("b"),
         col("c.band") === col("b.band") && col("c.bk") === col("b.bk"))
       .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("other"))

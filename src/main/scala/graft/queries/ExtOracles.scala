@@ -254,6 +254,38 @@ object ExtOracles {
        |       FROM ex)
        |SELECT qid, vec_id, cos, rn FROM fr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
 
+  /** Replay of [[graft.operators.TextOps.incrementalNearDup]] over the
+    * dedup_incremental delta split, shared by the direct and the
+    * index-served gate queries (deterministic bands ⇒ identical
+    * verdicts).
+    */
+  private def incrementalNearSql: String =
+    s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte,
+       |bb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 = 7),
+       |cb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 <> 7),
+       |ch AS (SELECT b.doc_id, count(DISTINCT c.doc_id) AS n_c,
+       |         min(c.doc_id) AS m_c
+       |       FROM bb b JOIN cb c ON b.band = c.band AND b.bk = c.bk
+       |       GROUP BY 1),
+       |bh AS (SELECT y.doc_id, count(DISTINCT x.doc_id) AS n_b,
+       |         min(x.doc_id) AS m_b
+       |       FROM bb x JOIN bb y
+       |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+       |       GROUP BY 1),
+       |base AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+       |sg AS (SELECT DISTINCT doc_id FROM bb)
+       |SELECT base.doc_id,
+       |  CASE WHEN sg.doc_id IS NULL THEN 'no_signature'
+       |       WHEN ch.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+       |       WHEN bh.doc_id IS NOT NULL THEN 'near_dup_in_batch'
+       |       ELSE 'unique' END AS verdict,
+       |  coalesce(ch.m_c, bh.m_b) AS match_doc,
+       |  coalesce(ch.n_c, bh.n_b, 0) AS n_matches
+       |FROM base LEFT JOIN sg ON base.doc_id = sg.doc_id
+       |          LEFT JOIN ch ON base.doc_id = ch.doc_id
+       |          LEFT JOIN bh ON base.doc_id = bh.doc_id
+       |ORDER BY base.doc_id""".stripMargin
+
   /** A def, not a val: the ANN oracles interpolate
     * [[OracleArtifacts.pathFor]] paths registered when the gate queries
     * RAN, and [[graft.Verify]] dumps the SQL after running them.
@@ -498,32 +530,11 @@ object ExtOracles {
     // over all documents splits into batch (doc_id ≡ 7 mod 10) and
     // corpus sides; corpus-collision precedence over in-batch; batch
     // docs too short to shingle surface as explicit no_signature rows
-    "dedup_incremental_near" ->
-      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte,
-         |bb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 = 7),
-         |cb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 <> 7),
-         |ch AS (SELECT b.doc_id, count(DISTINCT c.doc_id) AS n_c,
-         |         min(c.doc_id) AS m_c
-         |       FROM bb b JOIN cb c ON b.band = c.band AND b.bk = c.bk
-         |       GROUP BY 1),
-         |bh AS (SELECT y.doc_id, count(DISTINCT x.doc_id) AS n_b,
-         |         min(x.doc_id) AS m_b
-         |       FROM bb x JOIN bb y
-         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
-         |       GROUP BY 1),
-         |base AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
-         |sg AS (SELECT DISTINCT doc_id FROM bb)
-         |SELECT base.doc_id,
-         |  CASE WHEN sg.doc_id IS NULL THEN 'no_signature'
-         |       WHEN ch.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
-         |       WHEN bh.doc_id IS NOT NULL THEN 'near_dup_in_batch'
-         |       ELSE 'unique' END AS verdict,
-         |  coalesce(ch.m_c, bh.m_b) AS match_doc,
-         |  coalesce(ch.n_c, bh.n_b, 0) AS n_matches
-         |FROM base LEFT JOIN sg ON base.doc_id = sg.doc_id
-         |          LEFT JOIN ch ON base.doc_id = ch.doc_id
-         |          LEFT JOIN bh ON base.doc_id = bh.doc_id
-         |ORDER BY base.doc_id""".stripMargin,
+    "dedup_incremental_near" -> incrementalNearSql,
+
+    // the persisted band index serves the SAME verdicts (deterministic
+    // bands, same corpus — spec-pinned), so the replay is shared
+    "dedup_incremental_indexed" -> incrementalNearSql,
 
     // replays the VERIFIED incremental near-dup (minJaccard = 0.5):
     // band collisions are candidates; a pair may support a verdict only

@@ -438,6 +438,35 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** One persisted MinHash band index per (session, SF dir) over the
+    * dedup_incremental corpus split — the [[ivfIndexCache]] posture for
+    * the text-side index ([[graft.operators.BandIndex]]).
+    */
+  private val bandIndexCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def bandIndexPath(spark: SparkSession, dir: String): String =
+    bandIndexCache.get(spark, dir) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-band-index").toString
+      graft.operators.BandIndex.write(
+        docs(spark, dir).filter(col("doc_id") % 10 =!= 7), path)
+      path
+    }
+
+  /** The same verdicts as [[dedupIncrementalNear]], served from the
+    * PERSISTED band index ([[graft.operators.BandIndex.classify]]) —
+    * the production ingest read path: a bucket-prefix-pruned scan of
+    * the index instead of a corpus band recompute. Value-identical to
+    * the direct query (same corpus, deterministic bands), so it shares
+    * its oracle verbatim.
+    */
+  def dedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.BandIndex.classify(spark, bandIndexPath(spark, dir),
+      d.filter(col("doc_id") % 10 === 7))
+      .orderBy("doc_id")
+  }
+
   /** The same incremental near-dup delta with the exact-Jaccard
     * verification leg on (minJaccard = 0.5): band collisions are
     * CANDIDATES, and only pairs whose true shingle Jaccard clears the

@@ -127,6 +127,47 @@ class DedupTransformerSpec extends SparkSpec {
       .queryExecution.logical.toString.contains("WithinWatermark"))
   }
 
+  test("persisted band index: classify matches the direct operator; append extends it; scan prunes") {
+    import graft.operators.{BandIndex, TextOps}
+    val corpusA = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different corpus content about spark plans"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val corpusB = Seq(
+      (3L, "fresh unseen text with plenty of tokens here"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // = corpus 1
+      (11L, "fresh unseen text with plenty of tokens here"),  // = corpus 3 (post-append)
+      (12L, "completely novel sentence nothing shares shingles"),
+      (13L, "xy"))                                            // no signature
+      .toDF("doc_id", "text").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSeq
+
+    val path = tmpDir("band-index")
+    BandIndex.write(corpusA, path)
+    assert(rows(BandIndex.classify(spark, path, batch)) ==
+      rows(TextOps.incrementalNearDup(batch, corpusA)),
+      "index-served verdicts diverged from the direct operator")
+
+    // append extends the index: doc 11 flips unique -> near_dup_of_corpus
+    BandIndex.append(corpusB, path)
+    val after = rows(BandIndex.classify(spark, path, batch))
+    assert(after == rows(TextOps.incrementalNearDup(batch, corpusA.union(corpusB))),
+      "post-append verdicts diverged from the direct operator over A∪B")
+    assert(after.find(_._1 == 11L).get._2 == "near_dup_of_corpus")
+    assert(after.find(_._1 == 13L).get._2 == "no_signature")
+
+    // the index scan is pruned to the batch's bucket-key prefixes
+    val plan = BandIndex.classify(spark, path, batch)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[.*bkp.*"),
+      s"band-index scan lost prefix partition pruning:\n$plan")
+  }
+
   test("streaming incremental near-dup verdicts match the batch operator") {
     // the ingest leg delegates each micro-batch to
     // TextOps.incrementalNearDup against the served corpus artifact —
