@@ -82,12 +82,15 @@ object ScaleProbe {
       BenchUtil.releaseNewRdds(sc, beforeBloom)
       println(f"[scaleprobe] $sf bloom grams=$total shared=$truth candidates=$cand " +
         f"joinInputFrac=${cand.toDouble / total}%.5f fp=${cand - truth}")
-      // BPE merge-budget headroom: one timed pass each (the loop is a
-      // deterministic driver computation — no warmup variance worth 3
-      // passes). Recount at the 200-merge demo budget; incremental at
-      // 200 AND at a production-ish 2k budget — the recount form's cost
-      // is linear in merges × vocab symbols, the incremental form's in
+      // BPE merge-budget headroom. One UNTIMED warmup of each trainer
+      // first: the first trainer to run would otherwise absorb the
+      // whole JIT warmup and bias the recount/inc ratio upward.
+      // Recount at the 200-merge demo budget; incremental at 200 AND
+      // at a production-ish 2k budget — the recount form's cost is
+      // linear in merges × vocab symbols, the incremental form's in
       // merges × affected symbols.
+      TextOps.bpeTrainRecount(docs, numMerges = 50)
+      TextOps.bpeTrain(docs, numMerges = 50)
       val tRecount200 = secs(TextOps.bpeTrainRecount(docs, numMerges = 200))
       val tInc200 = secs(TextOps.bpeTrain(docs, numMerges = 200))
       var learned = 0
@@ -111,6 +114,8 @@ object ScaleProbe {
           alphabet(rnd.nextInt(26))).mkString
         (i.toLong, w)
       }.toDF("doc_id", "text").localCheckpoint()
+      TextOps.bpeTrain(synth, numMerges = 50)
+      TextOps.bpeTrainRecount(synth, numMerges = 50)
       var l2k = 0
       val tInc2k = secs { l2k = TextOps.bpeTrain(synth, numMerges = 2000).size }
       val tRec2k = secs(TextOps.bpeTrainRecount(synth, numMerges = 2000))

@@ -28,7 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object BandIndex {
 
-  private def bkp(c: org.apache.spark.sql.Column) = substring(c, 1, 2)
+  /** Prefix is "p" + first two hex chars: the leading letter keeps the
+    * partition column non-numeric BY CONSTRUCTION, so Spark's
+    * partition-column type inference can never read a directory set
+    * that happens to be all-digits (e.g. prefixes 00–99) back as
+    * IntegerType — which would coerce `bkp=07` to 7 and silently
+    * defeat the `isin` pruning ('7' != '07').
+    */
+  private def bkp(c: org.apache.spark.sql.Column) =
+    concat(lit("p"), substring(c, 1, 2))
 
   private def bandsOf(docs: DataFrame): DataFrame =
     TextOps.minhashBands(docs).withColumn("bkp", bkp(col("bk")))

@@ -67,8 +67,12 @@ object VectorIndex {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes")
     if (storeVectors)
+      // cell assignments come from the just-written codes parquet, not
+      // the in-memory model.codes plan — joining the latter would
+      // re-run the full corpus PQ encode that was materialized one
+      // statement earlier
       embeddings.select(col("vec_id"), col("embedding"))
-        .join(model.codes.select("vec_id", "cell"), "vec_id")
+        .join(loadCodes(spark, path).select("vec_id", "cell"), "vec_id")
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/vectors")
@@ -141,18 +145,22 @@ object VectorIndex {
                  newVectors: DataFrame): VectorOps.IvfPqModel = {
     val model = loadIvfPq(spark, path)
     val enc = VectorOps.encodeIntoModel(model, newVectors).localCheckpoint()
-    enc.repartition(col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/codes")
     // an index that stores raw vectors ([[writeIvfPq]] storeVectors)
     // must keep its refine store complete too — append the batch's
-    // vectors under the same frozen cell assignment
+    // vectors under the same frozen cell assignment. Vectors go FIRST:
+    // a failure between the two appends then leaves orphan vectors
+    // (never candidates — searches start from codes), whereas the
+    // reverse order would leave code rows whose refine join silently
+    // drops them from rerank results
     if (hasVectors(spark, path))
       newVectors.select(col("vec_id"), col("embedding"))
         .join(enc.select("vec_id", "cell"), "vec_id")
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell")
         .parquet(s"$path/vectors")
+    enc.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/codes")
     model.copy(codes = loadCodes(spark, path))
   }
 

@@ -1076,7 +1076,7 @@ object ExtOracles {
          |         SELECT q.qid, cent.cell,
          |           row_number() OVER (PARTITION BY q.qid ORDER BY
          |             list_dot_product(q.qv, cent.c) /
-         |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+         |               greatest(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.c, cent.c)), 1e-12) DESC,
          |             cent.cell) AS crn
          |         FROM q CROSS JOIN cent)
          |       WHERE crn <= (SELECT nprobe FROM meta)),
