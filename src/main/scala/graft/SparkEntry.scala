@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_incremental_near" -> (graft.queries.ExtQueries.dedupIncrementalNear(_, _)),
     "dedup_incremental_verified" -> (graft.queries.ExtQueries.dedupIncrementalVerified(_, _)),
     "dedup_incremental_indexed" -> (graft.queries.ExtQueries.dedupIncrementalIndexed(_, _)),
+    "dedup_incremental_verified_indexed" -> (graft.queries.ExtQueries.dedupIncrementalVerifiedIndexed(_, _)),
     "dedup_minhash_bands" -> (graft.queries.ExtQueries.dedupMinhashBands(_, _)),
     "dedup_minhash_pairs" -> (graft.queries.ExtQueries.dedupMinhashPairs(_, _)),
     "dedup_minhash_estimate" -> (graft.queries.ExtQueries.dedupMinhashEstimate(_, _)),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted MinHash band index — the text-side twin of
@@ -9,76 +9,145 @@ import org.apache.spark.sql.functions._
   * index a near-dup stage keeps"); this is that artifact as parquet,
   * with the build / append / classify lifecycle the ingest loop runs.
   *
-  * Layout under `path`: the band table `(doc_id, band, bk)` written
-  * `partitionBy("bkp")` where `bkp` = the bucket key's first two hex
-  * chars (256 directories). The batch side of a classify carries a
-  * BOUNDED set of bucket keys (≤ bands × batch docs), so the corpus
-  * scan prunes to the directories holding matching prefixes — for a
-  * small streaming micro-batch that is a few percent of the index
-  * instead of all of it, and it degrades gracefully toward a full scan
-  * as the batch grows (every directory then holds a candidate). md5
-  * bucket keys are uniform by construction, so the 256 partitions stay
-  * balanced at any corpus size.
+  * Layout under `path`:
+  *  - `bands/` — the band table `(doc_id, band, bk)` written
+  *    `partitionBy("bkp")` where `bkp` = "p" + the bucket key's first
+  *    two hex chars (256 directories). The batch side of a classify
+  *    carries a BOUNDED set of bucket keys (≤ bands × batch docs), so
+  *    the corpus scan prunes to the directories holding matching
+  *    prefixes — for a small streaming micro-batch that is a few
+  *    percent of the index instead of all of it, and it degrades
+  *    gracefully toward a full scan as the batch grows (every
+  *    directory then holds a candidate). md5 bucket keys are uniform
+  *    by construction, so the 256 partitions stay balanced at any
+  *    corpus size.
+  *  - `shingles/` (optional, `storeShingles = true`) — the raw shingle
+  *    sets `(doc_id, s)` partitioned by `dp` = "p" + two hex chars of
+  *    md5(doc_id): the [[VectorIndex]] `vectors/` posture applied to
+  *    text, so the exact-Jaccard VERIFICATION leg
+  *    ([[classify]] `minJaccard > 0`) runs entirely from the index —
+  *    the colliders' prefixes (a bounded ≤256-entry IN-list) prune the
+  *    shingle read to the directories holding colliding docs, instead
+  *    of re-shingling the corpus.
   *
   * The ingest loop this enables, mirroring [[VectorIndex.addToIvfPq]]:
   * classify the batch against the index ([[classify]]) → act on the
-  * verdicts → [[append]] the accepted docs' bands (append-only, one
-  * file per touched prefix, untouched directories never rewritten —
-  * O(batch), never O(corpus)).
+  * verdicts → [[append]] the accepted docs' bands+shingles
+  * (append-only, one file per touched prefix, untouched directories
+  * never rewritten — O(batch), never O(corpus)).
   */
 object BandIndex {
 
-  /** Prefix is "p" + first two hex chars: the leading letter keeps the
-    * partition column non-numeric BY CONSTRUCTION, so Spark's
+  /** Prefixes are "p" + two hex chars: the leading letter keeps the
+    * partition columns non-numeric BY CONSTRUCTION, so Spark's
     * partition-column type inference can never read a directory set
     * that happens to be all-digits (e.g. prefixes 00–99) back as
     * IntegerType — which would coerce `bkp=07` to 7 and silently
     * defeat the `isin` pruning ('7' != '07').
     */
-  private def bkp(c: org.apache.spark.sql.Column) =
-    concat(lit("p"), substring(c, 1, 2))
+  private def bkp(c: Column) = concat(lit("p"), substring(c, 1, 2))
+  private def dp(c: Column) =
+    concat(lit("p"), substring(md5(c.cast("string")), 1, 2))
 
   private def bandsOf(docs: DataFrame): DataFrame =
     TextOps.minhashBands(docs).withColumn("bkp", bkp(col("bk")))
 
-  /** Build the index for `docs` at `path` (overwrite). */
-  def write(docs: DataFrame, path: String): Unit =
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    TextOps.shingles(docs).select("doc_id", "s")
+      .withColumn("dp", dp(col("doc_id")))
+
+  private def hasShingles(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/shingles")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Build the index for `docs` at `path` (overwrite).
+    *
+    * @param storeShingles also persist the raw shingle sets under
+    *   `shingles/` so [[classify]]'s verification leg is served from
+    *   the index. Costs the shingle bytes once — the standard trade
+    *   for candidate→verified verdicts without keeping the corpus
+    *   text around.
+    */
+  def write(docs: DataFrame, path: String,
+            storeShingles: Boolean = false): Unit = {
     bandsOf(docs)
       .repartition(col("bkp"))
       .write.mode("overwrite").partitionBy("bkp")
-      .parquet(path)
+      .parquet(s"$path/bands")
+    if (storeShingles)
+      shinglesOf(docs)
+        .repartition(col("dp"))
+        .write.mode("overwrite").partitionBy("dp")
+        .parquet(s"$path/shingles")
+  }
 
-  /** Append `newDocs`' bands — the accepted slice of a classified
-    * batch. One new file per touched prefix directory (the
-    * [[VectorIndex.addToIvfPq]] write shape). Caller contract: ids not
-    * already indexed; one append at a time.
+  /** Append `newDocs`' bands (and shingles, when the store exists) —
+    * the accepted slice of a classified batch. One new file per
+    * touched prefix directory (the [[VectorIndex.addToIvfPq]] write
+    * shape). Shingles go FIRST: a failure between the two appends then
+    * leaves orphan shingles (never consulted — verification starts
+    * from band collisions), whereas the reverse order would leave
+    * bands whose verification silently finds no shingles. Caller
+    * contract: ids not already indexed; one append at a time.
     */
-  def append(newDocs: DataFrame, path: String): Unit =
+  def append(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    if (hasShingles(spark, path))
+      shinglesOf(newDocs)
+        .repartition(col("dp"))
+        .write.mode("append").partitionBy("dp")
+        .parquet(s"$path/shingles")
     bandsOf(newDocs)
       .repartition(col("bkp"))
       .write.mode("append").partitionBy("bkp")
-      .parquet(path)
+      .parquet(s"$path/bands")
+  }
 
   /** Classify a batch against the persisted index —
     * [[TextOps.incrementalNearDup]]'s verdict surface served from the
     * index scan instead of a corpus recompute (value-identical for the
-    * same corpus; spec-pinned). CANDIDATE-level by construction: the
-    * index stores bands, not text, so the exact-Jaccard verification
-    * leg needs the docs-side operator. The index read is pruned to the
+    * same corpus; spec-pinned). The index read is pruned to the
     * batch's bucket-key prefixes (a bounded ≤256-element IN-list
     * collected from the pinned batch band table).
+    *
+    * With `minJaccard > 0` every colliding pair is verified by EXACT
+    * shingle Jaccard before it may support a verdict, served from the
+    * index's `shingles/` store (requires [[write]]
+    * `storeShingles = true`): the colliders' doc-id prefixes prune the
+    * shingle read the same way the bucket-key prefixes prune the band
+    * read — verification cost is bounded by the collision set, and the
+    * corpus text is never touched.
     */
   def classify(spark: SparkSession, path: String, newDocs: DataFrame,
+               minJaccard: Double = 0.0,
                broadcastBatch: Boolean = true): DataFrame = {
+    require(minJaccard <= 0 || hasShingles(spark, path),
+      s"$path has no shingles/ store — build with storeShingles = true " +
+        "to verify (minJaccard > 0)")
     val bb = TextOps.minhashBands(newDocs).localCheckpoint()
     val prefixes = bb.select(bkp(col("bk")).as("p")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val corpusBands = spark.read.parquet(path)
+    val corpusBands = spark.read.parquet(s"$path/bands")
       .filter(col("bkp").isin(prefixes: _*))
       .select("doc_id", "band", "bk")
-    // corpus = newDocs is a placeholder: with minJaccard = 0 the
-    // verification leg never evaluates it
-    TextOps.incrementalNearDupFrom(bb, newDocs, corpusBands, newDocs,
-      minJaccard = 0.0, broadcastBatch = broadcastBatch)
+    TextOps.incrementalNearDupFrom(bb, newDocs, corpusBands,
+      prunedShingleRead(spark, path, _), minJaccard, broadcastBatch)
+  }
+
+  /** The verification leg's corpus-side shingle table, pruned by the
+    * pinned collision pairs: the colliders are known only once the
+    * pair set exists, so the read is built FROM it — collect the
+    * colliding docs' ≤256 distinct doc-id prefixes (bounded like the
+    * band-side list) and scan only those directories.
+    */
+  private[graft] def prunedShingleRead(spark: SparkSession, path: String,
+                                       pairs: DataFrame): DataFrame = {
+    val dps = pairs.select(dp(col("other")).as("p")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val store = spark.read.parquet(s"$path/shingles")
+    (if (dps.isEmpty) store.filter(lit(false))
+     else store.filter(col("dp").isin(dps: _*)))
+      .select("doc_id", "s")
   }
 }

@@ -378,15 +378,22 @@ object TextOps {
     // pinned: read by the corpus join, the self-join (twice) and the
     // verdict base — without it the signature kernel re-runs per branch
     incrementalNearDupFrom(minhashBands(newDocs).localCheckpoint(),
-      newDocs, minhashBands(corpus), corpus, minJaccard, broadcastBatch)
+      newDocs, minhashBands(corpus), _ => shingles(corpus),
+      minJaccard, broadcastBatch)
 
   /** The classify core behind [[incrementalNearDup]] and the
     * index-served [[BandIndex.classify]]: batch bands are PRE-pinned
     * (`bb`) and the corpus side arrives as an arbitrary band table —
     * recomputed from docs, or a pruned scan of the persisted index.
+    * `corpusShinglesFor` supplies the verification leg's corpus-side
+    * shingle table GIVEN the pinned collision pairs — the direct
+    * operator ignores the pairs and shingles the corpus docs; the
+    * index path uses the colliders to PRUNE a persisted shingle store
+    * read. Only evaluated when `minJaccard > 0`.
     */
   private[operators] def incrementalNearDupFrom(bb: DataFrame,
-      newDocs: DataFrame, corpusBands: DataFrame, corpus: DataFrame,
+      newDocs: DataFrame, corpusBands: DataFrame,
+      corpusShinglesFor: DataFrame => DataFrame,
       minJaccard: Double, broadcastBatch: Boolean): DataFrame = {
     val bcast: DataFrame => DataFrame =
       if (broadcastBatch) broadcast else identity
@@ -412,7 +419,8 @@ object TextOps {
     // in-batch other side — the same re-runs-per-branch reasoning as
     // the pinned band table above.
     lazy val bsh = shingles(newDocs).localCheckpoint()
-    def verified(pairs0: DataFrame, otherShingles: DataFrame): DataFrame =
+    def verified(pairs0: DataFrame,
+                 otherShinglesFor: DataFrame => DataFrame): DataFrame =
       if (minJaccard <= 0) pairs0
       else {
         // pin the (collision-bounded, tiny) pair set and collider
@@ -421,7 +429,8 @@ object TextOps {
         // corpus band join and the corpus shingle kernel would run
         // twice per call
         val pairs = pairs0.localCheckpoint()
-        val osh = otherShingles.select(col("doc_id").as("other"), col("s"))
+        val osh = otherShinglesFor(pairs)
+          .select(col("doc_id").as("other"), col("s"))
           .join(pairs.select("other").distinct(), Seq("other"), "left_semi")
           .localCheckpoint()
         val na = bsh.groupBy("doc_id").agg(count(lit(1)).as("na"))
@@ -434,10 +443,10 @@ object TextOps {
             (col("na") + col("nb") - col("common")), 4) >= minJaccard)
           .select("doc_id", "other")
       }
-    val ch = verified(corpusPairs, shingles(corpus))
+    val ch = verified(corpusPairs, corpusShinglesFor)
       .groupBy("doc_id")
       .agg(countDistinct(col("other")).as("n_c"), min(col("other")).as("m_c"))
-    val bh = verified(batchPairs, bsh)
+    val bh = verified(batchPairs, _ => bsh)
       .groupBy("doc_id")
       .agg(countDistinct(col("other")).as("n_b"), min(col("other")).as("m_b"))
     // total over the batch: docs too short to shingle (< k tokens) have

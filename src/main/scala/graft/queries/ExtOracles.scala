@@ -286,6 +286,56 @@ object ExtOracles {
        |          LEFT JOIN bh ON base.doc_id = bh.doc_id
        |ORDER BY base.doc_id""".stripMargin
 
+  /** Replay of the VERIFIED incremental near-dup (minJaccard = 0.5):
+    * band collisions are candidates; a pair may support a verdict only
+    * if its exact shingle Jaccard clears the threshold — the same
+    * ratio + 4-dp rounding as the dedup_jaccard_pairs oracle. Shared
+    * by the direct and the index-served (shingle-store) gate queries.
+    */
+  private def incrementalVerifiedSql: String =
+    s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte,
+       |bb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 = 7),
+       |cb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 <> 7),
+       |cp2 AS (SELECT DISTINCT b.doc_id, c.doc_id AS other
+       |        FROM bb b JOIN cb c ON b.band = c.band AND b.bk = c.bk),
+       |bp2 AS (SELECT DISTINCT y.doc_id, x.doc_id AS other
+       |        FROM bb x JOIN bb y
+       |          ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |vcp AS (SELECT p.doc_id, p.other FROM
+       |          (SELECT cp2.doc_id, cp2.other, count(*) AS common
+       |           FROM cp2 JOIN sh sa ON sa.doc_id = cp2.doc_id
+       |                    JOIN sh sb ON sb.doc_id = cp2.other AND sb.s = sa.s
+       |           GROUP BY 1, 2) p
+       |        JOIN sizes za ON za.doc_id = p.doc_id
+       |        JOIN sizes zb ON zb.doc_id = p.other
+       |        WHERE round(CAST(p.common AS DOUBLE) / (za.n + zb.n - p.common), 4) >= 0.5),
+       |vbp AS (SELECT p.doc_id, p.other FROM
+       |          (SELECT bp2.doc_id, bp2.other, count(*) AS common
+       |           FROM bp2 JOIN sh sa ON sa.doc_id = bp2.doc_id
+       |                    JOIN sh sb ON sb.doc_id = bp2.other AND sb.s = sa.s
+       |           GROUP BY 1, 2) p
+       |        JOIN sizes za ON za.doc_id = p.doc_id
+       |        JOIN sizes zb ON zb.doc_id = p.other
+       |        WHERE round(CAST(p.common AS DOUBLE) / (za.n + zb.n - p.common), 4) >= 0.5),
+       |ch AS (SELECT doc_id, count(DISTINCT other) AS n_c, min(other) AS m_c
+       |       FROM vcp GROUP BY 1),
+       |bh AS (SELECT doc_id, count(DISTINCT other) AS n_b, min(other) AS m_b
+       |       FROM vbp GROUP BY 1),
+       |base AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+       |sg AS (SELECT DISTINCT doc_id FROM bb)
+       |SELECT base.doc_id,
+       |  CASE WHEN sg.doc_id IS NULL THEN 'no_signature'
+       |       WHEN ch.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+       |       WHEN bh.doc_id IS NOT NULL THEN 'near_dup_in_batch'
+       |       ELSE 'unique' END AS verdict,
+       |  coalesce(ch.m_c, bh.m_b) AS match_doc,
+       |  coalesce(ch.n_c, bh.n_b, 0) AS n_matches
+       |FROM base LEFT JOIN sg ON base.doc_id = sg.doc_id
+       |          LEFT JOIN ch ON base.doc_id = ch.doc_id
+       |          LEFT JOIN bh ON base.doc_id = bh.doc_id
+       |ORDER BY base.doc_id""".stripMargin
+
   /** A def, not a val: the ANN oracles interpolate
     * [[OracleArtifacts.pathFor]] paths registered when the gate queries
     * RAN, and [[graft.Verify]] dumps the SQL after running them.
@@ -540,49 +590,12 @@ object ExtOracles {
     // band collisions are candidates; a pair may support a verdict only
     // if its exact shingle Jaccard clears the threshold — the same
     // ratio + 4-dp rounding as the dedup_jaccard_pairs oracle
-    "dedup_incremental_verified" ->
-      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte,
-         |bb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 = 7),
-         |cb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 <> 7),
-         |cp2 AS (SELECT DISTINCT b.doc_id, c.doc_id AS other
-         |        FROM bb b JOIN cb c ON b.band = c.band AND b.bk = c.bk),
-         |bp2 AS (SELECT DISTINCT y.doc_id, x.doc_id AS other
-         |        FROM bb x JOIN bb y
-         |          ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |vcp AS (SELECT p.doc_id, p.other FROM
-         |          (SELECT cp2.doc_id, cp2.other, count(*) AS common
-         |           FROM cp2 JOIN sh sa ON sa.doc_id = cp2.doc_id
-         |                    JOIN sh sb ON sb.doc_id = cp2.other AND sb.s = sa.s
-         |           GROUP BY 1, 2) p
-         |        JOIN sizes za ON za.doc_id = p.doc_id
-         |        JOIN sizes zb ON zb.doc_id = p.other
-         |        WHERE round(CAST(p.common AS DOUBLE) / (za.n + zb.n - p.common), 4) >= 0.5),
-         |vbp AS (SELECT p.doc_id, p.other FROM
-         |          (SELECT bp2.doc_id, bp2.other, count(*) AS common
-         |           FROM bp2 JOIN sh sa ON sa.doc_id = bp2.doc_id
-         |                    JOIN sh sb ON sb.doc_id = bp2.other AND sb.s = sa.s
-         |           GROUP BY 1, 2) p
-         |        JOIN sizes za ON za.doc_id = p.doc_id
-         |        JOIN sizes zb ON zb.doc_id = p.other
-         |        WHERE round(CAST(p.common AS DOUBLE) / (za.n + zb.n - p.common), 4) >= 0.5),
-         |ch AS (SELECT doc_id, count(DISTINCT other) AS n_c, min(other) AS m_c
-         |       FROM vcp GROUP BY 1),
-         |bh AS (SELECT doc_id, count(DISTINCT other) AS n_b, min(other) AS m_b
-         |       FROM vbp GROUP BY 1),
-         |base AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
-         |sg AS (SELECT DISTINCT doc_id FROM bb)
-         |SELECT base.doc_id,
-         |  CASE WHEN sg.doc_id IS NULL THEN 'no_signature'
-         |       WHEN ch.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
-         |       WHEN bh.doc_id IS NOT NULL THEN 'near_dup_in_batch'
-         |       ELSE 'unique' END AS verdict,
-         |  coalesce(ch.m_c, bh.m_b) AS match_doc,
-         |  coalesce(ch.n_c, bh.n_b, 0) AS n_matches
-         |FROM base LEFT JOIN sg ON base.doc_id = sg.doc_id
-         |          LEFT JOIN ch ON base.doc_id = ch.doc_id
-         |          LEFT JOIN bh ON base.doc_id = bh.doc_id
-         |ORDER BY base.doc_id""".stripMargin,
+    "dedup_incremental_verified" -> incrementalVerifiedSql,
+
+    // the shingle-store index serves the SAME verified verdicts
+    // (deterministic bands + exact Jaccard over the same shingle sets
+    // — spec-pinned), so the replay is shared
+    "dedup_incremental_verified_indexed" -> incrementalVerifiedSql,
 
     "dedup_minhash_bands" ->
       s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte

@@ -449,7 +449,8 @@ object ExtQueries {
       val path = java.nio.file.Files
         .createTempDirectory("graft-band-index").toString
       graft.operators.BandIndex.write(
-        docs(spark, dir).filter(col("doc_id") % 10 =!= 7), path)
+        docs(spark, dir).filter(col("doc_id") % 10 =!= 7), path,
+        storeShingles = true)
       path
     }
 
@@ -464,6 +465,22 @@ object ExtQueries {
     val d = docs(spark, dir)
     graft.operators.BandIndex.classify(spark, bandIndexPath(spark, dir),
       d.filter(col("doc_id") % 10 === 7))
+      .orderBy("doc_id")
+  }
+
+  /** The same VERIFIED verdicts as [[dedupIncrementalVerified]]
+    * (minJaccard = 0.5), served ENTIRELY from the persisted index's
+    * band + shingle stores ([[graft.operators.BandIndex.classify]]):
+    * candidates from the prefix-pruned band read, exact-Jaccard
+    * verification from the collider-pruned shingle read — the corpus
+    * text is never touched. Value-identical to the direct query, so it
+    * shares its oracle verbatim.
+    */
+  def dedupIncrementalVerifiedIndexed(spark: SparkSession,
+                                      dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.BandIndex.classify(spark, bandIndexPath(spark, dir),
+      d.filter(col("doc_id") % 10 === 7), minJaccard = 0.5)
       .orderBy("doc_id")
   }
 

@@ -168,6 +168,60 @@ class DedupTransformerSpec extends SparkSpec {
       s"band-index scan lost prefix partition pruning:\n$plan")
   }
 
+  test("band index shingle store: verified classify served from the index; shingle read pruned") {
+    import graft.operators.{BandIndex, TextOps}
+    val corpusA = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different corpus content about spark plans and joins"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val corpusB = Seq(
+      (3L, "fresh unseen text with plenty of tokens right here today"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      // band-collides with nothing at high similarity but may collide
+      // by LSH luck — exactly what verification exists to reject
+      (11L, "fresh unseen text with plenty of tokens right here today"),
+      (12L, "completely novel sentence nothing shares shingles with"),
+      (13L, "xy"))
+      .toDF("doc_id", "text").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSeq
+
+    val path = tmpDir("band-index-sh")
+    BandIndex.write(corpusA, path, storeShingles = true)
+    assert(rows(BandIndex.classify(spark, path, batch, minJaccard = 0.5)) ==
+      rows(TextOps.incrementalNearDup(batch, corpusA, minJaccard = 0.5)),
+      "index-served VERIFIED verdicts diverged from the direct operator")
+
+    // append keeps the shingle store in step with the bands
+    BandIndex.append(corpusB, path)
+    val after = rows(BandIndex.classify(spark, path, batch, minJaccard = 0.5))
+    assert(after ==
+      rows(TextOps.incrementalNearDup(batch, corpusA.union(corpusB),
+        minJaccard = 0.5)),
+      "post-append verified verdicts diverged from the direct operator over A∪B")
+    assert(after.find(_._1 == 10L).get._2 == "near_dup_of_corpus")
+    assert(after.find(_._1 == 11L).get._2 == "near_dup_of_corpus")
+    assert(after.find(_._1 == 13L).get._2 == "no_signature")
+
+    // the verification read is pruned to the colliders' doc-id prefixes
+    val pairs = Seq((10L, 1L)).toDF("doc_id", "other")
+    val shPlan = BandIndex.prunedShingleRead(spark, path, pairs)
+      .queryExecution.executedPlan.toString
+    assert(shPlan.matches("(?s).*PartitionFilters: \\[.*dp.*"),
+      s"shingle-store read lost prefix partition pruning:\n$shPlan")
+
+    // verifying against a bands-only index fails loudly, not wrongly
+    val bare = tmpDir("band-index-bare")
+    BandIndex.write(corpusA, bare)
+    intercept[IllegalArgumentException] {
+      BandIndex.classify(spark, bare, batch, minJaccard = 0.5)
+    }
+  }
+
   test("streaming incremental near-dup verdicts match the batch operator") {
     // the ingest leg delegates each micro-batch to
     // TextOps.incrementalNearDup against the served corpus artifact —
