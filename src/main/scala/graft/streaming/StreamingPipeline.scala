@@ -174,6 +174,67 @@ object StreamingPipeline {
       }
       .start()
 
+  /** The SCALE form of [[incrementalNearDupStream]]: classify each
+    * micro-batch against the persisted MinHash band index
+    * ([[graft.operators.BandIndex.classify]] — a bucket-prefix-PRUNED
+    * index read) and append the accepted docs back to the index, so
+    * the index itself carries the corpus history forward between
+    * triggers. Where the corpus-DataFrame leg re-derives the corpus
+    * band table every micro-batch (O(corpus) work per trigger — fine
+    * for a served, already-materialised artifact; a scale-killer if
+    * `corpus` is raw docs), THIS leg's per-trigger cost is
+    * O(batch + collisions): the corpus never appears in the plan at
+    * all — the stream holds only the index path.
+    *
+    * Per micro-batch: classify (verified when `minJaccard > 0` and the
+    * index stores shingles) → append the verdict rows to
+    * `verdictPath` → [[graft.operators.BandIndex.append]] the docs
+    * whose verdict is `unique` (the dedup survivors — near-dups are
+    * rejected, unsignatured docs cannot be indexed). The
+    * classify-then-append order inside one trigger gives the same
+    * corpus-grows-by-accepted-docs semantics as draining the batch
+    * operator in id order (spec-pinned across multiple micro-batches).
+    *
+    * Exactly-once note: the verdict write and the index append are two
+    * separate parquet commits — a crash between them replays the
+    * trigger and can duplicate verdict rows (downstream dedups on
+    * doc_id, same as every foreachBatch sink here), but the index
+    * append is guarded by the classify itself: replayed docs classify
+    * as near-dups of their first ingest and are not re-appended.
+    */
+  def incrementalNearDupIndexStream(docs: DataFrame, indexPath: String,
+      verdictPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      minJaccard: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try {
+          // pinned: read by the verdict write AND the accepted-docs
+          // semi-join; unpinned, the classify (index scan included)
+          // would run twice per trigger
+          val verdicts = graft.operators.BandIndex
+            .classify(spark, indexPath, batch, minJaccard)
+            .localCheckpoint()
+          verdicts.write.mode("append").parquet(verdictPath)
+          val uniq = verdicts.filter(col("verdict") === "unique")
+            .select("doc_id")
+          // head(1) on the pinned verdicts is a driver-side peek at a
+          // per-batch-bounded table — skip the append job entirely for
+          // an all-duplicate batch
+          if (uniq.head(1).nonEmpty)
+            graft.operators.BandIndex.append(
+              batch.join(uniq, Seq("doc_id"), "left_semi"), indexPath)
+        } finally graft.BenchUtil.releaseNewRdds(sc, before)
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation — the streaming form of the
     * `events_tumbling` batch query; late rows beyond `lateness` are
     * dropped by the watermark, state is bounded per window × type.

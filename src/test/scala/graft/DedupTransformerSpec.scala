@@ -270,4 +270,91 @@ class DedupTransformerSpec extends SparkSpec {
     assert(streamed.toMap.apply(13L) == "no_signature")
     assert(streamed.toMap.apply(10L) == "near_dup_of_corpus")
   }
+
+  test("index-served streaming near-dup: classify+append per trigger, no corpus kernel, pruned scans") {
+    import graft.operators.BandIndex
+    val src = tmpDir("idx-src")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different corpus content about spark plans and joins"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val batchRows = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "fresh unseen text with plenty of tokens right here today"),
+      // 12 duplicates 11 from an EARLIER micro-batch: it can match only
+      // through the index append, proving the index carries the corpus
+      // history forward between triggers
+      (12L, "fresh unseen text with plenty of tokens right here today"),
+      (13L, "xy"))
+    batchRows.foreach { case (id, text) =>
+      Seq((id, text)).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$src/docs")
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$src/docs").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/docs")
+
+    val idx = tmpDir("idx-band")
+    BandIndex.write(corpus, idx, storeShingles = true)
+
+    // capture every per-trigger execution: the index-stream plans must
+    // scan the band store WITH partition pruning and must NEVER run
+    // the corpus-wide band kernel (structurally impossible — the
+    // stream holds only the index path — but pin the pruning too)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    d: Long): Unit = plans.add(qe.executedPlan.toString)
+      def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val out = tmpDir("idx-out"); val ckpt = tmpDir("idx-ckpt")
+    try
+      StreamingPipeline.incrementalNearDupIndexStream(
+        stream, idx, out, ckpt, minJaccard = 0.5)
+        .awaitTermination()
+    finally {
+      // listener bus is async — give captures a moment to drain
+      Thread.sleep(2000)
+      spark.listenerManager.unregister(listener)
+    }
+
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // sequential reference: the batch operator pieces drained in the
+    // same per-doc order against a twin index
+    val refIdx = tmpDir("idx-band-ref")
+    BandIndex.write(corpus, refIdx, storeShingles = true)
+    val expected = batchRows.flatMap { case (id, text) =>
+      val one = Seq((id, text)).toDF("doc_id", "text")
+      val v = BandIndex.classify(spark, refIdx, one, minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      if (v.exists(_._2 == "unique")) BandIndex.append(one, refIdx)
+      v
+    }.sortBy(_._1)
+    assert(streamed.toSeq == expected.toSeq,
+      s"index-stream verdicts ${streamed.toSeq} diverged from sequential ${expected.toSeq}")
+    assert(streamed.toMap.apply(10L) == "near_dup_of_corpus")
+    assert(streamed.toMap.apply(11L) == "unique")
+    assert(streamed.toMap.apply(12L) == "near_dup_of_corpus",
+      "append across triggers not visible — doc 12 should match appended doc 11")
+    assert(streamed.toMap.apply(13L) == "no_signature")
+
+    // doc 13 (no signature) must NOT be in the index; 11 must be
+    val indexed = spark.read.parquet(s"$idx/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 11L), s"unexpected index contents $indexed")
+
+    // per-trigger plan audit: every captured band-store scan is
+    // partition-pruned, and no captured plan shingles more than the
+    // trigger's own bounded inputs
+    val bandScans = plans.toArray(Array.empty[String])
+      .filter(p => p.contains(s"$idx/bands") && p.contains("FileScan"))
+    assert(bandScans.nonEmpty, "no per-trigger band-index scan captured")
+    bandScans.foreach(p =>
+      assert(p.matches("(?s).*PartitionFilters: \\[.*bkp.*"),
+        s"per-trigger index scan lost pruning:\n$p"))
+  }
 }
