@@ -161,6 +161,81 @@ object ScaleProbe {
         QueueExtractor.pending(spark, spec).count())
       println(f"[scaleprobe] queue compact=$tCompact%.3fs pendingReadAfter=$tAfter%.3fs")
     }
+
+    // 6. index-compaction threshold (SF-independent — fabricated
+    //    ingest): both persisted indexes accumulate one file per
+    //    touched partition per append, so the pruned read's cost grows
+    //    with fragment count until compact folds each directory to one
+    //    file. Drive a run of single-item appends (the worst-case
+    //    micro-batch cadence), measuring the read at increasing
+    //    fragment depth, then the rewrite, then the post-compaction
+    //    read — the "when to compact" dial for BandIndex/VectorIndex
+    //    recorded in USAGE.md. File counts are reported so the curve
+    //    can be re-based on object-store listing costs (local-FS
+    //    listing is the cheap case; S3-like stores pay per file).
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      import graft.operators.{BandIndex, VectorIndex}
+      def dataFiles(dir: String): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+      }
+      val rnd = new scala.util.Random(17)
+      def syntheticDoc(i: Long) = (i, Array.fill(30)(
+        "abcdefghijklmnopqrstuvwxyz"(rnd.nextInt(26)).toString * (1 + rnd.nextInt(3)))
+        .mkString(" "))
+      val corpus = (0L until 2000L).map(syntheticDoc).toDF("doc_id", "text")
+        .localCheckpoint()
+      val probeBatch = (100000L until 100010L).map(syntheticDoc)
+        .toDF("doc_id", "text").localCheckpoint()
+
+      val bandPath = java.nio.file.Files
+        .createTempDirectory("probe-bandidx").toString
+      BandIndex.write(corpus, bandPath)
+      var appended = 0
+      for (target <- Seq(0, 50, 500)) {
+        (appended until target).foreach { i =>
+          BandIndex.append(
+            Seq(syntheticDoc(10000L + i)).toDF("doc_id", "text"), bandPath)
+        }
+        appended = target
+        val files = dataFiles(s"$bandPath/bands")
+        val t = BenchUtil.minOf(3)(
+          BandIndex.classify(spark, bandPath, probeBatch).count())
+        println(f"[scaleprobe] bandidx appends=$target%4d files=$files%6d classify=$t%.3fs")
+      }
+      val tBandCompact = secs(BandIndex.compact(spark, bandPath))
+      val tBandAfter = BenchUtil.minOf(3)(
+        BandIndex.classify(spark, bandPath, probeBatch).count())
+      println(f"[scaleprobe] bandidx compact=$tBandCompact%.3fs files=${dataFiles(s"$bandPath/bands")}%6d classifyAfter=$tBandAfter%.3fs")
+
+      val emb = graft.sources.Tables.embeddings(spark, dirs.head)
+        .localCheckpoint()
+      val nEmb = emb.count()
+      val vecPath = java.nio.file.Files
+        .createTempDirectory("probe-vecidx").toString
+      VectorIndex.writeIvfPq(emb.filter(col("vec_id") < nEmb - 250), vecPath)
+      val queries = graft.operators.VectorOps
+        .collectQueries(emb, (0L until 5L).toSeq).toSeq
+      var vAppended = 0
+      for (target <- Seq(0, 50, 250)) {
+        (vAppended until target).foreach { i =>
+          VectorIndex.addToIvfPq(spark, vecPath,
+            emb.filter(col("vec_id") === nEmb - 250 + i))
+        }
+        vAppended = target
+        val files = dataFiles(s"$vecPath/codes")
+        val t = BenchUtil.minOf(3)(
+          VectorIndex.searchIvfPq(spark, vecPath, queries).count())
+        println(f"[scaleprobe] vecidx appends=$target%4d files=$files%6d search=$t%.3fs")
+      }
+      val tVecCompact = secs(VectorIndex.compactIvfPq(spark, vecPath))
+      val tVecAfter = BenchUtil.minOf(3)(
+        VectorIndex.searchIvfPq(spark, vecPath, queries).count())
+      println(f"[scaleprobe] vecidx compact=$tVecCompact%.3fs files=${dataFiles(s"$vecPath/codes")}%6d searchAfter=$tVecAfter%.3fs")
+    }
     spark.stop()
   }
 }

@@ -56,8 +56,14 @@ object BandIndex {
     TextOps.shingles(docs).select("doc_id", "s")
       .withColumn("dp", dp(col("doc_id")))
 
-  private def hasShingles(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/shingles")
+  private def hasShingles(spark: SparkSession, path: String): Boolean =
+    dirExists(spark, s"$path/shingles")
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    dirExists(spark, s"$path/tombstones")
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -93,6 +99,20 @@ object BandIndex {
     */
   def append(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
+    // a batch doc that is currently tombstoned would be suppressed by
+    // the same anti-join that hides its old rows, then dropped WITH
+    // them at the next compaction — reject loudly instead of losing
+    // data (bounded probe: broadcast tombstone list, first hit only)
+    if (hasTombstones(spark, path)) {
+      val hit = newDocs.select("doc_id")
+        .join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+        .limit(1).collect()
+      if (hit.nonEmpty)
+        throw new IllegalArgumentException(
+          s"BandIndex.append: doc_id=${hit(0).getLong(0)} is tombstoned — " +
+            "run compact before re-adding a deleted id")
+    }
     if (hasShingles(spark, path))
       shinglesOf(newDocs)
         .repartition(col("dp"))
@@ -128,11 +148,72 @@ object BandIndex {
     val bb = TextOps.minhashBands(newDocs).localCheckpoint()
     val prefixes = bb.select(bkp(col("bk")).as("p")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val corpusBands = spark.read.parquet(s"$path/bands")
+    val pruned = spark.read.parquet(s"$path/bands")
       .filter(col("bkp").isin(prefixes: _*))
       .select("doc_id", "band", "bk")
+    // deleted docs are suppressed at the band read (bounded broadcast
+    // anti-join) — a doc with no surviving bands can never become a
+    // collider, so the shingle store needs no filter of its own
+    val corpusBands =
+      if (hasTombstones(spark, path))
+        pruned.join(
+          broadcast(spark.read.parquet(s"$path/tombstones")
+            .select("doc_id").distinct()),
+          Seq("doc_id"), "left_anti")
+      else pruned
     TextOps.incrementalNearDupFrom(bb, newDocs, corpusBands,
       prunedShingleRead(spark, path, _), minJaccard, broadcastBatch)
+  }
+
+  /** Delete docs from the index by id — the between-rebuilds
+    * maintenance twin of [[VectorIndex.deleteFromIvfPq]]. Logical
+    * delete: ids land in an append-only `tombstones/` table that
+    * [[classify]]'s band read anti-joins (broadcast — bounded by
+    * deletes since the last compaction), so verdicts exclude them
+    * immediately while no prefix directory is rewritten.
+    * [[compact]] physically drops the rows and clears the table.
+    * Re-adding a deleted id is rejected loudly by [[append]] until a
+    * compaction physically removes the old rows — compact first.
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "BandIndex.delete: empty id list")
+    import spark.implicits._
+    ids.toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Maintenance: fold tombstones into the stores and rewrite each
+    * prefix directory's accumulated append fragments to one file — the
+    * file-count debt a long-running [[append]] ingest accumulates (one
+    * file per touched prefix per batch), same policy dial as queue-ack
+    * compaction ([[Extractors.compactQueue]]). REQUIRES a quiesced
+    * producer: an append between the staged rewrite and the swap is
+    * lost. Classify results are unchanged (spec-pinned). Crash-safe
+    * order: bands, then shingles, then the tombstone table — replaying
+    * the anti-join rewrite after a crash is a no-op, and the tombstone
+    * list keeps suppressing until it is the last thing deleted.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    def survivors(df: DataFrame): DataFrame =
+      if (hasTombstones(spark, path))
+        df.join(
+          broadcast(spark.read.parquet(s"$path/tombstones")
+            .select("doc_id").distinct()),
+          Seq("doc_id"), "left_anti")
+      else df
+    graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
+      s"$path/bands",
+      survivors(spark.read.parquet(s"$path/bands"))
+        .repartition(col("bkp")), "bkp")
+    if (hasShingles(spark, path))
+      graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
+        s"$path/shingles",
+        survivors(spark.read.parquet(s"$path/shingles"))
+          .repartition(col("dp")), "dp")
+    if (hasTombstones(spark, path)) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** The verification leg's corpus-side shingle table, pruned by the

@@ -86,11 +86,21 @@ object VectorIndex {
     model.copy(codes = loadCodes(spark, path))
   }
 
-  private def loadCodes(spark: SparkSession, path: String): DataFrame =
+  private def loadCodes(spark: SparkSession, path: String): DataFrame = {
     // cell comes back as the partition column; vec_id/codes from the
     // files. Schema order differs from the in-memory model (partition
     // cols go last) — the search plan joins by name, so it cannot care.
-    spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(s"$path/codes")
+    // deleted ids are suppressed at load: the tombstone table is a
+    // bounded id list (broadcast anti-join), so every search — probe,
+    // ADC, rerank — sees only survivors through the one shared plan.
+    // Physical removal is compactIvfPq's job.
+    if (hasTombstones(spark, path))
+      codes.join(broadcast(
+        spark.read.parquet(s"$path/tombstones").select("vec_id").distinct()),
+        Seq("vec_id"), "left_anti")
+    else codes
+  }
 
   /** Load a persisted index's trained state; the code table stays a
     * lazy parquet scan pruned per search.
@@ -143,6 +153,20 @@ object VectorIndex {
     */
   def addToIvfPq(spark: SparkSession, path: String,
                  newVectors: DataFrame): VectorOps.IvfPqModel = {
+    // a batch id that is currently tombstoned would be suppressed by
+    // the same anti-join that hides its old row, then dropped WITH it
+    // at the next compaction — reject loudly instead of losing data
+    // (bounded probe: broadcast tombstone list, first hit only)
+    if (hasTombstones(spark, path)) {
+      val hit = newVectors.select("vec_id")
+        .join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .select("vec_id").distinct()), Seq("vec_id"), "left_semi")
+        .limit(1).collect()
+      if (hit.nonEmpty)
+        throw new IllegalArgumentException(
+          s"addToIvfPq: vec_id=${hit(0).getLong(0)} is tombstoned — " +
+            "run compactIvfPq before re-adding a deleted id")
+    }
     val model = loadIvfPq(spark, path)
     val enc = VectorOps.encodeIntoModel(model, newVectors).localCheckpoint()
     // an index that stores raw vectors ([[writeIvfPq]] storeVectors)
@@ -164,9 +188,70 @@ object VectorIndex {
     model.copy(codes = loadCodes(spark, path))
   }
 
-  private def hasVectors(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/vectors")
+  private def hasVectors(spark: SparkSession, path: String): Boolean =
+    dirExists(spark, s"$path/vectors")
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    dirExists(spark, s"$path/tombstones")
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Delete vectors from a persisted index by id — the
+    * between-rebuilds maintenance a production ANN index needs.
+    * Logical delete: the ids land in an append-only `tombstones/`
+    * table that every code load anti-joins (broadcast — the list is
+    * bounded by deletes since the last compaction), so search results
+    * exclude them immediately while no cell directory is rewritten —
+    * O(delete batch), never O(corpus). [[compactIvfPq]] physically
+    * drops the rows and clears the table.
+    *
+    * Deleting an id that was never indexed is a no-op. RE-ADDING a
+    * deleted id is rejected loudly by [[addToIvfPq]] until a
+    * compaction physically removes the old row: the tombstone
+    * suppresses by id, so the re-added row would be invisible too and
+    * then dropped WITH the old one at the next compaction — silent
+    * loss. Compact first.
+    */
+  def deleteFromIvfPq(spark: SparkSession, path: String,
+                      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "deleteFromIvfPq: empty id list")
+    import spark.implicits._
+    ids.toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Maintenance: fold tombstones into the stores and rewrite each
+    * cell directory's accumulated append fragments to one file — the
+    * file-count debt a long-running [[addToIvfPq]] ingest accumulates
+    * (one file per touched cell per batch), same policy dial as
+    * queue-ack compaction ([[Extractors.compactQueue]]). REQUIRES a
+    * quiesced producer: an append between the staged rewrite and the
+    * swap is lost. Search results are unchanged (spec-pinned): the
+    * rewrite drops exactly the rows the tombstone anti-join already
+    * suppressed. Crash-safe order: codes, then vectors, then the
+    * tombstone table — replaying the anti-join rewrite after a crash
+    * is a no-op, and the tombstone list keeps suppressing until it is
+    * the last thing deleted.
+    */
+  def compactIvfPq(spark: SparkSession, path: String): Unit = {
+    // loadCodes is already the survivor view (tombstones anti-joined)
+    graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
+      s"$path/codes",
+      loadCodes(spark, path).repartition(col("cell")), "cell")
+    if (hasVectors(spark, path)) {
+      val survivors = spark.read.parquet(s"$path/vectors")
+        .join(loadCodes(spark, path).select("vec_id"), Seq("vec_id"),
+          "left_semi")
+      graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
+        s"$path/vectors", survivors.repartition(col("cell")), "cell")
+    }
+    if (hasTombstones(spark, path)) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** Top-k ADC search against a persisted index. `queries` are raw

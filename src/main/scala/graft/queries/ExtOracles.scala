@@ -516,6 +516,31 @@ object ExtOracles {
          |SELECT w AS token, count(*) AS exact_n, TRUE AS probe_ok FROM tokw
          |GROUP BY w ORDER BY exact_n DESC, token LIMIT 10""".stripMargin,
 
+    // the sketch_cms pattern for the HLL++ estimate: the query outputs
+    // the exact distinct count (replayed here) plus est_ok, the
+    // documented-error invariant — constant TRUE in SQL, real sketch
+    // computation on the Spark side
+    "approx_distinct" ->
+      """SELECT lang, count(DISTINCT source) AS exact_sources,
+        |  count(*) AS n, TRUE AS est_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same pattern for the merged per-(lang,source) HLL rollup: exact
+    // distinct docs per lang replayed; est_ok is the lgK=12 bound
+    "hll_partitioned" ->
+      """SELECT lang, count(DISTINCT doc_id) AS exact_docs,
+        |  count(*) AS "rows", TRUE AS est_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same pattern for GK rank error: group totals replayed; the rank
+    // invariants are constant TRUE in SQL, checked for real against
+    // the orders scan on the Spark side
+    "percentile_sketch" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  TRUE AS rank50_ok, TRUE AS rank90_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // hybrid retrieval: the bm25 pipeline (same CTEs as text_bm25, top
     // 50), the cosine pipeline (same shape as embed_topk, query vec 0,
     // top 50), ranks fused with 1/(60+rank); double division forced —

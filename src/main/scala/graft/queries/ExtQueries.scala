@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{CorpusOps, GraphOps, TextOps, VectorOps}
@@ -260,11 +260,23 @@ object ExtQueries {
     * algorithms differ across engines; the operator coverage is the
     * point, exactness is meaningless for a sketch).
     */
+  /** HLL++ distinct-source estimate per lang, audited in-query against
+    * the exact count — the `sketch_cms` oracle pattern: the sketch
+    * estimate itself isn't SQL-replayable, so the query OUTPUTS the
+    * exact side (replayed by DuckDB) plus `est_ok`, the documented
+    * error-bound invariant (|est − exact| ≤ 5·rsd·exact + 1, rsd =
+    * 0.01) — constant TRUE in the oracle, real sketch computation on
+    * the Spark side: an estimator regression flips it and goes red.
+    */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .groupBy("lang")
-      .agg(approx_count_distinct(col("source"), 0.01).as("approx_sources"),
+      .agg(approx_count_distinct(col("source"), 0.01).as("est"),
+        countDistinct(col("source")).as("exact_sources"),
         count(lit(1)).as("n"))
+      .select(col("lang"), col("exact_sources"), col("n"),
+        (abs(col("est") - col("exact_sources")) <=
+          col("exact_sources") * 0.05 + lit(1)).as("est_ok"))
       .orderBy("lang")
 
   def textSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -274,36 +286,66 @@ object ExtQueries {
     * exist for: per-(lang, source) HLL sketches built in one pass, then
     * MERGED per lang (not re-scanned) for the distinct-doc estimate.
     * At 100 TB the first level runs once at ingest and persists; every
-    * rollup after it is sketch-merge work over kilobytes. (rows-only:
-    * datasketches HLL internals aren't SQL-replayable; exactness is
-    * bounded in `SketchSpec`.)
+    * rollup after it is sketch-merge work over kilobytes. Audited
+    * in-query like [[approxDistinct]]: `est_ok` asserts the merged
+    * estimate within the lgK = 12 error bound (rse ≈ 1.04/√2¹² ≈
+    * 0.016; 5·rse + 1 slack) of the exact distinct count, which DuckDB
+    * replays exactly.
     */
   def hllPartitioned(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .groupBy("lang", "source")
       .agg(expr("hll_sketch_agg(doc_id, 12)").as("sk"),
+        expr("count(distinct doc_id)").as("ex"),
         count(lit(1)).as("n"))
       .groupBy("lang")
       .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as bigint)")
-          .as("approx_docs"),
+          .as("est"),
+        sum("ex").as("exact_docs"),
         sum("n").as("rows"))
+      .select(col("lang"), col("exact_docs"), col("rows"),
+        (abs(col("est") - col("exact_docs")) <=
+          col("exact_docs") * (5 * 1.04 / math.sqrt(1 << 12)) + lit(1))
+          .as("est_ok"))
       .orderBy("lang")
 
   /** Approximate percentiles per group (Greenwald–Khanna sketch) — the
     * single-pass, merge-combinable companion to the exact
     * `percentile_agg`: at 100 TB the exact interpolated percentile
     * needs a per-group sort, the sketch needs one streaming pass.
-    * (rows-only; error vs exact is bounded in `SketchSpec`.)
+    * Audited in-query by GK's own guarantee: the returned value's TRUE
+    * rank must sit within ε·n of the requested rank (ε = 1/accuracy =
+    * 1e-4, +1 slack for the discrete boundary). The rank check joins
+    * the 5-row estimate table back to the orders scan (broadcast) and
+    * counts strictly-below / at-or-below in one pass; `rank50_ok` /
+    * `rank90_ok` replay as constant TRUE while `n` pins the exact
+    * side — the [[sketchCms]] oracle pattern for rank error.
     */
-  def percentileSketch(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Tables.orders(spark, dir)
+  def percentileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val est = orders
       .groupBy("o_orderpriority")
       .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)")
         .as("pcts"))
       .select(col("o_orderpriority"),
-        round(element_at(col("pcts"), 1), 2).as("p50"),
-        round(element_at(col("pcts"), 2), 2).as("p90"))
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"))
+    val eps = 1.0 / 10000
+    def rankOk(q: Double, lt: Column, le: Column) =
+      (le >= ceil((lit(q) - eps) * col("n")) - 1) &&
+        (lt <= floor((lit(q) + eps) * col("n")) + 1)
+    orders.join(broadcast(est), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("o_totalprice") < col("p90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("o_totalprice") <= col("p90"), 1L).otherwise(0L)).as("le90"))
+      .select(col("o_orderpriority"), col("n"),
+        rankOk(0.5, col("lt50"), col("le50")).as("rank50_ok"),
+        rankOk(0.9, col("lt90"), col("le90")).as("rank90_ok"))
       .orderBy("o_orderpriority")
+  }
 
   /** Heavy-hitter tokens via the approx_top_k sketch — the
     * frequent-items pass a corpus diagnostic runs without a full

