@@ -378,13 +378,63 @@ object ExtOracles {
     // subword characters must sum to the space-free text length and the
     // concatenation must reconstruct it (ExtQueries.textBpeRoundtrip
     // computes both FROM the kernel's tokens; any dropped/duplicated/
-    // reordered code point diverges). text_bpe_tokens itself is
-    // rows-only — a trained subword vocabulary is not SQL-replayable.
+    // reordered code point diverges).
     "text_bpe_roundtrip" ->
       """SELECT doc_id,
         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
         |  true AS intact
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // FULL replay of the rank-greedy BPE tokenizer from the exported
+    // trained merge table (the OracleArtifacts posture: training stays
+    // outside SQL, everything downstream is independent). Word state
+    // rides as symbols joined by DOUBLED chr(1) separators with chr(1)
+    // sentinels at both ends: the pair pattern  ^Al^A^Ar^A  then (a)
+    // can never match across a symbol boundary, and (b) leaves one
+    // separator on each side after replacement, so DuckDB's
+    // left-to-right non-overlapping replace() implements EXACTLY the
+    // kernel's mergeOnce pass ("aaa" under (a,a) → ["aa","a"]). The
+    // recursion applies the lowest-rank applicable pair per step
+    // (LATERAL argmin — the kernel's rank-greedy loop); a terminal
+    // state produces no successor, and `final` keeps exactly the
+    // states with no applicable merge. Code points, not bytes: RE2's
+    // '.' matches one rune, matching the kernel's codePointSymbols.
+    "text_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         |m AS (SELECT rnk, chr(1)||l||chr(1)||chr(1)||r||chr(1) AS pat,
+         |             chr(1)||l||r||chr(1) AS rep
+         |      FROM read_parquet('${OracleArtifacts.pathFor("bpe_merges")}/*.parquet')),
+         |tokw AS (SELECT doc_id,
+         |           generate_subscripts(string_split(text, ' '), 1) AS wpos,
+         |           unnest(string_split(text, ' ')) AS w FROM documents),
+         |words AS (SELECT DISTINCT w FROM tokw WHERE w <> ''),
+         |seg(w, state) AS (
+         |  SELECT w, chr(1)||chr(1)||
+         |    list_aggregate(regexp_extract_all(w, '.'), 'string_agg',
+         |                   chr(1)||chr(1))||chr(1)||chr(1)
+         |  FROM words
+         |  UNION ALL
+         |  SELECT s.w, replace(s.state, b.pat, b.rep)
+         |  FROM seg s
+         |  JOIN LATERAL (SELECT pat, rep FROM m
+         |                WHERE position(m.pat IN s.state) > 0
+         |                ORDER BY rnk LIMIT 1) b ON true),
+         |final AS (SELECT w, state FROM seg s
+         |          WHERE NOT EXISTS (SELECT 1 FROM m
+         |                            WHERE position(m.pat IN s.state) > 0)),
+         |wordtok AS (SELECT w,
+         |              replace(trim(state, chr(1)), chr(1)||chr(1), ' ') AS wt
+         |            FROM final),
+         |perdoc AS (SELECT t.doc_id,
+         |             coalesce(string_agg(k.wt, ' ' ORDER BY t.wpos), '') AS stream
+         |           FROM tokw t JOIN wordtok k ON t.w = k.w
+         |           GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN coalesce(p.stream, '') = '' THEN 0
+         |       ELSE len(string_split(p.stream, ' ')) END AS BIGINT) AS n_tokens,
+         |  md5(coalesce(p.stream, '')) AS toks_digest
+         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // replays TextOps.piiScrub over the same derived-PII text; DuckDB
     // regexp_replace needs the 'g' flag for replace-all (Spark's default)

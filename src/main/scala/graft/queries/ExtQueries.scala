@@ -221,14 +221,23 @@ object ExtQueries {
   /** Subword tokenization of the corpus with the trained merge table —
     * per doc the token count and an order-sensitive digest of the token
     * stream (tokens are whitespace-free, so the space-joined digest is
-    * collision-free). Rows-only at the gate (a trained subword
-    * vocabulary is not SQL-replayable); exactness is spec-pinned
-    * (`BpeSpec`: reference-implementation equality, trainer-replay
-    * guarantee) and the character-conservation leg is hash-checked by
-    * `text_bpe_roundtrip`.
+    * collision-free). HASH-CHECKED at the gate via the
+    * [[OracleArtifacts]] posture: the trained merge table (bounded,
+    * deterministic — ≤ numMerges rows) is exported as parquet, and the
+    * DuckDB oracle replays the ENTIRE rank-greedy tokenizer from it in
+    * a recursive CTE (lowest-rank adjacent pair, all occurrences
+    * merged left-to-right, repeat) — training stays outside SQL,
+    * everything downstream is independently recomputed. Exactness of
+    * the TRAINER is additionally spec-pinned (`BpeSpec`).
     */
   def textBpeTokens(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.bpeTokens(bpeMerges(spark, dir))
+    val merges = bpeMerges(spark, dir)
+    OracleArtifacts.export(dir, "bpe_merges") {
+      import spark.implicits._
+      merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+        .toDF("rnk", "l", "r")
+    }
+    val toks = TextOps.bpeTokens(merges)
     docs(spark, dir).select(col("doc_id"),
       size(toks).cast("bigint").as("n_tokens"),
       md5(concat_ws(" ", toks)).as("toks_digest"))
@@ -256,10 +265,6 @@ object ExtQueries {
     TextOps.bm25TopK(docs(spark, dir),
       terms = Seq("fast", "join", "table"), k = 10)
 
-  /** HLL sketch distinct counts (rows-only driver check — approx
-    * algorithms differ across engines; the operator coverage is the
-    * point, exactness is meaningless for a sketch).
-    */
   /** HLL++ distinct-source estimate per lang, audited in-query against
     * the exact count — the `sketch_cms` oracle pattern: the sketch
     * estimate itself isn't SQL-replayable, so the query OUTPUTS the
