@@ -121,6 +121,13 @@ object ScaleProbe {
       val tRec2k = secs(TextOps.bpeTrainRecount(synth, numMerges = 2000))
       println(f"[scaleprobe] synth30k bpe inc2000=$tInc2k%.2fs recount2000=$tRec2k%.2fs " +
         f"(learned=$l2k) recount/inc@2000=${tRec2k / tInc2k}%.1f")
+      // the production budget: 32k merges exhausts this vocabulary
+      // (runs dry mid-budget); the lazy-heap argmax keeps the whole
+      // run in seconds where the linear scan alone took 80 s (recount
+      // at this budget extrapolates to ~15 min — not run per probe)
+      var l32k = 0
+      val tInc32k = secs { l32k = TextOps.bpeTrain(synth, numMerges = 32000).size }
+      println(f"[scaleprobe] synth30k bpe inc32000=$tInc32k%.2fs (learned=$l32k, ran dry)")
     }
 
     // 5. queue-ack compaction threshold (SF-independent — fabricated

@@ -1077,6 +1077,47 @@ object TextOps {
     (best, bestN)
   }
 
+  /** Lazy max-heap over pair counts — the argmax the incremental
+    * trainer pops each merge. The linear scan ([[bpeBestPair]],
+    * retained as the recount twin's argmax and this heap's equivalence
+    * oracle) is O(live pairs) per merge, which DOMINATES once merges
+    * grow past a few thousand (measured: 6.4 ms/merge by 12k merges on
+    * the 30k-word synth vocab — the scan, not the update). Standard
+    * lazy-deletion discipline: every count update pushes a fresh
+    * (count, pair) snapshot; a popped entry is valid iff it still
+    * equals the live map's count (covers decrements, increments AND
+    * removals); stale entries are discarded on pop. Total pushes are
+    * bounded by total count updates — the same O(affected symbols)
+    * the incremental update already pays. Ordering matches
+    * [[bpeBestPair]] exactly: count desc, then pair lexicographic asc.
+    */
+  private final class BpePairHeap {
+    private val ord = new Ordering[(Long, (String, String))] {
+      def compare(a: (Long, (String, String)),
+                  b: (Long, (String, String))): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        // equal counts: the LEXICOGRAPHICALLY SMALLER pair must win the
+        // max-heap, so compare reversed
+        if (c != 0) c else bpePairOrd.compare(b._2, a._2)
+      }
+    }
+    private val pq =
+      scala.collection.mutable.PriorityQueue.empty[(Long, (String, String))](ord)
+    def push(pair: (String, String), n: Long): Unit = pq.enqueue((n, pair))
+    /** Highest live (pair, count), discarding stale snapshots; (null, 0)
+      * when no live pair remains.
+      */
+    def popBest(counts: scala.collection.Map[(String, String), Long])
+        : ((String, String), Long) = {
+      while (pq.nonEmpty) {
+        val (n, p) = pq.head
+        if (counts.get(p).contains(n)) return (p, n)
+        pq.dequeue()
+      }
+      (null, 0L)
+    }
+  }
+
   def bpeTrain(docs: DataFrame, numMerges: Int = 200,
       maxWords: Int = 50000): Seq[(String, String)] = {
     import graft.functions.BpeTokens
@@ -1105,9 +1146,13 @@ object TextOps {
         i += 1
       }
     }
+    // lazy max-heap argmax (see [[BpePairHeap]]): seeded from the
+    // final initial counts, refreshed by a push on every update below
+    val heap = new BpePairHeap
+    for ((p, n) <- counts) heap.push(p, n)
     var done = words.isEmpty
     while (!done && merges.size < numMerges) {
-      val (best, bestN) = bpeBestPair(counts)
+      val (best, bestN) = heap.popBest(counts)
       if (best == null || bestN < 2) done = true
       else {
         merges += best
@@ -1123,14 +1168,17 @@ object TextOps {
             while (i < syms.length - 1) {
               val p = (syms(i), syms(i + 1))
               val c = counts(p) - n
-              if (c <= 0L) counts.remove(p) else counts.update(p, c)
+              if (c <= 0L) counts.remove(p)
+              else { counts.update(p, c); heap.push(p, c) }
               i += 1
             }
             words(idx) = (merged, n)
             i = 0
             while (i < merged.length - 1) {
               val p = (merged(i), merged(i + 1))
-              counts.update(p, counts.getOrElse(p, 0L) + n)
+              val c = counts.getOrElse(p, 0L) + n
+              counts.update(p, c)
+              heap.push(p, c)
               where.getOrElseUpdate(p,
                 scala.collection.mutable.HashSet.empty[Int]) += idx
               i += 1
