@@ -38,6 +38,21 @@ private[graft] object BenchUtil {
     sc.getPersistentRDDs.filterNot { case (id, _) => beforeIds(id) }
       .values.foreach(_.unpersist(blocking = false))
 
+  /** Count the parquet data files under `dir` (recursive), skipping
+    * `.__staging_`/`.__old_` directories a killed atomic rewrite can
+    * leave behind — ONE implementation for the compaction probe and
+    * the file-count specs, so they can never count differently.
+    */
+  def parquetDataFiles(dir: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) {
+        if (f.getName.contains(".__staging_") ||
+            f.getName.contains(".__old_")) Seq.empty
+        else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      } else Seq(f)
+    walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+  }
+
   /** Bloom-prefilter selectivity measurement over distinct gram
     * tables — ONE implementation shared by [[ScaleProbe]] and
     * `DecontaminateSpec` so the published numbers and the spec's

@@ -184,11 +184,7 @@ object ScaleProbe {
       import spark.implicits._
       import org.apache.spark.sql.functions.col
       import graft.operators.{BandIndex, VectorIndex}
-      def dataFiles(dir: String): Int = {
-        def walk(f: java.io.File): Seq[java.io.File] =
-          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-        walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
-      }
+      def dataFiles(dir: String): Int = BenchUtil.parquetDataFiles(dir)
       val rnd = new scala.util.Random(17)
       def syntheticDoc(i: Long) = (i, Array.fill(30)(
         "abcdefghijklmnopqrstuvwxyz"(rnd.nextInt(26)).toString * (1 + rnd.nextInt(3)))
@@ -198,6 +194,10 @@ object ScaleProbe {
       val probeBatch = (100000L until 100010L).map(syntheticDoc)
         .toDF("doc_id", "text").localCheckpoint()
 
+      // appends + classifies pin per-call localCheckpoints (batch band
+      // tables, encode outputs) — snapshot and release like the other
+      // legs so the later timings measure on a clean BlockManager
+      val beforeIdx = sc.getPersistentRDDs.keySet.toSet
       val bandPath = java.nio.file.Files
         .createTempDirectory("probe-bandidx").toString
       BandIndex.write(corpus, bandPath)
@@ -217,6 +217,7 @@ object ScaleProbe {
       val tBandAfter = BenchUtil.minOf(3)(
         BandIndex.classify(spark, bandPath, probeBatch).count())
       println(f"[scaleprobe] bandidx compact=$tBandCompact%.3fs files=${dataFiles(s"$bandPath/bands")}%6d classifyAfter=$tBandAfter%.3fs")
+      BenchUtil.releaseNewRdds(sc, beforeIdx)
 
       val emb = graft.sources.Tables.embeddings(spark, dirs.head)
         .localCheckpoint()
@@ -242,6 +243,7 @@ object ScaleProbe {
       val tVecAfter = BenchUtil.minOf(3)(
         VectorIndex.searchIvfPq(spark, vecPath, queries).count())
       println(f"[scaleprobe] vecidx compact=$tVecCompact%.3fs files=${dataFiles(s"$vecPath/codes")}%6d searchAfter=$tVecAfter%.3fs")
+      BenchUtil.releaseNewRdds(sc, beforeIdx)
     }
     spark.stop()
   }

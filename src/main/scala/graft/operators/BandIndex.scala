@@ -67,7 +67,12 @@ object BandIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Build the index for `docs` at `path` (overwrite).
+  /** Build the index for `docs` at `path` (overwrite). The WHOLE path
+    * is cleared first: a rebuild must not inherit the previous
+    * generation's `tombstones/` (its deletes would wrongly suppress
+    * re-indexed docs) or a stale `shingles/` from a
+    * `storeShingles = true` build (classify's verification would
+    * silently join the OLD corpus's shingle sets).
     *
     * @param storeShingles also persist the raw shingle sets under
     *   `shingles/` so [[classify]]'s verification leg is served from
@@ -77,6 +82,10 @@ object BandIndex {
     */
   def write(docs: DataFrame, path: String,
             storeShingles: Boolean = false): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     bandsOf(docs)
       .repartition(col("bkp"))
       .write.mode("overwrite").partitionBy("bkp")
@@ -94,8 +103,17 @@ object BandIndex {
     * shape). Shingles go FIRST: a failure between the two appends then
     * leaves orphan shingles (never consulted — verification starts
     * from band collisions), whereas the reverse order would leave
-    * bands whose verification silently finds no shingles. Caller
-    * contract: ids not already indexed; one append at a time.
+    * bands whose verification silently finds no shingles. The shingle
+    * append additionally SKIPS docs whose shingles are already stored
+    * (a doc-id-prefix-pruned presence probe, bounded by the batch), so
+    * the natural crash-retry — re-appending a batch whose first
+    * attempt died between the two writes — heals the missing bands
+    * without doubling the survivor's shingle rows (doubled rows would
+    * inflate every later exact-Jaccard verdict against that doc).
+    * A full retry of a fully-committed append leaves duplicate BAND
+    * rows — harmless for verdicts (the pair join is distinct) and
+    * folded by the next [[compact]]'s rewrite of row storage, but not
+    * deduplicated there. Caller contract: one append at a time.
     */
   def append(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
@@ -113,11 +131,20 @@ object BandIndex {
           s"BandIndex.append: doc_id=${hit(0).getLong(0)} is tombstoned — " +
             "run compact before re-adding a deleted id")
     }
-    if (hasShingles(spark, path))
+    if (hasShingles(spark, path)) {
+      val dps = newDocs.select(dp(col("doc_id")).as("p")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val present = spark.read.parquet(s"$path/shingles")
+        .filter(col("dp").isin(dps: _*))
+        .select("doc_id").distinct()
+        .join(broadcast(newDocs.select("doc_id").distinct()),
+          Seq("doc_id"), "left_semi")
       shinglesOf(newDocs)
+        .join(present, Seq("doc_id"), "left_anti")
         .repartition(col("dp"))
         .write.mode("append").partitionBy("dp")
         .parquet(s"$path/shingles")
+    }
     bandsOf(newDocs)
       .repartition(col("bkp"))
       .write.mode("append").partitionBy("bkp")

@@ -397,9 +397,16 @@ object TextOps {
       minJaccard: Double, broadcastBatch: Boolean): DataFrame = {
     val bcast: DataFrame => DataFrame =
       if (broadcastBatch) broadcast else identity
+    // c.doc_id =!= b.doc_id: a doc is never a near-dup of ITSELF — on
+    // the disjoint-id ingest contract the predicate is a no-op, but a
+    // replayed micro-batch (crash after index append, before the
+    // stream checkpoint commit) re-classifies docs the index already
+    // holds, and without it they would self-match into a contradictory
+    // 'near_dup_of_corpus(match_doc = self)' verdict
     val corpusPairs = corpusBands.as("c")
       .join(bcast(bb).as("b"),
-        col("c.band") === col("b.band") && col("c.bk") === col("b.bk"))
+        col("c.band") === col("b.band") && col("c.bk") === col("b.bk") &&
+          col("c.doc_id") =!= col("b.doc_id"))
       .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("other"))
       .distinct()
     val batchPairs = bb.as("x")

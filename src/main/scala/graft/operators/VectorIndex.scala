@@ -58,6 +58,15 @@ object VectorIndex {
     val spark = embeddings.sparkSession
     val model = VectorOps.buildIvfPqModel(embeddings, nlist, Auto, m, kCent,
       maxTrainRows, pqTrainRows)
+    // a rebuild must not inherit the previous generation's state: a
+    // stale tombstones/ would suppress re-indexed ids from every read
+    // (including the vectors/ join below), and a stale vectors/ from a
+    // storeVectors build would serve the OLD corpus to rerank. Cleared
+    // after training (nothing to lose before the first write), so a
+    // training failure leaves the old index untouched.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
     // one file per cell: the shuffle groups each cell's codes into a
     // single task before the partitioned write — without it every
     // shuffle partition appends a fragment to every cell directory
@@ -142,11 +151,14 @@ object VectorIndex {
     * the same policy dial as queue-ack compaction
     * ([[Extractors.compactQueue]]).
     *
-    * Caller contract: `vec_id`s not already in the index (an upsert
-    * would need a rewrite of the touched cells — deliberately not this
-    * operator); one add at a time (two concurrent appends to the same
-    * cell directory are a parquet-commit race, same as any Spark
-    * append).
+    * Already-indexed `vec_id`s are SKIPPED per store (cell-pruned
+    * presence probe), making the add idempotent under crash-retry —
+    * note this is skip-not-upsert: re-adding an id with DIFFERENT
+    * vector data keeps the stored rows (an upsert would need a rewrite
+    * of the touched cells — deliberately not this operator; delete +
+    * compact + add is the explicit path). Caller contract: one add at
+    * a time (two concurrent appends to the same cell directory are a
+    * parquet-commit race, same as any Spark append).
     *
     * @return the updated model with `codes` re-pointed at the combined
     *         parquet
@@ -169,6 +181,23 @@ object VectorIndex {
     }
     val model = loadIvfPq(spark, path)
     val enc = VectorOps.encodeIntoModel(model, newVectors).localCheckpoint()
+    // idempotency under crash-retry: each store skips ids it already
+    // holds (a cell-pruned presence probe — the batch's cells bound the
+    // read; the broadcast batch-id semi-join bounds the match), so
+    // replaying a half-committed add heals exactly the missing half
+    // instead of doubling rows (doubled vectors/ rows would emit
+    // duplicate rerank candidates; doubled codes/ rows duplicate ADC
+    // candidates). Re-adding an already-indexed id is therefore a
+    // silent no-op for that store — the ingest retry contract.
+    val touched = enc.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    def missingFrom(store: String, df: DataFrame): DataFrame = {
+      val present = spark.read.parquet(s"$path/$store")
+        .filter(col("cell").isin(touched: _*))
+        .select("vec_id")
+        .join(broadcast(enc.select("vec_id")), Seq("vec_id"), "left_semi")
+      df.join(present, Seq("vec_id"), "left_anti")
+    }
     // an index that stores raw vectors ([[writeIvfPq]] storeVectors)
     // must keep its refine store complete too — append the batch's
     // vectors under the same frozen cell assignment. Vectors go FIRST:
@@ -177,12 +206,14 @@ object VectorIndex {
     // reverse order would leave code rows whose refine join silently
     // drops them from rerank results
     if (hasVectors(spark, path))
-      newVectors.select(col("vec_id"), col("embedding"))
-        .join(enc.select("vec_id", "cell"), "vec_id")
+      missingFrom("vectors",
+        newVectors.select(col("vec_id"), col("embedding"))
+          .join(enc.select("vec_id", "cell"), "vec_id"))
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell")
         .parquet(s"$path/vectors")
-    enc.repartition(col("cell"))
+    missingFrom("codes", enc)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$path/codes")
     model.copy(codes = loadCodes(spark, path))

@@ -198,9 +198,13 @@ object StreamingPipeline {
     * Exactly-once note: the verdict write and the index append are two
     * separate parquet commits — a crash between them replays the
     * trigger and can duplicate verdict rows (downstream dedups on
-    * doc_id, same as every foreachBatch sink here), but the index
-    * append is guarded by the classify itself: replayed docs classify
-    * as near-dups of their first ingest and are not re-appended.
+    * doc_id, same as every foreachBatch sink here). The duplicates are
+    * CONSISTENT: classify excludes self-matches (a replayed doc that
+    * already reached the index does not collide with its own rows), so
+    * the replay re-emits the original verdict, and the re-append is
+    * healed by the index's own idempotency ([[graft.operators
+    * .BandIndex.append]] skips already-stored shingles; duplicate band
+    * rows are harmless for verdicts).
     */
   def incrementalNearDupIndexStream(docs: DataFrame, indexPath: String,
       verdictPath: String, checkpoint: String,

@@ -311,11 +311,6 @@ class DedupTransformerSpec extends SparkSpec {
     // pins the verdicts; fragment files fold to one per directory
     BandIndex.append(mk(Seq((4L, "yet another brand new document body with words"))), path)
     val before = rows(BandIndex.classify(spark, path, batch, minJaccard = 0.5))
-    def dataFiles(dir: String) = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
-    }
     val bandDirs = new java.io.File(s"$path/bands").listFiles()
       .count(_.isDirectory)
     BandIndex.compact(spark, path)
@@ -326,7 +321,7 @@ class DedupTransformerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/shingles")
       .filter(col("doc_id") === 3L).count() === 0,
       "compaction left tombstoned shingle rows behind")
-    assert(dataFiles(s"$path/bands").size <= bandDirs,
+    assert(BenchUtil.parquetDataFiles(s"$path/bands") <= bandDirs,
       "expected at most one file per prefix directory after compaction")
     assert(rows(BandIndex.classify(spark, path, batch, minJaccard = 0.5)) == before,
       "classify results changed across compaction")
@@ -334,6 +329,54 @@ class DedupTransformerSpec extends SparkSpec {
     BandIndex.append(corpus.filter(col("doc_id") === 3L), path)
     assert(rows(BandIndex.classify(spark, path, batch))
       .find(_._1 == 11L).get._2 == "near_dup_of_corpus")
+  }
+
+  test("band index lifecycle edges: rebuild clears old state; append retry heals; self-match excluded") {
+    import graft.operators.{BandIndex, TextOps}
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    val corpus = mk(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different corpus content about spark plans and joins")))
+      .localCheckpoint()
+    val path = tmpDir("band-edges")
+
+    // rebuild must not inherit tombstones: delete doc 1, rebuild, and
+    // doc 1's near-dups must match again (stale tombstones would
+    // suppress them with no error)
+    BandIndex.write(corpus, path, storeShingles = true)
+    BandIndex.delete(spark, path, Seq(1L))
+    BandIndex.write(corpus, path, storeShingles = true)
+    val batch = mk(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again")))
+    val v = BandIndex.classify(spark, path, batch, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v == Seq((10L, "near_dup_of_corpus")),
+      s"rebuild inherited stale tombstones: $v")
+    // ...and a bands-only rebuild must not leave the old shingle store
+    // behind (verified classify would silently join stale shingles)
+    BandIndex.write(corpus, path)
+    intercept[IllegalArgumentException] {
+      BandIndex.classify(spark, path, batch, minJaccard = 0.5)
+    }
+
+    // append retry (the crash-between-stores replay) must not double a
+    // doc's shingle rows — doubled rows inflate every later Jaccard
+    BandIndex.write(corpus, path, storeShingles = true)
+    val doc3 = mk(Seq((3L, "fresh unseen text with plenty of tokens right here today")))
+    BandIndex.append(doc3, path)
+    val shinglesOnce = spark.read.parquet(s"$path/shingles")
+      .filter(col("doc_id") === 3L).count()
+    BandIndex.append(doc3, path) // the retry
+    assert(spark.read.parquet(s"$path/shingles")
+      .filter(col("doc_id") === 3L).count() === shinglesOnce,
+      "append retry doubled the shingle rows")
+
+    // a replayed doc already IN the index must not self-match into
+    // near_dup_of_corpus(match_doc = self)
+    val replayed = BandIndex.classify(spark, path, doc3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(replayed == Seq((3L, "unique")),
+      s"replayed doc self-matched: $replayed")
   }
 
   test("index-served streaming near-dup: classify+append per trigger, no corpus kernel, pruned scans") {

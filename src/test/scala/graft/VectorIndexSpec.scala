@@ -156,8 +156,6 @@ class VectorIndexSpec extends SparkSpec {
     val queries = VectorOps.collectQueries(embs, (0L until 5L).toSeq).toSeq
     val dead = Seq(7L, 8L, 9L, 450L)
 
-    // reference: the same build over the survivor set only
-    val survPath = tmpDir("ivfpq-surv")
     VectorIndex.deleteFromIvfPq(spark, path, dead)
     val afterDelete = dump(VectorIndex.searchIvfPq(spark, path, queries))
     assert(!afterDelete.exists(r => dead.contains(r._2)),
@@ -215,17 +213,12 @@ class VectorIndexSpec extends SparkSpec {
     }
     val queries = VectorOps.collectQueries(embs, (0L until 5L).toSeq).toSeq
     val before = dump(VectorIndex.searchIvfPq(spark, path, queries))
-    def dataFiles(dir: String) = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
-    }
-    val filesBefore = dataFiles(s"$path/codes").size
+    val filesBefore = BenchUtil.parquetDataFiles(s"$path/codes")
     val cells = spark.read.parquet(s"$path/codes")
       .select("cell").distinct().count()
 
     VectorIndex.compactIvfPq(spark, path)
-    val filesAfter = dataFiles(s"$path/codes").size
+    val filesAfter = BenchUtil.parquetDataFiles(s"$path/codes")
     assert(filesAfter < filesBefore,
       s"compaction did not shrink the file count ($filesBefore -> $filesAfter)")
     assert(filesAfter <= cells,
@@ -234,6 +227,40 @@ class VectorIndexSpec extends SparkSpec {
     assert(dump(VectorIndex.searchIvfPq(spark, path, queries))
       .sameElements(before),
       "search results changed across a pure compaction")
+  }
+
+  test("lifecycle edges: rebuild clears tombstones; add retry heals without duplicates") {
+    val embs = sources.Tables.embeddings(spark, sf).localCheckpoint()
+    val path = tmpDir("ivfpq-edges")
+
+    // rebuild must not inherit tombstones: stale ones would both
+    // suppress searches and hollow out the vectors/ store (its write
+    // joins the tombstone-filtered code view)
+    VectorIndex.writeIvfPq(embs, path)
+    VectorIndex.deleteFromIvfPq(spark, path, Seq(7L))
+    VectorIndex.writeIvfPq(embs, path, storeVectors = true)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "rebuild left the previous generation's tombstones")
+    assert(spark.read.parquet(s"$path/vectors")
+      .filter(col("vec_id") === 7L).count() === 1,
+      "stale tombstones hollowed the rebuilt vectors store")
+
+    // re-adding already-indexed ids (the crash-retry replay) is a
+    // per-store no-op: no duplicate codes, no duplicate raw vectors
+    // (duplicates would emit duplicate ADC/rerank candidates)
+    val batch = embs.filter(col("vec_id") >= 490)
+    val queries = VectorOps.collectQueries(embs, Seq(0L, 1L)).toSeq
+    val before = dump(VectorIndex.searchIvfPqRerank(spark, path, queries))
+    VectorIndex.addToIvfPq(spark, path, batch) // the retry
+    assert(spark.read.parquet(s"$path/codes")
+      .groupBy("vec_id").count().filter(col("count") > 1).count() === 0,
+      "add retry duplicated code rows")
+    assert(spark.read.parquet(s"$path/vectors")
+      .groupBy("vec_id").count().filter(col("count") > 1).count() === 0,
+      "add retry duplicated raw vectors")
+    assert(dump(VectorIndex.searchIvfPqRerank(spark, path, queries))
+      .sameElements(before),
+      "no-op retry changed search results")
   }
 
   test("loading a non-index path fails loudly") {
