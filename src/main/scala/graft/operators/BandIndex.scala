@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * [[VectorIndex]]: [[TextOps.incrementalNearDup]]'s docstring already
   * names it ("at 100 TB the corpus band table is the persisted LSH
   * index a near-dup stage keeps"); this is that artifact as parquet,
-  * with the build / append / classify lifecycle the ingest loop runs.
+  * with the build / append / classify / delete / compact lifecycle the
+  * ingest loop runs.
   *
   * Layout under `path`:
   *  - `bands/` — the band table `(doc_id, band, bk)` written
@@ -29,6 +30,9 @@ import org.apache.spark.sql.functions._
   *    the colliders' prefixes (a bounded ≤256-entry IN-list) prune the
   *    shingle read to the directories holding colliding docs, instead
   *    of re-shingling the corpus.
+  *  - `tombstones/` (created by [[delete]]) — logically deleted ids,
+  *    anti-joined out of every classify until [[compact]] drops the
+  *    rows physically.
   *
   * The ingest loop this enables, mirroring [[VectorIndex.addToIvfPq]]:
   * classify the batch against the index ([[classify]]) → act on the
@@ -57,22 +61,15 @@ object BandIndex {
       .withColumn("dp", dp(col("doc_id")))
 
   private def hasShingles(spark: SparkSession, path: String): Boolean =
-    dirExists(spark, s"$path/shingles")
+    IndexStores.hasStore(spark, s"$path/shingles")
 
-  private def hasTombstones(spark: SparkSession, path: String): Boolean =
-    dirExists(spark, s"$path/tombstones")
-
-  private def dirExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  /** Build the index for `docs` at `path` (overwrite). The WHOLE path
-    * is cleared first: a rebuild must not inherit the previous
-    * generation's `tombstones/` (its deletes would wrongly suppress
-    * re-indexed docs) or a stale `shingles/` from a
-    * `storeShingles = true` build (classify's verification would
-    * silently join the OLD corpus's shingle sets).
+  /** Build the index for `docs` at `path`. The new generation is
+    * written to a STAGING root and swapped in atomically
+    * ([[IndexStores.swapInto]]): a rebuild that fails mid-write (OOM,
+    * bad input, preemption) leaves consumers on the previous
+    * generation, not on rubble — and the swap retires the previous
+    * generation's `tombstones/` and `shingles/` wholesale, so a
+    * rebuild can never inherit stale deletes or a stale shingle store.
     *
     * @param storeShingles also persist the raw shingle sets under
     *   `shingles/` so [[classify]]'s verification leg is served from
@@ -82,19 +79,18 @@ object BandIndex {
     */
   def write(docs: DataFrame, path: String,
             storeShingles: Boolean = false): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(
-      docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val spark = docs.sparkSession
+    val staging = IndexStores.stagingFor(path)
     bandsOf(docs)
       .repartition(col("bkp"))
       .write.mode("overwrite").partitionBy("bkp")
-      .parquet(s"$path/bands")
+      .parquet(s"$staging/bands")
     if (storeShingles)
       shinglesOf(docs)
         .repartition(col("dp"))
         .write.mode("overwrite").partitionBy("dp")
-        .parquet(s"$path/shingles")
+        .parquet(s"$staging/shingles")
+    IndexStores.swapInto(spark, path, staging)
   }
 
   /** Append `newDocs`' bands (and shingles, when the store exists) —
@@ -117,24 +113,13 @@ object BandIndex {
     */
   def append(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
-    // a batch doc that is currently tombstoned would be suppressed by
-    // the same anti-join that hides its old rows, then dropped WITH
-    // them at the next compaction — reject loudly instead of losing
-    // data (bounded probe: broadcast tombstone list, first hit only)
-    if (hasTombstones(spark, path)) {
-      val hit = newDocs.select("doc_id")
-        .join(broadcast(spark.read.parquet(s"$path/tombstones")
-          .select("doc_id").distinct()), Seq("doc_id"), "left_semi")
-        .limit(1).collect()
-      if (hit.nonEmpty)
-        throw new IllegalArgumentException(
-          s"BandIndex.append: doc_id=${hit(0).getLong(0)} is tombstoned — " +
-            "run compact before re-adding a deleted id")
-    }
+    IndexStores.healRoot(spark, path)
+    IndexStores.rejectTombstoned(spark, path,
+      newDocs.select("doc_id"), "doc_id", "BandIndex.append")
     if (hasShingles(spark, path)) {
       val dps = newDocs.select(dp(col("doc_id")).as("p")).distinct()
         .collect().map(_.getString(0)).toSeq
-      val present = spark.read.parquet(s"$path/shingles")
+      val present = IndexStores.readStore(spark, s"$path/shingles")
         .filter(col("dp").isin(dps: _*))
         .select("doc_id").distinct()
         .join(broadcast(newDocs.select("doc_id").distinct()),
@@ -169,25 +154,20 @@ object BandIndex {
   def classify(spark: SparkSession, path: String, newDocs: DataFrame,
                minJaccard: Double = 0.0,
                broadcastBatch: Boolean = true): DataFrame = {
+    IndexStores.healRoot(spark, path)
     require(minJaccard <= 0 || hasShingles(spark, path),
       s"$path has no shingles/ store — build with storeShingles = true " +
         "to verify (minJaccard > 0)")
     val bb = TextOps.minhashBands(newDocs).localCheckpoint()
     val prefixes = bb.select(bkp(col("bk")).as("p")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val pruned = spark.read.parquet(s"$path/bands")
+    val pruned = IndexStores.readStore(spark, s"$path/bands")
       .filter(col("bkp").isin(prefixes: _*))
       .select("doc_id", "band", "bk")
     // deleted docs are suppressed at the band read (bounded broadcast
     // anti-join) — a doc with no surviving bands can never become a
     // collider, so the shingle store needs no filter of its own
-    val corpusBands =
-      if (hasTombstones(spark, path))
-        pruned.join(
-          broadcast(spark.read.parquet(s"$path/tombstones")
-            .select("doc_id").distinct()),
-          Seq("doc_id"), "left_anti")
-      else pruned
+    val corpusBands = IndexStores.survivors(spark, path, pruned, "doc_id")
     TextOps.incrementalNearDupFrom(bb, newDocs, corpusBands,
       prunedShingleRead(spark, path, _), minJaccard, broadcastBatch)
   }
@@ -204,9 +184,8 @@ object BandIndex {
     */
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "BandIndex.delete: empty id list")
-    import spark.implicits._
-    ids.toDF("doc_id").coalesce(1)
-      .write.mode("append").parquet(s"$path/tombstones")
+    IndexStores.healRoot(spark, path)
+    IndexStores.tombstone(spark, path, ids, "doc_id")
   }
 
   /** Maintenance: fold tombstones into the stores and rewrite each
@@ -216,31 +195,24 @@ object BandIndex {
     * compaction ([[Extractors.compactQueue]]). REQUIRES a quiesced
     * producer: an append between the staged rewrite and the swap is
     * lost. Classify results are unchanged (spec-pinned). Crash-safe
-    * order: bands, then shingles, then the tombstone table — replaying
-    * the anti-join rewrite after a crash is a no-op, and the tombstone
-    * list keeps suppressing until it is the last thing deleted.
+    * order: bands, then shingles, then the tombstone table — each
+    * store swap heals its own crash window on the next read
+    * ([[IndexStores.readStore]] restores a `.__old_`-only store), a
+    * replayed anti-join rewrite is a no-op, and the tombstone list
+    * keeps suppressing until it is the last thing deleted.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    def survivors(df: DataFrame): DataFrame =
-      if (hasTombstones(spark, path))
-        df.join(
-          broadcast(spark.read.parquet(s"$path/tombstones")
-            .select("doc_id").distinct()),
-          Seq("doc_id"), "left_anti")
-      else df
+    IndexStores.healRoot(spark, path)
+    def survivors(store: String): DataFrame =
+      IndexStores.survivors(spark, path,
+        IndexStores.readStore(spark, s"$path/$store"), "doc_id")
     graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
-      s"$path/bands",
-      survivors(spark.read.parquet(s"$path/bands"))
-        .repartition(col("bkp")), "bkp")
+      s"$path/bands", survivors("bands").repartition(col("bkp")), "bkp")
     if (hasShingles(spark, path))
       graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
         s"$path/shingles",
-        survivors(spark.read.parquet(s"$path/shingles"))
-          .repartition(col("dp")), "dp")
-    if (hasTombstones(spark, path)) {
-      val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+        survivors("shingles").repartition(col("dp")), "dp")
+    IndexStores.clearTombstones(spark, path)
   }
 
   /** The verification leg's corpus-side shingle table, pruned by the
@@ -253,7 +225,7 @@ object BandIndex {
                                        pairs: DataFrame): DataFrame = {
     val dps = pairs.select(dp(col("other")).as("p")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val store = spark.read.parquet(s"$path/shingles")
+    val store = IndexStores.readStore(spark, s"$path/shingles")
     (if (dps.isEmpty) store.filter(lit(false))
      else store.filter(col("dp").isin(dps: _*)))
       .select("doc_id", "s")

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+import graft.core.ParquetTable
+
+/** Store plumbing shared by the two persisted indexes
+  * ([[BandIndex]], [[VectorIndex]]) — ONE implementation of the
+  * tombstone lifecycle, the committed-data presence check, and the
+  * staged root swap, so a fix to either index's machinery cannot
+  * silently miss its twin (the `BenchUtil.parquetDataFiles` stance).
+  */
+private[operators] object IndexStores {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** A store "exists" iff it holds at least one COMMITTED parquet data
+    * file. Directory existence alone lies after a killed first write:
+    * the output committer creates the directory at job setup, so a
+    * crash before any task commit leaves an empty (or
+    * `_temporary`-only) dir — judging presence by it would send every
+    * later read into an unreadable store and brick the index. Checked
+    * after healing a swap-window crash ([[ParquetTable.exists]]
+    * restores a store left only under its `.__old_` name).
+    */
+  def hasStore(spark: SparkSession, dir: String): Boolean = {
+    ParquetTable.exists(spark, dir) // heals .__old_-only; false if absent
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    f.exists(p) && {
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val s = it.next()
+        found = s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.toString.contains("_temporary")
+      }
+      found
+    }
+  }
+
+  /** Read a store, first healing the staged-swap crash window (a kill
+    * between `rename(store, old)` and `rename(staging, store)` leaves
+    * the store only under `.__old_`; [[ParquetTable.exists]] restores
+    * the newest such copy — without it the documented
+    * "replaying compaction is a no-op" recovery could never run).
+    */
+  def readStore(spark: SparkSession, dir: String): DataFrame = {
+    ParquetTable.exists(spark, dir)
+    spark.read.parquet(dir)
+  }
+
+  /** Append ids to the store's tombstone table (logical delete). */
+  def tombstone(spark: SparkSession, path: String, ids: Seq[Long],
+                idCol: String): Unit = {
+    import spark.implicits._
+    ids.toDF(idCol).coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  def hasTombstones(spark: SparkSession, path: String): Boolean =
+    hasStore(spark, s"$path/tombstones")
+
+  private def tombstoneIds(spark: SparkSession, path: String,
+                           idCol: String): DataFrame =
+    readStore(spark, s"$path/tombstones").select(idCol).distinct()
+
+  /** Anti-join the tombstoned ids out of `df` (broadcast — the list is
+    * bounded by deletes since the last compaction); `df` unchanged
+    * when no tombstones exist.
+    */
+  def survivors(spark: SparkSession, path: String, df: DataFrame,
+                idCol: String): DataFrame =
+    if (hasTombstones(spark, path))
+      df.join(broadcast(tombstoneIds(spark, path, idCol)),
+        Seq(idCol), "left_anti")
+    else df
+
+  /** Reject an append whose batch contains a currently-tombstoned id:
+    * the same anti-join that hides its old rows would hide the new
+    * ones, and the next compaction would drop BOTH — silent loss.
+    * Bounded probe: broadcast tombstone list, first hit only.
+    */
+  def rejectTombstoned(spark: SparkSession, path: String,
+                       batchIds: DataFrame, idCol: String,
+                       op: String): Unit =
+    if (hasTombstones(spark, path)) {
+      val hit = batchIds.select(idCol)
+        .join(broadcast(tombstoneIds(spark, path, idCol)),
+          Seq(idCol), "left_semi")
+        .limit(1).collect()
+      if (hit.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$op: $idCol=${hit(0).getLong(0)} is tombstoned — " +
+            "run compaction before re-adding a deleted id")
+    }
+
+  /** Drop the tombstone table (the last step of a compaction). */
+  def clearTombstones(spark: SparkSession, path: String): Unit = {
+    val p = new Path(s"$path/tombstones")
+    val f = fs(spark, path)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  /** A staging root for a full index rebuild: the caller writes every
+    * store under the returned path, then [[swapInto]] makes the new
+    * generation visible atomically — the OLD index stays readable
+    * until the replacement is complete, so a failed rebuild (OOM, bad
+    * input, preemption) leaves consumers on the previous generation
+    * instead of on rubble. Same rename dance + `.__old_` recovery
+    * convention as [[ParquetTable.overwriteAtomic]].
+    */
+  def stagingFor(path: String): String =
+    path + s".__staging_${ParquetTable.stamp()}"
+
+  /** Heal the INDEX ROOT's swap window: [[swapInto]] can die between
+    * its two renames, leaving the whole index only under `.__old_` —
+    * [[ParquetTable.exists]] restores the newest such copy. Called at
+    * every public entry point; per-store `.__old_` windows (compact's
+    * per-store swaps) are healed by [[readStore]]/[[hasStore]].
+    */
+  def healRoot(spark: SparkSession, path: String): Unit = {
+    ParquetTable.exists(spark, path)
+    ()
+  }
+
+  def swapInto(spark: SparkSession, path: String, staging: String): Unit = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    val old = new Path(path + s".__old_${ParquetTable.stamp()}")
+    val hadOld = f.exists(p)
+    if (hadOld && !f.rename(p, old))
+      throw new java.io.IOException(s"could not stage out current index at $p")
+    if (!f.rename(new Path(staging), p)) {
+      if (hadOld) f.rename(old, p)
+      throw new java.io.IOException(s"could not swap staging into $p")
+    }
+    if (hadOld) f.delete(old, true)
+  }
+}

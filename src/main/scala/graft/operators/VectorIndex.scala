@@ -58,15 +58,15 @@ object VectorIndex {
     val spark = embeddings.sparkSession
     val model = VectorOps.buildIvfPqModel(embeddings, nlist, Auto, m, kCent,
       maxTrainRows, pqTrainRows)
-    // a rebuild must not inherit the previous generation's state: a
-    // stale tombstones/ would suppress re-indexed ids from every read
-    // (including the vectors/ join below), and a stale vectors/ from a
-    // storeVectors build would serve the OLD corpus to rerank. Cleared
-    // after training (nothing to lose before the first write), so a
-    // training failure leaves the old index untouched.
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) fs.delete(root, true)
+    // staged rebuild ([[IndexStores.swapInto]]): the new generation is
+    // written beside the old one and swapped in atomically, so (a) a
+    // rebuild that fails mid-write leaves consumers on the previous
+    // generation, not on rubble, and (b) the swap retires the previous
+    // generation's tombstones/ and vectors/ wholesale — stale
+    // tombstones would suppress re-indexed ids from every read and
+    // hollow the vectors/ join below; a stale vectors/ would serve the
+    // OLD corpus to rerank.
+    val staging = IndexStores.stagingFor(path)
     // one file per cell: the shuffle groups each cell's codes into a
     // single task before the partitioned write — without it every
     // shuffle partition appends a fragment to every cell directory
@@ -74,48 +74,46 @@ object VectorIndex {
     // object stores)
     model.codes.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/codes")
+      .parquet(s"$staging/codes")
     if (storeVectors)
       // cell assignments come from the just-written codes parquet, not
       // the in-memory model.codes plan — joining the latter would
       // re-run the full corpus PQ encode that was materialized one
       // statement earlier
       embeddings.select(col("vec_id"), col("embedding"))
-        .join(loadCodes(spark, path).select("vec_id", "cell"), "vec_id")
+        .join(spark.read.parquet(s"$staging/codes")
+          .select("vec_id", "cell"), "vec_id")
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$path/vectors")
+        .parquet(s"$staging/vectors")
     import spark.implicits._
     Seq((model.dim, model.dsub, model.m, model.kCent, model.nprobe,
         model.centers.map(_.toSeq).toSeq,
         model.codebooks.map(_.map(_.toSeq).toSeq)))
       .toDF("dim", "dsub", "m", "k_cent", "nprobe", "centers", "codebooks")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    IndexStores.swapInto(spark, path, staging)
     model.copy(codes = loadCodes(spark, path))
   }
 
-  private def loadCodes(spark: SparkSession, path: String): DataFrame = {
+  private def loadCodes(spark: SparkSession, path: String): DataFrame =
     // cell comes back as the partition column; vec_id/codes from the
     // files. Schema order differs from the in-memory model (partition
     // cols go last) — the search plan joins by name, so it cannot care.
-    val codes = spark.read.parquet(s"$path/codes")
-    // deleted ids are suppressed at load: the tombstone table is a
+    // Deleted ids are suppressed at load: the tombstone table is a
     // bounded id list (broadcast anti-join), so every search — probe,
     // ADC, rerank — sees only survivors through the one shared plan.
     // Physical removal is compactIvfPq's job.
-    if (hasTombstones(spark, path))
-      codes.join(broadcast(
-        spark.read.parquet(s"$path/tombstones").select("vec_id").distinct()),
-        Seq("vec_id"), "left_anti")
-    else codes
-  }
+    IndexStores.survivors(spark, path,
+      IndexStores.readStore(spark, s"$path/codes"), "vec_id")
 
   /** Load a persisted index's trained state; the code table stays a
     * lazy parquet scan pruned per search.
     */
   def loadIvfPq(spark: SparkSession, path: String): IvfPqModel = {
-    val row = spark.read.parquet(s"$path/meta").collect() match {
+    IndexStores.healRoot(spark, path)
+    val row = IndexStores.readStore(spark, s"$path/meta").collect() match {
       case Array(r) => r
       case rs => throw new IllegalStateException(
         s"$path/meta: expected exactly one meta row, found ${rs.length} — " +
@@ -165,20 +163,9 @@ object VectorIndex {
     */
   def addToIvfPq(spark: SparkSession, path: String,
                  newVectors: DataFrame): VectorOps.IvfPqModel = {
-    // a batch id that is currently tombstoned would be suppressed by
-    // the same anti-join that hides its old row, then dropped WITH it
-    // at the next compaction — reject loudly instead of losing data
-    // (bounded probe: broadcast tombstone list, first hit only)
-    if (hasTombstones(spark, path)) {
-      val hit = newVectors.select("vec_id")
-        .join(broadcast(spark.read.parquet(s"$path/tombstones")
-          .select("vec_id").distinct()), Seq("vec_id"), "left_semi")
-        .limit(1).collect()
-      if (hit.nonEmpty)
-        throw new IllegalArgumentException(
-          s"addToIvfPq: vec_id=${hit(0).getLong(0)} is tombstoned — " +
-            "run compactIvfPq before re-adding a deleted id")
-    }
+    IndexStores.healRoot(spark, path)
+    IndexStores.rejectTombstoned(spark, path,
+      newVectors.select("vec_id"), "vec_id", "addToIvfPq")
     val model = loadIvfPq(spark, path)
     val enc = VectorOps.encodeIntoModel(model, newVectors).localCheckpoint()
     // idempotency under crash-retry: each store skips ids it already
@@ -192,7 +179,7 @@ object VectorIndex {
     val touched = enc.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     def missingFrom(store: String, df: DataFrame): DataFrame = {
-      val present = spark.read.parquet(s"$path/$store")
+      val present = IndexStores.readStore(spark, s"$path/$store")
         .filter(col("cell").isin(touched: _*))
         .select("vec_id")
         .join(broadcast(enc.select("vec_id")), Seq("vec_id"), "left_semi")
@@ -220,15 +207,7 @@ object VectorIndex {
   }
 
   private def hasVectors(spark: SparkSession, path: String): Boolean =
-    dirExists(spark, s"$path/vectors")
-
-  private def hasTombstones(spark: SparkSession, path: String): Boolean =
-    dirExists(spark, s"$path/tombstones")
-
-  private def dirExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+    IndexStores.hasStore(spark, s"$path/vectors")
 
   /** Delete vectors from a persisted index by id — the
     * between-rebuilds maintenance a production ANN index needs.
@@ -249,9 +228,8 @@ object VectorIndex {
   def deleteFromIvfPq(spark: SparkSession, path: String,
                       ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "deleteFromIvfPq: empty id list")
-    import spark.implicits._
-    ids.toDF("vec_id").coalesce(1)
-      .write.mode("append").parquet(s"$path/tombstones")
+    IndexStores.healRoot(spark, path)
+    IndexStores.tombstone(spark, path, ids, "vec_id")
   }
 
   /** Maintenance: fold tombstones into the stores and rewrite each
@@ -263,26 +241,26 @@ object VectorIndex {
     * swap is lost. Search results are unchanged (spec-pinned): the
     * rewrite drops exactly the rows the tombstone anti-join already
     * suppressed. Crash-safe order: codes, then vectors, then the
-    * tombstone table — replaying the anti-join rewrite after a crash
-    * is a no-op, and the tombstone list keeps suppressing until it is
-    * the last thing deleted.
+    * tombstone table — each store swap heals its own crash window on
+    * the next read ([[IndexStores.readStore]] restores a
+    * `.__old_`-only store), a replayed anti-join rewrite is a no-op,
+    * and the tombstone list keeps suppressing until it is the last
+    * thing deleted.
     */
   def compactIvfPq(spark: SparkSession, path: String): Unit = {
+    IndexStores.healRoot(spark, path)
     // loadCodes is already the survivor view (tombstones anti-joined)
     graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
       s"$path/codes",
       loadCodes(spark, path).repartition(col("cell")), "cell")
     if (hasVectors(spark, path)) {
-      val survivors = spark.read.parquet(s"$path/vectors")
+      val survivors = IndexStores.readStore(spark, s"$path/vectors")
         .join(loadCodes(spark, path).select("vec_id"), Seq("vec_id"),
           "left_semi")
       graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
         s"$path/vectors", survivors.repartition(col("cell")), "cell")
     }
-    if (hasTombstones(spark, path)) {
-      val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+    IndexStores.clearTombstones(spark, path)
   }
 
   /** Top-k ADC search against a persisted index. `queries` are raw
@@ -311,7 +289,7 @@ object VectorIndex {
       s"$path has no vectors/ store — build with storeVectors = true to refine")
     val model = loadIvfPq(spark, path)
     val probed = VectorOps.probedCellsFor(model, queries, nprobe)
-    val raw = spark.read.parquet(s"$path/vectors")
+    val raw = IndexStores.readStore(spark, s"$path/vectors")
       .filter(col("cell").isin(probed: _*))
       .select("vec_id", "embedding")
     VectorOps.ivfPqSearchRerank(model, queries, raw, k, rerankK, nprobe)

@@ -198,13 +198,18 @@ object StreamingPipeline {
     * Exactly-once note: the verdict write and the index append are two
     * separate parquet commits — a crash between them replays the
     * trigger and can duplicate verdict rows (downstream dedups on
-    * doc_id, same as every foreachBatch sink here). The duplicates are
-    * CONSISTENT: classify excludes self-matches (a replayed doc that
-    * already reached the index does not collide with its own rows), so
-    * the replay re-emits the original verdict, and the re-append is
-    * healed by the index's own idempotency ([[graft.operators
-    * .BandIndex.append]] skips already-stored shingles; duplicate band
-    * rows are harmless for verdicts).
+    * doc_id, same as every foreachBatch sink here). The replay can
+    * never invert a verdict's dup/unique PARTITION: classify excludes
+    * self-matches (a replayed doc already in the index does not
+    * collide with its own rows), so a unique doc replays unique, and
+    * the re-append is healed by the index's idempotency
+    * ([[graft.operators.BandIndex.append]] skips already-stored
+    * shingles; duplicate band rows are harmless for verdicts). One
+    * LABEL can shift: an in-batch duplicate whose survivor reached the
+    * index before the crash replays as `near_dup_of_corpus` instead of
+    * `near_dup_in_batch` (its match genuinely IS in the corpus now) —
+    * consumers distinguishing the two labels should dedup verdict rows
+    * preferring the earliest write.
     */
   def incrementalNearDupIndexStream(docs: DataFrame, indexPath: String,
       verdictPath: String, checkpoint: String,

@@ -379,6 +379,44 @@ class DedupTransformerSpec extends SparkSpec {
       s"replayed doc self-matched: $replayed")
   }
 
+  test("band index crash windows heal: empty tombstone dir ignored, .__old_-only stores restored") {
+    import graft.operators.BandIndex
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    def verdicts(path: String) =
+      BandIndex.classify(spark, path, batch, minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val path = tmpDir("band-crash")
+    BandIndex.write(corpus, path, storeShingles = true)
+    val expected = verdicts(path)
+
+    // a delete killed before any task commit leaves an EMPTY
+    // tombstones/ dir — presence must be judged by committed data
+    // files, or every later read bricks on schema inference
+    assert(new java.io.File(s"$path/tombstones").mkdir())
+    assert(verdicts(path) == expected,
+      "empty tombstone directory bricked classify")
+    BandIndex.append(batch, path) // and append's tombstone probe too
+
+    // a compact killed between its two renames leaves a store only
+    // under .__old_ — the next read must restore it
+    val f = new java.io.File(s"$path/bands")
+    assert(f.renameTo(new java.io.File(s"$path/bands.__old_123")))
+    assert(verdicts(path).nonEmpty, "swap-window store was not healed")
+    assert(new java.io.File(s"$path/bands").exists())
+
+    // a write() killed between ITS two renames leaves the whole index
+    // only under .__old_ — entry points must restore the root
+    val root = new java.io.File(path)
+    assert(root.renameTo(new java.io.File(s"$path.__old_5")))
+    assert(verdicts(path).nonEmpty, "swap-window root was not healed")
+    assert(new java.io.File(path).exists())
+  }
+
   test("index-served streaming near-dup: classify+append per trigger, no corpus kernel, pruned scans") {
     import graft.operators.BandIndex
     val src = tmpDir("idx-src")
