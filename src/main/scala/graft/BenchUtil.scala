@@ -46,8 +46,13 @@ private[graft] object BenchUtil {
   def parquetDataFiles(dir: String): Int = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) {
+        // skip staged/retired generations AND uncommitted task output —
+        // IndexStores.hasStore judges presence by committed files only,
+        // and a file count that disagreed with it after a killed write
+        // would mislead the compaction dial
         if (f.getName.contains(".__staging_") ||
-            f.getName.contains(".__old_")) Seq.empty
+            f.getName.contains(".__old_") ||
+            f.getName == "_temporary") Seq.empty
         else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       } else Seq(f)
     walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))

@@ -107,6 +107,56 @@ object ParquetTable {
       Some(spark.read.option("mergeSchema", true).parquet(path))
     else None
 
+  /** The swap protocol every staged overwrite shares (table overwrites
+    * here, index-root rebuilds in `IndexStores`): stage out the current
+    * copy under `.__old_`, rename staging in, roll back on failure —
+    * never leave the path absent (Hadoop rename reports failure by
+    * boolean). The final delete of the staged-out copy is LOUD on
+    * failure: a stale full `.__old_` generation left behind silently
+    * would be resurrected by [[recoverFromOld]] if the live path is
+    * ever removed (e.g. a deliberate decommission), serving retired
+    * data instead of "no such table".
+    */
+  private[graft] def swap(fs: org.apache.hadoop.fs.FileSystem,
+                          p: Path, staging: Path): Unit = {
+    val old = new Path(p.toString + s".__old_${stamp()}")
+    val hadOld = fs.exists(p)
+    if (hadOld && !fs.rename(p, old))
+      throw new java.io.IOException(s"could not stage out current table at $p")
+    if (!fs.rename(staging, p)) {
+      if (hadOld) fs.rename(old, p)
+      throw new java.io.IOException(s"could not swap staging into $p")
+    }
+    if (hadOld && !fs.delete(old, true))
+      throw new java.io.IOException(
+        s"swap into $p complete, but the stale previous copy at $old " +
+          "could not be deleted — remove it manually (crash recovery " +
+          "would otherwise resurrect it if the live path is removed)")
+  }
+
+  /** Garbage-collect dead staged dirs before starting a new staged
+    * write (caller contract everywhere is a single quiesced producer,
+    * so any `.__staging_` sibling is a failed write's leak — without
+    * this, every crashed rebuild of a large table permanently leaks a
+    * near-full-size directory). Stale `.__old_` siblings are removed
+    * only when the live path EXISTS: then they are leftovers of a
+    * swap whose final delete failed, whereas with the path absent the
+    * newest `.__old_` is the crash-window copy [[recoverFromOld]]
+    * needs.
+    */
+  private[graft] def cleanStaleStaged(fs: org.apache.hadoop.fs.FileSystem,
+                                      p: Path): Unit = {
+    val parent = p.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val live = fs.exists(p)
+    fs.listStatus(parent).map(_.getPath).foreach { c =>
+      val n = c.getName
+      if (n.startsWith(p.getName + ".__staging_") ||
+          (live && n.startsWith(p.getName + ".__old_")))
+        fs.delete(c, true)
+    }
+  }
+
   /** Materialise `df` (which may itself read from `path`) into a staging
     * dir, then swap it in. The read happens fully before the old data is
     * touched.
@@ -114,19 +164,10 @@ object ParquetTable {
   def overwriteAtomic(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cleanStaleStaged(fs, p)
     val staging = new Path(path + s".__staging_${stamp()}")
     df.write.mode("overwrite").parquet(staging.toString)
-    val old = new Path(path + s".__old_${stamp()}")
-    val hadOld = fs.exists(p)
-    if (hadOld && !fs.rename(p, old))
-      throw new java.io.IOException(s"could not stage out current table at $p")
-    if (!fs.rename(staging, p)) {
-      // roll the previous copy back before failing — never leave the
-      // table path absent (Hadoop rename reports failure by boolean)
-      if (hadOld) fs.rename(old, p)
-      throw new java.io.IOException(s"could not swap staging into $p")
-    }
-    if (hadOld) fs.delete(old, true)
+    swap(fs, p, staging)
   }
 
   /** [[overwriteAtomic]] with a partitioned staging write — used by the
@@ -142,18 +183,11 @@ object ParquetTable {
                                  bucketMarker: Option[Int] = None): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cleanStaleStaged(fs, p)
     val staging = new Path(path + s".__staging_${stamp()}")
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(staging.toString)
     bucketMarker.foreach(n => writeBucketMarker(spark, staging.toString, n))
-    val old = new Path(path + s".__old_${stamp()}")
-    val hadOld = fs.exists(p)
-    if (hadOld && !fs.rename(p, old))
-      throw new java.io.IOException(s"could not stage out current table at $p")
-    if (!fs.rename(staging, p)) {
-      if (hadOld) fs.rename(old, p)
-      throw new java.io.IOException(s"could not swap staging into $p")
-    }
-    if (hadOld) fs.delete(old, true)
+    swap(fs, p, staging)
   }
 
   /** Compact a table's small files (the debt a long-running append /

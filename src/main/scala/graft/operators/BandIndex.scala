@@ -80,7 +80,7 @@ object BandIndex {
   def write(docs: DataFrame, path: String,
             storeShingles: Boolean = false): Unit = {
     val spark = docs.sparkSession
-    val staging = IndexStores.stagingFor(path)
+    val staging = IndexStores.stagingFor(spark, path)
     bandsOf(docs)
       .repartition(col("bkp"))
       .write.mode("overwrite").partitionBy("bkp")
@@ -99,38 +99,69 @@ object BandIndex {
     * shape). Shingles go FIRST: a failure between the two appends then
     * leaves orphan shingles (never consulted — verification starts
     * from band collisions), whereas the reverse order would leave
-    * bands whose verification silently finds no shingles. The shingle
-    * append additionally SKIPS docs whose shingles are already stored
-    * (a doc-id-prefix-pruned presence probe, bounded by the batch), so
-    * the natural crash-retry — re-appending a batch whose first
-    * attempt died between the two writes — heals the missing bands
-    * without doubling the survivor's shingle rows (doubled rows would
-    * inflate every later exact-Jaccard verdict against that doc).
-    * A full retry of a fully-committed append leaves duplicate BAND
-    * rows — harmless for verdicts (the pair join is distinct) and
-    * folded by the next [[compact]]'s rewrite of row storage, but not
-    * deduplicated there. Caller contract: one append at a time.
+    * bands whose verification silently finds no shingles.
+    *
+    * Idempotent under crash-retry, per store (the
+    * [[VectorIndex.addToIvfPq]] contract): each store SKIPS docs it
+    * already holds via a pruned presence probe — shingles by the
+    * batch's doc-id prefixes, bands by the batch's bucket-key prefixes
+    * (same content ⇒ same bands ⇒ same directories, so a committed
+    * doc's rows ARE found there). Replaying a half-committed append
+    * therefore heals exactly the missing half; replaying a committed
+    * one writes nothing.
+    *
+    * Re-appending an indexed id with DIFFERENT content is REJECTED
+    * loudly when the shingle store exists (stored vs batch shingle
+    * sets are compared for overlapping ids — bounded by the overlap,
+    * normally empty): silently accepting it would union the old and
+    * new band rows while verification kept scoring against the stale
+    * shingles, admitting true duplicates as `unique` with no error
+    * anywhere. An update is delete → [[compact]] → append, not
+    * re-append. A bands-only index has no id-keyed store to detect
+    * this with — there the no-content-change contract is the
+    * caller's (the band probe misses changed content and the rows
+    * union; verdicts then also match the doc's RETIRED content —
+    * stale candidates, but no verification leg to corrupt).
+    * Caller contract: one append at a time.
     */
-  def append(newDocs: DataFrame, path: String): Unit = {
-    val spark = newDocs.sparkSession
+  def append(newDocs0: DataFrame, path: String): Unit = {
+    val spark = newDocs0.sparkSession
     IndexStores.healRoot(spark, path)
+    // pinned: the source plan (often a semi-join against stream
+    // verdicts) otherwise re-executes for the tombstone probe, each
+    // presence probe and both writes
+    val newDocs = newDocs0.localCheckpoint()
     IndexStores.rejectTombstoned(spark, path,
       newDocs.select("doc_id"), "doc_id", "BandIndex.append")
+    val ids = newDocs.select("doc_id")
+    val bnd = bandsOf(newDocs).localCheckpoint()
     if (hasShingles(spark, path)) {
-      val dps = newDocs.select(dp(col("doc_id")).as("p")).distinct()
+      val sh = shinglesOf(newDocs).localCheckpoint()
+      val dps = sh.select("dp").distinct()
         .collect().map(_.getString(0)).toSeq
-      val present = IndexStores.readStore(spark, s"$path/shingles")
-        .filter(col("dp").isin(dps: _*))
-        .select("doc_id").distinct()
-        .join(broadcast(newDocs.select("doc_id").distinct()),
-          Seq("doc_id"), "left_semi")
-      shinglesOf(newDocs)
-        .join(present, Seq("doc_id"), "left_anti")
+      val stored = IndexStores.presentRows(spark, s"$path/shingles",
+        "dp", dps, "doc_id", ids).select("doc_id", "s").localCheckpoint()
+      val changed = sh.select("doc_id", "s")
+        .join(stored.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .join(stored, Seq("doc_id", "s"), "left_anti")
+        .unionByName(stored.join(sh.select("doc_id", "s"),
+          Seq("doc_id", "s"), "left_anti"))
+        .select("doc_id").limit(1).collect()
+      if (changed.nonEmpty)
+        throw new IllegalArgumentException(
+          s"BandIndex.append: doc_id=${changed(0).getLong(0)} is already " +
+            "indexed with different content — update via delete + compact " +
+            "+ append, not re-append")
+      sh.join(stored.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
         .repartition(col("dp"))
         .write.mode("append").partitionBy("dp")
         .parquet(s"$path/shingles")
     }
-    bandsOf(newDocs)
+    val bkps = bnd.select("bkp").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val bandPresent = IndexStores.presentRows(spark, s"$path/bands",
+      "bkp", bkps, "doc_id", ids).select("doc_id").distinct()
+    bnd.join(bandPresent, Seq("doc_id"), "left_anti")
       .repartition(col("bkp"))
       .write.mode("append").partitionBy("bkp")
       .parquet(s"$path/bands")

@@ -113,8 +113,15 @@ private[operators] object IndexStores {
     * instead of on rubble. Same rename dance + `.__old_` recovery
     * convention as [[ParquetTable.overwriteAtomic]].
     */
-  def stagingFor(path: String): String =
+  def stagingFor(spark: SparkSession, path: String): String = {
+    // GC dead staged dirs first: a rebuild that died mid-staging-write
+    // (the longest phase) leaves a near-full-index-size leak that no
+    // later rebuild would reuse (fresh stamp every time) — and a
+    // stale `.__old_` beside a LIVE index is a swap whose final delete
+    // failed, which crash recovery could later resurrect as the index
+    ParquetTable.cleanStaleStaged(fs(spark, path), new Path(path))
     path + s".__staging_${ParquetTable.stamp()}"
+  }
 
   /** Heal the INDEX ROOT's swap window: [[swapInto]] can die between
     * its two renames, leaving the whole index only under `.__old_` —
@@ -127,17 +134,26 @@ private[operators] object IndexStores {
     ()
   }
 
-  def swapInto(spark: SparkSession, path: String, staging: String): Unit = {
-    val f = fs(spark, path)
-    val p = new Path(path)
-    val old = new Path(path + s".__old_${ParquetTable.stamp()}")
-    val hadOld = f.exists(p)
-    if (hadOld && !f.rename(p, old))
-      throw new java.io.IOException(s"could not stage out current index at $p")
-    if (!f.rename(new Path(staging), p)) {
-      if (hadOld) f.rename(old, p)
-      throw new java.io.IOException(s"could not swap staging into $p")
-    }
-    if (hadOld) f.delete(old, true)
+  /** Swap a staged rebuild in — the ONE swap protocol
+    * ([[ParquetTable.swap]]) shared with the table overwrites, so a
+    * hardening of the rename dance cannot miss one of its call sites.
+    */
+  def swapInto(spark: SparkSession, path: String, staging: String): Unit =
+    ParquetTable.swap(fs(spark, path), new Path(path), new Path(staging))
+
+  /** The pruned presence probe both indexes' incremental appends share:
+    * the store rows (all columns) whose `idCol` appears in the
+    * (bounded, broadcast) batch, read only from the partitions named in
+    * `pruneVals`. An empty prune list short-circuits to empty — `isin()`
+    * of zero values must never widen to a full-store scan.
+    */
+  def presentRows(spark: SparkSession, storePath: String,
+                  pruneCol: String, pruneVals: Seq[Any],
+                  idCol: String, batchIds: DataFrame): DataFrame = {
+    val store = readStore(spark, storePath)
+    (if (pruneVals.isEmpty) store.filter(lit(false))
+     else store.filter(col(pruneCol).isin(pruneVals: _*)))
+      .join(broadcast(batchIds.select(idCol).distinct()),
+        Seq(idCol), "left_semi")
   }
 }

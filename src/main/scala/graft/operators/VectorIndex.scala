@@ -66,7 +66,7 @@ object VectorIndex {
     // tombstones would suppress re-indexed ids from every read and
     // hollow the vectors/ join below; a stale vectors/ would serve the
     // OLD corpus to rerank.
-    val staging = IndexStores.stagingFor(path)
+    val staging = IndexStores.stagingFor(spark, path)
     // one file per cell: the shuffle groups each cell's codes into a
     // single task before the partitioned write — without it every
     // shuffle partition appends a fragment to every cell directory
@@ -179,10 +179,9 @@ object VectorIndex {
     val touched = enc.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     def missingFrom(store: String, df: DataFrame): DataFrame = {
-      val present = IndexStores.readStore(spark, s"$path/$store")
-        .filter(col("cell").isin(touched: _*))
-        .select("vec_id")
-        .join(broadcast(enc.select("vec_id")), Seq("vec_id"), "left_semi")
+      val present = IndexStores.presentRows(spark, s"$path/$store",
+        "cell", touched, "vec_id", enc.select("vec_id"))
+        .select("vec_id").distinct()
       df.join(present, Seq("vec_id"), "left_anti")
     }
     // an index that stores raw vectors ([[writeIvfPq]] storeVectors)

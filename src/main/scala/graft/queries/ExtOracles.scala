@@ -398,7 +398,11 @@ object ExtOracles {
     // (LATERAL argmin — the kernel's rank-greedy loop); a terminal
     // state produces no successor, and `final` keeps exactly the
     // states with no applicable merge. Code points, not bytes: RE2's
-    // '.' matches one rune, matching the kernel's codePointSymbols.
+    // '(?s).' matches one rune INCLUDING newline (words are split on
+    // ' ' only, so \n survives inside them — plain '.' would silently
+    // drop it and diverge from the kernel's codePointSymbols). Known
+    // limit: a document containing the chr(1) sentinel itself would
+    // corrupt the separator scheme — outside any real text alphabet.
     "text_bpe_tokens" ->
       s"""WITH RECURSIVE
          |m AS (SELECT rnk, chr(1)||l||chr(1)||chr(1)||r||chr(1) AS pat,
@@ -410,7 +414,7 @@ object ExtOracles {
          |words AS (SELECT DISTINCT w FROM tokw WHERE w <> ''),
          |seg(w, state) AS (
          |  SELECT w, chr(1)||chr(1)||
-         |    list_aggregate(regexp_extract_all(w, '.'), 'string_agg',
+         |    list_aggregate(regexp_extract_all(w, '(?s).'), 'string_agg',
          |                   chr(1)||chr(1))||chr(1)||chr(1)
          |  FROM words
          |  UNION ALL

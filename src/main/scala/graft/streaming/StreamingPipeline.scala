@@ -203,8 +203,8 @@ object StreamingPipeline {
     * self-matches (a replayed doc already in the index does not
     * collide with its own rows), so a unique doc replays unique, and
     * the re-append is healed by the index's idempotency
-    * ([[graft.operators.BandIndex.append]] skips already-stored
-    * shingles; duplicate band rows are harmless for verdicts). One
+    * ([[graft.operators.BandIndex.append]] skips docs each store
+    * already holds, so the replay writes nothing). One
     * LABEL can shift: an in-batch duplicate whose survivor reached the
     * index before the crash replays as `near_dup_of_corpus` instead of
     * `near_dup_in_batch` (its match genuinely IS in the corpus now) —

@@ -366,10 +366,25 @@ class DedupTransformerSpec extends SparkSpec {
     BandIndex.append(doc3, path)
     val shinglesOnce = spark.read.parquet(s"$path/shingles")
       .filter(col("doc_id") === 3L).count()
+    val bandsOnce = spark.read.parquet(s"$path/bands")
+      .filter(col("doc_id") === 3L).count()
     BandIndex.append(doc3, path) // the retry
     assert(spark.read.parquet(s"$path/shingles")
       .filter(col("doc_id") === 3L).count() === shinglesOnce,
       "append retry doubled the shingle rows")
+    assert(spark.read.parquet(s"$path/bands")
+      .filter(col("doc_id") === 3L).count() === bandsOnce,
+      "append retry doubled the band rows")
+
+    // re-appending an indexed id with DIFFERENT content must be loud:
+    // silently accepting it would union old+new bands while
+    // verification scored against the stale shingles, admitting true
+    // duplicates as unique
+    val doc3v2 = mk(Seq((3L, "completely rewritten body for doc three nothing shared")))
+    val e = intercept[IllegalArgumentException] {
+      BandIndex.append(doc3v2, path)
+    }
+    assert(e.getMessage.contains("different content"), e.getMessage)
 
     // a replayed doc already IN the index must not self-match into
     // near_dup_of_corpus(match_doc = self)
@@ -415,6 +430,19 @@ class DedupTransformerSpec extends SparkSpec {
     assert(root.renameTo(new java.io.File(s"$path.__old_5")))
     assert(verdicts(path).nonEmpty, "swap-window root was not healed")
     assert(new java.io.File(path).exists())
+
+    // a rebuild killed mid-staging-write leaks a near-full-index dir,
+    // and a swap whose final delete failed leaves a stale .__old_
+    // beside the LIVE index (resurrectable if the index is ever
+    // removed) — the next rebuild must GC both
+    val deadStaging = new java.io.File(s"$path.__staging_77")
+    assert(deadStaging.mkdir())
+    val staleOld = new java.io.File(s"$path.__old_88")
+    assert(staleOld.mkdir())
+    BandIndex.write(corpus, path, storeShingles = true)
+    assert(!deadStaging.exists(), "dead staging dir leaked across rebuild")
+    assert(!staleOld.exists(), "stale .__old_ beside a live index survived rebuild")
+    assert(verdicts(path) == expected)
   }
 
   test("index-served streaming near-dup: classify+append per trigger, no corpus kernel, pruned scans") {
