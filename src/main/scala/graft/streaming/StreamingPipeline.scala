@@ -214,12 +214,13 @@ object StreamingPipeline {
   def incrementalNearDupIndexStream(docs: DataFrame, indexPath: String,
       verdictPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      minJaccard: Double = 0.0)
+      minJaccard: Double = 0.0,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val sc = spark.sparkContext
         val before = sc.getPersistentRDDs.keySet.toSet
@@ -239,6 +240,63 @@ object StreamingPipeline {
           if (uniq.head(1).nonEmpty)
             graft.operators.BandIndex.append(
               batch.join(uniq, Seq("doc_id"), "left_semi"), indexPath)
+          // fold the ingest's file-count debt on a trigger cadence —
+          // the USAGE.md compaction dial wired into the stream itself.
+          // foreachBatch is the index's single producer, so the
+          // quiesced-producer contract holds by construction; batchId
+          // (not a local counter) keeps the cadence stable across
+          // restarts, and a replayed trigger's re-compaction is
+          // result-neutral (classify results are unchanged by compact,
+          // spec-pinned)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.operators.BandIndex.compact(spark, indexPath)
+        } finally graft.BenchUtil.releaseNewRdds(sc, before)
+        ()
+      }
+      .start()
+
+  /** Streaming ingest into a persisted IVF-PQ index — the vector twin
+    * of [[incrementalNearDupIndexStream]]'s append leg: per
+    * micro-batch, [[graft.operators.VectorIndex.addToIvfPq]] encodes
+    * the batch under the index's FROZEN trained state (centroids and
+    * codebooks never move — the stream cannot drift the index) and
+    * appends one file per touched cell. Per-trigger cost is O(batch):
+    * the corpus appears nowhere in the plan — the stream holds only
+    * the index path, and the presence probe reads only the batch's own
+    * cells. Searches between triggers see old and new vectors through
+    * the one shared pruned-scan plan.
+    *
+    * Exactly-once note: a crash after the add but before the offset
+    * commit replays the trigger; the add's per-store id skip makes the
+    * replay write nothing ([[graft.operators.VectorIndex.addToIvfPq]]
+    * — the same healed-replay contract as the band leg). A batch
+    * carrying a tombstoned id fails the trigger LOUDLY by design:
+    * compact first, or the re-added row would be silently swallowed.
+    *
+    * `compactEvery = n` folds the accumulated append fragments every n
+    * triggers ([[graft.operators.VectorIndex.compactIvfPq]]) — the
+    * single-producer contract holds inside `foreachBatch` by
+    * construction. Concurrent SEARCHES during the compaction swap
+    * window can observe a mid-swap listing on a plain filesystem (the
+    * caveat a transaction log removes); readers retry-heal on the next
+    * plan ([[graft.operators.IndexStores.readStore]]).
+    */
+  def ivfPqIngestStream(vectors: DataFrame, indexPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try {
+          graft.operators.VectorIndex.addToIvfPq(spark, indexPath, batch)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.operators.VectorIndex.compactIvfPq(spark, indexPath)
         } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }

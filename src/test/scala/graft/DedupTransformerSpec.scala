@@ -486,8 +486,10 @@ class DedupTransformerSpec extends SparkSpec {
     spark.listenerManager.register(listener)
     val out = tmpDir("idx-out"); val ckpt = tmpDir("idx-ckpt")
     try
+      // compactEvery=2 with 4 per-doc triggers: the in-stream
+      // compaction runs twice and must leave verdicts untouched
       StreamingPipeline.incrementalNearDupIndexStream(
-        stream, idx, out, ckpt, minJaccard = 0.5)
+        stream, idx, out, ckpt, minJaccard = 0.5, compactEvery = 2)
         .awaitTermination()
     finally {
       // listener bus is async — give captures a moment to drain
@@ -520,6 +522,17 @@ class DedupTransformerSpec extends SparkSpec {
     val indexed = spark.read.parquet(s"$idx/bands")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(indexed == Set(1L, 2L, 11L), s"unexpected index contents $indexed")
+
+    // the final trigger (4th, compactEvery=2) ended with a compaction:
+    // each store's append fragments are folded to one file per dir
+    for ((store, pcol) <- Seq(("bands", "bkp"), ("shingles", "dp"))) {
+      val files = BenchUtil.parquetDataFiles(s"$idx/$store")
+      val dirs = spark.read.parquet(s"$idx/$store")
+        .select(pcol).distinct().count()
+      assert(files <= dirs,
+        s"$store: expected at most one file per directory after " +
+          s"in-stream compaction, got $files files for $dirs dirs")
+    }
 
     // per-trigger plan audit: every captured band-store scan is
     // partition-pruned, and no captured plan shingles more than the

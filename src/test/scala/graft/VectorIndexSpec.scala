@@ -229,6 +229,56 @@ class VectorIndexSpec extends SparkSpec {
       "search results changed across a pure compaction")
   }
 
+  test("streaming ingest: per-trigger adds equal one batch add; compaction cadence folds files") {
+    import graft.streaming.StreamingPipeline
+    val embs = sources.Tables.embeddings(spark, sf).localCheckpoint()
+    val a = embs.filter(col("vec_id") < 400)
+    val b = embs.filter(col("vec_id") >= 400 && col("vec_id") < 460)
+      .localCheckpoint()
+
+    // one file per slice so AvailableNow + maxFilesPerTrigger=1 drains
+    // the batch across THREE separate triggers
+    val src = tmpDir("ivfpq-stream-src")
+    Seq(b.filter(col("vec_id") < 420),
+        b.filter(col("vec_id") >= 420 && col("vec_id") < 440),
+        b.filter(col("vec_id") >= 440))
+      .foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val stream = spark.readStream.schema(b.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+
+    val path = tmpDir("ivfpq-stream")
+    val ref = tmpDir("ivfpq-stream-ref")
+    VectorIndex.writeIvfPq(a, path, storeVectors = true)
+    VectorIndex.writeIvfPq(a, ref, storeVectors = true)
+    VectorIndex.addToIvfPq(spark, ref, b)
+
+    StreamingPipeline.ivfPqIngestStream(stream, path,
+      tmpDir("ivfpq-stream-ckpt"), compactEvery = 1)
+      .awaitTermination()
+
+    // the stream-fed index must search IDENTICALLY to the one-shot
+    // batch add — ADC and the stored-vector refine leg both (the
+    // vectors/ store must have grown in lockstep with codes/)
+    val queries = VectorOps.collectQueries(embs, (0L until 5L).toSeq).toSeq
+    assert(dump(VectorIndex.searchIvfPq(spark, path, queries))
+      .sameElements(dump(VectorIndex.searchIvfPq(spark, ref, queries))),
+      "stream-ingested index diverged from the batch add on ADC search")
+    assert(dump(VectorIndex.searchIvfPqRerank(spark, path, queries))
+      .sameElements(dump(VectorIndex.searchIvfPqRerank(spark, ref, queries))),
+      "stream-ingested index diverged from the batch add on refine")
+
+    // compactEvery=1 means the final trigger ended with a compaction:
+    // at most one file per cell directory remains in both stores
+    for (store <- Seq("codes", "vectors")) {
+      val files = BenchUtil.parquetDataFiles(s"$path/$store")
+      val dirs = spark.read.parquet(s"$path/$store")
+        .select("cell").distinct().count()
+      assert(files <= dirs,
+        s"$store: expected at most one file per cell after in-stream " +
+          s"compaction, got $files files for $dirs cells")
+    }
+  }
+
   test("lifecycle edges: rebuild clears tombstones; add retry heals without duplicates") {
     val embs = sources.Tables.embeddings(spark, sf).localCheckpoint()
     val path = tmpDir("ivfpq-edges")
