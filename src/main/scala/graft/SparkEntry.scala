@@ -73,6 +73,7 @@ object SparkEntry {
     "text_pii_scrub" -> (graft.queries.ExtQueries.textPiiScrub(_, _)),
     "text_contamination" -> (graft.queries.ExtQueries.textContamination(_, _)),
     "text_decontaminate" -> (graft.queries.ExtQueries.textDecontaminate(_, _)),
+    "text_decontaminate_indexed" -> (graft.queries.ExtQueries.textDecontaminateIndexed(_, _)),
     "text_surprisal" -> (graft.queries.ExtQueries.textSurprisal(_, _)),
     "text_bigram_surprisal" -> (graft.queries.ExtQueries.textBigramSurprisal(_, _)),
     "embed_quantize" -> (graft.queries.ExtQueries.embedQuantize(_, _)),

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted decontamination index — the eval-hygiene artifact a
+  * training-data pipeline keeps BETWEEN runs: the benchmark suite's
+  * distinct informative shingles plus their serialized Bloom sketch,
+  * built once and consulted by every ingest batch or corpus pass
+  * ([[decontaminate]]) without ever re-reading the benchmark text.
+  * The third index of the family ([[BandIndex]], [[VectorIndex]]),
+  * sharing their store machinery ([[IndexStores]]) and lifecycle
+  * (staged rebuild / incremental append / compaction).
+  *
+  * Layout under `path`:
+  *  - `grams/` — the benchmark's distinct shingles `(s)`. BOUNDED by
+  *    contract (eval sets are small next to a corpus) — flat, no
+  *    partition pruning needed; it rides broadcast into the
+  *    confirmation join exactly as [[TextOps.decontaminate]]'s inline
+  *    bench table does.
+  *  - `meta/` — one row: the serialized Bloom sketch over `grams/`
+  *    ([[graft.functions.Bloom]]) and its `bits_per_item`. The sketch
+  *    is the corpus-side prefilter (a pure projection — no shuffle
+  *    touches the ~everything of a corpus that shares nothing with
+  *    the benchmark); persisting it beside the grams makes the probe
+  *    a 1-row read instead of a per-run aggregate.
+  *
+  * INVARIANT the lifecycle maintains: the sketch is always a SUPERSET
+  * of `grams/` (Bloom filters have no false negatives, so prefilter +
+  * exact-confirm returns exactly the plain join's answer; a sketch
+  * MISSING a stored gram would silently drop true contamination).
+  * [[append]] therefore writes the rebuilt sketch BEFORE appending the
+  * new grams: a crash between the two leaves a sketch with harmless
+  * extra positives and a store that simply hasn't learned the new
+  * benchmark yet — the retry heals it (gram append is
+  * presence-probed, idempotent).
+  */
+object ContaminationIndex {
+
+  private def benchGrams(benchmark: DataFrame): DataFrame =
+    TextOps.shingles(benchmark).select("s").distinct()
+
+  private def writeMeta(spark: SparkSession, dir: String,
+                        sketch: Array[Byte], bitsPerItem: Int): Unit = {
+    import spark.implicits._
+    Seq((sketch, bitsPerItem)).toDF("sketch", "bits_per_item")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Build the index from a benchmark suite. Staged + atomic swap: a
+    * rebuild that dies mid-write leaves consumers on the previous
+    * generation ([[IndexStores.swapInto]]).
+    *
+    * @param bitsPerItem Bloom width per gram (16 ≈ 0.04% false
+    *   positives — purely a prefilter-selectivity knob; see
+    *   [[graft.functions.Bloom.bloomAgg]] for the 4M-item conf clamp)
+    */
+  def write(benchmark: DataFrame, path: String,
+            bitsPerItem: Int = 16): Unit = {
+    val spark = benchmark.sparkSession
+    val staging = IndexStores.stagingFor(spark, path)
+    val grams = benchGrams(benchmark).localCheckpoint()
+    grams.coalesce(1).write.mode("overwrite").parquet(s"$staging/grams")
+    writeMeta(spark, s"$staging/meta",
+      graft.functions.Bloom.sketchOf(grams, "s", bitsPerItem), bitsPerItem)
+    IndexStores.swapInto(spark, path, staging)
+  }
+
+  /** Grow the index as the benchmark suite grows (a new eval set
+    * lands): append the suite's NEW grams and refresh the sketch.
+    * O(benchmark + grams), never O(corpus). Sketch-superset crash
+    * order (see object Scaladoc): rebuilt sketch first, then the gram
+    * append; replaying a half-committed append heals exactly the
+    * missing half.
+    */
+  def append(benchmark: DataFrame, path: String): Unit = {
+    val spark = benchmark.sparkSession
+    IndexStores.healRoot(spark, path)
+    val stored = IndexStores.readStore(spark, s"$path/grams")
+    val fresh = benchGrams(benchmark)
+      .join(stored, Seq("s"), "left_anti").localCheckpoint()
+    if (fresh.head(1).isEmpty) return
+    val bitsPerItem = IndexStores.readStore(spark, s"$path/meta")
+      .select("bits_per_item").head.getInt(0)
+    val sketch = graft.functions.Bloom.sketchOf(
+      stored.select("s").unionByName(fresh), "s", bitsPerItem)
+    graft.core.ParquetTable.overwriteAtomic(spark, s"$path/meta",
+      { import spark.implicits._
+        Seq((sketch, bitsPerItem)).toDF("sketch", "bits_per_item")
+          .coalesce(1) })
+    fresh.coalesce(1).write.mode("append").parquet(s"$path/grams")
+  }
+
+  /** Fold the gram store's append fragments to one file (the grams
+    * are bounded — a single file is always right-sized).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    IndexStores.healRoot(spark, path)
+    graft.core.ParquetTable.overwriteAtomic(spark, s"$path/grams",
+      IndexStores.readStore(spark, s"$path/grams").coalesce(1))
+  }
+
+  /** [[TextOps.decontaminate]] served from the index: drop every doc
+    * sharing ≥ `minShared` distinct informative shingles with the
+    * indexed benchmark, never touching the benchmark itself. Same
+    * plan shape — sketch prefilter as a projection over the corpus
+    * shingle kernel, stop-shingle cap over candidates only, broadcast
+    * confirmation join against the (bounded) gram store — and
+    * value-identical to the direct operator over the same benchmark
+    * (spec-pinned; the gate query shares `text_decontaminate`'s
+    * oracle verbatim).
+    */
+  def decontaminate(docs: DataFrame, path: String,
+                    minShared: Int = 3,
+                    maxDfFrac: Double = 0.1): DataFrame = {
+    val spark = docs.sparkSession
+    IndexStores.healRoot(spark, path)
+    val sketch = IndexStores.readStore(spark, s"$path/meta")
+      .select("sketch").head.getAs[Array[Byte]](0)
+    val bench = IndexStores.readStore(spark, s"$path/grams").select("s")
+    TextOps.decontaminateAgainst(docs, bench, sketch, minShared, maxDfFrac)
+  }
+}

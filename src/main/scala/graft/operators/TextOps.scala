@@ -744,12 +744,26 @@ object TextOps {
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     minShared: Int = 3, maxDfFrac: Double = 0.1,
                     bitsPerItem: Int = 16): DataFrame = {
-    import graft.functions.Bloom
     // materialise the bench shingle set ONCE: it feeds the sketch's
     // count + aggregate jobs and the confirmation join (Spark performs
     // no common-subexpression reuse across actions)
     val bench = shingles(benchmark).select("s").distinct().localCheckpoint()
-    val sketch = Bloom.sketchOf(bench, "s", bitsPerItem)
+    val sketch = graft.functions.Bloom.sketchOf(bench, "s", bitsPerItem)
+    decontaminateAgainst(docs, bench, sketch, minShared, maxDfFrac)
+  }
+
+  /** The corpus-side half of [[decontaminate]], taking the benchmark
+    * as an ALREADY-MATERIALISED gram table + sketch — ONE
+    * implementation behind both the inline operator above and the
+    * persisted artifact ([[ContaminationIndex.decontaminate]]), so
+    * the two paths can never drift. `sketch` must be a superset of
+    * `bench` (no false negatives — the prefilter must never drop a
+    * gram the confirmation join knows).
+    */
+  private[operators] def decontaminateAgainst(
+      docs: DataFrame, bench: DataFrame, sketch: Array[Byte],
+      minShared: Int, maxDfFrac: Double): DataFrame = {
+    import graft.functions.Bloom
     // prefilter BEFORE the stop-shingle cap: the cap's df aggregation
     // then shuffles only candidate rows — non-candidate shingles never
     // reach any exchange. Semantically free ([[dfCap]]: a per-shingle-

@@ -292,6 +292,32 @@ object ExtOracles {
     * ratio + 4-dp rounding as the dedup_jaccard_pairs oracle. Shared
     * by the direct and the index-served (shingle-store) gate queries.
     */
+  /** Replays TextOps.decontaminate with the PLAIN exact join — no
+    * Bloom anywhere: the sketch prefilter has no false negatives, so
+    * the kept set must equal the exact form's exactly. Shared by the
+    * direct and the persisted-artifact (ContaminationIndex) gates.
+    */
+  private def decontaminateSql: String =
+    """WITH tokc AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents WHERE doc_id % 100 <> 0),
+      |shc0 AS (SELECT DISTINCT doc_id,
+      |           t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+      |         FROM tokc, unnest(range(len(t) - 2)) AS u(i)),
+      |shc AS (SELECT doc_id, s FROM (
+      |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+      |          FROM shc0)
+      |        WHERE df <= (SELECT count(*) FROM documents
+      |                     WHERE doc_id % 100 <> 0) * 0.1),
+      |tokb AS (SELECT doc_id, string_split(text, ' ') AS t
+      |         FROM documents WHERE doc_id % 100 = 0),
+      |shb AS (SELECT DISTINCT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+      |        FROM tokb, unnest(range(len(t) - 2)) AS u(i)),
+      |bad AS (SELECT c.doc_id FROM shc c JOIN shb b ON c.s = b.s
+      |        GROUP BY 1 HAVING count(DISTINCT c.s) >= 3)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
+
   private def incrementalVerifiedSql: String =
     s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte,
        |bb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 = 7),
@@ -489,26 +515,10 @@ object ExtOracles {
     // Same shingle/df-cap CTEs as text_contamination; bench side needs
     // only distinct shingles (no per-bench-doc evidence in the kept-set
     // decision).
-    "text_decontaminate" ->
-      """WITH tokc AS (SELECT doc_id, string_split(text, ' ') AS t
-        |              FROM documents WHERE doc_id % 100 <> 0),
-        |shc0 AS (SELECT DISTINCT doc_id,
-        |           t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
-        |         FROM tokc, unnest(range(len(t) - 2)) AS u(i)),
-        |shc AS (SELECT doc_id, s FROM (
-        |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
-        |          FROM shc0)
-        |        WHERE df <= (SELECT count(*) FROM documents
-        |                     WHERE doc_id % 100 <> 0) * 0.1),
-        |tokb AS (SELECT doc_id, string_split(text, ' ') AS t
-        |         FROM documents WHERE doc_id % 100 = 0),
-        |shb AS (SELECT DISTINCT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
-        |        FROM tokb, unnest(range(len(t) - 2)) AS u(i)),
-        |bad AS (SELECT c.doc_id FROM shc c JOIN shb b ON c.s = b.s
-        |        GROUP BY 1 HAVING count(DISTINCT c.s) >= 3)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
-        |ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" -> decontaminateSql,
+    // identical kept set served from the persisted benchmark artifact
+    // (ContaminationIndex) — shares the direct operator's oracle
+    "text_decontaminate_indexed" -> decontaminateSql,
 
     // replays TextOps.surprisal: corpus unigram distribution, per-doc
     // mean -ln p(token)

@@ -452,6 +452,30 @@ object ExtQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  private val contamIndexCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def contamIndexPath(spark: SparkSession, dir: String): String =
+    contamIndexCache.get(spark, dir) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-contam-index").toString
+      graft.operators.ContaminationIndex.write(
+        docs(spark, dir).filter(col("doc_id") % 100 === 0), path)
+      path
+    }
+
+  /** The same kept set as [[textDecontaminate]], served from the
+    * PERSISTED benchmark artifact
+    * ([[graft.operators.ContaminationIndex]]): sketch from a 1-row
+    * meta read, confirmation grams from the bounded store — the
+    * benchmark text itself is never touched. Value-identical to the
+    * direct operator, so it shares its oracle verbatim.
+    */
+  def textDecontaminateIndexed(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ContaminationIndex.decontaminate(
+      docs(spark, dir).filter(col("doc_id") % 100 =!= 0),
+      contamIndexPath(spark, dir))
+      .select("doc_id").orderBy("doc_id")
+
   def textSurprisal(spark: SparkSession, dir: String): DataFrame =
     TextOps.surprisal(docs(spark, dir)).orderBy("doc_id")
 

@@ -49,6 +49,45 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("persisted index: kept set identical to direct, before and after an append") {
+    import graft.operators.ContaminationIndex
+    val path = tmpDir("contam-idx")
+    val bench2 = mk(Seq((102L, "sigma tau upsilon phi chi psi")))
+
+    def keptVia(p: String) = ContaminationIndex
+      .decontaminate(corpus, p, minShared = 3, maxDfFrac = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    def keptDirect(b: DataFrame) = TextOps
+      .decontaminate(corpus, b, minShared = 3, maxDfFrac = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+
+    ContaminationIndex.write(bench, path)
+    assert(keptVia(path) == keptDirect(bench),
+      "index-served kept set diverged from the direct operator")
+
+    // the suite grows: doc 4's text becomes benchmark — after the
+    // append the index must drop doc 4 exactly as the direct operator
+    // over the unioned suite does
+    ContaminationIndex.append(bench2, path)
+    val after = keptVia(path)
+    assert(after == keptDirect(bench.unionByName(bench2)),
+      s"post-append kept set diverged: $after")
+    assert(!after.contains(4L), "doc 4 should be dropped after its " +
+      "text joined the benchmark")
+
+    // replayed append (crash-retry) writes nothing new
+    val gramsOnce = spark.read.parquet(s"$path/grams").count()
+    ContaminationIndex.append(bench2, path)
+    assert(spark.read.parquet(s"$path/grams").count() == gramsOnce,
+      "replayed append duplicated gram rows")
+
+    // compaction folds fragments, kept set pinned
+    ContaminationIndex.compact(spark, path)
+    assert(BenchUtil.parquetDataFiles(s"$path/grams") == 1)
+    assert(keptVia(path) == after,
+      "kept set changed across a pure compaction")
+  }
+
   test("boundary semantics: verbatim copy dropped, ≤2 shared shingles kept") {
     val kept = TextOps.decontaminate(corpus, bench, minShared = 3,
       maxDfFrac = 1.0).select("doc_id").as[Long].collect().toSet
