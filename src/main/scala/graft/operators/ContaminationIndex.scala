@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   * extra positives and a store that simply hasn't learned the new
   * benchmark yet — the retry heals it (gram append is
   * presence-probed, idempotent).
+  *
+  * No delete/tombstone lifecycle, deliberately: removing a retired
+  * eval set means [[write]]-ing the index afresh from the surviving
+  * suites — O(benchmark), bounded by contract, unlike the
+  * corpus-scale indexes whose rebuilds the tombstone machinery exists
+  * to avoid (and a tombstoned GRAM would be wrong anyway: a shingle
+  * shared by a retired and a live suite must keep matching).
   */
 object ContaminationIndex {
 

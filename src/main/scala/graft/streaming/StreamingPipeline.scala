@@ -281,6 +281,51 @@ object StreamingPipeline {
     * caveat a transaction log removes); readers retry-heal on the next
     * plan ([[graft.operators.IndexStores.readStore]]).
     */
+  /** Streaming decontamination served from the persisted benchmark
+    * artifact ([[graft.operators.ContaminationIndex]]) — the
+    * eval-hygiene filter applied AT INGEST, completing the
+    * index-served stream family (near-dup, ANN ingest, this): per
+    * micro-batch, `decontaminate` keeps the batch's uncontaminated
+    * rows and appends them to `keptPath`. O(batch) per trigger — the
+    * sketch is a 1-row meta read riding the plan as a literal, the
+    * confirmation join is against the bounded gram store, and the
+    * benchmark text appears nowhere.
+    *
+    * Stop-shingle semantics: the `maxDfFrac` document-frequency cap is
+    * computed WITHIN each micro-batch (df is a corpus statistic; a
+    * trigger only sees its own slice). At the default 0.1 a small
+    * batch caps almost nothing; pass `maxDfFrac = 1.0` (no cap) for
+    * verdicts that are provably independent of how the stream is
+    * batched — each doc's keep/drop then depends only on its own
+    * shingles vs the index (the spec pins stream ≡ batch under
+    * exactly that setting).
+    *
+    * Exactly-once: the kept-row append is one parquet commit per
+    * trigger; a crash replays the trigger and can duplicate kept rows
+    * (dedup downstream on doc_id — the standard foreachBatch sink
+    * contract here). Verdicts themselves cannot flip on replay: the
+    * index is read-only to this stream.
+    */
+  def decontaminateStream(docs: DataFrame, indexPath: String,
+      keptPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      minShared: Int = 3, maxDfFrac: Double = 0.1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try
+          graft.operators.ContaminationIndex
+            .decontaminate(batch, indexPath, minShared, maxDfFrac)
+            .write.mode("append").parquet(keptPath)
+        finally graft.BenchUtil.releaseNewRdds(sc, before)
+        ()
+      }
+      .start()
+
   def ivfPqIngestStream(vectors: DataFrame, indexPath: String,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
