@@ -153,6 +153,23 @@ class DecontaminateSpec extends SparkSpec {
       s"kept-set anti-join should broadcast the bounded dropped side:\n$plan")
   }
 
+  test("plan: index-served decontaminate reads grams/meta, never the benchmark") {
+    import graft.operators.ContaminationIndex
+    val path = tmpDir("contam-plan-idx")
+    ContaminationIndex.write(bench, path)
+    val plan = ContaminationIndex
+      .decontaminate(corpus, path, maxDfFrac = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the index-served plan:\n$plan")
+    // the ONLY file scan is the gram store: the sketch was collected
+    // into a plan literal from the 1-row meta read, the corpus is the
+    // caller's frame, and benchmark text appears nowhere
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1 && plan.contains(s"$path/grams"),
+      s"expected exactly one file scan (the gram store), got $scans:\n$plan")
+  }
+
   test("gate query runs and keeps only uncontaminated corpus docs at sf0.001") {
     val docs = sources.Tables.documents(spark, sf)
     val corpusIds = docs.filter(col("doc_id") % 100 =!= 0)
