@@ -246,6 +246,15 @@ object BandIndex {
     IndexStores.clearTombstones(spark, path)
   }
 
+  /** Operational stats per store (`bands`, `shingles` when present):
+    * file/dir counts, fragmentation ratio, tombstone count — the
+    * compaction dial as a queryable op ([[IndexStores.stats]]).
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    IndexStores.healRoot(spark, path)
+    IndexStores.stats(spark, path, Seq("bands", "shingles"), "doc_id")
+  }
+
   /** The verification leg's corpus-side shingle table, pruned by the
     * pinned collision pairs: the colliders are known only once the
     * pair set exists, so the read is built FROM it — collect the

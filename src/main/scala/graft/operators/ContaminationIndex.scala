@@ -107,6 +107,15 @@ object ContaminationIndex {
       IndexStores.readStore(spark, s"$path/grams").coalesce(1))
   }
 
+  /** Operational stats for the gram store — fragmentation from
+    * repeated [[append]]s, the [[compact]] dial ([[IndexStores.stats]];
+    * this index has no tombstones by design, so that column is 0).
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    IndexStores.healRoot(spark, path)
+    IndexStores.stats(spark, path, Seq("grams"), "s")
+  }
+
   /** [[TextOps.decontaminate]] served from the index: drop every doc
     * sharing ≥ `minShared` distinct informative shingles with the
     * indexed benchmark, never touching the benchmark itself. Same

@@ -141,6 +141,46 @@ private[operators] object IndexStores {
   def swapInto(spark: SparkSession, path: String, staging: String): Unit =
     ParquetTable.swap(fs(spark, path), new Path(path), new Path(staging))
 
+  /** Operational stats for an index's stores — the compaction policy
+    * dial (USAGE.md: "compact when fragment files reach a few × the
+    * directory count") as a QUERYABLE op a pipeline can monitor or
+    * alert on. Pure driver-side listing for files/dirs (no data read;
+    * committed files only, the [[hasStore]] notion) plus the bounded
+    * tombstone count. One row per existing store:
+    * `(store, data_files, partition_dirs, fragmentation,
+    * tombstoned_ids)` — fragmentation = files/dirs, 1.0 when fully
+    * compacted.
+    */
+  def stats(spark: SparkSession, path: String, stores: Seq[String],
+            idCol: String): DataFrame = {
+    import spark.implicits._
+    val tombstoned =
+      if (hasTombstones(spark, path))
+        tombstoneIds(spark, path, idCol).count()
+      else 0L
+    stores.flatMap { s =>
+      val dir = s"$path/$s"
+      if (!hasStore(spark, dir)) None
+      else {
+        val f = fs(spark, dir)
+        val p = new Path(dir)
+        val dirs = math.max(1,
+          f.listStatus(p).count(st =>
+            st.isDirectory && st.getPath.getName.contains("=")))
+        var files = 0
+        val it = f.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet") &&
+              !st.getPath.toString.contains("_temporary")) files += 1
+        }
+        Some((s, files.toLong, dirs.toLong,
+          files.toDouble / dirs, tombstoned))
+      }
+    }.toDF("store", "data_files", "partition_dirs", "fragmentation",
+      "tombstoned_ids")
+  }
+
   /** The pruned presence probe both indexes' incremental appends share:
     * the store rows (all columns) whose `idCol` appears in the
     * (bounded, broadcast) batch, read only from the partitions named in

@@ -262,6 +262,15 @@ object VectorIndex {
     IndexStores.clearTombstones(spark, path)
   }
 
+  /** Operational stats per store (`codes`, `vectors` when present):
+    * file/dir counts, fragmentation ratio, tombstone count — the
+    * compaction dial as a queryable op ([[IndexStores.stats]]).
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    IndexStores.healRoot(spark, path)
+    IndexStores.stats(spark, path, Seq("codes", "vectors"), "vec_id")
+  }
+
   /** Top-k ADC search against a persisted index. `queries` are raw
     * (id, vector) pairs — the index is self-contained; the corpus that
     * built it is not needed at search time.

@@ -366,6 +366,13 @@ class DedupTransformerSpec extends SparkSpec {
     BandIndex.append(doc3, path)
     val shinglesOnce = spark.read.parquet(s"$path/shingles")
       .filter(col("doc_id") === 3L).count()
+    // the queryable compaction dial: one row per store, tombstones 0
+    val st = BandIndex.stats(spark, path).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st.keySet == Set("bands", "shingles"), s"unexpected stores $st")
+    assert(st("bands").getLong(4) == 0L)
+    assert(st("bands").getDouble(3) >= 1.0)
+
     val bandsOnce = spark.read.parquet(s"$path/bands")
       .filter(col("doc_id") === 3L).count()
     BandIndex.append(doc3, path) // the retry

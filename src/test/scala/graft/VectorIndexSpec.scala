@@ -178,8 +178,14 @@ class VectorIndexSpec extends SparkSpec {
       VectorIndex.addToIvfPq(spark, path, embs.filter(col("vec_id") === 7L)))
     assert(e.getMessage.contains("tombstoned"))
 
+    // the stats op surfaces the pending-delete debt
+    assert(VectorIndex.stats(spark, path).head.getLong(4) == dead.length.toLong,
+      "stats should report the tombstoned id count")
+
     // compaction: physical drop, tombstone table gone, results pinned
     VectorIndex.compactIvfPq(spark, path)
+    assert(VectorIndex.stats(spark, path).head.getLong(4) == 0L,
+      "tombstone count should be zero after compaction")
     assert(!new java.io.File(s"$path/tombstones").exists(),
       "compaction must clear the tombstone table")
     assert(spark.read.parquet(s"$path/codes")
@@ -217,10 +223,20 @@ class VectorIndexSpec extends SparkSpec {
     val cells = spark.read.parquet(s"$path/codes")
       .select("cell").distinct().count()
 
+    // the queryable compaction dial must agree with the direct listing
+    val statBefore = VectorIndex.stats(spark, path)
+      .filter(col("store") === "codes").head
+    assert(statBefore.getLong(1) == filesBefore.toLong &&
+      statBefore.getDouble(3) > 1.0,
+      s"stats disagree with listing before compaction: $statBefore")
+
     VectorIndex.compactIvfPq(spark, path)
     val filesAfter = BenchUtil.parquetDataFiles(s"$path/codes")
     assert(filesAfter < filesBefore,
       s"compaction did not shrink the file count ($filesBefore -> $filesAfter)")
+    assert(VectorIndex.stats(spark, path)
+      .filter(col("store") === "codes").head.getDouble(3) <= 1.0,
+      "fragmentation should be <= 1 after compaction")
     assert(filesAfter <= cells,
       s"expected at most one file per cell after compaction, " +
         s"got $filesAfter for $cells cells")
