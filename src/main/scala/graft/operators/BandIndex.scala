@@ -102,13 +102,19 @@ object BandIndex {
     * bands whose verification silently finds no shingles.
     *
     * Idempotent under crash-retry, per store (the
-    * [[VectorIndex.addToIvfPq]] contract): each store SKIPS docs it
-    * already holds via a pruned presence probe — shingles by the
-    * batch's doc-id prefixes, bands by the batch's bucket-key prefixes
-    * (same content ⇒ same bands ⇒ same directories, so a committed
-    * doc's rows ARE found there). Replaying a half-committed append
-    * therefore heals exactly the missing half; replaying a committed
-    * one writes nothing.
+    * [[VectorIndex.addToIvfPq]] contract): the shingle store skips
+    * DOCS it already holds (doc-id-prefix-pruned probe; a doc's
+    * shingle rows land in ONE file — `repartition(dp)` — so presence
+    * of any row means all rows). The band store skips at ROW
+    * granularity — anti-join on `(doc_id, band)` against the pruned
+    * store (same content ⇒ same bands ⇒ same directories, so stored
+    * rows ARE found) — because one doc's bands span MANY `bkp`
+    * directories and a job killed mid-commit can leave a strict
+    * subset of them visible; a doc-level skip would then drop the
+    * missing bands forever, silently shrinking that doc's collision
+    * surface. Replaying a half-committed append therefore heals
+    * exactly the missing rows; replaying a committed one writes
+    * nothing.
     *
     * Re-appending an indexed id with DIFFERENT content is REJECTED
     * loudly when the shingle store exists (stored vs batch shingle
@@ -127,44 +133,52 @@ object BandIndex {
   def append(newDocs0: DataFrame, path: String): Unit = {
     val spark = newDocs0.sparkSession
     IndexStores.healRoot(spark, path)
-    // pinned: the source plan (often a semi-join against stream
-    // verdicts) otherwise re-executes for the tombstone probe, each
-    // presence probe and both writes
-    val newDocs = newDocs0.localCheckpoint()
-    IndexStores.rejectTombstoned(spark, path,
-      newDocs.select("doc_id"), "doc_id", "BandIndex.append")
-    val ids = newDocs.select("doc_id")
-    val bnd = bandsOf(newDocs).localCheckpoint()
-    if (hasShingles(spark, path)) {
-      val sh = shinglesOf(newDocs).localCheckpoint()
-      val dps = sh.select("dp").distinct()
+    // release every localCheckpoint pinned below once the writes are
+    // done — nothing escapes this call (Unit return), and batch-loop
+    // callers would otherwise accumulate pinned blocks per append
+    // (Dataset.unpersist does not cover checkpoint RDDs)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      // pinned: the source plan (often a semi-join against stream
+      // verdicts) otherwise re-executes for the tombstone probe, each
+      // presence probe and both writes
+      val newDocs = newDocs0.localCheckpoint()
+      IndexStores.rejectTombstoned(spark, path,
+        newDocs.select("doc_id"), "doc_id", "BandIndex.append")
+      val ids = newDocs.select("doc_id")
+      val bnd = bandsOf(newDocs).localCheckpoint()
+      if (hasShingles(spark, path)) {
+        val sh = shinglesOf(newDocs).localCheckpoint()
+        val dps = sh.select("dp").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val stored = IndexStores.presentRows(spark, s"$path/shingles",
+          "dp", dps, "doc_id", ids).select("doc_id", "s").localCheckpoint()
+        val changed = sh.select("doc_id", "s")
+          .join(stored.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .join(stored, Seq("doc_id", "s"), "left_anti")
+          .unionByName(stored.join(sh.select("doc_id", "s"),
+            Seq("doc_id", "s"), "left_anti"))
+          .select("doc_id").limit(1).collect()
+        if (changed.nonEmpty)
+          throw new IllegalArgumentException(
+            s"BandIndex.append: doc_id=${changed(0).getLong(0)} is already " +
+              "indexed with different content — update via delete + compact " +
+              "+ append, not re-append")
+        sh.join(stored.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          .repartition(col("dp"))
+          .write.mode("append").partitionBy("dp")
+          .parquet(s"$path/shingles")
+      }
+      val bkps = bnd.select("bkp").distinct()
         .collect().map(_.getString(0)).toSeq
-      val stored = IndexStores.presentRows(spark, s"$path/shingles",
-        "dp", dps, "doc_id", ids).select("doc_id", "s").localCheckpoint()
-      val changed = sh.select("doc_id", "s")
-        .join(stored.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-        .join(stored, Seq("doc_id", "s"), "left_anti")
-        .unionByName(stored.join(sh.select("doc_id", "s"),
-          Seq("doc_id", "s"), "left_anti"))
-        .select("doc_id").limit(1).collect()
-      if (changed.nonEmpty)
-        throw new IllegalArgumentException(
-          s"BandIndex.append: doc_id=${changed(0).getLong(0)} is already " +
-            "indexed with different content — update via delete + compact " +
-            "+ append, not re-append")
-      sh.join(stored.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-        .repartition(col("dp"))
-        .write.mode("append").partitionBy("dp")
-        .parquet(s"$path/shingles")
-    }
-    val bkps = bnd.select("bkp").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val bandPresent = IndexStores.presentRows(spark, s"$path/bands",
-      "bkp", bkps, "doc_id", ids).select("doc_id").distinct()
-    bnd.join(bandPresent, Seq("doc_id"), "left_anti")
-      .repartition(col("bkp"))
-      .write.mode("append").partitionBy("bkp")
-      .parquet(s"$path/bands")
+      val bandPresent = IndexStores.presentRows(spark, s"$path/bands",
+        "bkp", bkps, "doc_id", ids).select("doc_id", "band").distinct()
+      bnd.join(bandPresent, Seq("doc_id", "band"), "left_anti")
+        .repartition(col("bkp"))
+        .write.mode("append").partitionBy("bkp")
+        .parquet(s"$path/bands")
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
   /** Classify a batch against the persisted index —

@@ -47,11 +47,13 @@ object ContaminationIndex {
   private def benchGrams(benchmark: DataFrame): DataFrame =
     TextOps.shingles(benchmark).select("s").distinct()
 
-  private def writeMeta(spark: SparkSession, dir: String,
-                        sketch: Array[Byte], bitsPerItem: Int): Unit = {
+  /** The one meta-row schema, shared by [[write]] (staged overwrite)
+    * and [[append]] (atomic refresh) so the two paths cannot diverge.
+    */
+  private def metaDf(spark: SparkSession, sketch: Array[Byte],
+                     bitsPerItem: Int): DataFrame = {
     import spark.implicits._
-    Seq((sketch, bitsPerItem)).toDF("sketch", "bits_per_item")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq((sketch, bitsPerItem)).toDF("sketch", "bits_per_item").coalesce(1)
   }
 
   /** Build the index from a benchmark suite. Staged + atomic swap: a
@@ -65,12 +67,17 @@ object ContaminationIndex {
   def write(benchmark: DataFrame, path: String,
             bitsPerItem: Int = 16): Unit = {
     val spark = benchmark.sparkSession
-    val staging = IndexStores.stagingFor(spark, path)
-    val grams = benchGrams(benchmark).localCheckpoint()
-    grams.coalesce(1).write.mode("overwrite").parquet(s"$staging/grams")
-    writeMeta(spark, s"$staging/meta",
-      graft.functions.Bloom.sketchOf(grams, "s", bitsPerItem), bitsPerItem)
-    IndexStores.swapInto(spark, path, staging)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val staging = IndexStores.stagingFor(spark, path)
+      val grams = benchGrams(benchmark).localCheckpoint()
+      grams.coalesce(1).write.mode("overwrite").parquet(s"$staging/grams")
+      metaDf(spark,
+        graft.functions.Bloom.sketchOf(grams, "s", bitsPerItem), bitsPerItem)
+        .write.mode("overwrite").parquet(s"$staging/meta")
+      IndexStores.swapInto(spark, path, staging)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
   /** Grow the index as the benchmark suite grows (a new eval set
@@ -82,20 +89,26 @@ object ContaminationIndex {
     */
   def append(benchmark: DataFrame, path: String): Unit = {
     val spark = benchmark.sparkSession
-    IndexStores.healRoot(spark, path)
-    val stored = IndexStores.readStore(spark, s"$path/grams")
-    val fresh = benchGrams(benchmark)
-      .join(stored, Seq("s"), "left_anti").localCheckpoint()
-    if (fresh.head(1).isEmpty) return
-    val bitsPerItem = IndexStores.readStore(spark, s"$path/meta")
-      .select("bits_per_item").head.getInt(0)
-    val sketch = graft.functions.Bloom.sketchOf(
-      stored.select("s").unionByName(fresh), "s", bitsPerItem)
-    graft.core.ParquetTable.overwriteAtomic(spark, s"$path/meta",
-      { import spark.implicits._
-        Seq((sketch, bitsPerItem)).toDF("sketch", "bits_per_item")
-          .coalesce(1) })
-    fresh.coalesce(1).write.mode("append").parquet(s"$path/grams")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      IndexStores.healRoot(spark, path)
+      // pinned: the store feeds the anti-join AND (unioned) the
+      // sketch's count + aggregate jobs — unpinned it would be read
+      // three times per append
+      val stored = IndexStores.readStore(spark, s"$path/grams")
+        .select("s").localCheckpoint()
+      val fresh = benchGrams(benchmark)
+        .join(stored, Seq("s"), "left_anti").localCheckpoint()
+      if (fresh.head(1).isEmpty) return
+      val bitsPerItem = IndexStores.readStore(spark, s"$path/meta")
+        .select("bits_per_item").head.getInt(0)
+      val sketch = graft.functions.Bloom.sketchOf(
+        stored.unionByName(fresh), "s", bitsPerItem)
+      graft.core.ParquetTable.overwriteAtomic(spark, s"$path/meta",
+        metaDf(spark, sketch, bitsPerItem))
+      fresh.coalesce(1).write.mode("append").parquet(s"$path/grams")
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
   /** Fold the gram store's append fragments to one file (the grams

@@ -286,12 +286,6 @@ object ExtOracles {
        |          LEFT JOIN bh ON base.doc_id = bh.doc_id
        |ORDER BY base.doc_id""".stripMargin
 
-  /** Replay of the VERIFIED incremental near-dup (minJaccard = 0.5):
-    * band collisions are candidates; a pair may support a verdict only
-    * if its exact shingle Jaccard clears the threshold — the same
-    * ratio + 4-dp rounding as the dedup_jaccard_pairs oracle. Shared
-    * by the direct and the index-served (shingle-store) gate queries.
-    */
   /** Replays TextOps.decontaminate with the PLAIN exact join — no
     * Bloom anywhere: the sketch prefilter has no false negatives, so
     * the kept set must equal the exact form's exactly. Shared by the
@@ -318,6 +312,12 @@ object ExtOracles {
       |WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  /** Replay of the VERIFIED incremental near-dup (minJaccard = 0.5):
+    * band collisions are candidates; a pair may support a verdict only
+    * if its exact shingle Jaccard clears the threshold — the same
+    * ratio + 4-dp rounding as the dedup_jaccard_pairs oracle. Shared
+    * by the direct and the index-served (shingle-store) gate queries.
+    */
   private def incrementalVerifiedSql: String =
     s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte,
        |bb AS (SELECT doc_id, band, bk FROM bands WHERE doc_id % 10 = 7),

@@ -210,6 +210,15 @@ object StreamingPipeline {
     * `near_dup_in_batch` (its match genuinely IS in the corpus now) —
     * consumers distinguishing the two labels should dedup verdict rows
     * preferring the earliest write.
+    *
+    * Poison-pill edge: a source that RE-EMITS an already-indexed
+    * doc_id with changed content gets the append's loud
+    * changed-content rejection ([[graft.operators.BandIndex.append]])
+    * every replay — the stream stalls on that trigger until an
+    * operator intervenes (delete + compact the id, or drop the row
+    * upstream). Deliberate: id reuse with different content is a
+    * data-integrity error, and a silent skip/dead-letter would let
+    * verification verdicts drift from the stored shingles.
     */
   def incrementalNearDupIndexStream(docs: DataFrame, indexPath: String,
       verdictPath: String, checkpoint: String,
@@ -255,32 +264,6 @@ object StreamingPipeline {
       }
       .start()
 
-  /** Streaming ingest into a persisted IVF-PQ index — the vector twin
-    * of [[incrementalNearDupIndexStream]]'s append leg: per
-    * micro-batch, [[graft.operators.VectorIndex.addToIvfPq]] encodes
-    * the batch under the index's FROZEN trained state (centroids and
-    * codebooks never move — the stream cannot drift the index) and
-    * appends one file per touched cell. Per-trigger cost is O(batch):
-    * the corpus appears nowhere in the plan — the stream holds only
-    * the index path, and the presence probe reads only the batch's own
-    * cells. Searches between triggers see old and new vectors through
-    * the one shared pruned-scan plan.
-    *
-    * Exactly-once note: a crash after the add but before the offset
-    * commit replays the trigger; the add's per-store id skip makes the
-    * replay write nothing ([[graft.operators.VectorIndex.addToIvfPq]]
-    * — the same healed-replay contract as the band leg). A batch
-    * carrying a tombstoned id fails the trigger LOUDLY by design:
-    * compact first, or the re-added row would be silently swallowed.
-    *
-    * `compactEvery = n` folds the accumulated append fragments every n
-    * triggers ([[graft.operators.VectorIndex.compactIvfPq]]) — the
-    * single-producer contract holds inside `foreachBatch` by
-    * construction. Concurrent SEARCHES during the compaction swap
-    * window can observe a mid-swap listing on a plain filesystem (the
-    * caveat a transaction log removes); readers retry-heal on the next
-    * plan ([[graft.operators.IndexStores.readStore]]).
-    */
   /** Streaming decontamination served from the persisted benchmark
     * artifact ([[graft.operators.ContaminationIndex]]) — the
     * eval-hygiene filter applied AT INGEST, completing the
@@ -326,6 +309,36 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming ingest into a persisted IVF-PQ index — the vector twin
+    * of [[incrementalNearDupIndexStream]]'s append leg: per
+    * micro-batch, [[graft.operators.VectorIndex.addToIvfPq]] encodes
+    * the batch under the index's FROZEN trained state (centroids and
+    * codebooks never move — the stream cannot drift the index) and
+    * appends one file per touched cell. Per-trigger cost is O(batch):
+    * the corpus appears nowhere in the plan — the stream holds only
+    * the index path, and the presence probe reads only the batch's own
+    * cells. Searches between triggers see old and new vectors through
+    * the one shared pruned-scan plan.
+    *
+    * Exactly-once note: a crash after the add but before the offset
+    * commit replays the trigger; the add's per-store id skip makes the
+    * replay write nothing ([[graft.operators.VectorIndex.addToIvfPq]]
+    * — the same healed-replay contract as the band leg). A batch
+    * carrying a tombstoned id fails the trigger LOUDLY by design:
+    * compact first, or the re-added row would be silently swallowed —
+    * like the band leg's changed-content rejection, this is a
+    * poison-pill batch that stalls the stream loudly until an operator
+    * intervenes (delete + compact, or drop the row upstream); there is
+    * deliberately no silent dead-letter path for data-loss edges.
+    *
+    * `compactEvery = n` folds the accumulated append fragments every n
+    * triggers ([[graft.operators.VectorIndex.compactIvfPq]]) — the
+    * single-producer contract holds inside `foreachBatch` by
+    * construction. Concurrent SEARCHES during the compaction swap
+    * window can observe a mid-swap listing on a plain filesystem (the
+    * caveat a transaction log removes); readers retry-heal on the next
+    * plan ([[graft.operators.IndexStores.readStore]]).
+    */
   def ivfPqIngestStream(vectors: DataFrame, indexPath: String,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),

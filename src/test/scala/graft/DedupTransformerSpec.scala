@@ -393,6 +393,26 @@ class DedupTransformerSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("different content"), e.getMessage)
 
+    // partial band-job commit: one doc's bands span many bkp dirs, so
+    // a kill mid-commit can leave a strict subset visible. Simulate by
+    // deleting one of doc 3's committed band files — the retry must
+    // heal exactly the missing rows (row-granular skip), not skip the
+    // doc because SOME rows are present, and not duplicate the rest
+    val f3 = spark.read.parquet(s"$path/bands")
+      .withColumn("f", input_file_name())
+      .filter(col("doc_id") === 3L).select("f").head.getString(0)
+    assert(new java.io.File(new java.net.URI(f3)).delete())
+    val afterLoss = spark.read.parquet(s"$path/bands")
+      .filter(col("doc_id") === 3L).count()
+    assert(afterLoss < bandsOnce, "fixture: file delete removed no rows")
+    BandIndex.append(doc3, path) // the partial-commit retry
+    val healed = spark.read.parquet(s"$path/bands")
+      .filter(col("doc_id") === 3L)
+    assert(healed.count() === bandsOnce,
+      "partial-commit retry did not restore the missing band rows")
+    assert(healed.select("band", "bk").distinct().count() === bandsOnce,
+      "partial-commit retry duplicated surviving band rows")
+
     // a replayed doc already IN the index must not self-match into
     // near_dup_of_corpus(match_doc = self)
     val replayed = BandIndex.classify(spark, path, doc3, minJaccard = 0.5)
