@@ -271,6 +271,40 @@ object VectorIndex {
     IndexStores.stats(spark, path, Seq("codes", "vectors"), "vec_id")
   }
 
+  /** Per-cell occupancy of the code store — the REBUILD dial, as
+    * [[stats]] is the compaction dial: [[addToIvfPq]] ingests under a
+    * FROZEN model, so a distribution drift between the trained corpus
+    * and the ingested one concentrates new vectors in few cells, and
+    * probing nprobe of nlist cells stops pruning the bytes it should.
+    * Returns `(cell, rows, frac)` (tombstone-suppressed, matching what
+    * search scans) plus the index's trained nlist via the meta row —
+    * one aggregate over codes ids, no vector data read.
+    *
+    * The summary dial is [[imbalance]]: FAISS's imbalance factor
+    * `nlist · Σ nᵢ² / N²` — 1.0 when perfectly balanced, k when all
+    * rows sit in 1/k of the cells; the expected ADC read cost scales
+    * with it. Rule of thumb: schedule a [[writeIvfPq]] rebuild (staged,
+    * consumers stay on the old generation) when it reaches a few.
+    */
+  def cellStats(spark: SparkSession, path: String): DataFrame =
+    loadCodes(spark, path)
+      .groupBy("cell").agg(count(lit(1)).as("rows"))
+      .withColumn("frac",
+        col("rows") / sum("rows").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy("cell")
+
+  /** See [[cellStats]]. */
+  def imbalance(spark: SparkSession, path: String): Double = {
+    val nlist = loadIvfPq(spark, path).centers.length
+    val r = loadCodes(spark, path)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("ss"), sum("n").as("n"))
+      .head
+    val (ss, n) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    if (n == 0) 1.0 else nlist * ss / (n * n)
+  }
+
   /** Top-k ADC search against a persisted index. `queries` are raw
     * (id, vector) pairs — the index is self-contained; the corpus that
     * built it is not needed at search time.

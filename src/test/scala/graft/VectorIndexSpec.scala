@@ -245,6 +245,32 @@ class VectorIndexSpec extends SparkSpec {
       "search results changed across a pure compaction")
   }
 
+  test("imbalance factor: near-balanced after build, grows under skewed ingest") {
+    val embs = sources.Tables.embeddings(spark, sf).localCheckpoint()
+    val path = tmpDir("ivfpq-imbal")
+    VectorIndex.writeIvfPq(embs, path)
+    val base = VectorIndex.imbalance(spark, path)
+    // k-means on the training corpus itself keeps cells reasonably
+    // balanced: nowhere near the all-in-one-cell worst case (= nlist)
+    val nlist = VectorIndex.loadIvfPq(spark, path).centers.length
+    assert(base >= 1.0 && base < nlist / 2.0,
+      s"built index should be roughly balanced, factor $base (nlist $nlist)")
+    assert(math.abs(
+      VectorIndex.cellStats(spark, path).agg(sum("frac")).head.getDouble(0)
+        - 1.0) < 1e-9)
+
+    // drift: pile 300 copies of one vector (fresh ids) into the index —
+    // they all land in one cell and the rebuild dial must move
+    import spark.implicits._
+    val v = embs.filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val skew = (10000L until 10300L).map(i => (i, v)).toDF("vec_id", "embedding")
+    VectorIndex.addToIvfPq(spark, path, skew)
+    val after = VectorIndex.imbalance(spark, path)
+    assert(after > base,
+      s"skewed ingest should raise the imbalance factor ($base -> $after)")
+  }
+
   test("streaming ingest: per-trigger adds equal one batch add; compaction cadence folds files") {
     import graft.streaming.StreamingPipeline
     val embs = sources.Tables.embeddings(spark, sf).localCheckpoint()
