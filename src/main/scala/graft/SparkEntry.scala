@@ -140,6 +140,10 @@ object SparkEntry {
     "multimodal_meta" -> (graft.queries.ExtQueries.multimodalMeta(_, _)),
     "multimodal_frames" -> (graft.queries.ExtQueries.multimodalFrames(_, _)),
     "multimodal_decode" -> (graft.queries.ExtQueries.multimodalDecode(_, _)),
+    "layout_zorder" -> (graft.queries.ExtQueries.layoutZorder(_, _)),
+    "layout_skipping" -> (graft.queries.ExtQueries.layoutSkipping(_, _)),
+    "skew_profile" -> (graft.queries.ExtQueries.skewProfile(_, _)),
+    "skew_summary" -> (graft.queries.ExtQueries.skewSummary(_, _)),
   )
 
   /** Normalised `events` view used by every oracle touching events:

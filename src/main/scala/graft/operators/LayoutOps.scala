@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) data layout for multi-column data skipping.
+  *
+  * The 100 TB problem this solves: a corpus written sorted by ONE
+  * column prunes scans on that column only — a predicate on any other
+  * column reads every file. Interleaving the bits of several columns'
+  * grid coordinates into one sort key gives every interleaved column
+  * locality in the SAME layout, so per-file min/max ranges (or a
+  * partition grid, as here) prune multi-dimensional box queries to
+  * ~the files that actually intersect the box. This is the layout
+  * trick behind Delta/Iceberg `ZORDER BY` clustering, re-expressed as
+  * plain deterministic Spark arithmetic.
+  *
+  * Design choices, all in service of determinism at scale:
+  *
+  *  - **Exact integer grid.** Each dimension is bucketed with
+  *    fixed-width integer division (`(x - min) div w`, with
+  *    `w = (range div 2^bits) + 1`), never floating-point scaling —
+  *    the same row lands in the same cell on any engine, which is what
+  *    makes the layout auditable (the DuckDB oracle replays the whole
+  *    key). Dimension min/max come from a one-row aggregate broadcast
+  *    back onto the plan (no driver collect, no global window).
+  *  - **Static cell grid, not sampled ranges.** File assignment is the
+  *    zkey's high bits (`zcell`), a fixed 2^cellBits z-region grid —
+  *    unlike `repartitionByRange`'s sampled bounds it is deterministic
+  *    across runs and engines, and a reader can enumerate exactly
+  *    which cells intersect a query box without any metadata read
+  *    ([[cellsForBox]]). Cell occupancy tracks the data distribution
+  *    (dense regions put many rows in a cell); the companion
+  *    per-cell-stats audit ([[cellStats]]) is the rebalance dial.
+  *  - **No shuffle in the key itself.** Key computation is pure
+  *    per-row arithmetic under whole-stage codegen; the only exchange
+  *    a layout write needs is the final repartition by cell.
+  *
+  * Scale: key arithmetic is O(rows) map-side; the min/max aggregate is
+  * the standard partial-agg reduction; [[write]] shuffles once on the
+  * cell id. `cellsForBox` enumerates at most 2^cellBits cells on the
+  * driver — cellBits is a file-count dial (e.g. 10 → ≤1024 cells), not
+  * a per-row cost.
+  */
+object LayoutOps {
+
+  /** Per-dimension grid coordinates + interleaved z-key.
+    *
+    * @param df    input; every `cols` column must be integral (cast
+    *              timestamps with `unix_micros` first)
+    * @param cols  dimensions to interleave, in bit-significance order
+    * @param bits  grid resolution per dimension (2^bits cells per dim)
+    * @return df plus `zb_<col>` (grid coordinate per dim) and `zkey`
+    */
+  def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "zorderKey needs at least one column")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits=$bits over ${cols.size} dims overflows a signed 64-bit zkey")
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c).cast("long")).as(s"__min_$c"),
+        max(col(c).cast("long")).as(s"__max_$c"))
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val withBuckets = cols.foldLeft(df.crossJoin(broadcast(bounds))) {
+      (acc, c) =>
+        // w = (range div 2^bits) + 1 keeps every bucket in
+        // [0, 2^bits - 1] with pure small-number integer arithmetic
+        // (no overflow for any int64 range, unlike range * 2^bits).
+        acc.withColumn(s"zb_$c",
+          expr(s"(cast($c as long) - __min_$c) div " +
+            s"(((__max_$c - __min_$c) div ${1L << bits}) + 1)"))
+    }
+    val n = cols.size
+    val zkey = (0 until bits).flatMap { b =>
+      cols.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(col(s"zb_$c"), b).bitwiseAND(lit(1L)),
+          b * n + i)
+      }
+    }.reduce(_ + _)
+    withBuckets
+      .withColumn("zkey", zkey)
+      .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** [[zorderKey]] plus the file-grid cell id: the zkey's top
+    * `cellBits` bits (a fixed 2^cellBits z-region grid). Deterministic
+    * file assignment — the property `repartitionByRange`'s sampled
+    * bounds can't give — at the price of distribution-dependent cell
+    * occupancy (audit with [[cellStats]]).
+    */
+  def zorderLayout(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                   cellBits: Int = 8): DataFrame = {
+    val keyBits = bits * cols.size
+    require(cellBits >= 1 && cellBits <= keyBits,
+      s"cellBits=$cellBits must be in [1, $keyBits]")
+    zorderKey(df, cols, bits)
+      .withColumn("zcell", shiftright(col("zkey"), keyBits - cellBits))
+  }
+
+  /** Per-cell occupancy + per-dimension min/max — the audit a reader's
+    * pruning decisions come from and the dial for choosing `cellBits`
+    * (target: cells ≈ files of `maxPartitionBytes`). One partial-agg
+    * shuffle on the cell id.
+    */
+  def cellStats(layout: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +:
+      cols.flatMap { c =>
+        Seq(min(col(c).cast("long")).as(s"min_$c"),
+          max(col(c).cast("long")).as(s"max_$c"))
+      }
+    layout.groupBy("zcell").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Driver-side enumeration of the z-cells that intersect an
+    * inclusive box, given the SAME dimension bounds and bit widths the
+    * layout was built with. At most 2^cellBits candidates are tested —
+    * a file-count-sized loop, independent of row count.
+    *
+    * @param mins/maxs  the global per-dimension bounds of the layout
+    * @param box        inclusive (lo, hi) per dimension
+    * @return cell ids whose z-region intersects the box
+    */
+  def cellsForBox(mins: Seq[Long], maxs: Seq[Long], box: Seq[(Long, Long)],
+                  bits: Int = 8, cellBits: Int = 8): Seq[Long] = {
+    val n = mins.size
+    require(maxs.size == n && box.size == n)
+    val keyBits = bits * n
+    val widths = mins.indices.map(i => ((maxs(i) - mins(i)) >> bits) + 1)
+    // grid coordinate range of the box per dimension (clamped)
+    val lo = box.indices.map(i =>
+      ((box(i)._1.max(mins(i)) - mins(i)) / widths(i)).max(0L))
+    val hi = box.indices.map(i =>
+      ((box(i)._2.min(maxs(i)) - mins(i)) / widths(i)).min((1L << bits) - 1))
+    if (box.indices.exists(i => box(i)._2 < mins(i) || box(i)._1 > maxs(i)))
+      return Seq.empty
+    val dropped = keyBits - cellBits
+    (0L until (1L << cellBits)).filter { cell =>
+      // a cell covers zkeys [cell << dropped, (cell+1) << dropped); its
+      // per-dimension coordinate range is the de-interleave of that
+      // prefix: coordinate bits above the dropped region are fixed,
+      // bits inside it are free (run the full 0..1 span).
+      val base = cell << dropped
+      mins.indices.forall { i =>
+        var cLo = 0L; var cHi = 0L
+        (0 until bits).foreach { b =>
+          val pos = b * n + i
+          val bit = if (pos >= dropped) (base >> pos) & 1L else -1L
+          if (bit >= 0) { cLo |= bit << b; cHi |= bit << b }
+          else cHi |= 1L << b
+        }
+        cHi >= lo(i) && cLo <= hi(i)
+      }
+    }
+  }
+
+  /** Physical layout write: one shuffle on the cell id, rows sorted by
+    * full zkey inside each cell, one directory per cell
+    * (`zcell=<id>/`). A reader filtering on `zcell isin cellsForBox(…)`
+    * gets directory-level partition pruning — the scan never opens
+    * non-intersecting cells.
+    */
+  def write(df: DataFrame, path: String, cols: Seq[String], bits: Int = 8,
+            cellBits: Int = 8): Unit =
+    zorderLayout(df, cols, bits, cellBits)
+      .repartition(col("zcell"))
+      .sortWithinPartitions("zcell", "zkey")
+      .write.partitionBy("zcell").mode("overwrite").parquet(path)
+
+  /** Box query against a [[write]] layout: prune to intersecting cells
+    * (partition-directory pruning on `zcell`), then apply the exact
+    * predicate. Result provably equals the full-scan filter
+    * (cells outside `cellsForBox` cannot contain box rows by
+    * construction); the plan reads only the pruned directories.
+    */
+  def readBox(spark: org.apache.spark.sql.SparkSession, path: String,
+              cols: Seq[String], mins: Seq[Long], maxs: Seq[Long],
+              box: Seq[(Long, Long)], bits: Int = 8,
+              cellBits: Int = 8): DataFrame = {
+    val cells = cellsForBox(mins, maxs, box, bits, cellBits)
+    val exact = cols.zip(box).map { case (c, (l, h)) =>
+      col(c).cast("long") >= l && col(c).cast("long") <= h
+    }.reduce(_ && _)
+    spark.read.parquet(path)
+      .filter(col("zcell").isin(cells: _*))
+      .filter(exact)
+  }
+}

@@ -1386,7 +1386,85 @@ object ExtOracles {
          |WHERE x.bn <= 4096 AND y.bn <= 4096
          |  AND round($cosExpr, 4) >= 0.4
          |ORDER BY a, b""".stripMargin,
+
+    // replays LayoutOps.zorderLayout over events (user_id, epoch-us
+    // time; bits = 8, cellBits = 8): exact integer grid coordinates
+    // then the bit-interleaved Morton key — all BIGINT arithmetic, so
+    // the hash check covers every row's file-cell assignment
+    "layout_zorder" ->
+      s"""WITH $zLayoutCtes
+         |SELECT event_id, zb_user_id, zb_tsm, zkey, zkey >> 8 AS zcell
+         |FROM zk ORDER BY event_id""".stripMargin,
+
+    // replays ExtQueries.layoutSkipping: per-cell occupancy +
+    // per-dimension min/max over the same z-grid, and the min/max
+    // pruning decision for the fixed query box (user 30-59 ×
+    // 2024-01-08..15)
+    "layout_skipping" ->
+      s"""WITH $zLayoutCtes
+         |SELECT zkey >> 8 AS zcell, count(*) AS cnt,
+         |  min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+         |  min(tsm) AS min_tsm, max(tsm) AS max_tsm,
+         |  CAST((min(user_id) <= 59 AND max(user_id) >= 30 AND
+         |        min(tsm) <= 1705276799999999 AND
+         |        max(tsm) >= 1704672000000000) AS INT) AS hit
+         |FROM zk GROUP BY 1 ORDER BY zcell""".stripMargin,
+
+    // replays ProfileOps.keyProfile(lineitem, l_suppkey, 20): exact
+    // per-key counts, top-20 by (count desc, key asc), share/skew/salt
+    // arithmetic against the one-row summary
+    "skew_profile" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1),
+        |s AS (SELECT sum(cnt) AS total, count(*) AS keys FROM c),
+        |t AS (SELECT l_suppkey, cnt FROM c
+        |      ORDER BY cnt DESC, l_suppkey LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rank,
+        |  l_suppkey, cnt,
+        |  round(cnt / total, 6) AS share,
+        |  round((cnt * keys) / total, 4) AS skew,
+        |  CAST(ceil((cnt * keys) / total) AS BIGINT) AS salt_factor
+        |FROM t CROSS JOIN s ORDER BY rank""".stripMargin,
+
+    // replays ProfileOps.keySummary(events, user_id): one-row
+    // distribution summary incl. the top-10 concentration share
+    "skew_summary" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |t10 AS (SELECT sum(cnt) AS top10 FROM
+        |        (SELECT cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)),
+        |s AS (SELECT sum(cnt) AS total_rows, count(*) AS distinct_keys,
+        |             max(cnt) AS max_cnt, min(cnt) AS min_cnt FROM c)
+        |SELECT total_rows, distinct_keys, max_cnt, min_cnt,
+        |  round(total_rows / distinct_keys, 4) AS avg_cnt,
+        |  round((max_cnt * distinct_keys) / total_rows, 4) AS skew_factor,
+        |  round(top10 / total_rows, 6) AS top10_share
+        |FROM s CROSS JOIN t10""".stripMargin,
   )
+
+  /** Shared z-layout CTE chain: normalised events with epoch-us time →
+    * global per-dimension bounds → exact integer grid coordinates
+    * (width = (range div 256) + 1, matching [[graft.operators
+    * .LayoutOps.zorderKey]]'s overflow-free bucketing) → interleaved
+    * Morton key (generated bit-shift sum, 8 bits × 2 dims).
+    */
+  private def zLayoutCtes: String = {
+    val zkeyExpr = (0 until 8).flatMap { b =>
+      Seq("zb_user_id", "zb_tsm").zipWithIndex.map { case (c, i) =>
+        s"((($c >> $b) & 1) << ${b * 2 + i})"
+      }
+    }.mkString(" + ")
+    s"""ev AS (SELECT event_id, user_id,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS tsm FROM events),
+       |bounds AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+       |                  min(tsm) AS mnt, max(tsm) AS mxt FROM ev),
+       |zg AS (SELECT event_id, user_id, tsm,
+       |  (user_id - mnu) // (((mxu - mnu) // 256) + 1) AS zb_user_id,
+       |  (tsm - mnt) // (((mxt - mnt) // 256) + 1) AS zb_tsm
+       |  FROM ev CROSS JOIN bounds),
+       |zk AS (SELECT event_id, user_id, tsm, zb_user_id, zb_tsm,
+       |  $zkeyExpr AS zkey FROM zg)""".stripMargin
+  }
 }
 
 /** Constants shared with TextOps (kept here to avoid a val-object cycle). */

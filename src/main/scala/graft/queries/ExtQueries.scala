@@ -1069,4 +1069,62 @@ object ExtQueries {
     graft.operators.MultimodalOps.imageFeatures(spark,
       graft.operators.MultimodalOps.pngMedia(spark, docs(spark, dir)))
       .orderBy("media_id")
+
+  /** The events table with its timestamp lowered to exact epoch
+    * microseconds (`tsm`) — the integral dimension [[LayoutOps]]'
+    * engine-portable grid arithmetic wants. Session timezone is UTC,
+    * so the ntz→ltz cast is the identity.
+    */
+  private def eventsDims(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("tsm", expr("unix_micros(cast(ts as timestamp))"))
+
+  /** Z-order layout key over (user_id, time): per-dimension grid
+    * coordinates, the interleaved Morton key, and the file-grid cell
+    * ([[graft.operators.LayoutOps.zorderLayout]], bits = 8 → 256×256
+    * grid, cellBits = 8 → ≤256 files). Hash-green means the ENTIRE
+    * layout assignment — every row's cell in the multi-dimensional
+    * clustering — is engine-portable, which is what makes the layout
+    * auditable (and re-creatable) outside Spark.
+    */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LayoutOps.zorderLayout(
+      eventsDims(spark, dir), Seq("user_id", "tsm"), bits = 8, cellBits = 8)
+      .select("event_id", "zb_user_id", "zb_tsm", "zkey", "zcell")
+      .orderBy("event_id")
+
+  /** Data-skipping audit over the z-order layout: per-cell occupancy +
+    * per-dimension min/max ([[graft.operators.LayoutOps.cellStats]]),
+    * plus `hit` — whether the cell's observed ranges intersect a fixed
+    * query box (user_id 30–59 × Jan 8–15), i.e. exactly the min/max
+    * file-pruning decision a reader makes. The hit count over the cell
+    * count IS the measured skipping rate of the layout.
+    */
+  def layoutSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.LayoutOps.zorderLayout(
+      eventsDims(spark, dir), Seq("user_id", "tsm"), bits = 8, cellBits = 8)
+    graft.operators.LayoutOps.cellStats(layout, Seq("user_id", "tsm"))
+      .withColumn("hit",
+        (col("min_user_id") <= 59 && col("max_user_id") >= 30 &&
+          col("min_tsm") <= 1705276799999999L &&
+          col("max_tsm") >= 1704672000000000L).cast("int"))
+      .orderBy("zcell")
+  }
+
+  /** Heavy-hitter profile of the lineitem→supplier join key
+    * ([[graft.operators.ProfileOps.keyProfile]]): the top-20 hottest
+    * suppliers with share, skew ratio and the salt factor a skewed
+    * join of this key should replicate by.
+    */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ProfileOps.keyProfile(
+      Tables.lineitem(spark, dir), "l_suppkey", topN = 20)
+
+  /** One-row key-distribution summary for events.user_id
+    * ([[graft.operators.ProfileOps.keySummary]]) — the
+    * shuffle-sizing / broadcast-or-salt dial as a queryable result.
+    */
+  def skewSummary(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ProfileOps.keySummary(
+      Tables.events(spark, dir), "user_id")
 }
