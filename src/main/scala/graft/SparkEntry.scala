@@ -142,6 +142,7 @@ object SparkEntry {
     "multimodal_decode" -> (graft.queries.ExtQueries.multimodalDecode(_, _)),
     "layout_zorder" -> (graft.queries.ExtQueries.layoutZorder(_, _)),
     "layout_skipping" -> (graft.queries.ExtQueries.layoutSkipping(_, _)),
+    "layout_indexed_box" -> (graft.queries.ExtQueries.layoutIndexedBox(_, _)),
     "skew_profile" -> (graft.queries.ExtQueries.skewProfile(_, _)),
     "skew_summary" -> (graft.queries.ExtQueries.skewSummary(_, _)),
   )

@@ -70,16 +70,51 @@ object LayoutOps {
           expr(s"(cast($c as long) - __min_$c) div " +
             s"(((__max_$c - __min_$c) div ${1L << bits}) + 1)"))
     }
+    withBuckets
+      .withColumn("zkey", interleave(cols, bits))
+      .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** The Morton interleave over already-computed `zb_<col>` grid
+    * coordinates — bit b of dimension i lands at key position
+    * b·n + i. Pure shift/and arithmetic, whole-stage codegen.
+    */
+  private def interleave(cols: Seq[String], bits: Int): Column = {
     val n = cols.size
-    val zkey = (0 until bits).flatMap { b =>
+    (0 until bits).flatMap { b =>
       cols.zipWithIndex.map { case (c, i) =>
         shiftleft(shiftright(col(s"zb_$c"), b).bitwiseAND(lit(1L)),
           b * n + i)
       }
     }.reduce(_ + _)
-    withBuckets
-      .withColumn("zkey", zkey)
-      .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** Grid + key + cell under EXPLICIT (frozen) bounds — the encode an
+    * incremental layout store runs so that every batch lands on the
+    * grid the layout was built with ([[LayoutStore.append]]'s analogue
+    * of [[VectorOps.encodeIntoModel]]'s frozen trained state).
+    * Out-of-range values clamp into the boundary buckets — the rows
+    * stay reachable because [[cellsForBox]]'s `clamp` mode maps
+    * out-of-range query edges onto the same boundary cells; persistent
+    * drift shows up in [[cellStats]] edge-cell occupancy and means
+    * "rebuild with fresh bounds", exactly the IVF imbalance-factor
+    * posture.
+    */
+  private[operators] def encodeWithBounds(df: DataFrame, cols: Seq[String],
+      mins: Seq[Long], maxs: Seq[Long], bits: Int,
+      cellBits: Int): DataFrame = {
+    require(cols.nonEmpty && mins.size == cols.size && maxs.size == cols.size)
+    val keyBits = bits * cols.size
+    require(cellBits >= 1 && cellBits <= keyBits)
+    val withB = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      val w = ((maxs(i) - mins(i)) >> bits) + 1
+      acc.withColumn(s"zb_$c",
+        expr(s"(least(greatest(cast($c as long), ${mins(i)}L), " +
+          s"${maxs(i)}L) - ${mins(i)}L) div ${w}L"))
+    }
+    withB
+      .withColumn("zkey", interleave(cols, bits))
+      .withColumn("zcell", shiftright(col("zkey"), keyBits - cellBits))
   }
 
   /** [[zorderKey]] plus the file-grid cell id: the zkey's top
@@ -118,21 +153,33 @@ object LayoutOps {
     *
     * @param mins/maxs  the global per-dimension bounds of the layout
     * @param box        inclusive (lo, hi) per dimension
+    * @param clamp      when the layout was built with FROZEN bounds and
+    *                   later appends clamp out-of-range rows into the
+    *                   edge buckets ([[LayoutStore.append]]), a box
+    *                   beyond the bounds must map to those edge buckets
+    *                   rather than to "no cells" — otherwise clamped
+    *                   rows would be unreachable. `false` keeps the
+    *                   exact-bounds semantics (disjoint box → empty).
     * @return cell ids whose z-region intersects the box
     */
   def cellsForBox(mins: Seq[Long], maxs: Seq[Long], box: Seq[(Long, Long)],
-                  bits: Int = 8, cellBits: Int = 8): Seq[Long] = {
+                  bits: Int = 8, cellBits: Int = 8,
+                  clamp: Boolean = false): Seq[Long] = {
     val n = mins.size
     require(maxs.size == n && box.size == n)
     val keyBits = bits * n
     val widths = mins.indices.map(i => ((maxs(i) - mins(i)) >> bits) + 1)
-    // grid coordinate range of the box per dimension (clamped)
-    val lo = box.indices.map(i =>
-      ((box(i)._1.max(mins(i)) - mins(i)) / widths(i)).max(0L))
-    val hi = box.indices.map(i =>
-      ((box(i)._2.min(maxs(i)) - mins(i)) / widths(i)).min((1L << bits) - 1))
-    if (box.indices.exists(i => box(i)._2 < mins(i) || box(i)._1 > maxs(i)))
+    if (!clamp &&
+        box.indices.exists(i => box(i)._2 < mins(i) || box(i)._1 > maxs(i)))
       return Seq.empty
+    // grid coordinate range of the box per dimension (clamped into the
+    // grid; with clamp=true an out-of-range edge collapses onto the
+    // boundary bucket, where append's clamped rows live)
+    val lo = box.indices.map(i =>
+      ((box(i)._1.max(mins(i)).min(maxs(i)) - mins(i)) / widths(i)).max(0L))
+    val hi = box.indices.map(i =>
+      ((box(i)._2.min(maxs(i)).max(mins(i)) - mins(i)) / widths(i))
+        .min((1L << bits) - 1))
     val dropped = keyBits - cellBits
     (0L until (1L << cellBits)).filter { cell =>
       // a cell covers zkeys [cell << dropped, (cell+1) << dropped); its

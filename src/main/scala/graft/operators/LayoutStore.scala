@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted z-order layout with the full ingest lifecycle — the
+  * fourth member of the persisted-artifact family ([[VectorIndex]],
+  * [[BandIndex]], [[ContaminationIndex]]), sharing [[IndexStores]]'
+  * tombstone / staged-swap / presence machinery.
+  *
+  * A one-shot [[LayoutOps.write]] answers "lay this corpus out once";
+  * a 100 TB event stream never stops arriving, so the layout needs
+  * what the ANN index needed: append under FROZEN state (here the grid
+  * bounds, the analogue of the trained centroids), O(batch) per
+  * ingest, logical deletes, compaction of append fragments, and a
+  * pruned read that stays correct across all of it.
+  *
+  * Layout under `path`:
+  *  - `data/` — the rows plus `zkey`, written `partitionBy("zcell")`:
+  *    one directory per z-cell, so a box read is partition-directory
+  *    pruning over [[LayoutOps.cellsForBox]]'s candidate list.
+  *  - `ids/` — a narrow `(id, dims, zcell)` sidecar partitioned by
+  *    `idp = id mod 256`: the presence/changed-content probe for
+  *    appends. It CANNOT live in `data/` alone: data is partitioned by
+  *    content (the cell), and a re-appended id with changed dimensions
+  *    lands in a DIFFERENT cell — a cell-pruned probe would miss the
+  *    stored row and admit a silent duplicate. The id-prefix
+  *    partitioning makes the probe O(batch): at most the batch's ≤256
+  *    prefix directories are read, never the corpus.
+  *  - `meta/` — one row: dimension columns, id column, bit widths and
+  *    the FROZEN per-dimension bounds every later append encodes
+  *    against (bounds drift → rows clamp into edge cells; `clamp`-mode
+  *    cell enumeration keeps them reachable, [[LayoutOps.cellStats]]
+  *    edge occupancy is the rebuild dial).
+  *  - `tombstones/` — bounded logical-delete id list, anti-joined by
+  *    every read until [[compact]] drops the rows physically.
+  */
+object LayoutStore {
+
+  /** The frozen layout state: grid definition + bounds. */
+  case class LayoutMeta(cols: Seq[String], idCol: String, bits: Int,
+                        cellBits: Int, mins: Seq[Long], maxs: Seq[Long])
+
+  /** Build and persist: bounds from this corpus become the frozen
+    * grid. Staged write + atomic swap ([[IndexStores.swapInto]]) — a
+    * failed rebuild leaves consumers on the previous generation.
+    */
+  def write(df: DataFrame, path: String, cols: Seq[String], idCol: String,
+            bits: Int = 8, cellBits: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val boundAggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val agg = df.agg(boundAggs.head, boundAggs.tail: _*).head
+    val mins = cols.indices.map(i => agg.getLong(2 * i))
+    val maxs = cols.indices.map(i => agg.getLong(2 * i + 1))
+    val staging = IndexStores.stagingFor(spark, path)
+    LayoutOps.encodeWithBounds(df, cols, mins, maxs, bits, cellBits)
+      .drop(cols.map(c => s"zb_$c"): _*)
+      .repartition(col("zcell"))
+      .sortWithinPartitions("zcell", "zkey")
+      .write.mode("overwrite").partitionBy("zcell")
+      .parquet(s"$staging/data")
+    // the probe sidecar reads back the just-written data (not the
+    // input plan — same reuse posture as writeIvfPq's vectors join)
+    idRows(spark.read.parquet(s"$staging/data"), cols, idCol)
+      .repartition(col("idp"))
+      .write.mode("overwrite").partitionBy("idp")
+      .parquet(s"$staging/ids")
+    import spark.implicits._
+    Seq((cols, idCol, bits, cellBits, mins, maxs))
+      .toDF("cols", "id_col", "bits", "cell_bits", "mins", "maxs")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    IndexStores.swapInto(spark, path, staging)
+  }
+
+  /** The narrow probe row: id, dimension values, cell, id-prefix.
+    * `zcell` is pinned to long — the append path carries it as a
+    * computed long while the compact path reads it back as an
+    * INFERRED partition-column int; without the cast the sidecar
+    * would hold mixed physical types across files.
+    */
+  private def idRows(encoded: DataFrame, cols: Seq[String],
+                     idCol: String): DataFrame =
+    encoded.select(col(idCol) +: cols.map(col) :+
+      col("zcell").cast("long").as("zcell"): _*)
+      .withColumn("idp", pmod(col(idCol), lit(256)).cast("int"))
+
+  def loadMeta(spark: SparkSession, path: String): LayoutMeta = {
+    IndexStores.healRoot(spark, path)
+    val row = IndexStores.readStore(spark, s"$path/meta").collect() match {
+      case Array(r) => r
+      case rs => throw new IllegalStateException(
+        s"$path/meta: expected one meta row, found ${rs.length}")
+    }
+    LayoutMeta(row.getSeq[String](0), row.getString(1), row.getInt(2),
+      row.getInt(3), row.getSeq[Long](4), row.getSeq[Long](5))
+  }
+
+  /** Ingest a batch under the frozen grid: encode with the stored
+    * bounds (out-of-range rows clamp into edge cells), append one file
+    * per touched cell + one per touched id prefix — O(batch),
+    * untouched directories are never rewritten.
+    *
+    * Ingest-retry contract: each store skips the ids it already holds
+    * (the `ids/` sidecar probed by the batch's id PREFIXES — sound
+    * regardless of where content lands; `data/` probed by the batch's
+    * cells — sound for a replay, which by definition carries the same
+    * content and so the same cells), so a crash-replay heals exactly
+    * the missing half of either store. Re-appending a stored id with
+    * DIFFERENT dimension values is rejected loudly from the sidecar —
+    * a cell-pruned probe alone would MISS the old row (changed dims =
+    * different cell) and admit a silent duplicate. `ids/` is written
+    * FIRST: an orphan sidecar entry only makes the changed-check
+    * stricter (loud, safe), whereas data-without-sidecar would let a
+    * changed replay through. Tombstoned ids are rejected until a
+    * compaction (re-added rows would be suppressed with the old ones —
+    * silent loss).
+    */
+  def append(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    val meta = loadMeta(spark, path)
+    IndexStores.rejectTombstoned(spark, path,
+      batch.select(meta.idCol), meta.idCol, "LayoutStore.append")
+    // pin the encoded batch + probes: each feeds multiple consumers
+    // (prefix collect, changed-content check, two writes);
+    // snapshot-diff release so a batch-loop ingest can't accumulate
+    // checkpoint blocks (the round-7b leak fix posture)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val enc = LayoutOps.encodeWithBounds(batch, meta.cols, meta.mins,
+        meta.maxs, meta.bits, meta.cellBits)
+        .drop(meta.cols.map(c => s"zb_$c"): _*)
+        .localCheckpoint()
+      val encIds = idRows(enc, meta.cols, meta.idCol).localCheckpoint()
+      val prefixes = encIds.select("idp").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val stored = IndexStores.presentRows(spark, s"$path/ids",
+        "idp", prefixes, meta.idCol, enc.select(meta.idCol))
+        .localCheckpoint()
+      // loud reject on changed content: same id, different dims
+      val changed = stored.alias("s")
+        .join(enc.alias("b"), meta.idCol)
+        .filter(meta.cols.map(c => col(s"s.$c") =!= col(s"b.$c"))
+          .reduce(_ || _))
+        .limit(1).collect()
+      if (changed.nonEmpty)
+        throw new IllegalArgumentException(
+          s"LayoutStore.append: ${meta.idCol}=" +
+            s"${changed(0).getAs[Any](meta.idCol)} is already stored " +
+            "with different dimension values — delete + compact first")
+      encIds.join(stored.select(meta.idCol), Seq(meta.idCol), "left_anti")
+        .repartition(col("idp"))
+        .write.mode("append").partitionBy("idp")
+        .parquet(s"$path/ids")
+      val touched = enc.select("zcell").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val dataPresent = IndexStores.presentRows(spark, s"$path/data",
+        "zcell", touched, meta.idCol, enc.select(meta.idCol))
+      enc.join(dataPresent.select(meta.idCol), Seq(meta.idCol), "left_anti")
+        .repartition(col("zcell"))
+        .write.mode("append").partitionBy("zcell")
+        .parquet(s"$path/data")
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
+  /** Logical delete by id: O(batch) tombstone append; every read
+    * anti-joins the bounded list until [[compact]] drops the rows.
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "LayoutStore.delete: empty id list")
+    val meta = loadMeta(spark, path)
+    IndexStores.tombstone(spark, path, ids, meta.idCol)
+  }
+
+  /** Fold append fragments to one file per cell and physically drop
+    * tombstoned rows. Quiesced-producer contract, staged per-store
+    * swap, tombstone table deleted LAST so suppression holds across a
+    * crash — the [[VectorIndex.compactIvfPq]] protocol.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val meta = loadMeta(spark, path)
+    graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
+      s"$path/data", survivorData(spark, path, meta)
+        .repartition(col("zcell")).sortWithinPartitions("zcell", "zkey"),
+      "zcell")
+    // sidecar rebuilt FROM the compacted data (semi-join would leave
+    // orphan entries from a healed crash window): data then ids then
+    // tombstones, so suppression holds until both stores are clean
+    graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
+      s"$path/ids",
+      idRows(IndexStores.readStore(spark, s"$path/data"),
+        meta.cols, meta.idCol).repartition(col("idp")),
+      "idp")
+    IndexStores.clearTombstones(spark, path)
+  }
+
+  private def survivorData(spark: SparkSession, path: String,
+                           meta: LayoutMeta): DataFrame =
+    IndexStores.survivors(spark, path,
+      IndexStores.readStore(spark, s"$path/data"), meta.idCol)
+
+  /** Pruned box read: enumerate candidate cells from the frozen bounds
+    * (`clamp` mode — a box beyond the bounds reaches the edge cells
+    * where drifted appends were clamped), partition-prune the scan to
+    * them, apply the exact predicate. Equal to a full-scan filter by
+    * [[LayoutOps.cellsForBox]]'s soundness; tombstoned rows excluded.
+    */
+  def readBox(spark: SparkSession, path: String,
+              box: Seq[(Long, Long)]): DataFrame = {
+    val meta = loadMeta(spark, path)
+    val cells = LayoutOps.cellsForBox(meta.mins, meta.maxs, box, meta.bits,
+      meta.cellBits, clamp = true)
+    val pruned =
+      if (cells.isEmpty) survivorData(spark, path, meta).filter(lit(false))
+      else survivorData(spark, path, meta)
+        .filter(col("zcell").isin(cells: _*))
+    val exact = meta.cols.zip(box).map { case (c, (l, h)) =>
+      col(c).cast("long") >= l && col(c).cast("long") <= h
+    }.reduce(_ && _)
+    pruned.filter(exact)
+  }
+
+  /** Operational stats per store (`data`, `ids`): files / dirs /
+    * fragmentation / tombstones — the compaction dial, as on the
+    * other three persisted artifacts.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    val meta = loadMeta(spark, path)
+    IndexStores.stats(spark, path, Seq("data", "ids"), meta.idCol)
+  }
+}

@@ -1410,6 +1410,18 @@ object ExtOracles {
          |        max(tsm) >= 1704672000000000) AS INT) AS hit
          |FROM zk GROUP BY 1 ORDER BY zcell""".stripMargin,
 
+    // the indexed box read must equal a plain full-scan filter — the
+    // layout store's soundness contract, checked against SQL that
+    // knows nothing about the layout
+    "layout_indexed_box" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS tsm
+        |FROM events
+        |WHERE user_id BETWEEN 30 AND 59
+        |  AND epoch_us(CAST(ts AS TIMESTAMP))
+        |      BETWEEN 1704672000000000 AND 1705276799999999
+        |ORDER BY event_id""".stripMargin,
+
     // replays ProfileOps.keyProfile(lineitem, l_suppkey, 20): exact
     // per-key counts, top-20 by (count desc, key asc), share/skew/salt
     // arithmetic against the one-row summary

@@ -1127,4 +1127,33 @@ object ExtQueries {
   def skewSummary(spark: SparkSession, dir: String): DataFrame =
     graft.operators.ProfileOps.keySummary(
       Tables.events(spark, dir), "user_id")
+
+  /** One persisted z-order layout per (session, SF dir) over events —
+    * the [[bandIndexPath]] posture for the layout store.
+    */
+  private val layoutStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def layoutStorePath(spark: SparkSession, dir: String): String =
+    layoutStoreCache.get(spark, dir) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-layout-store").toString + "/events"
+      graft.operators.LayoutStore.write(eventsDims(spark, dir), path,
+        Seq("user_id", "tsm"), idCol = "event_id", bits = 8, cellBits = 8)
+      path
+    }
+
+  /** The fixed query box of [[layoutSkipping]], answered from the
+    * PERSISTED layout ([[graft.operators.LayoutStore.readBox]]): cell
+    * enumeration from the frozen meta bounds → partition-directory-
+    * pruned scan → exact predicate. The oracle is a plain full-scan
+    * SQL filter over events — hash-green means the pruned indexed
+    * read returns EXACTLY the full scan's rows, the soundness
+    * contract of the layout.
+    */
+  def layoutIndexedBox(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LayoutStore.readBox(spark,
+      layoutStorePath(spark, dir),
+      Seq((30L, 59L), (1704672000000000L, 1705276799999999L)))
+      .select("event_id", "user_id", "tsm")
+      .orderBy("event_id")
 }

@@ -360,6 +360,37 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Continuous z-order layout ingest
+    * ([[graft.operators.LayoutStore.append]] per micro-batch): rows
+    * are encoded under the layout's FROZEN grid bounds and appended
+    * one file per touched cell — O(batch) per trigger, the corpus
+    * never in the plan; crash-replays heal to a no-op via the
+    * store's presence probe. `compactEvery = n` folds the append
+    * fragments every n triggers (single `foreachBatch` producer, so
+    * the quiesced-compaction contract holds by construction) — the
+    * same dials as [[ivfPqIngestStream]], because a layout under
+    * continuous ingest IS an index on its dimensions.
+    * Poison-pill edge (deliberate, as on the other index streams): a
+    * re-emitted id with changed dimension values stalls the trigger
+    * loudly rather than silently keeping the stale row.
+    */
+  def zorderIngestStream(rows: DataFrame, layoutPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.LayoutStore.append(spark, layoutPath, batch)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.operators.LayoutStore.compact(spark, layoutPath)
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation — the streaming form of the
     * `events_tumbling` batch query; late rows beyond `lateness` are
     * dropped by the watermark, state is bounded per window × type.

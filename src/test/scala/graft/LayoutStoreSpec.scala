@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LayoutOps, LayoutStore}
+
+/** Persisted z-order layout lifecycle: frozen-bounds append (incl.
+  * out-of-range clamping), idempotent retry, loud changed-content
+  * reject, delete/compact invariance, and the streaming ingest leg.
+  */
+class LayoutStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRows(ids: Range, f: Int => (Long, Long)) =
+    ids.map { i => val (x, y) = f(i); (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+
+  private def corpus = mkRows(0 until 400,
+    i => ((i * 37 % 1000).toLong, (i * 91 % 5000).toLong))
+
+  private def dumpBox(path: String, box: Seq[(Long, Long)]): Seq[Long] =
+    LayoutStore.readBox(spark, path, box)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def directBox(df: org.apache.spark.sql.DataFrame,
+                        box: Seq[(Long, Long)]): Seq[Long] =
+    df.filter(col("x").between(box(0)._1, box(0)._2) &&
+      col("y").between(box(1)._1, box(1)._2))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private val box = Seq((100L, 400L), (500L, 3000L))
+
+  test("write → readBox equals the full-scan filter") {
+    val path = tmpDir("ls-write") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    assert(dumpBox(path, box) === directBox(corpus, box))
+    assert(dumpBox(path, box).nonEmpty)
+  }
+
+  test("append under frozen bounds: in-range and clamped rows stay reachable") {
+    val path = tmpDir("ls-append") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    // batch B: some rows inside the original bounds, some far outside
+    // (x up to 3×, y negative) — the drift case frozen bounds clamp
+    val b = mkRows(400 until 440,
+      i => (if (i % 2 == 0) (i * 53 % 900).toLong else 2000L + i,
+            if (i % 3 == 0) -50L else (i * 17 % 4000).toLong))
+    LayoutStore.append(spark, path, b)
+    val all = corpus.union(b)
+    // a box inside the original bounds
+    assert(dumpBox(path, box) === directBox(all, box))
+    // a box extending BEYOND the frozen bounds must reach the clamped
+    // rows via the edge cells (cellsForBox clamp mode)
+    val wide = Seq((900L, 3000L), (-100L, 5000L))
+    assert(dumpBox(path, wide) === directBox(all, wide))
+    assert(directBox(all, wide).exists(_ >= 400L),
+      "test box must cover appended out-of-range rows")
+  }
+
+  test("append retry is a no-op; changed content is rejected loudly") {
+    val path = tmpDir("ls-retry") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    val b = mkRows(400 until 420, i => (i.toLong % 800, i.toLong % 3000))
+    LayoutStore.append(spark, path, b)
+    val n1 = spark.read.parquet(s"$path/data").count()
+    LayoutStore.append(spark, path, b) // crash-replay: identical batch
+    assert(spark.read.parquet(s"$path/data").count() === n1,
+      "replayed append must not duplicate rows")
+    val changed = mkRows(410 until 412, i => (999L, 1L)) // same ids, new dims
+    val e = intercept[IllegalArgumentException] {
+      LayoutStore.append(spark, path, changed)
+    }
+    assert(e.getMessage.contains("different dimension values"))
+  }
+
+  test("delete hides rows immediately; compact drops them physically; results invariant") {
+    val path = tmpDir("ls-delete") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    val victims = directBox(corpus, box).take(3)
+    assert(victims.nonEmpty)
+    LayoutStore.delete(spark, path, victims)
+    val afterDelete = dumpBox(path, box)
+    assert(victims.forall(v => !afterDelete.contains(v)))
+    // re-adding a tombstoned id is rejected until compaction
+    val readd = mkRows(victims.head.toInt to victims.head.toInt,
+      i => (0L, 0L))
+    intercept[IllegalArgumentException] {
+      LayoutStore.append(spark, path, readd)
+    }
+    LayoutStore.compact(spark, path)
+    assert(dumpBox(path, box) === afterDelete,
+      "compaction must not change results")
+    // physically gone: raw store no longer holds the victims
+    val raw = spark.read.parquet(s"$path/data")
+      .filter(col("id").isin(victims: _*)).count()
+    assert(raw === 0L)
+    // fully folded: at most one file per cell directory
+    val files = BenchUtil.parquetDataFiles(s"$path/data")
+    val dirs = spark.read.parquet(s"$path/data")
+      .select("zcell").distinct().count()
+    assert(files <= dirs)
+  }
+
+  test("readBox plan prunes to the candidate cell directories") {
+    val path = tmpDir("ls-prune") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    val plan = LayoutStore.readBox(spark, path, box)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[.*zcell.*"),
+      s"cell filter not pushed to partition pruning:\n$plan")
+  }
+
+  test("stats reflects append fragmentation and compaction") {
+    val path = tmpDir("ls-stats") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    val frag0 = LayoutStore.stats(spark, path)
+      .filter(col("store") === "data").head.getDouble(3)
+    assert(frag0 <= 1.0 + 1e-9)
+    LayoutStore.append(spark, path,
+      mkRows(400 until 500, i => (i.toLong % 1000, i.toLong % 5000)))
+    val frag1 = LayoutStore.stats(spark, path)
+      .filter(col("store") === "data").head.getDouble(3)
+    assert(frag1 > 1.0, "append fragments should raise fragmentation")
+    LayoutStore.compact(spark, path)
+    val frag2 = LayoutStore.stats(spark, path)
+      .filter(col("store") === "data").head.getDouble(3)
+    assert(frag2 <= 1.0 + 1e-9)
+  }
+
+  test("streaming ingest equals one batch append; cadence folds files") {
+    import graft.streaming.StreamingPipeline
+    val path = tmpDir("ls-stream") + "/layout"
+    val ref = tmpDir("ls-stream-ref") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    LayoutStore.write(corpus, ref, Seq("x", "y"), idCol = "id")
+    val b = mkRows(400 until 460, i => (i.toLong % 1000, i.toLong % 5000))
+      .localCheckpoint()
+    LayoutStore.append(spark, ref, b)
+    // three one-file slices → three triggers under AvailableNow
+    val src = tmpDir("ls-stream-src")
+    Seq(b.filter(col("id") < 420),
+        b.filter(col("id") >= 420 && col("id") < 440),
+        b.filter(col("id") >= 440))
+      .foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val stream = spark.readStream.schema(b.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    StreamingPipeline.zorderIngestStream(stream, path,
+      tmpDir("ls-stream-ckpt"), compactEvery = 1)
+      .awaitTermination()
+    val wide = Seq((0L, 1000L), (0L, 5000L))
+    assert(dumpBox(path, wide) === dumpBox(ref, wide),
+      "stream-ingested layout diverged from the batch append")
+    val files = BenchUtil.parquetDataFiles(s"$path/data")
+    val dirs = spark.read.parquet(s"$path/data")
+      .select("zcell").distinct().count()
+    assert(files <= dirs,
+      s"expected ≤1 file per cell after in-stream compaction: $files/$dirs")
+  }
+}
