@@ -245,6 +245,65 @@ object ScaleProbe {
       println(f"[scaleprobe] vecidx compact=$tVecCompact%.3fs files=${dataFiles(s"$vecPath/codes")}%6d searchAfter=$tVecAfter%.3fs")
       BenchUtil.releaseNewRdds(sc, beforeIdx)
     }
+
+    // 7. z-order layout: what does the cell pruning actually buy, and
+    //    what does ingest fragmentation cost it back? (a) readBox vs
+    //    the identical filter over an UNCLUSTERED copy of events at
+    //    the largest SF — the pruning win the layout exists for;
+    //    (b) single-row appends (worst-case micro-batch cadence) at
+    //    increasing depth, then the compaction fold — the same
+    //    file-count dial as the other persisted artifacts.
+    {
+      import org.apache.spark.sql.functions.{col, expr}
+      import graft.operators.LayoutStore
+      def dataFiles(dir: String): Int = BenchUtil.parquetDataFiles(dir)
+      val beforeLay = sc.getPersistentRDDs.keySet.toSet
+      val ev = graft.sources.Tables.events(spark, dirs.last)
+        .withColumn("tsm", expr("unix_micros(cast(ts as timestamp))"))
+        .localCheckpoint()
+      val layPath = java.nio.file.Files
+        .createTempDirectory("probe-layout").toString + "/events"
+      LayoutStore.write(ev, layPath, Seq("user_id", "tsm"),
+        idCol = "event_id")
+      // flat baseline: same rows, no clustering, same file count scale
+      val flatPath = java.nio.file.Files
+        .createTempDirectory("probe-flat").toString
+      ev.repartition(64).write.mode("overwrite").parquet(flatPath)
+      val box = Seq((30L, 59L), (1704672000000000L, 1705276799999999L))
+      val tBoxIdx = BenchUtil.minOf(3)(
+        LayoutStore.readBox(spark, layPath, box).count())
+      val tBoxFlat = BenchUtil.minOf(3)(
+        spark.read.parquet(flatPath)
+          .filter(col("user_id").between(30, 59) &&
+            col("tsm").between(1704672000000000L, 1705276799999999L))
+          .count())
+      val cells = graft.operators.LayoutOps.cellsForBox(
+        LayoutStore.loadMeta(spark, layPath).mins,
+        LayoutStore.loadMeta(spark, layPath).maxs, box, clamp = true)
+      println(f"[scaleprobe] layout box cells=${cells.size}%3d/256 " +
+        f"pruned=$tBoxIdx%.3fs fullscan=$tBoxFlat%.3fs " +
+        f"ratio=${tBoxIdx / tBoxFlat}%.2f")
+      // ingest fragmentation: N single-row appends, then compact
+      val nEv = ev.count()
+      var lAppended = 0
+      for (target <- Seq(0, 50, 250)) {
+        (lAppended until target).foreach { i =>
+          LayoutStore.append(spark, layPath,
+            ev.filter(col("event_id") === i)
+              .withColumn("event_id", col("event_id") + nEv))
+        }
+        lAppended = target
+        val files = dataFiles(s"$layPath/data")
+        val t = BenchUtil.minOf(3)(
+          LayoutStore.readBox(spark, layPath, box).count())
+        println(f"[scaleprobe] layout appends=$target%4d files=$files%6d readBox=$t%.3fs")
+      }
+      val tLayCompact = secs(LayoutStore.compact(spark, layPath))
+      val tLayAfter = BenchUtil.minOf(3)(
+        LayoutStore.readBox(spark, layPath, box).count())
+      println(f"[scaleprobe] layout compact=$tLayCompact%.3fs files=${dataFiles(s"$layPath/data")}%6d readBoxAfter=$tLayAfter%.3fs")
+      BenchUtil.releaseNewRdds(sc, beforeLay)
+    }
     spark.stop()
   }
 }

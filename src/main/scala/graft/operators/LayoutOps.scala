@@ -64,16 +64,38 @@ object LayoutOps {
     val withBuckets = cols.foldLeft(df.crossJoin(broadcast(bounds))) {
       (acc, c) =>
         // w = (range div 2^bits) + 1 keeps every bucket in
-        // [0, 2^bits - 1] with pure small-number integer arithmetic
-        // (no overflow for any int64 range, unlike range * 2^bits).
+        // [0, 2^bits - 1] with small-number integer arithmetic for any
+        // range that FITS in int64. A range wider than Long.MaxValue
+        // (full-range hash keys) wraps `max - min` negative — that
+        // must fail loudly, not hand out wrong cells: the guard costs
+        // one folded comparison against the broadcast bounds.
         acc.withColumn(s"zb_$c",
-          expr(s"(cast($c as long) - __min_$c) div " +
-            s"(((__max_$c - __min_$c) div ${1L << bits}) + 1)"))
+          expr(s"if((__max_$c - __min_$c) < 0, " +
+            s"cast(raise_error('zorderKey: range of $c exceeds " +
+            s"Long.MaxValue — rescale the dimension first') as long), " +
+            s"if($c is null, " +
+            s"cast(raise_error('zorderKey: null in dimension $c — a " +
+            s"layout dimension must be non-null') as long), " +
+            s"(cast($c as long) - __min_$c) div " +
+            s"(((__max_$c - __min_$c) div ${1L << bits}) + 1)))"))
     }
     withBuckets
       .withColumn("zkey", interleave(cols, bits))
       .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
   }
+
+  /** Loud guard for the one range the exact-integer grid cannot
+    * express: `max - min` wider than Long.MaxValue (full-range hash
+    * keys) wraps negative and every downstream width/bucket is
+    * garbage. Driver-side twin of [[zorderKey]]'s in-plan raise_error.
+    */
+  private def requireRangesFit(cols: Seq[String], mins: Seq[Long],
+                               maxs: Seq[Long]): Unit =
+    cols.indices.foreach { i =>
+      require(maxs(i) - mins(i) >= 0,
+        s"range of ${cols(i)} (${mins(i)}..${maxs(i)}) exceeds " +
+          "Long.MaxValue — rescale the dimension first")
+    }
 
   /** The Morton interleave over already-computed `zb_<col>` grid
     * coordinates — bit b of dimension i lands at key position
@@ -106,11 +128,16 @@ object LayoutOps {
     require(cols.nonEmpty && mins.size == cols.size && maxs.size == cols.size)
     val keyBits = bits * cols.size
     require(cellBits >= 1 && cellBits <= keyBits)
+    requireRangesFit(cols, mins, maxs)
     val withB = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
       val w = ((maxs(i) - mins(i)) >> bits) + 1
+      // null dims must fail loudly: a null coordinate would put the
+      // row in the null partition, unreachable by any cell enumeration
       acc.withColumn(s"zb_$c",
-        expr(s"(least(greatest(cast($c as long), ${mins(i)}L), " +
-          s"${maxs(i)}L) - ${mins(i)}L) div ${w}L"))
+        expr(s"if($c is null, cast(raise_error('LayoutStore: null in " +
+          s"dimension $c — a layout dimension must be non-null') as long), " +
+          s"(least(greatest(cast($c as long), ${mins(i)}L), " +
+          s"${maxs(i)}L) - ${mins(i)}L) div ${w}L)"))
     }
     withB
       .withColumn("zkey", interleave(cols, bits))
@@ -167,6 +194,7 @@ object LayoutOps {
                   clamp: Boolean = false): Seq[Long] = {
     val n = mins.size
     require(maxs.size == n && box.size == n)
+    requireRangesFit(mins.indices.map(i => s"dim$i"), mins, maxs)
     val keyBits = bits * n
     val widths = mins.indices.map(i => ((maxs(i) - mins(i)) >> bits) + 1)
     if (!clamp &&

@@ -119,12 +119,12 @@ object LayoutStore {
     */
   def append(spark: SparkSession, path: String, batch: DataFrame): Unit = {
     val meta = loadMeta(spark, path)
-    IndexStores.rejectTombstoned(spark, path,
-      batch.select(meta.idCol), meta.idCol, "LayoutStore.append")
-    // pin the encoded batch + probes: each feeds multiple consumers
-    // (prefix collect, changed-content check, two writes);
-    // snapshot-diff release so a batch-loop ingest can't accumulate
-    // checkpoint blocks (the round-7b leak fix posture)
+    // pin the encoded batch FIRST: the tombstone probe, the duplicate
+    // check, the presence probes and both writes must all see the SAME
+    // rows — probing the live batch plan and re-executing it for the
+    // write is a TOCTOU for nondeterministic sources (the BandIndex
+    // pin posture). Snapshot-diff release so a batch-loop ingest can't
+    // accumulate checkpoint blocks (the round-7b leak fix posture).
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     try {
@@ -132,6 +132,17 @@ object LayoutStore {
         meta.maxs, meta.bits, meta.cellBits)
         .drop(meta.cols.map(c => s"zb_$c"): _*)
         .localCheckpoint()
+      IndexStores.rejectTombstoned(spark, path,
+        enc.select(meta.idCol), meta.idCol, "LayoutStore.append")
+      // a batch carrying the same id twice would sail past the
+      // stored-vs-batch checks (neither row is stored yet) and persist
+      // exactly the duplicate the sidecar exists to prevent
+      val dup = enc.groupBy(col(meta.idCol)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"LayoutStore.append: ${meta.idCol}=" +
+            s"${dup(0).getAs[Any](0)} appears more than once in the batch")
       val encIds = idRows(enc, meta.cols, meta.idCol).localCheckpoint()
       val prefixes = encIds.select("idp").distinct()
         .collect().map(_.getInt(0)).toSeq
@@ -139,9 +150,11 @@ object LayoutStore {
         "idp", prefixes, meta.idCol, enc.select(meta.idCol))
         .localCheckpoint()
       // loud reject on changed content: same id, different dims
+      // (null-safe compare — dims can't be null post-encode, but the
+      // check must not silently pass if that invariant ever slips)
       val changed = stored.alias("s")
         .join(enc.alias("b"), meta.idCol)
-        .filter(meta.cols.map(c => col(s"s.$c") =!= col(s"b.$c"))
+        .filter(meta.cols.map(c => !(col(s"s.$c") <=> col(s"b.$c")))
           .reduce(_ || _))
         .limit(1).collect()
       if (changed.nonEmpty)
@@ -180,6 +193,16 @@ object LayoutStore {
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val meta = loadMeta(spark, path)
+    // refuse (BEFORE any mutation) to compact a fully-tombstoned
+    // store: a partitioned write of zero rows produces a file-less
+    // directory that no later read can infer a schema from — the swap
+    // would brick every subsequent readBox/append AND the retried
+    // compaction itself. An all-rows-deleted layout is a rebuild, not
+    // a compaction.
+    if (survivorData(spark, path, meta).limit(1).collect().isEmpty)
+      throw new IllegalStateException(
+        s"LayoutStore.compact: every row of $path is tombstoned — " +
+          "rewrite the layout with LayoutStore.write instead")
     graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
       s"$path/data", survivorData(spark, path, meta)
         .repartition(col("zcell")).sortWithinPartitions("zcell", "zkey"),

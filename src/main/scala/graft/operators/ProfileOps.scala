@@ -44,10 +44,14 @@ object ProfileOps {
     top.crossJoin(broadcast(summary))
       .withColumn("rank", row_number().over(w))
       .withColumn("share", round(col("cnt") / col("__total"), 6))
+      // cnt·keys as DOUBLE: two longs can genuinely overflow at the
+      // scales this profiler targets (1e10-row hot key × 1e9 keys),
+      // and the result only feeds a rounded ratio / a ceil
       .withColumn("skew",
-        round(col("cnt") * col("__keys") / col("__total"), 4))
+        round(col("cnt").cast("double") * col("__keys") / col("__total"), 4))
       .withColumn("salt_factor",
-        ceil(col("cnt") * col("__keys") / col("__total")).cast("long"))
+        ceil(col("cnt").cast("double") * col("__keys") / col("__total"))
+          .cast("long"))
       .select(col("rank"), col(key), col("cnt"), col("share"), col("skew"),
         col("salt_factor"))
   }
@@ -71,7 +75,8 @@ object ProfileOps {
       .withColumn("avg_cnt",
         round(col("total_rows") / col("distinct_keys"), 4))
       .withColumn("skew_factor",
-        round(col("max_cnt") * col("distinct_keys") / col("total_rows"), 4))
+        round(col("max_cnt").cast("double") * col("distinct_keys") /
+          col("total_rows"), 4))
       .withColumn("top10_share", round(col("__top10") / col("total_rows"), 6))
       .select("total_rows", "distinct_keys", "max_cnt", "min_cnt", "avg_cnt",
         "skew_factor", "top10_share")

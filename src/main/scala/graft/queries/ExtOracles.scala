@@ -1434,8 +1434,9 @@ object ExtOracles {
         |SELECT row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rank,
         |  l_suppkey, cnt,
         |  round(cnt / total, 6) AS share,
-        |  round((cnt * keys) / total, 4) AS skew,
-        |  CAST(ceil((cnt * keys) / total) AS BIGINT) AS salt_factor
+        |  round((CAST(cnt AS DOUBLE) * keys) / total, 4) AS skew,
+        |  CAST(ceil((CAST(cnt AS DOUBLE) * keys) / total) AS BIGINT)
+        |    AS salt_factor
         |FROM t CROSS JOIN s ORDER BY rank""".stripMargin,
 
     // replays ProfileOps.keySummary(events, user_id): one-row
@@ -1449,7 +1450,8 @@ object ExtOracles {
         |             max(cnt) AS max_cnt, min(cnt) AS min_cnt FROM c)
         |SELECT total_rows, distinct_keys, max_cnt, min_cnt,
         |  round(total_rows / distinct_keys, 4) AS avg_cnt,
-        |  round((max_cnt * distinct_keys) / total_rows, 4) AS skew_factor,
+        |  round((CAST(max_cnt AS DOUBLE) * distinct_keys) / total_rows, 4)
+        |    AS skew_factor,
         |  round(top10 / total_rows, 6) AS top10_share
         |FROM s CROSS JOIN t10""".stripMargin,
   )

@@ -1135,12 +1135,18 @@ object ExtQueries {
     new SessionCache[String](SessionCache.deleteTree)
   private def layoutStorePath(spark: SparkSession, dir: String): String =
     layoutStoreCache.get(spark, dir) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-layout-store").toString + "/events"
-      graft.operators.LayoutStore.write(eventsDims(spark, dir), path,
-        Seq("user_id", "tsm"), idCol = "event_id", bits = 8, cellBits = 8)
-      path
-    }
+      // the cache registers the temp ROOT for deleteTree (the sibling
+      // caches' posture — registering only the subpath would leak the
+      // empty parent directory per session); the store itself lives
+      // one level down so the staged-swap rename never fights the
+      // already-existing temp dir
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-layout-store").toString
+      graft.operators.LayoutStore.write(eventsDims(spark, dir),
+        s"$root/events", Seq("user_id", "tsm"), idCol = "event_id",
+        bits = 8, cellBits = 8)
+      root
+    } + "/events"
 
   /** The fixed query box of [[layoutSkipping]], answered from the
     * PERSISTED layout ([[graft.operators.LayoutStore.readBox]]): cell

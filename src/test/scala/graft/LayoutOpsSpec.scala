@@ -74,6 +74,29 @@ class LayoutOpsSpec extends SparkSpec {
     assert(cells.size < (1 << 6))
   }
 
+  test("a dimension range wider than Long.MaxValue fails loudly everywhere") {
+    // full-range hash-key dims: max - min wraps negative; handing out
+    // wrong cells here would silently break readBox soundness
+    val wide = Seq((Long.MinValue + 10, 0L), (Long.MaxValue - 10, 1L))
+      .toDF("h", "y")
+    val e = intercept[Exception] {
+      LayoutOps.zorderKey(wide, Seq("h", "y"), bits = 8)
+        .select("zkey").collect()
+    }
+    // under ANSI (Spark 4 default) the subtraction itself throws
+    // ARITHMETIC_OVERFLOW; under ansi=false the in-plan raise_error
+    // guard fires — either way the failure is loud, never wrong cells
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(m =>
+      m.contains("Long.MaxValue") || m.contains("ARITHMETIC_OVERFLOW")))
+    intercept[IllegalArgumentException] {
+      LayoutOps.cellsForBox(Seq(Long.MinValue + 10, 0L),
+        Seq(Long.MaxValue - 10, 1L), Seq((0L, 1L), (0L, 1L)))
+    }
+  }
+
   test("cellsForBox: disjoint box returns no cells") {
     assert(LayoutOps.cellsForBox(Seq(0L, 0L), Seq(100L, 100L),
       Seq((200L, 300L), (0L, 50L)), bits = 4, cellBits = 4).isEmpty)

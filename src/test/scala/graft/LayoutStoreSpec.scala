@@ -100,6 +100,46 @@ class LayoutStoreSpec extends SparkSpec {
     assert(files <= dirs)
   }
 
+  test("a batch with a duplicated id is rejected loudly") {
+    val path = tmpDir("ls-dup") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    // same id twice with different dims: neither row is stored yet, so
+    // only an in-batch check can stop the conflicting pair
+    val dup = Seq((500L, 1L, 1L), (500L, 9L, 9L)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      LayoutStore.append(spark, path, dup)
+    }
+    assert(e.getMessage.contains("more than once"))
+  }
+
+  test("compact refuses a fully-tombstoned store and leaves it readable") {
+    val small = mkRows(0 until 5, i => (i.toLong, i.toLong))
+    val path = tmpDir("ls-empty") + "/layout"
+    LayoutStore.write(small, path, Seq("x", "y"), idCol = "id")
+    LayoutStore.delete(spark, path, (0L until 5L).toSeq)
+    val e = intercept[IllegalStateException] {
+      LayoutStore.compact(spark, path)
+    }
+    assert(e.getMessage.contains("every row"))
+    // the refusal must leave the store intact: reads still work (and
+    // see no survivors), and a rebuild recovers it
+    assert(dumpBox(path, Seq((0L, 10L), (0L, 10L))).isEmpty)
+    LayoutStore.write(small, path, Seq("x", "y"), idCol = "id")
+    assert(dumpBox(path, Seq((0L, 10L), (0L, 10L))).size === 5)
+  }
+
+  test("null dimension values are rejected loudly, not silently mis-binned") {
+    val path = tmpDir("ls-null") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    val withNull = Seq((600L, Some(5L), None: Option[Long]))
+      .toDF("id", "x", "y")
+    val e = intercept[Exception] {
+      LayoutStore.append(spark, path, withNull)
+    }
+    assert(e.getMessage.contains("non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null")))
+  }
+
   test("readBox plan prunes to the candidate cell directories") {
     val path = tmpDir("ls-prune") + "/layout"
     LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
