@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier: logistic regression over hashed
+  * bag-of-tokens features — the fastText/CCNet-style model-based
+  * quality filter ([[TextOps.qualityScore]]'s Scaladoc promises
+  * exactly this upgrade: "swap the hard-coded weights for trained
+  * ones and nothing else moves").
+  *
+  * Split of labor, mirroring the PQ-codebook posture
+  * ([[VectorOps.trainPqModel]]'s driver-side k-means over a bounded
+  * sample):
+  *  - **Training is driver-side and deterministic** — full-batch
+  *    gradient descent over a bounded, doc_id-ordered sample
+  *    (`maxTrainRows`). No Spark-ML iteration nondeterminism; the same
+  *    corpus always yields bit-identical weights, which is what lets
+  *    the scoring oracle replay from an exported weights table.
+  *  - **Featurization and scoring are distributed, relational and
+  *    O(tokens)** — explode → md5-nibble hash bucket → per-doc
+  *    normalized counts → broadcast-join the (≤ `dim`-row) weights →
+  *    one partial-agg sum per doc. No UDFs; the scoring plan is the
+  *    same shape as the tf-idf/BM25 family.
+  *
+  * The hash is the oracle-portable md5-nibble trick used across the
+  * query surface: bucket = value of the first log16(dim) hex nibbles
+  * of md5(token), so DuckDB reproduces the feature space exactly.
+  *
+  * Scale: training reads `maxTrainRows` docs once (collected sparse —
+  * bounded); scoring touches each token once and shuffles one
+  * (doc_id, bucket) partial aggregate. Weights are a broadcast of at
+  * most `dim` rows.
+  */
+object QualityClassifier {
+
+  /** dim must be a power of 16 (whole md5 nibbles): 16, 256, 4096... */
+  val DefaultDim = 4096
+
+  case class Model(dim: Int, bias: Double, weights: Array[Double]) {
+    /** Weights as a broadcastable table (bucket −1 carries the bias,
+      * keeping the exported artifact a single parquet).
+      */
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      ((-1, bias) +: weights.zipWithIndex.map { case (w, b) => (b, w) }.toSeq)
+        .toDF("bucket", "weight")
+    }
+  }
+
+  def loadModel(weights: DataFrame): Model = {
+    val rows = weights.collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    // buckets run 0..dim+ExtraFeatures−1
+    val dim = rows.keys.max + 1 - ExtraFeatures
+    Model(dim, rows(-1),
+      Array.tabulate(dim + ExtraFeatures)(b => rows.getOrElse(b, 0.0)))
+  }
+
+  private def nibblesFor(dim: Int): Int = {
+    val n = (math.log(dim) / math.log(16)).round.toInt
+    require(BigInt(16).pow(n) == dim,
+      s"dim=$dim must be a power of 16 (md5 nibbles)")
+    n
+  }
+
+  /** Number of engineered feature slots past the hash space. */
+  val ExtraFeatures = 3
+
+  /** Per-doc sparse features: hashed token buckets 0..dim−1 with
+    * x = count/doc-length, PLUS three reserved engineered buckets the
+    * fastText-style quality models carry — `dim` = log-length
+    * (ln n / 5), `dim+1` = lexical diversity (distinct/n), `dim+2` =
+    * punctuation share ([[TextOps.punctRatio]]). The L1-normalized
+    * bag alone is length-blind (every doc's x sums to 1), and quality
+    * labels are driven precisely by these statistics; without the
+    * engineered slots the model measurably cannot fit them.
+    */
+  def featurize(docs: DataFrame, dim: Int = DefaultDim): DataFrame = {
+    val nib = nibblesFor(dim)
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("n"),
+      explode(split(col("text"), " ")).as("w"))
+      .withColumn("bucket",
+        conv(substring(md5(col("w")), 1, nib), 16, 10).cast("int"))
+      .groupBy("doc_id", "bucket")
+      .agg((count(lit(1)) / first("n")).as("x"))
+    val stats = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("n"),
+      size(array_distinct(split(col("text"), " "))).cast("double")
+        .as("nd"),
+      TextOps.punctRatio(col("text")).as("punct"))
+    toks
+      .unionByName(stats.select(col("doc_id"), lit(dim).as("bucket"),
+        (log(col("n")) / 5.0).as("x")))
+      .unionByName(stats.select(col("doc_id"), lit(dim + 1).as("bucket"),
+        (col("nd") / col("n")).as("x")))
+      .unionByName(stats.select(col("doc_id"), lit(dim + 2).as("bucket"),
+        col("punct").as("x")))
+  }
+
+  private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Deterministic full-batch GD over a doc_id-ordered bounded sample.
+    * `labeled` needs (doc_id, text, label∈{0,1}). Features are L1-
+    * normalized token counts, so a unit learning rate is stable at any
+    * document length.
+    */
+  def train(labeled: DataFrame, dim: Int = DefaultDim, epochs: Int = 200,
+            lr: Double = 2.0, maxTrainRows: Int = 10000): Model = {
+    val spark = labeled.sparkSession
+    val sample = labeled.select("doc_id", "text", "label")
+      .orderBy("doc_id").limit(maxTrainRows)
+    val feats = featurize(sample, dim)
+      .join(sample.select(col("doc_id"), col("label").cast("double")),
+        "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    // group into per-doc sparse vectors, doc_id order → deterministic
+    // gradient accumulation order → bit-identical weights every run
+    val docs = feats.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (_, rows) =>
+        (rows.head._4, rows.map(t => (t._2, t._3)).sortBy(_._1))
+    }
+    require(docs.nonEmpty, "QualityClassifier.train: empty training set")
+    val nw = dim + ExtraFeatures // hash buckets + engineered slots
+    val w = Array.fill(nw)(0.0)
+    var bias = 0.0
+    val n = docs.size.toDouble
+    for (_ <- 0 until epochs) {
+      val gw = Array.fill(nw)(0.0)
+      var gb = 0.0
+      docs.foreach { case (y, xs) =>
+        val z = bias + xs.map { case (b, x) => w(b) * x }.sum
+        val g = sigmoid(z) - y
+        xs.foreach { case (b, x) => gw(b) += g * x }
+        gb += g
+      }
+      var b = 0
+      while (b < nw) { w(b) -= lr * gw(b) / n; b += 1 }
+      bias -= lr * gb / n
+    }
+    Model(dim, bias, w)
+  }
+
+  /** Distributed scoring: margin z = bias + Σ w·x, probability σ(z),
+    * predicted label (z ≥ 0). One broadcast join + one per-doc sum;
+    * margin/prob rounded to 4 dp (the cross-engine float-sum grain the
+    * cosine family already uses), the label from the UNROUNDED margin.
+    */
+  def score(docs: DataFrame, model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    val wdf = broadcast(
+      model.toDF(spark).filter(col("bucket") >= 0))
+    featurize(docs, model.dim)
+      .join(wdf, "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("x") * col("weight")).as("dotp"))
+      .select(col("doc_id"),
+        round(col("dotp") + model.bias, 4).as("margin"),
+        round(lit(1.0) /
+          (lit(1.0) + exp(-(col("dotp") + model.bias))), 4).as("prob"),
+        ((col("dotp") + model.bias) >= 0).cast("int").as("pred"))
+  }
+}

@@ -1410,6 +1410,45 @@ object ExtOracles {
          |        max(tsm) >= 1704672000000000) AS INT) AS hit
          |FROM zk GROUP BY 1 ORDER BY zcell""".stripMargin,
 
+    // replays QualityClassifier.score from the exported weights table
+    // ALONE: token → first-3-md5-nibble bucket → L1-normalized counts
+    // → broadcast-weight dot product → margin/σ/label. Training stays
+    // driver-side (deterministic GD) — the artifact IS the contract,
+    // exactly the PQ-codebook oracle posture.
+    "text_quality_classifier" ->
+      s"""WITH w AS (SELECT bucket, weight FROM
+         |       read_parquet('${OracleArtifacts.pathFor("qc_weights")}/*.parquet')),
+         |tok AS (SELECT doc_id,
+         |        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+         |        unnest(string_split(text, ' ')) AS t FROM documents),
+         |ft AS (SELECT doc_id, n,
+         |       ${nibbleValue("md5(t)", 3)} AS bucket
+         |       FROM tok),
+         |fx AS (SELECT doc_id, bucket, count(*) / any_value(n) AS x
+         |       FROM ft GROUP BY doc_id, bucket
+         |       UNION ALL
+         |       SELECT doc_id, 4096 AS bucket,
+         |         ln(len(string_split(text, ' '))) / 5 AS x FROM documents
+         |       UNION ALL
+         |       SELECT doc_id, 4097 AS bucket,
+         |         len(list_distinct(string_split(text, ' '))) /
+         |           CAST(len(string_split(text, ' ')) AS DOUBLE) AS x
+         |       FROM documents
+         |       UNION ALL
+         |       SELECT doc_id, 4098 AS bucket,
+         |         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) /
+         |           CAST(length(text) AS DOUBLE) AS x
+         |       FROM documents),
+         |z AS (SELECT fx.doc_id,
+         |        sum(fx.x * w.weight) +
+         |        (SELECT weight FROM w WHERE bucket = -1) AS zz
+         |      FROM fx JOIN w ON fx.bucket = w.bucket
+         |      GROUP BY fx.doc_id)
+         |SELECT doc_id, round(zz, 4) AS margin,
+         |  round(1.0 / (1.0 + exp(-zz)), 4) AS prob,
+         |  CAST(zz >= 0 AS INT) AS pred
+         |FROM z ORDER BY doc_id""".stripMargin,
+
     // the indexed box read must equal a plain full-scan filter — the
     // layout store's soundness contract, checked against SQL that
     // knows nothing about the layout

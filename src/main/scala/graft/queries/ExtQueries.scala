@@ -1162,4 +1162,59 @@ object ExtQueries {
       Seq((30L, 59L), (1704672000000000L, 1705276799999999L)))
       .select("event_id", "user_id", "tsm")
       .orderBy("event_id")
+
+  /** One trained quality-classifier model per (session, SF dir),
+    * self-distilled from the heuristic gate: labels are
+    * [[TextOps.qualityScore]]'s keep flag (the CCNet posture — train
+    * the cheap-to-apply model on the target-quality labels you have),
+    * training is the deterministic driver-side GD of
+    * [[graft.operators.QualityClassifier.train]]. The weights export
+    * via [[OracleArtifacts]] so the oracle can replay SCORING exactly
+    * (training itself is driver state, like the PQ codebooks).
+    */
+  private val qcModelCache =
+    new SessionCache[graft.operators.QualityClassifier.Model]
+  private def qcModel(spark: SparkSession,
+                      dir: String): graft.operators.QualityClassifier.Model =
+    qcModelCache.get(spark, dir) {
+      val d = docs(spark, dir)
+      // labels = "top half of the quality distribution", not the
+      // absolute keep gate: the synthetic corpus passes the 0.5 gate
+      // wholesale, and an all-one-class label set trains a vacuous
+      // always-yes model. The median split is balanced at ANY corpus
+      // and deterministic (score desc, doc_id tiebreak); ranking runs
+      // over the bounded training sample only, never the corpus.
+      val sample = TextOps.qualityScore(d)
+        .join(d.select("doc_id", "text"), "doc_id")
+        .orderBy("doc_id").limit(10000)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val labeled = sample
+        .withColumn("rnk", row_number().over(w))
+        .crossJoin(broadcast(sample.agg(count(lit(1)).as("__n"))))
+        .withColumn("label", (col("rnk") * 2 <= col("__n")).cast("int"))
+        .select("doc_id", "text", "label")
+      // full-batch GD is convex but slow against the small-margin
+      // median boundary: the default budget leaves the weights near
+      // zero (53% label agreement — chance). Budget swept in PLANS.md:
+      // 10k epochs at lr 5 → 92% in ~4.6 s one-time driver cost
+      // (lr 20 oscillates; 2k epochs stops at 80%).
+      val m = graft.operators.QualityClassifier.train(labeled,
+        epochs = 10000, lr = 5.0)
+      OracleArtifacts.export(dir, "qc_weights")(m.toDF(spark))
+      m
+    }
+
+  /** TRAINED model-based quality scoring ([[graft.operators
+    * .QualityClassifier.score]]) — the upgrade [[TextOps.qualityScore]]
+    * 's Scaladoc promises ("swap the hard-coded weights for trained
+    * ones and nothing else moves"): hashed bag-of-tokens features,
+    * broadcast weights, one per-doc sum. Hash-green means DuckDB
+    * reproduces every document's margin/probability/label from the
+    * exported weights table alone.
+    */
+  def textQualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityClassifier.score(docs(spark, dir),
+      qcModel(spark, dir))
+      .orderBy("doc_id")
 }
