@@ -54,6 +54,31 @@ object CorpusOps {
       .withColumn("skey", md5(concat(lit(seed), col("doc_id").cast("string"))))
       .orderBy("skey")
 
+  /** Curriculum training order: quality-banded descent with a
+    * deterministic shuffle INSIDE each band — the data-ordering
+    * half of curriculum learning (front-load the cleanest documents,
+    * keep each phase internally shuffled so no band is presented in a
+    * biased order). `score` must be in [0, 1).
+    *
+    * Scale posture: the band is `floor(score · bands)` — an ABSOLUTE
+    * bucket, not a rank, so there is no global sort or ntile window
+    * anywhere; the only ordering is the final presentation sort on
+    * (band desc, md5 key), the same range-partitionable sort
+    * [[shuffleOrder]] pays. Re-ingesting a document lands it at the
+    * SAME position (pure function of id + score), which makes the
+    * training order auditable and resumable.
+    */
+  def curriculumOrder(scored: DataFrame, seed: String,
+                      bands: Int = 10): DataFrame = {
+    require(bands >= 1, "curriculumOrder: bands must be >= 1")
+    scored
+      .withColumn("qband",
+        least(floor(col("score") * bands).cast("int"), lit(bands - 1)))
+      .withColumn("skey",
+        md5(concat(lit(seed), col("doc_id").cast("string"))))
+      .orderBy(col("qband").desc, col("skey"))
+  }
+
   /** Deterministic train/val/test split assignment: bucket =
     * `hash16(seed ∥ doc_id) mod 100`, split boundaries at `trainPct` /
     * `trainPct + valPct`. The assignment is a pure function of the id —

@@ -78,25 +78,32 @@ object QualityClassifier {
     */
   def featurize(docs: DataFrame, dim: Int = DefaultDim): DataFrame = {
     val nib = nibblesFor(dim)
-    val toks = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("double").as("n"),
-      explode(split(col("text"), " ")).as("w"))
+    // null text carries no features (the simhash/qualityScore stance);
+    // EMPTY text is a legal minimal document — its punct ratio is 0 by
+    // convention, because the shared punctRatio's length(text) divisor
+    // throws DIVIDE_BY_ZERO under ANSI mode on it
+    val d = docs.filter(col("text").isNotNull)
+    val toks = d.select(col("doc_id"),
+      size(TextOps.tokens).cast("double").as("n"),
+      explode(TextOps.tokens).as("w"))
       .withColumn("bucket",
         conv(substring(md5(col("w")), 1, nib), 16, 10).cast("int"))
       .groupBy("doc_id", "bucket")
       .agg((count(lit(1)) / first("n")).as("x"))
-    val stats = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("double").as("n"),
-      size(array_distinct(split(col("text"), " "))).cast("double")
-        .as("nd"),
-      TextOps.punctRatio(col("text")).as("punct"))
-    toks
-      .unionByName(stats.select(col("doc_id"), lit(dim).as("bucket"),
-        (log(col("n")) / 5.0).as("x")))
-      .unionByName(stats.select(col("doc_id"), lit(dim + 1).as("bucket"),
-        (col("nd") / col("n")).as("x")))
-      .unionByName(stats.select(col("doc_id"), lit(dim + 2).as("bucket"),
-        col("punct").as("x")))
+    // one scan for all three engineered slots (three union branches
+    // would re-read the corpus once each)
+    val engineered = d.select(col("doc_id"),
+      explode(array(
+        struct(lit(dim).as("bucket"),
+          (log(size(TextOps.tokens).cast("double")) / 5.0).as("x")),
+        struct(lit(dim + 1).as("bucket"),
+          TextOps.distinctRatio(TextOps.tokens).as("x")),
+        struct(lit(dim + 2).as("bucket"),
+          when(length(col("text")) === 0, 0.0)
+            .otherwise(TextOps.punctRatio(col("text"))).as("x"))))
+        .as("f"))
+      .select(col("doc_id"), col("f.bucket"), col("f.x"))
+    toks.unionByName(engineered)
   }
 
   private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
@@ -108,7 +115,6 @@ object QualityClassifier {
     */
   def train(labeled: DataFrame, dim: Int = DefaultDim, epochs: Int = 200,
             lr: Double = 2.0, maxTrainRows: Int = 10000): Model = {
-    val spark = labeled.sparkSession
     val sample = labeled.select("doc_id", "text", "label")
       .orderBy("doc_id").limit(maxTrainRows)
     val feats = featurize(sample, dim)
@@ -116,29 +122,42 @@ object QualityClassifier {
         "doc_id")
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
-    // group into per-doc sparse vectors, doc_id order → deterministic
-    // gradient accumulation order → bit-identical weights every run
+    // per-doc sparse vectors as primitive parallel arrays, doc_id
+    // order → deterministic gradient accumulation → bit-identical
+    // weights every run; the unboxed while-loops matter because the
+    // epochs × docs × nnz hot path runs 10^8-ish steps at the gate's
+    // training budget
     val docs = feats.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (_, rows) =>
-        (rows.head._4, rows.map(t => (t._2, t._3)).sortBy(_._1))
-    }
+        val sorted = rows.sortBy(_._2)
+        (rows.head._4, sorted.map(_._2).toArray, sorted.map(_._3).toArray)
+    }.toArray
     require(docs.nonEmpty, "QualityClassifier.train: empty training set")
     val nw = dim + ExtraFeatures // hash buckets + engineered slots
-    val w = Array.fill(nw)(0.0)
+    val w = new Array[Double](nw)
+    val gw = new Array[Double](nw)
     var bias = 0.0
-    val n = docs.size.toDouble
-    for (_ <- 0 until epochs) {
-      val gw = Array.fill(nw)(0.0)
+    val n = docs.length.toDouble
+    var e = 0
+    while (e < epochs) {
+      java.util.Arrays.fill(gw, 0.0)
       var gb = 0.0
-      docs.foreach { case (y, xs) =>
-        val z = bias + xs.map { case (b, x) => w(b) * x }.sum
+      var di = 0
+      while (di < docs.length) {
+        val (y, bs, xs) = docs(di)
+        var z = bias
+        var i = 0
+        while (i < bs.length) { z += w(bs(i)) * xs(i); i += 1 }
         val g = sigmoid(z) - y
-        xs.foreach { case (b, x) => gw(b) += g * x }
+        i = 0
+        while (i < bs.length) { gw(bs(i)) += g * xs(i); i += 1 }
         gb += g
+        di += 1
       }
       var b = 0
       while (b < nw) { w(b) -= lr * gw(b) / n; b += 1 }
       bias -= lr * gb / n
+      e += 1
     }
     Model(dim, bias, w)
   }

@@ -84,6 +84,14 @@ object ExtOracles {
       |          / CAST(length(text) AS DOUBLE), 4) * 4.0))), 4) AS quality_score
       |  FROM qtok)""".stripMargin
 
+  /** Classifier feature-space geometry, derived from the operator's
+    * own constants so the oracle can never silently drift from the
+    * Spark side's bucket space.
+    */
+  private val qcDim = graft.operators.QualityClassifier.DefaultDim
+  private val qcNibbles =
+    (math.log(qcDim) / math.log(16)).round.toInt
+
   /** Big-endian value of the first `nibbles` hex nibbles of the md5
     * column `mExpr` — the strpos hex trick widened past [[hash16]]'s
     * four-nibble form.
@@ -787,6 +795,16 @@ object ExtOracles {
          |  CAST(quality_score >= 0.5 AS INT) AS keep
          |FROM qs ORDER BY doc_id""".stripMargin,
 
+    // replays CorpusOps.curriculumOrder over the quality-score
+    // artifact: absolute score band (no rank), md5 in-band shuffle —
+    // the hash check covers the entire training presentation order
+    "corpus_curriculum" ->
+      s"""WITH $qualityCte
+         |SELECT doc_id, quality_score AS score,
+         |  CAST(least(floor(quality_score * 10), 9) AS INT) AS qband,
+         |  md5('graftcur' || CAST(doc_id AS VARCHAR)) AS skey
+         |FROM qs ORDER BY qband DESC, skey""".stripMargin,
+
     // replays TextOps.containmentPairs: same pair-stats CTEs as jaccard,
     // ratio = common / min(|A|, |B|)
     "dedup_containment" ->
@@ -1422,22 +1440,23 @@ object ExtOracles {
          |        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
          |        unnest(string_split(text, ' ')) AS t FROM documents),
          |ft AS (SELECT doc_id, n,
-         |       ${nibbleValue("md5(t)", 3)} AS bucket
+         |       ${nibbleValue("md5(t)", qcNibbles)} AS bucket
          |       FROM tok),
          |fx AS (SELECT doc_id, bucket, count(*) / any_value(n) AS x
          |       FROM ft GROUP BY doc_id, bucket
          |       UNION ALL
-         |       SELECT doc_id, 4096 AS bucket,
+         |       SELECT doc_id, $qcDim AS bucket,
          |         ln(len(string_split(text, ' '))) / 5 AS x FROM documents
          |       UNION ALL
-         |       SELECT doc_id, 4097 AS bucket,
+         |       SELECT doc_id, ${qcDim + 1} AS bucket,
          |         len(list_distinct(string_split(text, ' '))) /
          |           CAST(len(string_split(text, ' ')) AS DOUBLE) AS x
          |       FROM documents
          |       UNION ALL
-         |       SELECT doc_id, 4098 AS bucket,
-         |         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) /
-         |           CAST(length(text) AS DOUBLE) AS x
+         |       SELECT doc_id, ${qcDim + 2} AS bucket,
+         |         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) /
+         |             CAST(length(text) AS DOUBLE) END AS x
          |       FROM documents),
          |z AS (SELECT fx.doc_id,
          |        sum(fx.x * w.weight) +

@@ -1217,4 +1217,17 @@ object ExtQueries {
     graft.operators.QualityClassifier.score(docs(spark, dir),
       qcModel(spark, dir))
       .orderBy("doc_id")
+
+  /** Curriculum training order over the shared quality-score artifact
+    * ([[CorpusOps.curriculumOrder]]): cleanest band first, deterministic
+    * md5 shuffle inside each band, position = pure function of
+    * (id, score) — no global rank anywhere. Hash-green means the ENTIRE
+    * training presentation order is engine-portable and auditable.
+    */
+  def corpusCurriculum(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.curriculumOrder(
+      qualityScored(spark, dir)
+        .select(col("doc_id"), col("quality_score").as("score")),
+      seed = "graftcur")
+      .select("doc_id", "score", "qband", "skey")
 }

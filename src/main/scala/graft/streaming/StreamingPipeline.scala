@@ -309,6 +309,40 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Model-served quality filtering at ingest: per micro-batch, score
+    * with a TRAINED classifier's frozen weights
+    * ([[graft.operators.QualityClassifier.score]]) and append only the
+    * accepted documents. The model is driver-side state loaded once —
+    * the stream cannot drift it (the frozen-trained-state posture of
+    * the index streams); per-trigger cost is O(batch tokens) and
+    * verdicts are batching-independent by construction (scoring is
+    * per-document, no corpus statistic in the plan — unlike the
+    * df-capped decontamination leg, this one needs no caveat).
+    * `minProb` is the acceptance threshold on σ(margin).
+    */
+  def qualityFilterStream(docs: DataFrame,
+      model: graft.operators.QualityClassifier.Model,
+      keptPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      minProb: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try
+          batch.join(
+            graft.operators.QualityClassifier.score(batch, model)
+              .filter(col("prob") >= minProb).select("doc_id"),
+            "doc_id")
+            .write.mode("append").parquet(keptPath)
+        finally graft.BenchUtil.releaseNewRdds(sc, before)
+        ()
+      }
+      .start()
+
   /** Streaming ingest into a persisted IVF-PQ index — the vector twin
     * of [[incrementalNearDupIndexStream]]'s append leg: per
     * micro-batch, [[graft.operators.VectorIndex.addToIvfPq]] encodes

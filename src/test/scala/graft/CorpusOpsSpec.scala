@@ -214,6 +214,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"),
       s"global sort should range-partition:\n$plan")
   }
+  test("curriculumOrder: bands descend, in-band shuffled, no global rank") {
+    import org.apache.spark.sql.functions._
+    val scored = (0 until 200).map(i => (i.toLong, (i % 100) / 100.0))
+      .toDF("doc_id", "score")
+    val out = CorpusOps.curriculumOrder(scored, seed = "cur")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+    // every doc exactly once, bands non-increasing down the order
+    assert(out.map(_._1).sorted.toSeq == (0L until 200L).toSeq)
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq,
+      "quality bands must descend")
+    // within a band the order is the md5 shuffle, not doc_id order
+    val topBand = out.filter(_._2 == 9)
+    assert(topBand.map(_._3).toSeq == topBand.map(_._3).sorted.toSeq)
+    assert(topBand.map(_._1).toSeq != topBand.map(_._1).sorted.toSeq,
+      "in-band order must be shuffled, not id order")
+    // score 1.0-adjacent values clamp into the top band, never band 10
+    val clamped = CorpusOps.curriculumOrder(
+      Seq((1L, 0.9999), (2L, 0.0)).toDF("doc_id", "score"), "cur")
+      .select("qband").collect().map(_.getInt(0))
+    assert(clamped.toSeq == Seq(9, 0))
+    // no ntile/window: the plan is a plain range-partitioned sort
+    val plan = CorpusOps.curriculumOrder(scored, "cur")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"curriculum must not rank:\n$plan")
+    assert(plan.contains("rangepartitioning"))
+  }
+
   test("splitAssign: deterministic, boundary-exact, subset-stable") {
     val d = spark.range(500).select(col("id").as("doc_id"),
       concat(lit("s"), col("id") % 3).as("source"), lit("x").as("text"))

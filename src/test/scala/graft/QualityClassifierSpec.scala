@@ -74,6 +74,47 @@ class QualityClassifierSpec extends SparkSpec {
     assert(back.weights.toSeq === m.weights.toSeq)
   }
 
+  test("empty and null texts don't crash: empty scores (punct=0), null drops") {
+    val m = QualityClassifier.train(labeled, epochs = 50)
+    val weird = Seq((900L, Some("")), (901L, None: Option[String]),
+      (902L, Some("normal text here")))
+      .toDF("doc_id", "text")
+    val got = QualityClassifier.score(weird, m)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // empty text is a legal minimal doc; null text carries no features
+    assert(got === Array(900L, 902L))
+    // and an empty doc in the TRAINING set must not abort training
+    val m2 = QualityClassifier.train(
+      labeled.union(Seq((903L, "", 0)).toDF("doc_id", "text", "label")),
+      epochs = 10)
+    assert(m2.weights.length === m.weights.length)
+  }
+
+  test("qualityFilterStream keeps exactly the batch operator's accept set") {
+    import graft.streaming.StreamingPipeline
+    val m = QualityClassifier.train(labeled, epochs = 200)
+    val docs = labeled.select("doc_id", "text").localCheckpoint()
+    // two one-file slices → two triggers under AvailableNow
+    val src = tmpDir("qf-stream-src")
+    Seq(docs.filter(col("doc_id") < 30), docs.filter(col("doc_id") >= 30))
+      .foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val kept = tmpDir("qf-kept") + "/kept"
+    StreamingPipeline.qualityFilterStream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      m, kept, tmpDir("qf-ckpt"))
+      .awaitTermination()
+    val got = spark.read.parquet(kept)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val want = QualityClassifier.score(docs, m)
+      .filter(col("prob") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got === want,
+      "stream accept set diverged from the batch scorer")
+    assert(want.nonEmpty && want.length < 60,
+      "test corpus should split into kept and dropped")
+  }
+
   test("maxTrainRows bounds the collected sample deterministically") {
     val mAll = QualityClassifier.train(labeled, epochs = 20)
     val mCap = QualityClassifier.train(labeled, epochs = 20,
