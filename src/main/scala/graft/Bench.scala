@@ -85,6 +85,16 @@ object Bench {
     val allPasses = (1 to passes).map { p =>
       spark.catalog.clearCache()
       System.gc()
+      // absorb the post-GC/post-clearCache ramp on a FIXED untimed
+      // primer: without it the alphabetically-first query bills the
+      // ramp in EVERY pass, surviving the per-query min (r6 driver
+      // file: approx_distinct 2.6 s in both passes vs 0.77 s in a
+      // clean draw — positional, not a regression). The primer is a
+      // constant side query, never one of the measured plans.
+      try BenchUtil.sink(
+        graft.sources.Tables.readTable(spark, sfDir, "lineitem")
+          .groupBy("l_returnflag").count())
+      catch { case scala.util.control.NonFatal(_) => () }
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
