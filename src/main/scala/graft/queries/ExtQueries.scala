@@ -270,18 +270,23 @@ object ExtQueries {
     * estimate itself isn't SQL-replayable, so the query OUTPUTS the
     * exact side (replayed by DuckDB) plus `est_ok`, the documented
     * error-bound invariant (|est − exact| ≤ 5·rsd·exact + 1, rsd =
-    * 0.01) — constant TRUE in the oracle, real sketch computation on
+    * 0.02) — constant TRUE in the oracle, real sketch computation on
     * the Spark side: an estimator regression flips it and goes red.
+    * rsd = 0.02 (2^12-register sketches), not 0.01: the 16k-register
+    * buffers of rsd 0.01 made this 5-group aggregate the most
+    * expensive cheap query in the suite (0.70 s vs 0.18 s for the
+    * sketch leg alone, measured) for precision nothing downstream
+    * uses.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .groupBy("lang")
-      .agg(approx_count_distinct(col("source"), 0.01).as("est"),
+      .agg(approx_count_distinct(col("source"), 0.02).as("est"),
         countDistinct(col("source")).as("exact_sources"),
         count(lit(1)).as("n"))
       .select(col("lang"), col("exact_sources"), col("n"),
         (abs(col("est") - col("exact_sources")) <=
-          col("exact_sources") * 0.05 + lit(1)).as("est_ok"))
+          col("exact_sources") * 0.10 + lit(1)).as("est_ok"))
       .orderBy("lang")
 
   def textSimhash(spark: SparkSession, dir: String): DataFrame =
