@@ -30,7 +30,14 @@ object ProfileOps {
     * join/agg should use for its bucket count.
     */
   def keyProfile(df: DataFrame, key: String, topN: Int = 20): DataFrame = {
+    // materialize the per-key counts ONCE: the summary and the top-N
+    // branch would otherwise each replay the full input scan (measured:
+    // zero ReusedExchange across the two aggregate branches). The
+    // checkpoint is bounded by the distinct-key count — the profiler's
+    // natural intermediate — so the input is read exactly once however
+    // many statistics are derived from it.
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val summary = counts.agg(
       sum("cnt").as("__total"),
       count(lit(1)).as("__keys"))
@@ -63,7 +70,9 @@ object ProfileOps {
     * (a high value says "broadcast or salt, don't plain-shuffle").
     */
   def keySummary(df: DataFrame, key: String): DataFrame = {
+    // one input scan (the keyProfile materialization rationale)
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val top10 = counts.orderBy(col("cnt").desc, col(key).asc).limit(10)
       .agg(sum("cnt").as("__top10"))
     counts.agg(

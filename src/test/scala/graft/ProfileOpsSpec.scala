@@ -60,6 +60,18 @@ class ProfileOpsSpec extends SparkSpec {
       s"unbalanced salted buckets: ${bucketSizes.toSeq}")
   }
 
+  test("profiler reads its input exactly once (counts materialized)") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    for (df <- Seq(ProfileOps.keyProfile(ev, "user_id", 5),
+        ProfileOps.keySummary(ev, "user_id"))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val scans = plan.split("Scan parquet").length - 1
+      assert(scans <= 1,
+        s"profiler should scan the input at most once, saw $scans:\n$plan")
+    }
+  }
+
   test("summary and profile agree with each other on the live table") {
     val ev = graft.sources.Tables.events(spark, sf)
     val summary = ProfileOps.keySummary(ev, "user_id").head
