@@ -145,6 +145,35 @@ class LayoutOpsSpec extends SparkSpec {
     assert(boxCells.subsetOf(zCells.toSet))
   }
 
+  test("three dimensions: interleave round-trips and box pruning stays sound") {
+    // 3 dims × 4 bits = 12-bit key; reference de-interleave per dim
+    val tri = (for (x <- 0L until 16L; y <- 0L until 16L;
+                    z <- 0L until 16L if (x + y + z) % 5 == 0)
+      yield (x, y, z)).toDF("x", "y", "z")
+    val keyed = LayoutOps.zorderKey(tri, Seq("x", "y", "z"), bits = 4)
+      .collect()
+    keyed.foreach { r =>
+      val (x, y, z, zk) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(r.fieldIndex("zkey")))
+      def deinter(i: Int): Long = (0 until 4).foldLeft(0L) { (acc, b) =>
+        acc | (((zk >> (b * 3 + i)) & 1L) << b)
+      }
+      // ranges are 0..15 with bits=4 → bucket == coordinate
+      assert((deinter(0), deinter(1), deinter(2)) === ((x, y, z)),
+        s"de-interleave mismatch at ($x,$y,$z)")
+    }
+    val layout = LayoutOps.zorderLayout(tri, Seq("x", "y", "z"), bits = 4,
+      cellBits = 6)
+    val box = Seq((2L, 5L), (8L, 11L), (0L, 3L))
+    val cells = LayoutOps.cellsForBox(Seq(0L, 0L, 0L), Seq(15L, 15L, 15L),
+      box, bits = 4, cellBits = 6).toSet
+    val inBox = layout.filter(col("x").between(2, 5) &&
+      col("y").between(8, 11) && col("z").between(0, 3))
+      .select("zcell").distinct().collect().map(_.getLong(0)).toSet
+    assert(inBox.nonEmpty && inBox.subsetOf(cells))
+    assert(cells.size < 64, "3-D box should prune the 64-cell grid")
+  }
+
   test("cellStats agrees with a direct aggregation") {
     val df = pts.toDF("x", "y")
     val layout = LayoutOps.zorderLayout(df, Seq("x", "y"), bits = 8,

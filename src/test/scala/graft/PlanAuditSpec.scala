@@ -228,4 +228,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"),
       s"the one-row total/Z scalars must broadcast:\n$p")
   }
+
+  test("AQE skew-join actually fires under the session config (runtime split)") {
+    // USAGE.md's skew posture names TWO mechanisms: manual salting
+    // (salted_join) and AQE's runtime skew split. This pins the
+    // second: a hot-key sort-merge join under lowered thresholds must
+    // come back with skew=true partitions — proof the session's
+    // adaptive config does what the docs claim, not just that the
+    // flag is set.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val hot = (0 until 40000).map(i => (if (i % 2 == 0) 7L else i.toLong,
+        s"pad-$i-${"x" * 100}")).toDF("k", "pay")
+      val dim = (0L until 50000L).map(k => (k, s"d$k")).toDF("k", "d")
+      val joined = hot.join(dim, "k")
+      // drive THIS DataFrame's own queryExecution (.write/.count each
+      // plan a separate execution and the captured adaptive plan would
+      // never have run)
+      assert(joined.collect().length === 40000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE skew-join did not fire on a hot-key SMJ:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
