@@ -145,6 +145,7 @@ object SparkEntry {
     "layout_indexed_box" -> (graft.queries.ExtQueries.layoutIndexedBox(_, _)),
     "text_quality_classifier" -> (graft.queries.ExtQueries.textQualityClassifier(_, _)),
     "corpus_curriculum" -> (graft.queries.ExtQueries.corpusCurriculum(_, _)),
+    "corpus_snapshot_diff" -> (graft.queries.ExtQueries.corpusSnapshotDiff(_, _)),
     "skew_profile" -> (graft.queries.ExtQueries.skewProfile(_, _)),
     "skew_summary" -> (graft.queries.ExtQueries.skewSummary(_, _)),
   )

@@ -54,6 +54,38 @@ object CorpusOps {
       .withColumn("skey", md5(concat(lit(seed), col("doc_id").cast("string"))))
       .orderBy("skey")
 
+  /** Snapshot diff: the changelog between two corpus versions — the
+    * first thing a recurring-crawl pipeline computes, because every
+    * downstream incremental operator (dedup index append, ANN ingest,
+    * decontamination) wants "what changed", not the full snapshot.
+    *
+    * Emits one row per difference: `added` (id only in `cur`),
+    * `removed` (id only in `old`), `changed` (both, content hash
+    * differs). Unchanged rows — the overwhelming majority between real
+    * snapshots — are dropped before any sort or downstream work.
+    *
+    * Shape: content hashed per side map-side (md5 over the
+    * concatenated `hashCols`), then ONE full-outer equi-join on the
+    * id — sort-merge at scale, no driver state, no window. The hash
+    * is engine-portable (md5), so the whole changelog is
+    * oracle-replayable.
+    */
+  def snapshotDiff(old: DataFrame, cur: DataFrame, idCol: String,
+                   hashCols: Seq[String]): DataFrame = {
+    require(hashCols.nonEmpty, "snapshotDiff needs at least one hash column")
+    def hashed(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol),
+        md5(concat_ws("", hashCols.map(c => col(c).cast("string")): _*))
+          .as(as))
+    hashed(old, "old_hash")
+      .join(hashed(cur, "new_hash"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed"))
+      .filter(col("status").isNotNull)
+  }
+
   /** Curriculum training order: quality-banded descent with a
     * deterministic shuffle INSIDE each band — the data-ordering
     * half of curriculum learning (front-load the cleanest documents,

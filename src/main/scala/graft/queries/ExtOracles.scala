@@ -795,6 +795,28 @@ object ExtOracles {
          |  CAST(quality_score >= 0.5 AS INT) AS keep
          |FROM qs ORDER BY doc_id""".stripMargin,
 
+    // replays ExtQueries.corpusSnapshotDiff: md5 content hash per
+    // side, full-outer join on id, unchanged rows dropped
+    "corpus_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+        |n0 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
+        |              ELSE text END AS text
+        |       FROM documents WHERE doc_id % 10 <> 7
+        |       UNION ALL
+        |       SELECT doc_id + 1000000 AS doc_id, text
+        |       FROM documents WHERE doc_id % 10 = 1),
+        |n AS (SELECT doc_id, md5(text) AS new_hash FROM n0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_hash,
+        |  n.new_hash,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_hash <> n.new_hash THEN 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR
+        |       o.old_hash <> n.new_hash)
+        |ORDER BY doc_id""".stripMargin,
+
     // replays CorpusOps.curriculumOrder over the quality-score
     // artifact: absolute score band (no rank), md5 in-band shuffle —
     // the hash check covers the entire training presentation order

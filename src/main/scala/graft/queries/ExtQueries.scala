@@ -1235,4 +1235,23 @@ object ExtQueries {
         .select(col("doc_id"), col("quality_score").as("score")),
       seed = "graftcur")
       .select("doc_id", "score", "qband", "skey")
+
+  /** Snapshot changelog ([[CorpusOps.snapshotDiff]]) between the
+    * documents table and a deterministically-perturbed "next crawl":
+    * docs with id ≡ 7 (mod 10) dropped, id ≡ 3 re-crawled with changed
+    * text, and a shifted-id batch of additions. Hash-green means the
+    * full added/removed/changed changelog — the input every
+    * incremental ingest stage consumes — is engine-portable.
+    */
+  def corpusSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val next = d.filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(d.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    CorpusOps.snapshotDiff(d, next, "doc_id", Seq("text"))
+      .orderBy("doc_id")
+  }
 }

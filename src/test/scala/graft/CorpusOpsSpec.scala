@@ -214,6 +214,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"),
       s"global sort should range-partition:\n$plan")
   }
+  test("snapshotDiff: added/removed/changed exact, unchanged dropped") {
+    import org.apache.spark.sql.functions._
+    val old = Seq((1L, "same"), (2L, "will-change"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "same"), (2L, "changed!"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val diff = CorpusOps.snapshotDiff(old, cur, "doc_id", Seq("text"))
+    val got = diff.select("doc_id", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((2L, "changed"), (3L, "removed"),
+      (4L, "added")))
+    // unchanged (id 1) must not appear — the row the filter exists for
+    assert(!diff.select("doc_id").collect().map(_.getLong(0)).contains(1L))
+    // equi-join shape, never a cartesian
+    diff.collect()
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"diff join shape:\n$plan")
+    // multi-column hashing distinguishes per-column change
+    val multi = CorpusOps.snapshotDiff(
+      Seq((9L, "a", 1)).toDF("doc_id", "text", "v"),
+      Seq((9L, "a", 2)).toDF("doc_id", "text", "v"),
+      "doc_id", Seq("text", "v"))
+    assert(multi.select("status").head.getString(0) === "changed")
+  }
+
   test("curriculumOrder: bands descend, in-band shuffled, no global rank") {
     import org.apache.spark.sql.functions._
     val scored = (0 until 200).map(i => (i.toLong, (i % 100) / 100.0))
