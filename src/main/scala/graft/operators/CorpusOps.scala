@@ -35,6 +35,13 @@ object CorpusOps {
       .filter(col("h16") < rate * 65536)
   }
 
+  /** The deterministic permutation key shared by [[shuffleOrder]] and
+    * [[curriculumOrder]] — ONE definition, so the two operators'
+    * orderings can never silently diverge.
+    */
+  private def shuffleKey(seed: String): Column =
+    md5(concat(lit(seed), col("doc_id").cast("string")))
+
   /** Deterministic corpus shuffle — the training-order randomisation
     * pass before shard writing: rows ordered by `md5(seed ∥ doc_id)`,
     * a reproducible pseudorandom permutation independent of input
@@ -51,7 +58,7 @@ object CorpusOps {
     */
   def shuffleOrder(docs: DataFrame, seed: String): DataFrame =
     docs
-      .withColumn("skey", md5(concat(lit(seed), col("doc_id").cast("string"))))
+      .withColumn("skey", shuffleKey(seed))
       .orderBy("skey")
 
   /** Snapshot diff: the changelog between two corpus versions — the
@@ -73,9 +80,17 @@ object CorpusOps {
   def snapshotDiff(old: DataFrame, cur: DataFrame, idCol: String,
                    hashCols: Seq[String]): DataFrame = {
     require(hashCols.nonEmpty, "snapshotDiff needs at least one hash column")
+    // per-column md5 FIRST, then hash the concatenation: raw
+    // concatenation is boundary-ambiguous (("ab","c") and ("a","bc")
+    // concat identically, so a real change would be reported
+    // unchanged), and concat_ws silently SKIPS nulls (a null-to-empty
+    // edit would collide). Per-column digests are fixed-width 32-hex
+    // blocks and the null sentinel contains non-hex characters, so
+    // the combined string parses unambiguously.
     def hashed(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol),
-        md5(concat_ws("", hashCols.map(c => col(c).cast("string")): _*))
+        md5(concat_ws("", hashCols.map(c =>
+          coalesce(md5(col(c).cast("string")), lit("null"))): _*))
           .as(as))
     hashed(old, "old_hash")
       .join(hashed(cur, "new_hash"), Seq(idCol), "full_outer")
@@ -104,10 +119,16 @@ object CorpusOps {
                       bands: Int = 10): DataFrame = {
     require(bands >= 1, "curriculumOrder: bands must be >= 1")
     scored
+      // the [0,1] contract is enforced loudly: Spark's least() SKIPS
+      // null arguments, so a null score would otherwise clamp into
+      // the TOP band and be presented first — the opposite of any
+      // safe default; negative scores would go to negative bands
       .withColumn("qband",
-        least(floor(col("score") * bands).cast("int"), lit(bands - 1)))
-      .withColumn("skey",
-        md5(concat(lit(seed), col("doc_id").cast("string"))))
+        expr(s"if(score is null or score < 0 or score > 1, " +
+          "cast(raise_error(concat('curriculumOrder: score out of " +
+          "[0,1] for doc_id ', cast(doc_id as string))) as int), " +
+          s"cast(least(floor(score * $bands), $bands - 1) as int))"))
+      .withColumn("skey", shuffleKey(seed))
       .orderBy(col("qband").desc, col("skey"))
   }
 

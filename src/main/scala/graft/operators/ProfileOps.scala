@@ -36,8 +36,11 @@ object ProfileOps {
     // checkpoint is bounded by the distinct-key count — the profiler's
     // natural intermediate — so the input is read exactly once however
     // many statistics are derived from it.
+    // lazy checkpoint: materializes on FIRST execution (construction
+    // of the profile plan stays free), then every derived statistic
+    // reads the bounded counts instead of replaying the input scan
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val summary = counts.agg(
       sum("cnt").as("__total"),
       count(lit(1)).as("__keys"))
@@ -70,9 +73,9 @@ object ProfileOps {
     * (a high value says "broadcast or salt, don't plain-shuffle").
     */
   def keySummary(df: DataFrame, key: String): DataFrame = {
-    // one input scan (the keyProfile materialization rationale)
+    // one input scan (the keyProfile lazy-materialization rationale)
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val top10 = counts.orderBy(col("cnt").desc, col(key).asc).limit(10)
       .agg(sum("cnt").as("__top10"))
     counts.agg(

@@ -57,7 +57,7 @@ object QualityClassifier {
       Array.tabulate(dim + ExtraFeatures)(b => rows.getOrElse(b, 0.0)))
   }
 
-  private def nibblesFor(dim: Int): Int = {
+  private[graft] def nibblesFor(dim: Int): Int = {
     val n = (math.log(dim) / math.log(16)).round.toInt
     require(BigInt(16).pow(n) == dim,
       s"dim=$dim must be a power of 16 (md5 nibbles)")

@@ -89,8 +89,10 @@ object ExtOracles {
     * Spark side's bucket space.
     */
   private val qcDim = graft.operators.QualityClassifier.DefaultDim
+  // the operator's own derivation (incl. its power-of-16 validation) —
+  // a re-derived formula here could silently round a bad dim
   private val qcNibbles =
-    (math.log(qcDim) / math.log(16)).round.toInt
+    graft.operators.QualityClassifier.nibblesFor(qcDim)
 
   /** Big-endian value of the first `nibbles` hex nibbles of the md5
     * column `mExpr` — the strpos hex trick widened past [[hash16]]'s
@@ -797,8 +799,10 @@ object ExtOracles {
 
     // replays ExtQueries.corpusSnapshotDiff: md5 content hash per
     // side, full-outer join on id, unchanged rows dropped
+    // per-column digest scheme: hash = md5(concat of per-column md5s)
+    // — with one non-null column that is md5(md5(text))
     "corpus_snapshot_diff" ->
-      """WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+      """WITH o AS (SELECT doc_id, md5(md5(text)) AS old_hash FROM documents),
         |n0 AS (SELECT doc_id,
         |         CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
         |              ELSE text END AS text
@@ -806,7 +810,7 @@ object ExtOracles {
         |       UNION ALL
         |       SELECT doc_id + 1000000 AS doc_id, text
         |       FROM documents WHERE doc_id % 10 = 1),
-        |n AS (SELECT doc_id, md5(text) AS new_hash FROM n0)
+        |n AS (SELECT doc_id, md5(md5(text)) AS new_hash FROM n0)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_hash,
         |  n.new_hash,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'

@@ -332,13 +332,19 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sc = batch.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet.toSet
-        try
-          batch.join(
-            graft.operators.QualityClassifier.score(batch, model)
+        try {
+          // pin the micro-batch: it feeds both sides of the
+          // accept-set join (the raw rows AND the scorer's featurize),
+          // which would otherwise re-read the source files 3× per
+          // trigger; the pin is what the snapshot-diff release harness
+          // then cleans up
+          val pinned = batch.localCheckpoint()
+          pinned.join(
+            graft.operators.QualityClassifier.score(pinned, model)
               .filter(col("prob") >= minProb).select("doc_id"),
             "doc_id")
             .write.mode("append").parquet(keptPath)
-        finally graft.BenchUtil.releaseNewRdds(sc, before)
+        } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }
       .start()

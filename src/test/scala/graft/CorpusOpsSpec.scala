@@ -238,6 +238,44 @@ class CorpusOpsSpec extends SparkSpec {
       Seq((9L, "a", 2)).toDF("doc_id", "text", "v"),
       "doc_id", Seq("text", "v"))
     assert(multi.select("status").head.getString(0) === "changed")
+    // column-boundary shifts must NOT collide: ("ab","c") vs ("a","bc")
+    // concat to the same string but are a real change
+    val shifted = CorpusOps.snapshotDiff(
+      Seq((5L, "ab", "c")).toDF("doc_id", "t1", "t2"),
+      Seq((5L, "a", "bc")).toDF("doc_id", "t1", "t2"),
+      "doc_id", Seq("t1", "t2"))
+    assert(shifted.select("status").head.getString(0) === "changed",
+      "boundary-shifted columns must hash differently")
+    // null -> empty is a change, not a concat_ws-skipped collision
+    val nulled = CorpusOps.snapshotDiff(
+      Seq((6L, None: Option[String])).toDF("doc_id", "text"),
+      Seq((6L, Some(""))).toDF("doc_id", "text"),
+      "doc_id", Seq("text"))
+    assert(nulled.select("status").head.getString(0) === "changed",
+      "null-to-empty must be reported as changed")
+  }
+
+  test("curriculumOrder rejects null and out-of-range scores loudly") {
+    import org.apache.spark.sql.functions._
+    val bad = Seq((1L, Some(0.5)), (2L, None: Option[Double]))
+      .toDF("doc_id", "score")
+    val e = intercept[Exception] {
+      CorpusOps.curriculumOrder(bad, "cur").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("score out of")),
+      "null score must fail loudly, not land in the top band")
+    intercept[Exception] {
+      CorpusOps.curriculumOrder(
+        Seq((1L, -0.1)).toDF("doc_id", "score"), "cur").collect()
+    }
+    // exact 1.0 is legal (clamps into the top band)
+    val one = CorpusOps.curriculumOrder(
+      Seq((1L, 1.0)).toDF("doc_id", "score"), "cur")
+      .select("qband").head.getInt(0)
+    assert(one === 9)
   }
 
   test("curriculumOrder: bands descend, in-band shuffled, no global rank") {
