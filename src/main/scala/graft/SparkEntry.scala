@@ -146,6 +146,7 @@ object SparkEntry {
     "text_quality_classifier" -> (graft.queries.ExtQueries.textQualityClassifier(_, _)),
     "corpus_curriculum" -> (graft.queries.ExtQueries.corpusCurriculum(_, _)),
     "corpus_snapshot_diff" -> (graft.queries.ExtQueries.corpusSnapshotDiff(_, _)),
+    "corpus_epochs" -> (graft.queries.ExtQueries.corpusEpochs(_, _)),
     "skew_profile" -> (graft.queries.ExtQueries.skewProfile(_, _)),
     "skew_summary" -> (graft.queries.ExtQueries.skewSummary(_, _)),
   )

@@ -218,6 +218,52 @@ object CorpusOps {
         floor(col("pa") / col("z") * budgetTokens).cast("bigint").as("alloc_tokens"))
   }
 
+  /** Epoch schedule: materialise [[mixtureWeights]]' per-source token
+    * allocations into per-DOCUMENT repeat counts — the step between
+    * "this source gets 12% of the budget" and actually writing shards.
+    * A source whose allocation exceeds its size upsamples
+    * (epochs > 1, the small-high-quality-source case); fractional
+    * epochs are realised per document with the deterministic
+    * [[hash16]] trick: `repeats = ⌊epochs⌋ + [hash16(seed ∥ id) <
+    * frac·65536]`, so the expected token total per source equals its
+    * allocation, every run repeats the SAME documents (auditable,
+    * resumable — random() gives neither), and no document repeats
+    * more than ⌈epochs⌉ times.
+    *
+    * Shape: one per-source token aggregate + a broadcast of the
+    * (sources-sized) epochs table onto a pure per-row projection. The
+    * token estimator (`ceil(len/4)`) is [[mixtureWeights]]' own, so
+    * schedule and allocation can never disagree about document size.
+    */
+  def epochSchedule(docs: DataFrame, alloc: DataFrame,
+                    seed: String): DataFrame = {
+    val est = ceil(length(col("text")) / 4.0).cast("bigint")
+    val dt = docs.select(col("doc_id"), col("source"),
+      est.as("est_tokens"))
+    val srcTokens = dt.groupBy("source")
+      .agg(sum("est_tokens").as("__src_tokens"))
+    val eps = alloc.select(col("source"), col("alloc_tokens"))
+      .join(srcTokens, "source")
+      .withColumn("__epochs",
+        col("alloc_tokens") / col("__src_tokens").cast("double"))
+    dt.join(broadcast(eps), "source")
+      .withColumn("epochs", round(col("__epochs"), 6))
+      .withColumn("repeats",
+        (floor(col("__epochs")) +
+          when(hash16(concat(lit(seed), col("doc_id").cast("string"))) <
+            (col("__epochs") - floor(col("__epochs"))) * 65536, 1L)
+            .otherwise(0L)).cast("bigint"))
+      .select("doc_id", "source", "est_tokens", "epochs", "repeats")
+  }
+
+  /** Explode an [[epochSchedule]] into one row per training copy
+    * (`copy_no` 1..repeats; zero-repeat documents drop) — the list a
+    * shard writer walks. Pure generator fan-out, no shuffle.
+    */
+  def epochExpand(schedule: DataFrame): DataFrame =
+    schedule.filter(col("repeats") > 0)
+      .withColumn("copy_no", explode(expr("sequence(1L, repeats)")))
+
   /** Overlapping token-window chunking — the embedding-prep step that
     * splits long documents into model-window-sized pieces with
     * `overlap` tokens of context carried between neighbours (the RAG /

@@ -905,6 +905,37 @@ object ExtOracles {
         |  CAST(floor(pa / z * 1000000) AS BIGINT) AS alloc_tokens
         |FROM pa CROSS JOIN z ORDER BY source""".stripMargin,
 
+    // replays CorpusOps.epochSchedule over mixtureWeights' own
+    // allocation: the mixture CTE chain verbatim → per-source epochs →
+    // per-doc floor + hash16-coin fractional repeat
+    "corpus_epochs" ->
+      s"""WITH per AS (SELECT source,
+         |    CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+         |      AS est_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(est_tokens) AS DOUBLE) AS total FROM per),
+         |pa AS (SELECT per.*, pow(est_tokens / total, 0.5) AS pa
+         |       FROM per CROSS JOIN tot),
+         |z AS (SELECT sum(pa) AS z FROM pa),
+         |alloc AS (SELECT source,
+         |    CAST(floor(pa / z * 1000000) AS BIGINT) AS alloc_tokens
+         |  FROM pa CROSS JOIN z),
+         |dt AS (SELECT doc_id, source,
+         |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+         |  FROM documents),
+         |ep AS (SELECT alloc.source,
+         |    alloc_tokens / CAST(per.est_tokens AS DOUBLE) AS epochs
+         |  FROM alloc JOIN per ON alloc.source = per.source)
+         |SELECT dt.doc_id, dt.source, dt.est_tokens,
+         |  round(ep.epochs, 6) AS epochs,
+         |  CAST(floor(ep.epochs) +
+         |    CASE WHEN ${nibbleValue(
+                   "md5('graftep' || CAST(dt.doc_id AS VARCHAR))", 4)}
+         |      < (ep.epochs - floor(ep.epochs)) * 65536
+         |    THEN 1 ELSE 0 END AS BIGINT) AS repeats
+         |FROM dt JOIN ep ON dt.source = ep.source
+         |ORDER BY dt.doc_id""".stripMargin,
+
     // replays CorpusOps.samplePerGroup (k = 20 per lang): md5-of-id
     // hash order with id tiebreak
     "sample_per_group" ->

@@ -1254,4 +1254,17 @@ object ExtQueries {
     CorpusOps.snapshotDiff(d, next, "doc_id", Seq("text"))
       .orderBy("doc_id")
   }
+
+  /** Per-document training-epoch schedule
+    * ([[CorpusOps.epochSchedule]]) under the corpus's own
+    * [[CorpusOps.mixtureWeights]] allocation — hash-green means every
+    * document's repeat count in the materialised mixture (incl. the
+    * deterministic fractional-epoch coin flips) is engine-portable.
+    */
+  def corpusEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    CorpusOps.epochSchedule(d, CorpusOps.mixtureWeights(d),
+      seed = "graftep")
+      .orderBy("doc_id")
+  }
 }

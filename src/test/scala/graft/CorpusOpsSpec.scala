@@ -255,6 +255,42 @@ class CorpusOpsSpec extends SparkSpec {
       "null-to-empty must be reported as changed")
   }
 
+  test("epochSchedule: repeats bracket epochs, totals track allocations") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, sf)
+    val alloc = CorpusOps.mixtureWeights(d)
+    val sched = CorpusOps.epochSchedule(d, alloc, seed = "ep1")
+      .localCheckpoint()
+    // per doc: repeats ∈ {⌊epochs⌋, ⌊epochs⌋+1}
+    assert(sched.filter(col("repeats") < floor(col("epochs")) ||
+      col("repeats") > floor(col("epochs")) + 1).count() === 0L)
+    // per source: realised token total within 10% of the allocation
+    // (fractional-epoch coin flips are the only slack)
+    val bySource = sched.groupBy("source")
+      .agg(sum(col("repeats") * col("est_tokens")).as("got"))
+      .join(alloc.select("source", "alloc_tokens"), "source")
+      .collect()
+    bySource.foreach { r =>
+      val (got, want) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(got - want) / want < 0.10,
+        s"source ${r.getString(0)}: realised $got vs allocated $want")
+    }
+    // deterministic: same seed → identical schedule; new seed differs
+    val again = CorpusOps.epochSchedule(d, alloc, seed = "ep1")
+    assert(sched.orderBy("doc_id").collect().toSeq ===
+      again.orderBy("doc_id").collect().toSeq)
+    val other = CorpusOps.epochSchedule(d, alloc, seed = "ep2")
+      .select("doc_id", "repeats").orderBy("doc_id").collect()
+    assert(other.toSeq !==
+      sched.select("doc_id", "repeats").orderBy("doc_id").collect().toSeq,
+      "a fresh seed must re-draw the fractional repeats")
+    // expand: one row per copy, zero-repeat docs absent
+    val expanded = CorpusOps.epochExpand(sched)
+    assert(expanded.count() ===
+      sched.agg(sum("repeats")).head.getLong(0))
+    assert(expanded.filter(col("copy_no") < 1).count() === 0L)
+  }
+
   test("curriculumOrder rejects null and out-of-range scores loudly") {
     import org.apache.spark.sql.functions._
     val bad = Seq((1L, Some(0.5)), (2L, None: Option[Double]))
