@@ -147,6 +147,7 @@ object SparkEntry {
     "corpus_curriculum" -> (graft.queries.ExtQueries.corpusCurriculum(_, _)),
     "corpus_snapshot_diff" -> (graft.queries.ExtQueries.corpusSnapshotDiff(_, _)),
     "corpus_epochs" -> (graft.queries.ExtQueries.corpusEpochs(_, _)),
+    "split_leakage" -> (graft.queries.ExtQueries.splitLeakage(_, _)),
     "skew_profile" -> (graft.queries.ExtQueries.skewProfile(_, _)),
     "skew_summary" -> (graft.queries.ExtQueries.skewSummary(_, _)),
   )

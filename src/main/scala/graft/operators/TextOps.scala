@@ -335,6 +335,33 @@ object TextOps {
   def minhashCandidatePairs(docs: DataFrame): DataFrame =
     bandPairs(minhashBands(docs))
 
+  /** Split leakage: near-duplicate pairs that CROSS train/val/test
+    * boundaries — the internal twin of benchmark [[decontamination]]:
+    * a test document near-duplicated in train inflates eval exactly
+    * like external contamination, and no benchmark index can catch it.
+    * Composes the two artifacts a pipeline already persists — the
+    * near-dup pair table and the split assignment — with two id
+    * equi-joins and a cross-split filter; by LSH construction the
+    * pair side is tiny relative to the corpus, so the joins are the
+    * cheap direction at any scale.
+    */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame): DataFrame =
+    pairs.select("a", "b")
+      .join(splits.select(col("doc_id").as("a"),
+        col("split").as("split_a")), "a")
+      .join(splits.select(col("doc_id").as("b"),
+        col("split").as("split_b")), "b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("a", "b", "split_a", "split_b")
+
+  /** [[splitLeakage]] from scratch: pair and split both derived from
+    * the corpus (LSH candidates; [[CorpusOps.splitAssign]] under
+    * `seed`).
+    */
+  def splitLeakage(docs: DataFrame, seed: String): DataFrame =
+    splitLeakage(minhashCandidatePairs(docs),
+      CorpusOps.splitAssign(docs, seed))
+
   /** Incremental near-dup: classify each NEW-batch document against the
     * already-ingested corpus by MinHash band collision — the LSH
     * companion to [[incrementalDedup]]'s exact fingerprints, and the

@@ -704,6 +704,26 @@ object ExtOracles {
       s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte, $cpCte
          |SELECT a, b FROM cp ORDER BY a, b""".stripMargin,
 
+    // replays TextOps.splitLeakage: the candidate-pair CTE chain joined
+    // with corpus_split's md5-bucket assignment (seed graftsplit) on
+    // both pair sides, cross-split rows only
+    "split_leakage" ->
+      s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte, $cpCte,
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN ${nibbleValue(
+              "md5('graftsplit' || CAST(doc_id AS VARCHAR))", 4)} % 100 < 80
+         |       THEN 'train'
+         |       WHEN ${nibbleValue(
+              "md5('graftsplit' || CAST(doc_id AS VARCHAR))", 4)} % 100 < 90
+         |       THEN 'val' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT cp.a, cp.b, sa.split AS split_a, sb.split AS split_b
+         |FROM cp
+         |JOIN spl sa ON cp.a = sa.doc_id
+         |JOIN spl sb ON cp.b = sb.doc_id
+         |WHERE sa.split <> sb.split
+         |ORDER BY cp.a, cp.b""".stripMargin,
+
     // replays TextOps.minhashJaccardEstimate: candidate pairs from the
     // band join, then the 8-hash agreement fraction
     "dedup_minhash_estimate" -> {

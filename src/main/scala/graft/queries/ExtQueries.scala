@@ -1267,4 +1267,14 @@ object ExtQueries {
       seed = "graftep")
       .orderBy("doc_id")
   }
+
+  /** Cross-split near-dup leakage ([[TextOps.splitLeakage]]) from the
+    * session's shared pair artifact and the `corpus_split` gate's own
+    * assignment (same seed) — the train/test-leakage audit as a
+    * first-class gate, hash-checked end to end.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    TextOps.splitLeakage(minhashPairs(spark, dir),
+      CorpusOps.splitAssign(docs(spark, dir), seed = "graftsplit"))
+      .orderBy("a", "b")
 }

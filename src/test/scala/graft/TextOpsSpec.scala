@@ -511,4 +511,33 @@ class TextOpsSpec extends SparkSpec {
       .select("kept_fp").head().getString(0)
     assert(fp2 == "d41d8cd98f00b204e9800998ecf8427e")
   }
+
+  test("splitLeakage reports exactly the cross-split near-dup pairs") {
+    import spark.implicits._
+    // near-dup trio (0,1,2 share text), one unrelated doc; force splits
+    // so the trio straddles train/test
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base), (1L, base + " x"), (2L, base + " y"),
+      (3L, "completely different content with nothing shared at all here now"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.minhashCandidatePairs(docs)
+    val gotPairs = pairs.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs.nonEmpty && !gotPairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val splits = Seq((0L, "train"), (1L, "test"), (2L, "train"),
+      (3L, "test")).toDF("doc_id", "split")
+    val leak = TextOps.splitLeakage(pairs, splits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    // exactly the candidate pairs whose split differs
+    val want = gotPairs.collect {
+      case (a, b) if (a == 1L) != (b == 1L) =>
+        (a, b, if (a == 1L) "test" else "train",
+          if (b == 1L) "test" else "train")
+    }
+    assert(leak === want)
+    // same-split pairs never leak
+    assert(!leak.exists { case (a, b, sa, sb) => sa == sb })
+  }
 }
