@@ -159,6 +159,16 @@ object CorpusOps {
         .otherwise("test").as("split"))
   }
 
+  /** The chars/4 token estimator ([[TextOps.tokenCounts]]'
+    * `est_bpe_tokens`) — ONE definition shared by [[packSequences]],
+    * [[mixtureWeights]] and [[epochSchedule]], because the epoch
+    * schedule's "cannot disagree with the allocation about document
+    * size" guarantee is only as strong as this being a single
+    * definition.
+    */
+  private[operators] def estTokens: Column =
+    ceil(length(col("text")) / 4.0).cast("bigint")
+
   /** Greedy sequential packing of documents into fixed token-budget
     * bins, per language: documents are taken in doc_id order and a
     * document opens bin ⌊exclusive-cumsum ∕ budget⌋ — i.e. a new bin
@@ -176,7 +186,7 @@ object CorpusOps {
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("doc_id"), col("lang"),
-        ceil(length(col("text")) / 4.0).cast("bigint").as("est_tokens"))
+        estTokens.as("est_tokens"))
       .withColumn("cum", sum("est_tokens").over(w))
       .withColumn("bin_id",
         floor((col("cum") - col("est_tokens")) / lit(budget.toDouble)).cast("bigint"))
@@ -205,7 +215,7 @@ object CorpusOps {
     // kick in — with it, corpus-size work IS the single count pass
     val per = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
-      sum(ceil(length(col("text")) / 4.0).cast("bigint")).as("est_tokens"))
+      sum(estTokens).as("est_tokens"))
       .localCheckpoint()
     val tot = per.agg(sum("est_tokens").cast("double").as("total"))
     val withPa = per.crossJoin(broadcast(tot))
@@ -237,15 +247,27 @@ object CorpusOps {
     */
   def epochSchedule(docs: DataFrame, alloc: DataFrame,
                     seed: String): DataFrame = {
-    val est = ceil(length(col("text")) / 4.0).cast("bigint")
     val dt = docs.select(col("doc_id"), col("source"),
-      est.as("est_tokens"))
-    val srcTokens = dt.groupBy("source")
-      .agg(sum("est_tokens").as("__src_tokens"))
-    val eps = alloc.select(col("source"), col("alloc_tokens"))
-      .join(srcTokens, "source")
-      .withColumn("__epochs",
-        col("alloc_tokens") / col("__src_tokens").cast("double"))
+      estTokens.as("est_tokens"))
+    // per-source totals: reuse the alloc table's own est_tokens when
+    // present ([[mixtureWeights]] output carries it — recomputing
+    // would re-scan the corpus for a number already in hand); a custom
+    // alloc without the column pays the one extra aggregate
+    val eps0 =
+      if (alloc.columns.contains("est_tokens"))
+        alloc.select(col("source"), col("alloc_tokens"),
+          col("est_tokens").as("__src_tokens"))
+      else alloc.select(col("source"), col("alloc_tokens"))
+        .join(dt.groupBy("source")
+          .agg(sum("est_tokens").as("__src_tokens")), "source")
+    // a zero-token source cannot be scheduled: 0/0 would flow NaN
+    // epochs into every row silently (and crash the oracle replay) —
+    // the curriculumOrder loud-contract posture instead
+    val eps = eps0.withColumn("__epochs",
+      expr("if(__src_tokens <= 0, " +
+        "cast(raise_error(concat('epochSchedule: source ', source, " +
+        "' has no tokens to schedule')) as double), " +
+        "alloc_tokens / cast(__src_tokens as double))"))
     dt.join(broadcast(eps), "source")
       .withColumn("epochs", round(col("__epochs"), 6))
       .withColumn("repeats",

@@ -336,7 +336,7 @@ object TextOps {
     bandPairs(minhashBands(docs))
 
   /** Split leakage: near-duplicate pairs that CROSS train/val/test
-    * boundaries — the internal twin of benchmark [[decontamination]]:
+    * boundaries — the internal twin of benchmark [[decontaminate]]:
     * a test document near-duplicated in train inflates eval exactly
     * like external contamination, and no benchmark index can catch it.
     * Composes the two artifacts a pipeline already persists — the

@@ -38,9 +38,9 @@ object ExtQueries {
     langGuessCache.get(spark, dir)(
       TextOps.langId(docs(spark, dir)).localCheckpoint())
 
-  /** MinHash candidate-pair artifact, shared by its five consumers
+  /** MinHash candidate-pair artifact, shared by its six consumers
     * (`dedup_minhash_pairs`, `dedup_clusters`, `dedup_clusters_star`,
-    * `dedup_canonical`, `dedup_rate`): the near-dup pair set is THE
+    * `dedup_canonical`, `dedup_rate`, `split_leakage`): the near-dup pair set is THE
     * persisted output of a dedup stage — a production pipeline computes
     * it once (shingle → signature → band join) and every downstream
     * step (clustering, survivor selection, rate audits) reads the

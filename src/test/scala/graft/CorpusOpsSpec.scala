@@ -289,6 +289,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(expanded.count() ===
       sched.agg(sum("repeats")).head.getLong(0))
     assert(expanded.filter(col("copy_no") < 1).count() === 0L)
+    // a zero-token source fails loudly, never NaN epochs
+    val emptySrc = Seq((1L, "", "s1"), (2L, "real text here", "s2"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[Exception] {
+      CorpusOps.epochSchedule(emptySrc,
+        Seq(("s1", 100L), ("s2", 100L)).toDF("source", "alloc_tokens"),
+        "ep").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("no tokens")))
   }
 
   test("curriculumOrder rejects null and out-of-range scores loudly") {
