@@ -1559,7 +1559,11 @@ object ExtOracles {
 
     // replays ProfileOps.keyProfile(lineitem, l_suppkey, 20): exact
     // per-key counts, top-20 by (count desc, key asc), share/skew/salt
-    // arithmetic against the one-row summary
+    // arithmetic against the one-row summary. Ratios are FIXED-POINT
+    // longs — `(num * 10^n) // den` over exact HUGEINT integers (the
+    // Spark side uses DECIMAL(38,0) `div`) — because two engines
+    // rounding the same binary double can disagree by an ulp at a .5
+    // boundary, while integral division of exact integers cannot.
     "skew_profile" ->
       """WITH c AS (SELECT l_suppkey, count(*) AS cnt
         |           FROM lineitem GROUP BY 1),
@@ -1568,14 +1572,17 @@ object ExtOracles {
         |      ORDER BY cnt DESC, l_suppkey LIMIT 20)
         |SELECT row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rank,
         |  l_suppkey, cnt,
-        |  round(cnt / total, 6) AS share,
-        |  round((CAST(cnt AS DOUBLE) * keys) / total, 4) AS skew,
-        |  CAST(ceil((CAST(cnt AS DOUBLE) * keys) / total) AS BIGINT)
+        |  CAST((CAST(cnt AS HUGEINT) * 1000000) // total AS BIGINT)
+        |    AS share_ppm,
+        |  CAST((CAST(cnt AS HUGEINT) * keys * 10000) // total AS BIGINT)
+        |    AS skew_x10k,
+        |  CAST((CAST(cnt AS HUGEINT) * keys + total - 1) // total AS BIGINT)
         |    AS salt_factor
         |FROM t CROSS JOIN s ORDER BY rank""".stripMargin,
 
     // replays ProfileOps.keySummary(events, user_id): one-row
-    // distribution summary incl. the top-10 concentration share
+    // distribution summary incl. the top-10 concentration share.
+    // Same fixed-point protocol as skew_profile.
     "skew_summary" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt
         |           FROM events GROUP BY 1),
@@ -1584,10 +1591,12 @@ object ExtOracles {
         |s AS (SELECT sum(cnt) AS total_rows, count(*) AS distinct_keys,
         |             max(cnt) AS max_cnt, min(cnt) AS min_cnt FROM c)
         |SELECT total_rows, distinct_keys, max_cnt, min_cnt,
-        |  round(total_rows / distinct_keys, 4) AS avg_cnt,
-        |  round((CAST(max_cnt AS DOUBLE) * distinct_keys) / total_rows, 4)
-        |    AS skew_factor,
-        |  round(top10 / total_rows, 6) AS top10_share
+        |  CAST((CAST(total_rows AS HUGEINT) * 10000) // distinct_keys
+        |    AS BIGINT) AS avg_cnt_x10k,
+        |  CAST((CAST(max_cnt AS HUGEINT) * distinct_keys * 10000)
+        |    // total_rows AS BIGINT) AS skew_factor_x10k,
+        |  CAST((CAST(top10 AS HUGEINT) * 1000000) // total_rows AS BIGINT)
+        |    AS top10_share_ppm
         |FROM s CROSS JOIN t10""".stripMargin,
   )
 
