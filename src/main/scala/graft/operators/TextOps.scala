@@ -76,6 +76,13 @@ object TextOps {
 
   /** Per-document stats: token counts, lexical diversity, mean token
     * length — the quality-scoring primitives.
+    *
+    * Ratios are emitted FIXED-POINT (`_x10k` = value × 10 000 as a
+    * long, `(num * 10^4) div den` over exact integers): two engines
+    * rounding the same binary double to 4 decimals can disagree by an
+    * ulp at a .5 boundary, while integral division of exact integers
+    * cannot. Callers needing the double divide by 1e4 — that division
+    * is correctly rounded and therefore engine-identical too.
     */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), tokens.as("t"))
@@ -83,10 +90,12 @@ object TextOps {
         col("doc_id"),
         size(col("t")).cast("bigint").as("n_tokens"),
         size(array_distinct(col("t"))).cast("bigint").as("n_distinct"),
-        round(distinctRatio(col("t")), 4).as("distinct_ratio"),
-        expr("round(aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x) " +
-          "/ cast(size(t) as double), 4)").as("avg_token_len"),
-        round(punctRatio(col("text")), 4).as("punct_ratio"))
+        expr("(cast(size(array_distinct(t)) as bigint) * 10000) div size(t)")
+          .as("distinct_ratio_x10k"),
+        expr("(aggregate(transform(t, x -> length(x)), 0L, (acc, x) -> acc + x) " +
+          "* 10000) div size(t)").as("avg_token_len_x10k"),
+        expr("(cast(length(regexp_replace(text, '[a-z0-9 ]', '')) as bigint) " +
+          "* 10000) div length(text)").as("punct_ratio_x10k"))
 
   /** Character trigrams of `text` — the language-ID feature space
     * (textcat/CLD-style n-gram profiling). Computed by the codegen'd
@@ -1373,13 +1382,15 @@ object TextOps {
     * lexical diversity up, punctuation soup down.
     */
   def qualityScore(docs: DataFrame): DataFrame =
+    // features enter the logistic as fixed-point/1e4 — the division is
+    // correctly rounded, so both engines feed the σ identical doubles
     textStats(docs).select(
       col("doc_id"),
       round(lit(1.0) / (lit(1.0) + exp(-(
         lit(-2.0) +
           log(col("n_tokens")) * 0.6 +
-          col("distinct_ratio") * 2.0 -
-          col("punct_ratio") * 4.0))), 4).as("quality_score"))
+          col("distinct_ratio_x10k") / 10000.0 * 2.0 -
+          col("punct_ratio_x10k") / 10000.0 * 4.0))), 4).as("quality_score"))
       .withColumn("keep", (col("quality_score") >= 0.5).cast("int"))
 
   /** Per-source distribution drift: KL(P_source ‖ P_corpus) over the

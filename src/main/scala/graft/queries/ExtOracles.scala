@@ -79,9 +79,11 @@ object ExtOracles {
       |qs AS (SELECT doc_id,
       |    round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(-2.0
       |      + ln(CAST(len(t) AS BIGINT)) * 0.6
-      |      + round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) * 2.0
-      |      - round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-      |          / CAST(length(text) AS DOUBLE), 4) * 4.0))), 4) AS quality_score
+      |      + CAST((CAST(len(list_distinct(t)) AS BIGINT) * 10000)
+      |          // len(t) AS BIGINT) / 10000.0 * 2.0
+      |      - CAST((CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+      |          AS BIGINT) * 10000) // length(text) AS BIGINT)
+      |          / 10000.0 * 4.0))), 4) AS quality_score
       |  FROM qtok)""".stripMargin
 
   /** Classifier feature-space geometry, derived from the operator's
@@ -377,15 +379,20 @@ object ExtOracles {
     * RAN, and [[graft.Verify]] dumps the SQL after running them.
     */
   def sql: Map[String, String] = Map(
+    // ratios fixed-point (_x10k = num·10^4 // den over exact integers)
+    // — the cross-engine rounding-robust emission protocol
     "text_stats" ->
       s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
          |SELECT doc_id,
          |  CAST(len(t) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
-         |  round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS distinct_ratio,
-         |  round(list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE), 4) AS avg_token_len,
-         |  round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-         |    / CAST(length(text) AS DOUBLE), 4) AS punct_ratio
+         |  CAST((CAST(len(list_distinct(t)) AS BIGINT) * 10000) // len(t)
+         |    AS BIGINT) AS distinct_ratio_x10k,
+         |  CAST((CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+         |    * 10000) // len(t) AS BIGINT) AS avg_token_len_x10k,
+         |  CAST((CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+         |    AS BIGINT) * 10000) // length(text) AS BIGINT)
+         |    AS punct_ratio_x10k
          |FROM tok ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
@@ -396,10 +403,12 @@ object ExtOracles {
       s"""WITH $tokCte,
          |st AS (SELECT doc_id,
          |  CAST(len(t) AS BIGINT) AS n_tokens,
-         |  round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS distinct_ratio
+         |  CAST((CAST(len(list_distinct(t)) AS BIGINT) * 10000) // len(t)
+         |    AS BIGINT) AS distinct_ratio_x10k
          |  FROM tok)
-         |SELECT doc_id, n_tokens, distinct_ratio FROM st
-         |WHERE n_tokens >= 20 AND n_tokens <= 120 AND distinct_ratio >= 0.3
+         |SELECT doc_id, n_tokens, distinct_ratio_x10k FROM st
+         |WHERE n_tokens >= 20 AND n_tokens <= 120
+         |  AND distinct_ratio_x10k >= 3000
          |ORDER BY doc_id""".stripMargin,
 
     "text_token_counts" ->
@@ -996,8 +1005,9 @@ object ExtOracles {
     "corpus_assemble" ->
       s"""WITH st AS (SELECT doc_id, lang, source,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    round(len(list_distinct(string_split(text, ' ')))
-         |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS distinct_ratio
+         |    CAST((CAST(len(list_distinct(string_split(text, ' ')))
+         |      AS BIGINT) * 10000) // len(string_split(text, ' '))
+         |      AS BIGINT) AS distinct_ratio_x10k
          |  FROM documents),
          |keep AS (SELECT min(doc_id) AS doc_id FROM documents
          |         GROUP BY md5(lower(text))),
@@ -1005,11 +1015,13 @@ object ExtOracles {
          |    round(sqrt(list_dot_product(embedding::DOUBLE[],
          |      embedding::DOUBLE[])), 4) AS emb_norm
          |  FROM embeddings)
-         |SELECT st.doc_id, lang, source, n_tokens, distinct_ratio, emb_norm
+         |SELECT st.doc_id, lang, source, n_tokens, distinct_ratio_x10k,
+         |  emb_norm
          |FROM st
          |JOIN keep ON st.doc_id = keep.doc_id
          |JOIN en ON st.doc_id = en.doc_id
-         |WHERE n_tokens >= 20 AND n_tokens <= 120 AND distinct_ratio >= 0.3
+         |WHERE n_tokens >= 20 AND n_tokens <= 120
+         |  AND distinct_ratio_x10k >= 3000
          |ORDER BY st.doc_id""".stripMargin,
 
     // star contraction computes the same closure — one oracle, two

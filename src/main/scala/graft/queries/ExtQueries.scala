@@ -201,8 +201,8 @@ object ExtQueries {
   def textQualityFilter(spark: SparkSession, dir: String): DataFrame =
     TextOps.textStats(docs(spark, dir))
       .filter(col("n_tokens") >= 20 && col("n_tokens") <= 120 &&
-        col("distinct_ratio") >= 0.3)
-      .select("doc_id", "n_tokens", "distinct_ratio")
+        col("distinct_ratio_x10k") >= 3000)
+      .select("doc_id", "n_tokens", "distinct_ratio_x10k")
       .orderBy("doc_id")
 
   def textTokenCounts(spark: SparkSession, dir: String): DataFrame =
@@ -738,8 +738,8 @@ object ExtQueries {
     val d = docs(spark, dir)
     val quality = TextOps.textStats(d)
       .filter(col("n_tokens") >= 20 && col("n_tokens") <= 120 &&
-        col("distinct_ratio") >= 0.3)
-      .select("doc_id", "n_tokens", "distinct_ratio")
+        col("distinct_ratio_x10k") >= 3000)
+      .select("doc_id", "n_tokens", "distinct_ratio_x10k")
     val survivors = TextOps.exactDedup(d)
       .select(col("keep_doc_id").as("doc_id"))
     val emb = embs(spark, dir)

@@ -402,8 +402,21 @@ class TextOpsSpec extends SparkSpec {
   test("text stats are internally consistent") {
     val bad = TextOps.textStats(docs)
       .filter(col("n_distinct") > col("n_tokens") ||
-        col("distinct_ratio") > 1.0 || col("avg_token_len") <= 0)
+        col("distinct_ratio_x10k") > 10000 || col("avg_token_len_x10k") <= 0)
     assert(bad.count() === 0)
+  }
+
+  test("text stats fixed-point ratios match the exact hand computation") {
+    import spark.implicits._
+    // "a b a" → 2 distinct / 3 tokens = 0.6666…, truncated to 6666;
+    // token lengths 1+1+1 = 3 → avg 1.0 → 10000; "x!" → 1 punct char
+    // of 2 → 5000
+    val toy = Seq((1L, "a b a"), (2L, "x!")).toDF("doc_id", "text")
+    val r = TextOps.textStats(toy).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("distinct_ratio_x10k") === 6666L)
+    assert(r(0).getAs[Long]("avg_token_len_x10k") === 10000L)
+    assert(r(0).getAs[Long]("punct_ratio_x10k") === 0L)
+    assert(r(1).getAs[Long]("punct_ratio_x10k") === 5000L)
   }
 
   test("bigram surprisal matches hand computation on a toy corpus") {
