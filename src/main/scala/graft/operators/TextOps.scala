@@ -482,8 +482,10 @@ object TextOps {
           .join(osh, Seq("other", "s"))
           .groupBy("doc_id", "other").agg(count(lit(1)).as("common"))
           .join(na, "doc_id").join(nb, "other")
-          .filter(round(col("common") /
-            (col("na") + col("nb") - col("common")), 4) >= minJaccard)
+          // fixed-point threshold (the jaccardOf emission protocol):
+          // exact integral comparison, engine-identical by construction
+          .filter(expr("(common * 10000) div (na + nb - common)") >=
+            math.round(minJaccard * 10000))
           .select("doc_id", "other")
       }
     val ch = verified(corpusPairs, corpusShinglesFor)
@@ -544,8 +546,10 @@ object TextOps {
     bandPairs(bandsOf(sig))
       .join(side("a"), "a")
       .join(side("b"), "b")
+      .withColumn("__agree", agree)
       .select(col("a"), col("b"),
-        round(agree / lit(MinhashSeeds.toDouble), 4).as("est_jaccard"))
+        expr(s"(cast(__agree as bigint) * 10000) div ${MinhashSeeds}")
+          .as("est_jaccard_x10k"))
   }
 
   /** Production-profile MinHash: same plan shape as the md5 variant but
@@ -629,19 +633,23 @@ object TextOps {
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
   }
 
+  // similarity ratios emit FIXED-POINT (`_x10k` = ratio × 10 000 as a
+  // long via integral division of the exact set-overlap counts):
+  // engine-identical where a rounded double can diverge by an ulp at a
+  // .5 decimal boundary. A `threshold` of 0.5 becomes `>= 5000`.
   private def jaccardOf(stats: DataFrame, threshold: Double): DataFrame =
     stats
-      .withColumn("jaccard",
-        round(col("common") / (col("na") + col("nb") - col("common")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+      .withColumn("jaccard_x10k",
+        expr("(common * 10000) div (na + nb - common)"))
+      .filter(col("jaccard_x10k") >= math.round(threshold * 10000))
+      .select("a", "b", "jaccard_x10k")
 
   private def containmentOf(stats: DataFrame, threshold: Double): DataFrame =
     stats
-      .withColumn("containment",
-        round(col("common") / least(col("na"), col("nb")), 4))
-      .filter(col("containment") >= threshold)
-      .select("a", "b", "containment")
+      .withColumn("containment_x10k",
+        expr("(common * 10000) div least(na, nb)"))
+      .filter(col("containment_x10k") >= math.round(threshold * 10000))
+      .select("a", "b", "containment_x10k")
 
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                    maxDfFrac: Double = 0.1): DataFrame =

@@ -347,7 +347,8 @@ object ExtOracles {
        |           GROUP BY 1, 2) p
        |        JOIN sizes za ON za.doc_id = p.doc_id
        |        JOIN sizes zb ON zb.doc_id = p.other
-       |        WHERE round(CAST(p.common AS DOUBLE) / (za.n + zb.n - p.common), 4) >= 0.5),
+       |        WHERE (CAST(p.common AS BIGINT) * 10000)
+       |          // (za.n + zb.n - p.common) >= 5000),
        |vbp AS (SELECT p.doc_id, p.other FROM
        |          (SELECT bp2.doc_id, bp2.other, count(*) AS common
        |           FROM bp2 JOIN sh sa ON sa.doc_id = bp2.doc_id
@@ -355,7 +356,8 @@ object ExtOracles {
        |           GROUP BY 1, 2) p
        |        JOIN sizes za ON za.doc_id = p.doc_id
        |        JOIN sizes zb ON zb.doc_id = p.other
-       |        WHERE round(CAST(p.common AS DOUBLE) / (za.n + zb.n - p.common), 4) >= 0.5),
+       |        WHERE (CAST(p.common AS BIGINT) * 10000)
+       |          // (za.n + zb.n - p.common) >= 5000),
        |ch AS (SELECT doc_id, count(DISTINCT other) AS n_c, min(other) AS m_c
        |       FROM vcp GROUP BY 1),
        |bh AS (SELECT doc_id, count(DISTINCT other) AS n_b, min(other) AS m_b
@@ -741,7 +743,8 @@ object ExtOracles {
         .mkString(" + ")
       s"""WITH $tokCte, $shCte, $minhashCte, $bandsCte, $cpCte
          |SELECT a, b,
-         |  round(($agree) / ${TextOpsConsts.seeds}.0, 4) AS est_jaccard
+         |  CAST((CAST(($agree) AS BIGINT) * 10000) // ${TextOpsConsts.seeds}
+         |    AS BIGINT) AS est_jaccard_x10k
          |FROM cp JOIN mh x ON cp.a = x.doc_id JOIN mh y ON cp.b = y.doc_id
          |ORDER BY a, b""".stripMargin
     },
@@ -753,8 +756,8 @@ object ExtOracles {
     "text_lang_mismatch" ->
       s"""WITH $langIdCte
          |SELECT d.source, count(*) AS n_docs,
-         |  round(avg(CASE WHEN g.lang_guess <> d.lang THEN 1 ELSE 0 END), 4)
-         |    AS mismatch_rate
+         |  CAST((sum(CASE WHEN g.lang_guess <> d.lang THEN 1 ELSE 0 END)
+         |    * 10000) // count(*) AS BIGINT) AS mismatch_rate_x10k
          |FROM documents d JOIN guess g USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
@@ -813,9 +816,10 @@ object ExtOracles {
          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
          |          FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
          |          GROUP BY 1, 2)
-         |SELECT a, b, round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) AS jaccard
+         |SELECT a, b, CAST((common * 10000) // (sa.n + sb.n - common) AS BIGINT)
+         |    AS jaccard_x10k
          |FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-         |WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) >= 0.5
+         |WHERE (common * 10000) // (sa.n + sb.n - common) >= 5000
          |ORDER BY a, b""".stripMargin,
 
     // replays TextOps.qualityScore via the shared logistic CTE; keep
@@ -872,10 +876,10 @@ object ExtOracles {
          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
          |          FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
          |          GROUP BY 1, 2)
-         |SELECT a, b, round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 4)
-         |    AS containment
+         |SELECT a, b, CAST((common * 10000) // least(sa.n, sb.n) AS BIGINT)
+         |    AS containment_x10k
          |FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-         |WHERE round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.8
+         |WHERE (common * 10000) // least(sa.n, sb.n) >= 8000
          |ORDER BY a, b""".stripMargin,
 
     // replays ExtQueries.dedupSharedIndex: the SAME pair-stats CTEs as
@@ -891,16 +895,17 @@ object ExtOracles {
          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
          |          FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
          |          GROUP BY 1, 2)
-         |SELECT kind, a, b, score FROM (
+         |SELECT kind, a, b, score_x10k FROM (
          |  SELECT 'jaccard' AS kind, a, b,
-         |    round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) AS score
+         |    CAST((common * 10000) // (sa.n + sb.n - common) AS BIGINT)
+         |      AS score_x10k
          |  FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-         |  WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 4) >= 0.5
+         |  WHERE (common * 10000) // (sa.n + sb.n - common) >= 5000
          |  UNION ALL
          |  SELECT 'containment' AS kind, a, b,
-         |    round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS score
+         |    CAST((common * 10000) // least(sa.n, sb.n) AS BIGINT) AS score_x10k
          |  FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-         |  WHERE round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.8)
+         |  WHERE (common * 10000) // least(sa.n, sb.n) >= 8000)
          |ORDER BY kind, a, b""".stripMargin,
 
     // replays TextOps.sourceKl: KL(P_source || P_corpus) over unigrams

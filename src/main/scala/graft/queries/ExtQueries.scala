@@ -603,7 +603,12 @@ object ExtQueries {
         coalesce((col("lang_guess") =!= col("lang")).cast("int"), lit(0)))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg("mismatch"), 4).as("mismatch_rate"))
+        sum("mismatch").as("__mm"))
+      // fixed-point rate over exact integer counts (the emission
+      // protocol — see TextOps.textStats)
+      .withColumn("mismatch_rate_x10k",
+        expr("(cast(__mm as bigint) * 10000) div n_docs"))
+      .select("source", "n_docs", "mismatch_rate_x10k")
       .orderBy("source")
 
   def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
@@ -655,9 +660,9 @@ object ExtQueries {
   def dedupSharedIndex(spark: SparkSession, dir: String): DataFrame = {
     val (j, c) = setSimPairs(spark, dir)
     j.select(lit("jaccard").as("kind"), col("a"), col("b"),
-        col("jaccard").as("score"))
+        col("jaccard_x10k").as("score_x10k"))
       .unionAll(c.select(lit("containment").as("kind"), col("a"), col("b"),
-        col("containment").as("score")))
+        col("containment_x10k").as("score_x10k")))
       .orderBy("kind", "a", "b")
   }
 

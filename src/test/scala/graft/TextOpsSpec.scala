@@ -142,8 +142,8 @@ class TextOpsSpec extends SparkSpec {
 
   test("shared set-similarity index equals the self-contained pair queries") {
     val (j, c) = TextOps.setSimilarityPairs(docs)
-    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(key(j) === key(TextOps.jaccardPairs(docs, threshold = 0.5)))
     assert(key(c) === key(TextOps.containmentPairs(docs, threshold = 0.8)))
   }
@@ -350,13 +350,13 @@ class TextOpsSpec extends SparkSpec {
     val exact = TextOps.jaccardPairs(docs, threshold = 0.8, maxDfFrac = 1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val est = TextOps.minhashJaccardEstimate(docs)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    est.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    est.values.foreach(v => assert(v >= 0L && v <= 10000L))
     // every planted near-dup pair the bands caught must estimate high:
     // J >= 0.8 -> P(single-hash agree) >= 0.8 -> est below 0.5 is a
     // < 1% binomial tail at 8 hashes
     exact.filter(est.contains).foreach { p =>
-      assert(est(p) >= 0.5, s"pair $p: exact>=0.8 but est=${est(p)}")
+      assert(est(p) >= 5000L, s"pair $p: exact>=0.8 but est=${est(p)}")
     }
   }
 
@@ -458,7 +458,7 @@ class TextOpsSpec extends SparkSpec {
     assert(cont.length === 1)
     val r = cont.head
     assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
-    assert(r.getDouble(2) === 1.0) // every shingle of the short doc is in the long one
+    assert(r.getLong(2) === 10000L) // every shingle of the short doc is in the long one
     // the same pair is invisible to jaccard at the dedup threshold
     assert(TextOps.jaccardPairs(toy, threshold = 0.5, maxDfFrac = 1.0).count() === 0)
   }
