@@ -269,13 +269,20 @@ object CorpusOps {
         "' has no tokens to schedule')) as double), " +
         "alloc_tokens / cast(__src_tokens as double))"))
     dt.join(broadcast(eps), "source")
-      .withColumn("epochs", round(col("__epochs"), 6))
+      // fixed-point epochs (×10⁶) via integral division of the exact
+      // token counts — the cross-engine emission protocol (see
+      // TextOps.textStats); `repeats` keeps the UNROUNDED quotient
+      // (exact-integer division is correctly rounded, so the coin
+      // threshold is engine-identical without any rounding step)
+      .withColumn("epochs_x1m",
+        expr("(cast(alloc_tokens as decimal(38,0)) * 1000000)" +
+          " div __src_tokens"))
       .withColumn("repeats",
         (floor(col("__epochs")) +
           when(hash16(concat(lit(seed), col("doc_id").cast("string"))) <
             (col("__epochs") - floor(col("__epochs"))) * 65536, 1L)
             .otherwise(0L)).cast("bigint"))
-      .select("doc_id", "source", "est_tokens", "epochs", "repeats")
+      .select("doc_id", "source", "est_tokens", "epochs_x1m", "repeats")
   }
 
   /** Explode an [[epochSchedule]] into one row per training copy

@@ -878,18 +878,24 @@ object TextOps {
   def repetition(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), tokens.as("t"))
       .filter(size(col("t")) >= 2)
+    // fixed-point fractions over exact integer counts (the textStats
+    // emission protocol); 1 − a∕b is spelled (b − a)·10⁴ div b so the
+    // oracle can replay the identical integral arithmetic
     val top = tok.select(col("doc_id"), explode(col("t")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
-      .agg(round(max("c") / sum("c").cast("double"), 4).as("top_token_frac"))
+      .agg(max("c").as("__mx"), sum("c").as("__tot"))
+      .withColumn("top_token_frac_x10k",
+        expr("(__mx * 10000) div __tot"))
+      .select("doc_id", "top_token_frac_x10k")
     tok.select(col("doc_id"), col("t"),
         expr("transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))")
           .as("bg"))
       .select(col("doc_id"),
-        round(lit(1.0) - size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4)
-          .as("dup_token_frac"),
-        round(lit(1.0) - size(array_distinct(col("bg"))) / size(col("bg")).cast("double"), 4)
-          .as("dup_bigram_frac"))
+        expr("(cast(size(t) - size(array_distinct(t)) as bigint) * 10000)" +
+          " div size(t)").as("dup_token_frac_x10k"),
+        expr("(cast(size(bg) - size(array_distinct(bg)) as bigint) * 10000)" +
+          " div size(bg)").as("dup_bigram_frac_x10k"))
       .join(top, "doc_id")
   }
 
@@ -1035,8 +1041,8 @@ object TextOps {
       .agg(max("n_tokens").as("n_tokens"),
         countDistinct("pos").as("n_dup_windows"),
         countDistinct("idx").as("dup_tokens"))
-      .withColumn("dup_token_frac",
-        round(col("dup_tokens") / col("n_tokens"), 4))
+      .withColumn("dup_token_frac_x10k",
+        expr("(dup_tokens * 10000) div n_tokens"))
   }
 
   /** TF-IDF keyword extraction: top-k tokens per document by

@@ -958,10 +958,12 @@ object ExtOracles {
          |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
          |  FROM documents),
          |ep AS (SELECT alloc.source,
-         |    alloc_tokens / CAST(per.est_tokens AS DOUBLE) AS epochs
+         |    alloc_tokens / CAST(per.est_tokens AS DOUBLE) AS epochs,
+         |    CAST((CAST(alloc_tokens AS HUGEINT) * 1000000)
+         |      // per.est_tokens AS BIGINT) AS epochs_x1m
          |  FROM alloc JOIN per ON alloc.source = per.source)
          |SELECT dt.doc_id, dt.source, dt.est_tokens,
-         |  round(ep.epochs, 6) AS epochs,
+         |  ep.epochs_x1m AS epochs_x1m,
          |  CAST(floor(ep.epochs) +
          |    CASE WHEN ${nibbleValue(
                    "md5('graftep' || CAST(dt.doc_id AS VARCHAR))", 4)}
@@ -1090,9 +1092,9 @@ object ExtOracles {
          |  CAST(coalesce(sum(CASE WHEN cl.cluster_id IS NOT NULL
          |      AND d.doc_id <> cl.cluster_id THEN 1 ELSE 0 END), 0) AS BIGINT)
          |    AS n_removed,
-         |  round(coalesce(sum(CASE WHEN cl.cluster_id IS NOT NULL
+         |  CAST((coalesce(sum(CASE WHEN cl.cluster_id IS NOT NULL
          |      AND d.doc_id <> cl.cluster_id THEN 1 ELSE 0 END), 0)
-         |    / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+         |    * 10000) // count(*) AS BIGINT) AS dup_rate_x10k
          |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
@@ -1107,15 +1109,17 @@ object ExtOracles {
          |tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 2),
          |tw AS (SELECT doc_id, unnest(t) AS w FROM tk),
          |cnt AS (SELECT doc_id, w, count(*) AS c FROM tw GROUP BY 1, 2),
-         |top AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4)
-         |          AS top_token_frac FROM cnt GROUP BY 1),
+         |top AS (SELECT doc_id, CAST((max(c) * 10000) // sum(c) AS BIGINT)
+         |          AS top_token_frac_x10k FROM cnt GROUP BY 1),
          |ar AS (SELECT doc_id, t,
          |         list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) AS bg
          |       FROM tk)
          |SELECT ar.doc_id AS doc_id,
-         |  round(1 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS dup_token_frac,
-         |  round(1 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 4) AS dup_bigram_frac,
-         |  top_token_frac
+         |  CAST((CAST(len(t) - len(list_distinct(t)) AS BIGINT) * 10000)
+         |    // len(t) AS BIGINT) AS dup_token_frac_x10k,
+         |  CAST((CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) * 10000)
+         |    // len(bg) AS BIGINT) AS dup_bigram_frac_x10k,
+         |  top_token_frac_x10k
          |FROM ar JOIN top ON ar.doc_id = top.doc_id ORDER BY ar.doc_id""".stripMargin,
 
     // replays TextOps.tfidfKeywords: scores rounded BEFORE ranking so
@@ -1168,8 +1172,8 @@ object ExtOracles {
          |SELECT doc_id, max(n_tokens) AS n_tokens,
          |  count(DISTINCT pos) AS n_dup_windows,
          |  count(DISTINCT idx) AS dup_tokens,
-         |  round(count(DISTINCT idx) / CAST(max(n_tokens) AS DOUBLE), 4)
-         |    AS dup_token_frac
+         |  CAST((count(DISTINCT idx) * 10000) // max(n_tokens) AS BIGINT)
+         |    AS dup_token_frac_x10k
          |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // replays CorpusOps.stratifiedSample: first four md5 nibbles of the

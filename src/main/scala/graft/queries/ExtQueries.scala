@@ -824,8 +824,10 @@ object ExtQueries {
         sum(when(col("cluster_id").isNotNull &&
           col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
           .as("n_removed"))
-      .withColumn("dup_rate",
-        round(col("n_removed") / col("n_docs"), 4))
+      // fixed-point rate over exact integer counts (the emission
+      // protocol — see TextOps.textStats)
+      .withColumn("dup_rate_x10k",
+        expr("(n_removed * 10000) div n_docs"))
       .orderBy("source")
 
   def textRepetition(spark: SparkSession, dir: String): DataFrame =

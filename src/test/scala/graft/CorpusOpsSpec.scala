@@ -15,15 +15,17 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("repetition fractions match hand computation") {
     val r = TextOps.repetition(docs).orderBy("doc_id")
-      .select("doc_id", "dup_token_frac", "dup_bigram_frac", "top_token_frac")
-      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2), x.getDouble(3)))
-    // doc1 [a,a,a,a]: dup tokens 1-1/4, bigrams ["a a"]×3 → 1-1/3, mode 4/4
-    // doc2 [b,c,d,e]: no repetition, mode 1/4
-    // doc3 [x,y,x,y]: dup 1-2/4, bigrams [x y, y x, x y] → 1-2/3, mode 2/4
+      .select("doc_id", "dup_token_frac_x10k", "dup_bigram_frac_x10k",
+        "top_token_frac_x10k")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // doc1 [a,a,a,a]: dup tokens (4-1)/4, bigrams ["a a"]×3 → (3-1)/3,
+    // mode 4/4; doc2 [b,c,d,e]: none, mode 1/4; doc3 [x,y,x,y]:
+    // dup (4-2)/4, bigrams [x y, y x, x y] distinct 2 of 3 → (3-2)/3,
+    // mode 2/4 — all ×10⁴ truncated
     assert(r.toSeq == Seq(
-      (1L, 0.75, 0.6667, 1.0),
-      (2L, 0.0, 0.0, 0.25),
-      (3L, 0.5, 0.3333, 0.5)))
+      (1L, 7500L, 6666L, 10000L),
+      (2L, 0L, 0L, 2500L),
+      (3L, 5000L, 3333L, 5000L)))
   }
 
   test("repetition skips single-token documents") {
@@ -261,9 +263,9 @@ class CorpusOpsSpec extends SparkSpec {
     val alloc = CorpusOps.mixtureWeights(d)
     val sched = CorpusOps.epochSchedule(d, alloc, seed = "ep1")
       .localCheckpoint()
-    // per doc: repeats ∈ {⌊epochs⌋, ⌊epochs⌋+1}
-    assert(sched.filter(col("repeats") < floor(col("epochs")) ||
-      col("repeats") > floor(col("epochs")) + 1).count() === 0L)
+    // per doc: repeats ∈ {⌊epochs⌋, ⌊epochs⌋+1} (epochs = epochs_x1m/1e6)
+    assert(sched.filter(col("repeats") < floor(col("epochs_x1m") / 1000000L) ||
+      col("repeats") > floor(col("epochs_x1m") / 1000000L) + 1).count() === 0L)
     // per source: realised token total within 10% of the allocation
     // (fractional-epoch coin flips are the only slack)
     val bySource = sched.groupBy("source")

@@ -203,10 +203,10 @@ class TextOpsSpec extends SparkSpec {
     // must agree on EVERY output row — same docs flagged, same window
     // and coverage counts — on the corpus fixture AND the adversarial
     // straddling-span scenario; only the internal hash domain differs
-    def dump(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Double)] =
+    def dump(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
         r.getAs[Long]("n_dup_windows"), r.getAs[Long]("dup_tokens"),
-        r.getAs[Double]("dup_token_frac"))).toSet
+        r.getAs[Long]("dup_token_frac_x10k"))).toSet
     assert(dump(TextOps.substringDedupRolling(docs)) ===
       dump(TextOps.substringDedup(docs)))
     val span = (0 until 25).map(i => s"copy$i").mkString(" ")
