@@ -45,33 +45,43 @@ object LayoutStore {
     * grid. Staged write + atomic swap ([[IndexStores.swapInto]]) — a
     * failed rebuild leaves consumers on the previous generation.
     */
-  def write(df: DataFrame, path: String, cols: Seq[String], idCol: String,
+  def write(df0: DataFrame, path: String, cols: Seq[String], idCol: String,
             bits: Int = 8, cellBits: Int = 8): Unit = {
-    val spark = df.sparkSession
-    val boundAggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
-    val agg = df.agg(boundAggs.head, boundAggs.tail: _*).head
-    val mins = cols.indices.map(i => agg.getLong(2 * i))
-    val maxs = cols.indices.map(i => agg.getLong(2 * i + 1))
-    val staging = IndexStores.stagingFor(spark, path)
-    LayoutOps.encodeWithBounds(df, cols, mins, maxs, bits, cellBits)
-      .drop(cols.map(c => s"zb_$c"): _*)
-      .repartition(col("zcell"))
-      .sortWithinPartitions("zcell", "zkey")
-      .write.mode("overwrite").partitionBy("zcell")
-      .parquet(s"$staging/data")
-    // the probe sidecar reads back the just-written data (not the
-    // input plan — same reuse posture as writeIvfPq's vectors join)
-    idRows(spark.read.parquet(s"$staging/data"), cols, idCol)
-      .repartition(col("idp"))
-      .write.mode("overwrite").partitionBy("idp")
-      .parquet(s"$staging/ids")
-    import spark.implicits._
-    Seq((cols, idCol, bits, cellBits, mins, maxs))
-      .toDF("cols", "id_col", "bits", "cell_bits", "mins", "maxs")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/meta")
-    IndexStores.swapInto(spark, path, staging)
+    val spark = df0.sparkSession
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      // pin the input before the bounds aggregate (append's TOCTOU
+      // posture): a nondeterministic source re-executed inside
+      // encodeWithBounds could otherwise produce values outside the
+      // captured bounds and silently clamp into edge cells at
+      // initial-build time
+      val df = df0.localCheckpoint()
+      val boundAggs = cols.flatMap(c =>
+        Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+      val agg = df.agg(boundAggs.head, boundAggs.tail: _*).head
+      val mins = cols.indices.map(i => agg.getLong(2 * i))
+      val maxs = cols.indices.map(i => agg.getLong(2 * i + 1))
+      val staging = IndexStores.stagingFor(spark, path)
+      LayoutOps.encodeWithBounds(df, cols, mins, maxs, bits, cellBits)
+        .drop(cols.map(c => s"zb_$c"): _*)
+        .repartition(col("zcell"))
+        .sortWithinPartitions("zcell", "zkey")
+        .write.mode("overwrite").partitionBy("zcell")
+        .parquet(s"$staging/data")
+      // the probe sidecar reads back the just-written data (not the
+      // input plan — same reuse posture as writeIvfPq's vectors join)
+      idRows(spark.read.parquet(s"$staging/data"), cols, idCol)
+        .repartition(col("idp"))
+        .write.mode("overwrite").partitionBy("idp")
+        .parquet(s"$staging/ids")
+      import spark.implicits._
+      Seq((cols, idCol, bits, cellBits, mins, maxs))
+        .toDF("cols", "id_col", "bits", "cell_bits", "mins", "maxs")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/meta")
+      IndexStores.swapInto(spark, path, staging)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
   /** The narrow probe row: id, dimension values, cell, id-prefix.

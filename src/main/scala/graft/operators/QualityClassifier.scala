@@ -163,9 +163,12 @@ object QualityClassifier {
   }
 
   /** Distributed scoring: margin z = bias + Σ w·x, probability σ(z),
-    * predicted label (z ≥ 0). One broadcast join + one per-doc sum;
+    * predicted label. One broadcast join + one per-doc sum;
     * margin/prob rounded to 4 dp (the cross-engine float-sum grain the
-    * cosine family already uses), the label from the UNROUNDED margin.
+    * cosine family already uses), and the label derived from the
+    * ROUNDED margin — the oracle replays the same 4-dp grain, so a
+    * document whose float-sum margin sits within an ulp of 0 cannot
+    * flip `pred` between engines while `margin` agrees.
     */
   def score(docs: DataFrame, model: Model): DataFrame = {
     val spark = docs.sparkSession
@@ -178,7 +181,7 @@ object QualityClassifier {
       .select(col("doc_id"),
         round(col("dotp") + model.bias, 4).as("margin"),
         round(lit(1.0) /
-          (lit(1.0) + exp(-(col("dotp") + model.bias))), 4).as("prob"),
-        ((col("dotp") + model.bias) >= 0).cast("int").as("pred"))
+          (lit(1.0) + exp(-(col("dotp") + model.bias))), 4).as("prob"))
+      .withColumn("pred", (col("margin") >= 0).cast("int"))
   }
 }

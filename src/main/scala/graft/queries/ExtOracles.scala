@@ -835,7 +835,8 @@ object ExtOracles {
     // per-column digest scheme: hash = md5(concat of per-column md5s)
     // — with one non-null column that is md5(md5(text))
     "corpus_snapshot_diff" ->
-      """WITH o AS (SELECT doc_id, md5(md5(text)) AS old_hash FROM documents),
+      """WITH o AS (SELECT doc_id, md5(COALESCE(md5(text), 'null'))
+        |         AS old_hash FROM documents),
         |n0 AS (SELECT doc_id,
         |         CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
         |              ELSE text END AS text
@@ -843,7 +844,8 @@ object ExtOracles {
         |       UNION ALL
         |       SELECT doc_id + 1000000 AS doc_id, text
         |       FROM documents WHERE doc_id % 10 = 1),
-        |n AS (SELECT doc_id, md5(md5(text)) AS new_hash FROM n0)
+        |n AS (SELECT doc_id, md5(COALESCE(md5(text), 'null'))
+        |        AS new_hash FROM n0)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_hash,
         |  n.new_hash,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
@@ -1563,7 +1565,7 @@ object ExtOracles {
          |      GROUP BY fx.doc_id)
          |SELECT doc_id, round(zz, 4) AS margin,
          |  round(1.0 / (1.0 + exp(-zz)), 4) AS prob,
-         |  CAST(zz >= 0 AS INT) AS pred
+         |  CAST(round(zz, 4) >= 0 AS INT) AS pred
          |FROM z ORDER BY doc_id""".stripMargin,
 
     // the indexed box read must equal a plain full-scan filter — the
