@@ -162,25 +162,33 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_base_price_x100,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    * 10000 AS BIGINT) AS sum_disc_price_x10k,
+        |  (CAST(sum(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    * 10000) // count(*) AS avg_disc_x1m,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_topk" ->
       """SELECT o_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    * 10000 AS BIGINT) AS revenue_x10k
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey
-        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY revenue_x10k DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "join_broadcast" ->
-      """SELECT r_name, count(*) AS suppliers, round(sum(s_acctbal), 2) AS total_bal
+      """SELECT r_name, count(*) AS suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_bal_x100
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
@@ -196,8 +204,10 @@ object SparkEntry {
     "window_running" ->
       s"""WITH $eventsCte
          |SELECT event_id, user_id,
-         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+         |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT)
+         |    AS running_value_x100
          |FROM ev ORDER BY event_id""".stripMargin,
 
     "setops" ->
@@ -213,13 +223,14 @@ object SparkEntry {
 
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  round(sum(l_quantity), 2) AS sum_qty
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "cube_agg" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_price_x100
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
@@ -229,7 +240,7 @@ object SparkEntry {
         |  CAST(length(p_name) AS BIGINT) AS name_len,
         |  substring(p_type, 1, 5) AS type5,
         |  concat_ws('|', p_brand, p_type) AS brand_type,
-        |  round(p_retailprice * 1.1, 2) AS bumped,
+        |  CAST(round(p_retailprice * 1100, 0) AS BIGINT) AS bumped_x1000,
         |  p_size % 7 AS size_mod
         |FROM part ORDER BY p_partkey""".stripMargin,
 
@@ -250,7 +261,9 @@ object SparkEntry {
     "events_tumbling" ->
       s"""WITH $eventsCte
          |SELECT date_trunc('hour', ts) AS hour_start, event_type,
-         |  count(*) AS n, round(sum(value), 2) AS sum_value
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |    AS sum_value_x100
          |FROM ev GROUP BY hour_start, event_type
          |ORDER BY hour_start, event_type""".stripMargin,
 
@@ -262,7 +275,9 @@ object SparkEntry {
       s"""WITH $eventsCte
          |SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - i * 1800)
          |         * 1000000 AS BIGINT)) AS win_start,
-         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |  event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |    AS sum_value_x100
          |FROM ev, unnest(range(2)) AS u(i)
          |GROUP BY win_start, event_type
          |ORDER BY win_start, event_type""".stripMargin,
@@ -335,7 +350,9 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "range_join" ->
-      """SELECT o_orderpriority, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST((CAST(sum(l_quantity) AS BIGINT) * 10000) // count(*)
+        |    AS BIGINT) AS avg_qty_x10k
         |FROM orders JOIN lineitem
         |  ON o_orderkey = l_orderkey
         | AND l_shipdate >= o_orderdate
@@ -381,16 +398,26 @@ object SparkEntry {
          |FROM s LEFT JOIN p ON s.user_id = p.user_id
          |ORDER BY s.user_id""".stripMargin,
 
+    // moments replayed from EXACT integer sums in the identical
+    // closed-form expression shape as the Spark side, so mu/sigma/z are
+    // bit-identical IEEE doubles; z emits fixed-point (floor)
     "events_anomaly" ->
       s"""WITH $eventsCte,
          |d AS (SELECT date_trunc('day', ts) AS day, event_type,
          |        count(*) AS n
          |      FROM ev GROUP BY day, event_type),
-         |m AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
-         |      FROM d GROUP BY event_type)
-         |SELECT event_type, day, n, round((n - mu) / sigma, 4) AS z
-         |FROM d JOIN m USING (event_type)
-         |WHERE sigma > 0 AND abs(round((n - mu) / sigma, 4)) >= 1.5
+         |m AS (SELECT event_type, count(*) AS cnt,
+         |        sum(n) AS s1, sum(n * n) AS s2
+         |      FROM d GROUP BY event_type),
+         |zz AS (SELECT event_type, day, n,
+         |         CAST(s1 AS DOUBLE) / cnt AS mu,
+         |         sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+         |           / CAST(cnt * (cnt - 1) AS DOUBLE)) AS sigma
+         |       FROM d JOIN m USING (event_type))
+         |SELECT event_type, day, n,
+         |  CAST(floor((n - mu) / sigma * 10000) AS BIGINT) AS z_x10k
+         |FROM zz
+         |WHERE sigma > 0 AND abs((n - mu) / sigma) >= 1.5
          |ORDER BY event_type, day""".stripMargin,
 
     "events_retention" ->
@@ -415,7 +442,9 @@ object SparkEntry {
     // salting must not change the result, only the key distribution
     "salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    * 10000 AS BIGINT) AS revenue_x10k
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -440,12 +469,15 @@ object SparkEntry {
          |      FROM s)
          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
          |  min(ts) AS session_start, count(*) AS n_events,
-         |  round(sum(value), 2) AS session_value
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |    AS session_value_x100
          |FROM i GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
     "salted_agg" ->
       s"""WITH $eventsCte
-         |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |    AS sum_value_x100
          |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "topk_group_agg" ->
@@ -459,16 +491,21 @@ object SparkEntry {
 
     "percentile_agg" ->
       """SELECT o_orderpriority,
-        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-        |  round(max(o_totalprice), 2) AS mx
+        |  CAST(round(quantile_cont(o_totalprice, 0.5) * 1000, 0) AS BIGINT)
+        |    AS p50_x1000,
+        |  CAST(round(quantile_cont(o_totalprice, 0.9) * 1000, 0) AS BIGINT)
+        |    AS p90_x1000,
+        |  CAST(round(max(o_totalprice) * 100, 0) AS BIGINT) AS mx_x100
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "pivot_agg" ->
       """SELECT o_orderpriority,
-        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS P
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "geomean_agg" ->
@@ -490,9 +527,12 @@ object SparkEntry {
 
     "conditional_agg" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS sum_f,
-        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS sum_o,
-        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 2) AS sum_p
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+        |    ELSE 0.0 END AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_f_x100,
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+        |    ELSE 0.0 END AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_o_x100,
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice
+        |    ELSE 0.0 END AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_p_x100
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   ) ++ graft.queries.ExtOracles.sql
 }

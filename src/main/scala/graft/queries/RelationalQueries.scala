@@ -29,11 +29,22 @@ object RelationalQueries {
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
+      // money emissions are FIXED-POINT longs over per-row DECIMAL
+      // casts (exact at any scale): `_x100` = cents, `_x10k` = the
+      // price×discount product's native 1e-4 grid, `_x1m` = the
+      // discount mean ×10⁶ via integral division of exact integers.
+      // A double-sum + round(…, n) emission can diverge between
+      // engines when the accumulated float error crosses a decimal
+      // rounding boundary; decimal sums cannot.
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        sum("l_quantity").cast("bigint").as("sum_qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("bigint").as("sum_base_price_x100"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))) * 10000)
+          .cast("bigint").as("sum_disc_price_x10k"),
+        expr("(cast(sum(cast(l_discount as decimal(18,2))) * 100 as bigint)" +
+          " * 10000) div count(1)").as("avg_disc_x1m"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -47,8 +58,10 @@ object RelationalQueries {
       .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))) * 10000)
+        .cast("bigint").as("revenue_x10k"))
+      .orderBy(col("revenue_x10k").desc, col("o_orderkey"))
       .limit(10)
 
   /** Star join through two small dims, explicitly broadcast (§2.9:
@@ -60,7 +73,9 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
-      .agg(count(lit(1)).as("suppliers"), round(sum("s_acctbal"), 2).as("total_bal"))
+      .agg(count(lit(1)).as("suppliers"),
+        (sum(col("s_acctbal").cast("decimal(18,2)")) * 100)
+          .cast("bigint").as("total_bal_x100"))
       .orderBy("r_name")
 
   /** Ranking window: top-3 orders per customer (§2.9: window functions).
@@ -86,8 +101,9 @@ object RelationalQueries {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
-      .withColumn("running_value", round(sum("value").over(w), 2))
-      .select("event_id", "user_id", "running_value")
+      .withColumn("running_value_x100",
+        (sum(col("value").cast("decimal(18,2)")).over(w) * 100).cast("bigint"))
+      .select("event_id", "user_id", "running_value_x100")
       .orderBy("event_id")
   }
 
@@ -111,7 +127,7 @@ object RelationalQueries {
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").cast("bigint").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** CUBE grouping sets — all 2ᵏ margins in one Expand + one
@@ -121,7 +137,9 @@ object RelationalQueries {
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("bigint").as("sum_price_x100"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
@@ -136,7 +154,10 @@ object RelationalQueries {
         length(col("p_name")).as("name_len"),
         substring(col("p_type"), 1, 5).as("type5"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
-        round(col("p_retailprice") * 1.1, 2).as("bumped"),
+        // retailprice·1.1·1000 = cents·11 — an exact integer both
+        // engines recover identically; the 2-dp round of the raw
+        // product sat on .xx5 grid points
+        round(col("p_retailprice") * 1100, 0).cast("bigint").as("bumped_x1000"),
         (col("p_size") % 7).as("size_mod"))
       .orderBy("p_partkey")
 
@@ -171,8 +192,10 @@ object RelationalQueries {
   def eventsTumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("bigint").as("sum_value_x100"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value_x100"))
       .orderBy("hour_start", "event_type")
 
   /** Hopping (sliding) window aggregation — 1-hour windows every 30
@@ -185,8 +208,10 @@ object RelationalQueries {
   def eventsHopping(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("bigint").as("sum_value_x100"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value_x100"))
       .orderBy("win_start", "event_type")
 
   /** S1: sequential incremental scan — keyset pagination
@@ -326,7 +351,12 @@ object RelationalQueries {
           col("l_shipdate") >= col("o_orderdate") &&
           col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(avg(col("l_quantity")), 4).as("avg_qty"))
+      // l_quantity is integer-valued, so sum(double) is exact and the
+      // mean is an integer ratio → fixed-point emission (engine-robust
+      // where round(avg, 4) can diverge by an ulp at a .5 boundary)
+      .agg(count(lit(1)).as("n"),
+        expr("(cast(sum(l_quantity) as bigint) * 10000) div count(1)")
+          .as("avg_qty_x10k"))
       .orderBy("o_orderpriority")
 
   /** Semi join — EXISTS (§2.9: semi/anti joins). */
@@ -391,8 +421,9 @@ object RelationalQueries {
       .withColumn("session_id", sum("new_session").over(cum))
       .groupBy("user_id", "session_id")
       .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("session_value"))
-      .select("user_id", "session_id", "session_start", "n_events", "session_value")
+        (sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("bigint").as("session_value_x100"))
+      .select("user_id", "session_id", "session_start", "n_events", "session_value_x100")
       .orderBy("user_id", "session_id")
   }
 
@@ -405,9 +436,11 @@ object RelationalQueries {
     Tables.events(spark, dir)
       .withColumn("_salt", pmod(hash(col("event_id")), lit(buckets)))
       .groupBy("event_type", "_salt")
-      .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,2)")).as("pv"))
       .groupBy("event_type")
-      .agg(sum("pn").as("n"), round(sum("pv"), 2).as("sum_value"))
+      .agg(sum("pn").as("n"),
+        (sum("pv") * 100).cast("bigint").as("sum_value_x100"))
       .orderBy("event_type")
 
   /** Exact interpolated percentiles per group (§2.9: ordered-set
@@ -418,10 +451,15 @@ object RelationalQueries {
   def percentileAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
+      // interpolated percentiles of cent-grid values live on the
+      // tenth-of-a-cent grid — ×1000 recovers the exact integer both
+      // engines agree on, where a 2-dp round sat on .xx5 boundaries
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
-        round(max("o_totalprice"), 2).as("mx"))
+        round(expr("percentile(o_totalprice, 0.5)") * 1000, 0)
+          .cast("bigint").as("p50_x1000"),
+        round(expr("percentile(o_totalprice, 0.9)") * 1000, 0)
+          .cast("bigint").as("p90_x1000"),
+        round(max("o_totalprice") * 100, 0).cast("bigint").as("mx_x100"))
       .orderBy("o_orderpriority")
 
   /** Per-group top-k through the typed-UDAF surface
@@ -454,7 +492,7 @@ object RelationalQueries {
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(round(sum("o_totalprice"), 2))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("bigint"))
       .orderBy("o_orderpriority")
 
   /** Custom typed UDAF (§2.9): geometric mean via log-domain
@@ -484,9 +522,12 @@ object RelationalQueries {
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
-        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("sum_f"),
-        round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2).as("sum_o"),
-        round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0)), 2).as("sum_p"))
+        (sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0.0).cast("decimal(18,2)")) * 100).cast("bigint").as("sum_f_x100"),
+        (sum(when(col("o_orderstatus") === "O", col("o_totalprice"))
+          .otherwise(0.0).cast("decimal(18,2)")) * 100).cast("bigint").as("sum_o_x100"),
+        (sum(when(col("o_orderstatus") === "P", col("o_totalprice"))
+          .otherwise(0.0).cast("decimal(18,2)")) * 100).cast("bigint").as("sum_p_x100"))
       .orderBy("o_orderpriority")
 
   /** Forward as-of: for every event, the time of the user's NEXT
@@ -585,13 +626,25 @@ object RelationalQueries {
     val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
+    // moments from EXACT integer sums (S1 = Σn, S2 = Σn², both
+    // bigint-exact), so mu, sigma and z are single IEEE-determined
+    // expressions both engines evaluate bit-identically — a streaming
+    // stddev_samp accumulates in engine-specific order and can differ
+    // in the last ulp. z emits fixed-point (floor of an identical
+    // double is identical; round(…, 4) is not).
     val moments = daily.groupBy("event_type")
-      .agg(avg("n").as("mu"), stddev_samp(col("n")).as("sigma"))
+      .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"))
     daily.join(broadcast(moments), "event_type")
+      .withColumn("mu", col("s1").cast("double") / col("cnt"))
+      .withColumn("sigma", sqrt(
+        (col("cnt") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("cnt") * (col("cnt") - 1)).cast("double")))
       .filter(col("sigma") > 0)
-      .withColumn("z", round((col("n") - col("mu")) / col("sigma"), 4))
+      .withColumn("z", (col("n") - col("mu")) / col("sigma"))
       .filter(abs(col("z")) >= zThreshold)
-      .select(col("event_type"), col("day"), col("n"), col("z"))
+      .select(col("event_type"), col("day"), col("n"),
+        floor(col("z") * 10000).cast("bigint").as("z_x10k"))
       .orderBy("event_type", "day")
   }
 
@@ -615,7 +668,9 @@ object RelationalQueries {
         col("l_orderkey") === col("o_orderkey") && li("_salt") === ords("_salt"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        round(sum(expr("l_extendedprice * (1 - l_discount)")), 2).as("revenue"))
+        (sum(expr("cast(l_extendedprice as decimal(18,2)) * " +
+          "(cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))")) * 10000)
+          .cast("bigint").as("revenue_x10k"))
       .orderBy("o_orderpriority")
   }
 }
