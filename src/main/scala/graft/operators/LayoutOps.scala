@@ -175,8 +175,20 @@ object LayoutOps {
 
   /** Driver-side enumeration of the z-cells that intersect an
     * inclusive box, given the SAME dimension bounds and bit widths the
-    * layout was built with. At most 2^cellBits candidates are tested —
-    * a file-count-sized loop, independent of row count.
+    * layout was built with.
+    *
+    * Implementation: z-interval decomposition — a pruned descent of
+    * the binary trie over the cell id's prefix bits (the BIGMIN/LITMAX
+    * family's recursive form: Tropf & Herzog, "Multidimensional Range
+    * Search in Dynamically Balanced Trees", 1981). A trie node at
+    * depth d covers the 2^(cellBits−d) cells sharing a d-bit prefix;
+    * its per-dimension coordinate span is the de-interleave of that
+    * prefix (fixed high bits, free low bits), and a node whose span
+    * misses the box prunes its whole subtree. Work is
+    * O(result · cellBits) node visits instead of the full 2^cellBits
+    * grid scan — the difference between a 256-iteration loop and a
+    * million-iteration one per query once `cellBits` grows to the
+    * 16–20 a 100 TB layout wants for useful pruning.
     *
     * @param mins/maxs  the global per-dimension bounds of the layout
     * @param box        inclusive (lo, hi) per dimension
@@ -187,46 +199,96 @@ object LayoutOps {
     *                   rather than to "no cells" — otherwise clamped
     *                   rows would be unreachable. `false` keeps the
     *                   exact-bounds semantics (disjoint box → empty).
-    * @return cell ids whose z-region intersects the box
+    * @return cell ids whose z-region intersects the box, ascending
     */
   def cellsForBox(mins: Seq[Long], maxs: Seq[Long], box: Seq[(Long, Long)],
                   bits: Int = 8, cellBits: Int = 8,
-                  clamp: Boolean = false): Seq[Long] = {
+                  clamp: Boolean = false): Seq[Long] =
+    boxGrid(mins, maxs, box, bits, clamp) match {
+      case None => Seq.empty
+      case Some((lo, hi)) =>
+        val n = mins.size
+        val keyBits = bits * n
+        val out = Seq.newBuilder[Long]
+        // node (depth d, prefix p): zkey bit positions ≥ keyBits − d
+        // are fixed to p's bits; positions below run free
+        def covers(prefix: Long, depth: Int): Boolean =
+          mins.indices.forall { i =>
+            var cLo = 0L; var cHi = 0L
+            var b = 0
+            while (b < bits) {
+              val pos = b * n + i
+              if (pos >= keyBits - depth) {
+                val bit = (prefix >> (pos - (keyBits - depth))) & 1L
+                cLo |= bit << b; cHi |= bit << b
+              } else cHi |= 1L << b
+              b += 1
+            }
+            cHi >= lo(i) && cLo <= hi(i)
+          }
+        def descend(prefix: Long, depth: Int): Unit =
+          if (covers(prefix, depth)) {
+            if (depth == cellBits) out += prefix
+            else {
+              descend(prefix << 1, depth + 1)
+              descend((prefix << 1) | 1L, depth + 1)
+            }
+          }
+        descend(0L, 0)
+        out.result()
+    }
+
+  /** The box's grid-coordinate range per dimension (clamped into the
+    * grid; with clamp=true an out-of-range edge collapses onto the
+    * boundary bucket, where append's clamped rows live). None = the
+    * box is disjoint from exact bounds.
+    */
+  private def boxGrid(mins: Seq[Long], maxs: Seq[Long],
+      box: Seq[(Long, Long)], bits: Int,
+      clamp: Boolean): Option[(Seq[Long], Seq[Long])] = {
     val n = mins.size
     require(maxs.size == n && box.size == n)
     requireRangesFit(mins.indices.map(i => s"dim$i"), mins, maxs)
-    val keyBits = bits * n
     val widths = mins.indices.map(i => ((maxs(i) - mins(i)) >> bits) + 1)
     if (!clamp &&
         box.indices.exists(i => box(i)._2 < mins(i) || box(i)._1 > maxs(i)))
-      return Seq.empty
-    // grid coordinate range of the box per dimension (clamped into the
-    // grid; with clamp=true an out-of-range edge collapses onto the
-    // boundary bucket, where append's clamped rows live)
-    val lo = box.indices.map(i =>
-      ((box(i)._1.max(mins(i)).min(maxs(i)) - mins(i)) / widths(i)).max(0L))
-    val hi = box.indices.map(i =>
-      ((box(i)._2.min(maxs(i)).max(mins(i)) - mins(i)) / widths(i))
-        .min((1L << bits) - 1))
-    val dropped = keyBits - cellBits
-    (0L until (1L << cellBits)).filter { cell =>
-      // a cell covers zkeys [cell << dropped, (cell+1) << dropped); its
-      // per-dimension coordinate range is the de-interleave of that
-      // prefix: coordinate bits above the dropped region are fixed,
-      // bits inside it are free (run the full 0..1 span).
-      val base = cell << dropped
-      mins.indices.forall { i =>
-        var cLo = 0L; var cHi = 0L
-        (0 until bits).foreach { b =>
-          val pos = b * n + i
-          val bit = if (pos >= dropped) (base >> pos) & 1L else -1L
-          if (bit >= 0) { cLo |= bit << b; cHi |= bit << b }
-          else cHi |= 1L << b
-        }
-        cHi >= lo(i) && cLo <= hi(i)
-      }
-    }
+      None
+    else Some((
+      box.indices.map(i =>
+        ((box(i)._1.max(mins(i)).min(maxs(i)) - mins(i)) / widths(i)).max(0L)),
+      box.indices.map(i =>
+        ((box(i)._2.min(maxs(i)).max(mins(i)) - mins(i)) / widths(i))
+          .min((1L << bits) - 1))))
   }
+
+  /** The pre-decomposition enumerator — a full 2^cellBits scan testing
+    * every cell against the box. Retained as the independent reference
+    * the property spec checks [[cellsForBox]]'s trie descent against;
+    * not for production use at large cellBits.
+    */
+  private[graft] def cellsForBoxBrute(mins: Seq[Long], maxs: Seq[Long],
+      box: Seq[(Long, Long)], bits: Int = 8, cellBits: Int = 8,
+      clamp: Boolean = false): Seq[Long] =
+    boxGrid(mins, maxs, box, bits, clamp) match {
+      case None => Seq.empty
+      case Some((lo, hi)) =>
+        val n = mins.size
+        val keyBits = bits * n
+        val dropped = keyBits - cellBits
+        (0L until (1L << cellBits)).filter { cell =>
+          val base = cell << dropped
+          mins.indices.forall { i =>
+            var cLo = 0L; var cHi = 0L
+            (0 until bits).foreach { b =>
+              val pos = b * n + i
+              val bit = if (pos >= dropped) (base >> pos) & 1L else -1L
+              if (bit >= 0) { cLo |= bit << b; cHi |= bit << b }
+              else cHi |= 1L << b
+            }
+            cHi >= lo(i) && cLo <= hi(i)
+          }
+        }
+    }
 
   /** Physical layout write: one shuffle on the cell id, rows sorted by
     * full zkey inside each cell, one directory per cell

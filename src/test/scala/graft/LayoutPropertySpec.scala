@@ -87,6 +87,52 @@ class LayoutPropertySpec extends SparkSpec {
     }
   }
 
+  test("trie decomposition equals the brute-force enumerator on 300 instances") {
+    // cellsForBox is now a pruned trie descent (BIGMIN/LITMAX family);
+    // the full-grid scan it replaced stays as the independent reference
+    val caseGen = for {
+      n <- Gen.choose(1, 3)
+      bits <- Gen.choose(2, 8)
+      cellBits <- Gen.choose(1, math.min(10, bits * n))
+      mins <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+      spans <- Gen.listOfN(n, Gen.choose(1L, 5000000L))
+      boxRel <- Gen.listOfN(n, for {
+        a <- Gen.choose(-0.3, 1.3); b <- Gen.choose(-0.3, 1.3)
+      } yield (math.min(a, b), math.max(a, b)))
+      clamp <- Gen.oneOf(true, false)
+    } yield (n, bits, cellBits, mins, spans, boxRel, clamp)
+    (0 until 300).foreach { k =>
+      val (n, bits, cellBits, mins, spans, boxRel, clamp) =
+        sample(caseGen, 5000L + k)
+      val maxs = mins.zip(spans).map { case (m, s) => m + s }
+      val box = boxRel.zipWithIndex.map { case ((lo, hi), i) =>
+        (mins(i) + (lo * spans(i)).toLong, mins(i) + (hi * spans(i)).toLong)
+      }
+      val fast = LayoutOps.cellsForBox(mins, maxs, box, bits, cellBits, clamp)
+      val brute =
+        LayoutOps.cellsForBoxBrute(mins, maxs, box, bits, cellBits, clamp)
+      assert(fast === brute,
+        s"case $k: trie ${fast.take(20)} != brute ${brute.take(20)} " +
+          s"(n=$n bits=$bits cb=$cellBits clamp=$clamp)")
+    }
+  }
+
+  test("trie decomposition handles cellBits=16 without a full-grid scan") {
+    // the grid a 100 TB layout wants: 2^16 cells over 2 dims × 8 bits —
+    // the brute scan would test 65 536 cells per query; the descent
+    // must agree with it while visiting only the box's neighbourhood
+    val mins = Seq(0L, 0L); val maxs = Seq(1L << 20, 1L << 20)
+    val box = Seq((1000L, 5000L), (200000L, 201000L))
+    val fast = LayoutOps.cellsForBox(mins, maxs, box, bits = 8,
+      cellBits = 16)
+    val brute = LayoutOps.cellsForBoxBrute(mins, maxs, box, bits = 8,
+      cellBits = 16)
+    assert(fast === brute)
+    // a tight box must prune to a tiny fraction of the 65 536-cell grid
+    assert(fast.nonEmpty && fast.size < 256,
+      s"expected a pruned cell set, got ${fast.size} cells")
+  }
+
   test("zorderKey agrees with the reference on a randomized 2-D batch") {
     import spark.implicits._
     val rows = (0 until 500).map { i =>
