@@ -143,6 +143,7 @@ object SparkEntry {
     "layout_zorder" -> (graft.queries.ExtQueries.layoutZorder(_, _)),
     "layout_skipping" -> (graft.queries.ExtQueries.layoutSkipping(_, _)),
     "layout_indexed_box" -> (graft.queries.ExtQueries.layoutIndexedBox(_, _)),
+    "layout_drift" -> (graft.queries.ExtQueries.layoutDrift(_, _)),
     "text_quality_classifier" -> (graft.queries.ExtQueries.textQualityClassifier(_, _)),
     "corpus_curriculum" -> (graft.queries.ExtQueries.corpusCurriculum(_, _)),
     "corpus_snapshot_diff" -> (graft.queries.ExtQueries.corpusSnapshotDiff(_, _)),

@@ -262,4 +262,49 @@ object LayoutStore {
     val meta = loadMeta(spark, path)
     IndexStores.stats(spark, path, Seq("data", "ids"), meta.idCol)
   }
+
+  /** Bounds-drift dial — [[VectorIndex.imbalance]]'s rebuild trigger,
+    * applied to the layout's frozen state (the grid bounds instead of
+    * the trained centroids). Drifting ingest — time that only ever
+    * increases is the canonical case — falls outside the frozen
+    * bounds, and [[append]] clamps every such row into the same edge
+    * bucket: those cells grow without bound, and any box touching
+    * that edge scans all of them. This stat makes the decay queryable.
+    *
+    * One narrow scan of the `ids/` sidecar (raw dimension values per
+    * stored id — `data/` is never read), one partial-agg shuffle.
+    * Per dimension: surviving row count, rows strictly below the
+    * frozen min / above the frozen max, and their fixed-point share
+    * (`clamp_ppm`, parts per million — [[ProfileOps]]' emission
+    * protocol: `(num * 10^6) div den` over exact integers, never a
+    * rounded double). The out-of-bounds COUNT is the signal, not
+    * edge-CELL occupancy: edge cells legitimately hold in-range rows
+    * at any corpus, so their share has a distribution-dependent
+    * baseline, while an in-bounds corpus has clamp_ppm exactly 0.
+    *
+    * Policy: schedule a staged rebuild ([[write]] — consumers stay on
+    * the old generation until the swap) when any dimension's
+    * clamp_ppm reaches a few percent (say 20 000–50 000 ppm).
+    */
+  def driftStats(spark: SparkSession, path: String): DataFrame = {
+    val meta = loadMeta(spark, path)
+    val ids = IndexStores.survivors(spark, path,
+      IndexStores.readStore(spark, s"$path/ids"), meta.idCol)
+    // one struct per dimension exploded from a single scan — the
+    // per-dim union-of-selects shape would read the sidecar n times
+    val perDim = explode(array(meta.cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("dim"),
+        (col(c).cast("long") < meta.mins(i)).cast("long").as("below"),
+        (col(c).cast("long") > meta.maxs(i)).cast("long").as("above"))
+    }: _*)).as("d")
+    ids.select(perDim).select("d.*")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("total_rows"),
+        sum("below").as("below_min"),
+        sum("above").as("above_max"))
+      .withColumn("clamp_ppm",
+        expr("(CAST(below_min + above_max AS DECIMAL(38,0)) * 1000000)" +
+          " div total_rows"))
+      .orderBy("dim")
+  }
 }

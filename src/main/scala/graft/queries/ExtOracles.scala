@@ -1568,6 +1568,34 @@ object ExtOracles {
          |  CAST(round(zz, 4) >= 0 AS INT) AS pred
          |FROM z ORDER BY doc_id""".stripMargin,
 
+    // replays LayoutStore.driftStats over the drift fixture: frozen
+    // bounds = min/max of the PRE-cutoff subset, stored rows = the
+    // whole table (the post-cutoff rows were appended under those
+    // bounds), per-dimension out-of-bounds counts with the fixed-point
+    // share — all exact integer arithmetic, nothing layout-internal
+    "layout_drift" ->
+      """WITH dims AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsm FROM events),
+        |b AS (SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+        |        min(tsm) AS min_t, max(tsm) AS max_t
+        |      FROM dims WHERE tsm < 1705795200000000),
+        |per AS (
+        |  SELECT 'tsm' AS dim,
+        |    CAST(d.tsm < b.min_t AS BIGINT) AS below,
+        |    CAST(d.tsm > b.max_t AS BIGINT) AS above
+        |  FROM dims d, b
+        |  UNION ALL
+        |  SELECT 'user_id' AS dim,
+        |    CAST(d.user_id < b.min_u AS BIGINT),
+        |    CAST(d.user_id > b.max_u AS BIGINT)
+        |  FROM dims d, b)
+        |SELECT dim, count(*) AS total_rows,
+        |  CAST(sum(below) AS BIGINT) AS below_min,
+        |  CAST(sum(above) AS BIGINT) AS above_max,
+        |  CAST((CAST(sum(below) + sum(above) AS HUGEINT) * 1000000)
+        |       // count(*) AS BIGINT) AS clamp_ppm
+        |FROM per GROUP BY dim ORDER BY dim""".stripMargin,
+
     // the indexed box read must equal a plain full-scan filter — the
     // layout store's soundness contract, checked against SQL that
     // knows nothing about the layout

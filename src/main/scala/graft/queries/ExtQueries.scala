@@ -1160,6 +1160,42 @@ object ExtQueries {
       root
     } + "/events"
 
+  /** A second persisted layout whose frozen bounds come from the
+    * PRE-CUTOFF two-thirds of events only, with the post-cutoff third
+    * ingested through [[graft.operators.LayoutStore.append]] — every
+    * late row's `tsm` exceeds the frozen max and clamps into the time
+    * edge bucket. The canonical drift scenario (time only ever
+    * increases) as a deterministic fixture for the rebuild dial.
+    */
+  private val driftStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private val driftCutoffUs = 1705795200000000L // 2024-01-21T00:00Z
+  private def driftStorePath(spark: SparkSession, dir: String): String =
+    driftStoreCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-layout-drift").toString
+      val dims = eventsDims(spark, dir)
+      graft.operators.LayoutStore.write(
+        dims.filter(col("tsm") < driftCutoffUs),
+        s"$root/events", Seq("user_id", "tsm"), idCol = "event_id",
+        bits = 8, cellBits = 8)
+      graft.operators.LayoutStore.append(spark, s"$root/events",
+        dims.filter(col("tsm") >= driftCutoffUs))
+      root
+    } + "/events"
+
+  /** The bounds-drift rebuild dial as a queryable result
+    * ([[graft.operators.LayoutStore.driftStats]]): per grid dimension,
+    * the stored rows falling outside the frozen bounds and their
+    * fixed-point share. Hash-green means the oracle reproduces the
+    * frozen bounds (min/max of the pre-cutoff subset) AND every
+    * clamp count from the raw events table alone — the dial is
+    * engine-portable, not an artifact of the store's internals.
+    */
+  def layoutDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LayoutStore.driftStats(spark,
+      driftStorePath(spark, dir))
+
   /** The fixed query box of [[layoutSkipping]], answered from the
     * PERSISTED layout ([[graft.operators.LayoutStore.readBox]]): cell
     * enumeration from the frozen meta bounds → partition-directory-
@@ -1211,9 +1247,16 @@ object ExtQueries {
       // zero (53% label agreement — chance). Budget swept in PLANS.md:
       // 10k epochs at lr 5 → 92% in ~4.6 s one-time driver cost
       // (lr 20 oscillates; 2k epochs stops at 80%).
+      val t0 = System.nanoTime()
       val m = graft.operators.QualityClassifier.train(labeled,
         epochs = 10000, lr = 5.0)
       OracleArtifacts.export(dir, "qc_weights")(m.toDF(spark))
+      // adjudication hook for bench passes: this line fires ONCE per
+      // (session, dir) — a slow text_quality_classifier draw WITHOUT
+      // it is ambient contention, never a training re-fire
+      System.err.println(
+        f"[graft] quality classifier TRAINED for $dir in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s (once per session)")
       m
     }
 

@@ -166,6 +166,57 @@ class LayoutStoreSpec extends SparkSpec {
     assert(frag2 <= 1.0 + 1e-9)
   }
 
+  test("driftStats: monotone ingest piles into the clamp cell and the dial reports it") {
+    val path = tmpDir("ls-drift") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    val clean = LayoutStore.driftStats(spark, path)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(clean("x") === ((400L, 0L, 0L, 0L)),
+      "an in-bounds corpus must report clamp_ppm exactly 0")
+    assert(clean("y") === ((400L, 0L, 0L, 0L)))
+    // the canonical drift: x only ever increases past the frozen max
+    // (y stays in range) — every drifted row clamps into the x edge
+    val drift = mkRows(400 until 500,
+      i => (5000L + i, (i * 17 % 4000).toLong))
+    LayoutStore.append(spark, path, drift)
+    val after = LayoutStore.driftStats(spark, path)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(after("x") === ((500L, 0L, 100L, 200000L)),
+      "100/500 rows above the frozen x max = 200000 ppm")
+    assert(after("y")._3 === 0L && after("y")._4 === 0L)
+    // the pile-up the dial is warning about is physically real: every
+    // drifted row clamps onto the x-edge grid coordinate, so its
+    // stored cell must be one of the cells a beyond-the-max x box
+    // reaches in clamp mode (exactly the edge-cell set)
+    val meta = LayoutStore.loadMeta(spark, path)
+    val edgeCells = LayoutOps.cellsForBox(meta.mins, meta.maxs,
+      Seq((meta.maxs(0) + 1, meta.maxs(0) + 10000),
+          (meta.mins(1), meta.maxs(1))),
+      meta.bits, meta.cellBits, clamp = true).toSet
+    val driftCells = spark.read.parquet(s"$path/data")
+      .filter(col("id") >= 400)
+      .select("zcell").distinct()
+      .collect().map(_.getAs[Number]("zcell").longValue()).toSet
+    assert(driftCells.subsetOf(edgeCells),
+      s"drifted rows must sit in x-edge cells only: $driftCells vs $edgeCells")
+    // deletes are respected: tombstoned rows leave the dial
+    LayoutStore.delete(spark, path, (400L until 450L).toSeq)
+    val afterDel = LayoutStore.driftStats(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(afterDel("x") === 50L)
+    // the policy action (staged rebuild from the full survivor set)
+    // resets the dial to zero: the new bounds cover the drifted rows
+    val survivors = corpus.union(
+      drift.filter(col("id") >= 450))
+    LayoutStore.write(survivors, path, Seq("x", "y"), idCol = "id")
+    val rebuilt = LayoutStore.driftStats(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rebuilt("x") === 0L && rebuilt("y") === 0L,
+      "a rebuild re-freezes bounds over the drifted corpus — dial resets")
+  }
+
   test("streaming ingest equals one batch append; cadence folds files") {
     import graft.streaming.StreamingPipeline
     val path = tmpDir("ls-stream") + "/layout"
