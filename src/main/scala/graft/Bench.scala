@@ -61,7 +61,13 @@ object Bench {
     // result; an explicit GC lets ContextCleaner release checkpoint
     // blocks so earlier passes' heap debt can't bill later queries.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    // local-dev subset filter (the driver never sets it): scale probes
+    // want the expensive gates against a blown-up corpus without
+    // paying the full 124-query suite per draw
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Pass 0: one full UNTIMED pass over the suite. The table/KMeans/sink
     // primers above cover shared infrastructure, but each query's own
     // codegen + first-run class-loading still lands on pass 1 (r03
@@ -130,8 +136,17 @@ object Bench {
         "\"" + n + f"""\":${if (ok) t else -t}%.3f"""
       }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
+    // peak JVM heap across the whole run (all pools' high-water marks):
+    // the driver-side memory cliff a scale probe is looking for — a
+    // collect()/broadcast that fits at sf0.1 and OOMs at 10× shows up
+    // here long before it kills a real driver
+    import scala.jdk.CollectionConverters._
+    val peakHeapMb = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"per_pass":$perPass,"failed":$failedJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"per_pass":$perPass,"failed":$failedJson,"peak_heap_mb":$peakHeapMb}"""
     // Short headline FIRST and LAST around the full per-query line: the
     // driver's stdout-tail capture has truncated the 86-query line
     // mid-object (r01/r03 "parsed: null") — a short line on both sides

@@ -124,6 +124,7 @@ object SparkEntry {
     "sample_stratified" -> (graft.queries.ExtQueries.sampleStratified(_, _)),
     "sample_weighted" -> (graft.queries.ExtQueries.sampleWeighted(_, _)),
     "pack_sequences" -> (graft.queries.ExtQueries.packSequences(_, _)),
+    "corpus_pack_shards" -> (graft.queries.ExtQueries.corpusPackShards(_, _)),
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),

@@ -194,6 +194,93 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), sum("est_tokens").as("bin_tokens"))
   }
 
+  /** Distributed EXCLUSIVE prefix sum over a total order — the kernel
+    * global packing / byte-offset manifests need, built without the
+    * one scale trap every naive version has: a global `orderBy`
+    * window is a single partition, i.e. one task doing all the work.
+    *
+    * Shape (the classic two-phase scan): range-repartition on the
+    * order key, one within-partition sort reused by a
+    * partition-LOCAL window cumsum (partitions parallelise), per-
+    * partition totals — bounded by the partition count, not the row
+    * count — prefix-summed on the driver and broadcast back as
+    * offsets. Row result: `as` = Σ value over all rows strictly
+    * before it in the order.
+    *
+    * The ranged input is pinned (`localCheckpoint`) before anything
+    * reads it: `repartitionByRange` draws its boundaries from a
+    * SAMPLE, so an unpinned plan could place rows differently between
+    * the totals pass and the output pass — the offsets would be
+    * wrong, silently (same TOCTOU posture as [[LayoutStore.append]]).
+    * The pinned blocks live until the session ends or the caller
+    * wraps the call in the `releaseNewRdds` snapshot-diff harness
+    * (the gates do; see [[ProfileOps]]).
+    *
+    * Contract: `order` must be a TOTAL order (include a unique id —
+    * ties straddling a range boundary would make the tied rows'
+    * cumsums partitioning-dependent); `value` must be a non-negative
+    * long column name.
+    */
+  def exclusivePrefixSum(df: DataFrame, order: Seq[String], value: String,
+                         as: String = "excl_sum"): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df
+      .repartitionByRange(order.map(col): _*)
+      .sortWithinPartitions(order.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy("__pid")
+      .agg(sum(col(value)).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // driver-side prefix over ≤ spark.sql.shuffle.partitions entries
+    val offsets: Map[Int, Long] = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+    // second pass is a NARROW per-partition running sum over the
+    // pinned sorted partitions. The declarative alternative — a window
+    // PARTITION BY __pid — would re-shuffle the whole corpus (Catalyst
+    // can't see that the range partitioning already co-locates each
+    // __pid), so this is the rare case where mapPartitions beats every
+    // built-in: zero extra exchanges, O(1) memory, order preserved by
+    // the checkpoint.
+    val schema = ranged.schema
+      .add(as, org.apache.spark.sql.types.LongType, nullable = false)
+    val valueIdx = ranged.schema.fieldIndex(value)
+    val pidIdx = ranged.schema.fieldIndex("__pid")
+    val offB = spark.sparkContext.broadcast(offsets)
+    ranged.mapPartitions { it =>
+      var run = 0L
+      var init = false
+      it.map { r =>
+        if (!init) { run = offB.value.getOrElse(r.getInt(pidIdx), 0L); init = true }
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+        run += r.getAs[Number](valueIdx).longValue()
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .drop("__pid")
+  }
+
+  /** GLOBAL greedy sequence packing — [[packSequences]] without the
+    * per-stratum crutch. The per-lang window shape is fine while every
+    * stratum is small, but a real corpus is half one language: that
+    * stratum becomes a single window partition, one task. This
+    * version packs the WHOLE corpus in doc_id order via
+    * [[exclusivePrefixSum]] (two parallel passes + a driver prefix
+    * over the partition totals) — the shape that survives 100 TB.
+    *
+    * Same bin semantics as [[packSequences]]: a document opens shard
+    * ⌊exclusive-cumsum ∕ budget⌋ (integral division of exact longs —
+    * hash-portable); `start_token` is its global token offset, the
+    * number a shard-writing job seeks to. Straddling documents carry
+    * into their shard — budget is a target, not a ceiling.
+    */
+  def packShards(docs: DataFrame, budget: Long = 2048): DataFrame =
+    exclusivePrefixSum(
+      docs.select(col("doc_id"), estTokens.as("est_tokens")),
+      order = Seq("doc_id"), value = "est_tokens", as = "start_token")
+      .withColumn("shard_id", expr(s"start_token div ${budget}L"))
+      .select("doc_id", "est_tokens", "start_token", "shard_id")
+
   /** Temperature-scaled mixture weights per source — the data-mixing
     * step that decides how much each source contributes to a training
     * run: wᵢ ∝ pᵢ^α with pᵢ the source's token share and α ∈ (0, 1]

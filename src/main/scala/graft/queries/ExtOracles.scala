@@ -1222,6 +1222,20 @@ object ExtOracles {
         |  count(*) AS n_docs, CAST(sum(est_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin,
 
+    // replays CorpusOps.packShards: GLOBAL exclusive cumsum in doc_id
+    // order, shard = integral division of exact longs — the two-phase
+    // distributed scan must equal the one-window SQL definition
+    "corpus_pack_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens FROM documents),
+        |c AS (SELECT doc_id, est_tokens,
+        |    CAST(sum(est_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - est_tokens AS BIGINT) AS start_token FROM d)
+        |SELECT doc_id, est_tokens, start_token,
+        |  start_token // 2048 AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // ── ANN family via exported trained artifacts ──────────────────
     // The k-means trainings are not SQL; their OUTPUT (codebooks,
     // centroids, assignment, codes — bounded deterministic tables,

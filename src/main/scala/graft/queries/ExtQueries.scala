@@ -859,6 +859,25 @@ object ExtQueries {
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.packSequences(docs(spark, dir)).orderBy("lang", "bin_id")
 
+  /** Global shard packing via the distributed two-phase prefix sum
+    * ([[CorpusOps.packShards]]) — per document, its global token
+    * offset and shard assignment. Hash-green means the whole packing
+    * (every document's shard and seek offset) is engine-portable.
+    * Bounded output (one narrow row per doc); the prefix-sum pin is
+    * released before returning (the [[graft.operators.ProfileOps]]
+    * eager posture).
+    */
+  def corpusPackShards(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val res = CorpusOps.packShards(docs(spark, dir), budget = 2048)
+        .orderBy("doc_id")
+      val rows = res.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
   def embedTopK(spark: SparkSession, dir: String): DataFrame =
     VectorOps.cosineTopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
       .orderBy("qid", "rn")

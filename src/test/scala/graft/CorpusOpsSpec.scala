@@ -62,6 +62,54 @@ class CorpusOpsSpec extends SparkSpec {
       ("en", 1L, 1L, 2L)))
   }
 
+  test("exclusivePrefixSum equals the global-window cumsum on any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    // bijective id scramble (gcd(37, 5000) = 1) → a total order whose
+    // range partitioning differs from the input row order
+    val d = spark.range(5000).select(
+      (col("id") * 37 % 5000).as("k"), (col("id") % 13).cast("long").as("v"))
+    val expected = d
+      .withColumn("e", sum("v").over(Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = CorpusOps.exclusivePrefixSum(d, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // determinism under a hostile input partitioning
+    val got7 = CorpusOps.exclusivePrefixSum(d.repartition(7), Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got7 === expected)
+    // fewer rows than shuffle partitions → empty range partitions
+    val tiny = Seq((3L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "v")
+    val t = CorpusOps.exclusivePrefixSum(tiny, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t === Map(1L -> 0L, 2L -> 5L, 3L -> 12L))
+  }
+
+  test("packShards: global greedy packing matches the sequential definition") {
+    val d = (1 to 200).map(i => (i.toLong, "w " * (i % 40 + 1), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusOps.packShards(d, budget = 64)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sequential replay on the driver
+    var cum = 0L
+    val want = (1 to 200).map { i =>
+      val text = "w " * (i % 40 + 1)
+      val tok = math.ceil(text.length / 4.0).toLong
+      val row = (i.toLong, tok, cum, cum / 64)
+      cum += tok
+      row
+    }
+    assert(got.toSeq === want)
+    // shard ids are non-decreasing in doc order and start at 0
+    assert(got.head._4 === 0L)
+    assert(got.sliding(2).forall(p => p(0)._4 <= p(1)._4))
+    // shard membership is exactly the integral-division contract
+    val starts = got.groupBy(_._4).map { case (s, rs) => s -> rs.map(_._3).min }
+    starts.foreach { case (s, st) => assert(st >= s * 64 && st < (s + 1) * 64) }
+  }
+
   test("mixture weights: temperature flattens shares but preserves order") {
     val d = graft.sources.Tables.documents(spark, sf)
       .withColumnRenamed("lang", "ignored") // uses `source`
