@@ -286,6 +286,32 @@ object LayoutStore {
     * the old generation until the swap) when any dimension's
     * clamp_ppm reaches a few percent (say 20 000–50 000 ppm).
     */
+  /** The policy loop closed mechanically: when any dimension's
+    * clamp share reaches `thresholdPpm`, re-lay the SURVIVOR set out
+    * under fresh bounds (staged write + atomic swap — readers stay on
+    * the old generation until the swap; a crash mid-rebuild leaves
+    * the old store intact). Tombstones fold in with the rebuild
+    * (`write` starts a clean generation). Returns true if a rebuild
+    * ran. Quiesced-producer contract, like [[compact]].
+    *
+    * The survivor read joins `data/` (full row) — the one corpus-size
+    * pass a rebuild inherently costs; callers gate it on the cheap
+    * [[driftStats]] probe, which is the point of the dial.
+    */
+  def rebuildIfDrifted(spark: SparkSession, path: String,
+                       thresholdPpm: Long = 20000L): Boolean = {
+    val meta = loadMeta(spark, path)
+    // a fully-tombstoned store has no survivors → no drift rows → null
+    // max; a rebuild of nothing is [[compact]]'s refusal case, not ours
+    val worstRow = driftStats(spark, path).agg(max("clamp_ppm")).head
+    if (worstRow.isNullAt(0) || worstRow.getLong(0) < thresholdPpm)
+      return false
+    val survivors = survivorData(spark, path, meta)
+      .drop("zkey", "zcell")
+    write(survivors, path, meta.cols, meta.idCol, meta.bits, meta.cellBits)
+    true
+  }
+
   def driftStats(spark: SparkSession, path: String): DataFrame = {
     val meta = loadMeta(spark, path)
     val ids = IndexStores.survivors(spark, path,

@@ -431,6 +431,31 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Continuous shard packing: each micro-batch of documents is packed
+    * under the manifest's running token total
+    * ([[graft.operators.ShardManifest.appendBatch]]) — O(batch) per
+    * trigger, exactly-once across crash-replays (completed batch ids
+    * skip; both steps of an incomplete batch are idempotent), loud
+    * reject of out-of-order doc ids (packing is order-sensitive — the
+    * poison-pill posture of the other ingest streams). The manifest's
+    * `assignments` equal a one-shot [[graft.operators
+    * .CorpusOps.packShards]] over the concatenated corpus
+    * (spec-pinned).
+    */
+  def packShardsStream(docs: DataFrame, manifestPath: String,
+      checkpoint: String, budget: Long = 2048,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.ShardManifest.appendBatch(
+          batch.sparkSession, manifestPath, batch, budget, batchId)
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation — the streaming form of the
     * `events_tumbling` batch query; late rows beyond `lateness` are
     * dropped by the watermark, state is bounded per window × type.

@@ -206,15 +206,24 @@ class LayoutStoreSpec extends SparkSpec {
     val afterDel = LayoutStore.driftStats(spark, path)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(afterDel("x") === 50L)
-    // the policy action (staged rebuild from the full survivor set)
-    // resets the dial to zero: the new bounds cover the drifted rows
-    val survivors = corpus.union(
-      drift.filter(col("id") >= 450))
-    LayoutStore.write(survivors, path, Seq("x", "y"), idCol = "id")
+    // the policy action, closed mechanically: below threshold the
+    // store is untouched; above it the SURVIVOR set re-lays out under
+    // fresh bounds (tombstones fold away with the old generation) and
+    // the dial resets to zero
+    assert(!LayoutStore.rebuildIfDrifted(spark, path, thresholdPpm = 900000L),
+      "clamp share below threshold must not trigger a rebuild")
+    assert(LayoutStore.driftStats(spark, path)
+      .collect().map(_.getLong(3)).sum === 50L, "no-rebuild left the store as-is")
+    assert(LayoutStore.rebuildIfDrifted(spark, path, thresholdPpm = 50000L))
     val rebuilt = LayoutStore.driftStats(spark, path)
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(rebuilt("x") === 0L && rebuilt("y") === 0L,
       "a rebuild re-freezes bounds over the drifted corpus — dial resets")
+    // contents preserved exactly: deleted ids gone, drifted survivors
+    // now reachable under the widened bounds
+    val all = corpus.union(drift.filter(col("id") >= 450))
+    val wide2 = Seq((0L, 10000L), (0L, 5000L))
+    assert(dumpBox(path, wide2) === directBox(all, wide2))
   }
 
   test("streaming ingest equals one batch append; cadence folds files") {
