@@ -45,6 +45,11 @@ object ScaleData {
   }
 
   def blowUp(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+    // decorrelation budget: 9 distinct vowel maps + the identity replica.
+    // Beyond that, replicas r and r+9 would share a vowel map and differ
+    // only by the prefix token — near-verbatim duplicates again.
+    require(k >= 1 && k <= vowelMaps.size + 1,
+      s"k=$k exceeds the content-decorrelation budget (max ${vowelMaps.size + 1})")
     val reps = spark.range(k).select(col("id").cast("int").as("r"))
     def replicate(df: DataFrame): DataFrame = df.crossJoin(broadcast(reps))
     val off = col("r").cast("long") * 1000000000L
@@ -66,10 +71,14 @@ object ScaleData {
         col("source"), length(col("text")).cast("long").as("n_chars"))
     write("documents", docs)
 
+    // replica term r * 5 is coprime-stepped mod 13 (r * 13 would vanish
+    // — bit-identical replicas, the degenerate structure this exists to
+    // avoid); the lambda reads the pre-offset vec_id, so the r term is
+    // the ONLY source of replica difference and must not cancel
     val emb = replicate(sources.Tables.embeddings(spark, src))
       .select((col("vec_id") + off).as("vec_id"),
         expr("transform(embedding, (x, j) -> cast(x * (1.0d + " +
-          "(pmod(vec_id * 31 + j * 7 + r * 13, 13) - 6) * 0.02d) as float))")
+          "(pmod(vec_id * 31 + j * 7 + r * 5, 13) - 6) * 0.02d) as float))")
           .as("embedding"),
         col("label"))
     write("embeddings", emb)

@@ -62,8 +62,19 @@ object ShardManifest {
         .withColumn("shard_id", expr(s"start_token div ${budget}L"))
         .localCheckpoint()
       val agg = packed.agg(min("doc_id"), max("doc_id"),
-        sum("est_tokens"), count(lit(1))).head
+        sum("est_tokens"), count(lit(1)),
+        count_distinct(col("doc_id"))).head
       if (agg.getLong(3) == 0L) return true // empty trigger: nothing to record
+      // in-batch duplicate ids would silently pack twice — and with
+      // differing texts their cumsums become arrival-order-dependent,
+      // so a crash-replay could rewrite batch=<id> with DIFFERENT
+      // offsets (breaking idempotence). Reject loudly, the
+      // LayoutStore.append posture.
+      if (agg.getLong(4) != agg.getLong(3))
+        throw new IllegalArgumentException(
+          "ShardManifest.appendBatch: batch contains duplicate doc_ids " +
+            s"(${agg.getLong(3)} rows, ${agg.getLong(4)} distinct) — " +
+            "dedup upstream; packing under a duplicated id is undefined")
       if (st.maxDocId != Long.MinValue && agg.getLong(0) <= st.maxDocId)
         throw new IllegalArgumentException(
           s"ShardManifest.appendBatch: doc_id ${agg.getLong(0)} <= " +

@@ -31,19 +31,41 @@ object TextOps {
   /** Whitespace tokens of the `text` column. */
   def tokens: Column = split(col("text"), " ")
 
+  /** The non-punctuation character class — ONE definition for
+    * [[punctRatio]], [[textStats]]' fixed-point emission, and the
+    * DuckDB oracle's replay (mirrored there as a literal): a tweak to
+    * the class (say, adding uppercase) must have exactly one place to
+    * land on the Spark side.
+    */
+  private[graft] val NonPunctClass = "[a-z0-9 ]"
+
+  /** Exact punctuation-count SQL over a text column name — the shared
+    * integer numerator of the double and fixed-point punctuation
+    * ratios.
+    */
+  private[graft] def punctCountSql(textCol: String): String =
+    s"cast(length(regexp_replace($textCol, '$NonPunctClass', '')) as bigint)"
+
+  /** Exact distinct-token-count SQL over a token-array column name —
+    * shared numerator of the double and fixed-point diversity ratios.
+    */
+  private[graft] def distinctCountSql(tokCol: String): String =
+    s"cast(size(array_distinct($tokCol)) as bigint)"
+
   /** Lexical diversity of a token array: |distinct| ∕ |tokens|. ONE
-    * definition shared by [[textStats]] (which rounds it) and the
-    * ingest-time quality gate — a drift between the scoring surface
-    * and the gate would silently disagree about the same document.
+    * definition shared by [[textStats]] (which emits it fixed-point
+    * from the same numerator shape) and the ingest-time quality gate —
+    * a drift between the scoring surface and the gate would silently
+    * disagree about the same document.
     */
   def distinctRatio(t: Column): Column =
     size(array_distinct(t)) / size(t).cast("double")
 
-  /** Non-[a-z0-9 ] character share of a text column — same sharing
-    * contract as [[distinctRatio]].
+  /** Non-[[NonPunctClass]] character share of a text column — same
+    * sharing contract as [[distinctRatio]].
     */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[a-z0-9 ]", "")) / length(text).cast("double")
+    length(regexp_replace(text, NonPunctClass, "")) / length(text).cast("double")
 
   /** Distinct k-word shingles per document: the (doc_id, shingle)
     * inverted index all near-dup operators share. Deduplication is
@@ -90,12 +112,12 @@ object TextOps {
         col("doc_id"),
         size(col("t")).cast("bigint").as("n_tokens"),
         size(array_distinct(col("t"))).cast("bigint").as("n_distinct"),
-        expr("(cast(size(array_distinct(t)) as bigint) * 10000) div size(t)")
+        expr(s"(${distinctCountSql("t")} * 10000) div size(t)")
           .as("distinct_ratio_x10k"),
         expr("(aggregate(transform(t, x -> length(x)), 0L, (acc, x) -> acc + x) " +
           "* 10000) div size(t)").as("avg_token_len_x10k"),
-        expr("(cast(length(regexp_replace(text, '[a-z0-9 ]', '')) as bigint) " +
-          "* 10000) div length(text)").as("punct_ratio_x10k"))
+        expr(s"(${punctCountSql("text")} * 10000) div length(text)")
+          .as("punct_ratio_x10k"))
 
   /** Character trigrams of `text` — the language-ID feature space
     * (textcat/CLD-style n-gram profiling). Computed by the codegen'd

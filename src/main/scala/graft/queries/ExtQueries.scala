@@ -867,14 +867,27 @@ object ExtQueries {
     * released before returning (the [[graft.operators.ProfileOps]]
     * eager posture).
     */
+  private val packScratchCache =
+    new SessionCache[String](SessionCache.deleteTree)
+
   def corpusPackShards(spark: SparkSession, dir: String): DataFrame = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     try {
-      val res = CorpusOps.packShards(docs(spark, dir), budget = 2048)
+      // materialise to scratch parquet, NOT a driver collect: the
+      // output is one row per document — O(corpus), exactly the
+      // driver-heap cliff class the scale probe watches for. The
+      // narrow write releases the prefix-sum pin; each invocation
+      // gets a fresh subdir (recomputed per bench pass — the cache
+      // holds only the session-lifetime ROOT for cleanup).
+      val root = packScratchCache.get(spark, dir) {
+        java.nio.file.Files.createTempDirectory("graft-pack-scratch").toString
+      }
+      val out = s"$root/run_${graft.core.ParquetTable.stamp()}"
+      CorpusOps.packShards(docs(spark, dir), budget = 2048)
         .orderBy("doc_id")
-      val rows = res.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).orderBy("doc_id")
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 

@@ -79,12 +79,17 @@ class ProfileOpsSpec extends SparkSpec {
 
   test("profiler reads its input exactly once (counts materialized)") {
     val ev = graft.sources.Tables.events(spark, sf)
-    for (_ <- Seq(ProfileOps.keyProfile(ev, "user_id", 5),
-        ProfileOps.keySummary(ev, "user_id"))) {
+    // the audit hook is a shared mutable slot — it must be read right
+    // after EACH call, not after both (a Seq of the two results would
+    // evaluate both calls first and audit only the second plan, twice)
+    for (run <- Seq(
+        ("keyProfile", () => ProfileOps.keyProfile(ev, "user_id", 5)),
+        ("keySummary", () => ProfileOps.keySummary(ev, "user_id")))) {
+      run._2().collect()
       val plan = ProfileOps.lastPlanForAudit
       val scans = plan.split("Scan parquet").length - 1
       assert(scans <= 1,
-        s"profiler should scan the input at most once, saw $scans:\n$plan")
+        s"${run._1} should scan the input at most once, saw $scans:\n$plan")
     }
   }
 
