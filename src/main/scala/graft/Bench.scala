@@ -66,6 +66,16 @@ object Bench {
     // paying the full 124-query suite per draw
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typoed name must fail loudly, not shrink the probe silently —
+    // a complete-looking bench_out.json with one gate quietly missing
+    // is the silent-truncation failure the artifacts elsewhere guard
+    // against (negated times, failed[] list)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names no registered query: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Pass 0: one full UNTIMED pass over the suite. The table/KMeans/sink
@@ -136,10 +146,16 @@ object Bench {
         "\"" + n + f"""\":${if (ok) t else -t}%.3f"""
       }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
-    // peak JVM heap across the whole run (all pools' high-water marks):
-    // the driver-side memory cliff a scale probe is looking for — a
-    // collect()/broadcast that fits at sf0.1 and OOMs at 10× shows up
-    // here long before it kills a real driver
+    // peak JVM heap across the whole run — the driver-side memory
+    // cliff a scale probe is looking for: a collect()/broadcast that
+    // fits at sf0.1 and OOMs at 10× shows up here long before it
+    // kills a real driver. This sums each heap pool's high-water
+    // mark, which different pools may reach at DIFFERENT times — an
+    // UPPER BOUND on the true simultaneous peak (can even exceed
+    // -Xmx), never an understatement: safe for "fits in X GB"
+    // capacity claims, pessimistic for cliff alarms. The JVM exposes
+    // no cheap simultaneous-peak counter; sampling would cost more
+    // than this number is worth.
     import scala.jdk.CollectionConverters._
     val peakHeapMb = java.lang.management.ManagementFactory
       .getMemoryPoolMXBeans.asScala

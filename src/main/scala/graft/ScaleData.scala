@@ -75,10 +75,13 @@ object ScaleData {
     // — bit-identical replicas, the degenerate structure this exists to
     // avoid); the lambda reads the pre-offset vec_id, so the r term is
     // the ONLY source of replica difference and must not cancel
+    // r = 0 keeps the base vectors verbatim (the documents posture:
+    // sf1 CONTAINS sf0.1, so cross-SF spot checks on shared ids hold)
     val emb = replicate(sources.Tables.embeddings(spark, src))
       .select((col("vec_id") + off).as("vec_id"),
-        expr("transform(embedding, (x, j) -> cast(x * (1.0d + " +
-          "(pmod(vec_id * 31 + j * 7 + r * 5, 13) - 6) * 0.02d) as float))")
+        when(col("r") === 0, col("embedding")).otherwise(
+          expr("transform(embedding, (x, j) -> cast(x * (1.0d + " +
+            "(pmod(vec_id * 31 + j * 7 + r * 5, 13) - 6) * 0.02d) as float))"))
           .as("embedding"),
         col("label"))
     write("embeddings", emb)

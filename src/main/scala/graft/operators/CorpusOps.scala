@@ -229,9 +229,27 @@ object CorpusOps {
       .sortWithinPartitions(order.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
+    // the totals pass also carries each partition's min/max order key
+    // (struct ordering): since range partitioning puts every key of
+    // partition i at or before every key of partition i+1, a key
+    // duplicated ACROSS a boundary forces max(i) == min(i+1) — checked
+    // on the driver below. Duplicates WITHIN a partition are adjacent
+    // after the sort and caught in the running-sum pass. Together they
+    // enforce the total-order contract loudly instead of emitting
+    // partitioning-dependent cumsums.
+    val keyStruct = struct(order.map(col): _*)
     val totals = ranged.groupBy("__pid")
-      .agg(sum(col(value)).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .agg(sum(col(value)).as("__t"),
+        min(keyStruct).as("__lo"), max(keyStruct).as("__hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.get(2), r.get(3)))
+      .sortBy(_._1)
+    totals.sliding(2).foreach {
+      case Array(a, b) if a._4 == b._3 =>
+        throw new IllegalArgumentException(
+          s"exclusivePrefixSum: order ${order.mkString("(", ",", ")")} is " +
+            s"not total — key ${a._4} spans partitions ${a._1} and ${b._1}")
+      case _ => ()
+    }
     // driver-side prefix over ≤ spark.sql.shuffle.partitions entries
     val offsets: Map[Int, Long] = totals.map(_._1)
       .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
@@ -247,11 +265,21 @@ object CorpusOps {
     val valueIdx = ranged.schema.fieldIndex(value)
     val pidIdx = ranged.schema.fieldIndex("__pid")
     val offB = spark.sparkContext.broadcast(offsets)
+    val orderIdx = order.map(ranged.schema.fieldIndex)
     ranged.mapPartitions { it =>
       var run = 0L
       var init = false
+      var prevKey: Seq[Any] = null
       it.map { r =>
         if (!init) { run = offB.value.getOrElse(r.getInt(pidIdx), 0L); init = true }
+        // adjacent equal keys after the within-partition sort = a
+        // duplicate: the cumsum of the pair is arrival-order-dependent
+        val key = orderIdx.map(r.get)
+        if (key == prevKey)
+          throw new IllegalArgumentException(
+            s"exclusivePrefixSum: duplicate order key $key — the order " +
+              "must be total (include a unique id)")
+        prevKey = key
         val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
         run += r.getAs[Number](valueIdx).longValue()
         out
@@ -273,11 +301,17 @@ object CorpusOps {
     * hash-portable); `start_token` is its global token offset, the
     * number a shard-writing job seeks to. Straddling documents carry
     * into their shard — budget is a target, not a ceiling.
+    *
+    * `base` shifts every offset — the continuation hook
+    * [[ShardManifest]] packs each batch with (base = stored running
+    * total), so the shard formula lives in exactly ONE place.
     */
-  def packShards(docs: DataFrame, budget: Long = 2048): DataFrame =
+  def packShards(docs: DataFrame, budget: Long = 2048,
+                 base: Long = 0L): DataFrame =
     exclusivePrefixSum(
       docs.select(col("doc_id"), estTokens.as("est_tokens")),
       order = Seq("doc_id"), value = "est_tokens", as = "start_token")
+      .withColumn("start_token", col("start_token") + base)
       .withColumn("shard_id", expr(s"start_token div ${budget}L"))
       .select("doc_id", "est_tokens", "start_token", "shard_id")
 

@@ -286,6 +286,28 @@ object LayoutStore {
     * the old generation until the swap) when any dimension's
     * clamp_ppm reaches a few percent (say 20 000–50 000 ppm).
     */
+  def driftStats(spark: SparkSession, path: String): DataFrame = {
+    val meta = loadMeta(spark, path)
+    val ids = IndexStores.survivors(spark, path,
+      IndexStores.readStore(spark, s"$path/ids"), meta.idCol)
+    // one struct per dimension exploded from a single scan — the
+    // per-dim union-of-selects shape would read the sidecar n times
+    val perDim = explode(array(meta.cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("dim"),
+        (col(c).cast("long") < meta.mins(i)).cast("long").as("below"),
+        (col(c).cast("long") > meta.maxs(i)).cast("long").as("above"))
+    }: _*)).as("d")
+    ids.select(perDim).select("d.*")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("total_rows"),
+        sum("below").as("below_min"),
+        sum("above").as("above_max"))
+      .withColumn("clamp_ppm",
+        expr("(CAST(below_min + above_max AS DECIMAL(38,0)) * 1000000)" +
+          " div total_rows"))
+      .orderBy("dim")
+  }
+
   /** The policy loop closed mechanically: when any dimension's
     * clamp share reaches `thresholdPpm`, re-lay the SURVIVOR set out
     * under fresh bounds (staged write + atomic swap — readers stay on
@@ -312,25 +334,4 @@ object LayoutStore {
     true
   }
 
-  def driftStats(spark: SparkSession, path: String): DataFrame = {
-    val meta = loadMeta(spark, path)
-    val ids = IndexStores.survivors(spark, path,
-      IndexStores.readStore(spark, s"$path/ids"), meta.idCol)
-    // one struct per dimension exploded from a single scan — the
-    // per-dim union-of-selects shape would read the sidecar n times
-    val perDim = explode(array(meta.cols.zipWithIndex.map { case (c, i) =>
-      struct(lit(c).as("dim"),
-        (col(c).cast("long") < meta.mins(i)).cast("long").as("below"),
-        (col(c).cast("long") > meta.maxs(i)).cast("long").as("above"))
-    }: _*)).as("d")
-    ids.select(perDim).select("d.*")
-      .groupBy("dim")
-      .agg(count(lit(1)).as("total_rows"),
-        sum("below").as("below_min"),
-        sum("above").as("above_max"))
-      .withColumn("clamp_ppm",
-        expr("(CAST(below_min + above_max AS DECIMAL(38,0)) * 1000000)" +
-          " div total_rows"))
-      .orderBy("dim")
-  }
 }

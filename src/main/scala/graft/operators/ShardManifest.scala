@@ -56,10 +56,11 @@ object ShardManifest {
     val before = sc.getPersistentRDDs.keySet.toSet
     try {
       // one bounded probe for the monotone contract + batch totals;
-      // the packed frame is pinned by exclusivePrefixSum already
-      val packed = CorpusOps.packShards(batch, budget)
-        .withColumn("start_token", col("start_token") + st.totalTokens)
-        .withColumn("shard_id", expr(s"start_token div ${budget}L"))
+      // the packed frame is pinned by exclusivePrefixSum already.
+      // Offsets continue from the stored total via packShards' base
+      // hook — the shard formula exists only there.
+      val packed = CorpusOps.packShards(batch, budget,
+          base = st.totalTokens)
         .localCheckpoint()
       val agg = packed.agg(min("doc_id"), max("doc_id"),
         sum("est_tokens"), count(lit(1)),
@@ -94,4 +95,25 @@ object ShardManifest {
   def assignments(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/assignments")
       .select("doc_id", "est_tokens", "start_token", "shard_id")
+
+  /** Materialise the packed corpus as one directory per shard — the
+    * last step from "assignment table" to the files a training job
+    * reads. One shuffle on the assignment join + one on the shard id;
+    * rows inside each shard are sorted by `start_token`, so a reader
+    * consuming a shard's parquet in row order sees documents in
+    * training order with their seek offsets. Works with a one-shot
+    * [[CorpusOps.packShards]] result or a manifest's [[assignments]].
+    *
+    * Scale shape: shard_id is a balanced partitioner BY CONSTRUCTION —
+    * every shard holds ≈ budget tokens regardless of document-length
+    * skew (the token cumsum is the balancer), so the shuffle cannot
+    * have a hot partition; `maxRecordsPerFile` is unnecessary.
+    */
+  def writeShards(docs: DataFrame, assignments: DataFrame,
+                  path: String): Unit =
+    docs.join(assignments.select("doc_id", "start_token", "shard_id"),
+        "doc_id")
+      .repartition(col("shard_id"))
+      .sortWithinPartitions("shard_id", "start_token")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
 }

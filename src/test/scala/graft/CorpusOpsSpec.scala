@@ -86,6 +86,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(t === Map(1L -> 0L, 2L -> 5L, 3L -> 12L))
   }
 
+  test("exclusivePrefixSum rejects a non-total order loudly") {
+    // duplicated order key: the pair's cumsums would be
+    // arrival-order-dependent — must throw, not emit either answer
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("k", "v")
+    val e = intercept[Throwable] {
+      CorpusOps.exclusivePrefixSum(dup, Seq("k"), "v").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("total")),
+      s"expected the total-order reject, got: ${messages(e)}")
+  }
+
   test("packShards: global greedy packing matches the sequential definition") {
     val d = (1 to 200).map(i => (i.toLong, "w " * (i % 40 + 1), "en"))
       .toDF("doc_id", "text", "lang")

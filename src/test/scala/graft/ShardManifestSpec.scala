@@ -17,8 +17,26 @@ class ShardManifestSpec extends SparkSpec {
     val path = tmpDir("sm-stream") + "/manifest"
     val all = mkDocs(0 until 300)
     val src = tmpDir("sm-src")
-    Seq(0 until 100, 100 until 220, 220 until 300)
-      .foreach(r => mkDocs(r).coalesce(1).write.mode("append").parquet(src))
+    // FileStreamSource orders the initial backlog by modification
+    // time; pin strictly increasing mtimes on each slice's NEW files
+    // so the trigger order can't depend on filesystem timestamp
+    // granularity (a tie would legitimately trip the out-of-order
+    // reject)
+    import scala.jdk.CollectionConverters._
+    val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
+    Seq(0 until 100, 100 until 220, 220 until 300).zipWithIndex
+      .foreach { case (r, i) =>
+        mkDocs(r).coalesce(1).write.mode("append").parquet(src)
+        java.nio.file.Files.list(java.nio.file.Paths.get(src))
+          .iterator().asScala.toList
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .filterNot(stamped.contains)
+          .foreach { p =>
+            stamped += p
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis((i + 1) * 60000L))
+          }
+      }
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     StreamingPipeline.packShardsStream(stream, path,
@@ -53,6 +71,28 @@ class ShardManifestSpec extends SparkSpec {
       .select(sum(ceil(length(col("text")) / 4.0).cast("bigint"))).head.getLong(0)
     assert(st.totalTokens === tokens)
     assert(st.maxDocId === 79L)
+  }
+
+  test("writeShards materialises every document exactly once, in training order") {
+    val out = tmpDir("sm-shards") + "/shards"
+    val d = mkDocs(0 until 150)
+    val asg = CorpusOps.packShards(d, budget = 96)
+    graft.operators.ShardManifest.writeShards(d, asg, out)
+    val back = spark.read.parquet(out)
+    // exactly the corpus, no dup/loss, with its assignment attached
+    assert(back.count() === 150L)
+    assert(back.select("doc_id").distinct().count() === 150L)
+    // per shard: files exist per shard dir; contents ordered by offset
+    val byShard = back.select("shard_id", "start_token", "doc_id")
+      .collect()
+      .groupBy(_.getAs[Number]("shard_id").longValue())
+    val wantShards = asg.select("shard_id").distinct().count()
+    assert(byShard.size.toLong === wantShards)
+    // training order inside a shard = offset order = doc_id order here
+    byShard.values.foreach { rows =>
+      val byOffset = rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      assert(byOffset === byOffset.sorted)
+    }
   }
 
   test("out-of-order documents are rejected loudly") {
