@@ -73,6 +73,40 @@ class ShardManifestSpec extends SparkSpec {
     assert(st.maxDocId === 79L)
   }
 
+  test("crash between assignments and state: replay converges to the clean result") {
+    val path = tmpDir("sm-crash") + "/manifest"
+    val ref = tmpDir("sm-crash-ref") + "/manifest"
+    val b0 = mkDocs(0 until 60)
+    val b1 = mkDocs(60 until 110)
+    ShardManifest.appendBatch(spark, ref, b0, 64, 0L)
+    ShardManifest.appendBatch(spark, ref, b1, 64, 1L)
+    // the crash window: batch 1's assignments land but the process
+    // dies BEFORE the state row is replaced — simulated by running
+    // batch 1 fully, then restoring the pre-batch state file
+    ShardManifest.appendBatch(spark, path, b0, 64, 0L)
+    val stateDir = java.nio.file.Paths.get(s"$path/state")
+    val saved = tmpDir("sm-crash-saved")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      stateDir.toFile, new java.io.File(saved))
+    ShardManifest.appendBatch(spark, path, b1, 64, 1L)
+    org.apache.commons.io.FileUtils.deleteDirectory(stateDir.toFile)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(saved), stateDir.toFile)
+    assert(ShardManifest.state(spark, path).get.lastBatch === 0L,
+      "crash simulation must restore the pre-batch state")
+    // replay of batch 1 (same id, same data — the foreachBatch replay
+    // contract) must rewrite the orphaned assignments idempotently
+    // and complete the state flip
+    assert(ShardManifest.appendBatch(spark, path, b1, 64, 1L))
+    val got = ShardManifest.assignments(spark, path)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = ShardManifest.assignments(spark, ref)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got === want, "healed manifest diverged from the clean run")
+    assert(ShardManifest.state(spark, path).get ===
+      ShardManifest.state(spark, ref).get)
+  }
+
   test("writeShards materialises every document exactly once, in training order") {
     val out = tmpDir("sm-shards") + "/shards"
     val d = mkDocs(0 until 150)
