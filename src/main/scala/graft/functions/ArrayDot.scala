@@ -118,7 +118,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       children => MinhashSig(children(0),
         children.lift(1).map(foldInt("minhash_sig", "k", _)).getOrElse(3),
-        children.lift(2).map(foldInt("minhash_sig", "seeds", _)).getOrElse(8))))
+        children.lift(2).map(foldInt("minhash_sig", "seeds", _)).getOrElse(8))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      children => NfcNormalize(children(0))))
 
   private def foldInt(fn: String, arg: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

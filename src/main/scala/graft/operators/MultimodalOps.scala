@@ -219,4 +219,184 @@ object MultimodalOps {
       .select(col("media_id"), col("fb.frame_no").as("frame_no"),
         (col("fb.stop") - col("fb.start")).cast("long").as("frame_bytes"))
 
+  /** High-entropy pixel contract for the perceptual-dedup fixtures:
+    * channel bytes are md5 nibbles of `"id:x:y"` (r/g/b = hex bytes at
+    * offsets 0/2/4). [[patternChannel]]'s linear gradients make
+    * adjacent-pixel differences constant up to mod-256 wraps — 1000
+    * pattern images collapse onto ~300 distinct dhashes, which is a
+    * fine decode fixture and a useless dedup one. md5 pixels give
+    * every image unique local structure (measured: zero coincidental
+    * hamming-≤4 pairs at 1000 images), so the only near-dups are the
+    * ones [[perturbClones]] plants. Replayable: DuckDB's md5 produces
+    * the same lowercase hex.
+    */
+  def noiseChannels(id: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$x:$y".getBytes("UTF-8"))
+    (d(0) & 0xff, d(1) & 0xff, d(2) & 0xff)
+  }
+
+  /** [[pngMedia]] with [[noiseChannels]] pixels — same REAL PNG
+    * encode, different pixel contract (see there for why).
+    */
+  def noisePngMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val n = PatternSize
+    docs.select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          n, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < n) {
+          var x = 0
+          while (x < n) {
+            val (r, g, b) = noiseChannels(id, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        (id, encodePng(img))
+      })
+      .toDF("media_id", "payload")
+      .withColumn("kind", lit("image"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        lit("image/png").as("mime")))
+      .select("media_id", "kind", "payload", "meta")
+  }
+
+  /** Formula-defined near-duplicate clones — the image-dedup fixture:
+    * decode, bump pixel (0,0)'s RED channel by +96 mod 256, re-encode
+    * under `id + idOffset`. A one-pixel edit moves at most one dhash
+    * bit per affected strip pair, so every clone is a guaranteed
+    * hamming-near pair with its original — and the clone's pixels stay
+    * closed-form (base pattern + the bump), so the DuckDB oracle
+    * replays them without decoding anything.
+    */
+  def perturbClones(spark: SparkSession, media: DataFrame,
+                    idOffset: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, payload) =>
+        val img = decodeImage(id, payload)
+        val rgb = img.getRGB(0, 0)
+        val bumped = ((((rgb >> 16) & 0xff) + 96) % 256 << 16) |
+          (rgb & 0x00ffff)
+        img.setRGB(0, 0, bumped)
+        (id + idOffset, kind, encodePng(img))
+      })
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        lit("image/png").as("mime")))
+  }
+
+  /** Difference-hash (dHash) perceptual fingerprint over the decoded
+    * raster — the image analogue of [[TextOps.simhash]]: near-identical
+    * images (re-encodes, tiny edits, watermarks) land within a few
+    * bits, so image dedup becomes a hamming join instead of a byte
+    * compare. gridH row strips × (gridW+1) column strips of integer
+    * block sums; bit (gy, gx) = "strip gx brighter than strip gx+1",
+    * compared as exact cross-multiplied rationals
+    * (`sum1·n2 > sum2·n1` — no float, no rounding, engine-portable).
+    * Default 7×8 = 56 bits: fits a positive long with no sign games
+    * (the simhash bit-63 trick stays where it's needed).
+    * Brightness = r+g+b per pixel (0..765, exact).
+    *
+    * Decode runs in the [[imageFeatures]] per-partition seam; the
+    * hash itself is integer arithmetic over the raster, so the DuckDB
+    * oracle replays every bit from [[patternChannel]]'s formula.
+    */
+  def imageDHash(spark: SparkSession, media: DataFrame,
+                 gridW: Int = 7, gridH: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 62,
+      s"dhash grid ${gridW}x$gridH must fit a positive long")
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = decodeImage(id, payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        require(w >= gridW + 1 && h >= gridH,
+          s"media $id: ${w}x$h too small for a ${gridW}x$gridH dhash")
+        // integer strip boundaries: column strip c covers
+        // [c*w/(gridW+1), (c+1)*w/(gridW+1)), row strip r likewise
+        val cs = Array.tabulate(gridW + 2)(c => c * w / (gridW + 1))
+        val rs = Array.tabulate(gridH + 1)(r => r * h / gridH)
+        val sums = Array.ofDim[Long](gridH, gridW + 1)
+        val ns = Array.ofDim[Long](gridH, gridW + 1)
+        var gy = 0
+        while (gy < gridH) {
+          var gx = 0
+          while (gx < gridW + 1) {
+            var s = 0L; var n = 0L
+            var y = rs(gy)
+            while (y < rs(gy + 1)) {
+              var x = cs(gx)
+              while (x < cs(gx + 1)) {
+                val rgb = img.getRGB(x, y)
+                s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            sums(gy)(gx) = s; ns(gy)(gx) = n
+            gx += 1
+          }
+          gy += 1
+        }
+        var bits = 0L
+        gy = 0
+        while (gy < gridH) {
+          var gx = 0
+          while (gx < gridW) {
+            if (sums(gy)(gx) * ns(gy)(gx + 1) >
+                sums(gy)(gx + 1) * ns(gy)(gx))
+              bits |= 1L << (gy * gridW + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        (id, bits)
+      })
+      .toDF("media_id", "dhash")
+  }
+
+  /** Near-duplicate image pairs by banded hamming join over
+    * [[imageDHash]] — the [[TextOps.simhashPairs]] shape on the image
+    * column: split the hash into `maxHamming + 1` bit bands
+    * (pigeonhole: ≤ maxHamming differing bits leave at least one band
+    * intact), bucket-join on (band, value), verify with an exact
+    * `bit_count(a XOR b)`. Never all-pairs: candidate count is
+    * collision-bounded, verification is codegen'd integer work.
+    */
+  def imageNearDup(spark: SparkSession, media: DataFrame,
+                   maxHamming: Int = 4,
+                   gridW: Int = 7, gridH: Int = 8): DataFrame = {
+    val nBits = gridW * gridH
+    val bands = maxHamming + 1
+    val h = imageDHash(spark, media, gridW, gridH)
+      .localCheckpoint() // one decode pass feeds both join sides
+    val banded = h.select(col("media_id"), col("dhash"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b -> struct(
+           |  b AS band,
+           |  shiftright(dhash, int(b * $nBits / $bands)) &
+           |    (shiftleft(1L, int((b + 1) * $nBits / $bands)
+           |               - int(b * $nBits / $bands)) - 1) AS v))"""
+          .stripMargin)).as("e"))
+      .select(col("media_id"), col("dhash"),
+        col("e.band").as("band"), col("e.v").as("v"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        expr("cast(bit_count(x.dhash ^ y.dhash) as int)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -211,6 +211,26 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         col("e.g").as("g"), col("e.tf").cast("bigint").as("tf"))
 
+  /** Canonical text normalization — step zero of an ingest pipeline,
+    * BEFORE any fingerprint/shingle/token op: Unicode NFC (the
+    * codegen'd [[graft.functions.NfcNormalize]] kernel — a decomposed
+    * `e`+U+0301 and a precomposed `é` are different bytes, shingles
+    * and hashes, and the same text), then lowercase, then whitespace
+    * runs collapsed to single spaces and trimmed. That order is the
+    * contract (lower∘NFC, not NFC∘lower) and the oracle replays it
+    * with DuckDB's built-in `nfc_normalize`. Pure per-row codegen'd
+    * column work — no shuffle, scales embarrassingly. Emits the
+    * normalized text and its md5 — exact dedup on `norm_fp` now
+    * unifies case/spacing/encoding variants of the same content.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    val nfc = column(graft.functions.NfcNormalize(expression(col("text"))))
+    docs.select(col("doc_id"),
+        trim(regexp_replace(lower(nfc), "\\s+", " ")).as("norm_text"))
+      .withColumn("norm_fp", md5(col("norm_text")))
+  }
+
   /** Normalised-content fingerprint (rolling-hash document fingerprinting
     * collapses to a full-content hash once content is normalised).
     */

@@ -100,6 +100,13 @@ object ExtOracles {
     * column `mExpr` — the strpos hex trick widened past [[hash16]]'s
     * four-nibble form.
     */
+  /** One hex byte of an md5 string as 0..255 (chars `pos`, `pos+1` —
+    * 1-indexed, so byte k lives at pos = 2k+1).
+    */
+  private def hexByte(mExpr: String, pos: Int): String =
+    s"((strpos('0123456789abcdef', substring($mExpr, $pos, 1)) - 1) * 16" +
+      s" + (strpos('0123456789abcdef', substring($mExpr, ${pos + 1}, 1)) - 1))"
+
   private def nibbleValue(mExpr: String, nibbles: Int): String =
     (0 until nibbles).map { i =>
       val weight = BigInt(16).pow(nibbles - 1 - i)
@@ -1222,6 +1229,23 @@ object ExtOracles {
         |  count(*) AS n_docs, CAST(sum(est_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin,
 
+    // replays TextOps.normalize over the decorated fixture with
+    // DuckDB's OWN nfc_normalize (utf8proc) against Spark's JDK-based
+    // kernel — the suffix is built from chr() codepoints so the
+    // decomposed sequences are unambiguous in the SQL text; the
+    // contract order is trim ∘ collapse-ws ∘ lower ∘ NFC
+    "text_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || '  CafE' || chr(769) || chr(9) || 'nai' || chr(776)
+        |       || 've  A' || chr(778) || 'rhuS ' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+        |    AS norm_text,
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+        |    AS norm_fp
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // replays CorpusOps.packShards: GLOBAL exclusive cumsum in doc_id
     // order, shard = integral division of exact longs — the two-phase
     // distributed scan must equal the one-window SQL definition
@@ -1462,6 +1486,26 @@ object ExtOracles {
         |  CAST(sum(((media_id * 29 + x * 5 + y * 19) % 256 + 256) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
 
+    // replays imageDHash over originals + perturbed clones from the
+    // pixel formula alone: brightness = r+g+b (exact ints), bit (y,x)
+    // = gray(x,y) > gray(x+1,y) on the 8x8 raster (strips = single
+    // pixels at gridW=7/gridH=8), packed little-endian into 56 bits.
+    // Clone pixels are base pattern + the (0,0) red bump — closed form
+    "multimodal_dhash" ->
+      s"""WITH $dhashCte
+         |SELECT media_id, dhash FROM dh ORDER BY media_id""".stripMargin,
+
+    // all pairs with hamming <= 4 — equivalent to the Spark side's
+    // banded join by pigeonhole (bands = maxHamming + 1 is exhaustive,
+    // not approximate), cheap at oracle scale
+    "multimodal_neardup" ->
+      s"""WITH $dhashCte
+         |SELECT x.media_id AS a, y.media_id AS b,
+         |  CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
+         |FROM dh x JOIN dh y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.dhash, y.dhash)) <= 4
+         |ORDER BY a, b""".stripMargin,
+
     "multimodal_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS len
@@ -1671,6 +1715,38 @@ object ExtOracles {
     * .LayoutOps.zorderKey]]'s overflow-free bucketing) → interleaved
     * Morton key (generated bit-shift sum, 8 bits × 2 dims).
     */
+  /** Shared dHash replay: pixel grid for originals + perturbed clones
+    * (clone = base pattern with the (0,0) red channel bumped +96 mod
+    * 256, id-shifted by 10⁶ — `MultimodalOps.perturbClones`'s
+    * contract), exact integer brightness, adjacent-pixel comparison
+    * bits packed into a 56-bit long. All floored-mod arithmetic, so
+    * the replay is total over any id.
+    */
+  private def dhashCte: String =
+    s"""ids AS (
+      |  SELECT doc_id AS media_id, doc_id AS base, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, 1 FROM documents),
+      |mpx AS (SELECT media_id, pert,
+      |    CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y,
+      |    md5(concat(CAST(base AS VARCHAR), ':', CAST(xx.i AS VARCHAR),
+      |               ':', CAST(yy.i AS VARCHAR))) AS m
+      |  FROM ids, unnest(range(8)) AS xx(i), unnest(range(8)) AS yy(i)),
+      |gpx AS (SELECT media_id, x, y,
+      |    (CASE WHEN pert = 1 AND x = 0 AND y = 0
+      |       THEN (${hexByte("m", 1)} + 96) % 256
+      |       ELSE ${hexByte("m", 1)} END)
+      |    + ${hexByte("m", 3)} + ${hexByte("m", 5)} AS gray
+      |  FROM mpx),
+      |dh AS (SELECT a.media_id,
+      |    CAST(sum(CASE WHEN a.gray > c.gray
+      |         THEN CAST(1 AS BIGINT) << CAST(a.y * 7 + a.x AS INT)
+      |         ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM gpx a JOIN gpx c
+      |    ON a.media_id = c.media_id AND a.y = c.y AND c.x = a.x + 1
+      |  WHERE a.x < 7
+      |  GROUP BY a.media_id)""".stripMargin
+
   private def zLayoutCtes: String = {
     val zkeyExpr = (0 until 8).flatMap { b =>
       Seq("zb_user_id", "zb_tsm").zipWithIndex.map { case (c, i) =>

@@ -193,6 +193,21 @@ object ExtQueries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(docs(spark, dir)).orderBy("doc_id")
 
+  /** Canonical normalization ([[TextOps.normalize]]) over the fixture
+    * decorated with a deterministic messy suffix — decomposed accents
+    * (e+U+0301, i+U+0308, A+U+030A), mixed case, tab and space runs —
+    * because the synthetic corpus is clean ASCII and would exercise
+    * nothing. Hash-green means Spark's codegen'd NFC kernel, lower,
+    * and whitespace collapse agree byte-for-byte with DuckDB's
+    * independent `nfc_normalize` implementation (utf8proc vs JDK).
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    TextOps.normalize(
+      docs(spark, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("  CafÉ\tnaïve  ÅrhuS ")).as("text")))
+      .orderBy("doc_id")
+
   /** Quality filtering — the composite keep/drop decision a training
     * pipeline applies: length band + lexical-diversity floor. Pure
     * column predicates over [[TextOps.textStats]] (codegen'd, pushes
@@ -1113,6 +1128,50 @@ object ExtQueries {
     graft.operators.MultimodalOps.imageFeatures(spark,
       graft.operators.MultimodalOps.pngMedia(spark, docs(spark, dir)))
       .orderBy("media_id")
+
+  /** pngMedia plus its formula-perturbed near-duplicate clones
+    * ([[graft.operators.MultimodalOps.perturbClones]]) — the image
+    * dedup fixture: every original has exactly one one-pixel-edited
+    * twin at id + 10⁶.
+    */
+  private def dhashMedia(spark: SparkSession, dir: String): DataFrame = {
+    // noise pixels, not the linear pattern: dedup needs images with
+    // unique local structure (see MultimodalOps.noiseChannels)
+    val m = graft.operators.MultimodalOps.noisePngMedia(spark, docs(spark, dir))
+    m.unionByName(graft.operators.MultimodalOps.perturbClones(spark, m))
+  }
+
+  /** Perceptual dHash over the decoded rasters
+    * ([[graft.operators.MultimodalOps.imageDHash]]): 56 exact integer
+    * brightness-comparison bits per image. Hash-green means the PNG
+    * encode → decode → strip-sum → bit-pack pipeline reproduces every
+    * bit of the oracle's closed-form replay — including the perturbed
+    * clones' bumped pixel.
+    */
+  def multimodalDhash(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MultimodalOps.imageDHash(spark,
+      dhashMedia(spark, dir))
+      .orderBy("media_id")
+
+  /** Image near-dup pairs by banded hamming join
+    * ([[graft.operators.MultimodalOps.imageNearDup]]): every
+    * (original, clone) twin must surface, plus any coincidental
+    * near-pairs — the oracle computes ALL pairs with hamming ≤ 4
+    * directly (equivalent by pigeonhole: bands = maxHamming + 1 makes
+    * the banded join exhaustive, not approximate). Bounded output,
+    * eager release of the one-decode-pass checkpoint.
+    */
+  def multimodalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val res = graft.operators.MultimodalOps.imageNearDup(spark,
+        dhashMedia(spark, dir))
+        .orderBy("a", "b")
+      val rows = res.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
 
   /** The events table with its timestamp lowered to exact epoch
     * microseconds (`tsm`) — the integral dimension [[LayoutOps]]'

@@ -250,4 +250,53 @@ class MultimodalStreamingSpec extends SparkSpec {
       .filter(col("s.n") =!= col("b.n") || col("s.sum_value") =!= col("b.sum_value"))
     assert(joined.count() === 0)
   }
+  test("dhash: every bit matches the driver-side pattern reference; clones land hamming-near") {
+    val docs = sources.Tables.documents(spark, sf).limit(30)
+    val media = MultimodalOps.pngMedia(spark, docs)
+    val withClones = media.unionByName(
+      MultimodalOps.perturbClones(spark, media))
+    val got = MultimodalOps.imageDHash(spark, withClones)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver reference: gray(x,y) from the pattern formula, bit (y,x) =
+    // gray(x) > gray(x+1), little-endian packed — clones bump (0,0) red
+    def gray(base: Long, pert: Boolean, x: Int, y: Int): Long = {
+      val r0 = MultimodalOps.patternChannel(base, 0, x, y)
+      val r = if (pert && x == 0 && y == 0) (r0 + 96) % 256 else r0
+      r.toLong + MultimodalOps.patternChannel(base, 1, x, y) +
+        MultimodalOps.patternChannel(base, 2, x, y)
+    }
+    def ref(base: Long, pert: Boolean): Long = {
+      var bits = 0L
+      for (y <- 0 until 8; x <- 0 until 7)
+        if (gray(base, pert, x, y) > gray(base, pert, x + 1, y))
+          bits |= 1L << (y * 7 + x)
+      bits
+    }
+    val baseIds = docs.select("doc_id").collect().map(_.getLong(0))
+    baseIds.foreach { id =>
+      assert(got(id) === ref(id, pert = false), s"dhash mismatch for $id")
+      assert(got(id + 1000000L) === ref(id, pert = true),
+        s"clone dhash mismatch for $id")
+    }
+    // the edit is perceptually small: every clone is within 2 bits
+    baseIds.foreach { id =>
+      val ham = java.lang.Long.bitCount(got(id) ^ got(id + 1000000L))
+      assert(ham <= 2, s"clone of $id drifted $ham bits")
+    }
+    // near-dup join surfaces every (original, clone) twin exactly
+    val pairs = MultimodalOps.imageNearDup(spark, withClones)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    baseIds.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 1000000L),
+        s"missing twin pair for $id")
+    }
+    // banded-join exhaustiveness: pairs equal the all-pairs filter
+    val all = for {
+      a <- got.keys.toSeq; b <- got.keys.toSeq if a < b
+      h = java.lang.Long.bitCount(got(a) ^ got(b)) if h <= 4
+    } yield (a, b, h)
+    assert(pairs.toSet === all.toSet,
+      "banded join must equal the exhaustive hamming filter")
+  }
+
 }

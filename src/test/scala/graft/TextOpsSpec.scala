@@ -553,4 +553,50 @@ class TextOpsSpec extends SparkSpec {
     // same-split pairs never leak
     assert(!leak.exists { case (a, b, sa, sb) => sa == sb })
   }
+  test("nfc kernel matches the JDK reference; composed text is the identity") {
+    import spark.implicits._
+    val fixtures = Seq(
+      (1L, "CafE\u0301"),           // decomposed acute
+      (2L, "d\u00e9j\u00e0 vu"),   // precomposed (fast path)
+      (3L, ""),
+      (4L, "A\u030A  B\tC"),       // combining ring + messy ws (kept by nfc)
+      (5L, "ascii only"))
+    val got = fixtures.toDF("doc_id", "text")
+      .selectExpr("doc_id", "nfc_normalize(text) AS n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (id, s) =>
+      val want = java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC)
+      assert(got(id) === want, s"nfc mismatch for doc $id")
+    }
+  }
+
+  test("normalize unifies case/space/encoding variants and is idempotent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, " HELLO\tWORLD "),
+      (4L, "he\u0301llo world"), // decomposed e-acute
+      (5L, "h\u00e9llo world")   // precomposed: same text as 4
+    ).toDF("doc_id", "text")
+    val n = TextOps.normalize(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // 1,2,3 collapse to one fingerprint; 4,5 to another
+    assert(Set(1L, 2L, 3L).map(n(_)._2).size === 1,
+      "case/space variants must share a fingerprint")
+    assert(n(4L)._2 === n(5L)._2,
+      "decomposed and precomposed forms must share a fingerprint")
+    assert(n(1L)._2 !== n(4L)._2)
+    // idempotence: normalizing the normalized text is the identity
+    val again = TextOps.normalize(
+      d.sparkSession.createDataFrame(
+        java.util.Arrays.asList(
+          n.toSeq.map(kv => org.apache.spark.sql.Row(kv._1, kv._2._1)): _*),
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    n.foreach { case (id, (t, _)) => assert(again(id) === t) }
+  }
+
 }
