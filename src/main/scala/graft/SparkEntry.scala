@@ -126,6 +126,7 @@ object SparkEntry {
     "pack_sequences" -> (graft.queries.ExtQueries.packSequences(_, _)),
     "corpus_pack_shards" -> (graft.queries.ExtQueries.corpusPackShards(_, _)),
     "text_normalize" -> (graft.queries.ExtQueries.textNormalize(_, _)),
+    "text_boilerplate" -> (graft.queries.ExtQueries.textBoilerplate(_, _)),
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),
@@ -144,6 +145,7 @@ object SparkEntry {
     "multimodal_decode" -> (graft.queries.ExtQueries.multimodalDecode(_, _)),
     "multimodal_dhash" -> (graft.queries.ExtQueries.multimodalDhash(_, _)),
     "multimodal_neardup" -> (graft.queries.ExtQueries.multimodalNearDup(_, _)),
+    "multimodal_audio" -> (graft.queries.ExtQueries.multimodalAudio(_, _)),
     "layout_zorder" -> (graft.queries.ExtQueries.layoutZorder(_, _)),
     "layout_skipping" -> (graft.queries.ExtQueries.layoutSkipping(_, _)),
     "layout_indexed_box" -> (graft.queries.ExtQueries.layoutIndexedBox(_, _)),

@@ -16,9 +16,13 @@ import org.apache.spark.sql.types._
   * ([[patternChannel]]), which is what makes the decode END-TO-END
   * verifiable: the driver's DuckDB oracle computes the expected pixel
   * sums from the formula alone, while the Spark side has to reproduce
-  * them through encode → PNG container → decode. Audio/video codecs
-  * stay out of scope (none ship in a JVM), but they would slot into
-  * the same per-partition seam.
+  * them through encode → PNG container → decode. The audio leg is
+  * REAL too: `javax.sound.sampled` ships a WAV/PCM codec in the JDK,
+  * so [[wavMedia]] / [[audioFeatures]] run a genuine
+  * synthesize → WAV container → decode round trip under the same
+  * closed-form-contract verification ([[audioSample]]). Compressed
+  * codecs (JPEG-beyond-ImageIO, MP3, H.264) stay out of scope, but
+  * they would slot into the same per-partition seam.
   *
   * Scale notes: payload bytes never reach the driver; metadata
   * extraction is codegen'd column work; the per-partition decode is
@@ -398,5 +402,128 @@ object MultimodalOps {
         expr("cast(bit_count(x.dhash ^ y.dhash) as int)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Audio clip shape: 16-bit signed mono PCM, [[AudioSamples]] samples
+    * at [[AudioSampleRate]] Hz, analysed in [[AudioWindow]]-sample
+    * windows (the hop = window, no overlap — each sample belongs to
+    * exactly one window, which keeps every feature exactly integer).
+    */
+  val AudioSamples: Int = 256
+  val AudioWindow: Int = 64
+  val AudioSampleRate: Float = 8000f
+
+  /** Closed-form PCM sample contract — THE waveform shared by the WAV
+    * encoder, the decode specs, and the DuckDB gate oracle (which
+    * evaluates the formula relationally instead of decoding). An
+    * affine-congruential sweep over the full 16-bit range: noisy enough
+    * that windows differ, exactly replayable as
+    * `((id*31 + i*7919) % 65536) - 32768` on any engine (7919 odd and
+    * coprime to 65536, so consecutive samples jump pseudo-randomly).
+    * floorMod keeps negative ids safe, matching [[patternChannel]].
+    */
+  def audioSample(id: Long, i: Int): Int =
+    (java.lang.Math.floorMod(id * 31L + i.toLong * 7919L, 65536L) - 32768L).toInt
+
+  private def audioFormat = new javax.sound.sampled.AudioFormat(
+    AudioSampleRate, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+
+  /** Fabricate WAV payloads for the audio-typed rows of the corpus
+    * (the `doc_id % 3 == 1` leg of [[fromDocuments]]' kind contract):
+    * [[audioSample]] waveforms encoded through the JDK's REAL WAV
+    * writer (`javax.sound.sampled.AudioSystem`) — a genuine RIFF
+    * container with headers the decode side has to parse, not a raw
+    * byte blob. 16-bit PCM is lossless, so the closed form survives
+    * the round trip bit-for-bit.
+    */
+  def wavMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val pcm = new Array[Byte](AudioSamples * 2)
+        var i = 0
+        while (i < AudioSamples) {
+          val s = audioSample(id, i)
+          pcm(2 * i) = (s & 0xff).toByte        // little-endian per format
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), audioFormat, AudioSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      })
+      .toDF("media_id", "payload")
+      .withColumn("kind", lit("audio"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        lit("audio/wav").as("mime")))
+      .select("media_id", "kind", "payload", "meta")
+  }
+
+  private def decodeWav(id: Long, payload: Array[Byte]): Array[Int] = {
+    // refuse loudly on an unparsable container / unexpected format —
+    // the decodeImage stance: a skipped row is a silent undercount
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"media $id: payload is not a decodable WAV (${payload.length} bytes)", e)
+      }
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+      s"media $id: expected 16-bit mono little-endian PCM, got $f")
+    val bytes = ais.readAllBytes()
+    val out = new Array[Int](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff))
+      i += 1
+    }
+    out
+  }
+
+  /** REAL per-partition WAV decode + windowed feature extraction: the
+    * JDK's `AudioSystem` parses the RIFF container in the executors,
+    * the decoded samples fan out relationally (posexplode), and the
+    * per-window features run as codegen'd integer aggregation — the
+    * decode seam is `mapPartitions` (a container parser genuinely
+    * isn't a Catalyst expression), everything after it is columnar.
+    *
+    * Per (clip, window): `sum_sq` (Σ s², the energy integral a VAD /
+    * silence-trim gate thresholds on), `zero_cross` (sign flips
+    * between in-window neighbours — the classic cheap pitch/noisiness
+    * proxy), `peak` (max |s|, the clipping detector). All exact
+    * integers — no float anywhere — so the driver gate hash-compares
+    * them against [[audioSample]]'s formula replayed in DuckDB.
+    *
+    * Scale shape: O(samples) rows per clip confined to the executor
+    * that decoded it until the tiny (media_id, win_no) aggregate;
+    * window partitions are [[AudioWindow]]-bounded, never corpus-sized.
+    */
+  def audioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val win = AudioWindow
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => (id, decodeWav(id, payload)) })
+      .toDF("media_id", "samples")
+      .select(col("media_id"), posexplode(col("samples")).as(Seq("i", "v")))
+      .withColumn("win_no", (col("i") / win).cast("int"))
+      .withColumn("pv", lag("v", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id", "win_no").orderBy("i")))
+      .groupBy("media_id", "win_no")
+      .agg(
+        sum(col("v").cast("long") * col("v")).as("sum_sq"),
+        sum(when(col("pv").isNotNull &&
+          ((col("v") >= 0) =!= (col("pv") >= 0)), 1L).otherwise(0L))
+          .as("zero_cross"),
+        max(abs(col("v"))).as("peak"))
   }
 }

@@ -1003,6 +1003,54 @@ object TextOps {
           .as("kept_fp"))
   }
 
+  /** Boilerplate REMOVAL by cross-document segment frequency (the
+    * C4/RefinedWeb curation pass): segments appearing in ≥ `minDf`
+    * DISTINCT documents are boilerplate (headers, nav bars, license
+    * blocks) and ALL their occurrences are dropped — including the
+    * first. The complement of [[paragraphDedup]]'s keep rule: dedup
+    * keeps one copy of a repeated segment; boilerplate removal keeps
+    * zero, because a segment that recurs across documents was never
+    * content. Segmentation is the same fixed `segTokens`-token window
+    * contract ([[paragraphDedup]]'s doc explains the single-line-corpus
+    * trade).
+    *
+    * Shape: one token-explode (the standard O(total tokens) budget), a
+    * per-segment-hash distinct-doc count, and a join back — both sides
+    * hash-partitioned on the segment hash, so the join is co-located
+    * with the aggregate's shuffle, then a per-doc reassembly
+    * aggregation. No window over corpus-sized partitions anywhere; the
+    * DF table is O(distinct segments) and never collected.
+    *
+    * Output per document: segment counts, boilerplate-fraction in
+    * exact fixed point (×10 000, integer div — the hash-protocol rule),
+    * and the md5 of the text reassembled from surviving segments in
+    * document order (md5('') when everything was boilerplate).
+    */
+  def boilerplateRemove(docs: DataFrame, segTokens: Int = 10,
+                        minDf: Int = 2): DataFrame = {
+    val seg = docs.select(col("doc_id"), tokens.as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(t) - 1) div $segTokens), " +
+          s"i -> concat_ws(' ', slice(t, i * $segTokens + 1, $segTokens)))")))
+      .select(col("doc_id"), col("pos").as("seg_no"), col("col").as("seg"))
+      .withColumn("h", md5(col("seg")))
+    val segDf = seg.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("seg_df"))
+    seg.join(segDf, "h")
+      .withColumn("kept", col("seg_df") < minDf)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_boiler"),
+        // exact fixed point: dropped-segment share ×10k, integer div
+        expr("CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) * 10000" +
+          " div count(1) AS BIGINT)").as("boiler_frac_x10k"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_no, seg) END)), x -> x.seg)")))
+          .as("clean_fp"))
+  }
+
   /** Cross-document repeated-SPAN detection (the relational
     * re-expression of Lee et al.'s exact-substring dedup, "Deduplicating
     * Training Data Makes Language Models Better"): every stride-1

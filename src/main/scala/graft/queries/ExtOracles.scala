@@ -1164,6 +1164,26 @@ object ExtOracles {
          |    ORDER BY seg_no), '')) AS kept_fp
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // replays TextOps.boilerplateRemove: segments in >= 2 distinct docs
+    // dropped EVERYWHERE (first copy included); exact fixed-point
+    // fraction; clean_fp reassembles survivors in seg_no order
+    "text_boilerplate" ->
+      s"""WITH $tokCte,
+         |seg AS (SELECT doc_id, CAST(i AS INT) AS seg_no,
+         |          array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ') AS seg
+         |        FROM tok, unnest(range((len(t) - 1) // 10 + 1)) AS u(i)),
+         |d AS (SELECT md5(seg) AS h, count(DISTINCT doc_id) AS seg_df
+         |      FROM seg GROUP BY 1),
+         |k AS (SELECT doc_id, seg_no, seg, seg_df < 2 AS kept
+         |      FROM seg JOIN d ON md5(seg) = d.h)
+         |SELECT doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+         |  CAST((sum(CASE WHEN kept THEN 0 ELSE 1 END) * 10000) // count(*)
+         |    AS BIGINT) AS boiler_frac_x10k,
+         |  md5(coalesce(string_agg(CASE WHEN kept THEN seg END, ' '
+         |    ORDER BY seg_no), '')) AS clean_fp
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // replays TextOps.substringDedup: stride-1 20-token window hashes,
     // hashes spanning >= 2 docs are duplicated spans, coverage is the
     // distinct-index union of their [pos, pos+20) ranges
@@ -1515,6 +1535,28 @@ object ExtOracles {
         |    - CAST(floor(i * len / 4.0) AS BIGINT) AS frame_bytes
         |FROM m, unnest(range(4)) AS u(i)
         |ORDER BY media_id, frame_no""".stripMargin,
+
+    // replays MultimodalOps.audioFeatures from the audioSample formula
+    // alone (((id*31 + i*7919) % 65536) - 32768, nonneg ids so % is
+    // floorMod): the Spark side must reproduce every window's energy /
+    // zero-crossings / peak through a real WAV encode → RIFF container
+    // → decode round trip; the oracle never touches a byte
+    "multimodal_audio" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |             WHERE doc_id % 3 = 1),
+        |s AS (SELECT media_id, CAST(i AS BIGINT) AS i,
+        |        CAST(((media_id * 31 + i * 7919) % 65536) - 32768 AS INT) AS v
+        |      FROM ids, unnest(range(256)) AS u(i)),
+        |w AS (SELECT media_id, CAST(i // 64 AS INT) AS win_no, i, v,
+        |        lag(v) OVER (PARTITION BY media_id, i // 64 ORDER BY i) AS pv
+        |      FROM s)
+        |SELECT media_id, win_no,
+        |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+        |  CAST(max(abs(v)) AS INT) AS peak
+        |FROM w GROUP BY media_id, win_no
+        |ORDER BY media_id, win_no""".stripMargin,
 
     // replays CorpusOps.chunkDocuments (64-token windows, stride 48)
     "corpus_chunks" ->

@@ -859,6 +859,15 @@ object ExtQueries {
   def dedupParagraph(spark: SparkSession, dir: String): DataFrame =
     TextOps.paragraphDedup(docs(spark, dir)).orderBy("doc_id")
 
+  /** Cross-document boilerplate removal
+    * ([[graft.operators.TextOps.boilerplateRemove]]): 10-token segments
+    * appearing in ≥2 distinct documents are dropped EVERYWHERE (the
+    * C4-style pass — dedup keeps one copy, boilerplate removal keeps
+    * none); per-doc counts, exact fixed-point fraction, clean-text md5.
+    */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextOps.boilerplateRemove(docs(spark, dir)).orderBy("doc_id")
+
   /** Exact repeated-span coverage (Lee et al.-style substring dedup):
     * stride-1 20-token windows shared across ≥2 documents.
     */
@@ -1172,6 +1181,18 @@ object ExtQueries {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
+
+  /** Windowed audio features through a REAL WAV round trip
+    * ([[graft.operators.MultimodalOps.audioFeatures]]): closed-form
+    * PCM clips encoded with the JDK's WAV writer, container-parsed
+    * back in the executors, then per-64-sample-window energy /
+    * zero-crossings / peak — all exact integers, hash-checked against
+    * the waveform formula replayed relationally in DuckDB.
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MultimodalOps.audioFeatures(spark,
+      graft.operators.MultimodalOps.wavMedia(spark, docs(spark, dir)))
+      .orderBy("media_id", "win_no")
 
   /** The events table with its timestamp lowered to exact epoch
     * microseconds (`tsm`) — the integral dimension [[LayoutOps]]'

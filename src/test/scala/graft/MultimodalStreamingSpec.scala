@@ -299,4 +299,42 @@ class MultimodalStreamingSpec extends SparkSpec {
       "banded join must equal the exhaustive hamming filter")
   }
 
+  test("audio: REAL WAV round-trip — decoded window features match the waveform formula") {
+    val docs = sources.Tables.documents(spark, sf).limit(60)
+    val media = MultimodalOps.wavMedia(spark, docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    // genuine RIFF/WAVE containers, not raw PCM blobs
+    val head = media.select("payload").head().getAs[Array[Byte]](0)
+    assert(new String(head.take(4), "US-ASCII") === "RIFF")
+    assert(new String(head.slice(8, 12), "US-ASCII") === "WAVE")
+    val feats = MultimodalOps.audioFeatures(spark, media)
+      .orderBy("media_id", "win_no").collect()
+    val ids = media.select("media_id").as[Long].collect().sorted
+    val win = MultimodalOps.AudioWindow
+    val nWin = MultimodalOps.AudioSamples / win
+    assert(feats.length === ids.length * nWin)
+    // driver-side reference from the closed form, bit-for-bit
+    val ref = for (id <- ids; w <- 0 until nWin) yield {
+      val s = Array.tabulate(win)(j => MultimodalOps.audioSample(id, w * win + j))
+      val zc = (1 until win).count(j => (s(j) >= 0) != (s(j - 1) >= 0))
+      (id, w, s.map(v => v.toLong * v).sum, zc.toLong, s.map(math.abs).max)
+    }
+    assert(feats.map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("win_no"),
+      r.getAs[Long]("sum_sq"), r.getAs[Long]("zero_cross"),
+      r.getAs[Int]("peak"))).toSeq === ref.toSeq)
+  }
+
+  test("audio: only audio-kind docs synthesize; malformed payload refuses loudly") {
+    val docs = sources.Tables.documents(spark, sf)
+    val media = MultimodalOps.wavMedia(spark, docs)
+    val kinds = media.select("media_id").as[Long].collect()
+    assert(kinds.nonEmpty && kinds.forall(_ % 3 == 1))
+    val bad = Seq((7L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.audioFeatures(spark, bad).collect()
+    }
+    assert(e.getMessage.contains("not a decodable WAV") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a decodable WAV")))
+  }
+
 }

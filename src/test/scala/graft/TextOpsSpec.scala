@@ -525,6 +525,38 @@ class TextOpsSpec extends SparkSpec {
     assert(fp2 == "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("boilerplate removal drops ALL occurrences of cross-doc segments, first included") {
+    import spark.implicits._
+    // shared header segment in docs 1-3 (boilerplate), unique bodies;
+    // doc 4 is all-unique, doc 5 is pure boilerplate
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")
+    def body(d: Int) = (1 to 10).map(i => s"b$d$i").mkString(" ")
+    val toy = Seq(
+      (1L, s"$header ${body(1)}"),
+      (2L, s"$header ${body(2)}"),
+      (3L, s"$header ${body(3)}"),
+      (4L, body(4)),
+      (5L, header)).toDF("doc_id", "text")
+    val r = TextOps.boilerplateRemove(toy).orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_segs"),
+        x.getAs[Long]("n_boiler"), x.getAs[Long]("boiler_frac_x10k"),
+        x.getAs[String]("clean_fp")))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // docs 1-3: header dropped (FIRST copy too — the paragraphDedup
+    // contrast), body kept; doc 4 untouched; doc 5 emptied
+    assert(r.toSeq === Seq(
+      (1L, 2L, 1L, 5000L, md5(body(1))),
+      (2L, 2L, 1L, 5000L, md5(body(2))),
+      (3L, 2L, 1L, 5000L, md5(body(3))),
+      (4L, 1L, 0L, 0L, md5(body(4))),
+      (5L, 1L, 1L, 10000L, md5(""))))
+    // idempotence: a boilerplate-free corpus passes through unchanged
+    val clean = Seq((1L, body(1)), (2L, body(2))).toDF("doc_id", "text")
+    assert(TextOps.boilerplateRemove(clean)
+      .filter(col("n_boiler") > 0).count() === 0)
+  }
+
   test("splitLeakage reports exactly the cross-split near-dup pairs") {
     import spark.implicits._
     // near-dup trio (0,1,2 share text), one unrelated doc; force splits
