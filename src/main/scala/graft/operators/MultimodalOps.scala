@@ -279,8 +279,14 @@ object MultimodalOps {
     * closed-form (base pattern + the bump), so the DuckDB oracle
     * replays them without decoding anything.
     */
+  /** Planted-clone id offset shared by the perceptual-dedup fixtures
+    * ([[perturbClones]], [[gainClones]]): clone of media `id` is
+    * `id + CloneOffset`, so expected pairs are closed-form.
+    */
+  val CloneOffset: Long = 1000000L
+
   def perturbClones(spark: SparkSession, media: DataFrame,
-                    idOffset: Long = 1000000L): DataFrame = {
+                    idOffset: Long = CloneOffset): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
@@ -380,26 +386,38 @@ object MultimodalOps {
     */
   def imageNearDup(spark: SparkSession, media: DataFrame,
                    maxHamming: Int = 4,
-                   gridW: Int = 7, gridH: Int = 8): DataFrame = {
-    val nBits = gridW * gridH
+                   gridW: Int = 7, gridH: Int = 8): DataFrame =
+    bandedHammingPairs(
+      imageDHash(spark, media, gridW, gridH)
+        .localCheckpoint(), // one decode pass feeds both join sides
+      hashCol = "dhash", nBits = gridW * gridH, maxHamming = maxHamming)
+
+  /** Shared banded-hamming-join kernel for perceptual fingerprints
+    * (the [[TextOps.simhashPairs]] shape): split `hashCol` into
+    * `maxHamming + 1` bit bands (pigeonhole: ≤ maxHamming differing
+    * bits leave at least one band intact, so the join is EXHAUSTIVE,
+    * not approximate), bucket-join on (band, value), verify with a
+    * codegen'd `bit_count(a XOR b)`. Candidate count is
+    * collision-bounded — never all-pairs.
+    */
+  private def bandedHammingPairs(h: DataFrame, hashCol: String,
+                                 nBits: Int, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
-    val h = imageDHash(spark, media, gridW, gridH)
-      .localCheckpoint() // one decode pass feeds both join sides
-    val banded = h.select(col("media_id"), col("dhash"),
+    val banded = h.select(col("media_id"), col(hashCol).as("fp"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}), b -> struct(
            |  b AS band,
-           |  shiftright(dhash, int(b * $nBits / $bands)) &
+           |  shiftright($hashCol, int(b * $nBits / $bands)) &
            |    (shiftleft(1L, int((b + 1) * $nBits / $bands)
            |               - int(b * $nBits / $bands)) - 1) AS v))"""
           .stripMargin)).as("e"))
-      .select(col("media_id"), col("dhash"),
+      .select(col("media_id"), col("fp"),
         col("e.band").as("band"), col("e.v").as("v"))
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
-        expr("cast(bit_count(x.dhash ^ y.dhash) as int)").as("hamming"))
+        expr("cast(bit_count(x.fp ^ y.fp) as int)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -436,25 +454,38 @@ object MultimodalOps {
     * byte blob. 16-bit PCM is lossless, so the closed form survives
     * the round trip bit-for-bit.
     */
-  def wavMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def wavMedia(spark: SparkSession, docs: DataFrame): DataFrame =
+    synthWavMedia(spark, docs, audioSample)
+
+  /** High-entropy sample contract for the perceptual audio-dedup
+    * fixtures — the [[noiseChannels]] posture on the time axis:
+    * 16 bits from md5("a:id:i") (the "a:" prefix keeps the contract
+    * disjoint from the image pixels' "id:x:y"). [[audioSample]]'s
+    * affine sweep is a fine DECODE fixture but a useless dedup one:
+    * clips at adjacent ids differ by a near-constant offset, so every
+    * clip's energy contour collides with every other's (measured:
+    * 6 979 coincidental hamming-≤4 pairs at 334 clips). md5 samples
+    * give every clip independent structure, so the only near-dups are
+    * the ones [[gainClones]] plants. Replayable: DuckDB's md5 yields
+    * the same hex.
+    */
+  def noiseSample(id: Long, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"a:$id:$i".getBytes("UTF-8"))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) - 32768
+  }
+
+  /** [[wavMedia]] with [[noiseSample]] waveforms — the dedup fixture. */
+  def noiseWavMedia(spark: SparkSession, docs: DataFrame): DataFrame =
+    synthWavMedia(spark, docs, noiseSample)
+
+  private def synthWavMedia(spark: SparkSession, docs: DataFrame,
+                            sample: (Long, Int) => Int): DataFrame = {
     import spark.implicits._
     docs.filter(col("doc_id") % 3 === 1)
       .select(col("doc_id").as("media_id")).as[Long]
       .mapPartitions(_.map { id =>
-        val pcm = new Array[Byte](AudioSamples * 2)
-        var i = 0
-        while (i < AudioSamples) {
-          val s = audioSample(id, i)
-          pcm(2 * i) = (s & 0xff).toByte        // little-endian per format
-          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-          i += 1
-        }
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), audioFormat, AudioSamples.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
-          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        (id, bos.toByteArray)
+        (id, encodeWav(Array.tabulate(AudioSamples)(sample(id, _))))
       })
       .toDF("media_id", "payload")
       .withColumn("kind", lit("audio"))
@@ -463,6 +494,22 @@ object MultimodalOps {
         sha2(col("payload"), 256).as("sha256"),
         lit("audio/wav").as("mime")))
       .select("media_id", "kind", "payload", "meta")
+  }
+
+  private def encodeWav(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte   // little-endian per format
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), audioFormat, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   private def decodeWav(id: Long, payload: Array[Byte]): Array[Int] = {
@@ -526,4 +573,75 @@ object MultimodalOps {
           .as("zero_cross"),
         max(abs(col("v"))).as("peak"))
   }
+
+  /** Sub-window width for the audio fingerprint: 256 samples / 8 = 32
+    * energies → 31 contour bits.
+    */
+  val AudioSubWin: Int = 8
+
+  /** Gain-scaled audio clones for the perceptual-dedup fixtures — the
+    * [[perturbClones]] analog: decode the REAL WAV, rescale every
+    * sample by `num/den` with `floorDiv` (floored division, matching
+    * SQL `//` so the oracle replays clone samples in closed form),
+    * re-encode through the WAV writer. A volume change rewrites every
+    * byte of the container — byte-hash dedup sees a brand-new file,
+    * [[audioFingerprint]] sees (nearly) the same energy contour.
+    */
+  def gainClones(spark: SparkSession, media: DataFrame,
+                 num: Int = 9, den: Int = 10,
+                 offset: Long = CloneOffset): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        (id + offset, encodeWav(decodeWav(id, payload)
+          .map(v => java.lang.Math.floorDiv(v * num, den))))
+      })
+      .toDF("media_id", "payload")
+      .withColumn("kind", lit("audio"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        lit("audio/wav").as("mime")))
+      .select("media_id", "kind", "payload", "meta")
+  }
+
+  /** Perceptual audio fingerprint — the [[imageDHash]] design on the
+    * time axis: 32 sub-window energies (Σ s² over [[AudioSubWin]]
+    * samples, exact longs), bit k = "sub-window k louder than k+1"
+    * (k = 0..30, packed little-endian into a positive long). The
+    * energy CONTOUR is invariant under uniform gain up to integer
+    * rounding (volume scales every energy by the same factor, which
+    * cannot flip a strict > between them except at rounding
+    * boundaries), so re-levelled copies land hamming-near while
+    * byte-level hashes see unrelated files. Decode runs in the
+    * per-partition seam; everything after is codegen'd integer work,
+    * replayable bit-for-bit from [[audioSample]]'s formula in DuckDB.
+    */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sub = AudioSubWin
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => (id, decodeWav(id, payload)) })
+      .toDF("media_id", "samples")
+      .select(col("media_id"), posexplode(col("samples")).as(Seq("i", "v")))
+      .groupBy(col("media_id"), (col("i") / sub).cast("int").as("k"))
+      .agg(sum(col("v").cast("long") * col("v")).as("e"))
+      .withColumn("ne", lead("e", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("k")))
+      .groupBy("media_id")
+      .agg(sum(when(col("ne").isNotNull && col("e") > col("ne"),
+        expr("shiftleft(1L, int(k))")).otherwise(0L)).as("afp"))
+  }
+
+  /** Near-duplicate audio pairs: banded hamming join over
+    * [[audioFingerprint]] — exhaustive by pigeonhole, collision-
+    * bounded, one decode pass feeding both join sides.
+    */
+  def audioNearDup(spark: SparkSession, media: DataFrame,
+                   maxHamming: Int = 4): DataFrame =
+    bandedHammingPairs(
+      audioFingerprint(spark, media).localCheckpoint(),
+      hashCol = "afp", nBits = AudioSamples / AudioSubWin - 1,
+      maxHamming = maxHamming)
 }

@@ -1558,6 +1558,24 @@ object ExtOracles {
         |FROM w GROUP BY media_id, win_no
         |ORDER BY media_id, win_no""".stripMargin,
 
+    // replays MultimodalOps.audioFingerprint over originals + gain
+    // clones from the waveform formula alone — the Spark side must
+    // reproduce every contour bit through decode → scale → re-encode
+    // → decode
+    "multimodal_afp" ->
+      s"""WITH $afpCte
+         |SELECT media_id, afp FROM af ORDER BY media_id""".stripMargin,
+
+    // all pairs with hamming <= 4 — equivalent to the banded join by
+    // pigeonhole, cheap at oracle scale
+    "multimodal_audio_neardup" ->
+      s"""WITH $afpCte
+         |SELECT x.media_id AS a, y.media_id AS b,
+         |  CAST(bit_count(xor(x.afp, y.afp)) AS INT) AS hamming
+         |FROM af x JOIN af y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.afp, y.afp)) <= 4
+         |ORDER BY a, b""".stripMargin,
+
     // replays CorpusOps.chunkDocuments (64-token windows, stride 48)
     "corpus_chunks" ->
       s"""WITH $tokCte,
@@ -1788,6 +1806,39 @@ object ExtOracles {
       |    ON a.media_id = c.media_id AND a.y = c.y AND c.x = a.x + 1
       |  WHERE a.x < 7
       |  GROUP BY a.media_id)""".stripMargin
+
+  /** Shared audio-fingerprint replay: [[graft.operators.MultimodalOps
+    * .noiseSample]] md5 waveforms for originals + gain-scaled clones
+    * (clone sample = floorDiv(v·9, 10), id-shifted by 10⁶ —
+    * `gainClones`' contract; floorDiv emulated with exact integer
+    * floored-mod arithmetic since DuckDB's `//` truncates), 32
+    * sub-window energies, contour bits packed into a 31-bit long.
+    */
+  private def afpCte: String =
+    s"""aids AS (SELECT doc_id AS media_id FROM documents
+      |          WHERE doc_id % 3 = 1),
+      |sm AS (SELECT media_id, CAST(i AS BIGINT) AS i,
+      |         md5(concat('a:', CAST(media_id AS VARCHAR), ':',
+      |                    CAST(i AS VARCHAR))) AS m
+      |       FROM aids, unnest(range(256)) AS u(i)),
+      |s0 AS (SELECT media_id, i,
+      |         CAST(${nibbleValue("m", 4)} - 32768 AS INT) AS v
+      |       FROM sm),
+      |sall AS (SELECT media_id, i, v FROM s0
+      |       UNION ALL
+      |       SELECT media_id + 1000000, i,
+      |         CAST((v * 9 - (((v * 9) % 10) + 10) % 10) // 10 AS INT)
+      |       FROM s0),
+      |en AS (SELECT media_id, CAST(i // 8 AS INT) AS k,
+      |         sum(CAST(v AS BIGINT) * v) AS e
+      |       FROM sall GROUP BY 1, 2),
+      |eb AS (SELECT media_id, k, e,
+      |         lead(e) OVER (PARTITION BY media_id ORDER BY k) AS ne
+      |       FROM en),
+      |af AS (SELECT media_id,
+      |    CAST(sum(CASE WHEN ne IS NOT NULL AND e > ne
+      |         THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS afp
+      |  FROM eb GROUP BY media_id)""".stripMargin
 
   private def zLayoutCtes: String = {
     val zkeyExpr = (0 until 8).flatMap { b =>

@@ -1182,6 +1182,40 @@ object ExtQueries {
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
+  private def afpMedia(spark: SparkSession, dir: String): DataFrame = {
+    // md5-noise waveforms, not the affine sweep: dedup needs clips
+    // with independent structure (see MultimodalOps.noiseSample);
+    // + gain-scaled (×9/10, floored) clones — a volume change rewrites
+    // every container byte but preserves the energy contour
+    val m = graft.operators.MultimodalOps.noiseWavMedia(spark, docs(spark, dir))
+    m.unionByName(graft.operators.MultimodalOps.gainClones(spark, m))
+  }
+
+  /** Perceptual audio fingerprints over originals + gain-scaled clones
+    * ([[graft.operators.MultimodalOps.audioFingerprint]]): 31 exact
+    * energy-contour comparison bits per clip, hash-checked against the
+    * waveform formula (clone samples included) replayed in DuckDB.
+    */
+  def multimodalAfp(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MultimodalOps.audioFingerprint(spark,
+      afpMedia(spark, dir)).orderBy("media_id")
+
+  /** Near-duplicate audio pairs by banded hamming join
+    * ([[graft.operators.MultimodalOps.audioNearDup]]) — catches the
+    * planted re-levelled copies a byte hash cannot.
+    */
+  def multimodalAudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val res = graft.operators.MultimodalOps.audioNearDup(spark,
+        afpMedia(spark, dir))
+        .orderBy("a", "b")
+      val rows = res.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
   /** Windowed audio features through a REAL WAV round trip
     * ([[graft.operators.MultimodalOps.audioFeatures]]): closed-form
     * PCM clips encoded with the JDK's WAV writer, container-parsed

@@ -324,6 +324,47 @@ class MultimodalStreamingSpec extends SparkSpec {
       r.getAs[Int]("peak"))).toSeq === ref.toSeq)
   }
 
+  test("audio fingerprint: gain-scaled clones land hamming-near, banded join is exhaustive") {
+    val docs = sources.Tables.documents(spark, sf).limit(90)
+    val m = MultimodalOps.noiseWavMedia(spark, docs)
+    val withClones = m.unionByName(MultimodalOps.gainClones(spark, m))
+    val fp = MultimodalOps.audioFingerprint(spark, withClones)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("afp"))).toMap
+    val baseIds = fp.keys.filter(_ < MultimodalOps.CloneOffset).toSeq.sorted
+    assert(baseIds.nonEmpty)
+    // driver-side reference for one base clip: energies from the formula
+    val id = baseIds.head
+    val s = Array.tabulate(MultimodalOps.AudioSamples)(MultimodalOps.noiseSample(id, _))
+    val es = s.grouped(MultimodalOps.AudioSubWin).map(_.map(v => v.toLong * v).sum).toArray
+    val ref = (0 until es.length - 1)
+      .filter(k => es(k) > es(k + 1)).map(1L << _).sum
+    assert(fp(id) === ref, "fingerprint must match the closed-form contour")
+    // gain invariance: uniform volume change preserves the energy
+    // contour up to rounding — every clone within the dedup radius
+    baseIds.foreach { b =>
+      val h = java.lang.Long.bitCount(fp(b) ^ fp(b + MultimodalOps.CloneOffset))
+      assert(h <= 4, s"clip $b: gain clone drifted to hamming $h")
+    }
+    // md5 waveforms decorrelate clips: every planted clone pair is
+    // found, and coincidental collisions stay rare (the affine sweep
+    // collided ~12% of ALL pairs — the degenerate-fixture failure)
+    val pairs = MultimodalOps.audioNearDup(spark, withClones)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    baseIds.foreach { b =>
+      assert(pairs.exists(p => p._1 == b && p._2 == b + MultimodalOps.CloneOffset),
+        s"missing clone pair for $b")
+    }
+    val coincidental = pairs.count(p => p._2 - p._1 != MultimodalOps.CloneOffset)
+    assert(coincidental <= pairs.size / 4,
+      s"fixture degenerate: $coincidental coincidental of ${pairs.size}")
+    // banded join equals the exhaustive hamming filter
+    val all = for {
+      a <- fp.keys.toSeq; b <- fp.keys.toSeq if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= 4
+    } yield (a, b, h)
+    assert(pairs === all.toSet)
+  }
+
   test("audio: only audio-kind docs synthesize; malformed payload refuses loudly") {
     val docs = sources.Tables.documents(spark, sf)
     val media = MultimodalOps.wavMedia(spark, docs)
