@@ -984,12 +984,8 @@ object TextOps {
     */
   def paragraphDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seg = docs.select(col("doc_id"), tokens.as("t"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, (size(t) - 1) div $segTokens), " +
-          s"i -> concat_ws(' ', slice(t, i * $segTokens + 1, $segTokens)))")))
-      .select(col("doc_id"), col("pos").as("seg_no"), col("col").as("seg"))
-    val firstSeen = Window.partitionBy(md5(col("seg")))
+    val seg = segmentize(docs, segTokens)
+    val firstSeen = Window.partitionBy(col("h"))
       .orderBy(col("doc_id"), col("seg_no"))
     seg.withColumn("kept", row_number().over(firstSeen) === 1)
       .groupBy("doc_id")
@@ -1028,17 +1024,32 @@ object TextOps {
     */
   def boilerplateRemove(docs: DataFrame, segTokens: Int = 10,
                         minDf: Int = 2): DataFrame = {
-    val seg = docs.select(col("doc_id"), tokens.as("t"))
+    val seg = segmentize(docs, segTokens)
+    val segDf = seg.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("seg_df"))
+    reassembleClean(seg.join(segDf, "h")
+      .withColumn("kept", col("seg_df") < minDf))
+  }
+
+  /** The fixed-window segment kernel shared by [[boilerplateRemove]],
+    * [[paragraphDedup]] and [[BoilerplateIndex]]: one row per
+    * (doc, seg_no) with the segment text and its md5.
+    */
+  private[operators] def segmentize(docs: DataFrame, segTokens: Int): DataFrame =
+    docs.select(col("doc_id"), tokens.as("t"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, (size(t) - 1) div $segTokens), " +
           s"i -> concat_ws(' ', slice(t, i * $segTokens + 1, $segTokens)))")))
       .select(col("doc_id"), col("pos").as("seg_no"), col("col").as("seg"))
       .withColumn("h", md5(col("seg")))
-    val segDf = seg.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("seg_df"))
-    seg.join(segDf, "h")
-      .withColumn("kept", col("seg_df") < minDf)
-      .groupBy("doc_id")
+
+  /** Per-doc reassembly from flagged segments (`doc_id, seg_no, seg,
+    * kept`): counts, exact fixed-point dropped share, and the md5 of
+    * the surviving text in document order — [[boilerplateRemove]]'s
+    * output contract, shared with the index-served apply path.
+    */
+  private[operators] def reassembleClean(flagged: DataFrame): DataFrame =
+    flagged.groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segs"),
         sum(when(!col("kept"), 1L).otherwise(0L)).cast("bigint")
@@ -1049,7 +1060,6 @@ object TextOps {
         md5(concat_ws(" ", expr(
           "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_no, seg) END)), x -> x.seg)")))
           .as("clean_fp"))
-  }
 
   /** Cross-document repeated-SPAN detection (the relational
     * re-expression of Lee et al.'s exact-substring dedup, "Deduplicating

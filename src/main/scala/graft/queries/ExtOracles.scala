@@ -310,6 +310,23 @@ object ExtOracles {
     * the kept set must equal the exact form's exactly. Shared by the
     * direct and the persisted-artifact (ContaminationIndex) gates.
     */
+  private def boilerplateSql: String =
+    s"""WITH $tokCte,
+       |seg AS (SELECT doc_id, CAST(i AS INT) AS seg_no,
+       |          array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ') AS seg
+       |        FROM tok, unnest(range((len(t) - 1) // 10 + 1)) AS u(i)),
+       |d AS (SELECT md5(seg) AS h, count(DISTINCT doc_id) AS seg_df
+       |      FROM seg GROUP BY 1),
+       |k AS (SELECT doc_id, seg_no, seg, seg_df < 2 AS kept
+       |      FROM seg JOIN d ON md5(seg) = d.h)
+       |SELECT doc_id, count(*) AS n_segs,
+       |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+       |  CAST((sum(CASE WHEN kept THEN 0 ELSE 1 END) * 10000) // count(*)
+       |    AS BIGINT) AS boiler_frac_x10k,
+       |  md5(coalesce(string_agg(CASE WHEN kept THEN seg END, ' '
+       |    ORDER BY seg_no), '')) AS clean_fp
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def decontaminateSql: String =
     """WITH tokc AS (SELECT doc_id, string_split(text, ' ') AS t
       |              FROM documents WHERE doc_id % 100 <> 0),
@@ -1167,22 +1184,11 @@ object ExtOracles {
     // replays TextOps.boilerplateRemove: segments in >= 2 distinct docs
     // dropped EVERYWHERE (first copy included); exact fixed-point
     // fraction; clean_fp reassembles survivors in seg_no order
-    "text_boilerplate" ->
-      s"""WITH $tokCte,
-         |seg AS (SELECT doc_id, CAST(i AS INT) AS seg_no,
-         |          array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ') AS seg
-         |        FROM tok, unnest(range((len(t) - 1) // 10 + 1)) AS u(i)),
-         |d AS (SELECT md5(seg) AS h, count(DISTINCT doc_id) AS seg_df
-         |      FROM seg GROUP BY 1),
-         |k AS (SELECT doc_id, seg_no, seg, seg_df < 2 AS kept
-         |      FROM seg JOIN d ON md5(seg) = d.h)
-         |SELECT doc_id, count(*) AS n_segs,
-         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
-         |  CAST((sum(CASE WHEN kept THEN 0 ELSE 1 END) * 10000) // count(*)
-         |    AS BIGINT) AS boiler_frac_x10k,
-         |  md5(coalesce(string_agg(CASE WHEN kept THEN seg END, ' '
-         |    ORDER BY seg_no), '')) AS clean_fp
-         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" -> boilerplateSql,
+
+    // index-served strip over a two-batch incremental build is
+    // value-identical to the direct operator (delta counts converge)
+    "text_boilerplate_indexed" -> boilerplateSql,
 
     // replays TextOps.substringDedup: stride-1 20-token window hashes,
     // hashes spanning >= 2 docs are duplicated spans, coverage is the

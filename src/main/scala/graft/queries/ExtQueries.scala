@@ -868,6 +868,31 @@ object ExtQueries {
   def textBoilerplate(spark: SparkSession, dir: String): DataFrame =
     TextOps.boilerplateRemove(docs(spark, dir)).orderBy("doc_id")
 
+  private val boilerIndexCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def boilerIndexPath(spark: SparkSession, dir: String): String =
+    boilerIndexCache.get(spark, dir) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-boiler-index").toString
+      // incremental build: two disjoint halves through write + update —
+      // the gate then ALSO pins that delta ingestion converges to the
+      // one-shot counts (it shares the direct op's oracle)
+      graft.operators.BoilerplateIndex.write(
+        docs(spark, dir).filter(col("doc_id") % 2 === 0), path)
+      graft.operators.BoilerplateIndex.update(
+        docs(spark, dir).filter(col("doc_id") % 2 =!= 0), path)
+      path
+    }
+
+  /** The same per-doc output as [[textBoilerplate]], served from the
+    * PERSISTED counts artifact ([[graft.operators.BoilerplateIndex]])
+    * built incrementally in two batches — value-identical to the
+    * direct operator, so it shares its oracle verbatim.
+    */
+  def textBoilerplateIndexed(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BoilerplateIndex.strip(
+      docs(spark, dir), boilerIndexPath(spark, dir)).orderBy("doc_id")
+
   /** Exact repeated-span coverage (Lee et al.-style substring dedup):
     * stride-1 20-token windows shared across ≥2 documents.
     */

@@ -309,6 +309,43 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Boilerplate-learning ingest: per micro-batch, fold the batch's
+    * segment frequencies into the persisted
+    * [[graft.operators.BoilerplateIndex]] (O(batch) delta append —
+    * never O(corpus)), then emit the batch stripped against the
+    * UPDATED counts. Prefix semantics, stated plainly: a document's
+    * verdict uses every document ingested up to and including its own
+    * batch — boilerplate discovered by LATER batches is not
+    * retroactively removed from earlier output (re-run
+    * [[graft.operators.BoilerplateIndex.strip]] over the corpus for
+    * the closed-world answer; the spec pins that the index itself
+    * converges to the one-shot build). Update-before-strip keeps the
+    * direct-op invariant that a segment repeated WITHIN the batch
+    * counts toward its own threshold.
+    */
+  def boilerplateStream(docs: DataFrame, indexPath: String,
+      cleanPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      minDf: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try {
+          // pin: the batch feeds the count delta AND the strip — and a
+          // streaming source must not be re-read on the second use
+          val pinned = batch.localCheckpoint()
+          graft.operators.BoilerplateIndex.update(pinned, indexPath)
+          graft.operators.BoilerplateIndex.strip(pinned, indexPath, minDf)
+            .write.mode("append").parquet(cleanPath)
+        } finally graft.BenchUtil.releaseNewRdds(sc, before)
+        ()
+      }
+      .start()
+
   /** Model-served quality filtering at ingest: per micro-batch, score
     * with a TRAINED classifier's frozen weights
     * ([[graft.operators.QualityClassifier.score]]) and append only the
