@@ -76,6 +76,13 @@ object BoilerplateIndex {
   def update(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
     IndexStores.healRoot(spark, path)
+    // heal the counts store's own swap window BEFORE appending: a
+    // compact() that died between its two renames leaves the history
+    // only under counts.__old_*, and an append that recreates a live
+    // counts/ first would strand (then stale-clean) that history —
+    // update is a writer, so it must run the same per-store heal every
+    // reader does
+    IndexStores.hasStore(spark, s"$path/counts")
     batchCounts(docs, segTokensOf(spark, path))
       .write.mode("append").parquet(s"$path/counts")
   }

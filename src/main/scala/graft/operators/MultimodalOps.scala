@@ -271,6 +271,12 @@ object MultimodalOps {
       .select("media_id", "kind", "payload", "meta")
   }
 
+  /** Planted-clone id offset shared by the perceptual-dedup fixtures
+    * ([[perturbClones]], [[gainClones]]): clone of media `id` is
+    * `id + CloneOffset`, so expected pairs are closed-form.
+    */
+  val CloneOffset: Long = 1000000L
+
   /** Formula-defined near-duplicate clones — the image-dedup fixture:
     * decode, bump pixel (0,0)'s RED channel by +96 mod 256, re-encode
     * under `id + idOffset`. A one-pixel edit moves at most one dhash
@@ -279,12 +285,6 @@ object MultimodalOps {
     * closed-form (base pattern + the bump), so the DuckDB oracle
     * replays them without decoding anything.
     */
-  /** Planted-clone id offset shared by the perceptual-dedup fixtures
-    * ([[perturbClones]], [[gainClones]]): clone of media `id` is
-    * `id + CloneOffset`, so expected pairs are closed-form.
-    */
-  val CloneOffset: Long = 1000000L
-
   def perturbClones(spark: SparkSession, media: DataFrame,
                     idOffset: Long = CloneOffset): DataFrame = {
     import spark.implicits._
@@ -582,7 +582,10 @@ object MultimodalOps {
   /** Gain-scaled audio clones for the perceptual-dedup fixtures — the
     * [[perturbClones]] analog: decode the REAL WAV, rescale every
     * sample by `num/den` with `floorDiv` (floored division, matching
-    * SQL `//` so the oracle replays clone samples in closed form),
+    * SQL `//` so the oracle replays clone samples in closed form) and
+    * SATURATE to the 16-bit range (what a real gain stage does when
+    * amplification clips; without the clamp an amplifying ratio would
+    * wrap through the byte pack — a sign flip, not a gain change),
     * re-encode through the WAV writer. A volume change rewrites every
     * byte of the container — byte-hash dedup sees a brand-new file,
     * [[audioFingerprint]] sees (nearly) the same energy contour.
@@ -594,7 +597,8 @@ object MultimodalOps {
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         (id + offset, encodeWav(decodeWav(id, payload)
-          .map(v => java.lang.Math.floorDiv(v * num, den))))
+          .map(v => math.min(32767,
+            math.max(-32768, java.lang.Math.floorDiv(v * num, den))))))
       })
       .toDF("media_id", "payload")
       .withColumn("kind", lit("audio"))

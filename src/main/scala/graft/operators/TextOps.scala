@@ -992,11 +992,7 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_segs"),
         sum(when(col("kept"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
-        // collect_list skips nulls, so only kept segments enter; the
-        // struct sort restores seg_no order deterministically
-        md5(concat_ws(" ", expr(
-          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_no, seg) END)), x -> x.seg)")))
-          .as("kept_fp"))
+        keptFp.as("kept_fp"))
   }
 
   /** Boilerplate REMOVAL by cross-document segment frequency (the
@@ -1048,18 +1044,28 @@ object TextOps {
     * the surviving text in document order — [[boilerplateRemove]]'s
     * output contract, shared with the index-served apply path.
     */
+  /** md5 of the kept segments rejoined in document order — the one
+    * reassembly fingerprint, shared by [[paragraphDedup]] (`kept_fp`)
+    * and [[reassembleClean]] (`clean_fp`). collect_list skips the NULLs
+    * dropped segments leave; the struct sort restores seg_no order
+    * deterministically; md5('') when everything was dropped.
+    */
+  private def keptFp: Column =
+    md5(concat_ws(" ", expr(
+      "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_no, seg) END)), x -> x.seg)")))
+
   private[operators] def reassembleClean(flagged: DataFrame): DataFrame =
     flagged.groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segs"),
         sum(when(!col("kept"), 1L).otherwise(0L)).cast("bigint")
           .as("n_boiler"),
-        // exact fixed point: dropped-segment share ×10k, integer div
-        expr("CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) * 10000" +
-          " div count(1) AS BIGINT)").as("boiler_frac_x10k"),
-        md5(concat_ws(" ", expr(
-          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_no, seg) END)), x -> x.seg)")))
-          .as("clean_fp"))
+        keptFp.as("clean_fp"))
+      // exact fixed point: dropped-segment share ×10k, integer div —
+      // derived AFTER the agg so the conditional sum runs once
+      .withColumn("boiler_frac_x10k",
+        expr("CAST(n_boiler * 10000 div n_segs AS BIGINT)"))
+      .select("doc_id", "n_segs", "n_boiler", "boiler_frac_x10k", "clean_fp")
 
   /** Cross-document repeated-SPAN detection (the relational
     * re-expression of Lee et al.'s exact-substring dedup, "Deduplicating

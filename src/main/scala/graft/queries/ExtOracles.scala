@@ -1833,7 +1833,8 @@ object ExtOracles {
       |sall AS (SELECT media_id, i, v FROM s0
       |       UNION ALL
       |       SELECT media_id + 1000000, i,
-      |         CAST((v * 9 - (((v * 9) % 10) + 10) % 10) // 10 AS INT)
+      |         CAST(least(32767, greatest(-32768,
+      |           (v * 9 - (((v * 9) % 10) + 10) % 10) // 10)) AS INT)
       |       FROM s0),
       |en AS (SELECT media_id, CAST(i // 8 AS INT) AS k,
       |         sum(CAST(v AS BIGINT) * v) AS e

@@ -326,12 +326,12 @@ object StreamingPipeline {
   def boilerplateStream(docs: DataFrame, indexPath: String,
       cleanPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      minDf: Int = 2)
+      minDf: Int = 2, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sc = batch.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet.toSet
         try {
@@ -341,6 +341,13 @@ object StreamingPipeline {
           graft.operators.BoilerplateIndex.update(pinned, indexPath)
           graft.operators.BoilerplateIndex.strip(pinned, indexPath, minDf)
             .write.mode("append").parquet(cleanPath)
+          // fold the delta rows back periodically: strip re-aggregates
+          // the whole counts store each trigger, so an uncompacted
+          // stream pays O(batches x distinct-segments) per trigger —
+          // the compact dial the index doc prescribes, applied in-loop
+          if ((batchId + 1) % compactEvery == 0)
+            graft.operators.BoilerplateIndex.compact(
+              batch.sparkSession, indexPath)
         } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }

@@ -51,8 +51,24 @@ class BoilerplateIndexSpec extends SparkSpec {
     val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
 
     val src = tmpDir("boiler-stream-src")
-    Seq(b1, b2, b3).foreach(b =>
-      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src))
+    // FileStreamSource orders the initial backlog by modification time;
+    // pin strictly increasing mtimes per slice so the prefix-semantics
+    // assertion can't flake on timestamp-granularity ties (the
+    // ShardManifestSpec mitigation)
+    import scala.jdk.CollectionConverters._
+    val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+      java.nio.file.Files.list(java.nio.file.Paths.get(src))
+        .iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .filterNot(stamped.contains)
+        .foreach { p =>
+          stamped += p
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis((i + 1) * 60000L))
+        }
+    }
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
 
@@ -76,6 +92,24 @@ class BoilerplateIndexSpec extends SparkSpec {
     val oneShotCounts = spark.read.parquet(s"$oneShot/counts")
       .orderBy("h").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(streamedCounts === oneShotCounts)
+  }
+
+  test("update after a compact crash window heals the counts store, not strands it") {
+    val docs = Seq((1L, header), (2L, header)).toDF("doc_id", "text")
+    val path = tmpDir("boiler-crash")
+    BoilerplateIndex.write(docs.filter($"doc_id" === 1L), path)
+    // simulate compact() dying between its two renames: history exists
+    // only under counts.__old_*, live counts/ absent
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.move(dir.resolve("counts"),
+      dir.resolve("counts.__old_19700101000000000"))
+    // a writer arriving in the window must recover the history first —
+    // unhealed, this append would recreate counts/ with only doc 2's
+    // delta and the next stale-clean would delete the stranded history
+    BoilerplateIndex.update(docs.filter($"doc_id" === 2L), path)
+    val r = BoilerplateIndex.strip(docs, path).collect()
+    assert(r.forall(_.getAs[Long]("n_boiler") == 1L),
+      "both docs' counts must survive the crash window")
   }
 
   test("within-batch recurrence counts toward the threshold (update-before-strip)") {
