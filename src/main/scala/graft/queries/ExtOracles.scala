@@ -1582,6 +1582,28 @@ object ExtOracles {
          |WHERE bit_count(xor(x.afp, y.afp)) <= 4
          |ORDER BY a, b""".stripMargin,
 
+    // replays MultimodalOps.frameDHashes from the videoChannel formula
+    // alone — the Spark side demuxes the container and decodes every
+    // frame; the oracle never touches a byte
+    "multimodal_video_dhash" ->
+      s"""WITH $videoDhashCte
+         |SELECT media_id, frame_no, dhash FROM vdh
+         |ORDER BY media_id, frame_no""".stripMargin,
+
+    // adjacent-frame hamming >= 10 flags exactly the planted hard cut
+    // (in-scene jitter moves <= 4 bits)
+    "multimodal_scene_changes" ->
+      s"""WITH $videoDhashCte,
+         |lg AS (SELECT media_id, frame_no, dhash,
+         |         lag(dhash) OVER (PARTITION BY media_id
+         |           ORDER BY frame_no) AS prev
+         |       FROM vdh)
+         |SELECT media_id, frame_no AS cut_frame,
+         |  CAST(bit_count(xor(dhash, prev)) AS INT) AS hamming
+         |FROM lg
+         |WHERE prev IS NOT NULL AND bit_count(xor(dhash, prev)) >= 10
+         |ORDER BY media_id, cut_frame""".stripMargin,
+
     // replays CorpusOps.chunkDocuments (64-token windows, stride 48)
     "corpus_chunks" ->
       s"""WITH $tokCte,
@@ -1846,6 +1868,40 @@ object ExtOracles {
       |    CAST(sum(CASE WHEN ne IS NOT NULL AND e > ne
       |         THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS afp
       |  FROM eb GROUP BY media_id)""".stripMargin
+
+  /** Shared per-frame dHash replay for the video gates
+    * ([[graft.operators.MultimodalOps.videoChannel]]'s contract):
+    * scene-keyed md5-noise pixels, the frame-dependent red bump,
+    * exact brightness compare bits — the Spark side must reproduce
+    * every bit through container demux + per-frame PNG decode.
+    */
+  private def videoDhashCte: String =
+    s"""vids AS (SELECT doc_id AS media_id FROM documents
+      |          WHERE doc_id % 3 = 2),
+      |vfr AS (SELECT media_id, CAST(ff.f AS INT) AS f,
+      |          CASE WHEN ff.f < 5 THEN 0 ELSE 1 END AS scene
+      |        FROM vids, unnest(range(8)) AS ff(f)),
+      |vpx AS (SELECT media_id, f,
+      |    CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y,
+      |    md5(concat('v:', CAST(media_id AS VARCHAR), ':',
+      |               CAST(scene AS VARCHAR), ':', CAST(xx.i AS VARCHAR),
+      |               ':', CAST(yy.i AS VARCHAR))) AS m
+      |  FROM vfr, unnest(range(8)) AS xx(i), unnest(range(8)) AS yy(i)),
+      |vgp AS (SELECT media_id, f, x, y,
+      |    (CASE WHEN x = f % 8 AND y = f // 8
+      |       THEN (${hexByte("m", 1)} + 96) % 256
+      |       ELSE ${hexByte("m", 1)} END)
+      |    + ${hexByte("m", 3)} + ${hexByte("m", 5)} AS gray
+      |  FROM vpx),
+      |vdh AS (SELECT a.media_id, a.f AS frame_no,
+      |    CAST(sum(CASE WHEN a.gray > c.gray
+      |         THEN CAST(1 AS BIGINT) << CAST(a.y * 7 + a.x AS INT)
+      |         ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM vgp a JOIN vgp c
+      |    ON a.media_id = c.media_id AND a.f = c.f
+      |       AND a.y = c.y AND c.x = a.x + 1
+      |  WHERE a.x < 7
+      |  GROUP BY a.media_id, a.f)""".stripMargin
 
   private def zLayoutCtes: String = {
     val zkeyExpr = (0 until 8).flatMap { b =>

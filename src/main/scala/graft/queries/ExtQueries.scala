@@ -1253,6 +1253,26 @@ object ExtQueries {
       graft.operators.MultimodalOps.wavMedia(spark, docs(spark, dir)))
       .orderBy("media_id", "win_no")
 
+  /** Per-frame perceptual hashes through a REAL demux + decode
+    * ([[graft.operators.MultimodalOps.frameDHashes]]): parse the
+    * length-prefixed frame container, PNG-decode every frame, dHash
+    * each raster — hash-checked against the scene/bump pixel formula
+    * replayed in DuckDB.
+    */
+  def multimodalVideoDhash(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MultimodalOps.frameDHashes(spark,
+      graft.operators.MultimodalOps.videoMedia(spark, docs(spark, dir)))
+      .orderBy("media_id", "frame_no")
+
+  /** Hard-cut detection over adjacent-frame dHash distance
+    * ([[graft.operators.MultimodalOps.sceneChanges]]): in-scene
+    * jitter moves ≤4 bits, the planted cut re-rolls the raster.
+    */
+  def multimodalSceneChanges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MultimodalOps.sceneChanges(spark,
+      graft.operators.MultimodalOps.videoMedia(spark, docs(spark, dir)))
+      .orderBy("media_id", "cut_frame")
+
   /** The events table with its timestamp lowered to exact epoch
     * microseconds (`tsm`) — the integral dimension [[LayoutOps]]'
     * engine-portable grid arithmetic wants. Session timezone is UTC,

@@ -365,6 +365,54 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(pairs === all.toSet)
   }
 
+  test("video: REAL demux + per-frame decode — dhashes match the formula; one cut per clip") {
+    val docs = sources.Tables.documents(spark, sf).limit(60)
+    val media = MultimodalOps.videoMedia(spark, docs)
+    // genuine GVID containers carrying genuine PNG frames
+    val head = media.select("payload").head().getAs[Array[Byte]](0)
+    assert(new String(head.take(4), "US-ASCII") === "GVID")
+    val fd = MultimodalOps.frameDHashes(spark, media)
+      .collect()
+      .map(r => ((r.getAs[Long]("media_id"), r.getAs[Int]("frame_no")),
+        r.getAs[Long]("dhash"))).toMap
+    val ids = fd.keys.map(_._1).toSeq.distinct.sorted
+    assert(ids.nonEmpty && fd.size === ids.length * MultimodalOps.VideoFrames)
+    // driver-side reference from videoChannel, bit-for-bit (one clip)
+    val id = ids.head
+    (0 until MultimodalOps.VideoFrames).foreach { f =>
+      val gray = Array.tabulate(8, 8)((y, x) =>
+        (0 to 2).map(c => MultimodalOps.videoChannel(id, f, c, x, y)).sum)
+      val ref = (for (y <- 0 until 8; x <- 0 until 7
+                      if gray(y)(x) > gray(y)(x + 1))
+        yield 1L << (y * 7 + x)).sum
+      assert(fd((id, f)) === ref, s"frame $f dhash mismatch")
+    }
+    // in-scene neighbours are near; the planted cut is the ONLY far pair
+    val cuts = MultimodalOps.sceneChanges(spark, media)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("cut_frame")))
+    assert(cuts.length === ids.length, "exactly one cut per clip")
+    assert(cuts.forall(_._2 == MultimodalOps.VideoCut),
+      s"cut must land at frame ${MultimodalOps.VideoCut}")
+    ids.foreach { v =>
+      (1 until MultimodalOps.VideoFrames)
+        .filter(_ != MultimodalOps.VideoCut).foreach { f =>
+          val h = java.lang.Long.bitCount(fd((v, f)) ^ fd((v, f - 1)))
+          assert(h <= 4, s"in-scene jitter too large: clip $v frame $f ($h bits)")
+        }
+    }
+  }
+
+  test("video: malformed container refuses loudly") {
+    import spark.implicits._
+    val bad = Seq((9L, Array[Byte]('G', 'V', 'I', 'X', 0, 0, 0, 1)))
+      .toDF("media_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.frameDHashes(spark, bad).collect()
+    }
+    assert(e.getMessage.contains("not a GVID container") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a GVID container")))
+  }
+
   test("audio: only audio-kind docs synthesize; malformed payload refuses loudly") {
     val docs = sources.Tables.documents(spark, sf)
     val media = MultimodalOps.wavMedia(spark, docs)
