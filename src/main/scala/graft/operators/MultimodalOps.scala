@@ -324,8 +324,6 @@ object MultimodalOps {
   def imageDHash(spark: SparkSession, media: DataFrame,
                  gridW: Int = 7, gridH: Int = 8): DataFrame = {
     import spark.implicits._
-    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 62,
-      s"dhash grid ${gridW}x$gridH must fit a positive long")
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         (id, rasterDHash(id, decodeImage(id, payload), gridW, gridH))
@@ -705,6 +703,11 @@ object MultimodalOps {
     val n = in.readInt()
     require(n >= 1 && n <= 4096, s"media $id: implausible frame count $n")
     val lens = Array.fill(n)(in.readInt())
+    // validate lengths against the payload BEFORE allocating: a corrupt
+    // header with len = 2^31-1 must refuse loudly, not OOM the executor
+    val header = 4 + 4 + 4L * n
+    require(lens.forall(_ >= 0) && lens.map(_.toLong).sum <= payload.length - header,
+      s"media $id: frame lengths ${lens.mkString(",")} exceed payload ${payload.length}")
     lens.map { l =>
       val fr = new Array[Byte](l)
       in.readFully(fr)
@@ -757,6 +760,10 @@ object MultimodalOps {
     */
   private def rasterDHash(id: Long, img: java.awt.image.BufferedImage,
                           gridW: Int, gridH: Int): Long = {
+    // the grid guard lives in the shared kernel so no consumer can
+    // skip it: 63+ bits would silently alias through `1L << bit`
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 62,
+      s"dhash grid ${gridW}x$gridH must fit a positive long")
     val (w, h) = (img.getWidth, img.getHeight)
     require(w >= gridW + 1 && h >= gridH,
       s"media $id: ${w}x$h too small for a ${gridW}x$gridH dhash")

@@ -1039,11 +1039,6 @@ object TextOps {
       .select(col("doc_id"), col("pos").as("seg_no"), col("col").as("seg"))
       .withColumn("h", md5(col("seg")))
 
-  /** Per-doc reassembly from flagged segments (`doc_id, seg_no, seg,
-    * kept`): counts, exact fixed-point dropped share, and the md5 of
-    * the surviving text in document order — [[boilerplateRemove]]'s
-    * output contract, shared with the index-served apply path.
-    */
   /** md5 of the kept segments rejoined in document order — the one
     * reassembly fingerprint, shared by [[paragraphDedup]] (`kept_fp`)
     * and [[reassembleClean]] (`clean_fp`). collect_list skips the NULLs
@@ -1054,6 +1049,11 @@ object TextOps {
     md5(concat_ws(" ", expr(
       "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_no, seg) END)), x -> x.seg)")))
 
+  /** Per-doc reassembly from flagged segments (`doc_id, seg_no, seg,
+    * kept`): counts, exact fixed-point dropped share, and the md5 of
+    * the surviving text in document order — [[boilerplateRemove]]'s
+    * output contract, shared with the index-served apply path.
+    */
   private[operators] def reassembleClean(flagged: DataFrame): DataFrame =
     flagged.groupBy("doc_id")
       .agg(

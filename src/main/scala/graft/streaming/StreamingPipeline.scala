@@ -345,7 +345,7 @@ object StreamingPipeline {
           // the whole counts store each trigger, so an uncompacted
           // stream pays O(batches x distinct-segments) per trigger —
           // the compact dial the index doc prescribes, applied in-loop
-          if ((batchId + 1) % compactEvery == 0)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.operators.BoilerplateIndex.compact(
               batch.sparkSession, indexPath)
         } finally graft.BenchUtil.releaseNewRdds(sc, before)

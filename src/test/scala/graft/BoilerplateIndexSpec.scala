@@ -59,9 +59,11 @@ class BoilerplateIndexSpec extends SparkSpec {
     val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
     Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
       b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
-      java.nio.file.Files.list(java.nio.file.Paths.get(src))
-        .iterator().asScala.toList
-        .filter(_.getFileName.toString.startsWith("part-"))
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+      val parts =
+        try listing.iterator().asScala.toList
+        finally listing.close()
+      parts.filter(_.getFileName.toString.startsWith("part-"))
         .filterNot(stamped.contains)
         .foreach { p =>
           stamped += p

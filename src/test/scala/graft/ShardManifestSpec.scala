@@ -27,9 +27,11 @@ class ShardManifestSpec extends SparkSpec {
     Seq(0 until 100, 100 until 220, 220 until 300).zipWithIndex
       .foreach { case (r, i) =>
         mkDocs(r).coalesce(1).write.mode("append").parquet(src)
-        java.nio.file.Files.list(java.nio.file.Paths.get(src))
-          .iterator().asScala.toList
-          .filter(_.getFileName.toString.startsWith("part-"))
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+        val parts =
+          try listing.iterator().asScala.toList
+          finally listing.close()
+        parts.filter(_.getFileName.toString.startsWith("part-"))
           .filterNot(stamped.contains)
           .foreach { p =>
             stamped += p
