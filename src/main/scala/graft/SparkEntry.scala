@@ -149,6 +149,8 @@ object SparkEntry {
     "multimodal_audio" -> (graft.queries.ExtQueries.multimodalAudio(_, _)),
     "multimodal_afp" -> (graft.queries.ExtQueries.multimodalAfp(_, _)),
     "multimodal_audio_neardup" -> (graft.queries.ExtQueries.multimodalAudioNearDup(_, _)),
+    "multimodal_neardup_indexed" -> (graft.queries.ExtQueries.multimodalNearDupIndexed(_, _)),
+    "multimodal_audio_neardup_indexed" -> (graft.queries.ExtQueries.multimodalAudioNearDupIndexed(_, _)),
     "multimodal_video_dhash" -> (graft.queries.ExtQueries.multimodalVideoDhash(_, _)),
     "multimodal_scene_changes" -> (graft.queries.ExtQueries.multimodalSceneChanges(_, _)),
     "layout_zorder" -> (graft.queries.ExtQueries.layoutZorder(_, _)),

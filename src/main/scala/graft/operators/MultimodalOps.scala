@@ -355,17 +355,25 @@ object MultimodalOps {
     * codegen'd `bit_count(a XOR b)`. Candidate count is
     * collision-bounded — never all-pairs.
     */
+  /** The band-decomposition expression shared by [[bandedHammingPairs]]
+    * and [[FingerprintIndex]]: split `hashCol` into `bands` contiguous
+    * bit bands, one (band, v) struct each.
+    */
+  private[operators] def fpBandsExpr(hashCol: String, nBits: Int,
+                                     bands: Int): org.apache.spark.sql.Column =
+    expr(
+      s"""transform(sequence(0, ${bands - 1}), b -> struct(
+         |  b AS band,
+         |  shiftright($hashCol, int(b * $nBits / $bands)) &
+         |    (shiftleft(1L, int((b + 1) * $nBits / $bands)
+         |               - int(b * $nBits / $bands)) - 1) AS v))"""
+        .stripMargin)
+
   private def bandedHammingPairs(h: DataFrame, hashCol: String,
                                  nBits: Int, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     val banded = h.select(col("media_id"), col(hashCol).as("fp"),
-      explode(expr(
-        s"""transform(sequence(0, ${bands - 1}), b -> struct(
-           |  b AS band,
-           |  shiftright($hashCol, int(b * $nBits / $bands)) &
-           |    (shiftleft(1L, int((b + 1) * $nBits / $bands)
-           |               - int(b * $nBits / $bands)) - 1) AS v))"""
-          .stripMargin)).as("e"))
+      explode(fpBandsExpr(hashCol, nBits, bands)).as("e"))
       .select(col("media_id"), col("fp"),
         col("e.band").as("band"), col("e.v").as("v"))
     banded.alias("x").join(banded.alias("y"),

@@ -1532,6 +1532,16 @@ object ExtOracles {
          |WHERE bit_count(xor(x.dhash, y.dhash)) <= 4
          |ORDER BY a, b""".stripMargin,
 
+    // index-served classify over the persisted banded buckets is
+    // value-identical to the direct all-pairs filter
+    "multimodal_neardup_indexed" ->
+      s"""WITH $dhashCte
+         |SELECT x.media_id AS a, y.media_id AS b,
+         |  CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
+         |FROM dh x JOIN dh y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.dhash, y.dhash)) <= 4
+         |ORDER BY a, b""".stripMargin,
+
     "multimodal_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS len
@@ -1575,6 +1585,15 @@ object ExtOracles {
     // all pairs with hamming <= 4 — equivalent to the banded join by
     // pigeonhole, cheap at oracle scale
     "multimodal_audio_neardup" ->
+      s"""WITH $afpCte
+         |SELECT x.media_id AS a, y.media_id AS b,
+         |  CAST(bit_count(xor(x.afp, y.afp)) AS INT) AS hamming
+         |FROM af x JOIN af y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.afp, y.afp)) <= 4
+         |ORDER BY a, b""".stripMargin,
+
+    // index-served audio classify — same value-identity argument
+    "multimodal_audio_neardup_indexed" ->
       s"""WITH $afpCte
          |SELECT x.media_id AS a, y.media_id AS b,
          |  CAST(bit_count(xor(x.afp, y.afp)) AS INT) AS hamming

@@ -1241,6 +1241,70 @@ object ExtQueries {
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
+  private val fpIndexCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def fpIndexPath(spark: SparkSession, dir: String,
+                          tag: String, fps: () => DataFrame,
+                          nBits: Int): String =
+    fpIndexCache.get(spark, s"$dir#$tag") {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-fp-index-$tag").toString
+      graft.operators.FingerprintIndex.write(fps(), path, nBits)
+      path
+    }
+
+  /** The same pair set as [[multimodalNearDup]], served from the
+    * persisted banded-bucket artifact
+    * ([[graft.operators.FingerprintIndex]]): the probe reads only its
+    * own bucket partitions, self-matches excluded, each pair emitted
+    * once via least/greatest — value-identical to the direct operator,
+    * so it shares its oracle verbatim.
+    */
+  def multimodalNearDupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val fps = graft.operators.MultimodalOps.imageDHash(spark,
+        dhashMedia(spark, dir)).withColumnRenamed("dhash", "fp")
+      val path = fpIndexPath(spark, dir, "dhash",
+        () => graft.operators.MultimodalOps.imageDHash(spark,
+          dhashMedia(spark, dir)).withColumnRenamed("dhash", "fp"),
+        nBits = 56)
+      val res = graft.operators.FingerprintIndex.classify(spark, path, fps)
+        .filter(col("media_id") < col("indexed_id"))
+        .select(col("media_id").as("a"), col("indexed_id").as("b"),
+          col("hamming"))
+        .orderBy("a", "b")
+      val rows = res.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
+  /** [[multimodalAudioNearDup]] served from the same persisted index
+    * machinery over the 31-bit audio contour — shares the direct
+    * gate's oracle verbatim.
+    */
+  def multimodalAudioNearDupIndexed(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val fps = graft.operators.MultimodalOps.audioFingerprint(spark,
+        afpMedia(spark, dir)).withColumnRenamed("afp", "fp")
+      val path = fpIndexPath(spark, dir, "afp",
+        () => graft.operators.MultimodalOps.audioFingerprint(spark,
+          afpMedia(spark, dir)).withColumnRenamed("afp", "fp"),
+        nBits = 31)
+      val res = graft.operators.FingerprintIndex.classify(spark, path, fps)
+        .filter(col("media_id") < col("indexed_id"))
+        .select(col("media_id").as("a"), col("indexed_id").as("b"),
+          col("hamming"))
+        .orderBy("a", "b")
+      val rows = res.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
   /** Windowed audio features through a REAL WAV round trip
     * ([[graft.operators.MultimodalOps.audioFeatures]]): closed-form
     * PCM clips encoded with the JDK's WAV writer, container-parsed

@@ -353,6 +353,47 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Perceptual media dedup at ingest: per micro-batch of
+    * `(media_id, fp)` fingerprints, APPEND to the persisted
+    * [[graft.operators.FingerprintIndex]] (row-level idempotent —
+    * replays heal), then classify the batch against the grown index:
+    * one pruned-bucket pass returns both batch↔corpus and
+    * within-batch pairs (the batch is already indexed when it is
+    * classified), emitted once each via least/greatest. O(batch +
+    * collisions) per trigger — corpus fingerprints enter the plan
+    * only where the batch's buckets touch them. Periodic [[graft
+    * .operators.FingerprintIndex.compact]] via `compactEvery` (0 =
+    * disabled) folds the per-trigger append fragments.
+    */
+  def mediaDedupStream(fps: DataFrame, indexPath: String,
+      pairsPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    fps.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try {
+          val pinned = batch.localCheckpoint()
+          graft.operators.FingerprintIndex.append(pinned, indexPath)
+          graft.operators.FingerprintIndex
+            .classify(batch.sparkSession, indexPath, pinned)
+            .select(least(col("media_id"), col("indexed_id")).as("a"),
+              greatest(col("media_id"), col("indexed_id")).as("b"),
+              col("hamming"))
+            .distinct()
+            .write.mode("append").parquet(pairsPath)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.operators.FingerprintIndex.compact(
+              batch.sparkSession, indexPath)
+        } finally graft.BenchUtil.releaseNewRdds(sc, before)
+        ()
+      }
+      .start()
+
   /** Model-served quality filtering at ingest: per micro-batch, score
     * with a TRAINED classifier's frozen weights
     * ([[graft.operators.QualityClassifier.score]]) and append only the

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FingerprintIndex, MultimodalOps}
+import graft.streaming.StreamingPipeline
+
+class FingerprintIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = {
+    val docs = sources.Tables.documents(spark, sf).limit(80)
+    val m = MultimodalOps.noisePngMedia(spark, docs)
+    m.unionByName(MultimodalOps.perturbClones(spark, m))
+  }
+
+  private def fps = MultimodalOps.imageDHash(spark, media)
+    .withColumnRenamed("dhash", "fp").localCheckpoint()
+
+  private def pairsVia(path: String, probe: org.apache.spark.sql.DataFrame) =
+    FingerprintIndex.classify(spark, path, probe)
+      .filter($"media_id" < $"indexed_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("index-served classify equals the direct banded near-dup") {
+    val f = fps
+    val path = tmpDir("fp-idx")
+    FingerprintIndex.write(f, path, nBits = 56)
+    val direct = MultimodalOps.imageNearDup(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairsVia(path, f) === direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("append is row-level idempotent and heals a partial replay; conflicts reject") {
+    val f = fps
+    val path = tmpDir("fp-idx-app")
+    val (half1, half2) = (f.filter($"media_id" % 2 === 0),
+      f.filter($"media_id" % 2 =!= 0))
+    FingerprintIndex.write(half1, path, nBits = 56)
+    FingerprintIndex.append(half2, path)
+    val oneShot = tmpDir("fp-idx-oneshot")
+    FingerprintIndex.write(f, oneShot, nBits = 56)
+    assert(pairsVia(path, f) === pairsVia(oneShot, f))
+    // replayed append (same rows) is a no-op, not a reject
+    FingerprintIndex.append(half2, path)
+    assert(pairsVia(path, f) === pairsVia(oneShot, f))
+    // a conflicting fingerprint for an indexed id refuses loudly
+    val conflict = half2.withColumn("fp", col("fp") + 1L)
+    val e = intercept[IllegalArgumentException] {
+      FingerprintIndex.append(conflict, path)
+    }
+    assert(e.getMessage.contains("differs"))
+  }
+
+  test("delete suppresses immediately; compact folds without changing verdicts") {
+    val f = fps
+    val path = tmpDir("fp-idx-del")
+    FingerprintIndex.write(f, path, nBits = 56)
+    val before = pairsVia(path, f)
+    val victim = before.head._2
+    FingerprintIndex.delete(spark, path, Seq(victim))
+    val after = pairsVia(path, f)
+    assert(after === before.filterNot(p => p._1 == victim || p._2 == victim))
+    assert(FingerprintIndex.stats(spark, path)
+      .select("tombstoned_ids").head.getLong(0) === 1L)
+    FingerprintIndex.compact(spark, path)
+    assert(pairsVia(path, f) === after)
+    assert(FingerprintIndex.stats(spark, path)
+      .select("tombstoned_ids").head.getLong(0) === 0L)
+    // the slot is reusable after the physical fold
+    FingerprintIndex.append(f.filter($"media_id" === victim), path)
+    assert(pairsVia(path, f) === before)
+  }
+
+  test("mediaDedupStream over 3 triggers emits the batch operator's pair set") {
+    val f = fps
+    val ids = f.select("media_id").as[Long].collect().sorted
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    val src = tmpDir("fp-stream-src")
+    import scala.jdk.CollectionConverters._
+    val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
+    Seq(f.filter($"media_id" <= cut1),
+      f.filter($"media_id" > cut1 && $"media_id" <= cut2),
+      f.filter($"media_id" > cut2)).zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.mode("append").parquet(src)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+      val parts =
+        try listing.iterator().asScala.toList
+        finally listing.close()
+      parts.filter(_.getFileName.toString.startsWith("part-"))
+        .filterNot(stamped.contains)
+        .foreach { p =>
+          stamped += p
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis((i + 1) * 60000L))
+        }
+    }
+    val path = tmpDir("fp-stream-idx")
+    FingerprintIndex.write(f.limit(0), path, nBits = 56)
+    val pairs = tmpDir("fp-stream-pairs")
+    val stream = spark.readStream.schema(f.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    StreamingPipeline.mediaDedupStream(stream, path, pairs,
+      tmpDir("fp-stream-ckpt")).awaitTermination()
+    val streamed = spark.read.parquet(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = MultimodalOps.imageNearDup(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed === direct)
+  }
+}
