@@ -76,6 +76,12 @@ object FingerprintIndex {
     import spark.implicits._
     require(nBits >= maxHamming + 1 && nBits <= 62,
       s"fingerprint width $nBits outside (maxHamming, 62]")
+    val dupIn = fps.groupBy("media_id").agg(countDistinct("fp").as("n"))
+      .filter(col("n") > 1).limit(5)
+      .collect().map(_.getLong(0))
+    require(dupIn.isEmpty,
+      s"FingerprintIndex.write: conflicting fps for ids: " +
+        dupIn.mkString(","))
     val staging = IndexStores.stagingFor(spark, path)
     banded(fps, nBits, maxHamming + 1)
       .repartition(col("bvp"))
@@ -100,8 +106,12 @@ object FingerprintIndex {
     val bb = banded(fps, nBits, maxHamming + 1).localCheckpoint()
     val prefixes = bb.select("bvp").distinct()
       .collect().map(_.getString(0)).toSeq
-    val pruned = readFps(spark, path, nBits, maxHamming + 1)
-      .filter(col("bvp").isin(prefixes: _*))
+    // isin() of ZERO values does not prune — an empty probe must stay
+    // O(0), not widen to a full-store listing (the presentRows guard)
+    val all = readFps(spark, path, nBits, maxHamming + 1)
+    val pruned =
+      if (prefixes.isEmpty) all.filter(lit(false))
+      else all.filter(col("bvp").isin(prefixes: _*))
     val stored = IndexStores.survivors(spark, path, pruned, "media_id")
       .select(col("media_id").as("indexed_id"), col("fp").as("ifp"),
         col("band"), col("v"))
@@ -127,38 +137,47 @@ object FingerprintIndex {
     */
   def append(fps: DataFrame, path: String): Unit = {
     val spark = fps.sparkSession
-    IndexStores.healRoot(spark, path)
-    IndexStores.hasStore(spark, s"$path/fps")
-    val (nBits, maxHamming) = contract(spark, path)
-    val bb = banded(fps, nBits, maxHamming + 1).localCheckpoint()
-    val dupIn = bb.groupBy("media_id").agg(countDistinct("fp").as("n"))
-      .filter(col("n") > 1).limit(5)
-      .collect().map(_.getLong(0))
-    require(dupIn.isEmpty,
-      s"FingerprintIndex.append: conflicting fps for ids in batch: " +
-        dupIn.mkString(","))
-    val prefixes = bb.select("bvp").distinct()
-      .collect().map(_.getString(0)).toSeq
-    // stored band rows of the batch's ids, from the batch's own bucket
-    // partitions only (pinned: feeds the conflict probe AND the
-    // idempotence anti-join)
-    val stored = readFps(spark, path, nBits, maxHamming + 1)
-      .filter(col("bvp").isin(prefixes: _*))
-      .join(bb.select("media_id").distinct(), Seq("media_id"), "left_semi")
-      .select(col("media_id"), col("band"), col("fp").as("stored_fp"))
-      .localCheckpoint()
-    val conflicts = stored.join(bb, Seq("media_id", "band"))
-      .filter(col("stored_fp") =!= col("fp"))
-      .select("media_id").distinct().limit(5)
-      .collect().map(_.getLong(0))
-    require(conflicts.isEmpty,
-      s"FingerprintIndex.append: stored fingerprint differs for ids: " +
-        conflicts.mkString(",") + " (delete + compact first)")
-    val fresh = bb.join(stored.select("media_id", "band"),
-      Seq("media_id", "band"), "left_anti")
-    if (!fresh.head(1).isEmpty)
-      fresh.repartition(col("bvp"))
-        .write.mode("append").partitionBy("bvp").parquet(s"$path/fps")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      IndexStores.healRoot(spark, path)
+      val (nBits, maxHamming) = contract(spark, path)
+      val bb = banded(fps, nBits, maxHamming + 1).localCheckpoint()
+      if (bb.head(1).isEmpty) return
+      val dupIn = bb.groupBy("media_id").agg(countDistinct("fp").as("n"))
+        .filter(col("n") > 1).limit(5)
+        .collect().map(_.getLong(0))
+      require(dupIn.isEmpty,
+        s"FingerprintIndex.append: conflicting fps for ids in batch: " +
+          dupIn.mkString(","))
+      // a tombstoned id must not be silently resurrected OR silently
+      // swallowed by the idempotence anti-join — reject until compacted
+      IndexStores.rejectTombstoned(spark, path,
+        bb.select("media_id").distinct(), "media_id",
+        "FingerprintIndex.append")
+      val prefixes = bb.select("bvp").distinct()
+        .collect().map(_.getString(0)).toSeq
+      // stored band rows of the batch's ids, from the batch's own bucket
+      // partitions only (pinned: feeds the conflict probe AND the
+      // idempotence anti-join)
+      val stored = readFps(spark, path, nBits, maxHamming + 1)
+        .filter(col("bvp").isin(prefixes: _*))
+        .join(bb.select("media_id").distinct(), Seq("media_id"), "left_semi")
+        .select(col("media_id"), col("band"), col("fp").as("stored_fp"))
+        .localCheckpoint()
+      val conflicts = stored.join(bb, Seq("media_id", "band"))
+        .filter(col("stored_fp") =!= col("fp"))
+        .select("media_id").distinct().limit(5)
+        .collect().map(_.getLong(0))
+      require(conflicts.isEmpty,
+        s"FingerprintIndex.append: stored fingerprint differs for ids: " +
+          conflicts.mkString(",") + " (delete + compact first)")
+      val fresh = bb.join(stored.select("media_id", "band"),
+        Seq("media_id", "band"), "left_anti")
+      if (!fresh.head(1).isEmpty)
+        fresh.repartition(col("bvp"))
+          .write.mode("append").partitionBy("bvp").parquet(s"$path/fps")
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
   /** Logical delete by id — tombstones suppress at every [[classify]]
@@ -176,12 +195,15 @@ object FingerprintIndex {
     */
   def compact(spark: SparkSession, path: String): Unit = {
     IndexStores.healRoot(spark, path)
-    graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
-      s"$path/fps",
-      IndexStores.survivors(spark, path,
-        IndexStores.readStore(spark, s"$path/fps"), "media_id")
-        .repartition(col("bvp")),
-      "bvp")
+    // a store with no data files yet (start-from-nothing streaming)
+    // has nothing to fold — but the tombstone clear still applies
+    if (IndexStores.hasStore(spark, s"$path/fps"))
+      graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
+        s"$path/fps",
+        IndexStores.survivors(spark, path,
+          IndexStores.readStore(spark, s"$path/fps"), "media_id")
+          .repartition(col("bvp")),
+        "bvp")
     IndexStores.clearTombstones(spark, path)
   }
 

@@ -1266,10 +1266,10 @@ object ExtQueries {
     try {
       val fps = graft.operators.MultimodalOps.imageDHash(spark,
         dhashMedia(spark, dir)).withColumnRenamed("dhash", "fp")
-      val path = fpIndexPath(spark, dir, "dhash",
-        () => graft.operators.MultimodalOps.imageDHash(spark,
-          dhashMedia(spark, dir)).withColumnRenamed("dhash", "fp"),
-        nBits = 56)
+      // the thunk runs synchronously inside this call (cache miss
+      // only), so reusing the probe's plan keeps index and probe
+      // fingerprints from ever drifting apart
+      val path = fpIndexPath(spark, dir, "dhash", () => fps, nBits = 56)
       val res = graft.operators.FingerprintIndex.classify(spark, path, fps)
         .filter(col("media_id") < col("indexed_id"))
         .select(col("media_id").as("a"), col("indexed_id").as("b"),
@@ -1291,10 +1291,7 @@ object ExtQueries {
     try {
       val fps = graft.operators.MultimodalOps.audioFingerprint(spark,
         afpMedia(spark, dir)).withColumnRenamed("afp", "fp")
-      val path = fpIndexPath(spark, dir, "afp",
-        () => graft.operators.MultimodalOps.audioFingerprint(spark,
-          afpMedia(spark, dir)).withColumnRenamed("afp", "fp"),
-        nBits = 31)
+      val path = fpIndexPath(spark, dir, "afp", () => fps, nBits = 31)
       val res = graft.operators.FingerprintIndex.classify(spark, path, fps)
         .filter(col("media_id") < col("indexed_id"))
         .select(col("media_id").as("a"), col("indexed_id").as("b"),

@@ -64,6 +64,12 @@ class FingerprintIndexSpec extends SparkSpec {
     assert(after === before.filterNot(p => p._1 == victim || p._2 == victim))
     assert(FingerprintIndex.stats(spark, path)
       .select("tombstoned_ids").head.getLong(0) === 1L)
+    // re-appending a tombstoned id rejects loudly (the idempotence
+    // anti-join would otherwise swallow it silently)
+    val eT = intercept[IllegalArgumentException] {
+      FingerprintIndex.append(f.filter($"media_id" === victim), path)
+    }
+    assert(eT.getMessage.contains("tombstoned"))
     FingerprintIndex.compact(spark, path)
     assert(pairsVia(path, f) === after)
     assert(FingerprintIndex.stats(spark, path)
@@ -71,6 +77,26 @@ class FingerprintIndexSpec extends SparkSpec {
     // the slot is reusable after the physical fold
     FingerprintIndex.append(f.filter($"media_id" === victim), path)
     assert(pairsVia(path, f) === before)
+  }
+
+  test("start-from-nothing edges: empty build, empty append, empty-store compact") {
+    val f = fps
+    val path = tmpDir("fp-idx-empty")
+    FingerprintIndex.write(f.limit(0), path, nBits = 56)
+    assert(pairsVia(path, f).isEmpty)       // empty store, empty verdicts
+    FingerprintIndex.compact(spark, path)   // no data files — must not throw
+    FingerprintIndex.append(f.limit(0), path) // empty batch — no-op
+    FingerprintIndex.append(f, path)
+    val oneShot = tmpDir("fp-idx-empty-ref")
+    FingerprintIndex.write(f, oneShot, nBits = 56)
+    assert(pairsVia(path, f) === pairsVia(oneShot, f))
+    // build-time conflicting fps reject like append-time ones
+    val e = intercept[IllegalArgumentException] {
+      FingerprintIndex.write(
+        f.unionByName(f.withColumn("fp", col("fp") + 1L)),
+        tmpDir("fp-idx-dup"), nBits = 56)
+    }
+    assert(e.getMessage.contains("conflicting"))
   }
 
   test("mediaDedupStream over 3 triggers emits the batch operator's pair set") {
