@@ -1168,12 +1168,32 @@ object ExtQueries {
     * dedup fixture: every original has exactly one one-pixel-edited
     * twin at id + 10⁶.
     */
-  private def dhashMedia(spark: SparkSession, dir: String): DataFrame = {
-    // noise pixels, not the linear pattern: dedup needs images with
-    // unique local structure (see MultimodalOps.noiseChannels)
-    val m = graft.operators.MultimodalOps.noisePngMedia(spark, docs(spark, dir))
-    m.unionByName(graft.operators.MultimodalOps.perturbClones(spark, m))
+  /** Media fixtures materialised once per (session, SF dir) — the
+    * [[layoutStorePath]] posture: gates measure the OPERATOR (demux /
+    * decode / hash / join over binary payloads), not the repeated
+    * synthesis of identical fixture bytes; the payloads read back from
+    * parquet are byte-identical, so the decode legs stay fully real.
+    */
+  private val mediaFixtureCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def cachedMedia(spark: SparkSession, dir: String, tag: String)
+                         (make: => DataFrame): DataFrame = {
+    val path = mediaFixtureCache.get(spark, s"$dir#$tag") {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-media-$tag").toString
+      make.write.mode("overwrite").parquet(p)
+      p
+    }
+    spark.read.parquet(path)
   }
+
+  private def dhashMedia(spark: SparkSession, dir: String): DataFrame =
+    cachedMedia(spark, dir, "dhash") {
+      // noise pixels, not the linear pattern: dedup needs images with
+      // unique local structure (see MultimodalOps.noiseChannels)
+      val m = graft.operators.MultimodalOps.noisePngMedia(spark, docs(spark, dir))
+      m.unionByName(graft.operators.MultimodalOps.perturbClones(spark, m))
+    }
 
   /** Perceptual dHash over the decoded rasters
     * ([[graft.operators.MultimodalOps.imageDHash]]): 56 exact integer
@@ -1207,14 +1227,15 @@ object ExtQueries {
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
-  private def afpMedia(spark: SparkSession, dir: String): DataFrame = {
-    // md5-noise waveforms, not the affine sweep: dedup needs clips
-    // with independent structure (see MultimodalOps.noiseSample);
-    // + gain-scaled (×9/10, floored) clones — a volume change rewrites
-    // every container byte but preserves the energy contour
-    val m = graft.operators.MultimodalOps.noiseWavMedia(spark, docs(spark, dir))
-    m.unionByName(graft.operators.MultimodalOps.gainClones(spark, m))
-  }
+  private def afpMedia(spark: SparkSession, dir: String): DataFrame =
+    cachedMedia(spark, dir, "afp") {
+      // md5-noise waveforms, not the affine sweep: dedup needs clips
+      // with independent structure (see MultimodalOps.noiseSample);
+      // + gain-scaled (×9/10, floored) clones — a volume change rewrites
+      // every container byte but preserves the energy contour
+      val m = graft.operators.MultimodalOps.noiseWavMedia(spark, docs(spark, dir))
+      m.unionByName(graft.operators.MultimodalOps.gainClones(spark, m))
+    }
 
   /** Perceptual audio fingerprints over originals + gain-scaled clones
     * ([[graft.operators.MultimodalOps.audioFingerprint]]): 31 exact
@@ -1311,7 +1332,9 @@ object ExtQueries {
     */
   def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
     graft.operators.MultimodalOps.audioFeatures(spark,
-      graft.operators.MultimodalOps.wavMedia(spark, docs(spark, dir)))
+      cachedMedia(spark, dir, "wav") {
+        graft.operators.MultimodalOps.wavMedia(spark, docs(spark, dir))
+      })
       .orderBy("media_id", "win_no")
 
   /** Per-frame perceptual hashes through a REAL demux + decode
@@ -1320,9 +1343,14 @@ object ExtQueries {
     * each raster — hash-checked against the scene/bump pixel formula
     * replayed in DuckDB.
     */
+  private def videoFixture(spark: SparkSession, dir: String): DataFrame =
+    cachedMedia(spark, dir, "video") {
+      graft.operators.MultimodalOps.videoMedia(spark, docs(spark, dir))
+    }
+
   def multimodalVideoDhash(spark: SparkSession, dir: String): DataFrame =
     graft.operators.MultimodalOps.frameDHashes(spark,
-      graft.operators.MultimodalOps.videoMedia(spark, docs(spark, dir)))
+      videoFixture(spark, dir))
       .orderBy("media_id", "frame_no")
 
   /** Hard-cut detection over adjacent-frame dHash distance
@@ -1331,7 +1359,7 @@ object ExtQueries {
     */
   def multimodalSceneChanges(spark: SparkSession, dir: String): DataFrame =
     graft.operators.MultimodalOps.sceneChanges(spark,
-      graft.operators.MultimodalOps.videoMedia(spark, docs(spark, dir)))
+      videoFixture(spark, dir))
       .orderBy("media_id", "cut_frame")
 
   /** The events table with its timestamp lowered to exact epoch
