@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BPE tokenizer — the trained artifact a training pipeline
+  * keeps BETWEEN runs: the ordered merge table from
+  * [[TextOps.bpeTrain]], written once and applied to every later
+  * corpus version and ingest batch without retraining. The trained
+  * sibling of the index family ([[QualityClassifier]]'s exported
+  * weights are the other trained artifact; this one completes the
+  * pair), on the same staged-swap store machinery.
+  *
+  * Layout under `path`:
+  *  - `merges/` — `(rnk, l, r)`: merge `rnk` rewrites adjacent symbols
+  *    `l r` → `lr`. ORDER IS THE TOKENIZER — ranks are the greedy
+  *    application priority, so the table is the complete, portable
+  *    model (the driver's DuckDB oracle replays tokenization from
+  *    these three columns alone).
+  *  - `meta/` — one row: `num_merges`, `max_words` training
+  *    provenance.
+  *
+  * Scale shape: the merge table is bounded (≤ numMerges rows — 32k in
+  * production), so [[load]] is a driver-side read of a model-sized
+  * artifact and [[tokenize]] is one codegen'd expression over the
+  * corpus ([[graft.functions.BpeTokens]]) — no shuffle, no join; the
+  * frozen-trained-state posture of
+  * [[graft.streaming.StreamingPipeline.qualityFilterStream]].
+  */
+object TokenizerStore {
+
+  /** Train on `docs` and persist the tokenizer. Staged + atomic swap. */
+  def write(docs: DataFrame, path: String, numMerges: Int = 200,
+            maxWords: Int = 50000): Unit = {
+    val spark = docs.sparkSession
+    saveMerges(spark, TextOps.bpeTrain(docs, numMerges, maxWords),
+      path, numMerges, maxWords)
+  }
+
+  /** Persist an already-trained merge list (import path — e.g. a
+    * tokenizer trained at a bigger budget elsewhere).
+    */
+  def saveMerges(spark: SparkSession, merges: Seq[(String, String)],
+                 path: String, numMerges: Int, maxWords: Int): Unit = {
+    import spark.implicits._
+    val staging = IndexStores.stagingFor(spark, path)
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rnk", "l", "r").coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/merges")
+    Seq((numMerges, maxWords)).toDF("num_merges", "max_words").coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    IndexStores.swapInto(spark, path, staging)
+  }
+
+  /** The ordered merge list — model-sized (bounded by contract), the
+    * one artifact read a serving session performs.
+    */
+  def load(spark: SparkSession, path: String): Seq[(String, String)] = {
+    IndexStores.healRoot(spark, path)
+    IndexStores.readStore(spark, s"$path/merges")
+      .orderBy("rnk").collect()
+      .map(r => (r.getAs[String]("l"), r.getAs[String]("r"))).toSeq
+  }
+
+  /** Tokens-of-`text` column under the STORED tokenizer — one
+    * codegen'd expression, no retraining, value-identical to
+    * [[TextOps.bpeTokens]] over the same merges (spec-pinned; the gate
+    * shares `text_bpe_tokens`' oracle).
+    */
+  def tokensColumn(spark: SparkSession, path: String): Column =
+    TextOps.bpeTokens(load(spark, path))
+
+  /** Per-doc token counts + stream digest under the stored tokenizer —
+    * the corpus-pass shape `text_bpe_tokens` gates.
+    */
+  def tokenize(docs: DataFrame, path: String): DataFrame = {
+    val toks = tokensColumn(docs.sparkSession, path)
+    docs.select(col("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      md5(concat_ws(" ", toks)).as("toks_digest"))
+  }
+}

@@ -310,6 +310,43 @@ object ExtOracles {
     * the kept set must equal the exact form's exactly. Shared by the
     * direct and the persisted-artifact (ContaminationIndex) gates.
     */
+  private def bpeTokensSql: String =
+      s"""WITH RECURSIVE
+         |m AS (SELECT rnk, chr(1)||l||chr(1)||chr(1)||r||chr(1) AS pat,
+         |             chr(1)||l||r||chr(1) AS rep
+         |      FROM read_parquet('${OracleArtifacts.pathFor("bpe_merges")}/*.parquet')),
+         |tokw AS (SELECT doc_id,
+         |           generate_subscripts(string_split(text, ' '), 1) AS wpos,
+         |           unnest(string_split(text, ' ')) AS w FROM documents),
+         |words AS (SELECT DISTINCT w FROM tokw WHERE w <> ''),
+         |seg(w, state) AS (
+         |  SELECT w, chr(1)||chr(1)||
+         |    list_aggregate(regexp_extract_all(w, '(?s).'), 'string_agg',
+         |                   chr(1)||chr(1))||chr(1)||chr(1)
+         |  FROM words
+         |  UNION ALL
+         |  SELECT s.w, replace(s.state, b.pat, b.rep)
+         |  FROM seg s
+         |  JOIN LATERAL (SELECT pat, rep FROM m
+         |                WHERE position(m.pat IN s.state) > 0
+         |                ORDER BY rnk LIMIT 1) b ON true),
+         |final AS (SELECT w, state FROM seg s
+         |          WHERE NOT EXISTS (SELECT 1 FROM m
+         |                            WHERE position(m.pat IN s.state) > 0)),
+         |wordtok AS (SELECT w,
+         |              replace(trim(state, chr(1)), chr(1)||chr(1), ' ') AS wt
+         |            FROM final),
+         |perdoc AS (SELECT t.doc_id,
+         |             coalesce(string_agg(k.wt, ' ' ORDER BY t.wpos), '') AS stream
+         |           FROM tokw t JOIN wordtok k ON t.w = k.w
+         |           GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN coalesce(p.stream, '') = '' THEN 0
+         |       ELSE len(string_split(p.stream, ' ')) END AS BIGINT) AS n_tokens,
+         |  md5(coalesce(p.stream, '')) AS toks_digest
+         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
   private def boilerplateSql: String =
     s"""WITH $tokCte,
        |seg AS (SELECT doc_id, CAST(i AS INT) AS seg_no,
@@ -474,42 +511,12 @@ object ExtOracles {
     // drop it and diverge from the kernel's codePointSymbols). Known
     // limit: a document containing the chr(1) sentinel itself would
     // corrupt the separator scheme — outside any real text alphabet.
-    "text_bpe_tokens" ->
-      s"""WITH RECURSIVE
-         |m AS (SELECT rnk, chr(1)||l||chr(1)||chr(1)||r||chr(1) AS pat,
-         |             chr(1)||l||r||chr(1) AS rep
-         |      FROM read_parquet('${OracleArtifacts.pathFor("bpe_merges")}/*.parquet')),
-         |tokw AS (SELECT doc_id,
-         |           generate_subscripts(string_split(text, ' '), 1) AS wpos,
-         |           unnest(string_split(text, ' ')) AS w FROM documents),
-         |words AS (SELECT DISTINCT w FROM tokw WHERE w <> ''),
-         |seg(w, state) AS (
-         |  SELECT w, chr(1)||chr(1)||
-         |    list_aggregate(regexp_extract_all(w, '(?s).'), 'string_agg',
-         |                   chr(1)||chr(1))||chr(1)||chr(1)
-         |  FROM words
-         |  UNION ALL
-         |  SELECT s.w, replace(s.state, b.pat, b.rep)
-         |  FROM seg s
-         |  JOIN LATERAL (SELECT pat, rep FROM m
-         |                WHERE position(m.pat IN s.state) > 0
-         |                ORDER BY rnk LIMIT 1) b ON true),
-         |final AS (SELECT w, state FROM seg s
-         |          WHERE NOT EXISTS (SELECT 1 FROM m
-         |                            WHERE position(m.pat IN s.state) > 0)),
-         |wordtok AS (SELECT w,
-         |              replace(trim(state, chr(1)), chr(1)||chr(1), ' ') AS wt
-         |            FROM final),
-         |perdoc AS (SELECT t.doc_id,
-         |             coalesce(string_agg(k.wt, ' ' ORDER BY t.wpos), '') AS stream
-         |           FROM tokw t JOIN wordtok k ON t.w = k.w
-         |           GROUP BY t.doc_id)
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN coalesce(p.stream, '') = '' THEN 0
-         |       ELSE len(string_split(p.stream, ' ')) END AS BIGINT) AS n_tokens,
-         |  md5(coalesce(p.stream, '')) AS toks_digest
-         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "text_bpe_tokens" -> bpeTokensSql,
+
+    // store-served tokenize over the persisted merges artifact is
+    // value-identical to the direct trained-in-session gate
+    "text_bpe_indexed" -> bpeTokensSql,
+
 
     // replays TextOps.piiScrub over the same derived-PII text; DuckDB
     // regexp_replace needs the 'g' flag for replace-all (Spark's default)

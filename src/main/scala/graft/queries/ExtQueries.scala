@@ -259,6 +259,34 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  private val bpeStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def bpeStorePath(spark: SparkSession, dir: String): String =
+    bpeStoreCache.get(spark, dir) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-bpe-store").toString
+      graft.operators.TokenizerStore.saveMerges(spark,
+        bpeMerges(spark, dir), path, numMerges = 200, maxWords = 50000)
+      path
+    }
+
+  /** [[textBpeTokens]] served from the PERSISTED tokenizer artifact
+    * ([[graft.operators.TokenizerStore]]): merges loaded from the
+    * store (model-sized read), tokenization as the same codegen'd
+    * expression — value-identical to the trained-in-session gate, so
+    * it shares its oracle verbatim.
+    */
+  def textBpeIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val path = bpeStorePath(spark, dir)
+    OracleArtifacts.export(dir, "bpe_merges") {
+      import spark.implicits._
+      bpeMerges(spark, dir).zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }.toDF("rnk", "l", "r")
+    }
+    graft.operators.TokenizerStore.tokenize(docs(spark, dir), path)
+      .orderBy("doc_id")
+  }
+
   /** ORACLE-CHECKED invariants of the BPE kernel's corpus output,
     * computed from the tokens Spark-side and INDEPENDENTLY from the raw
     * text by the DuckDB oracle: total subword characters must equal the

@@ -353,6 +353,35 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Tokenize at ingest under a FROZEN persisted tokenizer
+    * ([[graft.operators.TokenizerStore]]): merges are loaded ONCE,
+    * driver-side, when the stream is wired — the stream cannot drift
+    * the model (the qualityFilterStream posture) — and each
+    * micro-batch is one codegen'd expression pass appending per-doc
+    * token counts + digests. O(batch tokens) per trigger; verdicts
+    * batching-independent by construction (no corpus statistic in the
+    * plan).
+    */
+  def tokenizeStream(docs: DataFrame, storePath: String,
+      outPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val toks = graft.operators.TokenizerStore
+      .tokensColumn(docs.sparkSession, storePath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("doc_id"),
+          org.apache.spark.sql.functions.size(toks).cast("bigint")
+            .as("n_tokens"),
+          md5(concat_ws(" ", toks)).as("toks_digest"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+  }
+
   /** Perceptual media dedup at ingest: per micro-batch of
     * `(media_id, fp)` fingerprints, APPEND to the persisted
     * [[graft.operators.FingerprintIndex]] (row-level idempotent —
