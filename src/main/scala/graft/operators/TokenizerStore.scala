@@ -34,20 +34,34 @@ object TokenizerStore {
             maxWords: Int = 50000): Unit = {
     val spark = docs.sparkSession
     saveMerges(spark, TextOps.bpeTrain(docs, numMerges, maxWords),
-      path, numMerges, maxWords)
+      path, maxWords)
+  }
+
+  /** The ONE merges → `(rnk, l, r)` table conversion — shared by the
+    * store and the gates' oracle-artifact export, so the rank
+    * convention cannot drift between the persisted model and the SQL
+    * replay.
+    */
+  def mergesDf(spark: SparkSession,
+               merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rnk", "l", "r")
   }
 
   /** Persist an already-trained merge list (import path — e.g. a
-    * tokenizer trained at a bigger budget elsewhere).
+    * tokenizer trained at a bigger budget elsewhere). `num_merges` in
+    * meta records the ACTUAL model size (training can exhaust below
+    * its budget), so the artifact stays self-describing.
     */
   def saveMerges(spark: SparkSession, merges: Seq[(String, String)],
-                 path: String, numMerges: Int, maxWords: Int): Unit = {
+                 path: String, maxWords: Int): Unit = {
     import spark.implicits._
     val staging = IndexStores.stagingFor(spark, path)
-    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
-      .toDF("rnk", "l", "r").coalesce(1)
+    mergesDf(spark, merges).coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/merges")
-    Seq((numMerges, maxWords)).toDF("num_merges", "max_words").coalesce(1)
+    Seq((merges.length, maxWords)).toDF("num_merges", "max_words")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/meta")
     IndexStores.swapInto(spark, path, staging)
   }
@@ -70,13 +84,18 @@ object TokenizerStore {
   def tokensColumn(spark: SparkSession, path: String): Column =
     TextOps.bpeTokens(load(spark, path))
 
-  /** Per-doc token counts + stream digest under the stored tokenizer —
-    * the corpus-pass shape `text_bpe_tokens` gates.
+  /** The ONE per-doc projection (counts + stream digest) shared by
+    * [[tokenize]] and the ingest stream, so the batch and streaming
+    * outputs cannot drift.
     */
-  def tokenize(docs: DataFrame, path: String): DataFrame = {
-    val toks = tokensColumn(docs.sparkSession, path)
+  def project(docs: DataFrame, toks: Column): DataFrame =
     docs.select(col("doc_id"),
       size(toks).cast("bigint").as("n_tokens"),
       md5(concat_ws(" ", toks)).as("toks_digest"))
-  }
+
+  /** Per-doc token counts + stream digest under the stored tokenizer —
+    * the corpus-pass shape `text_bpe_tokens` gates.
+    */
+  def tokenize(docs: DataFrame, path: String): DataFrame =
+    project(docs, tokensColumn(docs.sparkSession, path))
 }

@@ -248,9 +248,7 @@ object ExtQueries {
   def textBpeTokens(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeMerges(spark, dir)
     OracleArtifacts.export(dir, "bpe_merges") {
-      import spark.implicits._
-      merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
-        .toDF("rnk", "l", "r")
+      graft.operators.TokenizerStore.mergesDf(spark, merges)
     }
     val toks = TextOps.bpeTokens(merges)
     docs(spark, dir).select(col("doc_id"),
@@ -266,7 +264,7 @@ object ExtQueries {
       val path = java.nio.file.Files
         .createTempDirectory("graft-bpe-store").toString
       graft.operators.TokenizerStore.saveMerges(spark,
-        bpeMerges(spark, dir), path, numMerges = 200, maxWords = 50000)
+        bpeMerges(spark, dir), path, maxWords = 50000)
       path
     }
 
@@ -279,9 +277,7 @@ object ExtQueries {
   def textBpeIndexed(spark: SparkSession, dir: String): DataFrame = {
     val path = bpeStorePath(spark, dir)
     OracleArtifacts.export(dir, "bpe_merges") {
-      import spark.implicits._
-      bpeMerges(spark, dir).zipWithIndex
-        .map { case ((l, r), i) => (i, l, r) }.toDF("rnk", "l", "r")
+      graft.operators.TokenizerStore.mergesDf(spark, bpeMerges(spark, dir))
     }
     graft.operators.TokenizerStore.tokenize(docs(spark, dir), path)
       .orderBy("doc_id")

@@ -372,10 +372,7 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col("doc_id"),
-          org.apache.spark.sql.functions.size(toks).cast("bigint")
-            .as("n_tokens"),
-          md5(concat_ws(" ", toks)).as("toks_digest"))
+        graft.operators.TokenizerStore.project(batch, toks)
           .write.mode("append").parquet(outPath)
         ()
       }

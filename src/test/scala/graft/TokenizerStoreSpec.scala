@@ -15,7 +15,7 @@ class TokenizerStoreSpec extends SparkSpec {
     val docs = corpus
     val path = tmpDir("bpe-store")
     val merges = TextOps.bpeTrain(docs, numMerges = 60)
-    TokenizerStore.saveMerges(spark, merges, path, 60, 50000)
+    TokenizerStore.saveMerges(spark, merges, path, 50000)
     assert(TokenizerStore.load(spark, path) === merges)
     val direct = docs.select(col("doc_id"),
       md5(concat_ws(" ", TextOps.bpeTokens(merges))).as("d"))
