@@ -79,6 +79,17 @@ class FingerprintIndexSpec extends SparkSpec {
     assert(pairsVia(path, f) === before)
   }
 
+  test("classify's store scan is pruned to the probe's bucket partitions") {
+    val f = fps
+    val path = tmpDir("fp-idx-plan")
+    FingerprintIndex.write(f, path, nBits = 56)
+    val probe = f.limit(3)
+    val plan = FingerprintIndex.classify(spark, path, probe)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[.*bvp.*"),
+      s"fingerprint-index scan lost bucket partition pruning:\n$plan")
+  }
+
   test("start-from-nothing edges: empty build, empty append, empty-store compact") {
     val f = fps
     val path = tmpDir("fp-idx-empty")
