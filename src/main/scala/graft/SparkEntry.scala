@@ -129,6 +129,7 @@ object SparkEntry {
     "text_boilerplate" -> (graft.queries.ExtQueries.textBoilerplate(_, _)),
     "text_boilerplate_indexed" -> (graft.queries.ExtQueries.textBoilerplateIndexed(_, _)),
     "text_bpe_indexed" -> (graft.queries.ExtQueries.textBpeIndexed(_, _)),
+    "text_bpe_coverage" -> (graft.queries.ExtQueries.textBpeCoverage(_, _)),
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),

@@ -98,4 +98,49 @@ object TokenizerStore {
     */
   def tokenize(docs: DataFrame, path: String): DataFrame =
     project(docs, tokensColumn(docs.sparkSession, path))
+
+  /** Grow the stored tokenizer by `extraMerges` on the SAME training
+    * corpus: BPE training is deterministic-prefix (a bigger budget
+    * extends the merge list, never rewrites it — spec-pinned), so the
+    * store's merges must be a prefix of the retrained list; a mismatch
+    * means the corpus or budget drifted from the artifact's provenance
+    * and is rejected LOUDLY rather than silently shipping a tokenizer
+    * that re-tokenizes the whole historical corpus differently.
+    */
+  def extend(docs: DataFrame, path: String, extraMerges: Int): Unit = {
+    val spark = docs.sparkSession
+    require(extraMerges > 0, "TokenizerStore.extend: extraMerges <= 0")
+    val stored = load(spark, path)
+    val maxWords = IndexStores.readStore(spark, s"$path/meta")
+      .select("max_words").head.getInt(0)
+    val grown = TextOps.bpeTrain(docs, stored.length + extraMerges, maxWords)
+    require(grown.take(stored.length) == stored,
+      "TokenizerStore.extend: stored merges are not a prefix of the " +
+        "retrained list — the corpus drifted from this artifact's " +
+        "training corpus; rebuild with write() instead")
+    saveMerges(spark, grown, path, maxWords)
+  }
+
+  /** Tokenizer–corpus fit ([EXT]): per-document fragmentation under
+    * the stored tokenizer — token count, exact fixed-point
+    * chars-per-token ×10k (the compression the tokenizer achieves on
+    * this corpus; low = fragmenting, the signal a vocab-budget or
+    * domain-shift decision reads) and the count of single-character
+    * tokens (the OOV-ish tail BPE falls back to). One codegen'd
+    * expression pass — no shuffle, no join.
+    */
+  def coverage(docs: DataFrame, path: String): DataFrame = {
+    val toks = tokensColumn(docs.sparkSession, path)
+    docs.select(col("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      expr("CAST(length(translate(text, ' ', '')) AS BIGINT)")
+        .as("n_chars"),
+      size(filter(toks, t => length(t) === 1)).cast("bigint")
+        .as("n_char_tokens"))
+      .withColumn("chars_per_token_x10k",
+        expr("CAST(CASE WHEN n_tokens = 0 THEN 0 " +
+          "ELSE n_chars * 10000 div n_tokens END AS BIGINT)"))
+      .select("doc_id", "n_tokens", "n_chars", "n_char_tokens",
+        "chars_per_token_x10k")
+  }
 }

@@ -347,6 +347,31 @@ object ExtOracles {
          |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin
 
+  /** [[bpeTokensSql]]'s tokenization CTE chain with the coverage
+    * aggregates as the final projection — replays
+    * `TokenizerStore.coverage` from the same merges artifact.
+    */
+  private def bpeCoverageSql: String = {
+    val ctes = bpeTokensSql.substring(0,
+      bpeTokensSql.lastIndexOf("SELECT d.doc_id"))
+    s"""$ctes
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN coalesce(p.stream, '') = '' THEN 0
+       |       ELSE len(string_split(p.stream, ' ')) END AS BIGINT)
+       |    AS n_tokens,
+       |  CAST(len(replace(d.text, ' ', '')) AS BIGINT) AS n_chars,
+       |  CAST(CASE WHEN coalesce(p.stream, '') = '' THEN 0
+       |       ELSE len(list_filter(string_split(p.stream, ' '),
+       |                            x -> len(x) = 1)) END AS BIGINT)
+       |    AS n_char_tokens,
+       |  CAST(CASE WHEN coalesce(p.stream, '') = '' THEN 0
+       |       ELSE (len(replace(d.text, ' ', '')) * 10000)
+       |            // len(string_split(p.stream, ' ')) END AS BIGINT)
+       |    AS chars_per_token_x10k
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def boilerplateSql: String =
     s"""WITH $tokCte,
        |seg AS (SELECT doc_id, CAST(i AS INT) AS seg_no,
@@ -516,6 +541,9 @@ object ExtOracles {
     // store-served tokenize over the persisted merges artifact is
     // value-identical to the direct trained-in-session gate
     "text_bpe_indexed" -> bpeTokensSql,
+
+    // tokenizer-corpus fit from the same artifact + CTE chain
+    "text_bpe_coverage" -> bpeCoverageSql,
 
 
     // replays TextOps.piiScrub over the same derived-PII text; DuckDB

@@ -283,6 +283,21 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer–corpus fit under the stored tokenizer
+    * ([[graft.operators.TokenizerStore.coverage]]): per-doc token
+    * count, exact fixed-point chars-per-token, single-char-token tail
+    * — the vocab-budget / domain-shift dial, hash-checked against the
+    * full recursive-CTE tokenizer replay.
+    */
+  def textBpeCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val path = bpeStorePath(spark, dir)
+    OracleArtifacts.export(dir, "bpe_merges") {
+      graft.operators.TokenizerStore.mergesDf(spark, bpeMerges(spark, dir))
+    }
+    graft.operators.TokenizerStore.coverage(docs(spark, dir), path)
+      .orderBy("doc_id")
+  }
+
   /** ORACLE-CHECKED invariants of the BPE kernel's corpus output,
     * computed from the tokens Spark-side and INDEPENDENTLY from the raw
     * text by the DuckDB oracle: total subword characters must equal the

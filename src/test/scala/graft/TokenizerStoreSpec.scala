@@ -39,6 +39,43 @@ class TokenizerStoreSpec extends SparkSpec {
       "BPE training is deterministic-prefix: a bigger budget extends, never rewrites")
   }
 
+  test("extend grows the stored model in place; corpus drift rejects loudly") {
+    val docs = corpus
+    val path = tmpDir("bpe-store-ext")
+    TokenizerStore.write(docs, path, numMerges = 30)
+    val g1 = TokenizerStore.load(spark, path)
+    TokenizerStore.extend(docs, path, extraMerges = 20)
+    val g2 = TokenizerStore.load(spark, path)
+    assert(g2.length === 50 && g2.take(30) === g1)
+    assert(g2 === TextOps.bpeTrain(docs, numMerges = 50),
+      "extend must land on exactly the bigger-budget training result")
+    // a different corpus cannot silently extend this artifact
+    val drifted = docs.withColumn("text",
+      concat(lit("zzq zzq zzq zzq zzq zzq zzq zzq "), col("text")))
+    val e = intercept[IllegalArgumentException] {
+      TokenizerStore.extend(drifted, path, extraMerges = 5)
+    }
+    assert(e.getMessage.contains("drifted"))
+  }
+
+  test("coverage: exact fixed-point fragmentation metrics under the stored tokenizer") {
+    val docs = Seq((1L, "ab ab ab"), (2L, "xyz")).toDF("doc_id", "text")
+    val path = tmpDir("bpe-store-cov")
+    // train on a corpus where 'a b' merges immediately
+    TokenizerStore.write(docs, path, numMerges = 1)
+    val r = TokenizerStore.coverage(docs, path).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("n_tokens"),
+        x.getAs[Long]("n_chars"), x.getAs[Long]("n_char_tokens"),
+        x.getAs[Long]("chars_per_token_x10k")))
+    val merges = TokenizerStore.load(spark, path)
+    // whatever the single merge is, counts must be internally exact
+    r.foreach { case (_, nTok, nChars, nCharToks, cpt) =>
+      assert(cpt === nChars * 10000 / nTok)
+      assert(nCharToks <= nTok && nChars >= nTok)
+    }
+    assert(merges.length === 1)
+  }
+
   test("tokenizeStream under the frozen store matches the batch pass") {
     val docs = corpus
     val path = tmpDir("bpe-stream-store")
