@@ -130,6 +130,7 @@ object SparkEntry {
     "text_boilerplate_indexed" -> (graft.queries.ExtQueries.textBoilerplateIndexed(_, _)),
     "text_bpe_indexed" -> (graft.queries.ExtQueries.textBpeIndexed(_, _)),
     "text_bpe_coverage" -> (graft.queries.ExtQueries.textBpeCoverage(_, _)),
+    "text_lm_surprisal" -> (graft.queries.ExtQueries.textLmSurprisal(_, _)),
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),

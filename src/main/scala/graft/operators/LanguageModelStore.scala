@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted n-gram language model — the CCNet-style quality gate: a
+  * bigram LM counted over a FIXED reference corpus (curated text), and
+  * every later corpus version or ingest batch scored against that
+  * frozen model. Unlike [[TextOps.surprisal]] /
+  * [[TextOps.bigramSurprisal]] (corpus-INTERNAL statistics — a
+  * document is judged against whatever it ships with), the stored
+  * model makes the score stable: the same document gets the same
+  * perplexity today and in next month's crawl, which is what lets a
+  * threshold learned once keep meaning something. Third trained
+  * artifact ([[QualityClassifier]] weights, [[TokenizerStore]]
+  * merges), same staged-swap store machinery.
+  *
+  * Model, exactly (the whole contract — the DuckDB oracle replays it
+  * from the two count tables alone): for a document bigram (w1, w2),
+  * `p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)` — Laplace smoothing
+  * over the reference vocabulary of size `V`; unseen words and
+  * bigrams coalesce to zero counts. Per-doc score = mean `-ln p` over
+  * its bigrams (4 dp), plus the bigram count. Documents under two
+  * tokens are skipped ([[TextOps.bigramSurprisal]]'s convention).
+  *
+  * Layout under `path`: `unigrams/` `(w1, cw)`, `bigrams/`
+  * `(w1, w2, cb)`, `meta/` one row `(vocab_size, total_tokens)`.
+  *
+  * Scale shape: the model tables are vocabulary-bounded (unigrams) and
+  * corpus-sublinear (distinct bigrams), both persisted distributed and
+  * never collected; scoring is two LEFT joins keyed on the bigram's
+  * own columns — co-partitioned with the count aggregations at build,
+  * broadcast by AQE when the model is small.
+  */
+object LanguageModelStore {
+
+  private def docBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Count the model over the reference corpus. Staged + atomic swap. */
+  def write(refDocs: DataFrame, path: String): Unit = {
+    val spark = refDocs.sparkSession
+    import spark.implicits._
+    val staging = IndexStores.stagingFor(spark, path)
+    val tok = refDocs.select(explode(TextOps.tokens).as("w1"))
+    val uni = tok.groupBy("w1").agg(count(lit(1)).as("cw"))
+      .localCheckpoint() // feeds the store write AND the meta aggregate
+    uni.write.mode("overwrite").parquet(s"$staging/unigrams")
+    docBigrams(refDocs).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .write.mode("overwrite").parquet(s"$staging/bigrams")
+    val (v, n) = uni.agg(count(lit(1)), sum("cw")).as[(Long, Long)].head()
+    Seq((v, n)).toDF("vocab_size", "total_tokens").coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    IndexStores.swapInto(spark, path, staging)
+  }
+
+  /** Per-doc mean bigram surprisal under the STORED model — the
+    * perplexity column a threshold filter consumes.
+    */
+  def score(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    IndexStores.healRoot(spark, path)
+    val v = IndexStores.readStore(spark, s"$path/meta")
+      .select("vocab_size").head.getLong(0)
+    val uni = IndexStores.readStore(spark, s"$path/unigrams")
+    val big = IndexStores.readStore(spark, s"$path/bigrams")
+    docBigrams(docs)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(
+        round(avg(-log(
+          (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("cw"), lit(0L)) + v).cast("double"))), 4)
+          .as("mean_lm_surprisal"),
+        count(lit(1)).cast("bigint").as("n_bigrams"))
+  }
+
+  /** Documents the frozen model accepts: mean surprisal ≤
+    * `maxSurprisal` (low = looks like the reference distribution —
+    * the CCNet keep rule). Under-two-token documents have no score
+    * and are dropped, documented.
+    */
+  def filter(docs: DataFrame, path: String,
+             maxSurprisal: Double): DataFrame =
+    docs.join(
+      score(docs, path)
+        .filter(col("mean_lm_surprisal") <= maxSurprisal)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+}

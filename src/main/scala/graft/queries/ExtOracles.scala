@@ -611,6 +611,32 @@ object ExtOracles {
          |FROM tokw JOIN freq USING (w), tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // replays LanguageModelStore.score under the doc_id % 3 == 0
+    // reference slice: Laplace p(w2|w1) = (cb+1)/(cw+V), unseen
+    // words/bigrams coalesce to zero — the frozen-model CCNet gate
+    "text_lm_surprisal" ->
+      """WITH ref AS (SELECT string_split(text, ' ') AS t FROM documents
+        |             WHERE doc_id % 3 = 0),
+        |ru AS (SELECT w1, count(*) AS cw
+        |       FROM (SELECT unnest(t) AS w1 FROM ref) GROUP BY 1),
+        |vs AS (SELECT count(*) AS v FROM ru),
+        |rb AS (SELECT t[i+1] AS w1, t[i+2] AS w2, count(*) AS cb
+        |       FROM ref, unnest(range(len(t) - 1)) AS u(i)
+        |       WHERE len(t) >= 2 GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE doc_id % 3 <> 0) tg,
+        |            unnest(range(len(t) - 1)) AS u(i)
+        |       WHERE len(t) >= 2)
+        |SELECT tb.doc_id,
+        |  round(avg(-ln((coalesce(rb.cb, 0) + 1)
+        |    / CAST(coalesce(ru.cw, 0) + v AS DOUBLE))), 4)
+        |    AS mean_lm_surprisal,
+        |  count(*) AS n_bigrams
+        |FROM tb LEFT JOIN rb USING (w1, w2) LEFT JOIN ru USING (w1)
+        |CROSS JOIN vs
+        |GROUP BY tb.doc_id ORDER BY doc_id""".stripMargin,
+
     // replays TextOps.bigramSurprisal: p(w2|w1) = c(w1w2)/c(w1·)
     "text_bigram_surprisal" ->
       s"""WITH $tokCte,

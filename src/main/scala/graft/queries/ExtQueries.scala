@@ -538,6 +538,32 @@ object ExtQueries {
   def textSurprisal(spark: SparkSession, dir: String): DataFrame =
     TextOps.surprisal(docs(spark, dir)).orderBy("doc_id")
 
+  private val lmStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def lmStorePath(spark: SparkSession, dir: String): String =
+    lmStoreCache.get(spark, dir) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-lm-store").toString
+      graft.operators.LanguageModelStore.write(
+        docs(spark, dir).filter(col("doc_id") % 3 === 0), path)
+      path
+    }
+
+  /** CCNet-style frozen-reference perplexity
+    * ([[graft.operators.LanguageModelStore]]): a bigram LM counted
+    * over the `doc_id % 3 == 0` reference slice, scoring the REST of
+    * the corpus — unlike [[textBigramSurprisal]]'s corpus-internal
+    * statistics, the same document scores identically against this
+    * artifact in any future corpus version. Laplace-smoothed
+    * (`(cb+1)/(cw+V)`), hash-checked against a full DuckDB replay
+    * from the count tables.
+    */
+  def textLmSurprisal(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModelStore.score(
+      docs(spark, dir).filter(col("doc_id") % 3 =!= 0),
+      lmStorePath(spark, dir))
+      .orderBy("doc_id")
+
   def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     TextOps.bigramSurprisal(docs(spark, dir)).orderBy("doc_id")
 

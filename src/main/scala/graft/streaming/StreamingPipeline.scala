@@ -379,6 +379,37 @@ object StreamingPipeline {
       .start()
   }
 
+  /** CCNet-style perplexity filtering at ingest: per micro-batch,
+    * score against the FROZEN persisted bigram LM
+    * ([[graft.operators.LanguageModelStore]]) and append only
+    * documents at or under `maxSurprisal`. The model is a persisted
+    * artifact the stream never mutates, so verdicts are
+    * batching-independent by construction (no corpus statistic in the
+    * plan — the [[qualityFilterStream]] posture); per-trigger cost is
+    * O(batch bigrams) plus the model join.
+    */
+  def perplexityFilterStream(docs: DataFrame, modelPath: String,
+      keptPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxSurprisal: Double = 10.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try {
+          // pin: the batch feeds the score join AND the semi-join back
+          val pinned = batch.localCheckpoint()
+          graft.operators.LanguageModelStore
+            .filter(pinned, modelPath, maxSurprisal)
+            .write.mode("append").parquet(keptPath)
+        } finally graft.BenchUtil.releaseNewRdds(sc, before)
+        ()
+      }
+      .start()
+
   /** Perceptual media dedup at ingest: per micro-batch of
     * `(media_id, fp)` fingerprints, APPEND to the persisted
     * [[graft.operators.FingerprintIndex]] (row-level idempotent —

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LanguageModelStore
+import graft.streaming.StreamingPipeline
+
+class LanguageModelStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("score replays the Laplace contract exactly on a hand corpus") {
+    // reference: "a b" x3 and "a c" -> cw(a)=4, cb(a,b)=3, cb(a,c)=1,
+    // unigrams {a:4, b:3, c:1} -> V=3 (tokens of ref: a b a b a b a c)
+    val ref = Seq((1L, "a b a b a b a c")).toDF("doc_id", "text")
+    val path = tmpDir("lm-store")
+    LanguageModelStore.write(ref, path)
+    val target = Seq(
+      (10L, "a b"),   // -ln((3+1)/(7+4)) ; cw(a)=7 in ref stream? no:
+      (11L, "a z"),   // unseen bigram: -ln((0+1)/(cw(a)+V))
+      (12L, "z q")    // unseen word: -ln(1/(0+V))
+    ).toDF("doc_id", "text")
+    val got = LanguageModelStore.score(target, path)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // ref token stream: a b a b a b a c -> cw(a)=4, cw(b)=3, cw(c)=1;
+    // V=3; bigrams: (a,b)=3, (b,a)=3, (a,c)=1
+    def s(cb: Long, cw: Long) =
+      -math.log((cb + 1).toDouble / (cw + 3).toDouble)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got(0) === ((10L, r4(s(3, 4)), 1L)))
+    assert(got(1) === ((11L, r4(s(0, 4)), 1L)))
+    assert(got(2) === ((12L, r4(s(0, 0)), 1L)))
+  }
+
+  test("frozen model: identical docs score identically across corpus versions") {
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val path = tmpDir("lm-frozen")
+    LanguageModelStore.write(docs.filter($"doc_id" % 3 === 0), path)
+    val probe = docs.filter($"doc_id" % 3 === 1).limit(30)
+    val v1 = LanguageModelStore.score(probe, path)
+      .orderBy("doc_id").collect().toSeq
+    // "next month's crawl": same probe docs inside a different corpus —
+    // the frozen artifact must not care what ships alongside
+    val v2 = LanguageModelStore.score(
+      probe.unionByName(docs.filter($"doc_id" % 3 === 2).limit(200))
+        .filter($"doc_id" % 3 === 1), path)
+      .orderBy("doc_id").collect().toSeq
+    assert(v1 === v2)
+  }
+
+  test("perplexityFilterStream keeps exactly the batch filter's accept set") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(90)
+    val path = tmpDir("lm-stream-model")
+    LanguageModelStore.write(docs.filter($"doc_id" % 3 === 0), path)
+    val target = docs.filter($"doc_id" % 3 =!= 0)
+    // pick a threshold that splits the corpus nontrivially
+    val med = LanguageModelStore.score(target, path)
+      .select("mean_lm_surprisal").orderBy("mean_lm_surprisal")
+      .collect().map(_.getDouble(0))
+    val thr = med(med.length / 2)
+    val src = tmpDir("lm-stream-src")
+    target.coalesce(2).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(target.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val kept = tmpDir("lm-stream-kept")
+    StreamingPipeline.perplexityFilterStream(stream, path, kept,
+      tmpDir("lm-stream-ckpt"), maxSurprisal = thr)
+      .awaitTermination()
+    val streamed = spark.read.parquet(kept)
+      .select("doc_id").as[Long].collect().toSet
+    val direct = LanguageModelStore.filter(target, path, thr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === direct && direct.nonEmpty)
+  }
+}
