@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * perplexity today and in next month's crawl, which is what lets a
   * threshold learned once keep meaning something. Third trained
   * artifact ([[QualityClassifier]] weights, [[TokenizerStore]]
-  * merges), same staged-swap store machinery.
+  * merges), same staged-swap store machinery; the bigram decomposition
+  * is [[TextOps.docBigrams]], shared with the corpus-internal gate.
   *
   * Model, exactly (the whole contract — the DuckDB oracle replays it
   * from the two count tables alone): for a document bigram (w1, w2),
@@ -34,63 +35,87 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModelStore {
 
-  private def docBigrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextOps.tokens.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
-        .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  /** The frozen model, loaded once: count DataFrames stay lazy reads
+    * of the store (never collected); only `vocabSize` is a scalar.
+    * Streaming legs hold one of these across triggers so no heal /
+    * meta-read job runs per micro-batch.
+    */
+  final case class Model(uni: DataFrame, big: DataFrame, vocabSize: Long)
 
-  /** Count the model over the reference corpus. Staged + atomic swap. */
+  /** Count the model over the reference corpus. Staged + atomic swap;
+    * checkpoint blocks released on exit ([[ContaminationIndex.write]]'s
+    * posture). Rejects an empty reference — a zero-vocabulary model
+    * cannot score anything (division by V = 0).
+    */
   def write(refDocs: DataFrame, path: String): Unit = {
     val spark = refDocs.sparkSession
     import spark.implicits._
-    val staging = IndexStores.stagingFor(spark, path)
-    val tok = refDocs.select(explode(TextOps.tokens).as("w1"))
-    val uni = tok.groupBy("w1").agg(count(lit(1)).as("cw"))
-      .localCheckpoint() // feeds the store write AND the meta aggregate
-    uni.write.mode("overwrite").parquet(s"$staging/unigrams")
-    docBigrams(refDocs).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      .write.mode("overwrite").parquet(s"$staging/bigrams")
-    val (v, n) = uni.agg(count(lit(1)), sum("cw")).as[(Long, Long)].head()
-    Seq((v, n)).toDF("vocab_size", "total_tokens").coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/meta")
-    IndexStores.swapInto(spark, path, staging)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val staging = IndexStores.stagingFor(spark, path)
+      val tok = refDocs.select(explode(TextOps.tokens).as("w1"))
+      val uni = tok.groupBy("w1").agg(count(lit(1)).as("cw"))
+        .localCheckpoint() // feeds the store write AND the meta aggregate
+      uni.write.mode("overwrite").parquet(s"$staging/unigrams")
+      TextOps.docBigrams(refDocs)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .write.mode("overwrite").parquet(s"$staging/bigrams")
+      val (v, n) = uni.agg(count(lit(1)), coalesce(sum("cw"), lit(0L)))
+        .as[(Long, Long)].head()
+      require(v > 0,
+        s"empty reference corpus: a bigram LM needs at least one token ($path)")
+      Seq((v, n)).toDF("vocab_size", "total_tokens").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/meta")
+      IndexStores.swapInto(spark, path, staging)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
-  /** Per-doc mean bigram surprisal under the STORED model — the
-    * perplexity column a threshold filter consumes.
+  /** Load the frozen model once (one heal + one 1-row meta read);
+    * score any number of batches against it via [[scoreWith]].
     */
-  def score(docs: DataFrame, path: String): DataFrame = {
-    val spark = docs.sparkSession
+  def load(spark: SparkSession, path: String): Model = {
     IndexStores.healRoot(spark, path)
     val v = IndexStores.readStore(spark, s"$path/meta")
       .select("vocab_size").head.getLong(0)
-    val uni = IndexStores.readStore(spark, s"$path/unigrams")
-    val big = IndexStores.readStore(spark, s"$path/bigrams")
-    docBigrams(docs)
-      .join(big, Seq("w1", "w2"), "left")
-      .join(uni, Seq("w1"), "left")
+    Model(IndexStores.readStore(spark, s"$path/unigrams"),
+      IndexStores.readStore(spark, s"$path/bigrams"), v)
+  }
+
+  /** Per-doc mean bigram surprisal under a loaded frozen model — the
+    * perplexity column a threshold filter consumes.
+    */
+  def scoreWith(docs: DataFrame, model: Model): DataFrame =
+    TextOps.docBigrams(docs)
+      .join(model.big, Seq("w1", "w2"), "left")
+      .join(model.uni, Seq("w1"), "left")
       .groupBy("doc_id")
       .agg(
         round(avg(-log(
           (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
-            (coalesce(col("cw"), lit(0L)) + v).cast("double"))), 4)
+            (coalesce(col("cw"), lit(0L)) + model.vocabSize).cast("double"))), 4)
           .as("mean_lm_surprisal"),
         count(lit(1)).cast("bigint").as("n_bigrams"))
-  }
+
+  /** One-shot convenience: [[load]] then [[scoreWith]]. */
+  def score(docs: DataFrame, path: String): DataFrame =
+    scoreWith(docs, load(docs.sparkSession, path))
 
   /** Documents the frozen model accepts: mean surprisal ≤
     * `maxSurprisal` (low = looks like the reference distribution —
     * the CCNet keep rule). Under-two-token documents have no score
     * and are dropped, documented.
     */
-  def filter(docs: DataFrame, path: String,
-             maxSurprisal: Double): DataFrame =
+  def filterWith(docs: DataFrame, model: Model,
+                 maxSurprisal: Double): DataFrame =
     docs.join(
-      score(docs, path)
+      scoreWith(docs, model)
         .filter(col("mean_lm_surprisal") <= maxSurprisal)
         .select("doc_id"),
       Seq("doc_id"), "left_semi")
+
+  /** One-shot convenience: [[load]] then [[filterWith]]. */
+  def filter(docs: DataFrame, path: String,
+             maxSurprisal: Double): DataFrame =
+    filterWith(docs, load(docs.sparkSession, path), maxSurprisal)
 }

@@ -941,6 +941,20 @@ object TextOps {
       .join(top, "doc_id")
   }
 
+  /** THE bigram decomposition of a document — `(doc_id, w1, w2)` per
+    * adjacent token pair, under-two-token documents skipped. One
+    * definition, shared by [[bigramSurprisal]] (corpus-internal model)
+    * and [[LanguageModelStore]] (frozen-reference model) so the two
+    * gates can never drift on what "a bigram" means.
+    */
+  private[operators] def docBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
   /** Bigram-LM surprisal — one modelling step past [[surprisal]]: mean
     * −ln p(w₂|w₁) under the corpus bigram distribution,
     * p(w₂|w₁) = c(w₁w₂) ∕ c(w₁·). Catches templated word ORDER that
@@ -950,12 +964,7 @@ object TextOps {
     * outgrows a broadcast — → per-doc mean.
     */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
-    val bg = docs.select(col("doc_id"), tokens.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
-        .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = docBigrams(docs)
     val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cw1 = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
     bg.join(cbg, Seq("w1", "w2")).join(cw1, Seq("w1"))

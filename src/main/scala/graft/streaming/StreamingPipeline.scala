@@ -392,7 +392,11 @@ object StreamingPipeline {
       keptPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxSurprisal: Double = 10.0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // frozen by contract: heal + meta read happen ONCE at wiring, not
+    // per trigger ([[tokenizeStream]]'s load-once posture)
+    val model = graft.operators.LanguageModelStore
+      .load(docs.sparkSession, modelPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -403,12 +407,13 @@ object StreamingPipeline {
           // pin: the batch feeds the score join AND the semi-join back
           val pinned = batch.localCheckpoint()
           graft.operators.LanguageModelStore
-            .filter(pinned, modelPath, maxSurprisal)
+            .filterWith(pinned, model, maxSurprisal)
             .write.mode("append").parquet(keptPath)
         } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }
       .start()
+  }
 
   /** Perceptual media dedup at ingest: per micro-batch of
     * `(media_id, fp)` fingerprints, APPEND to the persisted

@@ -40,12 +40,23 @@ class LanguageModelStoreSpec extends SparkSpec {
     val v1 = LanguageModelStore.score(probe, path)
       .orderBy("doc_id").collect().toSeq
     // "next month's crawl": same probe docs inside a different corpus —
-    // the frozen artifact must not care what ships alongside
+    // score the UNION, then keep only the probe rows of the OUTPUT; a
+    // corpus-internal scorer (whose statistics shift with the extra
+    // docs) would fail this, the frozen artifact must not
     val v2 = LanguageModelStore.score(
-      probe.unionByName(docs.filter($"doc_id" % 3 === 2).limit(200))
-        .filter($"doc_id" % 3 === 1), path)
+      probe.unionByName(docs.filter($"doc_id" % 3 === 2).limit(200)),
+      path)
+      .filter($"doc_id" % 3 === 1)
       .orderBy("doc_id").collect().toSeq
-    assert(v1 === v2)
+    assert(v1 === v2 && v1.nonEmpty)
+  }
+
+  test("write rejects an empty reference corpus loudly") {
+    val e = intercept[IllegalArgumentException] {
+      LanguageModelStore.write(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), tmpDir("lm-empty"))
+    }
+    assert(e.getMessage.contains("empty reference corpus"))
   }
 
   test("perplexityFilterStream keeps exactly the batch filter's accept set") {
