@@ -71,6 +71,72 @@ object LanguageModelStore {
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
+  /** Grow the reference corpus without a recount of the old one:
+    * bigram/unigram counts are additive, so extending with new curated
+    * docs is `old counts ⊎ counts(new)` summed per key — O(new + model
+    * size), never O(old corpus). Staged + atomic swap; by construction
+    * `write(a); extend(b)` produces the exact count tables of
+    * `write(a ∪ b)` (spec-pinned), so scores after extend are the
+    * scores the full recount would give.
+    */
+  def extend(newRefDocs: DataFrame, path: String): Unit = {
+    val spark = newRefDocs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      IndexStores.healRoot(spark, path)
+      val staging = IndexStores.stagingFor(spark, path)
+      val uni = IndexStores.readStore(spark, s"$path/unigrams")
+        .unionByName(newRefDocs.select(explode(TextOps.tokens).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("cw")))
+        .groupBy("w1").agg(sum("cw").as("cw"))
+        .localCheckpoint() // pin BEFORE the swap unlinks the old generation
+      uni.write.mode("overwrite").parquet(s"$staging/unigrams")
+      IndexStores.readStore(spark, s"$path/bigrams")
+        .unionByName(TextOps.docBigrams(newRefDocs)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("cb")))
+        .groupBy("w1", "w2").agg(sum("cb").as("cb"))
+        .write.mode("overwrite").parquet(s"$staging/bigrams") // executes pre-swap: old generation still intact
+      val (v, n) = uni.agg(count(lit(1)), coalesce(sum("cw"), lit(0L)))
+        .as[(Long, Long)].head()
+      Seq((v, n)).toDF("vocab_size", "total_tokens").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/meta")
+      IndexStores.swapInto(spark, path, staging)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
+  /** Model-fit dial — how much of a batch the frozen reference has
+    * never seen: per doc, OOV tokens and unseen bigrams as exact
+    * fixed-point ppm (`(unseen · 10^6) div total` over integer counts
+    * — the repo's hash-stable emission protocol). High OOV means the
+    * model's surprisal scores are mostly the smoothing floor, i.e. the
+    * reference needs an [[extend]] before the threshold is meaningful
+    * — the same artifact-drift dial as [[TokenizerStore]] coverage.
+    * Under-two-token docs are skipped ([[TextOps.docBigrams]]'s
+    * convention, applied to BOTH legs so the row sets agree).
+    */
+  def coverage(docs: DataFrame, model: Model): DataFrame = {
+    val base = docs.select(col("doc_id"), TextOps.tokens.as("t"))
+      .filter(size(col("t")) >= 2)
+    val tokCov = base.select(col("doc_id"), explode(col("t")).as("w1"))
+      .join(model.uni, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("cw").isNull, 1L).otherwise(0L)).as("oov"),
+        count(lit(1)).as("n_tokens"))
+    val bgCov = TextOps.docBigrams(docs)
+      .join(model.big, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("cb").isNull, 1L).otherwise(0L)).as("unseen"),
+        count(lit(1)).as("n_bigrams"))
+    tokCov.join(bgCov, "doc_id")
+      .select(col("doc_id"),
+        expr("(oov * 1000000) div n_tokens").as("oov_ppm"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        expr("(unseen * 1000000) div n_bigrams").as("unseen_bigram_ppm"),
+        col("n_bigrams").cast("bigint").as("n_bigrams"))
+  }
+
   /** Load the frozen model once (one heal + one 1-row meta read);
     * score any number of batches against it via [[scoreWith]].
     */

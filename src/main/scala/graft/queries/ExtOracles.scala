@@ -637,6 +637,39 @@ object ExtOracles {
         |CROSS JOIN vs
         |GROUP BY tb.doc_id ORDER BY doc_id""".stripMargin,
 
+    // replays LanguageModelStore.coverage: OOV tokens / unseen bigrams
+    // vs the doc_id % 3 == 0 reference, exact fixed-point ppm
+    "text_lm_oov" ->
+      """WITH ref AS (SELECT string_split(text, ' ') AS t FROM documents
+        |             WHERE doc_id % 3 = 0),
+        |ru AS (SELECT w1, count(*) AS cw
+        |       FROM (SELECT unnest(t) AS w1 FROM ref) GROUP BY 1),
+        |rb AS (SELECT t[i+1] AS w1, t[i+2] AS w2, count(*) AS cb
+        |       FROM ref, unnest(range(len(t) - 1)) AS u(i)
+        |       WHERE len(t) >= 2 GROUP BY 1, 2),
+        |tg AS (SELECT doc_id, t FROM
+        |         (SELECT doc_id, string_split(text, ' ') AS t
+        |          FROM documents WHERE doc_id % 3 <> 0)
+        |       WHERE len(t) >= 2),
+        |tokc AS (SELECT doc_id,
+        |           sum(CASE WHEN ru.cw IS NULL THEN 1 ELSE 0 END) AS oov,
+        |           count(*) AS n_tokens
+        |         FROM (SELECT doc_id, unnest(t) AS w1 FROM tg) tt
+        |         LEFT JOIN ru USING (w1) GROUP BY doc_id),
+        |bgc AS (SELECT doc_id,
+        |          sum(CASE WHEN rb.cb IS NULL THEN 1 ELSE 0 END) AS unseen,
+        |          count(*) AS n_bigrams
+        |        FROM (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+        |              FROM tg, unnest(range(len(t) - 1)) AS u(i)) tb
+        |        LEFT JOIN rb USING (w1, w2) GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST((oov * 1000000) // n_tokens AS BIGINT) AS oov_ppm,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((unseen * 1000000) // n_bigrams AS BIGINT)
+        |    AS unseen_bigram_ppm,
+        |  CAST(n_bigrams AS BIGINT) AS n_bigrams
+        |FROM tokc JOIN bgc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // replays TextOps.bigramSurprisal: p(w2|w1) = c(w1w2)/c(w1·)
     "text_bigram_surprisal" ->
       s"""WITH $tokCte,

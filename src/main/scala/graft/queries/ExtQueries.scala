@@ -564,6 +564,20 @@ object ExtQueries {
       lmStorePath(spark, dir))
       .orderBy("doc_id")
 
+  /** Model-fit dial for the frozen LM
+    * ([[graft.operators.LanguageModelStore.coverage]]): per target doc,
+    * OOV-token and unseen-bigram rates vs the `doc_id % 3 == 0`
+    * reference, as exact fixed-point ppm — the drift signal that says
+    * the reference needs extending before its thresholds mean anything.
+    */
+  def textLmOov(spark: SparkSession, dir: String): DataFrame = {
+    val store = lmStorePath(spark, dir)
+    graft.operators.LanguageModelStore.coverage(
+      docs(spark, dir).filter(col("doc_id") % 3 =!= 0),
+      graft.operators.LanguageModelStore.load(spark, store))
+      .orderBy("doc_id")
+  }
+
   def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     TextOps.bigramSurprisal(docs(spark, dir)).orderBy("doc_id")
 

@@ -51,6 +51,46 @@ class LanguageModelStoreSpec extends SparkSpec {
     assert(v1 === v2 && v1.nonEmpty)
   }
 
+  test("extend reproduces the full recount's count tables and scores") {
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val a = docs.filter($"doc_id" % 6 === 0)
+    val b = docs.filter($"doc_id" % 6 === 3)
+    val incr = tmpDir("lm-extend-incr")
+    LanguageModelStore.write(a, incr)
+    LanguageModelStore.extend(b, incr)
+    val full = tmpDir("lm-extend-full")
+    LanguageModelStore.write(a.unionByName(b), full)
+    def tables(p: String) = {
+      val m = LanguageModelStore.load(spark, p)
+      (m.uni.orderBy("w1").collect().toSeq,
+       m.big.orderBy("w1", "w2").collect().toSeq, m.vocabSize)
+    }
+    assert(tables(incr) === tables(full))
+    val probe = docs.filter($"doc_id" % 3 === 1).limit(25)
+    assert(LanguageModelStore.score(probe, incr)
+      .orderBy("doc_id").collect().toSeq ===
+      LanguageModelStore.score(probe, full)
+        .orderBy("doc_id").collect().toSeq)
+  }
+
+  test("coverage counts OOV tokens and unseen bigrams exactly") {
+    val ref = Seq((1L, "a b a b a b a c")).toDF("doc_id", "text")
+    val path = tmpDir("lm-cov")
+    LanguageModelStore.write(ref, path)
+    val m = LanguageModelStore.load(spark, path)
+    val got = LanguageModelStore.coverage(Seq(
+      (10L, "a b c"),   // 0 OOV of 3; bigrams (a,b) seen, (b,c) unseen
+      (11L, "a z"),     // 1 OOV of 2; 1 unseen bigram of 1
+      (12L, "x")        // under two tokens: skipped
+    ).toDF("doc_id", "text"), m)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (10L, 0L, 3L, 500000L, 2L),
+      (11L, 500000L, 2L, 1000000L, 1L)))
+  }
+
   test("write rejects an empty reference corpus loudly") {
     val e = intercept[IllegalArgumentException] {
       LanguageModelStore.write(
