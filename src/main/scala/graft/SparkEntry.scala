@@ -132,6 +132,7 @@ object SparkEntry {
     "text_bpe_coverage" -> (graft.queries.ExtQueries.textBpeCoverage(_, _)),
     "text_lm_surprisal" -> (graft.queries.ExtQueries.textLmSurprisal(_, _)),
     "text_lm_oov" -> (graft.queries.ExtQueries.textLmOov(_, _)),
+    "text_dsir_select" -> (graft.queries.ExtQueries.textDsirSelect(_, _)),
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),

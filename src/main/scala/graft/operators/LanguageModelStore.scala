@@ -167,6 +167,52 @@ object LanguageModelStore {
   def score(docs: DataFrame, path: String): DataFrame =
     scoreWith(docs, load(docs.sparkSession, path))
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per doc, the
+    * mean bigram log-likelihood RATIO between a target-domain model
+    * and a background model, `avg(ln p_target − ln p_background)` —
+    * positive means the doc looks more like the curated target domain
+    * than like the general pool. Both sides are this store's Laplace
+    * models, so the whole weight is replayable from four count tables.
+    * Emitted at 4 dp; selection ([[importanceSelect]]) ranks by the
+    * ROUNDED weight with a doc_id tie-break so the keep-set grain is
+    * shared with the oracle (the bm25/rrf rank-leg posture).
+    *
+    * Scale shape: one bigram explode, four left joins against
+    * vocabulary-bounded count tables (AQE broadcasts small models),
+    * one per-doc aggregate — no corpus-global state beyond the frozen
+    * artifacts, so it streams batch-independently too.
+    */
+  def importanceWeight(docs: DataFrame, target: Model,
+                       background: Model): DataFrame = {
+    def lp(cb: String, cw: String, v: Long) =
+      log((coalesce(col(cb), lit(0L)) + 1).cast("double") /
+        (coalesce(col(cw), lit(0L)) + v).cast("double"))
+    TextOps.docBigrams(docs)
+      .join(target.big.select(col("w1"), col("w2"), col("cb").as("cbt")),
+        Seq("w1", "w2"), "left")
+      .join(target.uni.select(col("w1"), col("cw").as("cwt")),
+        Seq("w1"), "left")
+      .join(background.big.select(col("w1"), col("w2"), col("cb").as("cbb")),
+        Seq("w1", "w2"), "left")
+      .join(background.uni.select(col("w1"), col("cw").as("cwb")),
+        Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(round(avg(lp("cbt", "cwt", target.vocabSize) -
+          lp("cbb", "cwb", background.vocabSize)), 4)
+          .as("dsir_weight"),
+        count(lit(1)).cast("bigint").as("n_bigrams"))
+  }
+
+  /** The DSIR keep set: top `k` documents by importance weight
+    * (rounded-weight grain, doc_id tie-break — deterministic).
+    */
+  def importanceSelect(docs: DataFrame, target: Model,
+                       background: Model, k: Int): DataFrame =
+    importanceWeight(docs, target, background)
+      .orderBy(col("dsir_weight").desc, col("doc_id"))
+      .limit(k)
+
   /** Documents the frozen model accepts: mean surprisal ≤
     * `maxSurprisal` (low = looks like the reference distribution —
     * the CCNet keep rule). Under-two-token documents have no score

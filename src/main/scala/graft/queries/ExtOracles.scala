@@ -637,6 +637,49 @@ object ExtOracles {
         |CROSS JOIN vs
         |GROUP BY tb.doc_id ORDER BY doc_id""".stripMargin,
 
+    // replays LanguageModelStore.importanceSelect: DSIR keep set —
+    // top-100 by avg(ln p_target − ln p_background) over the en-slice
+    // target and all-docs background Laplace models, rounded-weight
+    // rank grain with doc_id tie-break
+    "text_dsir_select" ->
+      """WITH tgt AS (SELECT string_split(text, ' ') AS t FROM documents
+        |             WHERE lang = 'en'),
+        |tu AS (SELECT w1, count(*) AS cwt
+        |       FROM (SELECT unnest(t) AS w1 FROM tgt) GROUP BY 1),
+        |tv AS (SELECT count(*) AS vt FROM tu),
+        |tbg AS (SELECT t[i+1] AS w1, t[i+2] AS w2, count(*) AS cbt
+        |        FROM tgt, unnest(range(len(t) - 1)) AS u(i)
+        |        WHERE len(t) >= 2 GROUP BY 1, 2),
+        |bg AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bu AS (SELECT w1, count(*) AS cwb
+        |       FROM (SELECT unnest(t) AS w1 FROM bg) GROUP BY 1),
+        |bv AS (SELECT count(*) AS vb FROM bu),
+        |bbg AS (SELECT t[i+1] AS w1, t[i+2] AS w2, count(*) AS cbb
+        |        FROM bg, unnest(range(len(t) - 1)) AS u(i)
+        |        WHERE len(t) >= 2 GROUP BY 1, 2),
+        |db AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents) d,
+        |            unnest(range(len(t) - 1)) AS u(i)
+        |       WHERE len(t) >= 2),
+        |w AS (SELECT db.doc_id,
+        |        round(avg(
+        |          ln((coalesce(cbt, 0) + 1)
+        |            / CAST(coalesce(cwt, 0) + vt AS DOUBLE)) -
+        |          ln((coalesce(cbb, 0) + 1)
+        |            / CAST(coalesce(cwb, 0) + vb AS DOUBLE))), 4)
+        |          AS dsir_weight,
+        |        count(*) AS n_bigrams
+        |      FROM db LEFT JOIN tbg USING (w1, w2)
+        |              LEFT JOIN tu USING (w1)
+        |              LEFT JOIN bbg USING (w1, w2)
+        |              LEFT JOIN bu USING (w1)
+        |      CROSS JOIN tv CROSS JOIN bv
+        |      GROUP BY db.doc_id)
+        |SELECT * FROM (SELECT doc_id, dsir_weight, n_bigrams FROM w
+        |               ORDER BY dsir_weight DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
     // replays LanguageModelStore.coverage: OOV tokens / unseen bigrams
     // vs the doc_id % 3 == 0 reference, exact fixed-point ppm
     "text_lm_oov" ->

@@ -578,6 +578,38 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  private val dsirStoreCache =
+    new SessionCache[(String, String)](p => {
+      SessionCache.deleteTree(p._1); SessionCache.deleteTree(p._2)
+    })
+  private def dsirStorePaths(spark: SparkSession,
+                             dir: String): (String, String) =
+    dsirStoreCache.get(spark, dir) {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-dsir-target").toString
+      val b = java.nio.file.Files
+        .createTempDirectory("graft-dsir-background").toString
+      graft.operators.LanguageModelStore.write(
+        docs(spark, dir).filter(col("lang") === "en"), t)
+      graft.operators.LanguageModelStore.write(docs(spark, dir), b)
+      (t, b)
+    }
+
+  /** DSIR data selection
+    * ([[graft.operators.LanguageModelStore.importanceSelect]]): the
+    * 100 documents whose bigram log-likelihood ratio most favours the
+    * `lang = 'en'` target model over the all-docs background model —
+    * importance resampling's keep set, ranked on the 4-dp rounded
+    * weight with a doc_id tie-break (the shared rank grain).
+    */
+  def textDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val (t, b) = dsirStorePaths(spark, dir)
+    val lm = graft.operators.LanguageModelStore
+    lm.importanceSelect(docs(spark, dir),
+        lm.load(spark, t), lm.load(spark, b), 100)
+      .orderBy("doc_id")
+  }
+
   def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     TextOps.bigramSurprisal(docs(spark, dir)).orderBy("doc_id")
 

@@ -91,6 +91,45 @@ class LanguageModelStoreSpec extends SparkSpec {
       (11L, 500000L, 2L, 1000000L, 1L)))
   }
 
+  test("importanceWeight replays the two-model log-ratio exactly") {
+    val tgtPath = tmpDir("dsir-t"); val bgPath = tmpDir("dsir-b")
+    // target: "a b" twice -> uni {a:2, b:2} V=2, big {(a,b):2, (b,a):1}
+    LanguageModelStore.write(
+      Seq((1L, "a b a b")).toDF("doc_id", "text"), tgtPath)
+    // background: adds c -> uni {a:2, b:2, c:1} V=3,
+    // big {(a,b):2, (b,a):1, (b,c):1}... stream: a b a b c
+    LanguageModelStore.write(
+      Seq((1L, "a b a b c")).toDF("doc_id", "text"), bgPath)
+    val got = LanguageModelStore.importanceWeight(
+      Seq((10L, "a b")).toDF("doc_id", "text"),
+      LanguageModelStore.load(spark, tgtPath),
+      LanguageModelStore.load(spark, bgPath))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // ln((2+1)/(2+2)) - ln((2+1)/(2+3))
+    val want = math.log(3.0 / 4.0) - math.log(3.0 / 5.0)
+    assert(got.toSeq === Seq((10L, math.rint(want * 1e4) / 1e4, 1L)))
+  }
+
+  test("importanceSelect favours target-domain documents") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang")
+    val tgtPath = tmpDir("dsir-sel-t"); val bgPath = tmpDir("dsir-sel-b")
+    LanguageModelStore.write(docs.filter($"lang" === "en"), tgtPath)
+    LanguageModelStore.write(docs, bgPath)
+    val k = 50
+    val kept = LanguageModelStore.importanceSelect(docs,
+        LanguageModelStore.load(spark, tgtPath),
+        LanguageModelStore.load(spark, bgPath), k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size === k)
+    val enShareKept = docs.filter($"doc_id".isin(kept.toSeq: _*))
+      .filter($"lang" === "en").count().toDouble / k
+    val enShareAll = docs.filter($"lang" === "en").count().toDouble /
+      docs.count()
+    assert(enShareKept > enShareAll,
+      s"DSIR keep set en-share $enShareKept not above corpus $enShareAll")
+  }
+
   test("write rejects an empty reference corpus loudly") {
     val e = intercept[IllegalArgumentException] {
       LanguageModelStore.write(
