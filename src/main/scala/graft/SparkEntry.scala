@@ -81,6 +81,8 @@ object SparkEntry {
     "hybrid_rrf" -> (graft.queries.ExtQueries.hybridRrf(_, _)),
     "approx_distinct" -> (graft.queries.ExtQueries.approxDistinct(_, _)),
     "hll_partitioned" -> (graft.queries.ExtQueries.hllPartitioned(_, _)),
+    "sketch_kmv_distinct" -> (graft.queries.ExtQueries.sketchKmvDistinct(_, _)),
+    "sketch_kmv_overlap" -> (graft.queries.ExtQueries.sketchKmvOverlap(_, _)),
     "percentile_sketch" -> (graft.queries.ExtQueries.percentileSketch(_, _)),
     "frequent_tokens" -> (graft.queries.ExtQueries.frequentTokens(_, _)),
     "sketch_cms" -> (graft.queries.ExtQueries.sketchCms(_, _)),

@@ -1951,6 +1951,105 @@ object ExtOracles {
         |  CAST((CAST(top10 AS HUGEINT) * 1000000) // total_rows AS BIGINT)
         |    AS top10_share_ppm
         |FROM s CROSS JOIN t10""".stripMargin,
+
+    // replays ExtQueries.sketchKmvDistinct END-TO-END — including the
+    // ESTIMATOR, not just an exact audit side: the KMV sketch is a
+    // deterministic function of the input set given the hash (k
+    // lexicographically-smallest md5 strings; both engines
+    // binary-collate ASCII hex identically), and the estimate is exact
+    // integer arithmetic ((k−1)·2^60 // v60(kth), fixed-point
+    // protocol), so the whole row hash-checks — the first sketch gate
+    // whose estimate itself is oracle-replayed.
+    "sketch_kmv_distinct" ->
+      s"""WITH tw AS (SELECT source, string_split(text, ' ') AS t
+         |            FROM documents),
+         |sh AS (SELECT source, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS w
+         |       FROM tw, unnest(range(len(t) - 2)) AS u(i)),
+         |dt AS (SELECT DISTINCT source, w FROM sh),
+         |h AS (SELECT DISTINCT source, md5(w) AS h FROM dt),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM h),
+         |sk AS (SELECT source, h, rn FROM r WHERE rn <= 64),
+         |s AS (SELECT source, count(*) AS n_kept,
+         |        max(CASE WHEN rn = 64 THEN h END) AS kth
+         |      FROM sk GROUP BY 1),
+         |e AS (SELECT source, count(*) AS exact_shingles FROM dt GROUP BY 1),
+         |j AS (SELECT e.source, e.exact_shingles, s.n_kept,
+         |        CASE WHEN s.n_kept < 64 THEN s.n_kept
+         |        ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+         |          // greatest(${nibbleValue("s.kth", 15)}, 64) AS BIGINT)
+         |        END AS est
+         |      FROM e JOIN s USING (source))
+         |SELECT source, exact_shingles, n_kept, est,
+         |  CAST((CAST(abs(est - exact_shingles) AS HUGEINT) * 1000000)
+         |    // exact_shingles AS BIGINT) AS err_ppm
+         |FROM j ORDER BY source""".stripMargin,
+
+    // replays ExtQueries.sketchKmvOverlap: pairwise source vocabulary
+    // overlap in sketch space (union k-list, theta-window intersection,
+    // fixed-point Jaccard / intersection estimates) PLUS the exact
+    // distinct-set sides. Deterministic end-to-end, same protocol as
+    // sketch_kmv_distinct.
+    "sketch_kmv_overlap" ->
+      s"""WITH tw AS (SELECT source, string_split(text, ' ') AS t
+         |            FROM documents),
+         |sh AS (SELECT source, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS w
+         |       FROM tw, unnest(range(len(t) - 2)) AS u(i)),
+         |dt AS (SELECT DISTINCT source, w FROM sh),
+         |hh AS (SELECT DISTINCT source, md5(w) AS h FROM dt),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM hh),
+         |sk AS (SELECT source, h FROM r WHERE rn <= 64),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+         |          FROM srcs a JOIN srcs b ON a.source < b.source),
+         |uh AS (SELECT DISTINCT p.src_a, p.src_b, s.h
+         |       FROM pairs p JOIN sk s
+         |         ON s.source = p.src_a OR s.source = p.src_b),
+         |ur AS (SELECT src_a, src_b, h, row_number()
+         |         OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+         |       FROM uh),
+         |uk AS (SELECT * FROM ur WHERE rn <= 64),
+         |us AS (SELECT src_a, src_b, count(*) AS n_union,
+         |         max(CASE WHEN rn = 64 THEN h END) AS kth
+         |       FROM uk GROUP BY 1, 2),
+         |it AS (SELECT u.src_a, u.src_b, count(*) AS n_inter
+         |       FROM uk u
+         |       JOIN sk x ON x.source = u.src_a AND x.h = u.h
+         |       JOIN sk y ON y.source = u.src_b AND y.h = u.h
+         |       GROUP BY 1, 2),
+         |ue AS (SELECT us.src_a, us.src_b, us.n_union,
+         |         coalesce(it.n_inter, 0) AS n_inter,
+         |         CASE WHEN us.n_union < 64 THEN us.n_union
+         |         ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+         |           // greatest(${nibbleValue("us.kth", 15)}, 64) AS BIGINT)
+         |         END AS union_est
+         |       FROM us LEFT JOIN it
+         |         ON it.src_a = us.src_a AND it.src_b = us.src_b),
+         |ex AS (SELECT source, count(*) AS ex FROM dt GROUP BY 1),
+         |ei AS (SELECT x.source AS src_a, y.source AS src_b,
+         |         count(*) AS ex_inter
+         |       FROM dt x JOIN dt y
+         |         ON x.w = y.w AND x.source < y.source
+         |       GROUP BY 1, 2)
+         |SELECT ue.src_a, ue.src_b, ue.n_union, ue.n_inter,
+         |  CAST((CAST(ue.n_inter AS HUGEINT) * 1000000)
+         |    // greatest(ue.n_union, 1) AS BIGINT) AS jaccard_ppm,
+         |  ue.union_est,
+         |  CAST((CAST(ue.n_inter AS HUGEINT) * ue.union_est)
+         |    // greatest(ue.n_union, 1) AS BIGINT) AS inter_est,
+         |  ea.ex AS ex_a, eb.ex AS ex_b,
+         |  coalesce(ei.ex_inter, 0) AS ex_inter,
+         |  CAST((CAST(coalesce(ei.ex_inter, 0) AS HUGEINT) * 1000000)
+         |    // (ea.ex + eb.ex - coalesce(ei.ex_inter, 0)) AS BIGINT)
+         |    AS exact_jaccard_ppm
+         |FROM ue
+         |JOIN ex ea ON ea.source = ue.src_a
+         |JOIN ex eb ON eb.source = ue.src_b
+         |LEFT JOIN ei ON ei.src_a = ue.src_a AND ei.src_b = ue.src_b
+         |ORDER BY ue.src_a, ue.src_b""".stripMargin,
   )
 
   /** Shared z-layout CTE chain: normalised events with epoch-us time →

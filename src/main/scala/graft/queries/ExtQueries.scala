@@ -373,6 +373,76 @@ object ExtQueries {
           .as("est_ok"))
       .orderBy("lang")
 
+  /** One row per (source, shingle) — the shared key stream of the two
+    * KMV gates: 3-token shingles through the codegen'd
+    * [[graft.functions.TokenShingles]] kernel (the near-dup operators'
+    * shingle convention, source-keyed instead of doc-keyed).
+    */
+  private def srcShingles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    docs(spark, dir).select(col("source"),
+      explode(column(graft.functions.TokenShingles(
+        expression(col("text")), 3))).as("w"))
+  }
+
+  /** Per-source distinct-shingle (content-unit) estimate through the
+    * KMV sketch ([[graft.operators.SketchOps.kmvDistinct]]): one
+    * corpus scan building ≤ k-string buffers map-side — no DISTINCT
+    * shuffle — next to the exact audit side a 100 TB run would drop.
+    * Fully deterministic (md5 order statistics + fixed-point integer
+    * estimates), so unlike the HLL gates this one hash-checks against
+    * a complete DuckDB replay of the ESTIMATOR itself — and shingle
+    * cardinality saturates the sketch at the correctness SF, so the
+    * saturated estimator branch (not just the exact small-set branch)
+    * is what the driver checks.
+    */
+  def sketchKmvDistinct(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame =
+    graft.operators.SketchOps.kmvDistinct(
+      srcShingles(spark, dir), Seq("source"), col("w"), k)
+      .withColumnRenamed("exact_cnt", "exact_shingles")
+      .select("source", "exact_shingles", "n_kept", "est", "err_ppm")
+      .orderBy("source")
+
+  /** Pairwise source content overlap in SKETCH SPACE
+    * ([[graft.operators.SketchOps.kmvOverlap]]): union / intersection /
+    * Jaccard over shingle sets estimated from two k-lists per pair —
+    * the corpus is scanned once (sketch build), every pair after it is
+    * k-list arithmetic — next to the exact sides (`ex_a`, `ex_b`,
+    * `ex_inter`, `exact_jaccard_ppm`), which cost a distinct shuffle
+    * plus a shingle-equality join and exist here only as the audit the
+    * oracle replays. All estimates fixed-point; the whole row is
+    * deterministic and hash-checked.
+    */
+  def sketchKmvOverlap(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    val toks = srcShingles(spark, dir)
+    val sk = graft.operators.SketchOps.kmvSketch(
+      toks, Seq("source"), col("w"), k)
+    val pairs = graft.operators.SketchOps.kmvOverlap(sk, "source", k)
+    val dtoks = toks.distinct()
+    val ex = dtoks.groupBy("source").agg(count(lit(1)).as("ex"))
+    val exInter = dtoks.as("x")
+      .join(dtoks.as("y"),
+        col("x.w") === col("y.w") && col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("ex_inter_raw"))
+    pairs
+      .join(ex.select(col("source").as("src_a"), col("ex").as("ex_a")),
+        Seq("src_a"))
+      .join(ex.select(col("source").as("src_b"), col("ex").as("ex_b")),
+        Seq("src_b"))
+      .join(exInter, Seq("src_a", "src_b"), "left")
+      .withColumn("ex_inter", coalesce(col("ex_inter_raw"), lit(0L)))
+      .withColumn("exact_jaccard_ppm", expr(
+        "(CAST(ex_inter AS DECIMAL(38,0)) * 1000000)" +
+          " div (ex_a + ex_b - ex_inter)"))
+      .select("src_a", "src_b", "n_union", "n_inter", "jaccard_ppm",
+        "union_est", "inter_est", "ex_a", "ex_b", "ex_inter",
+        "exact_jaccard_ppm")
+      .orderBy("src_a", "src_b")
+  }
+
   /** Approximate percentiles per group (Greenwald–Khanna sketch) — the
     * single-pass, merge-combinable companion to the exact
     * `percentile_agg`: at 100 TB the exact interpolated percentile
