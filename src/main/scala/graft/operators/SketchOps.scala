@@ -38,16 +38,22 @@ object SketchOps {
   val Pow60 = "1152921504606846976"
 
   /** Per-group KMV sketch: group columns + `kmins`, the ascending array
-    * of the ≤ k smallest DISTINCT md5(key) hex strings. One scan,
-    * bounded map-side partials, ≤ k·tasks strings per group through
-    * the exchange.
+    * of the ≤ k smallest DISTINCT md5(key) hex strings, + `sk_k`, the
+    * build parameter. One scan, bounded map-side partials, ≤ k·tasks
+    * strings per group through the exchange. `sk_k` travels with the
+    * sketch because consumers MUST use the build k: a saturated
+    * 64-sketch is indistinguishable from an exact 64-element set
+    * without it, and estimating against a larger k would silently
+    * treat deep saturation as exactness ([[kmvOverlap]] reads it
+    * instead of taking k on trust).
     */
   def kmvSketch(df: DataFrame, group: Seq[String], key: Column,
       k: Int): DataFrame = {
     val agg = udaf(new graft.functions.KMinAgg(k))
     df.groupBy(group.map(col): _*)
       .agg(agg(md5(key)).as("sk"))
-      .select(group.map(col) :+ col("sk.rows").as("kmins"): _*)
+      .select(group.map(col) ++ Seq(col("sk.rows").as("kmins"),
+        lit(k).as("sk_k")): _*)
   }
 
   /** SQL expression: the first 15 nibbles of hash-string expression
@@ -88,10 +94,14 @@ object SketchOps {
     sk.join(ex, group)
       .withColumn("n_kept", size(col("kmins")).cast("long"))
       .withColumn("est", expr(estExpr("kmins", k)))
+      // greatest(_, 1): an all-NULL-key group has exact_cnt = 0 (and an
+      // empty sketch, so est = 0 and the quotient is 0 anyway) — the
+      // floor keeps the expression total under ANSI mode, matching
+      // kmvOverlap's guarded divisions
       .withColumn("err_ppm", expr(
         "(CAST(abs(est - exact_cnt) AS DECIMAL(38,0)) * 1000000)" +
-          " div exact_cnt"))
-      .drop("kmins")
+          " div greatest(exact_cnt, 1)"))
+      .drop("kmins", "sk_k")
   }
 
   /** All-pairs sketch-space overlap between the groups of a sketch
@@ -108,8 +118,18 @@ object SketchOps {
     * sketch frame is one row per group regardless of corpus size,
     * which is the point: the corpus is touched once (by the sketch
     * build), every pairwise audit after it is k-list arithmetic.
+    *
+    * k is read from the sketch's own `sk_k` column (one bounded probe
+    * of the tiny sketch frame), NOT taken as a parameter: estimating
+    * with a k larger than the build k would treat a saturated sketch
+    * as an exact set and under-estimate unboundedly; a mixed-k frame
+    * has no sound overlap semantics at all. Both reject loudly.
     */
-  def kmvOverlap(sk: DataFrame, group: String, k: Int): DataFrame = {
+  def kmvOverlap(sk: DataFrame, group: String): DataFrame = {
+    val ks = sk.select("sk_k").distinct().collect().map(_.getInt(0))
+    require(ks.length == 1,
+      s"kmvOverlap needs one sketch k, found ${ks.sorted.mkString(",")}")
+    val k = ks.head
     val a = sk.select(col(group).as("src_a"), col("kmins").as("ka"))
     val b = sk.select(col(group).as("src_b"), col("kmins").as("kb"))
     a.join(b, col("src_a") < col("src_b"))

@@ -419,7 +419,7 @@ object ExtQueries {
     val toks = srcShingles(spark, dir)
     val sk = graft.operators.SketchOps.kmvSketch(
       toks, Seq("source"), col("w"), k)
-    val pairs = graft.operators.SketchOps.kmvOverlap(sk, "source", k)
+    val pairs = graft.operators.SketchOps.kmvOverlap(sk, "source")
     val dtoks = toks.distinct()
     val ex = dtoks.groupBy("source").agg(count(lit(1)).as("ex"))
     val exInter = dtoks.as("x")

@@ -69,7 +69,8 @@ class KmvSketchSpec extends SparkSpec {
     val df = rows.flatMap { case (g, r) => r.map(i => (g, s"w$i")) }
       .toDF("g", "v")
     val sk = SketchOps.kmvSketch(df, Seq("g"), col("v"), k)
-    val o = SketchOps.kmvOverlap(sk, "g", k).collect().head
+    assert(sk.columns.contains("sk_k"), "sketch must carry its build k")
+    val o = SketchOps.kmvOverlap(sk, "g").collect().head
     assert(o.getAs[String]("src_a") === "a")
     assert(o.getAs[String]("src_b") === "b")
     assert(o.getAs[Long]("n_union") === k.toLong)
@@ -84,6 +85,28 @@ class KmvSketchSpec extends SparkSpec {
     // inter_est compounds the union estimate and the Jaccard sample
     assert(inter > 0 && math.abs(inter - 1000) <= 1000 * 0.5,
       s"inter_est $inter too far from 1000")
+  }
+
+  test("overlap rejects a mixed-k sketch frame loudly") {
+    val df = (1 to 100).map(i => ("a", s"x$i")).toDF("g", "v")
+    val mixed = SketchOps.kmvSketch(df, Seq("g"), col("v"), 16)
+      .union(SketchOps.kmvSketch(
+        df.withColumn("g", lit("b")), Seq("g"), col("v"), 32))
+    val e = intercept[IllegalArgumentException] {
+      SketchOps.kmvOverlap(mixed, "g")
+    }
+    assert(e.getMessage.contains("16,32"))
+  }
+
+  test("all-NULL-key group stays total: empty sketch, zero estimate, no ANSI division error") {
+    val df = Seq(("a", Option("x1")), ("a", Some("x2")), ("b", None),
+      ("b", None)).toDF("g", "v")
+    val rows = SketchOps.kmvDistinct(df, Seq("g"), col("v"), 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("exact_cnt"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("est"), r.getAs[Long]("err_ppm"))).toMap
+    assert(rows("a") === ((2L, 2L, 2L, 0L)))
+    assert(rows("b") === ((0L, 0L, 0L, 0L)))
   }
 
   test("gates run at sf0.001 with the documented shapes") {
