@@ -48,10 +48,22 @@ object SketchOps {
     * instead of taking k on trust).
     */
   def kmvSketch(df: DataFrame, group: Seq[String], key: Column,
+      k: Int): DataFrame =
+    kmvMerge(df, group, md5(key), k)
+
+  /** [[kmvSketch]] over ALREADY-HASHED values — the merge half of the
+    * sketch algebra: re-aggregating exploded `kmins` arrays (or any mix
+    * of them with fresh batch sketches) through this yields the sketch
+    * of the union of the underlying sets, because k-min-of-k-mins =
+    * k-min-of-union. Set semantics make it IDEMPOTENT: merging the
+    * same hashes twice is a no-op, which is what lets a crash-replayed
+    * ingest batch heal to nothing ([[SketchStore.extend]]).
+    */
+  def kmvMerge(df: DataFrame, group: Seq[String], hash: Column,
       k: Int): DataFrame = {
     val agg = udaf(new graft.functions.KMinAgg(k))
     df.groupBy(group.map(col): _*)
-      .agg(agg(md5(key)).as("sk"))
+      .agg(agg(hash).as("sk"))
       .select(group.map(col) ++ Seq(col("sk.rows").as("kmins"),
         lit(k).as("sk_k")): _*)
   }

@@ -1991,7 +1991,17 @@ object ExtOracles {
     // fixed-point Jaccard / intersection estimates) PLUS the exact
     // distinct-set sides. Deterministic end-to-end, same protocol as
     // sketch_kmv_distinct.
-    "sketch_kmv_overlap" ->
+    "sketch_kmv_overlap" -> kmvOverlapSql,
+
+    // the store-served twin (SketchStore built write(doc_id even) +
+    // extend(doc_id odd)) shares the oracle VERBATIM: k-min merge is
+    // exact (k-min-of-k-mins = k-min-of-union), so the split-built
+    // store must reproduce the one-shot sketch bit-for-bit — the
+    // hash check IS the merge-algebra proof
+    "sketch_kmv_indexed" -> kmvOverlapSql,
+  )
+
+  private lazy val kmvOverlapSql =
       s"""WITH tw AS (SELECT source, string_split(text, ' ') AS t
          |            FROM documents),
          |sh AS (SELECT source, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS w
@@ -2049,8 +2059,7 @@ object ExtOracles {
          |JOIN ex ea ON ea.source = ue.src_a
          |JOIN ex eb ON eb.source = ue.src_b
          |LEFT JOIN ei ON ei.src_a = ue.src_a AND ei.src_b = ue.src_b
-         |ORDER BY ue.src_a, ue.src_b""".stripMargin,
-  )
+         |ORDER BY ue.src_a, ue.src_b""".stripMargin
 
   /** Shared z-layout CTE chain: normalised events with epoch-us time →
     * global per-dimension bounds → exact integer grid coordinates

@@ -419,7 +419,18 @@ object ExtQueries {
     val toks = srcShingles(spark, dir)
     val sk = graft.operators.SketchOps.kmvSketch(
       toks, Seq("source"), col("w"), k)
-    val pairs = graft.operators.SketchOps.kmvOverlap(sk, "source")
+    overlapWithExact(graft.operators.SketchOps.kmvOverlap(sk, "source"),
+      toks)
+  }
+
+  /** Attach the exact audit sides (`ex_a`, `ex_b`, `ex_inter`,
+    * `exact_jaccard_ppm` — the distinct-shuffle + equality-join legs
+    * the oracle replays) to a sketch-space overlap frame. Shared by
+    * the in-session gate and its store-served twin so both emit the
+    * identical schema and share one oracle.
+    */
+  private def overlapWithExact(pairs: DataFrame,
+      toks: DataFrame): DataFrame = {
     val dtoks = toks.distinct()
     val ex = dtoks.groupBy("source").agg(count(lit(1)).as("ex"))
     val exInter = dtoks.as("x")
@@ -442,6 +453,46 @@ object ExtQueries {
         "exact_jaccard_ppm")
       .orderBy("src_a", "src_b")
   }
+
+  /** The persisted-sketch artifact shared by the indexed KMV gate: a
+    * [[graft.operators.SketchStore]] built once per (session, SF dir)
+    * by `write(first half) ∪ extend(second half)` — the split (stable
+    * doc_id grain) exists precisely so the gate exercises the MERGE
+    * leg of the lifecycle, not just a one-shot build. KMV's exact
+    * merge algebra (k-min-of-k-mins = k-min-of-union) is what lets the
+    * store-served gate share the direct gate's oracle verbatim.
+    */
+  private val kmvStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def kmvStorePath(spark: SparkSession, dir: String): String =
+    kmvStoreCache.get(spark, dir) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-kmv-store").toString
+      val d = docs(spark, dir)
+      import org.apache.spark.sql.graftshim.ColumnBridge._
+      def half(p: DataFrame) = p.select(col("source"),
+        explode(column(graft.functions.TokenShingles(
+          expression(col("text")), 3))).as("w"))
+      graft.operators.SketchStore.write(
+        half(d.filter(col("doc_id") % 2 === 0)), "source", col("w"), 64, path)
+      graft.operators.SketchStore.extend(
+        half(d.filter(col("doc_id") % 2 === 1)), "source", col("w"), 64, path)
+      path
+    }
+
+  /** [[sketchKmvOverlap]] served from the PERSISTED sketch store
+    * ([[graft.operators.SketchStore.overlapFrom]]): the sketch side of
+    * the plan reads #sources rows of k-min strings — the corpus
+    * appears only in the exact AUDIT legs, which exist for the oracle
+    * and which a 100 TB deployment drops. Built write+extend over a
+    * doc_id split, so hash-sharing the direct gate's oracle verbatim
+    * IS the driver-checked proof of the store's merge algebra.
+    */
+  def sketchKmvIndexed(spark: SparkSession, dir: String): DataFrame =
+    overlapWithExact(
+      graft.operators.SketchStore.overlapFrom(spark,
+        kmvStorePath(spark, dir)),
+      srcShingles(spark, dir))
 
   /** Approximate percentiles per group (Greenwald–Khanna sketch) — the
     * single-pass, merge-combinable companion to the exact

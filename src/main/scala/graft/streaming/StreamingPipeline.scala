@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -599,6 +599,30 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.ShardManifest.appendBatch(
           batch.sparkSession, manifestPath, batch, budget, batchId)
+        ()
+      }
+      .start()
+
+  /** Continuous KMV sketch ingest
+    * ([[graft.operators.SketchStore.extend]] per micro-batch): each
+    * trigger merges the batch's per-group k-min hashes into the stored
+    * sketches — O(batch + #groups·k) per trigger, so the cross-source
+    * overlap/distinct audits ([[graft.operators.SketchStore
+    * .overlapFrom]]) stay corpus-free no matter how long the stream
+    * runs. The first batch bootstraps an absent store. Crash-replay
+    * needs NO batch-id bookkeeping here, unlike [[packShardsStream]]:
+    * k-min merge is set-semantics idempotent, so re-merging a replayed
+    * batch is literally a no-op (spec-pinned).
+    */
+  def sketchIngestStream(rows: DataFrame, group: String, key: Column,
+      k: Int, storePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.SketchStore.extend(batch, group, key, k, storePath)
         ()
       }
       .start()
