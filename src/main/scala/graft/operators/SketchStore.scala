@@ -63,6 +63,12 @@ object SketchStore {
   def extend(df: DataFrame, group: String, key: Column, k: Int,
       path: String): Unit = {
     val spark = df.sparkSession
+    // heal the ROOT swap window BEFORE the presence probe: a crash
+    // between swap's two renames leaves the whole store only under
+    // `path.__old_`, and judging presence without healing would send
+    // the bootstrap branch off to rebuild the store from this one
+    // batch — silently discarding every earlier generation
+    IndexStores.healRoot(spark, path)
     if (!IndexStores.hasStore(spark, s"$path/sketches")) {
       write(df, group, key, k, path)
       return
@@ -72,21 +78,32 @@ object SketchStore {
       s"sketch store at $path was built as (group=$mg, k=$mk); " +
         s"extend declared (group=$group, k=$k)")
     val staging = IndexStores.stagingFor(spark, path)
+    // explode_outer, NOT explode: a group whose sketch is empty (all
+    // its keys were NULL) must survive the merge as (group, []) — a
+    // plain explode emits zero rows for the empty array and the group
+    // silently vanishes, breaking write(a); extend(b) == write(a ∪ b).
+    // KMinAgg skips the null hash the outer explode emits.
     val old = IndexStores.readStore(spark, s"$path/sketches")
-      .select(col(group), explode(col("kmins")).as("h"))
+      .select(col(group), explode_outer(col("kmins")).as("h"))
     val fresh = SketchOps.kmvSketch(df, Seq(group), key, k)
-      .select(col(group), explode(col("kmins")).as("h"))
+      .select(col(group), explode_outer(col("kmins")).as("h"))
     SketchOps.kmvMerge(old.unionByName(fresh), Seq(group), col("h"), k)
       .drop("sk_k")
       // executes pre-swap: the old generation is still intact under a
       // mid-write crash
       .write.mode("overwrite").parquet(s"$staging/sketches")
-    IndexStores.readStore(spark, s"$path/meta")
+    import spark.implicits._
+    Seq((mg, mk)).toDF("group_col", "k").coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/meta")
     IndexStores.swapInto(spark, path, staging)
   }
 
+  /** Read meta, healing the root swap window first — every public
+    * read path goes through here, so a store recoverable from
+    * `.__old_` is healed before any `$path/...` read can miss it.
+    */
   private def metaOf(spark: SparkSession, path: String): (String, Int) = {
+    IndexStores.healRoot(spark, path)
     val m = IndexStores.readStore(spark, s"$path/meta").head
     (m.getAs[String]("group_col"), m.getAs[Int]("k"))
   }
@@ -96,7 +113,6 @@ object SketchStore {
     * [[SketchOps.kmvOverlap]] or [[SketchOps.estExpr]].
     */
   def sketches(spark: SparkSession, path: String): DataFrame = {
-    IndexStores.healRoot(spark, path)
     val (_, k) = metaOf(spark, path)
     IndexStores.readStore(spark, s"$path/sketches")
       .withColumn("sk_k", lit(k))

@@ -378,9 +378,16 @@ object ExtQueries {
     * [[graft.functions.TokenShingles]] kernel (the near-dup operators'
     * shingle convention, source-keyed instead of doc-keyed).
     */
-  private def srcShingles(spark: SparkSession, dir: String): DataFrame = {
+  private def srcShingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(docs(spark, dir))
+
+  /** The shingle-explode body over any (source, text) frame — ONE
+    * definition shared by the direct gates and the store build so the
+    * two sides cannot silently diverge on shingle construction.
+    */
+  private def shinglesOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge._
-    docs(spark, dir).select(col("source"),
+    d.select(col("source"),
       explode(column(graft.functions.TokenShingles(
         expression(col("text")), 3))).as("w"))
   }
@@ -466,19 +473,22 @@ object ExtQueries {
     new SessionCache[String](SessionCache.deleteTree)
   private def kmvStorePath(spark: SparkSession, dir: String): String =
     kmvStoreCache.get(spark, dir) {
-      val path = java.nio.file.Files
+      // temp ROOT registered for deleteTree; the store lives one level
+      // down so the staged-swap rename never fights the already-
+      // existing temp dir (and swap/staging residue of a failed build
+      // stays inside the root deleteTree removes) — the
+      // [[layoutStorePath]] posture
+      val root = java.nio.file.Files
         .createTempDirectory("graft-kmv-store").toString
       val d = docs(spark, dir)
-      import org.apache.spark.sql.graftshim.ColumnBridge._
-      def half(p: DataFrame) = p.select(col("source"),
-        explode(column(graft.functions.TokenShingles(
-          expression(col("text")), 3))).as("w"))
       graft.operators.SketchStore.write(
-        half(d.filter(col("doc_id") % 2 === 0)), "source", col("w"), 64, path)
+        shinglesOf(d.filter(col("doc_id") % 2 === 0)),
+        "source", col("w"), 64, s"$root/store")
       graft.operators.SketchStore.extend(
-        half(d.filter(col("doc_id") % 2 === 1)), "source", col("w"), 64, path)
-      path
-    }
+        shinglesOf(d.filter(col("doc_id") % 2 === 1)),
+        "source", col("w"), 64, s"$root/store")
+      root
+    } + "/store"
 
   /** [[sketchKmvOverlap]] served from the PERSISTED sketch store
     * ([[graft.operators.SketchStore.overlapFrom]]): the sketch side of

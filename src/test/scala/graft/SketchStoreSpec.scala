@@ -88,6 +88,40 @@ class SketchStoreSpec extends SparkSpec {
     assert(eG.getMessage.contains("group=g"))
   }
 
+  test("extend heals the root swap window instead of bootstrapping from the replayed batch") {
+    val path = tmpDir("kmv-heal") + "/store"
+    SketchStore.write(corpus, "g", col("v"), 64, path)
+    val expected = {
+      val probe = tmpDir("kmv-heal-ref") + "/store"
+      SketchStore.write(corpus, "g", col("v"), 64, probe)
+      SketchStore.extend(mk(Seq("a" -> (700 to 1000))), "g", col("v"),
+        64, probe)
+      dumpSketches(probe)
+    }
+    // simulate a crash between swap's two renames: the store exists
+    // only under its .__old_ name
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(path + ".__old_999999999999"))
+    SketchStore.extend(mk(Seq("a" -> (700 to 1000))), "g", col("v"),
+      64, path)
+    assert(dumpSketches(path) === expected,
+      "extend after a root swap-window crash must merge into the " +
+        "healed store, not rebuild from the one batch")
+  }
+
+  test("a group with an empty sketch (all-NULL keys) survives extend") {
+    val path = tmpDir("kmv-nullg") + "/store"
+    val withNull = corpus.unionByName(
+      Seq(("z", null.asInstanceOf[String])).toDF("g", "v"))
+    SketchStore.write(withNull, "g", col("v"), 64, path)
+    assert(dumpSketches(path).exists(r => r._1 == "z" && r._2.isEmpty))
+    SketchStore.extend(mk(Seq("a" -> (700 to 1000))), "g", col("v"),
+      64, path)
+    assert(dumpSketches(path).exists(r => r._1 == "z" && r._2.isEmpty),
+      "the empty-sketch group vanished in the merge")
+  }
+
   test("streaming ingest equals the one-shot build") {
     import graft.streaming.StreamingPipeline
     val path = tmpDir("kmv-stream") + "/store"
