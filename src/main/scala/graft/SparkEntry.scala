@@ -87,6 +87,7 @@ object SparkEntry {
     "percentile_sketch" -> (graft.queries.ExtQueries.percentileSketch(_, _)),
     "frequent_tokens" -> (graft.queries.ExtQueries.frequentTokens(_, _)),
     "sketch_cms" -> (graft.queries.ExtQueries.sketchCms(_, _)),
+    "sketch_cms_store" -> (graft.queries.ExtQueries.sketchCmsStore(_, _)),
     "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
     "text_fingerprint" -> (graft.queries.ExtQueries.textFingerprint(_, _)),
     "text_simhash" -> (graft.queries.ExtQueries.textSimhash(_, _)),

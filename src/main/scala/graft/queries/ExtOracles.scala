@@ -757,10 +757,14 @@ object ExtOracles {
     // CMS's deterministic estimate ≥ exact guarantee — constant TRUE in
     // SQL, real computation on the Spark side (a broken build/probe
     // hash pairing under-counts and goes red here)
-    "sketch_cms" ->
-      s"""WITH $tokCte2
-         |SELECT w AS token, count(*) AS exact_n, TRUE AS probe_ok FROM tokw
-         |GROUP BY w ORDER BY exact_n DESC, token LIMIT 10""".stripMargin,
+    "sketch_cms" -> cmsSql,
+
+    // the store-served twin (FrequencyStore built write(doc_id even) +
+    // extend(doc_id odd)) shares the oracle verbatim: CMS merge is
+    // exact additive algebra (cell-wise counter sums under one seed),
+    // so the split-built sketch's probes must satisfy the same
+    // ≥-exact invariant the one-shot sketch does
+    "sketch_cms_store" -> cmsSql,
 
     // the sketch_cms pattern for the HLL++ estimate: the query outputs
     // the exact distinct count (replayed here) plus est_ok, the
@@ -2000,6 +2004,11 @@ object ExtOracles {
     // hash check IS the merge-algebra proof
     "sketch_kmv_indexed" -> kmvOverlapSql,
   )
+
+  private lazy val cmsSql =
+    s"""WITH $tokCte2
+       |SELECT w AS token, count(*) AS exact_n, TRUE AS probe_ok FROM tokw
+       |GROUP BY w ORDER BY exact_n DESC, token LIMIT 10""".stripMargin
 
   private lazy val kmvOverlapSql =
       s"""WITH tw AS (SELECT source, string_split(text, ' ') AS t

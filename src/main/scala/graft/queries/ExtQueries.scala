@@ -603,6 +603,53 @@ object ExtQueries {
       .orderBy(col("exact_n").desc, col("token"))
   }
 
+  /** The persisted frequency artifact shared by the store-served CMS
+    * gate: a [[graft.operators.FrequencyStore]] built once per
+    * (session, SF dir) by `write(doc_id even)` + `extend(doc_id odd)`
+    * — the split exercises the additive MERGE and the batch ledger,
+    * not just a one-shot build. Same default geometry as the
+    * in-session gate's sketch (eps 0.001, confidence 0.99, seed 42),
+    * so the merged counters equal the one-shot counters exactly.
+    */
+  private val cmsStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def cmsStorePath(spark: SparkSession, dir: String): String =
+    cmsStoreCache.get(spark, dir) {
+      // temp ROOT registered for deleteTree; store one level down
+      // (the [[kmvStorePath]] posture)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cms-store").toString
+      val d = docs(spark, dir)
+      def toks(p: DataFrame) = p.select(explode(TextOps.tokens).as("w"))
+      graft.operators.FrequencyStore.write(
+        toks(d.filter(col("doc_id") % 2 === 0)), col("w"), s"$root/store")
+      graft.operators.FrequencyStore.extend(
+        toks(d.filter(col("doc_id") % 2 === 1)), col("w"), s"$root/store",
+        batchId = 1L)
+      root
+    } + "/store"
+
+  /** [[sketchCms]] served from the PERSISTED frequency store
+    * ([[graft.operators.FrequencyStore.estimate]]): the probe sketch
+    * comes from a store built write+extend over a doc_id split, so the
+    * ≥-exact invariant holding row-for-row (shared oracle, verbatim)
+    * is the driver-checked proof of the additive merge — CMS's
+    * counter-sum algebra makes the split-built sketch equal the
+    * one-shot sketch exactly.
+    */
+  def sketchCmsStore(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val path = cmsStorePath(spark, dir)
+    val top = docs(spark, dir).select(explode(TextOps.tokens).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("w"))
+      .limit(k)
+    graft.operators.FrequencyStore.estimate(top, col("w"), path)
+      .select(col("w").as("token"), col("exact_n"),
+        (col("est") >= col("exact_n")).as("probe_ok"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashPairs(docs(spark, dir)).orderBy("a", "b")
 

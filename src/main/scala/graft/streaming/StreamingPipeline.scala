@@ -627,6 +627,31 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Continuous Count-Min frequency ingest
+    * ([[graft.operators.FrequencyStore.extend]] per micro-batch):
+    * each trigger's counts merge cell-wise into the stored sketch —
+    * O(batch) per trigger, fixed store size forever. CMS addition is
+    * NOT idempotent (the contrast with [[sketchIngestStream]]), so
+    * exactly-once under crash-replay comes from the store's
+    * applied-batch ledger keyed on foreachBatch's `batchId`: a
+    * replayed trigger finds its id in the ledger and returns without
+    * touching a counter (spec-pinned).
+    */
+  def frequencyIngestStream(rows: DataFrame, key: Column,
+      storePath: String, checkpoint: String,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.FrequencyStore.extend(batch, key, storePath,
+          batchId, eps, confidence, seed)
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation — the streaming form of the
     * `events_tumbling` batch query; late rows beyond `lateness` are
     * dropped by the watermark, state is bounded per window × type.

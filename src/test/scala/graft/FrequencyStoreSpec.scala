@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.FrequencyStore
+
+/** Persisted CMS lifecycle: the additive-merge algebra (write+extend
+  * equals one-shot counter-for-counter — asserted on the serialized
+  * BYTES), the exactly-once batch ledger under replay (the deliberate
+  * contrast with SketchStore's free idempotence), loud geometry
+  * rejects, the ≥-exact probe invariant through the store, and the
+  * streaming leg's stream ≡ batch pin.
+  */
+class FrequencyStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(rows: Seq[String]): DataFrame =
+    rows.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "w")
+
+  private val a = mk((1 to 300).map(i => s"tok${i % 40}"))
+  private val b = mk((1 to 500).map(i => s"tok${i % 90}"))
+
+  private def bytesOf(path: String): Seq[Byte] =
+    spark.read.parquet(s"$path/sketch").head.getAs[Array[Byte]](0).toSeq
+
+  test("write+extend equals the one-shot sketch byte-for-byte; probes stay ≥ exact") {
+    val split = tmpDir("cms-split") + "/store"
+    val whole = tmpDir("cms-whole") + "/store"
+    FrequencyStore.write(a, col("w"), split)
+    FrequencyStore.extend(b, col("w"), split, batchId = 1L)
+    FrequencyStore.write(a.unionByName(b), col("w"), whole)
+    assert(bytesOf(split) === bytesOf(whole),
+      "additive merge must reproduce the one-shot counter matrix")
+    val exact = a.unionByName(b).groupBy("w")
+      .agg(count(lit(1)).as("n"))
+    val bad = FrequencyStore.estimate(exact, col("w"), split)
+      .filter(col("est") < col("n")).count()
+    assert(bad === 0, "a CMS probe under the exact count means the " +
+      "add/probe hash pairing broke")
+    val st = FrequencyStore.stats(spark, split).head
+    assert(st.getAs[Long]("total_items") === 800L)
+    assert(st.getAs[Long]("applied_batches") === 1L)
+  }
+
+  test("a replayed batch id is exactly-once: counters and totals untouched") {
+    val path = tmpDir("cms-replay") + "/store"
+    FrequencyStore.write(a, col("w"), path)
+    FrequencyStore.extend(b, col("w"), path, batchId = 7L)
+    val once = bytesOf(path)
+    FrequencyStore.extend(b, col("w"), path, batchId = 7L)
+    assert(bytesOf(path) === once, "replay double-counted")
+    assert(FrequencyStore.stats(spark, path)
+      .head.getAs[Long]("total_items") === 800L)
+    // a NEW id does count
+    FrequencyStore.extend(b, col("w"), path, batchId = 8L)
+    assert(bytesOf(path) !== once)
+    assert(FrequencyStore.stats(spark, path)
+      .head.getAs[Long]("total_items") === 1300L)
+  }
+
+  test("extend bootstraps an absent store and rejects geometry drift loudly") {
+    val path = tmpDir("cms-boot") + "/store"
+    FrequencyStore.extend(a, col("w"), path, batchId = 0L)
+    assert(FrequencyStore.stats(spark, path)
+      .head.getAs[Long]("total_items") === 300L)
+    val e = intercept[IllegalArgumentException] {
+      FrequencyStore.extend(b, col("w"), path, batchId = 1L, seed = 43)
+    }
+    assert(e.getMessage.contains("seed=42"))
+  }
+
+  test("streaming ingest equals the one-shot build") {
+    import graft.streaming.StreamingPipeline
+    val path = tmpDir("cms-stream") + "/store"
+    val ref = tmpDir("cms-stream-ref") + "/store"
+    val corpus = a.unionByName(b).localCheckpoint()
+    FrequencyStore.write(corpus, col("w"), ref)
+    val src = tmpDir("cms-stream-src")
+    Seq(corpus.filter(col("id") < 100),
+        corpus.filter(col("id") >= 100 && col("id") < 300),
+        corpus.filter(col("id") >= 300))
+      .foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    StreamingPipeline.frequencyIngestStream(stream, col("w"), path,
+      tmpDir("cms-stream-ckpt"))
+      .awaitTermination()
+    assert(bytesOf(path) === bytesOf(ref),
+      "trigger-by-trigger ingest diverged from the one-shot build")
+    assert(FrequencyStore.stats(spark, path)
+      .head.getAs[Long]("applied_batches") === 3L)
+  }
+}
