@@ -17,62 +17,71 @@ import org.apache.spark.util.sketch.CountMinSketch
   *    a no-op with no bookkeeping.
   *  - CMS merge is ADDITIVE (cell-wise counter sums) → a replayed
   *    batch would DOUBLE-COUNT, so this store carries an applied-batch
-  *    ledger and [[extend]] is exactly-once by batch id: sketch,
-  *    meta and ledger update in ONE staged atomic swap, so a crash at
-  *    any point leaves the previous generation with the batch absent
-  *    from the ledger, and the replay applies it exactly once — the
-  *    [[ShardManifest]] recovery posture applied to a sketch.
+  *    ledger and [[extend]] is exactly-once per (producer, batchId):
+  *    sketch, meta and ledger update in ONE staged atomic swap, so a
+  *    crash at any point leaves the previous generation with the batch
+  *    absent from the ledger, and the replay applies it exactly once —
+  *    the [[ShardManifest]] recovery posture applied to a sketch.
   *
   * Both merges are EXACT algebra: same (eps, confidence, seed) means
   * the same counter matrix, so `write(a); extend(b)` equals
   * `write(a ∪ b)` counter-for-counter (spec-pinned) and the
   * store-served gate can share the in-session gate's oracle verbatim.
   *
+  * Writer contract: ONE producer at a time (the repo-wide quiesced
+  * single-producer posture — a streaming leg's `foreachBatch` is one
+  * by construction). Ledger ids are scoped by a `producer` string
+  * (the streaming leg passes its checkpoint path), so distinct
+  * producers' batch-0s never collide; a best-effort generation check
+  * re-reads the store just before the swap and rejects loudly if
+  * another writer advanced it mid-merge (a last-instant race can
+  * still lose — serialising writers is the caller's contract, the
+  * check is a tripwire, not a lock). Note the inherent semantics:
+  * re-pointing a NEW checkpoint at an already-counted source re-counts
+  * those rows — additive sketches cannot dedup row content; source
+  * re-delivery is upstream of any ledger.
+  *
   * Layout under `path`: `sketch/` one row `(bytes)`, `meta/` one row
-  * `(eps, confidence, seed, total_items)`, `batches/` applied batch
-  * ids. The sketch is Spark's own `count_min_sketch` aggregate output
-  * (merge-combinable counter matrix built map-side); serving is
-  * [[graft.functions.Cms.estimate]] — the plan-riding-object probe,
-  * a pure projection with no join and no shuffle.
+  * `(eps, confidence, seed, total_items, generation)`, `batches/`
+  * applied `(producer, batch_id)` rows. The sketch is Spark's own
+  * `count_min_sketch` aggregate output (merge-combinable counter
+  * matrix built map-side); serving is
+  * [[graft.functions.Cms.estimate]] — the plan-riding-object probe, a
+  * pure projection with no join and no shuffle.
   */
 object FrequencyStore {
 
-  /** Build the store over a corpus: one `count_min_sketch` aggregation
-    * (map-side partials, one small binary result), staged + atomic
-    * swap.
+  /** Build the store over a corpus: ONE aggregation pass computes the
+    * sketch and the exact item count together (map-side partials, one
+    * small binary + one long on the driver), staged + atomic swap.
     */
   def write(df: DataFrame, key: Column, path: String,
       eps: Double = 0.001, confidence: Double = 0.99,
       seed: Int = 42): Unit = {
-    val spark = df.sparkSession
-    val staging = IndexStores.stagingFor(spark, path)
-    writeGeneration(spark, staging, sketchOf(df, key, eps, confidence,
-      seed), eps, confidence, seed,
-      totalItems = df.filter(key.isNotNull).count(), batchIds = Seq.empty)
-    IndexStores.swapInto(spark, path, staging)
+    val (bytes, n) = sketchAndCount(df, key, eps, confidence, seed)
+    publish(df.sparkSession, path, bytes, eps, confidence, seed,
+      totalItems = n, batches = Seq.empty, generation = 1L)
   }
 
-  /** Merge a batch into the store, exactly once per `batchId`: an id
-    * already in the ledger is a crash-replay and returns without
-    * touching the counters (CMS addition is NOT idempotent — this
-    * ledger is what [[SketchStore]] gets for free from set semantics).
-    * An absent store bootstraps, with the declared parameters; against
-    * an existing store the parameters are checked against meta and a
-    * mismatch rejects loudly (sketches of different geometry or seed
-    * do not share hash functions — merging them is meaningless).
+  /** Merge a batch into the store, exactly once per (producer,
+    * batchId): a pair already in the ledger is a crash-replay and
+    * returns without touching the counters (CMS addition is NOT
+    * idempotent — this ledger is what [[SketchStore]] gets for free
+    * from set semantics). An absent store bootstraps, with the
+    * declared parameters; against an existing store the parameters are
+    * checked against meta and a mismatch rejects loudly (sketches of
+    * different geometry or seed do not share hash functions — merging
+    * them is meaningless).
     */
   def extend(df: DataFrame, key: Column, path: String, batchId: Long,
       eps: Double = 0.001, confidence: Double = 0.99,
-      seed: Int = 42): Unit = {
+      seed: Int = 42, producer: String = "default"): Unit = {
     val spark = df.sparkSession
     IndexStores.healRoot(spark, path)
     if (!IndexStores.hasStore(spark, s"$path/sketch")) {
-      val staging = IndexStores.stagingFor(spark, path)
-      writeGeneration(spark, staging, sketchOf(df, key, eps, confidence,
-        seed), eps, confidence, seed,
-        totalItems = df.filter(key.isNotNull).count(),
-        batchIds = Seq(batchId))
-      IndexStores.swapInto(spark, path, staging)
+      val (bytes, n) = sketchAndCount(df, key, eps, confidence, seed)
+      publish(spark, path, bytes, eps, confidence, seed, totalItems = n,
+        batches = Seq((producer, batchId)), generation = 1L)
       return
     }
     val m = metaOf(spark, path)
@@ -81,16 +90,26 @@ object FrequencyStore {
         s"confidence=${m.confidence}, seed=${m.seed}); extend declared " +
         s"(eps=$eps, confidence=$confidence, seed=$seed)")
     val applied = appliedBatches(spark, path)
-    if (applied.contains(batchId)) return // replay — already counted
+    if (applied.contains((producer, batchId))) return // replay — counted
+    val (batchBytes, n) = sketchAndCount(df, key, eps, confidence, seed)
     val merged = CountMinSketch.readFrom(
       new ByteArrayInputStream(sketchBytes(spark, path)))
-    merged.mergeInPlace(CountMinSketch.readFrom(new ByteArrayInputStream(
-      sketchOf(df, key, eps, confidence, seed))))
-    val staging = IndexStores.stagingFor(spark, path)
-    writeGeneration(spark, staging, serialize(merged), eps, confidence,
-      seed, totalItems = m.totalItems + df.filter(key.isNotNull).count(),
-      batchIds = applied :+ batchId)
-    IndexStores.swapInto(spark, path, staging)
+    merged.mergeInPlace(
+      CountMinSketch.readFrom(new ByteArrayInputStream(batchBytes)))
+    // single-writer tripwire: another producer advancing the store
+    // between our read and this point would be silently overwritten by
+    // the swap below — re-read the generation and reject loudly. Not a
+    // lock (a last-instant race can still slip through); the caller
+    // contract is one quiesced producer, this catches the misuse.
+    val gNow = metaOf(spark, path).generation
+    require(gNow == m.generation,
+      s"frequency store at $path advanced (generation ${m.generation} " +
+        s"-> $gNow) during extend — a second concurrent writer is " +
+        "merging into this store; serialise producers")
+    publish(spark, path, serialize(merged), eps, confidence, seed,
+      totalItems = m.totalItems + n,
+      batches = applied :+ ((producer, batchId)),
+      generation = m.generation + 1L)
   }
 
   /** Point estimates from the store: `df` + `est` (≥ the true count in
@@ -98,59 +117,68 @@ object FrequencyStore {
     * `confidence`). One bounded read of the sketch bytes, then a pure
     * projection — the [[graft.functions.Cms]] probe.
     */
-  def estimate(df: DataFrame, key: Column, path: String): DataFrame =
+  def estimate(df: DataFrame, key: Column, path: String): DataFrame = {
+    IndexStores.healRoot(df.sparkSession, path)
     df.withColumn("est",
       graft.functions.Cms.estimate(
         sketchBytes(df.sparkSession, path), key.cast("string")))
+  }
 
   /** One-row store summary: the geometry, the exact ingested item
-    * count (the N in the ε·N error bound) and the applied-batch count
-    * — the monitoring surface.
+    * count (the N in the ε·N error bound), the applied-batch count and
+    * the generation — the monitoring surface.
     */
   def stats(spark: SparkSession, path: String): DataFrame = {
+    IndexStores.healRoot(spark, path)
     val m = metaOf(spark, path)
     import spark.implicits._
     Seq((m.eps, m.confidence, m.seed, m.totalItems,
-      appliedBatches(spark, path).size.toLong))
-      .toDF("eps", "confidence", "seed", "total_items", "applied_batches")
+      appliedBatches(spark, path).size.toLong, m.generation))
+      .toDF("eps", "confidence", "seed", "total_items",
+        "applied_batches", "generation")
   }
 
   private final case class Meta(eps: Double, confidence: Double,
-      seed: Int, totalItems: Long)
+      seed: Int, totalItems: Long, generation: Long)
 
+  // internal readers assume the caller healed the root (every public
+  // entry point does, once — repeated ParquetTable.exists probes per
+  // streaming trigger are dead FS work on object stores)
   private def metaOf(spark: SparkSession, path: String): Meta = {
-    IndexStores.healRoot(spark, path)
     val r = IndexStores.readStore(spark, s"$path/meta").head
     Meta(r.getAs[Double]("eps"), r.getAs[Double]("confidence"),
-      r.getAs[Int]("seed"), r.getAs[Long]("total_items"))
+      r.getAs[Int]("seed"), r.getAs[Long]("total_items"),
+      r.getAs[Long]("generation"))
   }
 
-  private def sketchBytes(spark: SparkSession, path: String): Array[Byte] = {
-    IndexStores.healRoot(spark, path)
+  private def sketchBytes(spark: SparkSession, path: String): Array[Byte] =
     IndexStores.readStore(spark, s"$path/sketch").head.getAs[Array[Byte]](0)
-  }
 
-  /** The full applied-id ledger — one long per batch ever merged, read
-    * driver-side per extend. Growth is 8 bytes/batch (a year of
-    * once-a-minute triggers ≈ 4 MB), deliberate: keeping only a
-    * max-id high-water mark would tie the store to a single
-    * monotonic producer, and the ledger is also the
+  /** The full applied-id ledger — one (producer, batchId) row per batch
+    * ever merged, read driver-side per extend. Growth is tens of
+    * bytes/batch (a year of once-a-minute triggers ≈ a few MB),
+    * deliberate: a max-id high-water mark would tie the store to a
+    * single monotonic id sequence, and the ledger is also the
     * `applied_batches` audit surface in [[stats]].
     */
-  private def appliedBatches(spark: SparkSession, path: String): Seq[Long] =
+  private def appliedBatches(spark: SparkSession,
+      path: String): Seq[(String, Long)] =
     if (!IndexStores.hasStore(spark, s"$path/batches")) Seq.empty
     else IndexStores.readStore(spark, s"$path/batches")
-      .collect().map(_.getLong(0)).toSeq.sorted
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
 
-  /** The distributed aggregation — map-side partial counter matrices,
-    * one small binary result on the driver. Null keys are skipped by
-    * the aggregate, matching the `totalItems` filter.
+  /** ONE aggregation pass over the batch: the counter matrix and the
+    * exact non-null item count together — the hot ingest path reads
+    * its input once.
     */
-  private def sketchOf(df: DataFrame, key: Column, eps: Double,
-      confidence: Double, seed: Int): Array[Byte] =
-    df.select(key.cast("string").as("__k"))
-      .agg(expr(s"count_min_sketch(__k, ${eps}d, ${confidence}d, $seed)"))
-      .head.getAs[Array[Byte]](0)
+  private def sketchAndCount(df: DataFrame, key: Column, eps: Double,
+      confidence: Double, seed: Int): (Array[Byte], Long) = {
+    val r = df.select(key.cast("string").as("__k"))
+      .agg(expr(s"count_min_sketch(__k, ${eps}d, ${confidence}d, $seed)"),
+        count(col("__k")))
+      .head
+    (r.getAs[Array[Byte]](0), r.getLong(1))
+  }
 
   private def serialize(s: CountMinSketch): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -158,21 +186,26 @@ object FrequencyStore {
     out.toByteArray
   }
 
-  /** All three stores of one generation under `staging` — the single
-    * unit the atomic swap publishes, which is what makes [[extend]]
-    * exactly-once: counters and ledger can never diverge.
+  /** Stage one complete generation (sketch + meta + ledger) and swap it
+    * in atomically — the single publish path `write`, bootstrap and
+    * merge all share, which is what makes the ledger and the counters
+    * inseparable.
     */
-  private def writeGeneration(spark: SparkSession, staging: String,
+  private def publish(spark: SparkSession, path: String,
       bytes: Array[Byte], eps: Double, confidence: Double, seed: Int,
-      totalItems: Long, batchIds: Seq[Long]): Unit = {
+      totalItems: Long, batches: Seq[(String, Long)],
+      generation: Long): Unit = {
     import spark.implicits._
+    val staging = IndexStores.stagingFor(spark, path)
     Seq(Tuple1(bytes)).toDF("sketch").coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/sketch")
-    Seq((eps, confidence, seed, totalItems))
-      .toDF("eps", "confidence", "seed", "total_items").coalesce(1)
+    Seq((eps, confidence, seed, totalItems, generation))
+      .toDF("eps", "confidence", "seed", "total_items", "generation")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/meta")
-    if (batchIds.nonEmpty)
-      batchIds.toDF("batch_id").coalesce(1)
+    if (batches.nonEmpty)
+      batches.toDF("producer", "batch_id").coalesce(1)
         .write.mode("overwrite").parquet(s"$staging/batches")
+    IndexStores.swapInto(spark, path, staging)
   }
 }

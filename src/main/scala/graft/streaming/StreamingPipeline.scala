@@ -633,9 +633,12 @@ object StreamingPipeline {
     * O(batch) per trigger, fixed store size forever. CMS addition is
     * NOT idempotent (the contrast with [[sketchIngestStream]]), so
     * exactly-once under crash-replay comes from the store's
-    * applied-batch ledger keyed on foreachBatch's `batchId`: a
-    * replayed trigger finds its id in the ledger and returns without
-    * touching a counter (spec-pinned).
+    * applied-batch ledger keyed on (producer, batchId): a replayed
+    * trigger finds its pair in the ledger and returns without touching
+    * a counter (spec-pinned). The producer is this stream's checkpoint
+    * path — foreachBatch ids are monotonic only PER CHECKPOINT, so
+    * scoping by it keeps a second stream's (or a relocated
+    * checkpoint's) batch 0 from colliding with this one's.
     */
   def frequencyIngestStream(rows: DataFrame, key: Column,
       storePath: String, checkpoint: String,
@@ -647,7 +650,7 @@ object StreamingPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.FrequencyStore.extend(batch, key, storePath,
-          batchId, eps, confidence, seed)
+          batchId, eps, confidence, seed, producer = checkpoint)
         ()
       }
       .start()

@@ -59,6 +59,24 @@ class FrequencyStoreSpec extends SparkSpec {
       .head.getAs[Long]("total_items") === 1300L)
   }
 
+  test("ledger ids are producer-scoped: two producers' batch 0 both count") {
+    val path = tmpDir("cms-prod") + "/store"
+    FrequencyStore.write(a, col("w"), path)
+    FrequencyStore.extend(b, col("w"), path, batchId = 0L,
+      producer = "stream-one")
+    FrequencyStore.extend(b, col("w"), path, batchId = 0L,
+      producer = "stream-two")
+    val st = FrequencyStore.stats(spark, path).head
+    assert(st.getAs[Long]("total_items") === 1300L,
+      "a second producer's batch 0 was swallowed by the first's ledger entry")
+    assert(st.getAs[Long]("applied_batches") === 2L)
+    // while the SAME producer's replay still dedups
+    FrequencyStore.extend(b, col("w"), path, batchId = 0L,
+      producer = "stream-two")
+    assert(FrequencyStore.stats(spark, path)
+      .head.getAs[Long]("total_items") === 1300L)
+  }
+
   test("extend bootstraps an absent store and rejects geometry drift loudly") {
     val path = tmpDir("cms-boot") + "/store"
     FrequencyStore.extend(a, col("w"), path, batchId = 0L)
