@@ -179,4 +179,68 @@ object GraphOps {
       .union(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")))
       .distinct()
   }
+
+  /** PageRank over a directed edge list `(src, dst)` in EXACT
+    * fixed-point integer arithmetic — link analysis as a fully
+    * deterministic, cross-engine-replayable operator. Floating-point
+    * PageRank can never hash-match across engines (partial-sum order
+    * differs per partitioning); this one can, because every step is
+    * integer: ranks live in `scale` units (default 10^12 per unit of
+    * probability mass), per-edge contributions are
+    * `rank div out_degree` (floor), damping is `(85 · Σ) div 100`, and
+    * the recurrence is
+    *
+    *   rank₀(v)    = scale div N
+    *   rankₜ₊₁(v) = base + (85 · Σ_{u→v} rankₜ(u) div out(u)) div 100,
+    *   base        = ((scale div N) · 15) div 100
+    *
+    * Mass lost to flooring (and to dangling nodes — their rank is
+    * deliberately NOT redistributed) stays lost; the result is a
+    * deterministic function of the edge set, which is the property the
+    * oracle gate needs and threshold consumers (top-influencer cuts)
+    * don't miss.
+    *
+    * Scale shape: each of the `iters` rounds is one equi-join of the
+    * edge list against the rank table plus one groupBy-sum — the same
+    * shuffle currency as [[connectedComponents]], partitioned on the
+    * vertex id, map-side combinable, nothing driver-side. Lineage is
+    * truncated per round (`localCheckpoint`), intermediates released
+    * as the loop advances. Overflow headroom: Σ in-contributions ≤
+    * N·scale and ×85 must fit int64 — fine to N ≈ 10⁵ at the default
+    * scale; at larger N lower `scale` (the proof obligation is
+    * 85·N·scale < 2⁶³).
+    *
+    * Returns one row per node: `(id, rank)` with rank in scale units.
+    */
+  def pageRank(edgesIn: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edgesIn.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"))
+      .distinct().localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val r0 = scale / n
+    val base = (r0 * 15L) / 100L
+    var ranks = nodes.select(col("id"), lit(r0).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div d").as("c"))
+        .groupBy("id").agg(sum("c").as("m"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    e.unpersist()
+    nodes.unpersist()
+    ranks
+  }
 }

@@ -766,6 +766,8 @@ object ExtOracles {
     // ≥-exact invariant the one-shot sketch does
     "sketch_cms_store" -> cmsSql,
 
+    "graph_pagerank" -> pagerankSql,
+
     // the sketch_cms pattern for the HLL++ estimate: the query outputs
     // the exact distinct count (replayed here) plus est_ok, the
     // documented-error invariant — constant TRUE in SQL, real sketch
@@ -2004,6 +2006,40 @@ object ExtOracles {
     // hash check IS the merge-algebra proof
     "sketch_kmv_indexed" -> kmvOverlapSql,
   )
+
+  /** Replays ExtQueries.graphPagerank END-TO-END: all five PageRank
+    * iterations unrolled as CTEs over the symmetrised user↔event-type
+    * graph, every step the same exact integer arithmetic as the Spark
+    * operator (scale = 10^12 units, floor division for per-edge
+    * contributions and the 85/100 damping) — link analysis as a
+    * hash-checkable gate, possible only because the operator is
+    * fixed-point, not floating-point.
+    */
+  private lazy val pagerankSql = {
+    def iter(k: Int): String =
+      s"""r$k AS (SELECT n.id,
+         |  (SELECT b FROM p) + (85 * COALESCE(s.m, 0)) // 100 AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(rp.r // deg.d) AS m
+         |    FROM e JOIN r${k - 1} rp ON rp.id = e.src
+         |           JOIN deg ON deg.src = e.src
+         |    GROUP BY 1) s ON s.id = n.id)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+       |         'e:' || event_type AS dst FROM events
+       |  UNION
+       |  SELECT DISTINCT 'e:' || event_type AS src,
+       |         'u:' || CAST(user_id AS VARCHAR) AS dst FROM events),
+       |n AS (SELECT DISTINCT src AS id FROM e
+       |      UNION SELECT DISTINCT dst FROM e),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |p AS (SELECT count(*) AS nn,
+       |        1000000000000 // count(*) AS r0,
+       |        ((1000000000000 // count(*)) * 15) // 100 AS b FROM n),
+       |r0 AS (SELECT id, (SELECT r0 FROM p) AS r FROM n),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id, r AS rank FROM r5 ORDER BY id""".stripMargin
+  }
 
   private lazy val cmsSql =
     s"""WITH $tokCte2

@@ -650,6 +650,26 @@ object ExtQueries {
       .orderBy(col("exact_n").desc, col("token"))
   }
 
+  /** PageRank over the symmetrised user ↔ event-type bipartite graph
+    * ([[graft.operators.GraphOps.pageRank]]): co-visitation influence —
+    * which users and event types sit at the centre of the activity
+    * graph. The operator's exact fixed-point integer recurrence is
+    * what makes this gate possible at all: the DuckDB oracle replays
+    * ALL five iterations (unrolled CTEs, same floor divisions) and the
+    * rows hash-match — a floating-point PageRank never could, because
+    * partial-sum order differs per partitioning.
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val e = ev.select(
+      concat(lit("u:"), col("user_id")).as("src"),
+      concat(lit("e:"), col("event_type")).as("dst"))
+    val sym = e.union(e.select(col("dst"), col("src")))
+    GraphOps.pageRank(sym, iters = 5)
+      .select(col("id"), col("r").as("rank"))
+      .orderBy("id")
+  }
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashPairs(docs(spark, dir)).orderBy("a", "b")
 

@@ -75,4 +75,52 @@ class GraphOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  /** Single-threaded reference PageRank — the identical fixed-point
+    * integer recurrence over plain maps; the distributed operator must
+    * agree value-for-value on any graph.
+    */
+  private def referencePr(edges: Seq[(String, String)], iters: Int,
+      scale: Long = 1000000000000L): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val n = nodes.size.toLong
+    val base = ((scale / n) * 15L) / 100L
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val recv = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map(v => v -> (base + 85L * recv.getOrElse(v, 0L) / 100L))
+        .toMap
+    }
+    r
+  }
+
+  test("pageRank matches the single-threaded fixed-point reference exactly") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 400).map(_ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter(p => p._1 != p._2)
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === referencePr(edges, 5),
+      "distributed ranks diverged from the reference recurrence")
+  }
+
+  test("pageRank is partition-independent and handles dangling nodes") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+    // d is dangling (no out-edges): it receives mass but distributes
+    // none — deliberately dropped, per the operator contract
+    val df = edges.toDF("src", "dst")
+    val one = GraphOps.pageRank(df.coalesce(1), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val many = GraphOps.pageRank(df.repartition(7), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one === many)
+    assert(one === referencePr(edges, 4))
+    assert(one("a") > one("d"),
+      "a cycle member must outrank the dangling leaf")
+  }
 }

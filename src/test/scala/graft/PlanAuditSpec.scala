@@ -265,4 +265,34 @@ class PlanAuditSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("kmv sketch build: map-side partial aggregation, no upstream distinct") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.SketchOps.kmvSketch(
+      sources.Tables.documents(spark, sf).selectExpr(
+        "source", "explode(split(text, ' ')) AS w"),
+      Seq("source"), col("w"), 32)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("partial_kminagg"),
+      s"k-min buffers must partial-aggregate map-side:\n$p")
+    // exactly the one grouping shuffle — a distinct before the agg
+    // would plan a second exchange
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"sketch build planned more than the one grouping shuffle:\n$p")
+  }
+
+  test("cms store probe: a pure projection — no join, no shuffle, no agg") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("audit-cms").toString + "/store"
+    val toks = sources.Tables.documents(spark, sf)
+      .selectExpr("explode(split(text, ' ')) AS w")
+    graft.operators.FrequencyStore.write(toks, col("w"), path)
+    val p = graft.operators.FrequencyStore.estimate(toks, col("w"), path)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"the sketch probe must not join:\n$p")
+    assert(!p.contains("Exchange"), s"the sketch probe must not shuffle:\n$p")
+    assert(p.contains("cmsestimate") || p.toLowerCase.contains("cms"),
+      s"probe expression missing from the plan:\n$p")
+  }
 }
