@@ -12,6 +12,30 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Eager localCheckpoint + the RDD ids it persisted — the handle
+    * [[releaseCp]] needs, because `Dataset.unpersist` is a NO-OP on a
+    * localCheckpointed frame (it only clears cacheManager plan
+    * entries; the checkpoint lives as an RDD-level persist that must
+    * be unpersisted at the RDD level or it lingers until GC).
+    */
+  private def eagerCp(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val c = df.localCheckpoint(true)
+    (c, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  /** Free a checkpoint's RDD blocks (safe once no retained frame
+    * reads them — each loop round's eager checkpoint is self-contained,
+    * so its PREDECESSOR's blocks are releasable the moment it
+    * materialises).
+    */
+  private def releaseCp(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
+
   /** Connected components over an undirected edge list `(a, b)` by
     * iterative min-label propagation: every vertex starts labelled with
     * its own id; each round it takes the min of its label and its
@@ -43,13 +67,12 @@ object GraphOps {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("a").cast("bigint").as("src"),
       col("b").cast("bigint").as("dst"))
-    val sym = edges
+    val (sym, symIds) = eagerCp(edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var (labels, labelIds) = eagerCp(sym.select(col("src").as("id"))
       .distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .select(col("id"), col("id").as("label")))
     def checksum(df: DataFrame): Long =
       Option(df.agg(sum("label")).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -59,23 +82,23 @@ object GraphOps {
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop).groupBy("id")
-        .agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val (next, nextIds) = eagerCp(labels.union(prop).groupBy("id")
+        .agg(min("label").as("label")))
       val cur = checksum(next)
-      labels.unpersist()
+      releaseCp(labels, labelIds)
       labels = next
+      labelIds = nextIds
       converged = cur == prev
       prev = cur
       iter += 1
     }
-    sym.unpersist()
+    releaseCp(sym, symIds)
     // fail loudly rather than hand back mid-propagation labels: a
     // non-converged result silently splits components, and a dedup
     // built on it KEEPS duplicates with no signal (same erroring-over-
     // wrong-answers stance as ArrayDot's length check)
     if (!converged) {
-      labels.unpersist()
+      releaseCp(labels, labelIds)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +
           "(graph diameter exceeds maxIter); raise maxIter or pre-contract " +
@@ -118,9 +141,9 @@ object GraphOps {
         .filter(col("lo") < col("hi"))
         .distinct()
 
-    var edges = canon(pairs.select(col("a").cast("bigint").as("src"),
-        col("b").cast("bigint").as("dst")))
-      .localCheckpoint(true)
+    var (edges, edgeIds) = eagerCp(
+      canon(pairs.select(col("a").cast("bigint").as("src"),
+        col("b").cast("bigint").as("dst"))))
 
     // fixpoint test: the edge SET is literally unchanged once every
     // component is a star. The (count, XOR-of-xxhash64) checksum is a
@@ -145,31 +168,31 @@ object GraphOps {
         .union(edges.select(col("hi").as("u"), col("lo").as("v")))
       val mL = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val ls = canon(sym.join(mL, "u").filter(col("v") > col("u"))
-          .select(col("v").as("src"), col("m").as("dst")))
-        .localCheckpoint(true)
+      val (ls, lsIds) = eagerCp(
+        canon(sym.join(mL, "u").filter(col("v") > col("u"))
+          .select(col("v").as("src"), col("m").as("dst"))))
       // small-star: per node u over its SMALLER neighbours (v < u),
       // m = min of them; u and each v hook to m
       val dir = ls.select(col("hi").as("u"), col("lo").as("v"))
       val mS = dir.groupBy("u").agg(min("v").as("m"))
-      val ss = canon(dir.join(mS, "u")
+      val (ss, ssIds) = eagerCp(canon(dir.join(mS, "u")
           .select(col("v").as("src"), col("m").as("dst"))
-          .union(mS.select(col("u").as("src"), col("m").as("dst"))))
-        .localCheckpoint(true)
-      ls.unpersist()
+          .union(mS.select(col("u").as("src"), col("m").as("dst")))))
+      releaseCp(ls, lsIds)
       val cur = checksum(ss)
       // exact confirmation: counts already match (they're in the
       // checksum) and both sides are distinct sets, so an empty
       // one-direction difference proves set equality — runs only on
       // rounds whose checksums agree (normally just the last)
       converged = cur == prev && ss.exceptAll(edges).isEmpty
-      edges.unpersist()
+      releaseCp(edges, edgeIds)
       edges = ss
+      edgeIds = ssIds
       prev = cur
       iter += 1
     }
     if (!converged) {
-      edges.unpersist()
+      releaseCp(edges, edgeIds)
       throw new IllegalStateException(
         s"star contraction did not converge in $maxIter rounds — " +
           "log-round convergence makes this a bug, not a big graph")
@@ -214,33 +237,38 @@ object GraphOps {
     */
   def pageRank(edgesIn: DataFrame, iters: Int = 5,
       scale: Long = 1000000000000L): DataFrame = {
-    val e = edgesIn.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst"))
-      .distinct().localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    val nodes = e.select(col("src").as("id"))
+    val (e, eIds) = eagerCp(edgesIn
+      .select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+      .distinct())
+    // deg is read every round — materialised once like e/nodes, or the
+    // grouping aggregation would replay per iteration
+    val (deg, degIds) = eagerCp(
+      e.groupBy("src").agg(count(lit(1)).as("d")))
+    val (nodes, nodeIds) = eagerCp(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     val r0 = scale / n
     val base = (r0 * 15L) / 100L
-    var ranks = nodes.select(col("id"), lit(r0).as("r"))
-      .localCheckpoint(true)
+    var (ranks, rankIds) = eagerCp(
+      nodes.select(col("id"), lit(r0).as("rank")))
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
-        .select(col("dst").as("id"), expr("r div d").as("c"))
+        .select(col("dst").as("id"), expr("rank div d").as("c"))
         .groupBy("id").agg(sum("c").as("m"))
-      val next = nodes.join(contrib, Seq("id"), "left")
+      val (next, nextIds) = eagerCp(nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
-        .localCheckpoint(true)
-      ranks.unpersist()
+          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("rank")))
+      releaseCp(ranks, rankIds)
       ranks = next
+      rankIds = nextIds
     }
-    e.unpersist()
-    nodes.unpersist()
+    releaseCp(e, eIds)
+    releaseCp(deg, degIds)
+    releaseCp(nodes, nodeIds)
     ranks
   }
 }

@@ -2033,8 +2033,7 @@ object ExtOracles {
        |n AS (SELECT DISTINCT src AS id FROM e
        |      UNION SELECT DISTINCT dst FROM e),
        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
-       |p AS (SELECT count(*) AS nn,
-       |        1000000000000 // count(*) AS r0,
+       |p AS (SELECT 1000000000000 // count(*) AS r0,
        |        ((1000000000000 // count(*)) * 15) // 100 AS b FROM n),
        |r0 AS (SELECT id, (SELECT r0 FROM p) AS r FROM n),
        |${(1 to 5).map(iter).mkString(",\n")}

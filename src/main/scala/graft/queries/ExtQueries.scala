@@ -665,9 +665,7 @@ object ExtQueries {
       concat(lit("u:"), col("user_id")).as("src"),
       concat(lit("e:"), col("event_type")).as("dst"))
     val sym = e.union(e.select(col("dst"), col("src")))
-    GraphOps.pageRank(sym, iters = 5)
-      .select(col("id"), col("r").as("rank"))
-      .orderBy("id")
+    GraphOps.pageRank(sym, iters = 5).orderBy("id")
   }
 
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =

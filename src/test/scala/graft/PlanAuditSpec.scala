@@ -283,8 +283,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("cms store probe: a pure projection — no join, no shuffle, no agg") {
     import org.apache.spark.sql.functions.col
-    val path = java.nio.file.Files
-      .createTempDirectory("audit-cms").toString + "/store"
+    val path = tmpDir("audit-cms") + "/store"
     val toks = sources.Tables.documents(spark, sf)
       .selectExpr("explode(split(text, ' ')) AS w")
     graft.operators.FrequencyStore.write(toks, col("w"), path)
@@ -292,7 +291,8 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"the sketch probe must not join:\n$p")
     assert(!p.contains("Exchange"), s"the sketch probe must not shuffle:\n$p")
-    assert(p.contains("cmsestimate") || p.toLowerCase.contains("cms"),
-      s"probe expression missing from the plan:\n$p")
+    assert(p.toLowerCase.contains("cmsestimate") ||
+        p.toLowerCase.contains("cms_estimate"),
+      s"CmsEstimate expression missing from the plan:\n$p")
   }
 }
