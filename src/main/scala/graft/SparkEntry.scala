@@ -83,6 +83,7 @@ object SparkEntry {
     "hll_partitioned" -> (graft.queries.ExtQueries.hllPartitioned(_, _)),
     "sketch_kmv_distinct" -> (graft.queries.ExtQueries.sketchKmvDistinct(_, _)),
     "sketch_kmv_overlap" -> (graft.queries.ExtQueries.sketchKmvOverlap(_, _)),
+    "sketch_kmv_rollup" -> (graft.queries.ExtQueries.sketchKmvRollup(_, _)),
     "sketch_kmv_indexed" -> (graft.queries.ExtQueries.sketchKmvIndexed(_, _)),
     "percentile_sketch" -> (graft.queries.ExtQueries.percentileSketch(_, _)),
     "frequent_tokens" -> (graft.queries.ExtQueries.frequentTokens(_, _)),

@@ -768,6 +768,34 @@ object ExtOracles {
 
     "graph_pagerank" -> pagerankSql,
 
+    // replays ExtQueries.sketchKmvRollup as the DIRECT per-lang
+    // sketch: the Spark side computes per-(lang, source) sketches and
+    // MERGES them per lang, so hash equality against this direct
+    // replay is a driver-checked proof of the rollup algebra
+    // (k-min-of-k-mins = k-min-of-union) — the property the HLL
+    // rollup twin can only bound, not prove
+    "sketch_kmv_rollup" ->
+      s"""WITH tw AS (SELECT lang, string_split(text, ' ') AS t
+         |            FROM documents),
+         |sh AS (SELECT lang, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS w
+         |       FROM tw, unnest(range(len(t) - 2)) AS u(i)),
+         |dt AS (SELECT DISTINCT lang, w FROM sh),
+         |h AS (SELECT DISTINCT lang, md5(w) AS h FROM dt),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |      FROM h),
+         |sk AS (SELECT lang, h, rn FROM r WHERE rn <= 64),
+         |s AS (SELECT lang, count(*) AS n_kept,
+         |        max(CASE WHEN rn = 64 THEN h END) AS kth
+         |      FROM sk GROUP BY 1),
+         |e AS (SELECT lang, count(*) AS exact_shingles FROM dt GROUP BY 1)
+         |SELECT e.lang, e.exact_shingles, s.n_kept,
+         |  CASE WHEN s.n_kept < 64 THEN s.n_kept
+         |  ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+         |    // greatest(${nibbleValue("s.kth", 15)}, 64) AS BIGINT)
+         |  END AS est
+         |FROM e JOIN s USING (lang) ORDER BY lang""".stripMargin,
+
     // the sketch_cms pattern for the HLL++ estimate: the query outputs
     // the exact distinct count (replayed here) plus est_ok, the
     // documented-error invariant — constant TRUE in SQL, real sketch

@@ -411,6 +411,37 @@ object ExtQueries {
       .select("source", "exact_shingles", "n_kept", "est", "err_ppm")
       .orderBy("source")
 
+  /** Mergeable-sketch ROLLUP, hash-checkable edition — the
+    * [[hllPartitioned]] two-level shape (build fine-grained sketches
+    * once at ingest, roll them up per coarser grain without
+    * re-scanning) through KMV: per-(lang, source) sketches, merged
+    * per lang via [[graft.operators.SketchOps.kmvMerge]]
+    * (k-min-of-k-mins = k-min-of-union). The oracle replays the
+    * DIRECT per-lang sketch — so the hash check proves the rollup
+    * algebra itself, where the HLL twin can only assert an error
+    * bound. At 100 TB the first level persists per shard and every
+    * later rollup is kilobytes of k-list merging.
+    */
+  def sketchKmvRollup(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    val sh = docs(spark, dir).select(col("lang"), col("source"),
+      explode(column(graft.functions.TokenShingles(
+        expression(col("text")), 3))).as("w"))
+    val lvl1 = graft.operators.SketchOps.kmvSketch(
+      sh, Seq("lang", "source"), col("w"), k)
+    val merged = graft.operators.SketchOps.kmvMerge(
+      lvl1.select(col("lang"), explode_outer(col("kmins")).as("h")),
+      Seq("lang"), col("h"), k)
+    val ex = sh.groupBy("lang").agg(countDistinct("w").as("exact_shingles"))
+    merged.join(ex, "lang")
+      .withColumn("n_kept", size(col("kmins")).cast("long"))
+      .withColumn("est",
+        expr(graft.operators.SketchOps.estExpr("kmins", k)))
+      .select("lang", "exact_shingles", "n_kept", "est")
+      .orderBy("lang")
+  }
+
   /** Pairwise source content overlap in SKETCH SPACE
     * ([[graft.operators.SketchOps.kmvOverlap]]): union / intersection /
     * Jaccard over shingle sets estimated from two k-lists per pair —

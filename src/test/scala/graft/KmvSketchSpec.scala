@@ -87,6 +87,23 @@ class KmvSketchSpec extends SparkSpec {
       s"inter_est $inter too far from 1000")
   }
 
+  test("rollup algebra: merging fine-grained sketches equals sketching the coarse grain directly") {
+    val df = (1 to 900).map(i =>
+      (s"lang${i % 2}", s"src${i % 5}", s"tok${i % 300}"))
+      .toDF("lang", "source", "v")
+    val lvl1 = SketchOps.kmvSketch(df, Seq("lang", "source"), col("v"), 32)
+    val rolled = SketchOps.kmvMerge(
+      lvl1.select(col("lang"), explode_outer(col("kmins")).as("h")),
+      Seq("lang"), col("h"), 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    val direct = SketchOps.kmvSketch(df, Seq("lang"), col("v"), 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    assert(rolled === direct,
+      "k-min-of-k-mins must equal k-min-of-union")
+  }
+
   test("overlap rejects a mixed-k sketch frame loudly") {
     val df = (1 to 100).map(i => ("a", s"x$i")).toDF("g", "v")
     val mixed = SketchOps.kmvSketch(df, Seq("g"), col("v"), 16)
