@@ -167,6 +167,8 @@ object SparkEntry {
     "layout_zorder" -> (graft.queries.ExtQueries.layoutZorder(_, _)),
     "layout_skipping" -> (graft.queries.ExtQueries.layoutSkipping(_, _)),
     "layout_indexed_box" -> (graft.queries.ExtQueries.layoutIndexedBox(_, _)),
+    "join_bucketed" -> (graft.queries.ExtQueries.joinBucketed(_, _)),
+    "bucket_pruned_lookup" -> (graft.queries.ExtQueries.bucketPrunedLookup(_, _)),
     "layout_drift" -> (graft.queries.ExtQueries.layoutDrift(_, _)),
     "text_quality_classifier" -> (graft.queries.ExtQueries.textQualityClassifier(_, _)),
     "corpus_curriculum" -> (graft.queries.ExtQueries.corpusCurriculum(_, _)),

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BUCKETED table store — the co-located-join layout.
+  *
+  * The other persisted artifacts organise content (z-cells, LSH bands,
+  * IVF lists); this one organises JOIN KEYS. A fact table written
+  * `CLUSTERED BY (key) INTO n BUCKETS` carries Spark's
+  * `HashPartitioning(key, n)` in its file layout, so two stores
+  * bucketed the same way join with ZERO exchange on either side — at
+  * 100 TB that deletes the dominant cost of every fact-to-fact join
+  * (both full-table shuffles), and the same layout serves point
+  * lookups by reading 1 of n buckets (`SelectedBucketsCount` pruning).
+  * The sorted-bucket clause additionally removes the sort under a
+  * sort-merge join of two stores — [[create]] guarantees the
+  * one-file-per-bucket layout that makes per-bucket order trustable,
+  * and a serving session opts in with
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (Spark
+  * leaves it off by default because a multi-file bucket would need a
+  * merge-read; this store never produces one per write).
+  *
+  * Spark's bucket spec normally lives only in a catalog, which dies
+  * with the session; this store persists it beside the data so any
+  * later session can [[open]] the layout cold — the posture every
+  * other store in this package takes (build once, serve forever).
+  *
+  * Layout under `path`:
+  *  - `data/` — the bucketed parquet files (bucket id is encoded in
+  *    the file names, Spark's own convention, so a re-registered
+  *    table recovers the partitioning from the files alone).
+  *  - `meta/` — one row: schema DDL, bucket column, bucket count.
+  *
+  * Build is staged + atomically swapped ([[IndexStores.swapInto]]):
+  * a failed rebuild leaves readers on the previous generation.
+  */
+object BucketStore {
+
+  private[operators] case class Meta(schemaDdl: String, key: String,
+                                     nBuckets: Int)
+
+  /** Catalog name for the store at `path` — content-addressed so two
+    * stores (or the same store across repeated opens) never collide.
+    */
+  def registeredName(path: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_bkt_${h.take(12)}"
+  }
+
+  /** Build and persist: write `df` clustered AND sorted by `key` into
+    * `nBuckets` under `path`, register it in this session's catalog,
+    * and return the catalog name. One shuffle-free write per bucket
+    * producer; the bucketed layout is the artifact.
+    */
+  def create(df: DataFrame, path: String, key: String,
+             nBuckets: Int): String = {
+    require(df.columns.contains(key), s"bucket key $key not in schema")
+    val spark = df.sparkSession
+    val staging = IndexStores.stagingFor(spark, path)
+    // bucketed writes only exist behind saveAsTable, so the staged
+    // write goes through a throwaway EXTERNAL table registration:
+    // dropping it keeps the files, which the swap then publishes
+    val stageName = registeredName(staging)
+    // one file per bucket: repartition on the key with the bucket
+    // count first (same murmur3 hash partitioning bucketBy assigns
+    // ids with, so each task holds exactly one bucket). Without it
+    // every writer task emits a file per bucket it touches — and
+    // Spark only trusts the SORTED BY clause (and so removes the SMJ
+    // sorts) when a bucket is a single file.
+    df.repartition(nBuckets, col(key)).write
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", s"$staging/data")
+      .saveAsTable(stageName)
+    spark.sql(s"DROP TABLE IF EXISTS $stageName")
+    import spark.implicits._
+    // tuple row, not the case class: an encoder over a nested private
+    // case class trips whole-stage codegen's outer-pointer handling
+    Seq((df.schema.toDDL, key, nBuckets))
+      .toDF("schemaDdl", "key", "nBuckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+    IndexStores.swapInto(spark, path, staging)
+    open(spark, path)
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    IndexStores.healRoot(spark, path)
+    val r = spark.read.parquet(s"$path/meta").head()
+    Meta(r.getAs[String]("schemaDdl"), r.getAs[String]("key"),
+      r.getAs[Int]("nBuckets"))
+  }
+
+  /** Register the persisted layout into THIS session's catalog (the
+    * cold-start path a fresh serving session takes) and return the
+    * catalog name. Re-registering is the refresh: the drop+create pair
+    * also invalidates any cached file listing from a previous
+    * generation of the store.
+    */
+  def open(spark: SparkSession, path: String): String = {
+    val m = readMeta(spark, path)
+    val name = registeredName(path)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name (${m.schemaDdl}) USING parquet
+         |CLUSTERED BY (${m.key}) SORTED BY (${m.key})
+         |INTO ${m.nBuckets} BUCKETS
+         |LOCATION '$path/data'""".stripMargin)
+    name
+  }
+
+  /** The store as a DataFrame (opens it into the catalog first). */
+  def table(spark: SparkSession, path: String): DataFrame =
+    spark.table(open(spark, path))
+
+  /** Fail-loudly guard for a co-located join: both stores must share
+    * the bucket count — mismatched counts silently degrade to a full
+    * shuffle join, the exact cost this layout exists to delete.
+    */
+  def requireCoBucketed(spark: SparkSession, pathA: String,
+                        pathB: String): Unit = {
+    val (a, b) = (readMeta(spark, pathA), readMeta(spark, pathB))
+    require(a.nBuckets == b.nBuckets,
+      s"co-located join needs equal bucket counts: " +
+        s"$pathA has ${a.nBuckets}, $pathB has ${b.nBuckets}")
+  }
+
+  /** Point lookup served by BUCKET PRUNING: reads 1 of n buckets per
+    * key instead of the table. Spark's planner only prunes buckets on
+    * a bucketed scan, and it auto-disables bucketed scans that don't
+    * feed a join/agg — so the lookup plans inside a conf window that
+    * forces the bucketed scan, executes there (localCheckpoint; the
+    * result is bounded by the keys' row count), and restores the conf
+    * so the rest of the session keeps the auto behaviour.
+    */
+  def pointLookup(spark: SparkSession, path: String,
+                  values: Seq[Long]): DataFrame = {
+    val m = readMeta(spark, path)
+    val name = open(spark, path)
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(auto)
+    spark.conf.set(auto, "false")
+    try
+      spark.table(name)
+        .filter(col(m.key).isin(values: _*))
+        .localCheckpoint()
+    finally prev match {
+      case Some(v) => spark.conf.set(auto, v)
+      case None    => spark.conf.unset(auto)
+    }
+  }
+}

@@ -1944,6 +1944,25 @@ object ExtOracles {
         |      BETWEEN 1704672000000000 AND 1705276799999999
         |ORDER BY event_id""".stripMargin,
 
+    // the co-located join served from the bucketed store must equal
+    // the plain SQL join over the raw tables — the layout changes the
+    // plan (zero exchanges, plan-pinned in BucketStoreSpec), never
+    // the answer
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS line_count,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    * 10000 AS BIGINT) AS revenue_x10k
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // bucket-pruned point lookups ≡ the same IN-list over the raw
+    // table (the pruned read's soundness contract)
+    "bucket_pruned_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey IN (7, 411, 1234)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // replays ProfileOps.keyProfile(lineitem, l_suppkey, 20): exact
     // per-key counts, top-20 by (count desc, key asc), share/skew/salt
     // arithmetic against the one-row summary. Ratios are FIXED-POINT

@@ -1829,6 +1829,64 @@ object ExtQueries {
       .select("event_id", "user_id", "tsm")
       .orderBy("event_id")
 
+  /** One persisted bucketed-store pair per (session, SF dir): orders
+    * and lineitem each CLUSTERED+SORTED BY the join key into 8
+    * buckets ([[graft.operators.BucketStore]]) — the key-organised
+    * sibling of the content-organised layout store above.
+    */
+  private val bucketStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def bucketStoreRoot(spark: SparkSession, dir: String): String =
+    bucketStoreCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bucket-store").toString
+      graft.operators.BucketStore.create(Tables.orders(spark, dir),
+        s"$root/orders", "o_orderkey", 8)
+      graft.operators.BucketStore.create(Tables.lineitem(spark, dir),
+        s"$root/lineitem", "l_orderkey", 8)
+      root
+    }
+
+  /** Fact-to-fact revenue join served CO-LOCATED from the bucketed
+    * store: both sides carry `HashPartitioning(key, 8)` in their file
+    * layout, so the join plans with ZERO exchange on either side and
+    * zero sort (sorted buckets) — plan-pinned in BucketStoreSpec; the
+    * only shuffle left is the 5-row priority rollup. The oracle is
+    * the plain SQL join over the raw tables: hash-green proves the
+    * bucketed layout changed the plan, not the answer. At 100 TB this
+    * deletes both full-table shuffles from every fact-to-fact join on
+    * the stored key.
+    */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val root = bucketStoreRoot(spark, dir)
+    graft.operators.BucketStore.requireCoBucketed(spark,
+      s"$root/orders", s"$root/lineitem")
+    val o = graft.operators.BucketStore.table(spark, s"$root/orders")
+    val l = graft.operators.BucketStore.table(spark, s"$root/lineitem")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("line_count"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))) * 10000)
+          .cast("bigint").as("revenue_x10k"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Point lookups served by BUCKET PRUNING from the same store:
+    * `SelectedBucketsCount: k of 8` in the scan (plan-pinned in
+    * BucketStoreSpec) — the read cost is the keys' buckets, never the
+    * table. Oracle: the same IN-list over the raw table.
+    */
+  def bucketPrunedLookup(spark: SparkSession, dir: String): DataFrame = {
+    val root = bucketStoreRoot(spark, dir)
+    graft.operators.BucketStore.pointLookup(spark, s"$root/orders",
+      Seq(7L, 411L, 1234L))
+      .select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
   /** One trained quality-classifier model per (session, SF dir),
     * self-distilled from the heuristic gate: labels are
     * [[TextOps.qualityScore]]'s keep flag (the CCNet posture — train
