@@ -169,6 +169,11 @@ object SparkEntry {
     "layout_indexed_box" -> (graft.queries.ExtQueries.layoutIndexedBox(_, _)),
     "join_bucketed" -> (graft.queries.ExtQueries.joinBucketed(_, _)),
     "bucket_pruned_lookup" -> (graft.queries.ExtQueries.bucketPrunedLookup(_, _)),
+    "scd2_history" -> (graft.queries.ExtQueries.scd2History(_, _)),
+    "scd2_pit_join" -> (graft.queries.ExtQueries.scd2PitJoin(_, _)),
+    "graph_triangles" -> (graft.queries.ExtQueries.graphTriangles(_, _)),
+    "agg_store_rollup" -> (graft.queries.ExtQueries.aggStoreRollup(_, _)),
+    "agg_store_coarse" -> (graft.queries.ExtQueries.aggStoreCoarse(_, _)),
     "layout_drift" -> (graft.queries.ExtQueries.layoutDrift(_, _)),
     "text_quality_classifier" -> (graft.queries.ExtQueries.textQualityClassifier(_, _)),
     "corpus_curriculum" -> (graft.queries.ExtQueries.corpusCurriculum(_, _)),

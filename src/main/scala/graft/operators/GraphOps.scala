@@ -271,4 +271,87 @@ object GraphOps {
     releaseCp(nodes, nodeIds)
     ranks
   }
+
+  /** Per-node triangle counts over an undirected edge list — the
+    * local-clustering signal (how interlinked is each node's
+    * neighbourhood), and the classic shuffle-discipline benchmark: a
+    * naive closure join fans out quadratically on hot nodes, while
+    * DEGREE ORIENTATION (Chiba–Nishizeki / "forward" algorithm) bounds
+    * every node's out-degree by O(√E), so the wedge self-join — the
+    * only superlinear step — stays O(E^1.5) worst-case regardless of
+    * skew. That bound is the whole 100 TB story: a celebrity node with
+    * 10^7 neighbours contributes wedges only through its (few)
+    * HIGHER-degree peers, never C(10^7, 2).
+    *
+    * Orientation: direct each edge from the endpoint with smaller
+    * `(degree, id)` to the larger (a total order, so every triangle
+    * {a<b<c} is found exactly once, as the wedge b←a→c closed by the
+    * edge b→c). Every step is an equi-join or a map-side-combinable
+    * count — all integers, no floats anywhere.
+    *
+    * Returns one row per node that appears in ≥1 edge:
+    * `(node, degree, triangles)`, zero-filled for triangle-free nodes.
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val Array(ca, cb) = pairs.columns.take(2)
+    // canonical undirected edges: u < v, deduped, no self-loops
+    val e = pairs
+      .select(least(col(ca), col(cb)).as("u"),
+        greatest(col(ca), col(cb)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    // wedges b←src→c with (deg,id)-ordered ends, closed by edge b→c —
+    // which is exactly how that third edge is oriented, because the
+    // wedge filter and the orientation share one total order
+    val o1 = oriented
+      .select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+    val o2 = oriented
+      .select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
+    val tri = o1.join(o2, "src")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+    val perNode = tri
+      .select(explode(array(col("src"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Bounded triangle summary: top-`topN` nodes by
+    * `(triangles desc, node asc)` with the graph's total triangle
+    * count attached. The full per-node frame is materialised ONCE
+    * (eager checkpoint) and both derivations — the top-N and the
+    * one-row total — read that materialisation; the ≤ topN result is
+    * collected and the checkpoint released before returning, so
+    * repeated calls leave nothing persisted (the
+    * [[graft.queries]] ProfileOps release discipline).
+    */
+  def triangleSummary(pairs: DataFrame, topN: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val (tc, tcIds) = eagerCp(triangleCounts(pairs))
+    try {
+      val total = tc.agg(expr("sum(triangles) div 3")
+        .as("total_triangles"))
+      val result = tc.crossJoin(broadcast(total))
+        .orderBy(col("triangles").desc, col("node").asc)
+        .limit(topN)
+      val rows = result.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+    } finally releaseCp(tc, tcIds)
+  }
 }

@@ -1963,6 +1963,125 @@ object ExtOracles {
         |FROM orders WHERE o_orderkey IN (7, 411, 1234)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // replays HistoryOps.scd2(events≠purchase, user_id, ts,
+    // [event_type], tie=event_id): change-collapse via lag, version /
+    // valid_to over the same (valid_from, event_id) order — every
+    // interval bound is a raw timestamp, every version a row_number,
+    // so the hash check carries no float anywhere
+    "scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type <> 'purchase'),
+        |starts AS (
+        |  SELECT user_id, event_id, event_type, ts AS valid_from
+        |  FROM ordered WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |       CAST(row_number() OVER w AS INT) AS version,
+        |       event_type, valid_from,
+        |       lead(valid_from) OVER w AS valid_to,
+        |       (lead(valid_from) OVER w) IS NULL AS is_current
+        |FROM starts
+        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    // the store-served materialized rollup must equal the one-shot
+    // GROUP BY over the raw fact table: decimal(38,4) measures are
+    // exact fixed-point, so the incremental write+extend merge is
+    // provable measure-for-measure
+    "agg_store_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       date_trunc('month', l_shipdate) AS ship_month,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4)))
+        |            * 10000 AS BIGINT) AS sum_x10k,
+        |       CAST(min(CAST(l_extendedprice AS DECIMAL(38,4)))
+        |            * 10000 AS BIGINT) AS min_x10k,
+        |       CAST(max(CAST(l_extendedprice AS DECIMAL(38,4)))
+        |            * 10000 AS BIGINT) AS max_x10k
+        |FROM lineitem
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the coarser grain re-aggregated from stored partials must equal
+    // the same GROUP BY over raw facts — the mergeable-measure (MV
+    // rewrite) contract
+    "agg_store_coarse" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4)))
+        |            * 10000 AS BIGINT) AS sum_x10k,
+        |       CAST(min(CAST(l_extendedprice AS DECIMAL(38,4)))
+        |            * 10000 AS BIGINT) AS min_x10k,
+        |       CAST(max(CAST(l_extendedprice AS DECIMAL(38,4)))
+        |            * 10000 AS BIGINT) AS max_x10k
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays GraphOps.triangleCounts under the SAME degree
+    // orientation (direct each edge toward the larger (degree, id);
+    // wedges ordered the same way; close with the oriented third
+    // edge) over the co-purchase part graph — every triangle found
+    // once, pure integers end to end
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b USING (l_orderkey)
+        |      WHERE a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS degree FROM
+        |        (SELECT u AS node FROM e
+        |         UNION ALL SELECT v FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN lt THEN u ELSE v END AS src,
+        |             CASE WHEN lt THEN v ELSE u END AS dst,
+        |             CASE WHEN lt THEN dv ELSE du END AS ddst
+        |      FROM (SELECT e.u, e.v, du.degree AS du, dv.degree AS dv,
+        |              (du.degree < dv.degree OR
+        |               (du.degree = dv.degree AND e.u < e.v)) AS lt
+        |            FROM e JOIN deg du ON e.u = du.node
+        |                   JOIN deg dv ON e.v = dv.node)),
+        |tri AS (SELECT o1.src, o1.dst AS b, o2.dst AS c
+        |        FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |        JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+        |        WHERE o1.ddst < o2.ddst OR
+        |              (o1.ddst = o2.ddst AND o1.dst < o2.dst)),
+        |pn AS (SELECT node, count(*) AS triangles FROM
+        |       (SELECT src AS node FROM tri
+        |        UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |tot AS (SELECT count(*) AS total_triangles FROM tri)
+        |SELECT d.node AS part, d.degree,
+        |       COALESCE(pn.triangles, 0) AS triangles,
+        |       tot.total_triangles
+        |FROM deg d LEFT JOIN pn ON d.node = pn.node CROSS JOIN tot
+        |ORDER BY triangles DESC, part LIMIT 20""".stripMargin,
+
+    // the point-in-time lookup: each purchase left-joins the single
+    // dimension version whose half-open interval contains its ts
+    "scd2_pit_join" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type <> 'purchase'),
+        |starts AS (
+        |  SELECT user_id, event_id, event_type, ts AS valid_from
+        |  FROM ordered WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (
+        |  SELECT user_id,
+        |         CAST(row_number() OVER w AS INT) AS version,
+        |         event_type AS state_type, valid_from,
+        |         lead(valid_from) OVER w AS valid_to
+        |  FROM starts
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY valid_from, event_id))
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       d.version, d.state_type, d.valid_from
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN dim d
+        |  ON p.user_id = d.user_id AND d.valid_from <= p.ts
+        |     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        |ORDER BY p.event_id""".stripMargin,
+
     // replays ProfileOps.keyProfile(lineitem, l_suppkey, 20): exact
     // per-key counts, top-20 by (count desc, key asc), share/skew/salt
     // arithmetic against the one-row summary. Ratios are FIXED-POINT

@@ -699,6 +699,29 @@ object ExtQueries {
     GraphOps.pageRank(sym, iters = 5).orderBy("id")
   }
 
+  /** Degree-oriented triangle counting
+    * ([[graft.operators.GraphOps.triangleSummary]]) over the
+    * co-purchase graph — parts are linked when they appear in the same
+    * order, so per-order fanout bounds edge construction and the
+    * orientation bounds the wedge join at O(E^1.5) no matter how hot a
+    * part gets. Top-20 parts by triangle participation with the
+    * graph's total attached; all-integer, hash-exact.
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.alias("a")
+    val b = li.alias("b")
+    val pairs = a.join(b,
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    GraphOps.triangleSummary(pairs, topN = 20)
+      .select(col("node").as("part"), col("degree"), col("triangles"),
+        col("total_triangles"))
+      .orderBy(col("triangles").desc, col("part"))
+  }
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashPairs(docs(spark, dir)).orderBy("a", "b")
 
@@ -2003,4 +2026,105 @@ object ExtQueries {
     TextOps.splitLeakage(minhashPairs(spark, dir),
       CorpusOps.splitAssign(docs(spark, dir), seed = "graftsplit"))
       .orderBy("a", "b")
+
+  /** One persisted rollup store per (session, SF dir): lineitem
+    * pre-aggregated to the (returnflag, linestatus, ship-month) grain,
+    * built incrementally — write(even orderkeys) then extend(odd
+    * orderkeys) — so every gate that reads it is also exercising the
+    * delta-merge algebra.
+    */
+  private val rollupStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def rollupStorePath(spark: SparkSession, dir: String): String =
+    rollupStoreCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rollup-store").toString
+      val li = Tables.lineitem(spark, dir)
+        .withColumn("ship_month", date_trunc("month", col("l_shipdate")))
+      val keys = Seq("l_returnflag", "l_linestatus", "ship_month")
+      graft.operators.RollupStore.write(
+        li.filter(col("l_orderkey") % 2 === 0), s"$root/li", keys,
+        "l_extendedprice")
+      graft.operators.RollupStore.extend(
+        li.filter(col("l_orderkey") % 2 === 1), s"$root/li",
+        batchId = 1L, keys, "l_extendedprice")
+      root
+    } + "/li"
+
+  /** The materialized rollup served at its stored grain
+    * ([[graft.operators.RollupStore.serve]]): a bounded read of
+    * rows-per-key rows — no fact scan, no aggregation in the serving
+    * plan. The oracle is the direct GROUP BY over the raw fact table;
+    * hash-green proves the incremental write+extend build (additive
+    * delta merge, exactly-once ledger) reproduces the one-shot
+    * aggregate measure-for-measure.
+    */
+  def aggStoreRollup(spark: SparkSession, dir: String): DataFrame =
+    fixedPointMeasures(
+      graft.operators.RollupStore.serve(spark, rollupStorePath(spark, dir)))
+      .orderBy("l_returnflag", "l_linestatus", "ship_month")
+
+  /** A coarser grouping answered FROM the store
+    * ([[graft.operators.RollupStore.rollup]]) — the materialized-view
+    * rewrite: re-aggregate stored partials over a key subset, cost
+    * rows-per-stored-key instead of fact rows. Oracle: the same
+    * coarse GROUP BY over the raw table — exact because every stored
+    * measure is mergeable.
+    */
+  def aggStoreCoarse(spark: SparkSession, dir: String): DataFrame =
+    fixedPointMeasures(
+      graft.operators.RollupStore.rollup(spark,
+        rollupStorePath(spark, dir), Seq("l_returnflag")))
+      .orderBy("l_returnflag")
+
+  /** Gate emission protocol: the store's exact DECIMAL(38,4) measures
+    * leave as fixed-point longs (`× 10 000`) — cross-engine
+    * hash-stable, and exact because the decimals are.
+    */
+  private def fixedPointMeasures(df: DataFrame): DataFrame =
+    df.select(df.columns.map {
+      case m @ ("sum_val" | "min_val" | "max_val") =>
+        (col(m) * 10000).cast("long").as(m.stripSuffix("_val") + "_x10k")
+      case other => col(other)
+    }: _*)
+
+  /** SCD2 history of each user's event-type state
+    * ([[graft.operators.HistoryOps.scd2]]): the events change log
+    * turned into versioned rows with half-open validity intervals —
+    * consecutive no-op changes collapsed, `(ts, event_id)` total
+    * order, one hash exchange on the key feeding all three window
+    * functions. Hash-green proves every interval bound and version
+    * number is engine-portable (pure timestamps + longs — nothing
+    * floating in the output).
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HistoryOps.scd2(
+      Tables.events(spark, dir).filter(col("event_type") =!= "purchase"),
+      key = "user_id", orderCol = "ts",
+      stateCols = Seq("event_type"), tieCols = Seq("event_id"))
+      .orderBy("user_id", "version")
+
+  /** Point-in-time join against the SCD2 dimension
+    * ([[graft.operators.HistoryOps.pointInTime]]): every purchase
+    * event picks up the user's state version valid AT its timestamp —
+    * an equi-join on the key with the interval predicate as residual
+    * (disjoint intervals ⇒ ≤ 1 match per probe), never a range
+    * explosion. The "report as of X" / feature-backfill lookup every
+    * warehouse runs against versioned dimensions.
+    */
+  def scd2PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = graft.operators.HistoryOps.scd2(
+      ev.filter(col("event_type") =!= "purchase"),
+      key = "user_id", orderCol = "ts",
+      stateCols = Seq("event_type"), tieCols = Seq("event_id"))
+      .withColumnRenamed("event_type", "state_type")
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    graft.operators.HistoryOps.pointInTime(probes, dim,
+      key = "user_id", asOfCol = "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("version"), col("state_type"), col("valid_from"))
+      .orderBy("event_id")
+  }
 }

@@ -655,6 +655,28 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming ingest into the persisted exact rollup
+    * ([[graft.operators.RollupStore]]): each trigger delta-merges one
+    * batch — one partial aggregation of the batch plus a merge against
+    * rows-per-key state, never a fact-history recompute. Additive
+    * merge ⇒ the ledger makes replayed triggers exactly-once, with the
+    * checkpoint path as the producer scope (same posture as
+    * [[frequencyIngestStream]]).
+    */
+  def rollupIngestStream(rows: DataFrame, storePath: String,
+      checkpoint: String, keyCols: Seq[String], valueCol: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.RollupStore.extend(batch, storePath, batchId,
+          keyCols, valueCol, producer = checkpoint)
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation — the streaming form of the
     * `events_tumbling` batch query; late rows beyond `lateness` are
     * dropped by the watermark, state is bounded per window × type.

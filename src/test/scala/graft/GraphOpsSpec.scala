@@ -123,4 +123,71 @@ class GraphOpsSpec extends SparkSpec {
     assert(one("a") > one("d"),
       "a cycle member must outrank the dangling leaf")
   }
+
+  /** Single-threaded reference: brute-force triangle enumeration over
+    * the canonical edge set.
+    */
+  private def referenceTri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val counts = collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if es((a, b)) && es((a, c)) && es((b, c))
+      n <- Seq(a, b, c)
+    } counts(n) += 1L
+    nodes.map(n => n -> counts(n)).toMap
+  }
+
+  test("triangleCounts matches brute force on a mixed graph, " +
+    "dedupes/canonicalises input, zero-fills triangle-free nodes") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles), a pendant 5, a triangle-free path 6-7-8,
+    // plus noise: duplicate edges, reversed duplicates, a self-loop
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (7L, 8L),
+      (2L, 1L), (1L, 2L), (3L, 3L))
+    val got = GraphOps.triangleCounts(edges.toDF("x", "y"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val want = referenceTri(edges)
+    assert(got.view.mapValues(_._2).toMap === want)
+    assert(got(1L)._1 === 3L, "degree counts canonical edges only")
+    assert(got(5L) === ((1L, 0L)), "pendant: degree 1, zero triangles")
+    assert(got(7L) === ((2L, 0L)), "path centre: triangle-free")
+  }
+
+  test("triangleCounts is partition-independent and finds each " +
+    "triangle exactly once on a skew-star graph") {
+    import spark.implicits._
+    // hot hub 0 linked to 1..30, and a single rim edge (1,2): exactly
+    // one triangle {0,1,2} — the degree orientation must not explode
+    // the hub and must count the triangle once at each corner
+    val edges = (1L to 30L).map(i => (0L, i)) :+ ((1L, 2L))
+    val df = edges.toDF("x", "y")
+    val one = GraphOps.triangleCounts(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val many = GraphOps.triangleCounts(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one === many)
+    assert(one(0L) === 1L && one(1L) === 1L && one(2L) === 1L)
+    assert((3L to 30L).forall(one(_) === 0L))
+  }
+
+  test("triangleSummary: top-N order, attached total, and no " +
+    "persisted-RDD residue") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L))
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val rows = GraphOps.triangleSummary(edges.toDF("x", "y"), topN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(sc.getPersistentRDDs.keySet === before,
+      "summary must release its checkpoint")
+    // triangles: {1,2,3} and {2,3,4} → nodes 2,3 have 2 each; total 2
+    assert(rows.toSeq === Seq((2L, 2L, 2L), (3L, 2L, 2L), (1L, 1L, 2L)))
+  }
 }

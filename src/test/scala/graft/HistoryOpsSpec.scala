@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.HistoryOps
+
+/** SCD2 construction invariants on hand-built change logs (collapse,
+  * versioning, interval algebra, same-instant ties) and the
+  * point-in-time join's at-most-one-match / boundary semantics.
+  */
+class HistoryOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Long) = new Timestamp(s * 1000L)
+
+  // key 1: a→a→b→b→a (collapses to a, b, a); key 2: single row
+  private def changes = Seq(
+    (1L, t(10), 101L, "a"), (1L, t(20), 102L, "a"),
+    (1L, t(30), 103L, "b"), (1L, t(40), 104L, "b"),
+    (1L, t(50), 105L, "a"),
+    (2L, t(15), 201L, "x"))
+    .toDF("k", "ts", "id", "state")
+
+  private def dim = HistoryOps.scd2(changes, "k", "ts",
+    Seq("state"), Seq("id"))
+
+  test("scd2 collapses no-op changes and versions in order") {
+    val got = dim.orderBy("k", "version")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(got.toSeq === Seq(
+      (1L, 1, "a", t(10), Some(t(30)), false),
+      (1L, 2, "b", t(30), Some(t(50)), false),
+      (1L, 3, "a", t(50), None, true),
+      (2L, 1, "x", t(15), None, true)))
+  }
+
+  test("scd2 intervals tile the key's lifetime: each valid_to is the " +
+    "next valid_from, exactly one open version per key") {
+    val d = dim
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("version")
+    val bad = d.withColumn("next_from", lead("valid_from", 1).over(w))
+      .filter(col("valid_to").isNotNull &&
+        (col("valid_to") =!= col("next_from")))
+    assert(bad.count() === 0)
+    val open = d.filter(col("is_current")).groupBy("k").count()
+      .filter(col("count") =!= 1)
+    assert(open.count() === 0)
+  }
+
+  test("same-instant changes version by the tie-break and leave a " +
+    "zero-length interval no probe can land in") {
+    val log = Seq((1L, t(10), 1L, "a"), (1L, t(10), 2L, "b"),
+      (1L, t(20), 3L, "c")).toDF("k", "ts", "id", "state")
+    val d = HistoryOps.scd2(log, "k", "ts", Seq("state"), Seq("id"))
+    val got = d.orderBy("version").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getTimestamp(3),
+        Option(r.getTimestamp(4))))
+    assert(got.toSeq === Seq(
+      (1, "a", t(10), Some(t(10))),
+      (2, "b", t(10), Some(t(20))),
+      (3, "c", t(20), None)))
+    // a probe AT the shared instant resolves to the later version
+    val probe = Seq((1L, 7L, t(10))).toDF("k", "pid", "at")
+    val hit = HistoryOps.pointInTime(probe, d, "k", "at")
+      .select("pid", "version").collect()
+    assert(hit.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((7L, 2)))
+  }
+
+  test("pointInTime matches at most one version, half-open at the " +
+    "right edge, and left-keeps unmatched probes") {
+    val probes = Seq(
+      (1L, 1L, t(5)),   // before first version → null dim
+      (1L, 2L, t(10)),  // inclusive left edge of v1
+      (1L, 3L, t(29)),  // inside v1
+      (1L, 4L, t(30)),  // boundary: v1 closed, v2 opens
+      (1L, 5L, t(99)),  // open current version
+      (9L, 6L, t(10)))  // unknown key → null dim
+      .toDF("k", "pid", "at")
+    val got = HistoryOps.pointInTime(probes, dim, "k", "at")
+      .select("pid", "version")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(got === Map(1L -> -1, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3,
+      6L -> -1))
+    // at-most-one: probe count preserved
+    assert(HistoryOps.pointInTime(probes, dim, "k", "at").count() === 6)
+  }
+
+  test("scd2 null-state transitions: NULL→value and value→NULL open " +
+    "versions, NULL→NULL collapses") {
+    val log = Seq((1L, t(10), 1L, null), (1L, t(20), 2L, null),
+      (1L, t(30), 3L, "a"), (1L, t(40), 4L, null))
+      .toDF("k", "ts", "id", "state")
+    val d = HistoryOps.scd2(log, "k", "ts", Seq("state"), Seq("id"))
+    val got = d.orderBy("version").collect()
+      .map(r => (r.getInt(1), Option(r.getString(2))))
+    assert(got.toSeq === Seq((1, None), (2, Some("a")), (3, None)))
+  }
+
+  test("scd2 result is partition-independent") {
+    val a = dim.collect().toSet
+    val b = HistoryOps.scd2(changes.repartition(7), "k", "ts",
+      Seq("state"), Seq("id")).collect().toSet
+    assert(a === b)
+  }
+
+  test("scd2Extend(scd2(a), b) equals scd2(a ∪ b): continuation " +
+    "collapse, reopened state, new key, untouched key") {
+    val batch = Seq(
+      (1L, t(60), 301L, "a"),  // same state as k1's open tail → collapse
+      (1L, t(70), 302L, "b"),  // then a real change
+      (3L, t(5), 303L, "z"))   // brand-new key, batch-only
+      .toDF("k", "ts", "id", "state") // k2 untouched
+    val inc = HistoryOps.scd2Extend(dim, batch, "k", "ts",
+      Seq("state"), Seq("id")).collect().toSet
+    val full = HistoryOps.scd2(changes.unionByName(batch), "k", "ts",
+      Seq("state"), Seq("id")).collect().toSet
+    assert(inc === full)
+    // the untouched key's row really is the original object
+    assert(inc.exists(r => r.getLong(0) == 2L && r.getBoolean(5)))
+  }
+
+  test("scd2Extend rejects a batch row at or before the stored tail") {
+    val stale = Seq((1L, t(50), 999L, "q")).toDF("k", "ts", "id", "state")
+    val e = intercept[Exception] {
+      HistoryOps.scd2Extend(dim, stale, "k", "ts",
+        Seq("state"), Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+  }
+}
