@@ -44,7 +44,11 @@ object HistoryOps {
     *
     * Output per version: the key, `version` (1-based, in order),
     * the state columns, `valid_from`, `valid_to` (null = still open),
-    * `is_current`.
+    * `is_current`, and `last_changed` — the key's maximum `orderCol`
+    * over ALL its change rows, collapsed ones included. That last
+    * column is the append-only frontier [[scd2Extend]]'s guard needs:
+    * a collapsed no-op change advances the frontier without opening a
+    * version, so `max(valid_from)` alone would under-report it.
     */
   def scd2(changes: DataFrame, key: String, orderCol: String,
            stateCols: Seq[String],
@@ -64,6 +68,10 @@ object HistoryOps {
       .reduce(_ || _)
     val starts = changes
       .withColumn("__new", isFirst || changed)
+      // the frontier is computed over the PRE-collapse rows (same
+      // key-hash exchange, unordered frame) so no-op changes advance it
+      .withColumn("last_changed",
+        max(col(orderCol)).over(Window.partitionBy(key)))
       .filter(col("__new"))
       .withColumn("valid_from", col(orderCol))
     // lead/row_number over the SAME (partitionBy, orderBy) as the lag
@@ -77,7 +85,8 @@ object HistoryOps {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
       .withColumn("is_current", col("valid_to").isNull)
       .select((col(key) +: col("version") +: stateCols.map(col) :+
-        col("valid_from") :+ col("valid_to") :+ col("is_current")): _*)
+        col("valid_from") :+ col("valid_to") :+ col("is_current") :+
+        col("last_changed")): _*)
   }
 
   /** Incremental SCD2 maintenance: fold a batch of NEW changes into an
@@ -91,8 +100,10 @@ object HistoryOps {
     * not table depth. The batch's rows must all order AFTER the
     * stored history's (append-only change log, the watermark
     * discipline every extractor in this engine already enforces);
-    * rows at or before a touched key's last `valid_from` reject
-    * loudly rather than silently corrupting closed intervals.
+    * rows at or before a touched key's `last_changed` frontier —
+    * which covers COLLAPSED no-op changes, not just retained
+    * `valid_from`s — reject loudly rather than silently corrupting
+    * closed intervals.
     *
     * Equivalence contract (spec-pinned): `scd2Extend(scd2(a), b)`
     * equals `scd2(a ∪ b)` row-for-row.
@@ -105,40 +116,50 @@ object HistoryOps {
     // anti-join broadcasts the batch's bounded key set
     val untouched = dim.join(touchedKeys, Seq(key), "left_anti")
     val touchedDim = dim.join(touchedKeys, Seq(key))
-    // append-only guard: a batch row at or before its key's stored
-    // tail would rewrite closed intervals — reject loudly, row-level
+    // append-only guard against the key's CHANGE frontier
+    // (last_changed covers collapsed no-ops; max(valid_from) would
+    // not) — a batch row at or before it would rewrite already-decided
+    // collapse/version outcomes, so reject loudly, row-level
     val guard = touchedDim.groupBy(key)
-      .agg(max("valid_from").as("__last_from"))
+      .agg(max("last_changed").as("__last_seen"))
     val checkedBatch = changes.join(guard, Seq(key), "left")
       .withColumn("__guard",
-        when(col("__last_from").isNull ||
-          col(orderCol) > col("__last_from"), lit(true))
+        when(col("__last_seen").isNull ||
+          col(orderCol) > col("__last_seen"), lit(true))
           .otherwise(raise_error(concat(
             lit("scd2Extend: batch row for key "),
             col(key).cast("string"),
-            lit(" orders at or before the stored history's last " +
-              "valid_from — this operator takes append-only change " +
-              "feeds only")))))
+            lit(" orders at or before the stored history's " +
+              "last_changed frontier — this operator takes " +
+              "append-only change feeds only")))))
       .filter(col("__guard"))
-      .select((col(key) +: col(orderCol) +: stateCols.map(col) ++:
-        tieCols.map(col)): _*)
-    // touched keys replay their stored versions as synthetic changes:
-    // valid_from as the order column and the stored VERSION as the
-    // first tie value (cast to the batch's tie type) — version order
-    // IS the original change order, so re-versioning is stable even
-    // across same-instant stored rows; the guard guarantees no
-    // stored/batch order collision
+      .select((col(key) +: col(orderCol) +: lit(0).as("__replay_ord") +:
+        stateCols.map(col) ++: tieCols.map(col)): _*)
+    // touched keys replay their stored versions as synthetic changes,
+    // ordered by a DEDICATED numeric replay column: stored rows carry
+    // their version (version order IS the original change order, so
+    // same-instant stored rows re-sort correctly whatever the real
+    // tie column's type), batch rows carry 0 — they can never tie
+    // with a stored row (the guard forbids it), and batch-batch ties
+    // fall through to the caller's own tie columns
     val tieTypes = tieCols.map(c => changes.schema(c).dataType)
-    val storedTies = tieCols.zipWithIndex.map { case (c, i) =>
-      (if (i == 0) col("version").cast(tieTypes(i))
-       else lit(null).cast(tieTypes(i))).as(c)
-    }
     val storedAsChanges = touchedDim
       .select((col(key) +: col("valid_from").as(orderCol) +:
-        stateCols.map(col) ++: storedTies): _*)
+        col("version").as("__replay_ord") +:
+        stateCols.map(col) ++:
+        tieCols.zip(tieTypes).map { case (c, t) =>
+          lit(null).cast(t).as(c)
+        }): _*)
     val replayed = scd2(storedAsChanges.unionByName(checkedBatch),
-      key, orderCol, stateCols, tieCols)
-    untouched.unionByName(replayed)
+      key, orderCol, stateCols, "__replay_ord" +: tieCols)
+    // the replay saw only RETAINED stored instants, so its recomputed
+    // frontier can sit below the stored one (collapsed no-ops) —
+    // restore it; greatest() ignores the null a batch-only key gets
+    val fixed = replayed.join(guard, Seq(key), "left")
+      .withColumn("last_changed",
+        greatest(col("last_changed"), col("__last_seen")))
+      .drop("__last_seen")
+    untouched.unionByName(fixed)
   }
 
   /** Point-in-time join: for each probe row, attach the dimension

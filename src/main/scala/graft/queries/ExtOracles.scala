@@ -1969,19 +1969,26 @@ object ExtOracles {
     // interval bound is a raw timestamp, every version a row_number,
     // so the hash check carries no float anywhere
     "scd2_history" ->
-      """WITH ordered AS (
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |         event_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |ordered AS (
         |  SELECT user_id, ts, event_id, event_type,
         |         lag(event_type) OVER
-        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events WHERE event_type <> 'purchase'),
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |         max(ts) OVER (PARTITION BY user_id) AS last_changed
+        |  FROM ev),
         |starts AS (
-        |  SELECT user_id, event_id, event_type, ts AS valid_from
+        |  SELECT user_id, event_id, event_type, ts AS valid_from,
+        |         last_changed
         |  FROM ordered WHERE prev IS NULL OR prev <> event_type)
         |SELECT user_id,
         |       CAST(row_number() OVER w AS INT) AS version,
         |       event_type, valid_from,
         |       lead(valid_from) OVER w AS valid_to,
-        |       (lead(valid_from) OVER w) IS NULL AS is_current
+        |       (lead(valid_from) OVER w) IS NULL AS is_current,
+        |       last_changed
         |FROM starts
         |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
         |ORDER BY user_id, version""".stripMargin,
@@ -2057,11 +2064,14 @@ object ExtOracles {
     // the point-in-time lookup: each purchase left-joins the single
     // dimension version whose half-open interval contains its ts
     "scd2_pit_join" ->
-      """WITH ordered AS (
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |         event_type FROM events),
+        |ordered AS (
         |  SELECT user_id, ts, event_id, event_type,
         |         lag(event_type) OVER
         |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events WHERE event_type <> 'purchase'),
+        |  FROM ev WHERE event_type <> 'purchase'),
         |starts AS (
         |  SELECT user_id, event_id, event_type, ts AS valid_from
         |  FROM ordered WHERE prev IS NULL OR prev <> event_type),
@@ -2075,7 +2085,7 @@ object ExtOracles {
         |               ORDER BY valid_from, event_id))
         |SELECT p.event_id, p.user_id, p.ts,
         |       d.version, d.state_type, d.valid_from
-        |FROM (SELECT event_id, user_id, ts FROM events
+        |FROM (SELECT event_id, user_id, ts FROM ev
         |      WHERE event_type = 'purchase') p
         |LEFT JOIN dim d
         |  ON p.user_id = d.user_id AND d.valid_from <= p.ts

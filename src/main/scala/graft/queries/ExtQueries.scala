@@ -2088,21 +2088,29 @@ object ExtQueries {
       case other => col(other)
     }: _*)
 
+  /** The one SCD2 dimension both gates read: each user's event-type
+    * state over the non-purchase change log, `(ts, event_id)` total
+    * order — ONE definition so the history gate and the PIT gate can
+    * never desynchronise.
+    */
+  private def scd2Dim(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HistoryOps.scd2(
+      Tables.events(spark, dir).filter(col("event_type") =!= "purchase"),
+      key = "user_id", orderCol = "ts",
+      stateCols = Seq("event_type"), tieCols = Seq("event_id"))
+
   /** SCD2 history of each user's event-type state
     * ([[graft.operators.HistoryOps.scd2]]): the events change log
     * turned into versioned rows with half-open validity intervals —
     * consecutive no-op changes collapsed, `(ts, event_id)` total
     * order, one hash exchange on the key feeding all three window
-    * functions. Hash-green proves every interval bound and version
-    * number is engine-portable (pure timestamps + longs — nothing
-    * floating in the output).
+    * functions. Hash-green proves every interval bound, version
+    * number AND the append-only `last_changed` frontier is
+    * engine-portable (pure timestamps + longs — nothing floating in
+    * the output).
     */
   def scd2History(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.HistoryOps.scd2(
-      Tables.events(spark, dir).filter(col("event_type") =!= "purchase"),
-      key = "user_id", orderCol = "ts",
-      stateCols = Seq("event_type"), tieCols = Seq("event_id"))
-      .orderBy("user_id", "version")
+    scd2Dim(spark, dir).orderBy("user_id", "version")
 
   /** Point-in-time join against the SCD2 dimension
     * ([[graft.operators.HistoryOps.pointInTime]]): every purchase
@@ -2113,13 +2121,10 @@ object ExtQueries {
     * warehouse runs against versioned dimensions.
     */
   def scd2PitJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val dim = graft.operators.HistoryOps.scd2(
-      ev.filter(col("event_type") =!= "purchase"),
-      key = "user_id", orderCol = "ts",
-      stateCols = Seq("event_type"), tieCols = Seq("event_id"))
+    val dim = scd2Dim(spark, dir)
       .withColumnRenamed("event_type", "state_type")
-    val probes = ev.filter(col("event_type") === "purchase")
+    val probes = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts")
     graft.operators.HistoryOps.pointInTime(probes, dim,
       key = "user_id", asOfCol = "ts")

@@ -24,15 +24,29 @@ class HistoryOpsSpec extends SparkSpec {
   private def dim = HistoryOps.scd2(changes, "k", "ts",
     Seq("state"), Seq("id"))
 
-  test("scd2 collapses no-op changes and versions in order") {
+  test("scd2 collapses no-op changes, versions in order, and carries " +
+    "the pre-collapse change frontier") {
     val got = dim.orderBy("k", "version")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
-        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5),
+        r.getTimestamp(6)))
     assert(got.toSeq === Seq(
-      (1L, 1, "a", t(10), Some(t(30)), false),
-      (1L, 2, "b", t(30), Some(t(50)), false),
-      (1L, 3, "a", t(50), None, true),
-      (2L, 1, "x", t(15), None, true)))
+      (1L, 1, "a", t(10), Some(t(30)), false, t(50)),
+      (1L, 2, "b", t(30), Some(t(50)), false, t(50)),
+      (1L, 3, "a", t(50), None, true, t(50)),
+      (2L, 1, "x", t(15), None, true, t(15))))
+  }
+
+  test("last_changed advances past the last retained valid_from when " +
+    "the newest change is a collapsed no-op") {
+    val log = Seq((1L, t(10), 1L, "a"), (1L, t(20), 2L, "a"))
+      .toDF("k", "ts", "id", "state")
+    val d = HistoryOps.scd2(log, "k", "ts", Seq("state"), Seq("id"))
+      .collect()
+    assert(d.length === 1)
+    assert(d.head.getTimestamp(3) === t(10), "one retained version")
+    assert(d.head.getTimestamp(6) === t(20),
+      "frontier must cover the collapsed change")
   }
 
   test("scd2 intervals tile the key's lifetime: each valid_to is the " +
@@ -131,5 +145,48 @@ class HistoryOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("append-only") ||
       Option(e.getCause).exists(_.getMessage.contains("append-only")))
+  }
+
+  test("scd2Extend guard covers COLLAPSED changes: a batch row after " +
+    "the retained valid_from but before a collapsed no-op rejects") {
+    // stored (t10,a),(t20,a) collapses to one version @t10 with
+    // frontier t20; batch (t15,b) sits inside decided history — a
+    // max(valid_from) guard would admit it and silently produce a
+    // history diverging from the full rebuild
+    val log = Seq((1L, t(10), 1L, "a"), (1L, t(20), 2L, "a"))
+      .toDF("k", "ts", "id", "state")
+    val d = HistoryOps.scd2(log, "k", "ts", Seq("state"), Seq("id"))
+    val batch = Seq((1L, t(15), 3L, "b")).toDF("k", "ts", "id", "state")
+    val e = intercept[Exception] {
+      HistoryOps.scd2Extend(d, batch, "k", "ts",
+        Seq("state"), Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    // while a row past the frontier extends fine and matches rebuild
+    val ok = Seq((1L, t(25), 3L, "b")).toDF("k", "ts", "id", "state")
+    val inc = HistoryOps.scd2Extend(d, ok, "k", "ts",
+      Seq("state"), Seq("id")).collect().toSet
+    val full = HistoryOps.scd2(log.unionByName(ok), "k", "ts",
+      Seq("state"), Seq("id")).collect().toSet
+    assert(inc === full)
+  }
+
+  test("scd2Extend replay order is version-true for string tie " +
+    "columns with 10+ same-instant stored versions") {
+    // 11 same-instant changes tie-broken by a STRING id ("i01".."i11"
+    // sort correctly; a version-cast-to-string replay would re-sort
+    // '10','11' before '2' and renumber history)
+    val log = (1 to 11).map(i =>
+      (1L, t(10), f"i$i%02d", s"s$i")) :+ ((1L, t(20), "i99", "s11"))
+    val d = HistoryOps.scd2(log.toDF("k", "ts", "id", "state"),
+      "k", "ts", Seq("state"), Seq("id"))
+    val batch = Seq((1L, t(30), "j01", "zz")).toDF("k", "ts", "id", "state")
+    val inc = HistoryOps.scd2Extend(d, batch, "k", "ts",
+      Seq("state"), Seq("id")).collect().toSet
+    val full = HistoryOps.scd2(
+      log.toDF("k", "ts", "id", "state").unionByName(batch),
+      "k", "ts", Seq("state"), Seq("id")).collect().toSet
+    assert(inc === full)
   }
 }
