@@ -295,4 +295,67 @@ class PlanAuditSpec extends SparkSpec {
         p.toLowerCase.contains("cms_estimate"),
       s"CmsEstimate expression missing from the plan:\n$p")
   }
+
+  test("scd2_pit_join: an EQUI-join on the key with the interval " +
+    "residual — never a nested loop") {
+    val p = plan("scd2_pit_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"the interval predicate must ride an equi-join as a residual, " +
+        s"not degrade to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+        || p.contains("ShuffledHashJoin"),
+      s"no hash/merge join on user_id found:\n$p")
+  }
+
+  test("scd2_history: one key exchange feeds every window function") {
+    val p = plan("scd2_history")
+    // lag/max + row_number/lead/is_current all partition by user_id:
+    // exactly one hashpartitioning exchange on it (plus at most the
+    // presentation-sort range exchange)
+    val hashEx = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(hashEx === 1,
+      s"expected exactly one user_id hash exchange, got $hashEx:\n$p")
+  }
+
+  test("rollup store serve: a bare stored-grain scan — no agg, no " +
+    "join; the coarse rewrite aggregates stored rows, not facts") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("audit-ru") + "/store"
+    val li = sources.Tables.lineitem(spark, sf)
+    graft.operators.RollupStore.write(li, path,
+      Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
+    val serve = graft.operators.RollupStore.serve(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(!serve.contains("Aggregate") && !serve.contains("Join"),
+      s"serving the stored grain must be a scan:\n$serve")
+    val coarse = graft.operators.RollupStore
+      .rollup(spark, path, Seq("l_returnflag"))
+      .queryExecution.executedPlan.toString
+    assert(!coarse.contains("lineitem"),
+      s"the MV rewrite must read the store, never the fact table:\n$coarse")
+    assert(coarse.contains("HashAggregate"),
+      s"coarse rewrite should re-aggregate stored partials:\n$coarse")
+  }
+
+  test("triangle counting: every join an equi-join — wedge build and " +
+    "closure never degrade to a nested loop") {
+    // the gate returns a collected local relation (release
+    // discipline), so audit the operator's own plan
+    import org.apache.spark.sql.functions.col
+    val li = sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.alias("a")
+    val b = li.alias("b")
+    val pairs = a.join(b,
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    val p = graft.operators.GraphOps.triangleCounts(pairs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"triangle closure must stay equi-joins:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"no equi-join found in the triangle plan:\n$p")
+  }
 }
