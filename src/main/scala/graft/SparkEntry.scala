@@ -170,6 +170,7 @@ object SparkEntry {
     "join_bucketed" -> (graft.queries.ExtQueries.joinBucketed(_, _)),
     "bucket_pruned_lookup" -> (graft.queries.ExtQueries.bucketPrunedLookup(_, _)),
     "scd2_history" -> (graft.queries.ExtQueries.scd2History(_, _)),
+    "scd2_store_history" -> (graft.queries.ExtQueries.scd2StoreHistory(_, _)),
     "scd2_pit_join" -> (graft.queries.ExtQueries.scd2PitJoin(_, _)),
     "graph_triangles" -> (graft.queries.ExtQueries.graphTriangles(_, _)),
     "agg_store_rollup" -> (graft.queries.ExtQueries.aggStoreRollup(_, _)),

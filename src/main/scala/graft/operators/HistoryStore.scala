@@ -1,0 +1,335 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted SCD2 dimension — a MUTABLE versioned dimension served
+  * from APPEND-ONLY storage. Ninth persisted family, and the one that
+  * completes the CDC story: the extractors replay a change log
+  * forward, [[HistoryOps.scd2]] turns it into validity intervals, and
+  * this store keeps those intervals QUERYABLE across sessions while
+  * each new change batch costs per-touched-key work — never a
+  * history rebuild, never a full-dimension rewrite.
+  *
+  * The storage problem is that SCD2 maintenance MUTATES old rows (a
+  * new change closes its key's open interval), and 100 TB object
+  * stores don't do in-place mutation. The answer here is the
+  * supersede pattern: version rows are written once and never touched;
+  * an interval close is a separate tiny `(key, version, valid_to)`
+  * CLOSURE row; the per-key `last_changed` frontier (which moves on
+  * EVERY batch, collapsed no-ops included) lives in its own
+  * `(key, last_changed)` table where max() is the merge. [[serve]]
+  * folds the three back into the exact [[HistoryOps.scd2]] frame —
+  * spec-pinned equal to a from-scratch rebuild, and the store-served
+  * gate shares the direct gate's oracle verbatim.
+  *
+  * Write amplification per batch = new version rows + one closure per
+  * actually-changed key + one frontier row per touched key. Reads
+  * during [[extend]] touch only the TOUCHED KEYS' bucket partitions
+  * (`bkp` hash-bucket directories, pruned scan), so extend cost
+  * follows the batch, not the dimension.
+  *
+  * Crash posture: every batch writes its delta under its OWN tag
+  * directories (`data/<tag>`, `closures/<tag>`, `frontier/<tag>`),
+  * written idempotently (overwrite) and INVISIBLE to readers until
+  * the applied-batch ledger — the single commit point — is staged and
+  * atomically swapped. A crash anywhere leaves the previous ledger
+  * generation serving; the replay overwrites the same tag dirs and
+  * commits once. Exactly-once per (producer, batchId), single
+  * quiesced producer by contract, ledger-unchanged tripwire against
+  * concurrent writers. [[compact]] folds all tags into one (read cost
+  * dial) while PRESERVING the ledger pairs, so replay stays a no-op
+  * across compactions.
+  */
+object HistoryStore {
+
+  private final case class Meta(key: String, orderCol: String,
+      stateCols: Seq[String], tieCols: Seq[String], nBuckets: Int)
+
+  /** Build the store from the full change log seen so far. */
+  def write(changes: DataFrame, path: String, key: String,
+      orderCol: String, stateCols: Seq[String],
+      tieCols: Seq[String] = Nil, nBuckets: Int = 64): Unit = {
+    val spark = changes.sparkSession
+    val dim = HistoryOps.scd2(changes, key, orderCol, stateCols, tieCols)
+    val tag = tagFor("base", 0L)
+    writeMeta(spark, path, Meta(key, orderCol, stateCols, tieCols,
+      nBuckets))
+    writeDelta(spark, path, tag,
+      data = dim.drop("last_changed"),
+      closures = emptyClosures(spark, dim, key),
+      frontier = dim.groupBy(key).agg(max("last_changed")
+        .as("last_changed")),
+      meta = Meta(key, orderCol, stateCols, tieCols, nBuckets))
+    commitLedger(spark, path, Seq(("base", 0L, tag)))
+  }
+
+  /** Fold one change batch in, exactly once per (producer, batchId).
+    * Reads only the touched keys' bucket partitions; the append-only
+    * guard is [[HistoryOps.scd2Extend]]'s (a batch row at or before a
+    * key's `last_changed` frontier rejects loudly). An absent store
+    * bootstraps at the declared grain; against an existing store a
+    * grain mismatch rejects loudly.
+    */
+  def extend(changes: DataFrame, path: String, batchId: Long,
+      key: String, orderCol: String, stateCols: Seq[String],
+      tieCols: Seq[String] = Nil, nBuckets: Int = 64,
+      producer: String = "default"): Unit = {
+    val spark = changes.sparkSession
+    IndexStores.healRoot(spark, path)
+    if (!IndexStores.hasStore(spark, s"$path/batches")) {
+      // bootstrap: this batch IS the history, under this batch's id
+      write(changes, path, key, orderCol, stateCols, tieCols, nBuckets)
+      commitLedger(spark, path,
+        Seq((producer, batchId, tagFor("base", 0L))))
+      return
+    }
+    val m = metaOf(spark, path)
+    require(m.key == key && m.orderCol == orderCol &&
+      m.stateCols == stateCols && m.tieCols == tieCols,
+      s"history store at $path holds grain (${m.key}; ${m.orderCol}; " +
+        s"${m.stateCols.mkString(",")}; ${m.tieCols.mkString(",")}); " +
+        s"extend declared ($key; $orderCol; ${stateCols.mkString(",")}; " +
+        s"${tieCols.mkString(",")})")
+    val applied = ledger(spark, path)
+    if (applied.exists(r => r._1 == producer && r._2 == batchId))
+      return // replay — already folded
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      // bounded: the touched BUCKET list (≤ nBuckets), never the keys
+      val touched = changes.select(m.key).distinct()
+        .localCheckpoint(true)
+      val bkps = touched
+        .select(bkpCol(col(m.key), m.nBuckets).as("bkp"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val storedTouched = serveBuckets(spark, path, m, Some(bkps))
+        .join(touched, Seq(m.key), "left_semi")
+        .localCheckpoint(true)
+      val replayed = HistoryOps.scd2Extend(storedTouched, changes,
+        m.key, m.orderCol, m.stateCols, m.tieCols)
+        .localCheckpoint(true)
+      // deltas: rows with a version beyond the key's stored max are
+      // NEW; a stored OPEN version that now carries a valid_to CLOSED
+      // this batch; the frontier is replayed.last_changed
+      val maxVer = storedTouched.groupBy(m.key)
+        .agg(max("version").as("__mv"))
+      val newRows = replayed.join(maxVer, Seq(m.key), "left")
+        .filter(col("__mv").isNull || col("version") > col("__mv"))
+        .drop("__mv", "last_changed")
+      val closures = replayed.alias("r")
+        .join(storedTouched.filter(col("is_current")).alias("s"),
+          col(s"r.${m.key}") === col(s"s.${m.key}") &&
+            col("r.version") === col("s.version"))
+        .filter(col("r.valid_to").isNotNull)
+        .select(col(s"r.${m.key}"), col("r.version"),
+          col("r.valid_to"))
+      val frontier = replayed.groupBy(m.key)
+        .agg(max("last_changed").as("last_changed"))
+      val tag = tagFor(producer, batchId)
+      writeDelta(spark, path, tag, newRows, closures, frontier, m)
+      // single-writer tripwire just before the commit point
+      require(ledger(spark, path) == applied,
+        s"history store at $path advanced during extend — a second " +
+          "concurrent writer is folding batches; serialise producers")
+      commitLedger(spark, path, applied :+ ((producer, batchId, tag)))
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
+  /** The full SCD2 dimension, reconstructed exactly: version rows with
+    * ledgered closures applied and the per-key frontier attached —
+    * column-for-column the [[HistoryOps.scd2]] frame.
+    */
+  def serve(spark: SparkSession, path: String): DataFrame = {
+    IndexStores.healRoot(spark, path)
+    serveBuckets(spark, path, metaOf(spark, path), None)
+  }
+
+  /** Fold every ledgered tag into one (read-amplification dial): the
+    * served dimension is rewritten as a single fresh base tag, the
+    * ledger keeps ALL applied (producer, batchId) pairs — replay of
+    * any old batch stays a no-op — and the superseded tag directories
+    * are deleted after the commit.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    IndexStores.healRoot(spark, path)
+    val m = metaOf(spark, path)
+    val applied = ledger(spark, path)
+    val gen = applied.map(_._3).map(t =>
+      t.substring(t.lastIndexOf('g') + 1).toLong).max + 1L
+    val tag = s"c_g$gen"
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val dim = serveBuckets(spark, path, m, None).localCheckpoint(true)
+      writeDelta(spark, path, tag,
+        data = dim.drop("last_changed"),
+        closures = emptyClosures(spark, dim, m.key),
+        frontier = dim.groupBy(m.key).agg(max("last_changed")
+          .as("last_changed")),
+        meta = m)
+      require(ledger(spark, path) == applied,
+        s"history store at $path advanced during compact")
+      commitLedger(spark, path, applied.map(r => (r._1, r._2, tag)))
+      // best-effort orphan cleanup: dirs no ledgered tag references
+      val fs = new Path(path).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      for (store <- Seq("data", "closures", "frontier");
+           d <- Option(fs.globStatus(new Path(s"$path/$store/*")))
+             .getOrElse(Array.empty)
+           if d.getPath.getName != tag)
+        fs.delete(d.getPath, true)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
+  /** One-row monitoring surface: applied batches, tag count (read
+    * fragmentation — the compaction dial), stored version rows, open
+    * versions, distinct keys.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    IndexStores.healRoot(spark, path)
+    val m = metaOf(spark, path)
+    val applied = ledger(spark, path)
+    val d = serveBuckets(spark, path, m, None).agg(
+      count(lit(1)), count(when(col("is_current"), 1)),
+      countDistinct(col(m.key))).head
+    import spark.implicits._
+    Seq((applied.size.toLong, applied.map(_._3).distinct.size.toLong,
+      d.getLong(0), d.getLong(1), d.getLong(2)))
+      .toDF("applied_batches", "tags", "version_rows", "open_versions",
+        "keys")
+  }
+
+  // ---- internals ----------------------------------------------------
+
+  private def bkpCol(key: org.apache.spark.sql.Column,
+      nBuckets: Int): org.apache.spark.sql.Column =
+    concat(lit("p"), pmod(xxhash64(key.cast("string")), lit(nBuckets))
+      .cast("string"))
+
+  private def tagFor(producer: String, batchId: Long): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(producer.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    s"b_${h}_${batchId}_g0"
+  }
+
+  private def emptyClosures(spark: SparkSession, dim: DataFrame,
+      key: String): DataFrame =
+    dim.select(col(key), col("version"), col("valid_to"))
+      .filter(lit(false))
+
+  /** Reconstruct the dimension, optionally pruned to a bucket list
+    * (partition-pruned reads on every per-tag directory).
+    *
+    * A tag's delta can be legitimately EMPTY (a batch that only
+    * collapsed no-ops writes no new version rows; most batches write
+    * no closures for most tags) — an empty partitioned write leaves a
+    * directory with no parquet files, which schema inference cannot
+    * read, so empty tag dirs substitute an explicit-schema empty
+    * frame derived from the data schema.
+    */
+  private def serveBuckets(spark: SparkSession, path: String, m: Meta,
+      bkps: Option[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val tags = ledger(spark, path).map(_._3).distinct
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def hasFiles(dir: String): Boolean =
+      Seq("*/*.parquet", "*.parquet").exists(g =>
+        Option(fs.globStatus(new Path(dir, g))).exists(_.nonEmpty))
+    def readAll(store: String, schema: StructType): DataFrame =
+      tags.map { t =>
+        val dir = s"$path/$store/$t"
+        val df =
+          if (hasFiles(dir)) spark.read.parquet(dir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema)
+        bkps.fold(df)(b => df.filter(col("bkp").isin(b: _*)))
+      }.reduce(_ unionByName _)
+    // the base tag's data is the schema authority; closure/frontier
+    // schemas are projections of it
+    val dataSchema = StructType(tags.collectFirst {
+      case t if hasFiles(s"$path/data/$t") =>
+        spark.read.parquet(s"$path/data/$t").schema
+    }.getOrElse(throw new IllegalStateException(
+      s"history store at $path has no data files in any ledgered tag")))
+    def proj(names: Seq[String]) =
+      StructType(names.map(n => dataSchema(dataSchema.fieldIndex(n))))
+    val fronSchema = StructType(
+      proj(Seq(m.key)).fields :+
+        dataSchema(dataSchema.fieldIndex("valid_from"))
+          .copy(name = "last_changed")).add(dataSchema("bkp"))
+    val closSchema =
+      proj(Seq(m.key, "version", "valid_to")).add(dataSchema("bkp"))
+    val data = readAll("data", dataSchema).drop("bkp")
+    val clos = readAll("closures", closSchema).drop("bkp")
+      .withColumnRenamed("valid_to", "__closed_to")
+    val fron = readAll("frontier", fronSchema).drop("bkp")
+      .groupBy(m.key).agg(max("last_changed").as("last_changed"))
+    data.join(clos, Seq(m.key, "version"), "left")
+      .withColumn("valid_to",
+        coalesce(col("__closed_to"), col("valid_to")))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__closed_to")
+      .join(fron, Seq(m.key))
+      .select((col(m.key) +: col("version") +: m.stateCols.map(col) :+
+        col("valid_from") :+ col("valid_to") :+ col("is_current") :+
+        col("last_changed")): _*)
+  }
+
+  /** Write one batch's delta under its tag — idempotent (overwrite),
+    * invisible until the ledger commits. Every store is hash-bucket
+    * partitioned by `bkp` so per-batch reads prune.
+    */
+  private def writeDelta(spark: SparkSession, path: String, tag: String,
+      data: DataFrame, closures: DataFrame, frontier: DataFrame,
+      meta: Meta): Unit = {
+    def withBkp(df: DataFrame): DataFrame =
+      df.withColumn("bkp", bkpCol(col(meta.key), meta.nBuckets))
+    withBkp(data).write.mode("overwrite").partitionBy("bkp")
+      .parquet(s"$path/data/$tag")
+    withBkp(closures).write.mode("overwrite").partitionBy("bkp")
+      .parquet(s"$path/closures/$tag")
+    withBkp(frontier).write.mode("overwrite").partitionBy("bkp")
+      .parquet(s"$path/frontier/$tag")
+  }
+
+  private def writeMeta(spark: SparkSession, path: String,
+      m: Meta): Unit = {
+    import spark.implicits._
+    Seq((m.key, m.orderCol, m.stateCols.mkString(","),
+      m.tieCols.mkString(","), m.nBuckets))
+      .toDF("key", "order_col", "state_cols", "tie_cols", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def metaOf(spark: SparkSession, path: String): Meta = {
+    val r = IndexStores.readStore(spark, s"$path/meta").head
+    Meta(r.getString(0), r.getString(1),
+      r.getString(2).split(",").toSeq.filter(_.nonEmpty),
+      r.getString(3).split(",").toSeq.filter(_.nonEmpty),
+      r.getInt(4))
+  }
+
+  private def ledger(spark: SparkSession,
+      path: String): Seq[(String, Long, String)] =
+    if (!IndexStores.hasStore(spark, s"$path/batches")) Seq.empty
+    else IndexStores.readStore(spark, s"$path/batches").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(r => (r._1, r._2))
+
+  /** The single commit point: stage the full applied list and swap it
+    * in atomically.
+    */
+  private def commitLedger(spark: SparkSession, path: String,
+      applied: Seq[(String, Long, String)]): Unit = {
+    import spark.implicits._
+    val staging = IndexStores.stagingFor(spark, s"$path/batches")
+    applied.toDF("producer", "batch_id", "tag").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    IndexStores.swapInto(spark, s"$path/batches", staging)
+  }
+}

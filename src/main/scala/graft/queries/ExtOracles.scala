@@ -1968,30 +1968,14 @@ object ExtOracles {
     // valid_to over the same (valid_from, event_id) order — every
     // interval bound is a raw timestamp, every version a row_number,
     // so the hash check carries no float anywhere
-    "scd2_history" ->
-      """WITH ev AS (
-        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
-        |         event_type
-        |  FROM events WHERE event_type <> 'purchase'),
-        |ordered AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         lag(event_type) OVER
-        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
-        |         max(ts) OVER (PARTITION BY user_id) AS last_changed
-        |  FROM ev),
-        |starts AS (
-        |  SELECT user_id, event_id, event_type, ts AS valid_from,
-        |         last_changed
-        |  FROM ordered WHERE prev IS NULL OR prev <> event_type)
-        |SELECT user_id,
-        |       CAST(row_number() OVER w AS INT) AS version,
-        |       event_type, valid_from,
-        |       lead(valid_from) OVER w AS valid_to,
-        |       (lead(valid_from) OVER w) IS NULL AS is_current,
-        |       last_changed
-        |FROM starts
-        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
-        |ORDER BY user_id, version""".stripMargin,
+    "scd2_history" -> scd2HistorySql,
+
+    // the store-served dimension (incremental write+extend over the
+    // ts-cutoff split, closures + frontier folded back at read)
+    // shares the direct gate's oracle VERBATIM: the hash check IS the
+    // proof that the append-only storage reconstruction equals the
+    // one-shot construction
+    "scd2_store_history" -> scd2HistorySql,
 
     // the store-served materialized rollup must equal the one-shot
     // GROUP BY over the raw fact table: decimal(38,4) measures are
@@ -2215,6 +2199,38 @@ object ExtOracles {
        |${(1 to 5).map(iter).mkString(",\n")}
        |SELECT id, r AS rank FROM r5 ORDER BY id""".stripMargin
   }
+
+  /** Replays HistoryOps.scd2(events≠purchase, user_id, ts,
+    * [event_type], tie=event_id): change-collapse via lag, version /
+    * valid_to over the same (valid_from, event_id) order, plus the
+    * per-key pre-collapse last_changed frontier — every value a raw
+    * timestamp or integer, nothing floating. Shared by the direct
+    * gate and the HistoryStore-served gate.
+    */
+  private lazy val scd2HistorySql =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |         event_type
+      |  FROM events WHERE event_type <> 'purchase'),
+      |ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |         max(ts) OVER (PARTITION BY user_id) AS last_changed
+      |  FROM ev),
+      |starts AS (
+      |  SELECT user_id, event_id, event_type, ts AS valid_from,
+      |         last_changed
+      |  FROM ordered WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id,
+      |       CAST(row_number() OVER w AS INT) AS version,
+      |       event_type, valid_from,
+      |       lead(valid_from) OVER w AS valid_to,
+      |       (lead(valid_from) OVER w) IS NULL AS is_current,
+      |       last_changed
+      |FROM starts
+      |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+      |ORDER BY user_id, version""".stripMargin
 
   private lazy val cmsSql =
     s"""WITH $tokCte2

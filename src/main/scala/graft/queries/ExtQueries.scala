@@ -2112,6 +2112,44 @@ object ExtQueries {
   def scd2History(spark: SparkSession, dir: String): DataFrame =
     scd2Dim(spark, dir).orderBy("user_id", "version")
 
+  /** One persisted SCD2 dimension per (session, SF dir): the same
+    * change log split at a fixed ts cutoff — write(≤ cutoff) then
+    * extend(> cutoff) — so the serving gate also proves the
+    * append-only closure/frontier fold. A global ts split satisfies
+    * the per-key append-only guard strictly (stored frontier ≤ cutoff
+    * < every batch row).
+    */
+  private val historyStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private val scd2CutoffTs = "2024-01-21 00:00:00"
+  private def historyStorePath(spark: SparkSession, dir: String): String =
+    historyStoreCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-history-store").toString
+      val ch = Tables.events(spark, dir)
+        .filter(col("event_type") =!= "purchase")
+      val cutoff = to_timestamp(lit(scd2CutoffTs))
+      graft.operators.HistoryStore.write(
+        ch.filter(col("ts") <= cutoff), s"$root/dim", "user_id", "ts",
+        Seq("event_type"), Seq("event_id"))
+      graft.operators.HistoryStore.extend(
+        ch.filter(col("ts") > cutoff), s"$root/dim", batchId = 1L,
+        "user_id", "ts", Seq("event_type"), Seq("event_id"))
+      root
+    } + "/dim"
+
+  /** The SCD2 dimension served from the PERSISTED store
+    * ([[graft.operators.HistoryStore.serve]]): version rows +
+    * ledgered closures + per-key frontier folded back into the exact
+    * construction frame. Shares `scd2_history`'s oracle VERBATIM —
+    * hash-green proves the mutable-dimension-on-append-only-storage
+    * reconstruction equals the one-shot build.
+    */
+  def scd2StoreHistory(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HistoryStore.serve(spark,
+      historyStorePath(spark, dir))
+      .orderBy("user_id", "version")
+
   /** Point-in-time join against the SCD2 dimension
     * ([[graft.operators.HistoryOps.pointInTime]]): every purchase
     * event picks up the user's state version valid AT its timestamp —

@@ -677,6 +677,31 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming SCD2 maintenance into the persisted dimension
+    * ([[graft.operators.HistoryStore]]): each trigger folds one change
+    * batch — per-touched-key work against bucket-pruned reads, never
+    * a history rebuild. The append-only guard inherits the source's
+    * watermark discipline (a replayed or out-of-order row at or
+    * before a key's `last_changed` frontier rejects loudly; a
+    * replayed whole TRIGGER is a ledger no-op), with the checkpoint
+    * path as the producer scope.
+    */
+  def historyIngestStream(changes: DataFrame, storePath: String,
+      checkpoint: String, key: String, orderCol: String,
+      stateCols: Seq[String], tieCols: Seq[String] = Nil,
+      nBuckets: Int = 64, trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.HistoryStore.extend(batch, storePath, batchId,
+          key, orderCol, stateCols, tieCols, nBuckets,
+          producer = checkpoint)
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation — the streaming form of the
     * `events_tumbling` batch query; late rows beyond `lateness` are
     * dropped by the watermark, state is bounded per window × type.

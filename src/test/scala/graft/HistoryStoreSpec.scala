@@ -1,0 +1,189 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{HistoryOps, HistoryStore}
+
+/** Persisted SCD2 dimension lifecycle: the append-only
+  * closure/frontier reconstruction (write+extend ≡ from-scratch
+  * rebuild row-for-row), exactly-once ledger under replayed batches,
+  * the append-only guard through the store, bucket-pruned extend
+  * reads, compaction that preserves results AND replay no-ops,
+  * swap-window heal, and the streaming leg's stream ≡ batch pin.
+  */
+class HistoryStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Long) = new Timestamp(s * 1000L)
+
+  // 40 keys × 6 changes each, states cycling with collapses mixed in
+  private def log(idBase: Long, from: Long, until: Long): DataFrame =
+    (1L to 40L).flatMap { k =>
+      (from until until).map { i =>
+        (k, t(i * 10), idBase + k * 100 + i,
+          s"s${(i + k) % 3 match { case 0 => 0; case x => x % 2 }}")
+      }
+    }.toDF("k", "ts", "id", "state")
+
+  private val early = log(0L, 1, 4)    // ts 10..30
+  private val late = log(100000L, 4, 7) // ts 40..60
+
+  private def rebuild: DataFrame =
+    HistoryOps.scd2(early.unionByName(late), "k", "ts",
+      Seq("state"), Seq("id"))
+
+  private def asSet(df: DataFrame) = df.collect().toSet
+
+  test("write + extend served frame equals the from-scratch rebuild " +
+    "row-for-row") {
+    val path = tmpDir("hs-split") + "/dim"
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"),
+      nBuckets = 8)
+    HistoryStore.extend(late, path, batchId = 1L, "k", "ts",
+      Seq("state"), Seq("id"))
+    assert(asSet(HistoryStore.serve(spark, path)) === asSet(rebuild))
+    val st = HistoryStore.stats(spark, path).head
+    assert(st.getAs[Long]("applied_batches") === 2L)
+    assert(st.getAs[Long]("keys") === 40L)
+    assert(st.getAs[Long]("open_versions") === 40L)
+  }
+
+  test("a replayed (producer, batchId) is a ledger no-op; a new id " +
+    "folds; grain drift rejects loudly") {
+    val path = tmpDir("hs-replay") + "/dim"
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
+    HistoryStore.extend(late.filter(col("ts") <= t(40)), path, 1L,
+      "k", "ts", Seq("state"), Seq("id"))
+    val once = asSet(HistoryStore.serve(spark, path))
+    HistoryStore.extend(late.filter(col("ts") <= t(40)), path, 1L,
+      "k", "ts", Seq("state"), Seq("id"))
+    assert(asSet(HistoryStore.serve(spark, path)) === once,
+      "replayed batch must not refold")
+    HistoryStore.extend(late.filter(col("ts") > t(40)), path, 2L,
+      "k", "ts", Seq("state"), Seq("id"))
+    assert(asSet(HistoryStore.serve(spark, path)) === asSet(rebuild))
+    val e = intercept[IllegalArgumentException] {
+      HistoryStore.extend(late, path, 3L, "k", "ts", Seq("other"),
+        Seq("id"))
+    }
+    assert(e.getMessage.contains("grain"))
+  }
+
+  test("the append-only guard holds THROUGH the store: an extend " +
+    "batch reaching into decided history rejects") {
+    val path = tmpDir("hs-guard") + "/dim"
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
+    val stale = Seq((1L, t(20), 999999L, "zz"))
+      .toDF("k", "ts", "id", "state")
+    val e = intercept[Exception] {
+      HistoryStore.extend(stale, path, 1L, "k", "ts", Seq("state"),
+        Seq("id"))
+    }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    // and the failed fold left no ledger entry — the retry works once
+    // the feed is fixed
+    assert(HistoryStore.stats(spark, path).head
+      .getAs[Long]("applied_batches") === 1L)
+  }
+
+  test("extend bootstraps an absent store under its own batch id") {
+    val path = tmpDir("hs-boot") + "/dim"
+    HistoryStore.extend(early, path, batchId = 5L, "k", "ts",
+      Seq("state"), Seq("id"), producer = "p1")
+    assert(asSet(HistoryStore.serve(spark, path)) ===
+      asSet(HistoryOps.scd2(early, "k", "ts", Seq("state"), Seq("id"))))
+    // the bootstrap batch is ledgered: its replay is a no-op
+    HistoryStore.extend(early, path, batchId = 5L, "k", "ts",
+      Seq("state"), Seq("id"), producer = "p1")
+    assert(HistoryStore.stats(spark, path).head
+      .getAs[Long]("applied_batches") === 1L)
+  }
+
+  test("compact folds tags to one, preserves the served frame AND " +
+    "replay no-ops, and drops superseded tag dirs") {
+    val path = tmpDir("hs-compact") + "/dim"
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
+    HistoryStore.extend(late.filter(col("ts") <= t(40)), path, 1L,
+      "k", "ts", Seq("state"), Seq("id"))
+    HistoryStore.extend(late.filter(col("ts") > t(40)), path, 2L,
+      "k", "ts", Seq("state"), Seq("id"))
+    val pre = asSet(HistoryStore.serve(spark, path))
+    assert(HistoryStore.stats(spark, path).head
+      .getAs[Long]("tags") === 3L)
+    HistoryStore.compact(spark, path)
+    assert(asSet(HistoryStore.serve(spark, path)) === pre,
+      "compaction changed the dimension")
+    val st = HistoryStore.stats(spark, path).head
+    assert(st.getAs[Long]("tags") === 1L)
+    assert(st.getAs[Long]("applied_batches") === 3L,
+      "compaction must preserve the ledger pairs")
+    HistoryStore.extend(late.filter(col("ts") > t(40)), path, 2L,
+      "k", "ts", Seq("state"), Seq("id"))
+    assert(asSet(HistoryStore.serve(spark, path)) === pre,
+      "replay after compaction must stay a no-op")
+    val dataDirs = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory)
+    assert(dataDirs.length === 1, "superseded tag dirs must be deleted")
+  }
+
+  test("extend's stored read prunes to the touched buckets") {
+    val path = tmpDir("hs-prune") + "/dim"
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"),
+      nBuckets = 8)
+    // one-key batch: the replay input must come from pruned reads —
+    // assert via the data actually readable under the key's bucket
+    val one = Seq((1L, t(99), 555L, "zz")).toDF("k", "ts", "id", "state")
+    HistoryStore.extend(one, path, 1L, "k", "ts", Seq("state"),
+      Seq("id"), nBuckets = 8)
+    assert(asSet(HistoryStore.serve(spark, path)) ===
+      asSet(HistoryOps.scd2(early.unionByName(one), "k", "ts",
+        Seq("state"), Seq("id"))))
+    // the delta tag (batch 1) holds ONLY the touched key's rows
+    val deltaTag = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .find(_.endsWith("_1_g0")).get
+    val delta = spark.read.parquet(s"$path/data/$deltaTag")
+    val deltaKeys = delta.select("k").distinct().collect().map(_.getLong(0))
+    assert(deltaKeys.toSeq === Seq(1L),
+      s"delta should carry only key 1, got ${deltaKeys.mkString(",")}")
+  }
+
+  test("a swap-window crash on the ledger heals and the interrupted " +
+    "batch replays") {
+    val path = tmpDir("hs-heal") + "/dim"
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
+    // crash between the ledger swap's two renames: batches exists
+    // only under .__old_
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$path/batches"),
+      java.nio.file.Paths.get(s"$path/batches.__old_999999999999"))
+    HistoryStore.extend(late, path, 1L, "k", "ts", Seq("state"),
+      Seq("id"))
+    assert(asSet(HistoryStore.serve(spark, path)) === asSet(rebuild),
+      "extend after a ledger swap-window crash must fold into the " +
+        "healed store, not rebootstrap")
+  }
+
+  test("streaming ingest equals the one-shot build") {
+    import graft.streaming.StreamingPipeline
+    val path = tmpDir("hs-stream") + "/dim"
+    val corpus = early.unionByName(late).localCheckpoint()
+    val src = tmpDir("hs-stream-src")
+    // time-sliced files so each trigger is an append-only batch
+    Seq(corpus.filter(col("ts") <= t(20)),
+        corpus.filter(col("ts") > t(20) && col("ts") <= t(40)),
+        corpus.filter(col("ts") > t(40)))
+      .foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    StreamingPipeline.historyIngestStream(stream, path,
+      tmpDir("hs-stream-ckpt"), "k", "ts", Seq("state"), Seq("id"))
+      .awaitTermination()
+    assert(asSet(HistoryStore.serve(spark, path)) === asSet(rebuild),
+      "trigger-by-trigger maintenance diverged from the one-shot build")
+    assert(HistoryStore.stats(spark, path).head
+      .getAs[Long]("applied_batches") === 3L)
+  }
+}
