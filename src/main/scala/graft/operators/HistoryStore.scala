@@ -50,19 +50,38 @@ object HistoryStore {
   /** Build the store from the full change log seen so far. */
   def write(changes: DataFrame, path: String, key: String,
       orderCol: String, stateCols: Seq[String],
-      tieCols: Seq[String] = Nil, nBuckets: Int = 64): Unit = {
+      tieCols: Seq[String] = Nil, nBuckets: Int = 64): Unit =
+    writeBase(changes, path,
+      Meta(key, orderCol, stateCols, tieCols, nBuckets),
+      Seq(("base", 0L)))
+
+  /** Shared base-build: ONE ledger commit whatever the caller — a
+    * crash before it leaves no ledger, so the replay (of [[write]] or
+    * of a bootstrap [[extend]]) rebuilds the same tag idempotently
+    * and commits once. The scd2 frame is pinned so the data and
+    * frontier writes don't run the window pipeline twice, and the
+    * derivable `is_current` stays OFF disk (a later closure would
+    * make the stored value a lie; [[serve]] recomputes it from
+    * `valid_to`).
+    */
+  private def writeBase(changes: DataFrame, path: String, m: Meta,
+      pairs: Seq[(String, Long)]): Unit = {
     val spark = changes.sparkSession
-    val dim = HistoryOps.scd2(changes, key, orderCol, stateCols, tieCols)
-    val tag = tagFor("base", 0L)
-    writeMeta(spark, path, Meta(key, orderCol, stateCols, tieCols,
-      nBuckets))
-    writeDelta(spark, path, tag,
-      data = dim.drop("last_changed"),
-      closures = emptyClosures(spark, dim, key),
-      frontier = dim.groupBy(key).agg(max("last_changed")
-        .as("last_changed")),
-      meta = Meta(key, orderCol, stateCols, tieCols, nBuckets))
-    commitLedger(spark, path, Seq(("base", 0L, tag)))
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val dim = HistoryOps.scd2(changes, m.key, m.orderCol,
+        m.stateCols, m.tieCols).localCheckpoint(true)
+      val tag = tagFor(pairs.head._1, pairs.head._2)
+      writeMeta(spark, path, m)
+      writeDelta(spark, path, tag,
+        data = dim.drop("last_changed", "is_current"),
+        closures = emptyClosures(spark, dim, m.key),
+        frontier = dim.groupBy(m.key).agg(max("last_changed")
+          .as("last_changed")),
+        meta = m)
+      commitLedger(spark, path, pairs.map(p => (p._1, p._2, tag)))
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
   /** Fold one change batch in, exactly once per (producer, batchId).
@@ -79,27 +98,34 @@ object HistoryStore {
     val spark = changes.sparkSession
     IndexStores.healRoot(spark, path)
     if (!IndexStores.hasStore(spark, s"$path/batches")) {
-      // bootstrap: this batch IS the history, under this batch's id
-      write(changes, path, key, orderCol, stateCols, tieCols, nBuckets)
-      commitLedger(spark, path,
-        Seq((producer, batchId, tagFor("base", 0L))))
+      // bootstrap: this batch IS the history — ONE commit carrying
+      // this (producer, batchId), so a crash anywhere replays clean
+      writeBase(changes, path,
+        Meta(key, orderCol, stateCols, tieCols, nBuckets),
+        Seq((producer, batchId)))
       return
     }
     val m = metaOf(spark, path)
     require(m.key == key && m.orderCol == orderCol &&
-      m.stateCols == stateCols && m.tieCols == tieCols,
+      m.stateCols == stateCols && m.tieCols == tieCols &&
+      m.nBuckets == nBuckets,
       s"history store at $path holds grain (${m.key}; ${m.orderCol}; " +
-        s"${m.stateCols.mkString(",")}; ${m.tieCols.mkString(",")}); " +
-        s"extend declared ($key; $orderCol; ${stateCols.mkString(",")}; " +
-        s"${tieCols.mkString(",")})")
+        s"${m.stateCols.mkString(",")}; ${m.tieCols.mkString(",")}; " +
+        s"${m.nBuckets} buckets); extend declared ($key; $orderCol; " +
+        s"${stateCols.mkString(",")}; ${tieCols.mkString(",")}; " +
+        s"$nBuckets buckets)")
     val applied = ledger(spark, path)
     if (applied.exists(r => r._1 == producer && r._2 == batchId))
       return // replay — already folded
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     try {
+      // pin the batch once: it feeds the touched-key probe, the
+      // replay and the delta writes — without the pin a streaming
+      // micro-batch source would be re-read per consumer
+      val ch = changes.localCheckpoint(true)
       // bounded: the touched BUCKET list (≤ nBuckets), never the keys
-      val touched = changes.select(m.key).distinct()
+      val touched = ch.select(m.key).distinct()
         .localCheckpoint(true)
       val bkps = touched
         .select(bkpCol(col(m.key), m.nBuckets).as("bkp"))
@@ -107,7 +133,7 @@ object HistoryStore {
       val storedTouched = serveBuckets(spark, path, m, Some(bkps))
         .join(touched, Seq(m.key), "left_semi")
         .localCheckpoint(true)
-      val replayed = HistoryOps.scd2Extend(storedTouched, changes,
+      val replayed = HistoryOps.scd2Extend(storedTouched, ch,
         m.key, m.orderCol, m.stateCols, m.tieCols)
         .localCheckpoint(true)
       // deltas: rows with a version beyond the key's stored max are
@@ -117,7 +143,7 @@ object HistoryStore {
         .agg(max("version").as("__mv"))
       val newRows = replayed.join(maxVer, Seq(m.key), "left")
         .filter(col("__mv").isNull || col("version") > col("__mv"))
-        .drop("__mv", "last_changed")
+        .drop("__mv", "last_changed", "is_current")
       val closures = replayed.alias("r")
         .join(storedTouched.filter(col("is_current")).alias("s"),
           col(s"r.${m.key}") === col(s"s.${m.key}") &&
@@ -149,13 +175,30 @@ object HistoryStore {
   /** Fold every ledgered tag into one (read-amplification dial): the
     * served dimension is rewritten as a single fresh base tag, the
     * ledger keeps ALL applied (producer, batchId) pairs — replay of
-    * any old batch stays a no-op — and the superseded tag directories
-    * are deleted after the commit.
+    * any old batch stays a no-op. Superseded tag directories are NOT
+    * deleted by the compact that supersedes them: a reader holding a
+    * lazy [[serve]] plan (this session or another) still resolves the
+    * old tags' files during the swap window, so each compact instead
+    * GARBAGE-COLLECTS the dirs the PREVIOUS compact left unreferenced
+    * — one full compaction cycle of grace, the tag-store analogue of
+    * [[graft.core.ParquetTable]]'s `.__old_` retention.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     IndexStores.healRoot(spark, path)
     val m = metaOf(spark, path)
     val applied = ledger(spark, path)
+    // GC dirs no CURRENT ledger tag references (previous compact's
+    // supersedees + any crashed compact's uncommitted tag)
+    locally {
+      val live = applied.map(_._3).toSet
+      val fs = new Path(path).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      for (store <- Seq("data", "closures", "frontier");
+           d <- Option(fs.globStatus(new Path(s"$path/$store/*")))
+             .getOrElse(Array.empty)
+           if !live.contains(d.getPath.getName))
+        fs.delete(d.getPath, true)
+    }
     val gen = applied.map(_._3).map(t =>
       t.substring(t.lastIndexOf('g') + 1).toLong).max + 1L
     val tag = s"c_g$gen"
@@ -164,7 +207,7 @@ object HistoryStore {
     try {
       val dim = serveBuckets(spark, path, m, None).localCheckpoint(true)
       writeDelta(spark, path, tag,
-        data = dim.drop("last_changed"),
+        data = dim.drop("last_changed", "is_current"),
         closures = emptyClosures(spark, dim, m.key),
         frontier = dim.groupBy(m.key).agg(max("last_changed")
           .as("last_changed")),
@@ -172,14 +215,8 @@ object HistoryStore {
       require(ledger(spark, path) == applied,
         s"history store at $path advanced during compact")
       commitLedger(spark, path, applied.map(r => (r._1, r._2, tag)))
-      // best-effort orphan cleanup: dirs no ledgered tag references
-      val fs = new Path(path).getFileSystem(
-        spark.sessionState.newHadoopConf())
-      for (store <- Seq("data", "closures", "frontier");
-           d <- Option(fs.globStatus(new Path(s"$path/$store/*")))
-             .getOrElse(Array.empty)
-           if d.getPath.getName != tag)
-        fs.delete(d.getPath, true)
+      // superseded tag dirs stay on disk for the grace window; the
+      // NEXT compact's opening GC removes them (see scaladoc)
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
@@ -203,10 +240,21 @@ object HistoryStore {
 
   // ---- internals ----------------------------------------------------
 
+  /** Bucket partition value — with the null-key tripwire: every
+    * reconstruction join in [[serveBuckets]] and every delta join in
+    * [[extend]] is a null-REJECTING equi-join, so a null dimension key
+    * would silently vanish from serves and duplicate on every extend.
+    * Reject it loudly at first contact instead (both the touched-
+    * bucket probe and every delta write route through this column).
+    */
   private def bkpCol(key: org.apache.spark.sql.Column,
       nBuckets: Int): org.apache.spark.sql.Column =
-    concat(lit("p"), pmod(xxhash64(key.cast("string")), lit(nBuckets))
-      .cast("string"))
+    when(key.isNull, raise_error(lit(
+      "history store: null dimension key — the SCD2 store's joins " +
+        "are null-rejecting; coalesce or filter null keys upstream")))
+      .otherwise(concat(lit("p"),
+        pmod(xxhash64(key.cast("string")), lit(nBuckets))
+          .cast("string")))
 
   private def tagFor(producer: String, batchId: Long): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -239,15 +287,21 @@ object HistoryStore {
     def hasFiles(dir: String): Boolean =
       Seq("*/*.parquet", "*.parquet").exists(g =>
         Option(fs.globStatus(new Path(dir, g))).exists(_.nonEmpty))
+    // an EMPTY prune list (empty batch) short-circuits to empty frames
+    // outright — isin() of zero values must never widen to a scan, and
+    // even the per-tag dir listings are skipped (IndexStores
+    // .presentRows' posture)
+    val pruneEmpty = bkps.exists(_.isEmpty)
     def readAll(store: String, schema: StructType): DataFrame =
       tags.map { t =>
         val dir = s"$path/$store/$t"
         val df =
-          if (hasFiles(dir)) spark.read.parquet(dir)
+          if (!pruneEmpty && hasFiles(dir)) spark.read.parquet(dir)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schema)
-        bkps.fold(df)(b => df.filter(col("bkp").isin(b: _*)))
+        bkps.filter(_.nonEmpty)
+          .fold(df)(b => df.filter(col("bkp").isin(b: _*)))
       }.reduce(_ unionByName _)
     // the base tag's data is the schema authority; closure/frontier
     // schemas are projections of it
@@ -287,8 +341,11 @@ object HistoryStore {
   private def writeDelta(spark: SparkSession, path: String, tag: String,
       data: DataFrame, closures: DataFrame, frontier: DataFrame,
       meta: Meta): Unit = {
+    // repartition by bkp first: one task per bucket, not one file per
+    // (task × bucket) — the BandIndex file-count discipline
     def withBkp(df: DataFrame): DataFrame =
       df.withColumn("bkp", bkpCol(col(meta.key), meta.nBuckets))
+        .repartition(col("bkp"))
     withBkp(data).write.mode("overwrite").partitionBy("bkp")
       .parquet(s"$path/data/$tag")
     withBkp(closures).write.mode("overwrite").partitionBy("bkp")

@@ -40,8 +40,14 @@ class HistoryStoreSpec extends SparkSpec {
     val path = tmpDir("hs-split") + "/dim"
     HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"),
       nBuckets = 8)
+    // the physical-layout parameter is part of the declared grain: a
+    // mismatch rejects loudly instead of being silently ignored
+    intercept[IllegalArgumentException] {
+      HistoryStore.extend(late, path, batchId = 1L, "k", "ts",
+        Seq("state"), Seq("id"), nBuckets = 64)
+    }
     HistoryStore.extend(late, path, batchId = 1L, "k", "ts",
-      Seq("state"), Seq("id"))
+      Seq("state"), Seq("id"), nBuckets = 8)
     assert(asSet(HistoryStore.serve(spark, path)) === asSet(rebuild))
     val st = HistoryStore.stats(spark, path).head
     assert(st.getAs[Long]("applied_batches") === 2L)
@@ -102,7 +108,7 @@ class HistoryStoreSpec extends SparkSpec {
   }
 
   test("compact folds tags to one, preserves the served frame AND " +
-    "replay no-ops, and drops superseded tag dirs") {
+    "replay no-ops, and GCs superseded tag dirs after one grace cycle") {
     val path = tmpDir("hs-compact") + "/dim"
     HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
     HistoryStore.extend(late.filter(col("ts") <= t(40)), path, 1L,
@@ -123,9 +129,22 @@ class HistoryStoreSpec extends SparkSpec {
       "k", "ts", Seq("state"), Seq("id"))
     assert(asSet(HistoryStore.serve(spark, path)) === pre,
       "replay after compaction must stay a no-op")
-    val dataDirs = new java.io.File(s"$path/data").listFiles()
+    // grace window: the compact that superseded the old tags leaves
+    // them on disk (a concurrent reader's lazy plan still resolves);
+    // the NEXT compact's opening GC removes them
+    def dataDirs() = new java.io.File(s"$path/data").listFiles()
       .filter(_.isDirectory)
-    assert(dataDirs.length === 1, "superseded tag dirs must be deleted")
+    assert(dataDirs().length === 4,
+      "superseded tag dirs must survive the compact that superseded " +
+        "them (reader grace window)")
+    HistoryStore.compact(spark, path)
+    val names = dataDirs().map(_.getName).toSet
+    assert(names.size === 2 && !names.exists(_.startsWith("b_")) &&
+      names.exists(_.startsWith("c_")),
+      s"after the next compact only the live tag plus the one-cycle " +
+        s"grace copy remain, got ${names.mkString(",")}")
+    assert(asSet(HistoryStore.serve(spark, path)) === pre,
+      "second compaction changed the dimension")
   }
 
   test("extend's stored read prunes to the touched buckets") {
@@ -164,6 +183,24 @@ class HistoryStoreSpec extends SparkSpec {
     assert(asSet(HistoryStore.serve(spark, path)) === asSet(rebuild),
       "extend after a ledger swap-window crash must fold into the " +
         "healed store, not rebootstrap")
+  }
+
+  test("a null dimension key rejects loudly at first contact") {
+    // every reconstruction/delta join is a null-rejecting equi-join —
+    // a null key would silently vanish from serves and duplicate on
+    // every extend, so the bucket column tripwires instead
+    val path = tmpDir("hs-null") + "/dim"
+    val withNull = early.unionByName(
+      Seq((Option.empty[Long], t(99), 9L, "sx"))
+        .toDF("k", "ts", "id", "state"))
+    val e = intercept[Exception] {
+      HistoryStore.write(withNull, path, "k", "ts", Seq("state"),
+        Seq("id"))
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(messages.contains("null dimension key"), messages.take(400))
   }
 
   test("streaming ingest equals the one-shot build") {
