@@ -171,6 +171,7 @@ object SparkEntry {
     "bucket_pruned_lookup" -> (graft.queries.ExtQueries.bucketPrunedLookup(_, _)),
     "scd2_history" -> (graft.queries.ExtQueries.scd2History(_, _)),
     "scd2_store_history" -> (graft.queries.ExtQueries.scd2StoreHistory(_, _)),
+    "scd2_purge_history" -> (graft.queries.ExtQueries.scd2PurgeHistory(_, _)),
     "scd2_pit_join" -> (graft.queries.ExtQueries.scd2PitJoin(_, _)),
     "graph_triangles" -> (graft.queries.ExtQueries.graphTriangles(_, _)),
     "agg_store_rollup" -> (graft.queries.ExtQueries.aggStoreRollup(_, _)),

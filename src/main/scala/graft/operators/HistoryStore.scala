@@ -130,6 +130,17 @@ object HistoryStore {
       val bkps = touched
         .select(bkpCol(col(m.key), m.nBuckets).as("bkp"))
         .distinct().collect().map(_.getString(0)).toSeq
+      // purged keys are frozen until a compact physically drops their
+      // history — folding new versions in would interleave them with
+      // to-be-erased ones
+      purged(spark, path).foreach { p =>
+        val frozen = touched.join(broadcast(p), Seq(m.key), "left_semi")
+          .limit(1).collect()
+        require(frozen.isEmpty,
+          s"history store at $path: batch touches purged key " +
+            s"${frozen.headOption.map(_.get(0)).orNull} — purged keys " +
+            "are frozen until compact() physically erases them")
+      }
       val storedTouched = serveBuckets(spark, path, m, Some(bkps))
         .join(touched, Seq(m.key), "left_semi")
         .localCheckpoint(true)
@@ -165,11 +176,46 @@ object HistoryStore {
 
   /** The full SCD2 dimension, reconstructed exactly: version rows with
     * ledgered closures applied and the per-key frontier attached —
-    * column-for-column the [[HistoryOps.scd2]] frame.
+    * column-for-column the [[HistoryOps.scd2]] frame. Purged keys
+    * ([[purge]]) are absent.
     */
   def serve(spark: SparkSession, path: String): DataFrame = {
     IndexStores.healRoot(spark, path)
     serveBuckets(spark, path, metaOf(spark, path), None)
+  }
+
+  /** Right-to-be-forgotten: erase EVERY version of the given keys.
+    * Takes a one-column frame of keys (any column name; null keys
+    * reject loudly — the anti-join below is null-rejecting, so a null
+    * would be a silent no-op instead of an erasure).
+    *
+    * Erasure on append-only storage is two-phase, the
+    * lakehouse-format shape: LOGICALLY immediate — the purged-key
+    * list is swapped in atomically and every [[serve]] anti-joins it
+    * (bounded list, broadcast) — and PHYSICALLY completed by the
+    * compaction cycle: the next [[compact]] rewrites the dimension
+    * without the purged rows and the one after GCs the superseded tag
+    * dirs still carrying the bytes. A purged key is FROZEN — an
+    * [[extend]] batch touching it rejects loudly — until a compact
+    * has physically dropped its history, after which the key may
+    * restart a fresh history; freezing prevents new versions silently
+    * interleaving with to-be-erased ones.
+    */
+  def purge(spark: SparkSession, path: String, keys: DataFrame): Unit = {
+    IndexStores.healRoot(spark, path)
+    val m = metaOf(spark, path)
+    val incoming = keys.select(
+      when(col(keys.columns.head).isNull, raise_error(lit(
+        "history store: null purge key — the purge anti-join is " +
+          "null-rejecting, a null key cannot be erased this way")))
+        .otherwise(col(keys.columns.head)).as(m.key)).distinct()
+    // the staging write fully materialises the merge (reading the
+    // CURRENT purged list) before the swap replaces it — no TOCTOU
+    val merged = purged(spark, path)
+      .fold(incoming)(p => incoming.unionByName(p).distinct())
+    val staging = IndexStores.stagingFor(spark, s"$path/purged")
+    merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    IndexStores.swapInto(spark, s"$path/purged", staging)
   }
 
   /** Fold every ledgered tag into one (read-amplification dial): the
@@ -217,6 +263,16 @@ object HistoryStore {
       commitLedger(spark, path, applied.map(r => (r._1, r._2, tag)))
       // superseded tag dirs stay on disk for the grace window; the
       // NEXT compact's opening GC removes them (see scaladoc)
+      // the rewrite above excluded purged keys, so the purge list has
+      // served its purpose: clear it, lifting the re-insert freeze (a
+      // crash before this delete is harmless — the list stays, the
+      // anti-join is a no-op, the next compact clears it)
+      locally {
+        val fs = new Path(path).getFileSystem(
+          spark.sessionState.newHadoopConf())
+        val p = new Path(s"$path/purged")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
@@ -231,11 +287,12 @@ object HistoryStore {
     val d = serveBuckets(spark, path, m, None).agg(
       count(lit(1)), count(when(col("is_current"), 1)),
       countDistinct(col(m.key))).head
+    val nPurged = purged(spark, path).map(_.count()).getOrElse(0L)
     import spark.implicits._
     Seq((applied.size.toLong, applied.map(_._3).distinct.size.toLong,
-      d.getLong(0), d.getLong(1), d.getLong(2)))
+      d.getLong(0), d.getLong(1), d.getLong(2), nPurged))
       .toDF("applied_batches", "tags", "version_rows", "open_versions",
-        "keys")
+        "keys", "purged_keys")
   }
 
   // ---- internals ----------------------------------------------------
@@ -262,6 +319,13 @@ object HistoryStore {
       .mkString.take(8)
     s"b_${h}_${batchId}_g0"
   }
+
+  /** The purged-key list, if any purge has been recorded. */
+  private def purged(spark: SparkSession,
+      path: String): Option[DataFrame] =
+    if (IndexStores.hasStore(spark, s"$path/purged"))
+      Some(IndexStores.readStore(spark, s"$path/purged"))
+    else None
 
   private def emptyClosures(spark: SparkSession, dim: DataFrame,
       key: String): DataFrame =
@@ -323,7 +387,7 @@ object HistoryStore {
       .withColumnRenamed("valid_to", "__closed_to")
     val fron = readAll("frontier", fronSchema).drop("bkp")
       .groupBy(m.key).agg(max("last_changed").as("last_changed"))
-    data.join(clos, Seq(m.key, "version"), "left")
+    val full = data.join(clos, Seq(m.key, "version"), "left")
       .withColumn("valid_to",
         coalesce(col("__closed_to"), col("valid_to")))
       .withColumn("is_current", col("valid_to").isNull)
@@ -332,6 +396,10 @@ object HistoryStore {
       .select((col(m.key) +: col("version") +: m.stateCols.map(col) :+
         col("valid_from") :+ col("valid_to") :+ col("is_current") :+
         col("last_changed")): _*)
+    // purged keys are logically erased on EVERY read path (bounded
+    // list, broadcast anti-join); compact makes it physical
+    purged(spark, path).fold(full)(p =>
+      full.join(broadcast(p), Seq(m.key), "left_anti"))
   }
 
   /** Write one batch's delta under its tag — idempotent (overwrite),

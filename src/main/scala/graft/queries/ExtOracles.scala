@@ -1977,6 +1977,12 @@ object ExtOracles {
     // one-shot construction
     "scd2_store_history" -> scd2HistorySql,
 
+    // right-to-be-forgotten THROUGH the store: purge(user_id % 7 = 3)
+    // then compact — the served frame must equal the direct build
+    // over a world where those keys never existed; the oracle is the
+    // scd2 replay with exactly that restriction
+    "scd2_purge_history" -> scd2PurgeHistorySql,
+
     // the store-served materialized rollup must equal the one-shot
     // GROUP BY over the raw fact table: decimal(38,4) measures are
     // exact fixed-point, so the incremental write+extend merge is
@@ -2208,6 +2214,18 @@ object ExtOracles {
     * gate and the HistoryStore-served gate.
     */
   private lazy val scd2HistorySql =
+    scd2HistoryBodySql + "\nORDER BY user_id, version"
+
+  /** [[scd2HistorySql]] restricted to the keys a purge LEFT BEHIND —
+    * the store-purge gate's oracle (the erased keys simply never
+    * existed, which is exactly what right-to-be-forgotten promises).
+    */
+  private lazy val scd2PurgeHistorySql =
+    s"""SELECT * FROM ($scd2HistoryBodySql)
+       |WHERE user_id % 7 <> 3
+       |ORDER BY user_id, version""".stripMargin
+
+  private lazy val scd2HistoryBodySql =
     """WITH ev AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
       |         event_type
@@ -2229,8 +2247,7 @@ object ExtOracles {
       |       (lead(valid_from) OVER w) IS NULL AS is_current,
       |       last_changed
       |FROM starts
-      |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
-      |ORDER BY user_id, version""".stripMargin
+      |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)""".stripMargin
 
   private lazy val cmsSql =
     s"""WITH $tokCte2

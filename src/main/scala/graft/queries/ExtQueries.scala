@@ -2150,6 +2150,40 @@ object ExtQueries {
       historyStorePath(spark, dir))
       .orderBy("user_id", "version")
 
+  private val purgeStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+
+  /** Right-to-be-forgotten THROUGH the persisted SCD2 store
+    * ([[graft.operators.HistoryStore.purge]]): build the dimension
+    * incrementally, purge every `user_id % 7 = 3` key, compact (the
+    * physical-erasure rewrite), serve. Hash-green against the direct
+    * scd2 replay restricted to the surviving keys proves the purged
+    * keys are gone from every read path — the erased world is
+    * indistinguishable from one where they never existed.
+    */
+  def scd2PurgeHistory(spark: SparkSession, dir: String): DataFrame = {
+    val root = purgeStoreCache.get(spark, dir) {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-purge-store").toString
+      val ch = Tables.events(spark, dir)
+        .filter(col("event_type") =!= "purchase")
+      val cutoff = to_timestamp(lit(scd2CutoffTs))
+      graft.operators.HistoryStore.write(
+        ch.filter(col("ts") <= cutoff), s"$r/dim", "user_id", "ts",
+        Seq("event_type"), Seq("event_id"))
+      graft.operators.HistoryStore.extend(
+        ch.filter(col("ts") > cutoff), s"$r/dim", batchId = 1L,
+        "user_id", "ts", Seq("event_type"), Seq("event_id"))
+      graft.operators.HistoryStore.purge(spark, s"$r/dim",
+        ch.select(col("user_id")).filter(col("user_id") % 7 === 3)
+          .distinct())
+      graft.operators.HistoryStore.compact(spark, s"$r/dim")
+      r
+    }
+    graft.operators.HistoryStore.serve(spark, s"$root/dim")
+      .orderBy("user_id", "version")
+  }
+
   /** Point-in-time join against the SCD2 dimension
     * ([[graft.operators.HistoryOps.pointInTime]]): every purchase
     * event picks up the user's state version valid AT its timestamp —

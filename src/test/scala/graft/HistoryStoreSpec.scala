@@ -185,6 +185,75 @@ class HistoryStoreSpec extends SparkSpec {
         "healed store, not rebootstrap")
   }
 
+  test("purge: logically immediate, frozen until compact, physically " +
+    "erased by the compaction cycle, then the key may restart") {
+    val path = tmpDir("hs-purge") + "/dim"
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
+    HistoryStore.extend(late, path, 1L, "k", "ts", Seq("state"),
+      Seq("id"))
+    // logical erasure is immediate on every read path
+    HistoryStore.purge(spark, path, Seq(5L, 10L).toDF("uid"))
+    assert(asSet(HistoryStore.serve(spark, path)) ===
+      asSet(rebuild.filter(!col("k").isin(5L, 10L))))
+    val st = HistoryStore.stats(spark, path).head
+    assert(st.getAs[Long]("purged_keys") === 2L)
+    assert(st.getAs[Long]("keys") === 38L)
+    // purged keys are frozen: folding new versions in would interleave
+    // them with to-be-erased history
+    val forKey5 = Seq((5L, t(99), 901L, "zz")).toDF("k", "ts", "id",
+      "state")
+    val e = intercept[IllegalArgumentException] {
+      HistoryStore.extend(forKey5, path, 2L, "k", "ts", Seq("state"),
+        Seq("id"))
+    }
+    assert(e.getMessage.contains("purged key"))
+    // other keys keep folding normally under an active purge list
+    val forKey7 = Seq((7L, t(99), 902L, "zz")).toDF("k", "ts", "id",
+      "state")
+    HistoryStore.extend(forKey7, path, 3L, "k", "ts", Seq("state"),
+      Seq("id"))
+    val expect = HistoryOps.scd2(
+      early.unionByName(late).unionByName(forKey7), "k", "ts",
+      Seq("state"), Seq("id")).filter(!col("k").isin(5L, 10L))
+    assert(asSet(HistoryStore.serve(spark, path)) === asSet(expect))
+    // compact rewrites without the purged rows and lifts the freeze
+    HistoryStore.compact(spark, path)
+    assert(asSet(HistoryStore.serve(spark, path)) === asSet(expect))
+    assert(HistoryStore.stats(spark, path).head
+      .getAs[Long]("purged_keys") === 0L)
+    HistoryStore.extend(forKey5, path, 4L, "k", "ts", Seq("state"),
+      Seq("id"))
+    val served5 = HistoryStore.serve(spark, path).filter(col("k") === 5L)
+    assert(served5.count() === 1L, "a purged key restarts fresh")
+    assert(served5.head.getAs[Int]("version") === 1)
+    // physical erasure: after the second compact's GC, no on-disk
+    // parquet anywhere under the store carries the pre-purge rows
+    HistoryStore.compact(spark, path)
+    val raw = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory)
+      .map(d => spark.read.parquet(d.getAbsolutePath)
+        .select("k", "valid_from"))
+      .reduce(_ unionByName _)
+      .filter(col("k") === 5L)
+    assert(raw.count() > 0 &&
+      raw.filter(col("valid_from") =!= t(99)).count() === 0L,
+      "pre-purge bytes must be gone from every live and grace dir — " +
+        "only the restarted version may remain on disk")
+  }
+
+  test("a null purge key rejects loudly") {
+    val path = tmpDir("hs-purge-null") + "/dim"
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
+    val e = intercept[Exception] {
+      HistoryStore.purge(spark, path,
+        Seq(Option(3L), Option.empty[Long]).toDF("uid"))
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(x => Option(x.getMessage)).mkString(" | ")
+    assert(messages.contains("null purge key"), messages.take(400))
+  }
+
   test("a null dimension key rejects loudly at first contact") {
     // every reconstruction/delta join is a null-rejecting equi-join —
     // a null key would silently vanish from serves and duplicate on
