@@ -130,16 +130,18 @@ object HistoryStore {
       val bkps = touched
         .select(bkpCol(col(m.key), m.nBuckets).as("bkp"))
         .distinct().collect().map(_.getString(0)).toSeq
-      // purged keys are frozen until a compact physically drops their
-      // history — folding new versions in would interleave them with
-      // to-be-erased ones
-      purged(spark, path).foreach { p =>
-        val frozen = touched.join(broadcast(p), Seq(m.key), "left_semi")
+      // purged keys are frozen until the compaction cycle physically
+      // drops their history — folding new versions in would interleave
+      // them with to-be-erased ones
+      purgedLocal(spark, path).foreach { p =>
+        val frozen = touched
+          .join(broadcast(p.select(m.key)), Seq(m.key), "left_semi")
           .limit(1).collect()
         require(frozen.isEmpty,
           s"history store at $path: batch touches purged key " +
             s"${frozen.headOption.map(_.get(0)).orNull} — purged keys " +
-            "are frozen until compact() physically erases them")
+            "are frozen until the compaction cycle physically erases " +
+            "them")
       }
       val storedTouched = serveBuckets(spark, path, m, Some(bkps))
         .join(touched, Seq(m.key), "left_semi")
@@ -185,37 +187,54 @@ object HistoryStore {
   }
 
   /** Right-to-be-forgotten: erase EVERY version of the given keys.
-    * Takes a one-column frame of keys (any column name; null keys
-    * reject loudly — the anti-join below is null-rejecting, so a null
-    * would be a silent no-op instead of an erasure).
+    * Takes a one-column frame of keys (any column name). Null keys
+    * reject loudly (the anti-join is null-rejecting — a null would be
+    * a silent non-erasure), and so does a key that does not cast
+    * cleanly to the dimension key's type (a string purge list against
+    * a bigint dimension would otherwise record the key as purged
+    * while its rows keep serving through a lossy join coercion).
     *
     * Erasure on append-only storage is two-phase, the
-    * lakehouse-format shape: LOGICALLY immediate — the purged-key
-    * list is swapped in atomically and every [[serve]] anti-joins it
-    * (bounded list, broadcast) — and PHYSICALLY completed by the
-    * compaction cycle: the next [[compact]] rewrites the dimension
-    * without the purged rows and the one after GCs the superseded tag
-    * dirs still carrying the bytes. A purged key is FROZEN — an
-    * [[extend]] batch touching it rejects loudly — until a compact
-    * has physically dropped its history, after which the key may
-    * restart a fresh history; freezing prevents new versions silently
-    * interleaving with to-be-erased ones.
+    * lakehouse-format shape: LOGICALLY immediate — the purge list
+    * swaps in atomically and every [[serve]] anti-joins it (bounded
+    * list, read eagerly so no lazy plan holds its files) — and
+    * PHYSICALLY completed by the compaction cycle: the next
+    * [[compact]] rewrites the dimension without the purged rows
+    * (stamping the entry's `erased_gen`), and the one after GCs the
+    * superseded tag dirs still carrying the bytes and drops the
+    * entry. A purged key is FROZEN — an [[extend]] batch touching it
+    * rejects loudly — until its entry drops, i.e. until NO byte of
+    * its history remains on disk; after that the key may restart a
+    * fresh history. Freezing prevents new versions silently
+    * interleaving with to-be-erased ones; run purge/compact under the
+    * store's single-quiesced-producer contract (an at-least-once
+    * replay of a batch that was in flight across the whole erasure
+    * cycle could re-fold pre-purge rows as a fresh history).
     */
   def purge(spark: SparkSession, path: String, keys: DataFrame): Unit = {
     IndexStores.healRoot(spark, path)
     val m = metaOf(spark, path)
+    val kt = dataSchemaOf(spark, path)(m.key).dataType
+    val src = col(keys.columns.head)
     val incoming = keys.select(
-      when(col(keys.columns.head).isNull, raise_error(lit(
+      when(src.isNull, raise_error(lit(
         "history store: null purge key — the purge anti-join is " +
           "null-rejecting, a null key cannot be erased this way")))
-        .otherwise(col(keys.columns.head)).as(m.key)).distinct()
-    // the staging write fully materialises the merge (reading the
-    // CURRENT purged list) before the swap replaces it — no TOCTOU
-    val merged = purged(spark, path)
-      .fold(incoming)(p => incoming.unionByName(p).distinct())
-    val staging = IndexStores.stagingFor(spark, s"$path/purged")
-    merged.coalesce(1).write.mode("overwrite").parquet(staging)
-    IndexStores.swapInto(spark, s"$path/purged", staging)
+        .when(src.try_cast(kt).isNull, raise_error(concat(
+          lit("history store: purge key "), src.cast("string"),
+          lit(s" does not cast to the dimension key type " +
+            s"${kt.simpleString} — a lossy key would be recorded as " +
+            "purged while its rows keep serving"))))
+        .otherwise(src.cast(kt)).as(m.key))
+      .distinct()
+      .withColumn("erased_gen", lit(null).cast("long"))
+    // incoming wins over an existing entry: a key that restarted after
+    // a completed erasure and is purged AGAIN must have its new
+    // history erased from scratch (erased_gen back to pending)
+    val merged = purgedLocal(spark, path)
+      .fold(incoming)(p => p.join(incoming, Seq(m.key), "left_anti")
+        .unionByName(incoming))
+    writePurged(spark, path, merged)
   }
 
   /** Fold every ledgered tag into one (read-amplification dial): the
@@ -251,6 +270,11 @@ object HistoryStore {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     try {
+      // snapshot the purge list BEFORE the rewrite reads it: only
+      // entries this rewrite provably excluded may advance below (a
+      // purge landing mid-compact stays pending — erased next cycle)
+      val p1Keys = purgedLocal(spark, path)
+        .map(_.collect().map(_.get(0)).toSet).getOrElse(Set.empty[Any])
       val dim = serveBuckets(spark, path, m, None).localCheckpoint(true)
       writeDelta(spark, path, tag,
         data = dim.drop("last_changed", "is_current"),
@@ -263,22 +287,39 @@ object HistoryStore {
       commitLedger(spark, path, applied.map(r => (r._1, r._2, tag)))
       // superseded tag dirs stay on disk for the grace window; the
       // NEXT compact's opening GC removes them (see scaladoc)
-      // the rewrite above excluded purged keys, so the purge list has
-      // served its purpose: clear it, lifting the re-insert freeze (a
-      // crash before this delete is harmless — the list stays, the
-      // anti-join is a no-op, the next compact clears it)
-      locally {
-        val fs = new Path(path).getFileSystem(
-          spark.sessionState.newHadoopConf())
-        val p = new Path(s"$path/purged")
-        if (fs.exists(p)) fs.delete(p, true)
+      //
+      // physical-erasure accounting, compare-and-swap on the CURRENT
+      // list (a purge may have landed during the rewrite): a pending
+      // entry this rewrite excluded is stamped erased_gen = gen (its
+      // only remaining bytes are in superseded dirs); an entry
+      // stamped by an EARLIER compact had those dirs GC'd by THIS
+      // compact's opening sweep — no byte remains, drop it, lifting
+      // the key's freeze; an entry added mid-window stays pending
+      purgedLocal(spark, path).foreach { pdf =>
+        val cur = pdf.collect()
+        val next = cur.flatMap { r =>
+          val k = r.get(0)
+          val pending = r.isNullAt(1)
+          if (!p1Keys.contains(k)) Some((k, null: Any))
+          else if (pending) Some((k, Long.box(gen)))
+          else None
+        }
+        if (next.isEmpty) clearPurged(spark, path)
+        else {
+          val rows = java.util.Arrays.asList(next.map { case (k, g) =>
+            org.apache.spark.sql.Row(k, g)
+          }: _*)
+          writePurged(spark, path,
+            spark.createDataFrame(rows, pdf.schema))
+        }
       }
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
   /** One-row monitoring surface: applied batches, tag count (read
     * fragmentation — the compaction dial), stored version rows, open
-    * versions, distinct keys.
+    * versions, distinct keys, and outstanding purge entries (keys
+    * whose erasure cycle — and freeze — has not completed).
     */
   def stats(spark: SparkSession, path: String): DataFrame = {
     IndexStores.healRoot(spark, path)
@@ -287,7 +328,7 @@ object HistoryStore {
     val d = serveBuckets(spark, path, m, None).agg(
       count(lit(1)), count(when(col("is_current"), 1)),
       countDistinct(col(m.key))).head
-    val nPurged = purged(spark, path).map(_.count()).getOrElse(0L)
+    val nPurged = purgedLocal(spark, path).map(_.count()).getOrElse(0L)
     import spark.implicits._
     Seq((applied.size.toLong, applied.map(_._3).distinct.size.toLong,
       d.getLong(0), d.getLong(1), d.getLong(2), nPurged))
@@ -320,12 +361,65 @@ object HistoryStore {
     s"b_${h}_${batchId}_g0"
   }
 
-  /** The purged-key list, if any purge has been recorded. */
-  private def purged(spark: SparkSession,
+  private def storeFs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def hasFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean =
+    Seq("*/*.parquet", "*.parquet").exists(g =>
+      Option(fs.globStatus(new Path(dir, g))).exists(_.nonEmpty))
+
+  /** The stored data schema (the schema authority for every derived
+    * frame and for purge-key type validation).
+    */
+  private def dataSchemaOf(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val tags = ledger(spark, path).map(_._3).distinct
+    val fs = storeFs(spark, path)
+    tags.collectFirst {
+      case t if hasFiles(fs, s"$path/data/$t") =>
+        spark.read.parquet(s"$path/data/$t").schema
+    }.getOrElse(throw new IllegalStateException(
+      s"history store at $path has no data files in any ledgered tag"))
+  }
+
+  /** The purge list `(key, erased_gen)`, collected and re-created as a
+    * LOCAL frame — the list is bounded by contract, and an eager read
+    * means no serve plan holds lazy file references into
+    * `$path/purged` that a later compact's rewrite could break (or,
+    * under `ignoreMissingFiles`, silently turn into a no-op anti-join
+    * that serves to-be-erased rows).
+    */
+  private def purgedLocal(spark: SparkSession,
       path: String): Option[DataFrame] =
-    if (IndexStores.hasStore(spark, s"$path/purged"))
-      Some(IndexStores.readStore(spark, s"$path/purged"))
-    else None
+    if (!IndexStores.hasStore(spark, s"$path/purged")) None
+    else {
+      val p = IndexStores.readStore(spark, s"$path/purged")
+      val rows = java.util.Arrays.asList(p.collect(): _*)
+      Some(spark.createDataFrame(rows, p.schema))
+    }
+
+  /** Atomically replace the purge list (staged write + swap). */
+  private def writePurged(spark: SparkSession, path: String,
+      list: DataFrame): Unit = {
+    val staging = IndexStores.stagingFor(spark, s"$path/purged")
+    list.coalesce(1).write.mode("overwrite").parquet(staging)
+    IndexStores.swapInto(spark, s"$path/purged", staging)
+  }
+
+  /** Remove the purge list AND its `.__old_` swap-window siblings —
+    * a bare delete of the live dir would let a later
+    * [[ParquetTable.exists]] heal resurrect a stale list, re-hiding
+    * and re-freezing keys whose erasure already completed.
+    */
+  private def clearPurged(spark: SparkSession, path: String): Unit = {
+    val fs = storeFs(spark, path)
+    val live = new Path(s"$path/purged")
+    if (fs.exists(live)) fs.delete(live, true)
+    for (d <- Option(fs.globStatus(new Path(s"$path/purged.__old_*")))
+        .getOrElse(Array.empty))
+      fs.delete(d.getPath, true)
+  }
 
   private def emptyClosures(spark: SparkSession, dim: DataFrame,
       key: String): DataFrame =
@@ -346,11 +440,7 @@ object HistoryStore {
       bkps: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val tags = ledger(spark, path).map(_._3).distinct
-    val fs = new Path(path).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    def hasFiles(dir: String): Boolean =
-      Seq("*/*.parquet", "*.parquet").exists(g =>
-        Option(fs.globStatus(new Path(dir, g))).exists(_.nonEmpty))
+    val fs = storeFs(spark, path)
     // an EMPTY prune list (empty batch) short-circuits to empty frames
     // outright — isin() of zero values must never widen to a scan, and
     // even the per-tag dir listings are skipped (IndexStores
@@ -360,7 +450,7 @@ object HistoryStore {
       tags.map { t =>
         val dir = s"$path/$store/$t"
         val df =
-          if (!pruneEmpty && hasFiles(dir)) spark.read.parquet(dir)
+          if (!pruneEmpty && hasFiles(fs, dir)) spark.read.parquet(dir)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schema)
@@ -369,11 +459,7 @@ object HistoryStore {
       }.reduce(_ unionByName _)
     // the base tag's data is the schema authority; closure/frontier
     // schemas are projections of it
-    val dataSchema = StructType(tags.collectFirst {
-      case t if hasFiles(s"$path/data/$t") =>
-        spark.read.parquet(s"$path/data/$t").schema
-    }.getOrElse(throw new IllegalStateException(
-      s"history store at $path has no data files in any ledgered tag")))
+    val dataSchema = dataSchemaOf(spark, path)
     def proj(names: Seq[String]) =
       StructType(names.map(n => dataSchema(dataSchema.fieldIndex(n))))
     val fronSchema = StructType(
@@ -397,9 +483,10 @@ object HistoryStore {
         col("valid_from") :+ col("valid_to") :+ col("is_current") :+
         col("last_changed")): _*)
     // purged keys are logically erased on EVERY read path (bounded
-    // list, broadcast anti-join); compact makes it physical
-    purged(spark, path).fold(full)(p =>
-      full.join(broadcast(p), Seq(m.key), "left_anti"))
+    // LOCAL list — no lazy file refs — broadcast anti-join); compact
+    // makes it physical
+    purgedLocal(spark, path).fold(full)(p =>
+      full.join(broadcast(p.select(m.key)), Seq(m.key), "left_anti"))
   }
 
   /** Write one batch's delta under its tag — idempotent (overwrite),

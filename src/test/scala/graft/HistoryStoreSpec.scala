@@ -216,29 +216,45 @@ class HistoryStoreSpec extends SparkSpec {
       early.unionByName(late).unionByName(forKey7), "k", "ts",
       Seq("state"), Seq("id")).filter(!col("k").isin(5L, 10L))
     assert(asSet(HistoryStore.serve(spark, path)) === asSet(expect))
-    // compact rewrites without the purged rows and lifts the freeze
+    // compact #1 rewrites without the purged rows, but the entries
+    // stay (stamped): bytes still sit in the superseded grace dirs,
+    // so the freeze holds
     HistoryStore.compact(spark, path)
     assert(asSet(HistoryStore.serve(spark, path)) === asSet(expect))
     assert(HistoryStore.stats(spark, path).head
+      .getAs[Long]("purged_keys") === 2L,
+      "entries must survive the first compact — their bytes are " +
+        "still in the grace dirs")
+    intercept[IllegalArgumentException] {
+      HistoryStore.extend(forKey5, path, 4L, "k", "ts", Seq("state"),
+        Seq("id"))
+    }
+    // compact #2's opening GC drops the last bytes; entries drop,
+    // freeze lifts
+    HistoryStore.compact(spark, path)
+    assert(HistoryStore.stats(spark, path).head
       .getAs[Long]("purged_keys") === 0L)
-    HistoryStore.extend(forKey5, path, 4L, "k", "ts", Seq("state"),
+    // physical erasure across EVERY store (data, closures, frontier),
+    // live and grace dirs alike: no parquet anywhere carries the key
+    def hasParquet(d: java.io.File): Boolean =
+      d.listFiles().exists(f =>
+        (f.isFile && f.getName.endsWith(".parquet")) ||
+          (f.isDirectory && hasParquet(f)))
+    def rawKeyRows(): Long = Seq("data", "closures", "frontier")
+      .flatMap(s => new java.io.File(s"$path/$s").listFiles()
+        .filter(d => d.isDirectory && hasParquet(d)).map(d =>
+          spark.read.parquet(d.getAbsolutePath).select("k")))
+      .reduce(_ unionByName _)
+      .filter(col("k").isin(5L, 10L)).count()
+    assert(rawKeyRows() === 0L,
+      "no byte of the purged keys' history may remain on disk after " +
+        "the erasure cycle completes")
+    // the key may now restart a fresh history
+    HistoryStore.extend(forKey5, path, 5L, "k", "ts", Seq("state"),
       Seq("id"))
     val served5 = HistoryStore.serve(spark, path).filter(col("k") === 5L)
     assert(served5.count() === 1L, "a purged key restarts fresh")
     assert(served5.head.getAs[Int]("version") === 1)
-    // physical erasure: after the second compact's GC, no on-disk
-    // parquet anywhere under the store carries the pre-purge rows
-    HistoryStore.compact(spark, path)
-    val raw = new java.io.File(s"$path/data").listFiles()
-      .filter(_.isDirectory)
-      .map(d => spark.read.parquet(d.getAbsolutePath)
-        .select("k", "valid_from"))
-      .reduce(_ unionByName _)
-      .filter(col("k") === 5L)
-    assert(raw.count() > 0 &&
-      raw.filter(col("valid_from") =!= t(99)).count() === 0L,
-      "pre-purge bytes must be gone from every live and grace dir — " +
-        "only the restarted version may remain on disk")
   }
 
   test("a null purge key rejects loudly") {
@@ -252,6 +268,15 @@ class HistoryStoreSpec extends SparkSpec {
       .takeWhile(_ != null).take(8)
       .flatMap(x => Option(x.getMessage)).mkString(" | ")
     assert(messages.contains("null purge key"), messages.take(400))
+    // a key that does not cast cleanly to the dimension key type is a
+    // silent non-erasure (lossy join coercion) — reject loudly too
+    val e2 = intercept[Exception] {
+      HistoryStore.purge(spark, path, Seq("not-a-number").toDF("uid"))
+    }
+    val m2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(x => Option(x.getMessage)).mkString(" | ")
+    assert(m2.contains("does not cast"), m2.take(400))
   }
 
   test("a null dimension key rejects loudly at first contact") {
