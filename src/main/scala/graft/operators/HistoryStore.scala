@@ -72,7 +72,7 @@ object HistoryStore {
     try {
       val dim = HistoryOps.scd2(changes, m.key, m.orderCol,
         m.stateCols, m.tieCols).localCheckpoint(true)
-      val tag = tagFor(pairs.head._1, pairs.head._2)
+      val tag = IndexStores.tagFor(pairs.head._1, pairs.head._2)
       writeMeta(spark, path, m)
       writeDelta(spark, path, tag,
         data = dim.drop("last_changed", "is_current"),
@@ -166,7 +166,7 @@ object HistoryStore {
           col("r.valid_to"))
       val frontier = replayed.groupBy(m.key)
         .agg(max("last_changed").as("last_changed"))
-      val tag = tagFor(producer, batchId)
+      val tag = IndexStores.tagFor(producer, batchId)
       writeDelta(spark, path, tag, newRows, closures, frontier, m)
       // single-writer tripwire just before the commit point
       require(ledger(spark, path) == applied,
@@ -254,18 +254,9 @@ object HistoryStore {
     val applied = ledger(spark, path)
     // GC dirs no CURRENT ledger tag references (previous compact's
     // supersedees + any crashed compact's uncommitted tag)
-    locally {
-      val live = applied.map(_._3).toSet
-      val fs = new Path(path).getFileSystem(
-        spark.sessionState.newHadoopConf())
-      for (store <- Seq("data", "closures", "frontier");
-           d <- Option(fs.globStatus(new Path(s"$path/$store/*")))
-             .getOrElse(Array.empty)
-           if !live.contains(d.getPath.getName))
-        fs.delete(d.getPath, true)
-    }
-    val gen = applied.map(_._3).map(t =>
-      t.substring(t.lastIndexOf('g') + 1).toLong).max + 1L
+    IndexStores.gcUnreferencedTags(spark, path,
+      Seq("data", "closures", "frontier"), applied.map(_._3).toSet)
+    val gen = IndexStores.compactGen(applied)
     val tag = s"c_g$gen"
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
@@ -353,13 +344,6 @@ object HistoryStore {
       .otherwise(concat(lit("p"),
         pmod(xxhash64(key.cast("string")), lit(nBuckets))
           .cast("string")))
-
-  private def tagFor(producer: String, batchId: Long): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(producer.getBytes("UTF-8")).map("%02x".format(_))
-      .mkString.take(8)
-    s"b_${h}_${batchId}_g0"
-  }
 
   private def storeFs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -528,20 +512,9 @@ object HistoryStore {
 
   private def ledger(spark: SparkSession,
       path: String): Seq[(String, Long, String)] =
-    if (!IndexStores.hasStore(spark, s"$path/batches")) Seq.empty
-    else IndexStores.readStore(spark, s"$path/batches").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
-      .toSeq.sortBy(r => (r._1, r._2))
+    IndexStores.tagLedger(spark, path)
 
-  /** The single commit point: stage the full applied list and swap it
-    * in atomically.
-    */
   private def commitLedger(spark: SparkSession, path: String,
-      applied: Seq[(String, Long, String)]): Unit = {
-    import spark.implicits._
-    val staging = IndexStores.stagingFor(spark, s"$path/batches")
-    applied.toDF("producer", "batch_id", "tag").coalesce(1)
-      .write.mode("overwrite").parquet(staging)
-    IndexStores.swapInto(spark, s"$path/batches", staging)
-  }
+      applied: Seq[(String, Long, String)]): Unit =
+    IndexStores.commitTagLedger(spark, path, applied)
 }

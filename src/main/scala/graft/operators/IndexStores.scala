@@ -181,6 +181,69 @@ private[operators] object IndexStores {
       "tombstoned_ids")
   }
 
+  // ---- tag-ledger machinery (shared by the delta-tag stores:
+  // HistoryStore, RollupStore) --------------------------------------
+
+  /** The per-batch tag a delta-tag store writes its delta under:
+    * producer-scoped (md5 prefix — a bare foreachBatch id is monotonic
+    * only per checkpoint, so two streams' batch 0 would collide), with
+    * a `_g0` generation suffix [[compactGen]] parses past (md5 hex
+    * contains no 'g').
+    */
+  def tagFor(producer: String, batchId: Long): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(producer.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    s"b_${h}_${batchId}_g0"
+  }
+
+  /** The applied-batch ledger `(producer, batch_id, tag)` — the
+    * delta-tag stores' single commit point. Empty if never committed.
+    */
+  def tagLedger(spark: SparkSession,
+      path: String): Seq[(String, Long, String)] =
+    if (!hasStore(spark, s"$path/batches")) Seq.empty
+    else readStore(spark, s"$path/batches").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(r => (r._1, r._2))
+
+  /** Commit the full applied list atomically (staged write + swap) —
+    * THE commit point: deltas staged under their tags are invisible
+    * until their pair lands here.
+    */
+  def commitTagLedger(spark: SparkSession, path: String,
+      applied: Seq[(String, Long, String)]): Unit = {
+    import spark.implicits._
+    val staging = stagingFor(spark, s"$path/batches")
+    applied.toDF("producer", "batch_id", "tag").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    swapInto(spark, s"$path/batches", staging)
+  }
+
+  /** The next compaction generation: max over every ledgered tag's
+    * `g<N>` suffix, plus one.
+    */
+  def compactGen(applied: Seq[(String, Long, String)]): Long =
+    applied.map(_._3).map(t =>
+      t.substring(t.lastIndexOf('g') + 1).toLong).max + 1L
+
+  /** Delete every tag directory under `stores` that no CURRENT ledger
+    * tag references — the delta-tag stores' grace-window GC: the
+    * compact that supersedes a tag leaves it on disk (a reader's lazy
+    * plan still resolves its files), and the NEXT compact's opening
+    * sweep collects it, along with any crashed compact's uncommitted
+    * tag.
+    */
+  def gcUnreferencedTags(spark: SparkSession, path: String,
+      stores: Seq[String], live: Set[String]): Unit = {
+    val f = fs(spark, path)
+    for (store <- stores;
+         d <- Option(f.globStatus(new Path(s"$path/$store/*")))
+           .getOrElse(Array.empty)
+         if !live.contains(d.getPath.getName))
+      f.delete(d.getPath, true)
+  }
+
   /** The pruned presence probe both indexes' incremental appends share:
     * the store rows (all columns) whose `idCol` appears in the
     * (bounded, broadcast) batch, read only from the partitions named in

@@ -6,30 +6,40 @@ import org.apache.spark.sql.functions._
 /** Persisted EXACT materialized rollup — the incremental-view answer
   * to "never re-aggregate the fact table": per-key mergeable measures
   * (`cnt`, `sum`, `min`, `max`) stored at a fine grain and maintained
-  * by DELTA, so a 100 TB fact history is scanned once ever and each
-  * new batch costs one partial aggregation of the batch plus a merge
-  * against rows-per-key state — never a recompute. Eighth persisted
-  * family, completing the aggregation spectrum the sketch stores
-  * bound from the approximate side ([[SketchStore]] distinct,
+  * by DELTA, so a 100 TB fact history is scanned once ever. Eighth
+  * persisted family, completing the aggregation spectrum the sketch
+  * stores bound from the approximate side ([[SketchStore]] distinct,
   * [[FrequencyStore]] frequency): this one is exact, because the
   * measures form a commutative monoid and merging partial aggregates
   * IS the aggregation (Spark's own map-side-combine algebra, made
   * durable).
   *
-  * Serving is where the store earns its keep: the stored grain
-  * answers its own GROUP BY as a bounded read, and — because every
-  * measure is mergeable — any COARSER grouping re-aggregates from
-  * stored rows-per-key rows instead of fact rows ([[rollup]]): the
-  * classic materialized-view rewrite, done explicitly.
+  * Storage is LSM-shaped (the [[HistoryStore]] tag-ledger machinery,
+  * shared via [[IndexStores]]): each batch's partial aggregate lands
+  * under its own tag directory, so [[extend]] costs ONE partial
+  * aggregation of the batch — O(batch), the store grain is never
+  * read, never rewritten. [[serve]] merges the tags on read (one
+  * map-side-combinable groupBy over stored partials — still never the
+  * fact rows); [[compact]] folds the tags back to one, after which
+  * serve is a plain bounded read again. At 100 TB grain (billions of
+  * stored keys) this is the difference between a micro-batch costing
+  * its own size and a micro-batch rewriting the whole materialized
+  * view.
   *
-  * Crash posture = [[FrequencyStore]]'s (merge is ADDITIVE, so replay
-  * double-counts): exactly-once per (producer, batchId) via the
-  * applied-batch ledger, with data + meta + ledger published in ONE
-  * staged atomic swap ([[IndexStores.swapInto]]) — a crash anywhere
-  * leaves the previous generation with the batch absent from the
-  * ledger, and the replay applies it exactly once. Single quiesced
-  * producer by contract; a generation tripwire rejects a detected
-  * concurrent writer loudly.
+  * Serving is where the store earns its keep: the stored grain
+  * answers its own GROUP BY from stored partials, and — because every
+  * measure is mergeable — any COARSER grouping re-aggregates from
+  * rows-per-key rows instead of fact rows ([[rollup]]): the classic
+  * materialized-view rewrite, done explicitly.
+  *
+  * Crash posture: deltas are written idempotently under their tag and
+  * stay INVISIBLE until the applied-batch ledger — the single commit
+  * point — swaps in atomically. Exactly-once per (producer, batchId)
+  * (merge is ADDITIVE, so replay would double-count); single quiesced
+  * producer by contract with a ledger-unchanged tripwire; compaction
+  * preserves the ledger pairs so replay stays a no-op across
+  * compactions, and superseded tags get one grace cycle before the
+  * next compact's opening GC collects them.
   */
 object RollupStore {
 
@@ -47,8 +57,8 @@ object RollupStore {
       min(col(valueCol).cast("decimal(38,4)")).as("min_val"),
       max(col(valueCol).cast("decimal(38,4)")).as("max_val"))
 
-  /** Merge two frames of per-key partial aggregates: the monoid ops,
-    * one exchange on the key. `sum` of DECIMAL(38,4) re-aggregates at
+  /** Merge frames of per-key partial aggregates: the monoid ops, one
+    * exchange on the key. `sum` of DECIMAL(38,4) re-aggregates at
     * DECIMAL(38,4) (Spark widens sum-of-decimal precision only up to
     * 38, already there), so merge is closed over the stored schema.
     */
@@ -61,30 +71,46 @@ object RollupStore {
         min("min_val").as("min_val"),
         max("max_val").as("max_val"))
 
-  /** Build the store: aggregate `df` to the declared grain and publish
-    * generation 1.
+  /** Build the store: aggregate `df` to the declared grain and commit
+    * it as the base tag.
     */
   def write(df: DataFrame, path: String, keyCols: Seq[String],
       valueCol: String): Unit =
-    publish(df.sparkSession, path,
-      partial(df, keyCols, valueCol), keyCols, valueCol,
-      batches = Seq.empty, generation = 1L)
+    writeBase(df, path, keyCols, valueCol, Seq(("base", 0L)))
 
-  /** Merge a batch into the store, exactly once per (producer,
-    * batchId). Cost: one partial aggregation of the BATCH + one merge
-    * against stored rows-per-key rows — the fact history is never
-    * re-read. A ledger hit is a crash-replay and returns untouched; an
-    * absent store bootstraps at the declared grain; a grain mismatch
-    * rejects loudly (rollups of different keys share no algebra).
+  /** Shared base-build — ONE ledger commit whatever the caller, so a
+    * crash before it leaves no ledger and the replay (of [[write]] or
+    * a bootstrap [[extend]]) rebuilds the same tag idempotently.
+    */
+  private def writeBase(df: DataFrame, path: String,
+      keyCols: Seq[String], valueCol: String,
+      pairs: Seq[(String, Long)]): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tag = IndexStores.tagFor(pairs.head._1, pairs.head._2)
+    Seq((keyCols.mkString(","), valueCol))
+      .toDF("key_cols", "value_col").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    partial(df, keyCols, valueCol).write.mode("overwrite")
+      .parquet(s"$path/data/$tag")
+    IndexStores.commitTagLedger(spark, path,
+      pairs.map(p => (p._1, p._2, tag)))
+  }
+
+  /** Fold a batch in, exactly once per (producer, batchId): ONE
+    * partial aggregation of the BATCH written under its own tag —
+    * O(batch); the stored grain is neither read nor rewritten. A
+    * ledger hit is a crash-replay and returns untouched; an absent
+    * store bootstraps at the declared grain; a grain mismatch rejects
+    * loudly (rollups of different keys share no algebra).
     */
   def extend(df: DataFrame, path: String, batchId: Long,
       keyCols: Seq[String], valueCol: String,
       producer: String = "default"): Unit = {
     val spark = df.sparkSession
     IndexStores.healRoot(spark, path)
-    if (!IndexStores.hasStore(spark, s"$path/data")) {
-      publish(spark, path, partial(df, keyCols, valueCol), keyCols,
-        valueCol, batches = Seq((producer, batchId)), generation = 1L)
+    if (!IndexStores.hasStore(spark, s"$path/batches")) {
+      writeBase(df, path, keyCols, valueCol, Seq((producer, batchId)))
       return
     }
     val m = metaOf(spark, path)
@@ -92,36 +118,32 @@ object RollupStore {
       s"rollup store at $path holds grain (${m.keyCols.mkString(",")}; " +
         s"${m.valueCol}); extend declared (${keyCols.mkString(",")}; " +
         s"$valueCol)")
-    val applied = appliedBatches(spark, path)
-    if (applied.contains((producer, batchId))) return // replay — merged
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    try {
-      // pin BEFORE the swap: `merged` reads the store's own parquet —
-      // writing the new generation over the path a lazy plan still
-      // scans would race the swap against its own input. Release is
-      // RDD-level (Dataset.unpersist is a no-op on checkpoints)
-      val merged = merge(
-        Seq(IndexStores.readStore(spark, s"$path/data"),
-          partial(df, keyCols, valueCol)), keyCols)
-        .localCheckpoint(true)
-      val gNow = metaOf(spark, path).generation
-      require(gNow == m.generation,
-        s"rollup store at $path advanced (generation ${m.generation} " +
-          s"-> $gNow) during extend — a second concurrent writer is " +
-          "merging into this store; serialise producers")
-      publish(spark, path, merged, keyCols, valueCol,
-        batches = applied :+ ((producer, batchId)),
-        generation = m.generation + 1L)
-    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+    val applied = IndexStores.tagLedger(spark, path)
+    if (applied.exists(r => r._1 == producer && r._2 == batchId))
+      return // replay — already merged
+    val tag = IndexStores.tagFor(producer, batchId)
+    partial(df, keyCols, valueCol).write.mode("overwrite")
+      .parquet(s"$path/data/$tag")
+    // single-writer tripwire just before the commit point
+    require(IndexStores.tagLedger(spark, path) == applied,
+      s"rollup store at $path advanced during extend — a second " +
+        "concurrent writer is folding batches; serialise producers")
+    IndexStores.commitTagLedger(spark, path,
+      applied :+ ((producer, batchId, tag)))
   }
 
-  /** The materialized rollup at its stored grain: a bounded read of
-    * rows-per-key rows — no fact scan, no aggregation.
+  /** The materialized rollup at its stored grain: stored partials
+    * merged on read (one map-side-combinable exchange over rows-per-
+    * key rows — never fact rows); a freshly compacted store is a
+    * single tag and serves as a plain bounded read with no
+    * aggregation at all.
     */
   def serve(spark: SparkSession, path: String): DataFrame = {
     IndexStores.healRoot(spark, path)
-    IndexStores.readStore(spark, s"$path/data")
+    val m = metaOf(spark, path)
+    val frames = tagFrames(spark, path)
+    if (frames.size == 1) frames.head
+    else merge(frames, m.keyCols)
   }
 
   /** A COARSER grouping served from the store — the materialized-view
@@ -136,56 +158,84 @@ object RollupStore {
     require(coarseKeys.forall(m.keyCols.contains),
       s"coarse keys (${coarseKeys.mkString(",")}) must be a subset of " +
         s"the stored grain (${m.keyCols.mkString(",")})")
-    merge(Seq(IndexStores.readStore(spark, s"$path/data")), coarseKeys)
+    merge(tagFrames(spark, path), coarseKeys)
+  }
+
+  /** Fold every ledgered tag into one (read-amplification dial),
+    * preserving the ledger pairs — replay of any old batch stays a
+    * no-op. Superseded tags survive one grace cycle (a concurrent
+    * reader's lazy plan still resolves them); the NEXT compact's
+    * opening GC collects them.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    IndexStores.healRoot(spark, path)
+    val m = metaOf(spark, path)
+    val applied = IndexStores.tagLedger(spark, path)
+    IndexStores.gcUnreferencedTags(spark, path, Seq("data"),
+      applied.map(_._3).toSet)
+    val tag = s"c_g${IndexStores.compactGen(applied)}"
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      // pin: the fold reads the tags the commit will supersede
+      val folded = merge(tagFrames(spark, path), m.keyCols)
+        .localCheckpoint(true)
+      folded.write.mode("overwrite").parquet(s"$path/data/$tag")
+      require(IndexStores.tagLedger(spark, path) == applied,
+        s"rollup store at $path advanced during compact")
+      IndexStores.commitTagLedger(spark, path,
+        applied.map(r => (r._1, r._2, tag)))
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
   /** One-row monitoring surface: grain, stored-key count, total
-    * ingested rows, applied batches, generation.
+    * ingested rows, applied batches, and the tag count (read
+    * fragmentation — the compaction dial).
     */
   def stats(spark: SparkSession, path: String): DataFrame = {
     IndexStores.healRoot(spark, path)
     val m = metaOf(spark, path)
-    val d = IndexStores.readStore(spark, s"$path/data")
+    val applied = IndexStores.tagLedger(spark, path)
+    val d = serve(spark, path)
       .agg(count(lit(1)), coalesce(sum("cnt"), lit(0L))).head
     import spark.implicits._
     Seq((m.keyCols.mkString(","), m.valueCol, d.getLong(0),
-      d.getLong(1), appliedBatches(spark, path).size.toLong,
-      m.generation))
+      d.getLong(1), applied.size.toLong,
+      applied.map(_._3).distinct.size.toLong))
       .toDF("key_cols", "value_col", "stored_keys", "total_rows",
-        "applied_batches", "generation")
+        "applied_batches", "tags")
   }
 
-  private final case class Meta(keyCols: Seq[String], valueCol: String,
-      generation: Long)
+  private final case class Meta(keyCols: Seq[String], valueCol: String)
 
   private def metaOf(spark: SparkSession, path: String): Meta = {
     val r = IndexStores.readStore(spark, s"$path/meta").head
     Meta(r.getAs[String]("key_cols").split(",").toSeq,
-      r.getAs[String]("value_col"), r.getAs[Long]("generation"))
+      r.getAs[String]("value_col"))
   }
 
-  private def appliedBatches(spark: SparkSession,
-      path: String): Seq[(String, Long)] =
-    if (!IndexStores.hasStore(spark, s"$path/batches")) Seq.empty
-    else IndexStores.readStore(spark, s"$path/batches")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
-
-  /** Stage one complete generation (data + meta + ledger) and swap it
-    * in atomically — the single publish path write, bootstrap and
-    * merge all share.
+  /** One frame per ledgered tag. A tag can be legitimately EMPTY (an
+    * empty micro-batch writes a fileless directory schema inference
+    * cannot read) — such tags substitute an explicit-schema empty
+    * frame derived from the first readable tag.
     */
-  private def publish(spark: SparkSession, path: String,
-      data: DataFrame, keyCols: Seq[String], valueCol: String,
-      batches: Seq[(String, Long)], generation: Long): Unit = {
-    import spark.implicits._
-    val staging = IndexStores.stagingFor(spark, path)
-    data.write.mode("overwrite").parquet(s"$staging/data")
-    Seq((keyCols.mkString(","), valueCol, generation))
-      .toDF("key_cols", "value_col", "generation").coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/meta")
-    if (batches.nonEmpty)
-      batches.toDF("producer", "batch_id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$staging/batches")
-    IndexStores.swapInto(spark, path, staging)
+  private def tagFrames(spark: SparkSession,
+      path: String): Seq[DataFrame] = {
+    val tags = IndexStores.tagLedger(spark, path).map(_._3).distinct
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def hasFiles(dir: String): Boolean =
+      Seq("*.parquet").exists(g => Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, g))).exists(_.nonEmpty))
+    val readable = tags.filter(t => hasFiles(s"$path/data/$t"))
+    require(readable.nonEmpty,
+      s"rollup store at $path has no data files in any ledgered tag")
+    val schema = spark.read.parquet(s"$path/data/${readable.head}").schema
+    tags.map { t =>
+      if (hasFiles(s"$path/data/$t"))
+        spark.read.parquet(s"$path/data/$t")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 }

@@ -335,6 +335,22 @@ class PlanAuditSpec extends SparkSpec {
       s"the MV rewrite must read the store, never the fact table:\n$coarse")
     assert(coarse.contains("HashAggregate"),
       s"coarse rewrite should re-aggregate stored partials:\n$coarse")
+    // after an extend the store is two tags: serve merges stored
+    // partials on read (one agg) but still never touches fact rows;
+    // compact folds back to the bare scan
+    graft.operators.RollupStore.extend(li, path, 1L,
+      Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
+    val fragmented = graft.operators.RollupStore.serve(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(fragmented.contains("HashAggregate") &&
+      !fragmented.contains("lineitem"),
+      s"fragmented serve must merge stored partials, not facts:\n$fragmented")
+    graft.operators.RollupStore.compact(spark, path)
+    val compacted = graft.operators.RollupStore.serve(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(!compacted.contains("Aggregate") &&
+      !compacted.contains("Join"),
+      s"a compacted store must serve as a bare scan again:\n$compacted")
   }
 
   test("triangle counting: every join an equi-join — wedge build and " +

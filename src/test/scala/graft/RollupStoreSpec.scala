@@ -49,7 +49,8 @@ class RollupStoreSpec extends SparkSpec {
     assert(served(split) === direct)
     val st = RollupStore.stats(spark, split).head
     assert(st.getAs[Long]("total_rows") === 500L)
-    assert(st.getAs[Long]("applied_batches") === 1L)
+    // the base build ledgers ("base", 0) plus the extend's pair
+    assert(st.getAs[Long]("applied_batches") === 2L)
   }
 
   test("coarse rollup from the store equals the direct coarse GROUP BY") {
@@ -115,6 +116,37 @@ class RollupStoreSpec extends SparkSpec {
     RollupStore.extend(b, path, batchId = 1L, keys, "v")
     assert(RollupStore.stats(spark, path)
       .head.getAs[Long]("total_rows") === 500L)
+  }
+
+  test("compact folds tags to one, preserves served values AND replay " +
+    "no-ops, and GCs superseded tags after one grace cycle") {
+    val path = tmpDir("ru-compact") + "/store"
+    RollupStore.write(a, path, keys, "v")
+    RollupStore.extend(b, path, batchId = 1L, keys, "v")
+    val pre = served(path)
+    assert(RollupStore.stats(spark, path).head
+      .getAs[Long]("tags") === 2L)
+    RollupStore.compact(spark, path)
+    assert(served(path) === pre, "compaction changed the rollup")
+    val st = RollupStore.stats(spark, path).head
+    assert(st.getAs[Long]("tags") === 1L)
+    assert(st.getAs[Long]("applied_batches") === 2L,
+      "compaction must preserve the ledger pairs")
+    RollupStore.extend(b, path, batchId = 1L, keys, "v")
+    assert(served(path) === pre,
+      "replay after compaction must stay a no-op")
+    // grace window: the compact that superseded the old tags leaves
+    // them on disk; the NEXT compact's opening GC collects them
+    def dataDirs() = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dataDirs().length === 3,
+      "superseded tags must survive the compact that superseded them")
+    RollupStore.compact(spark, path)
+    val names = dataDirs().toSet
+    assert(names.size === 2 && !names.exists(_.startsWith("b_")),
+      s"after the next compact only the live tag plus the grace copy " +
+        s"remain, got ${names.mkString(",")}")
+    assert(served(path) === pre)
   }
 
   test("extend releases its merge checkpoint (no persisted-RDD residue)") {
