@@ -55,14 +55,20 @@ object HistoryStore {
       Meta(key, orderCol, stateCols, tieCols, nBuckets),
       Seq(("base", 0L)))
 
-  /** Shared base-build: ONE ledger commit whatever the caller — a
-    * crash before it leaves no ledger, so the replay (of [[write]] or
-    * of a bootstrap [[extend]]) rebuilds the same tag idempotently
-    * and commits once. The scd2 frame is pinned so the data and
-    * frontier writes don't run the window pipeline twice, and the
-    * derivable `is_current` stays OFF disk (a later closure would
-    * make the stored value a lie; [[serve]] recomputes it from
-    * `valid_to`).
+  /** Shared base-build: ONE commit point whatever the caller or the
+    * store's state. Against a FRESH path the delta is written in
+    * place and the ledger commit is the atomic point (a crash before
+    * it leaves no ledger; the replay overwrites the same uncommitted
+    * dirs idempotently). Against a LIVE store (a rebuild from the
+    * full change log) everything — meta, delta, ledger — is staged
+    * under a fresh root and swapped in atomically: an in-place write
+    * would destroy committed, ledgered dirs before the new commit.
+    * Note a rebuild REPLACES the store wholesale, purge state
+    * included (the new history is built from whatever log the caller
+    * passed). The scd2 frame is pinned so the data and frontier
+    * writes don't run the window pipeline twice, and the derivable
+    * `is_current` stays OFF disk (a later closure would make the
+    * stored value a lie; [[serve]] recomputes it from `valid_to`).
     */
   private def writeBase(changes: DataFrame, path: String, m: Meta,
       pairs: Seq[(String, Long)]): Unit = {
@@ -73,14 +79,27 @@ object HistoryStore {
       val dim = HistoryOps.scd2(changes, m.key, m.orderCol,
         m.stateCols, m.tieCols).localCheckpoint(true)
       val tag = IndexStores.tagFor(pairs.head._1, pairs.head._2)
-      writeMeta(spark, path, m)
-      writeDelta(spark, path, tag,
-        data = dim.drop("last_changed", "is_current"),
-        closures = emptyClosures(spark, dim, m.key),
-        frontier = dim.groupBy(m.key).agg(max("last_changed")
-          .as("last_changed")),
-        meta = m)
-      commitLedger(spark, path, pairs.map(p => (p._1, p._2, tag)))
+      def writeInto(root: String, commit: Boolean): Unit = {
+        writeMeta(spark, root, m)
+        writeDelta(spark, root, tag,
+          data = dim.drop("last_changed", "is_current"),
+          closures = emptyClosures(spark, dim, m.key),
+          frontier = dim.groupBy(m.key).agg(max("last_changed")
+            .as("last_changed")),
+          meta = m)
+        val ledger = pairs.map(p => (p._1, p._2, tag))
+        if (commit) commitLedger(spark, root, ledger)
+        else {
+          import spark.implicits._
+          ledger.toDF("producer", "batch_id", "tag").coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/batches")
+        }
+      }
+      if (IndexStores.hasStore(spark, s"$path/batches")) {
+        val staging = IndexStores.stagingFor(spark, path)
+        writeInto(staging, commit = false)
+        IndexStores.swapInto(spark, path, staging)
+      } else writeInto(path, commit = true)
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
@@ -252,6 +271,8 @@ object HistoryStore {
     IndexStores.healRoot(spark, path)
     val m = metaOf(spark, path)
     val applied = ledger(spark, path)
+    require(applied.nonEmpty,
+      s"history store at $path has no committed batches to compact")
     // GC dirs no CURRENT ledger tag references (previous compact's
     // supersedees + any crashed compact's uncommitted tag)
     IndexStores.gcUnreferencedTags(spark, path,

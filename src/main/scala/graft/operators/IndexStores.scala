@@ -236,7 +236,11 @@ private[operators] object IndexStores {
     */
   def gcUnreferencedTags(spark: SparkSession, path: String,
       stores: Seq[String], live: Set[String]): Unit = {
-    val f = fs(spark, path)
+    // session conf, not the shared context conf: per-session fs.*
+    // overrides (object-store credentials) must govern the DELETE
+    // path exactly as they govern the stores' read paths
+    val f = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
     for (store <- stores;
          d <- Option(f.globStatus(new Path(s"$path/$store/*")))
            .getOrElse(Array.empty)

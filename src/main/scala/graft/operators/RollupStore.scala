@@ -78,9 +78,15 @@ object RollupStore {
       valueCol: String): Unit =
     writeBase(df, path, keyCols, valueCol, Seq(("base", 0L)))
 
-  /** Shared base-build — ONE ledger commit whatever the caller, so a
-    * crash before it leaves no ledger and the replay (of [[write]] or
-    * a bootstrap [[extend]]) rebuilds the same tag idempotently.
+  /** Shared base-build — ONE commit point whatever the caller or the
+    * store's state. Against a FRESH path the pieces are written in
+    * place and the ledger commit is the atomic point (a crash before
+    * it leaves no ledger; the replay overwrites the same uncommitted
+    * dirs idempotently). Against a LIVE store (a rebuild) everything
+    * is staged under a fresh root and swapped in atomically — an
+    * in-place write would destroy committed, ledgered dirs before the
+    * new commit, and a crash mid-write (or a concurrent reader) would
+    * see a store that lies.
     */
   private def writeBase(df: DataFrame, path: String,
       keyCols: Seq[String], valueCol: String,
@@ -88,13 +94,40 @@ object RollupStore {
     val spark = df.sparkSession
     import spark.implicits._
     val tag = IndexStores.tagFor(pairs.head._1, pairs.head._2)
-    Seq((keyCols.mkString(","), valueCol))
-      .toDF("key_cols", "value_col").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
-    partial(df, keyCols, valueCol).write.mode("overwrite")
-      .parquet(s"$path/data/$tag")
-    IndexStores.commitTagLedger(spark, path,
-      pairs.map(p => (p._1, p._2, tag)))
+    def writeInto(root: String, commit: Boolean): Unit = {
+      Seq((keyCols.mkString(","), valueCol))
+        .toDF("key_cols", "value_col").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/meta")
+      writeTag(partial(df, keyCols, valueCol), s"$root/data/$tag")
+      val ledger = pairs.map(p => (p._1, p._2, tag))
+      if (commit) IndexStores.commitTagLedger(spark, root, ledger)
+      else ledger.toDF("producer", "batch_id", "tag").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/batches")
+    }
+    if (IndexStores.hasStore(spark, s"$path/batches")) {
+      val staging = IndexStores.stagingFor(spark, path)
+      writeInto(staging, commit = false)
+      IndexStores.swapInto(spark, path, staging)
+    } else writeInto(path, commit = true)
+  }
+
+  /** Write one tag's parquet, guaranteeing a schema-bearing file even
+    * for an EMPTY frame (an empty write leaves a fileless dir schema
+    * inference cannot read — and [[tagFrames]] deliberately treats a
+    * fileless ledgered tag as data LOSS, not as legitimately empty).
+    */
+  private def writeTag(df: DataFrame, dir: String): Unit = {
+    df.write.mode("overwrite").parquet(dir)
+    val spark = df.sparkSession
+    if (!hasFiles(spark, dir))
+      df.repartition(1).write.mode("overwrite").parquet(dir)
+  }
+
+  private def hasFiles(spark: SparkSession, dir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "*.parquet")))
+      .exists(_.nonEmpty)
   }
 
   /** Fold a batch in, exactly once per (producer, batchId): ONE
@@ -122,8 +155,7 @@ object RollupStore {
     if (applied.exists(r => r._1 == producer && r._2 == batchId))
       return // replay — already merged
     val tag = IndexStores.tagFor(producer, batchId)
-    partial(df, keyCols, valueCol).write.mode("overwrite")
-      .parquet(s"$path/data/$tag")
+    writeTag(partial(df, keyCols, valueCol), s"$path/data/$tag")
     // single-writer tripwire just before the commit point
     require(IndexStores.tagLedger(spark, path) == applied,
       s"rollup store at $path advanced during extend — a second " +
@@ -171,21 +203,19 @@ object RollupStore {
     IndexStores.healRoot(spark, path)
     val m = metaOf(spark, path)
     val applied = IndexStores.tagLedger(spark, path)
+    require(applied.nonEmpty,
+      s"rollup store at $path has no committed batches to compact")
     IndexStores.gcUnreferencedTags(spark, path, Seq("data"),
       applied.map(_._3).toSet)
     val tag = s"c_g${IndexStores.compactGen(applied)}"
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    try {
-      // pin: the fold reads the tags the commit will supersede
-      val folded = merge(tagFrames(spark, path), m.keyCols)
-        .localCheckpoint(true)
-      folded.write.mode("overwrite").parquet(s"$path/data/$tag")
-      require(IndexStores.tagLedger(spark, path) == applied,
-        s"rollup store at $path advanced during compact")
-      IndexStores.commitTagLedger(spark, path,
-        applied.map(r => (r._1, r._2, tag)))
-    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+    // no pin needed: the fold is consumed exactly once, by a write to
+    // a FRESH tag dir — the tags it reads survive the grace window
+    writeTag(merge(tagFrames(spark, path), m.keyCols),
+      s"$path/data/$tag")
+    require(IndexStores.tagLedger(spark, path) == applied,
+      s"rollup store at $path advanced during compact")
+    IndexStores.commitTagLedger(spark, path,
+      applied.map(r => (r._1, r._2, tag)))
   }
 
   /** One-row monitoring surface: grain, stored-key count, total
@@ -214,28 +244,23 @@ object RollupStore {
       r.getAs[String]("value_col"))
   }
 
-  /** One frame per ledgered tag. A tag can be legitimately EMPTY (an
-    * empty micro-batch writes a fileless directory schema inference
-    * cannot read) — such tags substitute an explicit-schema empty
-    * frame derived from the first readable tag.
+  /** One frame per ledgered tag. Every ledgered tag MUST carry at
+    * least one parquet file ([[writeTag]] forces a schema-bearing
+    * file even for an empty batch) — a fileless ledgered tag is data
+    * LOSS (an in-place overwrite of a committed dir, a partial
+    * delete), and substituting an empty frame would mask it as
+    * silently wrong results, so it rejects loudly instead. (Unlike
+    * [[HistoryStore]], whose `partitionBy` deltas are legitimately
+    * fileless for most tags and carry an explicit-schema fallback.)
     */
   private def tagFrames(spark: SparkSession,
       path: String): Seq[DataFrame] = {
     val tags = IndexStores.tagLedger(spark, path).map(_._3).distinct
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    def hasFiles(dir: String): Boolean =
-      Seq("*.parquet").exists(g => Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(dir, g))).exists(_.nonEmpty))
-    val readable = tags.filter(t => hasFiles(s"$path/data/$t"))
-    require(readable.nonEmpty,
-      s"rollup store at $path has no data files in any ledgered tag")
-    val schema = spark.read.parquet(s"$path/data/${readable.head}").schema
-    tags.map { t =>
-      if (hasFiles(s"$path/data/$t"))
-        spark.read.parquet(s"$path/data/$t")
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    val lost = tags.filterNot(t => hasFiles(spark, s"$path/data/$t"))
+    require(lost.isEmpty,
+      s"rollup store at $path: ledgered tag(s) ${lost.mkString(",")} " +
+        "have no data files — committed data is missing; restore the " +
+        "store or rebuild with write()")
+    tags.map(t => spark.read.parquet(s"$path/data/$t"))
   }
 }

@@ -2048,16 +2048,20 @@ object ExtQueries {
       graft.operators.RollupStore.extend(
         li.filter(col("l_orderkey") % 2 === 1), s"$root/li",
         batchId = 1L, keys, "l_extendedprice")
+      // fold the two tags so the gate exercises the full write ->
+      // extend -> compact lifecycle and serves as a bare scan
+      graft.operators.RollupStore.compact(spark, s"$root/li")
       root
     } + "/li"
 
   /** The materialized rollup served at its stored grain
-    * ([[graft.operators.RollupStore.serve]]): a bounded read of
-    * rows-per-key rows — no fact scan, no aggregation in the serving
-    * plan. The oracle is the direct GROUP BY over the raw fact table;
-    * hash-green proves the incremental write+extend build (additive
-    * delta merge, exactly-once ledger) reproduces the one-shot
-    * aggregate measure-for-measure.
+    * ([[graft.operators.RollupStore.serve]]): the store is built
+    * write -> extend -> compact, so serving is a bounded bare scan of
+    * rows-per-key rows — no fact scan, no aggregation (a fragmented,
+    * un-compacted store would merge stored partials on read — still
+    * never fact rows). The oracle is the direct GROUP BY over the raw
+    * fact table; hash-green proves the incremental O(batch) delta
+    * build reproduces the one-shot aggregate measure-for-measure.
     */
   def aggStoreRollup(spark: SparkSession, dir: String): DataFrame =
     fixedPointMeasures(

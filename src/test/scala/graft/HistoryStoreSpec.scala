@@ -257,6 +257,21 @@ class HistoryStoreSpec extends SparkSpec {
     assert(served5.head.getAs[Int]("version") === 1)
   }
 
+  test("write over a LIVE store is an atomic wholesale rebuild") {
+    val path = tmpDir("hs-rebuild") + "/dim"
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
+    HistoryStore.extend(late, path, 1L, "k", "ts", Seq("state"),
+      Seq("id"))
+    // rebuild from the early log only: committed dirs are never
+    // overwritten in place — the new generation stages and swaps
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
+    assert(asSet(HistoryStore.serve(spark, path)) ===
+      asSet(HistoryOps.scd2(early, "k", "ts", Seq("state"), Seq("id"))))
+    assert(HistoryStore.stats(spark, path).head
+      .getAs[Long]("applied_batches") === 1L,
+      "a rebuild replaces the ledger wholesale")
+  }
+
   test("a null purge key rejects loudly") {
     val path = tmpDir("hs-purge-null") + "/dim"
     HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))

@@ -157,6 +157,33 @@ class RollupStoreSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet === before)
   }
 
+  test("write over a LIVE store is an atomic wholesale rebuild; an " +
+    "empty bootstrap batch still serves") {
+    val path = tmpDir("ru-rebuild") + "/store"
+    val fresh = tmpDir("ru-rebuild-ref") + "/store"
+    RollupStore.write(a, path, keys, "v")
+    RollupStore.extend(b, path, batchId = 1L, keys, "v")
+    // rebuild from scratch: committed dirs are never overwritten in
+    // place — the new generation is staged and swapped
+    RollupStore.write(a, path, keys, "v")
+    RollupStore.write(a, fresh, keys, "v")
+    assert(served(path) === served(fresh),
+      "a rebuild must serve exactly the fresh build")
+    assert(RollupStore.stats(spark, path).head
+      .getAs[Long]("applied_batches") === 1L,
+      "a rebuild replaces the ledger wholesale")
+    // an EMPTY bootstrap batch (a stream's first trigger with no
+    // files yet) must leave a servable store, not a fileless tag
+    val p2 = tmpDir("ru-empty") + "/store"
+    RollupStore.extend(a.filter(lit(false)), p2, batchId = 0L, keys, "v")
+    assert(RollupStore.serve(spark, p2).count() === 0L)
+    assert(RollupStore.stats(spark, p2).head
+      .getAs[Long]("total_rows") === 0L)
+    RollupStore.extend(b, p2, batchId = 1L, keys, "v")
+    assert(RollupStore.stats(spark, p2).head
+      .getAs[Long]("total_rows") === 300L)
+  }
+
   test("streaming ingest equals the one-shot build") {
     import graft.streaming.StreamingPipeline
     val path = tmpDir("ru-stream") + "/store"
