@@ -89,6 +89,7 @@ object SparkEntry {
     "frequent_tokens" -> (graft.queries.ExtQueries.frequentTokens(_, _)),
     "sketch_cms" -> (graft.queries.ExtQueries.sketchCms(_, _)),
     "sketch_cms_store" -> (graft.queries.ExtQueries.sketchCmsStore(_, _)),
+    "text_novelty_indexed" -> (graft.queries.ExtQueries.textNoveltyIndexed(_, _)),
     "graph_pagerank" -> (graft.queries.ExtQueries.graphPagerank(_, _)),
     "text_langid" -> (graft.queries.ExtQueries.textLangId(_, _)),
     "text_fingerprint" -> (graft.queries.ExtQueries.textFingerprint(_, _)),

@@ -124,6 +124,30 @@ object FrequencyStore {
         sketchBytes(df.sparkSession, path), key.cast("string")))
   }
 
+  /** Per-group corpus-NOVELTY against the stored frequencies: for each
+    * group (a document), the share of its items the ingested corpus
+    * has seen fewer than `minCount` times — the "how much of this new
+    * batch is actually new" dial a training-data pipeline reads before
+    * paying for dedup/quality passes on redundant data. Cost: one
+    * sketch probe per item (a pure projection — the sketch bytes ride
+    * the plan, no join, no corpus read) + one map-side-combinable
+    * aggregate; at 100 TB the corpus is never touched, only the batch.
+    *
+    * CMS is one-sided (estimate ≥ true count), so `seen_est`
+    * OVERCOUNTS and `novelty_est_ppm` UNDERCOUNTS, each by at most the
+    * sketch's ε·N bound per item — novelty never inflates, which is
+    * the safe direction for a "skip this batch" decision. Fixed-point
+    * ppm via integer floor division (cross-engine exact).
+    */
+  def novelty(items: DataFrame, groupCol: String, key: Column,
+      path: String, minCount: Long = 2L): DataFrame =
+    estimate(items, key, path)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"),
+        count(when(col("est") >= minCount, 1)).as("seen_est"))
+      .withColumn("novelty_est_ppm",
+        expr("(n_items - seen_est) * 1000000 DIV n_items"))
+
   /** One-row store summary: the geometry, the exact ingested item
     * count (the N in the ε·N error bound), the applied-batch count and
     * the generation — the monitoring surface.

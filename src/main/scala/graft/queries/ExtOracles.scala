@@ -766,6 +766,30 @@ object ExtOracles {
     // ≥-exact invariant the one-shot sketch does
     "sketch_cms_store" -> cmsSql,
 
+    // replays ExtQueries.textNoveltyIndexed's EXACT side: 3-shingles
+    // distinct per doc, document frequency over the even docs, per-odd-
+    // doc exact seen counts and fixed-point novelty ppm; probe_ok is
+    // the one-sided CMS invariant (estimate >= true count, so a truly-
+    // seen shingle can never be missed), asserted TRUE here
+    "text_novelty_indexed" ->
+      s"""WITH $tokCte,
+         |$shCte,
+         |base AS (SELECT s, count(*) AS df FROM sh
+         |         WHERE doc_id % 2 = 0 GROUP BY s),
+         |probe AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1),
+         |seen AS (SELECT p.doc_id, count(*) AS exact_seen
+         |         FROM probe p JOIN base b ON p.s = b.s AND b.df >= 2
+         |         GROUP BY p.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n_shingles FROM probe
+         |      GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_shingles,
+         |       COALESCE(seen.exact_seen, 0) AS exact_seen,
+         |       (n.n_shingles - COALESCE(seen.exact_seen, 0)) * 1000000
+         |         // n.n_shingles AS novelty_exact_ppm,
+         |       TRUE AS probe_ok
+         |FROM n LEFT JOIN seen ON n.doc_id = seen.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
+
     "graph_pagerank" -> pagerankSql,
 
     // replays ExtQueries.sketchKmvRollup as the DIRECT per-lang

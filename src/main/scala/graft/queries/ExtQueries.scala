@@ -681,6 +681,55 @@ object ExtQueries {
       .orderBy(col("exact_n").desc, col("token"))
   }
 
+  /** Corpus-novelty scoring served from a persisted frequency store
+    * ([[graft.operators.FrequencyStore.novelty]]): the store ingests
+    * the EVEN docs' 3-shingles (distinct per doc, so counts are
+    * document frequency), then each ODD doc is scored for the share
+    * of its shingles the corpus has seen in < 2 documents — the
+    * "how new is this batch" dial, probed as a pure projection with
+    * no corpus read. Emission protocol: the sketch estimate is
+    * engine-specific, so the hashed columns are the EXACT replayable
+    * side (shingle counts, exact seen counts, exact fixed-point
+    * novelty) plus `probe_ok` — the one-sided CMS invariant
+    * `seen_est >= exact_seen` (estimate ≥ true count, so a truly-seen
+    * shingle is NEVER missed), which DuckDB asserts as literal TRUE.
+    */
+  private val noveltyStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def noveltyStorePath(spark: SparkSession, dir: String): String =
+    noveltyStoreCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-novelty-store").toString
+      val base = TextOps.shingles(
+        docs(spark, dir).filter(col("doc_id") % 2 === 0))
+      graft.operators.FrequencyStore.write(base, col("s"), s"$root/store")
+      root
+    } + "/store"
+
+  def textNoveltyIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val probe = TextOps.shingles(d.filter(col("doc_id") % 2 === 1))
+    val nov = graft.operators.FrequencyStore.novelty(
+      probe, "doc_id", col("s"), noveltyStorePath(spark, dir),
+      minCount = 2L)
+    // exact side, in-query: document frequency of each probe shingle
+    // among the even docs (shingles are distinct per doc)
+    val baseDf = TextOps.shingles(d.filter(col("doc_id") % 2 === 0))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val exact = probe
+      .join(baseDf.filter(col("df") >= 2), Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("exact_seen"))
+    nov.join(exact, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("exact_seen"))
+      .select(col("doc_id"),
+        col("n_items").as("n_shingles"),
+        col("exact_seen"),
+        expr("(n_items - exact_seen) * 1000000 DIV n_items")
+          .as("novelty_exact_ppm"),
+        (col("seen_est") >= col("exact_seen")).as("probe_ok"))
+      .orderBy("doc_id")
+  }
+
   /** PageRank over the symmetrised user ↔ event-type bipartite graph
     * ([[graft.operators.GraphOps.pageRank]]): co-visitation influence —
     * which users and event types sit at the centre of the activity

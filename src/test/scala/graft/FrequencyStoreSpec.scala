@@ -88,6 +88,44 @@ class FrequencyStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("seed=42"))
   }
 
+  test("novelty: per-group unseen share from the stored frequencies, " +
+    "fixed-point, never inflated") {
+    val path = tmpDir("cms-novelty") + "/store"
+    // corpus: "hot" appears 5x, "warm" 2x, "cold" 1x
+    FrequencyStore.write(
+      mk(Seq.fill(5)("hot") ++ Seq.fill(2)("warm") ++ Seq("cold")),
+      col("w"), path)
+    // group g1: hot, warm, fresh -> seen(>=2): hot, warm -> novelty 1/3
+    // group g2: cold, fresh2     -> seen: none        -> novelty 2/2
+    val items = Seq(("g1", "hot"), ("g1", "warm"), ("g1", "fresh"),
+      ("g2", "cold"), ("g2", "fresh2")).toDF("doc", "w")
+    val got = FrequencyStore.novelty(items, "doc", col("w"), path,
+      minCount = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the tiny vocabulary cannot collide a width-2719 sketch into
+    // flipping a verdict, so the estimates are exact here
+    assert(got("g1") === ((3L, 2L, 333333L)))
+    assert(got("g2") === ((2L, 0L, 1000000L)))
+    // one-sided invariant on a larger draw: novelty from the sketch
+    // never EXCEEDS the exact novelty (est >= true => seen_est >=
+    // exact_seen)
+    val probe = b.withColumn("doc", col("id") % 7)
+    val exactSeen = probe.join(
+      a.groupBy("w").agg(count(lit(1)).as("n")).filter(col("n") >= 2L),
+      Seq("w"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("exact_seen"))
+    val path2 = tmpDir("cms-novelty-2") + "/store"
+    FrequencyStore.write(a, col("w"), path2)
+    val inflated = FrequencyStore.novelty(probe, "doc", col("w"), path2,
+      minCount = 2L)
+      .join(exactSeen, Seq("doc"), "left")
+      .na.fill(0L, Seq("exact_seen"))
+      .filter(col("seen_est") < col("exact_seen")).count()
+    assert(inflated === 0L,
+      "CMS novelty must never exceed exact novelty (one-sided bound)")
+  }
+
   test("streaming ingest equals the one-shot build") {
     import graft.streaming.StreamingPipeline
     val path = tmpDir("cms-stream") + "/store"
