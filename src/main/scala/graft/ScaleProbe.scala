@@ -304,6 +304,42 @@ object ScaleProbe {
       println(f"[scaleprobe] layout compact=$tLayCompact%.3fs files=${dataFiles(s"$layPath/data")}%6d readBoxAfter=$tLayAfter%.3fs")
       BenchUtil.releaseNewRdds(sc, beforeLay)
     }
+
+    // 7. rollup-store extend is O(batch), not O(grain) — the LSM
+    //    rework's claim, measured: fold an IDENTICAL small batch into
+    //    stores whose grains differ ~10x across the SF dirs; extend
+    //    cost must track the batch, while the (deliberately rewritten)
+    //    compact tracks the grain. Also records the merge-on-read
+    //    serve price the compact dial buys back.
+    locally {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.RollupStore
+      for (dir <- dirs) {
+        val sf = dir.split('/').last
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val li = graft.sources.Tables.lineitem(spark, dir)
+        val path = java.nio.file.Files
+          .createTempDirectory("probe-ru").toString + "/store"
+        val keys = Seq("l_orderkey", "l_linestatus")
+        val tBuild = secs(
+          RollupStore.write(li, path, keys, "l_extendedprice"))
+        val grain = RollupStore.stats(spark, path)
+          .head.getAs[Long]("stored_keys")
+        val batch = li.limit(5000).localCheckpoint()
+        val tExt = (1 to 3).map(i => secs(RollupStore.extend(
+          batch, path, 100L + i, keys, "l_extendedprice"))).min
+        val tServeFrag = BenchUtil.minOf(3)(
+          BenchUtil.sink(RollupStore.serve(spark, path)))
+        val tCompact = secs(RollupStore.compact(spark, path))
+        val tServe = BenchUtil.minOf(3)(
+          BenchUtil.sink(RollupStore.serve(spark, path)))
+        println(f"[scaleprobe] $sf rollupstore grain=$grain%7d " +
+          f"build=$tBuild%.2fs extend5k=$tExt%.3fs " +
+          f"serveFrag=$tServeFrag%.3fs compact=$tCompact%.2fs " +
+          f"serve=$tServe%.3fs")
+        BenchUtil.releaseNewRdds(sc, before)
+      }
+    }
     spark.stop()
   }
 }

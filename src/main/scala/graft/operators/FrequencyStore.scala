@@ -138,6 +138,15 @@ object FrequencyStore {
     * sketch's ε·N bound per item — novelty never inflates, which is
     * the safe direction for a "skip this batch" decision. Fixed-point
     * ppm via integer floor division (cross-engine exact).
+    *
+    * SCOPE — frequency-THRESHOLD novelty only: an unseen item's
+    * estimate sits near the ε·N collision floor, so `minCount` is
+    * meaningful only well ABOVE that floor (e.g. "novel unless seen
+    * ≥ 100 times" over a corpus where ε·N ≈ 30). For membership
+    * novelty — "seen at all?", the ingest-curation question —
+    * use [[MembershipStore.novelty]]: a Bloom filter has no noise
+    * floor (false-positive rate is a sized-at-build dial, not a
+    * function of corpus mass).
     */
   def novelty(items: DataFrame, groupCol: String, key: Column,
       path: String, minCount: Long = 2L): DataFrame =

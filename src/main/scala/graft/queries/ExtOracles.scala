@@ -767,18 +767,17 @@ object ExtOracles {
     "sketch_cms_store" -> cmsSql,
 
     // replays ExtQueries.textNoveltyIndexed's EXACT side: 3-shingles
-    // distinct per doc, document frequency over the even docs, per-odd-
-    // doc exact seen counts and fixed-point novelty ppm; probe_ok is
-    // the one-sided CMS invariant (estimate >= true count, so a truly-
+    // distinct per doc, presence among the even docs' shingles, per-
+    // odd-doc exact seen counts and fixed-point novelty ppm; probe_ok
+    // is the one-sided Bloom invariant (no false negatives — a truly-
     // seen shingle can never be missed), asserted TRUE here
     "text_novelty_indexed" ->
       s"""WITH $tokCte,
          |$shCte,
-         |base AS (SELECT s, count(*) AS df FROM sh
-         |         WHERE doc_id % 2 = 0 GROUP BY s),
+         |base AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
          |probe AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1),
          |seen AS (SELECT p.doc_id, count(*) AS exact_seen
-         |         FROM probe p JOIN base b ON p.s = b.s AND b.df >= 2
+         |         FROM probe p JOIN base b ON p.s = b.s
          |         GROUP BY p.doc_id),
          |n AS (SELECT doc_id, count(*) AS n_shingles FROM probe
          |      GROUP BY doc_id)

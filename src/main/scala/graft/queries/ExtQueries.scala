@@ -681,18 +681,22 @@ object ExtQueries {
       .orderBy(col("exact_n").desc, col("token"))
   }
 
-  /** Corpus-novelty scoring served from a persisted frequency store
-    * ([[graft.operators.FrequencyStore.novelty]]): the store ingests
-    * the EVEN docs' 3-shingles (distinct per doc, so counts are
-    * document frequency), then each ODD doc is scored for the share
-    * of its shingles the corpus has seen in < 2 documents — the
-    * "how new is this batch" dial, probed as a pure projection with
-    * no corpus read. Emission protocol: the sketch estimate is
-    * engine-specific, so the hashed columns are the EXACT replayable
-    * side (shingle counts, exact seen counts, exact fixed-point
-    * novelty) plus `probe_ok` — the one-sided CMS invariant
-    * `seen_est >= exact_seen` (estimate ≥ true count, so a truly-seen
-    * shingle is NEVER missed), which DuckDB asserts as literal TRUE.
+  /** Corpus-novelty scoring served from the persisted MEMBERSHIP
+    * store ([[graft.operators.MembershipStore.novelty]]): the store's
+    * Bloom filter ingests the EVEN docs' 3-shingles, then each ODD
+    * doc is scored for the share of its shingles the corpus has never
+    * seen — the "how new is this batch" ingest-curation dial, probed
+    * as a pure projection with no corpus read. (Deliberately NOT the
+    * CMS store: a Count-Min estimate of an unseen item sits near the
+    * ε·N collision floor, so at corpus scale a frequency sketch
+    * cannot answer membership — a Bloom filter's false-positive rate
+    * is a sized-at-build dial instead.) Emission protocol: the sketch
+    * verdicts are engine-specific, so the hashed columns are the
+    * EXACT replayable side (shingle counts, exact seen counts, exact
+    * fixed-point novelty) plus `probe_ok` — the one-sided Bloom
+    * invariant `seen_est >= exact_seen` (no false negatives: a
+    * truly-seen shingle is NEVER missed), which DuckDB asserts as
+    * literal TRUE.
     */
   private val noveltyStoreCache =
     new SessionCache[String](SessionCache.deleteTree)
@@ -702,22 +706,22 @@ object ExtQueries {
         .createTempDirectory("graft-novelty-store").toString
       val base = TextOps.shingles(
         docs(spark, dir).filter(col("doc_id") % 2 === 0))
-      graft.operators.FrequencyStore.write(base, col("s"), s"$root/store")
+      graft.operators.MembershipStore.write(base, col("s"),
+        s"$root/store", expectedItems = 2000000L)
       root
     } + "/store"
 
   def textNoveltyIndexed(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val probe = TextOps.shingles(d.filter(col("doc_id") % 2 === 1))
-    val nov = graft.operators.FrequencyStore.novelty(
-      probe, "doc_id", col("s"), noveltyStorePath(spark, dir),
-      minCount = 2L)
-    // exact side, in-query: document frequency of each probe shingle
-    // among the even docs (shingles are distinct per doc)
-    val baseDf = TextOps.shingles(d.filter(col("doc_id") % 2 === 0))
-      .groupBy("s").agg(count(lit(1)).as("df"))
+    val nov = graft.operators.MembershipStore.novelty(
+      probe, "doc_id", col("s"), noveltyStorePath(spark, dir))
+    // exact side, in-query: presence of each probe shingle among the
+    // even docs' shingles
+    val base = TextOps.shingles(d.filter(col("doc_id") % 2 === 0))
+      .select("s").distinct()
     val exact = probe
-      .join(baseDf.filter(col("df") >= 2), Seq("s"), "left_semi")
+      .join(base, Seq("s"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("exact_seen"))
     nov.join(exact, Seq("doc_id"), "left")
       .na.fill(0L, Seq("exact_seen"))

@@ -656,9 +656,10 @@ object StreamingPipeline {
       .start()
 
   /** Streaming ingest into the persisted exact rollup
-    * ([[graft.operators.RollupStore]]): each trigger delta-merges one
-    * batch — one partial aggregation of the batch plus a merge against
-    * rows-per-key state, never a fact-history recompute. Additive
+    * ([[graft.operators.RollupStore]]): each trigger writes ONE
+    * partial aggregate of the batch under its own tag — O(batch), the
+    * stored grain is never read or rewritten; run
+    * `RollupStore.compact` when `stats().tags` grows. Additive
     * merge ⇒ the ledger makes replayed triggers exactly-once, with the
     * checkpoint path as the producer scope (same posture as
     * [[frequencyIngestStream]]).
@@ -673,6 +674,37 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.RollupStore.extend(batch, storePath, batchId,
           keyCols, valueCol, producer = checkpoint)
+        ()
+      }
+      .start()
+
+  /** Novelty-gated streaming CURATION
+    * ([[graft.operators.MembershipStore.curateBatch]] per trigger):
+    * the self-reinforcing ingest filter — each trigger keeps only the
+    * documents whose shingle-novelty against everything KEPT SO FAR is
+    * at least `minNoveltyPpm`, lands them under `outDir/batch_<id>`
+    * (idempotent overwrite), and folds the kept shingles back into the
+    * membership store (ledger-fenced per trigger, checkpoint-scoped).
+    * A near-duplicate arriving ten triggers after its original scores
+    * as seen and is dropped without any corpus read or pairwise join —
+    * the O(batch) streaming complement to the index-served near-dup
+    * legs, trading their exactness for a fixed-memory Bloom filter
+    * (fpp-bounded over-dropping, NEVER under-dropping: no false
+    * negatives). `expectedItems` sizes the filter for the stream's
+    * LIFETIME kept-shingle count — watch `stats().current_fpp`.
+    */
+  def noveltyCurationStream(docs: DataFrame, storePath: String,
+      outDir: String, checkpoint: String, expectedItems: Long,
+      minNoveltyPpm: Long = 500000L, k: Int = 3, fpp: Double = 0.01,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.MembershipStore.curateBatch(batch, storePath,
+          outDir, batchId, expectedItems, producer = checkpoint,
+          minNoveltyPpm = minNoveltyPpm, k = k, fpp = fpp)
         ()
       }
       .start()
