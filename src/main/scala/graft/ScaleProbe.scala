@@ -312,7 +312,6 @@ object ScaleProbe {
     //    compact tracks the grain. Also records the merge-on-read
     //    serve price the compact dial buys back.
     locally {
-      import org.apache.spark.sql.functions.col
       import graft.operators.RollupStore
       for (dir <- dirs) {
         val sf = dir.split('/').last

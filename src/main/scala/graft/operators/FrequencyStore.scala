@@ -196,9 +196,7 @@ object FrequencyStore {
     */
   private def appliedBatches(spark: SparkSession,
       path: String): Seq[(String, Long)] =
-    if (!IndexStores.hasStore(spark, s"$path/batches")) Seq.empty
-    else IndexStores.readStore(spark, s"$path/batches")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    IndexStores.sketchBatches(spark, path)
 
   /** ONE aggregation pass over the batch: the counter matrix and the
     * exact non-null item count together — the hot ingest path reads
@@ -220,25 +218,18 @@ object FrequencyStore {
   }
 
   /** Stage one complete generation (sketch + meta + ledger) and swap it
-    * in atomically — the single publish path `write`, bootstrap and
-    * merge all share, which is what makes the ledger and the counters
-    * inseparable.
+    * in atomically ([[IndexStores.publishSketchGeneration]] — the one
+    * publish implementation both sketch stores share), which is what
+    * makes the ledger and the counters inseparable.
     */
   private def publish(spark: SparkSession, path: String,
       bytes: Array[Byte], eps: Double, confidence: Double, seed: Int,
       totalItems: Long, batches: Seq[(String, Long)],
       generation: Long): Unit = {
     import spark.implicits._
-    val staging = IndexStores.stagingFor(spark, path)
-    Seq(Tuple1(bytes)).toDF("sketch").coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/sketch")
-    Seq((eps, confidence, seed, totalItems, generation))
-      .toDF("eps", "confidence", "seed", "total_items", "generation")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/meta")
-    if (batches.nonEmpty)
-      batches.toDF("producer", "batch_id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$staging/batches")
-    IndexStores.swapInto(spark, path, staging)
+    IndexStores.publishSketchGeneration(spark, path, bytes,
+      Seq((eps, confidence, seed, totalItems, generation))
+        .toDF("eps", "confidence", "seed", "total_items", "generation"),
+      batches)
   }
 }

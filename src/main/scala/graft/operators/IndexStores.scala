@@ -248,6 +248,35 @@ private[operators] object IndexStores {
       f.delete(d.getPath, true)
   }
 
+  /** The (producer, batchId) applied-batch ledger the single-object
+    * SKETCH stores ([[FrequencyStore]], [[MembershipStore]]) share —
+    * distinct from [[tagLedger]]'s three-column delta-tag form.
+    */
+  def sketchBatches(spark: SparkSession,
+      path: String): Seq[(String, Long)] =
+    if (!hasStore(spark, s"$path/batches")) Seq.empty
+    else readStore(spark, s"$path/batches")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+
+  /** Stage one complete sketch-store generation (sketch + meta +
+    * ledger) and swap it in atomically — ONE publish implementation
+    * for both single-object sketch stores, so the ledger and the
+    * sketch stay inseparable and a hardening cannot miss a twin.
+    */
+  def publishSketchGeneration(spark: SparkSession, path: String,
+      sketch: Array[Byte], meta: DataFrame,
+      batches: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    val staging = stagingFor(spark, path)
+    Seq(Tuple1(sketch)).toDF("sketch").coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/sketch")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+    if (batches.nonEmpty)
+      batches.toDF("producer", "batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/batches")
+    swapInto(spark, path, staging)
+  }
+
   /** The pruned presence probe both indexes' incremental appends share:
     * the store rows (all columns) whose `idCol` appears in the
     * (bounded, broadcast) batch, read only from the partitions named in

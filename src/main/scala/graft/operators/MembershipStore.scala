@@ -50,7 +50,7 @@ object MembershipStore {
       expectedItems: Long, fpp: Double = 0.01): Unit = {
     val (bytes, n) = buildFilter(df, key, expectedItems, fpp)
     publish(df.sparkSession, path, bytes, expectedItems, fpp,
-      totalAdded = n, batches = Seq.empty)
+      totalAdded = n, batches = Seq.empty, generation = 1L)
   }
 
   /** Fold a batch of items in, exactly once per (producer, batchId).
@@ -68,7 +68,7 @@ object MembershipStore {
     if (!IndexStores.hasStore(spark, s"$path/sketch")) {
       val (bytes, n) = buildFilter(df, key, expectedItems, fpp)
       publish(spark, path, bytes, expectedItems, fpp, totalAdded = n,
-        batches = Seq((producer, batchId)))
+        batches = Seq((producer, batchId)), generation = 1L)
       return
     }
     val m = metaOf(spark, path)
@@ -83,14 +83,20 @@ object MembershipStore {
       new ByteArrayInputStream(sketchBytes(spark, path)))
     merged.mergeInPlace(
       BloomFilter.readFrom(new ByteArrayInputStream(batchBytes)))
-    // single-writer tripwire (the FrequencyStore posture): not a lock,
-    // the caller contract is one quiesced producer
-    require(appliedBatches(spark, path) == applied,
-      s"membership store at $path advanced during extend — a second " +
+    // single-writer tripwire (the FrequencyStore posture — the
+    // MONOTONIC generation counter, not ledger equality: a rebuild
+    // via write() leaves the ledger empty-to-empty and only the
+    // generation betrays it). Not a lock; the caller contract is one
+    // quiesced producer.
+    val gNow = metaOf(spark, path).generation
+    require(gNow == m.generation,
+      s"membership store at $path advanced (generation " +
+        s"${m.generation} -> $gNow) during extend — a second " +
         "concurrent writer is folding batches; serialise producers")
     publish(spark, path, serialize(merged), expectedItems, fpp,
       totalAdded = m.totalAdded + n,
-      batches = applied :+ ((producer, batchId)))
+      batches = applied :+ ((producer, batchId)),
+      generation = m.generation + 1L)
   }
 
   /** `df` + boolean `seen`: whether the store has (possibly) seen the
@@ -124,7 +130,8 @@ object MembershipStore {
     * stored seen-shingles, keep only those whose novelty is at least
     * `minNoveltyPpm` (plus everything in the very first batch — an
     * absent store has seen nothing), land the kept docs under
-    * `outDir/batch_<id>`, and fold the KEPT docs' shingles back in so
+    * `outDir/<producer-scoped batch tag>`, and fold the KEPT docs'
+    * shingles back in so
     * later batches measure novelty against everything kept so far.
     * Documents too short to shingle (< k tokens) have no novelty
     * evidence and are DROPPED — the conservative curation default.
@@ -161,8 +168,15 @@ object MembershipStore {
           b.join(keepIds, Seq("doc_id"), "left_semi")
         }
       val keptPinned = kept.localCheckpoint(true)
-      keptPinned.write.mode("overwrite")
-        .parquet(s"$outDir/batch_$batchId")
+      // producer-scoped output dir (the tag convention): a re-pointed
+      // checkpoint restarting at batch 0 lands beside, never OVER,
+      // another producer's curated output — and the write forces a
+      // schema-bearing file even when the trigger kept nothing (an
+      // empty parquet dir cannot be read back)
+      val dir = s"$outDir/${IndexStores.tagFor(producer, batchId)}"
+      keptPinned.write.mode("overwrite").parquet(dir)
+      if (!hasFiles(spark, dir))
+        keptPinned.repartition(1).write.mode("overwrite").parquet(dir)
       extend(TextOps.shingles(keptPinned, k), col("s"), storePath,
         batchId, expectedItems, fpp, producer = producer)
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
@@ -188,7 +202,7 @@ object MembershipStore {
   // ---- internals ----------------------------------------------------
 
   private final case class Meta(expectedItems: Long, fpp: Double,
-      totalAdded: Long)
+      totalAdded: Long, generation: Long)
 
   /** Distributed build over the key column (DataFrame.stat's
     * treeAggregate — per-partition filters OR-merged), plus the exact
@@ -216,6 +230,14 @@ object MembershipStore {
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
+  private def hasFiles(spark: SparkSession, dir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "*.parquet")))
+      .exists(_.nonEmpty)
+  }
+
   private def serialize(f: BloomFilter): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     f.writeTo(out)
@@ -229,32 +251,25 @@ object MembershipStore {
   private def metaOf(spark: SparkSession, path: String): Meta = {
     val r = IndexStores.readStore(spark, s"$path/meta").head
     Meta(r.getAs[Long]("expected_items"), r.getAs[Double]("fpp"),
-      r.getAs[Long]("total_added"))
+      r.getAs[Long]("total_added"), r.getAs[Long]("generation"))
   }
 
   private def appliedBatches(spark: SparkSession,
       path: String): Seq[(String, Long)] =
-    if (!IndexStores.hasStore(spark, s"$path/batches")) Seq.empty
-    else IndexStores.readStore(spark, s"$path/batches")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    IndexStores.sketchBatches(spark, path)
 
   /** Stage one complete generation (sketch + meta + ledger) and swap
-    * it in atomically — the one publish path write, bootstrap and
-    * merge share.
+    * it in atomically ([[IndexStores.publishSketchGeneration]] — the
+    * one publish implementation both sketch stores share).
     */
   private def publish(spark: SparkSession, path: String,
       bytes: Array[Byte], expectedItems: Long, fpp: Double,
-      totalAdded: Long, batches: Seq[(String, Long)]): Unit = {
+      totalAdded: Long, batches: Seq[(String, Long)],
+      generation: Long): Unit = {
     import spark.implicits._
-    val staging = IndexStores.stagingFor(spark, path)
-    Seq(Tuple1(bytes)).toDF("sketch").coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/sketch")
-    Seq((expectedItems, fpp, totalAdded))
-      .toDF("expected_items", "fpp", "total_added").coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/meta")
-    if (batches.nonEmpty)
-      batches.toDF("producer", "batch_id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$staging/batches")
-    IndexStores.swapInto(spark, path, staging)
+    IndexStores.publishSketchGeneration(spark, path, bytes,
+      Seq((expectedItems, fpp, totalAdded, generation))
+        .toDF("expected_items", "fpp", "total_added", "generation"),
+      batches)
   }
 }

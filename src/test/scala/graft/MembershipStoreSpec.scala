@@ -99,7 +99,7 @@ class MembershipStoreSpec extends SparkSpec {
       tmpDir("cur-ckpt"), expectedItems = 100000L,
       minNoveltyPpm = 500000L)
       .awaitTermination()
-    val kept = spark.read.parquet(s"$out/batch_*")
+    val kept = spark.read.parquet(s"$out/b_*")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert((1L to 10L).forall(kept), "the first batch is all-novel")
     assert((16L to 20L).forall(kept), "fresh docs in trigger 2 survive")
@@ -116,7 +116,7 @@ class MembershipStoreSpec extends SparkSpec {
         out2, batchId = i.toLong, expectedItems = 100000L,
         producer = "manual")
     }
-    val kept2 = spark.read.parquet(s"$out2/batch_*")
+    val kept2 = spark.read.parquet(s"$out2/b_*")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept2 === kept, "stream and sequential fold diverged")
     // a replayed trigger is fully idempotent: same output, same store
@@ -127,7 +127,7 @@ class MembershipStoreSpec extends SparkSpec {
     assert(MembershipStore.stats(spark, store2).head
       .getAs[Long]("items_added") === addedBefore,
       "replay must not re-count into the store")
-    assert(spark.read.parquet(s"$out2/batch_*")
+    assert(spark.read.parquet(s"$out2/b_*")
       .select("doc_id").collect().map(_.getLong(0)).toSet === kept,
       "replay must not change the landed output")
   }
