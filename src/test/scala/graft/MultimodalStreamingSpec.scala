@@ -250,6 +250,50 @@ class MultimodalStreamingSpec extends SparkSpec {
       .filter(col("s.n") =!= col("b.n") || col("s.sum_value") =!= col("b.sum_value"))
     assert(joined.count() === 0)
   }
+  test("streaming: stream-stream interval join matches the batch " +
+    "join; state is watermark-bounded") {
+    val src = tmpDir("ssj-src")
+    // views every 10 min per user; purchases at offsets that land
+    // inside AND outside the 1 h attribution horizon
+    val views = (0 until 120).map { i =>
+      (i.toLong, (i % 5).toLong,
+        Timestamp.valueOf(f"2024-01-01 ${i / 12}%02d:${(i % 12) * 5}%02d:00"),
+        0.0)
+    }
+    val purchases = (0 until 40).map { i =>
+      (1000L + i, (i % 5).toLong,
+        Timestamp.valueOf(f"2024-01-01 ${(i / 4) + 1}%02d:${(i % 4) * 13}%02d:07"),
+        i * 2.5)
+    }
+    views.toDF("event_id", "user_id", "ts", "value")
+      .write.parquet(s"$src/views")
+    purchases.toDF("event_id", "user_id", "ts", "value")
+      .write.parquet(s"$src/purch")
+    def stream(dir: String) = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val out = tmpDir("ssj-out"); val ckpt = tmpDir("ssj-ckpt")
+    StreamingPipeline.attributionJoinStream(
+      stream(s"$src/views"), stream(s"$src/purch"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start().awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val batch = StreamingPipeline.attributionJoinStream(
+      spark.read.parquet(s"$src/views"),
+      spark.read.parquet(s"$src/purch"))
+    assert(streamed.count() > 0, "the horizon must attribute something")
+    assert(streamed.except(batch).count() === 0 &&
+      batch.except(streamed).count() === 0,
+      "stream-stream interval join diverged from the batch join")
+    // the physical plan is the symmetric stream-stream join operator
+    // with watermark-driven state eviction, not a static-side join
+    val plan = StreamingPipeline.attributionJoinStream(
+      stream(s"$src/views"), stream(s"$src/purch"))
+      .queryExecution.logical.toString
+    assert(plan.contains("EventTimeWatermark"),
+      s"both sides must carry watermarks:\n$plan")
+  }
+
   test("dhash: every bit matches the driver-side pattern reference; clones land hamming-near") {
     val docs = sources.Tables.documents(spark, sf).limit(30)
     val media = MultimodalOps.pngMedia(spark, docs)
