@@ -757,9 +757,16 @@ object StreamingPipeline {
     * POSSIBLE — an unbounded-condition stream-stream inner join would
     * reject at analysis (or hold both streams forever); the interval
     * is the scale contract, not a convenience.
+    *
+    * `joinType = "leftOuter"` is the conversion-funnel shape: a view
+    * with NO purchase inside the horizon still emits (null purchase
+    * columns) — but only once the purchase-side watermark has passed
+    * its interval, i.e. once "no match" is DECIDED, never
+    * provisionally.
     */
   def attributionJoinStream(views: DataFrame, purchases: DataFrame,
-      horizon: String = "1 hour"): DataFrame = {
+      horizon: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val v = views.select(col("event_id").as("view_id"),
       col("user_id").as("v_user"), col("ts").as("view_ts"))
       .withWatermark("view_ts", horizon)
@@ -771,9 +778,9 @@ object StreamingPipeline {
       col("v_user") === col("p_user") &&
         col("purchase_ts") >= col("view_ts") &&
         col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
-      "inner")
-      .select(col("p_user").as("user_id"), col("view_id"),
-        col("view_ts"), col("purchase_id"), col("purchase_ts"),
-        col("purchase_value"))
+      joinType)
+      .select(coalesce(col("p_user"), col("v_user")).as("user_id"),
+        col("view_id"), col("view_ts"), col("purchase_id"),
+        col("purchase_ts"), col("purchase_value"))
   }
 }

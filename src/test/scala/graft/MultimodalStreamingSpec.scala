@@ -292,6 +292,31 @@ class MultimodalStreamingSpec extends SparkSpec {
       .queryExecution.logical.toString
     assert(plan.contains("EventTimeWatermark"),
       s"both sides must carry watermarks:\n$plan")
+    // leftOuter (the conversion-funnel shape): unmatched views emit
+    // with null purchase columns once "no match" is watermark-decided;
+    // matched rows equal the inner result exactly
+    val out2 = tmpDir("ssj-out2"); val ckpt2 = tmpDir("ssj-ckpt2")
+    StreamingPipeline.attributionJoinStream(
+      stream(s"$src/views"), stream(s"$src/purch"),
+      joinType = "leftOuter")
+      .writeStream.option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out2).start().awaitTermination()
+    val outer = spark.read.parquet(out2)
+    val outerMatched = outer.filter(col("purchase_id").isNotNull)
+    assert(outerMatched.except(streamed).count() === 0 &&
+      streamed.except(outerMatched).count() === 0,
+      "leftOuter's matched rows must equal the inner join")
+    // views whose join window closed under the final watermark and
+    // matched nothing appear exactly once with null purchase columns
+    val unmatched = outer.filter(col("purchase_id").isNull)
+    assert(unmatched.count() > 0,
+      "the fixture has views with no purchase inside the horizon")
+    assert(unmatched.select("view_id").distinct().count() ===
+      unmatched.count(), "one null-emission per unmatched view")
+    assert(unmatched.join(streamed.select("view_id").distinct(),
+      Seq("view_id"), "left_semi").count() === 0,
+      "a matched view must never also null-emit")
   }
 
   test("dhash: every bit matches the driver-side pattern reference; clones land hamming-near") {
