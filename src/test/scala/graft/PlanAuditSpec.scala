@@ -296,6 +296,29 @@ class PlanAuditSpec extends SparkSpec {
       s"CmsEstimate expression missing from the plan:\n$p")
   }
 
+  test("membership probe: a pure projection — no join, no shuffle; " +
+    "novelty adds exactly one combinable aggregation") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("audit-mem") + "/store"
+    val sh = graft.operators.TextOps.shingles(
+      sources.Tables.documents(spark, sf))
+    graft.operators.MembershipStore.write(sh, col("s"), path,
+      expectedItems = 2000000L)
+    val p = graft.operators.MembershipStore.seen(sh, col("s"), path)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"the Bloom probe must not join:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the Bloom probe must not shuffle:\n$p")
+    assert(p.toLowerCase.contains("bloommightcontain"),
+      s"BloomMightContainBytes expression missing from the plan:\n$p")
+    val nov = graft.operators.MembershipStore.novelty(sh, "doc_id",
+      col("s"), path).queryExecution.executedPlan.toString
+    assert(!nov.contains("Join"), s"novelty must not join:\n$nov")
+    assert("Exchange".r.findAllIn(nov).length === 1 &&
+      nov.contains("partial_count"),
+      s"novelty should be one map-side-combinable aggregation:\n$nov")
+  }
+
   test("scd2_pit_join: an EQUI-join on the key with the interval " +
     "residual — never a nested loop") {
     val p = plan("scd2_pit_join")
