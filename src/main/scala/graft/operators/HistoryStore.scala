@@ -151,8 +151,10 @@ object HistoryStore {
         .distinct().collect().map(_.getString(0)).toSeq
       // purged keys are frozen until the compaction cycle physically
       // drops their history — folding new versions in would interleave
-      // them with to-be-erased ones
-      purgedLocal(spark, path).foreach { p =>
+      // them with to-be-erased ones. Read ONCE per batch; the same
+      // local frame feeds the pruned serve below.
+      val purgeList = purgedLocal(spark, path)
+      purgeList.foreach { p =>
         val frozen = touched
           .join(broadcast(p.select(m.key)), Seq(m.key), "left_semi")
           .limit(1).collect()
@@ -162,7 +164,8 @@ object HistoryStore {
             "are frozen until the compaction cycle physically erases " +
             "them")
       }
-      val storedTouched = serveBuckets(spark, path, m, Some(bkps))
+      val storedTouched = serveBuckets(spark, path, m, Some(bkps),
+        purgeList)
         .join(touched, Seq(m.key), "left_semi")
         .localCheckpoint(true)
       val replayed = HistoryOps.scd2Extend(storedTouched, ch,
@@ -202,7 +205,8 @@ object HistoryStore {
     */
   def serve(spark: SparkSession, path: String): DataFrame = {
     IndexStores.healRoot(spark, path)
-    serveBuckets(spark, path, metaOf(spark, path), None)
+    serveBuckets(spark, path, metaOf(spark, path), None,
+      purgedLocal(spark, path))
   }
 
   /** Right-to-be-forgotten: erase EVERY version of the given keys.
@@ -239,11 +243,14 @@ object HistoryStore {
       when(src.isNull, raise_error(lit(
         "history store: null purge key — the purge anti-join is " +
           "null-rejecting, a null key cannot be erased this way")))
-        .when(src.try_cast(kt).isNull, raise_error(concat(
-          lit("history store: purge key "), src.cast("string"),
-          lit(s" does not cast to the dimension key type " +
-            s"${kt.simpleString} — a lossy key would be recorded as " +
-            "purged while its rows keep serving"))))
+        .when(src.try_cast(kt).isNull ||
+          !(src.try_cast(kt).cast(keys.schema.head.dataType) <=> src),
+          raise_error(concat(
+            lit("history store: purge key "), src.cast("string"),
+            lit(s" does not cast EXACTLY to the dimension key type " +
+              s"${kt.simpleString} — a lossy cast (3.7 truncating to " +
+              "3) would erase a key nobody asked to purge while the " +
+              "intended one keeps serving"))))
         .otherwise(src.cast(kt)).as(m.key))
       .distinct()
       .withColumn("erased_gen", lit(null).cast("long"))
@@ -284,10 +291,13 @@ object HistoryStore {
     try {
       // snapshot the purge list BEFORE the rewrite reads it: only
       // entries this rewrite provably excluded may advance below (a
-      // purge landing mid-compact stays pending — erased next cycle)
-      val p1Keys = purgedLocal(spark, path)
+      // purge landing mid-compact stays pending — erased next cycle);
+      // the SAME snapshot feeds the rewrite's anti-join
+      val p1 = purgedLocal(spark, path)
+      val p1Keys = p1
         .map(_.collect().map(_.get(0)).toSet).getOrElse(Set.empty[Any])
-      val dim = serveBuckets(spark, path, m, None).localCheckpoint(true)
+      val dim = serveBuckets(spark, path, m, None, p1)
+        .localCheckpoint(true)
       writeDelta(spark, path, tag,
         data = dim.drop("last_changed", "is_current"),
         closures = emptyClosures(spark, dim, m.key),
@@ -337,10 +347,11 @@ object HistoryStore {
     IndexStores.healRoot(spark, path)
     val m = metaOf(spark, path)
     val applied = ledger(spark, path)
-    val d = serveBuckets(spark, path, m, None).agg(
+    val purgeList = purgedLocal(spark, path)
+    val d = serveBuckets(spark, path, m, None, purgeList).agg(
       count(lit(1)), count(when(col("is_current"), 1)),
       countDistinct(col(m.key))).head
-    val nPurged = purgedLocal(spark, path).map(_.count()).getOrElse(0L)
+    val nPurged = purgeList.map(_.count()).getOrElse(0L)
     import spark.implicits._
     Seq((applied.size.toLong, applied.map(_._3).distinct.size.toLong,
       d.getLong(0), d.getLong(1), d.getLong(2), nPurged))
@@ -369,20 +380,14 @@ object HistoryStore {
   private def storeFs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def hasFiles(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Boolean =
-    Seq("*/*.parquet", "*.parquet").exists(g =>
-      Option(fs.globStatus(new Path(dir, g))).exists(_.nonEmpty))
-
   /** The stored data schema (the schema authority for every derived
     * frame and for purge-key type validation).
     */
   private def dataSchemaOf(spark: SparkSession, path: String)
       : org.apache.spark.sql.types.StructType = {
     val tags = ledger(spark, path).map(_._3).distinct
-    val fs = storeFs(spark, path)
     tags.collectFirst {
-      case t if hasFiles(fs, s"$path/data/$t") =>
+      case t if IndexStores.hasParquetFiles(spark, s"$path/data/$t") =>
         spark.read.parquet(s"$path/data/$t").schema
     }.getOrElse(throw new IllegalStateException(
       s"history store at $path has no data files in any ledgered tag"))
@@ -442,10 +447,10 @@ object HistoryStore {
     * frame derived from the data schema.
     */
   private def serveBuckets(spark: SparkSession, path: String, m: Meta,
-      bkps: Option[Seq[String]]): DataFrame = {
+      bkps: Option[Seq[String]],
+      purgeList: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val tags = ledger(spark, path).map(_._3).distinct
-    val fs = storeFs(spark, path)
     // an EMPTY prune list (empty batch) short-circuits to empty frames
     // outright — isin() of zero values must never widen to a scan, and
     // even the per-tag dir listings are skipped (IndexStores
@@ -455,7 +460,8 @@ object HistoryStore {
       tags.map { t =>
         val dir = s"$path/$store/$t"
         val df =
-          if (!pruneEmpty && hasFiles(fs, dir)) spark.read.parquet(dir)
+          if (!pruneEmpty && IndexStores.hasParquetFiles(spark, dir))
+            spark.read.parquet(dir)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schema)
@@ -488,9 +494,10 @@ object HistoryStore {
         col("valid_from") :+ col("valid_to") :+ col("is_current") :+
         col("last_changed")): _*)
     // purged keys are logically erased on EVERY read path (bounded
-    // LOCAL list — no lazy file refs — broadcast anti-join); compact
-    // makes it physical
-    purgedLocal(spark, path).fold(full)(p =>
+    // LOCAL list the CALLER read once — no lazy file refs, no second
+    // filesystem walk on the ingest hot path — broadcast anti-join);
+    // compact makes it physical
+    purgeList.fold(full)(p =>
       full.join(broadcast(p.select(m.key)), Seq(m.key), "left_anti"))
   }
 
@@ -502,16 +509,23 @@ object HistoryStore {
       data: DataFrame, closures: DataFrame, frontier: DataFrame,
       meta: Meta): Unit = {
     // repartition by bkp first: one task per bucket, not one file per
-    // (task × bucket) — the BandIndex file-count discipline
+    // (task × bucket) — the BandIndex file-count discipline. Every
+    // store then forces a schema-bearing file: a fully-empty delta
+    // (purge-everything compact, empty bootstrap batch) would
+    // otherwise leave a fileless LEDGERED data tag that bricks
+    // dataSchemaOf — and the ledger makes replays no-ops, so nothing
+    // would self-heal.
     def withBkp(df: DataFrame): DataFrame =
       df.withColumn("bkp", bkpCol(col(meta.key), meta.nBuckets))
-        .repartition(col("bkp"))
-    withBkp(data).write.mode("overwrite").partitionBy("bkp")
-      .parquet(s"$path/data/$tag")
-    withBkp(closures).write.mode("overwrite").partitionBy("bkp")
-      .parquet(s"$path/closures/$tag")
-    withBkp(frontier).write.mode("overwrite").partitionBy("bkp")
-      .parquet(s"$path/frontier/$tag")
+    def writeStore(df: DataFrame, dir: String): Unit = {
+      val b = withBkp(df)
+      b.repartition(col("bkp")).write.mode("overwrite")
+        .partitionBy("bkp").parquet(dir)
+      IndexStores.forceSchemaBearing(b, dir)
+    }
+    writeStore(data, s"$path/data/$tag")
+    writeStore(closures, s"$path/closures/$tag")
+    writeStore(frontier, s"$path/frontier/$tag")
   }
 
   private def writeMeta(spark: SparkSession, path: String,

@@ -248,6 +248,30 @@ private[operators] object IndexStores {
       f.delete(d.getPath, true)
   }
 
+  /** Whether `dir` holds at least one parquet file, flat or one
+    * partition level down — the empty-write probe every tag store
+    * shares (ONE implementation; the empty-dir edge keeps biting and
+    * a hardening must not miss a twin).
+    */
+  def hasParquetFiles(spark: SparkSession, dir: String): Boolean = {
+    val f = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Seq("*/*.parquet", "*.parquet").exists(g =>
+      Option(f.globStatus(new Path(dir, g))).exists(_.nonEmpty))
+  }
+
+  /** Guarantee `dir` (just written from `df`) carries a SCHEMA-BEARING
+    * parquet file: an empty write — plain or `partitionBy` — leaves a
+    * fileless directory schema inference cannot read, which a later
+    * read turns into a store-wide brick (a ledgered tag no reader can
+    * open). The rewrite is plain (unpartitioned): a partitioned empty
+    * write emits nothing however it is repartitioned, and readers of
+    * these stores resolve the partition column by NAME either way.
+    */
+  def forceSchemaBearing(df: DataFrame, dir: String): Unit =
+    if (!hasParquetFiles(df.sparkSession, dir))
+      df.repartition(1).write.mode("overwrite").parquet(dir)
+
   /** The (producer, batchId) applied-batch ledger the single-object
     * SKETCH stores ([[FrequencyStore]], [[MembershipStore]]) share —
     * distinct from [[tagLedger]]'s three-column delta-tag form.

@@ -175,8 +175,7 @@ object MembershipStore {
       // empty parquet dir cannot be read back)
       val dir = s"$outDir/${IndexStores.tagFor(producer, batchId)}"
       keptPinned.write.mode("overwrite").parquet(dir)
-      if (!hasFiles(spark, dir))
-        keptPinned.repartition(1).write.mode("overwrite").parquet(dir)
+      IndexStores.forceSchemaBearing(keptPinned, dir)
       extend(TextOps.shingles(keptPinned, k), col("s"), storePath,
         batchId, expectedItems, fpp, producer = producer)
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
@@ -228,14 +227,6 @@ object MembershipStore {
         else keyed.stat.bloomFilter("__k", expectedItems, fpp)
       (serialize(filter), n)
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
-  }
-
-  private def hasFiles(spark: SparkSession, dir: String): Boolean = {
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    Option(fs.globStatus(
-      new org.apache.hadoop.fs.Path(dir, "*.parquet")))
-      .exists(_.nonEmpty)
   }
 
   private def serialize(f: BloomFilter): Array[Byte] = {

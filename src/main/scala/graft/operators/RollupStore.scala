@@ -118,16 +118,7 @@ object RollupStore {
     */
   private def writeTag(df: DataFrame, dir: String): Unit = {
     df.write.mode("overwrite").parquet(dir)
-    val spark = df.sparkSession
-    if (!hasFiles(spark, dir))
-      df.repartition(1).write.mode("overwrite").parquet(dir)
-  }
-
-  private def hasFiles(spark: SparkSession, dir: String): Boolean = {
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "*.parquet")))
-      .exists(_.nonEmpty)
+    IndexStores.forceSchemaBearing(df, dir)
   }
 
   /** Fold a batch in, exactly once per (producer, batchId): ONE
@@ -256,7 +247,8 @@ object RollupStore {
   private def tagFrames(spark: SparkSession,
       path: String): Seq[DataFrame] = {
     val tags = IndexStores.tagLedger(spark, path).map(_._3).distinct
-    val lost = tags.filterNot(t => hasFiles(spark, s"$path/data/$t"))
+    val lost = tags.filterNot(t =>
+      IndexStores.hasParquetFiles(spark, s"$path/data/$t"))
     require(lost.isEmpty,
       s"rollup store at $path: ledgered tag(s) ${lost.mkString(",")} " +
         "have no data files — committed data is missing; restore the " +

@@ -2179,19 +2179,28 @@ object ExtQueries {
   private val historyStoreCache =
     new SessionCache[String](SessionCache.deleteTree)
   private val scd2CutoffTs = "2024-01-21 00:00:00"
+  /** The ONE incremental store build (cutoff split write + extend)
+    * every scd2-store gate shares — a fixture change cannot
+    * de-synchronise the gates' baselines.
+    */
+  private def buildHistoryStore(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    val ch = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "purchase")
+    val cutoff = to_timestamp(lit(scd2CutoffTs))
+    graft.operators.HistoryStore.write(
+      ch.filter(col("ts") <= cutoff), s"$root/dim", "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+    graft.operators.HistoryStore.extend(
+      ch.filter(col("ts") > cutoff), s"$root/dim", batchId = 1L,
+      "user_id", "ts", Seq("event_type"), Seq("event_id"))
+  }
+
   private def historyStorePath(spark: SparkSession, dir: String): String =
     historyStoreCache.get(spark, dir) {
       val root = java.nio.file.Files
         .createTempDirectory("graft-history-store").toString
-      val ch = Tables.events(spark, dir)
-        .filter(col("event_type") =!= "purchase")
-      val cutoff = to_timestamp(lit(scd2CutoffTs))
-      graft.operators.HistoryStore.write(
-        ch.filter(col("ts") <= cutoff), s"$root/dim", "user_id", "ts",
-        Seq("event_type"), Seq("event_id"))
-      graft.operators.HistoryStore.extend(
-        ch.filter(col("ts") > cutoff), s"$root/dim", batchId = 1L,
-        "user_id", "ts", Seq("event_type"), Seq("event_id"))
+      buildHistoryStore(spark, dir, root)
       root
     } + "/dim"
 
@@ -2222,18 +2231,10 @@ object ExtQueries {
     val root = purgeStoreCache.get(spark, dir) {
       val r = java.nio.file.Files
         .createTempDirectory("graft-purge-store").toString
-      val ch = Tables.events(spark, dir)
-        .filter(col("event_type") =!= "purchase")
-      val cutoff = to_timestamp(lit(scd2CutoffTs))
-      graft.operators.HistoryStore.write(
-        ch.filter(col("ts") <= cutoff), s"$r/dim", "user_id", "ts",
-        Seq("event_type"), Seq("event_id"))
-      graft.operators.HistoryStore.extend(
-        ch.filter(col("ts") > cutoff), s"$r/dim", batchId = 1L,
-        "user_id", "ts", Seq("event_type"), Seq("event_id"))
+      buildHistoryStore(spark, dir, r)
       graft.operators.HistoryStore.purge(spark, s"$r/dim",
-        ch.select(col("user_id")).filter(col("user_id") % 7 === 3)
-          .distinct())
+        Tables.events(spark, dir).select(col("user_id"))
+          .filter(col("user_id") % 7 === 3).distinct())
       graft.operators.HistoryStore.compact(spark, s"$r/dim")
       r
     }

@@ -682,8 +682,11 @@ object StreamingPipeline {
     * ([[graft.operators.MembershipStore.curateBatch]] per trigger):
     * the self-reinforcing ingest filter — each trigger keeps only the
     * documents whose shingle-novelty against everything KEPT SO FAR is
-    * at least `minNoveltyPpm`, lands them under `outDir/batch_<id>`
-    * (idempotent overwrite), and folds the kept shingles back into the
+    * at least `minNoveltyPpm`, lands them under a producer-scoped
+    * batch-tag dir (`outDir/b_<md5(checkpoint)>_<id>_g0` — glob
+    * `outDir/b_*`; idempotent overwrite, and a re-pointed checkpoint
+    * never overwrites another producer's output), and folds the kept
+    * shingles back into the
     * membership store (ledger-fenced per trigger, checkpoint-scoped).
     * A near-duplicate arriving ten triggers after its original scores
     * as seen and is dropped without any corpus read or pairwise join —

@@ -257,6 +257,56 @@ class HistoryStoreSpec extends SparkSpec {
     assert(served5.head.getAs[Int]("version") === 1)
   }
 
+  test("purge-EVERYTHING then compact leaves a servable (empty) " +
+    "store; an empty bootstrap batch leaves a servable store") {
+    // full right-to-be-forgotten: after the rewrite the only ledgered
+    // data tag is empty — it must still carry a schema-bearing file,
+    // or every later serve/extend/stats bricks on schema inference
+    val path = tmpDir("hs-wipe") + "/dim"
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
+    HistoryStore.purge(spark, path,
+      early.select("k").distinct().withColumnRenamed("k", "uid"))
+    HistoryStore.compact(spark, path)
+    assert(HistoryStore.serve(spark, path).count() === 0L)
+    assert(HistoryStore.stats(spark, path).head
+      .getAs[Long]("version_rows") === 0L)
+    HistoryStore.compact(spark, path) // second cycle still healthy
+    assert(HistoryStore.stats(spark, path).head
+      .getAs[Long]("purged_keys") === 0L)
+    // the wiped store accepts a fresh history
+    HistoryStore.extend(late, path, 9L, "k", "ts", Seq("state"),
+      Seq("id"))
+    assert(asSet(HistoryStore.serve(spark, path)) ===
+      asSet(HistoryOps.scd2(late, "k", "ts", Seq("state"), Seq("id"))))
+    // and an EMPTY bootstrap batch (a stream's first trigger before
+    // any files land) must not brick either
+    val p2 = tmpDir("hs-emptyboot") + "/dim"
+    HistoryStore.extend(early.filter(lit(false)), p2, 0L, "k", "ts",
+      Seq("state"), Seq("id"))
+    assert(HistoryStore.serve(spark, p2).count() === 0L)
+    HistoryStore.extend(early, p2, 1L, "k", "ts", Seq("state"),
+      Seq("id"))
+    assert(asSet(HistoryStore.serve(spark, p2)) ===
+      asSet(HistoryOps.scd2(early, "k", "ts", Seq("state"), Seq("id"))))
+  }
+
+  test("a LOSSY purge key (fractional against a bigint dim) rejects " +
+    "instead of erasing a key nobody asked to purge") {
+    val path = tmpDir("hs-lossy") + "/dim"
+    HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
+    val e = intercept[Exception] {
+      HistoryStore.purge(spark, path, Seq(3.7).toDF("uid"))
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(x => Option(x.getMessage)).mkString(" | ")
+    assert(messages.contains("does not cast EXACTLY"), messages.take(400))
+    // exact-valued doubles still purge (the round-trip is identity)
+    HistoryStore.purge(spark, path, Seq(3.0).toDF("uid"))
+    assert(HistoryStore.serve(spark, path)
+      .filter(col("k") === 3L).count() === 0L)
+  }
+
   test("write over a LIVE store is an atomic wholesale rebuild") {
     val path = tmpDir("hs-rebuild") + "/dim"
     HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
