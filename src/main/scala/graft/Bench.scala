@@ -95,10 +95,24 @@ object Bench {
         }
       }
     }
-    // (seconds, succeeded) per query per pass: a failed pass must not
-    // feed the min — a query that throws in 0.3 s and succeeds in 5 s
-    // ran for 5 s
-    val allPasses = (1 to passes).map { p =>
+    // per-query peak-heap attribution (VERDICT r8 #6): each pool's
+    // peak counter is RESET before a query and read after, so the
+    // 23 GB whole-run number decomposes into per-gate suspects before
+    // a 100× run finds them the hard way. Same caveat as the run-wide
+    // number: summing pool peaks reached at different instants is an
+    // UPPER BOUND on the simultaneous peak — safe for capacity claims.
+    import scala.jdk.CollectionConverters._
+    def heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def heapPeakMb(): Long =
+      heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+
+    // (seconds, succeeded, peakHeapMb) per query per pass: a failed
+    // pass must not feed the min — a query that throws in 0.3 s and
+    // succeeds in 5 s ran for 5 s
+    def runPass(): Seq[(String, Double, Boolean, Long)] = {
       spark.catalog.clearCache()
       System.gc()
       // absorb the post-GC/post-clearCache ramp on a FIXED untimed
@@ -112,6 +126,7 @@ object Bench {
           .groupBy("l_returnflag").count())
       catch { case scala.util.control.NonFatal(_) => () }
       names.map { case (name, fn) =>
+        resetHeapPeaks()
         val t0 = System.nanoTime()
         val ok =
           try { BenchUtil.sink(fn(spark, sfDir)); true }
@@ -119,9 +134,31 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        (name, (System.nanoTime() - t0) / 1e9, ok, heapPeakMb())
       }
     }
+    // Contention tripwire (VERDICT r8 #2/#3): on a shared box, two
+    // passes are not enough — the r8 driver draw landed 901.6 / 317.7 s
+    // pass totals with DISJOINT contention bands, so even min-of-two
+    // kept damage where the bands overlapped. When the pass totals
+    // disagree by more than 1.5×, the slow pass measured the BOX, not
+    // the code: keep drawing extra passes (bounded) until two passes
+    // land within 1.5× of each other or the budget is spent; the
+    // per-query min over ALL passes then has at least two comparable
+    // draws behind it.
+    val extraCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt.max(0)
+    val passBuf = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double, Boolean, Long)]]
+    (1 to passes).foreach(_ => passBuf += runPass())
+    def totals = passBuf.map(_.map(_._2).sum)
+    var extras = 0
+    while (extras < extraCap && passBuf.size >= 2 &&
+           totals.max > totals.min * 1.5) {
+      System.err.println(f"[bench] pass totals ${totals.map(t => f"$t%.1f").mkString("/")} " +
+        "disperse >1.5x — drawing an extra pass (contention tripwire)")
+      passBuf += runPass()
+      extras += 1
+    }
+    val allPasses: Seq[Seq[(String, Double, Boolean, Long)]] = passBuf.toSeq
     val failed = names.map(_._1).filter(n =>
       allPasses.forall(!_.find(_._1 == n).get._3))
     val results = names.map(_._1).map { name =>
@@ -142,27 +179,32 @@ object Bench {
     // wall time, so a fast failure (threw at 0.3 s) can never be
     // mistaken for a fast clean draw when adjudicating from the file.
     val perPass = allPasses.map(p =>
-      p.map { case (n, t, ok) =>
+      p.map { case (n, t, ok, _) =>
         "\"" + n + f"""\":${if (ok) t else -t}%.3f"""
       }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
-    // peak JVM heap across the whole run — the driver-side memory
-    // cliff a scale probe is looking for: a collect()/broadcast that
-    // fits at sf0.1 and OOMs at 10× shows up here long before it
-    // kills a real driver. This sums each heap pool's high-water
-    // mark, which different pools may reach at DIFFERENT times — an
-    // UPPER BOUND on the true simultaneous peak (can even exceed
-    // -Xmx), never an understatement: safe for "fits in X GB"
-    // capacity claims, pessimistic for cliff alarms. The JVM exposes
-    // no cheap simultaneous-peak counter; sampling would cost more
-    // than this number is worth.
-    import scala.jdk.CollectionConverters._
-    val peakHeapMb = java.lang.management.ManagementFactory
-      .getMemoryPoolMXBeans.asScala
-      .filter(_.getType == java.lang.management.MemoryType.HEAP)
-      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+    // peak JVM heap, now ATTRIBUTED: per-query max-over-passes of the
+    // reset-read pool-peak sum (upper bound on the simultaneous peak —
+    // pools peak at different instants — never an understatement:
+    // safe for "fits in X GB" capacity claims, pessimistic for cliff
+    // alarms). The run-wide headline is the max over gates; a
+    // collect()/broadcast that fits at sf0.1 and OOMs at 10× now has
+    // a NAME before a 100× run finds it.
+    val heapPerQuery = names.map(_._1).map { name =>
+      name -> allPasses.map(_.find(_._1 == name).get._4).max
+    }
+    val heapJson = heapPerQuery.map { case (k, v) => "\"" + k + s"""\":$v""" }
+      .mkString("{", ",", "}")
+    val peakHeapMb = if (heapPerQuery.isEmpty) 0L else heapPerQuery.map(_._2).max
+    // pass-total dispersion (max/min): >1.5 after the tripwire's extra
+    // draws means the box never quieted — the artifact SAYS so instead
+    // of leaving the adjudication to a human diffing pass totals
+    val passTotalSeq = allPasses.map(_.map(_._2).sum)
+    val dispersion =
+      if (passTotalSeq.size < 2 || passTotalSeq.min == 0.0) 1.0
+      else passTotalSeq.max / passTotalSeq.min
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"per_pass":$perPass,"failed":$failedJson,"peak_heap_mb":$peakHeapMb}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"per_pass":$perPass,"failed":$failedJson,"peak_heap_mb":$peakHeapMb,"heap_mb":$heapJson,"dispersion":$dispersion%.3f}"""
     // Short headline FIRST and LAST around the full per-query line: the
     // driver's stdout-tail capture has truncated the 86-query line
     // mid-object (r01/r03 "parsed: null") — a short line on both sides

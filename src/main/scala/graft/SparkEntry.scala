@@ -185,6 +185,8 @@ object SparkEntry {
     "split_leakage" -> (graft.queries.ExtQueries.splitLeakage(_, _)),
     "skew_profile" -> (graft.queries.ExtQueries.skewProfile(_, _)),
     "skew_summary" -> (graft.queries.ExtQueries.skewSummary(_, _)),
+    "graph_label_prop" -> (graft.queries.ExtQueries.graphLabelProp(_, _)),
+    "profile_constraints" -> (graft.queries.ExtQueries.profileConstraints(_, _)),
   )
 
   /** Normalised `events` view used by every oracle touching events:

@@ -76,15 +76,39 @@ object BoilerplateIndex {
   def update(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
     IndexStores.healRoot(spark, path)
-    // heal the counts store's own swap window BEFORE appending: a
+    // heal the counts store's own swap window BEFORE appending (a
     // compact() that died between its two renames leaves the history
     // only under counts.__old_*, and an append that recreates a live
-    // counts/ first would strand (then stale-clean) that history —
-    // update is a writer, so it must run the same per-store heal every
-    // reader does
-    IndexStores.hasStore(spark, s"$path/counts")
+    // counts/ first would strand — then stale-clean — that history),
+    // and assert it exists: an unhealed/absent store must reject, not
+    // fall through to a bare append that fabricates a count-only index
+    IndexStores.healStoreRequired(spark, s"$path/counts")
     batchCounts(docs, segTokensOf(spark, path))
       .write.mode("append").parquet(s"$path/counts")
+  }
+
+  /** Ledger-fenced [[update]]: a (producer, batchId) pair already
+    * recorded in `$path/batches` is a NO-OP, so a crash-REPLAYED
+    * trigger (the common foreachBatch replay — output landed, stream
+    * checkpoint didn't commit) never re-appends its count delta. The
+    * residual window — a crash between the delta append's job commit
+    * and the ledger append — still double-counts on replay:
+    * conservative per the counting contract (over-counting only
+    * promotes MORE segments to boilerplate, never hides any) and
+    * narrow next to the whole-trigger window the unfenced form leaves
+    * open. Single quiesced producer per (producer) stream, the store
+    * family's contract.
+    */
+  def update(docs: DataFrame, path: String, producer: String,
+      batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    IndexStores.healRoot(spark, path)
+    if (IndexStores.sketchBatches(spark, path)
+        .contains((producer, batchId))) return
+    update(docs, path)
+    import spark.implicits._
+    Seq((producer, batchId)).toDF("producer", "batch_id").coalesce(1)
+      .write.mode("append").parquet(s"$path/batches")
   }
 
   /** Fold the per-batch delta rows to one row per hash. */

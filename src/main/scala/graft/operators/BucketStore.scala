@@ -128,25 +128,26 @@ object BucketStore {
   /** Point lookup served by BUCKET PRUNING: reads 1 of n buckets per
     * key instead of the table. Spark's planner only prunes buckets on
     * a bucketed scan, and it auto-disables bucketed scans that don't
-    * feed a join/agg — so the lookup plans inside a conf window that
-    * forces the bucketed scan, executes there (localCheckpoint; the
-    * result is bounded by the keys' row count), and restores the conf
-    * so the rest of the session keeps the auto behaviour.
+    * feed a join/agg — so the lookup plans in a CHILD SESSION
+    * (`newSession`: own SQL conf, shared context and catalog) with the
+    * auto-bucketed-scan heuristic off there, and executes eagerly
+    * (localCheckpoint; the result is bounded by the keys' row count).
+    * The conf override is scoped to the child by construction — a
+    * query planned concurrently in the caller's session keeps its auto
+    * behaviour, where the previous set/restore window silently leaked
+    * the override to it. The returned frame is a checkpointed RDD plan
+    * (no file sources, no conf sensitivity), safe to combine with
+    * caller-session frames.
     */
   def pointLookup(spark: SparkSession, path: String,
                   values: Seq[Long]): DataFrame = {
-    val m = readMeta(spark, path)
-    val name = open(spark, path)
-    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.getOption(auto)
-    spark.conf.set(auto, "false")
-    try
-      spark.table(name)
-        .filter(col(m.key).isin(values: _*))
-        .localCheckpoint()
-    finally prev match {
-      case Some(v) => spark.conf.set(auto, v)
-      case None    => spark.conf.unset(auto)
-    }
+    val session = spark.newSession()
+    val m = readMeta(session, path)
+    val name = open(session, path)
+    session.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    session.table(name)
+      .filter(col(m.key).isin(values: _*))
+      .localCheckpoint()
   }
 }

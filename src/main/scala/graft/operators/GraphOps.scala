@@ -272,6 +272,88 @@ object GraphOps {
     ranks
   }
 
+  /** Semi-supervised LABEL PROPAGATION over an undirected edge list —
+    * diffuse sparse seed labels (e.g. a few human-audited quality /
+    * topic / license tags) through a similarity or co-occurrence graph
+    * so the whole corpus inherits a label (Zhu & Ghahramani's
+    * label-propagation shape, re-expressed relationally). The training
+    * -data use is label completion: audit 2% of documents, propagate
+    * over the near-dup / co-citation graph, train the cheap classifier
+    * on the result.
+    *
+    * Deterministic by construction (the gate posture): votes are
+    * integer COUNTS of labelled neighbours, the per-node winner is
+    * argmax by `(votes desc, label asc)` — a total order, so no
+    * float scores and no tie luck — seeds are CLAMPED (a seed node
+    * never changes its label), and updates are SYNCHRONOUS over a
+    * fixed `iters` rounds, so the result is a pure function of
+    * (edges, seeds, iters) that an independent engine can replay
+    * iteration-for-iteration.
+    *
+    * Scale shape: each round is one equi-join of the symmetrised edge
+    * list against the current label table, one map-side-combinable
+    * `(node, label)` count, and one argmax AGGREGATE —
+    * `max(struct(votes, -label))`, not a window, so there is no
+    * per-node sort and the hot-node cost is the aggregate's combine.
+    * Same shuffle currency as [[pageRank]]; lineage truncated per
+    * round, intermediates released as the loop advances. Unreached
+    * nodes stay unlabelled (absent from the result).
+    *
+    * `edges`: two columns (any names) = undirected pairs;
+    * `seeds`: `(id, label)` with integer labels. Returns `(id, label)`
+    * for every node labelled after `iters` rounds.
+    */
+  def labelPropagate(edgesIn: DataFrame, seeds: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val Array(ca, cb) = edgesIn.columns.take(2)
+    val e = edgesIn.select(col(ca).cast("bigint").as("src"),
+      col(cb).cast("bigint").as("dst"))
+    val (sym, symIds) = eagerCp(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    val (seed, seedIds) = eagerCp(seeds.select(
+      col("id").cast("bigint").as("id"),
+      col("label").cast("bigint").as("seed_label")).distinct())
+    // graph nodes ∪ seed ids: an edgeless seed keeps its (clamped)
+    // label instead of silently vanishing from the result
+    val (nodes, nodeIds) = eagerCp(
+      sym.select(col("src").as("id"))
+        .union(seed.select(col("id"))).distinct())
+    var (labels, labelIds) = eagerCp(
+      seed.select(col("id"), col("seed_label").as("label")))
+    try {
+      for (_ <- 1 to iters) {
+        val votes = sym
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+        // argmax by (votes desc, label asc) as ONE aggregate:
+        // max(struct(votes, -label)) — max votes, then max(-label) =
+        // min label. Labels are bigint, so the negation is total.
+        val winner = votes.groupBy("id")
+          .agg(max(struct(col("votes"), (-col("label")).as("nl")))
+            .as("w"))
+          .select(col("id"), (-col("w.nl")).as("vote_label"))
+        val (next, nextIds) = eagerCp(nodes
+          .join(seed, Seq("id"), "left")
+          .join(winner, Seq("id"), "left")
+          .join(labels.withColumnRenamed("label", "prev_label"),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("seed_label"),
+            col("vote_label"), col("prev_label")).as("label"))
+          .filter(col("label").isNotNull))
+        releaseCp(labels, labelIds)
+        labels = next
+        labelIds = nextIds
+      }
+      labels
+    } finally {
+      releaseCp(sym, symIds)
+      releaseCp(nodes, nodeIds)
+      releaseCp(seed, seedIds)
+    }
+  }
+
   /** Per-node triangle counts over an undirected edge list — the
     * local-clustering signal (how interlinked is each node's
     * neighbourhood), and the classic shuffle-discipline benchmark: a
@@ -293,6 +375,21 @@ object GraphOps {
     * `(node, degree, triangles)`, zero-filled for triangle-free nodes.
     */
   def triangleCounts(pairs: DataFrame): DataFrame = {
+    val (tri, deg) = closedWedges(pairs)
+    val perNode = tri
+      .select(explode(array(col("src"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** The shared core of [[triangleCounts]] / [[triangleTotal]]: the
+    * frame of closed wedges `(src, b, c)` — one row per triangle, each
+    * found exactly once under the degree orientation — plus the degree
+    * table (reused by the per-node variant's zero-fill join).
+    */
+  private def closedWedges(pairs: DataFrame): (DataFrame, DataFrame) = {
     val Array(ca, cb) = pairs.columns.take(2)
     // canonical undirected edges: u < v, deduped, no self-loops
     val e = pairs
@@ -323,13 +420,21 @@ object GraphOps {
         (col("db") === col("dc") && col("b") < col("c")))
       .join(oriented.select(col("src").as("b"), col("dst").as("c")),
         Seq("b", "c"))
-    val perNode = tri
-      .select(explode(array(col("src"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("node"), "left")
-      .select(col("node"), col("degree"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"))
+    (tri.select("src", "b", "c"), deg)
   }
+
+  /** Graph-total triangle count WITHOUT the per-node attribution — one
+    * row, `(total_triangles)`. For consumers that only gate on the
+    * aggregate (e.g. "how clustered is this co-occurrence graph"), the
+    * per-node explode (3 rows per triangle) + groupBy + zero-fill join
+    * back against the degree table is pure waste: each closed wedge IS
+    * one triangle, so the total is a bare map-side-combinable count of
+    * the closure join's output — the O(E^1.5) wedge join stays (it is
+    * the algorithm), everything after it collapses to one count.
+    * Pinned ≡ `sum(triangleCounts.triangles) div 3` by spec.
+    */
+  def triangleTotal(pairs: DataFrame): DataFrame =
+    closedWedges(pairs)._1.agg(count(lit(1)).as("total_triangles"))
 
   /** Bounded triangle summary: top-`topN` nodes by
     * `(triangles desc, node asc)` with the graph's total triangle

@@ -47,6 +47,29 @@ object HistoryStore {
   private final case class Meta(key: String, orderCol: String,
       stateCols: Seq[String], tieCols: Seq[String], nBuckets: Int)
 
+  /** The purge list plus HOW it is held: `local = true` means a
+    * driver-materialised bounded frame (broadcast into every
+    * anti-join); `local = false` means the list exceeded
+    * [[purgeLocalCap]] and is served JOIN-BASED — a lazy store read,
+    * no broadcast, shuffled anti-joins — so a million-key
+    * right-to-be-forgotten list never lands on the driver heap.
+    */
+  private final case class PurgeList(df: DataFrame, local: Boolean) {
+    def keys(key: String): DataFrame = {
+      val k = df.select(col(key))
+      if (local) broadcast(k) else k
+    }
+  }
+
+  /** Max purge-list size held (and broadcast) driver-locally; above
+    * it every consumer switches to the join-based path. Override via
+    * `spark.graft.history.purgeLocalCap` (raise only with driver heap
+    * to match).
+    */
+  private def purgeLocalCap(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.history.purgeLocalCap")
+      .map(_.toLong).getOrElse(100000L)
+
   /** Build the store from the full change log seen so far. */
   def write(changes: DataFrame, path: String, key: String,
       orderCol: String, stateCols: Seq[String],
@@ -156,7 +179,7 @@ object HistoryStore {
       val purgeList = purgedLocal(spark, path)
       purgeList.foreach { p =>
         val frozen = touched
-          .join(broadcast(p.select(m.key)), Seq(m.key), "left_semi")
+          .join(p.keys(m.key), Seq(m.key), "left_semi")
           .limit(1).collect()
         require(frozen.isEmpty,
           s"history store at $path: batch touches purged key " +
@@ -258,7 +281,7 @@ object HistoryStore {
     // a completed erasure and is purged AGAIN must have its new
     // history erased from scratch (erased_gen back to pending)
     val merged = purgedLocal(spark, path)
-      .fold(incoming)(p => p.join(incoming, Seq(m.key), "left_anti")
+      .fold(incoming)(p => p.df.join(incoming, Seq(m.key), "left_anti")
         .unionByName(incoming))
     writePurged(spark, path, merged)
   }
@@ -292,10 +315,13 @@ object HistoryStore {
       // snapshot the purge list BEFORE the rewrite reads it: only
       // entries this rewrite provably excluded may advance below (a
       // purge landing mid-compact stays pending — erased next cycle);
-      // the SAME snapshot feeds the rewrite's anti-join
-      val p1 = purgedLocal(spark, path)
-      val p1Keys = p1
-        .map(_.collect().map(_.get(0)).toSet).getOrElse(Set.empty[Any])
+      // the SAME snapshot feeds the rewrite's anti-join. On the
+      // join-based (above-cap) regime the snapshot must be PINNED —
+      // the lazy store read would otherwise re-resolve $path/purged
+      // files after writePurged below swaps them
+      val p1 = purgedLocal(spark, path).map(p =>
+        if (p.local) p
+        else p.copy(df = p.df.localCheckpoint(true)))
       val dim = serveBuckets(spark, path, m, None, p1)
         .localCheckpoint(true)
       writeDelta(spark, path, tag,
@@ -316,24 +342,27 @@ object HistoryStore {
       // only remaining bytes are in superseded dirs); an entry
       // stamped by an EARLIER compact had those dirs GC'd by THIS
       // compact's opening sweep — no byte remains, drop it, lifting
-      // the key's freeze; an entry added mid-window stays pending
-      purgedLocal(spark, path).foreach { pdf =>
-        val cur = pdf.collect()
-        val next = cur.flatMap { r =>
-          val k = r.get(0)
-          val pending = r.isNullAt(1)
-          if (!p1Keys.contains(k)) Some((k, null: Any))
-          else if (pending) Some((k, Long.box(gen)))
-          else None
-        }
+      // the key's freeze; an entry added mid-window stays pending.
+      // Expressed as joins against the p1 snapshot (NOT a driver-side
+      // Set), so the accounting holds identically on the join-based
+      // above-cap regime — nothing here ever collects the list.
+      purgedLocal(spark, path).foreach { cur =>
+        val p1Keys = p1.map(_.df.select(col(m.key)))
+          .getOrElse(cur.df.select(col(m.key)).filter(lit(false)))
+        // added mid-window (not in the snapshot): stays pending —
+        // including the re-purged-after-restart shape, where purge()
+        // already reset erased_gen to null
+        val addedMid = cur.df.join(p1Keys, Seq(m.key), "left_anti")
+          .select(col(m.key), lit(null).cast("long").as("erased_gen"))
+        // in the snapshot and pending: this rewrite excluded it — stamp
+        val stamped = cur.df.filter(col("erased_gen").isNull)
+          .join(p1Keys, Seq(m.key), "left_semi")
+          .select(col(m.key), lit(gen).cast("long").as("erased_gen"))
+        // in the snapshot and already stamped: dropped (absent from
+        // the union), lifting the freeze
+        val next = addedMid.unionByName(stamped).localCheckpoint(true)
         if (next.isEmpty) clearPurged(spark, path)
-        else {
-          val rows = java.util.Arrays.asList(next.map { case (k, g) =>
-            org.apache.spark.sql.Row(k, g)
-          }: _*)
-          writePurged(spark, path,
-            spark.createDataFrame(rows, pdf.schema))
-        }
+        else writePurged(spark, path, next)
       }
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
@@ -351,7 +380,7 @@ object HistoryStore {
     val d = serveBuckets(spark, path, m, None, purgeList).agg(
       count(lit(1)), count(when(col("is_current"), 1)),
       countDistinct(col(m.key))).head
-    val nPurged = purgeList.map(_.count()).getOrElse(0L)
+    val nPurged = purgeList.map(_.df.count()).getOrElse(0L)
     import spark.implicits._
     Seq((applied.size.toLong, applied.map(_._3).distinct.size.toLong,
       d.getLong(0), d.getLong(1), d.getLong(2), nPurged))
@@ -393,20 +422,43 @@ object HistoryStore {
       s"history store at $path has no data files in any ledgered tag"))
   }
 
-  /** The purge list `(key, erased_gen)`, collected and re-created as a
-    * LOCAL frame — the list is bounded by contract, and an eager read
-    * means no serve plan holds lazy file references into
-    * `$path/purged` that a later compact's rewrite could break (or,
-    * under `ignoreMissingFiles`, silently turn into a no-op anti-join
-    * that serves to-be-erased rows).
+  /** The purge list `(key, erased_gen)`. At or below
+    * [[purgeLocalCap]] it is collected and re-created as a LOCAL frame
+    * — an eager read means no serve plan holds lazy file references
+    * into `$path/purged` that a later compact's rewrite could break
+    * (or, under `ignoreMissingFiles`, silently turn into a no-op
+    * anti-join that serves to-be-erased rows). ABOVE the cap — a real
+    * right-to-be-forgotten list at 100 TB can be millions of keys —
+    * collecting would be a driver-heap cliff, so the list is returned
+    * AS the lazy store read and every consumer joins it distributed
+    * (no broadcast). Lazy file refs on that path are protected by the
+    * purged-store swap's `.__old_` grace window (one writePurged
+    * cycle), the same retention contract every tag store leans on; the
+    * switch is announced on stderr so an operator sees which regime a
+    * long-running serve is in.
     */
   private def purgedLocal(spark: SparkSession,
-      path: String): Option[DataFrame] =
+      path: String): Option[PurgeList] =
     if (!IndexStores.hasStore(spark, s"$path/purged")) None
     else {
       val p = IndexStores.readStore(spark, s"$path/purged")
-      val rows = java.util.Arrays.asList(p.collect(): _*)
-      Some(spark.createDataFrame(rows, p.schema))
+      val cap = purgeLocalCap(spark)
+      // the cap probe reads one coalesced file's footer — cheap next
+      // to any consumer of the list
+      val n = p.count()
+      if (n <= cap) {
+        val rows = java.util.Arrays.asList(p.collect(): _*)
+        Some(PurgeList(spark.createDataFrame(rows, p.schema),
+          local = true))
+      } else {
+        System.err.println(
+          s"[history-store] purge list at $path holds $n keys — above " +
+            s"the driver-local cap ($cap); switching to the join-based " +
+            "path (lazy store read, shuffled anti-joins, no broadcast). " +
+            "Raise spark.graft.history.purgeLocalCap only with driver " +
+            "heap to match.")
+        Some(PurgeList(p, local = false))
+      }
     }
 
   /** Atomically replace the purge list (staged write + swap). */
@@ -448,7 +500,7 @@ object HistoryStore {
     */
   private def serveBuckets(spark: SparkSession, path: String, m: Meta,
       bkps: Option[Seq[String]],
-      purgeList: Option[DataFrame]): DataFrame = {
+      purgeList: Option[PurgeList]): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val tags = ledger(spark, path).map(_._3).distinct
     // an EMPTY prune list (empty batch) short-circuits to empty frames
@@ -493,12 +545,12 @@ object HistoryStore {
       .select((col(m.key) +: col("version") +: m.stateCols.map(col) :+
         col("valid_from") :+ col("valid_to") :+ col("is_current") :+
         col("last_changed")): _*)
-    // purged keys are logically erased on EVERY read path (bounded
-    // LOCAL list the CALLER read once — no lazy file refs, no second
-    // filesystem walk on the ingest hot path — broadcast anti-join);
-    // compact makes it physical
+    // purged keys are logically erased on EVERY read path (the list
+    // the CALLER read once — broadcast anti-join when driver-local,
+    // shuffled anti-join on the join-based path); compact makes it
+    // physical
     purgeList.fold(full)(p =>
-      full.join(broadcast(p.select(m.key)), Seq(m.key), "left_anti"))
+      full.join(p.keys(m.key), Seq(m.key), "left_anti"))
   }
 
   /** Write one batch's delta under its tag — idempotent (overwrite),

@@ -12,7 +12,7 @@ import graft.core.ParquetTable
   * staged root swap, so a fix to either index's machinery cannot
   * silently miss its twin (the `BenchUtil.parquetDataFiles` stance).
   */
-private[operators] object IndexStores {
+private[graft] object IndexStores {
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -133,6 +133,19 @@ private[operators] object IndexStores {
     ParquetTable.exists(spark, path)
     ()
   }
+
+  /** Heal ONE store's swap window explicitly (the `.__old_`-only crash
+    * shape [[hasStore]] repairs as a side effect of its probe) and
+    * REQUIRE the store present — the writer-side precondition an
+    * append asserts before writing into the directory. Exists so call
+    * sites that need the heal don't invoke `hasStore` and discard the
+    * boolean: the intent is invisible there, and an absent store would
+    * silently fall through to a bare append.
+    */
+  def healStoreRequired(spark: SparkSession, dir: String): Unit =
+    require(hasStore(spark, dir),
+      s"store at $dir is absent or holds no committed parquet data " +
+        "— build it (write) before appending to it")
 
   /** Swap a staged rebuild in — the ONE swap protocol
     * ([[ParquetTable.swap]]) shared with the table overwrites, so a

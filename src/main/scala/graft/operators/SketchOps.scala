@@ -139,6 +139,14 @@ object SketchOps {
     */
   def kmvOverlap(sk: DataFrame, group: String): DataFrame = {
     val ks = sk.select("sk_k").distinct().collect().map(_.getInt(0))
+    // zero groups is its own (common) failure shape — an empty store /
+    // filtered-to-nothing frame must say so, not emit the mixed-k
+    // message with an empty list. There are no pairs to estimate;
+    // returning an empty frame would need a k to type the estimate
+    // columns, which an empty sketch frame cannot supply.
+    require(ks.nonEmpty,
+      "kmvOverlap: empty sketch frame (zero groups) — build sketches " +
+        "with kmvSketch (or serve a non-empty store) before pairing")
     require(ks.length == 1,
       s"kmvOverlap needs one sketch k, found ${ks.sorted.mkString(",")}")
     val k = ks.head

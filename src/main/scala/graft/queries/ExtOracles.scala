@@ -791,6 +791,42 @@ object ExtOracles {
 
     "graph_pagerank" -> pagerankSql,
 
+    "graph_label_prop" -> labelPropSql,
+
+    // replays ExtQueries.profileConstraints: the six-check
+    // data-quality suite over orders as plain one-pass SQL — each
+    // check a conditional count (uniqueness via count-distinct), the
+    // ppm fixed-point over HUGEINT cast back to BIGINT (the oracle
+    // type-fidelity rule the r8 reds taught)
+    "profile_constraints" ->
+      """WITH t AS (SELECT count(*) AS total,
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v1,
+        |  count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+        |    - count(DISTINCT o_orderkey) AS v2,
+        |  count(CASE WHEN o_totalprice < 10000.0
+        |             OR o_totalprice > 200000.0 THEN 1 END) AS v3,
+        |  count(CASE WHEN o_orderpriority IS NOT NULL AND NOT
+        |    regexp_matches(o_orderpriority, '^[1-3]-') THEN 1 END) AS v4,
+        |  count(CASE WHEN o_orderstatus IS NOT NULL AND
+        |    o_orderstatus NOT IN ('F', 'O') THEN 1 END) AS v5,
+        |  greatest(1000000 - count(*), 0) AS v6
+        |  FROM orders),
+        |u AS (
+        |  SELECT 1 AS check_no, 'not_null' AS check_name,
+        |    'o_custkey' AS target, v1 AS violations, total FROM t
+        |  UNION ALL SELECT 2, 'unique', 'o_orderkey', v2, total FROM t
+        |  UNION ALL SELECT 3, 'in_range', 'o_totalprice', v3, total FROM t
+        |  UNION ALL SELECT 4, 'matches', 'o_orderpriority', v4, total FROM t
+        |  UNION ALL SELECT 5, 'in_set', 'o_orderstatus', v5, total FROM t
+        |  UNION ALL SELECT 6, 'min_rows', '*', v6, total FROM t)
+        |SELECT CAST(check_no AS BIGINT) AS check_no, check_name, target,
+        |  CAST(violations AS BIGINT) AS violations,
+        |  CAST(total AS BIGINT) AS total_rows,
+        |  CAST((CAST(violations AS HUGEINT) * 1000000)
+        |    // greatest(total, 1) AS BIGINT) AS violation_ppm,
+        |  violations = 0 AS passed
+        |FROM u ORDER BY check_no""".stripMargin,
+
     // replays ExtQueries.sketchKmvRollup as the DIRECT per-lang
     // sketch: the Spark side computes per-(lang, source) sketches and
     // MERGES them per lang, so hash equality against this direct
@@ -2138,7 +2174,8 @@ object ExtOracles {
         |        (SELECT cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)),
         |s AS (SELECT sum(cnt) AS total_rows, count(*) AS distinct_keys,
         |             max(cnt) AS max_cnt, min(cnt) AS min_cnt FROM c)
-        |SELECT total_rows, distinct_keys, max_cnt, min_cnt,
+        |SELECT CAST(total_rows AS BIGINT) AS total_rows,
+        |  distinct_keys, max_cnt, min_cnt,
         |  CAST((CAST(total_rows AS HUGEINT) * 10000) // distinct_keys
         |    AS BIGINT) AS avg_cnt_x10k,
         |  CAST((CAST(max_cnt AS HUGEINT) * distinct_keys * 10000)
@@ -2226,7 +2263,49 @@ object ExtOracles {
        |        ((1000000000000 // count(*)) * 15) // 100 AS b FROM n),
        |r0 AS (SELECT id, (SELECT r0 FROM p) AS r FROM n),
        |${(1 to 5).map(iter).mkString(",\n")}
-       |SELECT id, r AS rank FROM r5 ORDER BY id""".stripMargin
+       |SELECT id, CAST(r AS BIGINT) AS rank FROM r5 ORDER BY id""".stripMargin
+  }
+
+  /** Replays ExtQueries.graphLabelProp END-TO-END: all three
+    * synchronous label-propagation rounds unrolled as CTEs over the
+    * co-purchase graph — per round, integer vote counts, argmax by
+    * `(votes desc, label asc)` (row_number here ≡ the Spark side's
+    * `max(struct(votes, -label))` aggregate: both realise the same
+    * total order), seed clamp + previous-label carry via COALESCE.
+    * Hash-exact for the pagerank reason: every value is an integer
+    * and every tie is broken by a total order.
+    */
+  private lazy val labelPropSql = {
+    def iter(k: Int): String =
+      s"""v$k AS (SELECT e.dst AS id, l.label, count(*) AS c
+         |  FROM e JOIN l${k - 1} l ON l.id = e.src GROUP BY 1, 2),
+         |a$k AS (SELECT id, label FROM (
+         |    SELECT id, label, row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, label ASC) AS rn FROM v$k)
+         |  WHERE rn = 1),
+         |l$k AS (SELECT nn.id,
+         |    COALESCE(s.seed_label, a.label, p.label) AS label
+         |  FROM nn LEFT JOIN s ON s.id = nn.id
+         |    LEFT JOIN a$k a ON a.id = nn.id
+         |    LEFT JOIN l${k - 1} p ON p.id = nn.id
+         |  WHERE COALESCE(s.seed_label, a.label, p.label) IS NOT NULL)"""
+        .stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |        AND a.l_partkey < b.l_partkey),
+       |e AS (SELECT DISTINCT src, dst FROM
+       |      (SELECT src, dst FROM e0
+       |       UNION ALL SELECT dst, src FROM e0)),
+       |s AS (SELECT p_partkey AS id,
+       |        CAST(substr(p_brand, 7) AS BIGINT) AS seed_label
+       |      FROM part WHERE p_partkey % 5 = 0),
+       |nn AS (SELECT DISTINCT src AS id FROM e
+       |       UNION SELECT id FROM s),
+       |l0 AS (SELECT id, seed_label AS label FROM s),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT id, CAST(label AS BIGINT) AS label FROM l3
+       |ORDER BY id""".stripMargin
   }
 
   /** Replays HistoryOps.scd2(events≠purchase, user_id, ts,

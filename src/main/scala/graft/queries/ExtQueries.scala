@@ -775,6 +775,48 @@ object ExtQueries {
       .orderBy(col("triangles").desc, col("part"))
   }
 
+  /** Semi-supervised label propagation
+    * ([[graft.operators.GraphOps.labelPropagate]]) over the same
+    * co-purchase graph as `graph_triangles`: every 5th part is seeded
+    * with its brand number and three synchronous majority-vote rounds
+    * label the rest — label completion as a hash-exact gate (integer
+    * votes, (votes desc, label asc) argmax, clamped seeds; the oracle
+    * unrolls all three rounds as CTEs, the pagerank posture).
+    */
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.alias("a")
+    val b = li.alias("b")
+    val pairs = a.join(b,
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    val seeds = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey").as("id"),
+        expr("CAST(substring(p_brand, 7) AS BIGINT)").as("label"))
+    GraphOps.labelPropagate(pairs, seeds, iters = 3).orderBy("id")
+  }
+
+  /** Declarative data-quality suite
+    * ([[graft.operators.ConstraintOps.check]]) over `orders` — six
+    * checks (null, key uniqueness, price range, priority pattern,
+    * status domain, row floor) evaluated in ONE scan/aggregate;
+    * violation ratios emitted fixed-point (ProfileOps protocol), so
+    * the whole report hash-checks against the plain-SQL replay.
+    */
+  def profileConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ConstraintOps._
+    check(Tables.orders(spark, dir), Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 10000.0, 200000.0),
+      Matches("o_orderpriority", "^[1-3]-"),
+      InSet("o_orderstatus", Seq("F", "O")),
+      MinRows(1000000L)))
+  }
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashPairs(docs(spark, dir)).orderBy("a", "b")
 

@@ -26,6 +26,24 @@ import graft.operators.{MethodRoutedLoader, QueueExtractor}
   */
 object StreamingPipeline {
 
+  /** Land one trigger's output rows idempotently: the trigger writes
+    * (mode overwrite) its OWN `outDir/<producer-scoped batch tag>`
+    * directory — a crash-replayed trigger overwrites that directory
+    * instead of appending duplicate rows, making the output side as
+    * replay-safe as the (ledger-fenced or idempotent) store side every
+    * ingest stream already has. The write then forces a schema-bearing
+    * file so an all-dropped trigger still leaves a readable dir (the
+    * [[graft.operators.MembershipStore.curateBatch]] pattern). Read
+    * the landed output with `spark.read.parquet(s"$outDir/b_*")`.
+    */
+  private def landTrigger(df: DataFrame, outDir: String,
+      producer: String, batchId: Long): Unit = {
+    val dir =
+      s"$outDir/${graft.operators.IndexStores.tagFor(producer, batchId)}"
+    df.write.mode("overwrite").parquet(dir)
+    graft.operators.IndexStores.forceSchemaBearing(df, dir)
+  }
+
   /** Changelog schema parity: `record_queue.sql:2-13`. */
   val queueSchema: StructType = StructType(Seq(
     StructField("sourceDatabase", StringType, nullable = false),
@@ -283,28 +301,30 @@ object StreamingPipeline {
     * shingles vs the index (the spec pins stream ≡ batch under
     * exactly that setting).
     *
-    * Exactly-once: the kept-row append is one parquet commit per
-    * trigger; a crash replays the trigger and can duplicate kept rows
-    * (dedup downstream on doc_id — the standard foreachBatch sink
-    * contract here). Verdicts themselves cannot flip on replay: the
-    * index is read-only to this stream.
+    * Exactly-once: each trigger's kept rows land under their own batch
+    * tag ([[landTrigger]]) — a crash-replayed trigger overwrites its
+    * own directory, never duplicates. Verdicts themselves cannot flip
+    * on replay: the index is read-only to this stream.
     */
   def decontaminateStream(docs: DataFrame, indexPath: String,
       keptPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      minShared: Int = 3, maxDfFrac: Double = 0.1)
+      minShared: Int = 3, maxDfFrac: Double = 0.1,
+      producer: String = "default")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sc = batch.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet.toSet
-        try
-          graft.operators.ContaminationIndex
-            .decontaminate(batch, indexPath, minShared, maxDfFrac)
-            .write.mode("append").parquet(keptPath)
-        finally graft.BenchUtil.releaseNewRdds(sc, before)
+        try {
+          // pin: landTrigger's empty-dir probe may re-execute the frame
+          val pinned = batch.localCheckpoint()
+          landTrigger(graft.operators.ContaminationIndex
+            .decontaminate(pinned, indexPath, minShared, maxDfFrac),
+            keptPath, producer, batchId)
+        } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }
       .start()
@@ -326,7 +346,8 @@ object StreamingPipeline {
   def boilerplateStream(docs: DataFrame, indexPath: String,
       cleanPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      minDf: Int = 2, compactEvery: Int = 16)
+      minDf: Int = 2, compactEvery: Int = 16,
+      producer: String = "default")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -338,9 +359,12 @@ object StreamingPipeline {
           // pin: the batch feeds the count delta AND the strip — and a
           // streaming source must not be re-read on the second use
           val pinned = batch.localCheckpoint()
-          graft.operators.BoilerplateIndex.update(pinned, indexPath)
-          graft.operators.BoilerplateIndex.strip(pinned, indexPath, minDf)
-            .write.mode("append").parquet(cleanPath)
+          graft.operators.BoilerplateIndex.update(pinned, indexPath,
+            producer, batchId)
+          landTrigger(
+            graft.operators.BoilerplateIndex.strip(pinned, indexPath,
+              minDf),
+            cleanPath, producer, batchId)
           // fold the delta rows back periodically: strip re-aggregates
           // the whole counts store each trigger, so an uncompacted
           // stream pays O(batches x distinct-segments) per trigger —
@@ -364,16 +388,23 @@ object StreamingPipeline {
     */
   def tokenizeStream(docs: DataFrame, storePath: String,
       outPath: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow())
+      trigger: Trigger = Trigger.AvailableNow(),
+      producer: String = "default")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val toks = graft.operators.TokenizerStore
       .tokensColumn(docs.sparkSession, storePath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.TokenizerStore.project(batch, toks)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try {
+          // pin: landTrigger's empty-dir probe may re-execute the frame
+          val pinned = batch.localCheckpoint()
+          landTrigger(graft.operators.TokenizerStore.project(pinned, toks),
+            outPath, producer, batchId)
+        } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }
       .start()
@@ -391,7 +422,8 @@ object StreamingPipeline {
   def perplexityFilterStream(docs: DataFrame, modelPath: String,
       keptPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxSurprisal: Double = 10.0)
+      maxSurprisal: Double = 10.0,
+      producer: String = "default")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // frozen by contract: heal + meta read happen ONCE at wiring, not
     // per trigger ([[tokenizeStream]]'s load-once posture)
@@ -400,15 +432,15 @@ object StreamingPipeline {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sc = batch.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet.toSet
         try {
           // pin: the batch feeds the score join AND the semi-join back
           val pinned = batch.localCheckpoint()
-          graft.operators.LanguageModelStore
-            .filterWith(pinned, model, maxSurprisal)
-            .write.mode("append").parquet(keptPath)
+          landTrigger(graft.operators.LanguageModelStore
+            .filterWith(pinned, model, maxSurprisal),
+            keptPath, producer, batchId)
         } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }
@@ -430,7 +462,8 @@ object StreamingPipeline {
   def mediaDedupStream(fps: DataFrame, indexPath: String,
       pairsPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Int = 0)
+      compactEvery: Int = 0,
+      producer: String = "default")
       : org.apache.spark.sql.streaming.StreamingQuery =
     fps.writeStream
       .option("checkpointLocation", checkpoint)
@@ -441,13 +474,13 @@ object StreamingPipeline {
         try {
           val pinned = batch.localCheckpoint()
           graft.operators.FingerprintIndex.append(pinned, indexPath)
-          graft.operators.FingerprintIndex
+          landTrigger(graft.operators.FingerprintIndex
             .classify(batch.sparkSession, indexPath, pinned)
             .select(least(col("media_id"), col("indexed_id")).as("a"),
               greatest(col("media_id"), col("indexed_id")).as("b"),
               col("hamming"))
-            .distinct()
-            .write.mode("append").parquet(pairsPath)
+            .distinct(),
+            pairsPath, producer, batchId)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.operators.FingerprintIndex.compact(
               batch.sparkSession, indexPath)

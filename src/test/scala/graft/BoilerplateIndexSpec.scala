@@ -80,7 +80,7 @@ class BoilerplateIndexSpec extends SparkSpec {
     StreamingPipeline.boilerplateStream(stream, path, clean,
       tmpDir("boiler-stream-ckpt")).awaitTermination()
 
-    val out = spark.read.parquet(clean).orderBy("doc_id").collect()
+    val out = spark.read.parquet(s"$clean/b_*").orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_boiler"))).toSeq
     // prefix semantics: when doc 1 streamed the header was fresh (kept);
     // by doc 3's batch it had recurred (dropped). doc 2 never had it.

@@ -67,10 +67,10 @@ class BucketStoreSpec extends SparkSpec {
     }
   }
 
-  test("point lookup reads 1 bucket per key and restores the session conf") {
+  test("point lookup reads 1 bucket per key and never touches the " +
+    "caller session's conf (child-session scoping)") {
     val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val before = spark.conf.getOption(auto)
-    // audit the plan the lookup executes under: same conf window
+    // audit the plan the lookup executes under: same conf, same scan
     withConf(auto, "false") {
       val p = spark.table(BucketStore.open(spark, s"$root/orders"))
         .filter(col("o_orderkey") === 411)
@@ -78,12 +78,21 @@ class BucketStoreSpec extends SparkSpec {
       assert(p.contains("SelectedBucketsCount: 1 out of 8"),
         s"single-key lookup must prune to one bucket:\n$p")
     }
-    val got = BucketStore.pointLookup(spark, s"$root/orders",
-      Seq(7L, 411L, 1234L))
-      .select("o_orderkey").collect().map(_.getLong(0)).sorted
-    assert(got === Array(7L, 411L, 1234L))
-    assert(spark.conf.getOption(auto) === before,
-      "pointLookup must restore the autoBucketedScan conf")
+    // pin the caller's conf to TRUE for the duration: the old
+    // set/restore window flipped the shared session conf mid-flight
+    // (any concurrently-planned query silently lost auto bucketed
+    // scans); the child-session lookup must leave the caller's value
+    // untouched at every instant — the end-state check below would
+    // pass under set/restore too, but a flipped child can never write
+    // back here at all
+    withConf(auto, "true") {
+      val got = BucketStore.pointLookup(spark, s"$root/orders",
+        Seq(7L, 411L, 1234L))
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      assert(got === Array(7L, 411L, 1234L))
+      assert(spark.conf.get(auto) === "true",
+        "pointLookup must not mutate the caller session's conf")
+    }
   }
 
   test("cold re-open from the persisted meta alone keeps the bucketed plan") {

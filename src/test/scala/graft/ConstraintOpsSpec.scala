@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConstraintOps
+import graft.operators.ConstraintOps._
+
+/** Declarative constraint suite: per-check violation semantics (null
+  * handling included), fixed-point ppm, declaration-order report, the
+  * one-aggregate plan shape, and the empty-suite / empty-table edges.
+  */
+class ConstraintOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 rows with known defects: one null key, one duplicate pair,
+  // two out-of-range, one pattern miss, one out-of-set, nulls that
+  // must NOT count against range/pattern/set
+  private def df = Seq(
+    (Some(1L), "a1", 10.0, "1-HI", "F"),
+    (Some(2L), "a2", 20.0, "2-LO", "O"),
+    (Some(2L), "a2", 30.0, "3-ME", "F"), // dup (2, a2)
+    (Some(3L), "a3", -5.0, "1-HI", "O"), // below range
+    (Some(4L), "a4", 999.0, "1-HI", "F"), // above range
+    (None, "a5", 40.0, "bad", "X"), // null k; pattern miss; out of set
+    (Some(5L), null, 50.0, null, null), // nulls skip range/pattern/set
+    (Some(6L), "a6", 60.0, "2-LO", "O")
+  ).toDF("k", "s", "price", "prio", "status")
+
+  test("per-check violation counts, ppm, passed, declaration order") {
+    val rep = ConstraintOps.check(df, Seq(
+      NotNull("k"),
+      Unique(Seq("k", "s")),
+      InRange("price", 0.0, 100.0),
+      Matches("prio", "^[1-3]-"),
+      InSet("status", Seq("F", "O")),
+      MinRows(5L)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rep.toSeq === Seq(
+      (1L, "not_null", "k", 1L, 8L, 125000L, false),
+      // non-null (k,s) tuples: 6 (null k row and null s row excluded),
+      // distinct: 5 → 1 duplicate
+      (2L, "unique", "k,s", 1L, 8L, 125000L, false),
+      (3L, "in_range", "price", 2L, 8L, 250000L, false),
+      (4L, "matches", "prio", 1L, 8L, 125000L, false),
+      (5L, "in_set", "status", 1L, 8L, 125000L, false),
+      (6L, "min_rows", "*", 0L, 8L, 0L, true)))
+  }
+
+  test("a fully-clean table passes every check") {
+    val clean = Seq((1L, 5.0), (2L, 7.0)).toDF("k", "price")
+    val rep = ConstraintOps.check(clean, Seq(
+      NotNull("k"), Unique(Seq("k")), InRange("price", 0.0, 10.0),
+      MinRows(2L)))
+    assert(rep.filter(!col("passed")).count() === 0L)
+    assert(rep.count() === 4L)
+  }
+
+  test("MinRows reports the shortfall; empty table is 0 ppm " +
+    "everywhere else (no divide-by-zero)") {
+    val empty = Seq.empty[(Long, Double)].toDF("k", "price")
+    val rep = ConstraintOps.check(empty, Seq(
+      NotNull("k"), MinRows(10L)))
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(5),
+        r.getBoolean(6)))
+    assert(rep.toSeq === Seq(
+      ("not_null", 0L, 0L, true),
+      ("min_rows", 10L, 10000000L, false)))
+  }
+
+  test("the suite is ONE aggregate over one scan (no join, no window)") {
+    val plan = ConstraintOps.check(df, Seq(
+      NotNull("k"), InRange("price", 0.0, 100.0), MinRows(1L),
+      Matches("prio", "^[1-3]-"), InSet("status", Seq("F", "O"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"constraint suite must not join:\n$plan")
+    assert(!plan.contains("Window"), s"nor window:\n$plan")
+    // distinct-free suites don't even pay the expand
+    assert(!plan.contains("Expand"),
+      s"no Unique check → no multi-distinct expand:\n$plan")
+  }
+
+  test("an empty suite rejects loudly") {
+    val e = intercept[IllegalArgumentException] {
+      ConstraintOps.check(df, Seq.empty)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+}

@@ -110,7 +110,7 @@ class DecontaminateSpec extends SparkSpec {
       tmpDir("contam-stream-ckpt"), maxDfFrac = 1.0)
       .awaitTermination()
 
-    val streamed = spark.read.parquet(kept)
+    val streamed = spark.read.parquet(s"$kept/b_*")
       .select("doc_id").as[Long].collect().toSet
     val direct = TextOps.decontaminate(corpus, bench, minShared = 3,
       maxDfFrac = 1.0).select("doc_id").as[Long].collect().toSet

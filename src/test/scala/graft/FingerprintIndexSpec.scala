@@ -140,7 +140,7 @@ class FingerprintIndexSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(src)
     StreamingPipeline.mediaDedupStream(stream, path, pairs,
       tmpDir("fp-stream-ckpt")).awaitTermination()
-    val streamed = spark.read.parquet(pairs)
+    val streamed = spark.read.parquet(s"$pairs/b_*")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val direct = MultimodalOps.imageNearDup(spark, media)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet

@@ -124,6 +124,70 @@ class GraphOpsSpec extends SparkSpec {
       "a cycle member must outrank the dangling leaf")
   }
 
+  /** Single-threaded reference label propagation — the identical
+    * synchronous integer-vote recurrence over plain maps: seeds
+    * clamped, argmax by (votes desc, label asc), previous label
+    * carried, unreached nodes unlabelled.
+    */
+  private def referenceLp(edges: Seq[(Long, Long)],
+      seeds: Map[Long, Long], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(p => p._1 != p._2).distinct
+    val nodes = (sym.map(_._1) ++ seeds.keys).distinct
+    var labels: Map[Long, Long] = seeds
+    for (_ <- 1 to iters) {
+      val votes = sym.filter(e => labels.contains(e._1))
+        .groupBy(_._2).map { case (v, in) =>
+          val cnt = in.map(e => labels(e._1)).groupBy(identity)
+            .map { case (l, xs) => (l, xs.size) }
+          v -> cnt.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      labels = nodes.flatMap(n =>
+        seeds.get(n).orElse(votes.get(n)).orElse(labels.get(n))
+          .map(n -> _)).toMap
+    }
+    labels
+  }
+
+  test("labelPropagate: clamped seeds, min-label tie-break, carry, " +
+    "unreached nodes absent, edgeless seeds kept") {
+    // path 1-2-3-4-5 seeded at both ends with different labels; node 3
+    // hears both by iter 2 → tie → smaller label wins. 9 is edgeless
+    // but seeded (kept); 7-8 is an unseeded island (absent).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+    val seeds = Map(1L -> 20L, 5L -> 10L)
+    val got = GraphOps.labelPropagate(edges.toDF("a", "b"),
+      (seeds.toSeq :+ (9L -> 30L)).map { case (k, v) => (k, v) }
+        .toDF("id", "label"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = referenceLp(edges, seeds + (9L -> 30L), 3)
+    assert(got === want)
+    assert(got(1L) === 20L && got(5L) === 10L, "seeds are clamped")
+    assert(got(3L) === 10L, "tie at the midpoint breaks to min label")
+    assert(got(9L) === 30L, "an edgeless seed keeps its label")
+    assert(!got.contains(7L) && !got.contains(8L),
+      "an unseeded island stays unlabelled")
+  }
+
+  test("labelPropagate matches the single-threaded reference on a " +
+    "random graph and is partition-independent") {
+    val rnd = new scala.util.Random(9)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val seeds = (0 until 12).map(_ =>
+      rnd.nextInt(60).toLong -> (1L + rnd.nextInt(4))).toMap
+    val df = edges.toDF("a", "b")
+    val sdf = seeds.toSeq.toDF("id", "label")
+    val one = GraphOps.labelPropagate(df.coalesce(1), sdf, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = GraphOps.labelPropagate(df.repartition(7), sdf, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === many, "partitioning must not change labels")
+    assert(one === referenceLp(edges, seeds, 4),
+      "distributed labels diverged from the reference recurrence")
+  }
+
   /** Single-threaded reference: brute-force triangle enumeration over
     * the canonical edge set.
     */
@@ -189,5 +253,27 @@ class GraphOpsSpec extends SparkSpec {
       "summary must release its checkpoint")
     // triangles: {1,2,3} and {2,3,4} → nodes 2,3 have 2 each; total 2
     assert(rows.toSeq === Seq((2L, 2L, 2L), (3L, 2L, 2L), (1L, 1L, 2L)))
+  }
+
+  test("triangleTotal ≡ per-node path's total (summary-only variant " +
+    "skips the explode, not the answer)") {
+    import spark.implicits._
+    // mixed shapes: K4 (4 triangles), a shared-edge pair of triangles,
+    // a pendant, a triangle-free path, plus dirty input (dupes,
+    // reversals, self-loop) — the canonicalisation is shared code but
+    // the equivalence must hold on exactly the input a caller hands in
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (11L, 13L),
+      (12L, 13L), (4L, 5L), (6L, 7L), (2L, 1L), (3L, 3L))
+    val df = edges.toDF("x", "y")
+    val full = GraphOps.triangleCounts(df)
+      .agg(expr("sum(triangles) div 3")).head.getLong(0)
+    val direct = GraphOps.triangleTotal(df).head.getLong(0)
+    assert(direct === full)
+    assert(direct === 6L) // 4 (K4) + 2 (shared-edge pair)
+    // empty graph: one row, zero — count() over no wedges, not no rows
+    val empty = GraphOps.triangleTotal(
+      Seq.empty[(Long, Long)].toDF("x", "y"))
+    assert(empty.head.getLong(0) === 0L)
   }
 }

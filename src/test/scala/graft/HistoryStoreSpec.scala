@@ -290,6 +290,57 @@ class HistoryStoreSpec extends SparkSpec {
       asSet(HistoryOps.scd2(early, "k", "ts", Seq("state"), Seq("id"))))
   }
 
+  test("an above-cap purge list switches to the join-based regime and " +
+    "runs the SAME full erasure cycle (no driver-side collect)") {
+    // cap forced below the purge size: every consumer — serve's
+    // anti-join, extend's freeze probe, compact's rewrite AND its
+    // erasure accounting — must run join-based and land on the exact
+    // state the local regime produces
+    val path = tmpDir("hs-purge-big") + "/dim"
+    spark.conf.set("spark.graft.history.purgeLocalCap", "10")
+    try {
+      HistoryStore.write(early, path, "k", "ts", Seq("state"), Seq("id"))
+      HistoryStore.extend(late, path, 1L, "k", "ts", Seq("state"),
+        Seq("id"))
+      // purge 25 of the 40 keys — 2.5× the cap
+      val purged = (1L to 25L)
+      HistoryStore.purge(spark, path, purged.toDF("uid"))
+      assert(asSet(HistoryStore.serve(spark, path)) ===
+        asSet(rebuild.filter(col("k") > 25L)))
+      assert(HistoryStore.stats(spark, path).head
+        .getAs[Long]("purged_keys") === 25L)
+      // freeze holds through the join-based probe
+      val e = intercept[IllegalArgumentException] {
+        HistoryStore.extend(Seq((17L, t(99), 901L, "zz"))
+          .toDF("k", "ts", "id", "state"), path, 2L, "k", "ts",
+          Seq("state"), Seq("id"))
+      }
+      assert(e.getMessage.contains("purged key"))
+      // unpurged keys keep folding
+      HistoryStore.extend(Seq((30L, t(99), 902L, "zz"))
+        .toDF("k", "ts", "id", "state"), path, 3L, "k", "ts",
+        Seq("state"), Seq("id"))
+      // full erasure cycle: compact #1 stamps, compact #2 drops
+      HistoryStore.compact(spark, path)
+      assert(HistoryStore.stats(spark, path).head
+        .getAs[Long]("purged_keys") === 25L)
+      HistoryStore.compact(spark, path)
+      assert(HistoryStore.stats(spark, path).head
+        .getAs[Long]("purged_keys") === 0L)
+      val expect = HistoryOps.scd2(
+        early.unionByName(late).unionByName(
+          Seq((30L, t(99), 902L, "zz")).toDF("k", "ts", "id", "state")),
+        "k", "ts", Seq("state"), Seq("id")).filter(col("k") > 25L)
+      assert(asSet(HistoryStore.serve(spark, path)) === asSet(expect))
+      // erased keys may restart
+      HistoryStore.extend(Seq((17L, t(120), 903L, "aa"))
+        .toDF("k", "ts", "id", "state"), path, 4L, "k", "ts",
+        Seq("state"), Seq("id"))
+      assert(HistoryStore.serve(spark, path)
+        .filter(col("k") === 17L).count() === 1L)
+    } finally spark.conf.unset("spark.graft.history.purgeLocalCap")
+  }
+
   test("a LOSSY purge key (fractional against a bigint dim) rejects " +
     "instead of erasing a key nobody asked to purge") {
     val path = tmpDir("hs-lossy") + "/dim"

@@ -157,7 +157,7 @@ class LanguageModelStoreSpec extends SparkSpec {
     StreamingPipeline.perplexityFilterStream(stream, path, kept,
       tmpDir("lm-stream-ckpt"), maxSurprisal = thr)
       .awaitTermination()
-    val streamed = spark.read.parquet(kept)
+    val streamed = spark.read.parquet(s"$kept/b_*")
       .select("doc_id").as[Long].collect().toSet
     val direct = LanguageModelStore.filter(target, path, thr)
       .select("doc_id").as[Long].collect().toSet

@@ -87,7 +87,7 @@ class TokenizerStoreSpec extends SparkSpec {
     val out = tmpDir("bpe-stream-out")
     StreamingPipeline.tokenizeStream(stream, path, out,
       tmpDir("bpe-stream-ckpt")).awaitTermination()
-    val streamed = spark.read.parquet(out).orderBy("doc_id").collect()
+    val streamed = spark.read.parquet(s"$out/b_*").orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
         r.getAs[String]("toks_digest")))
     val batch = TokenizerStore.tokenize(docs, path).orderBy("doc_id")
