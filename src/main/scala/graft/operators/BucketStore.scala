@@ -142,6 +142,17 @@ object BucketStore {
   def pointLookup(spark: SparkSession, path: String,
                   values: Seq[Long]): DataFrame = {
     val session = spark.newSession()
+    // inherit the CALLER's runtime session conf: newSession starts
+    // from the context conf, so session-scoped overrides set after
+    // startup (per-session fs.* object-store credentials — the
+    // pattern IndexStores.gcUnreferencedTags documents — or
+    // ignoreMissingFiles) would otherwise silently vanish from the
+    // lookup's read path. Static confs reject the set and are
+    // context-identical anyway.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try session.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     val m = readMeta(session, path)
     val name = open(session, path)
     session.conf.set(

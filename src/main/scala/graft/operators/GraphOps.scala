@@ -322,6 +322,22 @@ object GraphOps {
     var (labels, labelIds) = eagerCp(
       seed.select(col("id"), col("seed_label").as("label")))
     try {
+      // conflicting seeds reject LOUDLY (the null-purge-key / mixed-
+      // sketch-k posture): distinct() above dedups identical
+      // (id, label) pairs, so a surviving duplicate id means two
+      // audits DISAGREE on the node's label — silently keeping both
+      // would emit duplicate result rows for the id and double its
+      // neighbours' votes. Bounded probe (first conflicting id only),
+      // inside the release scope so a rejection leaks no checkpoints.
+      val dup = seed.groupBy("id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).collect()
+      if (dup.nonEmpty) {
+        releaseCp(labels, labelIds)
+        throw new IllegalArgumentException(
+          s"labelPropagate: seed id ${dup.head.get(0)} carries " +
+            "conflicting labels — resolve the disagreement " +
+            "(last-wins, quality-pick) before propagating")
+      }
       for (_ <- 1 to iters) {
         val votes = sym
           .join(labels.withColumnRenamed("id", "src"), "src")

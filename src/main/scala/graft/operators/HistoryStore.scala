@@ -50,11 +50,14 @@ object HistoryStore {
   /** The purge list plus HOW it is held: `local = true` means a
     * driver-materialised bounded frame (broadcast into every
     * anti-join); `local = false` means the list exceeded
-    * [[purgeLocalCap]] and is served JOIN-BASED — a lazy store read,
-    * no broadcast, shuffled anti-joins — so a million-key
-    * right-to-be-forgotten list never lands on the driver heap.
+    * [[purgeLocalCap]] and is served JOIN-BASED — an EAGERLY
+    * CHECKPOINTED executor-side frame, no broadcast, shuffled
+    * anti-joins — so a million-key right-to-be-forgotten list never
+    * lands on the driver heap. `n` is the list size, counted once at
+    * read time (consumers must not re-count).
     */
-  private final case class PurgeList(df: DataFrame, local: Boolean) {
+  private final case class PurgeList(df: DataFrame, local: Boolean,
+      n: Long) {
     def keys(key: String): DataFrame = {
       val k = df.select(col(key))
       if (local) broadcast(k) else k
@@ -315,13 +318,11 @@ object HistoryStore {
       // snapshot the purge list BEFORE the rewrite reads it: only
       // entries this rewrite provably excluded may advance below (a
       // purge landing mid-compact stays pending — erased next cycle);
-      // the SAME snapshot feeds the rewrite's anti-join. On the
-      // join-based (above-cap) regime the snapshot must be PINNED —
-      // the lazy store read would otherwise re-resolve $path/purged
+      // the SAME snapshot feeds the rewrite's anti-join. purgedLocal
+      // is eager in BOTH regimes (local collect / executor
+      // checkpoint), so the snapshot cannot re-resolve $path/purged
       // files after writePurged below swaps them
-      val p1 = purgedLocal(spark, path).map(p =>
-        if (p.local) p
-        else p.copy(df = p.df.localCheckpoint(true)))
+      val p1 = purgedLocal(spark, path)
       val dim = serveBuckets(spark, path, m, None, p1)
         .localCheckpoint(true)
       writeDelta(spark, path, tag,
@@ -380,7 +381,7 @@ object HistoryStore {
     val d = serveBuckets(spark, path, m, None, purgeList).agg(
       count(lit(1)), count(when(col("is_current"), 1)),
       countDistinct(col(m.key))).head
-    val nPurged = purgeList.map(_.df.count()).getOrElse(0L)
+    val nPurged = purgeList.map(_.n).getOrElse(0L)
     import spark.implicits._
     Seq((applied.size.toLong, applied.map(_._3).distinct.size.toLong,
       d.getLong(0), d.getLong(1), d.getLong(2), nPurged))
@@ -422,20 +423,31 @@ object HistoryStore {
       s"history store at $path has no data files in any ledgered tag"))
   }
 
-  /** The purge list `(key, erased_gen)`. At or below
-    * [[purgeLocalCap]] it is collected and re-created as a LOCAL frame
-    * — an eager read means no serve plan holds lazy file references
-    * into `$path/purged` that a later compact's rewrite could break
-    * (or, under `ignoreMissingFiles`, silently turn into a no-op
-    * anti-join that serves to-be-erased rows). ABOVE the cap — a real
-    * right-to-be-forgotten list at 100 TB can be millions of keys —
-    * collecting would be a driver-heap cliff, so the list is returned
-    * AS the lazy store read and every consumer joins it distributed
-    * (no broadcast). Lazy file refs on that path are protected by the
-    * purged-store swap's `.__old_` grace window (one writePurged
-    * cycle), the same retention contract every tag store leans on; the
-    * switch is announced on stderr so an operator sees which regime a
-    * long-running serve is in.
+  /** One announcement per store path for the above-cap regime switch
+    * — a streaming ingest calling purgedLocal every trigger must not
+    * drown the signal in its own repetition.
+    */
+  private val announcedJoinBased =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The purge list `(key, erased_gen)`, ALWAYS materialised eagerly —
+    * no consumer's plan may hold lazy file references into
+    * `$path/purged`, because [[writePurged]]'s swap DELETES the
+    * superseded copy in the same call (ParquetTable.swap has no
+    * retention window): a lazy read would break on the next
+    * purge()/compact() — or, under `ignoreMissingFiles`, silently turn
+    * into a no-op anti-join that serves to-be-erased rows. At or
+    * below [[purgeLocalCap]] eager means a driver-LOCAL frame
+    * (collect + re-create, broadcast into every anti-join). ABOVE the
+    * cap — a real right-to-be-forgotten list at 100 TB can be
+    * millions of keys, a driver-heap cliff — eager means
+    * `localCheckpoint(true)`: the list is pinned executor-side at
+    * read time (no file refs survive), and every consumer joins it
+    * distributed (no broadcast). extend/compact release the pin with
+    * their scope's releaseNewRdds; a frame returned by
+    * [[serve]]/[[stats]] keeps its pin until the caller drops it and
+    * the ContextCleaner reclaims — bounded by the list, not the
+    * dimension.
     */
   private def purgedLocal(spark: SparkSession,
       path: String): Option[PurgeList] =
@@ -443,21 +455,24 @@ object HistoryStore {
     else {
       val p = IndexStores.readStore(spark, s"$path/purged")
       val cap = purgeLocalCap(spark)
-      // the cap probe reads one coalesced file's footer — cheap next
-      // to any consumer of the list
+      // the cap probe reads one coalesced file — cheap next to any
+      // consumer of the list; the count is carried on the result so
+      // nothing downstream re-counts
       val n = p.count()
       if (n <= cap) {
         val rows = java.util.Arrays.asList(p.collect(): _*)
         Some(PurgeList(spark.createDataFrame(rows, p.schema),
-          local = true))
+          local = true, n))
       } else {
-        System.err.println(
-          s"[history-store] purge list at $path holds $n keys — above " +
-            s"the driver-local cap ($cap); switching to the join-based " +
-            "path (lazy store read, shuffled anti-joins, no broadcast). " +
-            "Raise spark.graft.history.purgeLocalCap only with driver " +
-            "heap to match.")
-        Some(PurgeList(p, local = false))
+        if (announcedJoinBased.add(path))
+          System.err.println(
+            s"[history-store] purge list at $path holds $n keys — " +
+              s"above the driver-local cap ($cap); switching to the " +
+              "join-based path (checkpointed executor-side list, " +
+              "shuffled anti-joins, no broadcast). Raise " +
+              "spark.graft.history.purgeLocalCap only with driver " +
+              "heap to match.")
+        Some(PurgeList(p.localCheckpoint(true), local = false, n))
       }
     }
 

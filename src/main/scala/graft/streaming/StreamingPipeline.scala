@@ -44,6 +44,24 @@ object StreamingPipeline {
     graft.operators.IndexStores.forceSchemaBearing(df, dir)
   }
 
+  /** The producer identity an ingest stream lands its output (and
+    * fences its store updates) under. Defaulting every stream to a
+    * shared literal would make two streams that share an output dir
+    * clobber each other's batch-0 tag (`tagFor`'s own warning); the
+    * checkpoint path is the natural per-stream identity — unique per
+    * stream by Structured Streaming's own contract, stable across
+    * restarts of the same stream (replays keep landing on their own
+    * tags), and fresh for a RE-POINTED checkpoint (whose batch ids
+    * restart at 0 and must land beside, never over, the old output).
+    * Pass `producer` explicitly to share a ledger identity across
+    * checkpoint moves.
+    */
+  private def producerFor(producer: String, checkpoint: String): String =
+    if (producer.nonEmpty) producer
+    else "ck_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
   /** Changelog schema parity: `record_queue.sql:2-13`. */
   val queueSchema: StructType = StructType(Seq(
     StructField("sourceDatabase", StringType, nullable = false),
@@ -310,7 +328,7 @@ object StreamingPipeline {
       keptPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       minShared: Int = 3, maxDfFrac: Double = 0.1,
-      producer: String = "default")
+      producer: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -323,7 +341,7 @@ object StreamingPipeline {
           val pinned = batch.localCheckpoint()
           landTrigger(graft.operators.ContaminationIndex
             .decontaminate(pinned, indexPath, minShared, maxDfFrac),
-            keptPath, producer, batchId)
+            keptPath, producerFor(producer, checkpoint), batchId)
         } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }
@@ -347,7 +365,7 @@ object StreamingPipeline {
       cleanPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       minDf: Int = 2, compactEvery: Int = 16,
-      producer: String = "default")
+      producer: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -360,11 +378,11 @@ object StreamingPipeline {
           // streaming source must not be re-read on the second use
           val pinned = batch.localCheckpoint()
           graft.operators.BoilerplateIndex.update(pinned, indexPath,
-            producer, batchId)
+            producerFor(producer, checkpoint), batchId)
           landTrigger(
             graft.operators.BoilerplateIndex.strip(pinned, indexPath,
               minDf),
-            cleanPath, producer, batchId)
+            cleanPath, producerFor(producer, checkpoint), batchId)
           // fold the delta rows back periodically: strip re-aggregates
           // the whole counts store each trigger, so an uncompacted
           // stream pays O(batches x distinct-segments) per trigger —
@@ -389,7 +407,7 @@ object StreamingPipeline {
   def tokenizeStream(docs: DataFrame, storePath: String,
       outPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      producer: String = "default")
+      producer: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val toks = graft.operators.TokenizerStore
       .tokensColumn(docs.sparkSession, storePath)
@@ -403,7 +421,7 @@ object StreamingPipeline {
           // pin: landTrigger's empty-dir probe may re-execute the frame
           val pinned = batch.localCheckpoint()
           landTrigger(graft.operators.TokenizerStore.project(pinned, toks),
-            outPath, producer, batchId)
+            outPath, producerFor(producer, checkpoint), batchId)
         } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }
@@ -423,7 +441,7 @@ object StreamingPipeline {
       keptPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxSurprisal: Double = 10.0,
-      producer: String = "default")
+      producer: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // frozen by contract: heal + meta read happen ONCE at wiring, not
     // per trigger ([[tokenizeStream]]'s load-once posture)
@@ -440,7 +458,7 @@ object StreamingPipeline {
           val pinned = batch.localCheckpoint()
           landTrigger(graft.operators.LanguageModelStore
             .filterWith(pinned, model, maxSurprisal),
-            keptPath, producer, batchId)
+            keptPath, producerFor(producer, checkpoint), batchId)
         } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }
@@ -463,7 +481,7 @@ object StreamingPipeline {
       pairsPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Int = 0,
-      producer: String = "default")
+      producer: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery =
     fps.writeStream
       .option("checkpointLocation", checkpoint)
@@ -480,7 +498,7 @@ object StreamingPipeline {
               greatest(col("media_id"), col("indexed_id")).as("b"),
               col("hamming"))
             .distinct(),
-            pairsPath, producer, batchId)
+            pairsPath, producerFor(producer, checkpoint), batchId)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.operators.FingerprintIndex.compact(
               batch.sparkSession, indexPath)
@@ -504,12 +522,13 @@ object StreamingPipeline {
       model: graft.operators.QualityClassifier.Model,
       keptPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      minProb: Double = 0.5)
+      minProb: Double = 0.5,
+      producer: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sc = batch.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet.toSet
         try {
@@ -519,11 +538,44 @@ object StreamingPipeline {
           // trigger; the pin is what the snapshot-diff release harness
           // then cleans up
           val pinned = batch.localCheckpoint()
-          pinned.join(
+          landTrigger(pinned.join(
             graft.operators.QualityClassifier.score(pinned, model)
               .filter(col("prob") >= minProb).select("doc_id"),
-            "doc_id")
-            .write.mode("append").parquet(keptPath)
+            "doc_id"),
+            keptPath, producerFor(producer, checkpoint), batchId)
+        } finally graft.BenchUtil.releaseNewRdds(sc, before)
+        ()
+      }
+      .start()
+
+  /** Data-quality MONITORING at ingest: per micro-batch, evaluate a
+    * declarative [[graft.operators.ConstraintOps]] suite and land the
+    * per-trigger report (batch id attached) under the trigger's own
+    * tag — the validation dashboard a 100 TB ingest reads instead of
+    * discovering a silently-truncated upstream export three stages
+    * later. One aggregate job per trigger however long the suite; the
+    * report is ≤ |constraints| rows; verdicts are per-batch by
+    * construction (`MinRows` means min rows PER TRIGGER here).
+    * Replay-idempotent like every ingest stream ([[landTrigger]]).
+    */
+  def constraintStream(docs: DataFrame,
+      constraints: Seq[graft.operators.ConstraintOps.Constraint],
+      reportPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      producer: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try {
+          val pinned = batch.localCheckpoint()
+          landTrigger(
+            graft.operators.ConstraintOps.check(pinned, constraints)
+              .withColumn("batch_id", lit(batchId)),
+            reportPath, producerFor(producer, checkpoint), batchId)
         } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()
       }

@@ -80,6 +80,37 @@ class ConstraintOpsSpec extends SparkSpec {
       s"no Unique check → no multi-distinct expand:\n$plan")
   }
 
+  test("constraintStream lands per-trigger reports equal to the " +
+    "batch suite over each slice (tagged, replay-idempotent dirs)") {
+    import graft.streaming.StreamingPipeline
+    val suite = Seq(NotNull("k"), InRange("price", 0.0, 100.0),
+      InSet("status", Seq("F", "O")), MinRows(3L))
+    val d = df.localCheckpoint()
+    val slices = Seq(d.filter(col("price") <= 30.0),
+      d.filter(col("price") > 30.0))
+    val src = tmpDir("cs-src")
+    slices.foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val rep = tmpDir("cs-rep") + "/report"
+    StreamingPipeline.constraintStream(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      suite, rep, tmpDir("cs-ckpt"))
+      .awaitTermination()
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.select("check_no", "check_name", "target", "violations",
+        "total_rows", "violation_ppm", "passed")
+        .collect().map(_.toSeq).toSeq
+    // trigger order is the file source's listing order — compare as
+    // multisets over the per-slice direct reports
+    val landed = rows(spark.read.parquet(s"$rep/b_*")).sortBy(_.toString)
+    val direct = slices.flatMap(s => rows(ConstraintOps.check(s, suite)))
+      .sortBy(_.toString)
+    assert(landed === direct)
+    // batch ids are attached and distinct per trigger
+    assert(spark.read.parquet(s"$rep/b_*")
+      .select("batch_id").distinct().count() === 2L)
+  }
+
   test("an empty suite rejects loudly") {
     val e = intercept[IllegalArgumentException] {
       ConstraintOps.check(df, Seq.empty)

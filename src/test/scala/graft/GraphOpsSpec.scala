@@ -169,6 +169,25 @@ class GraphOpsSpec extends SparkSpec {
       "an unseeded island stays unlabelled")
   }
 
+  test("labelPropagate rejects conflicting seed labels loudly and " +
+    "leaves no persisted residue behind") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.labelPropagate(Seq((1L, 2L)).toDF("a", "b"),
+        Seq((5L, 1L), (5L, 2L), (1L, 3L)).toDF("id", "label"))
+    }
+    assert(e.getMessage.contains("conflicting labels"))
+    assert(sc.getPersistentRDDs.keySet === before,
+      "a rejected propagation must release its checkpoints")
+    // identical duplicate pairs are fine (distinct dedups them)
+    val ok = GraphOps.labelPropagate(Seq((1L, 2L)).toDF("a", "b"),
+      Seq((1L, 3L), (1L, 3L)).toDF("id", "label"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok === Map(1L -> 3L, 2L -> 3L))
+  }
+
   test("labelPropagate matches the single-threaded reference on a " +
     "random graph and is partition-independent") {
     val rnd = new scala.util.Random(9)

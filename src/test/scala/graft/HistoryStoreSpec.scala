@@ -305,6 +305,13 @@ class HistoryStoreSpec extends SparkSpec {
       // purge 25 of the 40 keys — 2.5× the cap
       val purged = (1L to 25L)
       HistoryStore.purge(spark, path, purged.toDF("uid"))
+      // a LAZY serve plan taken now must survive a LATER purge's
+      // store swap (writePurged deletes the superseded copy in the
+      // same call — no retention window): the list is pinned eagerly
+      // at serve time, so the held plan keeps answering from its
+      // snapshot instead of breaking on vanished files (or, under
+      // ignoreMissingFiles, silently serving erased rows)
+      val heldPlan = HistoryStore.serve(spark, path)
       assert(asSet(HistoryStore.serve(spark, path)) ===
         asSet(rebuild.filter(col("k") > 25L)))
       assert(HistoryStore.stats(spark, path).head
@@ -320,6 +327,14 @@ class HistoryStoreSpec extends SparkSpec {
       HistoryStore.extend(Seq((30L, t(99), 902L, "zz"))
         .toDF("k", "ts", "id", "state"), path, 3L, "k", "ts",
         Seq("state"), Seq("id"))
+      // swap the purge store UNDER the held plan (a re-purge of an
+      // already-purged key rewrites the same effective list): the
+      // held snapshot must keep answering — this breaks with
+      // FileNotFound (or silently serves erased rows) if the
+      // join-based list is ever held lazily
+      HistoryStore.purge(spark, path, Seq(25L).toDF("uid"))
+      assert(asSet(heldPlan) === asSet(rebuild.filter(col("k") > 25L)),
+        "a serve plan taken before a purge-store swap must survive it")
       // full erasure cycle: compact #1 stamps, compact #2 drops
       HistoryStore.compact(spark, path)
       assert(HistoryStore.stats(spark, path).head

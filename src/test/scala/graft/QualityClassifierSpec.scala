@@ -104,7 +104,7 @@ class QualityClassifierSpec extends SparkSpec {
         .option("maxFilesPerTrigger", 1).parquet(src),
       m, kept, tmpDir("qf-ckpt"))
       .awaitTermination()
-    val got = spark.read.parquet(kept)
+    val got = spark.read.parquet(s"$kept/b_*")
       .select("doc_id").collect().map(_.getLong(0)).sorted
     val want = QualityClassifier.score(docs, m)
       .filter(col("prob") >= 0.5)

@@ -42,23 +42,29 @@ ALLOWED_TYPES = re.compile(
 def typecheck(con, oracles):
     """Bind every oracle and reject disallowed result column types.
     Binding resolves the full type tree without executing the query,
-    so this pre-pass is cheap even for the expensive gates."""
-    bad = []
+    so this pre-pass is cheap even for the expensive gates. Returns
+    the SET of flagged oracle names — each counts as one failure and
+    is excluded from the value loop (a flagged oracle must never also
+    print OK: pandas' coercion is exactly what makes its value compare
+    meaningless)."""
+    bad = {}
     for name, sql in sorted(oracles.items()):
         try:
             rel = con.sql(sql)
             cols = list(zip(rel.columns, [str(t) for t in rel.types]))
         except Exception as e:
-            bad.append((name, f"bind error: {e}"))
+            bad.setdefault(name, []).append(f"bind error: {e}")
             continue
         for c, t in cols:
             if not ALLOWED_TYPES.match(t):
-                bad.append((name, f"column '{c}' has disallowed type {t} "
-                                  "(un-cast sum()? HUGEINT never survives "
-                                  "the pandas hash path — CAST it)"))
-    for name, msg in bad:
-        print(f"TYPE     {name}: {msg}")
-    return len(bad)
+                bad.setdefault(name, []).append(
+                    f"column '{c}' has disallowed type {t} "
+                    "(un-cast sum()? HUGEINT never survives "
+                    "the pandas hash path — CAST it)")
+    for name, msgs in sorted(bad.items()):
+        for msg in msgs:
+            print(f"TYPE     {name}: {msg}")
+    return set(bad)
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns/rows and normalise REPRESENTATION only: int widths
@@ -78,8 +84,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                      else s.astype("float64"))
             elif pd.api.types.is_float_dtype(s.dtype):
                 s = s.astype("float64")
-            elif pd.api.types.is_bool_dtype(s.dtype):
-                s = s.astype("object").astype(str)
+        if pd.api.types.is_bool_dtype(s.dtype):
+            # ONE normal form for every boolean representation (numpy
+            # bool, extension boolean, object bools hit this via the
+            # map): 'True'/'False'/'None' — numpy bool vs extension
+            # '<NA>' strings would otherwise be three different forms
+            # of the same logical column under check_dtype=True
+            s = s.map(lambda x: "None" if pd.isna(x) else str(bool(x)))
         if np.issubdtype(s.dtype, np.floating):
             s = s.astype("float64").round(9)
         elif np.issubdtype(s.dtype, np.integer):
@@ -99,9 +110,12 @@ def main(sf_dir, out_dir):
         name = os.path.basename(f)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_bad = typecheck(con, oracles)
+    flagged = typecheck(con, oracles)
+    n_bad = len(flagged)
     n_ok = 0
     for name, sql in sorted(oracles.items()):
+        if name in flagged:
+            continue  # one failure per flagged oracle, never also OK
         spark_dir = f"{out_dir}/{name}"
         if not os.path.isdir(spark_dir):
             print(f"MISSING  {name}: no spark output"); n_bad += 1; continue
