@@ -21,6 +21,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
+    // per-query peak-heap attribution (VERDICT r8 #6): each pool's
+    // peak counter is RESET before a query and read after, so the
+    // 23 GB whole-run number decomposes into per-gate suspects before
+    // a 100× run finds them the hard way. Same caveat as the run-wide
+    // number: summing pool peaks reached at different instants is an
+    // UPPER BOUND on the simultaneous peak — safe for capacity claims.
+    import scala.jdk.CollectionConverters._
+    def heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def heapPeakMb(): Long =
+      heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+    // run-wide fold over EVERY window — the startup primers below,
+    // warm-up queries, per-pass primer, timed queries — so the
+    // headline still covers allocations outside the timed passes.
+    // SEMANTIC SHIFT vs r8's artifact: that figure was the never-reset
+    // pool high-water sum over the whole JVM life; this is the max
+    // over reset windows — tighter, not comparable across the
+    // boundary (noted in PLANS)
+    var runPeakMb = 0L
+    resetHeapPeaks()
     // Warm-up: touch every table once (schema read + page cache + first
     // codegen) so per-query timings measure the query, not JVM start-up.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -51,6 +73,8 @@ object Bench {
         org.apache.spark.sql.functions.col("source"), 0.01))
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // close the startup-primer heap window (opened by the reset above)
+    runPeakMb = math.max(runPeakMb, heapPeakMb())
     // Run the suite in `passes` full passes and report the per-query
     // MINIMUM: a single wall-clock draw conflates the query with whatever
     // the host happened to be doing (the round-2 harness draw measured an
@@ -78,27 +102,6 @@ object Bench {
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // per-query peak-heap attribution (VERDICT r8 #6): each pool's
-    // peak counter is RESET before a query and read after, so the
-    // 23 GB whole-run number decomposes into per-gate suspects before
-    // a 100× run finds them the hard way. Same caveat as the run-wide
-    // number: summing pool peaks reached at different instants is an
-    // UPPER BOUND on the simultaneous peak — safe for capacity claims.
-    import scala.jdk.CollectionConverters._
-    def heapPools = java.lang.management.ManagementFactory
-      .getMemoryPoolMXBeans.asScala
-      .filter(_.getType == java.lang.management.MemoryType.HEAP)
-    def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
-    def heapPeakMb(): Long =
-      heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
-    // run-wide fold over EVERY window (warm-up queries, per-pass
-    // primer, timed queries), so the headline still covers
-    // allocations outside the timed passes. SEMANTIC SHIFT vs r8's
-    // artifact: that figure was the never-reset pool high-water sum
-    // over the whole JVM life; this is the max over reset windows —
-    // tighter, not comparable across the boundary (noted in PLANS)
-    var runPeakMb = 0L
-
     // Pass 0: one full UNTIMED pass over the suite. The table/KMeans/sink
     // primers above cover shared infrastructure, but each query's own
     // codegen + first-run class-loading still lands on pass 1 (r03
@@ -218,18 +221,15 @@ object Bench {
     val heapJson = heapPerQuery.map { case (k, v) => "\"" + k + s"""\":$v""" }
       .mkString("{", ",", "}")
     val peakHeapMb = runPeakMb
-    // pass-total dispersion = the BEST AGREEING PAIR's ratio (the
-    // tripwire's own stop metric): >1.5 after the extra draws means no
+    // pass-total dispersion = the BEST AGREEING PAIR's ratio — the
+    // SAME bestPairRatio the tripwire stopped on (re-reading it here,
+    // not re-deriving it, keeps the reported number and the loop's
+    // stop metric one definition): >1.5 after the extra draws means no
     // two passes ever agreed — the box never quieted — and the
     // artifact SAYS so instead of leaving the adjudication to a human
     // diffing pass totals. (Global max/min would stay huge forever
     // once a single contaminated pass is on record.)
-    val passTotalSeq = allPasses.map(_.map(_._2).sum)
-    val dispersion = {
-      val t = passTotalSeq.sorted
-      if (t.size < 2 || t.head <= 0.0) 1.0
-      else t.sliding(2).map(p => p(1) / p(0)).min
-    }
+    val dispersion = bestPairRatio
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"per_pass":$perPass,"failed":$failedJson,"peak_heap_mb":$peakHeapMb,"heap_mb":$heapJson,"dispersion":$dispersion%.3f}"""
     // Short headline FIRST and LAST around the full per-query line: the

@@ -53,7 +53,13 @@ object BoilerplateIndex {
 
   /** Build the index from an initial corpus. Staged + atomic swap
     * ([[IndexStores.swapInto]]): a rebuild that dies mid-write leaves
-    * consumers on the previous generation.
+    * consumers on the previous generation. A rebuild replaces the
+    * store WHOLESALE, batch ledger included (the
+    * [[HistoryStore]]-rebuild posture): the new counts are the new
+    * corpus, so old (producer, batchId) fences refer to a generation
+    * that no longer exists — quiesce or re-point any ingest stream
+    * across a rebuild, per the family's single-quiesced-producer
+    * contract.
     */
   def write(docs: DataFrame, path: String, segTokens: Int = 10): Unit = {
     val spark = docs.sparkSession
@@ -103,12 +109,32 @@ object BoilerplateIndex {
       batchId: Long): Unit = {
     val spark = docs.sparkSession
     IndexStores.healRoot(spark, path)
-    if (IndexStores.sketchBatches(spark, path)
-        .contains((producer, batchId))) return
+    // membership probe WITHOUT collecting the ledger: one pruned read
+    // of the single ledger file — a long-running stream must not pull
+    // every applied pair to the driver per trigger
+    val ledgerPath = s"$path/batches"
+    val seen = IndexStores.hasStore(spark, ledgerPath) &&
+      IndexStores.readStore(spark, ledgerPath)
+        .filter(col("producer") === producer &&
+          col("batch_id") === batchId)
+        .limit(1).count() > 0
+    if (seen) return
     update(docs, path)
+    // single-file ATOMIC ledger rewrite (staged + swap — the
+    // commitTagLedger shape, not mode(append)): an append-per-trigger
+    // ledger accumulates one tiny file per batch forever, so after
+    // 100k triggers every fence probe lists and reads 100k files.
+    // The rewrite is O(applied pairs) per trigger — bounded, tiny,
+    // and always ONE file. Distributed union: nothing collects.
     import spark.implicits._
-    Seq((producer, batchId)).toDF("producer", "batch_id").coalesce(1)
-      .write.mode("append").parquet(s"$path/batches")
+    val entry = Seq((producer, batchId)).toDF("producer", "batch_id")
+    val all =
+      if (IndexStores.hasStore(spark, ledgerPath))
+        IndexStores.readStore(spark, ledgerPath).unionByName(entry)
+      else entry
+    val staging = IndexStores.stagingFor(spark, ledgerPath)
+    all.coalesce(1).write.mode("overwrite").parquet(staging)
+    IndexStores.swapInto(spark, ledgerPath, staging)
   }
 
   /** Fold the per-batch delta rows to one row per hash. */

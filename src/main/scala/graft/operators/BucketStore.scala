@@ -139,25 +139,52 @@ object BucketStore {
     * (no file sources, no conf sensitivity), safe to combine with
     * caller-session frames.
     */
+  /** One child session per CALLER session, reused across lookups (a
+    * serving loop doing thousands of point reads must not churn a
+    * fresh SessionState + catalog DDL per call), plus the per-path
+    * meta each table was opened under — re-open only when the store
+    * was rebuilt with a different schema/bucket count. Weak keys: a
+    * dropped caller session must not be pinned by its lookup child.
+    */
+  private val lookupChildren =
+    new java.util.WeakHashMap[SparkSession,
+      (SparkSession, java.util.concurrent.ConcurrentHashMap[String, Meta])]()
+
   def pointLookup(spark: SparkSession, path: String,
                   values: Seq[Long]): DataFrame = {
-    val session = spark.newSession()
-    // inherit the CALLER's runtime session conf: newSession starts
-    // from the context conf, so session-scoped overrides set after
-    // startup (per-session fs.* object-store credentials — the
-    // pattern IndexStores.gcUnreferencedTags documents — or
-    // ignoreMissingFiles) would otherwise silently vanish from the
-    // lookup's read path. Static confs reject the set and are
-    // context-identical anyway.
+    val (session, opened) = lookupChildren.synchronized {
+      var e = lookupChildren.get(spark)
+      if (e == null) {
+        e = (spark.newSession(),
+          new java.util.concurrent.ConcurrentHashMap[String, Meta]())
+        lookupChildren.put(spark, e)
+      }
+      e
+    }
+    // re-sync the CALLER's runtime session conf on every call (a
+    // driver-local map copy — microseconds next to the read):
+    // newSession starts from the context conf, so session-scoped
+    // overrides set after startup (per-session fs.* object-store
+    // credentials — the pattern IndexStores.gcUnreferencedTags
+    // documents — or ignoreMissingFiles) would otherwise silently
+    // vanish from the lookup's read path, and a CHANGE since the last
+    // lookup would silently stale. Static confs reject the set and
+    // are context-identical anyway.
     spark.conf.getAll.foreach { case (k, v) =>
       try session.conf.set(k, v)
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
-    val m = readMeta(session, path)
-    val name = open(session, path)
     session.conf.set(
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    session.table(name)
+    val m = readMeta(session, path)
+    // open once per (child, path, meta); a rebuilt store with a new
+    // schema or bucket count re-registers, an unchanged one skips the
+    // DROP/CREATE catalog churn entirely
+    opened.compute(path, (_, prev) => {
+      if (prev == null || prev != m) open(session, path)
+      m
+    })
+    session.table(registeredName(path))
       .filter(col(m.key).isin(values: _*))
       .localCheckpoint()
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives for dedup post-processing. Candidate
@@ -305,15 +305,46 @@ object GraphOps {
     */
   def labelPropagate(edgesIn: DataFrame, seeds: DataFrame,
       iters: Int = 3): DataFrame = {
+    // exact-cast guard (the HistoryStore.purge posture): ids and
+    // labels are bigint by contract, and a value that does not
+    // round-trip rejects loudly — a silently truncating cast
+    // (3.7 → 3) would propagate a label nobody assigned, and a
+    // null-after-cast label would form its own vote group and, on
+    // winning, silently drop the node from the result
+    def exact(src: Column, orig: org.apache.spark.sql.types.DataType,
+        what: String): Column =
+      when(src.isNull, raise_error(lit(
+        s"labelPropagate: null $what — nulls cannot vote; filter or " +
+          "repair them before propagating")))
+        .when(src.try_cast(org.apache.spark.sql.types.LongType).isNull ||
+          !(src.try_cast(org.apache.spark.sql.types.LongType)
+            .cast(orig) <=> src),
+          raise_error(concat(
+            lit(s"labelPropagate: $what "), src.cast("string"),
+            lit(" does not cast EXACTLY to bigint — a lossy or " +
+              "failed cast would corrupt the integer vote groups"))))
+        .otherwise(src.cast("bigint"))
+    // failure-path release: the exact-cast raise_error can fire INSIDE
+    // any of the eager checkpoints below (even partially-persisted
+    // blocks of the throwing one), so on ANY failure every RDD this
+    // call pinned is released wholesale — on success the inner finally
+    // does the precise accounting and the result keeps its pin
+    val scx = edgesIn.sparkSession.sparkContext
+    val beforeAll = scx.getPersistentRDDs.keySet.toSet
+    try {
     val Array(ca, cb) = edgesIn.columns.take(2)
-    val e = edgesIn.select(col(ca).cast("bigint").as("src"),
-      col(cb).cast("bigint").as("dst"))
+    val e = edgesIn.select(
+      exact(col(ca), edgesIn.schema(ca).dataType, s"edge endpoint $ca")
+        .as("src"),
+      exact(col(cb), edgesIn.schema(cb).dataType, s"edge endpoint $cb")
+        .as("dst"))
     val (sym, symIds) = eagerCp(
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst")).distinct())
     val (seed, seedIds) = eagerCp(seeds.select(
-      col("id").cast("bigint").as("id"),
-      col("label").cast("bigint").as("seed_label")).distinct())
+      exact(col("id"), seeds.schema("id").dataType, "seed id").as("id"),
+      exact(col("label"), seeds.schema("label").dataType, "seed label")
+        .as("seed_label")).distinct())
     // graph nodes ∪ seed ids: an edgeless seed keeps its (clamped)
     // label instead of silently vanishing from the result
     val (nodes, nodeIds) = eagerCp(
@@ -367,6 +398,10 @@ object GraphOps {
       releaseCp(sym, symIds)
       releaseCp(nodes, nodeIds)
       releaseCp(seed, seedIds)
+    }
+    } catch { case t: Throwable =>
+      graft.BenchUtil.releaseNewRdds(scx, beforeAll)
+      throw t
     }
   }
 

@@ -262,6 +262,18 @@ object HistoryStore {
     */
   def purge(spark: SparkSession, path: String, keys: DataFrame): Unit = {
     IndexStores.healRoot(spark, path)
+    // snapshot-diff release scope (the extend/compact posture): the
+    // above-cap purgedLocal pins the list executor-side, and purge
+    // consumes it entirely (writePurged lands the merge on disk) — a
+    // per-trigger purge loop must not accumulate dead pins
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try purgeInner(spark, path, keys)
+    finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
+  private def purgeInner(spark: SparkSession, path: String,
+      keys: DataFrame): Unit = {
     val m = metaOf(spark, path)
     val kt = dataSchemaOf(spark, path)(m.key).dataType
     val src = col(keys.columns.head)
@@ -375,18 +387,27 @@ object HistoryStore {
     */
   def stats(spark: SparkSession, path: String): DataFrame = {
     IndexStores.healRoot(spark, path)
-    val m = metaOf(spark, path)
-    val applied = ledger(spark, path)
-    val purgeList = purgedLocal(spark, path)
-    val d = serveBuckets(spark, path, m, None, purgeList).agg(
-      count(lit(1)), count(when(col("is_current"), 1)),
-      countDistinct(col(m.key))).head
-    val nPurged = purgeList.map(_.n).getOrElse(0L)
-    import spark.implicits._
-    Seq((applied.size.toLong, applied.map(_._3).distinct.size.toLong,
-      d.getLong(0), d.getLong(1), d.getLong(2), nPurged))
-      .toDF("applied_batches", "tags", "version_rows", "open_versions",
-        "keys", "purged_keys")
+    // release scope: stats consumes the serve down to ONE local row
+    // (.head), so the above-cap purge-list pin is dead on return — a
+    // monitoring loop calling stats per trigger must not pin a fresh
+    // copy of a million-key list each call. The returned frame is
+    // built from local values; releasing costs it nothing.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val m = metaOf(spark, path)
+      val applied = ledger(spark, path)
+      val purgeList = purgedLocal(spark, path)
+      val d = serveBuckets(spark, path, m, None, purgeList).agg(
+        count(lit(1)), count(when(col("is_current"), 1)),
+        countDistinct(col(m.key))).head
+      val nPurged = purgeList.map(_.n).getOrElse(0L)
+      import spark.implicits._
+      Seq((applied.size.toLong, applied.map(_._3).distinct.size.toLong,
+        d.getLong(0), d.getLong(1), d.getLong(2), nPurged))
+        .toDF("applied_batches", "tags", "version_rows", "open_versions",
+          "keys", "purged_keys")
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
   // ---- internals ----------------------------------------------------
@@ -443,11 +464,11 @@ object HistoryStore {
     * millions of keys, a driver-heap cliff — eager means
     * `localCheckpoint(true)`: the list is pinned executor-side at
     * read time (no file refs survive), and every consumer joins it
-    * distributed (no broadcast). extend/compact release the pin with
-    * their scope's releaseNewRdds; a frame returned by
-    * [[serve]]/[[stats]] keeps its pin until the caller drops it and
-    * the ContextCleaner reclaims — bounded by the list, not the
-    * dimension.
+    * distributed (no broadcast). extend/compact/purge/stats release
+    * the pin with their scope's releaseNewRdds (they consume the list
+    * before returning); only a frame returned by [[serve]] keeps its
+    * pin — until the caller drops it and the ContextCleaner reclaims
+    * — bounded by the list, not the dimension.
     */
   private def purgedLocal(spark: SparkSession,
       path: String): Option[PurgeList] =

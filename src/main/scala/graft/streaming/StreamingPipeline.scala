@@ -35,9 +35,29 @@ object StreamingPipeline {
     * file so an all-dropped trigger still leaves a readable dir (the
     * [[graft.operators.MembershipStore.curateBatch]] pattern). Read
     * the landed output with `spark.read.parquet(s"$outDir/b_*")`.
+    *
+    * MIGRATION tripwire: streams that predate the tagged layout wrote
+    * flat `part-*` files directly under `outDir`. Landing tags BESIDE
+    * those would silently split the output across two layouts — the
+    * `b_*` glob misses every pre-upgrade row, the flat read misses
+    * every post-upgrade row — so a mixed dir REJECTS loudly on first
+    * contact: migrate the old rows into a one-off tag (e.g.
+    * `spark.read.parquet(dir).write.parquet(s"$dir/b_migrated_0_g0")`,
+    * then delete the flat files) before resuming the stream.
     */
   private def landTrigger(df: DataFrame, outDir: String,
       producer: String, batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(root) && fs.listStatus(root).exists(s =>
+        s.isFile && s.getPath.getName.startsWith("part-")))
+      throw new IllegalStateException(
+        s"landTrigger: $outDir holds FLAT pre-upgrade part files — " +
+          "landing tagged b_* dirs beside them would silently split " +
+          "the output across two layouts (each read misses the other " +
+          "half). Migrate the flat rows into a one-off tag dir and " +
+          "delete them first; see landTrigger's scaladoc.")
     val dir =
       s"$outDir/${graft.operators.IndexStores.tagFor(producer, batchId)}"
     df.write.mode("overwrite").parquet(dir)

@@ -32,6 +32,30 @@ class BoilerplateIndexSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq === direct)
   }
 
+  test("fenced update keeps a single-file ledger across triggers and " +
+    "a replayed pair stays a no-op") {
+    val path = tmpDir("boiler-ledger")
+    BoilerplateIndex.write(
+      Seq((1L, header + " " + body(1))).toDF("doc_id", "text"), path)
+    (0L to 4L).foreach { b =>
+      BoilerplateIndex.update(
+        Seq((10L + b, header + " " + body(b.toInt)))
+          .toDF("doc_id", "text"), path, "p", b)
+    }
+    // append-per-trigger would leave 5 files; the atomic rewrite
+    // leaves exactly ONE however many triggers have landed
+    assert(BenchUtil.parquetDataFiles(s"$path/batches") === 1,
+      "ledger must stay one file after N fenced updates")
+    val cnt = spark.read.parquet(s"$path/counts").count()
+    // crash-replay of an already-ledgered pair: no count delta lands
+    BoilerplateIndex.update(
+      Seq((99L, header + " " + body(9))).toDF("doc_id", "text"),
+      path, "p", 2L)
+    assert(spark.read.parquet(s"$path/counts").count() === cnt,
+      "a replayed (producer, batchId) must not re-append its delta")
+    assert(BenchUtil.parquetDataFiles(s"$path/batches") === 1)
+  }
+
   test("segmentation contract is stored: strip uses the build-time width") {
     val docs = Seq((1L, header), (2L, header)).toDF("doc_id", "text")
     val path = tmpDir("boiler-idx-w")

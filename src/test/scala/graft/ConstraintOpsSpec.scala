@@ -111,6 +111,27 @@ class ConstraintOpsSpec extends SparkSpec {
       .select("batch_id").distinct().count() === 2L)
   }
 
+  test("landTrigger rejects an output dir holding flat pre-upgrade " +
+    "part files instead of silently splitting the layout") {
+    import graft.streaming.StreamingPipeline
+    val d = df.localCheckpoint()
+    val src = tmpDir("lt-src")
+    d.coalesce(1).write.mode("append").parquet(src)
+    // seed the OUTPUT dir with a flat (pre-tagged-layout) write
+    val rep = tmpDir("lt-rep") + "/report"
+    d.limit(1).coalesce(1).write.parquet(rep)
+    val q = StreamingPipeline.constraintStream(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      Seq(NotNull("k")), rep, tmpDir("lt-ckpt"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("FLAT pre-upgrade part files") ||
+      Option(e.getCause).exists(_.getMessage
+        .contains("FLAT pre-upgrade part files")))
+  }
+
   test("an empty suite rejects loudly") {
     val e = intercept[IllegalArgumentException] {
       ConstraintOps.check(df, Seq.empty)

@@ -188,6 +188,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(ok === Map(1L -> 3L, 2L -> 3L))
   }
 
+  test("labelPropagate rejects lossy or null seed/edge casts loudly " +
+    "and releases everything pinned before the rejection") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // a double label that truncates (3.7 -> 3) must reject, not
+    // propagate a label nobody assigned
+    val lossy = intercept[Exception] {
+      GraphOps.labelPropagate(Seq((1L, 2L)).toDF("a", "b"),
+        Seq((1L, 3.7)).toDF("id", "label"), iters = 1).collect()
+    }
+    assert(lossy.getMessage.contains("does not cast EXACTLY"))
+    // a null label would form its own vote group and, on winning,
+    // silently drop the node from the result — reject instead
+    val nul = intercept[Exception] {
+      GraphOps.labelPropagate(Seq((1L, 2L)).toDF("a", "b"),
+        Seq((1L, Option.empty[Long])).toDF("id", "label"),
+        iters = 1).collect()
+    }
+    assert(nul.getMessage.contains("null"))
+    // a null edge endpoint cannot vote either
+    val nedge = intercept[Exception] {
+      GraphOps.labelPropagate(
+        Seq((Option.empty[Long], Option(2L))).toDF("a", "b"),
+        Seq((2L, 1L)).toDF("id", "label"), iters = 1).collect()
+    }
+    assert(nedge.getMessage.contains("null"))
+    assert(sc.getPersistentRDDs.keySet === before,
+      "a rejected propagation must release everything it pinned")
+    // exact-valued doubles and int-typed labels round-trip fine
+    val ok = GraphOps.labelPropagate(Seq((1, 2)).toDF("a", "b"),
+      Seq((1.0, 3.0)).toDF("id", "label"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok === Map(1L -> 3L, 2L -> 3L))
+  }
+
   test("labelPropagate matches the single-threaded reference on a " +
     "random graph and is partition-independent") {
     val rnd = new scala.util.Random(9)

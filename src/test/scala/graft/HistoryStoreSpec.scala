@@ -335,6 +335,16 @@ class HistoryStoreSpec extends SparkSpec {
       HistoryStore.purge(spark, path, Seq(25L).toDF("uid"))
       assert(asSet(heldPlan) === asSet(rebuild.filter(col("k") > 25L)),
         "a serve plan taken before a purge-store swap must survive it")
+      // stats/purge consume the list down to local values: neither
+      // may leave the above-cap pin behind (a per-trigger monitoring
+      // loop would otherwise accumulate a dead executor-side copy of
+      // the list per call). heldPlan's own pin is excluded by taking
+      // the snapshot AFTER it.
+      val pinned0 = spark.sparkContext.getPersistentRDDs.keySet
+      HistoryStore.stats(spark, path).collect()
+      HistoryStore.purge(spark, path, Seq(24L).toDF("uid"))
+      assert(spark.sparkContext.getPersistentRDDs.keySet === pinned0,
+        "stats/purge must release the above-cap purge-list pin")
       // full erasure cycle: compact #1 stamps, compact #2 drops
       HistoryStore.compact(spark, path)
       assert(HistoryStore.stats(spark, path).head
