@@ -187,6 +187,8 @@ object SparkEntry {
     "skew_summary" -> (graft.queries.ExtQueries.skewSummary(_, _)),
     "graph_label_prop" -> (graft.queries.ExtQueries.graphLabelProp(_, _)),
     "profile_constraints" -> (graft.queries.ExtQueries.profileConstraints(_, _)),
+    "hist_store_quantiles" -> (graft.queries.ExtQueries.histStoreQuantiles(_, _)),
+    "hist_store_drift" -> (graft.queries.ExtQueries.histStoreDrift(_, _)),
   )
 
   /** Normalised `events` view used by every oracle touching events:

@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted equi-width histogram — the DISTRIBUTION artifact a
+  * training-data pipeline keeps between runs: per-bin counts (plus
+  * sum/min/max) of a fixed-point measure, maintained by O(batch)
+  * delta, so "what does this feature's distribution look like, and
+  * has this week's ingest DRIFTED from the reference corpus?" never
+  * re-scans 100 TB. Eleventh persisted family; storage DELEGATES to
+  * [[RollupStore]] (a histogram is exactly a rollup keyed by bin id —
+  * same LSM tags, same exactly-once ledger, same compaction), so the
+  * hardening that store earned (staged rebuild over a live store,
+  * schema-bearing empty tags, single-writer tripwire, grace-cycle GC)
+  * is inherited rather than re-implemented.
+  *
+  * FIXED-POINT BY CONTRACT: the value column is BIGINT (callers scale
+  * doubles to the precision they care about — the repo's ProfileOps
+  * protocol), so binning is pure integer arithmetic, exact in any
+  * engine, and every serve (quantile ranks, drift ratios) leaves as
+  * integer-derived values a DuckDB replay hash-matches. A value that
+  * does not round-trip to BIGINT rejects loudly (the
+  * HistoryStore.purge exact-cast posture) — a silently truncated
+  * 3.7 → 3 would land in a bin nobody's value belongs to.
+  *
+  * Binning over `[lo, hi)` into `nBins` equal widths, plus three
+  * escape bins: `-2` null, `-1` underflow (`v < lo`), `nBins`
+  * overflow (`v >= hi`). Underflow routes BEFORE the division —
+  * Spark's integer `DIV` truncates toward zero while DuckDB's `//`
+  * floors, so a negative numerator must never reach either. The
+  * in-range bin is `((v - lo) * nBins) DIV (hi - lo)` computed in
+  * DECIMAL(38,0) (the product can pass 2^63 at wide ranges × many
+  * bins), truncated back to BIGINT.
+  *
+  * Scale shape: write/extend is ONE map-side-combined aggregation of
+  * the batch to ≤ nBins+3 rows; serve folds stored tags (never fact
+  * rows); quantiles and drift run on the ≤ nBins+3-row bin table —
+  * the bounded-window caveat is bounded by the STORE GEOMETRY, a
+  * build-time dial, never by the data.
+  */
+object HistogramStore {
+
+  /** The binning contract, stored once at build time — every extend
+    * and serve reads it back, so a store can never be probed or
+    * extended with a mismatched geometry.
+    */
+  final case class HistMeta(valueCol: String, lo: Long, hi: Long,
+      nBins: Int)
+
+  private def metaOf(spark: SparkSession, path: String): HistMeta = {
+    val r = IndexStores.readStore(spark, s"$path/meta").head
+    HistMeta(r.getAs[String]("value_col"), r.getAs[Long]("lo"),
+      r.getAs[Long]("hi"), r.getAs[Int]("n_bins"))
+  }
+
+  /** Bin id for one value under a geometry — the ONE binning
+    * definition (gate oracles replay it symbol-for-symbol). Null → -2,
+    * underflow → -1 (routed before the division: negative numerators
+    * truncate in Spark but floor in DuckDB), overflow → nBins,
+    * in-range → integer floor division in DECIMAL(38,0).
+    */
+  def binOf(v: Column, m: HistMeta): Column =
+    when(v.isNull, lit(-2L))
+      .when(v < m.lo, lit(-1L))
+      .when(v >= m.hi, lit(m.nBins.toLong))
+      .otherwise(
+        call_function("div",
+          (v - m.lo).cast("decimal(38,0)") * m.nBins,
+          lit(m.hi - m.lo).cast("decimal(38,0)")))
+
+  /** Exact-cast guard: the measure must round-trip to BIGINT. Nulls
+    * PASS (they are the -2 bin — a data-quality signal the histogram
+    * exists to expose, not an error).
+    */
+  private def exactLong(src: Column,
+      orig: org.apache.spark.sql.types.DataType): Column =
+    when(src.isNull, lit(null).cast("bigint"))
+      .when(src.try_cast(org.apache.spark.sql.types.LongType).isNull ||
+        !(src.try_cast(org.apache.spark.sql.types.LongType)
+          .cast(orig) <=> src),
+        raise_error(concat(
+          lit("histogram store: value "), src.cast("string"),
+          lit(" does not cast EXACTLY to bigint — scale to fixed " +
+            "point first (the ProfileOps protocol); a truncating " +
+            "cast would bin a value nobody measured"))))
+      .otherwise(src.cast("bigint"))
+
+  private def binned(df: DataFrame, m: HistMeta): DataFrame = {
+    val v = exactLong(col(m.valueCol), df.schema(m.valueCol).dataType)
+    df.select(binOf(v, m).as("bin"), coalesce(v, lit(0L)).as("v"))
+  }
+
+  /** Build the store over a corpus: one aggregation pass to
+    * ≤ nBins+3 rows, geometry pinned in meta, delegated commit
+    * ([[RollupStore.write]] — staged + atomic against a live store).
+    */
+  def write(df: DataFrame, path: String, valueCol: String,
+      lo: Long, hi: Long, nBins: Int): Unit = {
+    require(nBins >= 1 && hi > lo,
+      s"histogram geometry needs hi > lo and nBins >= 1; " +
+        s"got [$lo, $hi) x $nBins")
+    val spark = df.sparkSession
+    val m = HistMeta(valueCol, lo, hi, nBins)
+    import spark.implicits._
+    // meta first, wholesale-replace semantics: a rebuild re-pins the
+    // geometry with the new counts (the store family's rebuild
+    // posture — quiesce producers across it)
+    val staging = IndexStores.stagingFor(spark, s"$path/meta")
+    Seq((valueCol, lo, hi, nBins))
+      .toDF("value_col", "lo", "hi", "n_bins").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    IndexStores.swapInto(spark, s"$path/meta", staging)
+    RollupStore.write(binned(df, m), s"$path/bins", Seq("bin"), "v")
+  }
+
+  /** Fold a batch in, exactly once per (producer, batchId) — the
+    * [[RollupStore.extend]] ledger fence; geometry comes from the
+    * store's own meta, so a mismatched extend cannot exist.
+    */
+  def extend(df: DataFrame, path: String, batchId: Long,
+      producer: String = "default"): Unit = {
+    val spark = df.sparkSession
+    IndexStores.healRoot(spark, path)
+    val m = metaOf(spark, path)
+    RollupStore.extend(binned(df, m), s"$path/bins", batchId,
+      Seq("bin"), "v", producer)
+  }
+
+  /** Fold stored tags to one ([[RollupStore.compact]]). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    IndexStores.healRoot(spark, path)
+    RollupStore.compact(spark, s"$path/bins")
+  }
+
+  /** The histogram: `(bin, bin_lo, bin_hi, cnt, sum_v, min_v, max_v)`
+    * — ≤ nBins+3 rows, stored partials merged on read, never fact
+    * rows. Edges are exact longs (`lo + bin·(hi-lo) DIV nBins`); the
+    * escape bins carry null edges.
+    */
+  def serve(spark: SparkSession, path: String): DataFrame = {
+    IndexStores.healRoot(spark, path)
+    val m = metaOf(spark, path)
+    val edge = (b: Column) =>
+      lit(m.lo) + call_function("div",
+        (b * (m.hi - m.lo)).cast("decimal(38,0)"),
+        lit(m.nBins).cast("decimal(38,0)"))
+    RollupStore.serve(spark, s"$path/bins")
+      .select(col("bin"),
+        when(col("bin").between(0, m.nBins - 1), edge(col("bin")))
+          .as("bin_lo"),
+        when(col("bin").between(0, m.nBins - 1), edge(col("bin") + 1))
+          .as("bin_hi"),
+        col("cnt"),
+        col("sum_val").cast("bigint").as("sum_v"),
+        col("min_val").cast("bigint").as("min_v"),
+        col("max_val").cast("bigint").as("max_v"))
+  }
+
+  /** Histogram quantiles: for each requested q, the first bin whose
+    * cumulative count reaches `ceil(q · n)` over the FINITE bins
+    * (nulls excluded — they have no rank; under/overflow included,
+    * reported with null edges). Exact integer rank arithmetic
+    * (`ceil(q·n)` as `(num·n + den - 1) DIV den` over a rational q),
+    * answered from the ≤ nBins+3-row bin table — the window sort is
+    * bounded by the store geometry, never the data. The TRUE value
+    * lies in `[bin_lo, bin_hi)` — resolution is a build-time dial
+    * (width = (hi-lo)/nBins), which is the honest contract an
+    * equi-width artifact can keep at 100 TB.
+    */
+  def quantiles(spark: SparkSession, path: String,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) =>
+      d >= 1 && n >= 0 && n <= d },
+      "quantiles want rational qs as (numerator, denominator) pairs " +
+        "in [0, 1] — exact rank arithmetic, no float ranks")
+    val bins = serve(spark, path).filter(col("bin") =!= -2L)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = bins.select(col("bin"), col("bin_lo"), col("bin_hi"),
+      sum("cnt").over(w).as("cum_cnt"))
+    import spark.implicits._
+    val qdf = qs.toDF("q_num", "q_den")
+      .withColumn("q_ppm", expr("q_num * 1000000 DIV q_den"))
+    // target rank = ceil(q*n) clamped to >= 1; first bin reaching it
+    val n = bins.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+    qdf.crossJoin(
+      broadcast(cum))
+      .withColumn("target",
+        greatest(lit(1L), expr(s"(q_num * ${n}L + q_den - 1) DIV q_den")))
+      .filter(col("cum_cnt") >= col("target"))
+      .groupBy("q_ppm")
+      .agg(min_by(struct(col("bin"), col("bin_lo"), col("bin_hi")),
+        col("bin")).as("b"))
+      .select(col("q_ppm"), col("b.bin").as("bin"),
+        col("b.bin_lo").as("bin_lo"), col("b.bin_hi").as("bin_hi"))
+  }
+
+  /** Distribution DRIFT between two stores of identical geometry:
+    * total-variation distance `½ Σ |p_i − q_i|` over all bins (nulls
+    * and escapes included — a null-share shift IS drift), emitted
+    * fixed-point as `tv_ppm`, computed entirely in exact integer
+    * arithmetic: `Σ |cntA·NB − cntB·NA| · 10⁶ DIV (2·NA·NB)` in
+    * DECIMAL(38,0) — cross-engine hash-exact, no logs, no floats (the
+    * reason this is TV and not PSI: PSI's ln() would reopen the
+    * rounding-flake class round 8 closed). 0 = identical shapes,
+    * 1 000 000 = disjoint. One ≤ nBins+3-row join; the fact tables
+    * are never touched.
+    */
+  def drift(spark: SparkSession, pathA: String,
+      pathB: String): DataFrame = {
+    val (ma, mb) = (metaOf(spark, pathA), metaOf(spark, pathB))
+    require(ma == mb,
+      s"drift needs identical geometry: $pathA holds $ma, $pathB " +
+        s"holds $mb — rebinning is a rebuild, not a compare")
+    val a = serve(spark, pathA).select(col("bin"), col("cnt").as("ca"))
+    val b = serve(spark, pathB).select(col("bin"), col("cnt").as("cb"))
+    val j = a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // totals and the cross-weighted absolute difference need each
+    // other; the ≤ nBins+3-row totals ride a broadcast
+    val t = j.agg(sum("ca").cast("decimal(38,0)").as("n_a"),
+      sum("cb").cast("decimal(38,0)").as("n_b"))
+    j.crossJoin(broadcast(t))
+      .agg(
+        first(col("n_a")).cast("bigint").as("n_a"),
+        first(col("n_b")).cast("bigint").as("n_b"),
+        call_function("div",
+          sum(abs(col("ca").cast("decimal(38,0)") * col("n_b") -
+            col("cb").cast("decimal(38,0)") * col("n_a"))) *
+            lit(1000000L).cast("decimal(38,0)"),
+          lit(2).cast("decimal(38,0)") *
+            first(col("n_a")) * first(col("n_b"))).as("tv_ppm"))
+  }
+
+  /** Monitoring surface: geometry + the delegated store's stats. */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    IndexStores.healRoot(spark, path)
+    val m = metaOf(spark, path)
+    RollupStore.stats(spark, s"$path/bins")
+      .select(lit(m.valueCol).as("value_col"), lit(m.lo).as("lo"),
+        lit(m.hi).as("hi"), lit(m.nBins).as("n_bins"),
+        col("stored_keys").as("occupied_bins"), col("total_rows"),
+        col("applied_batches"), col("tags"))
+  }
+}

@@ -2072,6 +2072,69 @@ object ExtOracles {
         |            * 10000 AS BIGINT) AS max_x10k
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // replays HistogramStore's binning symbol-for-symbol (escape bins
+    // -2/-1/60 routed BEFORE the division — DuckDB // floors where
+    // Spark DIV truncates, so negatives never reach either), then the
+    // integer quantile ranks: ceil(q·n) over the finite bins as exact
+    // rational arithmetic, first bin whose cumulative count reaches
+    // the target. Every output column cast BIGINT (sum() is HUGEINT).
+    "hist_store_quantiles" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN n_chars IS NULL THEN -2
+        |              WHEN n_chars < 0 THEN -1
+        |              WHEN n_chars >= 600 THEN 60
+        |              ELSE n_chars * 60 // 600 END AS bin
+        |  FROM documents
+        |), binned AS (
+        |  SELECT bin, count(*) AS cnt FROM b WHERE bin <> -2 GROUP BY 1
+        |), cum AS (
+        |  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum_cnt,
+        |         (SELECT sum(cnt) FROM binned) AS n
+        |  FROM binned
+        |), qs(q_num, q_den) AS (
+        |  VALUES (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)
+        |)
+        |SELECT CAST(q_num * 1000000 // q_den AS BIGINT) AS q_ppm,
+        |       CAST(min(bin) AS BIGINT) AS bin,
+        |       CAST(CASE WHEN min(bin) BETWEEN 0 AND 59
+        |            THEN min(bin) * 600 // 60 END AS BIGINT) AS bin_lo,
+        |       CAST(CASE WHEN min(bin) BETWEEN 0 AND 59
+        |            THEN (min(bin) + 1) * 600 // 60 END AS BIGINT) AS bin_hi
+        |FROM qs JOIN cum
+        |  ON cum.cum_cnt >= greatest(1, (q_num * n + q_den - 1) // q_den)
+        |GROUP BY q_num, q_den
+        |ORDER BY q_ppm""".stripMargin,
+
+    // replays HistogramStore.drift's exact integer total-variation:
+    // same binning, full-outer zero-filled join of the two
+    // distributions, Σ|ca·nb − cb·na|·10⁶ // (2·na·nb) in HUGEINT
+    // (Spark computes the identical rational in DECIMAL(38,0)) —
+    // every output column cast BIGINT
+    "hist_store_drift" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN n_chars IS NULL THEN -2
+        |              WHEN n_chars < 0 THEN -1
+        |              WHEN n_chars >= 600 THEN 60
+        |              ELSE n_chars * 60 // 600 END AS bin, lang
+        |  FROM documents
+        |), a AS (
+        |  SELECT bin, count(*) AS ca FROM base WHERE lang = 'en' GROUP BY 1
+        |), bb AS (
+        |  SELECT bin, count(*) AS cb FROM base WHERE lang <> 'en' GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(a.bin, bb.bin) AS bin,
+        |         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN bb ON a.bin = bb.bin
+        |), t AS (
+        |  SELECT CAST(sum(ca) AS HUGEINT) AS na,
+        |         CAST(sum(cb) AS HUGEINT) AS nb FROM j
+        |)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |       CAST(sum(abs(CAST(ca AS HUGEINT) * t.nb
+        |                    - CAST(cb AS HUGEINT) * t.na)) * 1000000
+        |            // (2 * t.na * t.nb) AS BIGINT) AS tv_ppm
+        |FROM j, t GROUP BY t.na, t.nb""".stripMargin,
+
     // replays GraphOps.triangleCounts under the SAME degree
     // orientation (direct each edge toward the larger (degree, id);
     // wedges ordered the same way; close with the oriented third

@@ -2176,6 +2176,65 @@ object ExtQueries {
         rollupStorePath(spark, dir), Seq("l_returnflag")))
       .orderBy("l_returnflag")
 
+  /** The persisted distribution artifact both histogram gates read:
+    * n_chars over documents, [0, 600) × 60 bins, built on the even
+    * doc ids, EXTENDED with the odd ids (exercising the delegated
+    * ledger fence), compacted — plus a second pair of stores split
+    * en / non-en for the drift gate. One build per session per SF.
+    */
+  private val histStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def histStorePath(spark: SparkSession, dir: String): String =
+    histStoreCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-hist-store").toString
+      val docs = Tables.documents(spark, dir).select("doc_id", "n_chars", "lang")
+      graft.operators.HistogramStore.write(
+        docs.filter(col("doc_id") % 2 === 0), s"$root/all",
+        "n_chars", lo = 0L, hi = 600L, nBins = 60)
+      graft.operators.HistogramStore.extend(
+        docs.filter(col("doc_id") % 2 === 1), s"$root/all", batchId = 1L)
+      graft.operators.HistogramStore.compact(spark, s"$root/all")
+      graft.operators.HistogramStore.write(
+        docs.filter(col("lang") === "en"), s"$root/en",
+        "n_chars", lo = 0L, hi = 600L, nBins = 60)
+      graft.operators.HistogramStore.write(
+        docs.filter(col("lang") =!= "en"), s"$root/rest",
+        "n_chars", lo = 0L, hi = 600L, nBins = 60)
+      root
+    }
+
+  /** Histogram-store quantiles
+    * ([[graft.operators.HistogramStore.quantiles]]): p25/p50/p75/p90/
+    * p99 of document length answered from the ≤ 63-row persisted bin
+    * table — integer rank arithmetic (`ceil(q·n)` as exact rational),
+    * bin edges as exact longs. The store is built write → extend →
+    * compact, so hash-green proves the O(batch) delta maintenance
+    * reproduces the one-shot distribution bin-for-bin; the oracle
+    * replays the binning symbol-for-symbol over the raw table.
+    */
+  def histStoreQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HistogramStore.quantiles(spark,
+      s"${histStorePath(spark, dir)}/all",
+      Seq((1, 4), (1, 2), (3, 4), (9, 10), (99, 100)))
+      .orderBy("q_ppm")
+
+  /** Distribution drift between two persisted histograms
+    * ([[graft.operators.HistogramStore.drift]]): total-variation
+    * distance between en and non-en document-length shapes, computed
+    * entirely in exact integer arithmetic (`Σ|cntA·NB − cntB·NA| ·
+    * 10⁶ DIV (2·NA·NB)` in DECIMAL(38,0)) — the drift dial a 100 TB
+    * ingest reads per batch without ever re-scanning the reference
+    * corpus. TV, not PSI: PSI's ln() would reopen the float-replay
+    * class; TV is rational in the counts, so the DuckDB replay
+    * hash-matches exactly.
+    */
+  def histStoreDrift(spark: SparkSession, dir: String): DataFrame = {
+    val root = histStorePath(spark, dir)
+    graft.operators.HistogramStore.drift(spark, s"$root/en",
+      s"$root/rest")
+  }
+
   /** Gate emission protocol: the store's exact DECIMAL(38,4) measures
     * leave as fixed-point longs (`× 10 000`) — cross-engine
     * hash-stable, and exact because the decimals are.

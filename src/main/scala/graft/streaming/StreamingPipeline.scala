@@ -783,6 +783,30 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming histogram maintenance
+    * ([[graft.operators.HistogramStore.extend]] per trigger): each
+    * micro-batch folds ONE ≤ nBins+3-row partial into the persisted
+    * distribution artifact — O(batch) per trigger, exactly-once per
+    * (checkpoint, batchId) via the delegated RollupStore ledger, so a
+    * crash-replayed trigger never double-counts a bin. The store must
+    * be BUILT first ([[graft.operators.HistogramStore.write]] — the
+    * binning geometry is a build-time contract the stream reads back,
+    * never a stream parameter that could drift from it).
+    */
+  def histogramIngestStream(rows: DataFrame, storePath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.HistogramStore.extend(batch, storePath,
+          batchId, producer = checkpoint)
+        ()
+      }
+      .start()
+
   /** Novelty-gated streaming CURATION
     * ([[graft.operators.MembershipStore.curateBatch]] per trigger):
     * the self-reinforcing ingest filter — each trigger keeps only the

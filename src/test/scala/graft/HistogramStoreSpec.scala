@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.HistogramStore
+
+/** Persisted histogram lifecycle: delta maintenance ≡ one-shot build
+  * bin-for-bin, quantile ranks against the exact sorted answer, exact
+  * integer TV drift (0 for identical shapes, 10⁶ for disjoint),
+  * escape-bin routing, lossy-cast rejection, replay fencing via the
+  * delegated RollupStore ledger, and the streaming leg's stream ≡
+  * batch pin.
+  */
+class HistogramStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vals(n: Int, shift: Int): DataFrame =
+    (1 to n).map(i => (i.toLong + shift, ((i * 37 + shift) % 500).toLong))
+      .toDF("id", "v")
+
+  private def bins(path: String): Map[Long, Long] =
+    HistogramStore.serve(spark, path)
+      .select("bin", "cnt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("write + extend ≡ one-shot build bin-for-bin, replay is a " +
+    "no-op, compact preserves the serve") {
+    val a = vals(400, 0)
+    val b = vals(300, 7000)
+    val inc = tmpDir("hg-inc") + "/h"
+    val once = tmpDir("hg-once") + "/h"
+    HistogramStore.write(a, inc, "v", lo = 0L, hi = 500L, nBins = 50)
+    HistogramStore.extend(b, inc, batchId = 1L)
+    HistogramStore.write(a.unionByName(b), once, "v", 0L, 500L, 50)
+    assert(bins(inc) === bins(once))
+    // crash-replay of batch 1: delegated ledger makes it a no-op
+    HistogramStore.extend(b, inc, batchId = 1L)
+    assert(bins(inc) === bins(once))
+    HistogramStore.compact(spark, inc)
+    assert(bins(inc) === bins(once))
+    // sum/min/max ride along per bin
+    val r = HistogramStore.serve(spark, inc).filter(col("bin") === 0L)
+      .select("min_v", "max_v").head
+    assert(r.getLong(0) >= 0L && r.getLong(1) < 10L)
+  }
+
+  test("escape bins: nulls -> -2, underflow -> -1, overflow -> nBins; " +
+    "quantiles exclude nulls but keep under/overflow in rank") {
+    val d = Seq[(Long, Option[Long])]((1L, Some(-5L)), (2L, Some(0L)),
+      (3L, Some(250L)), (4L, Some(499L)), (5L, Some(500L)),
+      (6L, Some(900L)), (7L, None)).toDF("id", "v")
+    val path = tmpDir("hg-esc") + "/h"
+    HistogramStore.write(d, path, "v", 0L, 500L, 5)
+    val m = bins(path)
+    assert(m(-2L) === 1L && m(-1L) === 1L && m(5L) === 2L)
+    assert(m(0L) === 1L && m(2L) === 1L && m(4L) === 1L)
+    // 6 finite values; q=1/2 -> target ceil(3)=3 -> cum over bins
+    // (-1:1, 0:2, 2:3 ...) -> bin 2; q=1 -> target 6 -> overflow bin
+    val qs = HistogramStore.quantiles(spark, path, Seq((1, 2), (1, 1)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(qs(500000L) === 2L)
+    assert(qs(1000000L) === 5L)
+    // edges: finite bins carry exact long edges, escapes carry nulls
+    val edges = HistogramStore.serve(spark, path)
+      .select("bin", "bin_lo", "bin_hi").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(edges(2L) === Some((200L, 300L)))
+    assert(edges(-1L) === None && edges(5L) === None)
+  }
+
+  test("quantile bins bracket the exact sorted quantile") {
+    val d = vals(1000, 0)
+    val path = tmpDir("hg-q") + "/h"
+    HistogramStore.write(d, path, "v", 0L, 500L, 50)
+    val sorted = d.select("v").collect().map(_.getLong(0)).sorted
+    for ((num, den) <- Seq((1, 4), (1, 2), (9, 10))) {
+      val exact = sorted((num * sorted.length + den - 1) / den - 1)
+      val row = HistogramStore.quantiles(spark, path, Seq((num, den)))
+        .head
+      assert(exact >= row.getAs[Long]("bin_lo") &&
+        exact < row.getAs[Long]("bin_hi"),
+        s"q=$num/$den: exact $exact outside " +
+          s"[${row.getAs[Long]("bin_lo")}, ${row.getAs[Long]("bin_hi")})")
+    }
+  }
+
+  test("drift: 0 for identical shapes, 1e6 for disjoint, geometry " +
+    "mismatch rejects") {
+    val a = vals(500, 0)
+    val pa = tmpDir("hg-da") + "/h"
+    val pb = tmpDir("hg-db") + "/h"
+    val pc = tmpDir("hg-dc") + "/h"
+    val pd = tmpDir("hg-dd") + "/h"
+    HistogramStore.write(a, pa, "v", 0L, 500L, 50)
+    // same SHAPE at double the mass: TV compares normalised shapes
+    HistogramStore.write(a.unionByName(a), pb, "v", 0L, 500L, 50)
+    assert(HistogramStore.drift(spark, pa, pb).head
+      .getAs[Long]("tv_ppm") === 0L)
+    // disjoint supports
+    HistogramStore.write(a.filter(col("v") < 100), pc, "v", 0L, 500L, 50)
+    HistogramStore.write(a.filter(col("v") >= 100), pd, "v", 0L, 500L, 50)
+    assert(HistogramStore.drift(spark, pc, pd).head
+      .getAs[Long]("tv_ppm") === 1000000L)
+    val other = tmpDir("hg-geom") + "/h"
+    HistogramStore.write(a, other, "v", 0L, 500L, 25)
+    val e = intercept[IllegalArgumentException] {
+      HistogramStore.drift(spark, pa, other)
+    }
+    assert(e.getMessage.contains("identical geometry"))
+  }
+
+  test("a lossy value rejects loudly instead of binning a value " +
+    "nobody measured") {
+    val d = Seq((1L, 3.7), (2L, 10.0)).toDF("id", "v")
+    val path = tmpDir("hg-lossy") + "/h"
+    val e = intercept[Exception] {
+      HistogramStore.write(d, path, "v", 0L, 500L, 50)
+    }
+    assert(e.getMessage.contains("does not cast EXACTLY"))
+    // exact-valued doubles bin fine
+    val ok = tmpDir("hg-exact") + "/h"
+    HistogramStore.write(Seq((1L, 10.0), (2L, 490.0)).toDF("id", "v"),
+      ok, "v", 0L, 500L, 50)
+    assert(bins(ok) === Map(1L -> 1L, 49L -> 1L))
+  }
+
+  test("histogramIngestStream ≡ batch extend (ledger-fenced per " +
+    "trigger)") {
+    import graft.streaming.StreamingPipeline
+    val d = vals(600, 0).localCheckpoint()
+    val slices = Seq(d.filter(col("id") <= 300), d.filter(col("id") > 300))
+    val src = tmpDir("hg-src")
+    slices.foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val streamed = tmpDir("hg-stream") + "/h"
+    // geometry is a build-time contract: bootstrap on an empty frame
+    HistogramStore.write(d.limit(0), streamed, "v", 0L, 500L, 50)
+    StreamingPipeline.histogramIngestStream(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      streamed, tmpDir("hg-ckpt"))
+      .awaitTermination()
+    val direct = tmpDir("hg-direct") + "/h"
+    HistogramStore.write(d, direct, "v", 0L, 500L, 50)
+    assert(bins(streamed) === bins(direct))
+    assert(HistogramStore.drift(spark, streamed, direct).head
+      .getAs[Long]("tv_ppm") === 0L)
+  }
+}
