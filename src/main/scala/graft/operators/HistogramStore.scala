@@ -236,6 +236,70 @@ object HistogramStore {
             first(col("n_a")) * first(col("n_b"))).as("tv_ppm"))
   }
 
+  /** Per-bin resampling weights that reshape the CURRENT distribution
+    * toward the REFERENCE — the distribution-matching primitive
+    * (DoReMi-style mixture adjustment, domain rebalancing) answered
+    * entirely from the two ≤ nBins+3-row bin tables: for every bin
+    * the current store occupies, `w_ppm = min(10⁶, refCnt·curN·10⁶
+    * DIV (curCnt·refN))` — the keep-probability that equalises the
+    * bin's SHARE with the reference's, capped at 1 (downsample-only:
+    * matching by filtering can only remove; an underrepresented bin
+    * keeps everything and the residual mismatch stays visible in
+    * [[drift]] after the fact). Exact integer arithmetic in
+    * DECIMAL(38,0); same-geometry contract as [[drift]].
+    */
+  def matchWeights(spark: SparkSession, refPath: String,
+      curPath: String): DataFrame = {
+    val (mr, mc) = (metaOf(spark, refPath), metaOf(spark, curPath))
+    require(mr == mc,
+      s"matchWeights needs identical geometry: $refPath holds $mr, " +
+        s"$curPath holds $mc — rebinning is a rebuild, not a match")
+    val r = serve(spark, refPath).select(col("bin"), col("cnt").as("cr"))
+    val c = serve(spark, curPath).select(col("bin"), col("cnt").as("cc"))
+    val j = c.join(r, Seq("bin"), "left")
+      .select(col("bin"), col("cc"), coalesce(col("cr"), lit(0L)).as("cr"))
+    val t = j.agg(sum("cc").cast("decimal(38,0)").as("n_c"),
+      sum("cr").cast("decimal(38,0)").as("n_r"))
+    j.crossJoin(broadcast(t))
+      .select(col("bin"), col("cc").as("cur_cnt"), col("cr").as("ref_cnt"),
+        least(lit(1000000L),
+          call_function("div",
+            col("cr").cast("decimal(38,0)") * col("n_c") * 1000000L,
+            // max(1): a reference with zero mass in a bin the current
+            // store occupies keeps nothing there (w = 0); the guard
+            // only avoids 0/0 when the REFERENCE is entirely empty
+            greatest(col("cc").cast("decimal(38,0)") * col("n_r"),
+              lit(1L).cast("decimal(38,0)")))).as("w_ppm"))
+  }
+
+  /** Filter `df` so its distribution over the CURRENT store's bins
+    * matches the reference store's shape: each row keeps iff its
+    * deterministic uniform (md5-derived `hash32(seed ∥ id)`, the
+    * [[CorpusOps.hash32]] sampling contract — a pure function of
+    * (seed, id), reproducible across runs and partitionings) falls
+    * under its bin's [[matchWeights]] keep-probability. The compare is
+    * exact integer: `h·10⁶ < w_ppm·2³²` (both sides < 2⁶³). One
+    * broadcast join against the ≤ nBins+3-row weight table — the fact
+    * data is read once, the stores never are.
+    */
+  def resampleToMatch(df: DataFrame, idCol: String, refPath: String,
+      curPath: String, seed: String): DataFrame = {
+    val spark = df.sparkSession
+    val m = metaOf(spark, curPath)
+    val w = matchWeights(spark, refPath, curPath)
+      .select(col("bin"), col("w_ppm"))
+    val v = exactLong(col(m.valueCol), df.schema(m.valueCol).dataType)
+    df.withColumn("bin", binOf(v, m))
+      .join(broadcast(w), Seq("bin"), "left")
+      // a bin the current store never saw carries no weight: keep it
+      // (the store is stale for that row — dropping silently would
+      // erase data on bookkeeping grounds)
+      .filter(col("w_ppm").isNull ||
+        CorpusOps.hash32(seed, col(idCol)) * 1000000L <
+          col("w_ppm") * 4294967296L)
+      .drop("bin", "w_ppm")
+  }
+
   /** Monitoring surface: geometry + the delegated store's stats. */
   def stats(spark: SparkSession, path: String): DataFrame = {
     IndexStores.healRoot(spark, path)

@@ -2135,6 +2135,45 @@ object ExtOracles {
         |            // (2 * t.na * t.nb) AS BIGINT) AS tv_ppm
         |FROM j, t GROUP BY t.na, t.nb""".stripMargin,
 
+    // replays HistogramStore.resampleToMatch end to end: the binning,
+    // the exact-integer per-bin keep weights min(1, refShare/curShare)
+    // in ppm, and the md5-uniform threshold h·10⁶ < w_ppm·2³² — all
+    // HUGEINT intermediates (Spark uses DECIMAL(38,0)), BIGINT out
+    "hist_match_resample" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN n_chars IS NULL THEN -2
+        |              WHEN n_chars < 0 THEN -1
+        |              WHEN n_chars >= 600 THEN 60
+        |              ELSE n_chars * 60 // 600 END AS bin
+        |  FROM documents
+        |), r AS (
+        |  SELECT bin, count(*) AS cr FROM base WHERE lang = 'en' GROUP BY 1
+        |), c AS (
+        |  SELECT bin, count(*) AS cc FROM base WHERE lang <> 'en' GROUP BY 1
+        |), j AS (
+        |  SELECT c.bin, cc, COALESCE(cr, 0) AS cr
+        |  FROM c LEFT JOIN r ON c.bin = r.bin
+        |), t AS (
+        |  SELECT CAST(sum(cc) AS HUGEINT) AS nc,
+        |         CAST(sum(cr) AS HUGEINT) AS nr FROM j
+        |), w AS (
+        |  SELECT bin,
+        |         least(1000000, CAST(cr AS HUGEINT) * t.nc * 1000000
+        |           // greatest(CAST(cc AS HUGEINT) * t.nr, 1)) AS w_ppm
+        |  FROM j, t
+        |), h AS (
+        |  SELECT b.doc_id, w.w_ppm,
+        |         md5('hm9' || CAST(b.doc_id AS VARCHAR)) AS m
+        |  FROM base b LEFT JOIN w ON b.bin = w.bin
+        |  WHERE b.lang <> 'en'
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM h
+        |WHERE w_ppm IS NULL
+        |   OR CAST(${nibbleValue("m", 8)} AS BIGINT) * 1000000
+        |      < w_ppm * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+
     // replays GraphOps.triangleCounts under the SAME degree
     // orientation (direct each edge toward the larger (degree, id);
     // wedges ordered the same way; close with the oriented third

@@ -2235,6 +2235,25 @@ object ExtQueries {
       s"$root/rest")
   }
 
+  /** Distribution-matching resample
+    * ([[graft.operators.HistogramStore.resampleToMatch]]): filter the
+    * non-en documents so their length distribution matches the en
+    * reference shape — per-bin keep-probabilities from the two
+    * persisted bin tables (exact integer `min(1, refShare/curShare)`
+    * in ppm), rows kept by the deterministic md5 uniform (the
+    * CorpusOps.hash32 sampling contract), fact data read ONCE, stores
+    * never. The oracle replays bins, weights and the hash threshold
+    * symbol-for-symbol.
+    */
+  def histMatchResample(spark: SparkSession, dir: String): DataFrame = {
+    val root = histStorePath(spark, dir)
+    graft.operators.HistogramStore.resampleToMatch(
+      Tables.documents(spark, dir).filter(col("lang") =!= "en")
+        .select("doc_id", "n_chars"),
+      "doc_id", s"$root/en", s"$root/rest", seed = "hm9")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Gate emission protocol: the store's exact DECIMAL(38,4) measures
     * leave as fixed-point longs (`× 10 000`) — cross-engine
     * hash-stable, and exact because the decimals are.

@@ -127,6 +127,68 @@ class HistogramStoreSpec extends SparkSpec {
     assert(bins(ok) === Map(1L -> 1L, 49L -> 1L))
   }
 
+  test("matchWeights: overrepresented bins shrink, underrepresented " +
+    "cap at 1e6, reference-empty bins drop to 0") {
+    // ref: uniform over [0,100); cur: heavy low half + mass in a bin
+    // the ref never saw ([400,500))
+    val ref = (1 to 200).map(i => (i.toLong, (i % 100).toLong))
+      .toDF("id", "v")
+    val cur = ((1 to 300).map(i => (i.toLong, (i % 50).toLong)) ++
+      (1 to 100).map(i => (1000L + i, 50L + (i % 50))) ++
+      (1 to 50).map(i => (2000L + i, 450L)))
+      .toDF("id", "v")
+    val pr = tmpDir("hm-ref") + "/h"
+    val pc = tmpDir("hm-cur") + "/h"
+    HistogramStore.write(ref, pr, "v", 0L, 500L, 10)
+    HistogramStore.write(cur, pc, "v", 0L, 500L, 10)
+    val w = HistogramStore.matchWeights(spark, pr, pc)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // bin 0 [0,50): cur 300/450 vs ref 100/200 ->
+    // w = (100*450)/(300*200) = 0.75
+    assert(w(0L) === 750000L)
+    // bin 1 [50,100): cur 100/450 vs ref 100/200 -> ratio 2.25 -> capped
+    assert(w(1L) === 1000000L)
+    // bin 9 [450,500): ref never saw it -> keep nothing
+    assert(w(9L) === 0L)
+  }
+
+  test("resampleToMatch reduces drift toward the reference, is " +
+    "deterministic in (seed, id), and keeps rows from bins the " +
+    "store never saw") {
+    val ref = (1 to 400).map(i => (i.toLong, (i % 100).toLong))
+      .toDF("id", "v")
+    val cur = ((1 to 600).map(i => (i.toLong, (i % 50).toLong)) ++
+      (1 to 200).map(i => (5000L + i, 50L + (i % 50))))
+      .toDF("id", "v").localCheckpoint()
+    val pr = tmpDir("hm2-ref") + "/h"
+    val pc = tmpDir("hm2-cur") + "/h"
+    HistogramStore.write(ref, pr, "v", 0L, 100L, 10)
+    HistogramStore.write(cur, pc, "v", 0L, 100L, 10)
+    val before = HistogramStore.drift(spark, pr, pc)
+      .head.getAs[Long]("tv_ppm")
+    val kept = HistogramStore.resampleToMatch(cur, "id", pr, pc, "s1")
+      .localCheckpoint()
+    val pk = tmpDir("hm2-kept") + "/h"
+    HistogramStore.write(kept, pk, "v", 0L, 100L, 10)
+    val after = HistogramStore.drift(spark, pr, pk)
+      .head.getAs[Long]("tv_ppm")
+    assert(after < before,
+      s"resampling must reduce drift: before=$before after=$after")
+    // deterministic: same seed -> same kept set, any partitioning
+    val again = HistogramStore
+      .resampleToMatch(cur.repartition(7), "id", pr, pc, "s1")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again ===
+      kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // a row in a bin the CURRENT store never saw survives (stale
+    // store must not silently erase data)
+    val stale = Seq((9999L, 99999L)).toDF("id", "v") // overflow bin
+    val keptStale = HistogramStore
+      .resampleToMatch(cur.unionByName(stale), "id", pr, pc, "s1")
+      .filter(col("id") === 9999L).count()
+    assert(keptStale === 1L)
+  }
+
   test("histogramIngestStream ≡ batch extend (ledger-fenced per " +
     "trigger)") {
     import graft.streaming.StreamingPipeline
