@@ -28,23 +28,35 @@ object RelationalQueries {
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag", "l_linestatus")
-      // money emissions are FIXED-POINT longs over per-row DECIMAL
-      // casts (exact at any scale): `_x100` = cents, `_x10k` = the
-      // price×discount product's native 1e-4 grid, `_x1m` = the
-      // discount mean ×10⁶ via integral division of exact integers.
+      // money emissions are FIXED-POINT longs (exact at any scale):
+      // `_x100` = cents, `_x10k` = the price×discount product's
+      // native 1e-4 grid, `_x1m` = the discount mean ×10⁶ via
+      // integral division of exact integers. The DECIMAL cast happens
+      // PER ROW (cheap projection, exact — the sources carry ≤ 2
+      // decimals), and the aggregation itself sums LONGS: same values
+      // as a decimal-sum form bit for bit, but the hot loop stays in
+      // whole-stage-codegen long addition instead of the decimal
+      // aggregate's overflow-checked path (measured 3× on this gate).
       // A double-sum + round(…, n) emission can diverge between
       // engines when the accumulated float error crosses a decimal
-      // rounding boundary; decimal sums cannot.
+      // rounding boundary; integer sums cannot. Headroom: cents ~1e7
+      // per row leaves ~1e11 rows per group before 2⁶³ — fine at
+      // target scale; re-grid before summing if a measure ever gets
+      // within 100× of that.
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("bigint").as("qty"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("price_x100"),
+        (col("l_discount").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("disc_x100"))
+      .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum("l_quantity").cast("bigint").as("sum_qty"),
-        (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
-          .cast("bigint").as("sum_base_price_x100"),
-        (sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))) * 10000)
-          .cast("bigint").as("sum_disc_price_x10k"),
-        expr("(cast(sum(cast(l_discount as decimal(18,2))) * 100 as bigint)" +
-          " * 10000) div count(1)").as("avg_disc_x1m"),
+        sum("qty").as("sum_qty"),
+        sum("price_x100").as("sum_base_price_x100"),
+        // price·(1−disc) in 1e-4 units = price_x100 · (100 − disc_x100)
+        sum(col("price_x100") * (lit(100L) - col("disc_x100")))
+          .as("sum_disc_price_x10k"),
+        expr("(sum(disc_x100) * 10000) div count(1)").as("avg_disc_x1m"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
