@@ -1982,12 +1982,14 @@ object ExtQueries {
     val o = graft.operators.BucketStore.table(spark, s"$root/orders")
     val l = graft.operators.BucketStore.table(spark, s"$root/lineitem")
     o.join(l, col("o_orderkey") === col("l_orderkey"))
+      // per-row exact fixed-point, LONG sum (the q1Agg rewrite)
+      .withColumn("rev_x10k",
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint") *
+          (lit(100L) - (col("l_discount").cast("decimal(18,2)") * 100)
+            .cast("bigint")))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("line_count"),
-        (sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") -
-            col("l_discount").cast("decimal(18,2)"))) * 10000)
-          .cast("bigint").as("revenue_x10k"))
+        sum(col("rev_x10k")).as("revenue_x10k"))
       .orderBy("o_orderpriority")
   }
 

@@ -69,10 +69,15 @@ object RelationalQueries {
     Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
       .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      // per-row exact fixed-point, LONG sum in the hot loop (the
+      // q1Agg rewrite): price_x100 * (100 - disc_x100) is the 1e-4
+      // revenue grid, bit-identical to the decimal-sum form
+      .withColumn("rev_x10k",
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint") *
+          (lit(100L) - (col("l_discount").cast("decimal(18,2)") * 100)
+            .cast("bigint")))
       .groupBy("o_orderkey")
-      .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
-        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))) * 10000)
-        .cast("bigint").as("revenue_x10k"))
+      .agg(sum(col("rev_x10k")).as("revenue_x10k"))
       .orderBy(col("revenue_x10k").desc, col("o_orderkey"))
       .limit(10)
 
@@ -113,8 +118,12 @@ object RelationalQueries {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
+      // per-row cents, LONG running sum (the q1Agg rewrite): the
+      // decimal cast rounds each value once — identical to summing
+      // decimals — and the frame accumulates plain longs
       .withColumn("running_value_x100",
-        (sum(col("value").cast("decimal(18,2)")).over(w) * 100).cast("bigint"))
+        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .over(w))
       .select("event_id", "user_id", "running_value_x100")
       .orderBy("event_id")
   }
@@ -204,9 +213,10 @@ object RelationalQueries {
   def eventsTumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // per-row cents, LONG sum (the q1Agg rewrite)
       .agg(count(lit(1)).as("n"),
-        (sum(col("value").cast("decimal(18,2)")) * 100)
-          .cast("bigint").as("sum_value_x100"))
+        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("sum_value_x100"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value_x100"))
       .orderBy("hour_start", "event_type")
 
@@ -220,9 +230,10 @@ object RelationalQueries {
   def eventsHopping(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      // per-row cents, LONG sum (the q1Agg rewrite)
       .agg(count(lit(1)).as("n"),
-        (sum(col("value").cast("decimal(18,2)")) * 100)
-          .cast("bigint").as("sum_value_x100"))
+        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("sum_value_x100"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value_x100"))
       .orderBy("win_start", "event_type")
 
@@ -432,9 +443,10 @@ object RelationalQueries {
             col("prev").cast("timestamp").cast("long") > 1800, 1).otherwise(0))
       .withColumn("session_id", sum("new_session").over(cum))
       .groupBy("user_id", "session_id")
+      // per-row cents, LONG sum (the q1Agg rewrite)
       .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"),
-        (sum(col("value").cast("decimal(18,2)")) * 100)
-          .cast("bigint").as("session_value_x100"))
+        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("session_value_x100"))
       .select("user_id", "session_id", "session_start", "n_events", "session_value_x100")
       .orderBy("user_id", "session_id")
   }
@@ -448,11 +460,14 @@ object RelationalQueries {
     Tables.events(spark, dir)
       .withColumn("_salt", pmod(hash(col("event_id")), lit(buckets)))
       .groupBy("event_type", "_salt")
+      // per-row cents, LONG partials (the q1Agg rewrite): the salt
+      // merge then folds plain longs too
       .agg(count(lit(1)).as("pn"),
-        sum(col("value").cast("decimal(18,2)")).as("pv"))
+        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("pv"))
       .groupBy("event_type")
       .agg(sum("pn").as("n"),
-        (sum("pv") * 100).cast("bigint").as("sum_value_x100"))
+        sum("pv").as("sum_value_x100"))
       .orderBy("event_type")
 
   /** Exact interpolated percentiles per group (§2.9: ordered-set
