@@ -88,30 +88,40 @@ object HistogramStore {
 
   private def binned(df: DataFrame, m: HistMeta): DataFrame = {
     val v = exactLong(col(m.valueCol), df.schema(m.valueCol).dataType)
-    df.select(binOf(v, m).as("bin"), coalesce(v, lit(0L)).as("v"))
+    // null measures STAY null: the -2 bin's cnt counts them, but its
+    // sum/min/max serve as nulls — a fabricated 0 would masquerade as
+    // a measurement in any consumer folding mins/maxes across bins
+    df.select(binOf(v, m).as("bin"), v.as("v"))
   }
 
   /** Build the store over a corpus: one aggregation pass to
-    * ≤ nBins+3 rows, geometry pinned in meta, delegated commit
-    * ([[RollupStore.write]] — staged + atomic against a live store).
+    * ≤ nBins+3 rows. Meta and bins are staged together under ONE
+    * root and swapped in as ONE atomic step — swapping them
+    * independently would open a window (crash or concurrent reader)
+    * where the new geometry reads over the old bin counts: a
+    * coherent-looking histogram that LIES (the exact store-that-lies
+    * window RollupStore.writeBase stages its own pieces to prevent).
+    * A rebuild replaces the store wholesale, ledger included; quiesce
+    * producers across it (the family's rebuild posture).
     */
   def write(df: DataFrame, path: String, valueCol: String,
       lo: Long, hi: Long, nBins: Int): Unit = {
-    require(nBins >= 1 && hi > lo,
-      s"histogram geometry needs hi > lo and nBins >= 1; " +
-        s"got [$lo, $hi) x $nBins")
+    require(nBins >= 1 && hi > lo &&
+      BigInt(hi) - BigInt(lo) <= BigInt(Long.MaxValue),
+      s"histogram geometry needs hi > lo, a width that fits in " +
+        s"BIGINT, and nBins >= 1; got [$lo, $hi) x $nBins")
     val spark = df.sparkSession
     val m = HistMeta(valueCol, lo, hi, nBins)
     import spark.implicits._
-    // meta first, wholesale-replace semantics: a rebuild re-pins the
-    // geometry with the new counts (the store family's rebuild
-    // posture — quiesce producers across it)
-    val staging = IndexStores.stagingFor(spark, s"$path/meta")
+    val staging = IndexStores.stagingFor(spark, path)
     Seq((valueCol, lo, hi, nBins))
       .toDF("value_col", "lo", "hi", "n_bins").coalesce(1)
-      .write.mode("overwrite").parquet(staging)
-    IndexStores.swapInto(spark, s"$path/meta", staging)
-    RollupStore.write(binned(df, m), s"$path/bins", Seq("bin"), "v")
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    // fresh path inside the staging root: RollupStore writes in place
+    // with its ledger as the (inner) commit point; the OUTER swap
+    // below is what publishes meta+bins together
+    RollupStore.write(binned(df, m), s"$staging/bins", Seq("bin"), "v")
+    IndexStores.swapInto(spark, path, staging)
   }
 
   /** Fold a batch in, exactly once per (producer, batchId) — the
@@ -142,8 +152,10 @@ object HistogramStore {
     IndexStores.healRoot(spark, path)
     val m = metaOf(spark, path)
     val edge = (b: Column) =>
+      // multiply in DECIMAL, as binOf does — bin·width can pass 2^63
+      // at wide geometries (nanosecond ranges x many bins)
       lit(m.lo) + call_function("div",
-        (b * (m.hi - m.lo)).cast("decimal(38,0)"),
+        b.cast("decimal(38,0)") * (m.hi - m.lo),
         lit(m.nBins).cast("decimal(38,0)"))
     RollupStore.serve(spark, s"$path/bins")
       .select(col("bin"),
@@ -182,14 +194,24 @@ object HistogramStore {
     val cum = bins.select(col("bin"), col("bin_lo"), col("bin_hi"),
       sum("cnt").over(w).as("cum_cnt"))
     import spark.implicits._
+    // rank arithmetic rides DECIMAL(38,0), the file-wide posture: a
+    // fine-grained q like (999999, 1000000) times a 100 TB row count
+    // would overflow a LONG product (and q_num*10^6 overflows INT)
     val qdf = qs.toDF("q_num", "q_den")
-      .withColumn("q_ppm", expr("q_num * 1000000 DIV q_den"))
+      .withColumn("q_ppm",
+        expr("CAST(q_num AS DECIMAL(38,0)) * 1000000 DIV q_den"))
     // target rank = ceil(q*n) clamped to >= 1; first bin reaching it
     val n = bins.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+    require(n > 0,
+      s"histogram store at $path holds no finite-bin rows — a " +
+        "quantile over nothing has no rank (bootstrapped store " +
+        "before its first extend?)")
     qdf.crossJoin(
       broadcast(cum))
       .withColumn("target",
-        greatest(lit(1L), expr(s"(q_num * ${n}L + q_den - 1) DIV q_den")))
+        greatest(lit(1L),
+          expr(s"(CAST(q_num AS DECIMAL(38,0)) * ${n}L + q_den - 1) " +
+            "DIV q_den")))
       .filter(col("cum_cnt") >= col("target"))
       .groupBy("q_ppm")
       .agg(min_by(struct(col("bin"), col("bin_lo"), col("bin_hi")),
@@ -220,6 +242,15 @@ object HistogramStore {
     val j = a.join(b, Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
+    // an empty side has no shape to compare — reject loudly (the
+    // family posture) instead of ANSI DIVIDE_BY_ZERO: the streaming
+    // bootstrap pattern (write(df.limit(0)) then extend per trigger)
+    // makes a zero-count store a real state monitoring code can hit
+    val tot = j.agg(coalesce(sum("ca"), lit(0L)),
+      coalesce(sum("cb"), lit(0L))).head
+    require(tot.getLong(0) > 0 && tot.getLong(1) > 0,
+      s"drift needs both stores non-empty: $pathA holds " +
+        s"${tot.getLong(0)} rows, $pathB holds ${tot.getLong(1)}")
     // totals and the cross-weighted absolute difference need each
     // other; the ≤ nBins+3-row totals ride a broadcast
     val t = j.agg(sum("ca").cast("decimal(38,0)").as("n_a"),
@@ -289,15 +320,22 @@ object HistogramStore {
     val w = matchWeights(spark, refPath, curPath)
       .select(col("bin"), col("w_ppm"))
     val v = exactLong(col(m.valueCol), df.schema(m.valueCol).dataType)
-    df.withColumn("bin", binOf(v, m))
-      .join(broadcast(w), Seq("bin"), "left")
+    // internals prefixed `__hg_` (the `_salt` convention): a caller
+    // column named `bin` or `w_ppm` must neither be clobbered by
+    // withColumn nor turn the post-join filter ambiguous
+    require(!df.columns.contains("__hg_bin") &&
+      !df.columns.contains("__hg_w_ppm"),
+      "resampleToMatch reserves the __hg_bin/__hg_w_ppm column names")
+    df.withColumn("__hg_bin", binOf(v, m))
+      .join(broadcast(w.select(col("bin").as("__hg_bin"),
+        col("w_ppm").as("__hg_w_ppm"))), Seq("__hg_bin"), "left")
       // a bin the current store never saw carries no weight: keep it
       // (the store is stale for that row — dropping silently would
       // erase data on bookkeeping grounds)
-      .filter(col("w_ppm").isNull ||
+      .filter(col("__hg_w_ppm").isNull ||
         CorpusOps.hash32(seed, col(idCol)) * 1000000L <
-          col("w_ppm") * 4294967296L)
-      .drop("bin", "w_ppm")
+          col("__hg_w_ppm") * 4294967296L)
+      .drop("__hg_bin", "__hg_w_ppm")
   }
 
   /** Monitoring surface: geometry + the delegated store's stats. */

@@ -1984,9 +1984,8 @@ object ExtQueries {
     o.join(l, col("o_orderkey") === col("l_orderkey"))
       // per-row exact fixed-point, LONG sum (the q1Agg rewrite)
       .withColumn("rev_x10k",
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint") *
-          (lit(100L) - (col("l_discount").cast("decimal(18,2)") * 100)
-            .cast("bigint")))
+        RelationalQueries.revX10k(col("l_extendedprice"),
+          col("l_discount")))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("line_count"),
         sum(col("rev_x10k")).as("revenue_x10k"))

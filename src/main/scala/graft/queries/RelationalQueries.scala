@@ -22,6 +22,21 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  /** The ONE cents conversion every fixed-point gate shares: exact
+    * per-row DECIMAL(18,2) rounding (sources carry ≤ 2 decimals), then
+    * a plain LONG for the codegen'd sum. A scale or rounding change
+    * lands here once — ten call sites silently drifting apart is the
+    * cross-gate bit-identity hazard this helper removes.
+    */
+  private[queries] def centsX100(c: Column): Column =
+    (c.cast("decimal(18,2)") * 100).cast("bigint")
+
+  /** price·(1−disc) on its native 1e-4 grid, as exact longs:
+    * `price_x100 · (100 − disc_x100)`.
+    */
+  private[queries] def revX10k(price: Column, disc: Column): Column =
+    centsX100(price) * (lit(100L) - centsX100(disc))
+
   /** TPC-H Q1-shaped grouped aggregation (§2.9: grouped agg).
     * Scale: map-side partial agg on 6 groups → single tiny shuffle; at
     * 100 TB this is scan-bound, the ideal shape.
@@ -45,10 +60,8 @@ object RelationalQueries {
       // within 100× of that.
       .select(col("l_returnflag"), col("l_linestatus"),
         col("l_quantity").cast("bigint").as("qty"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100)
-          .cast("bigint").as("price_x100"),
-        (col("l_discount").cast("decimal(18,2)") * 100)
-          .cast("bigint").as("disc_x100"))
+        centsX100(col("l_extendedprice")).as("price_x100"),
+        centsX100(col("l_discount")).as("disc_x100"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("qty").as("sum_qty"),
@@ -70,12 +83,9 @@ object RelationalQueries {
       .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       // per-row exact fixed-point, LONG sum in the hot loop (the
-      // q1Agg rewrite): price_x100 * (100 - disc_x100) is the 1e-4
-      // revenue grid, bit-identical to the decimal-sum form
+      // q1Agg rewrite)
       .withColumn("rev_x10k",
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint") *
-          (lit(100L) - (col("l_discount").cast("decimal(18,2)") * 100)
-            .cast("bigint")))
+        revX10k(col("l_extendedprice"), col("l_discount")))
       .groupBy("o_orderkey")
       .agg(sum(col("rev_x10k")).as("revenue_x10k"))
       .orderBy(col("revenue_x10k").desc, col("o_orderkey"))
@@ -122,8 +132,7 @@ object RelationalQueries {
       // decimal cast rounds each value once — identical to summing
       // decimals — and the frame accumulates plain longs
       .withColumn("running_value_x100",
-        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
-          .over(w))
+        sum(centsX100(col("value"))).over(w))
       .select("event_id", "user_id", "running_value_x100")
       .orderBy("event_id")
   }
@@ -215,8 +224,7 @@ object RelationalQueries {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       // per-row cents, LONG sum (the q1Agg rewrite)
       .agg(count(lit(1)).as("n"),
-        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
-          .as("sum_value_x100"))
+        sum(centsX100(col("value"))).as("sum_value_x100"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value_x100"))
       .orderBy("hour_start", "event_type")
 
@@ -232,8 +240,7 @@ object RelationalQueries {
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       // per-row cents, LONG sum (the q1Agg rewrite)
       .agg(count(lit(1)).as("n"),
-        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
-          .as("sum_value_x100"))
+        sum(centsX100(col("value"))).as("sum_value_x100"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value_x100"))
       .orderBy("win_start", "event_type")
 
@@ -445,8 +452,7 @@ object RelationalQueries {
       .groupBy("user_id", "session_id")
       // per-row cents, LONG sum (the q1Agg rewrite)
       .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"),
-        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
-          .as("session_value_x100"))
+        sum(centsX100(col("value"))).as("session_value_x100"))
       .select("user_id", "session_id", "session_start", "n_events", "session_value_x100")
       .orderBy("user_id", "session_id")
   }
@@ -463,8 +469,7 @@ object RelationalQueries {
       // per-row cents, LONG partials (the q1Agg rewrite): the salt
       // merge then folds plain longs too
       .agg(count(lit(1)).as("pn"),
-        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
-          .as("pv"))
+        sum(centsX100(col("value"))).as("pv"))
       .groupBy("event_type")
       .agg(sum("pn").as("n"),
         sum("pv").as("sum_value_x100"))
@@ -547,14 +552,15 @@ object RelationalQueries {
   def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
+      // per-row cents, LONG sums (the q1Agg rewrite)
       .agg(
         count(lit(1)).as("n"),
-        (sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
-          .otherwise(0.0).cast("decimal(18,2)")) * 100).cast("bigint").as("sum_f_x100"),
-        (sum(when(col("o_orderstatus") === "O", col("o_totalprice"))
-          .otherwise(0.0).cast("decimal(18,2)")) * 100).cast("bigint").as("sum_o_x100"),
-        (sum(when(col("o_orderstatus") === "P", col("o_totalprice"))
-          .otherwise(0.0).cast("decimal(18,2)")) * 100).cast("bigint").as("sum_p_x100"))
+        sum(when(col("o_orderstatus") === "F",
+          centsX100(col("o_totalprice"))).otherwise(0L)).as("sum_f_x100"),
+        sum(when(col("o_orderstatus") === "O",
+          centsX100(col("o_totalprice"))).otherwise(0L)).as("sum_o_x100"),
+        sum(when(col("o_orderstatus") === "P",
+          centsX100(col("o_totalprice"))).otherwise(0L)).as("sum_p_x100"))
       .orderBy("o_orderpriority")
 
   /** Forward as-of: for every event, the time of the user's NEXT
@@ -693,11 +699,13 @@ object RelationalQueries {
       .withColumn("_salt", explode(array((0 until buckets).map(lit(_)): _*)))
     li.join(ords,
         col("l_orderkey") === col("o_orderkey") && li("_salt") === ords("_salt"))
+      // per-row exact fixed-point, LONG sum (the q1Agg rewrite) —
+      // the salted join's merge then folds plain longs
+      .withColumn("rev_x10k",
+        revX10k(col("l_extendedprice"), col("l_discount")))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        (sum(expr("cast(l_extendedprice as decimal(18,2)) * " +
-          "(cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))")) * 10000)
-          .cast("bigint").as("revenue_x10k"))
+        sum(col("rev_x10k")).as("revenue_x10k"))
       .orderBy("o_orderpriority")
   }
 }

@@ -71,6 +71,52 @@ class HistogramStoreSpec extends SparkSpec {
     assert(edges(-1L) === None && edges(5L) === None)
   }
 
+  test("review pins: wide-geometry edges, honest null-bin stats, " +
+    "empty-store rejects, reserved-name guard, caller 'bin' survives") {
+    // F1: bin·width beyond 2^63 — edges must ride DECIMAL
+    val wide = tmpDir("hg-wide") + "/h"
+    HistogramStore.write(
+      Seq((1L, 99999999999999999L)).toDF("id", "v"),
+      wide, "v", 0L, 100000000000000000L, 1000)
+    val e999 = HistogramStore.serve(spark, wide)
+      .filter(col("bin") === 999L).select("bin_lo", "bin_hi").head
+    assert(e999.getLong(0) === 99900000000000000L &&
+      e999.getLong(1) === 100000000000000000L)
+    // F6: the null bin's measure stats serve as NULLs, never a
+    // fabricated 0 that could masquerade as a real minimum
+    val nb = tmpDir("hg-null") + "/h"
+    HistogramStore.write(
+      Seq((1L, Some(100L)), (2L, Option.empty[Long])).toDF("id", "v"),
+      nb, "v", 0L, 500L, 5)
+    val nrow = HistogramStore.serve(spark, nb)
+      .filter(col("bin") === -2L).head
+    assert(nrow.getAs[Long]("cnt") === 1L && nrow.isNullAt(4) &&
+      nrow.isNullAt(5) && nrow.isNullAt(6))
+    // F4/F7: empty stores reject loudly (the bootstrapped-stream state)
+    val empty = tmpDir("hg-empty") + "/h"
+    HistogramStore.write(Seq.empty[(Long, Long)].toDF("id", "v"),
+      empty, "v", 0L, 500L, 5)
+    val eq = intercept[IllegalArgumentException] {
+      HistogramStore.quantiles(spark, empty, Seq((1, 2)))
+    }
+    assert(eq.getMessage.contains("no finite-bin rows"))
+    val ed = intercept[IllegalArgumentException] {
+      HistogramStore.drift(spark, nb, empty)
+    }
+    assert(ed.getMessage.contains("non-empty"))
+    // F5: a caller column named `bin` passes through untouched, and
+    // the reserved internal names reject
+    val withBin = Seq((1L, 100L, "keep-me")).toDF("id", "v", "bin")
+    val out = HistogramStore.resampleToMatch(withBin, "id", nb, nb, "s")
+    assert(out.columns.toSeq === Seq("id", "v", "bin") &&
+      out.head.getString(2) === "keep-me")
+    val er = intercept[IllegalArgumentException] {
+      HistogramStore.resampleToMatch(
+        Seq((1L, 100L, 0L)).toDF("id", "v", "__hg_bin"), "id", nb, nb, "s")
+    }
+    assert(er.getMessage.contains("reserves"))
+  }
+
   test("quantile bins bracket the exact sorted quantile") {
     val d = vals(1000, 0)
     val path = tmpDir("hg-q") + "/h"
