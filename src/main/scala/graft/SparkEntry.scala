@@ -190,6 +190,7 @@ object SparkEntry {
     "hist_store_quantiles" -> (graft.queries.ExtQueries.histStoreQuantiles(_, _)),
     "hist_store_drift" -> (graft.queries.ExtQueries.histStoreDrift(_, _)),
     "hist_match_resample" -> (graft.queries.ExtQueries.histMatchResample(_, _)),
+    "hist_batch_drift" -> (graft.queries.ExtQueries.histBatchDrift(_, _)),
   )
 
   /** Normalised `events` view used by every oracle touching events:

@@ -237,8 +237,37 @@ object HistogramStore {
     require(ma == mb,
       s"drift needs identical geometry: $pathA holds $ma, $pathB " +
         s"holds $mb — rebinning is a rebuild, not a compare")
-    val a = serve(spark, pathA).select(col("bin"), col("cnt").as("ca"))
-    val b = serve(spark, pathB).select(col("bin"), col("cnt").as("cb"))
+    tvPpm(
+      serve(spark, pathA).select(col("bin"), col("cnt").as("ca")),
+      serve(spark, pathB).select(col("bin"), col("cnt").as("cb")),
+      pathA, pathB, "n_a", "n_b")
+  }
+
+  /** Drift of a RAW frame against a reference store — the per-batch
+    * monitoring question ("did this trigger's ingest move away from
+    * the reference corpus?") WITHOUT materialising a store for the
+    * batch: the frame is binned under the reference's geometry in one
+    * map-side-combined aggregation (≤ nBins+3 rows out), then the same
+    * exact-integer TV compare as [[drift]]. Returns
+    * `(n_ref, n_batch, tv_ppm)`.
+    */
+  def driftAgainst(df: DataFrame, refPath: String): DataFrame = {
+    val spark = df.sparkSession
+    IndexStores.healRoot(spark, refPath)
+    val m = metaOf(spark, refPath)
+    tvPpm(
+      serve(spark, refPath).select(col("bin"), col("cnt").as("ca")),
+      binned(df, m).groupBy("bin").agg(count(lit(1)).as("cb")),
+      refPath, "the batch", "n_ref", "n_batch")
+  }
+
+  /** The ONE exact-integer TV core both drift faces share: zero-fill
+    * full-outer join of two (bin, cnt) frames, loud empty-side
+    * reject, `Σ |ca·nb − cb·na| · 10⁶ DIV (2·na·nb)` in
+    * DECIMAL(38,0).
+    */
+  private def tvPpm(a: DataFrame, b: DataFrame, whatA: String,
+      whatB: String, nameA: String, nameB: String): DataFrame = {
     val j = a.join(b, Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
@@ -249,22 +278,22 @@ object HistogramStore {
     val tot = j.agg(coalesce(sum("ca"), lit(0L)),
       coalesce(sum("cb"), lit(0L))).head
     require(tot.getLong(0) > 0 && tot.getLong(1) > 0,
-      s"drift needs both stores non-empty: $pathA holds " +
-        s"${tot.getLong(0)} rows, $pathB holds ${tot.getLong(1)}")
+      s"drift needs both sides non-empty: $whatA holds " +
+        s"${tot.getLong(0)} rows, $whatB holds ${tot.getLong(1)}")
     // totals and the cross-weighted absolute difference need each
     // other; the ≤ nBins+3-row totals ride a broadcast
-    val t = j.agg(sum("ca").cast("decimal(38,0)").as("n_a"),
-      sum("cb").cast("decimal(38,0)").as("n_b"))
+    val t = j.agg(sum("ca").cast("decimal(38,0)").as("__na"),
+      sum("cb").cast("decimal(38,0)").as("__nb"))
     j.crossJoin(broadcast(t))
       .agg(
-        first(col("n_a")).cast("bigint").as("n_a"),
-        first(col("n_b")).cast("bigint").as("n_b"),
+        first(col("__na")).cast("bigint").as(nameA),
+        first(col("__nb")).cast("bigint").as(nameB),
         call_function("div",
-          sum(abs(col("ca").cast("decimal(38,0)") * col("n_b") -
-            col("cb").cast("decimal(38,0)") * col("n_a"))) *
+          sum(abs(col("ca").cast("decimal(38,0)") * col("__nb") -
+            col("cb").cast("decimal(38,0)") * col("__na"))) *
             lit(1000000L).cast("decimal(38,0)"),
           lit(2).cast("decimal(38,0)") *
-            first(col("n_a")) * first(col("n_b"))).as("tv_ppm"))
+            first(col("__na")) * first(col("__nb"))).as("tv_ppm"))
   }
 
   /** Per-bin resampling weights that reshape the CURRENT distribution

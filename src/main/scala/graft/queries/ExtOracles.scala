@@ -2135,6 +2135,34 @@ object ExtOracles {
         |            // (2 * t.na * t.nb) AS BIGINT) AS tv_ppm
         |FROM j, t GROUP BY t.na, t.nb""".stripMargin,
 
+    // the monitoring face of hist_store_drift: same binning, same
+    // exact-integer TV, reference side = en store, current side = the
+    // RAW non-en batch — output under (n_ref, n_batch, tv_ppm)
+    "hist_batch_drift" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN n_chars IS NULL THEN -2
+        |              WHEN n_chars < 0 THEN -1
+        |              WHEN n_chars >= 600 THEN 60
+        |              ELSE n_chars * 60 // 600 END AS bin, lang
+        |  FROM documents
+        |), a AS (
+        |  SELECT bin, count(*) AS ca FROM base WHERE lang = 'en' GROUP BY 1
+        |), bb AS (
+        |  SELECT bin, count(*) AS cb FROM base WHERE lang <> 'en' GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(a.bin, bb.bin) AS bin,
+        |         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN bb ON a.bin = bb.bin
+        |), t AS (
+        |  SELECT CAST(sum(ca) AS HUGEINT) AS na,
+        |         CAST(sum(cb) AS HUGEINT) AS nb FROM j
+        |)
+        |SELECT CAST(t.na AS BIGINT) AS n_ref, CAST(t.nb AS BIGINT) AS n_batch,
+        |       CAST(sum(abs(CAST(ca AS HUGEINT) * t.nb
+        |                    - CAST(cb AS HUGEINT) * t.na)) * 1000000
+        |            // (2 * t.na * t.nb) AS BIGINT) AS tv_ppm
+        |FROM j, t GROUP BY t.na, t.nb""".stripMargin,
+
     // replays HistogramStore.resampleToMatch end to end: the binning,
     // the exact-integer per-bin keep weights min(1, refShare/curShare)
     // in ppm, and the md5-uniform threshold h·10⁶ < w_ppm·2³² — all

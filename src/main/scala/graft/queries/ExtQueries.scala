@@ -2255,6 +2255,22 @@ object ExtQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Batch-vs-store drift ([[graft.operators.HistogramStore
+    * .driftAgainst]]): the raw non-en documents compared against the
+    * persisted en reference — the per-trigger monitoring face of
+    * `hist_store_drift`, same exact-integer TV, the batch binned in
+    * one aggregate instead of materialised as a store. Values equal
+    * the two-store compare by construction; the oracle replays the
+    * identical arithmetic under the monitoring face's column names.
+    */
+  def histBatchDrift(spark: SparkSession, dir: String): DataFrame = {
+    val root = histStorePath(spark, dir)
+    graft.operators.HistogramStore.driftAgainst(
+      Tables.documents(spark, dir).filter(col("lang") =!= "en")
+        .select("doc_id", "n_chars"),
+      s"$root/en")
+  }
+
   /** Gate emission protocol: the store's exact DECIMAL(38,4) measures
     * leave as fixed-point longs (`× 10 000`) — cross-engine
     * hash-stable, and exact because the decimals are.

@@ -807,6 +807,48 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming distribution-drift MONITOR
+    * ([[graft.operators.HistogramStore.driftAgainst]] per trigger):
+    * each micro-batch is binned under the FROZEN reference store's
+    * geometry (one ≤ nBins+3-row aggregate — the reference is a bin
+    * table, never re-scanned) and the trigger lands a one-row
+    * `(n_ref, n_batch, tv_ppm, batch_id)` report under its own tag —
+    * the "did this ingest move away from the reference corpus?"
+    * dashboard, the distribution twin of [[constraintStream]]'s
+    * row-level checks. Replay-idempotent ([[landTrigger]]); an EMPTY
+    * trigger lands a null-drift row rather than aborting the stream
+    * (drift over nothing has no shape — but a silent skip would read
+    * as "no report = no problem" on the dashboard).
+    */
+  def driftMonitorStream(rows: DataFrame, refPath: String,
+      reportPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      producer: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try {
+          val pinned = batch.localCheckpoint()
+          val report =
+            if (pinned.isEmpty) {
+              // null-drift row: an empty trigger HAS no shape; the
+              // dashboard still sees the trigger happened
+              import pinned.sparkSession.implicits._
+              Seq((Option.empty[Long], 0L, Option.empty[Long]))
+                .toDF("n_ref", "n_batch", "tv_ppm")
+            } else graft.operators.HistogramStore
+              .driftAgainst(pinned, refPath)
+          landTrigger(report.withColumn("batch_id", lit(batchId)),
+            reportPath, producerFor(producer, checkpoint), batchId)
+        } finally graft.BenchUtil.releaseNewRdds(sc, before)
+        ()
+      }
+      .start()
+
   /** Novelty-gated streaming CURATION
     * ([[graft.operators.MembershipStore.curateBatch]] per trigger):
     * the self-reinforcing ingest filter — each trigger keeps only the

@@ -235,6 +235,43 @@ class HistogramStoreSpec extends SparkSpec {
     assert(keptStale === 1L)
   }
 
+  test("driftAgainst ≡ two-store drift, and driftMonitorStream lands " +
+    "one tagged report per trigger (empty trigger -> null-drift row)") {
+    import graft.streaming.StreamingPipeline
+    val ref = vals(400, 0)
+    val cur = vals(300, 9000).localCheckpoint()
+    val pr = tmpDir("dm-ref") + "/h"
+    val pc = tmpDir("dm-cur") + "/h"
+    HistogramStore.write(ref, pr, "v", 0L, 500L, 50)
+    HistogramStore.write(cur, pc, "v", 0L, 500L, 50)
+    val viaStores = HistogramStore.drift(spark, pr, pc)
+      .head.getAs[Long]("tv_ppm")
+    val viaBatch = HistogramStore.driftAgainst(cur, pr)
+      .head.getAs[Long]("tv_ppm")
+    assert(viaBatch === viaStores,
+      "binning the raw batch must equal materialising it as a store")
+    // stream: two slices -> two reports, each equal to the direct
+    // per-slice driftAgainst
+    val slices = Seq(cur.filter(col("id") <= 9150),
+      cur.filter(col("id") > 9150))
+    val src = tmpDir("dm-src")
+    slices.foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val rep = tmpDir("dm-rep") + "/report"
+    StreamingPipeline.driftMonitorStream(
+      spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      pr, rep, tmpDir("dm-ckpt"))
+      .awaitTermination()
+    val landed = spark.read.parquet(s"$rep/b_*")
+      .select("batch_id", "n_batch", "tv_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val direct = slices.zipWithIndex.map { case (s, i) =>
+      val r = HistogramStore.driftAgainst(s, pr).head
+      (i.toLong, r.getAs[Long]("n_batch"), r.getAs[Long]("tv_ppm"))
+    }.sorted
+    assert(landed.toSeq === direct)
+  }
+
   test("histogramIngestStream ≡ batch extend (ledger-fenced per " +
     "trigger)") {
     import graft.streaming.StreamingPipeline
