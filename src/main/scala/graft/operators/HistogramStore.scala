@@ -262,38 +262,38 @@ object HistogramStore {
   }
 
   /** The ONE exact-integer TV core both drift faces share: zero-fill
-    * full-outer join of two (bin, cnt) frames, loud empty-side
-    * reject, `Σ |ca·nb − cb·na| · 10⁶ DIV (2·na·nb)` in
-    * DECIMAL(38,0).
+    * full-outer join of two (bin, cnt) frames executed ONCE — the
+    * joined bin table is ≤ nBins+3 rows, bounded by the store
+    * GEOMETRY, so it is collected (the repo's bounded-collect
+    * doctrine) and the totals, the loud empty-side reject, and
+    * `Σ |ca·nb − cb·na| · 10⁶ DIV (2·na·nb)` all run in exact BigInt
+    * driver arithmetic (floor division on non-negatives ≡ the DuckDB
+    * replay's `//`). One execution also means the emptiness check and
+    * the TV are computed over the SAME materialisation — an earlier
+    * two-pass form could disagree with itself on a non-deterministic
+    * input, and re-aggregated the raw batch per pass.
     */
   private def tvPpm(a: DataFrame, b: DataFrame, whatA: String,
       whatB: String, nameA: String, nameB: String): DataFrame = {
+    val spark = a.sparkSession
     val j = a.join(b, Seq("bin"), "full_outer")
-      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1))))
+    val na = j.map(_._1).sum
+    val nb = j.map(_._2).sum
     // an empty side has no shape to compare — reject loudly (the
-    // family posture) instead of ANSI DIVIDE_BY_ZERO: the streaming
-    // bootstrap pattern (write(df.limit(0)) then extend per trigger)
-    // makes a zero-count store a real state monitoring code can hit
-    val tot = j.agg(coalesce(sum("ca"), lit(0L)),
-      coalesce(sum("cb"), lit(0L))).head
-    require(tot.getLong(0) > 0 && tot.getLong(1) > 0,
-      s"drift needs both sides non-empty: $whatA holds " +
-        s"${tot.getLong(0)} rows, $whatB holds ${tot.getLong(1)}")
-    // totals and the cross-weighted absolute difference need each
-    // other; the ≤ nBins+3-row totals ride a broadcast
-    val t = j.agg(sum("ca").cast("decimal(38,0)").as("__na"),
-      sum("cb").cast("decimal(38,0)").as("__nb"))
-    j.crossJoin(broadcast(t))
-      .agg(
-        first(col("__na")).cast("bigint").as(nameA),
-        first(col("__nb")).cast("bigint").as(nameB),
-        call_function("div",
-          sum(abs(col("ca").cast("decimal(38,0)") * col("__nb") -
-            col("cb").cast("decimal(38,0)") * col("__na"))) *
-            lit(1000000L).cast("decimal(38,0)"),
-          lit(2).cast("decimal(38,0)") *
-            first(col("__na")) * first(col("__nb"))).as("tv_ppm"))
+    // family posture): the streaming bootstrap pattern
+    // (write(df.limit(0)) then extend per trigger) makes a zero-count
+    // store a real state monitoring code can hit
+    require(na > 0 && nb > 0,
+      s"drift needs both sides non-empty: $whatA holds $na rows, " +
+        s"$whatB holds $nb")
+    val tv = j.map { case (ca, cb) => (ca * nb - cb * na).abs }.sum *
+      1000000 / (2 * na * nb)
+    import spark.implicits._
+    Seq((na.toLong, nb.toLong, tv.toLong))
+      .toDF(nameA, nameB, "tv_ppm")
   }
 
   /** Per-bin resampling weights that reshape the CURRENT distribution

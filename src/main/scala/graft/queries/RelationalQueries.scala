@@ -100,9 +100,10 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
+      // per-row cents, LONG sum (the q1Agg rewrite; acctbal can be
+      // negative — the exact per-row decimal round handles sign)
       .agg(count(lit(1)).as("suppliers"),
-        (sum(col("s_acctbal").cast("decimal(18,2)")) * 100)
-          .cast("bigint").as("total_bal_x100"))
+        sum(centsX100(col("s_acctbal"))).as("total_bal_x100"))
       .orderBy("r_name")
 
   /** Ranking window: top-3 orders per customer (§2.9: window functions).
@@ -167,9 +168,9 @@ object RelationalQueries {
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .cube("o_orderstatus", "o_orderpriority")
+      // per-row cents, LONG sum (the q1Agg rewrite)
       .agg(count(lit(1)).as("n"),
-        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
-          .cast("bigint").as("sum_price_x100"))
+        sum(centsX100(col("o_totalprice"))).as("sum_price_x100"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
@@ -524,7 +525,8 @@ object RelationalQueries {
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("bigint"))
+      // per-row cents, LONG sum (the q1Agg rewrite)
+      .agg(sum(centsX100(col("o_totalprice"))))
       .orderBy("o_orderpriority")
 
   /** Custom typed UDAF (§2.9): geometric mean via log-domain

@@ -256,18 +256,27 @@ class HistogramStoreSpec extends SparkSpec {
       cur.filter(col("id") > 9150))
     val src = tmpDir("dm-src")
     slices.foreach(_.coalesce(1).write.mode("append").parquet(src))
+    // a zero-row file drives the EMPTY-trigger branch: the stream
+    // must land a null-drift row beside the real reports, readable
+    // through the same b_* glob
+    cur.limit(0).coalesce(1).write.mode("append").parquet(src)
     val rep = tmpDir("dm-rep") + "/report"
     StreamingPipeline.driftMonitorStream(
       spark.readStream.schema(cur.schema)
         .option("maxFilesPerTrigger", 1).parquet(src),
       pr, rep, tmpDir("dm-ckpt"))
       .awaitTermination()
-    val landed = spark.read.parquet(s"$rep/b_*")
-      .select("batch_id", "n_batch", "tv_ppm").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
-    val direct = slices.zipWithIndex.map { case (s, i) =>
+    val all = spark.read.parquet(s"$rep/b_*")
+    val nullRows = all.filter(col("tv_ppm").isNull)
+      .select("n_batch").collect().map(_.getLong(0)).toSeq
+    assert(nullRows === Seq(0L),
+      "the empty trigger must land exactly one null-drift row")
+    val landed = all.filter(col("tv_ppm").isNotNull)
+      .select("n_batch", "tv_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val direct = slices.map { s =>
       val r = HistogramStore.driftAgainst(s, pr).head
-      (i.toLong, r.getAs[Long]("n_batch"), r.getAs[Long]("tv_ppm"))
+      (r.getAs[Long]("n_batch"), r.getAs[Long]("tv_ppm"))
     }.sorted
     assert(landed.toSeq === direct)
   }
