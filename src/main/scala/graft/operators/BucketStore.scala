@@ -146,7 +146,7 @@ object BucketStore {
     * was rebuilt with a different schema/bucket count. Weak keys: a
     * dropped caller session must not be pinned by its lookup child.
     */
-  private val lookupChildren =
+  private[graft] val lookupChildren =
     new java.util.WeakHashMap[SparkSession,
       (SparkSession, java.util.concurrent.ConcurrentHashMap[String, Meta])]()
 
@@ -161,31 +161,51 @@ object BucketStore {
       }
       e
     }
-    // re-sync the CALLER's runtime session conf on every call (a
-    // driver-local map copy — microseconds next to the read):
-    // newSession starts from the context conf, so session-scoped
-    // overrides set after startup (per-session fs.* object-store
-    // credentials — the pattern IndexStores.gcUnreferencedTags
-    // documents — or ignoreMissingFiles) would otherwise silently
-    // vanish from the lookup's read path, and a CHANGE since the last
-    // lookup would silently stale. Static confs reject the set and
-    // are context-identical anyway.
-    spark.conf.getAll.foreach { case (k, v) =>
-      try session.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    // the sync AND the read hold the child's lock (ADVICE r9): two
+    // concurrent lookups sharing the child would otherwise interleave
+    // one caller's conf snapshot with the other's plan/execution.
+    // Point reads are bucket-pruned single-bucket scans, so the
+    // serialization is cheap; callers needing parallel lookup streams
+    // get one child per CALLER session already (the WeakHashMap key).
+    session.synchronized {
+      // re-sync the CALLER's runtime session conf on every call (a
+      // driver-local map copy — microseconds next to the read):
+      // newSession starts from the context conf, so session-scoped
+      // overrides set after startup (per-session fs.* object-store
+      // credentials — the pattern IndexStores.gcUnreferencedTags
+      // documents — or ignoreMissingFiles) would otherwise silently
+      // vanish from the lookup's read path, and a CHANGE since the
+      // last lookup would silently stale. Static confs reject the set
+      // and are context-identical anyway.
+      val callerConf = spark.conf.getAll
+      // …and DIFF-AND-UNSET keys the caller has since REMOVED (ADVICE
+      // r9): a rotated fs.* credential or a lifted ignoreMissingFiles
+      // unset in the caller must not persist in the lookup read path
+      // for the life of the child. unset restores the key to its
+      // context/default value, which is exactly the caller's view.
+      (session.conf.getAll.keySet -- callerConf.keySet -
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        .foreach { k =>
+          try session.conf.unset(k)
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
+        }
+      callerConf.foreach { case (k, v) =>
+        try session.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+      session.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val m = readMeta(session, path)
+      // open once per (child, path, meta); a rebuilt store with a new
+      // schema or bucket count re-registers, an unchanged one skips
+      // the DROP/CREATE catalog churn entirely
+      opened.compute(path, (_, prev) => {
+        if (prev == null || prev != m) open(session, path)
+        m
+      })
+      session.table(registeredName(path))
+        .filter(col(m.key).isin(values: _*))
+        .localCheckpoint()
     }
-    session.conf.set(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    val m = readMeta(session, path)
-    // open once per (child, path, meta); a rebuilt store with a new
-    // schema or bucket count re-registers, an unchanged one skips the
-    // DROP/CREATE catalog churn entirely
-    opened.compute(path, (_, prev) => {
-      if (prev == null || prev != m) open(session, path)
-      m
-    })
-    session.table(registeredName(path))
-      .filter(col(m.key).isin(values: _*))
-      .localCheckpoint()
   }
 }

@@ -213,7 +213,13 @@ object HistogramStore {
           expr(s"(CAST(q_num AS DECIMAL(38,0)) * ${n}L + q_den - 1) " +
             "DIV q_den")))
       .filter(col("cum_cnt") >= col("target"))
-      .groupBy("q_ppm")
+      // group by the EXACT rational, not its ppm projection: two
+      // requested qs that collapse to the same ppm — (1, 3) and
+      // (333333, 1000000) — have DIFFERENT ceil(q·n) targets, and a
+      // ppm-keyed group would merge them into one row carrying one of
+      // the two answers (ADVICE r9). q_ppm stays in the output as the
+      // display grid; duplicate ppm rows are the honest emission.
+      .groupBy("q_num", "q_den", "q_ppm")
       .agg(min_by(struct(col("bin"), col("bin_lo"), col("bin_hi")),
         col("bin")).as("b"))
       .select(col("q_ppm"), col("b.bin").as("bin"),
@@ -307,6 +313,19 @@ object HistogramStore {
     * keeps everything and the residual mismatch stays visible in
     * [[drift]] after the fact). Exact integer arithmetic in
     * DECIMAL(38,0); same-geometry contract as [[drift]].
+    *
+    * NORMALISATION SEMANTICS (deliberate, per ADVICE r9): `refN` is
+    * the reference's mass over the ACHIEVABLE SUPPORT — the bins the
+    * current store occupies (the left join below) — not the
+    * reference's grand total. A filter cannot create rows in bins the
+    * current corpus lacks, so the target this operator can actually
+    * reach is the reference RENORMALISED to that support; normalising
+    * by the full reference total would instead shrink every weight by
+    * the unreachable mass's share and leave the achievable bins
+    * systematically under-sampled relative to each other. The
+    * unreachable mass itself stays visible as residual [[drift]]
+    * after resampling. (The DuckDB oracle replays this same
+    * support-restricted `n_r` — see the `hist_match_resample` oracle.)
     */
   def matchWeights(spark: SparkSession, refPath: String,
       curPath: String): DataFrame = {

@@ -2166,7 +2166,12 @@ object ExtOracles {
     // replays HistogramStore.resampleToMatch end to end: the binning,
     // the exact-integer per-bin keep weights min(1, refShare/curShare)
     // in ppm, and the md5-uniform threshold h·10⁶ < w_ppm·2³² — all
-    // HUGEINT intermediates (Spark uses DECIMAL(38,0)), BIGINT out
+    // HUGEINT intermediates (Spark uses DECIMAL(38,0)), BIGINT out.
+    // n_r is DELIBERATELY the reference mass over the bins the
+    // current corpus occupies (the matchWeights left join), not the
+    // reference grand total — the renormalised-to-achievable-support
+    // contract the operator's scaladoc states; this replay shares the
+    // semantics, it does not merely mirror the arithmetic
     "hist_match_resample" ->
       s"""WITH base AS (
         |  SELECT doc_id, lang,

@@ -1982,13 +1982,16 @@ object ExtQueries {
     val o = graft.operators.BucketStore.table(spark, s"$root/orders")
     val l = graft.operators.BucketStore.table(spark, s"$root/lineitem")
     o.join(l, col("o_orderkey") === col("l_orderkey"))
-      // per-row exact fixed-point, LONG sum (the q1Agg rewrite)
+      // per-row exact fixed-point; the ~1e9-per-row x10k product over
+      // 5 unbounded priority groups takes the DECIMAL(38,0)
+      // accumulator (RelationalQueries.sumX10kGrid — a long sum wraps
+      // at ~9e9 rows/group, under 100 TB group sizes)
       .withColumn("rev_x10k",
         RelationalQueries.revX10k(col("l_extendedprice"),
           col("l_discount")))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("line_count"),
-        sum(col("rev_x10k")).as("revenue_x10k"))
+        RelationalQueries.sumX10kGrid(col("rev_x10k")).as("revenue_x10k"))
       .orderBy("o_orderpriority")
   }
 

@@ -32,10 +32,32 @@ object RelationalQueries {
     (c.cast("decimal(18,2)") * 100).cast("bigint")
 
   /** price·(1−disc) on its native 1e-4 grid, as exact longs:
-    * `price_x100 · (100 − disc_x100)`.
+    * `price_x100 · (100 − disc_x100)`. Per-row magnitude ~1e9 (cents
+    * ~1e7 × a ≤100 complement) — 100× hotter than a cents column, so
+    * SUMS of this product over unbounded groups go through
+    * [[sumX10kGrid]], never a plain long `sum`.
     */
   private[queries] def revX10k(price: Column, disc: Column): Column =
     centsX100(price) * (lit(100L) - centsX100(disc))
+
+  /** Sum of an x10k-grid product over groups whose row count is NOT
+    * structurally bounded. The per-row product is ~1e9, so a LONG
+    * accumulator fails at ~9e9 rows per group — under the session's
+    * ANSI mode (the Spark 4 repo default) the whole query DIES with
+    * ARITHMETIC_OVERFLOW; under non-ANSI it wraps silently — and
+    * TPC-H Q1 at the 100 TB target has ~1.5e11 rows per group, past
+    * the boundary either way. DECIMAL(38,0) accumulates exactly to
+    * 1e38 (~1e29 rows of headroom) at the cost of leaving
+    * whole-stage-codegen long addition for the overflow-checked
+    * decimal path on THIS measure only (the cents-grid measures, 100×
+    * smaller per row, keep their long hot loop and its ~1e11
+    * rows/group headroom). The BIGINT cast on the way out is
+    * presentation: past ~9.2e18 total (≈9e9 rows/group of this
+    * measure) the ANSI cast rejects loudly — callers at that scale
+    * should emit the decimal itself.
+    */
+  private[queries] def sumX10kGrid(c: Column): Column =
+    sum(c.cast("decimal(38,0)")).cast("bigint")
 
   /** TPC-H Q1-shaped grouped aggregation (§2.9: grouped agg).
     * Scale: map-side partial agg on 6 groups → single tiny shuffle; at
@@ -54,10 +76,12 @@ object RelationalQueries {
       // aggregate's overflow-checked path (measured 3× on this gate).
       // A double-sum + round(…, n) emission can diverge between
       // engines when the accumulated float error crosses a decimal
-      // rounding boundary; integer sums cannot. Headroom: cents ~1e7
-      // per row leaves ~1e11 rows per group before 2⁶³ — fine at
-      // target scale; re-grid before summing if a measure ever gets
-      // within 100× of that.
+      // rounding boundary; integer sums cannot. Headroom: the
+      // cents-grid measures are ~1e7 per row → ~1e11 rows per group
+      // before 2⁶³, fine at target scale. The x10k PRODUCT is ~1e9
+      // per row — only ~9e9 rows per group, which 100 TB Q1 blows
+      // through — so that one measure sums through sumX10kGrid's
+      // DECIMAL(38,0) accumulator instead.
       .select(col("l_returnflag"), col("l_linestatus"),
         col("l_quantity").cast("bigint").as("qty"),
         centsX100(col("l_extendedprice")).as("price_x100"),
@@ -66,8 +90,9 @@ object RelationalQueries {
       .agg(
         sum("qty").as("sum_qty"),
         sum("price_x100").as("sum_base_price_x100"),
-        // price·(1−disc) in 1e-4 units = price_x100 · (100 − disc_x100)
-        sum(col("price_x100") * (lit(100L) - col("disc_x100")))
+        // price·(1−disc) in 1e-4 units = price_x100 · (100 − disc_x100);
+        // decimal-accumulated: 6 unbounded groups at 100 TB
+        sumX10kGrid(col("price_x100") * (lit(100L) - col("disc_x100")))
           .as("sum_disc_price_x10k"),
         expr("(sum(disc_x100) * 10000) div count(1)").as("avg_disc_x1m"),
         count(lit(1)).as("count_order"))
@@ -83,7 +108,10 @@ object RelationalQueries {
       .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       // per-row exact fixed-point, LONG sum in the hot loop (the
-      // q1Agg rewrite)
+      // q1Agg rewrite). A long sum is SAFE here where q1Agg's is not:
+      // groups are per-ORDER, and an order carries ≤7 lineitems at
+      // every TPC-H SF — ≤7 rows × ~1e9/row leaves nine orders of
+      // magnitude before 2⁶³ no matter the corpus size.
       .withColumn("rev_x10k",
         revX10k(col("l_extendedprice"), col("l_discount")))
       .groupBy("o_orderkey")
@@ -701,13 +729,14 @@ object RelationalQueries {
       .withColumn("_salt", explode(array((0 until buckets).map(lit(_)): _*)))
     li.join(ords,
         col("l_orderkey") === col("o_orderkey") && li("_salt") === ords("_salt"))
-      // per-row exact fixed-point, LONG sum (the q1Agg rewrite) —
-      // the salted join's merge then folds plain longs
+      // per-row exact fixed-point; the x10k product over 5 unbounded
+      // priority groups takes the DECIMAL(38,0) accumulator (a long
+      // sum wraps at ~9e9 rows/group — see sumX10kGrid)
       .withColumn("rev_x10k",
         revX10k(col("l_extendedprice"), col("l_discount")))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        sum(col("rev_x10k")).as("revenue_x10k"))
+        sumX10kGrid(col("rev_x10k")).as("revenue_x10k"))
       .orderBy("o_orderpriority")
   }
 }

@@ -27,14 +27,30 @@ import graft.operators.{MethodRoutedLoader, QueueExtractor}
 object StreamingPipeline {
 
   /** Land one trigger's output rows idempotently: the trigger writes
-    * (mode overwrite) its OWN `outDir/<producer-scoped batch tag>`
-    * directory — a crash-replayed trigger overwrites that directory
-    * instead of appending duplicate rows, making the output side as
-    * replay-safe as the (ledger-fenced or idempotent) store side every
-    * ingest stream already has. The write then forces a schema-bearing
-    * file so an all-dropped trigger still leaves a readable dir (the
+    * its OWN `outDir/<producer-scoped batch tag>` directory — a
+    * crash-replayed trigger replaces that directory instead of
+    * appending duplicate rows, making the output side as replay-safe
+    * as the (ledger-fenced or idempotent) store side every ingest
+    * stream already has. The write forces a schema-bearing file so an
+    * all-dropped trigger still leaves a readable dir (the
     * [[graft.operators.MembershipStore.curateBatch]] pattern). Read
     * the landed output with `spark.read.parquet(s"$outDir/b_*")`.
+    *
+    * STAGED PUBLISH (ADVICE r9): the tag dir is never written in
+    * place — a direct write that crashes mid-flight would leave a
+    * partial or schema-less `b_*` dir the documented glob reads (or
+    * fails on) until the replayed trigger overwrites it. The rows
+    * land in a DOT-PREFIXED sibling (`.__staging_<tag>_<stamp>` —
+    * invisible to the `b_*` glob at every crash point; the shared
+    * [[graft.core.ParquetTable.swap]] names its windows
+    * `<tag>.__staging_*` / `<tag>.__old_*`, which the glob WOULD
+    * match, so this publish keeps its own dance), then one rename
+    * makes the tag visible. A replay first renames the old tag aside
+    * (also dot-prefixed) — between that and the publish rename the
+    * tag is briefly ABSENT, so a concurrent glob reader misses that
+    * one batch's rows rather than reading half of them; the replayed
+    * trigger restores it. Leaked dot-dirs from a crash are GC'd on
+    * the tag's next landing.
     *
     * MIGRATION tripwire: streams that predate the tagged layout wrote
     * flat `part-*` files directly under `outDir`. Landing tags BESIDE
@@ -45,7 +61,7 @@ object StreamingPipeline {
     * `spark.read.parquet(dir).write.parquet(s"$dir/b_migrated_0_g0")`,
     * then delete the flat files) before resuming the stream.
     */
-  private def landTrigger(df: DataFrame, outDir: String,
+  private[graft] def landTrigger(df: DataFrame, outDir: String,
       producer: String, batchId: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(
@@ -58,10 +74,39 @@ object StreamingPipeline {
           "the output across two layouts (each read misses the other " +
           "half). Migrate the flat rows into a one-off tag dir and " +
           "delete them first; see landTrigger's scaladoc.")
-    val dir =
-      s"$outDir/${graft.operators.IndexStores.tagFor(producer, batchId)}"
-    df.write.mode("overwrite").parquet(dir)
-    graft.operators.IndexStores.forceSchemaBearing(df, dir)
+    val tag = graft.operators.IndexStores.tagFor(producer, batchId)
+    val dir = s"$outDir/$tag"
+    // GC this tag's leaked dot-dirs from earlier crashes (single
+    // producer per tag — Structured Streaming replays a batch id
+    // serially), then stage, then publish with one rename
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath).foreach { c =>
+        if (c.getName.startsWith(s".__staging_${tag}_") ||
+            c.getName.startsWith(s".__replaced_${tag}_"))
+          fs.delete(c, true)
+      }
+    val stamp = graft.core.ParquetTable.stamp()
+    val staging = s"$outDir/.__staging_${tag}_$stamp"
+    df.write.mode("overwrite").parquet(staging)
+    graft.operators.IndexStores.forceSchemaBearing(df, staging)
+    val tagPath = new org.apache.hadoop.fs.Path(dir)
+    val replaced =
+      new org.apache.hadoop.fs.Path(s"$outDir/.__replaced_${tag}_$stamp")
+    if (fs.exists(tagPath) && !fs.rename(tagPath, replaced))
+      throw new java.io.IOException(
+        s"landTrigger: could not stage out the replayed tag at $dir")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), tagPath)) {
+      // roll the old generation back — never leave the tag absent
+      // when we still hold a complete copy of it
+      if (fs.exists(replaced)) fs.rename(replaced, tagPath)
+      throw new java.io.IOException(
+        s"landTrigger: could not publish the staged tag into $dir")
+    }
+    if (fs.exists(replaced) && !fs.delete(replaced, true))
+      throw new java.io.IOException(
+        s"landTrigger: published $dir, but the replaced copy at " +
+          s"$replaced could not be deleted — remove it manually " +
+          "(it is glob-invisible but leaks storage)")
   }
 
   /** The producer identity an ingest stream lands its output (and

@@ -141,4 +141,28 @@ class BucketStoreSpec extends SparkSpec {
     assert(lk.map(_.getAs[Long]("o_orderkey")).toList ===
       List(7L, 411L, 1234L))
   }
+
+  test("lookup child session tracks caller conf both ways: sets " +
+      "propagate, REMOVALS propagate too (ADVICE r9)") {
+    val key = "spark.graft.test.bucket-conf-probe"
+    // first lookup materialises the child for this caller session
+    BucketStore.pointLookup(spark, s"$root/orders", Seq(7L)).count()
+    val child = BucketStore.lookupChildren.synchronized {
+      BucketStore.lookupChildren.get(spark)._1
+    }
+    spark.conf.set(key, "on")
+    try {
+      BucketStore.pointLookup(spark, s"$root/orders", Seq(7L)).count()
+      assert(child.conf.get(key) == "on", "caller set must reach the child")
+    } finally spark.conf.unset(key)
+    // the stale-override half: after the caller UNSETS, the next
+    // lookup must scrub the key from the child (the rotated-credential
+    // persistence window)
+    BucketStore.pointLookup(spark, s"$root/orders", Seq(7L)).count()
+    assert(child.conf.getOption(key).isEmpty,
+      "a key the caller removed must not persist in the lookup child")
+    // the bucketed-scan override itself must survive every sync
+    assert(child.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled") == "false")
+  }
 }

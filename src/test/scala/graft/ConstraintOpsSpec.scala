@@ -138,4 +138,45 @@ class ConstraintOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty"))
   }
+
+  test("landTrigger publishes staged (ADVICE r9): replay replaces, " +
+      "crash windows are glob-invisible, leaks are GC'd") {
+    import graft.streaming.StreamingPipeline
+    import spark.implicits._
+    val out = tmpDir("lt-staged") + "/report"
+    val tag = graft.operators.IndexStores.tagFor("p1", 0L)
+
+    // a leaked staging dir from a simulated earlier crash, carrying a
+    // real parquet file: the documented b_* glob must NOT see it
+    Seq((99L, "ghost")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$out/.__staging_${tag}_1")
+    assert(new java.io.File(out).listFiles().nonEmpty)
+    val ghostRead = scala.util.Try(
+      spark.read.parquet(s"$out/b_*").count()).getOrElse(0L)
+    assert(ghostRead == 0L, "staging dirs must be invisible to the b_* glob")
+
+    // first landing: rows visible via the glob, leak GC'd, no dot-dirs left
+    StreamingPipeline.landTrigger(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), out, "p1", 0L)
+    assert(spark.read.parquet(s"$out/b_*").count() == 2L)
+    def dotDirs() = new java.io.File(out).listFiles()
+      .map(_.getName).filter(n =>
+        n.startsWith(".__staging_") || n.startsWith(".__replaced_"))
+    assert(dotDirs().isEmpty, s"leftover dot-dirs: ${dotDirs().mkString(",")}")
+
+    // replay of the same (producer, batch) with different rows
+    // REPLACES — never appends — and leaves no windows behind
+    StreamingPipeline.landTrigger(
+      Seq((7L, "z")).toDF("k", "v"), out, "p1", 0L)
+    val rows = spark.read.parquet(s"$out/b_*").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 7L,
+      "a replayed trigger must replace its tag's rows")
+    assert(dotDirs().isEmpty)
+
+    // an all-dropped replay still leaves a schema-bearing readable tag
+    StreamingPipeline.landTrigger(
+      Seq.empty[(Long, String)].toDF("k", "v"), out, "p1", 0L)
+    assert(spark.read.parquet(s"$out/b_*").count() == 0L)
+    assert(spark.read.parquet(s"$out/b_*").columns.toSeq == Seq("k", "v"))
+  }
 }

@@ -133,6 +133,23 @@ class HistogramStoreSpec extends SparkSpec {
     }
   }
 
+  test("ppm-colliding rationals keep their own ceil(q*n) targets " +
+      "(ADVICE r9: group by the exact rational, not its ppm)") {
+    // (1, 3) and (333333, 1000000) both project to q_ppm = 333333 but
+    // are distinct rationals with their own ceil(q·n) targets. The
+    // pinned contract: one output row PER REQUESTED q — the old
+    // ppm-keyed group merged them into a single row, silently
+    // dropping one caller-requested quantile.
+    val d = vals(1000, 0)
+    val path = tmpDir("hg-qq") + "/h"
+    HistogramStore.write(d, path, "v", 0L, 500L, 50)
+    val out = HistogramStore.quantiles(spark, path,
+      Seq((1, 3), (333333, 1000000))).collect()
+    assert(out.length == 2,
+      s"two requested quantiles must emit two rows, got ${out.length}")
+    assert(out.forall(_.getAs[Long]("q_ppm") == 333333L))
+  }
+
   test("drift: 0 for identical shapes, 1e6 for disjoint, geometry " +
     "mismatch rejects") {
     val a = vals(500, 0)
