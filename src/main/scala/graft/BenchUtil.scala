@@ -38,6 +38,52 @@ private[graft] object BenchUtil {
     sc.getPersistentRDDs.filterNot { case (id, _) => beforeIds(id) }
       .values.foreach(_.unpersist(blocking = false))
 
+  /** Parse a committed BENCH_FLOOR.json (VERDICT r9 #1) into its
+    * per-gate clean-draw seconds — empty when the file is missing,
+    * malformed, or was recorded against a DIFFERENT sf dir (a floor
+    * from sf0.1 says nothing about an sf0.01 run). Hand-rolled
+    * extraction over a format this repo authors itself:
+    * `{"sf":"<dir>", …, "queries":{"gate":secs,…}}` with the queries
+    * object flat. Lives here (not inline in [[Bench]]) so the floor
+    * adjudication logic is spec-pinned — the whole point of the floor
+    * is that it fires correctly on the one draw that matters.
+    */
+  def loadFloor(path: String, sfDir: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val floorSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(txt).map(_.group(1))
+      if (!floorSf.contains(sfDir)) Map.empty
+      else {
+        val qStart = txt.indexOf("\"queries\"")
+        if (qStart < 0) Map.empty
+        else {
+          val block = txt.substring(txt.indexOf('{', qStart) + 1,
+            txt.indexOf('}', qStart))
+          "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+            .findAllMatchIn(block)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Floor adjudication over the gate INTERSECTION: gates new since
+    * the floor was recorded are excluded from both sides (they have
+    * no clean reference), gates retired since are ignored. Returns
+    * `(ratio, floorSubtotal, measuredSubtotal, sharedGates)`, or None
+    * when no gate is shared / the floor subtotal is degenerate —
+    * "no applicable floor" must stay distinguishable from "passes".
+    */
+  def floorVerdict(floor: Map[String, Double],
+      measured: Map[String, Double]): Option[(Double, Double, Double, Int)] = {
+    val shared = floor.keySet.intersect(measured.keySet)
+    val fSub = shared.toSeq.map(floor).sum
+    val mSub = shared.toSeq.map(measured).sum
+    if (shared.isEmpty || fSub <= 0.0) None
+    else Some((mSub / fSub, fSub, mSub, shared.size))
+  }
+
   /** Count the parquet data files under `dir` (recursive), skipping
     * `.__staging_`/`.__old_` directories a killed atomic rewrite can
     * leave behind — ONE implementation for the compaction probe and
