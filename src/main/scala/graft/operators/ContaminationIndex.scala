@@ -141,12 +141,14 @@ object ContaminationIndex {
     */
   def decontaminate(docs: DataFrame, path: String,
                     minShared: Int = 3,
-                    maxDfFrac: Double = 0.1): DataFrame = {
+                    maxDfFrac: Double = 0.1,
+                    maxDfAbs: Long = TextOps.DfCapAbsDefault): DataFrame = {
     val spark = docs.sparkSession
     IndexStores.healRoot(spark, path)
     val sketch = IndexStores.readStore(spark, s"$path/meta")
       .select("sketch").head.getAs[Array[Byte]](0)
     val bench = IndexStores.readStore(spark, s"$path/grams").select("s")
-    TextOps.decontaminateAgainst(docs, bench, sketch, minShared, maxDfFrac)
+    TextOps.decontaminateAgainst(docs, bench, sketch, minShared,
+      maxDfFrac, maxDfAbs)
   }
 }

@@ -629,27 +629,57 @@ object TextOps {
     * anti-join; the one broadcast exchange is reused across the three
     * shingle branches.
     */
+  /** Default ABSOLUTE posting-list cap for the exact pair family
+    * (VERDICT r9 #2). The fractional `maxDfFrac` cap alone does not
+    * survive corpus growth: 10% of a 1B-doc corpus is a 100M-row
+    * posting list whose self-join is 10¹⁶ pairs — the fraction stays
+    * constant while the quadratic blowup rides the corpus size. A
+    * shingle in more than `maxDfAbs` DOCUMENTS is dropped regardless
+    * of corpus size, bounding any single posting list's self-join at
+    * maxDfAbs² pairs (10k → ≤ 5·10⁷ pairs per hot shingle — heavy but
+    * executable). Beyond the cap the exact operators are NOT the
+    * contract: use the banded/index variants ([[fastMinhashCandidatePairs]],
+    * the LSH band index, [[FingerprintIndex]]) whose hot-bucket caps
+    * are the designed 100 TB path. Pass `Long.MaxValue` to disable
+    * EXPLICITLY (e.g. a bounded trigger batch already capped
+    * upstream) — silence is not an option.
+    */
+  val DfCapAbsDefault: Long = 10000L
+
   /** The inverted index minus stop-shingles: shingles present in more
-    * than `maxDfFrac` of the corpus leave ENTIRELY (they discriminate
-    * nothing and their posting lists quadratic-ify any shingle join).
+    * than `maxDfFrac` of the corpus — or more than `maxDfAbs`
+    * documents outright — leave ENTIRELY (they discriminate nothing
+    * and their posting lists quadratic-ify any shingle join).
     * The stop set is small by construction → broadcast anti-join.
     * Shared by [[jaccardPairs]] and [[contamination]].
     */
-  private def informativeShingles(docs: DataFrame, maxDfFrac: Double): DataFrame =
-    dfCap(shingles(docs), docs, maxDfFrac)
+  private def informativeShingles(docs: DataFrame, maxDfFrac: Double,
+      maxDfAbs: Long): DataFrame =
+    dfCap(shingles(docs), docs, maxDfFrac, maxDfAbs)
 
   /** Drop the stop shingles of `sh0` (per-doc-distinct (doc_id, s)
-    * rows): those appearing in more than `maxDfFrac` of `docs`. A
-    * shingle's document frequency is its ROW count in `sh0`, so any
-    * upstream filter that keeps either all or none of a shingle's rows
-    * (e.g. [[decontaminate]]'s sketch prefilter) commutes with this
-    * cap — surviving shingles' df values are unchanged.
+    * rows): those appearing in more than `min(maxDfFrac · |docs|,
+    * maxDfAbs)` of `docs` — the fractional cap carries the
+    * "discriminates nothing" semantics, the absolute cap
+    * ([[DfCapAbsDefault]]) is the scale guard the fraction cannot
+    * provide. A shingle's document frequency is its ROW count in
+    * `sh0`, so any upstream filter that keeps either all or none of a
+    * shingle's rows (e.g. [[decontaminate]]'s sketch prefilter)
+    * commutes with this cap — surviving shingles' df values are
+    * unchanged.
     */
-  private def dfCap(sh0: DataFrame, docs: DataFrame, maxDfFrac: Double): DataFrame = {
+  private def dfCap(sh0: DataFrame, docs: DataFrame, maxDfFrac: Double,
+      maxDfAbs: Long): DataFrame = {
+    require(maxDfAbs >= 1L,
+      s"maxDfAbs must be >= 1 (got $maxDfAbs); use Long.MaxValue to " +
+        "disable the absolute posting-list cap explicitly")
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val stop = sh0.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") > col("n_docs") * maxDfFrac)
+      // df is an exact long; the fractional bound is a double — the
+      // least() stays exact for any df below 2^53, far past the cap
+      .filter(col("df") >
+        least(col("n_docs") * maxDfFrac, lit(maxDfAbs).cast("double")))
       .select("s")
     sh0.join(broadcast(stop), Seq("s"), "left_anti")
   }
@@ -663,8 +693,9 @@ object TextOps {
     * the sizes joins broadcast (O(docs) rows), so re-deriving shingles
     * is the cheaper currency.
     */
-  private def shinglePairStats(docs: DataFrame, maxDfFrac: Double): DataFrame = {
-    val sh = informativeShingles(docs, maxDfFrac)
+  private def shinglePairStats(docs: DataFrame, maxDfFrac: Double,
+      maxDfAbs: Long): DataFrame = {
+    val sh = informativeShingles(docs, maxDfFrac, maxDfAbs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -694,8 +725,9 @@ object TextOps {
       .select("a", "b", "containment_x10k")
 
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                   maxDfFrac: Double = 0.1): DataFrame =
-    jaccardOf(shinglePairStats(docs, maxDfFrac), threshold)
+                   maxDfFrac: Double = 0.1,
+                   maxDfAbs: Long = DfCapAbsDefault): DataFrame =
+    jaccardOf(shinglePairStats(docs, maxDfFrac, maxDfAbs), threshold)
 
   /** Both set-similarity projections over ONE materialised overlap-stats
     * index — the honest production cost model: a pipeline that wants
@@ -707,8 +739,9 @@ object TextOps {
     */
   def setSimilarityPairs(docs: DataFrame, jaccardThreshold: Double = 0.5,
                          containmentThreshold: Double = 0.8,
-                         maxDfFrac: Double = 0.1): (DataFrame, DataFrame) = {
-    val stats = shinglePairStats(docs, maxDfFrac).localCheckpoint()
+                         maxDfFrac: Double = 0.1,
+                         maxDfAbs: Long = DfCapAbsDefault): (DataFrame, DataFrame) = {
+    val stats = shinglePairStats(docs, maxDfFrac, maxDfAbs).localCheckpoint()
     (jaccardOf(stats, jaccardThreshold),
       containmentOf(stats, containmentThreshold))
   }
@@ -722,8 +755,9 @@ object TextOps {
     * as [[jaccardPairs]] (one shared stats subplan), different ratio.
     */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
-                       maxDfFrac: Double = 0.1): DataFrame =
-    containmentOf(shinglePairStats(docs, maxDfFrac), threshold)
+                       maxDfFrac: Double = 0.1,
+                       maxDfAbs: Long = DfCapAbsDefault): DataFrame =
+    containmentOf(shinglePairStats(docs, maxDfFrac, maxDfAbs), threshold)
 
   /** IDF-weighted sparse cosine near-dup pairs — the WEIGHTED
     * complement to [[jaccardPairs]]: each distinct shingle carries
@@ -742,14 +776,15 @@ object TextOps {
     * (4 dp) so the oracle replays the arithmetic exactly.
     */
   def cosinePairs(docs: DataFrame, threshold: Double = 0.5,
-                  maxDfFrac: Double = 0.1): DataFrame = {
+                  maxDfFrac: Double = 0.1,
+                  maxDfAbs: Long = DfCapAbsDefault): DataFrame = {
     // materialise the weighted index ONCE: the plan reads it four times
     // (both pair-join sides + the norms joined to a AND b) and Spark
     // performs no common-subexpression reuse across self-join sides —
     // without the checkpoint each replay re-runs the shingle explode,
     // DF cap, and idf aggregation (same pattern and size budget as
     // minhashJaccardEstimate's signature table: posting-list rows)
-    val sw = cosineWeightedIndex(docs, maxDfFrac).localCheckpoint()
+    val sw = cosineWeightedIndex(docs, maxDfFrac, maxDfAbs).localCheckpoint()
     val norms = sw.groupBy("doc_id").agg(sum("w2").as("n2"))
     val common = sw.as("x").join(sw.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -769,8 +804,9 @@ object TextOps {
     * ([[graft.ScaleProbe]]) that pins its linear growth.
     */
   private[graft] def cosineWeightedIndex(docs: DataFrame,
-                                         maxDfFrac: Double = 0.1): DataFrame = {
-    val sh = informativeShingles(docs, maxDfFrac)
+                                         maxDfFrac: Double = 0.1,
+                                         maxDfAbs: Long = DfCapAbsDefault): DataFrame = {
+    val sh = informativeShingles(docs, maxDfFrac, maxDfAbs)
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -787,8 +823,9 @@ object TextOps {
     * boilerplate from flagging everything.
     */
   def contamination(docs: DataFrame, benchmark: DataFrame,
-                    minShared: Int = 3, maxDfFrac: Double = 0.1): DataFrame = {
-    val sh = informativeShingles(docs, maxDfFrac)
+                    minShared: Int = 3, maxDfFrac: Double = 0.1,
+                    maxDfAbs: Long = DfCapAbsDefault): DataFrame = {
+    val sh = informativeShingles(docs, maxDfFrac, maxDfAbs)
     val bench = shingles(benchmark)
       .withColumnRenamed("doc_id", "bench_id")
     sh.join(bench, "s")
@@ -829,13 +866,15 @@ object TextOps {
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     minShared: Int = 3, maxDfFrac: Double = 0.1,
-                    bitsPerItem: Int = 16): DataFrame = {
+                    bitsPerItem: Int = 16,
+                    maxDfAbs: Long = DfCapAbsDefault): DataFrame = {
     // materialise the bench shingle set ONCE: it feeds the sketch's
     // count + aggregate jobs and the confirmation join (Spark performs
     // no common-subexpression reuse across actions)
     val bench = shingles(benchmark).select("s").distinct().localCheckpoint()
     val sketch = graft.functions.Bloom.sketchOf(bench, "s", bitsPerItem)
-    decontaminateAgainst(docs, bench, sketch, minShared, maxDfFrac)
+    decontaminateAgainst(docs, bench, sketch, minShared, maxDfFrac,
+      maxDfAbs)
   }
 
   /** The corpus-side half of [[decontaminate]], taking the benchmark
@@ -848,7 +887,8 @@ object TextOps {
     */
   private[operators] def decontaminateAgainst(
       docs: DataFrame, bench: DataFrame, sketch: Array[Byte],
-      minShared: Int, maxDfFrac: Double): DataFrame = {
+      minShared: Int, maxDfFrac: Double,
+      maxDfAbs: Long = DfCapAbsDefault): DataFrame = {
     import graft.functions.Bloom
     // prefilter BEFORE the stop-shingle cap: the cap's df aggregation
     // then shuffles only candidate rows — non-candidate shingles never
@@ -859,7 +899,7 @@ object TextOps {
     // corpus the sketch just excused.
     val candidates = dfCap(
       shingles(docs).filter(Bloom.mightContain(sketch, col("s"))),
-      docs, maxDfFrac)
+      docs, maxDfFrac, maxDfAbs)
     val dropped = candidates.join(broadcast(bench), "s")
       .groupBy("doc_id")
       .agg(countDistinct("s").as("shared"))

@@ -378,8 +378,10 @@ object StreamingPipeline {
     * Stop-shingle semantics: the `maxDfFrac` document-frequency cap is
     * computed WITHIN each micro-batch (df is a corpus statistic; a
     * trigger only sees its own slice). At the default 0.1 a small
-    * batch caps almost nothing; pass `maxDfFrac = 1.0` (no cap) for
-    * verdicts that are provably independent of how the stream is
+    * batch caps almost nothing; pass `maxDfFrac = 1.0` AND
+    * `maxDfAbs = Long.MaxValue` (no cap — the absolute guard must be
+    * waived explicitly, [[graft.operators.TextOps.DfCapAbsDefault]])
+    * for verdicts that are provably independent of how the stream is
     * batched — each doc's keep/drop then depends only on its own
     * shingles vs the index (the spec pins stream ≡ batch under
     * exactly that setting).
@@ -393,6 +395,7 @@ object StreamingPipeline {
       keptPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       minShared: Int = 3, maxDfFrac: Double = 0.1,
+      maxDfAbs: Long = graft.operators.TextOps.DfCapAbsDefault,
       producer: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -405,7 +408,8 @@ object StreamingPipeline {
           // pin: landTrigger's empty-dir probe may re-execute the frame
           val pinned = batch.localCheckpoint()
           landTrigger(graft.operators.ContaminationIndex
-            .decontaminate(pinned, indexPath, minShared, maxDfFrac),
+            .decontaminate(pinned, indexPath, minShared, maxDfFrac,
+              maxDfAbs),
             keptPath, producerFor(producer, checkpoint), batchId)
         } finally graft.BenchUtil.releaseNewRdds(sc, before)
         ()

@@ -631,4 +631,49 @@ class TextOpsSpec extends SparkSpec {
     n.foreach { case (id, (t, _)) => assert(again(id) === t) }
   }
 
+
+  test("absolute posting-list cap (VERDICT r9 #2): one synthetic hot " +
+      "shingle is dropped regardless of a permissive fraction") {
+    import spark.implicits._
+    // 8 docs share exactly ONE shingle ("zz common shingle", df=8);
+    // docs 100/101 are true near-dups over unique low-df shingles
+    val hot = (1L to 8L).map(i =>
+      (i, s"zz common shingle tail$i mid$i end$i"))
+    val dups = Seq((100L, "uniq one two three four"),
+      (101L, "uniq one two three four"))
+    val toy = (hot ++ dups).toDF("doc_id", "text")
+
+    // uncapped: every hot-doc pair surfaces through the shared shingle
+    val uncapped = TextOps.jaccardPairs(toy, threshold = 0.05,
+      maxDfFrac = 1.0, maxDfAbs = Long.MaxValue)
+    assert(uncapped.count() === 8L * 7 / 2 + 1)
+
+    // absolute cap below the hot df: the 8-doc posting list leaves the
+    // index entirely — only the legit near-dup pair (low-df shingles,
+    // under the cap) survives, at full jaccard
+    val capped = TextOps.jaccardPairs(toy, threshold = 0.05,
+      maxDfFrac = 1.0, maxDfAbs = 5L).collect()
+    assert(capped.length == 1 &&
+      capped.head.getLong(0) == 100L && capped.head.getLong(1) == 101L &&
+      capped.head.getLong(2) == 10000L,
+      s"got: ${capped.mkString(",")}")
+
+    // the same guard rides the weighted-cosine and containment paths
+    assert(TextOps.cosinePairs(toy, threshold = 0.01,
+      maxDfFrac = 1.0, maxDfAbs = 5L).count() === 1L)
+    assert(TextOps.containmentPairs(toy, threshold = 0.05,
+      maxDfFrac = 1.0, maxDfAbs = 5L).count() === 1L)
+
+    // contamination: a benchmark doc sharing only the hot shingle
+    // flags nothing under the cap
+    val bench = Seq((9000L, "zz common shingle benchmark xx yy")).toDF("doc_id", "text")
+    assert(TextOps.contamination(toy, bench, minShared = 1,
+      maxDfFrac = 1.0, maxDfAbs = 5L).count() === 0L)
+
+    // a degenerate cap rejects loudly instead of emptying the index
+    val e = intercept[IllegalArgumentException] {
+      TextOps.jaccardPairs(toy, maxDfAbs = 0L).collect()
+    }
+    assert(e.getMessage.contains("maxDfAbs"))
+  }
 }
