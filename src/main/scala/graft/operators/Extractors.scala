@@ -313,8 +313,33 @@ object QueueExtractor extends Extractor {
     updates.unionByName(removeAligned)
   }
 
+  /** Max queue-batch rows pinned driver-side per extract (the
+    * snapshot below). `batchSize` is a user knob with no other upper
+    * bound — a 10M-row setting would quietly OOM the driver where
+    * every other driver-local structure in the repo is capped
+    * (the [[HistoryStore]] `purgeLocalCap` posture, VERDICT r9 #4).
+    * Override via `spark.graft.queue.snapshotLocalCap`, raising it
+    * only with driver heap to match; the batch is queue METADATA
+    * (6 narrow columns), so the 1M default is ~100 MB driver-side.
+    * An executor-side pin is deliberately NOT offered: the ack
+    * closure must re-read exactly the consumed rows after the load,
+    * and unreliable-checkpoint blocks can be evicted between extract
+    * and ack — the driver copy is the only storage whose lifetime
+    * matches the ack contract.
+    */
+  private def snapshotLocalCap(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.queue.snapshotLocalCap")
+      .map(_.toLong).getOrElse(1000000L)
+
   def extract(spark: SparkSession, spec: PipelineSpec, status: TrackingStatus): ExtractResult = {
     val n = spec.params.batchSize
+    val cap = snapshotLocalCap(spark)
+    require(n <= cap,
+      s"queue batchSize $n exceeds the driver snapshot cap ($cap): " +
+        "the consumed batch is pinned driver-side (the CacheManager " +
+        "recache hazard documented below) — lower batchSize, or " +
+        "raise spark.graft.queue.snapshotLocalCap only with driver " +
+        "heap to match")
     val view = pending(spark, spec)
       .orderBy(col("timestampUpdated"), col("pkValue"))
       .limit(n)

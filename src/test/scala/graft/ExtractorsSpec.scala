@@ -101,6 +101,32 @@ class ExtractorsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$src/MigratorRecordQueue").count() === 0)
   }
 
+  test("queue batchSize above the driver snapshot cap rejects loudly " +
+      "(VERDICT r9 #4: the purgeLocalCap posture)") {
+    val src = tmpDir("qcap-src"); val dest = tmpDir("qcap-dest")
+    Seq((1L, "x")).toDF("k", "v").write.parquet(s"$src/t.parquet")
+    Seq(("a", "t", "k", "1", mkTs("2024-06-01 00:00:00"), "UPDATE"))
+      .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+        "timestampUpdated", "method")
+      .write.parquet(s"$src/MigratorRecordQueue")
+    val spec = PipelineSpec("a", "t", "k", "b", "t", src, dest,
+      extractor = "queue", primaryKey = Some("k"),
+      params = Params(batchSize = 20))
+    spark.conf.set("spark.graft.queue.snapshotLocalCap", "10")
+    try {
+      val status = TrackingStatus("a", "t", "k")
+      val e = intercept[IllegalArgumentException] {
+        QueueExtractor.extract(spark, spec, status)
+      }
+      assert(e.getMessage.contains("snapshotLocalCap") &&
+        e.getMessage.contains("batchSize 20"))
+      // under the cap the same spec extracts normally
+      spark.conf.set("spark.graft.queue.snapshotLocalCap", "100")
+      val ok = QueueExtractor.extract(spark, spec, status)
+      assert(ok.df.count() === 1L)
+    } finally spark.conf.unset("spark.graft.queue.snapshotLocalCap")
+  }
+
   test("sequential extractor: rows appended after an idle poll are still extracted") {
     val src = tmpDir("sc-src"); val dest = tmpDir("sc-dest")
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$src/t.parquet")
