@@ -189,6 +189,7 @@ object SparkEntry {
     "profile_constraints" -> (graft.queries.ExtQueries.profileConstraints(_, _)),
     "hist_store_quantiles" -> (graft.queries.ExtQueries.histStoreQuantiles(_, _)),
     "hist_store_drift" -> (graft.queries.ExtQueries.histStoreDrift(_, _)),
+    "hist_store_rebin" -> (graft.queries.ExtQueries.histStoreRebin(_, _)),
     "hist_match_resample" -> (graft.queries.ExtQueries.histMatchResample(_, _)),
     "hist_batch_drift" -> (graft.queries.ExtQueries.histBatchDrift(_, _)),
   )

@@ -76,7 +76,30 @@ object RollupStore {
     */
   def write(df: DataFrame, path: String, keyCols: Seq[String],
       valueCol: String): Unit =
-    writeBase(df, path, keyCols, valueCol, Seq(("base", 0L)))
+    writeBase(partial(df, keyCols, valueCol), path, keyCols, valueCol,
+      Seq(("base", 0L)))
+
+  /** Build the store from rows that are ALREADY partial aggregates of
+    * the declared grain — `(keyCols…, cnt, sum_val, min_val,
+    * max_val)`. The measures form a monoid, so another store's served
+    * partials are a valid base verbatim; the use case is DERIVED
+    * stores ([[HistogramStore.rebin]]: coarsened bins are unions of
+    * stored bins — pure bin-table arithmetic, the source corpus is
+    * never rescanned). The caller owns the claim that the frame
+    * really is a partial of some raw input under this grain; the
+    * schema is normalised (and validated by the select) here so a
+    * malformed frame fails at build, not at first serve.
+    */
+  private[operators] def writePartials(partials: DataFrame, path: String,
+      keyCols: Seq[String], valueCol: String): Unit = {
+    val normalized = partials.select(
+      keyCols.map(col) ++ Seq(
+        col("cnt").cast("bigint").as("cnt"),
+        col("sum_val").cast("decimal(38,4)").as("sum_val"),
+        col("min_val").cast("decimal(38,4)").as("min_val"),
+        col("max_val").cast("decimal(38,4)").as("max_val")): _*)
+    writeBase(normalized, path, keyCols, valueCol, Seq(("base", 0L)))
+  }
 
   /** Shared base-build — ONE commit point whatever the caller or the
     * store's state. Against a FRESH path the pieces are written in
@@ -88,17 +111,17 @@ object RollupStore {
     * new commit, and a crash mid-write (or a concurrent reader) would
     * see a store that lies.
     */
-  private def writeBase(df: DataFrame, path: String,
+  private def writeBase(partials: DataFrame, path: String,
       keyCols: Seq[String], valueCol: String,
       pairs: Seq[(String, Long)]): Unit = {
-    val spark = df.sparkSession
+    val spark = partials.sparkSession
     import spark.implicits._
     val tag = IndexStores.tagFor(pairs.head._1, pairs.head._2)
     def writeInto(root: String, commit: Boolean): Unit = {
       Seq((keyCols.mkString(","), valueCol))
         .toDF("key_cols", "value_col").coalesce(1)
         .write.mode("overwrite").parquet(s"$root/meta")
-      writeTag(partial(df, keyCols, valueCol), s"$root/data/$tag")
+      writeTag(partials, s"$root/data/$tag")
       val ledger = pairs.map(p => (p._1, p._2, tag))
       if (commit) IndexStores.commitTagLedger(spark, root, ledger)
       else ledger.toDF("producer", "batch_id", "tag").coalesce(1)
@@ -134,7 +157,8 @@ object RollupStore {
     val spark = df.sparkSession
     IndexStores.healRoot(spark, path)
     if (!IndexStores.hasStore(spark, s"$path/batches")) {
-      writeBase(df, path, keyCols, valueCol, Seq((producer, batchId)))
+      writeBase(partial(df, keyCols, valueCol), path, keyCols, valueCol,
+        Seq((producer, batchId)))
       return
     }
     val m = metaOf(spark, path)

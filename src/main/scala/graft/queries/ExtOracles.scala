@@ -2105,6 +2105,31 @@ object ExtOracles {
         |GROUP BY q_num, q_den
         |ORDER BY q_ppm""".stripMargin,
 
+    // replays the REBINNED histogram from the RAW table at the coarse
+    // geometry: the gate built it from the 60-bin table alone, so a
+    // hash match proves bin12(v) = bin60(v) DIV 5 value-for-value.
+    // sum() is HUGEINT -> cast BIGINT; the null bin's measures stay
+    // NULL (sum/min/max over an all-null group)
+    "hist_store_rebin" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN n_chars IS NULL THEN -2
+        |              WHEN n_chars < 0 THEN -1
+        |              WHEN n_chars >= 600 THEN 12
+        |              ELSE n_chars * 12 // 600 END AS bin,
+        |         n_chars
+        |  FROM documents
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |       CAST(CASE WHEN bin BETWEEN 0 AND 11
+        |            THEN bin * 600 // 12 END AS BIGINT) AS bin_lo,
+        |       CAST(CASE WHEN bin BETWEEN 0 AND 11
+        |            THEN (bin + 1) * 600 // 12 END AS BIGINT) AS bin_hi,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |       CAST(min(n_chars) AS BIGINT) AS min_v,
+        |       CAST(max(n_chars) AS BIGINT) AS max_v
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     // replays HistogramStore.drift's exact integer total-variation:
     // same binning, full-outer zero-filled join of the two
     // distributions, Σ|ca·nb − cb·na|·10⁶ // (2·na·nb) in HUGEINT

@@ -2239,6 +2239,24 @@ object ExtQueries {
       s"$root/rest")
   }
 
+  /** Integer-exact histogram coarsening
+    * ([[graft.operators.HistogramStore.rebin]]): the 60-bin persisted
+    * length histogram rebinned to 12 bins from its bin table ALONE —
+    * the corpus is never rescanned — then served. Hash-green against
+    * a DuckDB replay of the 12-bin binning over the RAW table proves
+    * the coarsening identity (`bin12(v) = bin60(v) DIV 5`) holds
+    * value-for-value, sums/mins/maxes included; at 100 TB this is the
+    * difference between a bin-table regroup and a full rescan for the
+    * common "fewer, wider bins" geometry change.
+    */
+  def histStoreRebin(spark: SparkSession, dir: String): DataFrame = {
+    val root = histStorePath(spark, dir)
+    graft.operators.HistogramStore.rebin(spark, s"$root/all",
+      s"$root/all_12", 12)
+    graft.operators.HistogramStore.serve(spark, s"$root/all_12")
+      .orderBy("bin")
+  }
+
   /** Distribution-matching resample
     * ([[graft.operators.HistogramStore.resampleToMatch]]): filter the
     * non-en documents so their length distribution matches the en

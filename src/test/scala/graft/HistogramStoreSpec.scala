@@ -150,6 +150,50 @@ class HistogramStoreSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("q_ppm") == 333333L))
   }
 
+  test("rebin ≡ build-from-scratch at the coarser geometry, from the " +
+      "bin table alone (VERDICT r9 #5)") {
+    // corpus with all three escape classes in play
+    val d = vals(1000, 0)
+      .unionByName(Seq((2001L, null.asInstanceOf[java.lang.Long]),
+        (2002L, java.lang.Long.valueOf(-7L)),
+        (2003L, java.lang.Long.valueOf(650L)))
+        .toDF("id", "v"))
+    val root = tmpDir("hg-rebin")
+    HistogramStore.write(d, s"$root/fine", "v", 0L, 500L, 50)
+    HistogramStore.rebin(spark, s"$root/fine", s"$root/coarse", 10)
+    HistogramStore.write(d, s"$root/scratch", "v", 0L, 500L, 10)
+
+    def served(p: String) = HistogramStore.serve(spark, p)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(served(s"$root/coarse") === served(s"$root/scratch"),
+      "rebinned bins must equal a from-scratch build bin-for-bin")
+    // ...and the two stores are indistinguishable to every serving op
+    assert(HistogramStore.drift(spark, s"$root/coarse",
+      s"$root/scratch").head.getAs[Long]("tv_ppm") === 0L)
+    val qs = Seq((1, 4), (1, 2), (9, 10))
+    assert(HistogramStore.quantiles(spark, s"$root/coarse", qs)
+      .collect().map(_.toSeq).toSeq ===
+      HistogramStore.quantiles(spark, s"$root/scratch", qs)
+        .collect().map(_.toSeq).toSeq)
+
+    // the rebinned store is a REAL store: extend() accepts deltas
+    // under the coarse geometry exactly like the scratch twin
+    HistogramStore.extend(vals(200, 5000), s"$root/coarse", batchId = 1L)
+    HistogramStore.extend(vals(200, 5000), s"$root/scratch", batchId = 1L)
+    assert(served(s"$root/coarse") === served(s"$root/scratch"))
+
+    // refinement / non-divisor coarsening has no exact answer in the
+    // bin table — loud reject, not an approximation
+    val e = intercept[IllegalArgumentException] {
+      HistogramStore.rebin(spark, s"$root/fine", s"$root/bad", 7)
+    }
+    assert(e.getMessage.contains("COARSENING"))
+    val e2 = intercept[IllegalArgumentException] {
+      HistogramStore.rebin(spark, s"$root/fine", s"$root/bad", 100)
+    }
+    assert(e2.getMessage.contains("COARSENING"))
+  }
+
   test("drift: 0 for identical shapes, 1e6 for disjoint, geometry " +
     "mismatch rejects") {
     val a = vals(500, 0)
