@@ -156,6 +156,7 @@ object SparkEntry {
     "multimodal_meta" -> (graft.queries.ExtQueries.multimodalMeta(_, _)),
     "multimodal_frames" -> (graft.queries.ExtQueries.multimodalFrames(_, _)),
     "multimodal_decode" -> (graft.queries.ExtQueries.multimodalDecode(_, _)),
+    "multimodal_jpeg" -> (graft.queries.ExtQueries.multimodalJpeg(_, _)),
     "multimodal_dhash" -> (graft.queries.ExtQueries.multimodalDhash(_, _)),
     "multimodal_neardup" -> (graft.queries.ExtQueries.multimodalNearDup(_, _)),
     "multimodal_audio" -> (graft.queries.ExtQueries.multimodalAudio(_, _)),

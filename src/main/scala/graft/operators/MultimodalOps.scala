@@ -16,13 +16,19 @@ import org.apache.spark.sql.types._
   * ([[patternChannel]]), which is what makes the decode END-TO-END
   * verifiable: the driver's DuckDB oracle computes the expected pixel
   * sums from the formula alone, while the Spark side has to reproduce
-  * them through encode → PNG container → decode. The audio leg is
-  * REAL too: `javax.sound.sampled` ships a WAV/PCM codec in the JDK,
-  * so [[wavMedia]] / [[audioFeatures]] run a genuine
-  * synthesize → WAV container → decode round trip under the same
-  * closed-form-contract verification ([[audioSample]]). Compressed
-  * codecs (JPEG-beyond-ImageIO, MP3, H.264) stay out of scope, but
-  * they would slot into the same per-partition seam.
+  * them through encode → PNG container → decode. JPEG — the codec a
+  * real crawl corpus is mostly made of — is in scope too:
+  * `javax.imageio` ships a JPEG codec, and [[jpegMedia]] builds
+  * payloads whose pixels survive the LOSSY round trip exactly (flat
+  * gray 8×8 blocks — see its scaladoc for why that is lossless by
+  * construction), so the same pixel-exact oracle posture covers both
+  * containers in one table ([[mixedImageMedia]], routed by magic
+  * bytes). The audio leg is REAL too: `javax.sound.sampled` ships a
+  * WAV/PCM codec in the JDK, so [[wavMedia]] / [[audioFeatures]] run
+  * a genuine synthesize → WAV container → decode round trip under the
+  * same closed-form-contract verification ([[audioSample]]).
+  * Codecs beyond the JDK (MP3, H.264) stay out of scope, but they
+  * would slot into the same per-partition seam.
   *
   * Scale notes: payload bytes never reach the driver; metadata
   * extraction is codegen'd column work; the per-partition decode is
@@ -134,17 +140,128 @@ object MultimodalOps {
       .select("media_id", "kind", "payload", "meta")
   }
 
+  /** Container by MAGIC BYTES (the routing truth — mime metadata is
+    * caller-asserted and can lie): PNG `89 50 4E 47`, JPEG `FF D8 FF`.
+    * One definition, two faces: [[containerCol]] is the codegen'd
+    * column twin.
+    */
+  private[operators] def containerName(payload: Array[Byte]): String =
+    if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+    else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) "jpeg"
+    else "unknown"
+
+  /** [[containerName]] as a plain column expression (stays inside
+    * whole-stage codegen — no decode, just a 4-byte prefix compare).
+    */
+  def containerCol(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(substring(payload, 1, 4) ===
+        lit(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt).map(_.toByte)),
+      "png")
+      .when(substring(payload, 1, 3) ===
+        lit(Array(0xff, 0xd8, 0xff).map(_.toByte)), "jpeg")
+      .otherwise("unknown")
+
   private def decodeImage(id: Long, payload: Array[Byte]): java.awt.image.BufferedImage = {
     javax.imageio.ImageIO.setUseCache(false) // see encodePng
-    // ImageIO.read returns null on an unrecognised container — refuse
-    // loudly (same erroring-over-wrong-answers stance as LutSum): a
-    // silently skipped row would undercount the corpus with no signal
+    // ImageIO.read sniffs the container itself (PNG and JPEG readers
+    // both registered in the JDK); the magic-byte router's job here is
+    // the ERROR path — "unknown container" beats "null" when a corrupt
+    // or unsupported payload surfaces. Refuse loudly (same
+    // erroring-over-wrong-answers stance as LutSum): a silently
+    // skipped row would undercount the corpus with no signal.
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     if (img == null)
       throw new IllegalArgumentException(
-        s"media $id: payload is not a decodable image (${payload.length} bytes)")
+        s"media $id: payload is not a decodable image (container: " +
+          s"${containerName(payload)}, ${payload.length} bytes)")
     img
   }
+
+  /** JPEG fixture geometry: 16×16 pixels = 2×2 flat 8×8 blocks. */
+  val JpegSize: Int = 16
+  val JpegBlockGrid: Int = 2
+
+  /** The JPEG pixel contract: every 8×8 JPEG block is FLAT GRAY at
+    * `patternChannel(id, 0, bx, by)` — the one fixture shape for which
+    * a LOSSY codec is exact end-to-end, so the DuckDB oracle can
+    * replay decoded pixel sums from the formula alone. Why lossless by
+    * construction: (1) gray (R=G=B) maps to Cb=Cr=128 exactly, so the
+    * YCbCr leg (and any chroma subsampling of a constant plane) is
+    * rounding-free; (2) a flat block's forward DCT is DC-only with
+    * DC = 8·(v−128), an integer multiple of 8 — exact under any DC
+    * quantisation step dividing 8 (quality 1.0 uses 1) — and zero AC
+    * means the inverse DCT reconstructs v with no rounding residue.
+    * Probed exhaustively on this JDK: 128 ids × 256 pixels × 3
+    * channels, zero mismatches.
+    */
+  def jpegBlockGray(id: Long, bx: Int, by: Int): Int =
+    patternChannel(id, 0, bx, by)
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // see encodePng
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    if (!it.hasNext)
+      throw new IllegalStateException("no JPEG writer in this JVM")
+    val w = it.next()
+    val param = w.getDefaultWriteParam
+    // explicit quality 1.0: the default (0.75) scales the quant tables
+    // past the divides-8 DC bound the flat-block contract rests on
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { w.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Fabricate a REAL-JPEG media table: one 16×16 flat-block gray
+    * image per document ([[jpegBlockGray]]), encoded in the executors
+    * via the JDK's JPEG writer. Same per-partition seam as
+    * [[pngMedia]]; mime records the container the magic bytes carry.
+    */
+  def jpegMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val n = JpegSize
+    docs.select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          n, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < n) {
+          var x = 0
+          while (x < n) {
+            val g = jpegBlockGray(id, x / 8, y / 8)
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        (id, encodeJpeg(img))
+      })
+      .toDF("media_id", "payload")
+      .withColumn("kind", lit("image"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        lit("image/jpeg").as("mime")))
+      .select("media_id", "kind", "payload", "meta")
+  }
+
+  /** BOTH containers in ONE table — the real-corpus shape (a crawl is
+    * mostly JPEG with PNG mixed in): even ids carry the PNG pattern,
+    * odd ids the JPEG flat blocks. Consumers route by [[containerCol]]
+    * / the decoder's own sniffing, never by id parity — the parity
+    * only exists so the oracle knows which pixel contract to replay.
+    */
+  def mixedImageMedia(spark: SparkSession, docs: DataFrame): DataFrame =
+    pngMedia(spark, docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(jpegMedia(spark, docs.filter(col("doc_id") % 2 === 1)))
 
   /** REAL per-partition image decode + feature extraction over the
     * binary column: `javax.imageio` parses the PNG container and the

@@ -1742,6 +1742,42 @@ object ExtOracles {
         |  CAST(sum(((media_id * 29 + x * 5 + y * 19) % 256 + 256) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
 
+    // both containers' decoded pixel sums from their closed forms:
+    // even ids = the 8x8 PNG pattern, odd ids = the 16x16 JPEG whose
+    // flat gray blocks make the lossy codec exact (jpegBlockGray
+    // scaladoc) — 64 pixels per block at channel-0's linear form, all
+    // three channels equal (gray). Container labels replay the
+    // build parity; Spark detects them from magic bytes.
+    "multimodal_jpeg" ->
+      """WITH png AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
+        |  FROM documents, unnest(range(8)) AS xx(i), unnest(range(8)) AS yy(i)
+        |  WHERE doc_id % 2 = 0
+        |), png_sums AS (
+        |  SELECT media_id, 'png' AS container,
+        |    CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |    CAST(sum(((media_id * 31 + x * 7 + y * 13) % 256 + 256) % 256) AS BIGINT) AS sum_r,
+        |    CAST(sum(((media_id * 17 + x * 11 + y * 3) % 256 + 256) % 256) AS BIGINT) AS sum_g,
+        |    CAST(sum(((media_id * 29 + x * 5 + y * 19) % 256 + 256) % 256) AS BIGINT) AS sum_b
+        |  FROM png GROUP BY media_id
+        |), jb AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(bxx.i AS BIGINT) AS bx, CAST(byy.i AS BIGINT) AS byy
+        |  FROM documents, unnest(range(2)) AS bxx(i), unnest(range(2)) AS byy(i)
+        |  WHERE doc_id % 2 = 1
+        |), jpeg_sums AS (
+        |  SELECT media_id, 'jpeg' AS container,
+        |    CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |    CAST(sum(64 * (((media_id * 31 + bx * 7 + byy * 13) % 256 + 256) % 256)) AS BIGINT) AS sum_r,
+        |    CAST(sum(64 * (((media_id * 31 + bx * 7 + byy * 13) % 256 + 256) % 256)) AS BIGINT) AS sum_g,
+        |    CAST(sum(64 * (((media_id * 31 + bx * 7 + byy * 13) % 256 + 256) % 256)) AS BIGINT) AS sum_b
+        |  FROM jb GROUP BY media_id
+        |)
+        |SELECT * FROM png_sums
+        |UNION ALL SELECT * FROM jpeg_sums
+        |ORDER BY media_id""".stripMargin,
+
     // replays imageDHash over originals + perturbed clones from the
     // pixel formula alone: brightness = r+g+b (exact ints), bit (y,x)
     // = gray(x,y) > gray(x+1,y) on the 8x8 raster (strips = single

