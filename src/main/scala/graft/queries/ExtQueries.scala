@@ -1430,6 +1430,15 @@ object ExtQueries {
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
     VectorOps.quantize(embs(spark, dir)).orderBy("vec_id")
 
+  /** SQ8 asymmetric top-k ([[VectorOps.sq8TopK]]): the quantized flat
+    * scan — int8 corpus codes, full-precision queries. Hash-green
+    * means DuckDB reproduces every code, every asymmetric score, and
+    * every rank from the closed-form quantization contract.
+    */
+  def embedSq8TopK(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.sq8TopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .orderBy("qid", "rn")
+
   /** Seeded ±1 random projection 64 → 16 dims (Johnson–Lindenstrauss
     * preprocessing); the projected vector is digested to its
     * left-to-right sum + norm so the gate compares scalars.

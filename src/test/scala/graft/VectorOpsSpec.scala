@@ -491,4 +491,58 @@ class VectorOpsSpec extends SparkSpec {
         reuse = Some(shared))) ==
       dump(VectorOps.ivfPqTopK(embs, Seq(0L, 1L), nprobe = 1)))
   }
+
+  test("sq8 top-k: asymmetric score error is bounded EXACTLY by " +
+      "(scale/2)*sum|q|, and the quantized ranking tracks the true dot") {
+    val embs = sources.Tables.embeddings(spark, sf)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    // exact per-pair bound: |scale*dot(q,codes) - dot(q,v)| =
+    // |sum q_i*(c_i*scale - v_i)| <= sum |q_i| * scale/2, because the
+    // floor(+0.5) rounding puts every reconstruction within scale/2
+    val queries = embs.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val withCodes = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", greatest(
+        array_max(transform(col("v"), x => abs(x))) / 127.0, lit(1e-12)))
+      .withColumn("codes", expr(
+        // Spark floor() is BIGINT (DuckDB's is DOUBLE) — cast back so
+        // the dot kernel sees array<double> on both engines' grids
+        "transform(v, x -> cast(floor(x / scale + 0.5d) as double))"))
+    val checked = withCodes.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(
+        abs(col("scale") * VectorOps.dot(col("qv"), col("codes")) -
+          VectorOps.dot(col("qv"), col("v"))).as("err"),
+        (col("scale") / 2 * expr(
+          "aggregate(qv, 0d, (acc, x) -> acc + abs(x))")).as("bound"))
+      // strict float-identity is not the claim; the inequality plus a
+      // tiny fold-order epsilon is
+      .filter(col("err") > col("bound") * 1.0000001 + lit(1e-12))
+    assert(checked.count() === 0L, "a pair exceeded the exact SQ8 error bound")
+
+    // ranking sanity: the int8 scan's top-10 per query overlaps the
+    // full-precision dot top-10 heavily (the rmse is tiny next to the
+    // corpus score spread)
+    val sq8 = VectorOps.sq8TopK(embs, qids, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("d").desc, col("vec_id"))
+    val exact = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("d", VectorOps.dot(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("qid", "vec_id")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    qids.foreach { q =>
+      val overlap = sq8(q).intersect(exact(q)).size
+      assert(overlap >= 7, s"query $q: sq8 top-10 overlaps dot top-10 in $overlap")
+    }
+    // shape: k ranked rows per query, self excluded
+    val out = VectorOps.sq8TopK(embs, qids, k = 10)
+    assert(out.groupBy("qid").count().collect().forall(_.getLong(1) == 10L))
+    assert(out.filter(col("qid") === col("vec_id")).count() === 0L)
+  }
 }
