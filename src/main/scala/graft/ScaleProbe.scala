@@ -130,6 +130,44 @@ object ScaleProbe {
       println(f"[scaleprobe] synth30k bpe inc32000=$tInc32k%.2fs (learned=$l32k, ran dry)")
     }
 
+    // 4c. celebrity-node pin (VERDICT r9 #6, SF-independent): a hub of
+    //     degree 10^4 in an otherwise sparse ring. The skew-blind
+    //     neighbour self-join would pay C(10^4, 2) ~ 5e7 wedges at the
+    //     hub alone; the degree orientation points every hub edge
+    //     INWARD, so the closure join's true input (oriented wedges)
+    //     and the wall time both track O(E) — measured against a
+    //     degree-uniform graph of the SAME edge count as the control.
+    {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.operators.GraphOps
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val d = 10000
+      val hubEdges = spark.range(1, d + 1)
+        .select(lit(0L).as("a"), col("id").as("b"))
+        .unionByName(spark.range(1, d)
+          .select(col("id").as("a"), (col("id") + 1).as("b")))
+        .localCheckpoint()
+      val e = hubEdges.count()
+      val (ow, nw) = GraphOps.wedgeCounts(hubEdges)
+      var triHub = -1L
+      val tHub = BenchUtil.minOf(3) {
+        triHub = GraphOps.triangleTotal(hubEdges).head.getLong(0)
+      }
+      // control: same E spread uniformly (no hub)
+      val uniform = spark.range(0, e)
+        .select((col("id") % 14000).as("a"),
+          ((col("id") * 7919 + 13) % 14000).as("b"))
+        .localCheckpoint()
+      val (owU, nwU) = GraphOps.wedgeCounts(uniform)
+      val tUni = BenchUtil.minOf(3)(
+        BenchUtil.sink(GraphOps.triangleTotal(uniform)))
+      BenchUtil.releaseNewRdds(sc, before)
+      println(f"[scaleprobe] hub-graph d=$d E=$e oriented_wedges=$ow " +
+        f"naive_wedges=$nw triangles=$triHub t=$tHub%.2fs | " +
+        f"uniform-control E=$e oriented_wedges=$owU naive_wedges=$nwU " +
+        f"t=$tUni%.2fs hub/uniform=${tHub / tUni}%.2f")
+    }
+
     // 5. queue-ack compaction threshold (SF-independent — fabricated
     //    changelog): the logical queue is changelog ANTI-JOIN acks, so
     //    the per-batch read cost grows with the ack table until

@@ -435,12 +435,12 @@ object GraphOps {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
-  /** The shared core of [[triangleCounts]] / [[triangleTotal]]: the
-    * frame of closed wedges `(src, b, c)` — one row per triangle, each
-    * found exactly once under the degree orientation — plus the degree
-    * table (reused by the per-node variant's zero-fill join).
+  /** The degree orientation every triangle face shares: canonical
+    * undirected edges directed from the smaller `(degree, id)`
+    * endpoint to the larger. Returns the oriented edge frame
+    * `(src, dst, ddst)` plus the degree table.
     */
-  private def closedWedges(pairs: DataFrame): (DataFrame, DataFrame) = {
+  private def orientedEdges(pairs: DataFrame): (DataFrame, DataFrame) = {
     val Array(ca, cb) = pairs.columns.take(2)
     // canonical undirected edges: u < v, deduped, no self-loops
     val e = pairs
@@ -455,10 +455,42 @@ object GraphOps {
       .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = withDeg.select(
+    (withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst")),
+      deg)
+  }
+
+  /** Diagnostic twins for the orientation's skew claim (VERDICT r9
+    * #6): `(oriented, naive)` wedge volumes — Σ C(outdeg, 2) under the
+    * degree orientation (the EXACT row count the closure join
+    * produces) vs Σ C(degree, 2) over the undirected graph (what a
+    * skew-blind neighbour self-join would produce). A celebrity node
+    * of degree d contributes C(d, 2) to the naive count but — having
+    * the maximal degree — orients every edge INWARD and contributes
+    * ZERO oriented wedges through itself; its mass reappears only via
+    * its higher-degree peers, of which a hub has few. Spec-pinned on a
+    * synthetic hub graph; probed with wall times in ScaleProbe.
+    */
+  def wedgeCounts(pairs: DataFrame): (Long, Long) = {
+    val (oriented, deg) = orientedEdges(pairs)
+    def sumC2(df: DataFrame, c: String): Long =
+      // integer DIV, not `/` (double division); n·(n−1) is even so the
+      // halving is exact
+      df.agg(coalesce(sum(expr(s"$c * ($c - 1) div 2")), lit(0L)))
+        .head.getLong(0)
+    (sumC2(oriented.groupBy("src").agg(count(lit(1)).as("n")), "n"),
+      sumC2(deg, "degree"))
+  }
+
+  /** The shared core of [[triangleCounts]] / [[triangleTotal]]: the
+    * frame of closed wedges `(src, b, c)` — one row per triangle, each
+    * found exactly once under the degree orientation — plus the degree
+    * table (reused by the per-node variant's zero-fill join).
+    */
+  private def closedWedges(pairs: DataFrame): (DataFrame, DataFrame) = {
+    val (oriented, deg) = orientedEdges(pairs)
     // wedges b←src→c with (deg,id)-ordered ends, closed by edge b→c —
     // which is exactly how that third edge is oriented, because the
     // wedge filter and the orientation share one total order

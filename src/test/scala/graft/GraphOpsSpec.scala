@@ -331,4 +331,27 @@ class GraphOpsSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("x", "y"))
     assert(empty.head.getLong(0) === 0L)
   }
+
+  test("celebrity node contributes zero oriented wedges: the closure " +
+      "join tracks the oriented bound, never degree^2 (VERDICT r9 #6)") {
+    import spark.implicits._
+    val d = 1000
+    // hub 0 with degree d, plus a ring over the spokes (degree ~3 each)
+    val hub = (1 to d).map(i => (0L, i.toLong))
+    val ring = (1 until d).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (hub ++ ring).toDF("a", "b")
+    val (oriented, naive) = graft.operators.GraphOps.wedgeCounts(edges)
+    val e = hub.size + ring.size
+    // skew-blind bound carries the hub's C(d, 2)...
+    assert(naive >= d.toLong * (d - 1) / 2, s"naive=$naive")
+    // ...the orientation deletes it: every hub edge points INTO the
+    // hub (max degree), so oriented wedges are the ring's O(E)
+    assert(oriented <= 4L * e,
+      s"oriented=$oriented should be O(E)=$e, not ~${naive}")
+    // and the counts stay correct: hub+ring closes exactly the
+    // (i, i+1, 0) fans' triangles — one per ring edge
+    val total = graft.operators.GraphOps.triangleTotal(edges)
+      .head.getLong(0)
+    assert(total === (d - 1).toLong, s"total=$total")
+  }
 }
