@@ -176,6 +176,15 @@ object Bench {
     val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR",
       "BENCH_FLOOR.json")
     val floorQueries = BenchUtil.loadFloor(floorPath, sfDir)
+    if (floorQueries.isEmpty)
+      // LOUD: a missing/malformed/sf-mismatched floor silently
+      // disarming the guard is exactly how a poisoned draw gets
+      // laundered — the artifact will carry floor_ratio:null, and
+      // this line names why
+      System.err.println(s"[bench] WARNING: no applicable bench floor " +
+        s"at $floorPath for sf=$sfDir — the absolute contention guard " +
+        "is DISARMED for this draw (missing file, unparseable JSON, " +
+        "or a floor recorded against a different sf dir)")
     val passBuf = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double, Boolean, Long)]]
     (1 to passes).foreach(_ => passBuf += runPass())
     def totals = passBuf.map(_.map(_._2).sum)
@@ -229,11 +238,12 @@ object Bench {
     val allPasses: Seq[Seq[(String, Double, Boolean, Long)]] = passBuf.toSeq
     val failed = names.map(_._1).filter(n =>
       allPasses.forall(!_.find(_._1 == n).get._3))
-    val results = names.map(_._1).map { name =>
-      val runs = allPasses.map(_.find(_._1 == name).get)
-      val good = runs.filter(_._3)
-      name -> (if (good.nonEmpty) good.map(_._2).min else runs.map(_._2).max)
-    }
+    // ONE definition of the reported per-query number: the same
+    // measuredMins the floor tripwire adjudicated — two copies of the
+    // min-composition drifting apart would let the floor judge a
+    // different number than the artifact reports
+    val minsByName = measuredMins
+    val results = names.map(_._1).map(n => n -> minsByName(n))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

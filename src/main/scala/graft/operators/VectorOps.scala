@@ -394,11 +394,15 @@ object VectorOps {
 
   /** Scalar-quantized (SQ8) brute-force top-k — the quantized FLAT
     * scan (the FAISS SQ-flat shape) completing [[quantize]]'s story:
-    * that operator emits the codes, this one SEARCHES them. The
-    * corpus is scanned as int8 codes (4× less memory bandwidth than
-    * float32, 8× less than the double math — at 100 TB the scan IS
-    * the cost, so the code width is the wall-clock) under an
-    * ASYMMETRIC distance: the query stays full-precision and scores
+    * that operator emits the codes, this one SEARCHES them. This is
+    * the SEMANTICS model of SQ8: codes here materialise as
+    * array<double> so both engines fold the identical grid (the
+    * DuckDB parity contract) — a production deployment persists them
+    * as int8 (array<tinyint>/binary, 4× less scan bandwidth than
+    * float32; at 100 TB the scan IS the cost) and this operator's
+    * scores, ranks and error bound carry over unchanged because the
+    * CODE VALUES are identical integers either way. The distance is
+    * ASYMMETRIC: the query stays full-precision and scores
     * `scale · Σ qᵢ·cᵢ`, so the only error is the corpus-side
     * rounding, bounded per pair by `(scale∕2) · Σ|qᵢ|` (spec-pinned
     * as an exact inequality, not a statistical claim). Codes are

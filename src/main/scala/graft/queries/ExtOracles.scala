@@ -398,8 +398,8 @@ object ExtOracles {
       |shc AS (SELECT doc_id, s FROM (
       |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
       |          FROM shc0)
-      |        WHERE df <= (SELECT count(*) FROM documents
-      |                     WHERE doc_id % 100 <> 0) * 0.1),
+      |        WHERE df <= least((SELECT count(*) FROM documents
+      |                     WHERE doc_id % 100 <> 0) * 0.1, 10000)),
       |tokb AS (SELECT doc_id, string_split(text, ' ') AS t
       |         FROM documents WHERE doc_id % 100 = 0),
       |shb AS (SELECT DISTINCT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
@@ -575,8 +575,8 @@ object ExtOracles {
         |shc AS (SELECT doc_id, s FROM (
         |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
         |          FROM shc0)
-        |        WHERE df <= (SELECT count(*) FROM documents
-        |                     WHERE doc_id % 100 <> 0) * 0.1),
+        |        WHERE df <= least((SELECT count(*) FROM documents
+        |                     WHERE doc_id % 100 <> 0) * 0.1, 10000)),
         |tokb AS (SELECT doc_id, string_split(text, ' ') AS t
         |         FROM documents WHERE doc_id % 100 = 0),
         |shb AS (SELECT DISTINCT doc_id AS bench_id,
@@ -1022,7 +1022,7 @@ object ExtOracles {
          |shf AS (SELECT doc_id, s FROM (
          |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
          |          FROM sh)
-         |        WHERE df <= (SELECT count(*) FROM documents) * 0.1),
+         |        WHERE df <= least((SELECT count(*) FROM documents) * 0.1, 10000)),
          |wts AS (SELECT s, pow(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
          |          / df), 2) AS w2
          |        FROM (SELECT s, count(*) AS df FROM shf GROUP BY s)),
@@ -1065,7 +1065,7 @@ object ExtOracles {
          |shf AS (SELECT doc_id, s FROM (
          |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
          |          FROM sh)
-         |        WHERE df <= (SELECT count(*) FROM documents) * 0.1),
+         |        WHERE df <= least((SELECT count(*) FROM documents) * 0.1, 10000)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
          |          FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -1127,7 +1127,7 @@ object ExtOracles {
          |shf AS (SELECT doc_id, s FROM (
          |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
          |          FROM sh)
-         |        WHERE df <= (SELECT count(*) FROM documents) * 0.1),
+         |        WHERE df <= least((SELECT count(*) FROM documents) * 0.1, 10000)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
          |          FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -1146,7 +1146,7 @@ object ExtOracles {
          |shf AS (SELECT doc_id, s FROM (
          |          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
          |          FROM sh)
-         |        WHERE df <= (SELECT count(*) FROM documents) * 0.1),
+         |        WHERE df <= least((SELECT count(*) FROM documents) * 0.1, 10000)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
          |          FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id

@@ -76,9 +76,28 @@ object StreamingPipeline {
           "delete them first; see landTrigger's scaladoc.")
     val tag = graft.operators.IndexStores.tagFor(producer, batchId)
     val dir = s"$outDir/$tag"
-    // GC this tag's leaked dot-dirs from earlier crashes (single
-    // producer per tag — Structured Streaming replays a batch id
-    // serially), then stage, then publish with one rename
+    val tagPath = new org.apache.hadoop.fs.Path(dir)
+    // HEAL before GC: a crash between the stage-out rename and the
+    // publish rename leaves the batch's ONLY complete copy under
+    // `.__replaced_<tag>_*` with the tag absent — restore the newest
+    // such copy first, so the GC below never deletes the last copy
+    // and a failed re-write later still leaves the old generation
+    // servable (the "never leave the tag absent while we hold a
+    // complete copy" invariant, crash window included).
+    if (fs.exists(root) && !fs.exists(tagPath)) {
+      val prefix = s".__replaced_${tag}_"
+      // newest by PARSED numeric stamp (the ParquetTable.recoverFromOld
+      // lesson: lexicographic unpadded numbers order "9" after "10")
+      val replacedOf = fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
+        .sortBy(p =>
+          try p.getName.substring(prefix.length).toLong
+          catch { case _: NumberFormatException => Long.MinValue })
+      replacedOf.lastOption.foreach(fs.rename(_, tagPath))
+    }
+    // GC this tag's remaining leaked dot-dirs from earlier crashes
+    // (single producer per tag — Structured Streaming replays a batch
+    // id serially), then stage, then publish with one rename
     if (fs.exists(root))
       fs.listStatus(root).map(_.getPath).foreach { c =>
         if (c.getName.startsWith(s".__staging_${tag}_") ||
@@ -89,7 +108,6 @@ object StreamingPipeline {
     val staging = s"$outDir/.__staging_${tag}_$stamp"
     df.write.mode("overwrite").parquet(staging)
     graft.operators.IndexStores.forceSchemaBearing(df, staging)
-    val tagPath = new org.apache.hadoop.fs.Path(dir)
     val replaced =
       new org.apache.hadoop.fs.Path(s"$outDir/.__replaced_${tag}_$stamp")
     if (fs.exists(tagPath) && !fs.rename(tagPath, replaced))

@@ -178,5 +178,18 @@ class ConstraintOpsSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("k", "v"), out, "p1", 0L)
     assert(spark.read.parquet(s"$out/b_*").count() == 0L)
     assert(spark.read.parquet(s"$out/b_*").columns.toSeq == Seq("k", "v"))
+
+    // crash WINDOW heal: tag renamed aside but never republished (the
+    // between-the-two-renames crash) — the next landing must restore
+    // the .__replaced_ copy BEFORE its GC, never delete the last copy
+    val tagName = new java.io.File(out).listFiles()
+      .map(_.getName).find(_.startsWith("b_")).get
+    assert(new java.io.File(s"$out/$tagName").renameTo(
+      new java.io.File(s"$out/.__replaced_${tagName}_42")))
+    StreamingPipeline.landTrigger(
+      Seq((5L, "healed")).toDF("k", "v"), out, "p1", 0L)
+    val healedRows = spark.read.parquet(s"$out/b_*").collect()
+    assert(healedRows.length == 1 && healedRows.head.getString(1) == "healed")
+    assert(dotDirs().isEmpty)
   }
 }

@@ -104,23 +104,30 @@ class DecontaminateSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(src)
 
     val kept = tmpDir("contam-stream-kept")
-    // maxDfFrac = 1.0: verdicts independent of stream batching (each
+    // maxDfFrac = 1.0 AND maxDfAbs waived: the FULL documented
+    // batching-independence setting — the absolute cap is also a
+    // per-trigger df statistic, so leaving it at the default would
+    // stop pinning the contract the moment a fixture outgrows it
+    // (each
     // doc judged against the index alone) — the documented parity mode
     StreamingPipeline.decontaminateStream(stream, path, kept,
-      tmpDir("contam-stream-ckpt"), maxDfFrac = 1.0)
+      tmpDir("contam-stream-ckpt"), maxDfFrac = 1.0,
+      maxDfAbs = Long.MaxValue)
       .awaitTermination()
 
     val streamed = spark.read.parquet(s"$kept/b_*")
       .select("doc_id").as[Long].collect().toSet
     val direct = TextOps.decontaminate(corpus, bench, minShared = 3,
-      maxDfFrac = 1.0).select("doc_id").as[Long].collect().toSet
+      maxDfFrac = 1.0, maxDfAbs = Long.MaxValue)
+      .select("doc_id").as[Long].collect().toSet
     assert(streamed == direct,
       s"streamed kept set $streamed diverged from batch $direct")
   }
 
   test("boundary semantics: verbatim copy dropped, ≤2 shared shingles kept") {
     val kept = TextOps.decontaminate(corpus, bench, minShared = 3,
-      maxDfFrac = 1.0).select("doc_id").as[Long].collect().toSet
+      maxDfFrac = 1.0, maxDfAbs = Long.MaxValue)
+      .select("doc_id").as[Long].collect().toSet
     assert(!kept.contains(1L), "verbatim benchmark copy must be dropped")
     // doc 2 shares 'alpha beta gamma' + 'beta gamma delta' = 2 < 3 → kept
     assert(kept.contains(2L) && kept.contains(3L) && kept.contains(4L) &&
