@@ -143,6 +143,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
     "embed_sq8_topk" -> (graft.queries.ExtQueries.embedSq8TopK(_, _)),
+    "embed_sq8_index" -> (graft.queries.ExtQueries.embedSq8Index(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),
     "embed_knn_classify" -> (graft.queries.ExtQueries.embedKnnClassify(_, _)),
     "embed_outliers" -> (graft.queries.ExtQueries.embedOutliers(_, _)),

@@ -107,6 +107,9 @@ object GraftFunctions {
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       children => ArrayDot(children(0), children(1))),
+    (FunctionIdentifier("byte_dot"),
+      new ExpressionInfo(classOf[ByteDot].getName, "byte_dot"),
+      children => ByteDot(children(0), children(1))),
     (FunctionIdentifier("lut_sum"),
       new ExpressionInfo(classOf[LutSum].getName, "lut_sum"),
       children => LutSum(children(0), children(1))),

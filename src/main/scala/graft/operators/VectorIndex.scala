@@ -97,6 +97,68 @@ object VectorIndex {
     model.copy(codes = loadCodes(spark, path))
   }
 
+  /** Build and persist a FLAT SQ8 index: one row per vector —
+    * `(vec_id, scale DOUBLE, codes BINARY)` — with the codes as TRUE
+    * int8 bytes (one byte per dimension on disk: the 4×-vs-float32
+    * scan-bandwidth story [[VectorOps.sq8TopK]]'s scaladoc defers to
+    * this store for). Quantization is sq8TopK's contract verbatim
+    * (per-vector symmetric scale `max|x|∕127` floored at 1e-12,
+    * `⌊x∕scale + 0.5⌋` codes — every code in [-127, 127], exactly one
+    * byte), so [[searchSq8]] over this store is row-identical to the
+    * inline operator: same scores, same ranks, spec-pinned. Staged
+    * atomic swap (the family posture); a rebuild replaces the store
+    * wholesale.
+    */
+  def writeSq8(embeddings: DataFrame, path: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val staging = IndexStores.stagingFor(spark, path)
+    val coded = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        // the sq8TopK arithmetic, element for element: double division
+        // and Math.floor are the same IEEE ops the column form runs
+        val scale = math.max(v.map(math.abs).max / 127.0, 1e-12)
+        val codes = v.map(x => math.floor(x / scale + 0.5).toInt.toByte)
+        (id, scale, codes)
+      }
+      .toDF("vec_id", "scale", "codes")
+    coded.write.mode("overwrite").parquet(s"$staging/codes")
+    Seq((embeddings.select(size(col("embedding"))).head.getInt(0),
+        "sq8"))
+      .toDF("dim", "kind").coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    IndexStores.swapInto(spark, path, staging)
+  }
+
+  /** Asymmetric top-k served from a [[writeSq8]] store: queries stay
+    * full-precision (`(qid, qv array<double>)` — a caller supplies raw
+    * vectors at search time, the FAISS posture), the corpus scan reads
+    * one byte per dimension and scores through the codegen'd
+    * [[graft.functions.ByteDot]] kernel. Row-identical to
+    * [[VectorOps.sq8TopK]] (the semantics model) because
+    * `(double)(byte) c == (double) c` for every stored code — same
+    * fold order, same products, same round-5 emission and vec_id
+    * tiebreak.
+    */
+  def searchSq8(spark: SparkSession, path: String, queries: DataFrame,
+                k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    IndexStores.healRoot(spark, path)
+    val codes = IndexStores.readStore(spark, s"$path/codes")
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("sq8_score", round(col("scale") *
+        column(graft.functions.ByteDot(
+          expression(col("qv")), expression(col("codes")))), 5))
+    val w = Window.partitionBy("qid").orderBy(col("sq8_score").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("sq8_score"), col("rn"))
+  }
+
   private def loadCodes(spark: SparkSession, path: String): DataFrame =
     // cell comes back as the partition column; vec_id/codes from the
     // files. Schema order differs from the in-memory model (partition

@@ -70,6 +70,29 @@ object ExtOracles {
 
   private val embCte = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)"
 
+  /** The ONE SQ8 replay both sq8 gates share: the quantize() contract
+    * (per-vector symmetric scale, floor rounding), the asymmetric
+    * score scale * list_dot_product(full-precision query, codes), and
+    * the (score desc, vec_id) ranking.
+    */
+  private val sq8TopkSql: String =
+    s"""WITH $embCte,
+         |c AS (SELECT vec_id, scale,
+         |        list_transform(v, x -> floor(x / scale + 0.5)) AS codes
+         |      FROM (SELECT vec_id, v,
+         |              greatest(list_max(list_transform(v, x -> abs(x)))
+         |                / 127.0, 1e-12) AS scale
+         |            FROM e)),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |scored AS (SELECT qid, c.vec_id,
+         |  round(scale * list_dot_product(qv, codes), 5) AS sq8_score
+         |  FROM c JOIN q ON c.vec_id <> qid),
+         |ranked AS (SELECT qid, vec_id, sq8_score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sq8_score DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT qid, vec_id, sq8_score, rn FROM ranked WHERE rn <= 10
+         |ORDER BY qid, rn""".stripMargin
+
   /** The fixed-weight logistic quality score — ONE definition serving
     * `text_quality_score` and `dedup_canonical` (the same one-classifier
     * contract as [[langIdCte]]; a weight/regex change edits one string).
@@ -1639,23 +1662,12 @@ object ExtOracles {
     // symmetric scale, floor rounding), then the asymmetric score
     // scale * list_dot_product(full-precision query, codes), ranked
     // (score desc, vec_id). Same double arithmetic both engines.
-    "embed_sq8_topk" ->
-      s"""WITH $embCte,
-         |c AS (SELECT vec_id, scale,
-         |        list_transform(v, x -> floor(x / scale + 0.5)) AS codes
-         |      FROM (SELECT vec_id, v,
-         |              greatest(list_max(list_transform(v, x -> abs(x)))
-         |                / 127.0, 1e-12) AS scale
-         |            FROM e)),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
-         |scored AS (SELECT qid, c.vec_id,
-         |  round(scale * list_dot_product(qv, codes), 5) AS sq8_score
-         |  FROM c JOIN q ON c.vec_id <> qid),
-         |ranked AS (SELECT qid, vec_id, sq8_score,
-         |  row_number() OVER (PARTITION BY qid ORDER BY sq8_score DESC, vec_id) AS rn
-         |  FROM scored)
-         |SELECT qid, vec_id, sq8_score, rn FROM ranked WHERE rn <= 10
-         |ORDER BY qid, rn""".stripMargin,
+    "embed_sq8_topk" -> sq8TopkSql,
+
+    // the persisted-store twin serves the IDENTICAL search (int8 bytes
+    // + the ByteDot kernel ≡ the inline double-code fold, spec-pinned)
+    // — same replay
+    "embed_sq8_index" -> sq8TopkSql,
 
     // replays VectorOps.knnClassify over the embed_topk neighbour CTEs:
     // label attach + majority vote, ties (votes desc, label asc)

@@ -1439,6 +1439,34 @@ object ExtQueries {
     VectorOps.sq8TopK(embs(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
       .orderBy("qid", "rn")
 
+  /** One persisted SQ8 store per (session, SF dir). */
+  private val sq8StoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def sq8StorePath(spark: SparkSession, dir: String): String =
+    sq8StoreCache.get(spark, dir) {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-sq8-index").toString + "/sq8"
+      graft.operators.VectorIndex.writeSq8(embs(spark, dir), p)
+      p
+    }
+
+  /** The persisted SQ8 index ([[graft.operators.VectorIndex
+    * .writeSq8]] / [[graft.operators.VectorIndex.searchSq8]]): codes
+    * stored as TRUE int8 bytes, scanned through the codegen'd ByteDot
+    * kernel. Serves the identical search as the inline operator —
+    * hash-green against the same oracle proves the byte round trip
+    * and the kernel change every code path EXCEPT the storage width.
+    */
+  def embedSq8Index(spark: SparkSession, dir: String): DataFrame = {
+    val queries = embs(spark, dir)
+      .filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    graft.operators.VectorIndex.searchSq8(spark,
+      sq8StorePath(spark, dir), queries, k = 10)
+      .orderBy("qid", "rn")
+  }
+
   /** Seeded ±1 random projection 64 → 16 dims (Johnson–Lindenstrauss
     * preprocessing); the projected vector is digested to its
     * left-to-right sum + norm so the gate compares scalars.

@@ -87,4 +87,25 @@ class ArrayDotSpec extends SparkSpec {
       "SELECT lut_sum(array(0), array(array(cast(null as double)))) AS s").head())
     assert(messages(e4).exists(_.contains("NULL LUT entry")))
   }
+
+  test("byte_dot == array_dot over the same code values, and rejects " +
+      "mismatched lengths / wrong types loudly") {
+    import spark.implicits._
+    val codes = Array[Byte](1, -2, 127, -127)
+    val df = Seq((Array(0.5, -1.25, 2.0, 127.0), codes,
+      codes.map(_.toDouble))).toDF("q", "c", "cd")
+    val viaBytes = df.selectExpr("byte_dot(q, c)").head.getDouble(0)
+    val viaDoubles = df.selectExpr("array_dot(q, cd)").head.getDouble(0)
+    assert(viaBytes === viaDoubles)
+    assert(viaBytes === 0.5 * 1 + -1.25 * -2 + 2.0 * 127 + 127.0 * -127)
+
+    val bad = Seq((Array(1.0, 2.0), Array[Byte](1))).toDF("q", "c")
+    val e = intercept[Exception] { bad.selectExpr("byte_dot(q, c)").collect() }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("length mismatch"))
+    val te = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1, 2)).toDF("a", "b").selectExpr("byte_dot(a, b)").collect()
+    }
+    assert(te.getMessage.contains("byte_dot"))
+  }
 }

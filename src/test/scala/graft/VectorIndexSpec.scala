@@ -364,4 +364,31 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("meta") ||
       e.isInstanceOf[org.apache.spark.sql.AnalysisException])
   }
+
+  test("persisted SQ8 store: true int8 bytes on disk, search row-identical " +
+      "to the inline sq8TopK semantics model") {
+    import graft.operators.{VectorIndex, VectorOps}
+    val embs = sources.Tables.embeddings(spark, sf)
+    val path = tmpDir("sq8-index") + "/sq8"
+    VectorIndex.writeSq8(embs, path)
+
+    // storage claim: BINARY codes, one byte per dimension
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.schema("codes").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val dim = embs.select(org.apache.spark.sql.functions
+      .size(col("embedding"))).head.getInt(0)
+    assert(codes.select("codes").head.getAs[Array[Byte]](0).length === dim)
+
+    // served search == the inline operator, row for row (same scores,
+    // same ranks): (double)(byte) c == (double) c for every code
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val queries = embs.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+    assert(rows(VectorIndex.searchSq8(spark, path, queries, k = 10)) ===
+      rows(VectorOps.sq8TopK(embs, qids, k = 10)))
+  }
 }
