@@ -48,13 +48,22 @@ private[graft] object BenchUtil {
     * adjudication logic is spec-pinned — the whole point of the floor
     * is that it fires correctly on the one draw that matters.
     */
+  private def sfBase(dir: String): String = {
+    val trimmed = dir.replaceAll("/+$", "")
+    trimmed.substring(trimmed.lastIndexOf('/') + 1)
+  }
+
   def loadFloor(path: String, sfDir: String): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
       val floorSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
         .findFirstMatchIn(txt).map(_.group(1))
-      if (!floorSf.contains(sfDir)) Map.empty
+      // match on the SF BASENAME (sf0.1), not the absolute path: a
+      // repo-committed floor keyed to one box's exact invocation
+      // string would silently disarm for a trailing slash, a relative
+      // path, or another checkout — same scale, same floor
+      if (!floorSf.map(sfBase).contains(sfBase(sfDir))) Map.empty
       else {
         val qStart = txt.indexOf("\"queries\"")
         if (qStart < 0) Map.empty

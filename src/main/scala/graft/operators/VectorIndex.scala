@@ -112,11 +112,20 @@ object VectorIndex {
   def writeSq8(embeddings: DataFrame, path: String): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // fail fast, BEFORE any staging dir exists: an empty source has
+    // no dimension to record and would otherwise die mid-build with
+    // an unnamed NoSuchElementException
+    val dimRow = embeddings.select(size(col("embedding"))).limit(1).collect()
+    require(dimRow.nonEmpty, "writeSq8: embeddings source is empty")
+    val dim = dimRow.head.getInt(0)
     val staging = IndexStores.stagingFor(spark, path)
     val coded = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
+        // named reject beats executor-deep empty.max: the inline twin
+        // degrades via SQL nulls, this one must say which row broke
+        require(v.nonEmpty, s"writeSq8: vec_id=$id has an empty embedding")
         // the sq8TopK arithmetic, element for element: double division
         // and Math.floor are the same IEEE ops the column form runs
         val scale = math.max(v.map(math.abs).max / 127.0, 1e-12)
@@ -125,11 +134,21 @@ object VectorIndex {
       }
       .toDF("vec_id", "scale", "codes")
     coded.write.mode("overwrite").parquet(s"$staging/codes")
-    Seq((embeddings.select(size(col("embedding"))).head.getInt(0),
-        "sq8"))
+    Seq((dim, "sq8"))
       .toDF("dim", "kind").coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/meta")
     IndexStores.swapInto(spark, path, staging)
+  }
+
+  /** O(batch) logical delete for the SQ8 store — the family's delete
+    * contract ([[deleteFromIvfPq]]'s twin): ids land in the shared
+    * tombstone table and [[searchSq8]] anti-joins them out on read;
+    * a rebuild ([[writeSq8]]) retires them physically.
+    */
+  def deleteSq8(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "deleteSq8: empty id list")
+    IndexStores.healRoot(spark, path)
+    IndexStores.tombstone(spark, path, ids, "vec_id")
   }
 
   /** Asymmetric top-k served from a [[writeSq8]] store: queries stay
@@ -145,13 +164,27 @@ object VectorIndex {
   def searchSq8(spark: SparkSession, path: String, queries: DataFrame,
                 k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graftshim.ColumnBridge._
     IndexStores.healRoot(spark, path)
-    val codes = IndexStores.readStore(spark, s"$path/codes")
+    // store-kind + dimension checks UPFRONT: pointed at an IVF-PQ
+    // store this would otherwise surface as an unresolved-column
+    // AnalysisException on `scale`, and a dim-mismatched query as a
+    // per-row ByteDot error mid-scan
+    val meta = IndexStores.readStore(spark, s"$path/meta").head
+    require(meta.schema.fieldNames.contains("kind") &&
+      meta.getAs[String]("kind") == "sq8",
+      s"searchSq8: the store at $path is not an SQ8 index")
+    val dim = meta.getAs[Int]("dim")
+    val qDim = queries.select(size(col("qv"))).limit(1).collect()
+    require(qDim.isEmpty || qDim.head.getInt(0) == dim,
+      s"searchSq8: query dim ${qDim.headOption.map(_.getInt(0)).orNull} " +
+        s"!= index dim $dim")
+    // tombstone-suppressed read — the family's delete contract
+    // ([[deleteSq8]]); a deleted id must never reappear in a top-k
+    val codes = IndexStores.survivors(spark, path,
+      IndexStores.readStore(spark, s"$path/codes"), "vec_id")
     val scored = codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .withColumn("sq8_score", round(col("scale") *
-        column(graft.functions.ByteDot(
-          expression(col("qv")), expression(col("codes")))), 5))
+        VectorOps.byteDot(col("qv"), col("codes")), 5))
     val w = Window.partitionBy("qid").orderBy(col("sq8_score").desc, col("vec_id"))
     scored
       .withColumn("rn", row_number().over(w))

@@ -40,6 +40,15 @@ object VectorOps {
     column(graft.functions.ArrayDot(expression(a), expression(b)))
   }
 
+  /** [[graft.functions.ByteDot]] as a Column — the int8-code twin of
+    * [[dot]] (query array<float|double> × BINARY codes), one named
+    * wrapper so consumers never hand-roll the ColumnBridge plumbing.
+    */
+  def byteDot(q: Column, codes: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    column(graft.functions.ByteDot(expression(q), expression(codes)))
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

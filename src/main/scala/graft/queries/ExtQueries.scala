@@ -1443,12 +1443,15 @@ object ExtQueries {
   private val sq8StoreCache =
     new SessionCache[String](SessionCache.deleteTree)
   private def sq8StorePath(spark: SparkSession, dir: String): String =
+    // cache the temp ROOT (the sibling caches' posture): evicting a
+    // cached subdir would orphan the parent dir + any crashed
+    // .__staging_* sibling inside it
     sq8StoreCache.get(spark, dir) {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-sq8-index").toString + "/sq8"
-      graft.operators.VectorIndex.writeSq8(embs(spark, dir), p)
-      p
-    }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sq8-index").toString
+      graft.operators.VectorIndex.writeSq8(embs(spark, dir), s"$root/sq8")
+      root
+    } + "/sq8"
 
   /** The persisted SQ8 index ([[graft.operators.VectorIndex
     * .writeSq8]] / [[graft.operators.VectorIndex.searchSq8]]): codes

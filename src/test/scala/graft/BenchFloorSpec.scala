@@ -30,6 +30,13 @@ class BenchFloorSpec extends AnyFunSuite {
 
     // a floor recorded at another SF says nothing about this run
     assert(BenchUtil.loadFloor(good, "/root/testdata/sf0.01").isEmpty)
+    // ...but the match is on the SF BASENAME, not the path spelling:
+    // trailing slashes, relative paths, and other checkouts keep the
+    // guard armed (review r10: an absolute-path key protects one
+    // box's exact invocation string only)
+    assert(BenchUtil.loadFloor(good, "/root/testdata/sf0.1/").nonEmpty)
+    assert(BenchUtil.loadFloor(good, "../testdata/sf0.1").nonEmpty)
+    assert(BenchUtil.loadFloor(good, "/other/box/sf0.1").nonEmpty)
     // a missing or unparseable file disarms instead of crashing the draw
     assert(BenchUtil.loadFloor("/nonexistent/floor.json", sfDir).isEmpty)
     assert(BenchUtil.loadFloor(writeFloor("{not json"), sfDir).isEmpty)

@@ -390,5 +390,33 @@ class VectorIndexSpec extends SparkSpec {
       df.orderBy("qid", "rn").collect().map(_.toSeq).toSeq
     assert(rows(VectorIndex.searchSq8(spark, path, queries, k = 10)) ===
       rows(VectorOps.sq8TopK(embs, qids, k = 10)))
+
+    // the family's delete contract: tombstoned ids never reappear
+    val victim = VectorIndex.searchSq8(spark, path, queries, k = 3)
+      .filter(col("rn") === 1).head.getLong(1)
+    VectorIndex.deleteSq8(spark, path, Seq(victim))
+    assert(VectorIndex.searchSq8(spark, path, queries, k = 10)
+      .filter(col("vec_id") === victim).count() === 0L,
+      s"tombstoned vec_id=$victim must be suppressed from every search")
+
+    // loud kind/dim guards instead of deep unresolved-column errors
+    val wrongKind = tmpDir("sq8-wrongkind") + "/ivf"
+    VectorIndex.writeIvfPq(embs, wrongKind)
+    val ek = intercept[Exception] {
+      VectorIndex.searchSq8(spark, wrongKind, queries)
+    }
+    assert(ek.getMessage.contains("not an SQ8 index") ||
+      ek.getMessage.contains("kind"))
+    val badQ = queries.withColumn("qv", expr("slice(qv, 1, 3)"))
+    val ed = intercept[IllegalArgumentException] {
+      VectorIndex.searchSq8(spark, path, badQ)
+    }
+    assert(ed.getMessage.contains("query dim"))
+
+    // degenerate builds reject with NAMES, before staging side effects
+    val ee = intercept[IllegalArgumentException] {
+      VectorIndex.writeSq8(embs.limit(0), tmpDir("sq8-empty") + "/sq8")
+    }
+    assert(ee.getMessage.contains("source is empty"))
   }
 }

@@ -24,7 +24,11 @@ with open(src) as f:
 
 if d.get("contaminated"):
     sys.exit("refusing: the input draw is labeled contaminated")
-if d.get("dispersion", 1.0) > 1.5:
+if "dispersion" not in d:
+    sys.exit("refusing: the input draw carries no dispersion field — "
+             "a draw whose pass agreement was never measured cannot "
+             "become the floor")
+if d["dispersion"] > 1.5:
     sys.exit(f"refusing: input dispersion {d['dispersion']} exceeds 1.5 "
              "— draw the floor on a quiet box")
 if d.get("failed"):
