@@ -182,6 +182,25 @@ class HistogramStoreSpec extends SparkSpec {
     HistogramStore.extend(vals(200, 5000), s"$root/scratch", batchId = 1L)
     assert(served(s"$root/coarse") === served(s"$root/scratch"))
 
+    // the no-rescan claim, proven the hard way: with the SOURCE
+    // CORPUS gone, rebin still works — it reads the bin table alone
+    val fine2 = s"$root/fine2"
+    val doomed = tmpDir("hg-rebin-src")
+    d.write.parquet(s"$doomed/corpus")
+    HistogramStore.write(spark.read.parquet(s"$doomed/corpus"),
+      fine2, "v", 0L, 500L, 50)
+    // expected value captured while the corpus still exists ($root/
+    // scratch was extended above and is no longer d's histogram)
+    HistogramStore.write(d, s"$root/scratch2", "v", 0L, 500L, 10)
+    val expected = served(s"$root/scratch2")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmTree); f.delete(); ()
+    }
+    rmTree(new java.io.File(doomed))
+    HistogramStore.rebin(spark, fine2, s"$root/coarse2", 10)
+    assert(served(s"$root/coarse2") === expected,
+      "rebin must not touch the corpus")
+
     // refinement / non-divisor coarsening has no exact answer in the
     // bin table — loud reject, not an approximation
     val e = intercept[IllegalArgumentException] {

@@ -397,4 +397,12 @@ class PlanAuditSpec extends SparkSpec {
         || p.contains("BroadcastHashJoin"),
       s"no equi-join found in the triangle plan:\n$p")
   }
+
+  test("embed_sq8_index: query set broadcasts against the int8 code scan") {
+    val p = plan("embed_sq8_index")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast against the code store:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the quantized flat scan must never sort-merge on the query join:\n$p")
+  }
 }
