@@ -138,6 +138,31 @@ object AnnRecall {
         reuse = Some(shared))))
       println(f"[annrecall] $tag ivfpq-64bit m=16 kCent= 16 recall@10=$r1616%.3f")
       println(f"[annrecall] $tag ivfpq-64bit m= 8 kCent=256 recall@10=$autoShapeRecall%.3f")
+      // SQ8 asymmetric flat scan: recall vs the FULL-PRECISION DOT
+      // ranking — the metric sq8 preserves (cosine truth would
+      // conflate norm effects with quantization error; sq8 is a
+      // compression dial, not a metric change). 8 bits per dimension
+      // is near-lossless: the published expectation is ~1.0, and a
+      // drop here means the per-pair (scale/2)*sum|q| bound started
+      // to matter at this corpus's score spread.
+      val dotTruth = topSet {
+        import org.apache.spark.sql.expressions.Window
+        val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qv"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("d").desc, col("vec_id"))
+        emb.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .join(broadcast(queries), col("vec_id") =!= col("qid"))
+          .withColumn("d", VectorOps.dot(col("qv"), col("v")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      }
+      val sq8Got = topSet(VectorOps.sq8TopK(emb, queryIds, k))
+      val rSq8 = queryIds.map(q =>
+        (dotTruth(q) & sq8Got.getOrElse(q, Set.empty)).size.toDouble / k)
+        .sum / queryIds.size
+      println(f"[annrecall] $tag sq8 (8 bits/dim, vs exact-dot truth) recall@10=$rSq8%.3f")
       // release the shared assignment + model checkpoints this table pinned
       BenchUtil.releaseNewRdds(sc, beforeShared)
     }
