@@ -155,7 +155,10 @@ object AnnRecall {
         emb.select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"))
           .join(broadcast(queries), col("vec_id") =!= col("qid"))
-          .withColumn("d", VectorOps.dot(col("qv"), col("v")))
+          // round-5 like sq8TopK's emission: comparing an unrounded
+          // truth ranking against a rounded candidate ranking would
+          // charge tiebreak-grain mismatches to quantization
+          .withColumn("d", round(VectorOps.dot(col("qv"), col("v")), 5))
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       }
       val sq8Got = topSet(VectorOps.sq8TopK(emb, queryIds, k))

@@ -112,20 +112,23 @@ object VectorIndex {
   def writeSq8(embeddings: DataFrame, path: String): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // fail fast, BEFORE any staging dir exists: an empty source has
-    // no dimension to record and would otherwise die mid-build with
-    // an unnamed NoSuchElementException
-    val dimRow = embeddings.select(size(col("embedding"))).limit(1).collect()
-    require(dimRow.nonEmpty, "writeSq8: embeddings source is empty")
+    // fail fast, BEFORE any staging dir exists: an empty (or
+    // all-null) source has no dimension to record and would otherwise
+    // die mid-build with an unnamed NoSuchElementException/NPE
+    val dimRow = embeddings.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+    require(dimRow.nonEmpty,
+      "writeSq8: embeddings source is empty or all embeddings are null")
     val dim = dimRow.head.getInt(0)
     val staging = IndexStores.stagingFor(spark, path)
     val coded = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
-        // named reject beats executor-deep empty.max: the inline twin
-        // degrades via SQL nulls, this one must say which row broke
-        require(v.nonEmpty, s"writeSq8: vec_id=$id has an empty embedding")
+        // named reject beats executor-deep empty.max/NPE: the inline
+        // twin degrades via SQL nulls, this one must say which row
+        require(v != null && v.nonEmpty,
+          s"writeSq8: vec_id=$id has a null or empty embedding")
         // the sq8TopK arithmetic, element for element: double division
         // and Math.floor are the same IEEE ops the column form runs
         val scale = math.max(v.map(math.abs).max / 127.0, 1e-12)
@@ -142,13 +145,36 @@ object VectorIndex {
 
   /** O(batch) logical delete for the SQ8 store — the family's delete
     * contract ([[deleteFromIvfPq]]'s twin): ids land in the shared
-    * tombstone table and [[searchSq8]] anti-joins them out on read;
-    * a rebuild ([[writeSq8]]) retires them physically.
+    * tombstone table and [[searchSq8]] anti-joins them out on read.
+    * PHYSICAL removal is [[compactSq8]]'s job — NOT a rebuild's: a
+    * [[writeSq8]] rebuild replaces the store wholesale from the NEW
+    * source (tombstones included), so rebuilding from an unfiltered
+    * source resurrects deleted ids. Compact before rebuilding, or
+    * filter the rebuild source.
     */
   def deleteSq8(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "deleteSq8: empty id list")
     IndexStores.healRoot(spark, path)
     IndexStores.tombstone(spark, path, ids, "vec_id")
+  }
+
+  /** Fold tombstones into the SQ8 store physically: one staged
+    * generation holding only survivor codes (+ the meta carried
+    * over), swapped in atomically — the swap retires the tombstone
+    * table with the old root, so suppression and physical removal
+    * exchange in one atomic step (the [[compactIvfPq]] posture,
+    * minus the cell fragments a flat store never accumulates).
+    * REQUIRES a quiesced producer, like every compact in the family.
+    */
+  def compactSq8(spark: SparkSession, path: String): Unit = {
+    IndexStores.healRoot(spark, path)
+    val meta = IndexStores.readStore(spark, s"$path/meta")
+    val survivors = IndexStores.survivors(spark, path,
+      IndexStores.readStore(spark, s"$path/codes"), "vec_id")
+    val staging = IndexStores.stagingFor(spark, path)
+    survivors.write.mode("overwrite").parquet(s"$staging/codes")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+    IndexStores.swapInto(spark, path, staging)
   }
 
   /** Asymmetric top-k served from a [[writeSq8]] store: queries stay
@@ -169,15 +195,24 @@ object VectorIndex {
     // store this would otherwise surface as an unresolved-column
     // AnalysisException on `scale`, and a dim-mismatched query as a
     // per-row ByteDot error mid-scan
-    val meta = IndexStores.readStore(spark, s"$path/meta").head
+    val metaRows = IndexStores.readStore(spark, s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"searchSq8: expected exactly one meta row at $path/meta, got " +
+        s"${metaRows.length} — partial or duplicated store write")
+    val meta = metaRows.head
     require(meta.schema.fieldNames.contains("kind") &&
       meta.getAs[String]("kind") == "sq8",
       s"searchSq8: the store at $path is not an SQ8 index")
     val dim = meta.getAs[Int]("dim")
-    val qDim = queries.select(size(col("qv"))).limit(1).collect()
-    require(qDim.isEmpty || qDim.head.getInt(0) == dim,
-      s"searchSq8: query dim ${qDim.headOption.map(_.getInt(0)).orNull} " +
-        s"!= index dim $dim")
+    // validate EVERY query row (the set is broadcast-sized by
+    // contract): a one-row probe would let a mixed-dimension or
+    // null-vector set through to a raw per-row kernel error mid-scan
+    val badQ = queries
+      .filter(col("qv").isNull || size(col("qv")) =!= dim)
+      .select(col("qid")).limit(1).collect()
+    require(badQ.isEmpty,
+      s"searchSq8: query qid=${badQ.headOption.map(_.getLong(0)).orNull} " +
+        s"has a null embedding or a dim != the index's $dim")
     // tombstone-suppressed read — the family's delete contract
     // ([[deleteSq8]]); a deleted id must never reappear in a top-k
     val codes = IndexStores.survivors(spark, path,

@@ -411,12 +411,35 @@ class VectorIndexSpec extends SparkSpec {
     val ed = intercept[IllegalArgumentException] {
       VectorIndex.searchSq8(spark, path, badQ)
     }
-    assert(ed.getMessage.contains("query dim"))
+    assert(ed.getMessage.contains("dim != the index's"))
 
     // degenerate builds reject with NAMES, before staging side effects
     val ee = intercept[IllegalArgumentException] {
       VectorIndex.writeSq8(embs.limit(0), tmpDir("sq8-empty") + "/sq8")
     }
     assert(ee.getMessage.contains("source is empty"))
+
+    // compactSq8 folds the tombstone physically: the survivor set is
+    // unchanged, the tombstone table is gone, and a post-compact
+    // rebuild hazard no longer exists for THIS deletion
+    val beforeCompact = rows(VectorIndex.searchSq8(spark, path, queries, k = 10))
+    VectorIndex.compactSq8(spark, path)
+    assert(rows(VectorIndex.searchSq8(spark, path, queries, k = 10)) ===
+      beforeCompact, "compaction must not change search results")
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction must retire the tombstone table")
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") === victim).count() === 0L,
+      "compaction must drop tombstoned rows physically")
+
+    // a mixed-dimension query SET rejects upfront with the qid named,
+    // never a mid-scan kernel error
+    val mixed = queries.limit(1)
+      .unionByName(queries.limit(2).orderBy(col("qid").desc).limit(1)
+        .withColumn("qv", expr("slice(qv, 1, 3)")))
+    val em = intercept[IllegalArgumentException] {
+      VectorIndex.searchSq8(spark, path, mixed)
+    }
+    assert(em.getMessage.contains("qid="))
   }
 }
