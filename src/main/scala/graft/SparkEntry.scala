@@ -142,6 +142,8 @@ object SparkEntry {
     "text_dsir_select" -> (graft.queries.ExtQueries.textDsirSelect(_, _)),
     "dedup_simhash_pairs" -> (graft.queries.ExtQueries.dedupSimhashPairs(_, _)),
     "embed_topk" -> (graft.queries.ExtQueries.embedTopK(_, _)),
+    "embed_kmeans" -> (graft.queries.ExtQueries.embedKmeans(_, _)),
+    "embed_cluster_sample" -> (graft.queries.ExtQueries.embedClusterSample(_, _)),
     "embed_sq8_topk" -> (graft.queries.ExtQueries.embedSq8TopK(_, _)),
     "embed_sq8_index" -> (graft.queries.ExtQueries.embedSq8Index(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),

@@ -1069,6 +1069,146 @@ object VectorOps {
     * members of a dropped bucket agree on so few informative sign bits
     * that the bucket was mostly noise pairs anyway. Set 0 to disable.
     */
+  // ------------------------------------------------------------- k-means
+
+  /** Per-row best cell: array_min over k (d², cell) structs — a pure
+    * projection, the centroids riding the plan as literals.
+    * d²(v, cᵢ) = v·v − 2·(v·cᵢ) + cᵢ·cᵢ with every term a
+    * left-to-right double fold (cᵢ·cᵢ is pre-folded on the driver in
+    * the same order), so DuckDB's
+    * `list_dot_product(v,v) - 2*list_dot_product(v,c) +
+    * list_dot_product(c,c)` reproduces each distance bit-for-bit and
+    * the argmin (ties to the smallest cell — struct ordering's second
+    * field) is the same row on both engines.
+    */
+  private def bestCell(v: Column, centers: Array[Array[Double]]): Column =
+    array_min(array(centers.zipWithIndex.map { case (c, i) =>
+      val cc = c.foldLeft(0d)((s, x) => s + x * x)
+      struct(
+        (dot(v, v) - lit(2d) * dot(v, typedLit(c.toSeq)) + lit(cc)).as("d2"),
+        lit(i).as("cell"))
+    }: _*))
+
+  /** Assign every corpus vector to its nearest centroid — one
+    * shuffle-free projection pass (the k·dim centroid literals are the
+    * whole broadcast state). Emits (vec_id, v, cell, d2) with d2 the
+    * raw squared Euclidean distance.
+    */
+  def kmeansAssign(embeddings: DataFrame,
+                   centers: Array[Array[Double]]): DataFrame = {
+    require(centers.nonEmpty, "k-means assignment needs >= 1 centroid")
+    embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("best", bestCell(col("v"), centers))
+      .select(col("vec_id"), col("v"),
+        col("best").getField("cell").as("cell"),
+        col("best").getField("d2").as("d2"))
+  }
+
+  /** Oracle-replayable distributed k-means (Lloyd 1982) over the FULL
+    * corpus — the exact, SQL-checkable counterpart of the sampled
+    * `ml.clustering.KMeans` coarse quantizer behind [[ivfTopK]] (fast
+    * to train but not replayable; this one is the clustering OPERATOR
+    * a curation pipeline hash-verifies end-to-end). Returns the final
+    * centroid array, cell i = init rank i.
+    *
+    * Determinism contract (the [[centroidAudit]] posture, compounded
+    * safely across rounds):
+    *  - init: the vectors of the k smallest `vec_id`s (cell = rank);
+    *  - assignment: [[kmeansAssign]]'s bit-reproducible argmin;
+    *  - update: per-(cell, dim) mean ROUNDED TO 6 dp before the next
+    *    round — double addition is order-sensitive at ~1e-16 relative,
+    *    so the round re-pins both engines (and any partitioning) to
+    *    the same centroid bits each round and nothing compounds;
+    *  - a cell that loses every member carries its previous centroid
+    *    forward (it can re-capture points in a later round).
+    *
+    * Scale shape: per round, assignment is a projection (no shuffle,
+    * no broadcast join — k·dim doubles as literals) and the update is
+    * ONE posexplode + groupBy(cell, pos) aggregate — map-side
+    * combinable, exactly k·dim result rows to the driver. `iters`
+    * column-pruned corpus scans total, the floor for any Lloyd
+    * iteration; at 100 TB each round is a scan + a k·dim-group agg,
+    * nothing else.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
+                      iters: Int = 3): Array[Array[Double]] = {
+    require(k > 0, s"k-means needs k > 0, got $k")
+    require(iters >= 0, s"k-means needs iters >= 0, got $iters")
+    val e = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
+    var centers: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(centers.length == k,
+      s"k-means init needs >= $k corpus vectors, got ${centers.length}")
+    for (_ <- 1 to iters) {
+      // k·dim rows — geometry-bounded by construction, never data-scale
+      val upd = e
+        .withColumn("cell", bestCell(col("v"), centers).getField("cell"))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos")
+        .agg(round(avg(col("col")), 6).as("cv"))
+        .collect()
+      val next = centers.map(_.clone()) // empty-cell carry-forward
+      upd.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val c = new Array[Double](centers(cell).length)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        next(cell) = c
+      }
+      centers = next
+    }
+    centers
+  }
+
+  /** Train-and-assign in one call — the `embed_kmeans` gate shape:
+    * (vec_id, cell, d2) after `iters` Lloyd rounds, d2 rounded to 5 dp
+    * for cross-engine output stability (the ranking inside training
+    * never rounds).
+    */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansAssign(embeddings, kmeansCentroids(embeddings, k, iters))
+      .select(col("vec_id"), col("cell"), round(col("d2"), 5).as("d2"))
+
+  /** Cluster-balanced subsample: at most `quota` vectors per k-means
+    * cell, selected by the deterministic hash priority
+    * `hash32("cs1" ∥ vec_id)` ascending (vec_id tiebreak) — the
+    * SemDeDup-shaped "diversify by cluster, cap each" selection a
+    * curation pipeline runs to flatten over-dense regions of embedding
+    * space. A pure function of (corpus, k, iters, quota): reproducible
+    * across runs, partitionings and cluster sizes.
+    *
+    * Scale shape: the per-cell ranking runs through
+    * [[graft.functions.TopKAgg]] — bounded map-side partials, ≤ quota
+    * rows per (cell, task) cross the exchange — NOT a window: with k
+    * cells a window would sort corpus∕k rows in ONE task per cell,
+    * the classic few-group skew bottleneck. hash32 collisions (two ids
+    * sharing the first 8 md5 nibbles) stay deterministic via the
+    * vec_id tiebreak.
+    */
+  def clusterSample(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                    quota: Int = 20): DataFrame =
+    clusterSampleAssigned(
+      kmeansAssign(embeddings, kmeansCentroids(embeddings, k, iters)), quota)
+
+  /** [[clusterSample]] over a prebuilt [[kmeansAssign]] output — the
+    * shared-training entry point (a pipeline trains centroids once and
+    * serves assignment + sample from them).
+    */
+  def clusterSampleAssigned(assigned: DataFrame, quota: Int = 20): DataFrame = {
+    require(quota > 0, s"cluster sample needs quota > 0, got $quota")
+    val topq = udaf(new graft.functions.TopKAgg(quota))
+    // TopKAgg ranks score DESC, id ASC; negate the 32-bit hash (exact
+    // in a double) so the kept order is (hash ASC, vec_id ASC)
+    val pri = -CorpusOps.hash32("cs1", col("vec_id")).cast("double")
+    assigned
+      .select(col("vec_id"), col("cell"), pri.as("pri"))
+      .groupBy("cell")
+      .agg(topq(col("pri"), col("vec_id")).as("top"))
+      .select(col("cell"), posexplode(col("top").getField("rows")))
+      .select(col("col").getField("_2").as("vec_id"), col("cell"),
+        (col("pos") + 1).cast("bigint").as("rk"))
+  }
+
   def nearDupPairs(embeddings: DataFrame, threshold: Double, signBits: Int = Auto,
                    maxBucketRows: Long = 4096L): DataFrame = {
     val bits = resolveSignBits(embeddings, signBits)

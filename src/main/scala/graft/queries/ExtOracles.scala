@@ -70,6 +70,46 @@ object ExtOracles {
 
   private val embCte = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings)"
 
+  /** The shared Lloyd replay behind `embed_kmeans` and
+    * `embed_cluster_sample` (VectorOps.kmeansCentroids, k=8, iters=3):
+    * init = the k lowest-vec_id vectors; each round an argmin on the
+    * bit-identical d² expansion (list_dot_product is the same
+    * left-to-right double fold as the ArrayDot kernel) with ties to
+    * the smallest cell, then per-(cell, dim) means re-pinned to 6 dp,
+    * empty cells carrying the previous centroid forward (the LEFT
+    * JOIN + coalesce). Ends at `af` — the final assignment with raw
+    * d2.
+    */
+  private def kmeansCte(k: Int, iters: Int): String = {
+    val d2 = "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, p.c)" +
+      " + list_dot_product(p.c, p.c)"
+    val init =
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |    AS cell, v AS c
+         |  FROM e ORDER BY vec_id LIMIT $k)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, p.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $d2, p.cell) AS rn
+         |    FROM e CROSS JOIN c${i - 1} p) WHERE rn = 1),
+         |u$i AS (SELECT cell, pos, round(avg(x), 6) AS cv FROM (
+         |    SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+         |    FROM a$i) GROUP BY 1, 2),
+         |c$i AS (SELECT p.cell, coalesce(n.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN
+         |    (SELECT cell, list(cv ORDER BY pos) AS c FROM u$i GROUP BY cell) n
+         |  USING (cell))""".stripMargin
+    }
+    val fin =
+      s"""af AS (SELECT vec_id, cell, d2 FROM (
+         |    SELECT e.vec_id, p.cell, $d2 AS d2,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $d2, p.cell) AS rn
+         |    FROM e CROSS JOIN c$iters p) WHERE rn = 1)""".stripMargin
+    (init +: rounds :+ fin).mkString(",\n")
+  }
+
   /** The ONE SQ8 replay both sq8 gates share: the quantize() contract
     * (per-vector symmetric scale, floor rounding), the asymmetric
     * score scale * list_dot_product(full-precision query, codes), and
@@ -1657,6 +1697,29 @@ object ExtOracles {
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
          |  FROM scored)
          |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    // replays VectorOps.kmeans end-to-end: all three Lloyd rounds
+    // (init by vec_id, bit-identical argmin, 6-dp re-pinned means,
+    // carry-forward), final assignment with d2 rounded to 5
+    "embed_kmeans" ->
+      s"""WITH $embCte,
+         |${kmeansCte(8, 3)}
+         |SELECT vec_id, cell, round(d2, 5) AS d2 FROM af ORDER BY vec_id""".stripMargin,
+
+    // replays VectorOps.clusterSampleAssigned over the same Lloyd
+    // replay: per-cell rank by (hash32('cs1' || vec_id) ASC, vec_id)
+    // — the WINDOW form; agreement proves the TopKAgg bounded-partial
+    // ranking exact
+    "embed_cluster_sample" ->
+      s"""WITH $embCte,
+         |${kmeansCte(8, 3)},
+         |pri AS (SELECT vec_id, cell,
+         |    md5('cs1' || CAST(vec_id AS VARCHAR)) AS m FROM af),
+         |rk AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY CAST(${nibbleValue("m", 8)} AS BIGINT), vec_id) AS rk
+         |  FROM pri)
+         |SELECT vec_id, cell, rk FROM rk WHERE rk <= 20 ORDER BY cell, rk""".stripMargin,
 
     // replays VectorOps.sq8TopK: the quantize() contract (per-vector
     // symmetric scale, floor rounding), then the asymmetric score

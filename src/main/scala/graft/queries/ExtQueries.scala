@@ -113,6 +113,18 @@ object ExtQueries {
     ivfAssignCache.get(spark, dir)(
       VectorOps.trainIvfAssignment(embs(spark, dir)))
 
+  /** Shared Lloyd centroids ([[VectorOps.kmeansCentroids]], k=8,
+    * iters=3): ONE full-corpus training serves both the assignment
+    * gate and the cluster-balanced sample; deterministic (hash-free
+    * init + 6-dp re-pinned rounds), so sharing cannot change a gate
+    * row.
+    */
+  private val kmeansCache = new SessionCache[Array[Array[Double]]]
+  private def kmeansCenters(spark: SparkSession,
+                            dir: String): Array[Array[Double]] =
+    kmeansCache.get(spark, dir)(
+      VectorOps.kmeansCentroids(embs(spark, dir), k = 8, iters = 3))
+
   /** Shared plain-PQ model (default m=8, kCent=256) for `embed_pq` and
     * `embed_pq_topk` — ONE driver-side codebook training serves both
     * consumers AND the oracle codebook export; deterministic (seeded),
@@ -1429,6 +1441,28 @@ object ExtQueries {
 
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
     VectorOps.quantize(embs(spark, dir)).orderBy("vec_id")
+
+  /** Distributed Lloyd k-means assignment ([[VectorOps.kmeans]]):
+    * the full-corpus, ORACLE-CHECKED clustering operator — DuckDB
+    * replays all three Lloyd rounds (init by vec_id, bit-identical
+    * argmin, 6-dp re-pinned means, empty-cell carry-forward) and must
+    * agree on every cell and distance.
+    */
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.kmeansAssign(embs(spark, dir), kmeansCenters(spark, dir))
+      .select(col("vec_id"), col("cell"), round(col("d2"), 5).as("d2"))
+      .orderBy("vec_id")
+
+  /** Cluster-balanced subsample ([[VectorOps.clusterSample]]): quota
+    * per k-means cell by deterministic hash priority, ranked through
+    * the bounded TopKAgg partials — the oracle replays the window
+    * form, so hash-green proves the UDAF ranking exact.
+    */
+  def embedClusterSample(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.clusterSampleAssigned(
+      VectorOps.kmeansAssign(embs(spark, dir), kmeansCenters(spark, dir)),
+      quota = 20)
+      .orderBy("cell", "rk")
 
   /** SQ8 asymmetric top-k ([[VectorOps.sq8TopK]]): the quantized flat
     * scan — int8 corpus codes, full-precision queries. Hash-green
