@@ -177,19 +177,29 @@ object CorpusOps {
     * not a hard ceiling — the semantics sequence-packing pipelines use
     * when documents must not be split).
     *
-    * Scale shape: one window cumsum PARTITIONED by the stratum (never a
-    * global window — the per-lang partitions parallelise across the
-    * cluster) + one hash aggregation. Token estimate = the chars/4
-    * heuristic from [[TextOps.tokenCounts]].
+    * Scale shape: ONE global [[exclusivePrefixSum]] over the total
+    * order (lang, doc_id) — langs are contiguous in that order, so
+    * each stratum's exclusive cumsum is the global one minus the
+    * stratum's first offset (`min` per lang: a lang-count-row
+    * broadcast). The earlier per-lang window form sorted each stratum
+    * in ONE task — fine while every stratum is small, fatal when half
+    * the corpus is one language (a real crawl is); the two-phase scan
+    * parallelises regardless of stratum skew. Bin arithmetic is
+    * unchanged (⌊exact-long ∕ budget-as-double⌋, the oracle's exact
+    * expression), so the rewrite is output-identical, spec-pinned
+    * against the window form. Token estimate = the chars/4 heuristic
+    * from [[TextOps.tokenCounts]]. Inherits the prefix-sum pin — the
+    * caller releases it once the (bounded: one row per bin) output is
+    * materialised.
     */
   def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("lang"),
-        estTokens.as("est_tokens"))
-      .withColumn("cum", sum("est_tokens").over(w))
+    val g = exclusivePrefixSum(
+      docs.select(col("doc_id"), col("lang"), estTokens.as("est_tokens")),
+      order = Seq("lang", "doc_id"), value = "est_tokens", as = "gcum")
+    val base = g.groupBy("lang").agg(min("gcum").as("base"))
+    g.join(broadcast(base), "lang")
       .withColumn("bin_id",
-        floor((col("cum") - col("est_tokens")) / lit(budget.toDouble)).cast("bigint"))
+        floor((col("gcum") - col("base")) / lit(budget.toDouble)).cast("bigint"))
       .groupBy("lang", "bin_id")
       .agg(count(lit(1)).as("n_docs"), sum("est_tokens").as("bin_tokens"))
   }
@@ -453,16 +463,26 @@ object CorpusOps {
     * contributes min(k, |group|) rows) with none of reservoir's
     * order-dependence: the winner set is a pure function of the ids, so
     * re-runs, retries, and repartitions reproduce it bit-for-bit.
-    * One row_number window partitioned by the group column — partitions
-    * parallelise across the cluster, no global sort.
+    *
+    * Scale shape: the per-group ranking runs through
+    * [[graft.functions.TopKStrAgg]] — bounded map-side partials over
+    * the FULL md5 priority (≤ k rows per (group, task) cross the
+    * exchange), NOT a window: with a handful of groups (per-language
+    * sampling over a real crawl, where half the corpus is one
+    * language) a window sorts the dominant stratum in ONE task. The
+    * oracle replays the window form, so hash-green proves the bounded
+    * ranking exact.
     */
-  def samplePerGroup(docs: DataFrame, k: Int, groupCol: String = "lang"): DataFrame =
+  def samplePerGroup(docs: DataFrame, k: Int, groupCol: String = "lang"): DataFrame = {
+    val topk = udaf(new graft.functions.TopKStrAgg(k))
     docs.select(col("doc_id"), col(groupCol),
-        row_number().over(
-          Window.partitionBy(groupCol)
-            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
-          .cast("bigint").as("rn"))
-      .filter(col("rn") <= k)
+        md5(col("doc_id").cast("string")).as("pri"))
+      .groupBy(groupCol)
+      .agg(topk(col("pri"), col("doc_id")).as("top"))
+      .select(col(groupCol), posexplode(col("top").getField("rows")))
+      .select(col("col").getField("_2").as("doc_id"), col(groupCol),
+        (col("pos") + 1).cast("bigint").as("rn"))
+  }
 
   /** 32-bit deterministic hash: first eight hex nibbles of
     * `md5(seed ∥ id)` — [[hash16]] widened so a derived uniform has

@@ -1373,8 +1373,25 @@ object ExtQueries {
       rates = Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1)
       .orderBy("doc_id")
 
-  def packSequences(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.packSequences(docs(spark, dir)).orderBy("lang", "bin_id")
+  /** Per-lang bin packing via the global two-phase prefix sum (the
+    * [[corpusPackShards]] posture): the bounded per-bin output is
+    * materialised to scratch parquet and the prefix-sum pin released
+    * before returning.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val root = packScratchCache.get(spark, dir) {
+        java.nio.file.Files.createTempDirectory("graft-pack-scratch").toString
+      }
+      val out = s"$root/seq_${graft.core.ParquetTable.stamp()}"
+      CorpusOps.packSequences(docs(spark, dir))
+        .orderBy("lang", "bin_id")
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).orderBy("lang", "bin_id")
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
 
   /** Global shard packing via the distributed two-phase prefix sum
     * ([[CorpusOps.packShards]]) — per document, its global token

@@ -166,6 +166,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.samplePerGroup(tiny, k = 10).count() === 4)
   }
 
+  test("per-group sample ranks exactly as the window form — bounded " +
+    "TopKStrAgg partials, no Window in plan") {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.range(500).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "en")
+        .when(col("id") % 3 === 1, "de").otherwise("zh").as("lang"))
+    val got = CorpusOps.samplePerGroup(d, k = 7)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+    val want = d.select(col("doc_id"), col("lang"),
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("bigint").as("rn"))
+      .filter(col("rn") <= 7)
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+    // rank column itself agrees row-for-row, not just the winner set
+    assert(got.join(want, Seq("doc_id", "lang"))
+      .filter(got("rn") =!= want("rn")).count() === 0)
+  }
+
+  test("pack sequences equals the per-lang window form on a skewed corpus") {
+    import org.apache.spark.sql.expressions.Window
+    // 90% of docs in one stratum — the shape that makes the window
+    // form a single task; text lengths vary so bins are non-trivial
+    val d = spark.range(800).select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0, "de").otherwise("en").as("lang"))
+      .withColumn("text",
+        concat_ws("", array_repeat(lit("x"), (col("doc_id") % 37 + 1).cast("int"))))
+    val got = CorpusOps.packSequences(d, budget = 16)
+      .orderBy("lang", "bin_id").collect().toSeq
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = d.select(col("doc_id"), col("lang"),
+        ceil(length(col("text")) / 4.0).cast("bigint").as("est_tokens"))
+      .withColumn("cum", sum("est_tokens").over(w))
+      .withColumn("bin_id",
+        floor((col("cum") - col("est_tokens")) / lit(16.0)).cast("bigint"))
+      .groupBy("lang", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("est_tokens").as("bin_tokens"))
+      .orderBy("lang", "bin_id").collect().toSeq
+    assert(got === want)
+  }
+
   test("weighted sample: deterministic, proportion-biased, loud on bad weights") {
     val d = spark.range(400).select(col("id").as("doc_id"),
       // ids < 40 are 'heavy' (weight 10), the rest weight 1
