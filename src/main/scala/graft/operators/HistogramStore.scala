@@ -279,7 +279,10 @@ object HistogramStore {
     * two-pass form could disagree with itself on a non-deterministic
     * input, and re-aggregated the raw batch per pass.
     */
-  private def tvPpm(a: DataFrame, b: DataFrame, whatA: String,
+  // private[operators]: VectorOps.clusterDrift reuses this as the
+  // categorical-TV core (cells as bins) — ONE definition of the exact
+  // arithmetic, not two
+  private[operators] def tvPpm(a: DataFrame, b: DataFrame, whatA: String,
       whatB: String, nameA: String, nameB: String): DataFrame = {
     val spark = a.sparkSession
     val j = a.join(b, Seq("bin"), "full_outer")

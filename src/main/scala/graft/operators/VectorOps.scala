@@ -1209,6 +1209,34 @@ object VectorOps {
         (col("pos") + 1).cast("bigint").as("rk"))
   }
 
+  /** Per-cell corpus shares under FROZEN centroids — the reference
+    * distribution a cluster-drift monitor compares against (k rows;
+    * one map-side-combinable aggregate over the shuffle-free
+    * assignment projection).
+    */
+  def clusterShares(embeddings: DataFrame,
+                    centers: Array[Array[Double]]): DataFrame =
+    kmeansAssign(embeddings, centers)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** Embedding-drift detection, the categorical face of
+    * [[HistogramStore.drift]]: total-variation (ppm, exact integer —
+    * the shared [[HistogramStore.tvPpm]] core) between a batch's
+    * cluster shares under frozen centroids and a reference share
+    * table. The collected join is ≤ k rows — bounded by the CENTROID
+    * GEOMETRY, never the corpus; the batch-side work is one projection
+    * + one k-group aggregate. Returns one (n_ref, n_batch, tv_ppm)
+    * row; either side empty rejects loudly (drift over nothing has no
+    * shape).
+    */
+  def clusterDrift(batch: DataFrame, centers: Array[Array[Double]],
+                   refShares: DataFrame): DataFrame =
+    HistogramStore.tvPpm(
+      refShares.select(col("cell").as("bin"), col("n").cast("long").as("ca")),
+      clusterShares(batch, centers)
+        .select(col("cell").as("bin"), col("n").as("cb")),
+      "the reference shares", "the batch", "n_ref", "n_batch")
+
   def nearDupPairs(embeddings: DataFrame, threshold: Double, signBits: Int = Auto,
                    maxBucketRows: Long = 4096L): DataFrame = {
     val bits = resolveSignBits(embeddings, signBits)

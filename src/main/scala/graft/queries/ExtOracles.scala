@@ -1721,6 +1721,35 @@ object ExtOracles {
          |  FROM pri)
          |SELECT vec_id, cell, rk FROM rk WHERE rk <= 20 ORDER BY cell, rk""".stripMargin,
 
+    // replays VectorOps.clusterDrift end-to-end: Lloyd trained on the
+    // EVEN-vec_id half (the e CTE below shadows the full-corpus one),
+    // both halves assigned under the trained centroids, then the exact
+    // integer TV — sum casts guard DuckDB's HUGEINT promotion
+    "embed_cluster_drift" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |eb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |${kmeansCte(8, 3)},
+         |ab AS (SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, p.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY list_dot_product(b.v, b.v)
+         |          - 2 * list_dot_product(b.v, p.c)
+         |          + list_dot_product(p.c, p.c), p.cell) AS rn
+         |    FROM eb b CROSS JOIN c3 p) WHERE rn = 1),
+         |ra AS (SELECT cell, count(*) AS ca FROM af GROUP BY 1),
+         |rb AS (SELECT cell, count(*) AS cb FROM ab GROUP BY 1),
+         |j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         |  FROM ra FULL OUTER JOIN rb USING (cell)),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |  CAST(sum(cb) AS BIGINT) AS nb FROM j),
+         |s AS (SELECT CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) AS sm
+         |  FROM j CROSS JOIN t)
+         |SELECT na AS n_ref, nb AS n_batch,
+         |  CAST(sm * 1000000 // (2 * na * nb) AS BIGINT) AS tv_ppm
+         |FROM s CROSS JOIN t""".stripMargin,
+
     // replays VectorOps.sq8TopK: the quantize() contract (per-vector
     // symmetric scale, floor rounding), then the asymmetric score
     // scale * list_dot_product(full-precision query, codes), ranked

@@ -1470,6 +1470,31 @@ object ExtQueries {
       .select(col("vec_id"), col("cell"), round(col("d2"), 5).as("d2"))
       .orderBy("vec_id")
 
+  /** One Lloyd training on the EVEN-vec_id half (the frozen-model
+    * half) for the drift gate — separate cache from [[kmeansCenters]]
+    * because the corpus differs.
+    */
+  private val kmeansRefCache = new SessionCache[Array[Array[Double]]]
+  private def kmeansRefCenters(spark: SparkSession,
+                               dir: String): Array[Array[Double]] =
+    kmeansRefCache.get(spark, dir)(VectorOps.kmeansCentroids(
+      embs(spark, dir).filter(pmod(col("vec_id"), lit(2)) === 0),
+      k = 8, iters = 3))
+
+  /** Embedding cluster-share drift ([[VectorOps.clusterDrift]]): train
+    * on the even-vec_id half, measure the odd half's drift — one exact
+    * integer TV row, DuckDB replaying the training, both assignments,
+    * and the BigInt arithmetic.
+    */
+  def embedClusterDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val centers = kmeansRefCenters(spark, dir)
+    val ref = VectorOps.clusterShares(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0), centers)
+    VectorOps.clusterDrift(
+      e.filter(pmod(col("vec_id"), lit(2)) === 1), centers, ref)
+  }
+
   /** Cluster-balanced subsample ([[VectorOps.clusterSample]]): quota
     * per k-means cell by deterministic hash priority, ranked through
     * the bounded TopKAgg partials — the oracle replays the window

@@ -916,6 +916,45 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Per-trigger EMBEDDING-drift monitor — [[driftMonitorStream]]'s
+    * categorical twin: each trigger's vectors are assigned under
+    * FROZEN centroids (a pure projection — the k·dim centroid
+    * literals are the whole model state, no store read) and the
+    * total-variation of the trigger's cluster shares against the
+    * frozen reference shares (a k-row parquet the caller wrote from
+    * [[graft.operators.VectorOps.clusterShares]]) lands as one tagged
+    * report row per trigger. Replay-idempotent ([[landTrigger]]); an
+    * EMPTY trigger lands a null-drift row rather than aborting the
+    * stream (same contract as the histogram monitor: "no report"
+    * must never read as "no problem").
+    */
+  def clusterDriftStream(rows: DataFrame, centers: Array[Array[Double]],
+      refSharesPath: String, reportPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      producer: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        try {
+          val pinned = batch.localCheckpoint()
+          val report =
+            if (pinned.isEmpty) {
+              import pinned.sparkSession.implicits._
+              Seq((Option.empty[Long], 0L, Option.empty[Long]))
+                .toDF("n_ref", "n_batch", "tv_ppm")
+            } else graft.operators.VectorOps.clusterDrift(pinned, centers,
+              pinned.sparkSession.read.parquet(refSharesPath))
+          landTrigger(report.withColumn("batch_id", lit(batchId)),
+            reportPath, producerFor(producer, checkpoint), batchId)
+        } finally graft.BenchUtil.releaseNewRdds(sc, before)
+        ()
+      }
+      .start()
+
   /** Novelty-gated streaming CURATION
     * ([[graft.operators.MembershipStore.curateBatch]] per trigger):
     * the self-reinforcing ingest filter — each trigger keeps only the

@@ -148,6 +148,57 @@ class KmeansSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("clusterDrift: exact hand-checked TV, identical shares -> 0, " +
+    "empty side rejects loudly") {
+    // 1-D, two centroids at 0 and 8: shares split on v < 4
+    val ref = Seq((0L, Array(0f)), (1L, Array(8f)), (2L, Array(1f)),
+      (3L, Array(7f))).toDF("vec_id", "embedding") // shares (2, 2)
+    val bat = Seq((10L, Array(0.5f)), (11L, Array(0.2f)),
+      (12L, Array(7.5f))).toDF("vec_id", "embedding") // shares (2, 1)
+    val cents = Array(Array(0.0), Array(8.0))
+    val shares = VectorOps.clusterShares(ref, cents)
+    val r = VectorOps.clusterDrift(bat, cents, shares).head()
+    // TV = (|2*3-2*4| + |2*3-1*4|) * 1e6 / (2*4*3) = 4e6 / 24 = 166666
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 3L, 166666L)))
+    val same = VectorOps.clusterDrift(ref, cents, shares).head()
+    assert(same.getLong(2) === 0L)
+    val e = intercept[IllegalArgumentException](
+      VectorOps.clusterDrift(bat.limit(0), cents, shares).head())
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("clusterDriftStream lands one tagged report per trigger, " +
+    "equal to the direct batch drift; empty trigger -> null-drift row") {
+    import graft.streaming.StreamingPipeline
+    val e = sources.Tables.embeddings(spark, sf).localCheckpoint()
+    val cents = VectorOps.kmeansCentroids(e, k = 4, iters = 1)
+    val refPath = tmpDir("cd-ref") + "/shares"
+    VectorOps.clusterShares(e, cents).write.parquet(refPath)
+    val slices = Seq(e.filter(col("vec_id") < 200),
+      e.filter(col("vec_id") >= 200))
+    val src = tmpDir("cd-src")
+    slices.foreach(_.coalesce(1).write.mode("append").parquet(src))
+    e.limit(0).coalesce(1).write.mode("append").parquet(src)
+    val rep = tmpDir("cd-rep") + "/report"
+    StreamingPipeline.clusterDriftStream(
+      spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      cents, refPath, rep, tmpDir("cd-ckpt"))
+      .awaitTermination()
+    val all = spark.read.parquet(s"$rep/b_*")
+    assert(all.filter(col("tv_ppm").isNull)
+      .select("n_batch").collect().map(_.getLong(0)).toSeq === Seq(0L))
+    val landed = all.filter(col("tv_ppm").isNotNull)
+      .select("n_batch", "tv_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val direct = slices.map { s =>
+      val r = VectorOps.clusterDrift(s, cents,
+        spark.read.parquet(refPath)).head()
+      (r.getAs[Long]("n_batch"), r.getAs[Long]("tv_ppm"))
+    }.sorted
+    assert(landed === direct)
+  }
+
   test("guards: k <= 0, quota <= 0, and k > corpus size fail loudly") {
     val df = dyadic()
     intercept[IllegalArgumentException](VectorOps.kmeansCentroids(df, 0))
