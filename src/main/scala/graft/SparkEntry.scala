@@ -145,6 +145,7 @@ object SparkEntry {
     "embed_kmeans" -> (graft.queries.ExtQueries.embedKmeans(_, _)),
     "embed_cluster_sample" -> (graft.queries.ExtQueries.embedClusterSample(_, _)),
     "embed_cluster_drift" -> (graft.queries.ExtQueries.embedClusterDrift(_, _)),
+    "graph_kcore" -> (graft.queries.ExtQueries.graphKcore(_, _)),
     "embed_sq8_topk" -> (graft.queries.ExtQueries.embedSq8TopK(_, _)),
     "embed_sq8_index" -> (graft.queries.ExtQueries.embedSq8Index(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),

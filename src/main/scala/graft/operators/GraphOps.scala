@@ -272,6 +272,103 @@ object GraphOps {
     ranks
   }
 
+  /** Canonical undirected edge table for the k-core family: both
+    * endpoint columns (any names) cast to bigint, self-loops dropped,
+    * one (lo < hi) row per edge.
+    */
+  def kCoreCanon(pairs: DataFrame): DataFrame = {
+    val cols = pairs.columns
+    val raw = pairs.select(col(cols(0)).cast("bigint").as("x"),
+      col(cols(1)).cast("bigint").as("y"))
+    raw.filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("lo"),
+        greatest(col("x"), col("y")).as("hi"))
+      .distinct()
+  }
+
+  /** Degrees of a canonical (lo < hi, distinct) edge table. */
+  private def coreDegrees(edges: DataFrame): DataFrame =
+    edges.select(col("lo").as("id"))
+      .union(edges.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+
+  /** One synchronous peel: drop every node whose CURRENT degree is
+    * below k (all at once — the peeling wave), keep only edges between
+    * survivors.
+    */
+  private def peelOnce(edges: DataFrame, k: Int): DataFrame = {
+    val keep = coreDegrees(edges).filter(col("deg") >= k).select("id")
+    edges
+      .join(keep.withColumnRenamed("id", "lo"), Seq("lo"), "left_semi")
+      .join(keep.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi")
+  }
+
+  /** Fixed-round synchronous k-core peeling — the ORACLE-REPLAYABLE
+    * face of [[kCore]] (the pagerank/label-prop posture: a pure
+    * integer function of (edges, k, rounds) an independent engine
+    * replays round-for-round). Each round simultaneously deletes every
+    * node with current degree < k and the edges touching it; after
+    * enough rounds the survivor set is exactly the classic k-core
+    * (Matula–Beck / Batagelj–Zaveršnik peeling, batched: the
+    * distributed formulation removes a whole degree-deficient FRONT
+    * per round instead of one vertex at a time). The training-data
+    * use: core membership as a spam/authority signal on link or
+    * co-occurrence graphs — low-core pages are the fringe a quality
+    * filter trims first.
+    *
+    * Scale shape: each round is one degree aggregate (map-side
+    * combinable) + two semi-joins on the vertex id — the same shuffle
+    * currency as [[pageRank]]; lineage truncated per round,
+    * predecessor checkpoints released as the loop advances. Self-loops
+    * dropped, edges canonicalised (lo < hi, distinct) up front.
+    *
+    * Returns `(id, deg)` for nodes surviving `rounds` rounds, with
+    * their degree INSIDE the surviving subgraph.
+    */
+  def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    require(rounds >= 0, s"k-core needs rounds >= 0, got $rounds")
+    var (edges, eIds) = eagerCp(kCoreCanon(pairs))
+    for (_ <- 1 to rounds) {
+      val (next, nIds) = eagerCp(peelOnce(edges, k))
+      releaseCp(edges, eIds)
+      edges = next
+      eIds = nIds
+    }
+    coreDegrees(edges)
+  }
+
+  /** k-core to the FIXPOINT: peel until the edge set stops changing
+    * (edge count is strictly decreasing until then, so an unchanged
+    * count IS the fixpoint), loud failure past `maxIter` — the
+    * [[connectedComponents]] convergence posture. Spec-pinned
+    * equivalent to [[kCorePeel]] at the measured peel depth.
+    */
+  def kCore(pairs: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    var (edges, eIds) = eagerCp(kCoreCanon(pairs))
+    var prev = edges.count()
+    var converged = prev == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val (next, nIds) = eagerCp(peelOnce(edges, k))
+      val cur = next.count()
+      releaseCp(edges, eIds)
+      edges = next
+      eIds = nIds
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    if (!converged) {
+      releaseCp(edges, eIds)
+      throw new IllegalStateException(
+        s"k-core did not converge in $maxIter rounds (peel depth " +
+          "exceeds maxIter); raise maxIter")
+    }
+    coreDegrees(edges)
+  }
+
   /** Semi-supervised LABEL PROPAGATION over an undirected edge list —
     * diffuse sparse seed labels (e.g. a few human-audited quality /
     * topic / license tags) through a similarity or co-occurrence graph

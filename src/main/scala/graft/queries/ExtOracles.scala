@@ -856,6 +856,11 @@ object ExtOracles {
 
     "graph_label_prop" -> labelPropSql,
 
+    // replays GraphOps.kCorePeel(k=80, rounds=3) over the co-purchase
+    // graph: every synchronous peel round unrolled (degree over the
+    // current subgraph, drop deg < 3, keep edges between survivors)
+    "graph_kcore" -> kcoreSql,
+
     // replays ExtQueries.profileConstraints: the six-check
     // data-quality suite over orders as plain one-pass SQL — each
     // check a conditional count (uniqueness via count-distinct), the
@@ -2597,6 +2602,25 @@ object ExtOracles {
     * Hash-exact for the pagerank reason: every value is an integer
     * and every tie is broken by a total order.
     */
+  private lazy val kcoreSql = {
+    def round(i: Int): String =
+      s"""d$i AS (SELECT id, count(*) AS deg FROM (
+         |    SELECT lo AS id FROM ec${i - 1}
+         |    UNION ALL SELECT hi AS id FROM ec${i - 1}) GROUP BY 1),
+         |n$i AS (SELECT id FROM d$i WHERE deg >= 80),
+         |ec$i AS (SELECT lo, hi FROM ec${i - 1}
+         |  WHERE lo IN (SELECT id FROM n$i)
+         |    AND hi IN (SELECT id FROM n$i))""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ec0 AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |        AND a.l_partkey < b.l_partkey),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT lo AS id FROM ec3 UNION ALL SELECT hi AS id FROM ec3)
+       |GROUP BY id ORDER BY id""".stripMargin
+  }
+
   private lazy val labelPropSql = {
     def iter(k: Int): String =
       s"""v$k AS (SELECT e.dst AS id, l.label, count(*) AS c

@@ -811,6 +811,27 @@ object ExtQueries {
     GraphOps.labelPropagate(pairs, seeds, iters = 3).orderBy("id")
   }
 
+  /** k-core of the co-purchase graph ([[GraphOps.kCorePeel]], k=80,
+    * three synchronous peel rounds — mid-cascade by construction: at
+    * sf0.01 the waves shed 97/25/13 nodes, so the gate is sensitive to
+    * the SYNCHRONOUS semantics, not just the survivor fixpoint): core
+    * membership + in-core degree
+    * — the graph-quality signal that trims the fringe first. The
+    * oracle unrolls every peel round (the pagerank posture); the
+    * fixpoint face is spec-pinned equal at the measured peel depth.
+    */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.alias("a")
+    val b = li.alias("b")
+    val pairs = a.join(b,
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    GraphOps.kCorePeel(pairs, k = 80, rounds = 3).orderBy("id")
+  }
+
   /** Declarative data-quality suite
     * ([[graft.operators.ConstraintOps.check]]) over `orders` — six
     * checks (null, key uniqueness, price range, priority pattern,

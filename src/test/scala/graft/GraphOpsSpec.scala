@@ -332,6 +332,45 @@ class GraphOpsSpec extends SparkSpec {
     assert(empty.head.getLong(0) === 0L)
   }
 
+  test("kCore: triangle+chain hand case, synchronous wave semantics, " +
+    "fixpoint ≡ peel at depth, k past the graph -> empty") {
+    // triangle {1,2,3} + pendant chain 3-4-5: the 2-core is the
+    // triangle, reached in exactly TWO synchronous waves (5 falls
+    // first, 4 only after — sequential peeling would take them
+    // together; round 1 keeping node 4 pins the synchronous contract)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wave1 = asMap(GraphOps.kCorePeel(g, k = 2, rounds = 1))
+    assert(wave1 === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    val wave2 = asMap(GraphOps.kCorePeel(g, k = 2, rounds = 2))
+    assert(wave2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(asMap(GraphOps.kCore(g, k = 2)) === wave2)
+    // self-loops and duplicate/reversed edges canonicalise away
+    val messy = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("a", "b")
+    assert(asMap(GraphOps.kCore(messy, k = 1)) === Map(1L -> 1L, 2L -> 1L))
+    // k above every degree: fixpoint converges to the empty core
+    assert(GraphOps.kCore(g, k = 10).count() === 0L)
+    intercept[IllegalArgumentException](GraphOps.kCore(g, k = 0))
+  }
+
+  test("kCore fixpoint ≡ kCorePeel at depth on a hashed random graph, " +
+    "partition-independent") {
+    // pseudo-random sparse graph: 300 nodes, ~900 hashed edges
+    val e = spark.range(900).select(
+      (col("id") * 7919 % 300).as("a"), (col("id") * 104729 % 300).as("b"))
+    val fix = GraphOps.kCore(e, k = 4).orderBy("id").collect().toSeq
+    val peeled = GraphOps.kCorePeel(e, k = 4, rounds = 20)
+      .orderBy("id").collect().toSeq
+    assert(fix === peeled)
+    val repart = GraphOps.kCore(e.repartition(7), k = 4)
+      .orderBy("id").collect().toSeq
+    assert(fix === repart)
+    // every surviving node meets the core contract
+    assert(fix.forall(_.getLong(1) >= 4L))
+  }
+
   test("celebrity node contributes zero oriented wedges: the closure " +
       "join tracks the oriented bound, never degree^2 (VERDICT r9 #6)") {
     import spark.implicits._
