@@ -121,6 +121,7 @@ object SparkEntry {
     "corpus_split" -> (graft.queries.ExtQueries.corpusSplit(_, _)),
     "corpus_pipeline" -> (graft.queries.ExtQueries.corpusPipeline(_, _)),
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
+    "corpus_rendezvous" -> (graft.queries.ExtQueries.corpusRendezvous(_, _)),
     "sample_per_group" -> (graft.queries.ExtQueries.samplePerGroup(_, _)),
     "corpus_assemble" -> (graft.queries.ExtQueries.corpusAssemble(_, _)),
     "corpus_chunks" -> (graft.queries.ExtQueries.corpusChunks(_, _)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "text_quality_score" -> (graft.queries.ExtQueries.textQualityScore(_, _)),
     "events_anomaly" -> (eventsAnomaly(_, _)),
     "events_retention" -> (eventsRetention(_, _)),
+    "sample_reservoir_store" -> (graft.queries.ExtQueries.sampleReservoirStore(_, _)),
     "sample_stratified" -> (graft.queries.ExtQueries.sampleStratified(_, _)),
     "sample_weighted" -> (graft.queries.ExtQueries.sampleWeighted(_, _)),
     "pack_sequences" -> (graft.queries.ExtQueries.packSequences(_, _)),
@@ -172,6 +174,7 @@ object SparkEntry {
     "multimodal_audio_neardup_indexed" -> (graft.queries.ExtQueries.multimodalAudioNearDupIndexed(_, _)),
     "multimodal_video_dhash" -> (graft.queries.ExtQueries.multimodalVideoDhash(_, _)),
     "multimodal_scene_changes" -> (graft.queries.ExtQueries.multimodalSceneChanges(_, _)),
+    "layout_hilbert" -> (graft.queries.ExtQueries.layoutHilbert(_, _)),
     "layout_zorder" -> (graft.queries.ExtQueries.layoutZorder(_, _)),
     "layout_skipping" -> (graft.queries.ExtQueries.layoutSkipping(_, _)),
     "layout_indexed_box" -> (graft.queries.ExtQueries.layoutIndexedBox(_, _)),

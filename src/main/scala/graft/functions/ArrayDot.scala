@@ -124,7 +124,13 @@ object GraftFunctions {
         children.lift(2).map(foldInt("minhash_sig", "seeds", _)).getOrElse(8))),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      children => NfcNormalize(children(0))))
+      children => NfcNormalize(children(0))),
+    // hilbert_index(x, y[, bits]) — bits must be a foldable int
+    (FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      children => HilbertIndex(children(0), children(1),
+        children.lift(2).map(foldInt("hilbert_index", "bits", _))
+          .getOrElse(8))))
 
   private def foldInt(fn: String, arg: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -520,6 +520,51 @@ object CorpusOps {
     * corrupt-input stance): a silent drop would skew every inclusion
     * probability downstream.
     */
+  /** Rendezvous (highest-random-weight) shard routing — the STABLE
+    * doc → shard assignment a growing corpus needs: every document
+    * scores each shard with a deterministic priority
+    * `md5(seed ∥ ':' ∥ shard ∥ ':' ∥ id)` and lands on the argmax, so
+    * when a shard is ADDED, exactly the documents whose new priority
+    * wins move (all of them TO the new shard — in expectation
+    * 1/(S+1) of the corpus), and when a shard is REMOVED, only its own
+    * documents move; every other assignment is untouched
+    * (Thaler–Ravishankar HRW). A hash-mod `id % S` re-routes ~1−1/S of
+    * 100 TB on every resize; consistent-hash rings need virtual-node
+    * state; rendezvous needs NOTHING but the shard list.
+    *
+    * Determinism contract: the winner is the max of the fixed-width
+    * strings `md5(...) ∥ shard` — lexicographic over the 32 hex chars
+    * first, shard name as the (2⁻¹²⁸-improbable) tiebreak — one string
+    * max both engines compute identically, so the DuckDB oracle
+    * replays the routing symbol-for-symbol.
+    *
+    * Scale shape: a PURE PROJECTION — S md5 calls per row folded by
+    * `greatest`, no join, no shuffle, no shard-list broadcast beyond
+    * the plan literals (plan-shape spec-pinned: zero Exchange). Cost
+    * is O(S) per row: fine to a few thousand shards; past that, route
+    * hierarchically (rendezvous to a shard GROUP, then within it) —
+    * the require's message says so rather than letting a 100k-shard
+    * list compile a 100k-wide expression.
+    */
+  def rendezvousRoute(docs: DataFrame, shards: Seq[String],
+                      seed: String, idCol: String = "doc_id"): DataFrame = {
+    require(shards.nonEmpty, "rendezvousRoute: empty shard list")
+    require(shards.distinct.size == shards.size,
+      s"rendezvousRoute: duplicate shard names in $shards")
+    require(shards.size <= 4096,
+      s"rendezvousRoute: ${shards.size} shards would compile a " +
+        "plan-width expression per row — route hierarchically " +
+        "(rendezvous to a shard group, then within the group)")
+    val keyed = shards.map(s =>
+      concat(md5(concat(lit(seed), lit(":"), lit(s), lit(":"),
+        col(idCol).cast("string"))), lit(s)))
+    val winner =
+      if (keyed.size == 1) keyed.head else greatest(keyed: _*)
+    // md5 hex is exactly 32 chars: the suffix past it IS the shard
+    docs.withColumn("shard", winner.substr(lit(33),
+      length(winner) - 32))
+  }
+
   def weightedSample(scored: DataFrame, k: Int, seed: String,
                      weightCol: String = "quality_score"): DataFrame = {
     val w = when(col(weightCol) > 0, col(weightCol).cast("double"))

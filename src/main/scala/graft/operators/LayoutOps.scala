@@ -84,6 +84,47 @@ object LayoutOps {
       .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
   }
 
+  /** Per-dimension grid coordinates + 2-D Hilbert key — the same
+    * bucketing as [[zorderKey]] with the Morton interleave swapped for
+    * the Hilbert transform ([[graft.functions.HilbertIndex]]): strict
+    * locality (consecutive keys are always grid-adjacent, so a query
+    * box decomposes into fewer, longer key runs → fewer file seeks at
+    * equal resolution), at the cost of being 2-D-only and losing
+    * Morton's prefix-is-quadrant property ([[cellsForBox]]'s
+    * enumerator stays z-order's; Hilbert cells are audited through
+    * [[cellStats]] occupancy like any layout).
+    *
+    * @return df plus `zb_<col>` grid coordinates and `hkey`
+    */
+  def hilbertKey(df: DataFrame, cols: Seq[String],
+      bits: Int = 8): DataFrame = {
+    require(cols.size == 2,
+      s"hilbertKey is the 2-D curve (got ${cols.size} dims) — for " +
+        "3+ dimensions use zorderKey, whose interleave generalises")
+    require(bits >= 1 && bits <= 31,
+      s"bits=$bits outside [1, 31] — 2·bits must fit a signed " +
+        "64-bit hkey")
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    zorderKey(df, cols, bits).drop("zkey")
+      .withColumn("hkey", column(graft.functions.HilbertIndex(
+        expression(col(s"zb_${cols(0)}")),
+        expression(col(s"zb_${cols(1)}")), bits)))
+  }
+
+  /** [[hilbertKey]] plus the file-grid cell id: the hkey's top
+    * `cellBits` bits. Along the Hilbert curve a cell is one CONTIGUOUS
+    * connected run of the grid walk — the locality property that makes
+    * equal-population cells geometrically compact.
+    */
+  def hilbertLayout(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      cellBits: Int = 8): DataFrame = {
+    val keyBits = 2 * bits
+    require(cellBits >= 1 && cellBits <= keyBits,
+      s"cellBits=$cellBits must be in [1, $keyBits]")
+    hilbertKey(df, cols, bits)
+      .withColumn("hcell", shiftright(col("hkey"), keyBits - cellBits))
+  }
+
   /** Loud guard for the one range the exact-integer grid cannot
     * express: `max - min` wider than Long.MaxValue (full-range hash
     * keys) wraps negative and every downstream width/bucket is

@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Persisted bounded-size corpus SAMPLE — the "hold out a fixed eval
+  * slice of an ever-growing corpus" artifact a training-data pipeline
+  * keeps between runs. The sample is the bottom-`capacity` rows by a
+  * DETERMINISTIC per-id priority (`md5(seed ∥ ':' ∥ id)` — the
+  * CorpusOps md5-uniform contract), which makes it three things at
+  * once:
+  *
+  *  - UNIFORM: md5 is uniform over ids, so every distinct id seen so
+  *    far is in the sample with equal probability — the reservoir
+  *    contract — without any RNG state to carry.
+  *  - MERGEABLE: bottom-k by a pure function of the id is a monoid —
+  *    `bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B))` — so an
+  *    extend folds ONLY the new batch against the ≤ capacity stored
+  *    rows; the corpus is never rescanned, and any batch split
+  *    produces the identical sample (spec-pinned).
+  *  - REPLAYABLE: the priority is engine-portable (hex md5, string
+  *    order), so a DuckDB oracle recomputes the exact sample over the
+  *    raw table — the gate is hash-exact, not statistical.
+  *
+  * Twelfth persisted family. Same single-object posture as the sketch
+  * stores ([[FrequencyStore]], [[MembershipStore]]): one bounded
+  * artifact plus meta plus the (producer, batchId) applied-batch
+  * ledger, re-published wholesale per extend via the staged
+  * generation swap. Merge is idempotent BY VALUE (a re-ingested id
+  * carries the same priority and collapses in the distinct), and the
+  * ledger fences replayed batches so `n_seen` accounting stays exact.
+  *
+  * Id contract: `idCol` is the corpus primary key (the assumption
+  * every index family here shares). Duplicate ids INSIDE the merge
+  * window with conflicting payloads fail loudly — a silent pick would
+  * make the sample depend on partition order; exact duplicate rows
+  * collapse harmlessly. `n_seen` counts ingested ROWS (a throughput
+  * stat): re-ingested ids inflate it, never the sample.
+  *
+  * Scale shape: an extend is one `TakeOrderedAndProject` over the
+  * batch (per-partition top-k, k-row driver-side merge — no global
+  * sort, no shuffle) plus a ≤ 2·capacity-row distinct; serve reads
+  * ≤ capacity rows. `capacity` is driver-bounded memory — capped
+  * loudly by `spark.graft.reservoir.capacityCap` (default 1 000 000),
+  * the queue-snapshot-cap posture.
+  */
+object ReservoirStore {
+
+  /** Sampling contract, frozen at build: every extend recomputes the
+    * SAME priorities or rejects loudly.
+    */
+  final case class ResMeta(idCol: String, capacity: Int, seed: String,
+      nSeen: Long, generation: Long)
+
+  private val capacityCapKey = "spark.graft.reservoir.capacityCap"
+
+  /** The ONE priority definition (gate oracles replay it
+    * symbol-for-symbol): lowercase hex md5 of `seed ∥ ':' ∥ id`,
+    * compared as a string. Ties are impossible across distinct ids in
+    * practice (2⁻¹²⁸) but the id is the documented tiebreak anyway —
+    * determinism must not rest on a collision argument.
+    */
+  def priorityFor(seed: String, id: Column): Column =
+    md5(concat(lit(seed), lit(":"), id.cast("string")))
+
+  /** Build the store over a corpus: one TakeOrderedAndProject pass.
+    * A rebuild replaces the store wholesale, ledger included; quiesce
+    * producers across it (the family's rebuild posture).
+    */
+  def write(df: DataFrame, path: String, idCol: String,
+      capacity: Int, seed: String): Unit = {
+    val spark = df.sparkSession
+    requireGeometry(spark, df.schema, idCol, capacity)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      // pin: the batch feeds both the count and the bottom-k (release
+      // is RDD-level, after the publish has consumed the plan)
+      val pinned = df.localCheckpoint(true)
+      val n = pinned.count()
+      publish(spark, path, bottomK(pinned, idCol, capacity, seed),
+        ResMeta(idCol, capacity, seed, n, generation = 1L), Seq.empty)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
+  /** Fold a batch in, exactly once per (producer, batchId): bottom-k
+    * of the batch merged against the ≤ capacity stored rows — the
+    * corpus never rescanned. An absent store bootstraps at the
+    * declared geometry; a geometry or payload-schema mismatch against
+    * an existing store rejects loudly (priorities from a different
+    * seed, or rows of a different shape, do not merge).
+    */
+  def extend(df: DataFrame, path: String, batchId: Long,
+      capacity: Int, seed: String, idCol: String = "doc_id",
+      producer: String = "default"): Unit = {
+    val spark = df.sparkSession
+    IndexStores.healRoot(spark, path)
+    requireGeometry(spark, df.schema, idCol, capacity)
+    if (!IndexStores.hasStore(spark, s"$path/sample")) {
+      // bootstrap: sample, meta AND ledger land in ONE staged swap —
+      // a ledger written separately would open a crash window where
+      // the replayed bootstrap batch double-counts n_seen
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet.toSet
+      try {
+        val pinned = df.localCheckpoint(true)
+        val n = pinned.count()
+        publish(spark, path, bottomK(pinned, idCol, capacity, seed),
+          ResMeta(idCol, capacity, seed, n, generation = 1L),
+          Seq((producer, batchId)))
+      } finally graft.BenchUtil.releaseNewRdds(sc, before)
+      return
+    }
+    val m = metaOf(spark, path)
+    require(m.idCol == idCol && m.capacity == capacity && m.seed == seed,
+      s"reservoir store at $path was built as (idCol=${m.idCol}, " +
+        s"capacity=${m.capacity}, seed=${m.seed}); extend declared " +
+        s"(idCol=$idCol, capacity=$capacity, seed=$seed)")
+    val stored = IndexStores.readStore(spark, s"$path/sample")
+    // catalogString: name/type/order-sensitive, nullability-blind —
+    // the parquet round-trip relaxes every field to nullable, which
+    // must not reject a batch of the shape the store was built from
+    require(stored.schema.catalogString == df.schema.catalogString,
+      s"reservoir store at $path holds payload schema " +
+        s"${stored.schema.simpleString}; the batch carries " +
+        s"${df.schema.simpleString} — rows of a different shape do " +
+        "not merge")
+    val applied = appliedBatches(spark, path)
+    if (applied.contains((producer, batchId))) return // replay
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val pinned = df.localCheckpoint(true)
+      val n = pinned.count()
+      val merged = bottomK(
+        dedupMerged(
+          stored.unionByName(bottomK(pinned, idCol, capacity, seed)),
+          idCol),
+        idCol, capacity, seed)
+      // single-writer tripwire (the sketch-store posture): a second
+      // producer folding batches concurrently would base its publish
+      // on a stale sample and silently drop the other's rows
+      val gNow = metaOf(spark, path).generation
+      require(gNow == m.generation,
+        s"reservoir store at $path advanced (generation " +
+          s"${m.generation} -> $gNow) during extend — a second " +
+          "concurrent writer is folding batches; serialise producers")
+      publish(spark, path, merged,
+        ResMeta(idCol, capacity, seed, m.nSeen + n, m.generation + 1L),
+        applied :+ ((producer, batchId)))
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
+  /** The current sample — ≤ capacity payload rows, as ingested. */
+  def serve(spark: SparkSession, path: String): DataFrame = {
+    IndexStores.healRoot(spark, path)
+    IndexStores.readStore(spark, s"$path/sample")
+  }
+
+  /** One-row store summary: geometry, rows ingested, current sample
+    * size, the implied inclusion rate in ppm (floor — integer-exact),
+    * applied batches, generation.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    IndexStores.healRoot(spark, path)
+    val m = metaOf(spark, path)
+    val size = serve(spark, path).count()
+    import spark.implicits._
+    Seq((m.capacity.toLong, m.seed, m.nSeen, size,
+      if (m.nSeen == 0L) 1000000L else size * 1000000L / m.nSeen,
+      appliedBatches(spark, path).size.toLong, m.generation))
+      .toDF("capacity", "seed", "n_seen", "sample_size",
+        "inclusion_ppm", "applied_batches", "generation")
+  }
+
+  // ---- internals ----------------------------------------------------
+
+  /** Bottom-`capacity` rows by (priority, id). The sort-limit
+    * compiles to TakeOrderedAndProject (per-partition top-k,
+    * driver-side k-row merge) — plan-shape spec-pinned; no global
+    * sort ever runs. Pure plan: callers own the pin/release window.
+    */
+  private def bottomK(df: DataFrame, idCol: String, capacity: Int,
+      seed: String): DataFrame =
+    df.orderBy(priorityFor(seed, col(idCol)), col(idCol))
+      .limit(capacity)
+
+  /** Collapse exact duplicate rows (a re-ingested id carries the same
+    * priority — idempotent by value), then fail LOUDLY on any id left
+    * duplicated: conflicting payloads for one id would make the kept
+    * row an artifact of partition order. Bounded: the merge window is
+    * ≤ 2·capacity rows by construction.
+    */
+  private def dedupMerged(merged: DataFrame, idCol: String): DataFrame = {
+    val d = merged.distinct()
+    val dup = d.groupBy(col(idCol)).count().filter(col("count") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"reservoir store: $idCol=${dup(0).get(0)} appears with " +
+          "conflicting payloads in the merge window — the id column " +
+          "must be a primary key over the payload")
+    d
+  }
+
+  private def requireGeometry(spark: SparkSession, schema: StructType,
+      idCol: String, capacity: Int): Unit = {
+    require(schema.fieldNames.contains(idCol),
+      s"reservoir store: id column '$idCol' is absent from the " +
+        s"payload schema ${schema.simpleString}")
+    val cap = spark.conf.getOption(capacityCapKey)
+      .map(_.toLong).getOrElse(1000000L)
+    require(capacity >= 1 && capacity <= cap,
+      s"reservoir capacity $capacity is outside [1, $cap] — the " +
+        "sample is driver-merged (TakeOrderedAndProject) and " +
+        s"store-resident; raise $capacityCapKey deliberately if a " +
+        "larger holdout is intended")
+  }
+
+  private def metaOf(spark: SparkSession, path: String): ResMeta = {
+    val r = IndexStores.readStore(spark, s"$path/meta").head
+    ResMeta(r.getAs[String]("id_col"), r.getAs[Int]("capacity"),
+      r.getAs[String]("seed"), r.getAs[Long]("n_seen"),
+      r.getAs[Long]("generation"))
+  }
+
+  private def appliedBatches(spark: SparkSession,
+      path: String): Seq[(String, Long)] =
+    IndexStores.sketchBatches(spark, path)
+
+  /** Stage one complete generation (sample + meta + ledger) under one
+    * root and swap it in atomically — the sketch stores' publish
+    * shape, with a table where they hold a byte blob. The sample is
+    * forced schema-bearing: an empty corpus (or a bootstrap over an
+    * empty first trigger) must leave a READABLE store, not a fileless
+    * directory that bricks every later read.
+    */
+  private def publish(spark: SparkSession, path: String,
+      sample: DataFrame, m: ResMeta,
+      batches: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    val staging = IndexStores.stagingFor(spark, path)
+    sample.coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/sample")
+    IndexStores.forceSchemaBearing(sample, s"$staging/sample")
+    Seq((m.idCol, m.capacity, m.seed, m.nSeen, m.generation))
+      .toDF("id_col", "capacity", "seed", "n_seen", "generation")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+    if (batches.nonEmpty)
+      batches.toDF("producer", "batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/batches")
+    IndexStores.swapInto(spark, path, staging)
+  }
+}

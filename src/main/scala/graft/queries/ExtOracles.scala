@@ -1247,6 +1247,35 @@ object ExtOracles {
          |FROM sc JOIN wc USING (w) JOIN st USING (source) CROSS JOIN tt
          |GROUP BY source ORDER BY source""".stripMargin,
 
+    // replays CorpusOps.rendezvousRoute for BOTH shard lists: the
+    // winner is the string max of md5('rv10:'||shard||':'||id) ||
+    // shard (md5 hex is exactly 32 chars, so substring(33) recovers
+    // the shard; lexicographic order compares the hash first, the
+    // shard name as the 2^-128 tiebreak — identical in both engines)
+    "corpus_rendezvous" ->
+      """WITH s8(shard) AS (VALUES ('s00'),('s01'),('s02'),('s03'),
+        |                          ('s04'),('s05'),('s06'),('s07')),
+        |s9(shard) AS (VALUES ('s00'),('s01'),('s02'),('s03'),('s04'),
+        |                     ('s05'),('s06'),('s07'),('s08')),
+        |k8 AS (
+        |  SELECT d.doc_id,
+        |         substring(max(md5('rv10:' || s.shard || ':' ||
+        |           CAST(d.doc_id AS VARCHAR)) || s.shard), 33) AS shard8
+        |  FROM documents d CROSS JOIN s8 s GROUP BY d.doc_id
+        |),
+        |k9 AS (
+        |  SELECT d.doc_id,
+        |         substring(max(md5('rv10:' || s.shard || ':' ||
+        |           CAST(d.doc_id AS VARCHAR)) || s.shard), 33) AS shard9
+        |  FROM documents d CROSS JOIN s9 s GROUP BY d.doc_id
+        |)
+        |SELECT shard8 AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_moved
+        |FROM k8 JOIN k9 USING (doc_id)
+        |GROUP BY shard8 ORDER BY shard8""".stripMargin,
+
     // replays CorpusOps.mixtureWeights (alpha = 0.5, budget 1e6);
     // sum(BIGINT) is HUGEINT in DuckDB -> cast back for schema parity
     "corpus_mixture" ->
@@ -1541,6 +1570,23 @@ object ExtOracles {
         |WHERE h16 < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
         |             ELSE 0.1 END) * 65536
         |ORDER BY doc_id""".stripMargin,
+
+    // replays ReservoirStore's one priority definition over the RAW
+    // table: hex md5('rs10:' || id) compared as a string, bottom-200
+    // by (priority, id) — the gate built the sample write(evens) →
+    // extend(odds), so a hash match proves the merge lemma
+    // (bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)))
+    // end-to-end, payload included
+    "sample_reservoir_store" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         md5('rs10:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents
+        |), pick AS (
+        |  SELECT doc_id, lang, n_chars FROM keyed
+        |  ORDER BY k, doc_id LIMIT 200
+        |)
+        |SELECT doc_id, lang, n_chars FROM pick ORDER BY doc_id""".stripMargin,
 
     // replays CorpusOps.packSequences (budget 2048); sum(BIGINT) is
     // HUGEINT in DuckDB → cast back for schema parity
@@ -2075,6 +2121,39 @@ object ExtOracles {
       s"""WITH $zLayoutCtes
          |SELECT event_id, zb_user_id, zb_tsm, zkey, zkey >> 8 AS zcell
          |FROM zk ORDER BY event_id""".stripMargin,
+
+    // replays LayoutOps.hilbertLayout: the same grid bucketing as the
+    // z-order CTEs, then the Hilbert xy2d loop as a RECURSIVE CTE —
+    // one iteration per level s = 128..1, carrying (x, y, d): the
+    // quadrant accumulate d += s²·(3·rx XOR ry) off the CURRENT x/y,
+    // then the rotate/flip producing the next level's coordinates.
+    // Rows finish at s = 0; the hash pins the custom Expression's
+    // codegen kernel symbol-for-symbol
+    "layout_hilbert" ->
+      s"""WITH RECURSIVE $zLayoutCtes,
+         |hr(event_id, x, y, d, s) AS (
+         |  SELECT event_id, zb_user_id, zb_tsm,
+         |         CAST(0 AS BIGINT), CAST(128 AS BIGINT) FROM zk
+         |  UNION ALL
+         |  SELECT event_id,
+         |    CASE WHEN (y & s) = 0 THEN
+         |      CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END
+         |    ELSE x END,
+         |    CASE WHEN (y & s) = 0 THEN
+         |      CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END
+         |    ELSE y END,
+         |    d + s * s * xor(
+         |      CASE WHEN (x & s) > 0 THEN CAST(3 AS BIGINT)
+         |           ELSE CAST(0 AS BIGINT) END,
+         |      CASE WHEN (y & s) > 0 THEN CAST(1 AS BIGINT)
+         |           ELSE CAST(0 AS BIGINT) END),
+         |    s // 2
+         |  FROM hr WHERE s > 0
+         |),
+         |hk AS (SELECT event_id, d AS hkey FROM hr WHERE s = 0)
+         |SELECT zk.event_id, zb_user_id, zb_tsm, hkey,
+         |       hkey >> 8 AS hcell
+         |FROM zk JOIN hk USING (event_id) ORDER BY event_id""".stripMargin,
 
     // replays ExtQueries.layoutSkipping: per-cell occupancy +
     // per-dimension min/max over the same z-grid, and the min/max

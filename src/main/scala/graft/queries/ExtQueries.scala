@@ -1202,6 +1202,28 @@ object ExtQueries {
   def corpusMixture(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.mixtureWeights(docs(spark, dir)).orderBy("source")
 
+  /** Rendezvous shard routing ([[CorpusOps.rendezvousRoute]]): every
+    * document routed over 8 shards AND over the same 8 plus one new
+    * shard, aggregated per original shard — `n_moved` counts the
+    * documents the resize relocates. Hash-green pins BOTH routings
+    * symbol-for-symbol (the md5 ∥ shard string max is
+    * engine-portable) and with them the property the operator exists
+    * for: a shard added to a 100 TB corpus moves ~1/(S+1) of the
+    * documents, all into the new shard, and nothing else.
+    */
+  def corpusRendezvous(spark: SparkSession, dir: String): DataFrame = {
+    val shards8 = (0 until 8).map(i => f"s$i%02d")
+    val r8 = CorpusOps.rendezvousRoute(
+      docs(spark, dir).select("doc_id"), shards8, seed = "rv10")
+      .withColumnRenamed("shard", "shard8")
+    val r9 = CorpusOps.rendezvousRoute(r8, shards8 :+ "s08",
+      seed = "rv10").withColumnRenamed("shard", "shard9")
+    r9.groupBy(col("shard8").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("shard9") =!= col("shard8"), 1)).as("n_moved"))
+      .orderBy("shard")
+  }
+
   /** Deterministic exact-k per-group sample (k = 20 per lang). */
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.samplePerGroup(docs(spark, dir), k = 20).orderBy("lang", "rn")
@@ -2002,6 +2024,22 @@ object ExtQueries {
       .select("event_id", "zb_user_id", "zb_tsm", "zkey", "zcell")
       .orderBy("event_id")
 
+  /** Hilbert-curve layout key over the same (user_id, time) grid
+    * ([[graft.operators.LayoutOps.hilbertLayout]], bits = 8 →
+    * 256×256, cellBits = 8 → ≤256 files): the strict-locality
+    * alternative to [[layoutZorder]] — consecutive keys are always
+    * grid-adjacent, so each file cell is one CONNECTED run of the
+    * grid walk. Hash-green against a DuckDB recursive-CTE replay of
+    * the per-level rotate-and-accumulate proves the custom codegen
+    * Expression ([[graft.functions.HilbertIndex]]) engine-portable,
+    * the property that makes the layout re-creatable outside Spark.
+    */
+  def layoutHilbert(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LayoutOps.hilbertLayout(
+      eventsDims(spark, dir), Seq("user_id", "tsm"), bits = 8, cellBits = 8)
+      .select("event_id", "zb_user_id", "zb_tsm", "hkey", "hcell")
+      .orderBy("event_id")
+
   /** Data-skipping audit over the z-order layout: per-cell occupancy +
     * per-dimension min/max ([[graft.operators.LayoutOps.cellStats]]),
     * plus `hit` — whether the cell's observed ranges intersect a fixed
@@ -2560,6 +2598,40 @@ object ExtQueries {
     graft.operators.HistoryStore.serve(spark, s"$root/dim")
       .orderBy("user_id", "version")
   }
+
+  /** Persisted reservoir sample
+    * ([[graft.operators.ReservoirStore]]): a 200-row uniform holdout
+    * of the documents corpus, built over the even doc_ids and
+    * EXTENDED with the odd ones — the bottom-k-by-md5 merge lemma
+    * makes the split invisible, and the DuckDB oracle recomputes the
+    * identical sample over the raw table (the priority is hex md5,
+    * engine-portable), so hash-green proves the O(batch) maintenance
+    * reproduces the one-shot sample row-for-row. At 100 TB this is
+    * the "keep a fixed eval slice of a growing corpus" artifact: each
+    * ingest folds only its own batch against ≤ capacity stored rows.
+    */
+  def sampleReservoirStore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ReservoirStore
+      .serve(spark, reservoirStorePath(spark, dir))
+      .orderBy("doc_id")
+
+  private val reservoirStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def reservoirStorePath(spark: SparkSession,
+      dir: String): String =
+    reservoirStoreCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-reservoir-store").toString
+      val docs = Tables.documents(spark, dir)
+        .select("doc_id", "lang", "n_chars")
+      graft.operators.ReservoirStore.write(
+        docs.filter(col("doc_id") % 2 === 0), s"$root/r",
+        "doc_id", capacity = 200, seed = "rs10")
+      graft.operators.ReservoirStore.extend(
+        docs.filter(col("doc_id") % 2 === 1), s"$root/r",
+        batchId = 1L, capacity = 200, seed = "rs10")
+      root
+    } + "/r"
 
   /** Point-in-time join against the SCD2 dimension
     * ([[graft.operators.HistoryOps.pointInTime]]): every purchase

@@ -973,6 +973,34 @@ object StreamingPipeline {
     * negatives). `expectedItems` sizes the filter for the stream's
     * LIFETIME kept-shingle count — watch `stats().current_fpp`.
     */
+  /** Streaming maintenance of the persisted reservoir sample
+    * ([[graft.operators.ReservoirStore]]): each trigger folds one
+    * batch into the bounded uniform holdout — bottom-k of the batch
+    * merged against the ≤ capacity stored rows, the corpus never
+    * rescanned, so the per-trigger cost is O(batch) however long the
+    * stream runs. The first trigger bootstraps an absent store
+    * (sample, meta AND ledger in one staged swap). Exactly-once: a
+    * replayed trigger is a ledger no-op (checkpoint-scoped producer),
+    * and the sample itself is idempotent BY VALUE anyway — the
+    * priority is a pure function of (seed, id), so re-folded rows
+    * collapse instead of skewing the sample.
+    */
+  def reservoirStream(docs: DataFrame, storePath: String,
+      checkpoint: String, capacity: Int, seed: String,
+      idCol: String = "doc_id",
+      trigger: Trigger = Trigger.AvailableNow(), producer: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.ReservoirStore.extend(batch, storePath,
+          batchId, capacity, seed, idCol = idCol,
+          producer = producerFor(producer, checkpoint))
+        ()
+      }
+      .start()
+
   def noveltyCurationStream(docs: DataFrame, storePath: String,
       outDir: String, checkpoint: String, expectedItems: Long,
       minNoveltyPpm: Long = 500000L, k: Int = 3, fpp: Double = 0.01,

@@ -494,4 +494,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(twoWay.forall(_.getString(3) != "test"), "two-way split has no test rows")
     assert(twoWay.exists(_.getString(3) == "val"))
   }
+
+  test("rendezvousRoute: adding a shard moves docs ONLY to it, " +
+    "removing one moves only its own docs, assignments balanced") {
+    val d = spark.range(3000).select(col("id").as("doc_id"))
+    val s4 = Seq("a", "b", "c", "d")
+    def routes(shards: Seq[String]): Map[Long, String] =
+      CorpusOps.rendezvousRoute(d, shards, "rv")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val r4 = routes(s4)
+    // grow: every reassignment lands on the new shard; expectation
+    // 1/5 of the corpus moves (wide slack for 3000 draws)
+    val r5 = routes(s4 :+ "e")
+    val moved = r4.keys.filter(k => r5(k) != r4(k))
+    assert(moved.forall(k => r5(k) == "e"),
+      "a grown cluster must pull docs only INTO the new shard")
+    assert(moved.size > 3000 / 5 / 2 && moved.size < 3000 / 5 * 2,
+      s"~1/5 of 3000 should move, got ${moved.size}")
+    // shrink: survivors of the removed shard scatter; everyone else
+    // stays exactly put
+    val r3 = routes(Seq("a", "b", "c"))
+    assert(r4.keys.filter(k => r4(k) != "d")
+      .forall(k => r3(k) == r4(k)),
+      "removing a shard must not move any other shard's docs")
+    // balance: each shard within 2x of the uniform share
+    val sizes = r4.values.groupBy(identity).map(_._2.size)
+    assert(sizes.min > 3000 / 4 / 2 && sizes.max < 3000 / 4 * 2,
+      s"unbalanced routing: $sizes")
+    // determinism across partitionings (pure function of the id)
+    val rep = CorpusOps.rendezvousRoute(d.repartition(7), s4, "rv")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rep === r4)
+  }
+
+  test("rendezvousRoute: pure projection (no Exchange), single-shard " +
+    "edge, loud guards") {
+    val d = spark.range(100).select(col("id").as("doc_id"))
+    val plan = CorpusOps.rendezvousRoute(d, Seq("a", "b", "c"), "rv")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"routing must be a pure projection:\n$plan")
+    assert(CorpusOps.rendezvousRoute(d, Seq("only"), "rv")
+      .select("shard").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("only"))
+    intercept[IllegalArgumentException] {
+      CorpusOps.rendezvousRoute(d, Seq.empty, "rv")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.rendezvousRoute(d, Seq("a", "a"), "rv")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.rendezvousRoute(d,
+        (0 to 4096).map(i => s"s$i"), "rv")
+    }
+  }
 }

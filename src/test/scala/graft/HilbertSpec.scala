@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HilbertIndex
+import graft.operators.LayoutOps
+
+/** Hilbert curve: exhaustive bijection + strict-adjacency pin (the
+  * locality property Morton lacks, shown by contrast), d2xy inverse
+  * round-trip, Expression-vs-kernel parity through codegen and the
+  * SQL surface, loud out-of-grid errors, null contract, and the
+  * layout integration's cell math.
+  */
+class HilbertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bits = 4
+  private val side = 1 << bits
+
+  private lazy val grid: Seq[(Long, Long)] =
+    for (x <- 0L until side; y <- 0L until side) yield (x, y)
+
+  test("xy2d is a bijection onto [0, side²) and consecutive indexes " +
+    "are ALWAYS grid-adjacent — where Morton jumps") {
+    val idx = grid.map { case (x, y) => HilbertIndex.xy2d(x, y, bits) }
+    assert(idx.sorted == (0L until side.toLong * side).toSeq)
+    val walk = grid.zip(idx).sortBy(_._2).map(_._1)
+    walk.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"hilbert jump between ($x1,$y1) and ($x2,$y2)")
+    }
+    // contrast: the Morton interleave (x at even bits — LayoutOps'
+    // bit-significance order) breaks adjacency at every power-of-two
+    // boundary
+    def morton(x: Long, y: Long): Long =
+      (0 until bits).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      ).sum
+    val mWalk = grid.map { case (x, y) => (morton(x, y), x, y) }.sorted
+    val worst = mWalk.sliding(2).map { case Seq((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.max
+    assert(worst > 1L, "Morton unexpectedly adjacency-preserving")
+  }
+
+  test("d2xy inverts xy2d over the full grid, and at bits=8 on a " +
+    "diagonal sample") {
+    grid.foreach { case (x, y) =>
+      assert(HilbertIndex.d2xy(HilbertIndex.xy2d(x, y, bits), bits)
+        === ((x, y)))
+    }
+    (0L until 256L).foreach { x =>
+      val d = HilbertIndex.xy2d(x, 255L - x, 8)
+      assert(HilbertIndex.d2xy(d, 8) === ((x, 255L - x)))
+    }
+  }
+
+  test("the Expression matches the kernel over the full grid through " +
+    "the codegen path, and through the SQL surface") {
+    val df = grid.toDF("x", "y")
+    val got = df.selectExpr("x", "y", s"hilbert_index(x, y, $bits) AS d")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) === HilbertIndex.xy2d(x, y, bits))
+    }
+    assert(spark.sql("SELECT hilbert_index(3L, 5L, 4)")
+      .head.getLong(0) === HilbertIndex.xy2d(3L, 5L, 4))
+  }
+
+  test("out-of-grid coordinates error loudly; null in → null out; " +
+    "non-bigint inputs fail analysis; bits bounds enforced") {
+    val e = intercept[Exception] {
+      Seq((16L, 0L)).toDF("x", "y")
+        .selectExpr(s"hilbert_index(x, y, $bits)").collect()
+    }
+    assert(e.getMessage.contains("outside") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside")))
+    val n = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .selectExpr(s"hilbert_index(x, y, $bits) AS d").head
+    assert(n.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1, 2)).toDF("x", "y")
+        .selectExpr("hilbert_index(x, y, 4)").collect()
+    }
+    intercept[IllegalArgumentException] {
+      HilbertIndex.xy2d(0L, 0L, 32)
+    }
+  }
+
+  test("hilbertKey/hilbertLayout: same grid buckets as zorderKey, " +
+    "hkey is the kernel of them, cells are the key's top bits; " +
+    "2-D-only guard") {
+    val d = (0 until 500).map(i =>
+      (i.toLong, (i * 13 % 97).toLong, (i * 7 % 89).toLong))
+      .toDF("id", "a", "b")
+    val hk = LayoutOps.hilbertLayout(d, Seq("a", "b"), bits = 5,
+      cellBits = 4).collect()
+    val zk = LayoutOps.zorderKey(d, Seq("a", "b"), bits = 5)
+      .select("id", "zb_a", "zb_b").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    hk.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val (za, zb) = zk(id)
+      assert((r.getAs[Long]("zb_a"), r.getAs[Long]("zb_b")) === ((za, zb)))
+      assert(r.getAs[Long]("hkey") === HilbertIndex.xy2d(za, zb, 5))
+      assert(r.getAs[Long]("hcell") === (r.getAs[Long]("hkey") >> 6))
+    }
+    intercept[IllegalArgumentException] {
+      LayoutOps.hilbertKey(d, Seq("a"), bits = 5)
+    }
+    intercept[IllegalArgumentException] {
+      LayoutOps.hilbertLayout(d, Seq("a", "b"), bits = 5, cellBits = 11)
+    }
+  }
+}

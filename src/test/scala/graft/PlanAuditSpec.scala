@@ -81,11 +81,30 @@ class PlanAuditSpec extends SparkSpec {
       s"scan must prune to the referenced columns:\n$p")
   }
 
-  test("pack_sequences: window partitioned by stratum, never a global window") {
-    val p = plan("pack_sequences")
-    assert(p.contains("Window"), s"packing lost its window:\n$p")
-    assert(!p.contains("Exchange SinglePartition"),
-      s"packing must never plan a single-partition (global) window:\n$p")
+  test("pack_sequences: stratum-skew-proof — window-free prefix sum, " +
+    "offsets broadcast, never a single-partition exchange") {
+    // audit the OPERATOR plan: the gate serves from the scratch
+    // parquet it materialises (releasing the prefix-sum pin), so its
+    // own plan is just a bounded file scan
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val p = operators.CorpusOps
+        .packSequences(sources.Tables.documents(spark, sf))
+        .queryExecution.executedPlan.toString
+      // the 64a927d rewrite's point: no window AT ALL — the old
+      // per-lang window sorted a dominant stratum in one task
+      assert(!p.contains("Window"),
+        s"packing regressed to a window cumsum:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"packing must never plan a single-partition stage:\n$p")
+      // per-stratum base offsets join as a broadcast (lang-count rows)
+      assert(p.contains("BroadcastHashJoin"),
+        s"stratum base offsets must broadcast:\n$p")
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+    val g = plan("pack_sequences")
+    assert(g.contains("FileScan parquet"),
+      s"the gate must serve the materialised bounded output:\n$g")
   }
 
   test("events_hopping: 2x fan-out before one combinable aggregation") {

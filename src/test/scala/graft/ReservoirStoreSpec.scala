@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.ReservoirStore
+
+/** Persisted reservoir sample: the bottom-k-by-md5 merge lemma
+  * (any batch split ≡ one-shot build, row-for-row), exactness against
+  * a driver-side replay of the priority order, replay fencing +
+  * n_seen accounting, idempotent re-ingest vs loud payload conflict,
+  * geometry/schema rejection, the empty-corpus edge, and the
+  * TakeOrderedAndProject plan shape (no global sort).
+  */
+class ReservoirStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, s"text-$i", (i * 37 % 500).toLong))
+      .toDF("doc_id", "body", "n_chars")
+
+  private def sampleIds(path: String): Seq[Long] =
+    ReservoirStore.serve(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  /** Driver-side replay of the one priority definition. */
+  private def expectIds(ids: Range, seed: String, k: Int): Seq[Long] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    ids.map(i => (md5hex(s"$seed:$i"), i.toLong))
+      .sortBy(identity).take(k).map(_._2).sorted
+  }
+
+  test("write ≡ driver replay of bottom-k by md5(seed:id); extend in " +
+    "any batch split ≡ one-shot build row-for-row") {
+    val all = 1 to 500
+    val once = tmpDir("rs-once") + "/r"
+    ReservoirStore.write(docs(all), once, "doc_id", 40, "s1")
+    assert(sampleIds(once) === expectIds(all, "s1", 40))
+
+    val inc = tmpDir("rs-inc") + "/r"
+    ReservoirStore.write(docs(1 to 150), inc, "doc_id", 40, "s1")
+    ReservoirStore.extend(docs(151 to 300), inc, 1L, 40, "s1")
+    ReservoirStore.extend(docs(301 to 500), inc, 2L, 40, "s1")
+    // full rows, not just ids: the payload rides the sample
+    val a = ReservoirStore.serve(spark, once)
+      .orderBy("doc_id").collect().toSeq
+    val b = ReservoirStore.serve(spark, inc)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("replayed batch is a no-op (ledger fence), n_seen stays exact, " +
+    "stats expose size and inclusion ppm") {
+    val p = tmpDir("rs-replay") + "/r"
+    ReservoirStore.write(docs(1 to 100), p, "doc_id", 25, "s2")
+    ReservoirStore.extend(docs(101 to 200), p, 7L, 25, "s2")
+    val g1 = ReservoirStore.stats(spark, p).head
+    ReservoirStore.extend(docs(101 to 200), p, 7L, 25, "s2") // replay
+    val g2 = ReservoirStore.stats(spark, p).head
+    assert(g1 === g2)
+    assert(g1.getAs[Long]("n_seen") === 200L)
+    assert(g1.getAs[Long]("sample_size") === 25L)
+    assert(g1.getAs[Long]("inclusion_ppm") === 25L * 1000000L / 200L)
+  }
+
+  test("re-ingesting an id with the identical payload is idempotent; " +
+    "a conflicting payload for one id fails loudly") {
+    val p = tmpDir("rs-dup") + "/r"
+    ReservoirStore.write(docs(1 to 100), p, "doc_id", 30, "s3")
+    // data replay (NOT batch replay): same rows under a new batch id
+    ReservoirStore.extend(docs(1 to 100), p, 1L, 30, "s3")
+    assert(sampleIds(p) === expectIds(1 to 100, "s3", 30))
+    // conflicting payload: pick an id certain to sit in the sample
+    val inId = sampleIds(p).head
+    val bad = Seq((inId, "DIFFERENT BODY", -1L))
+      .toDF("doc_id", "body", "n_chars")
+    val e = intercept[Exception] {
+      ReservoirStore.extend(bad, p, 2L, 30, "s3")
+    }
+    assert(e.getMessage.contains("conflicting payloads"))
+  }
+
+  test("geometry and payload-schema drift reject loudly; capacity cap " +
+    "enforced; id column must exist") {
+    val p = tmpDir("rs-geom") + "/r"
+    ReservoirStore.write(docs(1 to 50), p, "doc_id", 10, "s4")
+    val eSeed = intercept[IllegalArgumentException] {
+      ReservoirStore.extend(docs(51 to 60), p, 1L, 10, "OTHER")
+    }
+    assert(eSeed.getMessage.contains("was built as"))
+    val eShape = intercept[IllegalArgumentException] {
+      ReservoirStore.extend(
+        (61 to 70).map(i => (i.toLong, i * 2L)).toDF("doc_id", "x"),
+        p, 1L, 10, "s4")
+    }
+    assert(eShape.getMessage.contains("different shape"))
+    val eCap = intercept[IllegalArgumentException] {
+      ReservoirStore.write(docs(1 to 5), tmpDir("rs-cap") + "/r",
+        "doc_id", 2000000, "s4")
+    }
+    assert(eCap.getMessage.contains("capacityCap"))
+    val eId = intercept[IllegalArgumentException] {
+      ReservoirStore.write(docs(1 to 5).drop("doc_id"),
+        tmpDir("rs-id") + "/r", "doc_id", 5, "s4")
+    }
+    assert(eId.getMessage.contains("absent"))
+  }
+
+  test("empty corpus leaves a readable store; extend bootstraps an " +
+    "absent store with the ledger in the same swap") {
+    val p = tmpDir("rs-empty") + "/r"
+    ReservoirStore.write(docs(1 to 0), p, "doc_id", 10, "s5")
+    assert(ReservoirStore.serve(spark, p).count() === 0L)
+    ReservoirStore.extend(docs(1 to 20), p, 0L, 10, "s5")
+    assert(sampleIds(p) === expectIds(1 to 20, "s5", 10))
+
+    val boot = tmpDir("rs-boot") + "/r"
+    ReservoirStore.extend(docs(1 to 20), boot, 3L, 10, "s6")
+    assert(sampleIds(boot) === expectIds(1 to 20, "s6", 10))
+    ReservoirStore.extend(docs(1 to 20), boot, 3L, 10, "s6") // replay
+    assert(ReservoirStore.stats(spark, boot)
+      .head.getAs[Long]("n_seen") === 20L)
+  }
+
+  test("sample under capacity when the corpus is smaller; fills to " +
+    "exactly capacity once the corpus passes it") {
+    val p = tmpDir("rs-fill") + "/r"
+    ReservoirStore.write(docs(1 to 8), p, "doc_id", 20, "s7")
+    assert(sampleIds(p).size === 8)
+    ReservoirStore.extend(docs(9 to 200), p, 1L, 20, "s7")
+    assert(sampleIds(p).size === 20)
+    assert(sampleIds(p) === expectIds(1 to 200, "s7", 20))
+  }
+
+  test("reservoirStream ≡ one-shot batch build, whatever the trigger " +
+    "slicing; re-run over the same checkpoint is a ledger no-op") {
+    import graft.streaming.StreamingPipeline
+    val d = docs(1 to 300).localCheckpoint()
+    val src = tmpDir("rs-src")
+    Seq(d.filter(col("doc_id") <= 100),
+      d.filter(col("doc_id") > 100 && col("doc_id") <= 200),
+      d.filter(col("doc_id") > 200))
+      .foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val store = tmpDir("rs-stream") + "/r"
+    val ckpt = tmpDir("rs-ckpt")
+    StreamingPipeline.reservoirStream(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      store, ckpt, capacity = 30, seed = "s9")
+      .awaitTermination()
+    val once = tmpDir("rs-stream-once") + "/r"
+    ReservoirStore.write(d, once, "doc_id", 30, "s9")
+    assert(
+      ReservoirStore.serve(spark, store).orderBy("doc_id")
+        .collect().toSeq ===
+      ReservoirStore.serve(spark, once).orderBy("doc_id")
+        .collect().toSeq)
+    val n1 = ReservoirStore.stats(spark, store)
+      .head.getAs[Long]("n_seen")
+    assert(n1 === 300L)
+    // a restarted stream over the same (exhausted) checkpoint folds
+    // nothing and replays nothing
+    StreamingPipeline.reservoirStream(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      store, ckpt, capacity = 30, seed = "s9")
+      .awaitTermination()
+    assert(ReservoirStore.stats(spark, store)
+      .head.getAs[Long]("n_seen") === 300L)
+  }
+
+  test("plan shape: the batch bottom-k is TakeOrderedAndProject — " +
+    "no global sort") {
+    val plan = docs(1 to 100)
+      .orderBy(ReservoirStore.priorityFor("s8", col("doc_id")),
+        col("doc_id"))
+      .limit(10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject, got:\n$plan")
+  }
+}
