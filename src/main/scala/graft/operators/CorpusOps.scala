@@ -520,6 +520,20 @@ object CorpusOps {
     * corrupt-input stance): a silent drop would skew every inclusion
     * probability downstream.
     */
+  def weightedSample(scored: DataFrame, k: Int, seed: String,
+                     weightCol: String = "quality_score"): DataFrame = {
+    val w = when(col(weightCol) > 0, col(weightCol).cast("double"))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample: non-positive $weightCol for doc_id="),
+        col("doc_id").cast("string"))))
+    val u = (hash32(seed, col("doc_id")) + 1).cast("double") / lit(4294967296.0)
+    scored
+      .select(col("doc_id"), (w / u).as("q"))
+      .select(col("doc_id"), floor(col("q") * 1e6).cast("bigint").as("pr6"))
+      .orderBy(col("pr6").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Rendezvous (highest-random-weight) shard routing — the STABLE
     * doc → shard assignment a growing corpus needs: every document
     * scores each shard with a deterministic priority
@@ -555,9 +569,16 @@ object CorpusOps {
       s"rendezvousRoute: ${shards.size} shards would compile a " +
         "plan-width expression per row — route hierarchically " +
         "(rendezvous to a shard group, then within the group)")
+    // a null id fails loudly (the weightedSample corrupt-input
+    // stance): every priority would be null, greatest null, and the
+    // doc would land in a "shard" no writer owns — a silent misroute
+    val id = when(col(idCol).isNotNull, col(idCol).cast("string"))
+      .otherwise(raise_error(lit(
+        s"rendezvousRoute: null $idCol — the id column must be " +
+          "non-null to route")))
     val keyed = shards.map(s =>
-      concat(md5(concat(lit(seed), lit(":"), lit(s), lit(":"),
-        col(idCol).cast("string"))), lit(s)))
+      concat(md5(concat(lit(seed), lit(":"), lit(s), lit(":"), id)),
+        lit(s)))
     val winner =
       if (keyed.size == 1) keyed.head else greatest(keyed: _*)
     // md5 hex is exactly 32 chars: the suffix past it IS the shard
@@ -565,17 +586,4 @@ object CorpusOps {
       length(winner) - 32))
   }
 
-  def weightedSample(scored: DataFrame, k: Int, seed: String,
-                     weightCol: String = "quality_score"): DataFrame = {
-    val w = when(col(weightCol) > 0, col(weightCol).cast("double"))
-      .otherwise(raise_error(concat(
-        lit(s"weightedSample: non-positive $weightCol for doc_id="),
-        col("doc_id").cast("string"))))
-    val u = (hash32(seed, col("doc_id")) + 1).cast("double") / lit(4294967296.0)
-    scored
-      .select(col("doc_id"), (w / u).as("q"))
-      .select(col("doc_id"), floor(col("q") * 1e6).cast("bigint").as("pr6"))
-      .orderBy(col("pr6").desc, col("doc_id"))
-      .limit(k)
-  }
 }

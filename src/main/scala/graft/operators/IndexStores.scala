@@ -295,23 +295,38 @@ private[graft] object IndexStores {
     else readStore(spark, s"$path/batches")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
 
-  /** Stage one complete sketch-store generation (sketch + meta +
-    * ledger) and swap it in atomically — ONE publish implementation
-    * for both single-object sketch stores, so the ledger and the
-    * sketch stay inseparable and a hardening cannot miss a twin.
+  /** Stage one complete single-artifact store generation (payload +
+    * meta + ledger) under one root and swap it in atomically — ONE
+    * publish implementation for every store of this shape (the sketch
+    * blobs, [[ReservoirStore]]'s sample table), so the ledger and the
+    * artifact stay inseparable and a hardening of the staging/swap
+    * dance cannot miss a twin. `writePayload` receives the staging
+    * root and writes the store's own artifact under it.
     */
-  def publishSketchGeneration(spark: SparkSession, path: String,
-      sketch: Array[Byte], meta: DataFrame,
+  def publishGeneration(spark: SparkSession, path: String,
+      writePayload: String => Unit, meta: DataFrame,
       batches: Seq[(String, Long)]): Unit = {
     import spark.implicits._
     val staging = stagingFor(spark, path)
-    Seq(Tuple1(sketch)).toDF("sketch").coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/sketch")
+    writePayload(staging)
     meta.coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
     if (batches.nonEmpty)
       batches.toDF("producer", "batch_id").coalesce(1)
         .write.mode("overwrite").parquet(s"$staging/batches")
     swapInto(spark, path, staging)
+  }
+
+  /** [[publishGeneration]] with the single-object sketch payload
+    * (both sketch stores' shape).
+    */
+  def publishSketchGeneration(spark: SparkSession, path: String,
+      sketch: Array[Byte], meta: DataFrame,
+      batches: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    publishGeneration(spark, path, staging =>
+      Seq(Tuple1(sketch)).toDF("sketch").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/sketch"),
+      meta, batches)
   }
 
   /** The pruned presence probe both indexes' incremental appends share:

@@ -92,7 +92,8 @@ object LayoutOps {
     * equal resolution), at the cost of being 2-D-only and losing
     * Morton's prefix-is-quadrant property ([[cellsForBox]]'s
     * enumerator stays z-order's; Hilbert cells are audited through
-    * [[cellStats]] occupancy like any layout).
+    * [[cellStats]] occupancy like any layout — pass
+    * `cellCol = "hcell"`).
     *
     * @return df plus `zb_<col>` grid coordinates and `hkey`
     */
@@ -205,13 +206,16 @@ object LayoutOps {
     * (target: cells ≈ files of `maxPartitionBytes`). One partial-agg
     * shuffle on the cell id.
     */
-  def cellStats(layout: DataFrame, cols: Seq[String]): DataFrame = {
+  def cellStats(layout: DataFrame, cols: Seq[String],
+      cellCol: String = "zcell"): DataFrame = {
     val aggs = count(lit(1)).as("cnt") +:
       cols.flatMap { c =>
         Seq(min(col(c).cast("long")).as(s"min_$c"),
           max(col(c).cast("long")).as(s"max_$c"))
       }
-    layout.groupBy("zcell").agg(aggs.head, aggs.tail: _*)
+    // cellCol dials the audit onto either curve's grid: "zcell"
+    // ([[zorderLayout]]) or "hcell" ([[hilbertLayout]])
+    layout.groupBy(cellCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Driver-side enumeration of the z-cells that intersect an

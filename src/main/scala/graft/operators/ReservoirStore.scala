@@ -79,7 +79,8 @@ object ReservoirStore {
       // is RDD-level, after the publish has consumed the plan)
       val pinned = df.localCheckpoint(true)
       val n = pinned.count()
-      publish(spark, path, bottomK(pinned, idCol, capacity, seed),
+      publish(spark, path,
+        dedupMerged(bottomK(pinned, idCol, capacity, seed), idCol),
         ResMeta(idCol, capacity, seed, n, generation = 1L), Seq.empty)
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
@@ -106,7 +107,8 @@ object ReservoirStore {
       try {
         val pinned = df.localCheckpoint(true)
         val n = pinned.count()
-        publish(spark, path, bottomK(pinned, idCol, capacity, seed),
+        publish(spark, path,
+          dedupMerged(bottomK(pinned, idCol, capacity, seed), idCol),
           ResMeta(idCol, capacity, seed, n, generation = 1L),
           Seq((producer, batchId)))
       } finally graft.BenchUtil.releaseNewRdds(sc, before)
@@ -176,21 +178,40 @@ object ReservoirStore {
 
   // ---- internals ----------------------------------------------------
 
-  /** Bottom-`capacity` rows by (priority, id). The sort-limit
+  /** Bottom-`capacity` rows by (priority, id, payload). The sort-limit
     * compiles to TakeOrderedAndProject (per-partition top-k,
     * driver-side k-row merge) — plan-shape spec-pinned; no global
     * sort ever runs. Pure plan: callers own the pin/release window.
+    *
+    * Two hard edges handled IN the sort key: a null id errors loudly
+    * (null sorts FIRST ascending — a null-id row would silently and
+    * permanently occupy the sample, unevictable by any extend; the
+    * zorderKey null-dimension stance), and the payload columns extend
+    * the ordering so equal (priority, id) keys — duplicate ids — cut
+    * deterministically at the limit boundary instead of by partition
+    * order.
     */
   private def bottomK(df: DataFrame, idCol: String, capacity: Int,
-      seed: String): DataFrame =
-    df.orderBy(priorityFor(seed, col(idCol)), col(idCol))
+      seed: String): DataFrame = {
+    val id = when(col(idCol).isNotNull, col(idCol))
+      .otherwise(raise_error(lit(
+        s"reservoir store: null $idCol — the id column is the " +
+          "corpus primary key and must be non-null")))
+    val payload = df.schema.fieldNames.filter(_ != idCol).map(col)
+    df.orderBy(priorityFor(seed, id) +: col(idCol) +: payload.toSeq: _*)
       .limit(capacity)
+  }
 
   /** Collapse exact duplicate rows (a re-ingested id carries the same
     * priority — idempotent by value), then fail LOUDLY on any id left
-    * duplicated: conflicting payloads for one id would make the kept
-    * row an artifact of partition order. Bounded: the merge window is
-    * ≤ 2·capacity rows by construction.
+    * duplicated: conflicting payloads for one id would make the
+    * sample content-ambiguous. Bounded: every input is ≤ 2·capacity
+    * rows by construction (a build's bottom-k, or the stored sample
+    * unioned with a batch's bottom-k). This is a TRIPWIRE within the
+    * sample window, not a corpus-wide uniqueness scan (that would be
+    * a 100 TB shuffle): a conflicting pair cut apart by the bottom-k
+    * boundary goes undetected, but [[bottomK]]'s payload-extended
+    * ordering keeps even that case deterministic.
     */
   private def dedupMerged(merged: DataFrame, idCol: String): DataFrame = {
     val d = merged.distinct()
@@ -230,26 +251,25 @@ object ReservoirStore {
     IndexStores.sketchBatches(spark, path)
 
   /** Stage one complete generation (sample + meta + ledger) under one
-    * root and swap it in atomically — the sketch stores' publish
-    * shape, with a table where they hold a byte blob. The sample is
-    * forced schema-bearing: an empty corpus (or a bootstrap over an
-    * empty first trigger) must leave a READABLE store, not a fileless
+    * root and swap it in atomically — the shared single-artifact
+    * publish ([[IndexStores.publishGeneration]]) with a table where
+    * the sketch stores hold a byte blob. The sample is forced
+    * schema-bearing: an empty corpus (or a bootstrap over an empty
+    * first trigger) must leave a READABLE store, not a fileless
     * directory that bricks every later read.
     */
   private def publish(spark: SparkSession, path: String,
       sample: DataFrame, m: ResMeta,
       batches: Seq[(String, Long)]): Unit = {
     import spark.implicits._
-    val staging = IndexStores.stagingFor(spark, path)
-    sample.coalesce(1).write.mode("overwrite")
-      .parquet(s"$staging/sample")
-    IndexStores.forceSchemaBearing(sample, s"$staging/sample")
-    Seq((m.idCol, m.capacity, m.seed, m.nSeen, m.generation))
-      .toDF("id_col", "capacity", "seed", "n_seen", "generation")
-      .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
-    if (batches.nonEmpty)
-      batches.toDF("producer", "batch_id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$staging/batches")
-    IndexStores.swapInto(spark, path, staging)
+    IndexStores.publishGeneration(spark, path,
+      staging => {
+        sample.coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/sample")
+        IndexStores.forceSchemaBearing(sample, s"$staging/sample")
+      },
+      Seq((m.idCol, m.capacity, m.seed, m.nSeen, m.generation))
+        .toDF("id_col", "capacity", "seed", "n_seen", "generation"),
+      batches)
   }
 }

@@ -955,24 +955,6 @@ object StreamingPipeline {
       }
       .start()
 
-  /** Novelty-gated streaming CURATION
-    * ([[graft.operators.MembershipStore.curateBatch]] per trigger):
-    * the self-reinforcing ingest filter — each trigger keeps only the
-    * documents whose shingle-novelty against everything KEPT SO FAR is
-    * at least `minNoveltyPpm`, lands them under a producer-scoped
-    * batch-tag dir (`outDir/b_<md5(checkpoint)>_<id>_g0` — glob
-    * `outDir/b_*`; idempotent overwrite, and a re-pointed checkpoint
-    * never overwrites another producer's output), and folds the kept
-    * shingles back into the
-    * membership store (ledger-fenced per trigger, checkpoint-scoped).
-    * A near-duplicate arriving ten triggers after its original scores
-    * as seen and is dropped without any corpus read or pairwise join —
-    * the O(batch) streaming complement to the index-served near-dup
-    * legs, trading their exactness for a fixed-memory Bloom filter
-    * (fpp-bounded over-dropping, NEVER under-dropping: no false
-    * negatives). `expectedItems` sizes the filter for the stream's
-    * LIFETIME kept-shingle count — watch `stats().current_fpp`.
-    */
   /** Streaming maintenance of the persisted reservoir sample
     * ([[graft.operators.ReservoirStore]]): each trigger folds one
     * batch into the bounded uniform holdout — bottom-k of the batch
@@ -1001,6 +983,24 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Novelty-gated streaming CURATION
+    * ([[graft.operators.MembershipStore.curateBatch]] per trigger):
+    * the self-reinforcing ingest filter — each trigger keeps only the
+    * documents whose shingle-novelty against everything KEPT SO FAR is
+    * at least `minNoveltyPpm`, lands them under a producer-scoped
+    * batch-tag dir (`outDir/b_<md5(checkpoint)>_<id>_g0` — glob
+    * `outDir/b_*`; idempotent overwrite, and a re-pointed checkpoint
+    * never overwrites another producer's output), and folds the kept
+    * shingles back into the
+    * membership store (ledger-fenced per trigger, checkpoint-scoped).
+    * A near-duplicate arriving ten triggers after its original scores
+    * as seen and is dropped without any corpus read or pairwise join —
+    * the O(batch) streaming complement to the index-served near-dup
+    * legs, trading their exactness for a fixed-memory Bloom filter
+    * (fpp-bounded over-dropping, NEVER under-dropping: no false
+    * negatives). `expectedItems` sizes the filter for the stream's
+    * LIFETIME kept-shingle count — watch `stats().current_fpp`.
+    */
   def noveltyCurationStream(docs: DataFrame, storePath: String,
       outDir: String, checkpoint: String, expectedItems: Long,
       minNoveltyPpm: Long = 500000L, k: Int = 3, fpp: Double = 0.01,

@@ -547,5 +547,12 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.rendezvousRoute(d,
         (0 to 4096).map(i => s"s$i"), "rv")
     }
+    // a null id must error loudly, not land in a null "shard"
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    val eNull = intercept[Exception] {
+      CorpusOps.rendezvousRoute(withNull, Seq("a", "b"), "rv").collect()
+    }
+    assert(eNull.getMessage.contains("null doc_id") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("null doc_id")))
   }
 }

@@ -112,5 +112,11 @@ class HilbertSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LayoutOps.hilbertLayout(d, Seq("a", "b"), bits = 5, cellBits = 11)
     }
+    // the cellStats audit path works on the hilbert grid via cellCol
+    val stats = LayoutOps.cellStats(
+      LayoutOps.hilbertLayout(d, Seq("a", "b"), bits = 5, cellBits = 4),
+      Seq("a", "b"), cellCol = "hcell")
+    assert(stats.columns.contains("hcell"))
+    assert(stats.agg(sum("cnt")).head.getLong(0) === 500L)
   }
 }

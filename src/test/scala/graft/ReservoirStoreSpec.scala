@@ -82,6 +82,34 @@ class ReservoirStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("conflicting payloads"))
   }
 
+  test("a null id errors loudly instead of permanently squatting the " +
+    "sample; a write-time duplicate id with conflicting payload is " +
+    "caught by the same tripwire as extend's") {
+    // null priority would sort FIRST ascending — unevictable forever
+    val withNull = Seq((Some(1L), "a", 1L), (None, "b", 2L))
+      .toDF("doc_id", "body", "n_chars")
+    val eNull = intercept[Exception] {
+      ReservoirStore.write(withNull, tmpDir("rs-null") + "/r",
+        "doc_id", 10, "sN")
+    }
+    assert(eNull.getMessage.contains("null doc_id") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("null doc_id")))
+    // both copies land inside the 10-row sample window -> loud
+    val dup = Seq((1L, "a", 1L), (1L, "CONFLICT", 2L), (2L, "b", 2L))
+      .toDF("doc_id", "body", "n_chars")
+    val eDup = intercept[Exception] {
+      ReservoirStore.write(dup, tmpDir("rs-wdup") + "/r",
+        "doc_id", 10, "sN")
+    }
+    assert(eDup.getMessage.contains("conflicting payloads"))
+    // identical duplicate rows collapse instead of erroring
+    val same = Seq((1L, "a", 1L), (1L, "a", 1L), (2L, "b", 2L))
+      .toDF("doc_id", "body", "n_chars")
+    val p = tmpDir("rs-wsame") + "/r"
+    ReservoirStore.write(same, p, "doc_id", 10, "sN")
+    assert(sampleIds(p) === Seq(1L, 2L))
+  }
+
   test("geometry and payload-schema drift reject loudly; capacity cap " +
     "enforced; id column must exist") {
     val p = tmpDir("rs-geom") + "/r"
