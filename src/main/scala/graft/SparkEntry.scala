@@ -175,6 +175,7 @@ object SparkEntry {
     "multimodal_video_dhash" -> (graft.queries.ExtQueries.multimodalVideoDhash(_, _)),
     "multimodal_scene_changes" -> (graft.queries.ExtQueries.multimodalSceneChanges(_, _)),
     "layout_hilbert" -> (graft.queries.ExtQueries.layoutHilbert(_, _)),
+    "layout_hilbert_box" -> (graft.queries.ExtQueries.layoutHilbertBox(_, _)),
     "layout_zorder" -> (graft.queries.ExtQueries.layoutZorder(_, _)),
     "layout_skipping" -> (graft.queries.ExtQueries.layoutSkipping(_, _)),
     "layout_indexed_box" -> (graft.queries.ExtQueries.layoutIndexedBox(_, _)),

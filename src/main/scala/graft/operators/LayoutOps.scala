@@ -335,6 +335,96 @@ object LayoutOps {
         }
     }
 
+  /** Hilbert cells intersecting an inclusive box — the 2-D twin of
+    * [[cellsForBox]]. `cellBits` must be EVEN: a Hilbert prefix of 2d
+    * bits identifies one depth-d QUADRANT (each curve level consumes
+    * exactly two bits), so an even-prefix cell is an axis-aligned
+    * square whose extent is computable without rotation bookkeeping —
+    * the first curve point of the prefix range
+    * (`d2xy(prefix << 2(bits−d))`) lies inside the quadrant, and
+    * aligning it down to the quadrant grid gives the square. An odd
+    * prefix is HALF a quadrant — a shape that depends on the
+    * orientation state — so it rejects loudly rather than descending
+    * into rotation-tracking complexity ([[hilbertLayout]] still
+    * accepts odd cellBits for stats; only the box enumerator needs the
+    * square property).
+    *
+    * Pruned descent like the z-order trie: a quadrant disjoint from
+    * the box prunes its whole subtree — O(result · depth) d2xy calls,
+    * never the 2^cellBits grid scan (spec-checked against the
+    * exhaustive ground truth).
+    */
+  def hilbertCellsForBox(mins: Seq[Long], maxs: Seq[Long],
+      box: Seq[(Long, Long)], bits: Int = 8, cellBits: Int = 8,
+      clamp: Boolean = false): Seq[Long] = {
+    require(mins.size == 2 && maxs.size == 2 && box.size == 2,
+      "hilbertCellsForBox is the 2-D curve's enumerator")
+    require(cellBits >= 2 && cellBits <= 2 * bits && cellBits % 2 == 0,
+      s"cellBits=$cellBits must be EVEN in [2, ${2 * bits}] — an odd " +
+        "hilbert prefix is half a quadrant, not a square; use the " +
+        "next even width")
+    boxGrid(mins, maxs, box, bits, clamp) match {
+      case None => Seq.empty
+      case Some((lo, hi)) =>
+        val depthMax = cellBits / 2
+        val out = Seq.newBuilder[Long]
+        def intersects(prefix: Long, depth: Int): Boolean = {
+          val shift = bits - depth
+          val (px, py) = graft.functions.HilbertIndex
+            .d2xy(prefix << (2 * shift), bits)
+          val x0 = (px >> shift) << shift
+          val y0 = (py >> shift) << shift
+          val side = 1L << shift
+          x0 + side - 1 >= lo(0) && x0 <= hi(0) &&
+            y0 + side - 1 >= lo(1) && y0 <= hi(1)
+        }
+        def descend(prefix: Long, depth: Int): Unit =
+          if (intersects(prefix, depth)) {
+            if (depth == depthMax) out += prefix
+            else (0L until 4L).foreach(q =>
+              descend((prefix << 2) | q, depth + 1))
+          }
+        descend(0L, 0)
+        out.result()
+    }
+  }
+
+  /** Physical Hilbert layout write — [[write]]'s shape on the hilbert
+    * grid: one shuffle on `hcell`, rows sorted by full hkey inside
+    * each cell, one directory per cell. Along the Hilbert curve every
+    * cell is one CONNECTED square region, so a box reader opens fewer
+    * directories than the same-resolution z-order layout on
+    * boundary-crossing boxes.
+    */
+  def writeHilbert(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int = 8, cellBits: Int = 8): Unit = {
+    require(cellBits % 2 == 0,
+      s"cellBits=$cellBits must be even — [[hilbertCellsForBox]] " +
+        "needs square cells to enumerate box reads")
+    hilbertLayout(df, cols, bits, cellBits)
+      .repartition(col("hcell"))
+      .sortWithinPartitions("hcell", "hkey")
+      .write.partitionBy("hcell").mode("overwrite").parquet(path)
+  }
+
+  /** Box query against a [[writeHilbert]] layout: prune to
+    * intersecting cells (partition-directory pruning on `hcell`), then
+    * the exact predicate — provably equal to the full-scan filter,
+    * reading only the pruned directories.
+    */
+  def readBoxHilbert(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String], mins: Seq[Long], maxs: Seq[Long],
+      box: Seq[(Long, Long)], bits: Int = 8,
+      cellBits: Int = 8): DataFrame = {
+    val cells = hilbertCellsForBox(mins, maxs, box, bits, cellBits)
+    val exact = cols.zip(box).map { case (c, (l, h)) =>
+      col(c).cast("long") >= l && col(c).cast("long") <= h
+    }.reduce(_ && _)
+    spark.read.parquet(path)
+      .filter(col("hcell").isin(cells: _*))
+      .filter(exact)
+  }
+
   /** Physical layout write: one shuffle on the cell id, rows sorted by
     * full zkey inside each cell, one directory per cell
     * (`zcell=<id>/`). A reader filtering on `zcell isin cellsForBox(…)`

@@ -2155,6 +2155,18 @@ object ExtOracles {
          |       hkey >> 8 AS hcell
          |FROM zk JOIN hk USING (event_id) ORDER BY event_id""".stripMargin,
 
+    // the hilbert-pruned box read must equal the plain full-scan
+    // filter — the soundness contract of the physical layout (same
+    // posture as layout_indexed_box; the pruning is plan-side only)
+    "layout_hilbert_box" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS tsm
+        |FROM events
+        |WHERE user_id BETWEEN 30 AND 59
+        |  AND epoch_us(CAST(ts AS TIMESTAMP))
+        |      BETWEEN 1704672000000000 AND 1705276799999999
+        |ORDER BY event_id""".stripMargin,
+
     // replays ExtQueries.layoutSkipping: per-cell occupancy +
     // per-dimension min/max over the same z-grid, and the min/max
     // pruning decision for the fixed query box (user 30-59 ×

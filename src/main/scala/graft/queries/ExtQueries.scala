@@ -2040,6 +2040,39 @@ object ExtQueries {
       .select("event_id", "zb_user_id", "zb_tsm", "hkey", "hcell")
       .orderBy("event_id")
 
+  /** The fixed query box of [[layoutSkipping]], answered from a
+    * PHYSICAL Hilbert layout ([[graft.operators.LayoutOps
+    * .readBoxHilbert]]): pruned-descent cell enumeration over the
+    * square quadrants → partition-directory-pruned scan → exact
+    * predicate. The oracle is the plain full-scan SQL filter —
+    * hash-green is the soundness contract (the pruned read returns
+    * EXACTLY the full scan's rows); the locality advantage (fewer,
+    * connected directories per box) is spec-measured.
+    */
+  def layoutHilbertBox(spark: SparkSession, dir: String): DataFrame = {
+    val path = hilbertBoxCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-hilbert-box").toString
+      graft.operators.LayoutOps.writeHilbert(
+        eventsDims(spark, dir).select("event_id", "user_id", "tsm"),
+        s"$root/lay", Seq("user_id", "tsm"), bits = 8, cellBits = 8)
+      root
+    }
+    val b = eventsDims(spark, dir)
+      .agg(min("user_id"), max("user_id"), min("tsm"), max("tsm")).head
+    graft.operators.LayoutOps.readBoxHilbert(spark, s"$path/lay",
+      Seq("user_id", "tsm"),
+      mins = Seq(b.getLong(0), b.getLong(2)),
+      maxs = Seq(b.getLong(1), b.getLong(3)),
+      box = Seq((30L, 59L), (1704672000000000L, 1705276799999999L)),
+      bits = 8, cellBits = 8)
+      .select("event_id", "user_id", "tsm")
+      .orderBy("event_id")
+  }
+
+  private val hilbertBoxCache =
+    new SessionCache[String](SessionCache.deleteTree)
+
   /** Data-skipping audit over the z-order layout: per-cell occupancy +
     * per-dimension min/max ([[graft.operators.LayoutOps.cellStats]]),
     * plus `hit` — whether the cell's observed ranges intersect a fixed

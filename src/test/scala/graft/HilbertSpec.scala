@@ -119,4 +119,70 @@ class HilbertSpec extends SparkSpec {
     assert(stats.columns.contains("hcell"))
     assert(stats.agg(sum("cnt")).head.getLong(0) === 500L)
   }
+
+  test("hilbertCellsForBox equals the exhaustive grid ground truth " +
+    "on every sampled box; disjoint box is empty; odd cellBits " +
+    "rejects loudly") {
+    // mins=(0,0), maxs=(31,31) at bits=5 → width 1: grid coords ARE
+    // the values, so the ground truth enumerates every point directly
+    val b5 = 5; val cb = 6
+    def truth(box: Seq[(Long, Long)]): Seq[Long] =
+      (for (x <- box(0)._1 to box(0)._2; y <- box(1)._1 to box(1)._2)
+        yield HilbertIndex.xy2d(x, y, b5) >> (2 * b5 - cb))
+        .distinct.sorted
+    val boxes = Seq(
+      Seq((0L, 31L), (0L, 31L)),   // whole grid
+      Seq((8L, 15L), (8L, 15L)),   // quadrant-aligned
+      Seq((13L, 19L), (2L, 29L)),  // center-crossing sliver
+      Seq((31L, 31L), (0L, 0L)),   // single corner point
+      Seq((5L, 6L), (25L, 26L)))
+    boxes.foreach { box =>
+      val got = LayoutOps.hilbertCellsForBox(Seq(0L, 0L),
+        Seq(31L, 31L), box, bits = b5, cellBits = cb)
+      assert(got === truth(box), s"box $box")
+    }
+    assert(LayoutOps.hilbertCellsForBox(Seq(0L, 0L), Seq(31L, 31L),
+      Seq((40L, 50L), (0L, 5L)), bits = b5, cellBits = cb).isEmpty)
+    intercept[IllegalArgumentException] {
+      LayoutOps.hilbertCellsForBox(Seq(0L, 0L), Seq(31L, 31L),
+        Seq((0L, 1L), (0L, 1L)), bits = b5, cellBits = 5)
+    }
+  }
+
+  test("writeHilbert + readBoxHilbert equals the full-scan filter " +
+    "and prunes directories; hilbert opens no more cells than " +
+    "z-order averaged over a box sweep") {
+    val pts = (0 until 2000).map(i =>
+      (i.toLong, (i * 131 % 512).toLong, (i * 113 % 512).toLong))
+    val df = pts.toDF("id", "x", "y")
+    val dir = tmpDir("hilbert") + "/layout"
+    LayoutOps.writeHilbert(df, dir, Seq("x", "y"), bits = 8,
+      cellBits = 6)
+    val mins = Seq(pts.map(_._2).min, pts.map(_._3).min)
+    val maxs = Seq(pts.map(_._2).max, pts.map(_._3).max)
+    val box = Seq((100L, 300L), (50L, 400L))
+    val got = LayoutOps.readBoxHilbert(spark, dir, Seq("x", "y"),
+      mins, maxs, box, bits = 8, cellBits = 6)
+    val want = df.filter(col("x").between(box(0)._1, box(0)._2) &&
+      col("y").between(box(1)._1, box(1)._2))
+    assert(got.select("x", "y").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      want.collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[.*hcell.*"),
+      s"hcell filter not pushed to partition pruning:\n$plan")
+    // locality: averaged over a sweep of 8×8 boxes on a 32×32 grid,
+    // the hilbert decomposition opens no more cells than z-order at
+    // the same (bits, cellBits) — squares beat z's split regions on
+    // boundary-crossing boxes (a measured instance, not a theorem)
+    val sweep = for (x0 <- 0L until 24L by 4L; y0 <- 0L until 24L by 4L)
+      yield Seq((x0, x0 + 7L), (y0, y0 + 7L))
+    val (hTot, zTot) = sweep.foldLeft((0, 0)) { case ((h, z), b) =>
+      (h + LayoutOps.hilbertCellsForBox(Seq(0L, 0L), Seq(31L, 31L),
+        b, bits = 5, cellBits = 6).size,
+       z + LayoutOps.cellsForBox(Seq(0L, 0L), Seq(31L, 31L),
+        b, bits = 5, cellBits = 6).size)
+    }
+    assert(hTot <= zTot, s"hilbert opened $hTot cells vs z-order $zTot")
+  }
 }
