@@ -377,6 +377,70 @@ object ScaleProbe {
         BenchUtil.releaseNewRdds(sc, before)
       }
     }
+    // 8. reservoir-store extend is O(batch + capacity), not O(n_seen)
+    //    — the monoid claim, measured: fold an IDENTICAL 5k batch into
+    //    stores seeded from corpora ~10x apart; extend cost must stay
+    //    flat while n_seen grows 10x.
+    locally {
+      import graft.operators.ReservoirStore
+      for (dir <- dirs) {
+        val sf = dir.split('/').last
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val docs = graft.sources.Tables.documents(spark, dir)
+          .select("doc_id", "lang", "n_chars")
+        val path = java.nio.file.Files
+          .createTempDirectory("probe-res").toString + "/store"
+        val tBuild = secs(
+          ReservoirStore.write(docs, path, "doc_id", 1000, "probe"))
+        val batch = docs.limit(5000)
+          .withColumn("doc_id", org.apache.spark.sql.functions
+            .col("doc_id") + 1000000000L)
+          .localCheckpoint()
+        val tExt = (1 to 3).map(i => secs(ReservoirStore.extend(
+          batch, path, 100L + i, 1000, "probe"))).min
+        val seen = ReservoirStore.stats(spark, path)
+          .head.getAs[Long]("n_seen")
+        println(f"[scaleprobe] $sf reservoir n_seen=$seen%8d " +
+          f"build=$tBuild%.2fs extend5k=$tExt%.3fs")
+        BenchUtil.releaseNewRdds(sc, before)
+      }
+    }
+
+    // 9. rendezvous routing cost is O(S) per row (plan-width md5
+    //    fold), with zero shuffle at any S — the hierarchical-routing
+    //    dial's empirical basis.
+    locally {
+      import graft.operators.CorpusOps
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val docs = graft.sources.Tables.documents(spark, dirs.last)
+        .select("doc_id").localCheckpoint()
+      val n = docs.count()
+      for (s <- Seq(8, 64, 512)) {
+        val shards = (0 until s).map(i => f"s$i%04d")
+        val t = BenchUtil.minOf(3)(BenchUtil.sink(
+          CorpusOps.rendezvousRoute(docs, shards, "probe")))
+        println(f"[scaleprobe] rendezvous rows=$n%8d shards=$s%4d " +
+          f"route=$t%.3fs")
+      }
+      BenchUtil.releaseNewRdds(sc, before)
+    }
+
+    // 10. hilbert box enumeration is O(result · depth), never the
+    //     2^cellBits grid scan: a 1/64-area box on a 2^16-cell grid
+    //     must touch ~1k cells in milliseconds.
+    locally {
+      import graft.operators.LayoutOps
+      val bits = 16; val cellBits = 16
+      val side = 1L << bits
+      val box = Seq((side / 4, side / 4 + side / 8 - 1),
+        (side / 2, side / 2 + side / 8 - 1))
+      val t0 = System.nanoTime()
+      val cells = LayoutOps.hilbertCellsForBox(
+        Seq(0L, 0L), Seq(side - 1, side - 1), box, bits, cellBits)
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[scaleprobe] hilbert box cells=${cells.size}%6d of " +
+        f"${1L << cellBits}%8d enumerate=$ms%.1fms")
+    }
     spark.stop()
   }
 }

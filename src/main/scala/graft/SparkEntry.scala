@@ -129,6 +129,7 @@ object SparkEntry {
     "text_quality_score" -> (graft.queries.ExtQueries.textQualityScore(_, _)),
     "events_anomaly" -> (eventsAnomaly(_, _)),
     "events_retention" -> (eventsRetention(_, _)),
+    "sample_reservoir_groups" -> (graft.queries.ExtQueries.sampleReservoirGroups(_, _)),
     "sample_reservoir_store" -> (graft.queries.ExtQueries.sampleReservoirStore(_, _)),
     "sample_stratified" -> (graft.queries.ExtQueries.sampleStratified(_, _)),
     "sample_weighted" -> (graft.queries.ExtQueries.sampleWeighted(_, _)),

@@ -44,6 +44,14 @@ import org.apache.spark.sql.types.StructType
   * ≤ capacity rows. `capacity` is driver-bounded memory — capped
   * loudly by `spark.graft.reservoir.capacityCap` (default 1 000 000),
   * the queue-snapshot-cap posture.
+  *
+  * GROUPED mode (`groupCol` non-empty): `capacity` rows PER GROUP —
+  * the per-language eval holdout. The per-group ranking runs through
+  * the bounded [[graft.functions.TopKStrAgg]] partials (≤ capacity
+  * pairs per (group, task) cross one exchange — never a window, which
+  * would sort a dominant stratum in one task), and the merge lemma
+  * holds per group, so extends stay O(batch). Every bound above
+  * scales by the group count.
   */
 object ReservoirStore {
 
@@ -51,7 +59,7 @@ object ReservoirStore {
     * SAME priorities or rejects loudly.
     */
   final case class ResMeta(idCol: String, capacity: Int, seed: String,
-      nSeen: Long, generation: Long)
+      nSeen: Long, generation: Long, groupCol: String = "")
 
   private val capacityCapKey = "spark.graft.reservoir.capacityCap"
 
@@ -69,9 +77,9 @@ object ReservoirStore {
     * producers across it (the family's rebuild posture).
     */
   def write(df: DataFrame, path: String, idCol: String,
-      capacity: Int, seed: String): Unit = {
+      capacity: Int, seed: String, groupCol: String = ""): Unit = {
     val spark = df.sparkSession
-    requireGeometry(spark, df.schema, idCol, capacity)
+    requireGeometry(spark, df.schema, idCol, capacity, groupCol)
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     try {
@@ -80,8 +88,10 @@ object ReservoirStore {
       val pinned = df.localCheckpoint(true)
       val n = pinned.count()
       publish(spark, path,
-        dedupMerged(bottomK(pinned, idCol, capacity, seed), idCol),
-        ResMeta(idCol, capacity, seed, n, generation = 1L), Seq.empty)
+        dedupMerged(bottomK(pinned, idCol, capacity, seed, groupCol),
+          idCol),
+        ResMeta(idCol, capacity, seed, n, generation = 1L, groupCol),
+        Seq.empty)
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
@@ -94,10 +104,10 @@ object ReservoirStore {
     */
   def extend(df: DataFrame, path: String, batchId: Long,
       capacity: Int, seed: String, idCol: String = "doc_id",
-      producer: String = "default"): Unit = {
+      producer: String = "default", groupCol: String = ""): Unit = {
     val spark = df.sparkSession
     IndexStores.healRoot(spark, path)
-    requireGeometry(spark, df.schema, idCol, capacity)
+    requireGeometry(spark, df.schema, idCol, capacity, groupCol)
     if (!IndexStores.hasStore(spark, s"$path/sample")) {
       // bootstrap: sample, meta AND ledger land in ONE staged swap —
       // a ledger written separately would open a crash window where
@@ -108,17 +118,20 @@ object ReservoirStore {
         val pinned = df.localCheckpoint(true)
         val n = pinned.count()
         publish(spark, path,
-          dedupMerged(bottomK(pinned, idCol, capacity, seed), idCol),
-          ResMeta(idCol, capacity, seed, n, generation = 1L),
+          dedupMerged(bottomK(pinned, idCol, capacity, seed, groupCol),
+            idCol),
+          ResMeta(idCol, capacity, seed, n, generation = 1L, groupCol),
           Seq((producer, batchId)))
       } finally graft.BenchUtil.releaseNewRdds(sc, before)
       return
     }
     val m = metaOf(spark, path)
-    require(m.idCol == idCol && m.capacity == capacity && m.seed == seed,
+    require(m.idCol == idCol && m.capacity == capacity &&
+        m.seed == seed && m.groupCol == groupCol,
       s"reservoir store at $path was built as (idCol=${m.idCol}, " +
-        s"capacity=${m.capacity}, seed=${m.seed}); extend declared " +
-        s"(idCol=$idCol, capacity=$capacity, seed=$seed)")
+        s"capacity=${m.capacity}, seed=${m.seed}, " +
+        s"groupCol=${m.groupCol}); extend declared (idCol=$idCol, " +
+        s"capacity=$capacity, seed=$seed, groupCol=$groupCol)")
     val stored = IndexStores.readStore(spark, s"$path/sample")
     // catalogString: name/type/order-sensitive, nullability-blind —
     // the parquet round-trip relaxes every field to nullable, which
@@ -137,9 +150,10 @@ object ReservoirStore {
       val n = pinned.count()
       val merged = bottomK(
         dedupMerged(
-          stored.unionByName(bottomK(pinned, idCol, capacity, seed)),
+          stored.unionByName(
+            bottomK(pinned, idCol, capacity, seed, groupCol)),
           idCol),
-        idCol, capacity, seed)
+        idCol, capacity, seed, groupCol)
       // single-writer tripwire (the sketch-store posture): a second
       // producer folding batches concurrently would base its publish
       // on a stale sample and silently drop the other's rows
@@ -149,7 +163,8 @@ object ReservoirStore {
           s"${m.generation} -> $gNow) during extend — a second " +
           "concurrent writer is folding batches; serialise producers")
       publish(spark, path, merged,
-        ResMeta(idCol, capacity, seed, m.nSeen + n, m.generation + 1L),
+        ResMeta(idCol, capacity, seed, m.nSeen + n, m.generation + 1L,
+          groupCol),
         applied :+ ((producer, batchId)))
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
@@ -192,14 +207,48 @@ object ReservoirStore {
     * order.
     */
   private def bottomK(df: DataFrame, idCol: String, capacity: Int,
-      seed: String): DataFrame = {
+      seed: String, groupCol: String = ""): DataFrame = {
     val id = when(col(idCol).isNotNull, col(idCol))
       .otherwise(raise_error(lit(
         s"reservoir store: null $idCol — the id column is the " +
           "corpus primary key and must be non-null")))
-    val payload = df.schema.fieldNames.filter(_ != idCol).map(col)
-    df.orderBy(priorityFor(seed, id) +: col(idCol) +: payload.toSeq: _*)
-      .limit(capacity)
+    if (groupCol.isEmpty) {
+      val payload = df.schema.fieldNames.filter(_ != idCol).map(col)
+      df.orderBy(
+        priorityFor(seed, id) +: col(idCol) +: payload.toSeq: _*)
+        .limit(capacity)
+    } else groupedBottomK(df, idCol, capacity, seed, groupCol, id)
+  }
+
+  /** Per-group bottom-`capacity`: the ranking runs through
+    * [[graft.functions.TopKStrAgg]] — bounded map-side partials over
+    * the full md5 priority, ≤ capacity (priority, id) pairs per
+    * (group, task) cross the ONE exchange — NOT a window (per-group
+    * sampling over a real crawl has half the corpus in one group; a
+    * window sorts that stratum in one task). Winner ids come back as
+    * a ≤ groups·capacity broadcast semi-join that recovers the full
+    * payload rows, so every copy of a duplicated winner id reaches
+    * [[dedupMerged]]'s conflict tripwire (the grouped path has no
+    * boundary-split blind spot). A null group is its own group — a
+    * data-quality signal the sample EXPOSES, like the histogram's
+    * null bin, not an error.
+    */
+  private def groupedBottomK(df: DataFrame, idCol: String,
+      capacity: Int, seed: String, groupCol: String,
+      id: Column): DataFrame = {
+    require(df.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"grouped reservoir needs a BIGINT $idCol — the bounded " +
+        "per-group ranking carries (priority, id) pairs")
+    val topk = udaf(new graft.functions.TopKStrAgg(capacity))
+    val winners = df
+      .select(col(groupCol).as("__g"),
+        priorityFor(seed, id).as("__pri"), col(idCol))
+      .groupBy("__g")
+      .agg(topk(col("__pri"), col(idCol)).as("top"))
+      .select(explode(col("top").getField("rows")).as("r"))
+      .select(col("r").getField("_2").as(idCol))
+    df.join(broadcast(winners.distinct()), Seq(idCol), "left_semi")
   }
 
   /** Collapse exact duplicate rows (a re-ingested id carries the same
@@ -226,10 +275,13 @@ object ReservoirStore {
   }
 
   private def requireGeometry(spark: SparkSession, schema: StructType,
-      idCol: String, capacity: Int): Unit = {
+      idCol: String, capacity: Int, groupCol: String = ""): Unit = {
     require(schema.fieldNames.contains(idCol),
       s"reservoir store: id column '$idCol' is absent from the " +
         s"payload schema ${schema.simpleString}")
+    require(groupCol.isEmpty || schema.fieldNames.contains(groupCol),
+      s"reservoir store: group column '$groupCol' is absent from " +
+        s"the payload schema ${schema.simpleString}")
     val cap = spark.conf.getOption(capacityCapKey)
       .map(_.toLong).getOrElse(1000000L)
     require(capacity >= 1 && capacity <= cap,
@@ -243,7 +295,7 @@ object ReservoirStore {
     val r = IndexStores.readStore(spark, s"$path/meta").head
     ResMeta(r.getAs[String]("id_col"), r.getAs[Int]("capacity"),
       r.getAs[String]("seed"), r.getAs[Long]("n_seen"),
-      r.getAs[Long]("generation"))
+      r.getAs[Long]("generation"), r.getAs[String]("group_col"))
   }
 
   private def appliedBatches(spark: SparkSession,
@@ -268,8 +320,10 @@ object ReservoirStore {
           .parquet(s"$staging/sample")
         IndexStores.forceSchemaBearing(sample, s"$staging/sample")
       },
-      Seq((m.idCol, m.capacity, m.seed, m.nSeen, m.generation))
-        .toDF("id_col", "capacity", "seed", "n_seen", "generation"),
+      Seq((m.idCol, m.capacity, m.seed, m.nSeen, m.generation,
+        m.groupCol))
+        .toDF("id_col", "capacity", "seed", "n_seen", "generation",
+          "group_col"),
       batches)
   }
 }

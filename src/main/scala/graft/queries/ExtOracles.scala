@@ -1571,6 +1571,25 @@ object ExtOracles {
         |             ELSE 0.1 END) * 65536
         |ORDER BY doc_id""".stripMargin,
 
+    // replays the GROUPED reservoir as a per-lang window over the RAW
+    // table: bottom-40 by (md5 priority, id) per language — the gate
+    // built it write(evens) -> extend(odds) through the bounded
+    // TopKStrAgg ranking, so a hash match proves that ranking exact
+    // AND the per-group merge lemma end-to-end
+    "sample_reservoir_groups" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         md5('rsg:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY k, doc_id) AS rn
+        |  FROM keyed
+        |)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 40
+        |ORDER BY doc_id""".stripMargin,
+
     // replays ReservoirStore's one priority definition over the RAW
     // table: hex md5('rs10:' || id) compared as a string, bottom-200
     // by (priority, id) — the gate built the sample write(evens) →

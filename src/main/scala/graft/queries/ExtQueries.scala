@@ -2648,6 +2648,39 @@ object ExtQueries {
       .serve(spark, reservoirStorePath(spark, dir))
       .orderBy("doc_id")
 
+  /** GROUPED persisted reservoir — capacity rows PER LANGUAGE
+    * ([[graft.operators.ReservoirStore]] with `groupCol`): the
+    * per-language eval holdout, built over the even doc_ids and
+    * extended with the odd ones like the global gate, so hash-green
+    * proves the per-group merge lemma (the TopKStrAgg bounded
+    * ranking ≡ the oracle's window replay, group by group) through
+    * the O(batch) maintenance path.
+    */
+  def sampleReservoirGroups(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.operators.ReservoirStore
+      .serve(spark, reservoirGroupsPath(spark, dir))
+      .orderBy("doc_id")
+
+  private def reservoirGroupsPath(spark: SparkSession,
+      dir: String): String =
+    reservoirGroupsCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-reservoir-groups").toString
+      val docs = Tables.documents(spark, dir)
+        .select("doc_id", "lang", "n_chars")
+      graft.operators.ReservoirStore.write(
+        docs.filter(col("doc_id") % 2 === 0), s"$root/r",
+        "doc_id", capacity = 40, seed = "rsg", groupCol = "lang")
+      graft.operators.ReservoirStore.extend(
+        docs.filter(col("doc_id") % 2 === 1), s"$root/r",
+        batchId = 1L, capacity = 40, seed = "rsg", groupCol = "lang")
+      root
+    } + "/r"
+
+  private val reservoirGroupsCache =
+    new SessionCache[String](SessionCache.deleteTree)
+
   private val reservoirStoreCache =
     new SessionCache[String](SessionCache.deleteTree)
   private def reservoirStorePath(spark: SparkSession,

@@ -969,7 +969,7 @@ object StreamingPipeline {
     */
   def reservoirStream(docs: DataFrame, storePath: String,
       checkpoint: String, capacity: Int, seed: String,
-      idCol: String = "doc_id",
+      idCol: String = "doc_id", groupCol: String = "",
       trigger: Trigger = Trigger.AvailableNow(), producer: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -978,7 +978,8 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.ReservoirStore.extend(batch, storePath,
           batchId, capacity, seed, idCol = idCol,
-          producer = producerFor(producer, checkpoint))
+          producer = producerFor(producer, checkpoint),
+          groupCol = groupCol)
         ()
       }
       .start()

@@ -199,6 +199,81 @@ class ReservoirStoreSpec extends SparkSpec {
       .head.getAs[Long]("n_seen") === 300L)
   }
 
+  private def groupDocs(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, if (i % 10 == 0) "de" else "en",
+      (i * 37 % 500).toLong))
+      .toDF("doc_id", "lang", "n_chars")
+
+  test("grouped mode: capacity rows PER group, any batch split ≡ " +
+    "one-shot build, dominated stratum kept whole") {
+    val all = 1 to 400 // en ~360, de 40
+    val once = tmpDir("rsg-once") + "/r"
+    ReservoirStore.write(groupDocs(all), once, "doc_id", 15, "g1",
+      groupCol = "lang")
+    val inc = tmpDir("rsg-inc") + "/r"
+    ReservoirStore.write(groupDocs(1 to 100), inc, "doc_id", 15, "g1",
+      groupCol = "lang")
+    ReservoirStore.extend(groupDocs(101 to 400), inc, 1L, 15, "g1",
+      groupCol = "lang")
+    val a = ReservoirStore.serve(spark, once)
+      .orderBy("doc_id").collect().toSeq
+    val b = ReservoirStore.serve(spark, inc)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // per-group sizes: exactly capacity for both groups (de has 40)
+    val sizes = ReservoirStore.serve(spark, once)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("en" -> 15L, "de" -> 15L))
+    // per-group bottom-k matches the window-replay definition
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = all.map(i => (i.toLong, if (i % 10 == 0) "de" else "en"))
+      .groupBy(_._2).flatMap { case (_, g) =>
+        g.map(t => (md5hex(s"g1:${t._1}"), t._1)).sorted.take(15)
+          .map(_._2)
+      }.toSeq.sorted
+    assert(a.map(_.getLong(0)) === want)
+    // a group smaller than capacity is kept whole
+    val small = tmpDir("rsg-small") + "/r"
+    ReservoirStore.write(groupDocs(1 to 30), small, "doc_id", 15, "g1",
+      groupCol = "lang")
+    val s2 = ReservoirStore.serve(spark, small)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2 === Map("en" -> 15L, "de" -> 3L))
+  }
+
+  test("grouped mode guards: groupCol must exist, geometry drift " +
+    "(grouped vs global) rejects, plan has no Window and bounded " +
+    "partials before one exchange") {
+    val p = tmpDir("rsg-guard") + "/r"
+    intercept[IllegalArgumentException] {
+      ReservoirStore.write(groupDocs(1 to 20), p, "doc_id", 5, "g2",
+        groupCol = "nope")
+    }
+    ReservoirStore.write(groupDocs(1 to 20), p, "doc_id", 5, "g2",
+      groupCol = "lang")
+    val e = intercept[IllegalArgumentException] {
+      ReservoirStore.extend(groupDocs(21 to 30), p, 1L, 5, "g2")
+    }
+    assert(e.getMessage.contains("groupCol"))
+    // the winner-selection plan: ObjectHashAggregate partials (the
+    // typed top-k), never a Window
+    val d = groupDocs(1 to 100)
+    val topk = org.apache.spark.sql.functions
+      .udaf(new graft.functions.TopKStrAgg(5))
+    val agg = d.select(col("lang"),
+      ReservoirStore.priorityFor("g2", col("doc_id")).as("p"),
+      col("doc_id"))
+      .groupBy("lang").agg(topk(col("p"), col("doc_id")))
+    val ps = agg.queryExecution.executedPlan.toString
+    assert(!ps.contains("Window"), s"grouped ranking must not window:\n$ps")
+    assert(ps.contains("ObjectHashAggregate") ||
+      ps.contains("SortAggregate"), s"expected typed agg partials:\n$ps")
+  }
+
   test("plan shape: the batch bottom-k is TakeOrderedAndProject — " +
     "no global sort") {
     val plan = docs(1 to 100)
