@@ -179,6 +179,7 @@ object SparkEntry {
     "layout_hilbert_box" -> (graft.queries.ExtQueries.layoutHilbertBox(_, _)),
     "layout_zorder" -> (graft.queries.ExtQueries.layoutZorder(_, _)),
     "layout_skipping" -> (graft.queries.ExtQueries.layoutSkipping(_, _)),
+    "layout_store_hilbert" -> (graft.queries.ExtQueries.layoutStoreHilbert(_, _)),
     "layout_indexed_box" -> (graft.queries.ExtQueries.layoutIndexedBox(_, _)),
     "join_bucketed" -> (graft.queries.ExtQueries.joinBucketed(_, _)),
     "bucket_pruned_lookup" -> (graft.queries.ExtQueries.bucketPrunedLookup(_, _)),

@@ -555,10 +555,12 @@ object CorpusOps {
     * Scale shape: a PURE PROJECTION — S md5 calls per row folded by
     * `greatest`, no join, no shuffle, no shard-list broadcast beyond
     * the plan literals (plan-shape spec-pinned: zero Exchange). Cost
-    * is O(S) per row: fine to a few thousand shards; past that, route
-    * hierarchically (rendezvous to a shard GROUP, then within it) —
-    * the require's message says so rather than letting a 100k-shard
-    * list compile a 100k-wide expression.
+    * is O(S) per row — measured (ScaleProbe) at ~1 µs/shard/row up to
+    * 64 shards and ~2 µs/shard/row at 512 (the md5 fold outgrows one
+    * whole-stage-codegen method) — so route hierarchically (rendezvous
+    * to a shard GROUP, then within it: 2·√S hashes/row) once S passes
+    * a few hundred; the require's hard 4096 cap says so rather than
+    * letting a 100k-shard list compile a 100k-wide expression.
     */
   def rendezvousRoute(docs: DataFrame, shards: Seq[String],
                       seed: String, idCol: String = "doc_id"): DataFrame = {

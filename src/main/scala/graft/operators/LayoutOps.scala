@@ -166,8 +166,14 @@ object LayoutOps {
     */
   private[operators] def encodeWithBounds(df: DataFrame, cols: Seq[String],
       mins: Seq[Long], maxs: Seq[Long], bits: Int,
-      cellBits: Int): DataFrame = {
+      cellBits: Int, curve: String = "z"): DataFrame = {
     require(cols.nonEmpty && mins.size == cols.size && maxs.size == cols.size)
+    require(curve == "z" || curve == "hilbert",
+      s"unknown layout curve '$curve' — \"z\" or \"hilbert\"")
+    require(curve == "z" || cols.size == 2,
+      "the hilbert curve is 2-D; use curve=\"z\" for 3+ dimensions")
+    // hilbert key width is 2·bits — identical to the z keyBits at the
+    // curve's mandatory n = 2, so ONE width expression serves both
     val keyBits = bits * cols.size
     require(cellBits >= 1 && cellBits <= keyBits)
     requireRangesFit(cols, mins, maxs)
@@ -181,8 +187,19 @@ object LayoutOps {
           s"(least(greatest(cast($c as long), ${mins(i)}L), " +
           s"${maxs(i)}L) - ${mins(i)}L) div ${w}L)"))
     }
+    // curve-generic column names (zkey/zcell): the store machinery —
+    // sidecar, compaction, partition pruning — is curve-blind; only
+    // the key expression and the box enumerator differ
+    val key =
+      if (curve == "z") interleave(cols, bits)
+      else {
+        import org.apache.spark.sql.graftshim.ColumnBridge._
+        column(graft.functions.HilbertIndex(
+          expression(col(s"zb_${cols(0)}")),
+          expression(col(s"zb_${cols(1)}")), bits))
+      }
     withB
-      .withColumn("zkey", interleave(cols, bits))
+      .withColumn("zkey", key)
       .withColumn("zcell", shiftright(col("zkey"), keyBits - cellBits))
   }
 

@@ -3,10 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persisted z-order layout with the full ingest lifecycle — the
-  * fourth member of the persisted-artifact family ([[VectorIndex]],
-  * [[BandIndex]], [[ContaminationIndex]]), sharing [[IndexStores]]'
-  * tombstone / staged-swap / presence machinery.
+/** Persisted space-filling-curve layout (z-order by default, hilbert
+  * via `curve`) with the full ingest lifecycle — the fourth member of
+  * the persisted-artifact family ([[VectorIndex]], [[BandIndex]],
+  * [[ContaminationIndex]]), sharing [[IndexStores]]' tombstone /
+  * staged-swap / presence machinery.
   *
   * A one-shot [[LayoutOps.write]] answers "lay this corpus out once";
   * a 100 TB event stream never stops arriving, so the layout needs
@@ -37,16 +38,25 @@ import org.apache.spark.sql.functions._
   */
 object LayoutStore {
 
-  /** The frozen layout state: grid definition + bounds. */
+  /** The frozen layout state: grid definition + bounds + curve
+    * (`"z"` or `"hilbert"` — the key expression and box enumerator
+    * differ; every other store path is curve-blind).
+    */
   case class LayoutMeta(cols: Seq[String], idCol: String, bits: Int,
-                        cellBits: Int, mins: Seq[Long], maxs: Seq[Long])
+                        cellBits: Int, mins: Seq[Long], maxs: Seq[Long],
+                        curve: String = "z")
 
   /** Build and persist: bounds from this corpus become the frozen
     * grid. Staged write + atomic swap ([[IndexStores.swapInto]]) — a
     * failed rebuild leaves consumers on the previous generation.
     */
   def write(df0: DataFrame, path: String, cols: Seq[String], idCol: String,
-            bits: Int = 8, cellBits: Int = 8): Unit = {
+            bits: Int = 8, cellBits: Int = 8, curve: String = "z"): Unit = {
+    require(curve == "z" ||
+        (cols.size == 2 && cellBits % 2 == 0 && bits <= 31),
+      s"curve=hilbert needs exactly 2 dimensions, an EVEN cellBits " +
+        s"(the box enumerator's square-cell contract) and bits <= 31; " +
+        s"got ${cols.size} dims, cellBits=$cellBits, bits=$bits")
     val spark = df0.sparkSession
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
@@ -63,7 +73,8 @@ object LayoutStore {
       val mins = cols.indices.map(i => agg.getLong(2 * i))
       val maxs = cols.indices.map(i => agg.getLong(2 * i + 1))
       val staging = IndexStores.stagingFor(spark, path)
-      LayoutOps.encodeWithBounds(df, cols, mins, maxs, bits, cellBits)
+      LayoutOps.encodeWithBounds(df, cols, mins, maxs, bits, cellBits,
+        curve)
         .drop(cols.map(c => s"zb_$c"): _*)
         .repartition(col("zcell"))
         .sortWithinPartitions("zcell", "zkey")
@@ -76,8 +87,9 @@ object LayoutStore {
         .write.mode("overwrite").partitionBy("idp")
         .parquet(s"$staging/ids")
       import spark.implicits._
-      Seq((cols, idCol, bits, cellBits, mins, maxs))
-        .toDF("cols", "id_col", "bits", "cell_bits", "mins", "maxs")
+      Seq((cols, idCol, bits, cellBits, mins, maxs, curve))
+        .toDF("cols", "id_col", "bits", "cell_bits", "mins", "maxs",
+          "curve")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$staging/meta")
       IndexStores.swapInto(spark, path, staging)
@@ -104,7 +116,8 @@ object LayoutStore {
         s"$path/meta: expected one meta row, found ${rs.length}")
     }
     LayoutMeta(row.getSeq[String](0), row.getString(1), row.getInt(2),
-      row.getInt(3), row.getSeq[Long](4), row.getSeq[Long](5))
+      row.getInt(3), row.getSeq[Long](4), row.getSeq[Long](5),
+      row.getString(6))
   }
 
   /** Ingest a batch under the frozen grid: encode with the stored
@@ -139,7 +152,7 @@ object LayoutStore {
     val before = sc.getPersistentRDDs.keySet.toSet
     try {
       val enc = LayoutOps.encodeWithBounds(batch, meta.cols, meta.mins,
-        meta.maxs, meta.bits, meta.cellBits)
+        meta.maxs, meta.bits, meta.cellBits, meta.curve)
         .drop(meta.cols.map(c => s"zb_$c"): _*)
         .localCheckpoint()
       IndexStores.rejectTombstoned(spark, path,
@@ -242,8 +255,12 @@ object LayoutStore {
   def readBox(spark: SparkSession, path: String,
               box: Seq[(Long, Long)]): DataFrame = {
     val meta = loadMeta(spark, path)
-    val cells = LayoutOps.cellsForBox(meta.mins, meta.maxs, box, meta.bits,
-      meta.cellBits, clamp = true)
+    val cells =
+      if (meta.curve == "hilbert")
+        LayoutOps.hilbertCellsForBox(meta.mins, meta.maxs, box,
+          meta.bits, meta.cellBits, clamp = true)
+      else LayoutOps.cellsForBox(meta.mins, meta.maxs, box, meta.bits,
+        meta.cellBits, clamp = true)
     val pruned =
       if (cells.isEmpty) survivorData(spark, path, meta).filter(lit(false))
       else survivorData(spark, path, meta)
@@ -330,7 +347,8 @@ object LayoutStore {
       return false
     val survivors = survivorData(spark, path, meta)
       .drop("zkey", "zcell")
-    write(survivors, path, meta.cols, meta.idCol, meta.bits, meta.cellBits)
+    write(survivors, path, meta.cols, meta.idCol, meta.bits,
+      meta.cellBits, meta.curve)
     true
   }
 

@@ -2174,6 +2174,18 @@ object ExtOracles {
          |       hkey >> 8 AS hcell
          |FROM zk JOIN hk USING (event_id) ORDER BY event_id""".stripMargin,
 
+    // the persisted hilbert layout's box read — full lifecycle
+    // (write + append under frozen bounds, clamp-mode enumeration,
+    // partition pruning) must equal the same plain full-scan filter
+    "layout_store_hilbert" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS tsm
+        |FROM events
+        |WHERE user_id BETWEEN 30 AND 59
+        |  AND epoch_us(CAST(ts AS TIMESTAMP))
+        |      BETWEEN 1704672000000000 AND 1705276799999999
+        |ORDER BY event_id""".stripMargin,
+
     // the hilbert-pruned box read must equal the plain full-scan
     // filter — the soundness contract of the physical layout (same
     // posture as layout_indexed_box; the pruning is plan-side only)

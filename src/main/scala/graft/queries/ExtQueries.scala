@@ -2128,6 +2128,38 @@ object ExtQueries {
       root
     } + "/events"
 
+  /** [[layoutIndexedBox]]'s query served from a HILBERT-curve
+    * persisted layout ([[graft.operators.LayoutStore]] with
+    * `curve = "hilbert"`), built over the even event_ids and APPENDED
+    * with the odd ones under the frozen bounds — the full store
+    * lifecycle on the locality-preserving curve. Same full-scan SQL
+    * oracle: hash-green is the soundness contract across build,
+    * append, clamp-mode enumeration and partition pruning.
+    */
+  def layoutStoreHilbert(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LayoutStore.readBox(spark,
+      hilbertStorePath(spark, dir),
+      Seq((30L, 59L), (1704672000000000L, 1705276799999999L)))
+      .select("event_id", "user_id", "tsm")
+      .orderBy("event_id")
+
+  private val hilbertStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def hilbertStorePath(spark: SparkSession, dir: String): String =
+    hilbertStoreCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-hilbert-store").toString
+      val ev = eventsDims(spark, dir)
+        .select("event_id", "user_id", "tsm")
+      graft.operators.LayoutStore.write(
+        ev.filter(col("event_id") % 2 === 0), s"$root/events",
+        Seq("user_id", "tsm"), idCol = "event_id",
+        bits = 8, cellBits = 8, curve = "hilbert")
+      graft.operators.LayoutStore.append(spark, s"$root/events",
+        ev.filter(col("event_id") % 2 === 1))
+      root
+    } + "/events"
+
   /** A second persisted layout whose frozen bounds come from the
     * PRE-CUTOFF two-thirds of events only, with the post-cutoff third
     * ingested through [[graft.operators.LayoutStore.append]] — every

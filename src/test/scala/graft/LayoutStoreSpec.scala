@@ -226,6 +226,50 @@ class LayoutStoreSpec extends SparkSpec {
     assert(dumpBox(path, wide2) === directBox(all, wide2))
   }
 
+  test("hilbert curve: write + append + delete/compact + drift " +
+    "rebuild all preserve the box contract on the hilbert grid") {
+    val path = tmpDir("ls-hilbert") + "/layout"
+    LayoutStore.write(corpus.filter(col("id") % 2 === 0), path,
+      Seq("x", "y"), idCol = "id", curve = "hilbert")
+    assert(LayoutStore.loadMeta(spark, path).curve === "hilbert")
+    LayoutStore.append(spark, path, corpus.filter(col("id") % 2 === 1))
+    assert(dumpBox(path, box) === directBox(corpus, box))
+    assert(dumpBox(path, box).nonEmpty)
+    // a box beyond the frozen bounds reaches clamped rows (clamp-mode
+    // hilbert enumeration)
+    val late = mkRows(400 until 420, i => (2000L + i, -50L))
+    LayoutStore.append(spark, path, late)
+    val wide = Seq((900L, 3000L), (-100L, 5000L))
+    assert(dumpBox(path, wide) === directBox(corpus.union(late), wide))
+    // delete + compact keep the curve and the answer
+    LayoutStore.delete(spark, path, Seq(2L, 4L))
+    val afterDelete = directBox(corpus.union(late), box)
+      .filterNot(Set(2L, 4L))
+    assert(dumpBox(path, box) === afterDelete)
+    LayoutStore.compact(spark, path)
+    assert(LayoutStore.loadMeta(spark, path).curve === "hilbert")
+    assert(dumpBox(path, box) === afterDelete)
+    // the pruned plan reads hilbert cells as partition filters
+    val plan = LayoutStore.readBox(spark, path, box)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[.*zcell.*"),
+      s"cell filter not pushed on the hilbert store:\n$plan")
+    // drift rebuild preserves the curve
+    assert(LayoutStore.rebuildIfDrifted(spark, path, thresholdPpm = 1L))
+    assert(LayoutStore.loadMeta(spark, path).curve === "hilbert")
+    assert(dumpBox(path, box) === afterDelete)
+    // guards: 3 dims / odd cellBits reject
+    intercept[IllegalArgumentException] {
+      LayoutStore.write(corpus.withColumn("z", col("x") + 1),
+        tmpDir("ls-h3") + "/l", Seq("x", "y", "z"), idCol = "id",
+        curve = "hilbert")
+    }
+    intercept[IllegalArgumentException] {
+      LayoutStore.write(corpus, tmpDir("ls-h5") + "/l", Seq("x", "y"),
+        idCol = "id", cellBits = 7, curve = "hilbert")
+    }
+  }
+
   test("streaming ingest equals one batch append; cadence folds files") {
     import graft.streaming.StreamingPipeline
     val path = tmpDir("ls-stream") + "/layout"
