@@ -116,6 +116,13 @@ object LayoutOps {
     * `cellBits` bits. Along the Hilbert curve a cell is one CONTIGUOUS
     * connected run of the grid walk — the locality property that makes
     * equal-population cells geometrically compact.
+    *
+    * Naming: this EXPLORATORY api emits curve-specific `hkey`/`hcell`
+    * (deliberately — both curves are often computed side by side on
+    * one frame to compare layouts, which generic names would
+    * collide); the PERSISTED store path ([[encodeWithBounds]] with
+    * `curve`) emits generic `zkey`/`zcell` so the store machinery
+    * stays curve-blind. [[cellStats]] serves both via `cellCol`.
     */
   def hilbertLayout(df: DataFrame, cols: Seq[String], bits: Int = 8,
       cellBits: Int = 8): DataFrame = {

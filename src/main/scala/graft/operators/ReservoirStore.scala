@@ -34,9 +34,16 @@ import org.apache.spark.sql.types.StructType
   * Id contract: `idCol` is the corpus primary key (the assumption
   * every index family here shares). Duplicate ids INSIDE the merge
   * window with conflicting payloads fail loudly — a silent pick would
-  * make the sample depend on partition order; exact duplicate rows
-  * collapse harmlessly. `n_seen` counts ingested ROWS (a throughput
-  * stat): re-ingested ids inflate it, never the sample.
+  * make the sample depend on partition order. Exact duplicate rows
+  * WITHIN one batch also fail loudly (they sort adjacent and would
+  * consume sample slots, silently under-filling the sample against
+  * the distinct-id contract — dedup the batch upstream); a re-ingest
+  * of a stored id in a LATER batch collapses harmlessly, before the
+  * bottom-k, costing nothing. `n_seen` counts ingested ROWS (a
+  * throughput stat): re-ingested ids inflate it, never the sample.
+  * Payload columns must be ORDERABLE types (they extend the sort key
+  * for deterministic boundary ties) — a map-typed payload rejects at
+  * build, not mid-plan.
   *
   * Scale shape: an extend is one `TakeOrderedAndProject` over the
   * batch (per-partition top-k, k-row driver-side merge — no global
@@ -88,7 +95,7 @@ object ReservoirStore {
       val pinned = df.localCheckpoint(true)
       val n = pinned.count()
       publish(spark, path,
-        dedupMerged(bottomK(pinned, idCol, capacity, seed, groupCol),
+        checkedWindow(bottomK(pinned, idCol, capacity, seed, groupCol),
           idCol),
         ResMeta(idCol, capacity, seed, n, generation = 1L, groupCol),
         Seq.empty)
@@ -118,7 +125,7 @@ object ReservoirStore {
         val pinned = df.localCheckpoint(true)
         val n = pinned.count()
         publish(spark, path,
-          dedupMerged(bottomK(pinned, idCol, capacity, seed, groupCol),
+          checkedWindow(bottomK(pinned, idCol, capacity, seed, groupCol),
             idCol),
           ResMeta(idCol, capacity, seed, n, generation = 1L, groupCol),
           Seq((producer, batchId)))
@@ -148,10 +155,16 @@ object ReservoirStore {
     try {
       val pinned = df.localCheckpoint(true)
       val n = pinned.count()
+      // the batch's own window is checked FIRST (within-batch exact
+      // duplicates raise there), so the cross-batch dedup below only
+      // ever collapses a re-ingested id against its stored copy —
+      // BEFORE the final bottom-k, where collapsing costs no slot
       val merged = bottomK(
         dedupMerged(
           stored.unionByName(
-            bottomK(pinned, idCol, capacity, seed, groupCol)),
+            checkedWindow(
+              bottomK(pinned, idCol, capacity, seed, groupCol),
+              idCol)),
           idCol),
         idCol, capacity, seed, groupCol)
       // single-writer tripwire (the sketch-store posture): a second
@@ -255,10 +268,11 @@ object ReservoirStore {
     * priority — idempotent by value), then fail LOUDLY on any id left
     * duplicated: conflicting payloads for one id would make the
     * sample content-ambiguous. Bounded: every input is ≤ 2·capacity
-    * rows by construction (a build's bottom-k, or the stored sample
-    * unioned with a batch's bottom-k). This is a TRIPWIRE within the
-    * sample window, not a corpus-wide uniqueness scan (that would be
-    * a 100 TB shuffle): a conflicting pair cut apart by the bottom-k
+    * rows by construction (the stored sample unioned with a batch's
+    * checked window). Runs BEFORE the final bottom-k, so the collapse
+    * never costs a sample slot. This is a TRIPWIRE within the sample
+    * window, not a corpus-wide uniqueness scan (that would be a
+    * 100 TB shuffle): a conflicting pair cut apart by the bottom-k
     * boundary goes undetected, but [[bottomK]]'s payload-extended
     * ordering keeps even that case deterministic.
     */
@@ -274,6 +288,30 @@ object ReservoirStore {
     d
   }
 
+  /** Pin one batch's bottom-k window (≤ capacity·groups rows) and
+    * reject EXACT duplicate rows inside it loudly: duplicates sort
+    * adjacent (identical keys), so inside one window they would
+    * consume sample slots and silently under-fill the published
+    * sample against the distinct-id oracle — the one corruption the
+    * cross-batch dedup cannot repair, because the displaced id never
+    * rescans. The [[graft.operators.LayoutStore.append]]
+    * duplicate-batch posture: dedup the batch upstream
+    * (`df.distinct()`, the caller's one-shuffle choice), not here.
+    * The pin also makes the window single-execution: the checks and
+    * the publish read the ≤ bounded rows, never the corpus twice.
+    */
+  private def checkedWindow(window: DataFrame,
+      idCol: String): DataFrame = {
+    val w = window.localCheckpoint(true)
+    if (w.distinct().count() != w.count())
+      throw new IllegalArgumentException(
+        "reservoir store: the batch carries exact duplicate rows " +
+          "inside the sample window — they would consume sample " +
+          "slots and under-fill the sample; dedup the batch " +
+          "(df.distinct()) before ingest")
+    dedupMerged(w, idCol)
+  }
+
   private def requireGeometry(spark: SparkSession, schema: StructType,
       idCol: String, capacity: Int, groupCol: String = ""): Unit = {
     require(schema.fieldNames.contains(idCol),
@@ -282,6 +320,15 @@ object ReservoirStore {
     require(groupCol.isEmpty || schema.fieldNames.contains(groupCol),
       s"reservoir store: group column '$groupCol' is absent from " +
         s"the payload schema ${schema.simpleString}")
+    schema.fields.foreach { f =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType),
+        s"reservoir store: payload column '${f.name}' has " +
+          s"non-orderable type ${f.dataType.catalogString} — payload " +
+          "columns extend the sort key (deterministic boundary " +
+          "ties) and the sample dedup, both of which need an " +
+          "ordering; project it out or encode it orderably")
+    }
     val cap = spark.conf.getOption(capacityCapKey)
       .map(_.toLong).getOrElse(1000000L)
     require(capacity >= 1 && capacity <= cap,

@@ -102,12 +102,32 @@ class ReservoirStoreSpec extends SparkSpec {
         "doc_id", 10, "sN")
     }
     assert(eDup.getMessage.contains("conflicting payloads"))
-    // identical duplicate rows collapse instead of erroring
+    // identical duplicate rows WITHIN one batch raise loudly — inside
+    // the window they would consume a sample slot and silently
+    // under-fill the sample vs the distinct-id oracle
     val same = Seq((1L, "a", 1L), (1L, "a", 1L), (2L, "b", 2L))
       .toDF("doc_id", "body", "n_chars")
-    val p = tmpDir("rs-wsame") + "/r"
-    ReservoirStore.write(same, p, "doc_id", 10, "sN")
-    assert(sampleIds(p) === Seq(1L, 2L))
+    val eSame = intercept[IllegalArgumentException] {
+      ReservoirStore.write(same, tmpDir("rs-wsame") + "/r",
+        "doc_id", 10, "sN")
+    }
+    assert(eSame.getMessage.contains("duplicate rows"))
+    // ...while a re-ingest of a stored id in a LATER batch collapses
+    // without costing a slot: capacity 2 over 3 distinct ids, the
+    // re-ingested winner arrives beside a new id that must still win
+    val p2 = tmpDir("rs-slot") + "/r"
+    ReservoirStore.write(docs(1 to 2), p2, "doc_id", 2, "sN")
+    ReservoirStore.extend(
+      docs(1 to 3).filter(col("doc_id") =!= 2L), p2, 1L, 2, "sN")
+    assert(sampleIds(p2) === expectIds(1 to 3, "sN", 2))
+    // a non-orderable payload column rejects at build, not mid-plan
+    val eMap = intercept[IllegalArgumentException] {
+      ReservoirStore.write(
+        docs(1 to 5).withColumn("attrs",
+          map(lit("k"), lit("v"))),
+        tmpDir("rs-map") + "/r", "doc_id", 5, "sN")
+    }
+    assert(eMap.getMessage.contains("non-orderable"))
   }
 
   test("geometry and payload-schema drift reject loudly; capacity cap " +
