@@ -588,4 +588,40 @@ object CorpusOps {
       length(winner) - 32))
   }
 
+  /** WEIGHTED rendezvous routing — heterogeneous shards (a 2×-sized
+    * shard should hold 2× the docs) without losing the exactness or
+    * the minimal-movement property: shard s with integer weight w
+    * competes as w VIRTUAL entries `s#0 … s#(w-1)` in the same
+    * [[rendezvousRoute]] priority contest, so the expected share is
+    * exactly wₛ ∕ ΣW, raising a weight by one moves ~1/(ΣW+1) of the
+    * corpus INTO that shard and nothing else, and the whole routing
+    * stays a pure md5-argmax projection the DuckDB oracle replays
+    * symbol-for-symbol. (The float-scored weighted-HRW form —
+    * −w∕ln(u) — would be O(S) per row instead of O(ΣW), but its libm
+    * `ln` reopens the cross-engine float-replay class this repo
+    * banned; integer replication keeps the routing exact, with ΣW
+    * capped like the shard list.)
+    *
+    * `#` is reserved as the virtual-entry separator: a shard name
+    * containing it rejects loudly (the stripped name would be
+    * ambiguous).
+    */
+  def rendezvousRouteWeighted(docs: DataFrame,
+      shards: Seq[(String, Int)], seed: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(shards.nonEmpty, "rendezvousRouteWeighted: empty shard list")
+    require(shards.forall(_._2 >= 1),
+      s"rendezvousRouteWeighted: weights must be >= 1, got $shards")
+    require(shards.forall(!_._1.contains("#")),
+      "rendezvousRouteWeighted: '#' is the virtual-entry separator " +
+        s"and cannot appear in a shard name: ${shards.map(_._1)}")
+    require(shards.map(_._1).distinct.size == shards.size,
+      s"rendezvousRouteWeighted: duplicate shard names in $shards")
+    val virtual = shards.flatMap { case (s, w) =>
+      (0 until w).map(i => s"$s#$i")
+    }
+    rendezvousRoute(docs, virtual, seed, idCol)
+      .withColumn("shard", substring_index(col("shard"), "#", 1))
+  }
+
 }

@@ -182,6 +182,33 @@ object ReservoirStore {
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
+  /** Shrink the sample capacity WITHOUT rescanning the corpus:
+    * bottom-`newCapacity` of the STORED sample is exactly the sample
+    * a from-scratch build at that capacity would have produced — the
+    * bottom-k monoid applied downward (per group in grouped mode),
+    * the [[HistogramStore.rebin]] posture: geometry reductions are
+    * free from the artifact; GROWTH is a rebuild (the evicted ids
+    * are gone — a wider window needs the corpus again) and rejects
+    * loudly pointing at [[write]]. Extends after a shrink declare
+    * the NEW capacity (the geometry require keeps them honest).
+    * Single-writer contract like every mutation here.
+    */
+  def shrink(spark: SparkSession, path: String,
+      newCapacity: Int): Unit = {
+    IndexStores.healRoot(spark, path)
+    val m = metaOf(spark, path)
+    require(newCapacity >= 1 && newCapacity < m.capacity,
+      s"reservoir store at $path has capacity ${m.capacity}; " +
+        s"shrink($newCapacity) is not a reduction — growing needs " +
+        "the evicted ids back, which only a corpus rescan (write) " +
+        "can provide")
+    val stored = IndexStores.readStore(spark, s"$path/sample")
+    publish(spark, path,
+      bottomK(stored, m.idCol, newCapacity, m.seed, m.groupCol),
+      m.copy(capacity = newCapacity, generation = m.generation + 1L),
+      appliedBatches(spark, path))
+  }
+
   /** The current sample — ≤ capacity payload rows, as ingested. */
   def serve(spark: SparkSession, path: String): DataFrame = {
     IndexStores.healRoot(spark, path)

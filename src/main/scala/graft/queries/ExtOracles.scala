@@ -1276,6 +1276,23 @@ object ExtOracles {
         |FROM k8 JOIN k9 USING (doc_id)
         |GROUP BY shard8 ORDER BY shard8""".stripMargin,
 
+    // replays CorpusOps.rendezvousRouteWeighted: the same md5 || name
+    // string-max contest over the INTEGER-REPLICATED virtual entries
+    // (weight 1/2/5 -> 8 virtual shards), winner's real shard
+    // recovered by stripping at the first '#'
+    "corpus_rendezvous_weighted" ->
+      """WITH v(vshard) AS (VALUES ('a#0'),('b#0'),('b#1'),('c#0'),
+        |                          ('c#1'),('c#2'),('c#3'),('c#4')),
+        |k AS (
+        |  SELECT d.doc_id,
+        |         substring(max(md5('rvw:' || v.vshard || ':' ||
+        |           CAST(d.doc_id AS VARCHAR)) || v.vshard), 33) AS vw
+        |  FROM documents d CROSS JOIN v GROUP BY d.doc_id
+        |)
+        |SELECT split_part(vw, '#', 1) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // replays CorpusOps.mixtureWeights (alpha = 0.5, budget 1e6);
     // sum(BIGINT) is HUGEINT in DuckDB -> cast back for schema parity
     "corpus_mixture" ->

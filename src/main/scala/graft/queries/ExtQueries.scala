@@ -2731,6 +2731,23 @@ object ExtQueries {
       root
     } + "/r"
 
+  /** Weighted rendezvous routing
+    * ([[CorpusOps.rendezvousRouteWeighted]]): documents routed over
+    * shards of weight 1 / 2 / 5 via integer-replicated virtual
+    * entries — expected share exactly wₛ∕ΣW, movement-minimal under
+    * re-weighting, and still a pure md5-argmax projection. Hash-green
+    * pins every document's shard against the DuckDB replay of the
+    * same virtual-entry contest.
+    */
+  def corpusRendezvousWeighted(spark: SparkSession,
+      dir: String): DataFrame =
+    CorpusOps.rendezvousRouteWeighted(
+      docs(spark, dir).select("doc_id"),
+      Seq(("a", 1), ("b", 2), ("c", 5)), seed = "rvw")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("shard")
+
   /** Point-in-time join against the SCD2 dimension
     * ([[graft.operators.HistoryOps.pointInTime]]): every purchase
     * event picks up the user's state version valid AT its timestamp —

@@ -555,4 +555,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(eNull.getMessage.contains("null doc_id") ||
       Option(eNull.getCause).exists(_.getMessage.contains("null doc_id")))
   }
+
+  test("rendezvousRouteWeighted: shares track the weights, a weight " +
+    "bump moves docs ONLY into the bumped shard, loud guards") {
+    val d = spark.range(4000).select(col("id").as("doc_id"))
+    def routes(shards: Seq[(String, Int)]): Map[Long, String] =
+      CorpusOps.rendezvousRouteWeighted(d, shards, "rvw")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = routes(Seq(("a", 1), ("b", 2), ("c", 5)))
+    val shares = base.values.groupBy(identity).map { case (s, g) =>
+      s -> g.size / 4000.0 }
+    // expected 1/8, 2/8, 5/8 — wide slack for 4000 draws
+    assert(math.abs(shares("a") - 0.125) < 0.04, s"a: ${shares("a")}")
+    assert(math.abs(shares("b") - 0.250) < 0.05, s"b: ${shares("b")}")
+    assert(math.abs(shares("c") - 0.625) < 0.05, s"c: ${shares("c")}")
+    // bump b's weight: only moves INTO b (new virtual entry b#2 wins
+    // some docs; every other assignment is untouched)
+    val bumped = routes(Seq(("a", 1), ("b", 3), ("c", 5)))
+    val moved = base.keys.filter(k => bumped(k) != base(k))
+    assert(moved.nonEmpty)
+    assert(moved.forall(k => bumped(k) == "b"),
+      "a weight bump must pull docs only INTO the bumped shard")
+    intercept[IllegalArgumentException] {
+      CorpusOps.rendezvousRouteWeighted(d, Seq(("a#x", 1)), "rvw")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.rendezvousRouteWeighted(d, Seq(("a", 0)), "rvw")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.rendezvousRouteWeighted(d, Seq(("a", 1), ("a", 2)), "rvw")
+    }
+  }
 }

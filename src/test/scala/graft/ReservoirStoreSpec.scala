@@ -294,6 +294,44 @@ class ReservoirStoreSpec extends SparkSpec {
       ps.contains("SortAggregate"), s"expected typed agg partials:\n$ps")
   }
 
+  test("shrink ≡ from-scratch build at the smaller capacity (global " +
+    "and grouped), extends continue at the new geometry; growth " +
+    "rejects pointing at write") {
+    val p = tmpDir("rs-shrink") + "/r"
+    ReservoirStore.write(docs(1 to 300), p, "doc_id", 40, "sk")
+    ReservoirStore.shrink(spark, p, 15)
+    val fresh = tmpDir("rs-shrink-fresh") + "/r"
+    ReservoirStore.write(docs(1 to 300), fresh, "doc_id", 15, "sk")
+    assert(ReservoirStore.serve(spark, p).orderBy("doc_id")
+      .collect().toSeq ===
+      ReservoirStore.serve(spark, fresh).orderBy("doc_id")
+        .collect().toSeq)
+    // extends continue at the NEW capacity; the old one rejects
+    ReservoirStore.extend(docs(301 to 400), p, 1L, 15, "sk")
+    ReservoirStore.extend(docs(301 to 400), fresh, 1L, 15, "sk")
+    assert(sampleIds(p) === expectIds(1 to 400, "sk", 15))
+    intercept[IllegalArgumentException] {
+      ReservoirStore.extend(docs(401 to 410), p, 2L, 40, "sk")
+    }
+    // growth is a rebuild, not a shrink
+    val eGrow = intercept[IllegalArgumentException] {
+      ReservoirStore.shrink(spark, p, 40)
+    }
+    assert(eGrow.getMessage.contains("rescan"))
+    // grouped store shrinks per group
+    val g = tmpDir("rs-shrink-g") + "/r"
+    ReservoirStore.write(groupDocs(1 to 200), g, "doc_id", 12, "sk",
+      groupCol = "lang")
+    ReservoirStore.shrink(spark, g, 5)
+    val gf = tmpDir("rs-shrink-gf") + "/r"
+    ReservoirStore.write(groupDocs(1 to 200), gf, "doc_id", 5, "sk",
+      groupCol = "lang")
+    assert(ReservoirStore.serve(spark, g).orderBy("doc_id")
+      .collect().toSeq ===
+      ReservoirStore.serve(spark, gf).orderBy("doc_id")
+        .collect().toSeq)
+  }
+
   test("plan shape: the batch bottom-k is TakeOrderedAndProject — " +
     "no global sort") {
     val plan = docs(1 to 100)
