@@ -294,17 +294,27 @@ object ReservoirStore {
   /** Collapse exact duplicate rows (a re-ingested id carries the same
     * priority — idempotent by value), then fail LOUDLY on any id left
     * duplicated: conflicting payloads for one id would make the
-    * sample content-ambiguous. Bounded: every input is ≤ 2·capacity
-    * rows by construction (the stored sample unioned with a batch's
-    * checked window). Runs BEFORE the final bottom-k, so the collapse
-    * never costs a sample slot. This is a TRIPWIRE within the sample
-    * window, not a corpus-wide uniqueness scan (that would be a
-    * 100 TB shuffle): a conflicting pair cut apart by the bottom-k
-    * boundary goes undetected, but [[bottomK]]'s payload-extended
-    * ordering keeps even that case deterministic.
+    * sample content-ambiguous. Bounded: every input is at most
+    * 2·capacity rows per group by construction — a build/bootstrap
+    * window (via [[checkedWindow]]) or the stored sample unioned with
+    * a batch's checked window. Runs BEFORE the final bottom-k, so the
+    * collapse never costs a sample slot. This is a TRIPWIRE within
+    * the sample window, not a corpus-wide uniqueness scan (that would
+    * be a 100 TB shuffle): a conflicting pair cut apart by the
+    * bottom-k boundary goes undetected, but [[bottomK]]'s
+    * payload-extended ordering keeps even that case deterministic.
     */
   private def dedupMerged(merged: DataFrame, idCol: String): DataFrame = {
     val d = merged.distinct()
+    requireUniqueIds(d, idCol)
+    d
+  }
+
+  /** Loud conflicting-payload tripwire over an already-distinct
+    * bounded frame: any id still duplicated carries two different
+    * payloads.
+    */
+  private def requireUniqueIds(d: DataFrame, idCol: String): Unit = {
     val dup = d.groupBy(col(idCol)).count().filter(col("count") > 1)
       .limit(1).collect()
     if (dup.nonEmpty)
@@ -312,7 +322,6 @@ object ReservoirStore {
         s"reservoir store: $idCol=${dup(0).get(0)} appears with " +
           "conflicting payloads in the merge window — the id column " +
           "must be a primary key over the payload")
-    d
   }
 
   /** Pin one batch's bottom-k window (≤ capacity·groups rows) and
@@ -323,20 +332,26 @@ object ReservoirStore {
     * cross-batch dedup cannot repair, because the displaced id never
     * rescans. The [[graft.operators.LayoutStore.append]]
     * duplicate-batch posture: dedup the batch upstream
-    * (`df.distinct()`, the caller's one-shuffle choice), not here.
-    * The pin also makes the window single-execution: the checks and
-    * the publish read the ≤ bounded rows, never the corpus twice.
+    * (`df.distinct()`, the caller's one-shuffle choice), not here —
+    * [[graft.streaming.StreamingPipeline.reservoirStream]] does
+    * exactly that per trigger, because at-least-once sources
+    * legitimately re-deliver identical rows inside one micro-batch.
+    * The pin also makes the window single-execution, and ONE distinct
+    * serves both checks (the duplicate-row count compare and the
+    * conflicting-payload scan run off the same bounded frame).
     */
   private def checkedWindow(window: DataFrame,
       idCol: String): DataFrame = {
     val w = window.localCheckpoint(true)
-    if (w.distinct().count() != w.count())
+    val d = w.distinct()
+    if (d.count() != w.count())
       throw new IllegalArgumentException(
         "reservoir store: the batch carries exact duplicate rows " +
           "inside the sample window — they would consume sample " +
           "slots and under-fill the sample; dedup the batch " +
           "(df.distinct()) before ingest")
-    dedupMerged(w, idCol)
+    requireUniqueIds(d, idCol)
+    d
   }
 
   private def requireGeometry(spark: SparkSession, schema: StructType,

@@ -963,9 +963,17 @@ object StreamingPipeline {
     * stream runs. The first trigger bootstraps an absent store
     * (sample, meta AND ledger in one staged swap). Exactly-once: a
     * replayed trigger is a ledger no-op (checkpoint-scoped producer),
-    * and the sample itself is idempotent BY VALUE anyway — the
-    * priority is a pure function of (seed, id), so re-folded rows
-    * collapse instead of skewing the sample.
+    * and a re-ingested id in a later trigger collapses by value.
+    *
+    * Each trigger is deduped (`batch.distinct()`) BEFORE the fold:
+    * at-least-once sources legitimately re-deliver identical rows
+    * INSIDE one micro-batch, and the store rejects within-batch exact
+    * duplicates loudly (they would consume sample slots) — without
+    * the per-trigger distinct a re-delivered row would poison the
+    * batch, and the checkpoint would replay the same poison forever.
+    * The distinct is O(batch), the price of the at-least-once
+    * contract; a CONFLICTING payload for one id still fails the
+    * trigger loudly (that is corruption, not redelivery).
     */
   def reservoirStream(docs: DataFrame, storePath: String,
       checkpoint: String, capacity: Int, seed: String,
@@ -976,8 +984,8 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.ReservoirStore.extend(batch, storePath,
-          batchId, capacity, seed, idCol = idCol,
+        graft.operators.ReservoirStore.extend(batch.distinct(),
+          storePath, batchId, capacity, seed, idCol = idCol,
           producer = producerFor(producer, checkpoint),
           groupCol = groupCol)
         ()

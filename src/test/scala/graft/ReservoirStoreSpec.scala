@@ -113,13 +113,20 @@ class ReservoirStoreSpec extends SparkSpec {
     }
     assert(eSame.getMessage.contains("duplicate rows"))
     // ...while a re-ingest of a stored id in a LATER batch collapses
-    // without costing a slot: capacity 2 over 3 distinct ids, the
-    // re-ingested winner arrives beside a new id that must still win
+    // without costing a slot. NON-VACUOUS by construction: pick a
+    // seed (via the driver md5 replay) where the true bottom-2 of
+    // {1,2,3} is exactly {1,3} — the re-ingested id 1 AND the new id
+    // 3 must both win, so a regression where the duplicate of 1
+    // displaces 3 (slot consumption) or the extend no-ops (sample
+    // stays {1,2}) both fail the assert
+    val seed = (0 to 999).map(i => s"sd$i")
+      .find(sd => expectIds(1 to 3, sd, 2) == Seq(1L, 3L)).get
     val p2 = tmpDir("rs-slot") + "/r"
-    ReservoirStore.write(docs(1 to 2), p2, "doc_id", 2, "sN")
+    ReservoirStore.write(docs(1 to 2), p2, "doc_id", 2, seed)
+    assert(sampleIds(p2) === Seq(1L, 2L))
     ReservoirStore.extend(
-      docs(1 to 3).filter(col("doc_id") =!= 2L), p2, 1L, 2, "sN")
-    assert(sampleIds(p2) === expectIds(1 to 3, "sN", 2))
+      docs(1 to 3).filter(col("doc_id") =!= 2L), p2, 1L, 2, seed)
+    assert(sampleIds(p2) === Seq(1L, 3L))
     // a non-orderable payload column rejects at build, not mid-plan
     val eMap = intercept[IllegalArgumentException] {
       ReservoirStore.write(
@@ -187,9 +194,13 @@ class ReservoirStoreSpec extends SparkSpec {
     import graft.streaming.StreamingPipeline
     val d = docs(1 to 300).localCheckpoint()
     val src = tmpDir("rs-src")
+    // the third slice re-delivers one identical row INSIDE its
+    // trigger (the at-least-once shape): the stream's per-trigger
+    // distinct must absorb it instead of poisoning the batch
     Seq(d.filter(col("doc_id") <= 100),
       d.filter(col("doc_id") > 100 && col("doc_id") <= 200),
-      d.filter(col("doc_id") > 200))
+      d.filter(col("doc_id") > 200)
+        .unionByName(d.filter(col("doc_id") === 300)))
       .foreach(_.coalesce(1).write.mode("append").parquet(src))
     val store = tmpDir("rs-stream") + "/r"
     val ckpt = tmpDir("rs-ckpt")
