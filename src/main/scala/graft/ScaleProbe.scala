@@ -422,6 +422,16 @@ object ScaleProbe {
         println(f"[scaleprobe] rendezvous rows=$n%8d shards=$s%4d " +
           f"route=$t%.3fs")
       }
+      // the hierarchical form at the same 512 shards (32 groups × 16):
+      // the lazy CASE evaluates ~48 hashes per row instead of 512 —
+      // the 2·√S claim measured against the flat number above
+      val hierGroups = (0 until 32).map(g =>
+        f"g$g%02d" -> (0 until 16).map(i => f"h${g * 16 + i}%04d"))
+      val tH = BenchUtil.minOf(3)(BenchUtil.sink(
+        CorpusOps.rendezvousRouteHierarchical(docs, hierGroups,
+          "probe")))
+      println(f"[scaleprobe] rendezvous rows=$n%8d shards= 512 " +
+        f"hierarchical(32x16)=$tH%.3fs")
       BenchUtil.releaseNewRdds(sc, before)
     }
 

@@ -122,6 +122,7 @@ object SparkEntry {
     "corpus_pipeline" -> (graft.queries.ExtQueries.corpusPipeline(_, _)),
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "corpus_rendezvous" -> (graft.queries.ExtQueries.corpusRendezvous(_, _)),
+    "corpus_rendezvous_hier" -> (graft.queries.ExtQueries.corpusRendezvousHier(_, _)),
     "corpus_rendezvous_weighted" -> (graft.queries.ExtQueries.corpusRendezvousWeighted(_, _)),
     "sample_per_group" -> (graft.queries.ExtQueries.samplePerGroup(_, _)),
     "corpus_assemble" -> (graft.queries.ExtQueries.corpusAssemble(_, _)),

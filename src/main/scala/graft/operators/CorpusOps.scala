@@ -571,21 +571,84 @@ object CorpusOps {
       s"rendezvousRoute: ${shards.size} shards would compile a " +
         "plan-width expression per row — route hierarchically " +
         "(rendezvous to a shard group, then within the group)")
-    // a null id fails loudly (the weightedSample corrupt-input
-    // stance): every priority would be null, greatest null, and the
-    // doc would land in a "shard" no writer owns — a silent misroute
-    val id = when(col(idCol).isNotNull, col(idCol).cast("string"))
+    docs.withColumn("shard",
+      winnerOf(shards, seed, checkedId(idCol)))
+  }
+
+  /** The one rendezvous contest expression: argmax over
+    * `md5(seed ∥ ':' ∥ name ∥ ':' ∥ id)` as the string max of
+    * `md5 ∥ name` (the fixed-width-hash-first lexicographic trick —
+    * the tiebreak rides inside the compared string), winner's name
+    * recovered past the 32 hex chars. Shared by the flat, weighted
+    * and hierarchical faces so the priority definition can never
+    * silently fork.
+    */
+  private def winnerOf(names: Seq[String], seed: String,
+      id: Column): Column = {
+    val keyed = names.map(n =>
+      concat(md5(concat(lit(seed), lit(":"), lit(n), lit(":"), id)),
+        lit(n)))
+    val winner =
+      if (keyed.size == 1) keyed.head else greatest(keyed: _*)
+    winner.substr(lit(33), length(winner) - 32)
+  }
+
+  /** A null id fails loudly (the weightedSample corrupt-input
+    * stance): every priority would be null, greatest null, and the
+    * doc would land in a "shard" no writer owns — a silent misroute.
+    */
+  private def checkedId(idCol: String): Column =
+    when(col(idCol).isNotNull, col(idCol).cast("string"))
       .otherwise(raise_error(lit(
         s"rendezvousRoute: null $idCol — the id column must be " +
           "non-null to route")))
-    val keyed = shards.map(s =>
-      concat(md5(concat(lit(seed), lit(":"), lit(s), lit(":"), id)),
-        lit(s)))
-    val winner =
-      if (keyed.size == 1) keyed.head else greatest(keyed: _*)
-    // md5 hex is exactly 32 chars: the suffix past it IS the shard
-    docs.withColumn("shard", winner.substr(lit(33),
-      length(winner) - 32))
+
+  /** HIERARCHICAL rendezvous — the scale path the flat form's cap
+    * points at: rendezvous FIRST over the group names, then (lazily)
+    * over the matched group's shards, so a row EVALUATES only
+    * G + |its group| md5s (~2·√S at balanced fan-out — the CASE
+    * branches are codegen'd sequentially and only the matched branch
+    * runs) instead of the flat form's S. The two levels hash in
+    * disjoint domains (`seed:g` / `seed:s`), so a shard sharing a
+    * group's name cannot correlate the contests.
+    *
+    * Movement trade, stated plainly: with the GROUP list fixed,
+    * adding a shard inside group g moves ~1/(|g|+1) of g's docs only
+    * (into the new shard; no other group's docs move — spec-pinned);
+    * adding a whole NEW GROUP re-routes ~1/(G+1) of EVERYTHING into
+    * it — coarser than flat rendezvous's 1/(S+1). Grow capacity
+    * within groups when movement matters; grow the group list when
+    * it doesn't.
+    */
+  def rendezvousRouteHierarchical(docs: DataFrame,
+      groups: Seq[(String, Seq[String])], seed: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(groups.nonEmpty &&
+        groups.forall(_._2.nonEmpty),
+      s"rendezvousRouteHierarchical: empty group list or empty group")
+    require(groups.map(_._1).distinct.size == groups.size,
+      s"rendezvousRouteHierarchical: duplicate group names")
+    val flat = groups.flatMap(_._2)
+    require(flat.distinct.size == flat.size,
+      "rendezvousRouteHierarchical: a shard name appears in more " +
+        "than one group — routing would be ambiguous")
+    require(groups.size <= 4096 && groups.forall(_._2.size <= 4096),
+      s"rendezvousRouteHierarchical: ${groups.size} groups / max " +
+        s"group ${groups.map(_._2.size).max} exceed the per-contest " +
+        "4096 cap — add another level")
+    val id = checkedId(idCol)
+    val grp = winnerOf(groups.map(_._1), s"$seed:g", id)
+    // lazy per-row dispatch: CaseWhen evaluates ONLY the matched
+    // branch, so the md5 work per row is the group contest plus the
+    // matched group's contest — not the whole tree
+    val shard = groups.foldLeft(lit(null).cast("string")) {
+      case (acc, (g, shards)) =>
+        when(col("__rv_grp") === g,
+          winnerOf(shards, s"$seed:s", id)).otherwise(acc)
+    }
+    docs.withColumn("__rv_grp", grp)
+      .withColumn("shard", shard)
+      .drop("__rv_grp")
   }
 
   /** WEIGHTED rendezvous routing — heterogeneous shards (a 2×-sized

@@ -1276,6 +1276,33 @@ object ExtOracles {
         |FROM k8 JOIN k9 USING (doc_id)
         |GROUP BY shard8 ORDER BY shard8""".stripMargin,
 
+    // replays CorpusOps.rendezvousRouteHierarchical as the relational
+    // two-step: the group contest in the ':g' domain, then the shard
+    // contest restricted (join) to the matched group in the ':s'
+    // domain — a hash match proves the operator's lazily-dispatched
+    // CASE form identical, document for document
+    "corpus_rendezvous_hier" ->
+      """WITH g(grp) AS (VALUES ('g0'),('g1'),('g2'),('g3')),
+        |sh(grp, shard) AS (VALUES
+        |  ('g0','s00'),('g0','s01'),('g0','s02'),('g0','s03'),
+        |  ('g1','s04'),('g1','s05'),('g1','s06'),('g1','s07'),
+        |  ('g2','s08'),('g2','s09'),('g2','s10'),('g2','s11'),
+        |  ('g3','s12'),('g3','s13'),('g3','s14'),('g3','s15')),
+        |kg AS (
+        |  SELECT d.doc_id,
+        |         substring(max(md5('rvh:g:' || g.grp || ':' ||
+        |           CAST(d.doc_id AS VARCHAR)) || g.grp), 33) AS grp
+        |  FROM documents d CROSS JOIN g GROUP BY d.doc_id
+        |),
+        |ks AS (
+        |  SELECT kg.doc_id,
+        |         substring(max(md5('rvh:s:' || sh.shard || ':' ||
+        |           CAST(kg.doc_id AS VARCHAR)) || sh.shard), 33) AS shard
+        |  FROM kg JOIN sh ON sh.grp = kg.grp GROUP BY kg.doc_id
+        |)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM ks GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // replays CorpusOps.rendezvousRouteWeighted: the same md5 || name
     // string-max contest over the INTEGER-REPLICATED virtual entries
     // (weight 1/2/5 -> 8 virtual shards), winner's real shard

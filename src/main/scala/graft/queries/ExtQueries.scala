@@ -2748,6 +2748,25 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("shard")
 
+  /** Hierarchical rendezvous routing
+    * ([[CorpusOps.rendezvousRouteHierarchical]]): documents routed
+    * over 4 groups × 4 shards — the scale form that evaluates
+    * G + |group| hashes per row instead of S. Hash-green against a
+    * DuckDB replay of the two composed contests (group domain, then
+    * the matched group's shard domain) proves the lazily-dispatched
+    * CASE form ≡ the relational two-step, document for document.
+    */
+  def corpusRendezvousHier(spark: SparkSession,
+      dir: String): DataFrame =
+    CorpusOps.rendezvousRouteHierarchical(
+      docs(spark, dir).select("doc_id"),
+      (0 until 4).map(g =>
+        s"g$g" -> (0 until 4).map(i => f"s${g * 4 + i}%02d")),
+      seed = "rvh")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("shard")
+
   /** Point-in-time join against the SCD2 dimension
     * ([[graft.operators.HistoryOps.pointInTime]]): every purchase
     * event picks up the user's state version valid AT its timestamp —

@@ -586,4 +586,44 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.rendezvousRouteWeighted(d, Seq(("a", 1), ("a", 2)), "rvw")
     }
   }
+
+  test("rendezvousRouteHierarchical ≡ the two flat contests composed; " +
+    "a within-group add moves only that group's docs; loud guards") {
+    val d = spark.range(3000).select(col("id").as("doc_id"))
+    val groups = Seq("g0" -> Seq("a", "b"), "g1" -> Seq("c", "d"),
+      "g2" -> Seq("e", "f"))
+    def routesH(gs: Seq[(String, Seq[String])]): Map[Long, String] =
+      CorpusOps.rendezvousRouteHierarchical(d, gs, "rvh")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val r = routesH(groups)
+    // level equivalence: the doc's group is the flat contest over the
+    // group names in the :g domain; its shard the flat contest over
+    // that group's shards in the :s domain
+    val grpOf = CorpusOps.rendezvousRoute(d, groups.map(_._1), "rvh:g")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    groups.foreach { case (g, shards) =>
+      val within = CorpusOps.rendezvousRoute(d, shards, "rvh:s")
+        .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+      grpOf.filter(_._2 == g).keys.foreach { k =>
+        assert(r(k) === within(k), s"doc $k in group $g")
+      }
+    }
+    // a shard added INSIDE g1 pulls docs only from g1, only into it
+    val r2 = routesH(Seq("g0" -> Seq("a", "b"),
+      "g1" -> Seq("c", "d", "x"), "g2" -> Seq("e", "f")))
+    val moved = r.keys.filter(k => r2(k) != r(k))
+    assert(moved.nonEmpty)
+    assert(moved.forall(k => r2(k) == "x" && grpOf(k) == "g1"),
+      "a within-group add must move only that group's docs, into " +
+        "the new shard")
+    // guards: duplicate shard across groups, empty group
+    intercept[IllegalArgumentException] {
+      CorpusOps.rendezvousRouteHierarchical(d,
+        Seq("g0" -> Seq("a"), "g1" -> Seq("a")), "rvh")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.rendezvousRouteHierarchical(d,
+        Seq("g0" -> Seq.empty[String]), "rvh")
+    }
+  }
 }
