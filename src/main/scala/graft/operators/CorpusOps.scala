@@ -606,11 +606,16 @@ object CorpusOps {
   /** HIERARCHICAL rendezvous — the scale path the flat form's cap
     * points at: rendezvous FIRST over the group names, then (lazily)
     * over the matched group's shards, so a row EVALUATES only
-    * G + |its group| md5s (~2·√S at balanced fan-out — the CASE
-    * branches are codegen'd sequentially and only the matched branch
-    * runs) instead of the flat form's S. The two levels hash in
-    * disjoint domains (`seed:g` / `seed:s`), so a shard sharing a
-    * group's name cannot correlate the contests.
+    * G + |its group| md5s (~2·√S at balanced fan-out — CASE runs only
+    * the matched branch) instead of the flat form's S. Measured at
+    * S = 512 (32×16, ScaleProbe): 1.7× faster wall — less than the
+    * ~10× hash-count drop because a plan this wide leaves whole-stage
+    * codegen and the surviving hashes run interpreted; the gap WIDENS
+    * with S (the flat form's cost keeps growing, this form's per-row
+    * work stays G + |group|), and compile-width is what the 4096 caps
+    * actually bound. The two levels hash in disjoint domains
+    * (`seed:g` / `seed:s`), so a shard sharing a group's name cannot
+    * correlate the contests.
     *
     * Movement trade, stated plainly: with the GROUP list fixed,
     * adding a shard inside group g moves ~1/(|g|+1) of g's docs only
