@@ -336,14 +336,16 @@ object ReservoirStore {
     * [[graft.streaming.StreamingPipeline.reservoirStream]] does
     * exactly that per trigger, because at-least-once sources
     * legitimately re-deliver identical rows inside one micro-batch.
-    * The pin also makes the window single-execution, and ONE distinct
-    * serves both checks (the duplicate-row count compare and the
-    * conflicting-payload scan run off the same bounded frame).
+    * BOTH frames are pinned: the window (so the corpus-wide bottom-k
+    * runs once) and its distinct (three actions read it — the
+    * duplicate count compare, the conflicting-payload scan, and the
+    * caller's publish/union — and a lazy distinct would re-execute
+    * its shuffle per action; exchange reuse does not span actions).
     */
   private def checkedWindow(window: DataFrame,
       idCol: String): DataFrame = {
     val w = window.localCheckpoint(true)
-    val d = w.distinct()
+    val d = w.distinct().localCheckpoint(true)
     if (d.count() != w.count())
       throw new IllegalArgumentException(
         "reservoir store: the batch carries exact duplicate rows " +
@@ -354,7 +356,13 @@ object ReservoirStore {
     d
   }
 
-  private def requireGeometry(spark: SparkSession, schema: StructType,
+  /** The build/extend geometry validation, callable by the streaming
+    * leg BEFORE its per-trigger distinct: `distinct()` on a map-typed
+    * payload throws Spark's generic set-operation error, and the
+    * store's actionable non-orderable diagnostic must win that race.
+    */
+  private[graft] def requireGeometry(spark: SparkSession,
+      schema: StructType,
       idCol: String, capacity: Int, groupCol: String = ""): Unit = {
     require(schema.fieldNames.contains(idCol),
       s"reservoir store: id column '$idCol' is absent from the " +

@@ -984,6 +984,11 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // geometry first: distinct() on a non-orderable payload would
+        // throw Spark's generic set-operation error before the
+        // store's actionable diagnostic could fire
+        graft.operators.ReservoirStore.requireGeometry(
+          batch.sparkSession, batch.schema, idCol, capacity, groupCol)
         graft.operators.ReservoirStore.extend(batch.distinct(),
           storePath, batchId, capacity, seed, idCol = idCol,
           producer = producerFor(producer, checkpoint),
