@@ -641,6 +641,13 @@ object CorpusOps {
       s"rendezvousRouteHierarchical: ${groups.size} groups / max " +
         s"group ${groups.map(_._2.size).max} exceed the per-contest " +
         "4096 cap — add another level")
+    // the dispatch below stages the group winner in __rv_grp; an input
+    // already carrying that name would be silently overwritten and
+    // then dropped from the output (ADVICE r10)
+    require(!docs.columns.contains("__rv_grp"),
+      "rendezvousRouteHierarchical: the input already has a " +
+        "__rv_grp column — that name is reserved as the routing " +
+        "temp; rename it first")
     val id = checkedId(idCol)
     val grp = winnerOf(groups.map(_._1), s"$seed:g", id)
     // lazy per-row dispatch: CaseWhen evaluates ONLY the matched
@@ -685,6 +692,16 @@ object CorpusOps {
         s"and cannot appear in a shard name: ${shards.map(_._1)}")
     require(shards.map(_._1).distinct.size == shards.size,
       s"rendezvousRouteWeighted: duplicate shard names in $shards")
+    // own the ΣW cap here: delegating it to rendezvousRoute would
+    // report the virtual-entry count as "shards" and advise
+    // hierarchical routing — misleading for a weight overflow, whose
+    // fix is coarser weights (ADVICE r10)
+    val totalW = shards.map(_._2.toLong).sum
+    require(totalW <= 4096L,
+      s"rendezvousRouteWeighted: summed weight $totalW exceeds the " +
+        "4096 virtual-entry cap (each weight unit is one md5 contest " +
+        "entry per row) — divide the weights by their gcd, or " +
+        "coarsen them; relative shares are all that matters")
     val virtual = shards.flatMap { case (s, w) =>
       (0 until w).map(i => s"$s#$i")
     }

@@ -115,9 +115,16 @@ object LayoutStore {
       case rs => throw new IllegalStateException(
         s"$path/meta: expected one meta row, found ${rs.length}")
     }
+    // curve is read DEFENSIVELY: stores persisted before the hilbert
+    // family existed carry a 6-column meta row, and those layouts are
+    // all z-order by construction — defaulting beats bricking every
+    // pre-existing store with an index error (ADVICE r10)
+    val curve =
+      if (row.schema.fieldNames.contains("curve")) row.getString(6)
+      else "z"
     LayoutMeta(row.getSeq[String](0), row.getString(1), row.getInt(2),
       row.getInt(3), row.getSeq[Long](4), row.getSeq[Long](5),
-      row.getString(6))
+      curve)
   }
 
   /** Ingest a batch under the frozen grid: encode with the stored

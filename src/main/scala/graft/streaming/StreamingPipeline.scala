@@ -965,20 +965,33 @@ object StreamingPipeline {
     * replayed trigger is a ledger no-op (checkpoint-scoped producer),
     * and a re-ingested id in a later trigger collapses by value.
     *
-    * Each trigger is deduped (`batch.distinct()`) BEFORE the fold:
-    * at-least-once sources legitimately re-deliver identical rows
-    * INSIDE one micro-batch, and the store rejects within-batch exact
-    * duplicates loudly (they would consume sample slots) — without
-    * the per-trigger distinct a re-delivered row would poison the
-    * batch, and the checkpoint would replay the same poison forever.
-    * The distinct is O(batch), the price of the at-least-once
-    * contract; a CONFLICTING payload for one id still fails the
-    * trigger loudly (that is corruption, not redelivery).
+    * Each trigger is deduped (`batch.distinct()`) BEFORE the fold by
+    * default: at-least-once sources legitimately re-deliver identical
+    * rows INSIDE one micro-batch, and the store rejects within-batch
+    * exact duplicates loudly (they would consume sample slots) —
+    * without the per-trigger distinct a re-delivered row would poison
+    * the batch, and the checkpoint would replay the same poison
+    * forever. The distinct is O(batch) but still one shuffle per
+    * trigger; an EXACTLY-ONCE source can skip it
+    * (`dedupPerTrigger = false` — a duplicate row then fails the
+    * trigger loudly, which is the correct diagnostic for a source
+    * that promised not to produce one). A CONFLICTING payload for one
+    * id fails the trigger loudly either way (corruption, not
+    * redelivery).
+    *
+    * `n_seen` accounting under the default dedup: the store counts
+    * the rows it INGESTS, which here is the POST-distinct batch — a
+    * re-delivered duplicate does not inflate `n_seen` through this
+    * leg, a deliberate divergence from a raw [[
+    * graft.operators.ReservoirStore.extend]] call (whose scaladoc
+    * counts ingested rows, duplicates and all). The post-dedup count
+    * is the one that matches the sample's distinct-id contract.
     */
   def reservoirStream(docs: DataFrame, storePath: String,
       checkpoint: String, capacity: Int, seed: String,
       idCol: String = "doc_id", groupCol: String = "",
-      trigger: Trigger = Trigger.AvailableNow(), producer: String = "")
+      trigger: Trigger = Trigger.AvailableNow(), producer: String = "",
+      dedupPerTrigger: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -989,7 +1002,8 @@ object StreamingPipeline {
         // store's actionable diagnostic could fire
         graft.operators.ReservoirStore.requireGeometry(
           batch.sparkSession, batch.schema, idCol, capacity, groupCol)
-        graft.operators.ReservoirStore.extend(batch.distinct(),
+        graft.operators.ReservoirStore.extend(
+          if (dedupPerTrigger) batch.distinct() else batch,
           storePath, batchId, capacity, seed, idCol = idCol,
           producer = producerFor(producer, checkpoint),
           groupCol = groupCol)

@@ -585,6 +585,16 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusOps.rendezvousRouteWeighted(d, Seq(("a", 1), ("a", 2)), "rvw")
     }
+    // ΣW over the cap is a WEIGHT diagnostic, not the flat form's
+    // shard-count advice (ADVICE r10): the message must talk gcd /
+    // coarsening, never "route hierarchically"
+    val eW = intercept[IllegalArgumentException] {
+      CorpusOps.rendezvousRouteWeighted(d,
+        Seq(("a", 4000), ("b", 97)), "rvw")
+    }
+    assert(eW.getMessage.contains("summed weight") &&
+      eW.getMessage.contains("gcd"))
+    assert(!eW.getMessage.contains("hierarchically"))
   }
 
   test("rendezvousRouteHierarchical ≡ the two flat contests composed; " +
@@ -625,5 +635,12 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.rendezvousRouteHierarchical(d,
         Seq("g0" -> Seq.empty[String]), "rvh")
     }
+    // the reserved dispatch temp: an input already carrying __rv_grp
+    // would be silently overwritten and dropped (ADVICE r10)
+    val eTmp = intercept[IllegalArgumentException] {
+      CorpusOps.rendezvousRouteHierarchical(
+        d.withColumn("__rv_grp", lit("keepme")), groups, "rvh")
+    }
+    assert(eTmp.getMessage.contains("__rv_grp"))
   }
 }

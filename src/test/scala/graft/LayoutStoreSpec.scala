@@ -36,6 +36,24 @@ class LayoutStoreSpec extends SparkSpec {
     assert(dumpBox(path, box).nonEmpty)
   }
 
+  test("pre-hilbert 6-column meta loads with curve defaulted to z") {
+    val path = tmpDir("ls-legacy-meta") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    // rewrite the meta row WITHOUT the curve column — the exact shape
+    // a store persisted before the hilbert family carries; loading it
+    // must default to z-order, not die on a missing-column read
+    // (ADVICE r10)
+    val legacy = spark.read.parquet(s"$path/meta").drop("curve")
+    val tmp = tmpDir("ls-legacy-meta-stage")
+    legacy.coalesce(1).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/meta")
+    val meta = LayoutStore.loadMeta(spark, path)
+    assert(meta.curve === "z")
+    // and the store still answers box reads
+    assert(dumpBox(path, box) === directBox(corpus, box))
+  }
+
   test("append under frozen bounds: in-range and clamped rows stay reachable") {
     val path = tmpDir("ls-append") + "/layout"
     LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")

@@ -230,6 +230,40 @@ class ReservoirStoreSpec extends SparkSpec {
       .head.getAs[Long]("n_seen") === 300L)
   }
 
+  test("dedupPerTrigger=false skips the per-trigger distinct: an " +
+    "exactly-once stream folds clean, a re-delivered row fails loudly") {
+    import graft.streaming.StreamingPipeline
+    val d = docs(1 to 120).localCheckpoint()
+    // clean exactly-once source: no duplicates, dedup off — folds fine
+    val src = tmpDir("rs-eo-src")
+    d.coalesce(1).write.mode("append").parquet(src)
+    val store = tmpDir("rs-eo-store") + "/r"
+    StreamingPipeline.reservoirStream(
+      spark.readStream.schema(d.schema).parquet(src),
+      store, tmpDir("rs-eo-ckpt"), capacity = 20, seed = "s9",
+      dedupPerTrigger = false)
+      .awaitTermination()
+    assert(ReservoirStore.stats(spark, store)
+      .head.getAs[Long]("n_seen") === 120L)
+    // a source that breaks the exactly-once promise (duplicate row in
+    // one trigger) must fail the trigger loudly, not silently eat a
+    // sample slot
+    val srcDup = tmpDir("rs-eo-dup-src")
+    d.unionByName(d.filter(col("doc_id") === 1))
+      .coalesce(1).write.mode("append").parquet(srcDup)
+    val q = StreamingPipeline.reservoirStream(
+      spark.readStream.schema(d.schema).parquet(srcDup),
+      tmpDir("rs-eo-dup-store") + "/r", tmpDir("rs-eo-dup-ckpt"),
+      capacity = 20, seed = "s9", dedupPerTrigger = false)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("duplicate")), msgs.mkString(" | "))
+  }
+
   private def groupDocs(ids: Range): DataFrame =
     ids.map(i => (i.toLong, if (i % 10 == 0) "de" else "en",
       (i * 37 % 500).toLong))
