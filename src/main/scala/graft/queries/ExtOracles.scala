@@ -1272,7 +1272,12 @@ object ExtOracles {
         |SELECT shard8 AS shard,
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
-        |            AS BIGINT) AS n_moved
+        |            AS BIGINT) AS n_moved,
+        |       md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ','
+        |         ORDER BY doc_id), '')) AS ids_digest,
+        |       md5(coalesce(string_agg(CASE WHEN shard9 <> shard8
+        |         THEN CAST(doc_id AS VARCHAR) END, ','
+        |         ORDER BY doc_id), '')) AS moved_digest
         |FROM k8 JOIN k9 USING (doc_id)
         |GROUP BY shard8 ORDER BY shard8""".stripMargin,
 
@@ -1300,7 +1305,9 @@ object ExtOracles {
         |           CAST(kg.doc_id AS VARCHAR)) || sh.shard), 33) AS shard
         |  FROM kg JOIN sh ON sh.grp = kg.grp GROUP BY kg.doc_id
         |)
-        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ','
+        |         ORDER BY doc_id), '')) AS ids_digest
         |FROM ks GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replays CorpusOps.rendezvousRouteWeighted: the same md5 || name
@@ -1317,7 +1324,9 @@ object ExtOracles {
         |  FROM documents d CROSS JOIN v GROUP BY d.doc_id
         |)
         |SELECT split_part(vw, '#', 1) AS shard,
-        |       CAST(count(*) AS BIGINT) AS n_docs
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ','
+        |         ORDER BY doc_id), '')) AS ids_digest
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replays CorpusOps.mixtureWeights (alpha = 0.5, budget 1e6);

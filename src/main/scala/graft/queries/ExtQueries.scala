@@ -1218,11 +1218,30 @@ object ExtQueries {
       .withColumnRenamed("shard", "shard8")
     val r9 = CorpusOps.rendezvousRoute(r8, shards8 :+ "s08",
       seed = "rv10").withColumnRenamed("shard", "shard9")
+    // ids_digest/moved_digest pin every DOCUMENT's assignment, not
+    // just the histogram: compensating misroutes that preserve all
+    // per-shard counts would slip an aggregate-only gate (VERDICT r10
+    // #6) but cannot preserve an md5 over the sorted member id list
     r9.groupBy(col("shard8").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
-        count(when(col("shard9") =!= col("shard8"), 1)).as("n_moved"))
+        count(when(col("shard9") =!= col("shard8"), 1)).as("n_moved"),
+        idsDigest(col("doc_id")).as("ids_digest"),
+        idsDigest(when(col("shard9") =!= col("shard8"), col("doc_id")))
+          .as("moved_digest"))
       .orderBy("shard")
   }
+
+  /** md5 over the comma-joined NUMERICALLY-sorted member id list — the
+    * per-document assignment digest the routing gates carry beside
+    * their counts (nulls drop, so a `when` without otherwise digests a
+    * subset). Matches DuckDB's
+    * `md5(coalesce(string_agg(id, ',' ORDER BY id), ''))` exactly:
+    * collect_list drops nulls like string_agg, the sort is numeric on
+    * both sides, and the empty set digests as md5('').
+    */
+  private def idsDigest(id: Column): Column =
+    md5(array_join(
+      transform(sort_array(collect_list(id)), _.cast("string")), ","))
 
   /** Deterministic exact-k per-group sample (k = 20 per lang). */
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
@@ -2745,7 +2764,8 @@ object ExtQueries {
       docs(spark, dir).select("doc_id"),
       Seq(("a", 1), ("b", 2), ("c", 5)), seed = "rvw")
       .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"),
+        idsDigest(col("doc_id")).as("ids_digest"))
       .orderBy("shard")
 
   /** Hierarchical rendezvous routing
@@ -2764,7 +2784,8 @@ object ExtQueries {
         s"g$g" -> (0 until 4).map(i => f"s${g * 4 + i}%02d")),
       seed = "rvh")
       .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"),
+        idsDigest(col("doc_id")).as("ids_digest"))
       .orderBy("shard")
 
   /** Point-in-time join against the SCD2 dimension
