@@ -132,6 +132,7 @@ object SparkEntry {
     "events_anomaly" -> (eventsAnomaly(_, _)),
     "events_retention" -> (eventsRetention(_, _)),
     "sample_reservoir_groups" -> (graft.queries.ExtQueries.sampleReservoirGroups(_, _)),
+    "sample_reservoir_groups_str" -> (graft.queries.ExtQueries.sampleReservoirGroupsStr(_, _)),
     "sample_reservoir_store" -> (graft.queries.ExtQueries.sampleReservoirStore(_, _)),
     "sample_stratified" -> (graft.queries.ExtQueries.sampleStratified(_, _)),
     "sample_weighted" -> (graft.queries.ExtQueries.sampleWeighted(_, _)),

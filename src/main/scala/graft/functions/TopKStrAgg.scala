@@ -59,3 +59,54 @@ final class TopKStrAgg(k: Int)
 
   override def outputEncoder: Encoder[TopKStrBuf] = Encoders.product[TopKStrBuf]
 }
+
+/** [[TopKStrAgg]]'s buffer with the id carried as a STRING — the
+  * any-orderable-id face of the grouped sampling operators (VERDICT
+  * r10 #7): the id rides in its canonical string-cast form, which is
+  * the SAME form the md5 priority is computed over everywhere
+  * ([[graft.operators.ReservoirStore.priorityFor]] casts the id to
+  * string before hashing), so admitting it as the partial's id adds
+  * no new injectivity assumption.
+  */
+final case class TopKStrIdBuf(rows: List[(String, String)])
+
+/** Per-group bottom-k by (string priority ASC, string id ASC) — the
+  * [[TopKStrAgg]] shape with a string id, for corpora keyed by
+  * non-BIGINT ids (url/content-hash keys). The tiebreak is string
+  * order of the id's canonical cast — deterministic for any atomic
+  * id, engine-portable (UTF8String binary order ≡ DuckDB VARCHAR on
+  * these keys), and reachable only under an md5 collision anyway.
+  */
+final class TopKStrIdAgg(k: Int)
+    extends Aggregator[(String, String), TopKStrIdBuf, TopKStrIdBuf] {
+
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  private def better(a: (String, String), b: (String, String)): Boolean = {
+    val c = a._1.compareTo(b._1)
+    c < 0 || (c == 0 && a._2.compareTo(b._2) < 0)
+  }
+
+  override def zero: TopKStrIdBuf = TopKStrIdBuf(Nil)
+
+  override def reduce(buf: TopKStrIdBuf,
+      row: (String, String)): TopKStrIdBuf = insert(buf, row)
+
+  override def merge(a: TopKStrIdBuf, b: TopKStrIdBuf): TopKStrIdBuf =
+    b.rows.foldLeft(a)(insert)
+
+  private def insert(buf: TopKStrIdBuf,
+      row: (String, String)): TopKStrIdBuf = {
+    val (ahead, behind) = buf.rows.span(better(_, row))
+    if (ahead.lengthCompare(k) >= 0) buf
+    else TopKStrIdBuf((ahead ::: row :: behind).take(k))
+  }
+
+  override def finish(buf: TopKStrIdBuf): TopKStrIdBuf = buf
+
+  override def bufferEncoder: Encoder[TopKStrIdBuf] =
+    Encoders.product[TopKStrIdBuf]
+
+  override def outputEncoder: Encoder[TopKStrIdBuf] =
+    Encoders.product[TopKStrIdBuf]
+}

@@ -260,35 +260,74 @@ object ReservoirStore {
     } else groupedBottomK(df, idCol, capacity, seed, groupCol, id)
   }
 
-  /** Per-group bottom-`capacity`: the ranking runs through
-    * [[graft.functions.TopKStrAgg]] — bounded map-side partials over
-    * the full md5 priority, ≤ capacity (priority, id) pairs per
-    * (group, task) cross the ONE exchange — NOT a window (per-group
-    * sampling over a real crawl has half the corpus in one group; a
-    * window sorts that stratum in one task). Winner ids come back as
-    * a ≤ groups·capacity broadcast semi-join that recovers the full
+  /** Per-group bottom-`capacity`: the ranking runs through the
+    * bounded [[graft.functions.TopKStrAgg]] /
+    * [[graft.functions.TopKStrIdAgg]] map-side partials over the full
+    * md5 priority — ≤ capacity (priority, id) pairs per (group, task)
+    * cross the ONE exchange — NOT a window (per-group sampling over a
+    * real crawl has half the corpus in one group; a window sorts that
+    * stratum in one task). Winner ids come back as a
+    * ≤ groups·capacity broadcast semi-join that recovers the full
     * payload rows, so every copy of a duplicated winner id reaches
     * [[dedupMerged]]'s conflict tripwire (the grouped path has no
     * boundary-split blind spot). A null group is its own group — a
     * data-quality signal the sample EXPOSES, like the histogram's
     * null bin, not an error.
+    *
+    * Id typing: a BIGINT id rides the long-typed partial unchanged; a
+    * non-BIGINT ATOMIC id (string/date/timestamp/decimal — the url or
+    * content-hash corpus key) rides [[graft.functions.TopKStrIdAgg]]
+    * in its canonical string-cast form — the SAME form
+    * [[priorityFor]] already hashes in every mode, so no new
+    * injectivity assumption enters; only the (2⁻¹²⁸-reachable) md5
+    * tiebreak becomes string order of that cast. Non-atomic ids
+    * reject loudly: project an atomic key (e.g. md5 of the struct's
+    * canonical concat) first.
     */
   private def groupedBottomK(df: DataFrame, idCol: String,
       capacity: Int, seed: String, groupCol: String,
       id: Column): DataFrame = {
-    require(df.schema(idCol).dataType ==
-        org.apache.spark.sql.types.LongType,
-      s"grouped reservoir needs a BIGINT $idCol — the bounded " +
-        "per-group ranking carries (priority, id) pairs")
-    val topk = udaf(new graft.functions.TopKStrAgg(capacity))
-    val winners = df
-      .select(col(groupCol).as("__g"),
-        priorityFor(seed, id).as("__pri"), col(idCol))
-      .groupBy("__g")
-      .agg(topk(col("__pri"), col(idCol)).as("top"))
-      .select(explode(col("top").getField("rows")).as("r"))
-      .select(col("r").getField("_2").as(idCol))
-    df.join(broadcast(winners.distinct()), Seq(idCol), "left_semi")
+    val winners = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val topk = udaf(new graft.functions.TopKStrAgg(capacity))
+        df.select(col(groupCol).as("__g"),
+            priorityFor(seed, id).as("__pri"), col(idCol))
+          .groupBy("__g")
+          .agg(topk(col("__pri"), col(idCol)).as("top"))
+          .select(explode(col("top").getField("rows")).as("r"))
+          .select(col("r").getField("_2").cast("string").as("__wid"))
+      case t if stringKeyable(t) =>
+        val topk = udaf(new graft.functions.TopKStrIdAgg(capacity))
+        df.select(col(groupCol).as("__g"),
+            priorityFor(seed, id).as("__pri"),
+            id.cast("string").as("__ids"))
+          .groupBy("__g")
+          .agg(topk(col("__pri"), col("__ids")).as("top"))
+          .select(explode(col("top").getField("rows")).as("r"))
+          .select(col("r").getField("_2").as("__wid"))
+      case t => throw new IllegalArgumentException(
+        s"grouped reservoir: $idCol has non-atomic type " +
+          s"${t.catalogString} — the bounded per-group ranking " +
+          "carries the id in canonical string form; project an " +
+          "atomic key (e.g. md5 of a canonical concat) first")
+    }
+    df.join(broadcast(winners.distinct()),
+      col(idCol).cast("string") === col("__wid"), "left_semi")
+  }
+
+  /** Atomic types whose canonical string cast is injective — the ids
+    * the string-id grouped partial admits ([[groupedBottomK]]).
+    * LongType is absent only because it rides its own typed partial.
+    */
+  private def stringKeyable(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case StringType | IntegerType | ShortType | ByteType |
+           BooleanType | DateType | TimestampType | TimestampNTZType |
+           DoubleType | FloatType => true
+      case _: DecimalType => true
+      case _ => false
+    }
   }
 
   /** Collapse exact duplicate rows (a re-ingested id carries the same

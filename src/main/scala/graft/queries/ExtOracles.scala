@@ -1643,6 +1643,26 @@ object ExtOracles {
         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 40
         |ORDER BY doc_id""".stripMargin,
 
+    // the string-id grouped reservoir: same per-lang window replay
+    // with the corpus key projected to the string 'd' || lpad(id) —
+    // priority md5('rsgs:' || sid), tiebreak the sid's string order
+    // (the TopKStrIdAgg contract)
+    "sample_reservoir_groups_str" ->
+      """WITH base AS (
+        |  SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS sid,
+        |         lang, n_chars
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT sid, lang, n_chars, md5('rsgs:' || sid) AS k FROM base
+        |), r AS (
+        |  SELECT sid, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY k, sid) AS rn
+        |  FROM keyed
+        |)
+        |SELECT sid, lang, n_chars FROM r WHERE rn <= 40
+        |ORDER BY sid""".stripMargin,
+
     // replays ReservoirStore's one priority definition over the RAW
     // table: hex md5('rs10:' || id) compared as a string, bottom-200
     // by (priority, id) — the gate built the sample write(evens) →

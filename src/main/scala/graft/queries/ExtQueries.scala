@@ -2732,6 +2732,43 @@ object ExtQueries {
   private val reservoirGroupsCache =
     new SessionCache[String](SessionCache.deleteTree)
 
+  /** Grouped reservoir keyed by a STRING id (VERDICT r10 #7): the
+    * same write(evens) → extend(odds) per-language holdout with the
+    * corpus key projected to `sid = 'd' ∥ lpad(doc_id, 4, '0')` — the
+    * url/content-hash-keyed pipeline shape. Hash-green proves the
+    * [[graft.functions.TopKStrIdAgg]] string-id partials ≡ the
+    * oracle's per-group window over (md5 priority, sid), and that
+    * adding `groupCol` to a string-keyed pipeline no longer hits the
+    * old BIGINT-only seam.
+    */
+  def sampleReservoirGroupsStr(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.operators.ReservoirStore
+      .serve(spark, reservoirGroupsStrPath(spark, dir))
+      .orderBy("sid")
+
+  private def reservoirGroupsStrPath(spark: SparkSession,
+      dir: String): String =
+    reservoirGroupsStrCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-reservoir-groups-str").toString
+      val docs = Tables.documents(spark, dir)
+        .select(concat(lit("d"),
+            lpad(col("doc_id").cast("string"), 4, "0")).as("sid"),
+          col("lang"), col("n_chars"), col("doc_id"))
+      graft.operators.ReservoirStore.write(
+        docs.filter(col("doc_id") % 2 === 0).drop("doc_id"), s"$root/r",
+        "sid", capacity = 40, seed = "rsgs", groupCol = "lang")
+      graft.operators.ReservoirStore.extend(
+        docs.filter(col("doc_id") % 2 === 1).drop("doc_id"), s"$root/r",
+        batchId = 1L, capacity = 40, seed = "rsgs", idCol = "sid",
+        groupCol = "lang")
+      root
+    } + "/r"
+
+  private val reservoirGroupsStrCache =
+    new SessionCache[String](SessionCache.deleteTree)
+
   private val reservoirStoreCache =
     new SessionCache[String](SessionCache.deleteTree)
   private def reservoirStorePath(spark: SparkSession,

@@ -339,6 +339,49 @@ class ReservoirStoreSpec extends SparkSpec {
       ps.contains("SortAggregate"), s"expected typed agg partials:\n$ps")
   }
 
+  test("grouped mode with a STRING id: split-invariant like the " +
+    "BIGINT path, winners ≡ per-group window; non-atomic id rejects") {
+    val sdocs = groupDocs(1 to 400)
+      .select(concat(lit("k"),
+          lpad(col("doc_id").cast("string"), 5, "0")).as("sid"),
+        col("lang"), col("n_chars"))
+    val once = tmpDir("rsg-str-once") + "/r"
+    ReservoirStore.write(sdocs, once, "sid", 15, "gs", groupCol = "lang")
+    val inc = tmpDir("rsg-str-inc") + "/r"
+    ReservoirStore.write(sdocs.filter(col("sid") <= "k00100"), inc,
+      "sid", 15, "gs", groupCol = "lang")
+    ReservoirStore.extend(sdocs.filter(col("sid") > "k00100"), inc, 1L,
+      15, "gs", idCol = "sid", groupCol = "lang")
+    val a = ReservoirStore.serve(spark, once).orderBy("sid")
+      .collect().toSeq
+    assert(a === ReservoirStore.serve(spark, inc).orderBy("sid")
+      .collect().toSeq)
+    // winners ≡ the window formulation over (md5 priority, sid)
+    val expected = sdocs
+      .withColumn("k", ReservoirStore.priorityFor("gs", col("sid")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("k", "sid")))
+      .filter(col("rn") <= 15).select("sid")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(a.map(_.getString(0)) === expected)
+    // per-group sizes: capacity for en, all 40 for de
+    val sizes = ReservoirStore.serve(spark, once)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes("en") === 15L && sizes("de") === 15L)
+    // a non-atomic id rejects loudly with the encode recipe
+    val structDocs = groupDocs(1 to 20)
+      .select(struct(col("doc_id")).as("kid"), col("lang"),
+        col("n_chars"))
+    val e = intercept[IllegalArgumentException] {
+      ReservoirStore.write(structDocs, tmpDir("rsg-str-bad") + "/r",
+        "kid", 5, "gs", groupCol = "lang")
+    }
+    assert(e.getMessage.contains("atomic") ||
+      e.getMessage.contains("orderable"), e.getMessage)
+  }
+
   test("shrink ≡ from-scratch build at the smaller capacity (global " +
     "and grouped), extends continue at the new geometry; growth " +
     "rejects pointing at write") {
