@@ -154,6 +154,7 @@ object SparkEntry {
     "graph_kcore" -> (graft.queries.ExtQueries.graphKcore(_, _)),
     "embed_sq8_topk" -> (graft.queries.ExtQueries.embedSq8TopK(_, _)),
     "embed_sq8_index" -> (graft.queries.ExtQueries.embedSq8Index(_, _)),
+    "embed_filtered_topk" -> (graft.queries.ExtQueries.embedFilteredTopK(_, _)),
     "embed_ivf_topk" -> (graft.queries.ExtQueries.embedIvfTopK(_, _)),
     "embed_knn_classify" -> (graft.queries.ExtQueries.embedKnnClassify(_, _)),
     "embed_outliers" -> (graft.queries.ExtQueries.embedOutliers(_, _)),

@@ -187,8 +187,20 @@ object VectorIndex {
     * fold order, same products, same round-5 emission and vec_id
     * tiebreak.
     */
+  /** @param allowed optional attribute pre-filter: a `(vec_id)` id
+    *   set semi-joined into the code scan BEFORE scoring, so the
+    *   top-k fills with k MATCHING vectors instead of post-filtering
+    *   an unfiltered top-k down to ~k·selectivity rows — the
+    *   decontamination / retrieval-mix shape ("top-k WHERE lang='en'
+    *   AND split != 'eval'"). The flat scan reads every surviving
+    *   code either way, so unlike the IVF path there is no recall
+    *   trade: the filtered result is exactly the brute-force top-k
+    *   of the filtered corpus (spec-pinned). Plain semi-join —
+    *   Catalyst broadcasts a small id set, shuffles a large one.
+    */
   def searchSq8(spark: SparkSession, path: String, queries: DataFrame,
-                k: Int = 10): DataFrame = {
+                k: Int = 10,
+                allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     IndexStores.healRoot(spark, path)
     // store-kind + dimension checks UPFRONT: pointed at an IVF-PQ
@@ -215,8 +227,13 @@ object VectorIndex {
         s"has a null embedding or a dim != the index's $dim")
     // tombstone-suppressed read — the family's delete contract
     // ([[deleteSq8]]); a deleted id must never reappear in a top-k
-    val codes = IndexStores.survivors(spark, path,
+    val codes0 = IndexStores.survivors(spark, path,
       IndexStores.readStore(spark, s"$path/codes"), "vec_id")
+    // the attribute filter lands BEFORE scoring: non-matching codes
+    // are never byte-dotted, and the rank window sees only matches
+    val codes = allowed.map(a =>
+      codes0.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+      .getOrElse(codes0)
     val scored = codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .withColumn("sq8_score", round(col("scale") *
         VectorOps.byteDot(col("qv"), col("codes")), 5))
@@ -438,11 +455,22 @@ object VectorIndex {
   /** Top-k ADC search against a persisted index. `queries` are raw
     * (id, vector) pairs — the index is self-contained; the corpus that
     * built it is not needed at search time.
+    *
+    * @param allowed optional attribute pre-filter: a `(vec_id)` id set
+    *   semi-joined into the probed-cell code scan BEFORE ADC scoring
+    *   (see [[VectorOps.ivfPqSearch]]) — k fills with matching
+    *   vectors, where post-filtering an unfiltered top-k under-fills
+    *   by the predicate's selectivity. Recall contract: candidates
+    *   still come only from the probed cells; raise `nprobe` when the
+    *   predicate is sharp (the filtered corpus may concentrate in few
+    *   cells).
     */
   def searchIvfPq(spark: SparkSession, path: String,
                   queries: Seq[(Long, Array[Double])], k: Int = 10,
-                  nprobe: Int = Auto): DataFrame =
-    VectorOps.ivfPqSearch(loadIvfPq(spark, path), queries, k, nprobe)
+                  nprobe: Int = Auto,
+                  allowed: Option[DataFrame] = None): DataFrame =
+    VectorOps.ivfPqSearch(loadIvfPq(spark, path), queries, k, nprobe,
+      allowed)
 
   /** ADC search + exact re-rank served ENTIRELY from the persisted
     * index (requires [[writeIvfPq]] `storeVectors = true`): candidates
@@ -456,7 +484,8 @@ object VectorIndex {
     */
   def searchIvfPqRerank(spark: SparkSession, path: String,
                         queries: Seq[(Long, Array[Double])], k: Int = 10,
-                        rerankK: Int = Auto, nprobe: Int = Auto): DataFrame = {
+                        rerankK: Int = Auto, nprobe: Int = Auto,
+                        allowed: Option[DataFrame] = None): DataFrame = {
     require(hasVectors(spark, path),
       s"$path has no vectors/ store — build with storeVectors = true to refine")
     val model = loadIvfPq(spark, path)
@@ -464,6 +493,7 @@ object VectorIndex {
     val raw = IndexStores.readStore(spark, s"$path/vectors")
       .filter(col("cell").isin(probed: _*))
       .select("vec_id", "embedding")
-    VectorOps.ivfPqSearchRerank(model, queries, raw, k, rerankK, nprobe)
+    VectorOps.ivfPqSearchRerank(model, queries, raw, k, rerankK, nprobe,
+      allowed)
   }
 }

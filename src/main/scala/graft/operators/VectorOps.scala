@@ -967,10 +967,26 @@ object VectorOps {
     probeLuts(model, queries, nprobeEff).map(_._2).distinct
   }
 
+  /** @param allowed optional attribute pre-filter: a `(vec_id)` id
+    *   set (any extra columns ignored) semi-joined into the PROBED
+    *   CELL scan before ADC scoring, so the top-k fills with k
+    *   MATCHING vectors — where a post-filter of an unfiltered top-k
+    *   under-fills k by the predicate's selectivity (a 1%-selective
+    *   filter leaves ~k/100 rows). Recall contract: candidates still
+    *   come only from the probed cells, so a HIGHLY selective
+    *   predicate concentrates the surviving corpus in fewer probed
+    *   cells — raise nprobe when the filter is sharp (the documented
+    *   filtered-search dial, FAISS's selector posture). The id set is
+    *   a plain semi-join: Catalyst broadcasts it when small, shuffles
+    *   when not — no driver-side materialization either way.
+    */
   private[graft] def ivfPqSearch(model: IvfPqModel,
       queries: Seq[(Long, Array[Double])], k: Int,
-      nprobe: Int = Auto): DataFrame = {
-    val IvfPqModel(centers, modelNprobe, _, dsub, m, _, codebooks, codes) = model
+      nprobe: Int = Auto, allowed: Option[DataFrame] = None): DataFrame = {
+    val IvfPqModel(centers, modelNprobe, _, dsub, m, _, codebooks, codes0) = model
+    val codes = allowed.map(a =>
+      codes0.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+      .getOrElse(codes0)
     val spark = codes.sparkSession
     import spark.implicits._
     val nprobeEff = if (nprobe != Auto) nprobe else modelNprobe
@@ -1021,11 +1037,16 @@ object VectorOps {
     */
   def ivfPqSearchRerank(model: IvfPqModel, queries: Seq[(Long, Array[Double])],
                         rawVectors: DataFrame, k: Int,
-                        rerankK: Int = Auto, nprobe: Int = Auto): DataFrame = {
+                        rerankK: Int = Auto, nprobe: Int = Auto,
+                        allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rk = if (rerankK != Auto) rerankK else 10 * k
     require(rk >= k, s"rerankK $rk must be >= k $k — refine narrows candidates")
-    val cands = ivfPqSearch(model, queries, rk, nprobe).select("qid", "vec_id")
+    // the attribute filter rides the ADC candidate scan (see
+    // ivfPqSearch); the refine stage re-scores only those candidates,
+    // so it needs no filter of its own
+    val cands = ivfPqSearch(model, queries, rk, nprobe, allowed)
+      .select("qid", "vec_id")
     val spark = rawVectors.sparkSession
     import spark.implicits._
     val qdf = queries.toDF("qid", "qvec")

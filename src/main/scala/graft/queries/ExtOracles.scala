@@ -1904,6 +1904,30 @@ object ExtOracles {
     // — same replay
     "embed_sq8_index" -> sq8TopkSql,
 
+    // the ATTRIBUTE-FILTERED scan: the same SQ8 replay with the
+    // candidate CTE restricted to label = 2 BEFORE ranking — the
+    // filtered search must equal the brute-force top-k of the
+    // filtered corpus, k filled
+    "embed_filtered_topk" ->
+      s"""WITH $embCte,
+         |c AS (SELECT c0.vec_id, scale,
+         |        list_transform(v, x -> floor(x / scale + 0.5)) AS codes
+         |      FROM (SELECT vec_id, v,
+         |              greatest(list_max(list_transform(v, x -> abs(x)))
+         |                / 127.0, 1e-12) AS scale
+         |            FROM e) c0
+         |      JOIN embeddings l ON c0.vec_id = l.vec_id
+         |      WHERE l.label = 2),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |scored AS (SELECT qid, c.vec_id,
+         |  round(scale * list_dot_product(qv, codes), 5) AS sq8_score
+         |  FROM c JOIN q ON c.vec_id <> qid),
+         |ranked AS (SELECT qid, vec_id, sq8_score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sq8_score DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT qid, vec_id, sq8_score, rn FROM ranked WHERE rn <= 10
+         |ORDER BY qid, rn""".stripMargin,
+
     // replays VectorOps.knnClassify over the embed_topk neighbour CTEs:
     // label attach + majority vote, ties (votes desc, label asc)
     "embed_knn_classify" ->

@@ -1608,6 +1608,30 @@ object ExtQueries {
       .orderBy("qid", "rn")
   }
 
+  /** ATTRIBUTE-FILTERED ANN (VERDICT r10 #2): the persisted SQ8 scan
+    * with a `label = 2` pre-filter semi-joined in BEFORE scoring
+    * ([[graft.operators.VectorIndex.searchSq8]] `allowed`) — the
+    * decontamination / retrieval-mix workhorse ("top-k neighbours
+    * WHERE ..."). Shares [[embedSq8Index]]'s store and replay shape;
+    * the oracle restricts the candidate CTE to the same predicate, so
+    * hash-green proves the filtered search ≡ brute-force top-k OVER
+    * THE FILTERED CORPUS — k stays filled (10 rows per query) where a
+    * post-filter of the unfiltered top-10 would keep ~1 row at this
+    * ~10% selectivity.
+    */
+  def embedFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val queries = embs(spark, dir)
+      .filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val allowed = embs(spark, dir)
+      .filter(col("label") === 2).select("vec_id")
+    graft.operators.VectorIndex.searchSq8(spark,
+      sq8StorePath(spark, dir), queries, k = 10,
+      allowed = Some(allowed))
+      .orderBy("qid", "rn")
+  }
+
   /** Seeded ±1 random projection 64 → 16 dims (Johnson–Lindenstrauss
     * preprocessing); the projected vector is digested to its
     * left-to-right sum + norm so the gate compares scalars.

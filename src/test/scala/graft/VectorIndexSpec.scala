@@ -442,4 +442,70 @@ class VectorIndexSpec extends SparkSpec {
     }
     assert(em.getMessage.contains("qid="))
   }
+
+  test("attribute-filtered search: k fills from matching candidates " +
+      "under a 1%-selective predicate; SQ8 ≡ search over the filtered " +
+      "corpus; IVF-PQ at full probe too") {
+    import graft.operators.{VectorIndex, VectorOps}
+    val embs = sources.Tables.embeddings(spark, sf).localCheckpoint()
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val queries = embs.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+
+    // ~10%-selective predicate: k=10 fills COMPLETELY from matches —
+    // the under-fill a post-filter of the unfiltered top-10 cannot
+    // avoid (it would keep ~1 row per query here)
+    val path = tmpDir("sq8-filtered") + "/sq8"
+    VectorIndex.writeSq8(embs, path)
+    val lab2 = embs.filter(col("label") === 2)
+    val filtered = VectorIndex.searchSq8(spark, path, queries, k = 10,
+      allowed = Some(lab2.select("vec_id")))
+    val perQ = filtered.groupBy("qid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(qids.forall(q => perQ(q) === 10L),
+      s"k must fill from matching candidates: $perQ")
+    assert(filtered.join(embs.select("vec_id", "label"), "vec_id")
+      .filter(col("label") =!= 2).count() === 0L)
+    // ≡ the same search over a store holding ONLY the filtered corpus
+    val pathF = tmpDir("sq8-filtered-only") + "/sq8"
+    VectorIndex.writeSq8(lab2, pathF)
+    assert(rows(filtered) ===
+      rows(VectorIndex.searchSq8(spark, pathF, queries, k = 10)),
+      "filtered search must equal brute-force over the filtered corpus")
+
+    // 1%-selective: 5 allowed ids — the result holds EVERY allowed
+    // non-self candidate (the filtered corpus is smaller than k)
+    val sparse = embs.filter(col("vec_id") % 100 === 0) // 0,100,...,400
+    val sparseRes = VectorIndex.searchSq8(spark, path, queries, k = 10,
+      allowed = Some(sparse.select("vec_id")))
+    val sparseIds = sparse.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    qids.foreach { q =>
+      val got = sparseRes.filter(col("qid") === q)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got === (sparseIds - q),
+        s"query $q must rank every allowed non-self candidate")
+    }
+
+    // IVF-PQ: filtered ADC at FULL probe ≡ ADC over the filtered
+    // corpus encoded under the SAME frozen model (same centroids and
+    // codebooks, so codes are bit-identical; only the candidate set
+    // differs)
+    val ipath = tmpDir("ivfpq-filtered")
+    val model = VectorIndex.writeIvfPq(embs, ipath)
+    val nlist = model.centers.length
+    val q2 = VectorOps.collectQueries(embs, qids).toSeq
+    val a = rows(VectorIndex.searchIvfPq(spark, ipath, q2, k = 10,
+      nprobe = nlist, allowed = Some(lab2.select("vec_id"))))
+    val filteredModel = model.copy(codes = model.codes
+      .join(lab2.select("vec_id"), Seq("vec_id"), "left_semi"))
+    val b = rows(VectorOps.ivfPqSearch(filteredModel, q2, k = 10,
+      nprobe = nlist))
+    assert(a === b,
+      "filtered IVF-PQ at full probe must equal ADC over the " +
+        "filtered code table")
+  }
 }
