@@ -181,6 +181,7 @@ object SparkEntry {
     "multimodal_scene_changes" -> (graft.queries.ExtQueries.multimodalSceneChanges(_, _)),
     "layout_hilbert" -> (graft.queries.ExtQueries.layoutHilbert(_, _)),
     "layout_hilbert_box" -> (graft.queries.ExtQueries.layoutHilbertBox(_, _)),
+    "layout_hilbert_3d" -> (graft.queries.ExtQueries.layoutHilbert3d(_, _)),
     "layout_zorder" -> (graft.queries.ExtQueries.layoutZorder(_, _)),
     "layout_skipping" -> (graft.queries.ExtQueries.layoutSkipping(_, _)),
     "layout_store_hilbert" -> (graft.queries.ExtQueries.layoutStoreHilbert(_, _)),

@@ -130,6 +130,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
       children => HilbertIndex(children(0), children(1),
         children.lift(2).map(foldInt("hilbert_index", "bits", _))
+          .getOrElse(8))),
+    // hilbert_index_n(coords, dims, bits) — n >= 3 Butz/Skilling;
+    // dims/bits must be foldable ints
+    (FunctionIdentifier("hilbert_index_n"),
+      new ExpressionInfo(classOf[HilbertIndexN].getName,
+        "hilbert_index_n"),
+      children => HilbertIndexN(children(0),
+        foldInt("hilbert_index_n", "dims", children(1)),
+        children.lift(2).map(foldInt("hilbert_index_n", "bits", _))
           .getOrElse(8))))
 
   private def foldInt(fn: String, arg: String, e: Expression): Int = e match {

@@ -84,32 +84,45 @@ object LayoutOps {
       .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
   }
 
-  /** Per-dimension grid coordinates + 2-D Hilbert key — the same
-    * bucketing as [[zorderKey]] with the Morton interleave swapped for
-    * the Hilbert transform ([[graft.functions.HilbertIndex]]): strict
-    * locality (consecutive keys are always grid-adjacent, so a query
-    * box decomposes into fewer, longer key runs → fewer file seeks at
-    * equal resolution), at the cost of being 2-D-only and losing
+  /** Per-dimension grid coordinates + Hilbert key — the same
+    * bucketing as [[zorderKey]] with the Morton interleave swapped
+    * for the Hilbert transform: strict locality (consecutive keys are
+    * always grid-adjacent, so a query box decomposes into fewer,
+    * longer key runs → fewer file seeks at equal resolution), losing
     * Morton's prefix-is-quadrant property ([[cellsForBox]]'s
     * enumerator stays z-order's; Hilbert cells are audited through
     * [[cellStats]] occupancy like any layout — pass
     * `cellCol = "hcell"`).
     *
+    * Two dims ride the classic rotate-and-accumulate
+    * ([[graft.functions.HilbertIndex]]); three or more ride the
+    * Butz/Skilling transform ([[graft.functions.HilbertIndexN]]) —
+    * e.g. a (time × lang × quality) layout key. The curves are
+    * distinct per arity by construction (Skilling's n = 2
+    * orientation differs from the classic xy2d; routing n = 2 to the
+    * classic kernel keeps every existing 2-D layout stable).
+    *
     * @return df plus `zb_<col>` grid coordinates and `hkey`
     */
   def hilbertKey(df: DataFrame, cols: Seq[String],
       bits: Int = 8): DataFrame = {
-    require(cols.size == 2,
-      s"hilbertKey is the 2-D curve (got ${cols.size} dims) — for " +
-        "3+ dimensions use zorderKey, whose interleave generalises")
-    require(bits >= 1 && bits <= 31,
-      s"bits=$bits outside [1, 31] — 2·bits must fit a signed " +
+    require(cols.size >= 2,
+      s"hilbertKey needs at least 2 dims (got ${cols.size})")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits=$bits over ${cols.size} dims overflows a signed " +
         "64-bit hkey")
     import org.apache.spark.sql.graftshim.ColumnBridge._
+    val key =
+      if (cols.size == 2)
+        column(graft.functions.HilbertIndex(
+          expression(col(s"zb_${cols(0)}")),
+          expression(col(s"zb_${cols(1)}")), bits))
+      else
+        column(graft.functions.HilbertIndexN(
+          expression(array(cols.map(c => col(s"zb_$c")): _*)),
+          cols.size, bits))
     zorderKey(df, cols, bits).drop("zkey")
-      .withColumn("hkey", column(graft.functions.HilbertIndex(
-        expression(col(s"zb_${cols(0)}")),
-        expression(col(s"zb_${cols(1)}")), bits)))
+      .withColumn("hkey", key)
   }
 
   /** [[hilbertKey]] plus the file-grid cell id: the hkey's top
@@ -126,7 +139,7 @@ object LayoutOps {
     */
   def hilbertLayout(df: DataFrame, cols: Seq[String], bits: Int = 8,
       cellBits: Int = 8): DataFrame = {
-    val keyBits = 2 * bits
+    val keyBits = bits * cols.size
     require(cellBits >= 1 && cellBits <= keyBits,
       s"cellBits=$cellBits must be in [1, $keyBits]")
     hilbertKey(df, cols, bits)
@@ -178,7 +191,9 @@ object LayoutOps {
     require(curve == "z" || curve == "hilbert",
       s"unknown layout curve '$curve' — \"z\" or \"hilbert\"")
     require(curve == "z" || cols.size == 2,
-      "the hilbert curve is 2-D; use curve=\"z\" for 3+ dimensions")
+      "the persisted hilbert store is 2-D; use curve=\"z\" for 3+ " +
+        "dimensions (the inline hilbertKey/hilbertCellsForBoxN " +
+        "family serves n-D hilbert layouts)")
     // hilbert key width is 2·bits — identical to the z keyBits at the
     // curve's mandatory n = 2, so ONE width expression serves both
     val keyBits = bits * cols.size
@@ -413,6 +428,55 @@ object LayoutOps {
     }
   }
 
+  /** n-D Hilbert cells intersecting an inclusive box — the
+    * Butz/Skilling twin of [[hilbertCellsForBox]]. `cellBits` must be
+    * a MULTIPLE of n: each curve level consumes exactly n bits, so an
+    * n·d-bit prefix identifies one depth-d ORTHANT — an axis-aligned
+    * hypercube whose extent needs no rotation bookkeeping (the first
+    * curve point of the prefix range lies inside it; aligning each
+    * coordinate down to the orthant grid gives the cube). Same pruned
+    * descent: an orthant disjoint from the box prunes its whole
+    * subtree — O(result · depth) [[graft.functions.HilbertIndex
+    * .indexToAxes]] calls, never the 2^cellBits grid scan
+    * (spec-checked against the exhaustive ground truth at n = 3).
+    */
+  def hilbertCellsForBoxN(mins: Seq[Long], maxs: Seq[Long],
+      box: Seq[(Long, Long)], bits: Int = 8, cellBits: Int = 8,
+      clamp: Boolean = false): Seq[Long] = {
+    val n = mins.size
+    require(n >= 3 && maxs.size == n && box.size == n,
+      s"hilbertCellsForBoxN is the n >= 3 enumerator (got $n dims) " +
+        "— use hilbertCellsForBox for the 2-D curve")
+    require(cellBits >= n && cellBits <= n * bits && cellBits % n == 0,
+      s"cellBits=$cellBits must be a multiple of $n in " +
+        s"[$n, ${n * bits}] — a non-multiple hilbert prefix is a " +
+        "partial orthant, not a cube; use the next multiple")
+    boxGrid(mins, maxs, box, bits, clamp) match {
+      case None => Seq.empty
+      case Some((lo, hi)) =>
+        val depthMax = cellBits / n
+        val out = Seq.newBuilder[Long]
+        def intersects(prefix: Long, depth: Int): Boolean = {
+          val shift = bits - depth
+          val corner = graft.functions.HilbertIndex
+            .indexToAxes(prefix << (n * shift), n, bits)
+          val side = 1L << shift
+          (0 until n).forall { i =>
+            val c0 = (corner(i) >> shift) << shift
+            c0 + side - 1 >= lo(i) && c0 <= hi(i)
+          }
+        }
+        def descend(prefix: Long, depth: Int): Unit =
+          if (intersects(prefix, depth)) {
+            if (depth == depthMax) out += prefix
+            else (0L until (1L << n)).foreach(q =>
+              descend((prefix << n) | q, depth + 1))
+          }
+        descend(0L, 0)
+        out.result()
+    }
+  }
+
   /** Physical Hilbert layout write — [[write]]'s shape on the hilbert
     * grid: one shuffle on `hcell`, rows sorted by full hkey inside
     * each cell, one directory per cell. Along the Hilbert curve every
@@ -422,9 +486,9 @@ object LayoutOps {
     */
   def writeHilbert(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 8, cellBits: Int = 8): Unit = {
-    require(cellBits % 2 == 0,
-      s"cellBits=$cellBits must be even — [[hilbertCellsForBox]] " +
-        "needs square cells to enumerate box reads")
+    require(cellBits % cols.size == 0,
+      s"cellBits=$cellBits must be a multiple of ${cols.size} — the " +
+        "box enumerators need square/cubic cells to enumerate reads")
     hilbertLayout(df, cols, bits, cellBits)
       .repartition(col("hcell"))
       .sortWithinPartitions("hcell", "hkey")
@@ -440,7 +504,10 @@ object LayoutOps {
       path: String, cols: Seq[String], mins: Seq[Long], maxs: Seq[Long],
       box: Seq[(Long, Long)], bits: Int = 8,
       cellBits: Int = 8): DataFrame = {
-    val cells = hilbertCellsForBox(mins, maxs, box, bits, cellBits)
+    val cells =
+      if (cols.size == 2)
+        hilbertCellsForBox(mins, maxs, box, bits, cellBits)
+      else hilbertCellsForBoxN(mins, maxs, box, bits, cellBits)
     val exact = cols.zip(box).map { case (c, (l, h)) =>
       col(c).cast("long") >= l && col(c).cast("long") <= h
     }.reduce(_ && _)

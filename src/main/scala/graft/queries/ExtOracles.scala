@@ -2271,6 +2271,10 @@ object ExtOracles {
          |       hkey >> 8 AS hcell
          |FROM zk JOIN hk USING (event_id) ORDER BY event_id""".stripMargin,
 
+    // the n-D (Butz/Skilling) curve at n = 3, bits = 4 — the unrolled
+    // relational replay (see hilbert3dSql's scaladoc)
+    "layout_hilbert_3d" -> s"WITH $hilbert3dSql",
+
     // the persisted hilbert layout's box read — full lifecycle
     // (write + append under frozen bounds, clamp-mode enumeration,
     // partition pruning) must equal the same plain full-scan filter
@@ -3086,6 +3090,82 @@ object ExtOracles {
       |       AND a.y = c.y AND c.x = a.x + 1
       |  WHERE a.x < 7
       |  GROUP BY a.media_id, a.f)""".stripMargin
+
+  /** The layout_hilbert_3d replay: Skilling's transform at n = 3,
+    * bits = 4, fully UNROLLED — each inverse-undo (q, i) step is one
+    * CTE layer whose exchange/invert is plain xor/and arithmetic, so
+    * the oracle derivation shares NOTHING with the Scala kernel but
+    * the published algorithm. Layer semantics (Skilling 2004,
+    * AxestoTranspose): for q = M..2, dim i — if x_i has bit q set,
+    * invert x0's low bits under p = q−1; else exchange x0/x_i's
+    * differing low bits under p. Then Gray-encode across dims
+    * (sequential fold), xor the t-fold of x2's high bits, and
+    * interleave MSB-first (x0 most significant per level).
+    */
+  private def hilbert3dSql: String = {
+    val bits = 4
+    def undoLayer(prev: String, name: String, q: Long, i: Int): String = {
+      val p = q - 1
+      if (i == 0)
+        s"""$name AS (SELECT event_id,
+           |  CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END AS x0,
+           |  x1, x2 FROM $prev)""".stripMargin
+      else {
+        val xi = s"x$i"
+        val other = (1 to 2).filter(_ != i).map(j => s"x$j").head
+        s"""$name AS (SELECT event_id,
+           |  CASE WHEN ($xi & $q) != 0 THEN xor(x0, $p)
+           |       ELSE xor(x0, xor(x0, $xi) & $p) END AS x0,
+           |  CASE WHEN ($xi & $q) != 0 THEN $xi
+           |       ELSE xor($xi, xor(x0, $xi) & $p) END AS $xi,
+           |  $other FROM $prev)""".stripMargin
+      }
+    }
+    val qs = (1 until bits).map(l => 1L << (bits - l)) // 8, 4, 2
+    val undoLayers = {
+      var prev = "h0"
+      var idx = 0
+      val sb = Seq.newBuilder[String]
+      qs.foreach { q =>
+        (0 to 2).foreach { i =>
+          val name = s"u$idx"
+          sb += undoLayer(prev, name, q, i)
+          prev = name
+          idx += 1
+        }
+      }
+      (sb.result(), prev)
+    }
+    val tExpr = qs.map(q =>
+      s"CASE WHEN (x2 & $q) != 0 THEN ${q - 1} ELSE 0 END")
+      .reduce((a, b) => s"xor($a, $b)")
+    val interleave = (0 until bits).flatMap { l =>
+      (0 to 2).map(j =>
+        s"(((x$j >> $l) & 1) << ${l * 3 + (2 - j)})")
+    }.mkString(" + ")
+    s"""ev3 AS (SELECT event_id, user_id,
+       |  epoch_us(CAST(ts AS TIMESTAMP)) AS tsm,
+       |  event_id % 1000 AS evk FROM events),
+       |b3 AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+       |  min(tsm) AS mnt, max(tsm) AS mxt,
+       |  min(evk) AS mne, max(evk) AS mxe FROM ev3),
+       |zk3 AS (SELECT event_id,
+       |  (user_id - mnu) // (((mxu - mnu) // ${1 << bits}) + 1) AS zb_user_id,
+       |  (tsm - mnt) // (((mxt - mnt) // ${1 << bits}) + 1) AS zb_tsm,
+       |  (evk - mne) // (((mxe - mne) // ${1 << bits}) + 1) AS zb_evk
+       |  FROM ev3 CROSS JOIN b3),
+       |h0 AS (SELECT event_id, zb_user_id AS x0, zb_tsm AS x1,
+       |  zb_evk AS x2 FROM zk3),
+       |${undoLayers._1.mkString(",\n")},
+       |gr AS (SELECT event_id, x0, xor(x1, x0) AS x1,
+       |  xor(x2, xor(x1, x0)) AS x2 FROM ${undoLayers._2}),
+       |tl AS (SELECT event_id, $tExpr AS t, x0, x1, x2 FROM gr),
+       |tx AS (SELECT event_id, xor(x0, t) AS x0, xor(x1, t) AS x1,
+       |  xor(x2, t) AS x2 FROM tl),
+       |hk3 AS (SELECT event_id, $interleave AS hkey FROM tx)
+       |SELECT zk3.event_id, zb_user_id, zb_tsm, zb_evk, hkey
+       |FROM zk3 JOIN hk3 USING (event_id) ORDER BY event_id""".stripMargin
+  }
 
   private def zLayoutCtes: String = {
     val zkeyExpr = (0 until 8).flatMap { b =>

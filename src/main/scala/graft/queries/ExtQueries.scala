@@ -2083,6 +2083,24 @@ object ExtQueries {
       .select("event_id", "zb_user_id", "zb_tsm", "hkey", "hcell")
       .orderBy("event_id")
 
+  /** 3-D Hilbert layout key ([[graft.operators.LayoutOps.hilbertKey]]
+    * over three dims → [[graft.functions.HilbertIndexN]], the
+    * Butz/Skilling transform): events bucketed on
+    * (user_id, time, event_id mod 1000) at bits = 4 — the
+    * time × lang × quality-shaped key a 100 TB corpus lays out on.
+    * The DuckDB oracle replays the transform UNROLLED — every
+    * rotate/exchange level of Skilling's AxestoTranspose as its own
+    * CTE, then the Gray encode and the MSB-first interleave — so
+    * hash-green pins the codegen kernel bit-for-bit against an
+    * independent relational derivation.
+    */
+  def layoutHilbert3d(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LayoutOps.hilbertKey(
+      eventsDims(spark, dir).withColumn("evk", col("event_id") % 1000),
+      Seq("user_id", "tsm", "evk"), bits = 4)
+      .select("event_id", "zb_user_id", "zb_tsm", "zb_evk", "hkey")
+      .orderBy("event_id")
+
   /** The fixed query box of [[layoutSkipping]], answered from a
     * PHYSICAL Hilbert layout ([[graft.operators.LayoutOps
     * .readBoxHilbert]]): pruned-descent cell enumeration over the

@@ -185,4 +185,128 @@ class HilbertSpec extends SparkSpec {
     }
     assert(hTot <= zTot, s"hilbert opened $hTot cells vs z-order $zTot")
   }
+
+  test("n-D (Butz/Skilling): bijection + strict adjacency at n=3 " +
+    "exhaustively, indexToAxes round-trips, shape guards") {
+    val b3 = 3 // 8x8x8 = 512 cells, exhaustive
+    val g3 = for (x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L)
+      yield Array(x, y, z)
+    val idx = g3.map(HilbertIndex.axesToIndex(_, b3))
+    assert(idx.sorted == (0L until 512L).toSeq, "not a bijection")
+    // strict locality in EVERY dimension count — consecutive indexes
+    // are grid-adjacent (|Δ| summed over dims = 1), the property the
+    // curve exists for
+    val walk = g3.zip(idx).sortBy(_._2).map(_._1)
+    walk.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.indices.map(i => math.abs(a(i) - b(i))).sum === 1L,
+        s"jump between ${a.toSeq} and ${b.toSeq}")
+    }
+    // exact inverse over the whole index range
+    (0L until 512L).foreach { d =>
+      assert(HilbertIndex.axesToIndex(
+        HilbertIndex.indexToAxes(d, 3, b3), b3) === d)
+    }
+    // and at a bigger shape on a diagonal sample (n=4, bits=5)
+    (0L until 32L).foreach { v =>
+      val xs = Array(v, 31L - v, v ^ 21L, (v * 7) % 32)
+      val d = HilbertIndex.axesToIndex(xs, 5)
+      assert(HilbertIndex.indexToAxes(d, 4, 5).toSeq === xs.toSeq)
+    }
+    intercept[IllegalArgumentException] {
+      HilbertIndex.axesToIndex(Array(0L, 0L), 4) // n=2 -> xy2d
+    }
+    intercept[IllegalArgumentException] {
+      HilbertIndex.axesToIndex(Array(0L, 0L, 8L), 3) // out of grid
+    }
+    intercept[IllegalArgumentException] {
+      HilbertIndex.axesToIndex(Array.fill(8)(0L), 8) // 64 bits
+    }
+  }
+
+  test("HilbertIndexN expression ≡ the kernel through codegen and " +
+    "SQL; hilbertKey routes n>=3; null/arity contracts") {
+    val d3 = (0 until 400).map(i =>
+      (i.toLong, (i * 13 % 61).toLong, (i * 7 % 53).toLong,
+        (i * 29 % 47).toLong))
+      .toDF("id", "a", "b", "c")
+    val hk = LayoutOps.hilbertKey(d3, Seq("a", "b", "c"), bits = 4)
+      .select("id", "zb_a", "zb_b", "zb_c", "hkey").collect()
+    hk.foreach { r =>
+      assert(r.getAs[Long]("hkey") === HilbertIndex.axesToIndex(
+        Array(r.getAs[Long]("zb_a"), r.getAs[Long]("zb_b"),
+          r.getAs[Long]("zb_c")), 4))
+    }
+    // SQL surface
+    assert(spark.sql(
+      "SELECT hilbert_index_n(array(3L, 5L, 2L), 3, 4)")
+      .head.getLong(0) ===
+      HilbertIndex.axesToIndex(Array(3L, 5L, 2L), 4))
+    // null array -> null; null ELEMENT errors loudly; wrong arity
+    // errors loudly
+    assert(spark.sql(
+      "SELECT hilbert_index_n(CAST(NULL AS ARRAY<BIGINT>), 3, 4)")
+      .head.isNullAt(0))
+    val eNull = intercept[Exception] {
+      spark.sql("SELECT hilbert_index_n(array(1L, CAST(NULL AS BIGINT), 2L), 3, 4)")
+        .collect()
+    }
+    assert(eNull.getMessage.contains("null coordinate") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("null coordinate")))
+    val eAr = intercept[Exception] {
+      spark.sql("SELECT hilbert_index_n(array(1L, 2L), 3, 4)").collect()
+    }
+    assert(eAr.getMessage.contains("elements") ||
+      Option(eAr.getCause).exists(_.getMessage.contains("elements")))
+    // hilbertLayout cell math generalises: top cellBits of the n-D key
+    val hl = LayoutOps.hilbertLayout(d3, Seq("a", "b", "c"), bits = 4,
+      cellBits = 6).select("hkey", "hcell").collect()
+    hl.foreach(r =>
+      assert(r.getLong(1) === (r.getLong(0) >> 6)))
+  }
+
+  test("hilbertCellsForBoxN equals the exhaustive grid ground truth; " +
+    "disjoint box empty; non-multiple cellBits rejects") {
+    val b3 = 3; val cb = 6 // 8^3 grid, 64 cells of 2x2x2
+    def truth(box: Seq[(Long, Long)]): Seq[Long] =
+      (for (x <- box(0)._1 to box(0)._2; y <- box(1)._1 to box(1)._2;
+            z <- box(2)._1 to box(2)._2)
+        yield HilbertIndex.axesToIndex(Array(x, y, z), b3)
+          >> (3 * b3 - cb))
+        .distinct.sorted
+    val boxes = Seq(
+      Seq((0L, 7L), (0L, 7L), (0L, 7L)),   // whole grid
+      Seq((2L, 5L), (1L, 6L), (3L, 3L)),   // slab
+      Seq((7L, 7L), (0L, 0L), (7L, 7L)),   // corner point
+      Seq((3L, 4L), (3L, 4L), (3L, 4L)))   // center cube
+    boxes.foreach { box =>
+      val got = LayoutOps.hilbertCellsForBoxN(Seq(0L, 0L, 0L),
+        Seq(7L, 7L, 7L), box, bits = b3, cellBits = cb)
+      assert(got === truth(box), s"box $box")
+    }
+    assert(LayoutOps.hilbertCellsForBoxN(Seq(0L, 0L, 0L),
+      Seq(7L, 7L, 7L), Seq((9L, 10L), (0L, 1L), (0L, 1L)),
+      bits = b3, cellBits = cb).isEmpty)
+    intercept[IllegalArgumentException] {
+      LayoutOps.hilbertCellsForBoxN(Seq(0L, 0L, 0L), Seq(7L, 7L, 7L),
+        Seq((0L, 1L), (0L, 1L), (0L, 1L)), bits = b3, cellBits = 5)
+    }
+    // readBoxHilbert routes the n-D enumerator end-to-end
+    val pts = (0 until 1500).map(i =>
+      (i.toLong, (i * 131 % 64).toLong, (i * 113 % 64).toLong,
+        (i * 97 % 64).toLong))
+    val df = pts.toDF("id", "x", "y", "z")
+    val dir = tmpDir("hilbert3d") + "/layout"
+    LayoutOps.writeHilbert(df, dir, Seq("x", "y", "z"), bits = 6,
+      cellBits = 6)
+    val mins = Seq(pts.map(_._2).min, pts.map(_._3).min, pts.map(_._4).min)
+    val maxs = Seq(pts.map(_._2).max, pts.map(_._3).max, pts.map(_._4).max)
+    val box = Seq((10L, 40L), (5L, 50L), (20L, 60L))
+    val got = LayoutOps.readBoxHilbert(spark, dir, Seq("x", "y", "z"),
+      mins, maxs, box, bits = 6, cellBits = 6)
+    val want = df.filter(col("x").between(box(0)._1, box(0)._2) &&
+      col("y").between(box(1)._1, box(1)._2) &&
+      col("z").between(box(2)._1, box(2)._2))
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      want.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
