@@ -101,30 +101,77 @@ class ExtractorsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$src/MigratorRecordQueue").count() === 0)
   }
 
-  test("queue batchSize above the driver snapshot cap rejects loudly " +
-      "(VERDICT r9 #4: the purgeLocalCap posture)") {
-    val src = tmpDir("qcap-src"); val dest = tmpDir("qcap-dest")
+  test("queue batch ABOVE the retired 1M driver cap extracts " +
+      "end-to-end with no driver materialization (VERDICT r10 #5: " +
+      "the snapshot is executor-written parquet, plan-audited)") {
+    val src = tmpDir("qbig-src"); val dest = tmpDir("qbig-dest")
+    val rows = 1050000L // above the old snapshotLocalCap default
+    spark.range(rows).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .write.parquet(s"$src/t.parquet")
+    spark.range(rows).selectExpr("'a' AS sourceDatabase",
+      "'t' AS sourceTable", "'k' AS pkColumn",
+      "CAST(id AS STRING) AS pkValue",
+      "TIMESTAMP '2024-06-01 00:00:00' AS timestampUpdated",
+      "'UPDATE' AS method")
+      .write.parquet(s"$src/MigratorRecordQueue")
+    val spec = PipelineSpec("a", "t", "k", "b", "t", src, dest,
+      extractor = "queue", primaryKey = Some("k"),
+      params = Params(batchSize = rows.toInt))
+    val res = QueueExtractor.extract(spark, spec,
+      TrackingStatus("a", "t", "k"))
+    try {
+      // no driver materialization: the change batch reads the batch
+      // entries from the inflight PARQUET snapshot (a FileScan over
+      // the __inflight dir), never from a driver-parallelized local
+      // collection (the old path's "Scan ExistingRDD")
+      val plan = res.df.queryExecution.executedPlan.toString
+      assert(plan.contains("__inflight"),
+        s"batch must read the executor-written snapshot:\n$plan")
+      assert(!plan.contains("Scan ExistingRDD"),
+        s"driver-side local relation found in the batch plan:\n$plan")
+      assert(res.df.count() === rows, "every entry joined its base row")
+      assert(res.moreData)
+      // commit-after-load: the ack drains the logical queue from the
+      // same pinned files
+      res.commit()
+      assert(QueueExtractor.pending(spark, spec).count() === 0L)
+    } finally res.cleanup()
+    // cleanup retired the snapshot files
+    assert(!new java.io.File(s"$src/MigratorRecordQueue__inflight")
+      .exists(), "cleanup must remove the inflight snapshot")
+  }
+
+  test("a crashed extract's orphan inflight snapshot is cleared by " +
+      "the next extract; empty drains leave a readable snapshot") {
+    val src = tmpDir("qorph-src"); val dest = tmpDir("qorph-dest")
     Seq((1L, "x")).toDF("k", "v").write.parquet(s"$src/t.parquet")
     Seq(("a", "t", "k", "1", mkTs("2024-06-01 00:00:00"), "UPDATE"))
       .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
         "timestampUpdated", "method")
       .write.parquet(s"$src/MigratorRecordQueue")
     val spec = PipelineSpec("a", "t", "k", "b", "t", src, dest,
-      extractor = "queue", primaryKey = Some("k"),
-      params = Params(batchSize = 20))
-    spark.conf.set("spark.graft.queue.snapshotLocalCap", "10")
-    try {
-      val status = TrackingStatus("a", "t", "k")
-      val e = intercept[IllegalArgumentException] {
-        QueueExtractor.extract(spark, spec, status)
-      }
-      assert(e.getMessage.contains("snapshotLocalCap") &&
-        e.getMessage.contains("batchSize 20"))
-      // under the cap the same spec extracts normally
-      spark.conf.set("spark.graft.queue.snapshotLocalCap", "100")
-      val ok = QueueExtractor.extract(spark, spec, status)
-      assert(ok.df.count() === 1L)
-    } finally spark.conf.unset("spark.graft.queue.snapshotLocalCap")
+      extractor = "queue", primaryKey = Some("k"))
+    // simulate a crash: extract, never commit/cleanup — the inflight
+    // dir stays behind
+    val crashed = QueueExtractor.extract(spark, spec,
+      TrackingStatus("a", "t", "k"))
+    assert(crashed.df.count() === 1L)
+    val inflight = new java.io.File(s"$src/MigratorRecordQueue__inflight")
+    assert(inflight.exists())
+    // the next extract clears the orphan and re-reads the (un-acked,
+    // still pending) entry
+    val retry = QueueExtractor.extract(spark, spec,
+      TrackingStatus("a", "t", "k"))
+    assert(retry.df.count() === 1L)
+    assert(inflight.listFiles().length === 1,
+      "exactly the retry's own snapshot dir may remain")
+    retry.commit(); retry.cleanup()
+    assert(QueueExtractor.pending(spark, spec).count() === 0L)
+    // an empty drain (everything acked) still builds a readable batch
+    val empty = QueueExtractor.extract(spark, spec,
+      TrackingStatus("a", "t", "k"))
+    assert(empty.df.count() === 0L && !empty.moreData)
+    empty.commit(); empty.cleanup()
   }
 
   test("sequential extractor: rows appended after an idle poll are still extracted") {
