@@ -93,6 +93,19 @@ private[graft] object BenchUtil {
     else Some((mSub / fSub, fSub, mSub, shared.size))
   }
 
+  /** PER-GATE floor adjudication (VERDICT r10 #3): the shared gates
+    * whose measured time exceeds `band`× their own committed floor —
+    * the spikes a passing TOTAL can hide (a 4× gate inside a 1.2×
+    * sum). Bench redraws exactly these, then flags the survivors
+    * per-gate in the artifact. Degenerate (≤ 0) floors are excluded —
+    * a zero floor would make every measurement an infinite ratio.
+    */
+  def gateStragglers(floor: Map[String, Double],
+      measured: Map[String, Double], band: Double = 2.0): Seq[String] =
+    floor.keySet.intersect(measured.keySet).toSeq
+      .filter(n => floor(n) > 0.0 && measured(n) / floor(n) > band)
+      .sorted
+
   /** Count the parquet data files under `dir` (recursive), skipping
     * `.__staging_`/`.__old_` directories a killed atomic rewrite can
     * leave behind — ONE implementation for the compaction probe and

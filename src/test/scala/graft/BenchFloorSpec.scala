@@ -64,4 +64,20 @@ class BenchFloorSpec extends AnyFunSuite {
     assert(BenchUtil.floorVerdict(Map.empty, Map("a" -> 1.0)).isEmpty)
     assert(BenchUtil.floorVerdict(Map("a" -> 0.0), Map("a" -> 1.0)).isEmpty)
   }
+
+  test("gateStragglers names exactly the gates above their OWN floor " +
+    "band — the spikes a passing total hides") {
+    val floor = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.4, "z" -> 0.0)
+    // the r10 shape: total ratio 1.22 passes while individual gates
+    // sit at 3-4x their own floors
+    val measured = Map("a" -> 1.1, "b" -> 7.8, "c" -> 1.4,
+      "new_gate" -> 50.0)
+    assert(BenchUtil.gateStragglers(floor, measured) === Seq("b", "c"))
+    // band is a dial (b at 3.9x, c at 3.5x); zero floors and
+    // unshared gates never flag
+    assert(BenchUtil.gateStragglers(floor, measured, band = 3.6) ===
+      Seq("b"))
+    assert(BenchUtil.gateStragglers(floor,
+      Map("a" -> 1.9, "z" -> 99.0)).isEmpty)
+  }
 }
