@@ -121,6 +121,8 @@ object SparkEntry {
     "corpus_split" -> (graft.queries.ExtQueries.corpusSplit(_, _)),
     "corpus_pipeline" -> (graft.queries.ExtQueries.corpusPipeline(_, _)),
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
+    "url_canon" -> (graft.queries.ExtQueries.urlCanon(_, _)),
+    "domain_quota" -> (graft.queries.ExtQueries.domainQuotaGate(_, _)),
     "corpus_rendezvous" -> (graft.queries.ExtQueries.corpusRendezvous(_, _)),
     "corpus_rendezvous_hier" -> (graft.queries.ExtQueries.corpusRendezvousHier(_, _)),
     "corpus_rendezvous_weighted" -> (graft.queries.ExtQueries.corpusRendezvousWeighted(_, _)),

@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain curation — the layer a web-crawl corpus keys on before
+  * any text operator runs (CCNet / C4 / RefinedWeb lineage: every real
+  * curation pipeline canonicalizes URLs, groups by registrable domain,
+  * and caps per-domain contribution before quality/dedup passes).
+  * Reference scope note: the reference engine (a CDC replicator) has
+  * no URL surface; this family is part of the [EXT] training-data
+  * charter (VERDICT r10 #1).
+  *
+  * Design stance — ENGINE-PORTABLE STRING ALGEBRA, not a URI library:
+  * every step is composed `substring_index`/`split`/`lower` arithmetic
+  * with an exact DuckDB analogue, so the `url_canon` gate replays the
+  * canonicalization string-op-for-string-op and a hash match pins
+  * every document's canonical form. `java.net.URI` (or Spark's
+  * `parse_url`, which wraps it) would be faster to write but its
+  * normalization is JVM-private behavior no oracle can replay — the
+  * repo-wide determinism contract rules it out.
+  *
+  * Scale shape: everything here is a PURE PROJECTION per row
+  * (canonicalize, host, registrable domain) or a bounded per-group
+  * fold (quota via [[graft.functions.TopKStrIdAgg]] partials — never a
+  * window over a dominant domain, which at crawl scale is exactly the
+  * stratum that breaks a window). The streaming quota leg folds each
+  * trigger against a [[FrequencyStore]] CMS — O(batch) per trigger,
+  * corpus never rescanned.
+  */
+object WebOps {
+
+  /** Tracking query parameters dropped by [[canonicalizeUrl]] (exact
+    * names; `utm_`-prefixed params are dropped by prefix). The usual
+    * click-id / campaign suspects — a documented, frozen set: growing
+    * it changes every canonical form, so treat additions like a store
+    * geometry change (re-canonicalize the corpus).
+    */
+  val TrackingParams: Seq[String] = Seq(
+    "fbclid", "gclid", "msclkid", "yclid", "igshid", "mc_cid",
+    "mc_eid", "ref", "ref_src", "s_kwcid", "spm")
+
+  /** Multi-label public suffixes for [[registrableDomain]] — the
+    * suffix-list-lite: the common ccTLD second-level registries. A
+    * host ending in one of these keeps THREE labels as its
+    * registrable domain; everything else keeps two. Deliberately a
+    * small frozen subset of the full Public Suffix List (which is
+    * thousands of rules and needs periodic refresh — out of scope for
+    * a deterministic engine primitive; swap in the full list as a
+    * broadcast join if exactness on exotic TLDs matters).
+    */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.tr", "com.ar", "co.za", "com.sg",
+    "com.hk", "co.nz", "com.tw")
+
+  /** Recognizer for the URLs the family canonicalizes: http(s), any
+    * scheme case. Everything else (mailto:, ftp:, garbage) is not an
+    * error — a crawl is full of it — it canonicalizes to NULL;
+    * filter with this predicate upstream when nulls are unwelcome.
+    */
+  def isHttpUrl(url: Column): Column =
+    url.isNotNull && url.rlike("(?i)^https?://")
+
+  private def schemeOf(url: Column): Column =
+    lower(substring_index(url, "://", 1))
+
+  /** Everything after `scheme://` (the raw scheme's length, so mixed
+    * case costs nothing).
+    */
+  private def restOf(url: Column): Column =
+    url.substr(length(substring_index(url, "://", 1)) + lit(4),
+      length(url))
+
+  private def authorityOf(url: Column): Column =
+    substring_index(substring_index(restOf(url), "#", 1), "/", 1)
+
+  /** Lowercased host of an http(s) URL; NULL for non-http inputs.
+    * Userinfo (`user@host`) is out of scope — the crawl-corpus URL
+    * shapes this family serves do not carry it; an `@` in the
+    * authority rides along into the host verbatim.
+    */
+  def urlHost(url: Column): Column =
+    when(isHttpUrl(url),
+      lower(substring_index(authorityOf(url), ":", 1)))
+
+  /** Canonical form of an http(s) URL — the dedup/grouping key a
+    * crawl pipeline joins on. Steps, in order (each a portable string
+    * op, replayed verbatim by the oracle):
+    *
+    *  1. scheme and host lowercased (RFC 3986 §6.2.2.1's
+    *     case-insensitive components — the path stays case-exact);
+    *  2. fragment stripped (never sent to the server);
+    *  3. default port stripped (`http:80` / `https:443`), any other
+    *     port kept;
+    *  4. tracking params dropped (`utm_*` by prefix +
+    *     [[TrackingParams]] by name), remaining params SORTED
+    *     byte-wise — param order is server-insignificant in practice
+    *     and sorting makes equal queries equal strings;
+    *  5. empty path normalized to `/`.
+    *
+    * Non-http inputs → NULL (null in → null out; see [[isHttpUrl]]).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = schemeOf(url)
+    val noFrag = substring_index(restOf(url), "#", 1)
+    val authority = substring_index(noFrag, "/", 1)
+    val pathq = noFrag.substr(length(authority) + lit(1), length(noFrag))
+    val path0 = substring_index(pathq, "?", 1)
+    val qstr = when(instr(pathq, "?") > 0,
+      pathq.substr(length(path0) + lit(2), length(pathq)))
+      .otherwise(lit(""))
+    val hostRaw = substring_index(authority, ":", 1)
+    val host = lower(hostRaw)
+    val port = when(instr(authority, ":") > 0,
+      authority.substr(length(hostRaw) + lit(2), length(authority)))
+      .otherwise(lit(""))
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val kept = filter(split(qstr, "&"), p =>
+      p =!= "" && !isTrackingParam(substring_index(p, "=", 1)))
+    val canonQ = array_join(array_sort(kept), "&")
+    when(isHttpUrl(url),
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        when(path0 === "", lit("/")).otherwise(path0),
+        when(canonQ =!= "", concat(lit("?"), canonQ)).otherwise(lit(""))))
+  }
+
+  private def isTrackingParam(name: Column): Column =
+    name.startsWith("utm_") || name.isin(TrackingParams: _*)
+
+  /** Registrable domain of a (lowercased) host — the per-site
+    * grouping key: the label before the public suffix, suffix
+    * included (`news.bbc.co.uk` → `bbc.co.uk`; `a.b.example.com` →
+    * `example.com`). Suffix matching is the two-label
+    * [[MultiLabelSuffixes]] set; a bare suffix or single-label host
+    * returns itself.
+    */
+  def registrableDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat(element_at(parts, -2), lit("."),
+      element_at(parts, -1))
+    when(host.isNull, lit(null))
+      .when(n <= 1, host)
+      .when(last2.isin(MultiLabelSuffixes: _*) && n >= 3,
+        concat(element_at(parts, -3), lit("."), last2))
+      .when(last2.isin(MultiLabelSuffixes: _*), host)
+      .otherwise(last2)
+  }
+
+  /** Canonical URL + host + registrable domain attached in one
+    * projection — the decoration every downstream web op keys on.
+    */
+  def urlParts(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val host = urlHost(col(urlCol))
+    docs.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("host", host)
+      .withColumn("domain", registrableDomain(host))
+  }
+
+  /** Deterministic per-domain quota — keep at most `maxPerDomain`
+    * documents per registrable domain, chosen by the engine's
+    * md5-uniform priority (`md5(seed ∥ ':' ∥ id)`, the
+    * [[ReservoirStore.priorityFor]] contract): a uniform per-domain
+    * sample that any engine replays exactly, not a partition-order
+    * accident. The C4/RefinedWeb "no domain dominates the corpus"
+    * gate.
+    *
+    * Scale shape: the per-domain ranking runs through bounded
+    * [[graft.functions.TopKStrIdAgg]] partials (≤ maxPerDomain
+    * (priority, id) pairs per (domain, task) cross ONE exchange) —
+    * never a window, because a real crawl has a dominant domain and a
+    * window would sort that stratum in one task. Winners come back as
+    * a broadcast join carrying their rank.
+    *
+    * @return the kept rows + `domain` + `rn` (1-based priority rank
+    *         within the domain)
+    */
+  def domainQuota(docs: DataFrame, maxPerDomain: Int, seed: String,
+      idCol: String = "doc_id", urlCol: String = "url"): DataFrame = {
+    require(maxPerDomain >= 1,
+      s"domainQuota: maxPerDomain $maxPerDomain must be >= 1")
+    val withDom = docs.withColumn("domain",
+      registrableDomain(urlHost(col(urlCol))))
+    withDom.join(broadcast(quotaWinners(withDom, maxPerDomain, seed,
+        idCol, "domain")),
+      col(idCol).cast("string") === col("__wid"))
+      .drop("__wid")
+  }
+
+  /** The bounded per-group winner table: (__wid, rn) per kept id —
+    * shared by the batch quota and the streaming leg's within-trigger
+    * ranking.
+    */
+  private def quotaWinners(withDom: DataFrame, k: Int, seed: String,
+      idCol: String, domCol: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKStrIdAgg(k))
+    val id = when(col(idCol).isNotNull, col(idCol).cast("string"))
+      .otherwise(raise_error(lit(
+        s"domainQuota: null $idCol — the id column must be non-null " +
+          "to rank")))
+    withDom
+      .select(col(domCol).as("__g"),
+        md5(concat(lit(seed), lit(":"), id)).as("__pri"), id.as("__ids"))
+      .groupBy("__g")
+      .agg(topk(col("__pri"), col("__ids")).as("top"))
+      .select(posexplode(col("top").getField("rows")).as(Seq("pos", "r")))
+      .select(col("r").getField("_2").as("__wid"),
+        (col("pos") + 1).cast("bigint").as("rn"))
+  }
+
+  /** One streaming-quota trigger (the
+    * [[MembershipStore.curateBatch]] shape): admit each batch's
+    * documents per registrable domain only while the domain's
+    * RUNNING admitted count — tracked in a [[FrequencyStore]] CMS —
+    * is under `maxPerDomain`, land the admitted rows under a
+    * producer-scoped batch-tag dir, then fold ONLY the admitted
+    * domains into the store (ledger-fenced, exactly once).
+    *
+    * Quota contract under CMS one-sidedness: the estimate is ≥ the
+    * true admitted count, so `remaining = quota − est` never
+    * over-grants — a domain can NEVER exceed its quota; it can be cut
+    * slightly early once ε·N noise reaches the quota's magnitude
+    * (size eps accordingly — the [[FrequencyStore.novelty]]
+    * noise-floor caveat in the conservative direction). Within a
+    * trigger the ranking is the deterministic md5 priority (bounded
+    * TopK partials, no window), so a crash-replayed trigger — ledger
+    * absent, store state identical — recomputes the IDENTICAL
+    * admitted set and the landing overwrite is idempotent; a replay
+    * AFTER the extend committed returns before touching anything
+    * (the output landed before the extend by construction).
+    */
+  def quotaBatch(batch: DataFrame, storePath: String, outDir: String,
+      batchId: Long, maxPerDomain: Int, seed: String,
+      producer: String = "default", idCol: String = "doc_id",
+      urlCol: String = "url", eps: Double = 0.001): Unit = {
+    val spark = batch.sparkSession
+    IndexStores.healRoot(spark, storePath)
+    val bootstrapped = IndexStores.hasStore(spark, s"$storePath/sketch")
+    if (bootstrapped && IndexStores.sketchBatches(spark, storePath)
+        .contains((producer, batchId)))
+      return // fully applied: output landed before the extend committed
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val b = batch.localCheckpoint(true)
+      val withDom = b.withColumn("domain",
+        registrableDomain(urlHost(col(urlCol))))
+      val ranked = withDom.join(
+        broadcast(quotaWinners(withDom, maxPerDomain, seed, idCol,
+          "domain")),
+        col(idCol).cast("string") === col("__wid"))
+        .drop("__wid")
+      val est =
+        if (bootstrapped)
+          FrequencyStore.estimate(ranked, col("domain"), storePath)
+        else ranked.withColumn("est", lit(0L))
+      val admitted = est
+        .filter(col("rn") <=
+          greatest(lit(0L), lit(maxPerDomain.toLong) - col("est")))
+        .drop("rn", "est")
+        .localCheckpoint(true)
+      val dir = s"$outDir/${IndexStores.tagFor(producer, batchId)}"
+      admitted.write.mode("overwrite").parquet(dir)
+      IndexStores.forceSchemaBearing(admitted, dir)
+      FrequencyStore.extend(admitted, col("domain"), storePath,
+        batchId, eps = eps, producer = producer)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
+  /** Per-registrable-domain corpus profile — doc counts and size
+    * share, the "which sites dominate" audit read before choosing a
+    * quota. One map-side-combinable aggregate.
+    */
+  def domainStats(docs: DataFrame, urlCol: String = "url",
+      sizeCol: String = "n_chars"): DataFrame =
+    docs.withColumn("domain", registrableDomain(urlHost(col(urlCol))))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast("long")).as("total_chars"))
+}

@@ -1329,6 +1329,28 @@ object ExtOracles {
         |         ORDER BY doc_id), '')) AS ids_digest
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // replays WebOps.urlParts over the synthesized URL column — every
+    // canonicalization step as portable string algebra (see urlCtes)
+    "url_canon" ->
+      s"""WITH $urlCtes
+         |SELECT doc_id, url, canon_url, host, domain
+         |FROM wd ORDER BY doc_id""".stripMargin,
+
+    // replays WebOps.domainQuota (5 per registrable domain) as the
+    // per-domain window over the same md5 priority, string-id
+    // tiebreak — the TopKStrIdAgg bounded-partial ≡ window proof
+    "domain_quota" ->
+      s"""WITH $urlCtes,
+         |kq AS (SELECT doc_id, domain,
+         |         md5('dqg:' || CAST(doc_id AS VARCHAR)) AS pri
+         |       FROM wd),
+         |rq AS (SELECT doc_id, domain,
+         |         row_number() OVER (PARTITION BY domain
+         |           ORDER BY pri, CAST(doc_id AS VARCHAR)) AS rn
+         |       FROM kq)
+         |SELECT doc_id, domain, CAST(rn AS BIGINT) AS rn
+         |FROM rq WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+
     // replays CorpusOps.mixtureWeights (alpha = 0.5, budget 1e6);
     // sum(BIGINT) is HUGEINT in DuckDB -> cast back for schema parity
     "corpus_mixture" ->
@@ -3165,6 +3187,88 @@ object ExtOracles {
        |hk3 AS (SELECT event_id, $interleave AS hkey FROM tx)
        |SELECT zk3.event_id, zb_user_id, zb_tsm, zb_evk, hkey
        |FROM zk3 JOIN hk3 USING (event_id) ORDER BY event_id""".stripMargin
+  }
+
+  /** Shared url_canon / domain_quota CTE chain: synthesize the same
+    * deterministic URL as the gate (doc_id arithmetic), then replay
+    * WebOps.canonicalizeUrl STRING-OP-FOR-STRING-OP (split_part ≡
+    * substring_index, strpos ≡ instr, list_filter/list_sort ≡
+    * filter/array_sort) and the registrable-domain split. Ends in
+    * `wd(doc_id, url, canon_url, host, domain)`.
+    */
+  private def urlCtes: String = {
+    val trackList = graft.operators.WebOps.TrackingParams
+      .map(p => s"'$p'").mkString(", ")
+    val suffixList = graft.operators.WebOps.MultiLabelSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s"""u AS (SELECT doc_id,
+       |  (CASE WHEN doc_id % 3 = 0 THEN 'http'
+       |        WHEN doc_id % 3 = 1 THEN 'HTTPS' ELSE 'https' END) ||
+       |  '://' ||
+       |  (CASE WHEN doc_id % 4 = 0
+       |          THEN 'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+       |        WHEN doc_id % 4 = 1
+       |          THEN 'news.site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+       |        WHEN doc_id % 4 = 2
+       |          THEN 'Blog.Host' || CAST(doc_id % 3 AS VARCHAR) || '.org'
+       |        ELSE 'cdn.data' || CAST(doc_id % 6 AS VARCHAR) || '.com.au' END) ||
+       |  (CASE WHEN doc_id % 5 = 0 THEN ':80'
+       |        WHEN doc_id % 5 = 1 THEN ':443'
+       |        WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END) ||
+       |  (CASE WHEN doc_id % 6 = 0 THEN ''
+       |        ELSE '/Articles/p' || CAST(doc_id AS VARCHAR) END) ||
+       |  (CASE WHEN doc_id % 3 = 0
+       |          THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+       |               '&utm_campaign=x'
+       |        WHEN doc_id % 3 = 1 THEN '?b=2&a=1&fbclid=XyZ'
+       |        ELSE '' END) ||
+       |  (CASE WHEN doc_id % 4 = 1 THEN '#Section-2' ELSE '' END)
+       |  AS url FROM documents),
+       |w1 AS (SELECT doc_id, url,
+       |  lower(split_part(url, '://', 1)) AS scheme,
+       |  substr(url, length(split_part(url, '://', 1)) + 4) AS rest
+       |  FROM u),
+       |w2 AS (SELECT *, split_part(split_part(rest, '#', 1), '/', 1)
+       |         AS authority,
+       |       substr(split_part(rest, '#', 1),
+       |         length(split_part(split_part(rest, '#', 1), '/', 1)) + 1)
+       |         AS pathq
+       |  FROM w1),
+       |w3 AS (SELECT *, split_part(pathq, '?', 1) AS path0,
+       |       CASE WHEN strpos(pathq, '?') > 0
+       |         THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
+       |         ELSE '' END AS qstr,
+       |       lower(split_part(authority, ':', 1)) AS host,
+       |       CASE WHEN strpos(authority, ':') > 0
+       |         THEN substr(authority,
+       |           length(split_part(authority, ':', 1)) + 2)
+       |         ELSE '' END AS port
+       |  FROM w2),
+       |w4 AS (SELECT *, array_to_string(list_sort(list_filter(
+       |         string_split(qstr, '&'), x -> x <> ''
+       |           AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+       |           AND split_part(x, '=', 1) NOT IN ($trackList))), '&')
+       |         AS canonq
+       |  FROM w3),
+       |w5 AS (SELECT doc_id, url, host,
+       |  scheme || '://' || host ||
+       |  (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+       |        AND NOT (scheme = 'https' AND port = '443')
+       |     THEN ':' || port ELSE '' END) ||
+       |  (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+       |  (CASE WHEN canonq <> '' THEN '?' || canonq ELSE '' END)
+       |  AS canon_url,
+       |  string_split(host, '.') AS parts
+       |  FROM w4),
+       |wd AS (SELECT doc_id, url, canon_url, host,
+       |  CASE WHEN len(parts) <= 1 THEN host
+       |       WHEN parts[-2] || '.' || parts[-1] IN ($suffixList)
+       |            AND len(parts) >= 3
+       |         THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+       |       WHEN parts[-2] || '.' || parts[-1] IN ($suffixList)
+       |         THEN host
+       |       ELSE parts[-2] || '.' || parts[-1] END AS domain
+       |  FROM w5)""".stripMargin
   }
 
   private def zLayoutCtes: String = {

@@ -1202,6 +1202,72 @@ object ExtQueries {
   def corpusMixture(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.mixtureWeights(docs(spark, dir)).orderBy("source")
 
+  /** The documents corpus decorated with a deterministic synthetic
+    * URL per doc (the [[multimodal]] synthesized-column posture — the
+    * table has no URL column; both engines build the identical string
+    * from doc_id arithmetic). The shapes exercise every
+    * canonicalization step: mixed-case schemes and hosts, default
+    * AND non-default ports crossed over both schemes, empty paths,
+    * tracking/user params out of order, fragments, and four suffix
+    * families (com / co.uk / org / com.au) for the registrable-domain
+    * split.
+    */
+  private def docsWithUrls(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).withColumn("url", concat(
+      when(col("doc_id") % 3 === 0, "http")
+        .when(col("doc_id") % 3 === 1, "HTTPS").otherwise("https"),
+      lit("://"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("WWW.Example"), (col("doc_id") % 7).cast("string"),
+          lit(".COM")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("news.site"), (col("doc_id") % 5).cast("string"),
+            lit(".co.uk")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("Blog.Host"), (col("doc_id") % 3).cast("string"),
+            lit(".org")))
+        .otherwise(
+          concat(lit("cdn.data"), (col("doc_id") % 6).cast("string"),
+            lit(".com.au"))),
+      when(col("doc_id") % 5 === 0, ":80")
+        .when(col("doc_id") % 5 === 1, ":443")
+        .when(col("doc_id") % 5 === 2, ":8080").otherwise(""),
+      when(col("doc_id") % 6 === 0, "")
+        .otherwise(concat(lit("/Articles/p"),
+          col("doc_id").cast("string"))),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+          lit("&utm_campaign=x")))
+        .when(col("doc_id") % 3 === 1, "?b=2&a=1&fbclid=XyZ")
+        .otherwise(""),
+      when(col("doc_id") % 4 === 1, "#Section-2").otherwise("")))
+
+  /** URL canonicalization + registrable-domain extraction
+    * ([[graft.operators.WebOps.urlParts]]) — the key layer of a
+    * web-crawl corpus (VERDICT r10 #1). The DuckDB oracle replays the
+    * canonicalization string-op-for-string-op (scheme/host lowering,
+    * fragment and default-port strips, tracking-param drop + sort,
+    * empty-path normalization) and the suffix-list-lite domain split,
+    * so hash-green pins every document's canonical form and grouping
+    * key.
+    */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WebOps.urlParts(docsWithUrls(spark, dir))
+      .select("doc_id", "url", "canon_url", "host", "domain")
+      .orderBy("doc_id")
+
+  /** Per-domain quota ([[graft.operators.WebOps.domainQuota]], 5 docs
+    * per registrable domain by md5 priority): the "no site dominates
+    * the corpus" gate. The oracle replays the selection as a per-domain
+    * window over the same priority — hash-green proves the bounded
+    * TopKStrIdAgg partials ≡ the window form, kept set and ranks both.
+    */
+  def domainQuotaGate(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WebOps.domainQuota(docsWithUrls(spark, dir),
+      maxPerDomain = 5, seed = "dqg")
+      .select("doc_id", "domain", "rn")
+      .orderBy("doc_id")
+
   /** Rendezvous shard routing ([[CorpusOps.rendezvousRoute]]): every
     * document routed over 8 shards AND over the same 8 plus one new
     * shard, aggregated per original shard — `n_moved` counts the

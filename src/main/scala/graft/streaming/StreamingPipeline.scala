@@ -1045,6 +1045,37 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming per-domain quota CURATION
+    * ([[graft.operators.WebOps.quotaBatch]] per trigger): each
+    * trigger ranks its documents per registrable domain by the
+    * deterministic md5 priority, admits only while the domain's
+    * RUNNING admitted count (a [[graft.operators.FrequencyStore]]
+    * CMS) is under `maxPerDomain`, lands admitted rows under
+    * `outDir/b_*` (producer-scoped tags, idempotent overwrite) and
+    * folds the admitted domains back into the store, ledger-fenced.
+    * The O(batch) streaming face of
+    * [[graft.operators.WebOps.domainQuota]]: a domain saturating ten
+    * triggers in is cut from trigger eleven on, with no corpus read —
+    * CMS one-sidedness means a domain can never EXCEED its quota,
+    * only saturate slightly early (the conservative direction).
+    */
+  def domainQuotaStream(docs: DataFrame, storePath: String,
+      outDir: String, checkpoint: String, maxPerDomain: Int,
+      seed: String = "dq", idCol: String = "doc_id",
+      urlCol: String = "url",
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.WebOps.quotaBatch(batch, storePath, outDir,
+          batchId, maxPerDomain, seed, producer = checkpoint,
+          idCol = idCol, urlCol = urlCol)
+        ()
+      }
+      .start()
+
   /** Streaming SCD2 maintenance into the persisted dimension
     * ([[graft.operators.HistoryStore]]): each trigger folds one change
     * batch — per-touched-key work against bucket-pruned reads, never
