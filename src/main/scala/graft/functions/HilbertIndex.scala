@@ -77,7 +77,8 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
   * array length differs errors loudly (a silently truncated
   * coordinate list would fold distant cells together). Out-of-range
   * coordinates and null elements error loudly like the 2-D form;
-  * a null array → null. SQL surface: `hilbert_index_n(coords, bits)`.
+  * a null array → null. SQL surface:
+  * `hilbert_index_n(coords, dims[, bits])` (bits defaults to 8).
   */
 case class HilbertIndexN(child: Expression, dims: Int, bits: Int)
     extends UnaryExpression {

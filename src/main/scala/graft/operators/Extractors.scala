@@ -314,17 +314,29 @@ object QueueExtractor extends Extractor {
   }
 
   /** Staging root for the consumed-batch snapshot files — a sibling
-    * of the ack table, one uniquely-named subdir per extract.
+    * of the ack table, SCOPED PER (sourceDatabase, sourceTable):
+    * several pipelines legitimately consume one changelog dir
+    * concurrently (Runner is a thread per pipeline; `pending` filters
+    * per table), and a queue-wide root would let pipeline A's
+    * [[clearInflight]] delete pipeline B's LIVE snapshot between B's
+    * extract and commit. The table id is md5-tagged so hostile
+    * characters in table names never shape a path.
     */
-  private def inflightRoot(spec: PipelineSpec): String =
-    queuePath(spec) + "__inflight"
+  private def inflightRoot(spec: PipelineSpec): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${spec.sourceDatabase}.${spec.sourceTable}"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${queuePath(spec)}__inflight/t_$d"
+  }
 
-  /** Delete the inflight root wholesale. Safe under the queue's
-    * single-consumer contract: any dir found here is a CRASHED prior
-    * extract's — either its ack already appended (the snapshot is
-    * stale) or it never acked (its entries are still pending and the
-    * current extract re-reads them) — so deletion can never lose an
-    * entry.
+  /** Delete THIS pipeline's inflight root wholesale. Safe under the
+    * queue's per-table single-consumer contract: any dir found here
+    * is a CRASHED prior extract's — either its ack already appended
+    * (the snapshot is stale) or it never acked (its entries are
+    * still pending and the current extract re-reads them) — so
+    * deletion can never lose an entry. Sibling tables' roots are
+    * never touched.
     */
   private def clearInflight(spark: SparkSession, spec: PipelineSpec): Unit = {
     val p = new org.apache.hadoop.fs.Path(inflightRoot(spec))

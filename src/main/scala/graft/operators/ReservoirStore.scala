@@ -287,43 +287,54 @@ object ReservoirStore {
   private def groupedBottomK(df: DataFrame, idCol: String,
       capacity: Int, seed: String, groupCol: String,
       id: Column): DataFrame = {
-    val winners = df.schema(idCol).dataType match {
+    df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // the dominant BIGINT path keeps its TYPED semi-join — no
+        // per-corpus-row string cast just to share the string branch
         val topk = udaf(new graft.functions.TopKStrAgg(capacity))
-        df.select(col(groupCol).as("__g"),
+        val winners = df.select(col(groupCol).as("__g"),
             priorityFor(seed, id).as("__pri"), col(idCol))
           .groupBy("__g")
           .agg(topk(col("__pri"), col(idCol)).as("top"))
           .select(explode(col("top").getField("rows")).as("r"))
-          .select(col("r").getField("_2").cast("string").as("__wid"))
+          .select(col("r").getField("_2").as(idCol))
+        df.join(broadcast(winners.distinct()), Seq(idCol), "left_semi")
       case t if stringKeyable(t) =>
         val topk = udaf(new graft.functions.TopKStrIdAgg(capacity))
-        df.select(col(groupCol).as("__g"),
+        val winners = df.select(col(groupCol).as("__g"),
             priorityFor(seed, id).as("__pri"),
             id.cast("string").as("__ids"))
           .groupBy("__g")
           .agg(topk(col("__pri"), col("__ids")).as("top"))
           .select(explode(col("top").getField("rows")).as("r"))
           .select(col("r").getField("_2").as("__wid"))
+        df.join(broadcast(winners.distinct()),
+          col(idCol).cast("string") === col("__wid"), "left_semi")
       case t => throw new IllegalArgumentException(
-        s"grouped reservoir: $idCol has non-atomic type " +
-          s"${t.catalogString} — the bounded per-group ranking " +
-          "carries the id in canonical string form; project an " +
-          "atomic key (e.g. md5 of a canonical concat) first")
+        s"grouped reservoir: $idCol type ${t.catalogString} is not " +
+          "supported as a grouped ranking id (its canonical string " +
+          "cast is not injective or not engine-portable) — project " +
+          "an injective atomic key first: md5 of a canonical concat " +
+          "for structs, unix_micros for instant timestamps, base64 " +
+          "for binary")
     }
-    df.join(broadcast(winners.distinct()),
-      col(idCol).cast("string") === col("__wid"), "left_semi")
   }
 
-  /** Atomic types whose canonical string cast is injective — the ids
-    * the string-id grouped partial admits ([[groupedBottomK]]).
-    * LongType is absent only because it rides its own typed partial.
+  /** Atomic types whose canonical string cast is injective AND
+    * engine-portable — the ids the string-id grouped partial admits
+    * ([[groupedBottomK]]). LongType is absent only because it rides
+    * its own typed partial. TimestampType (an INSTANT) is excluded
+    * deliberately: its string cast renders local wall-clock through
+    * `spark.sql.session.timeZone`, so two distinct instants collide
+    * across a DST fall-back and the sample would depend on the
+    * session timezone; TimestampNTZ (wall-clock by definition) is
+    * fine, instants should project `unix_micros` first.
     */
   private def stringKeyable(t: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     t match {
       case StringType | IntegerType | ShortType | ByteType |
-           BooleanType | DateType | TimestampType | TimestampNTZType |
+           BooleanType | DateType | TimestampNTZType |
            DoubleType | FloatType => true
       case _: DecimalType => true
       case _ => false

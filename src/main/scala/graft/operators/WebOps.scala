@@ -73,8 +73,15 @@ object WebOps {
     url.substr(length(substring_index(url, "://", 1)) + lit(4),
       length(url))
 
+  /** The authority terminates at '/', '?' OR '#' (RFC 3986 §3.2) —
+    * forgetting '?' lets a path-less `http://spam.com?id=7` (legal
+    * and common in crawls) leak its query into the host and from
+    * there into the registrable domain, handing every such URL its
+    * own "domain" and a free pass through the quota.
+    */
   private def authorityOf(url: Column): Column =
-    substring_index(substring_index(restOf(url), "#", 1), "/", 1)
+    substring_index(substring_index(
+      substring_index(restOf(url), "#", 1), "/", 1), "?", 1)
 
   /** Lowercased host of an http(s) URL; NULL for non-http inputs.
     * Userinfo (`user@host`) is out of scope — the crawl-corpus URL
@@ -105,7 +112,9 @@ object WebOps {
   def canonicalizeUrl(url: Column): Column = {
     val scheme = schemeOf(url)
     val noFrag = substring_index(restOf(url), "#", 1)
-    val authority = substring_index(noFrag, "/", 1)
+    // '/', '?' and '#' all terminate the authority (see authorityOf)
+    val authority =
+      substring_index(substring_index(noFrag, "/", 1), "?", 1)
     val pathq = noFrag.substr(length(authority) + lit(1), length(noFrag))
     val path0 = substring_index(pathq, "?", 1)
     val qstr = when(instr(pathq, "?") > 0,
@@ -205,7 +214,7 @@ object WebOps {
           "to rank")))
     withDom
       .select(col(domCol).as("__g"),
-        md5(concat(lit(seed), lit(":"), id)).as("__pri"), id.as("__ids"))
+        ReservoirStore.priorityFor(seed, id).as("__pri"), id.as("__ids"))
       .groupBy("__g")
       .agg(topk(col("__pri"), col("__ids")).as("top"))
       .select(posexplode(col("top").getField("rows")).as(Seq("pos", "r")))
@@ -248,16 +257,24 @@ object WebOps {
     val before = sc.getPersistentRDDs.keySet.toSet
     try {
       val b = batch.localCheckpoint(true)
+      // the NULL domain (non-http URL) is its own quota group, like
+      // every grouped operator here — but the CMS key is
+      // null-intolerant (estimate would go NULL and the filter would
+      // silently drop the group from trigger 1 on, after the
+      // bootstrap trigger ADMITTED it), so ranking, estimate and
+      // extend all run on an internal never-null counting key; the
+      // landed payload keeps the real (possibly null) domain
       val withDom = b.withColumn("domain",
         registrableDomain(urlHost(col(urlCol))))
+        .withColumn("__dk", coalesce(col("domain"), lit("")))
       val ranked = withDom.join(
         broadcast(quotaWinners(withDom, maxPerDomain, seed, idCol,
-          "domain")),
+          "__dk")),
         col(idCol).cast("string") === col("__wid"))
         .drop("__wid")
       val est =
         if (bootstrapped)
-          FrequencyStore.estimate(ranked, col("domain"), storePath)
+          FrequencyStore.estimate(ranked, col("__dk"), storePath)
         else ranked.withColumn("est", lit(0L))
       val admitted = est
         .filter(col("rn") <=
@@ -265,9 +282,9 @@ object WebOps {
         .drop("rn", "est")
         .localCheckpoint(true)
       val dir = s"$outDir/${IndexStores.tagFor(producer, batchId)}"
-      admitted.write.mode("overwrite").parquet(dir)
-      IndexStores.forceSchemaBearing(admitted, dir)
-      FrequencyStore.extend(admitted, col("domain"), storePath,
+      admitted.drop("__dk").write.mode("overwrite").parquet(dir)
+      IndexStores.forceSchemaBearing(admitted.drop("__dk"), dir)
+      FrequencyStore.extend(admitted, col("__dk"), storePath,
         batchId, eps = eps, producer = producer)
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }

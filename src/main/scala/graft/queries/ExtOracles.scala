@@ -3228,11 +3228,12 @@ object ExtOracles {
        |  lower(split_part(url, '://', 1)) AS scheme,
        |  substr(url, length(split_part(url, '://', 1)) + 4) AS rest
        |  FROM u),
-       |w2 AS (SELECT *, split_part(split_part(rest, '#', 1), '/', 1)
-       |         AS authority,
+       |w2 AS (SELECT *,
+       |       split_part(split_part(split_part(rest, '#', 1), '/', 1),
+       |         '?', 1) AS authority,
        |       substr(split_part(rest, '#', 1),
-       |         length(split_part(split_part(rest, '#', 1), '/', 1)) + 1)
-       |         AS pathq
+       |         length(split_part(split_part(split_part(rest, '#', 1),
+       |           '/', 1), '?', 1)) + 1) AS pathq
        |  FROM w1),
        |w3 AS (SELECT *, split_part(pathq, '?', 1) AS path0,
        |       CASE WHEN strpos(pathq, '?') > 0

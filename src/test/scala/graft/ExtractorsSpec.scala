@@ -136,9 +136,17 @@ class ExtractorsSpec extends SparkSpec {
       res.commit()
       assert(QueueExtractor.pending(spark, spec).count() === 0L)
     } finally res.cleanup()
-    // cleanup retired the snapshot files
-    assert(!new java.io.File(s"$src/MigratorRecordQueue__inflight")
-      .exists(), "cleanup must remove the inflight snapshot")
+    // cleanup retired the snapshot files (the per-table root is gone;
+    // only the empty shared parent may remain)
+    def batchDirs(root: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (!f.isDirectory) Seq.empty
+        else if (f.getName.startsWith("b_")) Seq(f)
+        else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      walk(new java.io.File(root))
+    }
+    assert(batchDirs(s"$src/MigratorRecordQueue__inflight").isEmpty,
+      "cleanup must remove the inflight snapshot")
   }
 
   test("a crashed extract's orphan inflight snapshot is cleared by " +
@@ -158,12 +166,19 @@ class ExtractorsSpec extends SparkSpec {
     assert(crashed.df.count() === 1L)
     val inflight = new java.io.File(s"$src/MigratorRecordQueue__inflight")
     assert(inflight.exists())
+    def batchDirs(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (!f.isDirectory) Seq.empty
+        else if (f.getName.startsWith("b_")) Seq(f)
+        else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      walk(inflight)
+    }
     // the next extract clears the orphan and re-reads the (un-acked,
     // still pending) entry
     val retry = QueueExtractor.extract(spark, spec,
       TrackingStatus("a", "t", "k"))
     assert(retry.df.count() === 1L)
-    assert(inflight.listFiles().length === 1,
+    assert(batchDirs().length === 1,
       "exactly the retry's own snapshot dir may remain")
     retry.commit(); retry.cleanup()
     assert(QueueExtractor.pending(spark, spec).count() === 0L)
@@ -172,6 +187,25 @@ class ExtractorsSpec extends SparkSpec {
       TrackingStatus("a", "t", "k"))
     assert(empty.df.count() === 0L && !empty.moreData)
     empty.commit(); empty.cleanup()
+    // PER-TABLE scoping: a sibling pipeline consuming the SAME queue
+    // dir (Runner is a thread per pipeline) must not have its LIVE
+    // snapshot cleared by this table's extract
+    Seq((5L, "y")).toDF("k", "v").write.parquet(s"$src/t2.parquet")
+    Seq(("a", "t2", "k", "5", mkTs("2024-06-01 00:00:00"), "UPDATE"))
+      .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+        "timestampUpdated", "method")
+      .write.mode("append").parquet(s"$src/MigratorRecordQueue")
+    val spec2 = PipelineSpec("a", "t2", "k", "b", "t2", src, dest,
+      extractor = "queue", primaryKey = Some("k"))
+    val live2 = QueueExtractor.extract(spark, spec2,
+      TrackingStatus("a", "t2", "k"))
+    // the FIRST table's extract runs while t2's batch is in flight
+    val other = QueueExtractor.extract(spark, spec,
+      TrackingStatus("a", "t", "k"))
+    assert(live2.df.count() === 1L,
+      "a sibling table's extract must not clear this table's snapshot")
+    live2.commit(); live2.cleanup()
+    other.cleanup()
   }
 
   test("sequential extractor: rows appended after an idle poll are still extracted") {

@@ -37,6 +37,17 @@ class WebOpsSpec extends SparkSpec {
     assert(canon("http://a.com/p?utm_a=1&gclid=2") === "http://a.com/p")
     // a query that only reorders canonicalizes equal
     assert(canon("http://a.com/p?z=9&a=1") === canon("http://a.com/p?a=1&z=9"))
+    // the authority terminates at '?' too (RFC 3986): a path-less
+    // URL with a query must NOT leak the query into host/domain —
+    // the quota-bypass shape the round-11 review caught
+    assert(canon("http://spam.com?id=7&utm_a=1") ===
+      "http://spam.com/?id=7")
+    assert(canon("http://a.com:80?x=1") === "http://a.com/?x=1")
+    assert(Seq("http://spam.com?id=7").toDF("u")
+      .select(WebOps.urlHost(col("u"))).head.getString(0) === "spam.com")
+    assert(Seq("http://spam.com?id=7").toDF("u")
+      .select(WebOps.registrableDomain(WebOps.urlHost(col("u"))))
+      .head.getString(0) === "spam.com")
     // non-http inputs are NULL, not errors (a crawl is full of them)
     assert(canon("mailto:x@y.com") === null)
     assert(canon("not a url") === null)
@@ -142,6 +153,23 @@ class WebOpsSpec extends SparkSpec {
     assert(firstLanding.map(_.getLong(0)) ===
       spark.read.parquet(s"$out/b_*").filter(col("doc_id") < 100)
         .orderBy("doc_id").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("quotaBatch: the NULL-domain group (non-http URLs) is quota'd " +
+    "consistently across triggers, not admitted-then-dropped") {
+    val store = tmpDir("wqn-store") + "/f"
+    val out = tmpDir("wqn-out")
+    def mk(ids: Seq[Int]) = ids.map(i =>
+      (i.toLong, s"garbage-url-$i")).toDF("doc_id", "url")
+    WebOps.quotaBatch(mk(0 until 4), store, out, 0L, maxPerDomain = 6,
+      seed = "wqn", producer = "p")
+    WebOps.quotaBatch(mk(10 until 14), store, out, 1L, maxPerDomain = 6,
+      seed = "wqn", producer = "p")
+    val landed = spark.read.parquet(s"$out/b_*")
+    // trigger 0 admits 4, trigger 1 tops the null group up to 6 —
+    // the group behaves like any domain (and keeps its NULL payload)
+    assert(landed.count() === 6L)
+    assert(landed.filter(col("domain").isNull).count() === 6L)
   }
 
   test("domainQuotaStream end-to-end: per-domain admitted counts " +
