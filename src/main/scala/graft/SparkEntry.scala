@@ -187,6 +187,7 @@ object SparkEntry {
     "layout_zorder" -> (graft.queries.ExtQueries.layoutZorder(_, _)),
     "layout_skipping" -> (graft.queries.ExtQueries.layoutSkipping(_, _)),
     "layout_store_hilbert" -> (graft.queries.ExtQueries.layoutStoreHilbert(_, _)),
+    "layout_store_hilbert_3d" -> (graft.queries.ExtQueries.layoutStoreHilbert3d(_, _)),
     "layout_indexed_box" -> (graft.queries.ExtQueries.layoutIndexedBox(_, _)),
     "join_bucketed" -> (graft.queries.ExtQueries.joinBucketed(_, _)),
     "bucket_pruned_lookup" -> (graft.queries.ExtQueries.bucketPrunedLookup(_, _)),

@@ -190,12 +190,7 @@ object LayoutOps {
     require(cols.nonEmpty && mins.size == cols.size && maxs.size == cols.size)
     require(curve == "z" || curve == "hilbert",
       s"unknown layout curve '$curve' — \"z\" or \"hilbert\"")
-    require(curve == "z" || cols.size == 2,
-      "the persisted hilbert store is 2-D; use curve=\"z\" for 3+ " +
-        "dimensions (the inline hilbertKey/hilbertCellsForBoxN " +
-        "family serves n-D hilbert layouts)")
-    // hilbert key width is 2·bits — identical to the z keyBits at the
-    // curve's mandatory n = 2, so ONE width expression serves both
+    // both curves key n·bits wide, so ONE width expression serves all
     val keyBits = bits * cols.size
     require(cellBits >= 1 && cellBits <= keyBits)
     requireRangesFit(cols, mins, maxs)
@@ -216,9 +211,15 @@ object LayoutOps {
       if (curve == "z") interleave(cols, bits)
       else {
         import org.apache.spark.sql.graftshim.ColumnBridge._
-        column(graft.functions.HilbertIndex(
-          expression(col(s"zb_${cols(0)}")),
-          expression(col(s"zb_${cols(1)}")), bits))
+        // the hilbertKey routing: n = 2 classic, n >= 3 Butz/Skilling
+        if (cols.size == 2)
+          column(graft.functions.HilbertIndex(
+            expression(col(s"zb_${cols(0)}")),
+            expression(col(s"zb_${cols(1)}")), bits))
+        else
+          column(graft.functions.HilbertIndexN(
+            expression(array(cols.map(c => col(s"zb_$c")): _*)),
+            cols.size, bits))
       }
     withB
       .withColumn("zkey", key)

@@ -53,10 +53,12 @@ object LayoutStore {
   def write(df0: DataFrame, path: String, cols: Seq[String], idCol: String,
             bits: Int = 8, cellBits: Int = 8, curve: String = "z"): Unit = {
     require(curve == "z" ||
-        (cols.size == 2 && cellBits % 2 == 0 && bits <= 31),
-      s"curve=hilbert needs exactly 2 dimensions, an EVEN cellBits " +
-        s"(the box enumerator's square-cell contract) and bits <= 31; " +
-        s"got ${cols.size} dims, cellBits=$cellBits, bits=$bits")
+        (cols.size >= 2 && cellBits % cols.size == 0 &&
+          bits * cols.size <= 62),
+      s"curve=hilbert needs >= 2 dimensions, cellBits a MULTIPLE of " +
+        s"the dimension count (the box enumerators' square/cubic-cell " +
+        s"contract) and bits*dims <= 62; got ${cols.size} dims, " +
+        s"cellBits=$cellBits, bits=$bits")
     val spark = df0.sparkSession
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
@@ -263,8 +265,11 @@ object LayoutStore {
               box: Seq[(Long, Long)]): DataFrame = {
     val meta = loadMeta(spark, path)
     val cells =
-      if (meta.curve == "hilbert")
+      if (meta.curve == "hilbert" && meta.cols.size == 2)
         LayoutOps.hilbertCellsForBox(meta.mins, meta.maxs, box,
+          meta.bits, meta.cellBits, clamp = true)
+      else if (meta.curve == "hilbert")
+        LayoutOps.hilbertCellsForBoxN(meta.mins, meta.maxs, box,
           meta.bits, meta.cellBits, clamp = true)
       else LayoutOps.cellsForBox(meta.mins, meta.maxs, box, meta.bits,
         meta.cellBits, clamp = true)

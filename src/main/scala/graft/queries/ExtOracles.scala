@@ -2309,6 +2309,19 @@ object ExtOracles {
         |      BETWEEN 1704672000000000 AND 1705276799999999
         |ORDER BY event_id""".stripMargin,
 
+    // the 3-D store twin: the same plain full-scan soundness oracle
+    // with the third (event_id mod 1000) dimension's predicate
+    "layout_store_hilbert_3d" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS tsm,
+        |  event_id % 1000 AS evk
+        |FROM events
+        |WHERE user_id BETWEEN 30 AND 59
+        |  AND epoch_us(CAST(ts AS TIMESTAMP))
+        |      BETWEEN 1704672000000000 AND 1705276799999999
+        |  AND event_id % 1000 BETWEEN 100 AND 700
+        |ORDER BY event_id""".stripMargin,
+
     // the hilbert-pruned box read must equal the plain full-scan
     // filter — the soundness contract of the physical layout (same
     // posture as layout_indexed_box; the pruning is plan-side only)

@@ -2270,6 +2270,41 @@ object ExtQueries {
       .select("event_id", "user_id", "tsm")
       .orderBy("event_id")
 
+  /** The 3-D twin of [[layoutStoreHilbert]]: the persisted store on
+    * the Butz/Skilling curve over (user_id, time, event_id mod 1000),
+    * built over even event_ids + appended odds under frozen bounds,
+    * box-read through the n-D orthant enumerator
+    * ([[graft.operators.LayoutOps.hilbertCellsForBoxN]]) with
+    * partition pruning. Same soundness oracle: the plain full-scan
+    * SQL filter.
+    */
+  def layoutStoreHilbert3d(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LayoutStore.readBox(spark,
+      hilbert3dStorePath(spark, dir),
+      Seq((30L, 59L), (1704672000000000L, 1705276799999999L),
+        (100L, 700L)))
+      .select("event_id", "user_id", "tsm", "evk")
+      .orderBy("event_id")
+
+  private val hilbert3dStoreCache =
+    new SessionCache[String](SessionCache.deleteTree)
+  private def hilbert3dStorePath(spark: SparkSession,
+      dir: String): String =
+    hilbert3dStoreCache.get(spark, dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-hilbert3d-store").toString
+      val ev = eventsDims(spark, dir)
+        .withColumn("evk", col("event_id") % 1000)
+        .select("event_id", "user_id", "tsm", "evk")
+      graft.operators.LayoutStore.write(
+        ev.filter(col("event_id") % 2 === 0), s"$root/events",
+        Seq("user_id", "tsm", "evk"), idCol = "event_id",
+        bits = 6, cellBits = 6, curve = "hilbert")
+      graft.operators.LayoutStore.append(spark, s"$root/events",
+        ev.filter(col("event_id") % 2 === 1))
+      root
+    } + "/events"
+
   private val hilbertStoreCache =
     new SessionCache[String](SessionCache.deleteTree)
   private def hilbertStorePath(spark: SparkSession, dir: String): String =

@@ -276,16 +276,64 @@ class LayoutStoreSpec extends SparkSpec {
     assert(LayoutStore.rebuildIfDrifted(spark, path, thresholdPpm = 1L))
     assert(LayoutStore.loadMeta(spark, path).curve === "hilbert")
     assert(dumpBox(path, box) === afterDelete)
-    // guards: 3 dims / odd cellBits reject
-    intercept[IllegalArgumentException] {
-      LayoutStore.write(corpus.withColumn("z", col("x") + 1),
-        tmpDir("ls-h3") + "/l", Seq("x", "y", "z"), idCol = "id",
-        curve = "hilbert")
-    }
+    // guards: cellBits not a multiple of the dim count rejects (2-D
+    // odd, 3-D at the 2-D-shaped default 8), as does bits*dims > 62
     intercept[IllegalArgumentException] {
       LayoutStore.write(corpus, tmpDir("ls-h5") + "/l", Seq("x", "y"),
         idCol = "id", cellBits = 7, curve = "hilbert")
     }
+    intercept[IllegalArgumentException] {
+      LayoutStore.write(corpus.withColumn("z", col("x") + 1),
+        tmpDir("ls-h3g") + "/l", Seq("x", "y", "z"), idCol = "id",
+        cellBits = 8, curve = "hilbert")
+    }
+    intercept[IllegalArgumentException] {
+      LayoutStore.write(corpus.withColumn("z", col("x") + 1),
+        tmpDir("ls-h3b") + "/l", Seq("x", "y", "z"), idCol = "id",
+        bits = 21, cellBits = 9, curve = "hilbert")
+    }
+  }
+
+  test("3-D hilbert store: write + append + clamp + delete/compact " +
+    "preserve the box contract on the Butz/Skilling grid") {
+    val c3 = (0 until 400).map(i => (i.toLong, (i * 37 % 1000).toLong,
+      (i * 91 % 5000).toLong, (i * 53 % 300).toLong))
+      .toDF("id", "x", "y", "z")
+    def direct3(df: org.apache.spark.sql.DataFrame,
+        b: Seq[(Long, Long)]): Seq[Long] =
+      df.filter(col("x").between(b(0)._1, b(0)._2) &&
+        col("y").between(b(1)._1, b(1)._2) &&
+        col("z").between(b(2)._1, b(2)._2))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    def dump3(p: String, b: Seq[(Long, Long)]): Seq[Long] =
+      LayoutStore.readBox(spark, p, b)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val path = tmpDir("ls-h3d") + "/layout"
+    LayoutStore.write(c3.filter(col("id") % 2 === 0), path,
+      Seq("x", "y", "z"), idCol = "id", bits = 6, cellBits = 6,
+      curve = "hilbert")
+    assert(LayoutStore.loadMeta(spark, path).curve === "hilbert")
+    LayoutStore.append(spark, path, c3.filter(col("id") % 2 === 1))
+    val b3 = Seq((100L, 600L), (500L, 3500L), (50L, 200L))
+    assert(dump3(path, b3) === direct3(c3, b3))
+    assert(dump3(path, b3).nonEmpty)
+    // clamp-mode n-D enumeration reaches out-of-bounds appends
+    val late = (400 until 420).map(i =>
+      (i.toLong, 5000L + i, -50L, 400L + i)).toDF("id", "x", "y", "z")
+    LayoutStore.append(spark, path, late)
+    val wide = Seq((900L, 9000L), (-100L, 5000L), (0L, 1000L))
+    assert(dump3(path, wide) === direct3(c3.union(late), wide))
+    assert(direct3(c3.union(late), wide).exists(_ >= 400L))
+    // delete + compact keep the answer; pruning still partition-level
+    LayoutStore.delete(spark, path, Seq(2L, 8L))
+    val expect = direct3(c3.union(late), b3).filterNot(Set(2L, 8L))
+    assert(dump3(path, b3) === expect)
+    LayoutStore.compact(spark, path)
+    assert(dump3(path, b3) === expect)
+    val plan = LayoutStore.readBox(spark, path, b3)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[.*zcell.*"),
+      s"cell filter not pushed on the 3-D hilbert store:\n$plan")
   }
 
   test("streaming ingest equals one batch append; cadence folds files") {
