@@ -323,9 +323,13 @@ object QueueExtractor extends Extractor {
     * characters in table names never shape a path.
     */
   private def inflightRoot(spec: PipelineSpec): String = {
+    // length-prefixed fields: a plain "db.table" concat is ambiguous
+    // (("prod","x.y") and ("prod.x","y") would share a root and
+    // re-open the cross-pipeline deletion this scoping prevents)
+    val key = s"${spec.sourceDatabase.length}:${spec.sourceDatabase}:" +
+      s"${spec.sourceTable.length}:${spec.sourceTable}"
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${spec.sourceDatabase}.${spec.sourceTable}"
-        .getBytes("UTF-8"))
+      .digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"${queuePath(spec)}__inflight/t_$d"
   }

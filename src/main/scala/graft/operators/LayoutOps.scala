@@ -111,18 +111,26 @@ object LayoutOps {
     require(bits >= 1 && bits * cols.size <= 62,
       s"bits=$bits over ${cols.size} dims overflows a signed " +
         "64-bit hkey")
-    import org.apache.spark.sql.graftshim.ColumnBridge._
-    val key =
-      if (cols.size == 2)
-        column(graft.functions.HilbertIndex(
-          expression(col(s"zb_${cols(0)}")),
-          expression(col(s"zb_${cols(1)}")), bits))
-      else
-        column(graft.functions.HilbertIndexN(
-          expression(array(cols.map(c => col(s"zb_$c")): _*)),
-          cols.size, bits))
     zorderKey(df, cols, bits).drop("zkey")
-      .withColumn("hkey", key)
+      .withColumn("hkey", hilbertKeyExpr(cols, bits))
+  }
+
+  /** The ONE hilbert key expression over already-computed `zb_<col>`
+    * grid coordinates — n = 2 rides the classic xy2d kernel, n ≥ 3
+    * the Butz/Skilling one. Shared by [[hilbertKey]] and the
+    * persisted store's [[encodeWithBounds]] so the one-shot layout
+    * and the frozen-bounds store can never key differently.
+    */
+  private def hilbertKeyExpr(cols: Seq[String], bits: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    if (cols.size == 2)
+      column(graft.functions.HilbertIndex(
+        expression(col(s"zb_${cols(0)}")),
+        expression(col(s"zb_${cols(1)}")), bits))
+    else
+      column(graft.functions.HilbertIndexN(
+        expression(array(cols.map(c => col(s"zb_$c")): _*)),
+        cols.size, bits))
   }
 
   /** [[hilbertKey]] plus the file-grid cell id: the hkey's top
@@ -209,18 +217,7 @@ object LayoutOps {
     // the key expression and the box enumerator differ
     val key =
       if (curve == "z") interleave(cols, bits)
-      else {
-        import org.apache.spark.sql.graftshim.ColumnBridge._
-        // the hilbertKey routing: n = 2 classic, n >= 3 Butz/Skilling
-        if (cols.size == 2)
-          column(graft.functions.HilbertIndex(
-            expression(col(s"zb_${cols(0)}")),
-            expression(col(s"zb_${cols(1)}")), bits))
-        else
-          column(graft.functions.HilbertIndexN(
-            expression(array(cols.map(c => col(s"zb_$c")): _*)),
-            cols.size, bits))
-      }
+      else hilbertKeyExpr(cols, bits)
     withB
       .withColumn("zkey", key)
       .withColumn("zcell", shiftright(col("zkey"), keyBits - cellBits))

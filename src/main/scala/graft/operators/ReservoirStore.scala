@@ -275,14 +275,17 @@ object ReservoirStore {
     * null bin, not an error.
     *
     * Id typing: a BIGINT id rides the long-typed partial unchanged; a
-    * non-BIGINT ATOMIC id (string/date/timestamp/decimal — the url or
-    * content-hash corpus key) rides [[graft.functions.TopKStrIdAgg]]
-    * in its canonical string-cast form — the SAME form
-    * [[priorityFor]] already hashes in every mode, so no new
-    * injectivity assumption enters; only the (2⁻¹²⁸-reachable) md5
-    * tiebreak becomes string order of that cast. Non-atomic ids
-    * reject loudly: project an atomic key (e.g. md5 of the struct's
-    * canonical concat) first.
+    * non-BIGINT id whose string cast is injective and
+    * engine-portable ([[stringKeyable]]: string / int widths / date /
+    * TimestampNTZ / decimal / float — the url or content-hash corpus
+    * key) rides [[graft.functions.TopKStrIdAgg]] in its canonical
+    * string-cast form — the SAME form [[priorityFor]] already hashes
+    * in every mode, so no new injectivity assumption enters; only
+    * the (2⁻¹²⁸-reachable) md5 tiebreak becomes string order of that
+    * cast. Everything else rejects loudly with an encode recipe
+    * (instant timestamps → unix_micros, structs → md5 of a canonical
+    * concat, binary → base64); instant-timestamp IDS are already
+    * rejected for every mode in [[requireGeometry]].
     */
   private def groupedBottomK(df: DataFrame, idCol: String,
       capacity: Int, seed: String, groupCol: String,
@@ -417,6 +420,18 @@ object ReservoirStore {
     require(schema.fieldNames.contains(idCol),
       s"reservoir store: id column '$idCol' is absent from the " +
         s"payload schema ${schema.simpleString}")
+    // the priority is md5 over the id's STRING CAST in every mode
+    // ([[priorityFor]]); an instant timestamp renders local
+    // wall-clock through spark.sql.session.timeZone, so its
+    // priorities would change with the session timezone (and two
+    // distinct instants collide across a DST fall-back) — the frozen
+    // seed/priority contract cannot hold. Reject in BOTH modes, at
+    // the gate every path passes.
+    require(schema(idCol).dataType !=
+        org.apache.spark.sql.types.TimestampType,
+      s"reservoir store: $idCol is an instant TIMESTAMP — its string " +
+        "cast (and so its sampling priority) depends on the session " +
+        "timezone; project unix_micros($idCol) as the id instead")
     require(groupCol.isEmpty || schema.fieldNames.contains(groupCol),
       s"reservoir store: group column '$groupCol' is absent from " +
         s"the payload schema ${schema.simpleString}")

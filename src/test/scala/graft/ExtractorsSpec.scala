@@ -25,6 +25,15 @@ class ExtractorsSpec extends SparkSpec {
 
   private def mkTs(s: String) = Timestamp.valueOf(s)
 
+  /** The b_<uuid> snapshot dirs under an inflight root, any depth. */
+  private def inflightBatchDirs(root: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (!f.isDirectory) Seq.empty
+      else if (f.getName.startsWith("b_")) Seq(f)
+      else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+    walk(new java.io.File(root))
+  }
+
   test("timestamp extractor: strict-> watermark, replay idempotent") {
     val src = tmpDir("ts-src"); val dest = tmpDir("ts-dest")
     Seq((1L, mkTs("2024-01-01 10:00:00")), (2L, mkTs("2024-01-01 11:00:00")),
@@ -138,14 +147,7 @@ class ExtractorsSpec extends SparkSpec {
     } finally res.cleanup()
     // cleanup retired the snapshot files (the per-table root is gone;
     // only the empty shared parent may remain)
-    def batchDirs(root: String): Seq[java.io.File] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (!f.isDirectory) Seq.empty
-        else if (f.getName.startsWith("b_")) Seq(f)
-        else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-      walk(new java.io.File(root))
-    }
-    assert(batchDirs(s"$src/MigratorRecordQueue__inflight").isEmpty,
+    assert(inflightBatchDirs(s"$src/MigratorRecordQueue__inflight").isEmpty,
       "cleanup must remove the inflight snapshot")
   }
 
@@ -166,19 +168,12 @@ class ExtractorsSpec extends SparkSpec {
     assert(crashed.df.count() === 1L)
     val inflight = new java.io.File(s"$src/MigratorRecordQueue__inflight")
     assert(inflight.exists())
-    def batchDirs(): Seq[java.io.File] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (!f.isDirectory) Seq.empty
-        else if (f.getName.startsWith("b_")) Seq(f)
-        else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-      walk(inflight)
-    }
     // the next extract clears the orphan and re-reads the (un-acked,
     // still pending) entry
     val retry = QueueExtractor.extract(spark, spec,
       TrackingStatus("a", "t", "k"))
     assert(retry.df.count() === 1L)
-    assert(batchDirs().length === 1,
+    assert(inflightBatchDirs(inflight.getPath).length === 1,
       "exactly the retry's own snapshot dir may remain")
     retry.commit(); retry.cleanup()
     assert(QueueExtractor.pending(spark, spec).count() === 0L)

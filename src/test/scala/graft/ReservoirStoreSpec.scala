@@ -380,6 +380,19 @@ class ReservoirStoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("atomic") ||
       e.getMessage.contains("orderable"), e.getMessage)
+    // an instant-timestamp id rejects in BOTH modes (its string cast
+    // — and so its priority — is session-timezone-dependent), with
+    // the unix_micros recipe named
+    val tsDocs = groupDocs(1 to 20)
+      .select(timestamp_micros(col("doc_id") * 1000000).as("tid"),
+        col("lang"), col("n_chars"))
+    Seq("" , "lang").foreach { g =>
+      val et = intercept[IllegalArgumentException] {
+        ReservoirStore.write(tsDocs, tmpDir(s"rs-ts-$g") + "/r",
+          "tid", 5, "gs", groupCol = g)
+      }
+      assert(et.getMessage.contains("unix_micros"), et.getMessage)
+    }
   }
 
   test("shrink ≡ from-scratch build at the smaller capacity (global " +
