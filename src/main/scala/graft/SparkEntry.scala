@@ -123,6 +123,8 @@ object SparkEntry {
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "url_canon" -> (graft.queries.ExtQueries.urlCanon(_, _)),
     "domain_quota" -> (graft.queries.ExtQueries.domainQuotaGate(_, _)),
+    "domain_stats" -> (graft.queries.ExtQueries.domainStatsGate(_, _)),
+    "dedup_url" -> (graft.queries.ExtQueries.dedupUrl(_, _)),
     "corpus_rendezvous" -> (graft.queries.ExtQueries.corpusRendezvous(_, _)),
     "corpus_rendezvous_hier" -> (graft.queries.ExtQueries.corpusRendezvousHier(_, _)),
     "corpus_rendezvous_weighted" -> (graft.queries.ExtQueries.corpusRendezvousWeighted(_, _)),

@@ -1351,6 +1351,73 @@ object ExtOracles {
          |SELECT doc_id, domain, CAST(rn AS BIGINT) AS rn
          |FROM rq WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
 
+    // replays WebOps.domainStats over the shared url CTEs; sum(BIGINT)
+    // is HUGEINT in DuckDB -> cast back for schema parity
+    "domain_stats" ->
+      s"""WITH $urlCtes
+         |SELECT domain, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM wd JOIN documents USING (doc_id)
+         |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // replays dedupUrl: the decorated 250-page core canonicalized
+    // through the SAME string algebra (a second url construction;
+    // only canonicalization-invariant decorations vary), then the
+    // keep-min group-by. Inline CTEs mirror urlCtes' steps on the
+    // second construction.
+    "dedup_url" ->
+      s"""WITH u2 AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) ||
+        |  '://' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'Example' ELSE 'EXAMPLE' END) ||
+        |  CAST((doc_id % 250) % 5 AS VARCHAR) || '.com' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+        |  '/p/' || CAST(doc_id % 250 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_x=1&a=1' ELSE '?a=1' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END)
+        |  AS url FROM documents),
+        |v1 AS (SELECT doc_id, url,
+        |  lower(split_part(url, '://', 1)) AS scheme,
+        |  substr(url, length(split_part(url, '://', 1)) + 4) AS rest
+        |  FROM u2),
+        |v2 AS (SELECT *,
+        |  split_part(split_part(split_part(rest, '#', 1), '/', 1),
+        |    '?', 1) AS authority,
+        |  substr(split_part(rest, '#', 1),
+        |    length(split_part(split_part(split_part(rest, '#', 1),
+        |      '/', 1), '?', 1)) + 1) AS pathq
+        |  FROM v1),
+        |v3 AS (SELECT *, split_part(pathq, '?', 1) AS path0,
+        |  CASE WHEN strpos(pathq, '?') > 0
+        |    THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
+        |    ELSE '' END AS qstr,
+        |  lower(split_part(authority, ':', 1)) AS host,
+        |  CASE WHEN strpos(authority, ':') > 0
+        |    THEN substr(authority,
+        |      length(split_part(authority, ':', 1)) + 2)
+        |    ELSE '' END AS port
+        |  FROM v2),
+        |v4 AS (SELECT *, array_to_string(list_sort(list_filter(
+        |    string_split(qstr, '&'), x -> x <> ''
+        |      AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+        |      AND split_part(x, '=', 1) NOT IN (${
+          graft.operators.WebOps.TrackingParams
+            .map(p => s"'$p'").mkString(", ")}))), '&')
+        |    AS canonq
+        |  FROM v3),
+        |v5 AS (SELECT doc_id,
+        |  scheme || '://' || host ||
+        |  (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |        AND NOT (scheme = 'https' AND port = '443')
+        |     THEN ':' || port ELSE '' END) ||
+        |  (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |  (CASE WHEN canonq <> '' THEN '?' || canonq ELSE '' END)
+        |  AS canon_url
+        |  FROM v4)
+        |SELECT canon_url, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_dups
+        |FROM v5 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
     // replays CorpusOps.mixtureWeights (alpha = 0.5, budget 1e6);
     // sum(BIGINT) is HUGEINT in DuckDB -> cast back for schema parity
     "corpus_mixture" ->

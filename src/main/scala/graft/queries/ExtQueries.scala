@@ -1698,6 +1698,43 @@ object ExtQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Per-registrable-domain corpus profile
+    * ([[graft.operators.WebOps.domainStats]]): the "which sites
+    * dominate" audit read before choosing a quota — one
+    * map-side-combinable aggregate over the decorated corpus.
+    */
+  def domainStatsGate(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WebOps.domainStats(docsWithUrls(spark, dir))
+      .orderBy("domain")
+
+  /** Exact dedup BY CANONICAL URL — the crawl-pipeline composition
+    * the canonicalizer exists for: re-crawls of one page differ in
+    * scheme/host case, default ports, tracking params and fragments,
+    * and must collapse to one kept copy. The fixture decorates a
+    * 250-page core (doc_id mod 250) with exactly the
+    * canonicalization-invariant variations, so every page appears
+    * twice under different raw URLs and once canonically; the gate
+    * keeps the min doc_id per canonical URL with the duplicate
+    * count. Oracle replays canonicalization + the group-by.
+    */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("url", concat(
+      when(col("doc_id") % 2 === 0, "https").otherwise("HTTPS"),
+      lit("://"),
+      when(col("doc_id") % 2 === 0, "Example").otherwise("EXAMPLE"),
+      ((col("doc_id") % 250) % 5).cast("string"), lit(".com"),
+      when(col("doc_id") % 3 === 0, ":443").otherwise(""),
+      lit("/p/"), (col("doc_id") % 250).cast("string"),
+      when(col("doc_id") % 4 === 0, "?utm_x=1&a=1").otherwise("?a=1"),
+      when(col("doc_id") % 5 === 0, "#top").otherwise("")))
+    d.withColumn("canon_url",
+        graft.operators.WebOps.canonicalizeUrl(col("url")))
+      .groupBy("canon_url")
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_dups"))
+      .orderBy("canon_url")
+  }
+
   /** Seeded ±1 random projection 64 → 16 dims (Johnson–Lindenstrauss
     * preprocessing); the projected vector is digested to its
     * left-to-right sum + norm so the gate compares scalars.
