@@ -125,6 +125,7 @@ object SparkEntry {
     "domain_quota" -> (graft.queries.ExtQueries.domainQuotaGate(_, _)),
     "domain_stats" -> (graft.queries.ExtQueries.domainStatsGate(_, _)),
     "dedup_url" -> (graft.queries.ExtQueries.dedupUrl(_, _)),
+    "html_strip" -> (graft.queries.ExtQueries.htmlStrip(_, _)),
     "corpus_rendezvous" -> (graft.queries.ExtQueries.corpusRendezvous(_, _)),
     "corpus_rendezvous_hier" -> (graft.queries.ExtQueries.corpusRendezvousHier(_, _)),
     "corpus_rendezvous_weighted" -> (graft.queries.ExtQueries.corpusRendezvousWeighted(_, _)),

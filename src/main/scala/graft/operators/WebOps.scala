@@ -289,6 +289,46 @@ object WebOps {
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
+  /** HTML → text extraction — the step a crawl pipeline runs before
+    * ANY text operator (quality, dedup, langid all assume prose, and
+    * markup inflates every shingle/token statistic). Deliberately a
+    * PORTABLE REGEX PIPELINE, not an HTML parser: each step is one
+    * `regexp_replace`/`replace` with an exact DuckDB analogue (RE2
+    * syntax subset — no backrefs, no lookaround), so the gate replays
+    * it step-for-step and the extraction is deterministic on any
+    * engine. Steps, in order:
+    *
+    *  1. comments dropped (`<!-- … -->`, dotall non-greedy);
+    *  2. `<script>`/`<style>` elements dropped WITH their content
+    *     (case-insensitive, dotall non-greedy — their text is code,
+    *     not prose);
+    *  3. every remaining tag replaced by a SPACE (not "", which would
+    *     weld `…end</p><p>Start…` into one token);
+    *  4. the six ubiquitous entities decoded — `&lt; &gt; &quot;
+    *     &#39; &nbsp;` then `&amp;` LAST (decoding it first would
+    *     double-decode `&amp;lt;`);
+    *  5. whitespace collapsed to single spaces, trimmed.
+    *
+    * Scope contract (documented, loud nowhere — malformed HTML is the
+    * norm in a crawl): numeric character references beyond `&#39;`
+    * and exotic named entities pass through verbatim; CDATA and
+    * unclosed script blocks degrade to tag-stripping. Case
+    * normalization is NOT applied — compose with
+    * [[TextOps.normalize]] when the downstream op wants it.
+    */
+  def stripHtml(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComments,
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Per-registrable-domain corpus profile — doc counts and size
     * share, the "which sites dominate" audit read before choosing a
     * quota. One map-side-combinable aggregate.

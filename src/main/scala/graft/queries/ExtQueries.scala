@@ -1735,6 +1735,39 @@ object ExtQueries {
       .orderBy("canon_url")
   }
 
+  /** HTML → text extraction ([[graft.operators.WebOps.stripHtml]]):
+    * every document wrapped in a deterministic HTML shell — head
+    * with style, conditional script (whose content must vanish, `<`
+    * inside it included), comments carrying the doc_id, entities
+    * (`&#39;`, `&nbsp;` substituted into the body text, a
+    * double-escaped `&amp;amp;`), conditional trailing div — then
+    * stripped back. The DuckDB oracle replays construction AND every
+    * regex/replace step, so hash-green pins the whole extraction
+    * pipeline per document.
+    */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val body = when(col("doc_id") % 5 === 0,
+      regexp_replace(col("text"), " ", "&nbsp;")).otherwise(col("text"))
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><style>body{color:red}</style>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"))
+        .otherwise(lit("")),
+      lit("</head><body><!-- id "), col("doc_id").cast("string"),
+      lit(" --><h1>Doc &#39;"), col("doc_id").cast("string"),
+      lit("&#39;</h1><p>"), body, lit("</p>"),
+      when(col("doc_id") % 4 === 1,
+        lit("<div class=\"x\">&lt;tag&gt; &amp;amp; more</div>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    d.select(col("doc_id"),
+      graft.operators.WebOps.stripHtml(html).as("text_clean"))
+      .withColumn("clean_chars",
+        length(col("text_clean")).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
   /** Seeded ±1 random projection 64 → 16 dims (Johnson–Lindenstrauss
     * preprocessing); the projected vector is digested to its
     * left-to-right sum + norm so the gate compares scalars.

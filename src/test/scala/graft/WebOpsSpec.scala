@@ -55,6 +55,30 @@ class WebOpsSpec extends SparkSpec {
       .select(WebOps.canonicalizeUrl(col("u"))).head.isNullAt(0))
   }
 
+  test("stripHtml: comments/script/style dropped with content, tags " +
+    "become spaces, entities decode in the safe order, whitespace " +
+    "collapses") {
+    def strip(h: String): String = Seq(h).toDF("h")
+      .select(WebOps.stripHtml(col("h"))).head.getString(0)
+    assert(strip("<p>Hello <b>world</b></p>") === "Hello world")
+    // tags become SPACES — no word-welding across block boundaries
+    assert(strip("<p>end</p><p>Start</p>") === "end Start")
+    // script/style content (code, not prose) vanishes, even with a
+    // '<' inside; comments vanish across lines
+    assert(strip("<script>var x = 1 < 2;</script>before" +
+      "<style>p{a:1}</style>after") === "before after")
+    assert(strip("a<!-- multi\nline\ncomment -->b") === "a b")
+    // case-insensitive element match
+    assert(strip("<SCRIPT>junk</SCRIPT>x") === "x")
+    // entity order: &amp; decodes LAST, so &amp;lt; stays a literal
+    // '&lt;' (single-decode, never double)
+    assert(strip("&lt;tag&gt; &amp;amp; A&nbsp;B &#39;q&#39;") ===
+      "<tag> &amp; A B 'q'")
+    // null in -> null out
+    assert(Seq(Option.empty[String]).toDF("h")
+      .select(WebOps.stripHtml(col("h"))).head.isNullAt(0))
+  }
+
   test("registrableDomain: multi-label suffixes keep three labels, " +
     "default keeps two, degenerate hosts return themselves") {
     def dom(h: String): String = Seq(h).toDF("h")
