@@ -312,7 +312,13 @@ object WebOps {
     * Scope contract (documented, loud nowhere — malformed HTML is the
     * norm in a crawl): numeric character references beyond `&#39;`
     * and exotic named entities pass through verbatim; CDATA and
-    * unclosed script blocks degrade to tag-stripping. Case
+    * unclosed script blocks degrade to tag-stripping; a literal `>`
+    * INSIDE an attribute value (legal HTML) ends the tag early and
+    * leaks the attribute tail into the text, and a bare `<` in prose
+    * swallows text up to the next `>` — the inherent trade of the
+    * regex family (every regex stripper shares it; the exact
+    * alternative is a char-level scanner tracking quote state, which
+    * would leave the engine-portable-replay contract). Case
     * normalization is NOT applied — compose with
     * [[TextOps.normalize]] when the downstream op wants it.
     */

@@ -1399,11 +1399,10 @@ object ExtOracles {
          |FROM wd JOIN documents USING (doc_id)
          |GROUP BY domain ORDER BY domain""".stripMargin,
 
-    // replays dedupUrl: the decorated 250-page core canonicalized
-    // through the SAME string algebra (a second url construction;
-    // only canonicalization-invariant decorations vary), then the
-    // keep-min group-by. Inline CTEs mirror urlCtes' steps on the
-    // second construction.
+    // replays dedupUrl: the decorated 250-page core (a second url
+    // construction; only canonicalization-invariant decorations
+    // vary) pushed through the ONE shared canonicalization chain
+    // (canonChain), then the keep-min group-by
     "dedup_url" ->
       s"""WITH u2 AS (SELECT doc_id,
         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) ||
@@ -1415,47 +1414,10 @@ object ExtOracles {
         |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_x=1&a=1' ELSE '?a=1' END) ||
         |  (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END)
         |  AS url FROM documents),
-        |v1 AS (SELECT doc_id, url,
-        |  lower(split_part(url, '://', 1)) AS scheme,
-        |  substr(url, length(split_part(url, '://', 1)) + 4) AS rest
-        |  FROM u2),
-        |v2 AS (SELECT *,
-        |  split_part(split_part(split_part(rest, '#', 1), '/', 1),
-        |    '?', 1) AS authority,
-        |  substr(split_part(rest, '#', 1),
-        |    length(split_part(split_part(split_part(rest, '#', 1),
-        |      '/', 1), '?', 1)) + 1) AS pathq
-        |  FROM v1),
-        |v3 AS (SELECT *, split_part(pathq, '?', 1) AS path0,
-        |  CASE WHEN strpos(pathq, '?') > 0
-        |    THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
-        |    ELSE '' END AS qstr,
-        |  lower(split_part(authority, ':', 1)) AS host,
-        |  CASE WHEN strpos(authority, ':') > 0
-        |    THEN substr(authority,
-        |      length(split_part(authority, ':', 1)) + 2)
-        |    ELSE '' END AS port
-        |  FROM v2),
-        |v4 AS (SELECT *, array_to_string(list_sort(list_filter(
-        |    string_split(qstr, '&'), x -> x <> ''
-        |      AND NOT starts_with(split_part(x, '=', 1), 'utm_')
-        |      AND split_part(x, '=', 1) NOT IN (${
-          graft.operators.WebOps.TrackingParams
-            .map(p => s"'$p'").mkString(", ")}))), '&')
-        |    AS canonq
-        |  FROM v3),
-        |v5 AS (SELECT doc_id,
-        |  scheme || '://' || host ||
-        |  (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
-        |        AND NOT (scheme = 'https' AND port = '443')
-        |     THEN ':' || port ELSE '' END) ||
-        |  (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
-        |  (CASE WHEN canonq <> '' THEN '?' || canonq ELSE '' END)
-        |  AS canon_url
-        |  FROM v4)
+        |${canonChain(src = "u2", p = "v")}
         |SELECT canon_url, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_dups
-        |FROM v5 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+        |FROM vd GROUP BY canon_url ORDER BY canon_url""".stripMargin,
 
     // replays CorpusOps.mixtureWeights (alpha = 0.5, budget 1e6);
     // sum(BIGINT) is HUGEINT in DuckDB -> cast back for schema parity
@@ -3316,10 +3278,6 @@ object ExtOracles {
     * `wd(doc_id, url, canon_url, host, domain)`.
     */
   private def urlCtes: String = {
-    val trackList = graft.operators.WebOps.TrackingParams
-      .map(p => s"'$p'").mkString(", ")
-    val suffixList = graft.operators.WebOps.MultiLabelSuffixes
-      .map(s => s"'$s'").mkString(", ")
     s"""u AS (SELECT doc_id,
        |  (CASE WHEN doc_id % 3 = 0 THEN 'http'
        |        WHEN doc_id % 3 = 1 THEN 'HTTPS' ELSE 'https' END) ||
@@ -3343,18 +3301,35 @@ object ExtOracles {
        |        ELSE '' END) ||
        |  (CASE WHEN doc_id % 4 = 1 THEN '#Section-2' ELSE '' END)
        |  AS url FROM documents),
-       |w1 AS (SELECT doc_id, url,
+       |${canonChain(src = "u", p = "w")}""".stripMargin
+  }
+
+  /** THE canonicalization replay chain, parameterized by the source
+    * CTE (`src(doc_id, url)`) and a CTE-name prefix — ONE copy of the
+    * WebOps.canonicalizeUrl / registrableDomain string algebra that
+    * every url-family oracle reads (url_canon/domain_quota/
+    * domain_stats through [[urlCtes]], dedup_url over its own
+    * construction). Ends in `<p>d(doc_id, url, canon_url, host,
+    * domain)`. A canonicalizer change edits the operator and THIS
+    * string — nowhere else.
+    */
+  private def canonChain(src: String, p: String): String = {
+    val trackList = graft.operators.WebOps.TrackingParams
+      .map(x => s"'$x'").mkString(", ")
+    val suffixList = graft.operators.WebOps.MultiLabelSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s"""${p}1 AS (SELECT doc_id, url,
        |  lower(split_part(url, '://', 1)) AS scheme,
        |  substr(url, length(split_part(url, '://', 1)) + 4) AS rest
-       |  FROM u),
-       |w2 AS (SELECT *,
+       |  FROM $src),
+       |${p}2 AS (SELECT *,
        |       split_part(split_part(split_part(rest, '#', 1), '/', 1),
        |         '?', 1) AS authority,
        |       substr(split_part(rest, '#', 1),
        |         length(split_part(split_part(split_part(rest, '#', 1),
        |           '/', 1), '?', 1)) + 1) AS pathq
-       |  FROM w1),
-       |w3 AS (SELECT *, split_part(pathq, '?', 1) AS path0,
+       |  FROM ${p}1),
+       |${p}3 AS (SELECT *, split_part(pathq, '?', 1) AS path0,
        |       CASE WHEN strpos(pathq, '?') > 0
        |         THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
        |         ELSE '' END AS qstr,
@@ -3363,14 +3338,14 @@ object ExtOracles {
        |         THEN substr(authority,
        |           length(split_part(authority, ':', 1)) + 2)
        |         ELSE '' END AS port
-       |  FROM w2),
-       |w4 AS (SELECT *, array_to_string(list_sort(list_filter(
+       |  FROM ${p}2),
+       |${p}4 AS (SELECT *, array_to_string(list_sort(list_filter(
        |         string_split(qstr, '&'), x -> x <> ''
        |           AND NOT starts_with(split_part(x, '=', 1), 'utm_')
        |           AND split_part(x, '=', 1) NOT IN ($trackList))), '&')
        |         AS canonq
-       |  FROM w3),
-       |w5 AS (SELECT doc_id, url, host,
+       |  FROM ${p}3),
+       |${p}5 AS (SELECT doc_id, url, host,
        |  scheme || '://' || host ||
        |  (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
        |        AND NOT (scheme = 'https' AND port = '443')
@@ -3379,8 +3354,8 @@ object ExtOracles {
        |  (CASE WHEN canonq <> '' THEN '?' || canonq ELSE '' END)
        |  AS canon_url,
        |  string_split(host, '.') AS parts
-       |  FROM w4),
-       |wd AS (SELECT doc_id, url, canon_url, host,
+       |  FROM ${p}4),
+       |${p}d AS (SELECT doc_id, url, canon_url, host,
        |  CASE WHEN len(parts) <= 1 THEN host
        |       WHEN parts[-2] || '.' || parts[-1] IN ($suffixList)
        |            AND len(parts) >= 3
@@ -3388,7 +3363,7 @@ object ExtOracles {
        |       WHEN parts[-2] || '.' || parts[-1] IN ($suffixList)
        |         THEN host
        |       ELSE parts[-2] || '.' || parts[-1] END AS domain
-       |  FROM w5)""".stripMargin
+       |  FROM ${p}5)""".stripMargin
   }
 
   private def zLayoutCtes: String = {
