@@ -201,6 +201,66 @@ object WebOps {
       .drop("__wid")
   }
 
+  /** Per-domain TOKEN budget — [[domainQuota]]'s mass-based sibling
+    * (the Dolma/C4-shaped dial: a domain contributes at most
+    * `budgetTokens` tokens, not at most k documents, so one
+    * 100k-token page can't ride a doc-count quota into dominance).
+    * Documents are admitted in the engine's md5 priority order,
+    * greedily while the domain's RUNNING CHARGED total stays ≤ the
+    * budget.
+    *
+    * Charge contract: each document charges
+    * `max(tokensCol, minTokensCharge)` — the floor is load-bearing
+    * twice over. (1) CURATION: a million one-token fragments can't
+    * dominate a domain's budget any more than one giant page can.
+    * (2) SCALE: budget ∕ floor bounds the admissible docs per domain,
+    * so the exact running-sum window runs over a PRE-PRUNED candidate
+    * set of at most that many rows per domain (the bounded
+    * [[graft.functions.TopKStrIdAgg]] partials prune first — sound
+    * because admission charges ≥ floor per doc), never over a
+    * dominant domain's full stratum. The bound is a loud require,
+    * not a silent cap.
+    *
+    * @return the admitted rows + `domain`, `charged` (the per-doc
+    *         charge) and `cum_charged` (the domain's running total
+    *         including this doc, ≤ budgetTokens)
+    */
+  def domainTokenQuota(docs: DataFrame, budgetTokens: Long,
+      seed: String, idCol: String = "doc_id", urlCol: String = "url",
+      tokensCol: String = "est_tokens",
+      minTokensCharge: Long = 50L): DataFrame = {
+    require(budgetTokens >= 1 && minTokensCharge >= 1,
+      s"domainTokenQuota: budget $budgetTokens and floor " +
+        s"$minTokensCharge must be >= 1")
+    val kMax = (budgetTokens / minTokensCharge).toInt + 1
+    require(kMax <= 1000000,
+      s"domainTokenQuota: budget/floor admits up to $kMax docs per " +
+        "domain — the bounded pre-prune carries that many (priority, " +
+        "id) pairs per (domain, task); raise minTokensCharge or " +
+        "lower the budget")
+    val withDom = docs.withColumn("domain",
+      registrableDomain(urlHost(col(urlCol))))
+      .withColumn("charged",
+        greatest(col(tokensCol).cast("long"), lit(minTokensCharge)))
+    // phase 1: bounded prune — only the first kMax docs per domain
+    // (by priority) can possibly fit under the budget, because every
+    // doc charges >= the floor
+    val pruned = withDom.join(
+      broadcast(quotaWinners(withDom, kMax, seed, idCol, "domain")),
+      col(idCol).cast("string") === col("__wid"))
+      .drop("__wid", "rn")
+    // phase 2: the exact greedy running sum over the bounded winner
+    // set — <= kMax rows per domain by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain")
+      .orderBy(ReservoirStore.priorityFor(seed, col(idCol)),
+        col(idCol).cast("string"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    pruned.withColumn("cum_charged", sum(col("charged")).over(w))
+      .filter(col("cum_charged") <= budgetTokens)
+  }
+
   /** The bounded per-group winner table: (__wid, rn) per kept id —
     * shared by the batch quota and the streaming leg's within-trigger
     * ranking.

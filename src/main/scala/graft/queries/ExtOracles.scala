@@ -1419,6 +1419,25 @@ object ExtOracles {
         |  count(*) AS n_dups
         |FROM vd GROUP BY canon_url ORDER BY canon_url""".stripMargin,
 
+    // replays WebOps.domainTokenQuota as the PURE per-domain window
+    // (the operator's bounded pre-prune is plan-side only): charge =
+    // greatest(ceil(len/4), 50), greedy prefix by (md5 pri, id) while
+    // the running total fits 900
+    "domain_token_quota" ->
+      s"""WITH $urlCtes,
+         |tq AS (SELECT wd.doc_id, domain,
+         |         greatest(CAST(ceil(length(text) / 4.0) AS BIGINT),
+         |           50) AS charged,
+         |         md5('dtq:' || CAST(wd.doc_id AS VARCHAR)) AS pri
+         |       FROM wd JOIN documents USING (doc_id)),
+         |cq AS (SELECT doc_id, domain, charged,
+         |         CAST(sum(charged) OVER (PARTITION BY domain
+         |           ORDER BY pri, CAST(doc_id AS VARCHAR)
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_charged
+         |       FROM tq)
+         |SELECT doc_id, domain, charged, cum_charged
+         |FROM cq WHERE cum_charged <= 900 ORDER BY doc_id""".stripMargin,
+
     // replays CorpusOps.mixtureWeights (alpha = 0.5, budget 1e6);
     // sum(BIGINT) is HUGEINT in DuckDB -> cast back for schema parity
     "corpus_mixture" ->

@@ -1735,6 +1735,26 @@ object ExtQueries {
       .orderBy("canon_url")
   }
 
+  /** Per-domain TOKEN budget
+    * ([[graft.operators.WebOps.domainTokenQuota]], 900 tokens per
+    * registrable domain at a 50-token floor charge): the mass-based
+    * quota — greedy admission in md5 priority order while the
+    * domain's charged running total fits. The oracle replays the
+    * selection as the pure per-domain window (no pre-prune — the
+    * bounded phase is plan-side only, sound because every doc
+    * charges ≥ the floor), so hash-green proves the two-phase form ≡
+    * the exact greedy prefix, charges and running totals included.
+    */
+  def domainTokenQuotaGate(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.operators.WebOps.domainTokenQuota(
+      docsWithUrls(spark, dir).withColumn("est_tokens",
+        ceil(length(col("text")) / 4.0).cast("long")),
+      budgetTokens = 900L, seed = "dtq")
+      .select(col("doc_id"), col("domain"), col("charged"),
+        col("cum_charged"))
+      .orderBy("doc_id")
+
   /** HTML → text extraction ([[graft.operators.WebOps.stripHtml]]):
     * every document wrapped in a deterministic HTML shell — head
     * with style, conditional script (whose content must vanish, `<`

@@ -179,6 +179,51 @@ class WebOpsSpec extends SparkSpec {
         .orderBy("doc_id").collect().map(_.getLong(0)).toSeq)
   }
 
+  test("domainTokenQuota: greedy prefix by priority within budget, " +
+    "floor charge binds, two-phase ≡ pure window, budget never " +
+    "exceeded, kMax guard is loud") {
+    val d = (0 until 600).map { i =>
+      (i.toLong, s"http://www.site${i % 3}.com/p$i",
+        (20L + i % 90)) // tokens 20..109 — some below the 50 floor
+    }.toDF("doc_id", "url", "est_tokens")
+    val got = WebOps.domainTokenQuota(d, budgetTokens = 1200L,
+      seed = "tq", minTokensCharge = 50L)
+    // budget respected per domain, with the floor charge
+    val sums = got.groupBy("domain")
+      .agg(max("cum_charged").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.size === 3)
+    assert(sums.values.forall(_ <= 1200L), sums.toString)
+    // floor binds: a 20-token doc charges 50
+    assert(got.filter(col("est_tokens") === 20L)
+      .filter(col("charged") =!= 50L).count() === 0L)
+    // ≡ the pure-window greedy prefix (no pre-prune)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain")
+      .orderBy(md5(concat(lit("tq:"), col("doc_id").cast("string"))),
+        col("doc_id").cast("string"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val pure = d
+      .withColumn("domain", WebOps.registrableDomain(
+        WebOps.urlHost(col("url"))))
+      .withColumn("charged", greatest(col("est_tokens"), lit(50L)))
+      .withColumn("cum_charged", sum("charged").over(w))
+      .filter(col("cum_charged") <= 1200L)
+      .select("doc_id", "cum_charged").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotMap = got.select("doc_id", "cum_charged").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMap === pure,
+      "bounded two-phase must equal the exact greedy prefix")
+    // an admissible-doc bound past the cap rejects loudly
+    val eK = intercept[IllegalArgumentException] {
+      WebOps.domainTokenQuota(d, budgetTokens = 100000000L,
+        seed = "tq", minTokensCharge = 1L)
+    }
+    assert(eK.getMessage.contains("minTokensCharge"))
+  }
+
   test("quotaBatch: the NULL-domain group (non-http URLs) is quota'd " +
     "consistently across triggers, not admitted-then-dropped") {
     val store = tmpDir("wqn-store") + "/f"
