@@ -399,10 +399,14 @@ object QueueExtractor extends Extractor {
       status.copy(lastRun = Some(now())),
       moreData = cnt == n,
       commit = ack,
-      // the runner fires cleanup only after load + commit, so the
-      // snapshot files are gone the moment nothing can re-read them;
-      // a crash before this point leaves an orphan the NEXT extract's
-      // clearInflight removes
+      // the runner fires cleanup ALWAYS — success or failure (it runs
+      // in runBatch's finally). Deleting the snapshot on the FAILURE
+      // path is safe because failure means no ack: the entries remain
+      // pending and the retry's extract re-snapshots them from the
+      // queue. Do NOT build an extractor whose retry path needs its
+      // previous snapshot to survive — 'cleanup' does not imply the
+      // commit happened. A crash before cleanup leaves an orphan the
+      // NEXT extract's clearInflight removes
       cleanup = () => clearInflight(spark, spec))
   }
 }

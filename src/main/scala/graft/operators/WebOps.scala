@@ -83,14 +83,32 @@ object WebOps {
     substring_index(substring_index(
       substring_index(restOf(url), "#", 1), "/", 1), "?", 1)
 
+  /** host[:port] of an authority: everything after the LAST '@'
+    * (RFC 3986 §3.2.1 — userinfo is not part of the resource). This
+    * strip is a QUOTA-INTEGRITY requirement, not a nicety: keeping
+    * userinfo would let `http://x1@spam.com/…`, `http://x2@spam.com/…`
+    * each mint a distinct "domain" — an infinite per-domain-quota
+    * bypass that costs the adversary one character per variant.
+    */
+  private def hostPortOf(auth: Column): Column =
+    substring_index(auth, "@", -1)
+
+  /** Lowercased host from a host[:port] string, trailing dots
+    * stripped — `spam.com.` is the same FQDN as `spam.com` (the root
+    * label), and keeping the dot would give every host a one-char
+    * quota alias.
+    */
+  private def hostOf(hostPort: Column): Column =
+    rtrim(lower(substring_index(hostPort, ":", 1)), ".")
+
   /** Lowercased host of an http(s) URL; NULL for non-http inputs.
-    * Userinfo (`user@host`) is out of scope — the crawl-corpus URL
-    * shapes this family serves do not carry it; an `@` in the
-    * authority rides along into the host verbatim.
+    * Userinfo (`user@host`, `user:pw@host`) and trailing dots are
+    * STRIPPED — both are legal URL spellings of the same host, and
+    * both are one-character evasions of any per-domain grouping if
+    * kept (see [[hostPortOf]]/[[hostOf]]).
     */
   def urlHost(url: Column): Column =
-    when(isHttpUrl(url),
-      lower(substring_index(authorityOf(url), ":", 1)))
+    when(isHttpUrl(url), hostOf(hostPortOf(authorityOf(url))))
 
   /** Canonical form of an http(s) URL — the dedup/grouping key a
     * crawl pipeline joins on. Steps, in order (each a portable string
@@ -98,6 +116,9 @@ object WebOps {
     *
     *  1. scheme and host lowercased (RFC 3986 §6.2.2.1's
     *     case-insensitive components — the path stays case-exact);
+    *     userinfo (`user[:pw]@`) and trailing host dots STRIPPED —
+    *     legal spellings of the same resource and one-character
+    *     per-domain-quota evasions if kept (see [[hostPortOf]]);
     *  2. fragment stripped (never sent to the server);
     *  3. default port stripped (`http:80` / `https:443`), any other
     *     port kept;
@@ -120,10 +141,14 @@ object WebOps {
     val qstr = when(instr(pathq, "?") > 0,
       pathq.substr(length(path0) + lit(2), length(pathq)))
       .otherwise(lit(""))
-    val hostRaw = substring_index(authority, ":", 1)
-    val host = lower(hostRaw)
-    val port = when(instr(authority, ":") > 0,
-      authority.substr(length(hostRaw) + lit(2), length(authority)))
+    // userinfo stripped BEFORE the host:port split (a ':' inside
+    // `user:pw@host` is not a port separator), trailing dots off the
+    // host — see hostPortOf/hostOf for why both are load-bearing
+    val hostPort = hostPortOf(authority)
+    val hostRaw = substring_index(hostPort, ":", 1)
+    val host = rtrim(lower(hostRaw), ".")
+    val port = when(instr(hostPort, ":") > 0,
+      hostPort.substr(length(hostRaw) + lit(2), length(hostPort)))
       .otherwise(lit(""))
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
@@ -193,6 +218,7 @@ object WebOps {
       idCol: String = "doc_id", urlCol: String = "url"): DataFrame = {
     require(maxPerDomain >= 1,
       s"domainQuota: maxPerDomain $maxPerDomain must be >= 1")
+    requireFreshColumns(docs, "domainQuota", Seq("domain", "rn"))
     val withDom = docs.withColumn("domain",
       registrableDomain(urlHost(col(urlCol))))
     withDom.join(broadcast(quotaWinners(withDom, maxPerDomain, seed,
@@ -232,12 +258,18 @@ object WebOps {
     require(budgetTokens >= 1 && minTokensCharge >= 1,
       s"domainTokenQuota: budget $budgetTokens and floor " +
         s"$minTokensCharge must be >= 1")
-    val kMax = (budgetTokens / minTokensCharge).toInt + 1
-    require(kMax <= 1000000,
-      s"domainTokenQuota: budget/floor admits up to $kMax docs per " +
+    requireFreshColumns(docs, "domainTokenQuota",
+      Seq("domain", "charged", "cum_charged"))
+    // the bound is computed in Long FIRST: a budget/floor ratio past
+    // 2^31 truncated to Int could wrap into (0, 1e6], slip the guard,
+    // and silently under-admit (ADVICE r11)
+    val kMaxL = budgetTokens / minTokensCharge + 1L
+    require(kMaxL <= 1000000L,
+      s"domainTokenQuota: budget/floor admits up to $kMaxL docs per " +
         "domain — the bounded pre-prune carries that many (priority, " +
         "id) pairs per (domain, task); raise minTokensCharge or " +
         "lower the budget")
+    val kMax = kMaxL.toInt
     val withDom = docs.withColumn("domain",
       registrableDomain(urlHost(col(urlCol))))
       .withColumn("charged",
@@ -261,9 +293,30 @@ object WebOps {
       .filter(col("cum_charged") <= budgetTokens)
   }
 
+  /** Loud schema guard: the operator is about to mint these output
+    * columns via `withColumn`, which would SILENTLY OVERWRITE a
+    * same-named input column (ADVICE r11) — refuse instead.
+    */
+  private def requireFreshColumns(docs: DataFrame, op: String,
+      reserved: Seq[String]): Unit = {
+    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$op: input already has column(s) ${clash.mkString(", ")} — " +
+        s"these are $op output names and would be silently " +
+        "overwritten; rename them upstream")
+  }
+
   /** The bounded per-group winner table: (__wid, rn) per kept id —
     * shared by the batch quota and the streaming leg's within-trigger
     * ranking.
+    *
+    * Id contract: `idCol` must be UNIQUE across the input (the same
+    * contract `priorityFor` already needs for a well-defined rank).
+    * A duplicated id would multiply rows through the winners join and
+    * silently exceed the quota; any duplicate that reaches the winner
+    * set trips the loud `__dup` guard below (a duplicate whose copies
+    * are all evicted is undetectable without a corpus-wide distinct —
+    * the contract, not the guard, covers that case).
     */
   private def quotaWinners(withDom: DataFrame, k: Int, seed: String,
       idCol: String, domCol: String): DataFrame = {
@@ -272,7 +325,7 @@ object WebOps {
       .otherwise(raise_error(lit(
         s"domainQuota: null $idCol — the id column must be non-null " +
           "to rank")))
-    withDom
+    val winners = withDom
       .select(col(domCol).as("__g"),
         ReservoirStore.priorityFor(seed, id).as("__pri"), id.as("__ids"))
       .groupBy("__g")
@@ -280,6 +333,20 @@ object WebOps {
       .select(posexplode(col("top").getField("rows")).as(Seq("pos", "r")))
       .select(col("r").getField("_2").as("__wid"),
         (col("pos") + 1).cast("bigint").as("rn"))
+    // duplicate-id tripwire over the (small, pre-broadcast) winner
+    // set: one id winning twice — same domain or two domains — means
+    // the input violated the unique-id contract and the join back
+    // would multiply rows past the quota. groupBy, not a window: the
+    // quota family's plan contract is window-free, and on a legal
+    // input each __wid appears exactly once so min(rn) IS rn
+    winners.groupBy("__wid")
+      .agg(min(col("rn")).as("rn"), count(lit(1)).as("__dup"))
+      .select(when(col("__dup") > 1, raise_error(concat(
+          lit(s"domainQuota: duplicate $idCol '"), col("__wid"),
+          lit("' — ids must be unique; a duplicate multiplies rows " +
+            "through the winners join and exceeds the quota"))))
+        .otherwise(col("__wid")).as("__wid"),
+        col("rn"))
   }
 
   /** One streaming-quota trigger (the
@@ -324,9 +391,16 @@ object WebOps {
       // bootstrap trigger ADMITTED it), so ranking, estimate and
       // extend all run on an internal never-null counting key; the
       // landed payload keeps the real (possibly null) domain
+      // The key is prefix-TAGGED, not coalesced-to-a-sentinel: 'd:'
+      // + domain for real domains vs the bare 'n' for the null
+      // group, so NO host string can collide with the null group
+      // (ADVICE r11 flagged the sentinel form; a tag is
+      // collision-free by construction - every real key carries the
+      // prefix, the null key does not)
       val withDom = b.withColumn("domain",
         registrableDomain(urlHost(col(urlCol))))
-        .withColumn("__dk", coalesce(col("domain"), lit("")))
+        .withColumn("__dk", when(col("domain").isNotNull,
+          concat(lit("d:"), col("domain"))).otherwise(lit("n")))
       val ranked = withDom.join(
         broadcast(quotaWinners(withDom, maxPerDomain, seed, idCol,
           "__dk")),

@@ -3293,7 +3293,9 @@ object ExtOracles {
     * deterministic URL as the gate (doc_id arithmetic), then replay
     * WebOps.canonicalizeUrl STRING-OP-FOR-STRING-OP (split_part ≡
     * substring_index, strpos ≡ instr, list_filter/list_sort ≡
-    * filter/array_sort) and the registrable-domain split. Ends in
+    * filter/array_sort, string_split(x,'@')[-1] ≡
+    * substring_index(x,'@',-1), rtrim(x,'.') ≡ rtrim) and the
+    * registrable-domain split. Ends in
     * `wd(doc_id, url, canon_url, host, domain)`.
     */
   private def urlCtes: String = {
@@ -3301,6 +3303,8 @@ object ExtOracles {
        |  (CASE WHEN doc_id % 3 = 0 THEN 'http'
        |        WHEN doc_id % 3 = 1 THEN 'HTTPS' ELSE 'https' END) ||
        |  '://' ||
+       |  (CASE WHEN doc_id % 7 = 0 THEN 'u1@'
+       |        WHEN doc_id % 7 = 1 THEN 'x:pw@' ELSE '' END) ||
        |  (CASE WHEN doc_id % 4 = 0
        |          THEN 'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
        |        WHEN doc_id % 4 = 1
@@ -3308,6 +3312,7 @@ object ExtOracles {
        |        WHEN doc_id % 4 = 2
        |          THEN 'Blog.Host' || CAST(doc_id % 3 AS VARCHAR) || '.org'
        |        ELSE 'cdn.data' || CAST(doc_id % 6 AS VARCHAR) || '.com.au' END) ||
+       |  (CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END) ||
        |  (CASE WHEN doc_id % 5 = 0 THEN ':80'
        |        WHEN doc_id % 5 = 1 THEN ':443'
        |        WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END) ||
@@ -3348,16 +3353,19 @@ object ExtOracles {
        |         length(split_part(split_part(split_part(rest, '#', 1),
        |           '/', 1), '?', 1)) + 1) AS pathq
        |  FROM ${p}1),
+       |${p}2h AS (SELECT *,
+       |       string_split(authority, '@')[-1] AS hostport
+       |  FROM ${p}2),
        |${p}3 AS (SELECT *, split_part(pathq, '?', 1) AS path0,
        |       CASE WHEN strpos(pathq, '?') > 0
        |         THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
        |         ELSE '' END AS qstr,
-       |       lower(split_part(authority, ':', 1)) AS host,
-       |       CASE WHEN strpos(authority, ':') > 0
-       |         THEN substr(authority,
-       |           length(split_part(authority, ':', 1)) + 2)
+       |       rtrim(lower(split_part(hostport, ':', 1)), '.') AS host,
+       |       CASE WHEN strpos(hostport, ':') > 0
+       |         THEN substr(hostport,
+       |           length(split_part(hostport, ':', 1)) + 2)
        |         ELSE '' END AS port
-       |  FROM ${p}2),
+       |  FROM ${p}2h),
        |${p}4 AS (SELECT *, array_to_string(list_sort(list_filter(
        |         string_split(qstr, '&'), x -> x <> ''
        |           AND NOT starts_with(split_part(x, '=', 1), 'utm_')

@@ -1208,15 +1208,20 @@ object ExtQueries {
     * from doc_id arithmetic). The shapes exercise every
     * canonicalization step: mixed-case schemes and hosts, default
     * AND non-default ports crossed over both schemes, empty paths,
-    * tracking/user params out of order, fragments, and four suffix
+    * tracking/user params out of order, fragments, four suffix
     * families (com / co.uk / org / com.au) for the registrable-domain
-    * split.
+    * split, and the two QUOTA-EVASION spellings (VERDICT r11): a
+    * userinfo prefix (`u1@` / `x:pw@` — the second with a ':' that
+    * must not read as a port separator) and a trailing host dot —
+    * both must collapse into the undecorated host's domain.
     */
   private def docsWithUrls(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).withColumn("url", concat(
       when(col("doc_id") % 3 === 0, "http")
         .when(col("doc_id") % 3 === 1, "HTTPS").otherwise("https"),
       lit("://"),
+      when(col("doc_id") % 7 === 0, "u1@")
+        .when(col("doc_id") % 7 === 1, "x:pw@").otherwise(""),
       when(col("doc_id") % 4 === 0,
         concat(lit("WWW.Example"), (col("doc_id") % 7).cast("string"),
           lit(".COM")))
@@ -1229,6 +1234,7 @@ object ExtQueries {
         .otherwise(
           concat(lit("cdn.data"), (col("doc_id") % 6).cast("string"),
             lit(".com.au"))),
+      when(col("doc_id") % 11 === 0, ".").otherwise(""),
       when(col("doc_id") % 5 === 0, ":80")
         .when(col("doc_id") % 5 === 1, ":443")
         .when(col("doc_id") % 5 === 2, ":8080").otherwise(""),

@@ -48,6 +48,19 @@ class WebOpsSpec extends SparkSpec {
     assert(Seq("http://spam.com?id=7").toDF("u")
       .select(WebOps.registrableDomain(WebOps.urlHost(col("u"))))
       .head.getString(0) === "spam.com")
+    // userinfo strips (RFC 3986 §3.2.1) — the per-domain-quota
+    // evasion surface VERDICT r11 flagged: every variant of one host
+    // must canonicalize to the SAME host, or `x1@spam.com`,
+    // `x2@spam.com`, ... each mint a fresh "domain" for free
+    assert(canon("http://x1@spam.com/x") === "http://spam.com/x")
+    assert(canon("http://x2@spam.com/x") === "http://spam.com/x")
+    // a ':' inside userinfo is NOT a port separator
+    assert(canon("http://u:pw@spam.com/x") === "http://spam.com/x")
+    assert(canon("http://u:pw@spam.com:8080/x") ===
+      "http://spam.com:8080/x")
+    // trailing host dot (legal FQDN root label) strips — same evasion
+    assert(canon("http://spam.com./x") === "http://spam.com/x")
+    assert(canon("http://u@spam.com.:80/x") === "http://spam.com/x")
     // non-http inputs are NULL, not errors (a crawl is full of them)
     assert(canon("mailto:x@y.com") === null)
     assert(canon("not a url") === null)
@@ -93,6 +106,42 @@ class WebOpsSpec extends SparkSpec {
     assert(Seq("HTTPS://News.BBC.CO.UK:443/x").toDF("u")
       .select(WebOps.registrableDomain(WebOps.urlHost(col("u"))))
       .head.getString(0) === "bbc.co.uk")
+  }
+
+  test("quota evasion closed: every userinfo/trailing-dot/case " +
+    "spelling of one host lands in ONE domain group") {
+    val variants = Seq(
+      "http://spam.com/a", "http://x1@spam.com/b",
+      "http://x2@spam.com/c", "http://u:pw@spam.com/d",
+      "http://spam.com./e", "HTTP://SPAM.COM./f",
+      "http://a:b@spam.com.:80/g", "http://spam.com?q=1")
+    val doms = variants.toDF("u")
+      .select(WebOps.registrableDomain(WebOps.urlHost(col("u"))))
+      .collect().map(_.getString(0)).toSet
+    assert(doms === Set("spam.com"))
+    // and through the quota itself: 8 spellings, quota 2 -> 2 kept
+    val d = variants.zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    assert(WebOps.domainQuota(d, maxPerDomain = 2, seed = "ev")
+      .count() === 2L)
+  }
+
+  test("domainQuota guards: reserved output column in the input and " +
+    "duplicate winning ids both refuse loudly") {
+    val clash = Seq((1L, "http://a.com/x", "z"))
+      .toDF("doc_id", "url", "rn")
+    val e1 = intercept[IllegalArgumentException] {
+      WebOps.domainQuota(clash, maxPerDomain = 1, seed = "g")
+    }
+    assert(e1.getMessage.contains("rn"))
+    // one id twice (same domain): both copies win under k=4 -> the
+    // winner-set tripwire fires instead of silently doubling rows
+    val dup = Seq((7L, "http://a.com/x"), (7L, "http://a.com/y"),
+      (8L, "http://a.com/z")).toDF("doc_id", "url")
+    val e2 = intercept[Exception] {
+      WebOps.domainQuota(dup, maxPerDomain = 4, seed = "g").collect()
+    }
+    assert(e2.getMessage.contains("duplicate"))
   }
 
   private def urlDocs(n: Int) = (0 until n).map { i =>
