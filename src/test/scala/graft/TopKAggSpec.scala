@@ -31,6 +31,31 @@ class TopKAggSpec extends SparkSpec {
     }
   }
 
+  test("heap buffers (TopKStrAgg/TopKStrIdAgg): selection equals the " +
+    "reference sorted-prefix at every split point, duplicates counted") {
+    // the heap swap (VERDICT r11 #7) must not change WHAT is kept,
+    // only how fast — pin multiset bottom-k against a full sort,
+    // merge-associativity included, with duplicate (pri, id) rows
+    val agg = new graft.functions.TopKStrIdAgg(4)
+    val rows = Seq("c" -> "9", "a" -> "2", "b" -> "7", "a" -> "2",
+      "e" -> "1", "b" -> "3", "a" -> "5", "d" -> "4", "b" -> "3")
+    val want = rows.sortBy(identity).take(4).toList
+    val full = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(full).rows === want)
+    for (cut <- 0 to rows.length) {
+      val (l, r) = rows.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(m).rows === want, s"split at $cut diverged")
+    }
+    // Long-id variant ties break NUMERICALLY (9 before 10), not by
+    // the string form
+    val aggL = new graft.functions.TopKStrAgg(2)
+    val tied = Seq("x" -> 10L, "x" -> 9L, "x" -> 100L)
+    assert(aggL.finish(tied.foldLeft(aggL.zero)(aggL.reduce)).rows ===
+      List("x" -> 9L, "x" -> 10L))
+  }
+
   test("order stays total on NaN and -0.0 scores") {
     // IEEE comparisons would freeze a NaN row at the buffer head and
     // let later rows insert ahead of it (unsorted buffer, order-
