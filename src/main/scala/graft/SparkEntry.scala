@@ -123,6 +123,8 @@ object SparkEntry {
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "url_canon" -> (graft.queries.ExtQueries.urlCanon(_, _)),
     "domain_quota" -> (graft.queries.ExtQueries.domainQuotaGate(_, _)),
+    "domain_psl" -> (graft.queries.ExtQueries.domainPsl(_, _)),
+    "domain_quota_psl" -> (graft.queries.ExtQueries.domainQuotaPsl(_, _)),
     "domain_stats" -> (graft.queries.ExtQueries.domainStatsGate(_, _)),
     "dedup_url" -> (graft.queries.ExtQueries.dedupUrl(_, _)),
     "html_strip" -> (graft.queries.ExtQueries.htmlStrip(_, _)),

@@ -1351,6 +1351,29 @@ object ExtOracles {
          |SELECT doc_id, domain, CAST(rn AS BIGINT) AS rn
          |FROM rq WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
 
+    // replays WebOps.withRegistrableDomainPsl: the frozen rule
+    // snapshot as a VALUES table, the publicsuffix.org
+    // prevailing-rule decision re-derived per host (see pslCtes)
+    "domain_psl" ->
+      s"""WITH $pslCtes
+         |SELECT doc_id, host, domain_psl
+         |FROM pd ORDER BY doc_id""".stripMargin,
+
+    // replays WebOps.domainQuotaBy (3 per PSL domain) as the
+    // per-domain window over the same md5 priority — blogspot
+    // subdomains rank in SEPARATE partitions now
+    "domain_quota_psl" ->
+      s"""WITH $pslCtes,
+         |pkq AS (SELECT doc_id, domain_psl AS domain,
+         |          md5('dqp:' || CAST(doc_id AS VARCHAR)) AS pri
+         |        FROM pd),
+         |prq AS (SELECT doc_id, domain,
+         |          row_number() OVER (PARTITION BY domain
+         |            ORDER BY pri, CAST(doc_id AS VARCHAR)) AS rn
+         |        FROM pkq)
+         |SELECT doc_id, domain, CAST(rn AS BIGINT) AS rn
+         |FROM prq WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+
     // replays WebOps.stripHtml step-for-step: the same HTML shell
     // built around the text, then comments/script/style dropped
     // ('g'+dotall/ci options = Spark's inline (?is) + replace-all
@@ -3326,6 +3349,63 @@ object ExtOracles {
        |  (CASE WHEN doc_id % 4 = 1 THEN '#Section-2' ELSE '' END)
        |  AS url FROM documents),
        |${canonChain(src = "u", p = "w")}""".stripMargin
+  }
+
+  /** Shared domain_psl / domain_quota_psl CTE chain: the same
+    * deterministic PSL-exercising hosts as the gate (doc_id
+    * arithmetic), the frozen rule snapshot rendered as a VALUES
+    * table from the SAME parse ([[graft.operators.WebOps.pslRuleRows]]),
+    * and the publicsuffix.org prevailing-rule decision: a rule
+    * matches when the host ends with its base; exception beats all,
+    * else longest (wildcard counts base+1, only when the host has a
+    * label for the '*'), else the implicit `*`; registrable =
+    * suffix + one label (exception: the rule base itself), NULL when
+    * the host IS a public suffix. Ends in
+    * `pd(doc_id, host, domain_psl)`.
+    */
+  private def pslCtes: String = {
+    val ruleVals = graft.operators.WebOps
+      .pslRuleRows(graft.operators.WebOps.PslSampleRules)
+      .map { case (b, k, l) => s"('$b', '$k', $l)" }.mkString(", ")
+    s"""ph AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0
+       |         THEN 'user' || CAST(doc_id % 11 AS VARCHAR) || '.blogspot.com'
+       |       WHEN doc_id % 7 = 1
+       |         THEN 'site' || CAST(doc_id % 11 AS VARCHAR) || '.github.io'
+       |       WHEN doc_id % 7 = 2
+       |         THEN 'www.news' || CAST(doc_id % 11 AS VARCHAR) || '.co.uk'
+       |       WHEN doc_id % 7 = 3
+       |         THEN 'x' || CAST(doc_id % 11 AS VARCHAR) || '.w' ||
+       |              CAST(doc_id % 3 AS VARCHAR) || '.ck'
+       |       WHEN doc_id % 7 = 4
+       |         THEN 'sub' || CAST(doc_id % 11 AS VARCHAR) || '.www.ck'
+       |       WHEN doc_id % 7 = 5
+       |         THEN 'app' || CAST(doc_id % 11 AS VARCHAR) || '.svc' ||
+       |              CAST(doc_id % 3 AS VARCHAR) || '.shop' ||
+       |              CAST(doc_id % 5 AS VARCHAR) || '.com'
+       |       ELSE (CASE WHEN doc_id % 3 = 0 THEN 'blogspot.com'
+       |                  WHEN doc_id % 3 = 1 THEN 'co.uk'
+       |                  ELSE 'ck' END) END AS host
+       |  FROM documents),
+       |prules(base, kind, labels) AS (VALUES $ruleVals),
+       |pp AS (SELECT doc_id, host, string_split(host, '.') AS parts,
+       |         len(string_split(host, '.')) AS n FROM ph),
+       |pm AS (SELECT pp.doc_id,
+       |         max(CASE WHEN r.kind = 'x' THEN r.labels END) AS exc_l,
+       |         max(CASE WHEN r.kind = 'n' THEN r.labels
+       |                  WHEN r.kind = 'w' AND pp.n >= r.labels + 1
+       |                    THEN r.labels + 1 END) AS ps_l
+       |       FROM pp JOIN prules r
+       |         ON pp.n >= r.labels AND array_to_string(
+       |              pp.parts[pp.n - r.labels + 1:pp.n], '.') = r.base
+       |       GROUP BY pp.doc_id),
+       |pd AS (SELECT pp.doc_id, pp.host,
+       |         CASE WHEN m.exc_l IS NOT NULL THEN array_to_string(
+       |                pp.parts[pp.n - m.exc_l + 1:pp.n], '.')
+       |              WHEN pp.n > coalesce(m.ps_l, 1) THEN array_to_string(
+       |                pp.parts[pp.n - coalesce(m.ps_l, 1):pp.n], '.')
+       |              ELSE NULL END AS domain_psl
+       |       FROM pp LEFT JOIN pm m USING (doc_id))""".stripMargin
   }
 
   /** THE canonicalization replay chain, parameterized by the source

@@ -1262,6 +1262,67 @@ object ExtQueries {
       .select("doc_id", "url", "canon_url", "host", "domain")
       .orderBy("doc_id")
 
+  /** Deterministic PSL-exercising hosts (doc_id arithmetic, both
+    * engines build the identical string): PRIVATE-section suffixes
+    * (blogspot / github.io subdomains), a two-label registry, the
+    * wildcard TLD `*.ck` and its exception `!www.ck`, unlisted-TLD
+    * defaults, and bare public suffixes (whose registrable domain is
+    * NULL under PSL semantics).
+    */
+  private def pslHosts(spark: SparkSession, dir: String): DataFrame = {
+    val k = (col("doc_id") % 11).cast("string")
+    val j = col("doc_id") % 3
+    val m = (col("doc_id") % 5).cast("string")
+    val host = when(col("doc_id") % 7 === 0,
+        concat(lit("user"), k, lit(".blogspot.com")))
+      .when(col("doc_id") % 7 === 1,
+        concat(lit("site"), k, lit(".github.io")))
+      .when(col("doc_id") % 7 === 2,
+        concat(lit("www.news"), k, lit(".co.uk")))
+      .when(col("doc_id") % 7 === 3,
+        concat(lit("x"), k, lit(".w"), j.cast("string"), lit(".ck")))
+      .when(col("doc_id") % 7 === 4,
+        concat(lit("sub"), k, lit(".www.ck")))
+      .when(col("doc_id") % 7 === 5,
+        concat(lit("app"), k, lit(".svc"), j.cast("string"),
+          lit(".shop"), m, lit(".com")))
+      .otherwise(when(j === 0, "blogspot.com")
+        .when(j === 1, "co.uk").otherwise("ck"))
+    docs(spark, dir).select(col("doc_id"), host.as("host"))
+  }
+
+  /** Full-PSL registrable domains
+    * ([[graft.operators.WebOps.withRegistrableDomainPsl]] over the
+    * frozen [[graft.operators.WebOps.PslSampleRules]] snapshot —
+    * VERDICT r11 #2): blogspot subdomains become DISTINCT registrable
+    * domains, `*.ck` resolves through the wildcard, `!www.ck` through
+    * the exception, and bare suffixes go NULL. The oracle replays the
+    * prevailing-rule decision over the identical VALUES rule table,
+    * so hash-green pins the whole PSL algorithm per host.
+    */
+  def domainPsl(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WebOps.withRegistrableDomainPsl(
+      pslHosts(spark, dir),
+      graft.operators.WebOps.parsePslRules(spark,
+        graft.operators.WebOps.PslSampleRules))
+      .orderBy("doc_id")
+
+  /** [[graft.operators.WebOps.domainQuotaBy]] over PSL domains (3 per
+    * domain): the r11 ask "domain_quota re-run over the PSL table" —
+    * proves the quota composes with the PSL decoration and that
+    * independent blogspot subdomains now hold independent quotas.
+    */
+  def domainQuotaPsl(spark: SparkSession, dir: String): DataFrame = {
+    val rules = graft.operators.WebOps.parsePslRules(spark,
+      graft.operators.WebOps.PslSampleRules)
+    val d = graft.operators.WebOps.withRegistrableDomainPsl(
+      pslHosts(spark, dir), rules, outCol = "domain")
+    graft.operators.WebOps.domainQuotaBy(d, maxPerDomain = 3,
+      seed = "dqp")
+      .select("doc_id", "domain", "rn")
+      .orderBy("doc_id")
+  }
+
   /** Per-domain quota ([[graft.operators.WebOps.domainQuota]], 5 docs
     * per registrable domain by md5 priority): the "no site dominates
     * the corpus" gate. The oracle replays the selection as a per-domain

@@ -108,6 +108,51 @@ class WebOpsSpec extends SparkSpec {
       .head.getString(0) === "bbc.co.uk")
   }
 
+  test("withRegistrableDomainPsl: private suffixes split subdomains, " +
+    "wildcard consumes one label, exception restores its base, " +
+    "unlisted TLDs default to '*', bare public suffixes are NULL") {
+    val rules = WebOps.parsePslRules(spark, WebOps.PslSampleRules)
+    val cases = Seq(
+      // PRIVATE-section rules: each blogspot/github.io subdomain is
+      // its own registrable domain (the r11 gap: one quota no longer
+      // throttles millions of independent sites)
+      "alice.blogspot.com" -> "alice.blogspot.com",
+      "bob.blogspot.com" -> "bob.blogspot.com",
+      "x.alice.blogspot.com" -> "alice.blogspot.com",
+      "blogspot.com" -> null, // the suffix itself: no site
+      "mysite.github.io" -> "mysite.github.io",
+      // unlisted TLD -> implicit '*' rule
+      "www.example.com" -> "example.com",
+      "a.b.example.com" -> "example.com",
+      // two-label registry rules
+      "news.bbc.co.uk" -> "bbc.co.uk",
+      "co.uk" -> null,
+      // wildcard *.ck: every <label>.ck is a public suffix
+      "foo.bar.ck" -> "foo.bar.ck",
+      "bar.ck" -> null,
+      // exception !www.ck: www.ck IS registrable
+      "www.ck" -> "www.ck",
+      "sub.www.ck" -> "www.ck",
+      "ck" -> null,
+      "localhost" -> null,
+      // 3-label private wildcard
+      "vm1.eu-west.compute.amazonaws.com" ->
+        "vm1.eu-west.compute.amazonaws.com",
+      "eu-west.compute.amazonaws.com" -> null,
+      "compute.amazonaws.com" -> "amazonaws.com")
+    val got = WebOps.withRegistrableDomainPsl(
+      cases.map(_._1).toDF("host"), rules)
+      .select("host", "domain_psl").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    for ((h, want) <- cases)
+      assert(got(h) === want, s"host $h")
+    // conflicting rule kinds for one base refuse loudly
+    intercept[IllegalArgumentException] {
+      WebOps.parsePslRules(spark, Seq("foo.com", "!foo.com"))
+    }
+  }
+
   test("quota evasion closed: every userinfo/trailing-dot/case " +
     "spelling of one host lands in ONE domain group") {
     val variants = Seq(
