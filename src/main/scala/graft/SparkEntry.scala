@@ -124,6 +124,9 @@ object SparkEntry {
     "url_canon" -> (graft.queries.ExtQueries.urlCanon(_, _)),
     "domain_quota" -> (graft.queries.ExtQueries.domainQuotaGate(_, _)),
     "domain_psl" -> (graft.queries.ExtQueries.domainPsl(_, _)),
+    "url_blocklist" -> (graft.queries.ExtQueries.urlBlocklist(_, _)),
+    "url_blocklist_hits" ->
+      (graft.queries.ExtQueries.urlBlocklistHits(_, _)),
     "domain_quota_psl" -> (graft.queries.ExtQueries.domainQuotaPsl(_, _)),
     "domain_stats" -> (graft.queries.ExtQueries.domainStatsGate(_, _)),
     "dedup_url" -> (graft.queries.ExtQueries.dedupUrl(_, _)),

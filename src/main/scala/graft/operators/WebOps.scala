@@ -346,6 +346,99 @@ object WebOps {
       .withColumn("domain", registrableDomain(host))
   }
 
+  /** Normalize a blocklist rule table for matching: `rule_id`,
+    * `kind` ∈ 'domain' (drop every doc whose registrable domain
+    * equals the pattern) / 'prefix' (drop every doc whose CANONICAL
+    * URL starts with the pattern). Domain patterns lowercase; prefix
+    * patterns run through [[canonicalizeUrl]] (so a rule author's
+    * `HTTP://Host:80/Forum/` matches the canonical form the docs
+    * carry) and keep their host for the equi-join. A non-http prefix
+    * or unknown kind errors loudly at match time.
+    */
+  private def blocklistPrep(rules: DataFrame): DataFrame =
+    rules.select(col("rule_id"), col("kind"), col("pattern"),
+      when(col("kind") === "domain", lower(col("pattern")))
+        .when(col("kind") === "prefix", coalesce(
+          canonicalizeUrl(col("pattern")),
+          raise_error(concat(lit("blocklist: prefix rule '"),
+            col("rule_id"), lit("' is not an http(s) URL: "),
+            col("pattern")))))
+        .otherwise(raise_error(concat(lit("blocklist: unknown kind '"),
+          col("kind"), lit("' for rule "), col("rule_id")))).as("pat"),
+      when(col("kind") === "prefix", urlHost(col("pattern"))).as("phost"))
+
+  /** URL/domain blocklist filter — the FIRST gate of every production
+    * crawl pipeline (CCNet/C4/RefinedWeb drop documents against
+    * curated domain + URL-prefix lists, UT1-class, before anything
+    * else runs; VERDICT r11 #3). Keeps the docs NO rule matches,
+    * decorated with `canon_url`/`host`/`domain`.
+    *
+    * Scale shape: domain rules are one BROADCAST anti-join on the
+    * registrable domain (pure equi — a UT1-sized list of ~millions
+    * of domains is still a broadcast dimension next to a 100 TB
+    * corpus). Prefix rules anti-join on the PREFIX'S HOST (equi) with
+    * the `startsWith` as a residual — a hash join, never a
+    * nested-loop scan of rules × corpus; a host carrying many prefix
+    * rules costs its docs one residual check per such rule, which is
+    * the workload's real shape (a handful of prefixes per blocked
+    * forum).
+    */
+  def blocklistFilter(docs: DataFrame, rules: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    requireFreshColumns(docs, "blocklistFilter",
+      Seq("canon_url", "host", "domain"))
+    val d = urlParts(docs, urlCol)
+    val prepped = blocklistPrep(rules)
+    val domRules = prepped.filter(col("kind") === "domain")
+      .select(col("pat").as("__bl_dom"))
+    val preRules = prepped.filter(col("kind") === "prefix")
+      .select(col("pat").as("__bl_pre"), col("phost").as("__bl_phost"))
+    d.join(broadcast(domRules), col("domain") === col("__bl_dom"),
+        "left_anti")
+      .join(broadcast(preRules),
+        col("host") === col("__bl_phost") &&
+          col("canon_url").startsWith(col("__bl_pre")), "left_anti")
+  }
+
+  /** Per-rule hit audit for [[blocklistFilter]]: every rule with the
+    * number of documents it blocks (0 included — a rule that never
+    * fires is list rot worth seeing). Same broadcast joins as the
+    * filter, one map-side-combinable count.
+    */
+  def blocklistHits(docs: DataFrame, rules: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val d = urlParts(docs, urlCol).select("canon_url", "host", "domain")
+    val prepped = blocklistPrep(rules)
+    val dm = d.join(broadcast(prepped.filter(col("kind") === "domain")
+        .select(col("rule_id"), col("pat"))),
+      col("domain") === col("pat")).select("rule_id")
+    val pm = d.join(broadcast(prepped.filter(col("kind") === "prefix")
+        .select(col("rule_id"), col("pat"), col("phost"))),
+      col("host") === col("phost") &&
+        col("canon_url").startsWith(col("pat"))).select("rule_id")
+    val counts = dm.unionAll(pm).groupBy("rule_id")
+      .agg(count(lit(1)).as("n_hits"))
+    rules.select("rule_id", "kind", "pattern")
+      .join(counts, Seq("rule_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+  }
+
+  /** One streaming-blocklist trigger — the stateless sibling of
+    * [[quotaBatch]], same producer-scoped landing pattern: filter the
+    * batch against the rules and land the survivors under the
+    * batch-tag dir. No store and no ledger — the filter is
+    * memoryless, so `mode(overwrite)` into the tag dir makes a
+    * crash-replay byte-identical by construction.
+    */
+  def blocklistBatch(batch: DataFrame, rules: DataFrame,
+      outDir: String, batchId: Long, producer: String = "default",
+      urlCol: String = "url"): Unit = {
+    val kept = blocklistFilter(batch, rules, urlCol)
+    val dir = s"$outDir/${IndexStores.tagFor(producer, batchId)}"
+    kept.write.mode("overwrite").parquet(dir)
+    IndexStores.forceSchemaBearing(kept, dir)
+  }
+
   /** Deterministic per-domain quota — keep at most `maxPerDomain`
     * documents per registrable domain, chosen by the engine's
     * md5-uniform priority (`md5(seed ∥ ':' ∥ id)`, the

@@ -1351,6 +1351,51 @@ object ExtOracles {
          |SELECT doc_id, domain, CAST(rn AS BIGINT) AS rn
          |FROM rq WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
 
+    // replays WebOps.blocklistFilter over the shared url chain: the
+    // VALUES rule table carries the CANONICAL pattern forms the
+    // operator must normalize the gate's messy author forms into
+    // (r4's userinfo/trailing-dot/port-strip included)
+    "url_blocklist" ->
+      s"""WITH $urlCtes,
+         |brules(rule_id, kind, pat, phost) AS (VALUES
+         |  ('r1', 'domain', 'example0.com', NULL),
+         |  ('r2', 'domain', 'site2.co.uk', NULL),
+         |  ('r3', 'prefix', 'https://blog.host1.org/Articles/',
+         |   'blog.host1.org'),
+         |  ('r4', 'prefix', 'http://cdn.data3.com.au/Articles/',
+         |   'cdn.data3.com.au'),
+         |  ('r5', 'domain', 'never-matches.net', NULL)),
+         |blocked AS (SELECT DISTINCT doc_id FROM wd JOIN brules r
+         |  ON (r.kind = 'domain' AND wd.domain = r.pat)
+         |  OR (r.kind = 'prefix' AND wd.host = r.phost
+         |      AND starts_with(wd.canon_url, r.pat)))
+         |SELECT doc_id, canon_url, domain FROM wd
+         |WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+         |ORDER BY doc_id""".stripMargin,
+
+    // replays WebOps.blocklistHits: per-rule block counts over the
+    // same match, zero-hit rules kept via the left join
+    "url_blocklist_hits" ->
+      s"""WITH $urlCtes,
+         |brules(rule_id, kind, pattern, pat, phost) AS (VALUES
+         |  ('r1', 'domain', 'Example0.COM', 'example0.com', NULL),
+         |  ('r2', 'domain', 'site2.co.uk', 'site2.co.uk', NULL),
+         |  ('r3', 'prefix', 'HTTPS://Blog.Host1.ORG/Articles/',
+         |   'https://blog.host1.org/Articles/', 'blog.host1.org'),
+         |  ('r4', 'prefix', 'HTTP://u@CDN.Data3.COM.AU.:80/Articles/',
+         |   'http://cdn.data3.com.au/Articles/', 'cdn.data3.com.au'),
+         |  ('r5', 'domain', 'never-matches.net', 'never-matches.net',
+         |   NULL)),
+         |m AS (SELECT r.rule_id, count(*) AS n FROM wd JOIN brules r
+         |  ON (r.kind = 'domain' AND wd.domain = r.pat)
+         |  OR (r.kind = 'prefix' AND wd.host = r.phost
+         |      AND starts_with(wd.canon_url, r.pat))
+         |  GROUP BY r.rule_id)
+         |SELECT b.rule_id, b.kind, b.pattern,
+         |  CAST(coalesce(m.n, 0) AS BIGINT) AS n_hits
+         |FROM brules b LEFT JOIN m USING (rule_id)
+         |ORDER BY rule_id""".stripMargin,
+
     // replays WebOps.withRegistrableDomainPsl: the frozen rule
     // snapshot as a VALUES table, the publicsuffix.org
     // prevailing-rule decision re-derived per host (see pslCtes)

@@ -1262,6 +1262,47 @@ object ExtQueries {
       .select("doc_id", "url", "canon_url", "host", "domain")
       .orderBy("doc_id")
 
+  /** The blocklist fixture rules — deliberately MESSY author forms
+    * (mixed case, userinfo, trailing dot, default port) so the gate
+    * also pins [[graft.operators.WebOps]]'s pattern normalization:
+    * the oracle carries the canonical forms these must normalize to.
+    * r5 never fires — the hits gate must report its 0.
+    */
+  private def blockRules(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("r1", "domain", "Example0.COM"),
+      ("r2", "domain", "site2.co.uk"),
+      ("r3", "prefix", "HTTPS://Blog.Host1.ORG/Articles/"),
+      ("r4", "prefix", "HTTP://u@CDN.Data3.COM.AU.:80/Articles/"),
+      ("r5", "domain", "never-matches.net"))
+      .toDF("rule_id", "kind", "pattern")
+  }
+
+  /** URL/domain blocklist survivors
+    * ([[graft.operators.WebOps.blocklistFilter]] — VERDICT r11 #3):
+    * registrable-domain exact rules + canonical-URL prefix rules,
+    * both as broadcast joins. The oracle replays the match over the
+    * shared canonicalization chain with the rule patterns in their
+    * normalized forms — hash-green pins the kept set AND the
+    * operator's pattern normalization (messy author forms in, the
+    * oracle's canonical forms must be what matches).
+    */
+  def urlBlocklist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WebOps.blocklistFilter(docsWithUrls(spark, dir),
+      blockRules(spark))
+      .select("doc_id", "canon_url", "domain")
+      .orderBy("doc_id")
+
+  /** Per-rule blocklist audit
+    * ([[graft.operators.WebOps.blocklistHits]]): every rule's block
+    * count, zero-hit rules included (list rot must be visible).
+    */
+  def urlBlocklistHits(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WebOps.blocklistHits(docsWithUrls(spark, dir),
+      blockRules(spark))
+      .orderBy("rule_id")
+
   /** Deterministic PSL-exercising hosts (doc_id arithmetic, both
     * engines build the identical string): PRIVATE-section suffixes
     * (blogspot / github.io subdomains), a two-label registry, the

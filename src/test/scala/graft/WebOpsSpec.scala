@@ -153,6 +153,58 @@ class WebOpsSpec extends SparkSpec {
     }
   }
 
+  test("blocklistFilter: domain rules drop whole registrable domains, " +
+    "prefix rules match canonical URLs (author forms normalized), " +
+    "hits audit counts per rule with zero-hit rows, bad rules refuse") {
+    val docs = Seq(
+      (1L, "http://www.spam.com/a"),          // r1 domain
+      (2L, "http://x@spam.com./b?utm_a=1"),   // r1 via evasion spellings
+      (3L, "https://sub.forum.org/bad/thread/7"), // r2 prefix
+      (4L, "https://sub.forum.org/good/1"),   // same host, other path
+      (5L, "http://clean.net/x"))             // survives
+      .toDF("doc_id", "url")
+    val rules = Seq(
+      ("r1", "domain", "SPAM.com"),
+      ("r2", "prefix", "HTTPS://Sub.Forum.ORG:443/bad/"),
+      ("r3", "domain", "nobody.io"))
+      .toDF("rule_id", "kind", "pattern")
+    val kept = WebOps.blocklistFilter(docs, rules)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(4L, 5L))
+    val hits = WebOps.blocklistHits(docs, rules)
+      .select("rule_id", "n_hits").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hits === Map("r1" -> 2L, "r2" -> 1L, "r3" -> 0L))
+    // a non-http prefix rule errors loudly at match time
+    val bad = Seq(("rx", "prefix", "ftp://not.http/")).toDF(
+      "rule_id", "kind", "pattern")
+    val e = intercept[Exception] {
+      WebOps.blocklistFilter(docs, bad).collect()
+    }
+    assert(e.getMessage.contains("not an http(s) URL") ||
+      Option(e.getCause).exists(_.getMessage.contains("not an http(s) URL")))
+  }
+
+  test("blocklistBatch: stateless per-trigger landing, crash-replay " +
+    "overwrites byte-identically") {
+    val out = tmpDir("bl-out")
+    val rules = Seq(("r1", "domain", "spam.com")).toDF(
+      "rule_id", "kind", "pattern")
+    def mk(ids: Seq[Int]) = ids.map(i => (i.toLong,
+      if (i % 2 == 0) s"http://spam.com/p$i" else s"http://ok.org/p$i"))
+      .toDF("doc_id", "url")
+    WebOps.blocklistBatch(mk(0 until 10), rules, out, 0L, producer = "p")
+    WebOps.blocklistBatch(mk(10 until 20), rules, out, 1L, producer = "p")
+    def landed() = spark.read.parquet(s"$out/b_*")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val first = landed()
+    assert(first === (0 until 20).filter(_ % 2 == 1).map(_.toLong))
+    // replay trigger 1 (crash between land and downstream consume):
+    // overwrite is idempotent, nothing duplicates
+    WebOps.blocklistBatch(mk(10 until 20), rules, out, 1L, producer = "p")
+    assert(landed() === first)
+  }
+
   test("quota evasion closed: every userinfo/trailing-dot/case " +
     "spelling of one host lands in ONE domain group") {
     val variants = Seq(
