@@ -139,7 +139,14 @@ object GraftFunctions {
       children => HilbertIndexN(children(0),
         foldInt("hilbert_index_n", "dims", children(1)),
         children.lift(2).map(foldInt("hilbert_index_n", "bits", _))
-          .getOrElse(8))))
+          .getOrElse(8))),
+    (FunctionIdentifier("canonicalize_url"),
+      new ExpressionInfo(classOf[CanonicalizeUrl].getName,
+        "canonicalize_url"),
+      children => CanonicalizeUrl(children(0))),
+    (FunctionIdentifier("url_host"),
+      new ExpressionInfo(classOf[UrlHostExpr].getName, "url_host"),
+      children => UrlHostExpr(children(0))))
 
   private def foldInt(fn: String, arg: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -34,11 +34,13 @@ object WebOps {
     * names; `utm_`-prefixed params are dropped by prefix). The usual
     * click-id / campaign suspects — a documented, frozen set: growing
     * it changes every canonical form, so treat additions like a store
-    * geometry change (re-canonicalize the corpus).
+    * geometry change (re-canonicalize the corpus). The single source
+    * of truth lives beside the fused kernel
+    * ([[graft.functions.UrlCanon.TrackingParams]]) so the algebra,
+    * the kernel and the oracle can never drift on the list.
     */
-  val TrackingParams: Seq[String] = Seq(
-    "fbclid", "gclid", "msclkid", "yclid", "igshid", "mc_cid",
-    "mc_eid", "ref", "ref_src", "s_kwcid", "spm")
+  val TrackingParams: Seq[String] =
+    graft.functions.UrlCanon.TrackingParams
 
   /** Multi-label public suffixes for [[registrableDomain]] — the
     * suffix-list-lite: the common ccTLD second-level registries. A
@@ -165,6 +167,27 @@ object WebOps {
 
   private def isTrackingParam(name: Column): Column =
     name.startsWith("utm_") || name.isin(TrackingParams: _*)
+
+  /** The FUSED canonicalizer — one codegen expression
+    * ([[graft.functions.CanonicalizeUrl]]) replacing the ~15-op
+    * algebra tree, byte-identical by contract (the `url_canon` gate
+    * runs THIS form against the oracle's algebra replay, so a hash
+    * match pins kernel ≡ algebra over the whole fixture; specs pin
+    * the adversarial shapes). This is what the operators call;
+    * [[canonicalizeUrl]] stays as the executable specification.
+    */
+  def canonicalizeUrlFused(url: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    column(graft.functions.CanonicalizeUrl(expression(url)))
+  }
+
+  /** Fused host extraction ([[graft.functions.UrlHostExpr]]) — the
+    * kernel form of [[urlHost]], same contract.
+    */
+  def urlHostFused(url: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    column(graft.functions.UrlHostExpr(expression(url)))
+  }
 
   /** Registrable domain of a (lowercased) host — the per-site
     * grouping key: the label before the public suffix, suffix
@@ -340,8 +363,8 @@ object WebOps {
     * projection — the decoration every downstream web op keys on.
     */
   def urlParts(docs: DataFrame, urlCol: String = "url"): DataFrame = {
-    val host = urlHost(col(urlCol))
-    docs.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+    val host = urlHostFused(col(urlCol))
+    docs.withColumn("canon_url", canonicalizeUrlFused(col(urlCol)))
       .withColumn("host", host)
       .withColumn("domain", registrableDomain(host))
   }
@@ -359,13 +382,13 @@ object WebOps {
     rules.select(col("rule_id"), col("kind"), col("pattern"),
       when(col("kind") === "domain", lower(col("pattern")))
         .when(col("kind") === "prefix", coalesce(
-          canonicalizeUrl(col("pattern")),
+          canonicalizeUrlFused(col("pattern")),
           raise_error(concat(lit("blocklist: prefix rule '"),
             col("rule_id"), lit("' is not an http(s) URL: "),
             col("pattern")))))
         .otherwise(raise_error(concat(lit("blocklist: unknown kind '"),
           col("kind"), lit("' for rule "), col("rule_id")))).as("pat"),
-      when(col("kind") === "prefix", urlHost(col("pattern"))).as("phost"))
+      when(col("kind") === "prefix", urlHostFused(col("pattern"))).as("phost"))
 
   /** URL/domain blocklist filter — the FIRST gate of every production
     * crawl pipeline (CCNet/C4/RefinedWeb drop documents against
@@ -463,7 +486,7 @@ object WebOps {
       s"domainQuota: maxPerDomain $maxPerDomain must be >= 1")
     requireFreshColumns(docs, "domainQuota", Seq("domain"))
     domainQuotaBy(docs.withColumn("domain",
-      registrableDomain(urlHost(col(urlCol)))), maxPerDomain, seed,
+      registrableDomain(urlHostFused(col(urlCol)))), maxPerDomain, seed,
       idCol)
   }
 
@@ -528,7 +551,7 @@ object WebOps {
         "lower the budget")
     val kMax = kMaxL.toInt
     val withDom = docs.withColumn("domain",
-      registrableDomain(urlHost(col(urlCol))))
+      registrableDomain(urlHostFused(col(urlCol))))
       .withColumn("charged",
         greatest(col(tokensCol).cast("long"), lit(minTokensCharge)))
     // phase 1: bounded prune — only the first kMax docs per domain
@@ -655,7 +678,7 @@ object WebOps {
       // collision-free by construction - every real key carries the
       // prefix, the null key does not)
       val withDom = b.withColumn("domain",
-        registrableDomain(urlHost(col(urlCol))))
+        registrableDomain(urlHostFused(col(urlCol))))
         .withColumn("__dk", when(col("domain").isNotNull,
           concat(lit("d:"), col("domain"))).otherwise(lit("n")))
       val ranked = withDom.join(
@@ -732,7 +755,7 @@ object WebOps {
     */
   def domainStats(docs: DataFrame, urlCol: String = "url",
       sizeCol: String = "n_chars"): DataFrame =
-    docs.withColumn("domain", registrableDomain(urlHost(col(urlCol))))
+    docs.withColumn("domain", registrableDomain(urlHostFused(col(urlCol))))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         sum(col(sizeCol).cast("long")).as("total_chars"))

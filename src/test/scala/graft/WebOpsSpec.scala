@@ -68,6 +68,50 @@ class WebOpsSpec extends SparkSpec {
       .select(WebOps.canonicalizeUrl(col("u"))).head.isNullAt(0))
   }
 
+  test("fused kernel ≡ string algebra: canonicalize_url and url_host " +
+    "agree byte-for-byte on every adversarial shape, and the fused " +
+    "expressions stay inside whole-stage codegen") {
+    val nasty = Seq(
+      "http://a.com", "http://a.com/", "http://a.com#f", "http://a.com?",
+      "http://a.com?#", "http://a.com/p?", "http://a.com/p?&&",
+      "http://a.com/p?=1&a", "http://a.com/p?a&b=", "HTTP://",
+      "http:///path", "http://:8080/x", "http://@/x", "http://@:1/x",
+      "http://a.com:/x", "http://u@v@a.com/x", "http://u:p:q@a.com:9/x",
+      "http://a.com./", "http://a.com.../x", "http://...:80/x",
+      "http://a.com:080/x", "http://a.com:443/x", "https://a.com:80/x",
+      "hTtPs://A.B.C:443/Mixed/Case?z=1&utm_q=2&y=3#frag",
+      "http://a.com/p?ref=x&REF=y&utm_=1&utm=2&xutm_a=3",
+      "http://a.com/p?b=2&a=10&a=9&a=100", "http://a.com/p??a=1",
+      "http://spam.com?id=7", "http://x@spam.com.?q=1#f",
+      "http://hést.com/päth?ümlaut=1&a=é&b=",
+      "http://Iİ.com/x", // dotted capital I: locale-sensitive lowering
+      "ftp://a.com/x", "mailto:u@a.com", "", "http:/a.com", "https:/",
+      "http://a.com/p?😀=1&z=0" // astral param: UTF-8 vs UTF-16 order
+    )
+    val df = nasty.toDF("u")
+    val rows = df.select(
+      WebOps.canonicalizeUrl(col("u")).as("alg_c"),
+      WebOps.canonicalizeUrlFused(col("u")).as("fus_c"),
+      WebOps.urlHost(col("u")).as("alg_h"),
+      WebOps.urlHostFused(col("u")).as("fus_h"),
+      col("u")).collect()
+    for (r <- rows) {
+      def g(i: Int) = if (r.isNullAt(i)) null else r.getString(i)
+      assert(g(0) === g(1), s"canon diverged on ${r.getString(4)}")
+      assert(g(2) === g(3), s"host diverged on ${r.getString(4)}")
+    }
+    // the fused path must stay in whole-stage codegen (the point of
+    // the kernel) — no interpreted fallback. A literal Seq collapses
+    // to an eager LocalTableScan, so probe over range()
+    val plan = spark.range(10)
+      .select(concat(lit("http://h"), col("id"), lit(".com/p")).as("u"))
+      .select(WebOps.canonicalizeUrlFused(col("u")))
+      .queryExecution.executedPlan.toString
+    // '*(n)' is the compact WholeStageCodegen marker; the Project
+    // carrying canonicalizeurl must sit inside one
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("stripHtml: comments/script/style dropped with content, tags " +
     "become spaces, entities decode in the safe order, whitespace " +
     "collapses") {
