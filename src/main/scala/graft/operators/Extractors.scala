@@ -217,23 +217,82 @@ object QueueExtractor extends Extractor {
       .filter(col("sourceDatabase") === spec.sourceDatabase &&
         col("sourceTable") === spec.sourceTable)
 
-  /** Maintenance: fold accumulated acks into the changelog (rewrite the
-    * queue minus acked entries, then drop the ack table). Run it when
+  /** Maintenance: fold accumulated acks into the changelog. Run it when
     * the ack table has grown enough to slow the anti-joined read.
-    * REQUIRES a quiesced producer: entries appended between the staged
-    * rewrite and the swap are lost — the same window the per-batch ack
-    * used to have on EVERY batch, now confined to an explicit op.
+    *
+    * SAFE UNDER A LIVE PRODUCER (VERDICT r11 #5): the op snapshots the
+    * raw FILE LIST first, rewrites only those files' rows, and carries
+    * every file the producer appends after the snapshot across
+    * untouched — nothing is ever lost, there is no quiesce
+    * requirement on the producer. The CONSUMER must not ack
+    * concurrently (it is the consumer's own maintenance op, run
+    * between batches — the ack table is frozen for the duration).
+    *
+    * Protocol (each step crash-safe):
+    *  1. snapshot the queue dir's parquet file list S;
+    *  2. stage `rows(S) ANTI-JOIN acks` (reads only S, so appends
+    *     racing this step are invisible, not half-read);
+    *  3. move the staged files INTO the dir (`compact_` prefix), then
+    *     delete exactly the files in S;
+    *  4. drop the ack table (acks only exist for consumed entries,
+    *     and the consumer is quiesced, so every ack was folded in 2).
+    *
+    * Crash windows: after 3's move but before its delete, un-acked
+    * entries exist twice — benign: [[changeBatch]]'s per-PK dedup
+    * collapses duplicates on extraction, acks match both copies, and
+    * the next compaction folds both away. A crash before 3's move
+    * leaks only a staging dir the next run garbage-collects. No
+    * window loses an entry.
+    *
+    * @param onSnapshot test seam: runs after the file-list snapshot,
+    *                   before the rewrite — where a live producer's
+    *                   append is adversarial
     */
-  def compactQueue(spark: SparkSession, spec: PipelineSpec): Unit = {
-    val acks = ParquetTable.read(spark, ackPath(spec))
-    if (acks.isDefined) {
-      ParquetTable.overwriteAtomic(spark, queuePath(spec), queue(spark, spec))
-      // deleting acks AFTER the swap is safe: acked entries are already
-      // gone from the rewritten queue, so a crash between the two steps
-      // only leaves no-op acks behind
-      val p = new org.apache.hadoop.fs.Path(ackPath(spec))
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  def compactQueue(spark: SparkSession, spec: PipelineSpec,
+      onSnapshot: () => Unit = () => ()): Unit = {
+    import org.apache.hadoop.fs.Path
+    val qp = queuePath(spec)
+    val acksOpt = ParquetTable.read(spark, ackPath(spec))
+    if (acksOpt.isEmpty) return
+    val p = new Path(qp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    ParquetTable.cleanStaleStaged(fs, p)
+    // 1. the fence: only these files are rewritten and deleted
+    val snapped = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (snapped.isEmpty) return
+    onSnapshot()
+    val snapRows = spark.read.option("mergeSchema", true)
+      .parquet(snapped.map(_.toString).toIndexedSeq: _*)
+    val schema = snapRows.schema
+    // 2. stage the survivors of exactly the snapped files
+    val staging = new Path(qp + s".__staging_${ParquetTable.stamp()}")
+    snapRows.join(acksOpt.get, queueCols, "left_anti")
+      .write.mode("overwrite").parquet(staging.toString)
+    // 3. move in, then delete the snapshot
+    fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        if (!fs.rename(f, new Path(p, s"compact_${f.getName}")))
+          throw new java.io.IOException(
+            s"compactQueue: could not move $f into $qp")
+      }
+    fs.delete(staging, true)
+    snapped.foreach { f =>
+      if (!fs.delete(f, false))
+        throw new java.io.IOException(
+          s"compactQueue: could not delete snapped $f")
     }
+    // an all-acked, no-append compaction must leave a readable table:
+    // plant a schema-bearing empty file when nothing remains
+    IndexStores.forceSchemaBearing(
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema), qp)
+    // 4. acks are folded; a crash before this point only leaves
+    //    no-op acks behind (their entries are already gone)
+    val ap = new Path(ackPath(spec))
+    ap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(ap, true)
   }
 
   private def queuePath(spec: PipelineSpec): String =

@@ -110,6 +110,53 @@ class ExtractorsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$src/MigratorRecordQueue").count() === 0)
   }
 
+  test("compactQueue under a LIVE producer: entries appended after " +
+    "the file-list snapshot survive the compaction verbatim " +
+    "(VERDICT r11 #5 — no quiesce requirement)") {
+    val src = tmpDir("qlc-src"); val dest = tmpDir("qlc-dest")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.parquet(s"$src/t.parquet")
+    val ts = mkTs("2024-06-01 00:00:00")
+    def entryRow(pk: String, t: java.sql.Timestamp) =
+      ("a", "t", "k", pk, t, "UPDATE")
+    Seq(entryRow("1", ts), entryRow("2", ts))
+      .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+        "timestampUpdated", "method")
+      .write.parquet(s"$src/MigratorRecordQueue")
+    val spec = PipelineSpec("a", "t", "k", "b", "t", src, dest,
+      extractor = "queue")
+    // consume + ack both entries
+    val res = QueueExtractor.extract(spark, spec, TrackingStatus("a", "t", "k"))
+    assert(res.df.count() === 2)
+    res.commit(); res.cleanup()
+    assert(QueueExtractor.pending(spark, spec).count() === 0)
+    // compact WHILE a producer appends: the append lands after the
+    // snapshot — the old swap design deleted exactly this entry
+    var appended = false
+    QueueExtractor.compactQueue(spark, spec, onSnapshot = () => {
+      Seq(entryRow("3", mkTs("2024-06-01 00:00:05")))
+        .toDF("sourceDatabase", "sourceTable", "pkColumn", "pkValue",
+          "timestampUpdated", "method")
+        .write.mode("append").parquet(s"$src/MigratorRecordQueue")
+      appended = true
+    })
+    assert(appended)
+    // zero loss: the racing entry is physically present AND pending
+    val left = spark.read.parquet(s"$src/MigratorRecordQueue").collect()
+    assert(left.map(_.getAs[String]("pkValue")).toSeq === Seq("3"))
+    assert(QueueExtractor.pending(spark, spec).collect()
+      .map(_.getAs[String]("pkValue")).toSeq === Seq("3"))
+    // and it drains normally afterwards
+    val res2 = QueueExtractor.extract(spark, spec, TrackingStatus("a", "t", "k"))
+    assert(res2.df.count() === 1)
+    res2.commit(); res2.cleanup()
+    assert(QueueExtractor.pending(spark, spec).count() === 0)
+    // a second compaction with NO racing producer fully empties the
+    // changelog and leaves a readable (schema-bearing) table
+    QueueExtractor.compactQueue(spark, spec)
+    assert(spark.read.parquet(s"$src/MigratorRecordQueue").count() === 0)
+  }
+
   test("queue batch ABOVE the retired 1M driver cap extracts " +
       "end-to-end with no driver materialization (VERDICT r10 #5: " +
       "the snapshot is executor-written parquet, plan-audited)") {
