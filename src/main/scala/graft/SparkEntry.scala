@@ -131,6 +131,7 @@ object SparkEntry {
     "domain_stats" -> (graft.queries.ExtQueries.domainStatsGate(_, _)),
     "dedup_url" -> (graft.queries.ExtQueries.dedupUrl(_, _)),
     "html_strip" -> (graft.queries.ExtQueries.htmlStrip(_, _)),
+    "html_strip_scan" -> (graft.queries.ExtQueries.htmlStripScan(_, _)),
     "domain_token_quota" -> (graft.queries.ExtQueries.domainTokenQuotaGate(_, _)),
     "corpus_rendezvous" -> (graft.queries.ExtQueries.corpusRendezvous(_, _)),
     "corpus_rendezvous_hier" -> (graft.queries.ExtQueries.corpusRendezvousHier(_, _)),

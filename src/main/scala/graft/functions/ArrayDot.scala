@@ -146,7 +146,10 @@ object GraftFunctions {
       children => CanonicalizeUrl(children(0))),
     (FunctionIdentifier("url_host"),
       new ExpressionInfo(classOf[UrlHostExpr].getName, "url_host"),
-      children => UrlHostExpr(children(0))))
+      children => UrlHostExpr(children(0))),
+    (FunctionIdentifier("html_text_scan"),
+      new ExpressionInfo(classOf[HtmlTextScan].getName, "html_text_scan"),
+      children => HtmlTextScan(children(0))))
 
   private def foldInt(fn: String, arg: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

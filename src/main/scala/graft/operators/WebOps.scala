@@ -749,6 +749,21 @@ object WebOps {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** The EXACT HTML → text leg ([[graft.functions.HtmlTextScan]] —
+    * VERDICT r11 #6): a quote-state char scanner closing
+    * [[stripHtml]]'s two inherent regex defects (attribute-`>` leak,
+    * bare-`<` prose swallowing). Byte-identical to the regex leg on
+    * well-formed HTML (gate `html_strip_scan` pins that against the
+    * regex-replaying oracle); on the malformed shapes it diverges
+    * deliberately toward browser behavior — spec-pinned, since no
+    * SQL oracle replays a scanner. Same cost class: one codegen'd
+    * pass per row.
+    */
+  def extractHtmlText(html: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    column(graft.functions.HtmlTextScan(expression(html)))
+  }
+
   /** Per-registrable-domain corpus profile — doc counts and size
     * share, the "which sites dominate" audit read before choosing a
     * quota. One map-side-combinable aggregate.

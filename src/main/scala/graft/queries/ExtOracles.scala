@@ -1458,6 +1458,45 @@ object ExtOracles {
         |    AS BIGINT) AS clean_chars
         |FROM s5 ORDER BY doc_id""".stripMargin,
 
+    // the exact-SCANNER leg runs against the SAME regex replay: on
+    // the well-formed fixture the quote-state scanner must be
+    // byte-identical to the regex pipeline (its divergences exist
+    // only on malformed shapes the fixture deliberately excludes;
+    // those are spec-pinned, a scanner being un-replayable in SQL)
+    "html_strip_scan" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<!DOCTYPE html><html><head><style>body{color:red}</style>' ||
+        |  (CASE WHEN doc_id % 3 = 0
+        |     THEN '<script type="text/javascript">var x = 1 < 2;</script>'
+        |     ELSE '' END) ||
+        |  '</head><body><!-- id ' || CAST(doc_id AS VARCHAR) ||
+        |  ' --><h1>Doc &#39;' || CAST(doc_id AS VARCHAR) ||
+        |  '&#39;</h1><p>' ||
+        |  (CASE WHEN doc_id % 5 = 0
+        |     THEN regexp_replace(text, ' ', '&nbsp;', 'g') ELSE text END) ||
+        |  '</p>' ||
+        |  (CASE WHEN doc_id % 4 = 1
+        |     THEN '<div class="x">&lt;tag&gt; &amp;amp; more</div>'
+        |     ELSE '' END) ||
+        |  '</body></html>' AS html FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(html, '<!--.*?-->', ' ', 'gs') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |  '<script\b[^>]*>.*?</script>', ' ', 'gis') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |  '<style\b[^>]*>.*?</style>', ' ', 'gis') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s4)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean,
+        |  CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g')))
+        |    AS BIGINT) AS clean_chars
+        |FROM s5 ORDER BY doc_id""".stripMargin,
+
     // replays WebOps.domainStats over the shared url CTEs; sum(BIGINT)
     // is HUGEINT in DuckDB -> cast back for schema parity
     "domain_stats" ->

@@ -1873,7 +1873,29 @@ object ExtQueries {
     * regex/replace step, so hash-green pins the whole extraction
     * pipeline per document.
     */
-  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame =
+    htmlFixture(spark, dir, graft.operators.WebOps.stripHtml)
+
+  /** The exact-scanner leg ([[graft.operators.WebOps.extractHtmlText]])
+    * over the SAME well-formed HTML shell, against the SAME
+    * regex-replaying oracle as `html_strip` — hash-green proves the
+    * quote-state scanner ≡ the regex pipeline byte-for-byte wherever
+    * the regex is right (the fixture corpus carries no bare-`<` /
+    * attribute-`>` shapes; the divergence rows where the scanner is
+    * provably right are spec-pinned, a scanner being un-replayable
+    * in SQL).
+    */
+  def htmlStripScan(spark: SparkSession, dir: String): DataFrame =
+    htmlFixture(spark, dir, graft.operators.WebOps.extractHtmlText)
+
+  /** The shared HTML shell both extraction legs strip back: head with
+    * style, conditional script (content must vanish, `<` inside it
+    * included), comments carrying the doc_id, entities substituted
+    * into the body, a double-escaped `&amp;amp;`, conditional
+    * trailing div.
+    */
+  private def htmlFixture(spark: SparkSession, dir: String,
+      extract: Column => Column): DataFrame = {
     val d = docs(spark, dir)
     val body = when(col("doc_id") % 5 === 0,
       regexp_replace(col("text"), " ", "&nbsp;")).otherwise(col("text"))
@@ -1889,8 +1911,7 @@ object ExtQueries {
         lit("<div class=\"x\">&lt;tag&gt; &amp;amp; more</div>"))
         .otherwise(lit("")),
       lit("</body></html>"))
-    d.select(col("doc_id"),
-      graft.operators.WebOps.stripHtml(html).as("text_clean"))
+    d.select(col("doc_id"), extract(html).as("text_clean"))
       .withColumn("clean_chars",
         length(col("text_clean")).cast("bigint"))
       .orderBy("doc_id")

@@ -136,6 +136,50 @@ class WebOpsSpec extends SparkSpec {
       .select(WebOps.stripHtml(col("h"))).head.isNullAt(0))
   }
 
+  test("extractHtmlText scanner: equals the regex leg on well-formed " +
+    "HTML; beats it on the attribute-'>' leak and bare-'<' swallow " +
+    "(the documented regex-family defects)") {
+    def both(h: String): (String, String) = {
+      val r = Seq(h).toDF("h").select(
+        WebOps.stripHtml(col("h")).as("rx"),
+        WebOps.extractHtmlText(col("h")).as("sc")).head
+      (r.getString(0), r.getString(1))
+    }
+    // well-formed shapes: byte-identical legs
+    for (h <- Seq(
+      "<p>Hello <b>world</b></p>",
+      "<p>end</p><p>Start</p>",
+      "<script>var x = 1 < 2;</script>before<style>p{a:1}</style>after",
+      "a<!-- multi\nline -->b",
+      "<SCRIPT>junk</SCRIPT>x",
+      "&lt;tag&gt; &amp;amp; A&nbsp;B &#39;q&#39;",
+      "<!DOCTYPE html><html><body><h1>T</h1><p>x y</p></body></html>",
+      "<ScRiPt type=\"a\">z</sCrIpT>ok")) {
+      val (rx, sc) = both(h)
+      assert(rx === sc, s"legs diverged on well-formed: $h")
+    }
+    // attribute-'>' leak: quoted '>' must not end the tag
+    val (rxLeak, scLeak) = both("""<a title="x > y">link</a> tail""")
+    assert(scLeak === "link tail")           // scanner: exact
+    assert(rxLeak !== "link tail")            // regex: leaks y">
+    assert(rxLeak.contains("y\">"))
+    // bare '<' swallow: prose comparison is not a tag
+    val (rxLt, scLt) = both("<p>price < 100 and x > 3</p>")
+    assert(scLt === "price < 100 and x > 3")
+    assert(rxLt === "price 3")               // regex swallowed the span
+    // script with a quoted '>' inside its OPEN TAG attributes
+    val (_, scAttr) = both("""<script data-x="a>b">dead()</script>live""")
+    assert(scAttr === "live")
+    // unterminated comment: scanner truncates (browser), regex leaves
+    // markup-as-prose
+    val (rxCm, scCm) = both("keep <!-- gone")
+    assert(scCm === "keep")
+    assert(rxCm === "keep <!-- gone")
+    // null in -> null out
+    assert(Seq(Option.empty[String]).toDF("h")
+      .select(WebOps.extractHtmlText(col("h"))).head.isNullAt(0))
+  }
+
   test("registrableDomain: multi-label suffixes keep three labels, " +
     "default keeps two, degenerate hosts return themselves") {
     def dom(h: String): String = Seq(h).toDF("h")
