@@ -33,12 +33,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - whitespace (the Java `\s` set) collapses to single spaces,
   *    output trimmed.
   *
-  * Deliberate divergences where malformed input has no right answer
-  * and the scanner follows the browser (spec-pinned, since no SQL
-  * oracle can replay a scanner): an unterminated comment, tag,
-  * script or style swallows to end-of-input (the regex leaves the
-  * raw markup in the text — markup-as-prose is strictly worse
-  * training data than truncation).
+  * Deliberate divergences where the scanner follows the browser and
+  * the regex leg is wrong (spec-pinned, since no SQL oracle can
+  * replay a scanner): an unterminated comment, tag, script or style
+  * swallows to end-of-input (the regex leaves the raw markup in the
+  * text — markup-as-prose is strictly worse training data than
+  * truncation); and a custom element whose name merely EXTENDS
+  * script/style (`<script-loader>` — hyphenated custom-element
+  * names are well-formed HTML5) is a generic tag here, while the
+  * regex's `\b` matches its OPEN tag at the hyphen, so a later bare
+  * `</script>` lets the regex swallow the element's prose.
   */
 object HtmlText {
 
@@ -82,12 +86,24 @@ object HtmlText {
     s.length
   }
 
-  private def indexOfIgnoreCase(s: String, target: String,
-      from: Int): Int = {
+  /** Index of the element's CLOSE tag (`</name`, case-insensitive)
+    * with the end-tag name boundary HTML5 requires: the char after
+    * the name must be whitespace, '/', '>' or end-of-input —
+    * `</scripty>` inside a script is script DATA, not a close tag
+    * (review finding: without the boundary, a longer tag name would
+    * terminate the element early and leak script/CSS into the text —
+    * the exact defect class this scanner exists to close).
+    */
+  private def findCloseTag(s: String, name: String, from: Int): Int = {
+    val target = "</" + name
     val n = s.length - target.length
     var i = math.max(from, 0)
     while (i <= n) {
-      if (s.regionMatches(true, i, target, 0, target.length)) return i
+      if (s.regionMatches(true, i, target, 0, target.length)) {
+        val after = i + target.length
+        if (after >= s.length || isWs(s.charAt(after)) ||
+          s.charAt(after) == '>' || s.charAt(after) == '/') return i
+      }
       i += 1
     }
     -1
@@ -119,11 +135,11 @@ object HtmlText {
             s.charAt(i + 1) == '?')) {
           if (matchesElement(s, i + 1, "script")) {
             val afterOpen = skipTag(s, i)
-            val close = indexOfIgnoreCase(s, "</script", afterOpen)
+            val close = findCloseTag(s, "script", afterOpen)
             i = if (close < 0) n else skipTag(s, close)
           } else if (matchesElement(s, i + 1, "style")) {
             val afterOpen = skipTag(s, i)
-            val close = indexOfIgnoreCase(s, "</style", afterOpen)
+            val close = findCloseTag(s, "style", afterOpen)
             i = if (close < 0) n else skipTag(s, close)
           } else {
             i = skipTag(s, i)

@@ -270,7 +270,21 @@ object QueueExtractor extends Extractor {
     val staging = new Path(qp + s".__staging_${ParquetTable.stamp()}")
     snapRows.join(acksOpt.get, queueCols, "left_anti")
       .write.mode("overwrite").parquet(staging.toString)
-    // 3. move in, then delete the snapshot
+    // 3. move in, then delete the snapshot. When the survivors are
+    // EMPTY the staged write yields no part files — plant a
+    // schema-bearing empty file through the SAME staged-move path
+    // BEFORE any snapped file is deleted: a crash after the deletes
+    // can then never leave a fileless (unreadable) queue dir, and
+    // there is no whole-dir overwrite for a racing producer append
+    // to fall into (both review findings of this round)
+    val moved = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (moved.isEmpty) {
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .repartition(1)
+        .write.mode("overwrite").parquet(staging.toString)
+    }
     fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).foreach { f =>
         if (!fs.rename(f, new Path(p, s"compact_${f.getName}")))
@@ -283,11 +297,6 @@ object QueueExtractor extends Extractor {
         throw new java.io.IOException(
           s"compactQueue: could not delete snapped $f")
     }
-    // an all-acked, no-append compaction must leave a readable table:
-    // plant a schema-bearing empty file when nothing remains
-    IndexStores.forceSchemaBearing(
-      spark.createDataFrame(spark.sparkContext
-        .emptyRDD[org.apache.spark.sql.Row], schema), qp)
     // 4. acks are folded; a crash before this point only leaves
     //    no-op acks behind (their entries are already gone)
     val ap = new Path(ackPath(spec))

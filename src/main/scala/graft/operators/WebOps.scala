@@ -363,6 +363,11 @@ object WebOps {
     * projection — the decoration every downstream web op keys on.
     */
   def urlParts(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    // same silent-overwrite guard as the quota family: a caller who
+    // already decorated 'domain' (e.g. with PSL semantics) must not
+    // have it silently replaced by the lite split (review finding)
+    requireFreshColumns(docs, "urlParts",
+      Seq("canon_url", "host", "domain"))
     val host = urlHostFused(col(urlCol))
     docs.withColumn("canon_url", canonicalizeUrlFused(col(urlCol)))
       .withColumn("host", host)
@@ -375,20 +380,33 @@ object WebOps {
     * URL starts with the pattern). Domain patterns lowercase; prefix
     * patterns run through [[canonicalizeUrl]] (so a rule author's
     * `HTTP://Host:80/Forum/` matches the canonical form the docs
-    * carry) and keep their host for the equi-join. A non-http prefix
-    * or unknown kind errors loudly at match time.
+    * carry) and keep their host for the equi-join. Non-http prefixes
+    * and unknown kinds are rejected EAGERLY over the rule table at
+    * prep time.
     */
-  private def blocklistPrep(rules: DataFrame): DataFrame =
+  private def blocklistPrep(rules: DataFrame): DataFrame = {
+    // validation is EAGER over the (dimension-sized) rule table, not
+    // a raise_error branch inside the projection: the consumers
+    // filter on kind, Catalyst pushes that filter below the
+    // projection, and an in-plan error branch on the rejected kinds
+    // would be optimized into unreachability — a typo'd kind would
+    // silently disable its rule in a SAFETY filter (review finding)
+    val bad = rules
+      .filter(!col("kind").isin("domain", "prefix") ||
+        (col("kind") === "prefix" &&
+          canonicalizeUrlFused(col("pattern")).isNull))
+      .select("rule_id", "kind", "pattern").limit(3).collect()
+    require(bad.isEmpty,
+      "blocklist: invalid rule(s) — kind must be 'domain' or " +
+        "'prefix' and prefix patterns must be http(s) URLs: " +
+        bad.map(r => s"${r.getString(0)}(${r.getString(1)}: " +
+          s"${r.getString(2)})").mkString(", "))
     rules.select(col("rule_id"), col("kind"), col("pattern"),
       when(col("kind") === "domain", lower(col("pattern")))
-        .when(col("kind") === "prefix", coalesce(
-          canonicalizeUrlFused(col("pattern")),
-          raise_error(concat(lit("blocklist: prefix rule '"),
-            col("rule_id"), lit("' is not an http(s) URL: "),
-            col("pattern")))))
-        .otherwise(raise_error(concat(lit("blocklist: unknown kind '"),
-          col("kind"), lit("' for rule "), col("rule_id")))).as("pat"),
+        .when(col("kind") === "prefix",
+          canonicalizeUrlFused(col("pattern"))).as("pat"),
       when(col("kind") === "prefix", urlHostFused(col("pattern"))).as("phost"))
+  }
 
   /** URL/domain blocklist filter — the FIRST gate of every production
     * crawl pipeline (CCNet/C4/RefinedWeb drop documents against
@@ -579,7 +597,12 @@ object WebOps {
     */
   private def requireFreshColumns(docs: DataFrame, op: String,
       reserved: Seq[String]): Unit = {
-    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    // lowercase both sides: withColumn resolves CASE-INSENSITIVELY
+    // under the default spark.sql.caseSensitive=false, so an input
+    // 'Domain' would be overwritten by withColumn("domain", ...) —
+    // the guard must catch case variants too (review finding)
+    val clash = docs.columns.map(_.toLowerCase).toSet
+      .intersect(reserved.map(_.toLowerCase).toSet)
     require(clash.isEmpty,
       s"$op: input already has column(s) ${clash.mkString(", ")} — " +
         s"these are $op output names and would be silently " +
@@ -654,6 +677,7 @@ object WebOps {
       batchId: Long, maxPerDomain: Int, seed: String,
       producer: String = "default", idCol: String = "doc_id",
       urlCol: String = "url", eps: Double = 0.001): Unit = {
+    requireFreshColumns(batch, "quotaBatch", Seq("domain", "rn", "__dk"))
     val spark = batch.sparkSession
     IndexStores.healRoot(spark, storePath)
     val bootstrapped = IndexStores.hasStore(spark, s"$storePath/sketch")

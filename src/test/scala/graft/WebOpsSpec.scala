@@ -175,6 +175,22 @@ class WebOpsSpec extends SparkSpec {
     val (rxCm, scCm) = both("keep <!-- gone")
     assert(scCm === "keep")
     assert(rxCm === "keep <!-- gone")
+    // a LONGER tag name is not a close tag: '</scripty>' inside a
+    // script is script DATA (review finding — without the end-tag
+    // boundary the element would end early and leak code)
+    val (_, scLong) = both(
+      "<script>var a=\"</scripty>\";hack()</script>ok")
+    assert(scLong === "ok")
+    // and a custom element extending the name is NOT a script: the
+    // scanner keeps its content (third documented divergence: the
+    // regex's \b matches its open tag at the hyphen, so a later
+    // bare </script> lets the regex swallow the element's prose)
+    val (rxCe, scCe) = both("<script-loader>x</script>rest")
+    assert(scCe === "x rest")
+    assert(rxCe === "rest")
+    // symmetric custom element with matching close: both legs agree
+    val (rxCe2, scCe2) = both("<script-loader>x</script-loader>rest")
+    assert(scCe2 === "x rest" && rxCe2 === "x rest")
     // null in -> null out
     assert(Seq(Option.empty[String]).toDF("h")
       .select(WebOps.extractHtmlText(col("h"))).head.isNullAt(0))
@@ -263,14 +279,28 @@ class WebOpsSpec extends SparkSpec {
       .select("rule_id", "n_hits").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hits === Map("r1" -> 2L, "r2" -> 1L, "r3" -> 0L))
-    // a non-http prefix rule errors loudly at match time
+    // a non-http prefix rule refuses EAGERLY (in-plan raise_error
+    // would be optimized below the kind filter into unreachability —
+    // review finding), as does an unknown/typo'd kind
     val bad = Seq(("rx", "prefix", "ftp://not.http/")).toDF(
       "rule_id", "kind", "pattern")
-    val e = intercept[Exception] {
-      WebOps.blocklistFilter(docs, bad).collect()
+    val e = intercept[IllegalArgumentException] {
+      WebOps.blocklistFilter(docs, bad)
     }
-    assert(e.getMessage.contains("not an http(s) URL") ||
-      Option(e.getCause).exists(_.getMessage.contains("not an http(s) URL")))
+    assert(e.getMessage.contains("invalid rule"))
+    val typo = Seq(("rt", "domian", "spam.com")).toDF(
+      "rule_id", "kind", "pattern")
+    val e2 = intercept[IllegalArgumentException] {
+      WebOps.blocklistFilter(docs, typo)
+    }
+    assert(e2.getMessage.contains("rt"))
+    // case-variant reserved columns refuse too (withColumn resolves
+    // case-insensitively — review finding)
+    val caseClash = Seq((1L, "http://a.com/x", "d"))
+      .toDF("doc_id", "url", "Domain")
+    intercept[IllegalArgumentException] {
+      WebOps.blocklistFilter(caseClash, rules)
+    }
   }
 
   test("blocklistBatch: stateless per-trigger landing, crash-replay " +
