@@ -553,36 +553,49 @@ object WebOps {
       seed: String, idCol: String = "doc_id", urlCol: String = "url",
       tokensCol: String = "est_tokens",
       minTokensCharge: Long = 50L): DataFrame = {
+    requireFreshColumns(docs, "domainTokenQuota", Seq("domain"))
+    domainTokenQuotaBy(docs.withColumn("domain",
+        registrableDomain(urlHostFused(col(urlCol)))),
+      budgetTokens, seed, idCol, tokensCol, minTokensCharge)
+  }
+
+  /** [[domainTokenQuota]] over a PRECOMPUTED grouping column — the
+    * token-budget sibling of [[domainQuotaBy]], composing with
+    * [[withRegistrableDomainPsl]] or any other site key. Same
+    * bounded pre-prune, same exact greedy running sum.
+    */
+  def domainTokenQuotaBy(withDom: DataFrame, budgetTokens: Long,
+      seed: String, idCol: String = "doc_id",
+      tokensCol: String = "est_tokens", minTokensCharge: Long = 50L,
+      domCol: String = "domain"): DataFrame = {
     require(budgetTokens >= 1 && minTokensCharge >= 1,
-      s"domainTokenQuota: budget $budgetTokens and floor " +
+      s"domainTokenQuotaBy: budget $budgetTokens and floor " +
         s"$minTokensCharge must be >= 1")
-    requireFreshColumns(docs, "domainTokenQuota",
-      Seq("domain", "charged", "cum_charged"))
+    requireFreshColumns(withDom, "domainTokenQuotaBy",
+      Seq("charged", "cum_charged", "rn"))
     // the bound is computed in Long FIRST: a budget/floor ratio past
     // 2^31 truncated to Int could wrap into (0, 1e6], slip the guard,
     // and silently under-admit (ADVICE r11)
     val kMaxL = budgetTokens / minTokensCharge + 1L
     require(kMaxL <= 1000000L,
-      s"domainTokenQuota: budget/floor admits up to $kMaxL docs per " +
-        "domain — the bounded pre-prune carries that many (priority, " +
-        "id) pairs per (domain, task); raise minTokensCharge or " +
-        "lower the budget")
+      s"domainTokenQuotaBy: budget/floor admits up to $kMaxL docs " +
+        "per domain — the bounded pre-prune carries that many " +
+        "(priority, id) pairs per (domain, task); raise " +
+        "minTokensCharge or lower the budget")
     val kMax = kMaxL.toInt
-    val withDom = docs.withColumn("domain",
-      registrableDomain(urlHostFused(col(urlCol))))
-      .withColumn("charged",
-        greatest(col(tokensCol).cast("long"), lit(minTokensCharge)))
+    val charged = withDom.withColumn("charged",
+      greatest(col(tokensCol).cast("long"), lit(minTokensCharge)))
     // phase 1: bounded prune — only the first kMax docs per domain
     // (by priority) can possibly fit under the budget, because every
     // doc charges >= the floor
-    val pruned = withDom.join(
-      broadcast(quotaWinners(withDom, kMax, seed, idCol, "domain")),
+    val pruned = charged.join(
+      broadcast(quotaWinners(charged, kMax, seed, idCol, domCol)),
       col(idCol).cast("string") === col("__wid"))
       .drop("__wid", "rn")
     // phase 2: the exact greedy running sum over the bounded winner
     // set — <= kMax rows per domain by construction
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("domain")
+      .partitionBy(domCol)
       .orderBy(ReservoirStore.priorityFor(seed, col(idCol)),
         col(idCol).cast("string"))
       .rowsBetween(org.apache.spark.sql.expressions.Window

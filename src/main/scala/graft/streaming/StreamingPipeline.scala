@@ -1076,6 +1076,28 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming URL/domain blocklist — the stateless first gate of a
+    * crawl ingest wired the same way as the quota leg: each trigger
+    * filters against the (dimension-sized) rule table and lands the
+    * survivors under the producer-scoped batch-tag dir
+    * ([[graft.operators.WebOps.blocklistBatch]]). No store, no
+    * ledger — the per-trigger overwrite is idempotent by
+    * construction, so crash-replay is byte-identical for free.
+    */
+  def blocklistStream(docs: DataFrame, rules: DataFrame,
+      outDir: String, checkpoint: String, urlCol: String = "url",
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.WebOps.blocklistBatch(batch, rules, outDir,
+          batchId, producer = checkpoint, urlCol = urlCol)
+        ()
+      }
+      .start()
+
   /** Streaming SCD2 maintenance into the persisted dimension
     * ([[graft.operators.HistoryStore]]): each trigger folds one change
     * batch — per-touched-key work against bucket-pruned reads, never

@@ -505,6 +505,47 @@ class WebOpsSpec extends SparkSpec {
     assert(landed.filter(col("domain").isNull).count() === 6L)
   }
 
+  test("blocklistStream end-to-end: per-trigger stateless filter, " +
+    "landed survivors across all triggers carry no blocked rows") {
+    val d = (0 until 60).map(i => (i.toLong,
+      if (i % 3 == 0) s"http://u$i@spam.com./p$i"   // evasion spellings
+      else s"http://ok${i % 5}.org/p$i")).toDF("doc_id", "url")
+      .localCheckpoint()
+    val src = tmpDir("bls-src")
+    Seq(d.filter(col("doc_id") < 30), d.filter(col("doc_id") >= 30))
+      .foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val rules = Seq(("r1", "domain", "spam.com"))
+      .toDF("rule_id", "kind", "pattern")
+    val out = tmpDir("bls-out")
+    graft.streaming.StreamingPipeline.blocklistStream(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      rules, out, tmpDir("bls-ckpt"))
+      .awaitTermination()
+    val landed = spark.read.parquet(s"$out/b_*")
+    assert(landed.count() === 40) // 20 of 60 carry the blocked domain
+    assert(landed.filter(col("domain") === "spam.com").count() === 0)
+  }
+
+  test("domainTokenQuotaBy composes with PSL domains: independent " +
+    "blogspot subdomains hold independent token budgets") {
+    val rules = WebOps.parsePslRules(spark, WebOps.PslSampleRules)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"site${i % 2}.blogspot.com", 100L)
+    }.toDF("doc_id", "host", "est_tokens")
+    val d = WebOps.withRegistrableDomainPsl(docs, rules,
+      outCol = "domain")
+    val kept = WebOps.domainTokenQuotaBy(d, budgetTokens = 500L,
+      seed = "tb", minTokensCharge = 50L)
+    val perDom = kept.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 100 tokens each, budget 500 -> exactly 5 docs per PSL domain;
+    // under the LITE split both subdomains would share ONE budget
+    assert(perDom === Map("site0.blogspot.com" -> 5L,
+      "site1.blogspot.com" -> 5L))
+    assert(kept.agg(max("cum_charged")).head.getLong(0) === 500L)
+  }
+
   test("domainQuotaStream end-to-end: per-domain admitted counts " +
     "across all triggers respect the quota") {
     val d = urlDocs(90).localCheckpoint() // 3 domains, 30 each
