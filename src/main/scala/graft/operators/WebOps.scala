@@ -689,7 +689,8 @@ object WebOps {
   def quotaBatch(batch: DataFrame, storePath: String, outDir: String,
       batchId: Long, maxPerDomain: Int, seed: String,
       producer: String = "default", idCol: String = "doc_id",
-      urlCol: String = "url", eps: Double = 0.001): Unit = {
+      urlCol: String = "url", eps: Double = 0.001,
+      domainDecorator: Option[DataFrame => DataFrame] = None): Unit = {
     requireFreshColumns(batch, "quotaBatch", Seq("domain", "rn", "__dk"))
     val spark = batch.sparkSession
     IndexStores.healRoot(spark, storePath)
@@ -713,9 +714,19 @@ object WebOps {
       // group, so NO host string can collide with the null group
       // (ADVICE r11 flagged the sentinel form; a tag is
       // collision-free by construction - every real key carries the
-      // prefix, the null key does not)
-      val withDom = b.withColumn("domain",
-        registrableDomain(urlHostFused(col(urlCol))))
+      // prefix, the null key does not). The grouping key itself is
+      // pluggable: domainDecorator (e.g. a PSL decoration) must add
+      // a 'domain' column; the default is the lite registrable split
+      val decorated = domainDecorator match {
+        case Some(dec) =>
+          val out = dec(b)
+          require(out.columns.map(_.toLowerCase).contains("domain"),
+            "quotaBatch: domainDecorator must add a 'domain' column")
+          out
+        case None => b.withColumn("domain",
+          registrableDomain(urlHostFused(col(urlCol))))
+      }
+      val withDom = decorated
         .withColumn("__dk", when(col("domain").isNotNull,
           concat(lit("d:"), col("domain"))).otherwise(lit("n")))
       val ranked = withDom.join(

@@ -1063,18 +1063,31 @@ object StreamingPipeline {
       outDir: String, checkpoint: String, maxPerDomain: Int,
       seed: String = "dq", idCol: String = "doc_id",
       urlCol: String = "url",
-      trigger: Trigger = Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      pslRules: Option[DataFrame] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // optional FULL-PSL grouping: decorate each trigger's batch with
+    // the rule-table registrable domain instead of the lite split —
+    // blogspot/github.io subdomains then hold independent streaming
+    // quotas, same as the batch quota's domainQuotaBy composition
+    val decorator = pslRules.map { rules => (b: DataFrame) =>
+      graft.operators.WebOps.withRegistrableDomainPsl(
+        b.withColumn("__h",
+          graft.operators.WebOps.urlHostFused(col(urlCol))),
+        rules, hostCol = "__h", outCol = "domain").drop("__h")
+    }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.WebOps.quotaBatch(batch, storePath, outDir,
           batchId, maxPerDomain, seed, producer = checkpoint,
-          idCol = idCol, urlCol = urlCol)
+          idCol = idCol, urlCol = urlCol,
+          domainDecorator = decorator)
         ()
       }
       .start()
+  }
 
   /** Streaming URL/domain blocklist — the stateless first gate of a
     * crawl ingest wired the same way as the quota leg: each trigger

@@ -546,6 +546,31 @@ class WebOpsSpec extends SparkSpec {
     assert(kept.agg(max("cum_charged")).head.getLong(0) === 500L)
   }
 
+  test("domainQuotaStream with PSL rules: blogspot subdomains hold " +
+    "independent streaming quotas across triggers") {
+    val d = (0 until 60).map { i =>
+      (i.toLong, s"http://user${i % 2}.blogspot.com/p$i")
+    }.toDF("doc_id", "url").localCheckpoint()
+    val src = tmpDir("wqp-src")
+    Seq(d.filter(col("doc_id") < 30), d.filter(col("doc_id") >= 30))
+      .foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val rules = WebOps.parsePslRules(spark, WebOps.PslSampleRules)
+    val out = tmpDir("wqp-out")
+    graft.streaming.StreamingPipeline.domainQuotaStream(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      tmpDir("wqp-store") + "/f", out, tmpDir("wqp-ckpt"),
+      maxPerDomain = 8, seed = "wqp", pslRules = Some(rules))
+      .awaitTermination()
+    val perDom = spark.read.parquet(s"$out/b_*")
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // under the LITE split both subdomains fuse into blogspot.com
+    // and share ONE quota of 8; under PSL each holds its own
+    assert(perDom === Map("user0.blogspot.com" -> 8L,
+      "user1.blogspot.com" -> 8L), s"got $perDom")
+  }
+
   test("domainQuotaStream end-to-end: per-domain admitted counts " +
     "across all triggers respect the quota") {
     val d = urlDocs(90).localCheckpoint() // 3 domains, 30 each
