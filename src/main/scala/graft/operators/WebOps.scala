@@ -384,21 +384,32 @@ object WebOps {
     * and unknown kinds are rejected EAGERLY over the rule table at
     * prep time.
     */
-  private def blocklistPrep(rules: DataFrame): DataFrame = {
+  /** Validate + normalize a blocklist rule table ONCE (eagerly —
+    * see [[blocklistPrep]]). Callers running several matches over
+    * one immutable rule table (filter + hits, or a streaming leg's
+    * every trigger) should prep once and pass the result anywhere a
+    * rule table is accepted: prepped input is recognized and not
+    * re-validated.
+    */
+  def prepBlocklistRules(rules: DataFrame): DataFrame = {
     // validation is EAGER over the (dimension-sized) rule table, not
     // a raise_error branch inside the projection: the consumers
     // filter on kind, Catalyst pushes that filter below the
     // projection, and an in-plan error branch on the rejected kinds
     // would be optimized into unreachability — a typo'd kind would
-    // silently disable its rule in a SAFETY filter (review finding)
+    // silently disable its rule in a SAFETY filter (review finding).
+    // NULL-proof three-valued logic: a NULL kind/pattern/rule_id must
+    // land in `bad`, not slip the filter as NULL (second review pass)
     val bad = rules
-      .filter(!col("kind").isin("domain", "prefix") ||
+      .filter(col("rule_id").isNull || col("pattern").isNull ||
+        coalesce(!col("kind").isin("domain", "prefix"), lit(true)) ||
         (col("kind") === "prefix" &&
           canonicalizeUrlFused(col("pattern")).isNull))
       .select("rule_id", "kind", "pattern").limit(3).collect()
     require(bad.isEmpty,
-      "blocklist: invalid rule(s) — kind must be 'domain' or " +
-        "'prefix' and prefix patterns must be http(s) URLs: " +
+      "blocklist: invalid rule(s) — rule_id/kind/pattern must be " +
+        "non-null, kind must be 'domain' or 'prefix', and prefix " +
+        "patterns must be http(s) URLs: " +
         bad.map(r => s"${r.getString(0)}(${r.getString(1)}: " +
           s"${r.getString(2)})").mkString(", "))
     rules.select(col("rule_id"), col("kind"), col("pattern"),
@@ -406,6 +417,12 @@ object WebOps {
         .when(col("kind") === "prefix",
           canonicalizeUrlFused(col("pattern"))).as("pat"),
       when(col("kind") === "prefix", urlHostFused(col("pattern"))).as("phost"))
+  }
+
+  private def blocklistPrep(rules: DataFrame): DataFrame = {
+    val cols = rules.columns.toSet
+    if (cols.contains("pat") && cols.contains("phost")) rules
+    else prepBlocklistRules(rules)
   }
 
   /** URL/domain blocklist filter — the FIRST gate of every production
@@ -426,8 +443,7 @@ object WebOps {
     */
   def blocklistFilter(docs: DataFrame, rules: DataFrame,
       urlCol: String = "url"): DataFrame = {
-    requireFreshColumns(docs, "blocklistFilter",
-      Seq("canon_url", "host", "domain"))
+    // fresh-column guard lives in urlParts (one maintenance point)
     val d = urlParts(docs, urlCol)
     val prepped = blocklistPrep(rules)
     val domRules = prepped.filter(col("kind") === "domain")
@@ -610,12 +626,18 @@ object WebOps {
     */
   private def requireFreshColumns(docs: DataFrame, op: String,
       reserved: Seq[String]): Unit = {
-    // lowercase both sides: withColumn resolves CASE-INSENSITIVELY
-    // under the default spark.sql.caseSensitive=false, so an input
-    // 'Domain' would be overwritten by withColumn("domain", ...) —
-    // the guard must catch case variants too (review finding)
-    val clash = docs.columns.map(_.toLowerCase).toSet
-      .intersect(reserved.map(_.toLowerCase).toSet)
+    // the comparison mirrors withColumn's resolution: under the
+    // default spark.sql.caseSensitive=false an input 'Domain' IS
+    // overwritten by withColumn("domain", ...), so case variants
+    // must clash; under caseSensitive=true they coexist legally and
+    // must NOT be refused (second review pass). Reported names are
+    // the CALLER'S spellings, not the folded forms.
+    val fold: String => String =
+      if (docs.sparkSession.sessionState.conf.caseSensitiveAnalysis)
+        identity
+      else _.toLowerCase
+    val reservedSet = reserved.map(fold).toSet
+    val clash = docs.columns.filter(c => reservedSet.contains(fold(c)))
     require(clash.isEmpty,
       s"$op: input already has column(s) ${clash.mkString(", ")} — " +
         s"these are $op output names and would be silently " +
@@ -691,7 +713,8 @@ object WebOps {
       producer: String = "default", idCol: String = "doc_id",
       urlCol: String = "url", eps: Double = 0.001,
       domainDecorator: Option[DataFrame => DataFrame] = None): Unit = {
-    requireFreshColumns(batch, "quotaBatch", Seq("domain", "rn", "__dk"))
+    requireFreshColumns(batch, "quotaBatch",
+      Seq("domain", "rn", "__dk", "est"))
     val spark = batch.sparkSession
     IndexStores.healRoot(spark, storePath)
     val bootstrapped = IndexStores.hasStore(spark, s"$storePath/sketch")

@@ -1071,10 +1071,15 @@ object StreamingPipeline {
     // blogspot/github.io subdomains then hold independent streaming
     // quotas, same as the batch quota's domainQuotaBy composition
     val decorator = pslRules.map { rules => (b: DataFrame) =>
+      // the helper host column must not shadow caller data (the
+      // silent-overwrite class this round's guards refuse)
+      require(!b.columns.map(_.toLowerCase).contains("__dq_psl_host"),
+        "domainQuotaStream: batch already carries __dq_psl_host")
       graft.operators.WebOps.withRegistrableDomainPsl(
-        b.withColumn("__h",
+        b.withColumn("__dq_psl_host",
           graft.operators.WebOps.urlHostFused(col(urlCol))),
-        rules, hostCol = "__h", outCol = "domain").drop("__h")
+        rules, hostCol = "__dq_psl_host", outCol = "domain")
+        .drop("__dq_psl_host")
     }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
