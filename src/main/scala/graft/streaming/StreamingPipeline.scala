@@ -1094,6 +1094,33 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming canonical-URL dedup ([[graft.operators.WebOps
+    * .urlDedupBatch]] per trigger): re-crawl suppression across the
+    * stream's lifetime — within each trigger one md5-priority winner
+    * per canonical URL, across triggers a [[graft.operators
+    * .MembershipStore]] Bloom seen-set (false = definitely new, so a
+    * URL is never admitted twice; distinct URLs over-drop at ≤ fpp).
+    * Survivors land under producer-scoped `outDir/b_*` tags; the
+    * store extend is ledger-fenced exactly-once. O(batch) per
+    * trigger, the corpus never rescanned.
+    */
+  def urlDedupStream(docs: DataFrame, storePath: String,
+      outDir: String, checkpoint: String, expectedUrls: Long,
+      seed: String = "ud", idCol: String = "doc_id",
+      urlCol: String = "url", fpp: Double = 0.01,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.WebOps.urlDedupBatch(batch, storePath, outDir,
+          batchId, expectedUrls, seed, producer = checkpoint,
+          idCol = idCol, urlCol = urlCol, fpp = fpp)
+        ()
+      }
+      .start()
+
   /** Streaming URL/domain blocklist — the stateless first gate of a
     * crawl ingest wired the same way as the quota leg: each trigger
     * filters against the (dimension-sized) rule table and lands the

@@ -546,6 +546,56 @@ class WebOpsSpec extends SparkSpec {
     assert(kept.agg(max("cum_charged")).head.getLong(0) === 500L)
   }
 
+  test("urlDedupStream: within-trigger canonical collapse, " +
+    "cross-trigger Bloom seen-set, crash-replay idempotent, " +
+    "non-http rows pass through") {
+    // trigger 0: p0..p9 with canonicalization-variant duplicates
+    // (case/port/tracking/userinfo) + one non-http row; trigger 1:
+    // re-crawls of p0..p9 plus fresh p10..p14
+    def mk(ids: Seq[Int], re: Boolean) = ids.map { i =>
+      val p = i % 10
+      val u =
+        if (i == -1) "mailto:x@y.com"
+        else if (re) s"HTTPS://Example.COM:443/p$p?utm_x=$i"
+        else if (i % 2 == 0) s"https://example.com/p$p"
+        else s"https://u$i@example.com./p$p?fbclid=$i"
+      (i.toLong, u)
+    }.toDF("doc_id", "url")
+    val src = tmpDir("uds-src")
+    mk((0 until 20) :+ -1, re = false).coalesce(1)
+      .write.mode("append").parquet(src)   // trigger 0: p0..p9 ×2 + mailto
+    mk(100 until 115, re = true).coalesce(1)
+      .write.mode("append").parquet(src)   // trigger 1: p0..p4 re-crawled ×3, p10.. fresh? (ids 100..114 -> p0..p4 thrice)
+    val out = tmpDir("uds-out"); val store = tmpDir("uds-store") + "/m"
+    graft.streaming.StreamingPipeline.urlDedupStream(
+      spark.readStream.schema(mk(Seq(0), re = false).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      store, out, tmpDir("uds-ckpt"), expectedUrls = 1000L)
+      .awaitTermination()
+    val landed = spark.read.parquet(s"$out/b_*")
+    // 10 distinct canonical pages + the non-http pass-through; the
+    // re-crawl trigger contributes NOTHING (all its canon urls seen)
+    assert(landed.filter(col("canon_url").isNotNull)
+      .select("canon_url").distinct().count() === 10)
+    assert(landed.filter(col("canon_url").isNotNull).count() === 10)
+    assert(landed.filter(col("canon_url").isNull).count() === 1)
+    // direct-batch replay posture on a fresh store: a ledgered
+    // (producer, batch) returns before touching anything, and a
+    // trigger of pure re-crawls lands zero new http rows
+    val st2 = tmpDir("uds2-store") + "/m"; val out2 = tmpDir("uds2-out")
+    def run(ids: Seq[Int], re: Boolean, bid: Long) =
+      WebOps.urlDedupBatch(mk(ids, re), st2, out2, bid,
+        expectedUrls = 1000L, seed = "ud", producer = "p")
+    run((0 until 20) :+ -1, re = false, 0L)
+    def count2() = spark.read.parquet(s"$out2/b_*").count()
+    val n1 = count2()
+    assert(n1 === 11) // 10 canonical pages + the mailto pass-through
+    run((0 until 20) :+ -1, re = false, 0L) // replay: ledger no-op
+    assert(count2() === n1)
+    run(100 until 115, re = true, 1L) // all re-crawls: nothing new
+    assert(count2() === n1)
+  }
+
   test("domainQuotaStream with PSL rules: blogspot subdomains hold " +
     "independent streaming quotas across triggers") {
     val d = (0 until 60).map { i =>
