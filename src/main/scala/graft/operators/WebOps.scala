@@ -442,15 +442,31 @@ object WebOps {
     * forum).
     */
   def blocklistFilter(docs: DataFrame, rules: DataFrame,
-      urlCol: String = "url"): DataFrame = {
+      urlCol: String = "url"): DataFrame =
     // fresh-column guard lives in urlParts (one maintenance point)
-    val d = urlParts(docs, urlCol)
+    blocklistFilterBy(urlParts(docs, urlCol), rules)
+
+  /** [[blocklistFilter]] over an ALREADY-DECORATED frame — the face
+    * that composes with [[withRegistrableDomainPsl]]: decorate with
+    * `urlParts`, overwrite `domain` with the PSL split (or any other
+    * site key), then filter, and the DOMAIN rules match the caller's
+    * domain definition. Requires `canon_url`, `host` and `domain`
+    * columns; prefix rules are domain-definition-independent (they
+    * match host + canonical URL).
+    */
+  def blocklistFilterBy(decorated: DataFrame,
+      rules: DataFrame): DataFrame = {
+    val have = decorated.columns.map(_.toLowerCase).toSet
+    require(Seq("canon_url", "host", "domain").forall(have.contains),
+      "blocklistFilterBy: input must carry canon_url/host/domain " +
+        "(urlParts or an equivalent decoration)")
     val prepped = blocklistPrep(rules)
     val domRules = prepped.filter(col("kind") === "domain")
       .select(col("pat").as("__bl_dom"))
     val preRules = prepped.filter(col("kind") === "prefix")
       .select(col("pat").as("__bl_pre"), col("phost").as("__bl_phost"))
-    d.join(broadcast(domRules), col("domain") === col("__bl_dom"),
+    decorated
+      .join(broadcast(domRules), col("domain") === col("__bl_dom"),
         "left_anti")
       .join(broadcast(preRules),
         col("host") === col("__bl_phost") &&

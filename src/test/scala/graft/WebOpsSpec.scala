@@ -303,6 +303,32 @@ class WebOpsSpec extends SparkSpec {
     }
   }
 
+  test("blocklistFilterBy composes with PSL domains: a domain rule " +
+    "blocks ONE blogspot subdomain, not the whole private suffix") {
+    val rules = Seq(("r1", "domain", "bad.blogspot.com"))
+      .toDF("rule_id", "kind", "pattern")
+    val psl = WebOps.parsePslRules(spark, WebOps.PslSampleRules)
+    val docs = Seq(
+      (1L, "https://bad.blogspot.com/a"),
+      (2L, "https://good.blogspot.com/b"),
+      (3L, "https://x.bad.blogspot.com/c"))
+      .toDF("doc_id", "url")
+    // decorate with urlParts, then OVERWRITE domain with the PSL split
+    val decorated = WebOps.urlParts(docs).drop("domain")
+      .transform(WebOps.withRegistrableDomainPsl(_, psl,
+        outCol = "domain"))
+    val kept = WebOps.blocklistFilterBy(decorated, rules)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L)) // 1 and its subdomain 3 blocked; 2 kept
+    // under the LITE split the same rule would block NOTHING
+    // (domain = blogspot.com ≠ bad.blogspot.com for every row)
+    assert(WebOps.blocklistFilter(docs, rules).count() === 3)
+    // missing decoration refuses loudly
+    intercept[IllegalArgumentException] {
+      WebOps.blocklistFilterBy(docs, rules)
+    }
+  }
+
   test("blocklistBatch: stateless per-trigger landing, crash-replay " +
     "overwrites byte-identically") {
     val out = tmpDir("bl-out")
