@@ -197,6 +197,52 @@ private[graft] object IndexStores {
   // ---- tag-ledger machinery (shared by the delta-tag stores:
   // HistoryStore, RollupStore) --------------------------------------
 
+  /** THE ledger-fenced curation-trigger skeleton every sketch-backed
+    * streaming curation shares (novelty curation, domain quota, URL
+    * dedup — third-review finding: three hand copies meant every
+    * hardening of the replay posture had to land three times). One
+    * implementation of the invariant chain:
+    *
+    *  1. heal the store root, read the (producer, batchId) ledger —
+    *     a LEDGERED trigger returns before touching anything (its
+    *     output landed before the extend committed; re-scoring
+    *     against the extended store would flip verdicts);
+    *  2. pin the batch (localCheckpoint) and `compute` the kept rows
+    *     against the CURRENT store state (`bootstrapped` tells the
+    *     first trigger apart — an absent store has seen nothing);
+    *  3. land the kept rows under the producer-scoped tag dir
+    *     (idempotent overwrite + schema-bearing guarantee), THEN
+    *  4. `extendKept` folds them into the store, ledger-fenced by the
+    *     store's own extend — so a crash between 3 and 4 replays
+    *     deterministically (store unchanged ⇒ identical verdicts ⇒
+    *     byte-identical overwrite).
+    *
+    * Checkpoint bookkeeping (the releaseNewRdds discipline) wraps the
+    * whole step. `compute`'s result is pinned before the write so the
+    * extend re-reads the landed decision, not a recomputation.
+    */
+  def fencedCurationStep(batch: DataFrame, storePath: String,
+      outDir: String, batchId: Long, producer: String)
+      (compute: (DataFrame, Boolean) => DataFrame)
+      (extendKept: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    healRoot(spark, storePath)
+    val bootstrapped = hasStore(spark, s"$storePath/sketch")
+    if (bootstrapped && sketchBatches(spark, storePath)
+        .contains((producer, batchId)))
+      return // fully applied: output landed before the extend committed
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val b = batch.localCheckpoint(true)
+      val kept = compute(b, bootstrapped).localCheckpoint(true)
+      val dir = s"$outDir/${tagFor(producer, batchId)}"
+      kept.write.mode("overwrite").parquet(dir)
+      forceSchemaBearing(kept, dir)
+      extendKept(kept)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+  }
+
   /** The per-batch tag a delta-tag store writes its delta under:
     * producer-scoped (md5 prefix — a bare foreachBatch id is monotonic
     * only per checkpoint, so two streams' batch 0 would collide), with

@@ -148,37 +148,23 @@ object MembershipStore {
       producer: String = "default",
       minNoveltyPpm: Long = 500000L, k: Int = 3,
       fpp: Double = 0.01): Unit = {
-    val spark = batch.sparkSession
-    IndexStores.healRoot(spark, storePath)
-    val bootstrapped = IndexStores.hasStore(spark, s"$storePath/sketch")
-    if (bootstrapped &&
-        appliedBatches(spark, storePath).contains((producer, batchId)))
-      return // fully applied: output landed before the extend committed
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    try {
-      val b = batch.localCheckpoint(true)
-      val kept =
-        if (!bootstrapped) b
-        else {
-          val keepIds = novelty(TextOps.shingles(b, k), "doc_id",
-            col("s"), storePath)
-            .filter(col("novelty_est_ppm") >= minNoveltyPpm)
-            .select("doc_id")
-          b.join(keepIds, Seq("doc_id"), "left_semi")
-        }
-      val keptPinned = kept.localCheckpoint(true)
-      // producer-scoped output dir (the tag convention): a re-pointed
-      // checkpoint restarting at batch 0 lands beside, never OVER,
-      // another producer's curated output — and the write forces a
-      // schema-bearing file even when the trigger kept nothing (an
-      // empty parquet dir cannot be read back)
-      val dir = s"$outDir/${IndexStores.tagFor(producer, batchId)}"
-      keptPinned.write.mode("overwrite").parquet(dir)
-      IndexStores.forceSchemaBearing(keptPinned, dir)
-      extend(TextOps.shingles(keptPinned, k), col("s"), storePath,
+    // the fence/land/extend chain is the shared skeleton
+    // (IndexStores.fencedCurationStep — one implementation of the
+    // replay posture for all sketch-backed curations)
+    IndexStores.fencedCurationStep(batch, storePath, outDir, batchId,
+        producer) { (b, bootstrapped) =>
+      if (!bootstrapped) b
+      else {
+        val keepIds = novelty(TextOps.shingles(b, k), "doc_id",
+          col("s"), storePath)
+          .filter(col("novelty_est_ppm") >= minNoveltyPpm)
+          .select("doc_id")
+        b.join(keepIds, Seq("doc_id"), "left_semi")
+      }
+    } { kept =>
+      extend(TextOps.shingles(kept, k), col("s"), storePath,
         batchId, expectedItems, fpp, producer = producer)
-    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+    }
   }
 
   /** One-row store summary: geometry, exact insertions so far, the

@@ -456,7 +456,14 @@ object WebOps {
     */
   def blocklistFilterBy(decorated: DataFrame,
       rules: DataFrame): DataFrame = {
-    val have = decorated.columns.map(_.toLowerCase).toSet
+    // same conf-aware fold as requireFreshColumns: under
+    // caseSensitive=true a 'Canon_URL' column does NOT resolve
+    // col("canon_url"), so it must not satisfy the guard
+    val fold: String => String =
+      if (decorated.sparkSession.sessionState.conf.caseSensitiveAnalysis)
+        identity
+      else _.toLowerCase
+    val have = decorated.columns.map(fold).toSet
     require(Seq("canon_url", "host", "domain").forall(have.contains),
       "blocklistFilterBy: input must carry canon_url/host/domain " +
         "(urlParts or an equivalent decoration)")
@@ -731,31 +738,19 @@ object WebOps {
       domainDecorator: Option[DataFrame => DataFrame] = None): Unit = {
     requireFreshColumns(batch, "quotaBatch",
       Seq("domain", "rn", "__dk", "est"))
-    val spark = batch.sparkSession
-    IndexStores.healRoot(spark, storePath)
-    val bootstrapped = IndexStores.hasStore(spark, s"$storePath/sketch")
-    if (bootstrapped && IndexStores.sketchBatches(spark, storePath)
-        .contains((producer, batchId)))
-      return // fully applied: output landed before the extend committed
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    try {
-      val b = batch.localCheckpoint(true)
+    IndexStores.fencedCurationStep(batch, storePath, outDir, batchId,
+        producer) { (b, bootstrapped) =>
       // the NULL domain (non-http URL) is its own quota group, like
       // every grouped operator here — but the CMS key is
       // null-intolerant (estimate would go NULL and the filter would
       // silently drop the group from trigger 1 on, after the
       // bootstrap trigger ADMITTED it), so ranking, estimate and
-      // extend all run on an internal never-null counting key; the
-      // landed payload keeps the real (possibly null) domain
-      // The key is prefix-TAGGED, not coalesced-to-a-sentinel: 'd:'
-      // + domain for real domains vs the bare 'n' for the null
-      // group, so NO host string can collide with the null group
-      // (ADVICE r11 flagged the sentinel form; a tag is
-      // collision-free by construction - every real key carries the
-      // prefix, the null key does not). The grouping key itself is
-      // pluggable: domainDecorator (e.g. a PSL decoration) must add
-      // a 'domain' column; the default is the lite registrable split
+      // extend all run on an internal never-null counting key
+      // (dkOf: prefix-TAGGED, collision-free — ADVICE r11); the
+      // landed payload keeps the real (possibly null) domain. The
+      // grouping key itself is pluggable: domainDecorator (e.g. a
+      // PSL decoration) must add a 'domain' column; the default is
+      // the lite registrable split
       val decorated = domainDecorator match {
         case Some(dec) =>
           val out = dec(b)
@@ -765,9 +760,7 @@ object WebOps {
         case None => b.withColumn("domain",
           registrableDomain(urlHostFused(col(urlCol))))
       }
-      val withDom = decorated
-        .withColumn("__dk", when(col("domain").isNotNull,
-          concat(lit("d:"), col("domain"))).otherwise(lit("n")))
+      val withDom = decorated.withColumn("__dk", dkOf)
       val ranked = withDom.join(
         broadcast(quotaWinners(withDom, maxPerDomain, seed, idCol,
           "__dk")),
@@ -777,18 +770,26 @@ object WebOps {
         if (bootstrapped)
           FrequencyStore.estimate(ranked, col("__dk"), storePath)
         else ranked.withColumn("est", lit(0L))
-      val admitted = est
-        .filter(col("rn") <=
+      est.filter(col("rn") <=
           greatest(lit(0L), lit(maxPerDomain.toLong) - col("est")))
-        .drop("rn", "est")
-        .localCheckpoint(true)
-      val dir = s"$outDir/${IndexStores.tagFor(producer, batchId)}"
-      admitted.drop("__dk").write.mode("overwrite").parquet(dir)
-      IndexStores.forceSchemaBearing(admitted.drop("__dk"), dir)
-      FrequencyStore.extend(admitted, col("__dk"), storePath,
-        batchId, eps = eps, producer = producer)
-    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+        .drop("rn", "est", "__dk")
+    } { admitted =>
+      // the counting key is re-derived from the landed 'domain' (a
+      // pure deterministic projection), so the extend folds exactly
+      // what landed
+      FrequencyStore.extend(admitted.withColumn("__dk", dkOf),
+        col("__dk"), storePath, batchId, eps = eps,
+        producer = producer)
+    }
   }
+
+  /** The never-null CMS counting key: 'd:' + domain for real
+    * domains, the bare 'n' for the null group — prefix-tagged so no
+    * host string can collide with the null group (ADVICE r11).
+    */
+  private def dkOf: Column =
+    when(col("domain").isNotNull,
+      concat(lit("d:"), col("domain"))).otherwise(lit("n"))
 
   /** HTML → text extraction — the step a crawl pipeline runs before
     * ANY text operator (quality, dedup, langid all assume prose, and
@@ -871,40 +872,42 @@ object WebOps {
       fpp: Double = 0.01): Unit = {
     requireFreshColumns(batch, "urlDedupBatch",
       Seq("canon_url", "rn", "seen"))
-    val spark = batch.sparkSession
-    IndexStores.healRoot(spark, storePath)
-    val bootstrapped = IndexStores.hasStore(spark, s"$storePath/sketch")
-    if (bootstrapped && IndexStores.sketchBatches(spark, storePath)
-        .contains((producer, batchId)))
-      return // fully applied: output landed before the extend committed
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    try {
-      val b = batch.localCheckpoint(true)
+    IndexStores.fencedCurationStep(batch, storePath, outDir, batchId,
+        producer) { (b, bootstrapped) =>
       val withCanon = b.withColumn("canon_url",
         canonicalizeUrlFused(col(urlCol)))
       val http = withCanon.filter(col("canon_url").isNotNull)
       val nonHttp = withCanon.filter(col("canon_url").isNull)
-      // within-trigger first-occurrence: k = 1 per canonical URL by
-      // the md5 priority — the quota machinery with quota 1
-      val deduped = http.join(
-        broadcast(quotaWinners(http, 1, seed, idCol, "canon_url")),
-        col(idCol).cast("string") === col("__wid"))
-        .drop("__wid", "rn")
+      // within-trigger first-occurrence: the md5-priority winner per
+      // canonical URL via min_by — a HASH AGGREGATE with map-side
+      // partials (O(1) state per group), NOT the quota family's
+      // broadcast-winners join: canonical URLs are ~distinct in a
+      // frontier batch, so a winner table would be batch-sized and
+      // broadcasting it would collect the whole trigger to the
+      // driver (third-review finding). The ordering struct
+      // (priority, id-string) is unique per row under the unique-id
+      // contract, so min_by is deterministic.
+      val idStr = when(col(idCol).isNotNull, col(idCol).cast("string"))
+        .otherwise(raise_error(lit(
+          s"urlDedupBatch: null $idCol — ids must be non-null to rank")))
+      val deduped = http
+        .groupBy(col("canon_url"))
+        .agg(min_by(struct(http.columns.map(col): _*),
+          struct(ReservoirStore.priorityFor(seed, idStr), idStr))
+          .as("__r"))
+        .select(col("__r.*"))
       // cross-trigger: the Bloom seen-set (false = definitely new)
       val fresh =
         if (bootstrapped)
           MembershipStore.seen(deduped, col("canon_url"), storePath)
             .filter(!col("seen")).drop("seen")
         else deduped
-      val kept = fresh.unionByName(nonHttp).localCheckpoint(true)
-      val dir = s"$outDir/${IndexStores.tagFor(producer, batchId)}"
-      kept.write.mode("overwrite").parquet(dir)
-      IndexStores.forceSchemaBearing(kept, dir)
+      fresh.unionByName(nonHttp)
+    } { kept =>
       MembershipStore.extend(kept.filter(col("canon_url").isNotNull),
         col("canon_url"), storePath, batchId, expectedUrls, fpp,
         producer)
-    } finally graft.BenchUtil.releaseNewRdds(sc, before)
+    }
   }
 
   /** The EXACT HTML → text leg ([[graft.functions.HtmlTextScan]] —

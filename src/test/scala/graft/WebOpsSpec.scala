@@ -587,11 +587,15 @@ class WebOpsSpec extends SparkSpec {
         else s"https://u$i@example.com./p$p?fbclid=$i"
       (i.toLong, u)
     }.toDF("doc_id", "url")
+    def fresh(ids: Seq[Int]) = ids.map(i =>
+      (i.toLong, s"https://example.com/fresh$i")).toDF("doc_id", "url")
     val src = tmpDir("uds-src")
     mk((0 until 20) :+ -1, re = false).coalesce(1)
-      .write.mode("append").parquet(src)   // trigger 0: p0..p9 ×2 + mailto
+      .write.mode("append").parquet(src)   // trigger: p0..p9 ×2 + mailto
     mk(100 until 115, re = true).coalesce(1)
-      .write.mode("append").parquet(src)   // trigger 1: p0..p4 re-crawled ×3, p10.. fresh? (ids 100..114 -> p0..p4 thrice)
+      .write.mode("append").parquet(src)   // trigger: re-crawls only
+    fresh(200 until 205).coalesce(1)
+      .write.mode("append").parquet(src)   // trigger: genuinely NEW urls
     val out = tmpDir("uds-out"); val store = tmpDir("uds-store") + "/m"
     graft.streaming.StreamingPipeline.urlDedupStream(
       spark.readStream.schema(mk(Seq(0), re = false).schema)
@@ -599,11 +603,15 @@ class WebOpsSpec extends SparkSpec {
       store, out, tmpDir("uds-ckpt"), expectedUrls = 1000L)
       .awaitTermination()
     val landed = spark.read.parquet(s"$out/b_*")
-    // 10 distinct canonical pages + the non-http pass-through; the
-    // re-crawl trigger contributes NOTHING (all its canon urls seen)
+    // 10 canonical pages from trigger 0 + the 5 genuinely-new urls
+    // from the last trigger + the non-http pass-through; the pure
+    // re-crawl trigger contributes NOTHING. The fresh-url leg is the
+    // polarity tripwire: an inverted seen-filter (dropping everything
+    // once the store exists) would pass a re-crawl-only spec verbatim
     assert(landed.filter(col("canon_url").isNotNull)
-      .select("canon_url").distinct().count() === 10)
-    assert(landed.filter(col("canon_url").isNotNull).count() === 10)
+      .select("canon_url").distinct().count() === 15)
+    assert(landed.filter(col("canon_url").isNotNull).count() === 15)
+    assert(landed.filter(col("canon_url").contains("fresh")).count() === 5)
     assert(landed.filter(col("canon_url").isNull).count() === 1)
     // direct-batch replay posture on a fresh store: a ledgered
     // (producer, batch) returns before touching anything, and a
@@ -620,6 +628,10 @@ class WebOpsSpec extends SparkSpec {
     assert(count2() === n1)
     run(100 until 115, re = true, 1L) // all re-crawls: nothing new
     assert(count2() === n1)
+    // genuinely NEW urls against the bootstrapped store must LAND
+    WebOps.urlDedupBatch(fresh(300 until 305), st2, out2, 2L,
+      expectedUrls = 1000L, seed = "ud", producer = "p")
+    assert(count2() === n1 + 5)
   }
 
   test("domainQuotaStream with PSL rules: blogspot subdomains hold " +
