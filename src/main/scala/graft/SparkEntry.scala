@@ -130,6 +130,7 @@ object SparkEntry {
     "domain_quota_psl" -> (graft.queries.ExtQueries.domainQuotaPsl(_, _)),
     "domain_stats" -> (graft.queries.ExtQueries.domainStatsGate(_, _)),
     "dedup_url" -> (graft.queries.ExtQueries.dedupUrl(_, _)),
+    "url_dedup_first" -> (graft.queries.ExtQueries.urlDedupFirst(_, _)),
     "html_strip" -> (graft.queries.ExtQueries.htmlStrip(_, _)),
     "html_strip_scan" -> (graft.queries.ExtQueries.htmlStripScan(_, _)),
     "domain_token_quota" -> (graft.queries.ExtQueries.domainTokenQuotaGate(_, _)),

@@ -837,6 +837,38 @@ object WebOps {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Batch first-occurrence dedup by CANONICAL URL: one
+    * md5-priority winner per canonical form (full row preserved),
+    * non-http rows passed through untouched. The deterministic
+    * winner selection is a `min_by` HASH AGGREGATE — O(1) state per
+    * group with map-side partials, no window over a hot URL, no
+    * broadcast of a corpus-sized winner table — and is
+    * oracle-replayable (gate `url_dedup_first` pins it against a
+    * DuckDB window replay). [[urlDedupBatch]] runs this per trigger
+    * before its cross-trigger Bloom.
+    */
+  def firstOccurrenceByCanonUrl(docs: DataFrame, seed: String,
+      idCol: String = "doc_id", urlCol: String = "url"): DataFrame = {
+    requireFreshColumns(docs, "firstOccurrenceByCanonUrl",
+      Seq("canon_url"))
+    val withCanon = docs.withColumn("canon_url",
+      canonicalizeUrlFused(col(urlCol)))
+    val http = withCanon.filter(col("canon_url").isNotNull)
+    val nonHttp = withCanon.filter(col("canon_url").isNull)
+    // the ordering struct (priority, id-string) is unique per row
+    // under the unique-id contract, so min_by is deterministic
+    val idStr = when(col(idCol).isNotNull, col(idCol).cast("string"))
+      .otherwise(raise_error(lit(
+        s"firstOccurrenceByCanonUrl: null $idCol — ids must be " +
+          "non-null to rank")))
+    http.groupBy(col("canon_url"))
+      .agg(min_by(struct(http.columns.map(col): _*),
+        struct(ReservoirStore.priorityFor(seed, idStr), idStr))
+        .as("__r"))
+      .select(col("__r.*"))
+      .unionByName(nonHttp)
+  }
+
   /** One streaming URL-dedup trigger — re-crawl suppression by
     * CANONICAL URL across the stream's whole lifetime (the crawl
     * frontier's seen-set, which no per-trigger distinct can provide):
@@ -874,34 +906,21 @@ object WebOps {
       Seq("canon_url", "rn", "seen"))
     IndexStores.fencedCurationStep(batch, storePath, outDir, batchId,
         producer) { (b, bootstrapped) =>
-      val withCanon = b.withColumn("canon_url",
-        canonicalizeUrlFused(col(urlCol)))
-      val http = withCanon.filter(col("canon_url").isNotNull)
-      val nonHttp = withCanon.filter(col("canon_url").isNull)
-      // within-trigger first-occurrence: the md5-priority winner per
-      // canonical URL via min_by — a HASH AGGREGATE with map-side
-      // partials (O(1) state per group), NOT the quota family's
+      // within-trigger first-occurrence: the shared (oracle-pinned)
+      // min_by winner selection — NOT the quota family's
       // broadcast-winners join: canonical URLs are ~distinct in a
       // frontier batch, so a winner table would be batch-sized and
       // broadcasting it would collect the whole trigger to the
-      // driver (third-review finding). The ordering struct
-      // (priority, id-string) is unique per row under the unique-id
-      // contract, so min_by is deterministic.
-      val idStr = when(col(idCol).isNotNull, col(idCol).cast("string"))
-        .otherwise(raise_error(lit(
-          s"urlDedupBatch: null $idCol — ids must be non-null to rank")))
-      val deduped = http
-        .groupBy(col("canon_url"))
-        .agg(min_by(struct(http.columns.map(col): _*),
-          struct(ReservoirStore.priorityFor(seed, idStr), idStr))
-          .as("__r"))
-        .select(col("__r.*"))
+      // driver (third-review finding)
+      val deduped = firstOccurrenceByCanonUrl(b, seed, idCol, urlCol)
+      val http = deduped.filter(col("canon_url").isNotNull)
+      val nonHttp = deduped.filter(col("canon_url").isNull)
       // cross-trigger: the Bloom seen-set (false = definitely new)
       val fresh =
         if (bootstrapped)
-          MembershipStore.seen(deduped, col("canon_url"), storePath)
+          MembershipStore.seen(http, col("canon_url"), storePath)
             .filter(!col("seen")).drop("seen")
-        else deduped
+        else http
       fresh.unionByName(nonHttp)
     } { kept =>
       MembershipStore.extend(kept.filter(col("canon_url").isNotNull),

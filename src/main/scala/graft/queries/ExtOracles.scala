@@ -1526,6 +1526,29 @@ object ExtOracles {
         |  count(*) AS n_dups
         |FROM vd GROUP BY canon_url ORDER BY canon_url""".stripMargin,
 
+    // replays WebOps.firstOccurrenceByCanonUrl as the
+    // per-canonical-URL window over the same md5 priority — the
+    // min_by ≡ window equivalence the streaming URL dedup rests on
+    "url_dedup_first" ->
+      s"""WITH u3 AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) ||
+        |  '://' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'Example' ELSE 'EXAMPLE' END) ||
+        |  CAST((doc_id % 250) % 5 AS VARCHAR) || '.com' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+        |  '/p/' || CAST(doc_id % 250 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_x=1&a=1' ELSE '?a=1' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END)
+        |  AS url FROM documents),
+        |${canonChain(src = "u3", p = "w3")}
+        |, fk AS (SELECT doc_id, canon_url,
+        |    md5('udf:' || CAST(doc_id AS VARCHAR)) AS pri FROM w3d),
+        |fr AS (SELECT doc_id, canon_url,
+        |    row_number() OVER (PARTITION BY canon_url
+        |      ORDER BY pri, CAST(doc_id AS VARCHAR)) AS rn FROM fk)
+        |SELECT doc_id, canon_url FROM fr WHERE rn = 1
+        |ORDER BY canon_url""".stripMargin,
+
     // replays WebOps.domainTokenQuota as the PURE per-domain window
     // (the operator's bounded pre-prune is plan-side only): charge =
     // greatest(ceil(len/4), 50), greedy prefix by (md5 pri, id) while

@@ -1825,8 +1825,21 @@ object ExtQueries {
     * keeps the min doc_id per canonical URL with the duplicate
     * count. Oracle replays canonicalization + the group-by.
     */
-  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).withColumn("url", concat(
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame =
+    dedupUrlDocs(spark, dir)
+      .withColumn("canon_url",
+        graft.operators.WebOps.canonicalizeUrl(col("url")))
+      .groupBy("canon_url")
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_dups"))
+      .orderBy("canon_url")
+
+  /** The 250-page duplicated-crawl fixture both url-dedup gates
+    * share: every page appears twice under canonicalization-variant
+    * raw URLs.
+    */
+  private def dedupUrlDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).withColumn("url", concat(
       when(col("doc_id") % 2 === 0, "https").otherwise("HTTPS"),
       lit("://"),
       when(col("doc_id") % 2 === 0, "Example").otherwise("EXAMPLE"),
@@ -1835,13 +1848,22 @@ object ExtQueries {
       lit("/p/"), (col("doc_id") % 250).cast("string"),
       when(col("doc_id") % 4 === 0, "?utm_x=1&a=1").otherwise("?a=1"),
       when(col("doc_id") % 5 === 0, "#top").otherwise("")))
-    d.withColumn("canon_url",
-        graft.operators.WebOps.canonicalizeUrl(col("url")))
-      .groupBy("canon_url")
-      .agg(min(col("doc_id")).as("keep_doc_id"),
-        count(lit(1)).as("n_dups"))
+
+  /** First-occurrence dedup by canonical URL
+    * ([[graft.operators.WebOps.firstOccurrenceByCanonUrl]] — the
+    * deterministic winner selection [[graft.operators.WebOps
+    * .urlDedupBatch]] runs per trigger): one md5-priority winner per
+    * canonical form via the min_by hash aggregate. The oracle
+    * replays the selection as the per-canonical-URL window over the
+    * same priority — hash-green proves min_by ≡ the window form,
+    * winner identity included (the exact equivalence the streaming
+    * dedup's admitted set rests on).
+    */
+  def urlDedupFirst(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WebOps.firstOccurrenceByCanonUrl(
+      dedupUrlDocs(spark, dir), seed = "udf")
+      .select("doc_id", "canon_url")
       .orderBy("canon_url")
-  }
 
   /** Per-domain TOKEN budget
     * ([[graft.operators.WebOps.domainTokenQuota]], 900 tokens per
