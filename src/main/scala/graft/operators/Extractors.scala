@@ -433,10 +433,11 @@ object QueueExtractor extends Extractor {
     // the batch never touches driver heap — the ordered limit drains
     // through one (spillable) executor task into the staging dir, so
     // batchSize is bounded by executor disk, not driver memory.
-    // Lifetime matches the ack contract exactly: the files outlive
-    // the load (unlike evictable localCheckpoint blocks) and are
-    // removed in cleanup(), which the runner fires only after
-    // load + commit.
+    // Lifetime: the files outlive the load (unlike evictable
+    // localCheckpoint blocks) and are removed in cleanup(), which the
+    // runner fires ALWAYS — success or failure (runBatch's finally;
+    // see the cleanup contract note below) — safe because a failed
+    // batch was never acked and the retry re-snapshots from the queue.
     val dir = s"${inflightRoot(spec)}/b_${java.util.UUID.randomUUID()}"
     view.write.mode("overwrite").parquet(dir)
     // an empty drain must still leave a READABLE snapshot (schema

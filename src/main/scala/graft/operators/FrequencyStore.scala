@@ -57,10 +57,11 @@ object FrequencyStore {
     */
   def write(df: DataFrame, key: Column, path: String,
       eps: Double = 0.001, confidence: Double = 0.99,
-      seed: Int = 42): Unit = {
+      seed: Int = 42, keyFormat: String = ""): Unit = {
     val (bytes, n) = sketchAndCount(df, key, eps, confidence, seed)
     publish(df.sparkSession, path, bytes, eps, confidence, seed,
-      totalItems = n, batches = Seq.empty, generation = 1L)
+      totalItems = n, batches = Seq.empty, generation = 1L,
+      keyFormat = keyFormat)
   }
 
   /** Merge a batch into the store, exactly once per (producer,
@@ -75,13 +76,15 @@ object FrequencyStore {
     */
   def extend(df: DataFrame, key: Column, path: String, batchId: Long,
       eps: Double = 0.001, confidence: Double = 0.99,
-      seed: Int = 42, producer: String = "default"): Unit = {
+      seed: Int = 42, producer: String = "default",
+      keyFormat: String = ""): Unit = {
     val spark = df.sparkSession
     IndexStores.healRoot(spark, path)
     if (!IndexStores.hasStore(spark, s"$path/sketch")) {
       val (bytes, n) = sketchAndCount(df, key, eps, confidence, seed)
       publish(spark, path, bytes, eps, confidence, seed, totalItems = n,
-        batches = Seq((producer, batchId)), generation = 1L)
+        batches = Seq((producer, batchId)), generation = 1L,
+        keyFormat = keyFormat)
       return
     }
     val m = metaOf(spark, path)
@@ -89,6 +92,7 @@ object FrequencyStore {
       s"frequency store at $path was built as (eps=${m.eps}, " +
         s"confidence=${m.confidence}, seed=${m.seed}); extend declared " +
         s"(eps=$eps, confidence=$confidence, seed=$seed)")
+    requireKeyFormatMeta(m, path, keyFormat)
     val applied = appliedBatches(spark, path)
     if (applied.contains((producer, batchId))) return // replay — counted
     val (batchBytes, n) = sketchAndCount(df, key, eps, confidence, seed)
@@ -109,8 +113,34 @@ object FrequencyStore {
     publish(spark, path, serialize(merged), eps, confidence, seed,
       totalItems = m.totalItems + n,
       batches = applied :+ ((producer, batchId)),
-      generation = m.generation + 1L)
+      generation = m.generation + 1L, keyFormat = keyFormat)
   }
+
+  /** Reject a store whose COUNTING-KEY FORMAT differs from what the
+    * caller is about to probe/extend with (ADVICE r12): an additive
+    * sketch built under a different key derivation returns estimate 0
+    * for every re-keyed item — on upgrade, a quota consumer would
+    * silently re-admit up to its full per-key allowance. The format
+    * string is the caller's version marker for its key derivation
+    * (e.g. [[WebOps]]'s `"dk:v1"` prefix-tagged domain key); `""`
+    * means unversioned, and a store written before the marker existed
+    * reads as `""` — so any VERSIONED caller fails loudly against a
+    * pre-marker store and directs the operator to rebuild.
+    */
+  def requireKeyFormat(spark: SparkSession, path: String,
+      keyFormat: String): Unit = {
+    IndexStores.healRoot(spark, path)
+    requireKeyFormatMeta(metaOf(spark, path), path, keyFormat)
+  }
+
+  private def requireKeyFormatMeta(m: Meta, path: String,
+      keyFormat: String): Unit =
+    require(m.keyFormat == keyFormat,
+      s"frequency store at $path holds counts keyed under format " +
+        s"'${m.keyFormat}' but the caller derives keys under " +
+        s"'$keyFormat' — estimates over re-keyed items would read 0 " +
+        "and silently over-admit; rebuild the sketch under the new " +
+        "key format (delete the store and re-ingest)")
 
   /** Point estimates from the store: `df` + `est` (≥ the true count in
     * the ingested multiset; ≤ true + ε·N with probability
@@ -172,16 +202,23 @@ object FrequencyStore {
   }
 
   private final case class Meta(eps: Double, confidence: Double,
-      seed: Int, totalItems: Long, generation: Long)
+      seed: Int, totalItems: Long, generation: Long,
+      keyFormat: String)
 
   // internal readers assume the caller healed the root (every public
   // entry point does, once — repeated ParquetTable.exists probes per
   // streaming trigger are dead FS work on object stores)
   private def metaOf(spark: SparkSession, path: String): Meta = {
-    val r = IndexStores.readStore(spark, s"$path/meta").head
+    val df = IndexStores.readStore(spark, s"$path/meta")
+    val r = df.head
+    // pre-marker stores carry no key_format column: read as "" (the
+    // unversioned format), so versioned callers reject them loudly
+    val kf =
+      if (df.columns.contains("key_format")) r.getAs[String]("key_format")
+      else ""
     Meta(r.getAs[Double]("eps"), r.getAs[Double]("confidence"),
       r.getAs[Int]("seed"), r.getAs[Long]("total_items"),
-      r.getAs[Long]("generation"))
+      r.getAs[Long]("generation"), kf)
   }
 
   private def sketchBytes(spark: SparkSession, path: String): Array[Byte] =
@@ -225,11 +262,12 @@ object FrequencyStore {
   private def publish(spark: SparkSession, path: String,
       bytes: Array[Byte], eps: Double, confidence: Double, seed: Int,
       totalItems: Long, batches: Seq[(String, Long)],
-      generation: Long): Unit = {
+      generation: Long, keyFormat: String): Unit = {
     import spark.implicits._
     IndexStores.publishSketchGeneration(spark, path, bytes,
-      Seq((eps, confidence, seed, totalItems, generation))
-        .toDF("eps", "confidence", "seed", "total_items", "generation"),
+      Seq((eps, confidence, seed, totalItems, generation, keyFormat))
+        .toDF("eps", "confidence", "seed", "total_items", "generation",
+          "key_format"),
       batches)
   }
 }

@@ -390,6 +390,16 @@ object WebOps {
     * every trigger) should prep once and pass the result anywhere a
     * rule table is accepted: prepped input is recognized and not
     * re-validated.
+    *
+    * Scheme contract for `prefix` rules (documented trade, ADVICE
+    * r12): matching is host equality + canonical-URL `startsWith`,
+    * and the canonical form KEEPS the scheme — so a rule authored as
+    * `https://host/path/` does not block `http://host/path/…`. List
+    * a prefix per scheme when both serve the same content; a
+    * scheme-agnostic host+path kind would silently merge sites that
+    * genuinely differ per scheme, which a blocklist must not decide
+    * for the author. For "this host and everything under it",
+    * scheme-free by construction, use the `host` kind.
     */
   def prepBlocklistRules(rules: DataFrame): DataFrame = {
     // validation is EAGER over the (dimension-sized) rule table, not
@@ -767,9 +777,17 @@ object WebOps {
         col(idCol).cast("string") === col("__wid"))
         .drop("__wid")
       val est =
-        if (bootstrapped)
+        if (bootstrapped) {
+          // key-format fence BEFORE any scoring (ADVICE r12): a store
+          // counted under a different key derivation (the pre-r12
+          // coalesce key) would estimate 0 for every re-keyed domain
+          // and silently re-admit a full quota per domain — and the
+          // fenced step LANDS output before the extend, so extend-time
+          // detection would be too late
+          FrequencyStore.requireKeyFormat(batch.sparkSession, storePath,
+            DkKeyFormat)
           FrequencyStore.estimate(ranked, col("__dk"), storePath)
-        else ranked.withColumn("est", lit(0L))
+        } else ranked.withColumn("est", lit(0L))
       est.filter(col("rn") <=
           greatest(lit(0L), lit(maxPerDomain.toLong) - col("est")))
         .drop("rn", "est", "__dk")
@@ -779,7 +797,7 @@ object WebOps {
       // what landed
       FrequencyStore.extend(admitted.withColumn("__dk", dkOf),
         col("__dk"), storePath, batchId, eps = eps,
-        producer = producer)
+        producer = producer, keyFormat = DkKeyFormat)
     }
   }
 
@@ -790,6 +808,16 @@ object WebOps {
   private def dkOf: Column =
     when(col("domain").isNotNull,
       concat(lit("d:"), col("domain"))).otherwise(lit("n"))
+
+  /** Version marker for [[dkOf]]'s key derivation, stamped into the
+    * quota store's meta ([[FrequencyStore]] `key_format` — ADVICE
+    * r12): a store counted under a DIFFERENT derivation (the pre-r12
+    * `coalesce(domain, '')` key) estimates 0 for every re-keyed
+    * domain, so an upgraded reader would silently re-admit a full
+    * quota per domain. Bump this string whenever [[dkOf]] changes;
+    * mismatching stores reject loudly and direct a rebuild.
+    */
+  private val DkKeyFormat = "dk:v1"
 
   /** HTML → text extraction — the step a crawl pipeline runs before
     * ANY text operator (quality, dedup, langid all assume prose, and
@@ -872,9 +900,12 @@ object WebOps {
   /** One streaming URL-dedup trigger — re-crawl suppression by
     * CANONICAL URL across the stream's whole lifetime (the crawl
     * frontier's seen-set, which no per-trigger distinct can provide):
-    * within the trigger, keep ONE row per canonical URL (the engine's
-    * md5-priority winner through the same bounded
-    * [[graft.functions.TopKStrIdAgg]] partials as the quotas, k = 1);
+    * within the trigger, keep ONE row per canonical URL — the
+    * engine's md5-priority winner via [[firstOccurrenceByCanonUrl]]'s
+    * `min_by` HASH AGGREGATE (O(1) state per group, map-side
+    * partials; deliberately NOT the quota family's broadcast-winners
+    * join, which on ~distinct frontier URLs would broadcast the whole
+    * trigger — third-review finding);
     * across triggers, drop rows whose canonical URL the
     * [[MembershipStore]] Bloom has seen, land the survivors under the
     * producer-scoped batch-tag dir, and fold the kept URLs back in,
@@ -946,12 +977,25 @@ object WebOps {
 
   /** Per-registrable-domain corpus profile — doc counts and size
     * share, the "which sites dominate" audit read before choosing a
-    * quota. One map-side-combinable aggregate.
+    * quota. One map-side-combinable aggregate. Same fresh-column
+    * guard as the quota family: a pre-decorated `domain` (e.g. a PSL
+    * decoration) must not be silently overwritten — use
+    * [[domainStatsBy]] to profile under that grouping instead.
     */
   def domainStats(docs: DataFrame, urlCol: String = "url",
-      sizeCol: String = "n_chars"): DataFrame =
-    docs.withColumn("domain", registrableDomain(urlHostFused(col(urlCol))))
-      .groupBy("domain")
+      sizeCol: String = "n_chars"): DataFrame = {
+    requireFreshColumns(docs, "domainStats", Seq("domain"))
+    domainStatsBy(docs.withColumn("domain",
+      registrableDomain(urlHostFused(col(urlCol)))), sizeCol)
+  }
+
+  /** [[domainStats]] over a PRECOMPUTED grouping column — the face
+    * that composes with [[withRegistrableDomainPsl]] or any other
+    * site key (the `By` contract the whole quota family carries).
+    */
+  def domainStatsBy(withDom: DataFrame, sizeCol: String = "n_chars",
+      domCol: String = "domain"): DataFrame =
+    withDom.groupBy(domCol)
       .agg(count(lit(1)).as("n_docs"),
         sum(col(sizeCol).cast("long")).as("total_chars"))
 }

@@ -88,6 +88,34 @@ class FrequencyStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("seed=42"))
   }
 
+  test("key-format fence: a store counted under a different key " +
+    "derivation rejects loudly instead of estimating 0 (ADVICE r12)") {
+    val path = tmpDir("cms-keyfmt") + "/store"
+    // an unversioned store (the pre-marker shape: key_format = "")
+    FrequencyStore.write(a, col("w"), path)
+    // a versioned consumer must NOT probe or extend it silently
+    val e1 = intercept[IllegalArgumentException] {
+      FrequencyStore.requireKeyFormat(spark, path, "dk:v1")
+    }
+    assert(e1.getMessage.contains("rebuild"))
+    val e2 = intercept[IllegalArgumentException] {
+      FrequencyStore.extend(b, col("w"), path, batchId = 1L,
+        keyFormat = "dk:v1")
+    }
+    assert(e2.getMessage.contains("key"))
+    // and the ledger/counters were untouched by the rejected extend
+    assert(FrequencyStore.stats(spark, path)
+      .head.getAs[Long]("total_items") === 300L)
+    // a matching format passes
+    val path2 = tmpDir("cms-keyfmt2") + "/store"
+    FrequencyStore.write(a, col("w"), path2, keyFormat = "dk:v1")
+    FrequencyStore.requireKeyFormat(spark, path2, "dk:v1")
+    FrequencyStore.extend(b, col("w"), path2, batchId = 1L,
+      keyFormat = "dk:v1")
+    assert(FrequencyStore.stats(spark, path2)
+      .head.getAs[Long]("total_items") === 800L)
+  }
+
   test("novelty: per-group unseen share from the stored frequencies, " +
     "fixed-point, never inflated") {
     val path = tmpDir("cms-novelty") + "/store"
