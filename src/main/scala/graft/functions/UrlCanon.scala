@@ -25,9 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - host: Spark's `lower` (UTF8String.toLowerCase — NOT
   *    java.lang.String.toLowerCase, whose default-locale casing
   *    diverges on Turkish dotless-i inputs), then trailing '.'s
-  *    strip (`rtrim(host, '.')`);
-  *  - port: text after the first ':' of host[:port]; dropped when
-  *    it is its scheme's default;
+  *    strip (`rtrim(host, '.')`); a BRACKETED IP literal keeps its
+  *    brackets and splits host:port after the ']' (VERDICT r12 #1 —
+  *    no dot strip inside brackets);
+  *  - port: text after the first ':' of host[:port] (after ']' for
+  *    bracket hosts); dropped when it is its scheme's default;
+  *  - path and query: percent-encoding normalized ([[UrlCanon
+  *    .pctNormalize]] — unreserved `%XX` decodes, other valid
+  *    escapes uppercase their hex, bare '%' stays literal), BEFORE
+  *    the query split/filter/sort;
   *  - query: split on '&' KEEPING empty tokens (Spark's split is
   *    limit = -1), drop empties and tracking params (`utm_*` prefix
   *    + the exact [[UrlCanon.TrackingParams]] names, both
@@ -104,6 +110,19 @@ object UrlCanon {
 
   /** Parsed (scheme, host, port, path0, qstr) of an http(s) URL —
     * null for non-http input. One pass, shared by canonicalize/host.
+    *
+    * IP-literal hosts (VERDICT r12 #1): a bracketed IPv6 authority
+    * (`[2001:db8::1]:8080`) splits host:port at the FIRST ':' AFTER
+    * the closing `]` — splitting at the first ':' of the string
+    * would collapse every IPv6 URL on the web into host `"["`. The
+    * bracket host keeps its brackets (lowercased — hex digits and
+    * the brackets are caseable-safe); no trailing-dot strip applies
+    * inside brackets (an IPv6 literal cannot carry a root label).
+    * Degenerate shapes stay deterministic: an UNCLOSED `[` takes the
+    * whole host[:port] text as the host (no port — a ':' inside a
+    * half-open bracket is ambiguous), and non-`:` text after `]` is
+    * dropped (garbage authority; collapsing it keeps canonical forms
+    * total).
     */
   private def parse(s: String): (String, String, String, String, String) = {
     if (!isHttp(s)) return null
@@ -123,6 +142,16 @@ object UrlCanon {
     val qstr = if (q >= 0) pathq.substring(q + 1) else ""
     val at = authority.lastIndexOf('@')
     val hostPort = if (at >= 0) authority.substring(at + 1) else authority
+    if (hostPort.startsWith("[")) {
+      // bracketed IP literal: host:port splits after ']'
+      val br = hostPort.indexOf(']')
+      if (br < 0) return (scheme, sparkLower(hostPort), "", path0, qstr)
+      val host = sparkLower(hostPort.substring(0, br + 1))
+      val restHp = hostPort.substring(br + 1)
+      val port =
+        if (restHp.startsWith(":")) restHp.substring(1) else ""
+      return (scheme, host, port, path0, qstr)
+    }
     val colon = hostPort.indexOf(':')
     val hostRaw = if (colon >= 0) hostPort.substring(0, colon) else hostPort
     val port = if (colon >= 0) hostPort.substring(colon + 1) else ""
@@ -133,11 +162,68 @@ object UrlCanon {
     (scheme, host, port, path0, qstr)
   }
 
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else -1
+
+  /** RFC 3986 §2.3 unreserved byte — the escapes percent-decoding
+    * may collapse without changing the resource.
+    */
+  private def isUnreservedByte(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') ||
+      v == '-' || v == '.' || v == '_' || v == '~'
+
+  /** Percent-encoding normalization (RFC 3986 §6.2.2.2 — VERDICT r12
+    * #3), applied to the PATH and QUERY components: a valid `%XX`
+    * escape of an UNRESERVED byte decodes to the literal character
+    * (`%7E`/`%7e` and `~` are the same resource — without this, the
+    * most common URL spelling variance after case defeats dedup and
+    * prefix blocklists); any other valid escape keeps its `%` with
+    * the hex pair UPPERCASED (§6.2.2.1 — `%2f` ≡ `%2F`); a `%` not
+    * followed by two hex digits stays literal (crawl reality; a
+    * strict parser would reject, a canonicalizer must stay total).
+    * The host is deliberately untouched: %-escapes in hosts are
+    * vanishingly rare and interact with IDN — documented as
+    * out of scope beside the punycode decision.
+    */
+  def pctNormalize(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n) {
+        val h1 = hexVal(s.charAt(i + 1))
+        val h2 = hexVal(s.charAt(i + 2))
+        if (h1 >= 0 && h2 >= 0) {
+          val v = h1 * 16 + h2
+          if (isUnreservedByte(v)) sb.append(v.toChar)
+          else {
+            sb.append('%')
+            sb.append(Character.toUpperCase(s.charAt(i + 1)))
+            sb.append(Character.toUpperCase(s.charAt(i + 2)))
+          }
+          i += 3
+        } else { sb.append('%'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def canonicalize(u: UTF8String): UTF8String = {
     if (u == null) return null
     val p = parse(u.toString)
     if (p == null) return null
-    val (scheme, host, port, path0, qstr) = p
+    val (scheme, host, port, path0raw, qstrRaw) = p
+    // percent normalization BEFORE the param split/filter/sort: a
+    // decoded unreserved byte is never '&'/'=' so the structure is
+    // stable, and a %-spelled tracking name (%75tm_x) must be caught
+    val path0 = pctNormalize(path0raw)
+    val qstr = pctNormalize(qstrRaw)
     val keepPort = port.nonEmpty &&
       !(scheme == "http" && port == "80") &&
       !(scheme == "https" && port == "443")

@@ -98,10 +98,77 @@ object WebOps {
   /** Lowercased host from a host[:port] string, trailing dots
     * stripped — `spam.com.` is the same FQDN as `spam.com` (the root
     * label), and keeping the dot would give every host a one-char
-    * quota alias.
+    * quota alias. Bracketed IP literals (`[2001:db8::1]:8080`) split
+    * host:port AFTER the `]` (VERDICT r12 #1 — a first-`:` split
+    * would collapse every IPv6 URL into host `"["`); the bracket
+    * host keeps its brackets, lowercased, no dot strip (an IPv6
+    * literal has no root label). Degenerate bracket shapes are total
+    * and deterministic: unclosed `[` keeps the whole text as host,
+    * non-`:` text after `]` drops.
     */
   private def hostOf(hostPort: Column): Column =
-    rtrim(lower(substring_index(hostPort, ":", 1)), ".")
+    when(hostPort.startsWith("[") && instr(hostPort, "]") > 0,
+      lower(hostPort.substr(lit(1), instr(hostPort, "]"))))
+      .when(hostPort.startsWith("["), lower(hostPort))
+      .otherwise(rtrim(lower(substring_index(hostPort, ":", 1)), "."))
+
+  /** Port text of a host[:port] string under the same bracket-aware
+    * split as [[hostOf]] — empty when absent.
+    */
+  private def portOf(hostPort: Column): Column = {
+    val brEnd = instr(hostPort, "]")
+    val afterBr = hostPort.substr(brEnd + lit(1), length(hostPort))
+    val hostRaw = substring_index(hostPort, ":", 1)
+    when(hostPort.startsWith("[") && brEnd > 0,
+      when(afterBr.startsWith(":"),
+        afterBr.substr(lit(2), length(afterBr))).otherwise(lit("")))
+      .when(hostPort.startsWith("["), lit(""))
+      .otherwise(when(instr(hostPort, ":") > 0,
+        hostPort.substr(length(hostRaw) + lit(2), length(hostPort)))
+        .otherwise(lit("")))
+  }
+
+  /** Percent-encoding normalization (RFC 3986 §6.2.2 — VERDICT r12
+    * #3) as portable string algebra, byte-identical to the kernel's
+    * [[graft.functions.UrlCanon.pctNormalize]] (spec-pinned): split
+    * on '%', the head passes through, and each following segment
+    * either DECODES (first two chars are a hex pair whose byte is
+    * unreserved: ALPHA / DIGIT / `-._~`), UPPERCASES the hex pair
+    * (valid but reserved — `%2f` ≡ `%2F`), or restores a literal
+    * '%' (not a valid escape — crawls are full of bare percents and
+    * a canonicalizer must stay total). Applied to path and query
+    * only; hosts are documented out of scope (%-escapes there are
+    * vanishingly rare and interact with the IDN/punycode decision).
+    */
+  private def pctNorm(s: Column): Column = {
+    val segs = split(s, "%", -1)
+    val fixed = transform(
+      slice(segs, lit(2), greatest(size(segs) - 1, lit(0))), x => {
+        val h = upper(x.substr(lit(1), lit(2)))
+        val tail = x.substr(lit(3), length(x))
+        when(h.rlike(PctUnreservedHexRe),
+          concat(decode(unhex(h), "UTF-8"), tail))
+          .when(h.rlike("^[0-9A-F]{2}$"), concat(lit("%"), h, tail))
+          .otherwise(concat(lit("%"), x))
+      })
+    concat(element_at(segs, 1), array_join(fixed, ""))
+  }
+
+  /** Uppercased hex pairs of the RFC 3986 unreserved bytes: digits
+    * 0x30-39, upper 0x41-5A, lower 0x61-7A, and `- . _ ~`
+    * (0x2D 0x2E 0x5F 0x7E).
+    */
+  private val PctUnreservedHexRe =
+    "^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$"
+
+  /** Dotted-quad IPv4 literal (all-digit labels, exactly four): such
+    * a host has NO public suffix (the PSL algorithm excludes IPs),
+    * so the registrable-domain split must return the WHOLE address —
+    * a last-two-OCTETS split would throttle unrelated IP-hosted
+    * sites under one shared quota "domain" and let a /16 spam farm
+    * mint 65k distinct ones (VERDICT r12 #1).
+    */
+  private[graft] val Ipv4Re = "^[0-9]+(\\.[0-9]+){3}$"
 
   /** Lowercased host of an http(s) URL; NULL for non-http inputs.
     * Userinfo (`user@host`, `user:pw@host`) and trailing dots are
@@ -124,13 +191,19 @@ object WebOps {
     *  2. fragment stripped (never sent to the server);
     *  3. default port stripped (`http:80` / `https:443`), any other
     *     port kept;
-    *  4. tracking params dropped (`utm_*` by prefix +
-    *     [[TrackingParams]] by name), remaining params SORTED
-    *     byte-wise — param order is server-insignificant in practice
-    *     and sorting makes equal queries equal strings;
-    *  5. empty path normalized to `/`.
+    *  4. percent-encoding normalized in path and query ([[pctNorm]]:
+    *     unreserved `%XX` decodes, other valid escapes uppercase
+    *     their hex, bare `%` stays literal);
+    *  5. tracking params dropped (`utm_*` by prefix +
+    *     [[TrackingParams]] by name — AFTER pct normalization, so
+    *     `%75tm_x` is caught), remaining params SORTED byte-wise —
+    *     param order is server-insignificant in practice and sorting
+    *     makes equal queries equal strings;
+    *  6. empty path normalized to `/`.
     *
-    * Non-http inputs → NULL (null in → null out; see [[isHttpUrl]]).
+    * Bracketed IPv6 authorities split host:port after the `]`
+    * ([[hostOf]]/[[portOf]]). Non-http inputs → NULL (null in → null
+    * out; see [[isHttpUrl]]).
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = schemeOf(url)
@@ -139,19 +212,21 @@ object WebOps {
     val authority =
       substring_index(substring_index(noFrag, "/", 1), "?", 1)
     val pathq = noFrag.substr(length(authority) + lit(1), length(noFrag))
-    val path0 = substring_index(pathq, "?", 1)
-    val qstr = when(instr(pathq, "?") > 0,
-      pathq.substr(length(path0) + lit(2), length(pathq)))
-      .otherwise(lit(""))
+    // percent normalization (pctNorm) runs on path and query BEFORE
+    // the param split/filter/sort: a decoded unreserved byte is never
+    // '&'/'=' so the split is stable, and a %-spelled tracking name
+    // (%75tm_x) must be caught by the name filter
+    val path0 = pctNorm(substring_index(pathq, "?", 1))
+    val qstr = pctNorm(when(instr(pathq, "?") > 0,
+      pathq.substr(length(substring_index(pathq, "?", 1)) + lit(2),
+        length(pathq)))
+      .otherwise(lit("")))
     // userinfo stripped BEFORE the host:port split (a ':' inside
-    // `user:pw@host` is not a port separator), trailing dots off the
-    // host — see hostPortOf/hostOf for why both are load-bearing
+    // `user:pw@host` is not a port separator); bracket-aware
+    // host/port split + trailing-dot strip live in hostOf/portOf
     val hostPort = hostPortOf(authority)
-    val hostRaw = substring_index(hostPort, ":", 1)
-    val host = rtrim(lower(hostRaw), ".")
-    val port = when(instr(hostPort, ":") > 0,
-      hostPort.substr(length(hostRaw) + lit(2), length(hostPort)))
-      .otherwise(lit(""))
+    val host = hostOf(hostPort)
+    val port = portOf(hostPort)
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
@@ -194,7 +269,12 @@ object WebOps {
     * included (`news.bbc.co.uk` → `bbc.co.uk`; `a.b.example.com` →
     * `example.com`). Suffix matching is the two-label
     * [[MultiLabelSuffixes]] set; a bare suffix or single-label host
-    * returns itself.
+    * returns itself. IP-LITERAL hosts are their OWN registrable
+    * domain (VERDICT r12 #1 — the PSL algorithm excludes IPs): a
+    * dotted-quad ([[Ipv4Re]]) or bracketed IPv6 host returns itself
+    * whole, never a last-two-octets slice that would merge unrelated
+    * IP-hosted sites into one quota stratum and silently disarm
+    * raw-IP blocklist rules.
     */
   def registrableDomain(host: Column): Column = {
     val parts = split(host, "\\.")
@@ -202,6 +282,8 @@ object WebOps {
     val last2 = concat(element_at(parts, -2), lit("."),
       element_at(parts, -1))
     when(host.isNull, lit(null))
+      .when(host.startsWith("["), host)
+      .when(host.rlike(Ipv4Re), host)
       .when(n <= 1, host)
       .when(last2.isin(MultiLabelSuffixes: _*) && n >= 3,
         concat(element_at(parts, -3), lit("."), last2))
@@ -347,6 +429,14 @@ object WebOps {
     val psLen = coalesce(greatest(candPs: _*), lit(1))
     val dom =
       when(col(hostCol).isNull, lit(null))
+        // IP literals are their OWN registrable domain — the PSL
+        // algorithm excludes IPs (no public suffix), and a numeric
+        // host must never suffix-group with its neighbors (VERDICT
+        // r12 #1). Checked BEFORE any rule match: no PSL rule base is
+        // numeric, but the implicit-'*' default would otherwise slice
+        // a dotted quad to its last two octets
+        .when(col(hostCol).startsWith("["), col(hostCol))
+        .when(col(hostCol).rlike(Ipv4Re), col(hostCol))
         // exception rule: the registrable domain IS the rule base
         .when(excLvl.isNotNull, array_join(slice(parts, -excLvl, excLvl), "."))
         .when(n > psLen, array_join(

@@ -3435,23 +3435,37 @@ object ExtOracles {
        |  '://' ||
        |  (CASE WHEN doc_id % 7 = 0 THEN 'u1@'
        |        WHEN doc_id % 7 = 1 THEN 'x:pw@' ELSE '' END) ||
-       |  (CASE WHEN doc_id % 4 = 0
+       |  (CASE WHEN doc_id % 6 = 0
        |          THEN 'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
-       |        WHEN doc_id % 4 = 1
+       |        WHEN doc_id % 6 = 1
        |          THEN 'news.site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
-       |        WHEN doc_id % 4 = 2
-       |          THEN 'Blog.Host' || CAST(doc_id % 3 AS VARCHAR) || '.org'
-       |        ELSE 'cdn.data' || CAST(doc_id % 6 AS VARCHAR) || '.com.au' END) ||
+       |        WHEN doc_id % 6 = 2
+       |          THEN 'Blog.Host' || CAST(doc_id % 5 AS VARCHAR) || '.org'
+       |        WHEN doc_id % 6 = 3
+       |          THEN 'cdn.data' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
+       |        WHEN doc_id % 6 = 4
+       |          THEN '198.51.' || CAST(doc_id % 5 AS VARCHAR) || '.' ||
+       |               CAST(doc_id % 11 AS VARCHAR)
+       |        ELSE '[2001:DB8::' || CAST(doc_id % 7 AS VARCHAR) || ']' END) ||
        |  (CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END) ||
        |  (CASE WHEN doc_id % 5 = 0 THEN ':80'
        |        WHEN doc_id % 5 = 1 THEN ':443'
        |        WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END) ||
        |  (CASE WHEN doc_id % 6 = 0 THEN ''
-       |        ELSE '/Articles/p' || CAST(doc_id AS VARCHAR) END) ||
+       |        ELSE '/Articles/' ||
+       |          (CASE WHEN doc_id % 9 = 0 THEN '%7Eu'
+       |                WHEN doc_id % 9 = 1 THEN '%7eu'
+       |                WHEN doc_id % 9 = 2 THEN '~u'
+       |                WHEN doc_id % 9 = 3 THEN '%2Fx'
+       |                WHEN doc_id % 9 = 4 THEN '%2fx'
+       |                WHEN doc_id % 9 = 5 THEN '%zz'
+       |                WHEN doc_id % 9 = 6 THEN 'p%'
+       |                WHEN doc_id % 9 = 7 THEN '%41b'
+       |                ELSE 'p' END) || CAST(doc_id AS VARCHAR) END) ||
        |  (CASE WHEN doc_id % 3 = 0
        |          THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
        |               '&utm_campaign=x'
-       |        WHEN doc_id % 3 = 1 THEN '?b=2&a=1&fbclid=XyZ'
+       |        WHEN doc_id % 3 = 1 THEN '?b=%7e2&a=1&fbclid=XyZ&%75tm_x=9'
        |        ELSE '' END) ||
        |  (CASE WHEN doc_id % 4 = 1 THEN '#Section-2' ELSE '' END)
        |  AS url FROM documents),
@@ -3475,7 +3489,12 @@ object ExtOracles {
       .pslRuleRows(graft.operators.WebOps.PslSampleRules)
       .map { case (b, k, l) => s"('$b', '$k', $l)" }.mkString(", ")
     s"""ph AS (SELECT doc_id,
-       |  CASE WHEN doc_id % 7 = 0
+       |  CASE WHEN doc_id % 9 = 7
+       |         THEN '198.51.' || CAST(doc_id % 3 AS VARCHAR) || '.' ||
+       |              CAST(doc_id % 5 AS VARCHAR)
+       |       WHEN doc_id % 9 = 8
+       |         THEN '[2001:db8::' || CAST(doc_id % 11 AS VARCHAR) || ']'
+       |       WHEN doc_id % 7 = 0
        |         THEN 'user' || CAST(doc_id % 11 AS VARCHAR) || '.blogspot.com'
        |       WHEN doc_id % 7 = 1
        |         THEN 'site' || CAST(doc_id % 11 AS VARCHAR) || '.github.io'
@@ -3507,7 +3526,10 @@ object ExtOracles {
        |              pp.parts[pp.n - r.labels + 1:pp.n], '.') = r.base
        |       GROUP BY pp.doc_id),
        |pd AS (SELECT pp.doc_id, pp.host,
-       |         CASE WHEN m.exc_l IS NOT NULL THEN array_to_string(
+       |         CASE WHEN starts_with(pp.host, '[') THEN pp.host
+       |              WHEN regexp_matches(pp.host,
+       |                '^[0-9]+(\\.[0-9]+){3}$$') THEN pp.host
+       |              WHEN m.exc_l IS NOT NULL THEN array_to_string(
        |                pp.parts[pp.n - m.exc_l + 1:pp.n], '.')
        |              WHEN pp.n > coalesce(m.ps_l, 1) THEN array_to_string(
        |                pp.parts[pp.n - coalesce(m.ps_l, 1):pp.n], '.')
@@ -3524,6 +3546,24 @@ object ExtOracles {
     * domain)`. A canonicalizer change edits the operator and THIS
     * string — nowhere else.
     */
+  /** Percent-encoding normalization (WebOps.pctNorm, VERDICT r12 #3)
+    * as one DuckDB expression over `e`: head segment passes, each
+    * '%'-led segment decodes (unreserved hex pair), uppercases its
+    * hex (valid but reserved) or restores a literal '%'. The
+    * coalesce matters: DuckDB's array_to_string over an EMPTY list is
+    * NULL where Spark's array_join is '' — without it every
+    * %-free path would go NULL.
+    */
+  private def pctSql(e: String): String =
+    s"string_split($e, '%')[1] || coalesce(array_to_string(" +
+      s"list_transform(string_split($e, '%')[2:], x -> " +
+      "CASE WHEN regexp_matches(upper(substr(x, 1, 2)), " +
+      "'^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$') " +
+      "THEN decode(unhex(upper(substr(x, 1, 2)))) || substr(x, 3) " +
+      "WHEN regexp_matches(upper(substr(x, 1, 2)), '^[0-9A-F]{2}$') " +
+      "THEN '%' || upper(substr(x, 1, 2)) || substr(x, 3) " +
+      "ELSE '%' || x END), ''), '')"
+
   private def canonChain(src: String, p: String): String = {
     val trackList = graft.operators.WebOps.TrackingParams
       .map(x => s"'$x'").mkString(", ")
@@ -3543,15 +3583,29 @@ object ExtOracles {
        |${p}2h AS (SELECT *,
        |       string_split(authority, '@')[-1] AS hostport
        |  FROM ${p}2),
-       |${p}3 AS (SELECT *, split_part(pathq, '?', 1) AS path0,
-       |       CASE WHEN strpos(pathq, '?') > 0
-       |         THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
-       |         ELSE '' END AS qstr,
-       |       rtrim(lower(split_part(hostport, ':', 1)), '.') AS host,
-       |       CASE WHEN strpos(hostport, ':') > 0
-       |         THEN substr(hostport,
-       |           length(split_part(hostport, ':', 1)) + 2)
-       |         ELSE '' END AS port
+       |${p}3 AS (SELECT *,
+       |       ${pctSql("split_part(pathq, '?', 1)")} AS path0,
+       |       ${pctSql(
+             "(CASE WHEN strpos(pathq, '?') > 0 THEN substr(pathq, " +
+               "length(split_part(pathq, '?', 1)) + 2) ELSE '' END)")}
+       |         AS qstr,
+       |       CASE WHEN starts_with(hostport, '[')
+       |              AND strpos(hostport, ']') > 0
+       |              THEN lower(substr(hostport, 1, strpos(hostport, ']')))
+       |            WHEN starts_with(hostport, '[') THEN lower(hostport)
+       |            ELSE rtrim(lower(split_part(hostport, ':', 1)), '.')
+       |            END AS host,
+       |       CASE WHEN starts_with(hostport, '[')
+       |              AND strpos(hostport, ']') > 0
+       |              THEN (CASE WHEN substr(hostport,
+       |                strpos(hostport, ']') + 1, 1) = ':'
+       |                THEN substr(hostport, strpos(hostport, ']') + 2)
+       |                ELSE '' END)
+       |            WHEN starts_with(hostport, '[') THEN ''
+       |            WHEN strpos(hostport, ':') > 0
+       |              THEN substr(hostport,
+       |                length(split_part(hostport, ':', 1)) + 2)
+       |            ELSE '' END AS port
        |  FROM ${p}2h),
        |${p}4 AS (SELECT *, array_to_string(list_sort(list_filter(
        |         string_split(qstr, '&'), x -> x <> ''
@@ -3570,7 +3624,10 @@ object ExtOracles {
        |  string_split(host, '.') AS parts
        |  FROM ${p}4),
        |${p}d AS (SELECT doc_id, url, canon_url, host,
-       |  CASE WHEN len(parts) <= 1 THEN host
+       |  CASE WHEN starts_with(host, '[') THEN host
+       |       WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+){3}$$')
+       |         THEN host
+       |       WHEN len(parts) <= 1 THEN host
        |       WHEN parts[-2] || '.' || parts[-1] IN ($suffixList)
        |            AND len(parts) >= 3
        |         THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]

@@ -1210,10 +1210,16 @@ object ExtQueries {
     * AND non-default ports crossed over both schemes, empty paths,
     * tracking/user params out of order, fragments, four suffix
     * families (com / co.uk / org / com.au) for the registrable-domain
-    * split, and the two QUOTA-EVASION spellings (VERDICT r11): a
+    * split, the two QUOTA-EVASION spellings (VERDICT r11): a
     * userinfo prefix (`u1@` / `x:pw@` — the second with a ':' that
     * must not read as a port separator) and a trailing host dot —
-    * both must collapse into the undecorated host's domain.
+    * both must collapse into the undecorated host's domain — plus the
+    * round-13 surface (VERDICT r12): IPv4 spam-farm hosts sharing a
+    * /16 (each full address must be its OWN domain), bracketed
+    * mixed-case IPv6 hosts (host:port must split after `]`), and the
+    * percent-encoding families (`%7E`/`%7e`/`~` collapsing, reserved
+    * `%2F`/`%2f` uppercasing, invalid `%zz`/trailing-`%` literals, a
+    * %-spelled tracking param name).
     */
   private def docsWithUrls(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).withColumn("url", concat(
@@ -1222,29 +1228,44 @@ object ExtQueries {
       lit("://"),
       when(col("doc_id") % 7 === 0, "u1@")
         .when(col("doc_id") % 7 === 1, "x:pw@").otherwise(""),
-      when(col("doc_id") % 4 === 0,
+      when(col("doc_id") % 6 === 0,
         concat(lit("WWW.Example"), (col("doc_id") % 7).cast("string"),
           lit(".COM")))
-        .when(col("doc_id") % 4 === 1,
+        .when(col("doc_id") % 6 === 1,
           concat(lit("news.site"), (col("doc_id") % 5).cast("string"),
             lit(".co.uk")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("Blog.Host"), (col("doc_id") % 3).cast("string"),
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("Blog.Host"), (col("doc_id") % 5).cast("string"),
             lit(".org")))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("cdn.data"), (col("doc_id") % 7).cast("string"),
+            lit(".com.au")))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("198.51."), (col("doc_id") % 5).cast("string"),
+            lit("."), (col("doc_id") % 11).cast("string")))
         .otherwise(
-          concat(lit("cdn.data"), (col("doc_id") % 6).cast("string"),
-            lit(".com.au"))),
+          concat(lit("[2001:DB8::"), (col("doc_id") % 7).cast("string"),
+            lit("]"))),
       when(col("doc_id") % 11 === 0, ".").otherwise(""),
       when(col("doc_id") % 5 === 0, ":80")
         .when(col("doc_id") % 5 === 1, ":443")
         .when(col("doc_id") % 5 === 2, ":8080").otherwise(""),
       when(col("doc_id") % 6 === 0, "")
-        .otherwise(concat(lit("/Articles/p"),
+        .otherwise(concat(lit("/Articles/"),
+          when(col("doc_id") % 9 === 0, "%7Eu")
+            .when(col("doc_id") % 9 === 1, "%7eu")
+            .when(col("doc_id") % 9 === 2, "~u")
+            .when(col("doc_id") % 9 === 3, "%2Fx")
+            .when(col("doc_id") % 9 === 4, "%2fx")
+            .when(col("doc_id") % 9 === 5, "%zz")
+            .when(col("doc_id") % 9 === 6, "p%")
+            .when(col("doc_id") % 9 === 7, "%41b")
+            .otherwise("p"),
           col("doc_id").cast("string"))),
       when(col("doc_id") % 3 === 0,
         concat(lit("?utm_source=feed&id="), col("doc_id").cast("string"),
           lit("&utm_campaign=x")))
-        .when(col("doc_id") % 3 === 1, "?b=2&a=1&fbclid=XyZ")
+        .when(col("doc_id") % 3 === 1, "?b=%7e2&a=1&fbclid=XyZ&%75tm_x=9")
         .otherwise(""),
       when(col("doc_id") % 4 === 1, "#Section-2").otherwise("")))
 
@@ -1314,7 +1335,14 @@ object ExtQueries {
     val k = (col("doc_id") % 11).cast("string")
     val j = col("doc_id") % 3
     val m = (col("doc_id") % 5).cast("string")
-    val host = when(col("doc_id") % 7 === 0,
+    // IP-literal rows FIRST (mod 9 — VERDICT r12 #1): dotted quads
+    // and bracketed IPv6 must be their OWN registrable domain under
+    // PSL semantics, never a suffix-rule or implicit-'*' slice
+    val host = when(col("doc_id") % 9 === 7,
+        concat(lit("198.51."), j.cast("string"), lit("."), m))
+      .when(col("doc_id") % 9 === 8,
+        concat(lit("[2001:db8::"), k, lit("]")))
+      .when(col("doc_id") % 7 === 0,
         concat(lit("user"), k, lit(".blogspot.com")))
       .when(col("doc_id") % 7 === 1,
         concat(lit("site"), k, lit(".github.io")))

@@ -68,6 +68,61 @@ class WebOpsSpec extends SparkSpec {
       .select(WebOps.canonicalizeUrl(col("u"))).head.isNullAt(0))
   }
 
+  test("IP-literal hosts: bracket-aware host:port split, IPs are " +
+    "their own registrable domain, lite and PSL (VERDICT r12 #1)") {
+    // IPv6 brackets: host ends at ']', port splits after it
+    assert(canon("http://[2001:DB8::1]:8080/x") ===
+      "http://[2001:db8::1]:8080/x")
+    assert(canon("http://[2001:db8::1]:80/x") ===
+      "http://[2001:db8::1]/x")
+    val h = Seq("http://u@[2001:DB8::1]:443/p").toDF("u")
+      .select(WebOps.urlHost(col("u"))).head.getString(0)
+    assert(h === "[2001:db8::1]")
+    // IPv4: full address is the domain — never a last-two-octet slice
+    val doms = Seq("1.2.3.4", "5.6.3.4", "[2001:db8::1]", "a.b.com",
+      "1.2.3.4.5", "127.0.0.1").toDF("host")
+      .select(col("host"), WebOps.registrableDomain(col("host")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(doms("1.2.3.4") === "1.2.3.4")
+    assert(doms("5.6.3.4") === "5.6.3.4", "unrelated IPv4 hosts merged")
+    assert(doms("[2001:db8::1]") === "[2001:db8::1]")
+    assert(doms("a.b.com") === "b.com")
+    // five all-digit labels is NOT a dotted quad: DNS split applies
+    assert(doms("1.2.3.4.5") === "4.5")
+    assert(doms("127.0.0.1") === "127.0.0.1")
+    // PSL path: same IP-literal semantics (rules never match IPs)
+    val rules = WebOps.parsePslRules(spark, WebOps.PslSampleRules)
+    val psl = WebOps.withRegistrableDomainPsl(
+      Seq("1.2.3.4", "[2001:db8::1]", "x.blogspot.com").toDF("host"),
+      rules)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(psl("1.2.3.4") === "1.2.3.4")
+    assert(psl("[2001:db8::1]") === "[2001:db8::1]")
+    assert(psl("x.blogspot.com") === "x.blogspot.com")
+  }
+
+  test("percent-encoding normalization: unreserved escapes decode, " +
+    "reserved escapes uppercase, bare '%' stays (VERDICT r12 #3)") {
+    // RFC 3986 §6.2.2.2: %7E/%7e/~ are one resource
+    assert(canon("http://a.com/%7Euser") === "http://a.com/~user")
+    assert(canon("http://a.com/%7euser") === "http://a.com/~user")
+    assert(canon("http://a.com/~user") === "http://a.com/~user")
+    // reserved escapes: hex uppercased, never decoded (%2F is not '/')
+    assert(canon("http://a.com/a%2fb") === "http://a.com/a%2Fb")
+    assert(canon("http://a.com/a%2Fb") === "http://a.com/a%2Fb")
+    // invalid escapes stay literal — a canonicalizer must stay total
+    assert(canon("http://a.com/p%") === "http://a.com/p%")
+    assert(canon("http://a.com/p%4") === "http://a.com/p%4")
+    assert(canon("http://a.com/p%zz") === "http://a.com/p%zz")
+    // %%41: first '%' literal, second decodes
+    assert(canon("http://a.com/p%%41") === "http://a.com/p%A")
+    // query: a %-spelled tracking name is caught AFTER normalization
+    assert(canon("http://a.com/p?%75tm_src=1&b=%7e2") ===
+      "http://a.com/p?b=~2")
+    // host escapes untouched (documented out of scope; IDN decision)
+    assert(canon("http://a%41.com/x") === "http://a%41.com/x")
+  }
+
   test("fused kernel ≡ string algebra: canonicalize_url and url_host " +
     "agree byte-for-byte on every adversarial shape, and the fused " +
     "expressions stay inside whole-stage codegen") {
@@ -86,7 +141,22 @@ class WebOpsSpec extends SparkSpec {
       "http://hést.com/päth?ümlaut=1&a=é&b=",
       "http://Iİ.com/x", // dotted capital I: locale-sensitive lowering
       "ftp://a.com/x", "mailto:u@a.com", "", "http:/a.com", "https:/",
-      "http://a.com/p?😀=1&z=0" // astral param: UTF-8 vs UTF-16 order
+      "http://a.com/p?😀=1&z=0", // astral param: UTF-8 vs UTF-16 order
+      // IP literals (VERDICT r12 #1): bracket-aware host:port split
+      "http://1.2.3.4/x", "http://1.2.3.4:8080/x?b=1",
+      "http://u@5.6.7.8.:80/x", "http://[2001:DB8::1]/x",
+      "http://[2001:db8::1]:8080/p?a=1", "https://[::1]:443/x",
+      "http://[2001:db8::2]", "http://x:pw@[2001:db8::3]:99/q",
+      "http://[::1].:80/x", // garbage after ']' drops, port with it
+      "http://[2001:db8/x", // unclosed bracket: whole text is host
+      "http://[fe80::1%25eth0]/x", // zone-id: %25 inside brackets
+      // percent-encoding normalization (VERDICT r12 #3)
+      "http://a.com/%7Euser/f", "http://a.com/%7euser/f",
+      "http://a.com/~user/f", "http://a.com/%2Fx%2fy",
+      "http://a.com/p%", "http://a.com/p%4", "http://a.com/p%zz",
+      "http://a.com/p%%41", "http://a.com/%41%62c",
+      "http://a.com/p?%75tm_src=1&a=%7e2&b=%2F",
+      "http://a.com/p?a=%G1&%=x", "http://a.com/%E9%a9%aC" // non-ASCII
     )
     val df = nasty.toDF("u")
     val rows = df.select(
