@@ -1364,9 +1364,15 @@ object ExtOracles {
          |   'blog.host1.org'),
          |  ('r4', 'prefix', 'http://cdn.data3.com.au/Articles/',
          |   'cdn.data3.com.au'),
-         |  ('r5', 'domain', 'never-matches.net', NULL)),
+         |  ('r5', 'domain', 'never-matches.net', NULL),
+         |  ('r6', 'domain', '198.51.2.7', NULL),
+         |  ('r7', 'host', 'blog.host1.org', NULL),
+         |  ('r8', 'host', 'example3.com', NULL),
+         |  ('r9', 'host', '[2001:db8::5]', NULL)),
          |blocked AS (SELECT DISTINCT doc_id FROM wd JOIN brules r
          |  ON (r.kind = 'domain' AND wd.domain = r.pat)
+         |  OR (r.kind = 'host' AND (wd.host = r.pat
+         |      OR ends_with(wd.host, '.' || r.pat)))
          |  OR (r.kind = 'prefix' AND wd.host = r.phost
          |      AND starts_with(wd.canon_url, r.pat)))
          |SELECT doc_id, canon_url, domain FROM wd
@@ -1385,9 +1391,15 @@ object ExtOracles {
          |  ('r4', 'prefix', 'HTTP://u@CDN.Data3.COM.AU.:80/Articles/',
          |   'http://cdn.data3.com.au/Articles/', 'cdn.data3.com.au'),
          |  ('r5', 'domain', 'never-matches.net', 'never-matches.net',
-         |   NULL)),
+         |   NULL),
+         |  ('r6', 'domain', '198.51.2.7', '198.51.2.7', NULL),
+         |  ('r7', 'host', 'Blog.Host1.ORG.', 'blog.host1.org', NULL),
+         |  ('r8', 'host', 'example3.com', 'example3.com', NULL),
+         |  ('r9', 'host', '[2001:DB8::5]', '[2001:db8::5]', NULL)),
          |m AS (SELECT r.rule_id, count(*) AS n FROM wd JOIN brules r
          |  ON (r.kind = 'domain' AND wd.domain = r.pat)
+         |  OR (r.kind = 'host' AND (wd.host = r.pat
+         |      OR ends_with(wd.host, '.' || r.pat)))
          |  OR (r.kind = 'prefix' AND wd.host = r.phost
          |      AND starts_with(wd.canon_url, r.pat))
          |  GROUP BY r.rule_id)

@@ -1296,7 +1296,17 @@ object ExtQueries {
       ("r2", "domain", "site2.co.uk"),
       ("r3", "prefix", "HTTPS://Blog.Host1.ORG/Articles/"),
       ("r4", "prefix", "HTTP://u@CDN.Data3.COM.AU.:80/Articles/"),
-      ("r5", "domain", "never-matches.net"))
+      ("r5", "domain", "never-matches.net"),
+      // r6: a raw-IP domain rule (UT1 lists are full of them) — fires
+      // only because IP literals are their own registrable domain now
+      ("r6", "domain", "198.51.2.7"),
+      // r7: host kind, equality leg — the domain kind CANNOT express
+      // "block blog.host1.org but not host1.org's other hosts"
+      ("r7", "host", "Blog.Host1.ORG."),
+      // r8: host kind, subdomain leg (www.example3.com ends with it)
+      ("r8", "host", "example3.com"),
+      // r9: host kind over a bracketed IPv6 literal (one "label")
+      ("r9", "host", "[2001:DB8::5]"))
       .toDF("rule_id", "kind", "pattern")
   }
 
