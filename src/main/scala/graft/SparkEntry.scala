@@ -124,6 +124,7 @@ object SparkEntry {
     "url_canon" -> (graft.queries.ExtQueries.urlCanon(_, _)),
     "domain_quota" -> (graft.queries.ExtQueries.domainQuotaGate(_, _)),
     "domain_psl" -> (graft.queries.ExtQueries.domainPsl(_, _)),
+    "domain_psl_full" -> (graft.queries.ExtQueries.domainPslFull(_, _)),
     "url_blocklist" -> (graft.queries.ExtQueries.urlBlocklist(_, _)),
     "url_blocklist_hits" ->
       (graft.queries.ExtQueries.urlBlocklistHits(_, _)),

@@ -1416,6 +1416,15 @@ object ExtOracles {
          |SELECT doc_id, host, domain_psl
          |FROM pd ORDER BY doc_id""".stripMargin,
 
+    // replays withRegistrableDomainPsl over the REAL-snapshot excerpt
+    // (geo wildcards + city exceptions, 5-label S3 rules at the depth
+    // cap, bare-wildcard ccTLDs, punycode TLDs) — same pslDecision
+    // CTEs as domain_psl, different frozen rule table
+    "domain_psl_full" ->
+      s"""WITH $pslFullCtes
+         |SELECT doc_id, host, domain_psl
+         |FROM pd ORDER BY doc_id""".stripMargin,
+
     // replays WebOps.domainQuotaBy (3 per PSL domain) as the
     // per-domain window over the same md5 priority — blogspot
     // subdomains rank in SEPARATE partitions now
@@ -3525,7 +3534,24 @@ object ExtOracles {
        |                  WHEN doc_id % 3 = 1 THEN 'co.uk'
        |                  ELSE 'ck' END) END AS host
        |  FROM documents),
-       |prules(base, kind, labels) AS (VALUES $ruleVals),
+       |${pslDecision(graft.operators.WebOps.PslSampleRules)}""".stripMargin
+  }
+
+  /** The publicsuffix.org prevailing-rule decision as SQL CTEs over a
+    * preceding `ph(doc_id, host)` CTE — ONE copy shared by the
+    * sample-snapshot gates ([[pslCtes]]) and the real-snapshot gate
+    * (`domain_psl_full`): a rule matches when the host ends with its
+    * base; exception beats all, else longest (wildcard counts
+    * base+1, only when the host has a label for the '*'), else the
+    * implicit `*`; registrable = suffix + one label (exception: the
+    * rule base itself), NULL when the host IS a public suffix;
+    * IP literals are their own domain. Ends in
+    * `pd(doc_id, host, domain_psl)`.
+    */
+  private def pslDecision(ruleLines: Seq[String]): String = {
+    val ruleVals = graft.operators.WebOps.pslRuleRows(ruleLines)
+      .map { case (b, k, l) => s"('$b', '$k', $l)" }.mkString(", ")
+    s"""prules(base, kind, labels) AS (VALUES $ruleVals),
        |pp AS (SELECT doc_id, host, string_split(host, '.') AS parts,
        |         len(string_split(host, '.')) AS n FROM ph),
        |pm AS (SELECT pp.doc_id,
@@ -3547,6 +3573,39 @@ object ExtOracles {
        |                pp.parts[pp.n - coalesce(m.ps_l, 1):pp.n], '.')
        |              ELSE NULL END AS domain_psl
        |       FROM pp LEFT JOIN pm m USING (doc_id))""".stripMargin
+  }
+
+  /** The domain_psl_full CTE chain: the real-snapshot hosts (same
+    * doc_id arithmetic as the gate) + the [[pslDecision]] over the
+    * frozen [[graft.operators.WebOps.PslRealSnapshot]] rules.
+    */
+  private def pslFullCtes: String = {
+    s"""ph AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 11 = 0
+       |         THEN 'shop' || CAST(doc_id % 11 AS VARCHAR) || '.foo' ||
+       |              CAST(doc_id % 3 AS VARCHAR) || '.kawasaki.jp'
+       |       WHEN doc_id % 11 = 1 THEN 'www.city.kawasaki.jp'
+       |       WHEN doc_id % 11 = 2 THEN 'city.kawasaki.jp'
+       |       WHEN doc_id % 11 = 3
+       |         THEN 'b' || CAST(doc_id % 11 AS VARCHAR) ||
+       |              '.s3.dualstack.ap-northeast-1.amazonaws.com'
+       |       WHEN doc_id % 11 = 4
+       |         THEN 's3.dualstack.ap-northeast-1.amazonaws.com'
+       |       WHEN doc_id % 11 = 5
+       |         THEN 'site' || CAST(doc_id % 11 AS VARCHAR) || '.xn--p1ai'
+       |       WHEN doc_id % 11 = 6 THEN 'xn--p1ai'
+       |       WHEN doc_id % 11 = 7
+       |         THEN 'a' || CAST(doc_id % 3 AS VARCHAR) || '.b' ||
+       |              CAST(doc_id % 11 AS VARCHAR) || '.example.zz'
+       |       WHEN doc_id % 11 = 8
+       |         THEN 'u' || CAST(doc_id % 11 AS VARCHAR) || '.blogspot.co.uk'
+       |       WHEN doc_id % 11 = 9
+       |         THEN 'y' || CAST(doc_id % 3 AS VARCHAR) || '.x' ||
+       |              CAST(doc_id % 11 AS VARCHAR) || '.ck'
+       |       ELSE (CASE WHEN doc_id % 2 = 0 THEN 'x5.ck'
+       |                  ELSE 'www.ck' END) END AS host
+       |  FROM documents),
+       |${pslDecision(graft.operators.WebOps.PslRealSnapshot)}""".stripMargin
   }
 
   /** THE canonicalization replay chain, parameterized by the source

@@ -327,6 +327,49 @@ class WebOpsSpec extends SparkSpec {
     }
   }
 
+  test("PslRealSnapshot: the real list's hardest shapes resolve to " +
+    "their publicsuffix.org-ALGORITHM answers (absolute pins, not " +
+    "engine agreement)") {
+    val rules = WebOps.parsePslRules(spark, WebOps.PslRealSnapshot)
+    val hosts = Seq(
+      "shop.foo.kawasaki.jp", // *.kawasaki.jp: ps = foo.kawasaki.jp
+      "foo.kawasaki.jp", // IS a public suffix under the wildcard
+      "www.city.kawasaki.jp", // !city.kawasaki.jp: ps = kawasaki.jp
+      "city.kawasaki.jp", // the exception host itself
+      "b.s3.dualstack.ap-northeast-1.amazonaws.com", // 5-label rule
+      "s3.dualstack.ap-northeast-1.amazonaws.com", // IS the suffix
+      "a.b.example.zz", // unlisted TLD: implicit '*'
+      "u.blogspot.co.uk", // private suffix stacked on a registry
+      "x.blogspot.co.uk.example.com", // suffix mid-host must NOT match
+      "y.x.ck", // *.ck at depth 3
+      "x.ck", // *.ck: a 2-label .ck host IS a public suffix
+      "www.ck", // !www.ck
+      "site.xn--p1ai", "xn--p1ai")
+      .toDF("host")
+    val got = WebOps.withRegistrableDomainPsl(hosts, rules)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got("shop.foo.kawasaki.jp") === "shop.foo.kawasaki.jp")
+    assert(got("foo.kawasaki.jp") === null)
+    assert(got("www.city.kawasaki.jp") === "city.kawasaki.jp")
+    assert(got("city.kawasaki.jp") === "city.kawasaki.jp")
+    assert(got("b.s3.dualstack.ap-northeast-1.amazonaws.com") ===
+      "b.s3.dualstack.ap-northeast-1.amazonaws.com")
+    assert(got("s3.dualstack.ap-northeast-1.amazonaws.com") === null)
+    assert(got("a.b.example.zz") === "example.zz")
+    assert(got("u.blogspot.co.uk") === "u.blogspot.co.uk")
+    // rules match host SUFFIXES only — blogspot.co.uk mid-host is
+    // just a weird subdomain of example.com
+    assert(got("x.blogspot.co.uk.example.com") === "example.com")
+    assert(got("y.x.ck") === "y.x.ck")
+    assert(got("x.ck") === null)
+    assert(got("www.ck") === "www.ck")
+    assert(got("site.xn--p1ai") === "site.xn--p1ai")
+    assert(got("xn--p1ai") === null)
+    // the real list's depth pins the loud cap exactly at 5
+    assert(rules.agg(max(col("labels"))).head.getInt(0) === 5)
+  }
+
   test("blocklistFilter: domain rules drop whole registrable domains, " +
     "prefix rules match canonical URLs (author forms normalized), " +
     "hits audit counts per rule with zero-hit rows, bad rules refuse") {
