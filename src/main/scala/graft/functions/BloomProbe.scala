@@ -4,7 +4,7 @@ import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.ColumnBridge._
 import org.apache.spark.sql.types._
@@ -39,6 +39,55 @@ object BloomProbe {
   def contains(sketchBytes: Array[Byte], c: Column): Column =
     column(BloomMightContainBytes(expression(c),
       BloomFilter.readFrom(new ByteArrayInputStream(sketchBytes))))
+
+  /** Sharded probe ([[graft.operators.ShardedMembershipStore]]): the
+    * blob ARRAY rides the plan once (nulls = never-extended shards,
+    * definite false); the shard id arrives as a CHILD computed by
+    * the same plan-side `pmod(hash(key), shards)` the extend path
+    * routes with, so probe and extend routing cannot drift.
+    */
+  def containsSharded(filters: Array[BloomFilter], key: Column,
+      shard: Column): Column =
+    column(BloomShardMightContain(expression(key), expression(shard),
+      filters))
+}
+
+/** `bloom_shard_contains(key, shard)`: membership probe routed into
+  * one of N shard filters. False is DEFINITE (including the
+  * absent-shard null slot); true carries the shard's fpp.
+  */
+case class BloomShardMightContain(left: Expression, right: Expression,
+    filters: Array[BloomFilter]) extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "bloom_shard_contains needs (string key, int shard), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(k: Any, s: Any): Any = {
+    val f = filters(s.asInstanceOf[Int])
+    f != null && f.mightContainBinary(
+      k.asInstanceOf[UTF8String].getBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shardFilters", filters,
+      s"${classOf[BloomFilter].getName}[]")
+    defineCodeGen(ctx, ev, (k, s) =>
+      s"($ref[$s] != null && $ref[$s].mightContainBinary($k.getBytes()))")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BloomShardMightContain =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `bloom_contains(token)`: whether the filter has (possibly) seen the

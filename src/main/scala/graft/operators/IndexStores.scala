@@ -222,12 +222,17 @@ private[graft] object IndexStores {
     * extend re-reads the landed decision, not a recomputation.
     */
   def fencedCurationStep(batch: DataFrame, storePath: String,
-      outDir: String, batchId: Long, producer: String)
+      outDir: String, batchId: Long, producer: String,
+      presenceDir: String = "sketch")
       (compute: (DataFrame, Boolean) => DataFrame)
       (extendKept: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
     healRoot(spark, storePath)
-    val bootstrapped = hasStore(spark, s"$storePath/sketch")
+    // presenceDir: the store subdir whose committed data means "the
+    // store exists" — `sketch` for the single-blob sketch stores,
+    // `meta` for the sharded membership store's ctl root (its blobs
+    // live beside the ctl, one dir per shard)
+    val bootstrapped = hasStore(spark, s"$storePath/$presenceDir")
     if (bootstrapped && sketchBatches(spark, storePath)
         .contains((producer, batchId)))
       return // fully applied: output landed before the extend committed

@@ -1195,11 +1195,20 @@ object WebOps {
       outDir: String, batchId: Long, expectedUrls: Long,
       seed: String, producer: String = "default",
       idCol: String = "doc_id", urlCol: String = "url",
-      fpp: Double = 0.01): Unit = {
+      fpp: Double = 0.01, shards: Int = 1): Unit = {
     requireFreshColumns(batch, "urlDedupBatch",
       Seq("canon_url", "rn", "seen"))
-    IndexStores.fencedCurationStep(batch, storePath, outDir, batchId,
-        producer) { (b, bootstrapped) =>
+    // the seen-set store: single-blob for bounded lifetimes, the
+    // hash-sharded generation past it (VERDICT r12 #2 — the
+    // single blob is read/merged driver-side and fully re-published
+    // every trigger, and its BitArray caps near ~14 B items; size
+    // `shards` so expectedUrls/shards stays well under that). The
+    // fence key below is the ctl dir for the sharded layout.
+    val sharded = shards > 1
+    val fenceDir = if (sharded) s"$storePath/ctl" else storePath
+    val presence = if (sharded) "meta" else "sketch"
+    IndexStores.fencedCurationStep(batch, fenceDir, outDir, batchId,
+        producer, presence) { (b, bootstrapped) =>
       // within-trigger first-occurrence: the shared (oracle-pinned)
       // min_by winner selection — NOT the quota family's
       // broadcast-winners join: canonical URLs are ~distinct in a
@@ -1211,15 +1220,22 @@ object WebOps {
       val nonHttp = deduped.filter(col("canon_url").isNull)
       // cross-trigger: the Bloom seen-set (false = definitely new)
       val fresh =
-        if (bootstrapped)
+        if (bootstrapped && sharded)
+          ShardedMembershipStore.seen(http, col("canon_url"), storePath)
+            .filter(!col("seen")).drop("seen")
+        else if (bootstrapped)
           MembershipStore.seen(http, col("canon_url"), storePath)
             .filter(!col("seen")).drop("seen")
         else http
       fresh.unionByName(nonHttp)
     } { kept =>
-      MembershipStore.extend(kept.filter(col("canon_url").isNotNull),
-        col("canon_url"), storePath, batchId, expectedUrls, fpp,
-        producer)
+      val keys = kept.filter(col("canon_url").isNotNull)
+      if (sharded)
+        ShardedMembershipStore.extend(keys, col("canon_url"),
+          storePath, batchId, expectedUrls, shards, fpp, producer)
+      else
+        MembershipStore.extend(keys, col("canon_url"), storePath,
+          batchId, expectedUrls, fpp, producer)
     }
   }
 

@@ -1107,7 +1107,7 @@ object StreamingPipeline {
   def urlDedupStream(docs: DataFrame, storePath: String,
       outDir: String, checkpoint: String, expectedUrls: Long,
       seed: String = "ud", idCol: String = "doc_id",
-      urlCol: String = "url", fpp: Double = 0.01,
+      urlCol: String = "url", fpp: Double = 0.01, shards: Int = 1,
       trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -1116,7 +1116,7 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.WebOps.urlDedupBatch(batch, storePath, outDir,
           batchId, expectedUrls, seed, producer = checkpoint,
-          idCol = idCol, urlCol = urlCol, fpp = fpp)
+          idCol = idCol, urlCol = urlCol, fpp = fpp, shards = shards)
         ()
       }
       .start()
