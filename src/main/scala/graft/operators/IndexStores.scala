@@ -261,25 +261,64 @@ private[graft] object IndexStores {
     s"b_${h}_${batchId}_g0"
   }
 
+  // ---- ledger range codec (VERDICT r12 #7): both applied-batch
+  // ledgers grow one row per trigger for the store's LIFETIME, and
+  // every extend collects them. The on-disk form now folds each
+  // producer's CONTIGUOUS id runs into one (lo, hi) range row — a
+  // streaming producer's ids are consecutive, so a year of triggers
+  // is ONE row per producer (per tag, for the tag ledger after its
+  // data compaction unifies tags) and the per-trigger ledger scan
+  // stays flat. The fold is EXACT, not a monotonicity assumption:
+  // only ids that actually applied land inside a range (gaps split
+  // ranges), so replay fencing round-trips identically — the codec
+  // is invisible to every store. Residual: the EXPANDED in-memory
+  // list is still linear in applied batches (unchanged from before);
+  // at millions of triggers the driver list is the next dial.
+
+  /** Fold per-id pairs into maximal contiguous ranges per group. */
+  private def foldRanges[G](pairs: Seq[(G, Long)]): Seq[(G, Long, Long)] =
+    pairs.groupBy(_._1).toSeq.flatMap { case (g, ps) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(G, Long, Long)]
+      for (id <- ps.map(_._2).distinct.sorted) {
+        if (out.nonEmpty && out.last._3 == id - 1L) {
+          val last = out.remove(out.length - 1)
+          out += ((g, last._2, id))
+        } else out += ((g, id, id))
+      }
+      out.toSeq
+    }
+
   /** The applied-batch ledger `(producer, batch_id, tag)` — the
     * delta-tag stores' single commit point. Empty if never committed.
+    * Range rows (post-codec stores) expand back to per-id tuples;
+    * pre-codec stores (no `lo_id` column) read as-is.
     */
   def tagLedger(spark: SparkSession,
       path: String): Seq[(String, Long, String)] =
     if (!hasStore(spark, s"$path/batches")) Seq.empty
-    else readStore(spark, s"$path/batches").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
-      .toSeq.sortBy(r => (r._1, r._2))
+    else {
+      val df = readStore(spark, s"$path/batches")
+      val hasLo = df.columns.contains("lo_id")
+      df.collect().toSeq.flatMap { r =>
+        val (p, hi, t) = (r.getString(0), r.getLong(1), r.getString(2))
+        val lo = if (hasLo) r.getAs[Long]("lo_id") else hi
+        (lo to hi).map(i => (p, i, t))
+      }.sortBy(r => (r._1, r._2))
+    }
 
   /** Commit the full applied list atomically (staged write + swap) —
     * THE commit point: deltas staged under their tags are invisible
-    * until their pair lands here.
+    * until their pair lands here. Folded on disk: contiguous ids of
+    * one (producer, tag) become a single range row.
     */
   def commitTagLedger(spark: SparkSession, path: String,
       applied: Seq[(String, Long, String)]): Unit = {
     import spark.implicits._
+    val folded = foldRanges(applied.map(r => ((r._1, r._3), r._2)))
+      .map { case ((p, t), lo, hi) => (p, hi, t, lo) }
+      .sortBy(r => (r._1, r._4))
     val staging = stagingFor(spark, s"$path/batches")
-    applied.toDF("producer", "batch_id", "tag").coalesce(1)
+    folded.toDF("producer", "batch_id", "tag", "lo_id").coalesce(1)
       .write.mode("overwrite").parquet(staging)
     swapInto(spark, s"$path/batches", staging)
   }
@@ -337,14 +376,22 @@ private[graft] object IndexStores {
       df.repartition(1).write.mode("overwrite").parquet(dir)
 
   /** The (producer, batchId) applied-batch ledger the single-object
-    * SKETCH stores ([[FrequencyStore]], [[MembershipStore]]) share —
-    * distinct from [[tagLedger]]'s three-column delta-tag form.
+    * SKETCH stores ([[FrequencyStore]], [[MembershipStore]],
+    * [[ShardedMembershipStore]]) share — distinct from [[tagLedger]]'s
+    * delta-tag form. Range rows expand; pre-codec stores read as-is.
     */
   def sketchBatches(spark: SparkSession,
       path: String): Seq[(String, Long)] =
     if (!hasStore(spark, s"$path/batches")) Seq.empty
-    else readStore(spark, s"$path/batches")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    else {
+      val df = readStore(spark, s"$path/batches")
+      val hasLo = df.columns.contains("lo_id")
+      df.collect().toSeq.flatMap { r =>
+        val (p, hi) = (r.getString(0), r.getLong(1))
+        val lo = if (hasLo) r.getAs[Long]("lo_id") else hi
+        (lo to hi).map(p -> _)
+      }.sorted
+    }
 
   /** Stage one complete single-artifact store generation (payload +
     * meta + ledger) under one root and swap it in atomically — ONE
@@ -361,9 +408,16 @@ private[graft] object IndexStores {
     val staging = stagingFor(spark, path)
     writePayload(staging)
     meta.coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
-    if (batches.nonEmpty)
-      batches.toDF("producer", "batch_id").coalesce(1)
+    if (batches.nonEmpty) {
+      // range-folded on disk (see the ledger codec note above): a
+      // streaming producer's contiguous ids stay ONE row however many
+      // triggers the store absorbs
+      val folded = foldRanges(batches)
+        .map { case (p, lo, hi) => (p, hi, lo) }
+        .sortBy(r => (r._1, r._3))
+      folded.toDF("producer", "batch_id", "lo_id").coalesce(1)
         .write.mode("overwrite").parquet(s"$staging/batches")
+    }
     swapInto(spark, path, staging)
   }
 
