@@ -66,6 +66,12 @@ object MembershipStore {
     val spark = df.sparkSession
     IndexStores.healRoot(spark, path)
     if (!IndexStores.hasStore(spark, s"$path/sketch")) {
+      // layout tripwire (review finding): a SHARDED store at this
+      // path must not be silently shadowed by a fresh single blob
+      require(!IndexStores.hasStore(spark, s"$path/ctl/meta"),
+        s"membership store at $path is the SHARDED layout " +
+          "(ShardedMembershipStore) — extend it with its shard " +
+          "count, or rebuild")
       val (bytes, n) = buildFilter(df, key, expectedItems, fpp)
       publish(spark, path, bytes, expectedItems, fpp, totalAdded = n,
         batches = Seq((producer, batchId)), generation = 1L)

@@ -28,11 +28,17 @@ import graft.core.ParquetTable
   *    EXECUTOR-side (a per-shard join + map, parallel across
   *    shards), and republishes ONLY the touched shards' blobs. A
   *    trigger touching k of N shards rewrites k/N of the store; the
-  *    driver never holds a blob (the single-blob store's 2 GB array
-  *    ceiling and driver-memory bind are gone). A batch large enough
-  *    to touch every shard still rewrites the whole store — that is
-  *    the floor for an OR-merge artifact — but it does so in
-  *    parallel on executors, shard-sized piece by piece.
+  *    driver never holds a blob on the WRITE path (the single-blob
+  *    store's 2 GB array ceiling and its driver bind on every
+  *    trigger are gone). A batch large enough to touch every shard
+  *    still rewrites the whole store — that is the floor for an
+  *    OR-merge artifact — but it does so in parallel on executors,
+  *    shard-sized piece by piece. Probe-side residual, owned
+  *    honestly: [[seen]] is a projection probe, so it materializes
+  *    the built filters once per query (one batched read; the array
+  *    rides the plan and is broadcast once per stage with the task
+  *    binary) — at a store too large for one driver/executor heap,
+  *    probe-by-join against the blob table is the next dial.
   *
   * Routing: `pmod(hash(key_string), shards)` — Spark's Murmur3
   * column hash, computed IN THE PLAN on both the extend and probe
@@ -63,9 +69,24 @@ object ShardedMembershipStore {
     require(!IndexStores.hasStore(spark, s"$path/ctl/meta"),
       s"sharded membership store at $path already exists — delete it " +
         "to rebuild (geometry is frozen at build)")
+    rejectSingleBlobLayout(spark, path, "write")
     applyBatch(df, key, path, expectedItems, shards, fpp,
       batches = Seq.empty, prior = None)
   }
+
+  /** Layout tripwire (review finding): bootstrapping a sharded store
+    * over an existing SINGLE-BLOB [[MembershipStore]] would silently
+    * abandon its whole seen-set (two layouts coexisting at one root,
+    * each invisible to the other's presence probe) — reject loudly
+    * instead; re-sharding is a rebuild.
+    */
+  private def rejectSingleBlobLayout(spark: SparkSession, path: String,
+      op: String): Unit =
+    require(!IndexStores.hasStore(spark, s"$path/sketch"),
+      s"ShardedMembershipStore.$op: $path already holds a SINGLE-BLOB " +
+        "MembershipStore — sharding it re-routes every key; rebuild " +
+        "(delete the store and re-ingest) instead of overlaying " +
+        "layouts")
 
   /** Fold a batch in, exactly once per (producer, batchId) — the
     * [[MembershipStore.extend]] contract over the sharded layout.
@@ -79,6 +100,7 @@ object ShardedMembershipStore {
     val spark = df.sparkSession
     IndexStores.healRoot(spark, path)
     if (!IndexStores.hasStore(spark, s"$path/ctl/meta")) {
+      rejectSingleBlobLayout(spark, path, "extend")
       applyBatch(df, key, path, expectedItems, shards, fpp,
         batches = Seq((producer, batchId)), prior = None)
       return
@@ -106,15 +128,31 @@ object ShardedMembershipStore {
     val spark = df.sparkSession
     IndexStores.healRoot(spark, path)
     val m = metaOf(spark, path)
-    val filters: Array[BloomFilter] = (0 until m.shards).map { i =>
-      val dir = s"$path/shards/p$i"
-      if (!IndexStores.hasStore(spark, dir)) null
-      else BloomFilter.readFrom(IndexStores.readStore(spark, dir)
-        .head.getAs[Array[Byte]]("sketch"))
-    }.toArray
+    val filters = new Array[BloomFilter](m.shards)
+    for ((s, bytes) <- readAllBlobs(spark, path, m.shards))
+      filters(s) = BloomFilter.readFrom(bytes)
     val k = key.cast("string")
     df.withColumn("seen", graft.functions.BloomProbe.containsSharded(
       filters, k, shardIdOf(k, m.shards)))
+  }
+
+  /** All built shard blobs in ONE batched parquet read (review
+    * finding: a per-shard read loop is N sequential Spark jobs per
+    * probe call). The per-dir presence probes stay — they are driver
+    * FS metadata calls, and each one also heals that shard's
+    * `.__old_` swap window. NOTE the probe-side residual the class
+    * doc owns: a projection probe must materialize the fleet of
+    * filters once per query (it rides the plan, broadcast once per
+    * stage with the task binary); at a store too big for one driver,
+    * probe-by-join against the blob table is the next dial.
+    */
+  private def readAllBlobs(spark: SparkSession, path: String,
+      shards: Int): Seq[(Int, Array[Byte])] = {
+    val dirs = (0 until shards).map(i => s"$path/shards/p$i")
+      .filter(IndexStores.hasStore(spark, _))
+    if (dirs.isEmpty) Seq.empty
+    else spark.read.parquet(dirs: _*).collect().toSeq
+      .map(r => (r.getAs[Int]("s"), r.getAs[Array[Byte]]("sketch")))
   }
 
   /** One-row summary: geometry, exact insertions, ledger size, how
@@ -125,17 +163,11 @@ object ShardedMembershipStore {
   def stats(spark: SparkSession, path: String): DataFrame = {
     IndexStores.healRoot(spark, path)
     val m = metaOf(spark, path)
-    var built = 0
-    var worstFpp = 0.0
-    for (i <- 0 until m.shards) {
-      val dir = s"$path/shards/p$i"
-      if (IndexStores.hasStore(spark, dir)) {
-        built += 1
-        val f = BloomFilter.readFrom(IndexStores.readStore(spark, dir)
-          .head.getAs[Array[Byte]]("sketch"))
-        worstFpp = math.max(worstFpp, f.expectedFpp())
-      }
-    }
+    val blobs = readAllBlobs(spark, path, m.shards)
+    val built = blobs.size
+    val worstFpp = blobs.map { case (_, b) =>
+      BloomFilter.readFrom(b).expectedFpp()
+    }.foldLeft(0.0)(math.max)
     import spark.implicits._
     Seq((m.expectedItems, m.fpp, m.shards, m.totalAdded,
       IndexStores.sketchBatches(spark, s"$path/ctl").size.toLong,

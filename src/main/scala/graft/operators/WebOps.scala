@@ -606,18 +606,24 @@ object WebOps {
           lit(true)) ||
         (col("kind") === "prefix" &&
           canonicalizeUrlFused(col("pattern")).isNull) ||
-        // host patterns: non-empty after normalization, depth-capped —
-        // the matcher runs one suffix join per DISTINCT host-rule
-        // depth, so the depth must be a small constant, loudly
+        // host patterns: non-empty after normalization, no EMPTY
+        // labels (a leading/doubled dot — e.g. the common authoring
+        // form '.example.com' — can never match a canonical host and
+        // would be a silently dead rule in a SAFETY filter, the exact
+        // class the eager validation exists for), depth-capped — the
+        // matcher runs one suffix join per DISTINCT host-rule depth,
+        // so the depth must be a small constant, loudly
         (col("kind") === "host" &&
           (length(hostPat) === 0 ||
+            hostPat.rlike("^\\.|\\.\\.") ||
             size(split(hostPat, "\\.")) > MaxHostRuleLabels)))
       .select("rule_id", "kind", "pattern").limit(3).collect()
     require(bad.isEmpty,
       "blocklist: invalid rule(s) — rule_id/kind/pattern must be " +
         "non-null, kind must be 'domain', 'prefix' or 'host', prefix " +
         "patterns must be http(s) URLs, and host patterns non-empty " +
-        s"with at most $MaxHostRuleLabels labels: " +
+        "with no empty labels (no leading/doubled dots) and at most " +
+        s"$MaxHostRuleLabels labels: " +
         bad.map(r => s"${r.getString(0)}(${r.getString(1)}: " +
           s"${r.getString(2)})").mkString(", "))
     rules.select(col("rule_id"), col("kind"), col("pattern"),
@@ -646,12 +652,22 @@ object WebOps {
 
   /** The l-label suffix of the (dotted) `host` column — NULL when the
     * host is shorter (a short host must not match a longer rule via
-    * slice truncation). Bracketed IPv6 hosts contain no dots, so they
-    * are one "label" and match depth-1 host rules by equality only.
+    * slice truncation). IP-LITERAL hosts never suffix-match (review
+    * finding, same invariant as [[registrableDomain]]): octets are
+    * not subdomain labels, so a short numeric rule like `3.4` must
+    * not mass-drop every IPv4 host ending in those octets — an IP
+    * host matches a host rule only by FULL-HOST equality (l == its
+    * label count). Bracketed literals are one dotless "label" and
+    * were equality-only already; the guard also covers IPv4-mapped
+    * bracket forms (`[::ffff:1.2.3.4]`), whose inner dots must not
+    * mint suffixes.
     */
   private def hostSfx(l: Int): Column = {
     val parts = split(col("host"), "\\.")
-    when(size(parts) >= l, array_join(slice(parts, -l, l), "."))
+    val isIp = col("host").startsWith("[") || col("host").rlike(Ipv4Re)
+    when(isIp, when(size(parts) === l, col("host")))
+      .otherwise(when(size(parts) >= l,
+        array_join(slice(parts, -l, l), ".")))
   }
 
   /** The distinct depths of the prepped table's host rules —
@@ -1207,6 +1223,22 @@ object WebOps {
     val sharded = shards > 1
     val fenceDir = if (sharded) s"$storePath/ctl" else storePath
     val presence = if (sharded) "meta" else "sketch"
+    // layout tripwire BEFORE any scoring (review finding): flipping
+    // `shards` across 1 on an existing path would read the OTHER
+    // layout's presence dir as "absent", skip the seen filter, and
+    // silently abandon the whole seen-set history — every known URL
+    // re-admitted. Rejecting here (not at extend time) keeps the
+    // fence's land-before-extend posture from landing duplicates.
+    val spark = batch.sparkSession
+    if (sharded)
+      require(!IndexStores.hasStore(spark, s"$storePath/sketch"),
+        s"urlDedupBatch: $storePath holds a SINGLE-BLOB seen-set but " +
+          s"shards=$shards was requested — re-sharding re-routes " +
+          "every key; rebuild the store (delete it and re-ingest)")
+    else
+      require(!IndexStores.hasStore(spark, s"$storePath/ctl/meta"),
+        s"urlDedupBatch: $storePath holds a SHARDED seen-set but " +
+          "shards=1 was requested — pass the store's shard count")
     IndexStores.fencedCurationStep(batch, fenceDir, outDir, batchId,
         producer, presence) { (b, bootstrapped) =>
       // within-trigger first-occurrence: the shared (oracle-pinned)

@@ -1368,11 +1368,15 @@ object ExtOracles {
          |  ('r6', 'domain', '198.51.2.7', NULL),
          |  ('r7', 'host', 'blog.host1.org', NULL),
          |  ('r8', 'host', 'example3.com', NULL),
-         |  ('r9', 'host', '[2001:db8::5]', NULL)),
+         |  ('r9', 'host', '[2001:db8::5]', NULL),
+         |  ('r10', 'host', '2.7', NULL)),
          |blocked AS (SELECT DISTINCT doc_id FROM wd JOIN brules r
          |  ON (r.kind = 'domain' AND wd.domain = r.pat)
          |  OR (r.kind = 'host' AND (wd.host = r.pat
-         |      OR ends_with(wd.host, '.' || r.pat)))
+         |      OR (NOT starts_with(wd.host, '[')
+         |          AND NOT regexp_matches(wd.host,
+         |            '^[0-9]+(\\.[0-9]+){3}$$')
+         |          AND ends_with(wd.host, '.' || r.pat))))
          |  OR (r.kind = 'prefix' AND wd.host = r.phost
          |      AND starts_with(wd.canon_url, r.pat)))
          |SELECT doc_id, canon_url, domain FROM wd
@@ -1395,11 +1399,15 @@ object ExtOracles {
          |  ('r6', 'domain', '198.51.2.7', '198.51.2.7', NULL),
          |  ('r7', 'host', 'Blog.Host1.ORG.', 'blog.host1.org', NULL),
          |  ('r8', 'host', 'example3.com', 'example3.com', NULL),
-         |  ('r9', 'host', '[2001:DB8::5]', '[2001:db8::5]', NULL)),
+         |  ('r9', 'host', '[2001:DB8::5]', '[2001:db8::5]', NULL),
+         |  ('r10', 'host', '2.7', '2.7', NULL)),
          |m AS (SELECT r.rule_id, count(*) AS n FROM wd JOIN brules r
          |  ON (r.kind = 'domain' AND wd.domain = r.pat)
          |  OR (r.kind = 'host' AND (wd.host = r.pat
-         |      OR ends_with(wd.host, '.' || r.pat)))
+         |      OR (NOT starts_with(wd.host, '[')
+         |          AND NOT regexp_matches(wd.host,
+         |            '^[0-9]+(\\.[0-9]+){3}$$')
+         |          AND ends_with(wd.host, '.' || r.pat))))
          |  OR (r.kind = 'prefix' AND wd.host = r.phost
          |      AND starts_with(wd.canon_url, r.pat))
          |  GROUP BY r.rule_id)

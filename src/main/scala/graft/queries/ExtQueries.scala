@@ -1306,7 +1306,11 @@ object ExtQueries {
       // r8: host kind, subdomain leg (www.example3.com ends with it)
       ("r8", "host", "example3.com"),
       // r9: host kind over a bracketed IPv6 literal (one "label")
-      ("r9", "host", "[2001:DB8::5]"))
+      ("r9", "host", "[2001:DB8::5]"),
+      // r10: a short numeric host rule — the fixture HAS IPv4 hosts
+      // ending in .2.7, and they must NOT match (octets are not
+      // subdomain labels; review finding): n_hits must audit 0
+      ("r10", "host", "2.7"))
       .toDF("rule_id", "kind", "pattern")
   }
 

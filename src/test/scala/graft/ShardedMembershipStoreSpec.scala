@@ -131,6 +131,32 @@ class ShardedMembershipStoreSpec extends SparkSpec {
     val st = ShardedMembershipStore.stats(spark, store).head
     assert(st.getAs[Int]("shards") === 8)
     assert(st.getAs[Long]("applied_batches") === 2L)
+    // layout tripwire (review finding): flipping the shards knob on
+    // an existing path must reject BEFORE any scoring, not silently
+    // abandon the seen-set history
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.WebOps.urlDedupBatch(
+        batch((20L, "http://a.com/x")), store, out, batchId = 2L,
+        expectedUrls = 100000L, seed = "s13") // shards defaults to 1
+    }
+    assert(e1.getMessage.contains("SHARDED"))
+    // and the reverse: a single-blob store refuses a sharded extend
+    val blobStore = s"$root/blob"
+    graft.operators.WebOps.urlDedupBatch(
+      batch((30L, "http://b.org/y")), blobStore, s"$root/kept2",
+      batchId = 0L, expectedUrls = 1000L, seed = "s13")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.WebOps.urlDedupBatch(
+        batch((31L, "http://b.org/z")), blobStore, s"$root/kept2",
+        batchId = 1L, expectedUrls = 1000L, seed = "s13", shards = 8)
+    }
+    assert(e2.getMessage.contains("SINGLE-BLOB"))
+    // the store-level tripwires fire too (not only the operator's)
+    intercept[IllegalArgumentException] {
+      ShardedMembershipStore.extend(batch((32L, "u")).toDF()
+        .select(col("url").as("k")), col("k"), blobStore, 5L,
+        1000L, 8)
+    }
   }
 
   test("write(a); extend(b) ≡ membership of a ∪ b, and an empty " +

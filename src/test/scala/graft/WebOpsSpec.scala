@@ -496,13 +496,41 @@ class WebOpsSpec extends SparkSpec {
     // the lite-split audit disagrees — the exact inconsistency
     // blocklistHitsBy exists to close
     assert(WebOps.blocklistHits(pslDocs, pslRule).head.getLong(3) === 0L)
-    // depth cap and empty host pattern reject eagerly
+    // IP hosts never SUFFIX-match a host rule (octets are not
+    // subdomain labels — review finding): a short numeric rule must
+    // not mass-drop IPv4 hosts ending in those octets, while the
+    // full-IP host rule still matches by equality
+    val ipDocs = Seq(
+      (20L, "http://198.51.3.4/a"), (21L, "http://10.0.3.4/b"),
+      (22L, "http://[::ffff:1.2.3.4]/c"), (23L, "http://x.3.4.org/d"))
+      .toDF("doc_id", "url")
+    val ipRules = Seq(
+      ("n1", "host", "3.4"), // numeric 2-label: DNS suffixes only
+      ("n2", "host", "10.0.3.4")) // full IP: equality
+      .toDF("rule_id", "kind", "pattern")
+    val ipKept = WebOps.blocklistFilter(ipDocs, ipRules)
+      .select("doc_id").as[Long].collect().toSet
+    // 23 (host x.3.4.org, a real DNS subdomain of 3.4.org? no —
+    // rule '3.4' means host '3.4' or '*.3.4'; x.3.4.org does NOT end
+    // with '.3.4') survives; only the exact-IP rule n2 fires
+    assert(ipKept === Set(20L, 22L, 23L),
+      s"IP suffix-grouping leaked into host rules: kept $ipKept")
+    // depth cap, empty, and EMPTY-LABEL host patterns reject eagerly
+    // (a leading-dot authoring form would be a silently dead rule)
     intercept[IllegalArgumentException] {
       WebOps.prepBlocklistRules(Seq(("x", "host", "a.b.c.d.e.f.g.h.i"))
         .toDF("rule_id", "kind", "pattern")).collect()
     }
     intercept[IllegalArgumentException] {
       WebOps.prepBlocklistRules(Seq(("x", "host", "..."))
+        .toDF("rule_id", "kind", "pattern")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      WebOps.prepBlocklistRules(Seq(("x", "host", ".example.com"))
+        .toDF("rule_id", "kind", "pattern")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      WebOps.prepBlocklistRules(Seq(("x", "host", "a..b.com"))
         .toDF("rule_id", "kind", "pattern")).collect()
     }
   }
