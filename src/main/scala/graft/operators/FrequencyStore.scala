@@ -83,7 +83,7 @@ object FrequencyStore {
     if (!IndexStores.hasStore(spark, s"$path/sketch")) {
       val (bytes, n) = sketchAndCount(df, key, eps, confidence, seed)
       publish(spark, path, bytes, eps, confidence, seed, totalItems = n,
-        batches = Seq((producer, batchId)), generation = 1L,
+        batches = Seq((producer, batchId, batchId)), generation = 1L,
         keyFormat = keyFormat)
       return
     }
@@ -93,8 +93,9 @@ object FrequencyStore {
         s"confidence=${m.confidence}, seed=${m.seed}); extend declared " +
         s"(eps=$eps, confidence=$confidence, seed=$seed)")
     requireKeyFormatMeta(m, path, keyFormat)
-    val applied = appliedBatches(spark, path)
-    if (applied.contains((producer, batchId))) return // replay — counted
+    val applied = appliedRanges(spark, path)
+    if (IndexStores.rangesApplied(applied, producer, batchId))
+      return // replay — counted
     val (batchBytes, n) = sketchAndCount(df, key, eps, confidence, seed)
     val merged = CountMinSketch.readFrom(
       new ByteArrayInputStream(sketchBytes(spark, path)))
@@ -112,7 +113,7 @@ object FrequencyStore {
         "merging into this store; serialise producers")
     publish(spark, path, serialize(merged), eps, confidence, seed,
       totalItems = m.totalItems + n,
-      batches = applied :+ ((producer, batchId)),
+      batches = IndexStores.rangesAdd(applied, producer, batchId),
       generation = m.generation + 1L, keyFormat = keyFormat)
   }
 
@@ -196,7 +197,7 @@ object FrequencyStore {
     val m = metaOf(spark, path)
     import spark.implicits._
     Seq((m.eps, m.confidence, m.seed, m.totalItems,
-      appliedBatches(spark, path).size.toLong, m.generation))
+      IndexStores.rangesCount(appliedRanges(spark, path)), m.generation))
       .toDF("eps", "confidence", "seed", "total_items",
         "applied_batches", "generation")
   }
@@ -224,16 +225,15 @@ object FrequencyStore {
   private def sketchBytes(spark: SparkSession, path: String): Array[Byte] =
     IndexStores.readStore(spark, s"$path/sketch").head.getAs[Array[Byte]](0)
 
-  /** The full applied-id ledger — one (producer, batchId) row per batch
-    * ever merged, read driver-side per extend. Growth is tens of
-    * bytes/batch (a year of once-a-minute triggers ≈ a few MB),
-    * deliberate: a max-id high-water mark would tie the store to a
-    * single monotonic id sequence, and the ledger is also the
-    * `applied_batches` audit surface in [[stats]].
+  /** The applied-id ledger in RANGE form — contiguous per-producer
+    * runs stay one entry on disk AND in memory (VERDICT r12 #7), so
+    * the per-extend fence is O(ranges), not O(triggers); fencing is
+    * exact because gaps never fold. Also the `applied_batches` audit
+    * surface in [[stats]] via [[IndexStores.rangesCount]].
     */
-  private def appliedBatches(spark: SparkSession,
-      path: String): Seq[(String, Long)] =
-    IndexStores.sketchBatches(spark, path)
+  private def appliedRanges(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] =
+    IndexStores.sketchRanges(spark, path)
 
   /** ONE aggregation pass over the batch: the counter matrix and the
     * exact non-null item count together — the hot ingest path reads
@@ -261,7 +261,7 @@ object FrequencyStore {
     */
   private def publish(spark: SparkSession, path: String,
       bytes: Array[Byte], eps: Double, confidence: Double, seed: Int,
-      totalItems: Long, batches: Seq[(String, Long)],
+      totalItems: Long, batches: Seq[(String, Long, Long)],
       generation: Long, keyFormat: String): Unit = {
     import spark.implicits._
     IndexStores.publishSketchGeneration(spark, path, bytes,

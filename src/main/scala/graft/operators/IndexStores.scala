@@ -233,8 +233,8 @@ private[graft] object IndexStores {
     // `meta` for the sharded membership store's ctl root (its blobs
     // live beside the ctl, one dir per shard)
     val bootstrapped = hasStore(spark, s"$storePath/$presenceDir")
-    if (bootstrapped && sketchBatches(spark, storePath)
-        .contains((producer, batchId)))
+    if (bootstrapped && rangesApplied(sketchRanges(spark, storePath),
+        producer, batchId))
       return // fully applied: output landed before the extend committed
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
@@ -379,19 +379,65 @@ private[graft] object IndexStores {
     * SKETCH stores ([[FrequencyStore]], [[MembershipStore]],
     * [[ShardedMembershipStore]]) share — distinct from [[tagLedger]]'s
     * delta-tag form. Range rows expand; pre-codec stores read as-is.
+    * For the per-trigger FENCE path prefer [[sketchRanges]] +
+    * [[rangesApplied]] — no expansion, O(ranges) memory however many
+    * triggers applied.
     */
   def sketchBatches(spark: SparkSession,
       path: String): Seq[(String, Long)] =
+    sketchRanges(spark, path).flatMap { case (p, lo, hi) =>
+      (lo to hi).map(p -> _)
+    }.sorted
+
+  /** The sketch ledger in its RANGE form, unexpanded — what the
+    * per-trigger fence should hold: a streaming producer's lifetime
+    * is ONE range however many triggers it applied (the expansion in
+    * [[sketchBatches]] was the last linear-in-triggers driver cost).
+    */
+  def sketchRanges(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] =
     if (!hasStore(spark, s"$path/batches")) Seq.empty
     else {
       val df = readStore(spark, s"$path/batches")
       val hasLo = df.columns.contains("lo_id")
-      df.collect().toSeq.flatMap { r =>
+      df.collect().toSeq.map { r =>
         val (p, hi) = (r.getString(0), r.getLong(1))
         val lo = if (hasLo) r.getAs[Long]("lo_id") else hi
-        (lo to hi).map(p -> _)
-      }.sorted
+        (p, lo, hi)
+      }.sortBy(r => (r._1, r._2))
     }
+
+  /** Whether (producer, id) lies inside the applied ranges. */
+  def rangesApplied(ranges: Seq[(String, Long, Long)],
+      producer: String, id: Long): Boolean =
+    ranges.exists(r => r._1 == producer && r._2 <= id && id <= r._3)
+
+  /** Add one applied id to the range set (merging contiguously). */
+  def rangesAdd(ranges: Seq[(String, Long, Long)], producer: String,
+      id: Long): Seq[(String, Long, Long)] =
+    foldRangeRows(ranges :+ ((producer, id, id)))
+
+  /** Total applied batches across the ranges (the stats count). */
+  def rangesCount(ranges: Seq[(String, Long, Long)]): Long =
+    ranges.map(r => r._3 - r._2 + 1L).sum
+
+  /** Merge overlapping/adjacent ranges per producer — the write-side
+    * normal form (also heals any duplicate coverage defensively).
+    */
+  private def foldRangeRows(
+      ranges: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] =
+    ranges.groupBy(_._1).toSeq.flatMap { case (p, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val out = scala.collection.mutable
+        .ArrayBuffer.empty[(String, Long, Long)]
+      for ((_, lo, hi) <- sorted) {
+        if (out.nonEmpty && lo <= out.last._3 + 1L) {
+          val last = out.remove(out.length - 1)
+          out += ((p, last._2, math.max(last._3, hi)))
+        } else out += ((p, lo, hi))
+      }
+      out.toSeq
+    }.sortBy(r => (r._1, r._2))
 
   /** Stage one complete single-artifact store generation (payload +
     * meta + ledger) under one root and swap it in atomically — ONE
@@ -403,7 +449,7 @@ private[graft] object IndexStores {
     */
   def publishGeneration(spark: SparkSession, path: String,
       writePayload: String => Unit, meta: DataFrame,
-      batches: Seq[(String, Long)]): Unit = {
+      batches: Seq[(String, Long, Long)]): Unit = {
     import spark.implicits._
     val staging = stagingFor(spark, path)
     writePayload(staging)
@@ -411,8 +457,10 @@ private[graft] object IndexStores {
     if (batches.nonEmpty) {
       // range-folded on disk (see the ledger codec note above): a
       // streaming producer's contiguous ids stay ONE row however many
-      // triggers the store absorbs
-      val folded = foldRanges(batches)
+      // triggers the store absorbs; the stores pass ranges end-to-end
+      // (sketchRanges/rangesAdd), so nothing linear-in-triggers is
+      // ever materialized
+      val folded = foldRangeRows(batches)
         .map { case (p, lo, hi) => (p, hi, lo) }
         .sortBy(r => (r._1, r._3))
       folded.toDF("producer", "batch_id", "lo_id").coalesce(1)
@@ -426,7 +474,7 @@ private[graft] object IndexStores {
     */
   def publishSketchGeneration(spark: SparkSession, path: String,
       sketch: Array[Byte], meta: DataFrame,
-      batches: Seq[(String, Long)]): Unit = {
+      batches: Seq[(String, Long, Long)]): Unit = {
     import spark.implicits._
     publishGeneration(spark, path, staging =>
       Seq(Tuple1(sketch)).toDF("sketch").coalesce(1)

@@ -74,7 +74,7 @@ object MembershipStore {
           "count, or rebuild")
       val (bytes, n) = buildFilter(df, key, expectedItems, fpp)
       publish(spark, path, bytes, expectedItems, fpp, totalAdded = n,
-        batches = Seq((producer, batchId)), generation = 1L)
+        batches = Seq((producer, batchId, batchId)), generation = 1L)
       return
     }
     val m = metaOf(spark, path)
@@ -82,8 +82,9 @@ object MembershipStore {
       s"membership store at $path was built as (expectedItems=" +
         s"${m.expectedItems}, fpp=${m.fpp}); extend declared " +
         s"(expectedItems=$expectedItems, fpp=$fpp)")
-    val applied = appliedBatches(spark, path)
-    if (applied.contains((producer, batchId))) return // replay
+    val applied = appliedRanges(spark, path)
+    if (IndexStores.rangesApplied(applied, producer, batchId))
+      return // replay
     val (batchBytes, n) = buildFilter(df, key, expectedItems, fpp)
     val merged = BloomFilter.readFrom(
       new ByteArrayInputStream(sketchBytes(spark, path)))
@@ -101,7 +102,7 @@ object MembershipStore {
         "concurrent writer is folding batches; serialise producers")
     publish(spark, path, serialize(merged), expectedItems, fpp,
       totalAdded = m.totalAdded + n,
-      batches = applied :+ ((producer, batchId)),
+      batches = IndexStores.rangesAdd(applied, producer, batchId),
       generation = m.generation + 1L)
   }
 
@@ -185,7 +186,7 @@ object MembershipStore {
     import spark.implicits._
     Seq((m.expectedItems, m.fpp, m.totalAdded,
       f.expectedFpp(), f.bitSize(),
-      appliedBatches(spark, path).size.toLong))
+      IndexStores.rangesCount(appliedRanges(spark, path))))
       .toDF("expected_items", "fpp", "items_added", "current_fpp",
         "bit_size", "applied_batches")
   }
@@ -237,9 +238,9 @@ object MembershipStore {
       r.getAs[Long]("total_added"), r.getAs[Long]("generation"))
   }
 
-  private def appliedBatches(spark: SparkSession,
-      path: String): Seq[(String, Long)] =
-    IndexStores.sketchBatches(spark, path)
+  private def appliedRanges(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] =
+    IndexStores.sketchRanges(spark, path)
 
   /** Stage one complete generation (sketch + meta + ledger) and swap
     * it in atomically ([[IndexStores.publishSketchGeneration]] — the
@@ -247,7 +248,7 @@ object MembershipStore {
     */
   private def publish(spark: SparkSession, path: String,
       bytes: Array[Byte], expectedItems: Long, fpp: Double,
-      totalAdded: Long, batches: Seq[(String, Long)],
+      totalAdded: Long, batches: Seq[(String, Long, Long)],
       generation: Long): Unit = {
     import spark.implicits._
     IndexStores.publishSketchGeneration(spark, path, bytes,

@@ -128,7 +128,7 @@ object ReservoirStore {
           checkedWindow(bottomK(pinned, idCol, capacity, seed, groupCol),
             idCol),
           ResMeta(idCol, capacity, seed, n, generation = 1L, groupCol),
-          Seq((producer, batchId)))
+          Seq((producer, batchId, batchId)))
       } finally graft.BenchUtil.releaseNewRdds(sc, before)
       return
     }
@@ -148,8 +148,9 @@ object ReservoirStore {
         s"${stored.schema.simpleString}; the batch carries " +
         s"${df.schema.simpleString} — rows of a different shape do " +
         "not merge")
-    val applied = appliedBatches(spark, path)
-    if (applied.contains((producer, batchId))) return // replay
+    val applied = appliedRanges(spark, path)
+    if (IndexStores.rangesApplied(applied, producer, batchId))
+      return // replay
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     try {
@@ -178,7 +179,7 @@ object ReservoirStore {
       publish(spark, path, merged,
         ResMeta(idCol, capacity, seed, m.nSeen + n, m.generation + 1L,
           groupCol),
-        applied :+ ((producer, batchId)))
+        IndexStores.rangesAdd(applied, producer, batchId))
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
@@ -206,7 +207,7 @@ object ReservoirStore {
     publish(spark, path,
       bottomK(stored, m.idCol, newCapacity, m.seed, m.groupCol),
       m.copy(capacity = newCapacity, generation = m.generation + 1L),
-      appliedBatches(spark, path))
+      appliedRanges(spark, path))
   }
 
   /** The current sample — ≤ capacity payload rows, as ingested. */
@@ -226,7 +227,8 @@ object ReservoirStore {
     import spark.implicits._
     Seq((m.capacity.toLong, m.seed, m.nSeen, size,
       if (m.nSeen == 0L) 1000000L else size * 1000000L / m.nSeen,
-      appliedBatches(spark, path).size.toLong, m.generation))
+      IndexStores.rangesCount(appliedRanges(spark, path)),
+      m.generation))
       .toDF("capacity", "seed", "n_seen", "sample_size",
         "inclusion_ppm", "applied_batches", "generation")
   }
@@ -460,9 +462,9 @@ object ReservoirStore {
       r.getAs[Long]("generation"), r.getAs[String]("group_col"))
   }
 
-  private def appliedBatches(spark: SparkSession,
-      path: String): Seq[(String, Long)] =
-    IndexStores.sketchBatches(spark, path)
+  private def appliedRanges(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] =
+    IndexStores.sketchRanges(spark, path)
 
   /** Stage one complete generation (sample + meta + ledger) under one
     * root and swap it in atomically — the shared single-artifact
@@ -474,7 +476,7 @@ object ReservoirStore {
     */
   private def publish(spark: SparkSession, path: String,
       sample: DataFrame, m: ResMeta,
-      batches: Seq[(String, Long)]): Unit = {
+      batches: Seq[(String, Long, Long)]): Unit = {
     import spark.implicits._
     IndexStores.publishGeneration(spark, path,
       staging => {

@@ -102,7 +102,7 @@ object ShardedMembershipStore {
     if (!IndexStores.hasStore(spark, s"$path/ctl/meta")) {
       rejectSingleBlobLayout(spark, path, "extend")
       applyBatch(df, key, path, expectedItems, shards, fpp,
-        batches = Seq((producer, batchId)), prior = None)
+        batches = Seq((producer, batchId, batchId)), prior = None)
       return
     }
     val m = metaOf(spark, path)
@@ -113,10 +113,12 @@ object ShardedMembershipStore {
         s"shards=${m.shards}); extend declared (expectedItems=" +
         s"$expectedItems, fpp=$fpp, shards=$shards) — re-sharding " +
         "re-routes every key and needs a rebuild")
-    val applied = IndexStores.sketchBatches(spark, s"$path/ctl")
-    if (applied.contains((producer, batchId))) return // replay
+    val applied = IndexStores.sketchRanges(spark, s"$path/ctl")
+    if (IndexStores.rangesApplied(applied, producer, batchId))
+      return // replay
     applyBatch(df, key, path, expectedItems, shards, fpp,
-      batches = applied :+ ((producer, batchId)), prior = Some(m))
+      batches = IndexStores.rangesAdd(applied, producer, batchId),
+      prior = Some(m))
   }
 
   /** `df` + boolean `seen` — false is DEFINITE (no false negatives,
@@ -170,7 +172,8 @@ object ShardedMembershipStore {
     }.foldLeft(0.0)(math.max)
     import spark.implicits._
     Seq((m.expectedItems, m.fpp, m.shards, m.totalAdded,
-      IndexStores.sketchBatches(spark, s"$path/ctl").size.toLong,
+      IndexStores.rangesCount(
+        IndexStores.sketchRanges(spark, s"$path/ctl")),
       m.generation, built.toLong, worstFpp))
       .toDF("expected_items", "fpp", "shards", "items_added",
         "applied_batches", "generation", "shards_built",
@@ -198,7 +201,7 @@ object ShardedMembershipStore {
     */
   private def applyBatch(df: DataFrame, key: Column, path: String,
       expectedItems: Long, shards: Int, fpp: Double,
-      batches: Seq[(String, Long)], prior: Option[Meta]): Unit = {
+      batches: Seq[(String, Long, Long)], prior: Option[Meta]): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     require(shards >= 2 && shards <= 4096,

@@ -13,26 +13,37 @@ class LedgerFoldSpec extends SparkSpec {
 
   private def metaDf = Seq((1L, 0.01)).toDF("a", "b")
 
-  test("sketch ledger: 10^4 contiguous triggers fold to ONE on-disk " +
-    "row; gaps and second producers split exactly; round-trip is " +
-    "the identity") {
+  test("sketch ledger: 10^4 contiguous triggers fold to ONE row on " +
+    "disk AND in memory; gaps and second producers split exactly; " +
+    "fencing round-trips the identity") {
     val path = tmpDir("fold-sketch") + "/store"
-    val pairs = (0 until 10000).map(i => ("ckptA", i.toLong)) ++
-      Seq(("ckptB", 5L), ("ckptB", 7L)) // a GAP: must stay two rows
+    // the per-trigger accumulation every store runs: rangesAdd per
+    // batch — the in-memory fence stays O(ranges), never O(triggers)
+    var ranges = Seq.empty[(String, Long, Long)]
+    for (i <- 0 until 10000) ranges =
+      IndexStores.rangesAdd(ranges, "ckptA", i.toLong)
+    ranges = IndexStores.rangesAdd(ranges, "ckptB", 5L)
+    ranges = IndexStores.rangesAdd(ranges, "ckptB", 7L) // a GAP
+    assert(ranges.size === 3,
+      "10k contiguous triggers must hold ONE in-memory range")
     IndexStores.publishSketchGeneration(spark, path,
-      Array[Byte](1, 2, 3), metaDf, pairs)
+      Array[Byte](1, 2, 3), metaDf, ranges)
     // flat on disk: 1 range row for A's 10k run, 2 for B's gap
     val disk = spark.read.parquet(s"$path/batches")
     assert(disk.count() === 3L,
       "10k contiguous triggers must fold to one row")
-    // exact fencing: the expanded read IS the applied set
-    val back = IndexStores.sketchBatches(spark, path)
-    assert(back.size === 10002)
-    assert(back.toSet === pairs.toSet)
-    assert(back.contains(("ckptB", 5L)) && back.contains(("ckptB", 7L)))
-    assert(!back.contains(("ckptB", 6L)),
+    // exact fencing, no expansion
+    val back = IndexStores.sketchRanges(spark, path)
+    assert(back === ranges.sortBy(r => (r._1, r._2)))
+    assert(IndexStores.rangesApplied(back, "ckptA", 9999L))
+    assert(IndexStores.rangesApplied(back, "ckptB", 5L))
+    assert(!IndexStores.rangesApplied(back, "ckptB", 6L),
       "the gap id must NOT be fenced — folding may never invent an " +
         "applied batch")
+    assert(!IndexStores.rangesApplied(back, "ckptA", 10000L))
+    assert(IndexStores.rangesCount(back) === 10002L)
+    // the expanded view (stats/audit face) agrees
+    assert(IndexStores.sketchBatches(spark, path).size === 10002)
   }
 
   test("tag ledger: contiguous ids under ONE tag (the post-compaction " +
