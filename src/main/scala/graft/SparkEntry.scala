@@ -122,6 +122,7 @@ object SparkEntry {
     "corpus_pipeline" -> (graft.queries.ExtQueries.corpusPipeline(_, _)),
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "url_canon" -> (graft.queries.ExtQueries.urlCanon(_, _)),
+    "url_idn" -> (graft.queries.ExtQueries.urlIdn(_, _)),
     "domain_quota" -> (graft.queries.ExtQueries.domainQuotaGate(_, _)),
     "domain_psl" -> (graft.queries.ExtQueries.domainPsl(_, _)),
     "domain_psl_full" -> (graft.queries.ExtQueries.domainPslFull(_, _)),

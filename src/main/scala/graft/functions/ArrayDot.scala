@@ -147,6 +147,9 @@ object GraftFunctions {
     (FunctionIdentifier("url_host"),
       new ExpressionInfo(classOf[UrlHostExpr].getName, "url_host"),
       children => UrlHostExpr(children(0))),
+    (FunctionIdentifier("idn_to_ascii"),
+      new ExpressionInfo(classOf[IdnToAscii].getName, "idn_to_ascii"),
+      children => IdnToAscii(children(0))),
     (FunctionIdentifier("html_text_scan"),
       new ExpressionInfo(classOf[HtmlTextScan].getName, "html_text_scan"),
       children => HtmlTextScan(children(0))))

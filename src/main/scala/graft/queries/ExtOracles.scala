@@ -1336,6 +1336,54 @@ object ExtOracles {
          |SELECT doc_id, url, canon_url, host, domain
          |FROM wd ORDER BY doc_id""".stripMargin,
 
+    // IDN normalization (WebOps.withIdnHost): the host construction
+    // replays the gate's doc_id arithmetic, but the xn-- encodings
+    // are PINNED ABSOLUTE LITERALS — RFC 3492 is not expressible in
+    // SQL, so hash-green checks the engine's encoder against the
+    // published punycode forms (bücher→bcher-kva, пример→e1afmkfd,
+    // рф→p1ai, 例え→r8jz45g) rather than replaying it. straße pins
+    // the documented IDNA2008-style deviation (ß kept → strae-oqa,
+    // where IDNA2003 would fold to strasse); IP literals and
+    // already-encoded input pass through byte-identically.
+    "url_idn" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 8 AS INTEGER)
+        |      WHEN 0 THEN 'plain' || (doc_id % 5) || '.example.com'
+        |      WHEN 1 THEN 'sub' || (doc_id % 5) || '.bücher.example'
+        |      WHEN 2 THEN 'w' || (doc_id % 5) || '.пример.рф'
+        |      WHEN 3 THEN 'cdn' || (doc_id % 5) || '.例え.jp'
+        |      WHEN 4 THEN 'xn--bcher-kva.example'
+        |      WHEN 5 THEN 'straße.example'
+        |      WHEN 6 THEN '198.51.' || (doc_id % 5) || '.9'
+        |      ELSE '[2001:db8::' || (doc_id % 7) || ']'
+        |    END AS host,
+        |    CASE CAST(doc_id % 8 AS INTEGER)
+        |      WHEN 0 THEN 'plain' || (doc_id % 5) || '.example.com'
+        |      WHEN 1 THEN 'sub' || (doc_id % 5) || '.xn--bcher-kva.example'
+        |      WHEN 2 THEN 'w' || (doc_id % 5) || '.xn--e1afmkfd.xn--p1ai'
+        |      WHEN 3 THEN 'cdn' || (doc_id % 5) || '.xn--r8jz45g.jp'
+        |      WHEN 4 THEN 'xn--bcher-kva.example'
+        |      WHEN 5 THEN 'xn--strae-oqa.example'
+        |      WHEN 6 THEN '198.51.' || (doc_id % 5) || '.9'
+        |      ELSE '[2001:db8::' || (doc_id % 7) || ']'
+        |    END AS host_idn,
+        |    CASE CAST(doc_id % 8 AS INTEGER)
+        |      WHEN 0 THEN 'example.com'
+        |      WHEN 1 THEN 'xn--bcher-kva.example'
+        |      WHEN 2 THEN 'xn--e1afmkfd.xn--p1ai'
+        |      WHEN 3 THEN 'xn--r8jz45g.jp'
+        |      WHEN 4 THEN 'xn--bcher-kva.example'
+        |      WHEN 5 THEN 'xn--strae-oqa.example'
+        |      WHEN 6 THEN '198.51.' || (doc_id % 5) || '.9'
+        |      ELSE '[2001:db8::' || (doc_id % 7) || ']'
+        |    END AS domain_idn
+        |  FROM documents)
+        |SELECT doc_id, host, host_idn,
+        |       'https://' || host_idn || '/p' || doc_id AS canon_url_idn,
+        |       domain_idn
+        |FROM u ORDER BY doc_id""".stripMargin,
+
     // replays WebOps.domainQuota (5 per registrable domain) as the
     // per-domain window over the same md5 priority, string-id
     // tiebreak — the TopKStrIdAgg bounded-partial ≡ window proof

