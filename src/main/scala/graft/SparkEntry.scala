@@ -123,6 +123,8 @@ object SparkEntry {
     "corpus_mixture" -> (graft.queries.ExtQueries.corpusMixture(_, _)),
     "url_canon" -> (graft.queries.ExtQueries.urlCanon(_, _)),
     "url_idn" -> (graft.queries.ExtQueries.urlIdn(_, _)),
+    "robots_rules" -> (graft.queries.ExtQueries.robotsRules(_, _)),
+    "robots_filter" -> (graft.queries.ExtQueries.robotsFilterGate(_, _)),
     "domain_quota" -> (graft.queries.ExtQueries.domainQuotaGate(_, _)),
     "domain_psl" -> (graft.queries.ExtQueries.domainPsl(_, _)),
     "domain_psl_full" -> (graft.queries.ExtQueries.domainPslFull(_, _)),

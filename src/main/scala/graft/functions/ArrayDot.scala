@@ -150,6 +150,9 @@ object GraftFunctions {
     (FunctionIdentifier("idn_to_ascii"),
       new ExpressionInfo(classOf[IdnToAscii].getName, "idn_to_ascii"),
       children => IdnToAscii(children(0))),
+    (FunctionIdentifier("robots_match"),
+      new ExpressionInfo(classOf[RobotsMatch].getName, "robots_match"),
+      children => RobotsMatch(children(0), children(1))),
     (FunctionIdentifier("html_text_scan"),
       new ExpressionInfo(classOf[HtmlTextScan].getName, "html_text_scan"),
       children => HtmlTextScan(children(0))))

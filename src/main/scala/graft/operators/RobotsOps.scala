@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt compliance (RFC 9309) — the missing gatekeeper of the
+  * web-curation family: a crawl-derived training corpus is expected
+  * to honor the rules the origin published, and at 100 TB the check
+  * has to be a relational plan, not a per-URL library call.
+  *
+  * Two layers, both oracle-replayable:
+  *
+  *  - [[parseRobots]]: per-host robots.txt bodies → the (host, kind,
+  *    pattern) rule rows that apply to ONE crawler product token.
+  *    Pure column algebra over exploded lines (comment strip, first
+  *    ':' key/value split, user-agent GROUP assembly via adjacency
+  *    windows, exact-agent-beats-`*` group selection with multi-group
+  *    union — RFC 9309 §2.1/§2.2.1).
+  *  - [[decisionBy]] / [[robotsFilterBy]] / [[robotsFilter]]: the
+  *    per-URL allow/disallow decision — longest-pattern-wins with
+  *    allow breaking ties (§2.2.2), no-rule and no-robots hosts
+  *    allowed by default. Matching runs through the codegen
+  *    [[graft.functions.RobotsMatchKernel]] (`*` glob, trailing-`$`
+  *    anchor, prefix semantics otherwise).
+  *
+  * Scale shape: rules are O(hosts × rules-per-host) — a DIMENSION
+  * next to the corpus but usually NOT broadcastable at crawl scale,
+  * so the candidate join is a plain equi-join on `host` (AQE handles
+  * the mega-host skew; the rules side is a few rows per key). The
+  * winner is a per-URL `max(struct)` hash aggregate — map-side
+  * partials, never a window over a host's full stratum. Three
+  * shuffles end-to-end (host join, per-id agg, decision join-back),
+  * each on a key the next stage needs anyway.
+  *
+  * Scope notes, deliberate: patterns match the CANONICAL path+query
+  * (so percent-normalization has already been applied to both sides
+  * of the comparison — a rule and a URL spelling the same octet
+  * differently still meet); rule values that don't start with `/`
+  * or `*` match nothing (RFC path-pattern grammar — kept rather than
+  * guessed at); `crawl-delay`, `sitemap` and unknown keys are
+  * ignored (§2.2.4 allows extensions; a scheduler can parse them
+  * separately).
+  */
+object RobotsOps {
+
+  /** Rule rows for `agent` from per-host robots.txt bodies.
+    *
+    * Input: one row per host — `hostCol` (already lowercased, the
+    * canonical host the corpus is keyed on) and `bodyCol` (the
+    * fetched robots.txt text). Output: (`host`, `kind` ∈
+    * allow|disallow, `pattern`), DISTINCT — the union of every group
+    * whose user-agent lines name `agent` (case-insensitive product
+    * token equality), or, when no group does, of every `*` group
+    * (RFC 9309 §2.2.1: most specific match, multiple matching groups
+    * combine).
+    *
+    * Line grammar: `\r` stripped, `#` starts a comment, key is the
+    * text before the FIRST ':', keys compare case-insensitively,
+    * values trim. Lines before the first user-agent line belong to
+    * no group and are dropped; EMPTY rule values are dropped (an
+    * empty Disallow is the traditional "allow all" no-op). Adjacent
+    * user-agent lines (ignoring blanks/comments/unknown keys, which
+    * RFC 9309 treats as insignificant) share one group.
+    */
+  def parseRobots(robots: DataFrame, agent: String,
+      hostCol: String = "host", bodyCol: String = "body"): DataFrame = {
+    val a = agent.toLowerCase
+    require(a.nonEmpty && !a.exists(c => c == '\n' || c == '#'),
+      s"parseRobots: not a product token: '$agent'")
+    val lines = robots.select(col(hostCol).as("host"),
+      posexplode(split(regexp_replace(col(bodyCol), "\r", ""), "\n"))
+        .as(Seq("ln", "raw")))
+    val l = trim(substring_index(col("raw"), "#", 1))
+    val sig = lines
+      .withColumn("l", l)
+      .withColumn("cpos", instr(col("l"), ":"))
+      .filter(col("cpos") > 0)
+      .withColumn("k", lower(trim(substring_index(col("l"), ":", 1))))
+      .withColumn("v",
+        trim(col("l").substr(col("cpos") + 1, length(col("l")))))
+      .filter(col("k").isin("user-agent", "allow", "disallow"))
+      .withColumn("is_ua", col("k") === "user-agent")
+    // group assembly: a user-agent line whose previous significant
+    // line is NOT a user-agent line starts a new group; rules attach
+    // to the running group id (0 = before any group → dropped)
+    val byLine = Window.partitionBy("host").orderBy("ln")
+    val grouped = sig
+      .withColumn("new_grp",
+        (col("is_ua") &&
+          !coalesce(lag(col("is_ua"), 1).over(byLine), lit(false)))
+          .cast("int"))
+      .withColumn("gid", sum(col("new_grp")).over(byLine))
+    // group → does it name the agent? does it name '*'? host → does
+    // ANY group name the agent exactly?
+    val byGrp = Window.partitionBy("host", "gid")
+    val byHost = Window.partitionBy("host")
+    val withMatch = grouped
+      .withColumn("grp_exact", max(
+        (col("is_ua") && lower(col("v")) === a).cast("int")).over(byGrp))
+      .withColumn("grp_star", max(
+        (col("is_ua") && col("v") === "*").cast("int")).over(byGrp))
+      .withColumn("host_exact", max(col("grp_exact")).over(byHost))
+    withMatch
+      .filter(!col("is_ua") && col("gid") >= 1 && length(col("v")) > 0 &&
+        (col("grp_exact") === 1 ||
+          (col("host_exact") === 0 && col("grp_star") === 1)))
+      .select(col("host"), col("k").as("kind"), col("v").as("pattern"))
+      .distinct()
+  }
+
+  /** robots_match as a Column — see
+    * [[graft.functions.RobotsMatchKernel]].
+    */
+  def robotsMatch(path: Column, pattern: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    column(graft.functions.RobotsMatch(
+      expression(path), expression(pattern)))
+  }
+
+  /** Canonical path+query of a canonical URL (the match target —
+    * RFC 9309 matches the path and, for patterns that carry one, the
+    * query). The canonical form always has a non-empty path, so the
+    * extract is anchored and total.
+    */
+  private def pathQueryOf(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^https?://[^/]*(/.*)$", 1)
+
+  private def requireCols(df: DataFrame, op: String,
+      cols: Seq[String]): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$op: input is missing column(s) ${missing.mkString(", ")}")
+  }
+
+  /** Per-URL robots verdict over a [[WebOps.urlParts]]-decorated
+    * frame: `allowed` (no robots / no matching rule / winning rule is
+    * an allow), plus the winning rule's `win_kind` / `win_pattern` /
+    * `win_len` for audit (NULL when nothing matched). Winner =
+    * longest pattern, allow breaking length ties (§2.2.2's "least
+    * restrictive"), pattern text as a deterministic final tiebreak.
+    */
+  def decisionBy(decorated: DataFrame, rules: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    requireCols(decorated, "RobotsOps.decisionBy",
+      Seq(idCol, "host", "canon_url"))
+    requireCols(rules, "RobotsOps.decisionBy(rules)",
+      Seq("host", "kind", "pattern"))
+    val cand = decorated
+      .select(col(idCol), col("host"),
+        pathQueryOf(col("canon_url")).as("__pq"))
+      .join(rules.select(col("host"), col("kind"), col("pattern")),
+        Seq("host"))
+      .filter(robotsMatch(col("__pq"), col("pattern")))
+    val win = cand.groupBy(col(idCol)).agg(max(struct(
+      length(col("pattern")).as("len"),
+      (col("kind") === "allow").cast("int").as("ok"),
+      col("pattern").as("pattern"))).as("__w"))
+    decorated.join(win, Seq(idCol), "left")
+      .withColumn("allowed", col("__w").isNull || col("__w.ok") === 1)
+      .withColumn("win_kind", when(col("__w.ok") === 1, "allow")
+        .when(col("__w.ok") === 0, "disallow"))
+      .withColumn("win_pattern", col("__w.pattern"))
+      .withColumn("win_len", col("__w.len"))
+      .drop("__w")
+  }
+
+  /** Survivors of the robots verdict — original columns only. */
+  def robotsFilterBy(decorated: DataFrame, rules: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    decisionBy(decorated, rules, idCol).filter(col("allowed"))
+      .drop("allowed", "win_kind", "win_pattern", "win_len")
+
+  /** End-to-end: raw docs + per-host robots bodies + crawler token →
+    * the compliant subset, decorated with the canonical URL chain.
+    */
+  def robotsFilter(docs: DataFrame, robots: DataFrame, agent: String,
+      urlCol: String = "url", idCol: String = "doc_id"): DataFrame =
+    robotsFilterBy(WebOps.urlParts(docs, urlCol),
+      parseRobots(robots, agent), idCol)
+}

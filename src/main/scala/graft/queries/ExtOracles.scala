@@ -1384,6 +1384,73 @@ object ExtOracles {
         |       domain_idn
         |FROM u ORDER BY doc_id""".stripMargin,
 
+    // robots.txt parse (RobotsOps.parseRobots): the shared CTE chain
+    // (robotsCtes) replays the full RFC 9309 line grammar and group
+    // assembly over the IDENTICAL fixture bytes (rendered via sqlStr)
+    "robots_rules" ->
+      s"""WITH $robotsCtes
+         |SELECT host, kind, pattern FROM rrules
+         |ORDER BY host, kind, pattern""".stripMargin,
+
+    // robots decision (RobotsOps.decisionBy): candidate match via a
+    // LIKE ... ESCAPE translation of the same patterns (escape
+    // %/_/!, then *→%, trailing-$ anchor → no implicit suffix
+    // wildcard) — the independent relational formulation the codegen
+    // glob kernel is pinned against. Winner = longest pattern, allow
+    // breaking ties, pattern text as the deterministic tail — the
+    // exact struct-max order the operator aggregates with.
+    "robots_filter" ->
+      s"""WITH $robotsCtes,
+         |rurls AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 12 <= 3 THEN 'www.example3.com'
+         |         WHEN doc_id % 12 = 4 THEN 'news.site1.co.uk'
+         |         WHEN doc_id % 12 <= 10 THEN 'blog.host1.org'
+         |         ELSE 'cdn.data3.com.au' END AS host,
+         |    CASE CAST(doc_id % 12 AS INTEGER)
+         |      WHEN 0 THEN '/private/x' || (doc_id % 7)
+         |      WHEN 1 THEN '/articles/a' || (doc_id % 7) || '/draft'
+         |      WHEN 2 THEN '/articles/a' || (doc_id % 7) || '/draft2'
+         |      WHEN 3 THEN '/articles/x' || (doc_id % 7)
+         |      WHEN 4 THEN '/anything' || (doc_id % 7)
+         |      WHEN 5 THEN '/tmp_a/f' || (doc_id % 7)
+         |      WHEN 6 THEN '/tmpXa/f' || (doc_id % 7)
+         |      WHEN 7 THEN '/tmp_a/ok'
+         |      WHEN 8 THEN '/tmp_a/ok2'
+         |      WHEN 9 THEN '/d' || (doc_id % 7) || '.json'
+         |      WHEN 10 THEN '/d' || (doc_id % 7) || '.json?x=1'
+         |      ELSE '/' || (CASE WHEN doc_id % 7 < 3 THEN 'x'
+         |                        WHEN doc_id % 7 < 5 THEN 'y'
+         |                        ELSE 'z' END) || '/a' || (doc_id % 7)
+         |    END AS pq
+         |  FROM documents),
+         |rm AS (
+         |  SELECT u.doc_id, r.kind, r.pattern,
+         |         length(r.pattern) AS len
+         |  FROM rurls u JOIN rrules r ON u.host = r.host
+         |  WHERE u.pq LIKE
+         |    (replace(replace(replace(replace(
+         |       CASE WHEN right(r.pattern, 1) = '$$'
+         |         THEN substr(r.pattern, 1, length(r.pattern) - 1)
+         |         ELSE r.pattern END,
+         |       '!', '!!'), '%', '!%'), '_', '!_'), '*', '%')
+         |     || CASE WHEN right(r.pattern, 1) = '$$' THEN ''
+         |             ELSE '%' END)
+         |    ESCAPE '!'),
+         |rw AS (
+         |  SELECT doc_id, kind, pattern, len,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY len DESC, (kind = 'allow') DESC,
+         |                    pattern DESC) AS rn
+         |  FROM rm)
+         |SELECT u.doc_id, 'https://' || u.host || u.pq AS canon_url,
+         |       (s.doc_id IS NULL OR s.kind = 'allow') AS allowed,
+         |       s.kind AS win_kind, s.pattern AS win_pattern,
+         |       CAST(s.len AS INTEGER) AS win_len
+         |FROM rurls u
+         |LEFT JOIN (SELECT * FROM rw WHERE rn = 1) s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // replays WebOps.domainQuota (5 per registrable domain) as the
     // per-domain window over the same md5 priority, string-id
     // tiebreak — the TopKStrIdAgg bounded-partial ≡ window proof
@@ -3505,6 +3572,70 @@ object ExtOracles {
     * registrable-domain split. Ends in
     * `wd(doc_id, url, canon_url, host, domain)`.
     */
+  /** SQL literal for a fixture string carrying control characters —
+    * DuckDB's E'' escape-string form, so the oracle receives the
+    * IDENTICAL bytes the Scala fixture holds (robots bodies carry
+    * `\r\n` line endings the parse must strip).
+    */
+  private def sqlStr(s: String): String =
+    "E'" + s.replace("\\", "\\\\").replace("'", "\\'")
+      .replace("\n", "\\n").replace("\r", "\\r") + "'"
+
+  /** Shared robots.txt CTE chain: the fixture bodies rendered
+    * verbatim from `ExtQueries.robotsBodies`, the RFC 9309 line
+    * grammar (\r strip, comment strip, first-':' key/value split,
+    * key whitelist), user-agent GROUP assembly (adjacency over
+    * significant lines), and exact-agent-beats-`*` group selection
+    * with multi-group union — replays `RobotsOps.parseRobots` for
+    * agent 'graftbot'. Ends in `rrules(host, kind, pattern)`.
+    */
+  private def robotsCtes: String = {
+    val values = ExtQueries.robotsBodies
+      .map { case (h, b) => s"('$h', ${sqlStr(b)})" }
+      .mkString(",\n  ")
+    s"""rbodies(host, body) AS (VALUES
+       |  $values),
+       |rl0 AS (SELECT host,
+       |    generate_subscripts(
+       |      string_split(replace(body, chr(13), ''), chr(10)), 1) AS ln,
+       |    unnest(
+       |      string_split(replace(body, chr(13), ''), chr(10))) AS raw
+       |  FROM rbodies),
+       |rl1 AS (SELECT host, ln,
+       |    trim(split_part(raw, '#', 1)) AS l FROM rl0),
+       |rsig AS (SELECT host, ln,
+       |    lower(trim(split_part(l, ':', 1))) AS k,
+       |    trim(substr(l, strpos(l, ':') + 1)) AS v
+       |  FROM rl1
+       |  WHERE strpos(l, ':') > 0
+       |    AND lower(trim(split_part(l, ':', 1)))
+       |      IN ('user-agent', 'allow', 'disallow')),
+       |rg0 AS (SELECT *, (k = 'user-agent') AS is_ua,
+       |    CASE WHEN k = 'user-agent' AND NOT coalesce(
+       |        lag(k = 'user-agent')
+       |          OVER (PARTITION BY host ORDER BY ln), false)
+       |      THEN 1 ELSE 0 END AS new_grp
+       |  FROM rsig),
+       |rg1 AS (SELECT *,
+       |    sum(new_grp) OVER (PARTITION BY host ORDER BY ln) AS gid
+       |  FROM rg0),
+       |rg2 AS (SELECT *,
+       |    max(CASE WHEN is_ua AND lower(v) = 'graftbot'
+       |          THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY host, gid) AS grp_exact,
+       |    max(CASE WHEN is_ua AND v = '*' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY host, gid) AS grp_star
+       |  FROM rg1),
+       |rg3 AS (SELECT *,
+       |    max(grp_exact) OVER (PARTITION BY host) AS host_exact
+       |  FROM rg2),
+       |rrules AS (SELECT DISTINCT host, k AS kind, v AS pattern
+       |  FROM rg3
+       |  WHERE NOT is_ua AND gid >= 1 AND length(v) > 0
+       |    AND (grp_exact = 1
+       |      OR (host_exact = 0 AND grp_star = 1)))""".stripMargin
+  }
+
   private def urlCtes: String = {
     s"""u AS (SELECT doc_id,
        |  (CASE WHEN doc_id % 3 = 0 THEN 'http'

@@ -1331,6 +1331,100 @@ object ExtQueries {
       .select("doc_id", "host", "host_idn", "canon_url_idn", "domain_idn")
       .orderBy("doc_id")
 
+  /** The robots.txt fixture — four per-host bodies exercising every
+    * parse decision RFC 9309 §2 makes: comment strip (full-line and
+    * inline), `\r\n` endings, unknown keys between rules
+    * (crawl-delay / sitemap — insignificant lines must not break
+    * user-agent adjacency), colon-less noise, a MULTI-user-agent
+    * group, case-insensitive keys AND agent tokens, rules before any
+    * group (dropped), an empty Disallow (the traditional allow-all
+    * no-op, dropped), an exact-agent group COEXISTING with a `*`
+    * group (exact wins, star excluded), a host whose only group
+    * names a different crawler (no rules → allowed by default), two
+    * `*` groups on one host (union), and an equal-length
+    * allow/disallow tie. Shared verbatim with the oracle via the SQL
+    * renderer in ExtOracles — both engines parse the identical
+    * bytes.
+    */
+  private[graft] val robotsBodies: Seq[(String, String)] = Seq(
+    "www.example3.com" -> ("# site rules\r\nUser-Agent: *\r\n" +
+      "Disallow: /private/\r\nAllow: /private/ok\r\n\r\n" +
+      "User-agent: GraftBot\r\nUser-agent: otherbot\r\n" +
+      "Disallow: /articles/*/draft$\r\nAllow: /articles/\r\n" +
+      "Crawl-delay: 10\r\n" +
+      "Sitemap: https://www.example3.com/sitemap.xml\r\n" +
+      "noise line without separator\r\nDisallow:\r\n"),
+    "news.site1.co.uk" -> "User-agent: MegaBot\nDisallow: /\n",
+    "blog.host1.org" -> ("Disallow: /orphan\nUser-agent: GRAFTBOT\n" +
+      "Disallow: /tmp_a/\nDisallow: /*.json$\n" +
+      "Allow: /tmp_a/ok$ # inline comment\n"),
+    "cdn.data3.com.au" -> ("User-agent: *\nDisallow: /x/\n\n" +
+      "User-agent: *\nDisallow: /y/\nAllow: /y/\n"))
+
+  private def robotsBodiesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    robotsBodies.toDF("host", "body")
+  }
+
+  /** robots.txt parse ([[graft.operators.RobotsOps.parseRobots]]):
+    * the rule rows that bind crawler token `GraftBot` (passed
+    * mixed-case — the gate also pins case-insensitive agent match)
+    * across the fixture bodies. The oracle replays the full line
+    * grammar and group assembly in SQL over the identical bytes.
+    */
+  def robotsRules(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobotsOps.parseRobots(robotsBodiesDf(spark), "GraftBot")
+      .orderBy("host", "kind", "pattern")
+
+  /** URLs over the robots fixture hosts, one decision family per
+    * doc_id stratum: group-selection (a path the `*` group would
+    * block but GraftBot's group allows), the `$` anchor firing and
+    * missing, longest-match precedence, the `_`-literal pin (a path
+    * that WOULD match if the oracle's LIKE translation forgot to
+    * escape `_`), query-string in the match target, the no-rules
+    * host, the `*` union, and the equal-length allow/disallow tie.
+    */
+  private def docsWithRobotsUrls(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d7 = (col("doc_id") % 7).cast("string")
+    val f = col("doc_id") % 12
+    docs(spark, dir).withColumn("url", concat(lit("https://"),
+      when(f === 0, concat(lit("www.example3.com/private/x"), d7))
+        .when(f === 1,
+          concat(lit("www.example3.com/articles/a"), d7, lit("/draft")))
+        .when(f === 2,
+          concat(lit("www.example3.com/articles/a"), d7, lit("/draft2")))
+        .when(f === 3, concat(lit("www.example3.com/articles/x"), d7))
+        .when(f === 4, concat(lit("news.site1.co.uk/anything"), d7))
+        .when(f === 5, concat(lit("blog.host1.org/tmp_a/f"), d7))
+        .when(f === 6, concat(lit("blog.host1.org/tmpXa/f"), d7))
+        .when(f === 7, lit("blog.host1.org/tmp_a/ok"))
+        .when(f === 8, lit("blog.host1.org/tmp_a/ok2"))
+        .when(f === 9, concat(lit("blog.host1.org/d"), d7, lit(".json")))
+        .when(f === 10,
+          concat(lit("blog.host1.org/d"), d7, lit(".json?x=1")))
+        .otherwise(concat(lit("cdn.data3.com.au/"),
+          when(col("doc_id") % 7 < 3, "x")
+            .when(col("doc_id") % 7 < 5, "y").otherwise("z"),
+          lit("/a"), d7))))
+  }
+
+  /** Per-URL robots verdict
+    * ([[graft.operators.RobotsOps.decisionBy]]): allowed flag plus
+    * the winning rule for audit. The oracle replays the parse AND
+    * the longest-match decision via a `LIKE ... ESCAPE` translation
+    * of the same patterns — hash-green pins the codegen glob kernel
+    * against the relational formulation end-to-end.
+    */
+  def robotsFilterGate(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobotsOps.decisionBy(
+      graft.operators.WebOps.urlParts(docsWithRobotsUrls(spark, dir)),
+      graft.operators.RobotsOps.parseRobots(robotsBodiesDf(spark),
+        "GraftBot"))
+      .select("doc_id", "canon_url", "allowed", "win_kind",
+        "win_pattern", "win_len")
+      .orderBy("doc_id")
+
   /** The blocklist fixture rules — deliberately MESSY author forms
     * (mixed case, userinfo, trailing dot, default port) so the gate
     * also pins [[graft.operators.WebOps]]'s pattern normalization:

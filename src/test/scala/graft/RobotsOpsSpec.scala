@@ -1,0 +1,176 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.RobotsMatchKernel
+import graft.operators.{RobotsOps, WebOps}
+
+/** robots.txt compliance (RFC 9309): the parse grammar's decisions,
+  * the glob kernel against an independent regex formulation of the
+  * LIKE translation the oracle uses, the longest-match / allow-tie
+  * decision semantics, and the plan shape (no corpus-side windows).
+  */
+class RobotsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bodies = Seq(
+    "a.com" -> ("# c\r\nUser-Agent: *\r\nDisallow: /all/\r\n\r\n" +
+      "User-agent: GraftBot\r\nUser-agent: otherbot\r\n" +
+      "Disallow: /g/*/x$\r\nAllow: /g/\r\nCrawl-delay: 9\r\n" +
+      "nonsense\r\nDisallow:\r\n"),
+    "b.com" -> "User-agent: MegaBot\nDisallow: /\n",
+    "c.com" -> ("Disallow: /orphan\nUser-agent: GRAFTBOT\n" +
+      "Disallow: /t_a/\nAllow: /t_a/ok$ # tail\n"),
+    "d.com" -> ("User-agent: *\nDisallow: /x/\n\n" +
+      "User-agent: *\nDisallow: /y/\nAllow: /y/\n"))
+
+  private def rules(agent: String = "graftbot") =
+    RobotsOps.parseRobots(bodies.toDF("host", "body"), agent)
+
+  test("parseRobots: group selection, casing, grammar edges") {
+    val r = rules("GrAfTbOt").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSet
+    assert(r === Set(
+      // a.com: GraftBot's group beats '*' — /all/ EXCLUDED; unknown
+      // keys / noise / empty Disallow dropped
+      ("a.com", "disallow", "/g/*/x$"),
+      ("a.com", "allow", "/g/"),
+      // b.com: no matching group at all -> no rows
+      // c.com: orphan rule (before any group) dropped; inline
+      // comment stripped from the allow value
+      ("c.com", "disallow", "/t_a/"),
+      ("c.com", "allow", "/t_a/ok$"),
+      // d.com: two '*' groups union
+      ("d.com", "disallow", "/x/"),
+      ("d.com", "disallow", "/y/"),
+      ("d.com", "allow", "/y/")))
+  }
+
+  test("parseRobots: star groups apply only when no exact group") {
+    val star = rules("unknownbot").collect()
+      .map(x => (x.getString(0), x.getString(2))).toSet
+    assert(star === Set(("a.com", "/all/"), ("d.com", "/x/"),
+      ("d.com", "/y/")))
+  }
+
+  // ---- kernel ≡ LIKE-translation (the oracle's formulation),
+  // property-pinned so the two can never drift ----
+
+  private def likeRegex(pat: String): String = {
+    val anchored = pat.nonEmpty && pat.last == '$'
+    val body = if (anchored) pat.dropRight(1) else pat
+    val rx = body.split("\\*", -1).map(java.util.regex.Pattern.quote)
+      .mkString(".*")
+    "^" + rx + (if (anchored) "$" else ".*")
+  }
+
+  private def kmatch(path: String, pat: String): Boolean =
+    RobotsMatchKernel.matches(UTF8String.fromString(path),
+      UTF8String.fromString(pat))
+
+  test("robots_match: glob kernel ≡ translated-pattern semantics") {
+    // directed edges first: anchors, star runs, literal specials
+    val cases = Seq(
+      ("/a/b", "/a/", true), ("/a/b", "/a/b$", true),
+      ("/a/bc", "/a/b$", false), ("/a/x/y/z", "/a/*/z$", true),
+      ("/a/z", "/a/*/z$", false), ("/t_a/f", "/t_a/", true),
+      ("/tXa/f", "/t_a/", false), // '_' is literal, never a wildcard
+      ("/p%7E", "/p%7E", true), ("/pX7E", "/p%7E", false), // '%' too
+      ("/a*b", "/a*b", true), // literal '*' in the PATH
+      ("/a$b", "/a$b$", true), // '$' mid-pattern is literal
+      ("/", "/", true), ("/x", "", true), // empty pattern: prefix of all
+      ("/ab", "/a**b$", true), ("/a/b/c", "***", true))
+    for ((path, pat, want) <- cases) {
+      assert(kmatch(path, pat) === want, s"'$pat' vs '$path'")
+      assert(path.matches(likeRegex(pat)) === want,
+        s"translation diverges on '$pat' vs '$path'")
+    }
+    // property: random paths/patterns over an alphabet dense in
+    // specials — kernel must equal the regex rendering of the LIKE
+    // translation on every pair
+    val rnd = new Random(13)
+    val alpha = "ab/*$%_!."
+    def randStr(n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 2000) {
+      val path = "/" + randStr(rnd.nextInt(8))
+      val pat = randStr(rnd.nextInt(6))
+      assert(kmatch(path, pat) === path.matches(likeRegex(pat)),
+        s"property: '$pat' vs '$path'")
+    }
+  }
+
+  // ---- decision semantics ----
+
+  private def decide(urls: Seq[(Long, String)]) = {
+    val docs = urls.toDF("doc_id", "url")
+    RobotsOps.decisionBy(WebOps.urlParts(docs), rules())
+      .select("doc_id", "allowed", "win_kind", "win_len")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getInt(3).asInstanceOf[Any])))
+      .toMap
+  }
+
+  test("decisionBy: longest match, allow ties, defaults") {
+    val d = decide(Seq(
+      1L -> "https://a.com/all/x", // GraftBot group has no /all rule
+      2L -> "https://a.com/g/q/x", // disallow /g/*/x$ (7) > allow (3)
+      3L -> "https://a.com/g/q/x2", // anchor misses -> allow /g/
+      4L -> "https://b.com/anything", // no applicable group
+      5L -> "https://nothing.example/x", // host without robots row
+      6L -> "https://d.com/y/z", // equal-length tie -> allow
+      7L -> "https://c.com/t_a/ok", // allow /t_a/ok$ (8) > disallow (5)
+      8L -> "https://c.com/t_a/ok?x=1")) // query breaks the $ anchor
+    assert(d(1L) === ((true, null, null)))
+    assert(d(2L) === ((false, "disallow", 7)))
+    assert(d(3L) === ((true, "allow", 3)))
+    assert(d(4L) === ((true, null, null)))
+    assert(d(5L) === ((true, null, null)))
+    assert(d(6L) === ((true, "allow", 3)))
+    assert(d(7L) === ((true, "allow", 8)))
+    // query is part of the match target: '/t_a/ok?x=1' misses the
+    // anchored allow but still hits the shorter disallow prefix
+    assert(d(8L) === ((false, "disallow", 5)))
+  }
+
+  test("robotsFilter end-to-end keeps original columns only") {
+    val docs = Seq(
+      (1L, "https://a.com/g/q/x", "keep?"),
+      (2L, "https://a.com/g/ok", "kept"))
+      .toDF("doc_id", "url", "payload")
+    val out = RobotsOps.robotsFilter(docs, bodies.toDF("host", "body"),
+      "graftbot")
+    assert(out.columns.toSet ===
+      Set("doc_id", "url", "payload", "canon_url", "host", "domain"))
+    assert(out.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("decision plan: hash aggregate, no corpus-side window") {
+    val docs = Seq((1L, "https://a.com/g/ok")).toDF("doc_id", "url")
+    val plan = RobotsOps.decisionBy(WebOps.urlParts(docs), rules())
+      .queryExecution.optimizedPlan.toString
+    // the per-URL winner is a max(struct) hash aggregate — a Window
+    // over a mega-host's stratum would be the non-scalable shape.
+    // parseRobots DOES window, but only over the dimension-sized
+    // rule side, whose plan is materialized before this check
+    val corpusSide = plan.split("Join").head
+    assert(!corpusSide.contains("Window"),
+      s"corpus side of the decision plan grew a Window:\n$plan")
+  }
+
+  test("robots_match is SQL-registered") {
+    assert(spark.sql("SELECT robots_match('/a/b', '/a/')").head
+      .getBoolean(0))
+  }
+
+  test("parseRobots rejects a non-token agent") {
+    intercept[IllegalArgumentException] {
+      RobotsOps.parseRobots(bodies.toDF("host", "body"), "bad\nbot")
+    }
+  }
+}
