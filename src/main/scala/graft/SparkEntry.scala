@@ -125,6 +125,8 @@ object SparkEntry {
     "url_idn" -> (graft.queries.ExtQueries.urlIdn(_, _)),
     "robots_rules" -> (graft.queries.ExtQueries.robotsRules(_, _)),
     "robots_filter" -> (graft.queries.ExtQueries.robotsFilterGate(_, _)),
+    "robots_sitemaps" -> (graft.queries.ExtQueries.robotsSitemaps(_, _)),
+    "robots_delays" -> (graft.queries.ExtQueries.robotsDelays(_, _)),
     "domain_quota" -> (graft.queries.ExtQueries.domainQuotaGate(_, _)),
     "domain_psl" -> (graft.queries.ExtQueries.domainPsl(_, _)),
     "domain_psl_full" -> (graft.queries.ExtQueries.domainPslFull(_, _)),

@@ -64,26 +64,48 @@ object RobotsOps {
     * RFC 9309 treats as insignificant) share one group.
     */
   def parseRobots(robots: DataFrame, agent: String,
-      hostCol: String = "host", bodyCol: String = "body"): DataFrame = {
-    val a = agent.toLowerCase
-    require(a.nonEmpty && !a.exists(c => c == '\n' || c == '#'),
-      s"parseRobots: not a product token: '$agent'")
+      hostCol: String = "host", bodyCol: String = "body"): DataFrame =
+    groupedLines(keyedLines(robots, hostCol, bodyCol), agent)
+      .filter(!col("is_ua") && col("__app") && length(col("v")) > 0)
+      .select(col("host"), col("k").as("kind"), col("v").as("pattern"))
+      .distinct()
+
+  /** Every `key: value` line of every body, post line-grammar:
+    * `\r` strip, `#` comment strip, trim, first-':' split, key
+    * lowercased. (`ln` orders lines within a host.)
+    */
+  private def keyedLines(robots: DataFrame, hostCol: String,
+      bodyCol: String): DataFrame = {
     val lines = robots.select(col(hostCol).as("host"),
       posexplode(split(regexp_replace(col(bodyCol), "\r", ""), "\n"))
         .as(Seq("ln", "raw")))
-    val l = trim(substring_index(col("raw"), "#", 1))
-    val sig = lines
-      .withColumn("l", l)
+    lines
+      .withColumn("l", trim(substring_index(col("raw"), "#", 1)))
       .withColumn("cpos", instr(col("l"), ":"))
       .filter(col("cpos") > 0)
       .withColumn("k", lower(trim(substring_index(col("l"), ":", 1))))
       .withColumn("v",
         trim(col("l").substr(col("cpos") + 1, length(col("l")))))
+      .select("host", "ln", "k", "v")
+  }
+
+  /** The grammar's SIGNIFICANT lines (user-agent / allow / disallow
+    * — unknown keys are insignificant per RFC 9309 §2.2.4 and MUST
+    * NOT break user-agent adjacency) annotated with their group id
+    * (`gid`, 0 = before any group) and whether the group binds
+    * `agent` (`__app`: exact-agent groups when any exist on the
+    * host, else the `*` groups).
+    */
+  private def groupedLines(keyed: DataFrame, agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    require(a.nonEmpty && !a.exists(c => c == '\n' || c == '#'),
+      s"parseRobots: not a product token: '$agent'")
+    val sig = keyed
       .filter(col("k").isin("user-agent", "allow", "disallow"))
       .withColumn("is_ua", col("k") === "user-agent")
     // group assembly: a user-agent line whose previous significant
     // line is NOT a user-agent line starts a new group; rules attach
-    // to the running group id (0 = before any group → dropped)
+    // to the running group id
     val byLine = Window.partitionBy("host").orderBy("ln")
     val grouped = sig
       .withColumn("new_grp",
@@ -95,18 +117,62 @@ object RobotsOps {
     // ANY group name the agent exactly?
     val byGrp = Window.partitionBy("host", "gid")
     val byHost = Window.partitionBy("host")
-    val withMatch = grouped
+    grouped
       .withColumn("grp_exact", max(
         (col("is_ua") && lower(col("v")) === a).cast("int")).over(byGrp))
       .withColumn("grp_star", max(
         (col("is_ua") && col("v") === "*").cast("int")).over(byGrp))
       .withColumn("host_exact", max(col("grp_exact")).over(byHost))
-    withMatch
-      .filter(!col("is_ua") && col("gid") >= 1 && length(col("v")) > 0 &&
+      .withColumn("__app", col("gid") >= 1 &&
         (col("grp_exact") === 1 ||
           (col("host_exact") === 0 && col("grp_star") === 1)))
-      .select(col("host"), col("k").as("kind"), col("v").as("pattern"))
+      .select("host", "ln", "k", "v", "is_ua", "gid", "__app")
+  }
+
+  /** Sitemap URLs declared in the bodies (sitemaps.org extension —
+    * NOT group-scoped: a Sitemap line applies to the whole host
+    * wherever it appears, including before any group). One row per
+    * distinct (host, sitemap).
+    */
+  def parseSitemaps(robots: DataFrame, hostCol: String = "host",
+      bodyCol: String = "body"): DataFrame =
+    keyedLines(robots, hostCol, bodyCol)
+      .filter(col("k") === "sitemap" && length(col("v")) > 0)
+      .select(col("host"), col("v").as("sitemap"))
       .distinct()
+
+  /** Per-host crawl-delay for `agent` (the de-facto extension most
+    * registries still publish; RFC 9309 leaves it to §2.2.4): the
+    * MINIMUM numeric Crawl-delay value across the groups that bind
+    * the agent — minimum because a scheduler honoring the most
+    * conservative published figure can never be the impolite party.
+    *
+    * Group scoping: crawl-delay is an UNKNOWN key to the §2 grammar,
+    * so it never breaks user-agent adjacency — the line belongs to
+    * the group of the nearest preceding significant line (a delay
+    * before any group, or in a group that doesn't bind the agent, is
+    * dropped). Non-numeric values drop (cast-null), never poison.
+    */
+  def parseCrawlDelay(robots: DataFrame, agent: String,
+      hostCol: String = "host", bodyCol: String = "body"): DataFrame = {
+    val keyed = keyedLines(robots, hostCol, bodyCol)
+    val marks = groupedLines(keyed, agent)
+      .select(col("host"), col("ln"), col("gid"), col("__app"),
+        lit(null).cast("double").as("delay"))
+    val cds = keyed.filter(col("k") === "crawl-delay")
+      .select(col("host"), col("ln"), lit(null).cast("long").as("gid"),
+        lit(null).cast("boolean").as("__app"),
+        // try_cast, not cast: ANSI mode makes a plain cast THROW on
+        // a malformed published value ('Crawl-delay: soon'), and one
+        // hostile robots.txt must never poison the whole parse
+        col("v").try_cast("double").as("delay"))
+    val byLn = Window.partitionBy("host").orderBy("ln")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marks.unionByName(cds)
+      .withColumn("cur_app", last(col("__app"), ignoreNulls = true)
+        .over(byLn))
+      .filter(col("delay").isNotNull && col("cur_app"))
+      .groupBy("host").agg(min(col("delay")).as("crawl_delay"))
   }
 
   /** robots_match as a Column — see
@@ -178,4 +244,22 @@ object RobotsOps {
       urlCol: String = "url", idCol: String = "doc_id"): DataFrame =
     robotsFilterBy(WebOps.urlParts(docs, urlCol),
       parseRobots(robots, agent), idCol)
+
+  /** One streaming trigger of the robots verdict (the
+    * `foreachBatch` body behind
+    * [[graft.streaming.StreamingPipeline.robotsStream]], same
+    * landing contract as the blocklist leg): the batch's compliant
+    * subset lands as a per-trigger tagged directory. `rules` is the
+    * PARSED table ([[parseRobots]]) — parse once per stream, not per
+    * trigger.
+    */
+  def robotsBatch(batch: DataFrame, rules: DataFrame, outDir: String,
+      batchId: Long, producer: String = "default",
+      urlCol: String = "url", idCol: String = "doc_id"): Unit = {
+    val kept = robotsFilterBy(WebOps.urlParts(batch, urlCol), rules,
+      idCol)
+    val dir = s"$outDir/${IndexStores.tagFor(producer, batchId)}"
+    kept.write.mode("overwrite").parquet(dir)
+    IndexStores.forceSchemaBearing(kept, dir)
+  }
 }

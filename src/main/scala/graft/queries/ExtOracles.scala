@@ -1451,6 +1451,54 @@ object ExtOracles {
          |LEFT JOIN (SELECT * FROM rw WHERE rn = 1) s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // sitemap declarations (RobotsOps.parseSitemaps): every
+    // 'sitemap:' line regardless of group position — reads the
+    // pre-whitelist line level (rl1) of the shared chain
+    "robots_sitemaps" ->
+      s"""WITH $robotsCtes
+         |SELECT DISTINCT host,
+         |       trim(substr(l, strpos(l, ':') + 1)) AS sitemap
+         |FROM rl1
+         |WHERE strpos(l, ':') > 0
+         |  AND lower(trim(split_part(l, ':', 1))) = 'sitemap'
+         |  AND length(trim(substr(l, strpos(l, ':') + 1))) > 0
+         |ORDER BY host, sitemap""".stripMargin,
+
+    // crawl delays (RobotsOps.parseCrawlDelay): crawl-delay lines
+    // (unknown to the §2 grammar, so absent from the group chain)
+    // attach to the group of the nearest preceding significant line
+    // via a last-non-null scan, keep only agent-bound groups, drop
+    // non-numeric values (TRY_CAST ≡ Spark's null-on-bad cast), min
+    // across groups
+    "robots_delays" ->
+      s"""WITH $robotsCtes,
+         |cdl AS (
+         |  SELECT host, ln,
+         |         TRY_CAST(trim(substr(l, strpos(l, ':') + 1))
+         |           AS DOUBLE) AS delay
+         |  FROM rl1
+         |  WHERE strpos(l, ':') > 0
+         |    AND lower(trim(split_part(l, ':', 1))) = 'crawl-delay'),
+         |marks AS (
+         |  SELECT host, ln,
+         |         (gid >= 1 AND (grp_exact = 1
+         |            OR (host_exact = 0 AND grp_star = 1))) AS app,
+         |         NULL::DOUBLE AS delay
+         |  FROM rg3),
+         |uni AS (
+         |  SELECT host, ln, app, delay FROM marks
+         |  UNION ALL
+         |  SELECT host, ln, NULL::BOOLEAN, delay FROM cdl),
+         |asg AS (
+         |  SELECT host, delay,
+         |         last_value(app IGNORE NULLS) OVER (
+         |           PARTITION BY host ORDER BY ln
+         |           ROWS UNBOUNDED PRECEDING) AS cur_app
+         |  FROM uni)
+         |SELECT host, min(delay) AS crawl_delay
+         |FROM asg WHERE delay IS NOT NULL AND cur_app
+         |GROUP BY host ORDER BY host""".stripMargin,
+
     // replays WebOps.domainQuota (5 per registrable domain) as the
     // per-domain window over the same md5 priority, string-id
     // tiebreak — the TopKStrIdAgg bounded-partial ≡ window proof

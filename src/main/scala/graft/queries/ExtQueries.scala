@@ -1354,12 +1354,16 @@ object ExtQueries {
       "Crawl-delay: 10\r\n" +
       "Sitemap: https://www.example3.com/sitemap.xml\r\n" +
       "noise line without separator\r\nDisallow:\r\n"),
-    "news.site1.co.uk" -> "User-agent: MegaBot\nDisallow: /\n",
-    "blog.host1.org" -> ("Disallow: /orphan\nUser-agent: GRAFTBOT\n" +
+    "news.site1.co.uk" ->
+      "User-agent: MegaBot\nCrawl-delay: 99\nDisallow: /\n",
+    "blog.host1.org" -> ("Sitemap: https://blog.host1.org/sm1.xml\n" +
+      "Sitemap: https://blog.host1.org/sm2.xml\n" +
+      "Disallow: /orphan\nUser-agent: GRAFTBOT\n" +
       "Disallow: /tmp_a/\nDisallow: /*.json$\n" +
+      "Crawl-delay: soon\n" +
       "Allow: /tmp_a/ok$ # inline comment\n"),
     "cdn.data3.com.au" -> ("User-agent: *\nDisallow: /x/\n\n" +
-      "User-agent: *\nDisallow: /y/\nAllow: /y/\n"))
+      "User-agent: *\nDisallow: /y/\nCrawl-delay: 2.5\nAllow: /y/\n"))
 
   private def robotsBodiesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -1424,6 +1428,25 @@ object ExtQueries {
       .select("doc_id", "canon_url", "allowed", "win_kind",
         "win_pattern", "win_len")
       .orderBy("doc_id")
+
+  /** Sitemap declarations
+    * ([[graft.operators.RobotsOps.parseSitemaps]] — NOT
+    * group-scoped: the fixture carries two sitemaps BEFORE any
+    * user-agent group, which a group-scoped parse would drop).
+    */
+  def robotsSitemaps(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobotsOps.parseSitemaps(robotsBodiesDf(spark))
+      .orderBy("host", "sitemap")
+
+  /** Per-host crawl delays for GraftBot
+    * ([[graft.operators.RobotsOps.parseCrawlDelay]]): the fixture
+    * pins group scoping (a delay in MegaBot's group is invisible),
+    * non-numeric drop, and the min-across-groups rule.
+    */
+  def robotsDelays(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobotsOps.parseCrawlDelay(robotsBodiesDf(spark),
+      "GraftBot")
+      .orderBy("host")
 
   /** The blocklist fixture rules — deliberately MESSY author forms
     * (mixed case, userinfo, trailing dot, default port) so the gate

@@ -1143,6 +1143,30 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming robots.txt compliance over a crawl stream: each
+    * trigger's compliant subset lands as a per-trigger tagged
+    * directory ([[graft.operators.RobotsOps.robotsBatch]] — same
+    * landing contract as [[blocklistStream]]). Pass the PARSED rule
+    * table ([[graft.operators.RobotsOps.parseRobots]]); the parse is
+    * per-stream, the per-trigger work is the host equi-join + glob
+    * kernel + per-URL hash aggregate only.
+    */
+  def robotsStream(docs: DataFrame, rules: DataFrame,
+      outDir: String, checkpoint: String, urlCol: String = "url",
+      idCol: String = "doc_id",
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.RobotsOps.robotsBatch(batch, rules, outDir,
+          batchId, producer = checkpoint, urlCol = urlCol,
+          idCol = idCol)
+        ()
+      }
+      .start()
+
   /** Streaming SCD2 maintenance into the persisted dimension
     * ([[graft.operators.HistoryStore]]): each trigger folds one change
     * batch — per-touched-key work against bucket-pruned reads, never

@@ -173,4 +173,55 @@ class RobotsOpsSpec extends SparkSpec {
       RobotsOps.parseRobots(bodies.toDF("host", "body"), "bad\nbot")
     }
   }
+
+  test("parseSitemaps: host-scoped, group-independent") {
+    val b = Seq(
+      // before any group AND inside a group that does NOT bind the
+      // agent — sitemaps are host metadata, both must surface
+      "s.com" -> ("Sitemap: https://s.com/a.xml\n" +
+        "User-agent: MegaBot\nDisallow: /\n" +
+        "Sitemap: https://s.com/b.xml\nSitemap:\n")).toDF("host", "body")
+    val sm = RobotsOps.parseSitemaps(b).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sm === Set(("s.com", "https://s.com/a.xml"),
+      ("s.com", "https://s.com/b.xml")))
+  }
+
+  test("parseCrawlDelay: group-scoped, min across groups, " +
+    "non-numeric and orphan delays drop") {
+    val b = Seq(
+      "m.com" -> ("Crawl-delay: 1\n" + // before any group: dropped
+        "User-agent: MegaBot\nCrawl-delay: 99\nDisallow: /\n" + // not ours
+        "User-agent: graftbot\nDisallow: /a\nCrawl-delay: 7\n" +
+        "User-agent: graftbot\nCrawl-delay: 3.5\n" + // second group: min
+        "User-agent: graftbot\nCrawl-delay: soon\n")) // non-numeric
+      .toDF("host", "body")
+    val d = RobotsOps.parseCrawlDelay(b, "GraftBot").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(d.toSeq === Seq(("m.com", 3.5)))
+    // a host with no applicable numeric delay emits NO row
+    val none = RobotsOps.parseCrawlDelay(
+      Seq("n.com" -> "User-agent: other\nCrawl-delay: 4\n")
+        .toDF("host", "body"), "graftbot")
+    assert(none.count() === 0)
+  }
+
+  test("robotsStream end-to-end: per-trigger compliant landing") {
+    val d = (0 until 40).map(i => (i.toLong,
+      if (i % 2 == 0) s"https://a.com/g/q$i/x" // anchored disallow
+      else s"https://a.com/g/ok$i")).toDF("doc_id", "url")
+      .localCheckpoint()
+    val src = tmpDir("rbs-src")
+    Seq(d.filter(col("doc_id") < 20), d.filter(col("doc_id") >= 20))
+      .foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val out = tmpDir("rbs-out")
+    graft.streaming.StreamingPipeline.robotsStream(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      rules(), out, tmpDir("rbs-ckpt"))
+      .awaitTermination()
+    val landed = spark.read.parquet(s"$out/b_*")
+    assert(landed.count() === 20) // the /g/q*/x$ half is disallowed
+    assert(landed.filter(col("url").contains("/x")).count() === 0)
+  }
 }
