@@ -24,36 +24,49 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object RobotsMatchKernel {
 
-  /** Full glob match of `p` (where '*' = any run) against all of `s`. */
-  private def glob(s: String, p: String): Boolean = {
+  private final val Star = '*'.toByte
+  private final val Dollar = '$'.toByte
+
+  /** Does robots pattern `pat` match `path`? (See object doc.)
+    *
+    * Byte-level two-pointer glob straight over the UTF8String
+    * buffers — zero allocation per evaluation. Byte-wise matching is
+    * exact for valid UTF-8: the wildcards are ASCII (never
+    * continuation bytes), and a `*` that tried to swallow a PARTIAL
+    * multi-byte character would leave the next pattern byte — a
+    * lead byte, since patterns are valid UTF-8 — facing a
+    * continuation byte, which fails equality and forces
+    * re-alignment at a character boundary.
+    */
+  def matches(path: UTF8String, pat: UTF8String): Boolean = {
+    val n = path.numBytes
+    var m = pat.numBytes
+    // a TRAILING '$' anchors at the path's end; without it the
+    // pattern matches any PREFIX ('$' is ASCII, so the last byte IS
+    // the last character iff it is '$')
+    val anchored = m > 0 && pat.getByte(m - 1) == Dollar
+    if (anchored) m -= 1
     var i = 0
     var j = 0
     var star = -1
     var mark = 0
-    while (i < s.length) {
+    while (i < n) {
+      // unanchored + pattern exhausted = a prefix matched; the rest
+      // of the path is free (the grammar's implicit trailing '*')
+      if (!anchored && j == m) return true
       // wildcard branch FIRST: a literal '*' in the PATH must still
-      // be swallowable by a pattern '*' (char-equality would consume
+      // be swallowable by a pattern '*' (byte-equality would consume
       // it literally and then dead-end)
-      if (j < p.length && p.charAt(j) == '*') {
+      if (j < m && pat.getByte(j) == Star) {
         star = j; mark = i; j += 1
-      } else if (j < p.length && p.charAt(j) == s.charAt(i)) {
+      } else if (j < m && pat.getByte(j) == path.getByte(i)) {
         i += 1; j += 1
       } else if (star != -1) {
         j = star + 1; mark += 1; i = mark
       } else return false
     }
-    while (j < p.length && p.charAt(j) == '*') j += 1
-    j == p.length
-  }
-
-  /** Does robots pattern `pat` match `path`? (See object doc.) */
-  def matches(path: UTF8String, pat: UTF8String): Boolean = {
-    val s = path.toString
-    var p = pat.toString
-    val anchored = p.nonEmpty && p.charAt(p.length - 1) == '$'
-    if (anchored) p = p.substring(0, p.length - 1)
-    // unanchored = prefix semantics = full glob of pat + '*'
-    if (anchored) glob(s, p) else glob(s, p + "*")
+    while (j < m && pat.getByte(j) == Star) j += 1
+    j == m
   }
 }
 

@@ -97,7 +97,11 @@ object RobotsOps {
     * host, else the `*` groups).
     */
   private def groupedLines(keyed: DataFrame, agent: String): DataFrame = {
-    val a = agent.toLowerCase
+    // Locale.ROOT: the comparison target is Spark's lower() — on a
+    // Turkish-locale JVM the default toLowerCase maps 'I' to dotless
+    // 'ı' and the crawler would silently fall back to the '*' group
+    // (review finding; same casing discipline as the Idn kernel)
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
     require(a.nonEmpty && !a.exists(c => c == '\n' || c == '#'),
       s"parseRobots: not a product token: '$agent'")
     val sig = keyed
@@ -190,7 +194,12 @@ object RobotsOps {
     * extract is anchored and total.
     */
   private def pathQueryOf(canonUrl: Column): Column =
-    regexp_extract(canonUrl, "^https?://[^/]*(/.*)$", 1)
+    // (?s): a literal control char in the path (the canonicalizer
+    // preserves raw bytes it has no rule for) must not make '.'
+    // stop short — an un-matched extract would yield '' as the
+    // match target and every disallow rule would miss, letting a
+    // crafted \n-URL bypass the compliance filter (review finding)
+    regexp_extract(canonUrl, "(?s)^https?://[^/]*(/.*)$", 1)
 
   private def requireCols(df: DataFrame, op: String,
       cols: Seq[String]): Unit = {
@@ -212,6 +221,15 @@ object RobotsOps {
       Seq(idCol, "host", "canon_url"))
     requireCols(rules, "RobotsOps.decisionBy(rules)",
       Seq("host", "kind", "pattern"))
+    // same silent-overwrite stance as urlParts/withIdnHost: a frame
+    // already carrying a verdict (e.g. a prior pass for another
+    // agent) must not have it replaced wordlessly (review finding)
+    val fresh = Seq("allowed", "win_kind", "win_pattern", "win_len",
+      "__w", "__pq")
+    val clash = fresh.filter(decorated.columns.contains)
+    require(clash.isEmpty,
+      s"RobotsOps.decisionBy: input already carries " +
+        s"${clash.mkString(", ")} — rename or drop before deciding")
     val cand = decorated
       .select(col(idCol), col("host"),
         pathQueryOf(col("canon_url")).as("__pq"))

@@ -93,6 +93,20 @@ class IdnSpec extends SparkSpec {
     }
   }
 
+  test("toAscii: hostile oversized labels stay total (no overflow)") {
+    // ~1950 low-BMP points + one astral point: the Int-delta draft
+    // threw ArithmeticException here (review finding) — the Long
+    // encoder with the 1024-char encodability cap must pass it
+    // through un-encoded instead of poisoning the task
+    val big = ("\u0080" * 1950) + new String(Character.toChars(0x10FFFF))
+    val r = toAscii(big + ".example")
+    assert(r != null && r.endsWith(".example") && !r.startsWith("xn--"))
+    // just under the cap still encodes, through the Long-delta path
+    val mid = ("\u0080" * 1000) + new String(Character.toChars(0x10FFFF))
+    assert(toAscii(mid).startsWith("xn--"))
+    assert(toAscii(toAscii(mid)) === toAscii(mid))
+  }
+
   // ---- the decoration: splice arithmetic + domain composition ----
 
   test("withIdnHost: splice rewrites the host position only") {

@@ -138,6 +138,23 @@ class RobotsOpsSpec extends SparkSpec {
     assert(d(8L) === ((false, "disallow", 5)))
   }
 
+  test("decisionBy: a control char in the path cannot bypass rules") {
+    // the canonicalizer preserves raw bytes it has no rule for; the
+    // path extract must still produce the match target (a non-DOTALL
+    // regex returned '' here, and the crafted URL sailed past every
+    // disallow — review finding)
+    val d = decide(Seq(9L -> "https://c.com/t_a/\nsecret"))
+    assert(d(9L) === ((false, "disallow", 5)))
+  }
+
+  test("decisionBy rejects a frame already carrying a verdict") {
+    val docs = Seq((1L, "https://a.com/g/ok")).toDF("doc_id", "url")
+    intercept[IllegalArgumentException] {
+      RobotsOps.decisionBy(
+        WebOps.urlParts(docs).withColumn("allowed", lit(true)), rules())
+    }
+  }
+
   test("robotsFilter end-to-end keeps original columns only") {
     val docs = Seq(
       (1L, "https://a.com/g/q/x", "keep?"),
