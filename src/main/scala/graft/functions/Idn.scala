@@ -56,17 +56,11 @@ object Idn {
   private final val InitialBias = 72
   private final val InitialN = 128
 
-  /** Labels longer than this are not DNS-encodable (the DNS label
-    * cap is 63 octets; 1024 is generous headroom for lenient
-    * pipelines) and pass through UN-encoded instead of risking
-    * arithmetic overflow in the encoder — with this cap, the Long
-    * delta below is provably bounded by ~1.2e12 (0x10FFFF × 1025²
-    * per worst-case label), nowhere near 2^63.
-    */
-  private final val MaxEncodableLabel = 1024
-
-  /** §6.1 bias adaptation (delta in Long — see [[MaxEncodableLabel]]
-    * for the bound that keeps every intermediate finite).
+  /** §6.1 bias adaptation (delta in Long — `delta` resets after
+    * every emitted code point, so at any emission it is bounded by
+    * (m−n)·(h+1) + len ≤ 0x10FFFF·(len+1) + len < 2^52 for ANY
+    * array-sized label: overflow is arithmetically impossible in
+    * Long, with no input cap needed).
     */
   private def adapt(delta0: Long, numPoints: Int, firstTime: Boolean): Int = {
     var delta = if (firstTime) delta0 / Damp else delta0 / 2
@@ -98,12 +92,12 @@ object Idn {
     }
     if (b > 0) out.append('-')
     var n = InitialN
-    // Long delta: with labels capped at MaxEncodableLabel the value
-    // is bounded ~1.2e12 — overflow is arithmetically impossible, so
-    // the encoder can never throw on hostile input (a review pass
-    // showed the earlier Int + addExact version DID throw on a ~2k
-    // char crafted label, poisoning the task — the exact totality
-    // violation this normalizer's contract forbids)
+    // Long delta: bounded < 2^52 at every emission for any label
+    // (see adapt's scaladoc), so the encoder can never throw on
+    // hostile input — a review pass showed an earlier Int + addExact
+    // version DID throw on a ~2k-char crafted label, poisoning the
+    // task: the exact totality violation this normalizer's contract
+    // forbids
     var delta = 0L
     var bias = InitialBias
     var h = b
@@ -213,11 +207,6 @@ object Idn {
         // the other direction (combining marks alone can NFC to an
         // ASCII char only in degenerate cases; stay total either way)
         if (isAscii(nfc)) out.append(nfc)
-        // a label this long is not DNS-encodable anyway — pass it
-        // through un-encoded rather than feed the encoder input
-        // outside its proven overflow bound (totality over fidelity
-        // on garbage; a downstream length filter rejects it)
-        else if (nfc.length > MaxEncodableLabel) out.append(nfc)
         else out.append("xn--").append(punycodeEncode(nfc))
       }
       i += 1

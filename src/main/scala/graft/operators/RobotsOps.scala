@@ -97,11 +97,15 @@ object RobotsOps {
     * host, else the `*` groups).
     */
   private def groupedLines(keyed: DataFrame, agent: String): DataFrame = {
-    // Locale.ROOT: the comparison target is Spark's lower() — on a
-    // Turkish-locale JVM the default toLowerCase maps 'I' to dotless
-    // 'ı' and the crawler would silently fall back to the '*' group
-    // (review finding; same casing discipline as the Idn kernel)
-    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    // Lower the agent with THE SAME function the plan applies to the
+    // user-agent values (Spark's lower = UTF8String.toLowerCase) —
+    // same-by-construction, so no locale or casing-table drift is
+    // possible for any token, ASCII or not. (Two review passes: the
+    // default toLowerCase broke on a Turkish-locale JVM, and
+    // Locale.ROOT still diverged from UTF8String casing for
+    // non-ASCII tokens.)
+    val a = org.apache.spark.unsafe.types.UTF8String
+      .fromString(agent).toLowerCase.toString
     require(a.nonEmpty && !a.exists(c => c == '\n' || c == '#'),
       s"parseRobots: not a product token: '$agent'")
     val sig = keyed

@@ -96,12 +96,13 @@ class IdnSpec extends SparkSpec {
   test("toAscii: hostile oversized labels stay total (no overflow)") {
     // ~1950 low-BMP points + one astral point: the Int-delta draft
     // threw ArithmeticException here (review finding) — the Long
-    // encoder with the 1024-char encodability cap must pass it
-    // through un-encoded instead of poisoning the task
+    // encoder (delta < 2^52 at every emission, no input cap) must
+    // encode it like any other label instead of poisoning the task
     val big = ("\u0080" * 1950) + new String(Character.toChars(0x10FFFF))
     val r = toAscii(big + ".example")
-    assert(r != null && r.endsWith(".example") && !r.startsWith("xn--"))
-    // just under the cap still encodes, through the Long-delta path
+    assert(r != null && r.endsWith(".example") && r.startsWith("xn--"))
+    assert(toAscii(r) === r) // encoded form is ASCII -> idempotent
+    // and a mid-sized label through the same Long-delta path
     val mid = ("\u0080" * 1000) + new String(Character.toChars(0x10FFFF))
     assert(toAscii(mid).startsWith("xn--"))
     assert(toAscii(toAscii(mid)) === toAscii(mid))

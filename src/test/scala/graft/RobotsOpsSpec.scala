@@ -64,7 +64,10 @@ class RobotsOpsSpec extends SparkSpec {
     val body = if (anchored) pat.dropRight(1) else pat
     val rx = body.split("\\*", -1).map(java.util.regex.Pattern.quote)
       .mkString(".*")
-    "^" + rx + (if (anchored) "$" else ".*")
+    // (?s): LIKE's '%' and the kernel's '*' both cross newlines —
+    // without DOTALL this pin would disagree with a CORRECT kernel
+    // on the control-char class the pathQueryOf fix is about
+    "(?s)^" + rx + (if (anchored) "$" else ".*")
   }
 
   private def kmatch(path: String, pat: String): Boolean =
@@ -89,13 +92,17 @@ class RobotsOpsSpec extends SparkSpec {
         s"translation diverges on '$pat' vs '$path'")
     }
     // property: random paths/patterns over an alphabet dense in
-    // specials — kernel must equal the regex rendering of the LIKE
-    // translation on every pair
+    // specials AND multi-byte UTF-8 (2-, 3-, 4-byte sequences) — the
+    // kernel matches BYTES, so this also empirically pins the
+    // byte-glob ≡ char-glob argument on its scaladoc: a '*' can
+    // never "half-swallow" a multi-byte char into a false positive
     val rnd = new Random(13)
-    val alpha = "ab/*$%_!."
+    val alpha: IndexedSeq[String] =
+      "ab/*$%_!.\n".map(_.toString) ++
+        Seq("é", "ü", "日", "本", new String(Character.toChars(0x10348)))
     def randStr(n: Int) =
       (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
-    for (_ <- 1 to 2000) {
+    for (_ <- 1 to 4000) {
       val path = "/" + randStr(rnd.nextInt(8))
       val pat = randStr(rnd.nextInt(6))
       assert(kmatch(path, pat) === path.matches(likeRegex(pat)),
