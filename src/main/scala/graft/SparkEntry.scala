@@ -127,6 +127,9 @@ object SparkEntry {
     "robots_filter" -> (graft.queries.ExtQueries.robotsFilterGate(_, _)),
     "robots_sitemaps" -> (graft.queries.ExtQueries.robotsSitemaps(_, _)),
     "robots_delays" -> (graft.queries.ExtQueries.robotsDelays(_, _)),
+    "robots_schedule" -> (graft.queries.ExtQueries.robotsSchedule(_, _)),
+    "url_blocklist_idn" ->
+      (graft.queries.ExtQueries.urlBlocklistIdn(_, _)),
     "domain_quota" -> (graft.queries.ExtQueries.domainQuotaGate(_, _)),
     "domain_psl" -> (graft.queries.ExtQueries.domainPsl(_, _)),
     "domain_psl_full" -> (graft.queries.ExtQueries.domainPslFull(_, _)),

@@ -267,6 +267,56 @@ object RobotsOps {
     robotsFilterBy(WebOps.urlParts(docs, urlCol),
       parseRobots(robots, agent), idCol)
 
+  /** Deterministic politeness schedule over a frontier batch: per
+    * host, URLs rank by the engine's md5-uniform priority
+    * (`md5(seed ∥ ':' ∥ id)` — the same portable contract as the
+    * quota family, so the schedule is a property of the data, not a
+    * partition-order accident) and receive fetch offsets
+    * `(rank−1) × delay` seconds, with `delay` from
+    * [[parseCrawlDelay]] (hosts that published none get
+    * `defaultDelay`).
+    *
+    * Scale note, stated rather than hidden: a schedule is a TOTAL
+    * order per host, so this windows over each host's stratum —
+    * unlike the quota family there is no bounded-partial shortcut
+    * (every row needs its exact rank, not membership in a top-k).
+    * Bound the strata BEFORE scheduling: compose
+    * [[WebOps.domainQuota]] / `urlDedupBatch` upstream so a frontier
+    * batch carries at most quota-many URLs per site, and the window
+    * sorts bounded groups. Delays join as a broadcast-sized
+    * dimension.
+    *
+    * @return the input + `crawl_delay` (the delay used), `rn`
+    *         (1-based fetch rank within the host) and `offset_s`
+    */
+  def crawlSchedule(decorated: DataFrame, delays: DataFrame,
+      seed: String, defaultDelay: Double = 1.0,
+      idCol: String = "doc_id"): DataFrame = {
+    requireCols(decorated, "RobotsOps.crawlSchedule", Seq(idCol, "host"))
+    requireCols(delays, "RobotsOps.crawlSchedule(delays)",
+      Seq("host", "crawl_delay"))
+    require(defaultDelay >= 0,
+      s"crawlSchedule: defaultDelay $defaultDelay must be >= 0")
+    val clash = Seq("rn", "offset_s", "crawl_delay", "__pri")
+      .filter(decorated.columns.contains)
+    require(clash.isEmpty,
+      s"RobotsOps.crawlSchedule: input already carries " +
+        s"${clash.mkString(", ")}")
+    val pri = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val byHost = Window.partitionBy("host")
+      .orderBy(col("__pri"), col(idCol).cast("string"))
+    decorated
+      .join(broadcast(delays.select(col("host"),
+        col("crawl_delay").cast("double").as("crawl_delay"))),
+        Seq("host"), "left")
+      .withColumn("crawl_delay",
+        coalesce(col("crawl_delay"), lit(defaultDelay)))
+      .withColumn("__pri", pri)
+      .withColumn("rn", row_number().over(byHost))
+      .withColumn("offset_s", (col("rn") - 1) * col("crawl_delay"))
+      .drop("__pri")
+  }
+
   /** One streaming trigger of the robots verdict (the
     * `foreachBatch` body behind
     * [[graft.streaming.StreamingPipeline.robotsStream]], same

@@ -1346,43 +1346,28 @@ object ExtOracles {
     // where IDNA2003 would fold to strasse); IP literals and
     // already-encoded input pass through byte-identically.
     "url_idn" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    CASE CAST(doc_id % 8 AS INTEGER)
-        |      WHEN 0 THEN 'plain' || (doc_id % 5) || '.example.com'
-        |      WHEN 1 THEN 'sub' || (doc_id % 5) || '.bücher.example'
-        |      WHEN 2 THEN 'w' || (doc_id % 5) || '.пример.рф'
-        |      WHEN 3 THEN 'cdn' || (doc_id % 5) || '.例え.jp'
-        |      WHEN 4 THEN 'xn--bcher-kva.example'
-        |      WHEN 5 THEN 'straße.example'
-        |      WHEN 6 THEN '198.51.' || (doc_id % 5) || '.9'
-        |      ELSE '[2001:db8::' || (doc_id % 7) || ']'
-        |    END AS host,
-        |    CASE CAST(doc_id % 8 AS INTEGER)
-        |      WHEN 0 THEN 'plain' || (doc_id % 5) || '.example.com'
-        |      WHEN 1 THEN 'sub' || (doc_id % 5) || '.xn--bcher-kva.example'
-        |      WHEN 2 THEN 'w' || (doc_id % 5) || '.xn--e1afmkfd.xn--p1ai'
-        |      WHEN 3 THEN 'cdn' || (doc_id % 5) || '.xn--r8jz45g.jp'
-        |      WHEN 4 THEN 'xn--bcher-kva.example'
-        |      WHEN 5 THEN 'xn--strae-oqa.example'
-        |      WHEN 6 THEN '198.51.' || (doc_id % 5) || '.9'
-        |      ELSE '[2001:db8::' || (doc_id % 7) || ']'
-        |    END AS host_idn,
-        |    CASE CAST(doc_id % 8 AS INTEGER)
-        |      WHEN 0 THEN 'example.com'
-        |      WHEN 1 THEN 'xn--bcher-kva.example'
-        |      WHEN 2 THEN 'xn--e1afmkfd.xn--p1ai'
-        |      WHEN 3 THEN 'xn--r8jz45g.jp'
-        |      WHEN 4 THEN 'xn--bcher-kva.example'
-        |      WHEN 5 THEN 'xn--strae-oqa.example'
-        |      WHEN 6 THEN '198.51.' || (doc_id % 5) || '.9'
-        |      ELSE '[2001:db8::' || (doc_id % 7) || ']'
-        |    END AS domain_idn
-        |  FROM documents)
-        |SELECT doc_id, host, host_idn,
-        |       'https://' || host_idn || '/p' || doc_id AS canon_url_idn,
-        |       domain_idn
-        |FROM u ORDER BY doc_id""".stripMargin,
+      s"""WITH $idnCtes
+         |SELECT doc_id, host, host_idn,
+         |       'https://' || host_idn || '/p' || doc_id AS canon_url_idn,
+         |       domain_idn
+         |FROM idn ORDER BY doc_id""".stripMargin,
+
+    // IDN × blocklist composition (blocklistFilterBy over the
+    // renamed IDN decoration): one rule spelled xn--bcher-kva blocks
+    // BOTH the Unicode and the already-encoded spelling; the host
+    // rule drops the Cyrillic-TLD subdomains; the raw-IP domain rule
+    // drops exactly the /24's .2 address
+    "url_blocklist_idn" ->
+      s"""WITH $idnCtes
+         |SELECT doc_id,
+         |       'https://' || host_idn || '/p' || doc_id AS canon_url,
+         |       domain_idn AS domain
+         |FROM idn
+         |WHERE domain_idn <> 'xn--bcher-kva.example'
+         |  AND domain_idn <> '198.51.2.9'
+         |  AND host_idn <> 'xn--e1afmkfd.xn--p1ai'
+         |  AND NOT ends_with(host_idn, '.xn--e1afmkfd.xn--p1ai')
+         |ORDER BY doc_id""".stripMargin,
 
     // robots.txt parse (RobotsOps.parseRobots): the shared CTE chain
     // (robotsCtes) replays the full RFC 9309 line grammar and group
@@ -1471,33 +1456,33 @@ object ExtOracles {
     // non-numeric values (TRY_CAST ≡ Spark's null-on-bad cast), min
     // across groups
     "robots_delays" ->
-      s"""WITH $robotsCtes,
-         |cdl AS (
-         |  SELECT host, ln,
-         |         TRY_CAST(trim(substr(l, strpos(l, ':') + 1))
-         |           AS DOUBLE) AS delay
-         |  FROM rl1
-         |  WHERE strpos(l, ':') > 0
-         |    AND lower(trim(split_part(l, ':', 1))) = 'crawl-delay'),
-         |marks AS (
-         |  SELECT host, ln,
-         |         (gid >= 1 AND (grp_exact = 1
-         |            OR (host_exact = 0 AND grp_star = 1))) AS app,
-         |         NULL::DOUBLE AS delay
-         |  FROM rg3),
-         |uni AS (
-         |  SELECT host, ln, app, delay FROM marks
-         |  UNION ALL
-         |  SELECT host, ln, NULL::BOOLEAN, delay FROM cdl),
-         |asg AS (
-         |  SELECT host, delay,
-         |         last_value(app IGNORE NULLS) OVER (
-         |           PARTITION BY host ORDER BY ln
-         |           ROWS UNBOUNDED PRECEDING) AS cur_app
-         |  FROM uni)
-         |SELECT host, min(delay) AS crawl_delay
-         |FROM asg WHERE delay IS NOT NULL AND cur_app
-         |GROUP BY host ORDER BY host""".stripMargin,
+      s"""WITH $robotsDelayCtes
+         |SELECT host, crawl_delay FROM rdelays ORDER BY host""".stripMargin,
+
+    // politeness schedule (RobotsOps.crawlSchedule): per-host
+    // row_number over the portable md5 priority × the published
+    // delays (default 1.0 where a host has none) — the oracle
+    // replays every URL's rank and second offset
+    "robots_schedule" ->
+      s"""WITH $robotsDelayCtes,
+         |surls AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 12 <= 3 THEN 'www.example3.com'
+         |         WHEN doc_id % 12 = 4 THEN 'news.site1.co.uk'
+         |         WHEN doc_id % 12 <= 10 THEN 'blog.host1.org'
+         |         ELSE 'cdn.data3.com.au' END AS host
+         |  FROM documents),
+         |sched AS (
+         |  SELECT u.doc_id, u.host,
+         |         coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+         |         row_number() OVER (PARTITION BY u.host
+         |           ORDER BY md5('rsch:' || CAST(u.doc_id AS VARCHAR)),
+         |                    CAST(u.doc_id AS VARCHAR)) AS rn
+         |  FROM surls u LEFT JOIN rdelays d ON u.host = d.host)
+         |SELECT doc_id, host, crawl_delay,
+         |       CAST(rn AS INTEGER) AS rn,
+         |       (rn - 1) * crawl_delay AS offset_s
+         |FROM sched ORDER BY doc_id""".stripMargin,
 
     // replays WebOps.domainQuota (5 per registrable domain) as the
     // per-domain window over the same md5 priority, string-id
@@ -3637,6 +3622,46 @@ object ExtOracles {
     * with multi-group union — replays `RobotsOps.parseRobots` for
     * agent 'graftbot'. Ends in `rrules(host, kind, pattern)`.
     */
+  /** Shared IDN fixture CTE: the gate's host construction replayed,
+    * with the expected `xn--` encodings as PINNED ABSOLUTE LITERALS
+    * (RFC 3492 is not SQL-expressible). Ends in
+    * `idn(doc_id, host, host_idn, domain_idn)`.
+    */
+  private def idnCtes: String =
+    """idn AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 8 AS INTEGER)
+      |      WHEN 0 THEN 'plain' || (doc_id % 5) || '.example.com'
+      |      WHEN 1 THEN 'sub' || (doc_id % 5) || '.bücher.example'
+      |      WHEN 2 THEN 'w' || (doc_id % 5) || '.пример.рф'
+      |      WHEN 3 THEN 'cdn' || (doc_id % 5) || '.例え.jp'
+      |      WHEN 4 THEN 'xn--bcher-kva.example'
+      |      WHEN 5 THEN 'straße.example'
+      |      WHEN 6 THEN '198.51.' || (doc_id % 5) || '.9'
+      |      ELSE '[2001:db8::' || (doc_id % 7) || ']'
+      |    END AS host,
+      |    CASE CAST(doc_id % 8 AS INTEGER)
+      |      WHEN 0 THEN 'plain' || (doc_id % 5) || '.example.com'
+      |      WHEN 1 THEN 'sub' || (doc_id % 5) || '.xn--bcher-kva.example'
+      |      WHEN 2 THEN 'w' || (doc_id % 5) || '.xn--e1afmkfd.xn--p1ai'
+      |      WHEN 3 THEN 'cdn' || (doc_id % 5) || '.xn--r8jz45g.jp'
+      |      WHEN 4 THEN 'xn--bcher-kva.example'
+      |      WHEN 5 THEN 'xn--strae-oqa.example'
+      |      WHEN 6 THEN '198.51.' || (doc_id % 5) || '.9'
+      |      ELSE '[2001:db8::' || (doc_id % 7) || ']'
+      |    END AS host_idn,
+      |    CASE CAST(doc_id % 8 AS INTEGER)
+      |      WHEN 0 THEN 'example.com'
+      |      WHEN 1 THEN 'xn--bcher-kva.example'
+      |      WHEN 2 THEN 'xn--e1afmkfd.xn--p1ai'
+      |      WHEN 3 THEN 'xn--r8jz45g.jp'
+      |      WHEN 4 THEN 'xn--bcher-kva.example'
+      |      WHEN 5 THEN 'xn--strae-oqa.example'
+      |      WHEN 6 THEN '198.51.' || (doc_id % 5) || '.9'
+      |      ELSE '[2001:db8::' || (doc_id % 7) || ']'
+      |    END AS domain_idn
+      |  FROM documents)""".stripMargin
+
   private def robotsCtes: String = {
     val values = ExtQueries.robotsBodies
       .map { case (h, b) => s"('$h', ${sqlStr(b)})" }
@@ -3683,6 +3708,43 @@ object ExtOracles {
        |    AND (grp_exact = 1
        |      OR (host_exact = 0 AND grp_star = 1)))""".stripMargin
   }
+
+  /** [[robotsCtes]] extended with the crawl-delay resolution for
+    * agent 'graftbot' — crawl-delay lines (unknown to the §2
+    * grammar) attach to the group of the nearest preceding
+    * significant line, agent-bound groups only, TRY_CAST drops
+    * non-numeric values, min across groups. Ends in
+    * `rdelays(host, crawl_delay)`.
+    */
+  private def robotsDelayCtes: String =
+    s"""$robotsCtes,
+       |cdl AS (
+       |  SELECT host, ln,
+       |         TRY_CAST(trim(substr(l, strpos(l, ':') + 1))
+       |           AS DOUBLE) AS delay
+       |  FROM rl1
+       |  WHERE strpos(l, ':') > 0
+       |    AND lower(trim(split_part(l, ':', 1))) = 'crawl-delay'),
+       |marks AS (
+       |  SELECT host, ln,
+       |         (gid >= 1 AND (grp_exact = 1
+       |            OR (host_exact = 0 AND grp_star = 1))) AS app,
+       |         NULL::DOUBLE AS delay
+       |  FROM rg3),
+       |uni AS (
+       |  SELECT host, ln, app, delay FROM marks
+       |  UNION ALL
+       |  SELECT host, ln, NULL::BOOLEAN, delay FROM cdl),
+       |asg AS (
+       |  SELECT host, delay,
+       |         last_value(app IGNORE NULLS) OVER (
+       |           PARTITION BY host ORDER BY ln
+       |           ROWS UNBOUNDED PRECEDING) AS cur_app
+       |  FROM uni),
+       |rdelays AS (
+       |  SELECT host, min(delay) AS crawl_delay
+       |  FROM asg WHERE delay IS NOT NULL AND cur_app
+       |  GROUP BY host)""".stripMargin
 
   private def urlCtes: String = {
     s"""u AS (SELECT doc_id,

@@ -1448,6 +1448,47 @@ object ExtQueries {
       "GraftBot")
       .orderBy("host")
 
+  /** Politeness schedule ([[graft.operators.RobotsOps
+    * .crawlSchedule]]): per-host fetch ranks by the portable md5
+    * priority × the fixture's published crawl delays
+    * (www.example3.com 10 s, cdn.data3.com.au 2.5 s, default 1 s
+    * elsewhere). Hash-green pins the complete schedule — every
+    * URL's rank and second offset — in both engines.
+    */
+  def robotsSchedule(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobotsOps.crawlSchedule(
+      graft.operators.WebOps.urlParts(docsWithRobotsUrls(spark, dir)),
+      graft.operators.RobotsOps.parseCrawlDelay(robotsBodiesDf(spark),
+        "GraftBot"),
+      seed = "rsch")
+      .select("doc_id", "host", "crawl_delay", "rn", "offset_s")
+      .orderBy("doc_id")
+
+  /** IDN × blocklist composition: the decoration renamed so ALL
+    * three rule kinds match against the ASCII (`xn--`) forms — one
+    * rule spelled `xn--bcher-kva.example` blocks BOTH the Unicode
+    * spelling (`sub.bücher.example`) and the already-encoded one,
+    * which is exactly the collapse the IDN layer exists to provide
+    * (a lite-domain blocklist sees two unrelated "sites" here).
+    */
+  def urlBlocklistIdn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = graft.operators.WebOps.withIdnHost(
+      graft.operators.WebOps.urlParts(docsWithIdnUrls(spark, dir)))
+      .drop("canon_url", "host", "domain")
+      .withColumnRenamed("canon_url_idn", "canon_url")
+      .withColumnRenamed("host_idn", "host")
+      .withColumnRenamed("domain_idn", "domain")
+    val rules = Seq(
+      ("i1", "domain", "xn--bcher-kva.example"),
+      ("i2", "host", "xn--e1afmkfd.xn--p1ai"),
+      ("i3", "domain", "198.51.2.9"))
+      .toDF("rule_id", "kind", "pattern")
+    graft.operators.WebOps.blocklistFilterBy(dec, rules)
+      .select("doc_id", "canon_url", "domain")
+      .orderBy("doc_id")
+  }
+
   /** The blocklist fixture rules — deliberately MESSY author forms
     * (mixed case, userinfo, trailing dot, default port) so the gate
     * also pins [[graft.operators.WebOps]]'s pattern normalization:

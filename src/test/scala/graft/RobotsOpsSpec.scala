@@ -230,6 +230,39 @@ class RobotsOpsSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("crawlSchedule: ranks by md5 priority, offsets by delay, " +
+    "default for unpublished hosts") {
+    val docs = Seq(
+      (1L, "slow.com"), (2L, "slow.com"), (3L, "slow.com"),
+      (4L, "fast.com"), (5L, "fast.com")).toDF("doc_id", "host")
+    val delays = Seq(("slow.com", 10.0)).toDF("host", "crawl_delay")
+    val out = RobotsOps.crawlSchedule(docs, delays, seed = "s")
+      .select("doc_id", "host", "crawl_delay", "rn", "offset_s")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    // ranks are the md5 order, portable and replayable
+    def pri(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"s:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val slowOrder = Seq(1L, 2L, 3L).sortBy(id => (pri(id), id.toString))
+    slowOrder.zipWithIndex.foreach { case (id, k) =>
+      assert(out(id) === (("slow.com", 10.0, k + 1, k * 10.0)), s"id $id")
+    }
+    val fastOrder = Seq(4L, 5L).sortBy(id => (pri(id), id.toString))
+    fastOrder.zipWithIndex.foreach { case (id, k) =>
+      assert(out(id) === (("fast.com", 1.0, k + 1, k * 1.0)), s"id $id")
+    }
+    // a frame already scheduled rejects loudly
+    intercept[IllegalArgumentException] {
+      RobotsOps.crawlSchedule(
+        docs.withColumn("rn", lit(1)), delays, seed = "s")
+    }
+  }
+
   test("robotsStream end-to-end: per-trigger compliant landing") {
     val d = (0 until 40).map(i => (i.toLong,
       if (i % 2 == 0) s"https://a.com/g/q$i/x" // anchored disallow
