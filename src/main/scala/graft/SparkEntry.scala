@@ -128,6 +128,9 @@ object SparkEntry {
     "robots_sitemaps" -> (graft.queries.ExtQueries.robotsSitemaps(_, _)),
     "robots_delays" -> (graft.queries.ExtQueries.robotsDelays(_, _)),
     "robots_schedule" -> (graft.queries.ExtQueries.robotsSchedule(_, _)),
+    "sitemap_parse" -> (graft.queries.ExtQueries.sitemapParse(_, _)),
+    "frontier_pipeline" ->
+      (graft.queries.ExtQueries.frontierPipeline(_, _)),
     "url_blocklist_idn" ->
       (graft.queries.ExtQueries.urlBlocklistIdn(_, _)),
     "domain_quota" -> (graft.queries.ExtQueries.domainQuotaGate(_, _)),

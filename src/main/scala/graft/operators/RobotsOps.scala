@@ -149,6 +149,41 @@ object RobotsOps {
       .select(col("host"), col("v").as("sitemap"))
       .distinct()
 
+  /** URL entries of fetched sitemap XML bodies (sitemaps.org): every
+    * `<loc>…</loc>` text, whitespace-trimmed and XML-entity-decoded
+    * (`&amp;` LAST, so `&amp;lt;` decodes to the literal `&lt;` and
+    * not `<` — the same one-pass-safe order as stripHtml), tagged
+    * with the body's kind: `index` when the body is a
+    * `<sitemapindex>` (its locs are MORE sitemaps to fetch) else
+    * `urlset` (its locs are page URLs for the frontier).
+    *
+    * Deliberately regex-level extraction, not an XML parser: the
+    * wild web's sitemaps are full of malformed XML a conforming
+    * parser rejects, a per-row parser allocates a DOM per document,
+    * and `<loc>` extraction is what the frontier actually needs —
+    * total on hostile input, oracle-replayable, codegen-friendly.
+    * Namespaced/attributed `<loc …>` open tags are out of scope
+    * (the sitemaps.org schema doesn't produce them).
+    */
+  def parseSitemapXml(sitemaps: DataFrame, hostCol: String = "host",
+      bodyCol: String = "body"): DataFrame = {
+    val locs = regexp_extract_all(col(bodyCol),
+      lit("(?s)<loc>\\s*(.*?)\\s*</loc>"), lit(1))
+    val kind = when(col(bodyCol).contains("<sitemapindex"), "index")
+      .otherwise("urlset")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(col("__loc")) { case (c, (e, ch)) =>
+        replace(c, lit(e), lit(ch))
+      }
+    sitemaps
+      .select(col(hostCol).as("host"), kind.as("kind"),
+        explode(locs).as("__loc"))
+      .filter(length(col("__loc")) > 0)
+      .select(col("host"), col("kind"), decoded.as("loc"))
+      .distinct()
+  }
+
   /** Per-host crawl-delay for `agent` (the de-facto extension most
     * registries still publish; RFC 9309 leaves it to §2.2.4): the
     * MINIMUM numeric Crawl-delay value across the groups that bind
@@ -315,6 +350,28 @@ object RobotsOps {
       .withColumn("rn", row_number().over(byHost))
       .withColumn("offset_s", (col("rn") - 1) * col("crawl_delay"))
       .drop("__pri")
+  }
+
+  /** End-to-end frontier assembly — the composed discovery path a
+    * crawler actually runs: sitemap bodies → page URLs (`urlset`
+    * locs, entity-decoded, deduped) → canonical URL chain (non-http
+    * locs drop: the frontier holds fetchable URLs) → robots verdict
+    * for `agent` (survivors only) → politeness schedule over the
+    * published crawl delays. Each stage is the public operator; this
+    * face only pins the composition order and the shared `url` key.
+    */
+  def frontierFromSitemaps(sitemaps: DataFrame, robots: DataFrame,
+      agent: String, seed: String,
+      defaultDelay: Double = 1.0): DataFrame = {
+    val pages = parseSitemapXml(sitemaps)
+      .filter(col("kind") === "urlset")
+      .select(col("loc").as("url")).distinct()
+    val dec = WebOps.urlParts(pages)
+      .filter(col("canon_url").isNotNull)
+    val kept = robotsFilterBy(dec, parseRobots(robots, agent),
+      idCol = "url")
+    crawlSchedule(kept, parseCrawlDelay(robots, agent), seed,
+      defaultDelay, idCol = "url")
   }
 
   /** One streaming trigger of the robots verdict (the

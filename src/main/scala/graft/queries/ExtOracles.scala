@@ -1484,6 +1484,63 @@ object ExtOracles {
          |       (rn - 1) * crawl_delay AS offset_s
          |FROM sched ORDER BY doc_id""".stripMargin,
 
+    // sitemap <loc> extraction (RobotsOps.parseSitemapXml): the
+    // same lazy-dotall regex, whitespace captured OUT by the \s*
+    // groups, entity decode with &amp; LAST, body-level kind
+    "sitemap_parse" ->
+      s"""WITH $sitemapCtes
+         |SELECT host, kind, loc FROM slocs
+         |ORDER BY host, kind, loc""".stripMargin,
+
+    // composed frontier (RobotsOps.frontierFromSitemaps): sitemap
+    // locs -> canonical chain (non-http drop; these simple shapes
+    // canonicalize to themselves) -> robots decision (same LIKE
+    // translation as robots_filter) -> schedule over the published
+    // delays. Every stage replayed; the md5 priority orders the
+    // survivors
+    "frontier_pipeline" ->
+      s"""WITH $robotsDelayCtes,
+         |$sitemapCtes,
+         |furl AS (
+         |  SELECT DISTINCT loc AS url,
+         |         regexp_extract(loc, '^https?://([^/]*)', 1) AS host,
+         |         regexp_extract(loc, '^https?://[^/]*(/.*)${"$"}', 1)
+         |           AS pq
+         |  FROM slocs
+         |  WHERE kind = 'urlset'
+         |    AND (loc LIKE 'http://%' OR loc LIKE 'https://%')),
+         |frm AS (
+         |  SELECT u.url, r.kind, r.pattern, length(r.pattern) AS len
+         |  FROM furl u JOIN rrules r ON u.host = r.host
+         |  WHERE u.pq LIKE
+         |    (replace(replace(replace(replace(
+         |       CASE WHEN right(r.pattern, 1) = '$$'
+         |         THEN substr(r.pattern, 1, length(r.pattern) - 1)
+         |         ELSE r.pattern END,
+         |       '!', '!!'), '%', '!%'), '_', '!_'), '*', '%')
+         |     || CASE WHEN right(r.pattern, 1) = '$$' THEN ''
+         |             ELSE '%' END)
+         |    ESCAPE '!'),
+         |frw AS (
+         |  SELECT url, kind,
+         |         row_number() OVER (PARTITION BY url
+         |           ORDER BY len DESC, (kind = 'allow') DESC,
+         |                    pattern DESC) AS rn
+         |  FROM frm),
+         |fkept AS (
+         |  SELECT u.url, u.host FROM furl u
+         |  LEFT JOIN (SELECT * FROM frw WHERE rn = 1) s USING (url)
+         |  WHERE s.url IS NULL OR s.kind = 'allow'),
+         |fsched AS (
+         |  SELECT k.url, k.host,
+         |         coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+         |         row_number() OVER (PARTITION BY k.host
+         |           ORDER BY md5('fp:' || k.url), k.url) AS rn
+         |  FROM fkept k LEFT JOIN rdelays d ON k.host = d.host)
+         |SELECT url, host, crawl_delay, CAST(rn AS INTEGER) AS rn,
+         |       (rn - 1) * crawl_delay AS offset_s
+         |FROM fsched ORDER BY url""".stripMargin,
+
     // replays WebOps.domainQuota (5 per registrable domain) as the
     // per-domain window over the same md5 priority, string-id
     // tiebreak — the TopKStrIdAgg bounded-partial ≡ window proof
@@ -3661,6 +3718,31 @@ object ExtOracles {
       |      ELSE '[2001:db8::' || (doc_id % 7) || ']'
       |    END AS domain_idn
       |  FROM documents)""".stripMargin
+
+  /** Shared sitemap CTE: the fixture bodies rendered verbatim from
+    * `ExtQueries.sitemapBodies`, the lazy-dotall `<loc>` extraction
+    * (whitespace captured OUT), the body-level index/urlset kind,
+    * and the entity decode with `&amp;` last. Ends in
+    * `slocs(host, kind, loc)`.
+    */
+  private def sitemapCtes: String = {
+    val values = ExtQueries.sitemapBodies
+      .map { case (h, b) => s"('$h', ${sqlStr(b)})" }
+      .mkString(",\n  ")
+    s"""sm(host, body) AS (VALUES
+       |  $values),
+       |sl0 AS (SELECT host,
+       |    CASE WHEN body LIKE '%<sitemapindex%' THEN 'index'
+       |         ELSE 'urlset' END AS kind,
+       |    unnest(regexp_extract_all(body,
+       |      '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)) AS loc0
+       |  FROM sm),
+       |slocs AS (SELECT DISTINCT host, kind,
+       |    replace(replace(replace(replace(replace(loc0,
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |      '&apos;', ''''), '&amp;', '&') AS loc
+       |  FROM sl0 WHERE length(loc0) > 0)""".stripMargin
+  }
 
   private def robotsCtes: String = {
     val values = ExtQueries.robotsBodies

@@ -1464,6 +1464,58 @@ object ExtQueries {
       .select("doc_id", "host", "crawl_delay", "rn", "offset_s")
       .orderBy("doc_id")
 
+  /** The sitemap XML fixture: an index body (its locs are MORE
+    * sitemaps) and a urlset body exercising multiline whitespace
+    * inside `<loc>`, an `&amp;`-entity URL, a non-http loc (the
+    * frontier must drop it), and an empty loc (dropped before
+    * decode). Shared verbatim with the oracle like the robots
+    * bodies.
+    */
+  private[graft] val sitemapBodies: Seq[(String, String)] = Seq(
+    "seed.example" -> ("<sitemapindex><sitemap><loc>" +
+      "https://www.example3.com/sm1.xml</loc></sitemap><sitemap>" +
+      "<loc> https://www.example3.com/sm2.xml </loc></sitemap>" +
+      "</sitemapindex>"),
+    "www.example3.com" -> ("<?xml version=\"1.0\"?><urlset><url><loc>\n" +
+      "  https://www.example3.com/articles/a1/draft\n" +
+      "  </loc></url><url><loc>" +
+      "https://www.example3.com/articles/ok?a=1&amp;b=2" +
+      "</loc></url><url><loc>https://www.example3.com/private/x" +
+      "</loc></url><url><loc>ftp://bad.example/x</loc></url>" +
+      "<url><loc></loc></url></urlset>"))
+
+  /** Sitemap `<loc>` extraction
+    * ([[graft.operators.RobotsOps.parseSitemapXml]]): index vs
+    * urlset kinds, whitespace trim, entity decode. The oracle
+    * replays the regex extraction and the decode chain over the
+    * identical bytes.
+    */
+  def sitemapParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.RobotsOps.parseSitemapXml(
+      sitemapBodies.toDF("host", "body"))
+      .orderBy("host", "kind", "loc")
+  }
+
+  /** The composed frontier
+    * ([[graft.operators.RobotsOps.frontierFromSitemaps]]): sitemap →
+    * canonical chain → robots verdict → schedule, in one plan. The
+    * oracle replays every stage — hash-green pins the full
+    * discovery path end-to-end (the entity-decoded URL survives via
+    * its allow rule, the draft URL dies to the anchored disallow,
+    * the no-rule URL is allowed by default, the ftp loc never
+    * enters, and both survivors carry www.example3.com's published
+    * 10 s delay).
+    */
+  def frontierPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.RobotsOps.frontierFromSitemaps(
+      sitemapBodies.toDF("host", "body"), robotsBodiesDf(spark),
+      "GraftBot", seed = "fp")
+      .select("url", "host", "crawl_delay", "rn", "offset_s")
+      .orderBy("url")
+  }
+
   /** IDN × blocklist composition: the decoration renamed so ALL
     * three rule kinds match against the ASCII (`xn--`) forms — one
     * rule spelled `xn--bcher-kva.example` blocks BOTH the Unicode

@@ -263,6 +263,47 @@ class RobotsOpsSpec extends SparkSpec {
     }
   }
 
+  test("parseSitemapXml: kinds, trim, entity decode, hostile input") {
+    val b = Seq(
+      ("i.com", "<sitemapindex><sitemap><loc> https://i.com/a.xml " +
+        "</loc></sitemap></sitemapindex>"),
+      ("u.com", "<urlset><url><loc>https://u.com/p?a=1&amp;b=2</loc>" +
+        "</url><url><loc>\n https://u.com/q \n</loc></url>" +
+        "<url><loc></loc></url></urlset>"),
+      // &amp;lt; decodes to the LITERAL &lt; — the &-last order
+      ("e.com", "<urlset><url><loc>https://e.com/&amp;lt;x</loc>" +
+        "</url></urlset>"),
+      // hostile: no XML at all — total, zero rows
+      ("h.com", "not xml <loc")).toDF("host", "body")
+    val out = RobotsOps.parseSitemapXml(b).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out === Set(
+      ("i.com", "index", "https://i.com/a.xml"),
+      ("u.com", "urlset", "https://u.com/p?a=1&b=2"),
+      ("u.com", "urlset", "https://u.com/q"),
+      ("e.com", "urlset", "https://e.com/&lt;x")))
+  }
+
+  test("frontierFromSitemaps: the composed discovery path") {
+    val sm = Seq(("a.com", "<urlset>" +
+      "<url><loc>https://a.com/g/q/x</loc></url>" + // anchored disallow
+      "<url><loc>https://a.com/g/ok</loc></url>" +
+      "<url><loc>ftp://a.com/skip</loc></url>" +
+      "<url><loc>https://quiet.example/p</loc></url>" + // no robots
+      "</urlset>")).toDF("host", "body")
+    val out = RobotsOps.frontierFromSitemaps(sm,
+      bodies.toDF("host", "body"), "graftbot", seed = "fs")
+      .select("url", "host", "rn", "offset_s").collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getDouble(3)))).toMap
+    // blocked and non-http locs never reach the schedule
+    assert(out.keySet === Set("https://a.com/g/ok",
+      "https://quiet.example/p"))
+    assert(out("https://a.com/g/ok") === (("a.com", 1, 0.0)))
+    assert(out("https://quiet.example/p") ===
+      (("quiet.example", 1, 0.0)))
+  }
+
   test("robotsStream end-to-end: per-trigger compliant landing") {
     val d = (0 until 40).map(i => (i.toLong,
       if (i % 2 == 0) s"https://a.com/g/q$i/x" // anchored disallow
