@@ -65,7 +65,11 @@ object RobotsOps {
     */
   def parseRobots(robots: DataFrame, agent: String,
       hostCol: String = "host", bodyCol: String = "body"): DataFrame =
-    groupedLines(keyedLines(robots, hostCol, bodyCol), agent)
+    parseRobotsFrom(keyedLines(robots, hostCol, bodyCol), agent)
+
+  private def parseRobotsFrom(keyed: DataFrame,
+      agent: String): DataFrame =
+    groupedLines(keyed, agent)
       .filter(!col("is_ua") && col("__app") && length(col("v")) > 0)
       .select(col("host"), col("k").as("kind"), col("v").as("pattern"))
       .distinct()
@@ -157,29 +161,53 @@ object RobotsOps {
     * `<sitemapindex>` (its locs are MORE sitemaps to fetch) else
     * `urlset` (its locs are page URLs for the frontier).
     *
-    * Deliberately regex-level extraction, not an XML parser: the
+    * Deliberately string-level extraction, not an XML parser: the
     * wild web's sitemaps are full of malformed XML a conforming
     * parser rejects, a per-row parser allocates a DOM per document,
-    * and `<loc>` extraction is what the frontier actually needs —
-    * total on hostile input, oracle-replayable, codegen-friendly.
-    * Namespaced/attributed `<loc …>` open tags are out of scope
-    * (the sitemaps.org schema doesn't produce them).
+    * and `<loc>` extraction is what the frontier actually needs.
+    * The formulation is split-based rather than a lazy-dotall regex
+    * — split the body on `</loc>` and take the text after each
+    * piece's LAST `<loc>` — because it is LINEAR in the body: a
+    * crafted body of N unclosed `<loc>` openers makes the lazy
+    * regex quadratic in java.util.regex (an executor stall on one
+    * hostile multi-MB row — review finding) while the split scan
+    * stays O(bytes) in both engines. For well-formed sitemaps the
+    * two read identically; on garbage the split form binds each loc
+    * to its NEAREST opener. Namespaced/attributed `<loc …>` open
+    * tags are out of scope (the sitemaps.org schema doesn't produce
+    * them).
     */
   def parseSitemapXml(sitemaps: DataFrame, hostCol: String = "host",
       bodyCol: String = "body"): DataFrame = {
-    val locs = regexp_extract_all(col(bodyCol),
-      lit("(?s)<loc>\\s*(.*?)\\s*</loc>"), lit(1))
-    val kind = when(col(bodyCol).contains("<sitemapindex"), "index")
+    // comment strip FIRST, linearly (split on '-->', keep each
+    // piece's text before '<!--'; an unclosed '<!--' comments to
+    // EOF): a body that merely MENTIONS '<sitemapindex' — or a
+    // commented-out '<loc>' — in an XML comment must not
+    // reclassify the whole page list or leak phantom URLs (review
+    // finding; the first-occurrence rule alone still misfired on a
+    // LEADING comment)
+    val noComments = array_join(
+      transform(split(col(bodyCol), "-->", -1),
+        p => substring_index(p, "<!--", 1)), "")
+    // the body's kind is whichever root tag OPENS the cleaned text
+    val ipos = instr(col("__clean"), "<sitemapindex")
+    val upos = instr(col("__clean"), "<urlset")
+    val kind = when(ipos > 0 && (upos === 0 || ipos < upos), "index")
       .otherwise("urlset")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&amp;" -> "&")
-      .foldLeft(col("__loc")) { case (c, (e, ch)) =>
+      .foldLeft(col("__raw")) { case (c, (e, ch)) =>
         replace(c, lit(e), lit(ch))
       }
     sitemaps
-      .select(col(hostCol).as("host"), kind.as("kind"),
-        explode(locs).as("__loc"))
-      .filter(length(col("__loc")) > 0)
+      .select(col(hostCol).as("host"), noComments.as("__clean"))
+      .select(col("host"), kind.as("kind"),
+        explode(split(col("__clean"), "</loc>", -1)).as("__piece"))
+      .filter(instr(col("__piece"), "<loc>") > 0)
+      .withColumn("__raw", regexp_replace(
+        substring_index(col("__piece"), "<loc>", -1),
+        "^\\s+|\\s+$", ""))
+      .filter(length(col("__raw")) > 0)
       .select(col("host"), col("kind"), decoded.as("loc"))
       .distinct()
   }
@@ -197,18 +225,28 @@ object RobotsOps {
     * dropped). Non-numeric values drop (cast-null), never poison.
     */
   def parseCrawlDelay(robots: DataFrame, agent: String,
-      hostCol: String = "host", bodyCol: String = "body"): DataFrame = {
-    val keyed = keyedLines(robots, hostCol, bodyCol)
+      hostCol: String = "host", bodyCol: String = "body"): DataFrame =
+    parseCrawlDelayFrom(keyedLines(robots, hostCol, bodyCol), agent)
+
+  private def parseCrawlDelayFrom(keyed: DataFrame,
+      agent: String): DataFrame = {
     val marks = groupedLines(keyed, agent)
       .select(col("host"), col("ln"), col("gid"), col("__app"),
         lit(null).cast("double").as("delay"))
     val cds = keyed.filter(col("k") === "crawl-delay")
+      // value shape gate BEFORE any cast: only a plain non-negative
+      // decimal counts. This (a) keeps a published '-10' from
+      // inverting the schedule into negative offsets (min-across-
+      // groups would PREFER the least conservative value — review
+      // finding), (b) drops 'nan'/'inf' spellings, where Spark's
+      // try_cast and DuckDB's TRY_CAST disagree ('inf' is NULL in
+      // Spark, Infinity in DuckDB — the regex is the semantics both
+      // engines replay identically), and (c) still never throws on
+      // hostile text ('Crawl-delay: soon')
+      .filter(col("v").rlike("^[0-9]+(\\.[0-9]+)?$"))
       .select(col("host"), col("ln"), lit(null).cast("long").as("gid"),
         lit(null).cast("boolean").as("__app"),
-        // try_cast, not cast: ANSI mode makes a plain cast THROW on
-        // a malformed published value ('Crawl-delay: soon'), and one
-        // hostile robots.txt must never poison the whole parse
-        col("v").try_cast("double").as("delay"))
+        col("v").cast("double").as("delay"))
     val byLn = Window.partitionBy("host").orderBy("ln")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marks.unionByName(cds)
@@ -368,9 +406,16 @@ object RobotsOps {
       .select(col("loc").as("url")).distinct()
     val dec = WebOps.urlParts(pages)
       .filter(col("canon_url").isNotNull)
-    val kept = robotsFilterBy(dec, parseRobots(robots, agent),
+    // parse the robots bodies ONCE: the rules leg and the delays leg
+    // both derive from the same keyed-line table, and Catalyst does
+    // not dedupe common subplans across the two joins — without the
+    // checkpoint every frontier assembly would run the line-explode
+    // and group windows twice (review finding). Dimension-sized, so
+    // the materialization is cheap
+    val keyed = keyedLines(robots, "host", "body").localCheckpoint()
+    val kept = robotsFilterBy(dec, parseRobotsFrom(keyed, agent),
       idCol = "url")
-    crawlSchedule(kept, parseCrawlDelay(robots, agent), seed,
+    crawlSchedule(kept, parseCrawlDelayFrom(keyed, agent), seed,
       defaultDelay, idCol = "url")
   }
 

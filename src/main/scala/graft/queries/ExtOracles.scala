@@ -1386,29 +1386,7 @@ object ExtOracles {
     // exact struct-max order the operator aggregates with.
     "robots_filter" ->
       s"""WITH $robotsCtes,
-         |rurls AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 12 <= 3 THEN 'www.example3.com'
-         |         WHEN doc_id % 12 = 4 THEN 'news.site1.co.uk'
-         |         WHEN doc_id % 12 <= 10 THEN 'blog.host1.org'
-         |         ELSE 'cdn.data3.com.au' END AS host,
-         |    CASE CAST(doc_id % 12 AS INTEGER)
-         |      WHEN 0 THEN '/private/x' || (doc_id % 7)
-         |      WHEN 1 THEN '/articles/a' || (doc_id % 7) || '/draft'
-         |      WHEN 2 THEN '/articles/a' || (doc_id % 7) || '/draft2'
-         |      WHEN 3 THEN '/articles/x' || (doc_id % 7)
-         |      WHEN 4 THEN '/anything' || (doc_id % 7)
-         |      WHEN 5 THEN '/tmp_a/f' || (doc_id % 7)
-         |      WHEN 6 THEN '/tmpXa/f' || (doc_id % 7)
-         |      WHEN 7 THEN '/tmp_a/ok'
-         |      WHEN 8 THEN '/tmp_a/ok2'
-         |      WHEN 9 THEN '/d' || (doc_id % 7) || '.json'
-         |      WHEN 10 THEN '/d' || (doc_id % 7) || '.json?x=1'
-         |      ELSE '/' || (CASE WHEN doc_id % 7 < 3 THEN 'x'
-         |                        WHEN doc_id % 7 < 5 THEN 'y'
-         |                        ELSE 'z' END) || '/a' || (doc_id % 7)
-         |    END AS pq
-         |  FROM documents),
+         |$robotsUrlCtes,
          |rm AS (
          |  SELECT u.doc_id, r.kind, r.pattern,
          |         length(r.pattern) AS len
@@ -1465,13 +1443,8 @@ object ExtOracles {
     // replays every URL's rank and second offset
     "robots_schedule" ->
       s"""WITH $robotsDelayCtes,
-         |surls AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 12 <= 3 THEN 'www.example3.com'
-         |         WHEN doc_id % 12 = 4 THEN 'news.site1.co.uk'
-         |         WHEN doc_id % 12 <= 10 THEN 'blog.host1.org'
-         |         ELSE 'cdn.data3.com.au' END AS host
-         |  FROM documents),
+         |$robotsUrlCtes,
+         |surls AS (SELECT doc_id, host FROM rurls),
          |sched AS (
          |  SELECT u.doc_id, u.host,
          |         coalesce(d.crawl_delay, 1.0) AS crawl_delay,
@@ -1493,22 +1466,37 @@ object ExtOracles {
          |ORDER BY host, kind, loc""".stripMargin,
 
     // composed frontier (RobotsOps.frontierFromSitemaps): sitemap
-    // locs -> canonical chain (non-http drop; these simple shapes
-    // canonicalize to themselves) -> robots decision (same LIKE
+    // locs -> canonical chain -> robots decision (same LIKE
     // translation as robots_filter) -> schedule over the published
-    // delays. Every stage replayed; the md5 priority orders the
-    // survivors
+    // delays. Every stage replayed. The canon replay here is the
+    // SHORTCUT form — scheme case-folded, authority terminated at
+    // /?# like the product, (?s) so control chars can't empty the
+    // match target, query-only paths get the canonical leading '/'
+    // — valid ONLY over the fixture's shape domain: lowercase
+    // hosts, no userinfo/port/fragment/%-escape/tracking-param
+    // features (those live in url_canon's full algebra replay; a
+    // fixture extension using them must extend this CTE too)
     "frontier_pipeline" ->
       s"""WITH $robotsDelayCtes,
          |$sitemapCtes,
          |furl AS (
          |  SELECT DISTINCT loc AS url,
-         |         regexp_extract(loc, '^https?://([^/]*)', 1) AS host,
-         |         regexp_extract(loc, '^https?://[^/]*(/.*)${"$"}', 1)
-         |           AS pq
+         |         lower(regexp_extract(loc,
+         |           '^(?i)https?://([^/?#]*)', 1)) AS host,
+         |         CASE WHEN regexp_extract(loc,
+         |             '(?s)^(?i)https?://[^/?#]*(.*)${"$"}', 1) = ''
+         |           THEN '/'
+         |           WHEN substr(regexp_extract(loc,
+         |             '(?s)^(?i)https?://[^/?#]*(.*)${"$"}', 1), 1, 1)
+         |             = '/'
+         |           THEN regexp_extract(loc,
+         |             '(?s)^(?i)https?://[^/?#]*(.*)${"$"}', 1)
+         |           ELSE '/' || regexp_extract(loc,
+         |             '(?s)^(?i)https?://[^/?#]*(.*)${"$"}', 1)
+         |         END AS pq
          |  FROM slocs
          |  WHERE kind = 'urlset'
-         |    AND (loc LIKE 'http://%' OR loc LIKE 'https://%')),
+         |    AND regexp_matches(loc, '^(?i)https?://')),
          |frm AS (
          |  SELECT u.url, r.kind, r.pattern, length(r.pattern) AS len
          |  FROM furl u JOIN rrules r ON u.host = r.host
@@ -3720,29 +3708,75 @@ object ExtOracles {
       |  FROM documents)""".stripMargin
 
   /** Shared sitemap CTE: the fixture bodies rendered verbatim from
-    * `ExtQueries.sitemapBodies`, the lazy-dotall `<loc>` extraction
-    * (whitespace captured OUT), the body-level index/urlset kind,
-    * and the entity decode with `&amp;` last. Ends in
-    * `slocs(host, kind, loc)`.
+    * `ExtQueries.sitemapBodies`, the linear comment strip (split on
+    * `-->`, text before each piece's `<!--`), the LINEAR
+    * split-based `<loc>` extraction (split on `</loc>`, text after
+    * each piece's last `<loc>` — same formulation as the operator,
+    * chosen over the lazy-dotall regex whose java.util.regex
+    * evaluation is quadratic on hostile bodies),
+    * whitespace-trimmed, the first-opening-tag index/urlset kind
+    * over the cleaned text, and the entity decode with `&amp;`
+    * last. Ends in `slocs(host, kind, loc)`.
     */
   private def sitemapCtes: String = {
     val values = ExtQueries.sitemapBodies
       .map { case (h, b) => s"('$h', ${sqlStr(b)})" }
       .mkString(",\n  ")
-    s"""sm(host, body) AS (VALUES
+    s"""sm0(host, body) AS (VALUES
        |  $values),
+       |sm AS (SELECT host,
+       |    array_to_string(list_transform(string_split(body, '-->'),
+       |      p -> split_part(p, '<!--', 1)), '') AS body
+       |  FROM sm0),
        |sl0 AS (SELECT host,
-       |    CASE WHEN body LIKE '%<sitemapindex%' THEN 'index'
-       |         ELSE 'urlset' END AS kind,
-       |    unnest(regexp_extract_all(body,
-       |      '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)) AS loc0
+       |    CASE WHEN strpos(body, '<sitemapindex') > 0
+       |          AND (strpos(body, '<urlset') = 0
+       |               OR strpos(body, '<sitemapindex')
+       |                  < strpos(body, '<urlset'))
+       |         THEN 'index' ELSE 'urlset' END AS kind,
+       |    unnest(string_split(body, '</loc>')) AS piece
        |  FROM sm),
+       |sl1 AS (SELECT host, kind,
+       |    regexp_replace(string_split(piece, '<loc>')[-1],
+       |      '^\\s+|\\s+${"$"}', '', 'g') AS raw
+       |  FROM sl0 WHERE strpos(piece, '<loc>') > 0),
        |slocs AS (SELECT DISTINCT host, kind,
-       |    replace(replace(replace(replace(replace(loc0,
+       |    replace(replace(replace(replace(replace(raw,
        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
        |      '&apos;', ''''), '&amp;', '&') AS loc
-       |  FROM sl0 WHERE length(loc0) > 0)""".stripMargin
+       |  FROM sl1 WHERE length(raw) > 0)""".stripMargin
   }
+
+  /** The robots URL fixture — `docsWithRobotsUrls`'s doc_id
+    * arithmetic replayed ONCE for both the decision and the
+    * schedule gate (the same hoist-the-shared-fixture pattern as
+    * idnCtes: two inline copies would silently desynchronize).
+    * Ends in `rurls(doc_id, host, pq)`.
+    */
+  private def robotsUrlCtes: String =
+    """rurls AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 12 <= 3 THEN 'www.example3.com'
+      |         WHEN doc_id % 12 = 4 THEN 'news.site1.co.uk'
+      |         WHEN doc_id % 12 <= 10 THEN 'blog.host1.org'
+      |         ELSE 'cdn.data3.com.au' END AS host,
+      |    CASE CAST(doc_id % 12 AS INTEGER)
+      |      WHEN 0 THEN '/private/x' || (doc_id % 7)
+      |      WHEN 1 THEN '/articles/a' || (doc_id % 7) || '/draft'
+      |      WHEN 2 THEN '/articles/a' || (doc_id % 7) || '/draft2'
+      |      WHEN 3 THEN '/articles/x' || (doc_id % 7)
+      |      WHEN 4 THEN '/anything' || (doc_id % 7)
+      |      WHEN 5 THEN '/tmp_a/f' || (doc_id % 7)
+      |      WHEN 6 THEN '/tmpXa/f' || (doc_id % 7)
+      |      WHEN 7 THEN '/tmp_a/ok'
+      |      WHEN 8 THEN '/tmp_a/ok2'
+      |      WHEN 9 THEN '/d' || (doc_id % 7) || '.json'
+      |      WHEN 10 THEN '/d' || (doc_id % 7) || '.json?x=1'
+      |      ELSE '/' || (CASE WHEN doc_id % 7 < 3 THEN 'x'
+      |                        WHEN doc_id % 7 < 5 THEN 'y'
+      |                        ELSE 'z' END) || '/a' || (doc_id % 7)
+      |    END AS pq
+      |  FROM documents)""".stripMargin
 
   private def robotsCtes: String = {
     val values = ExtQueries.robotsBodies
@@ -3794,19 +3828,24 @@ object ExtOracles {
   /** [[robotsCtes]] extended with the crawl-delay resolution for
     * agent 'graftbot' — crawl-delay lines (unknown to the §2
     * grammar) attach to the group of the nearest preceding
-    * significant line, agent-bound groups only, TRY_CAST drops
-    * non-numeric values, min across groups. Ends in
-    * `rdelays(host, crawl_delay)`.
+    * significant line, agent-bound groups only, min across groups.
+    * Values gate on the plain non-negative-decimal regex BEFORE the
+    * cast — the shape BOTH engines replay identically (Spark's
+    * try_cast and DuckDB's TRY_CAST disagree on 'inf', and a
+    * negative published delay must not invert the schedule). Ends
+    * in `rdelays(host, crawl_delay)`.
     */
   private def robotsDelayCtes: String =
     s"""$robotsCtes,
        |cdl AS (
        |  SELECT host, ln,
-       |         TRY_CAST(trim(substr(l, strpos(l, ':') + 1))
+       |         CAST(trim(substr(l, strpos(l, ':') + 1))
        |           AS DOUBLE) AS delay
        |  FROM rl1
        |  WHERE strpos(l, ':') > 0
-       |    AND lower(trim(split_part(l, ':', 1))) = 'crawl-delay'),
+       |    AND lower(trim(split_part(l, ':', 1))) = 'crawl-delay'
+       |    AND regexp_matches(trim(substr(l, strpos(l, ':') + 1)),
+       |          '^[0-9]+(\\.[0-9]+)?${"$"}')),
        |marks AS (
        |  SELECT host, ln,
        |         (gid >= 1 AND (grp_exact = 1

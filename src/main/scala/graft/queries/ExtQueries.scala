@@ -1351,7 +1351,7 @@ object ExtQueries {
       "Disallow: /private/\r\nAllow: /private/ok\r\n\r\n" +
       "User-agent: GraftBot\r\nUser-agent: otherbot\r\n" +
       "Disallow: /articles/*/draft$\r\nAllow: /articles/\r\n" +
-      "Crawl-delay: 10\r\n" +
+      "Crawl-delay: 10\r\nCrawl-delay: -5\r\n" +
       "Sitemap: https://www.example3.com/sitemap.xml\r\n" +
       "noise line without separator\r\nDisallow:\r\n"),
     "news.site1.co.uk" ->
@@ -1482,7 +1482,13 @@ object ExtQueries {
       "https://www.example3.com/articles/ok?a=1&amp;b=2" +
       "</loc></url><url><loc>https://www.example3.com/private/x" +
       "</loc></url><url><loc>ftp://bad.example/x</loc></url>" +
-      "<url><loc></loc></url></urlset>"))
+      "<url><loc></loc></url></urlset>"),
+    // a urlset that merely MENTIONS '<sitemapindex' in a comment:
+    // the kind decision is by whichever root tag OPENS the body, so
+    // this stays urlset and its page URL reaches the frontier
+    "mention.example" -> ("<!-- converted from a <sitemapindex> -->" +
+      "<urlset><url><loc>https://mention.example/p</loc></url>" +
+      "</urlset>"))
 
   /** Sitemap `<loc>` extraction
     * ([[graft.operators.RobotsOps.parseSitemapXml]]): index vs

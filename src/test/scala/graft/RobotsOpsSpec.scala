@@ -218,7 +218,13 @@ class RobotsOpsSpec extends SparkSpec {
         "User-agent: MegaBot\nCrawl-delay: 99\nDisallow: /\n" + // not ours
         "User-agent: graftbot\nDisallow: /a\nCrawl-delay: 7\n" +
         "User-agent: graftbot\nCrawl-delay: 3.5\n" + // second group: min
-        "User-agent: graftbot\nCrawl-delay: soon\n")) // non-numeric
+        // hostile spellings: each must drop, never win the min or
+        // poison the offsets (negative would INVERT the schedule;
+        // 'inf' is where Spark try_cast and DuckDB TRY_CAST part)
+        "User-agent: graftbot\nCrawl-delay: soon\n" +
+        "User-agent: graftbot\nCrawl-delay: -10\n" +
+        "User-agent: graftbot\nCrawl-delay: inf\n" +
+        "User-agent: graftbot\nCrawl-delay: 1e2\n"))
       .toDF("host", "body")
     val d = RobotsOps.parseCrawlDelay(b, "GraftBot").collect()
       .map(r => (r.getString(0), r.getDouble(1)))
@@ -274,14 +280,29 @@ class RobotsOpsSpec extends SparkSpec {
       ("e.com", "<urlset><url><loc>https://e.com/&amp;lt;x</loc>" +
         "</url></urlset>"),
       // hostile: no XML at all — total, zero rows
-      ("h.com", "not xml <loc")).toDF("host", "body")
+      ("h.com", "not xml <loc"),
+      // a urlset MENTIONING '<sitemapindex' in a comment keeps its
+      // urlset kind (the decision is by whichever root tag OPENS)
+      ("m.com", "<!-- was a <sitemapindex> --><urlset><url><loc>" +
+        "https://m.com/p</loc></url></urlset>"),
+      // many unclosed openers: the split formulation stays linear
+      // and binds the one real loc to its nearest opener
+      ("q.com", "<urlset>" + ("<loc>" * 2000) +
+        "https://q.com/deep</loc></urlset>"),
+      // a commented-out loc is NOT a URL (comment strip runs first)
+      ("c2.com", "<urlset><!-- <url><loc>https://c2.com/ghost" +
+        "</loc></url> --><url><loc>https://c2.com/real</loc></url>" +
+        "</urlset>")).toDF("host", "body")
     val out = RobotsOps.parseSitemapXml(b).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(out === Set(
       ("i.com", "index", "https://i.com/a.xml"),
       ("u.com", "urlset", "https://u.com/p?a=1&b=2"),
       ("u.com", "urlset", "https://u.com/q"),
-      ("e.com", "urlset", "https://e.com/&lt;x")))
+      ("e.com", "urlset", "https://e.com/&lt;x"),
+      ("m.com", "urlset", "https://m.com/p"),
+      ("q.com", "urlset", "https://q.com/deep"),
+      ("c2.com", "urlset", "https://c2.com/real")))
   }
 
   test("frontierFromSitemaps: the composed discovery path") {
