@@ -36,6 +36,24 @@ object GraphOps {
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
   }
 
+  /** Measured-row-count gate for broadcast-hinting a node- or
+    * edge-sized frame into a join (optimization r13). The iterative /
+    * eager operators below MATERIALISE their loop-invariant frames
+    * (checkpoints), so the true row count is one cheap job away — a
+    * measured count, not a Catalyst size estimate (checkpointed
+    * LogicalRDDs carry no usable stats, so the planner would never
+    * broadcast them on its own; guide §3.1: broadcast the side you
+    * KNOW fits). The threshold is rows, conf-tunable
+    * (`spark.graft.graph.broadcastRows`, default 4M ≈ low hundreds of
+    * MB built for 2-3 long columns): local[32] and a 1000-executor
+    * deployment both hold that comfortably, and graphs past it fall
+    * back to the planner's shuffle strategies — scale-adaptive, never
+    * a local-only constant.
+    */
+  private def fitsBroadcast(df: DataFrame, rows: Long): Boolean =
+    rows <= df.sparkSession.conf
+      .get("spark.graft.graph.broadcastRows", "4000000").toLong
+
   /** Connected components over an undirected edge list `(a, b)` by
     * iterative min-label propagation: every vertex starts labelled with
     * its own id; each round it takes the min of its label and its
@@ -254,12 +272,18 @@ object GraphOps {
     val base = (r0 * 15L) / 100L
     var (ranks, rankIds) = eagerCp(
       nodes.select(col("id"), lit(r0).as("rank")))
+    // optimization r13: ranks/deg/contrib are node-sized and
+    // checkpoint-backed (no stats) — broadcast them under the measured
+    // node-count gate so the edge table is never exchanged per round;
+    // past the gate the planner keeps its shuffle strategies
+    val bcast = fitsBroadcast(nodes, n)
+    def b(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
+      val contrib = e.join(b(ranks.withColumnRenamed("id", "src")), "src")
+        .join(b(deg), "src")
         .select(col("dst").as("id"), expr("rank div d").as("c"))
         .groupBy("id").agg(sum("c").as("m"))
-      val (next, nextIds) = eagerCp(nodes.join(contrib, Seq("id"), "left")
+      val (next, nextIds) = eagerCp(nodes.join(b(contrib), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("rank")))
       releaseCp(ranks, rankIds)
@@ -296,11 +320,21 @@ object GraphOps {
     * below k (all at once — the peeling wave), keep only edges between
     * survivors.
     */
-  private def peelOnce(edges: DataFrame, k: Int): DataFrame = {
-    val keep = coreDegrees(edges).filter(col("deg") >= k).select("id")
+  private[graft] def peelOnce(edges: DataFrame, k: Int,
+      bcastKeep: Boolean = false): DataFrame = {
+    val keep0 = coreDegrees(edges).filter(col("deg") >= k).select("id")
+    // the survivor set is node-sized (≤ 2·edges); when the caller's
+    // MEASURED edge count says it fits, broadcast both semi-joins so
+    // the edge table is never exchanged inside a peel round
+    // (optimization r13 — checkpointed frames carry no stats, so the
+    // planner would sort-merge both semi-joins otherwise)
+    def keep(as: String): DataFrame = {
+      val p = keep0.withColumnRenamed("id", as)
+      if (bcastKeep) broadcast(p) else p
+    }
     edges
-      .join(keep.withColumnRenamed("id", "lo"), Seq("lo"), "left_semi")
-      .join(keep.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi")
+      .join(keep("lo"), Seq("lo"), "left_semi")
+      .join(keep("hi"), Seq("hi"), "left_semi")
   }
 
   /** Fixed-round synchronous k-core peeling — the ORACLE-REPLAYABLE
@@ -329,8 +363,11 @@ object GraphOps {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     require(rounds >= 0, s"k-core needs rounds >= 0, got $rounds")
     var (edges, eIds) = eagerCp(kCoreCanon(pairs))
+    // edge count only shrinks as rounds peel, so one up-front measure
+    // gates every round's broadcast (survivors ≤ 2·edges rows)
+    val bcast = fitsBroadcast(edges, edges.count())
     for (_ <- 1 to rounds) {
-      val (next, nIds) = eagerCp(peelOnce(edges, k))
+      val (next, nIds) = eagerCp(peelOnce(edges, k, bcast))
       releaseCp(edges, eIds)
       edges = next
       eIds = nIds
@@ -348,10 +385,11 @@ object GraphOps {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     var (edges, eIds) = eagerCp(kCoreCanon(pairs))
     var prev = edges.count()
+    val bcast = fitsBroadcast(edges, prev)
     var converged = prev == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val (next, nIds) = eagerCp(peelOnce(edges, k))
+      val (next, nIds) = eagerCp(peelOnce(edges, k, bcast))
       val cur = next.count()
       releaseCp(edges, eIds)
       edges = next
@@ -466,9 +504,20 @@ object GraphOps {
             "conflicting labels — resolve the disagreement " +
             "(last-wins, quality-pick) before propagating")
       }
+      // optimization r13: every frame in the round except the edge
+      // table is node-sized, and every frame is a checkpoint the
+      // planner has no stats for — so unhinted, each of the four
+      // per-round joins sort-merges, exchanging the EDGE table (the
+      // only big one) three times per round. With a measured node
+      // count under the gate, broadcast the node-sized sides: the
+      // edge table is then never exchanged at all, and a round's only
+      // shuffles are the two (node-sized) vote aggregations. Past the
+      // gate everything stays planner-default.
+      val bcast = fitsBroadcast(nodes, nodes.count())
+      def b(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
       for (_ <- 1 to iters) {
         val votes = sym
-          .join(labels.withColumnRenamed("id", "src"), "src")
+          .join(b(labels.withColumnRenamed("id", "src")), "src")
           .groupBy(col("dst").as("id"), col("label"))
           .agg(count(lit(1)).as("votes"))
         // argmax by (votes desc, label asc) as ONE aggregate:
@@ -479,9 +528,9 @@ object GraphOps {
             .as("w"))
           .select(col("id"), (-col("w.nl")).as("vote_label"))
         val (next, nextIds) = eagerCp(nodes
-          .join(seed, Seq("id"), "left")
-          .join(winner, Seq("id"), "left")
-          .join(labels.withColumnRenamed("label", "prev_label"),
+          .join(b(seed), Seq("id"), "left")
+          .join(b(winner), Seq("id"), "left")
+          .join(b(labels.withColumnRenamed("label", "prev_label")),
             Seq("id"), "left")
           .select(col("id"), coalesce(col("seed_label"),
             col("vote_label"), col("prev_label")).as("label"))
@@ -524,10 +573,22 @@ object GraphOps {
     */
   def triangleCounts(pairs: DataFrame): DataFrame = {
     val (tri, deg) = closedWedges(pairs)
+    triangleCountsFrom(tri, deg, bcastPerNode = false)
+  }
+
+  /** The per-node attribution over a closed-wedge frame: explode the 3
+    * corners, count per node, zero-fill against the degree table. The
+    * zero-fill join broadcasts the (node-sized) triangle counts only
+    * when the caller measured them small ([[triangleSummary]] does;
+    * the lazy faces cannot run a count and stay planner-default).
+    */
+  private[graft] def triangleCountsFrom(tri: DataFrame, deg: DataFrame,
+      bcastPerNode: Boolean): DataFrame = {
     val perNode = tri
       .select(explode(array(col("src"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("node"), "left")
+    deg.join(if (bcastPerNode) broadcast(perNode) else perNode,
+        Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
@@ -538,25 +599,46 @@ object GraphOps {
     * `(src, dst, ddst)` plus the degree table.
     */
   private def orientedEdges(pairs: DataFrame): (DataFrame, DataFrame) = {
+    val e = canonEdges(pairs)
+    val deg = degreesOf(e)
+    (orientFrom(e, deg, bcastDeg = false), deg)
+  }
+
+  /** Canonical undirected edges: u < v, deduped, no self-loops. */
+  private[graft] def canonEdges(pairs: DataFrame): DataFrame = {
     val Array(ca, cb) = pairs.columns.take(2)
-    // canonical undirected edges: u < v, deduped, no self-loops
-    val e = pairs
+    pairs
       .select(least(col(ca), col(cb)).as("u"),
         greatest(col(ca), col(cb)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val deg = e.select(col("u").as("node"))
+  }
+
+  /** `(node, degree)` of a canonical edge table. */
+  private[graft] def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    val withDeg = e
-      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+
+  /** The orientation proper: decorate both endpoints with their degree
+    * and direct each edge from the smaller `(degree, id)` endpoint to
+    * the larger. The degree table is node-sized; when the caller has
+    * MEASURED it small ([[triangleSummary]] — checkpointed frames have
+    * no stats the planner could use), both decorating joins broadcast
+    * it instead of shuffling the edge table twice.
+    */
+  private[graft] def orientFrom(e: DataFrame, deg: DataFrame,
+      bcastDeg: Boolean): DataFrame = {
+    def side(node: String, d: String): DataFrame = {
+      val p = deg.select(col("node").as(node), col("degree").as(d))
+      if (bcastDeg) broadcast(p) else p
+    }
+    val withDeg = e.join(side("u", "du"), "u").join(side("v", "dv"), "v")
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    (withDeg.select(
+    withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(uFirst, col("dv")).otherwise(col("du")).as("ddst")),
-      deg)
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
   }
 
   /** Diagnostic twins for the orientation's skew claim (VERDICT r9
@@ -588,6 +670,21 @@ object GraphOps {
     */
   private def closedWedges(pairs: DataFrame): (DataFrame, DataFrame) = {
     val (oriented, deg) = orientedEdges(pairs)
+    (closedWedgesFrom(oriented, bcastClose = false), deg)
+  }
+
+  /** The wedge-closure join over an oriented edge frame. The closing
+    * side is the edge table itself projected to `(b, c)` — edge-sized,
+    * so when the caller MEASURED the edge count small
+    * ([[triangleSummary]]) it broadcasts, and the (potentially
+    * E^1.5-sized) wedge stream is never exchanged: wedges flow map-side
+    * through the broadcast hash join straight into the consumer's
+    * partial aggregation. Past the threshold the closure stays a
+    * shuffle join — the wedge volume is the algorithm's cost either
+    * way, the broadcast only removes the exchange.
+    */
+  private[graft] def closedWedgesFrom(oriented: DataFrame,
+      bcastClose: Boolean): DataFrame = {
     // wedges b←src→c with (deg,id)-ordered ends, closed by edge b→c —
     // which is exactly how that third edge is oriented, because the
     // wedge filter and the orientation share one total order
@@ -595,12 +692,20 @@ object GraphOps {
       .select(col("src"), col("dst").as("b"), col("ddst").as("db"))
     val o2 = oriented
       .select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
-    val tri = o1.join(o2, "src")
+    val close0 = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val close = if (bcastClose) broadcast(close0) else close0
+    // under the same measured gate, hash- instead of sort-merge-join
+    // the wedge self-join: the per-partition build side is edge-sized
+    // (provably tiny when bcastClose holds — the WHOLE edge table fits
+    // a broadcast), and the join's output is 30-70× its input, so the
+    // sort buys nothing downstream. Past the gate the hint is absent
+    // and the planner keeps SMJ's graceful spill.
+    val o1h = if (bcastClose) o1.hint("SHUFFLE_HASH") else o1
+    o1h.join(o2, "src")
       .filter(col("db") < col("dc") ||
         (col("db") === col("dc") && col("b") < col("c")))
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
-        Seq("b", "c"))
-    (tri.select("src", "b", "c"), deg)
+      .join(close, Seq("b", "c"))
+      .select("src", "b", "c")
   }
 
   /** Graph-total triangle count WITHOUT the per-node attribution — one
@@ -627,16 +732,47 @@ object GraphOps {
     */
   def triangleSummary(pairs: DataFrame, topN: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    val (tc, tcIds) = eagerCp(triangleCounts(pairs))
+    // optimization r13: the lazy [[triangleCounts]] plan replays the
+    // whole orientation (edge canon + distinct + degree agg + two
+    // decorating joins) once per consumer — o1, o2 and the closure
+    // side, 170+ Exchanges in the static plan, and Catalyst reuses
+    // nothing across self-join branches. Materialise the pipeline in
+    // stages instead (edges → degrees → oriented), each stage read
+    // from its checkpoint, and use the stages' MEASURED counts to
+    // broadcast the node-sized degree table into the orientation and
+    // the edge-sized closure side into the wedge join — the wedge
+    // stream (the E^1.5 term) is then never exchanged at all.
+    // Evidence: plans/r13/graph_triangles_{before,after}.txt; bench
+    // graph_triangles 9.13 s → see OPTIMIZATION_r13.md.
+    val scx = spark.sparkContext
+    val beforeAll = scx.getPersistentRDDs.keySet.toSet
     try {
-      val total = tc.agg(expr("sum(triangles) div 3")
-        .as("total_triangles"))
-      val result = tc.crossJoin(broadcast(total))
-        .orderBy(col("triangles").desc, col("node").asc)
-        .limit(topN)
-      val rows = result.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), result.schema)
-    } finally releaseCp(tc, tcIds)
+      val (e, eIds) = eagerCp(canonEdges(pairs))
+      val (deg, degIds) = eagerCp(degreesOf(e))
+      val bDeg = fitsBroadcast(deg, deg.count())
+      val bClose = fitsBroadcast(e, e.count())
+      val (oriented, oIds) = eagerCp(orientFrom(e, deg, bDeg))
+      releaseCp(e, eIds)
+      val (tc, tcIds) = eagerCp(triangleCountsFrom(
+        closedWedgesFrom(oriented, bClose), deg, bcastPerNode = bDeg))
+      releaseCp(oriented, oIds)
+      releaseCp(deg, degIds)
+      try {
+        val total = tc.agg(expr("sum(triangles) div 3")
+          .as("total_triangles"))
+        val result = tc.crossJoin(broadcast(total))
+          .orderBy(col("triangles").desc, col("node").asc)
+          .limit(topN)
+        val rows = result.collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), result.schema)
+      } finally releaseCp(tc, tcIds)
+    } catch { case t: Throwable =>
+      // wholesale release on any failure (the labelPropagate posture):
+      // a throw between the staged pins above would otherwise leak
+      // checkpoint blocks for the session's lifetime
+      graft.BenchUtil.releaseNewRdds(scx, beforeAll)
+      throw t
+    }
   }
 }
