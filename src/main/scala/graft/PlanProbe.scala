@@ -91,6 +91,81 @@ object PlanProbe {
         f"// one peel round over the checkpointed edge table, bcastKeep=true: noop-sink=$t%.3f s\n" +
           fmt(round))
     }
+    if (which("mm")) {
+      // multimodal_neardup_indexed decomposition: probe-side dHash
+      // kernel vs the classify join (the index build is session-cached
+      // and untimed in the bench protocol)
+      val docs = graft.sources.Tables.readTable(spark, sfDir, "documents")
+      val m0 = graft.operators.MultimodalOps.noisePngMedia(spark, docs)
+      val m = m0.unionByName(
+        graft.operators.MultimodalOps.perturbClones(spark, m0))
+        .localCheckpoint()
+      println(s"[planprobe] media rows=${m.count()}")
+      val (_, tDecodeWarm) = time(BenchUtil.sink(
+        graft.operators.MultimodalOps.imageDHash(spark, m)))
+      val (_, tDecode) = time(BenchUtil.sink(
+        graft.operators.MultimodalOps.imageDHash(spark, m)))
+      println(f"[planprobe] imageDHash sink warm1=$tDecodeWarm%.3f warm2=$tDecode%.3f s")
+      val (_, tGen) = time(BenchUtil.sink(m0))
+      println(f"[planprobe] media synth (noisePngMedia) sink=$tGen%.3f s")
+      // full indexed-gate replica: build the index once (untimed, the
+      // session-cache posture), then time classify twice
+      val fps = graft.operators.MultimodalOps.imageDHash(spark, m)
+        .withColumnRenamed("dhash", "fp")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-probe-fp").toString
+      graft.operators.FingerprintIndex.write(fps, idx, 56)
+      def classifyOnce(): Double = {
+        val (_, t) = time {
+          val r = graft.operators.FingerprintIndex.classify(spark, idx, fps)
+            .filter(col("media_id") < col("indexed_id"))
+            .select(col("media_id").as("a"), col("indexed_id").as("b"),
+              col("hamming"))
+            .orderBy("a", "b")
+          r.collect()
+        }
+        t
+      }
+      println(f"[planprobe] classify warm1=${classifyOnce()}%.3f warm2=${classifyOnce()}%.3f s")
+      // decompose: banded cp + prefix collect vs pruned scan vs join
+      val (bb2: DataFrame, tBb) = time {
+        graft.operators.MultimodalOps.imageDHash(spark, m)
+          .withColumnRenamed("dhash", "fp")
+          .select(col("media_id"), col("fp"),
+            explode(expr(
+              """transform(sequence(0, 4), b -> struct(
+                |  b AS band,
+                |  shiftright(fp, int(b * 56 / 5)) &
+                |    (shiftleft(1L, int((b + 1) * 56 / 5)
+                |               - int(b * 56 / 5)) - 1) AS v))""".stripMargin))
+              .as("e"))
+          .select(col("media_id"), col("fp"),
+            col("e.band").as("band"), col("e.v").as("v"))
+          .withColumn("bvp", concat(lit("p"), col("band").cast("string"),
+            lit("_"), pmod(col("v"), lit(256)).cast("string")))
+          .localCheckpoint()
+      }
+      val (pf: Seq[String], tPf) = time(
+        bb2.select("bvp").distinct().collect().map(_.getString(0)).toSeq)
+      println(f"[planprobe] banded cp=$tBb%.3f s, prefixes collect=$tPf%.3f s (n=${pf.size})")
+      val (_, tScan) = time(BenchUtil.sink(
+        spark.read.parquet(s"$idx/fps").filter(col("bvp").isin(pf: _*))))
+      val (_, tScan2) = time(BenchUtil.sink(
+        spark.read.parquet(s"$idx/fps").filter(col("bvp").isin(pf: _*))))
+      println(f"[planprobe] pruned fps scan warm1=$tScan%.3f warm2=$tScan2%.3f s")
+      val (_, tFull) = time(BenchUtil.sink(spark.read.parquet(s"$idx/fps")))
+      println(f"[planprobe] full fps scan (no filter)=$tFull%.3f s")
+      // same rows, flat layout (no partition dirs): is it the file count?
+      val flat = java.nio.file.Files
+        .createTempDirectory("graft-probe-flat").toString
+      spark.read.parquet(s"$idx/fps").repartition(8)
+        .write.mode("overwrite").parquet(flat)
+      val (_, tFlat) = time(BenchUtil.sink(
+        spark.read.parquet(flat).filter(col("bvp").isin(pf: _*))))
+      val (_, tFlat2) = time(BenchUtil.sink(
+        spark.read.parquet(flat).filter(col("bvp").isin(pf: _*))))
+      println(f"[planprobe] flat 8-file scan warm1=$tFlat%.3f warm2=$tFlat2%.3f s")
+    }
     if (which("triwedges")) {
       // stage decomposition of the triangleSummary pipeline: where do
       // the gate's seconds actually go (guide §1 — measure first)

@@ -49,16 +49,50 @@ object BandIndex {
     * IntegerType — which would coerce `bkp=07` to 7 and silently
     * defeat the `isin` pruning ('7' != '07').
     */
-  private def bkp(c: Column) = concat(lit("p"), substring(c, 1, 2))
-  private def dp(c: Column) =
-    concat(lit("p"), substring(md5(c.cast("string")), 1, 2))
+  private def bkp(c: Column, len: Int) =
+    if (len == 0) lit("p") else concat(lit("p"), substring(c, 1, len))
+  private def dp(c: Column, len: Int) =
+    if (len == 0) lit("p")
+    else concat(lit("p"), substring(md5(c.cast("string")), 1, len))
 
-  private def bandsOf(docs: DataFrame): DataFrame =
-    TextOps.minhashBands(docs).withColumn("bkp", bkp(col("bk")))
+  /** Bucket-prefix granularity, frozen at build (optimization r13,
+    * guide §6 file layout): directories = 16^len per store, and the
+    * old constant len = 2 (256 directories, one small file each)
+    * priced a measured ~1.5 ms/file open tax onto every classify of a
+    * small index — the FingerprintIndex bucket_mod lesson applied to
+    * the text stores. `len` now follows the MEASURED row count of the
+    * store being written (≈ `rowsPerBucket` rows per directory, conf
+    * `spark.graft.bandindex.rowsPerBucket`, default 4096, cap len = 2
+    * — the historical 256-directory granularity, which the pruning
+    * asymptotics at corpus scale still want). Both stores' lens are
+    * frozen into `meta/`; old stores without it read as (2, 2).
+    */
+  private def chooseLen(spark: SparkSession, rows: Long): Int = {
+    val rowsPerBucket = spark.conf
+      .get("spark.graft.bandindex.rowsPerBucket", "4096").toLong
+    (0 to 2).find(l => rows / math.pow(16, l).toLong <= rowsPerBucket)
+      .getOrElse(2)
+  }
 
-  private def shinglesOf(docs: DataFrame): DataFrame =
+  // per-JVM memo of the frozen lens: meta is immutable between
+  // [[write]] generations (compact/append/delete never touch it), so
+  // re-reading the one-row parquet on every classify would price a
+  // full Spark job per call for a constant. Invalidated by [[write]].
+  private val contractCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private def contract(spark: SparkSession, path: String): (Int, Int) =
+    contractCache.computeIfAbsent(path, _ =>
+      if (IndexStores.hasStore(spark, s"$path/meta")) {
+        val r = IndexStores.readStore(spark, s"$path/meta").head
+        (r.getAs[Int]("bkp_len"), r.getAs[Int]("dp_len"))
+      } else (2, 2))
+
+  private def bandsOf(docs: DataFrame, len: Int): DataFrame =
+    TextOps.minhashBands(docs).withColumn("bkp", bkp(col("bk"), len))
+
+  private def shinglesOf(docs: DataFrame, len: Int): DataFrame =
     TextOps.shingles(docs).select("doc_id", "s")
-      .withColumn("dp", dp(col("doc_id")))
+      .withColumn("dp", dp(col("doc_id"), len))
 
   private def hasShingles(spark: SparkSession, path: String): Boolean =
     IndexStores.hasStore(spark, s"$path/shingles")
@@ -80,17 +114,35 @@ object BandIndex {
   def write(docs: DataFrame, path: String,
             storeShingles: Boolean = false): Unit = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val staging = IndexStores.stagingFor(spark, path)
-    bandsOf(docs)
-      .repartition(col("bkp"))
-      .write.mode("overwrite").partitionBy("bkp")
-      .parquet(s"$staging/bands")
-    if (storeShingles)
-      shinglesOf(docs)
-        .repartition(col("dp"))
-        .write.mode("overwrite").partitionBy("dp")
-        .parquet(s"$staging/shingles")
+    // measure each store's row count on the PINNED frame (one build
+    // pass feeds both the count and the write), then freeze the
+    // chosen prefix granularity in meta (see [[chooseLen]])
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val bands0 = TextOps.minhashBands(docs).localCheckpoint()
+      val bkpLen = chooseLen(spark, bands0.count())
+      bands0.withColumn("bkp", bkp(col("bk"), bkpLen))
+        .repartition(col("bkp"))
+        .write.mode("overwrite").partitionBy("bkp")
+        .parquet(s"$staging/bands")
+      val dpLen = if (storeShingles) {
+        val sh0 = TextOps.shingles(docs).select("doc_id", "s")
+          .localCheckpoint()
+        val l = chooseLen(spark, sh0.count())
+        sh0.withColumn("dp", dp(col("doc_id"), l))
+          .repartition(col("dp"))
+          .write.mode("overwrite").partitionBy("dp")
+          .parquet(s"$staging/shingles")
+        l
+      } else 2
+      Seq((bkpLen, dpLen)).toDF("bkp_len", "dp_len").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/meta")
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
     IndexStores.swapInto(spark, path, staging)
+    contractCache.remove(path)
   }
 
   /** Append `newDocs`' bands (and shingles, when the store exists) —
@@ -146,10 +198,11 @@ object BandIndex {
       val newDocs = newDocs0.localCheckpoint()
       IndexStores.rejectTombstoned(spark, path,
         newDocs.select("doc_id"), "doc_id", "BandIndex.append")
+      val (bkpLen, dpLen) = contract(spark, path)
       val ids = newDocs.select("doc_id")
-      val bnd = bandsOf(newDocs).localCheckpoint()
+      val bnd = bandsOf(newDocs, bkpLen).localCheckpoint()
       if (hasShingles(spark, path)) {
-        val sh = shinglesOf(newDocs).localCheckpoint()
+        val sh = shinglesOf(newDocs, dpLen).localCheckpoint()
         val dps = sh.select("dp").distinct()
           .collect().map(_.getString(0)).toSeq
         val stored = IndexStores.presentRows(spark, s"$path/shingles",
@@ -204,7 +257,8 @@ object BandIndex {
       s"$path has no shingles/ store — build with storeShingles = true " +
         "to verify (minJaccard > 0)")
     val bb = TextOps.minhashBands(newDocs).localCheckpoint()
-    val prefixes = bb.select(bkp(col("bk")).as("p")).distinct()
+    val (bkpLen, _) = contract(spark, path)
+    val prefixes = bb.select(bkp(col("bk"), bkpLen).as("p")).distinct()
       .collect().map(_.getString(0)).toSeq
     val pruned = IndexStores.readStore(spark, s"$path/bands")
       .filter(col("bkp").isin(prefixes: _*))
@@ -277,7 +331,8 @@ object BandIndex {
     */
   private[graft] def prunedShingleRead(spark: SparkSession, path: String,
                                        pairs: DataFrame): DataFrame = {
-    val dps = pairs.select(dp(col("other")).as("p")).distinct()
+    val (_, dpLen) = contract(spark, path)
+    val dps = pairs.select(dp(col("other"), dpLen).as("p")).distinct()
       .collect().map(_.getString(0)).toSeq
     val store = IndexStores.readStore(spark, s"$path/shingles")
     (if (dps.isEmpty) store.filter(lit(false))

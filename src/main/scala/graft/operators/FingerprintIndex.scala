@@ -33,21 +33,50 @@ import org.apache.spark.sql.functions._
   */
 object FingerprintIndex {
 
-  private def bvp(band: Column, v: Column): Column =
+  private def bvp(band: Column, v: Column, mod: Int): Column =
     concat(lit("p"), band.cast("string"), lit("_"),
-      pmod(v, lit(256)).cast("string"))
+      pmod(v, lit(mod)).cast("string"))
 
-  private def banded(fps: DataFrame, nBits: Int, bands: Int): DataFrame =
+  private def banded(fps: DataFrame, nBits: Int, bands: Int,
+                     mod: Int): DataFrame =
     fps.select(col("media_id"), col("fp"),
       explode(MultimodalOps.fpBandsExpr("fp", nBits, bands)).as("e"))
       .select(col("media_id"), col("fp"),
         col("e.band").as("band"), col("e.v").as("v"))
-      .withColumn("bvp", bvp(col("band"), col("v")))
+      .withColumn("bvp", bvp(col("band"), col("v"), mod))
 
-  private def contract(spark: SparkSession, path: String): (Int, Int) = {
-    val r = IndexStores.readStore(spark, s"$path/meta").head
-    (r.getAs[Int]("n_bits"), r.getAs[Int]("max_hamming"))
+  /** Bucket-directory granularity, frozen at build (optimization r13,
+    * guide §6 file layout): directories = bands × mod, and the old
+    * constant mod = 256 priced a ~1,280-directory/file layout onto
+    * EVERY classify — measured 1.9 s of per-file open tax to scan a
+    * 50k-row index that reads in 0.2 s from 8 files. The mod now
+    * follows the measured fingerprint count (≈ `rowsPerBucket` rows
+    * per directory, conf `spark.graft.fpindex.rowsPerBucket`, default
+    * 4096, cap 256 = the old granularity): a 10k-media index gets a
+    * handful of directories, a billion-row index keeps the full 256
+    * per band — same pruning asymptotics at scale, no small-file tax
+    * below it. Classify reads the frozen mod from `meta/` (old stores
+    * without the column read as 256, the historical constant).
+    */
+  private def chooseMod(spark: SparkSession, nFps: Long): Int = {
+    val rowsPerBucket = spark.conf
+      .get("spark.graft.fpindex.rowsPerBucket", "4096").toLong
+    math.min(256L, math.max(1L, nFps / math.max(1L, rowsPerBucket))).toInt
   }
+
+  // per-JVM memo of the frozen contract (the BandIndex posture): meta
+  // only changes on [[write]], which invalidates; everything else
+  // would otherwise pay one Spark job per classify for three constants
+  private val contractCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+  private def contract(spark: SparkSession, path: String): (Int, Int, Int) =
+    contractCache.computeIfAbsent(path, _ => {
+      val df = IndexStores.readStore(spark, s"$path/meta")
+      val r = df.head
+      val mod = if (df.columns.contains("bucket_mod"))
+        r.getAs[Int]("bucket_mod") else 256
+      (r.getAs[Int]("n_bits"), r.getAs[Int]("max_hamming"), mod)
+    })
 
   /** The fps store, or a schema-correct empty frame when no file
     * exists yet — a store [[write]]-built from an EMPTY fingerprint
@@ -56,7 +85,7 @@ object FingerprintIndex {
     * nothing for parquet to schema-infer.
     */
   private def readFps(spark: SparkSession, path: String,
-                      nBits: Int, bands: Int): DataFrame =
+                      nBits: Int, bands: Int, mod: Int): DataFrame =
     if (IndexStores.hasStore(spark, s"$path/fps"))
       IndexStores.readStore(spark, s"$path/fps")
     else {
@@ -64,7 +93,7 @@ object FingerprintIndex {
       banded(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("media_id", LongType),
-          StructField("fp", LongType)))), nBits, bands)
+          StructField("fp", LongType)))), nBits, bands, mod)
     }
 
   /** Build the index from `(media_id, fp)` rows. Staged + atomic swap.
@@ -82,13 +111,18 @@ object FingerprintIndex {
     require(dupIn.isEmpty,
       s"FingerprintIndex.write: conflicting fps for ids: " +
         dupIn.mkString(","))
+    // bucket granularity follows the measured index size (see
+    // [[chooseMod]]); frozen into meta beside the banding contract
+    val mod = chooseMod(spark, fps.count())
     val staging = IndexStores.stagingFor(spark, path)
-    banded(fps, nBits, maxHamming + 1)
+    banded(fps, nBits, maxHamming + 1, mod)
       .repartition(col("bvp"))
       .write.mode("overwrite").partitionBy("bvp").parquet(s"$staging/fps")
-    Seq((nBits, maxHamming)).toDF("n_bits", "max_hamming").coalesce(1)
+    Seq((nBits, maxHamming, mod)).toDF("n_bits", "max_hamming", "bucket_mod")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/meta")
     IndexStores.swapInto(spark, path, staging)
+    contractCache.remove(path)
   }
 
   /** Classify a batch of fingerprints against the index: candidate
@@ -102,13 +136,13 @@ object FingerprintIndex {
   def classify(spark: SparkSession, path: String,
                fps: DataFrame): DataFrame = {
     IndexStores.healRoot(spark, path)
-    val (nBits, maxHamming) = contract(spark, path)
-    val bb = banded(fps, nBits, maxHamming + 1).localCheckpoint()
+    val (nBits, maxHamming, mod) = contract(spark, path)
+    val bb = banded(fps, nBits, maxHamming + 1, mod).localCheckpoint()
     val prefixes = bb.select("bvp").distinct()
       .collect().map(_.getString(0)).toSeq
     // isin() of ZERO values does not prune — an empty probe must stay
     // O(0), not widen to a full-store listing (the presentRows guard)
-    val all = readFps(spark, path, nBits, maxHamming + 1)
+    val all = readFps(spark, path, nBits, maxHamming + 1, mod)
     val pruned =
       if (prefixes.isEmpty) all.filter(lit(false))
       else all.filter(col("bvp").isin(prefixes: _*))
@@ -141,8 +175,8 @@ object FingerprintIndex {
     val before = sc.getPersistentRDDs.keySet.toSet
     try {
       IndexStores.healRoot(spark, path)
-      val (nBits, maxHamming) = contract(spark, path)
-      val bb = banded(fps, nBits, maxHamming + 1).localCheckpoint()
+      val (nBits, maxHamming, mod) = contract(spark, path)
+      val bb = banded(fps, nBits, maxHamming + 1, mod).localCheckpoint()
       if (bb.head(1).isEmpty) return
       val dupIn = bb.groupBy("media_id").agg(countDistinct("fp").as("n"))
         .filter(col("n") > 1).limit(5)
@@ -160,7 +194,7 @@ object FingerprintIndex {
       // stored band rows of the batch's ids, from the batch's own bucket
       // partitions only (pinned: feeds the conflict probe AND the
       // idempotence anti-join)
-      val stored = readFps(spark, path, nBits, maxHamming + 1)
+      val stored = readFps(spark, path, nBits, maxHamming + 1, mod)
         .filter(col("bvp").isin(prefixes: _*))
         .join(bb.select("media_id").distinct(), Seq("media_id"), "left_semi")
         .select(col("media_id"), col("band"), col("fp").as("stored_fp"))

@@ -168,6 +168,43 @@ class DedupTransformerSpec extends SparkSpec {
       s"band-index scan lost prefix partition pruning:\n$plan")
   }
 
+  test("band index bucket-prefix length follows store size, is frozen in " +
+      "meta, and never changes verdicts (optimization r13)") {
+    import graft.operators.{BandIndex, TextOps}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different corpus content about spark plans today"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "completely novel sentence nothing shares shingles"))
+      .toDF("doc_id", "text").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    def dirCount(p: String, store: String, col: String): Int =
+      new java.io.File(s"$p/$store").listFiles()
+        .count(d => d.isDirectory && d.getName.startsWith(s"$col="))
+    val adaptive = tmpDir("band-idx-adaptive")
+    BandIndex.write(corpus, adaptive, storeShingles = true)
+    // tiny corpus → coarse prefixes (len 0 = single directory)
+    assert(dirCount(adaptive, "bands", "bkp") === 1)
+    assert(dirCount(adaptive, "shingles", "dp") === 1)
+    // forcing per-row buckets reproduces the historical 256-dir shape
+    spark.conf.set("spark.graft.bandindex.rowsPerBucket", "1")
+    val fine = tmpDir("band-idx-fine")
+    try BandIndex.write(corpus, fine, storeShingles = true)
+    finally spark.conf.unset("spark.graft.bandindex.rowsPerBucket")
+    assert(dirCount(fine, "bands", "bkp") > 1)
+    // verdicts identical across geometries, verified leg included
+    assert(rows(BandIndex.classify(spark, adaptive, batch, minJaccard = 0.5))
+      === rows(BandIndex.classify(spark, fine, batch, minJaccard = 0.5)))
+    // append honours the FROZEN len (no new directory fan-out)
+    val more = Seq((3L, "fresh unseen text with plenty of tokens here"))
+      .toDF("doc_id", "text").localCheckpoint()
+    BandIndex.append(more, adaptive)
+    assert(dirCount(adaptive, "bands", "bkp") === 1)
+  }
+
   test("band index shingle store: verified classify served from the index; shingle read pruned") {
     import graft.operators.{BandIndex, TextOps}
     val corpusA = Seq(

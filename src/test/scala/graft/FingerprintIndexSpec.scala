@@ -32,6 +32,33 @@ class FingerprintIndexSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("bucket granularity follows index size and never changes verdicts " +
+      "(optimization r13: adaptive bucket_mod, frozen in meta)") {
+    val f = fps
+    // small index → few bucket directories (the small-file tax fix);
+    // forcing the historical 256-mod via the conf reproduces the old
+    // layout and the verdict set must be IDENTICAL either way
+    val adaptive = tmpDir("fp-idx-adaptive")
+    FingerprintIndex.write(f, adaptive, nBits = 56)
+    def dirCount(p: String): Int =
+      new java.io.File(s"$p/fps").listFiles()
+        .count(d => d.isDirectory && d.getName.startsWith("bvp="))
+    val nAdaptive = dirCount(adaptive)
+    spark.conf.set("spark.graft.fpindex.rowsPerBucket", "1")
+    val fine = tmpDir("fp-idx-fine")
+    try FingerprintIndex.write(f, fine, nBits = 56)
+    finally spark.conf.unset("spark.graft.fpindex.rowsPerBucket")
+    val nFine = dirCount(fine)
+    assert(nAdaptive < nFine,
+      s"adaptive layout should use fewer bucket dirs ($nAdaptive vs $nFine)")
+    assert(pairsVia(adaptive, f) === pairsVia(fine, f))
+    // the frozen mod survives append: growing the adaptive store must
+    // land rows in the SAME directory set, not re-derive a new mod
+    val before = nAdaptive
+    FingerprintIndex.append(f, adaptive) // idempotent replay, no new dirs
+    assert(dirCount(adaptive) === before)
+  }
+
   test("append is row-level idempotent and heals a partial replay; conflicts reject") {
     val f = fps
     val path = tmpDir("fp-idx-app")
