@@ -30,6 +30,19 @@ object GraftSession {
     // thresholds: the 10 GB application-side floor is the right guard
     // against paying the filter build on small scans.
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // optimization r13 (guide §3.1/§9): let the planner choose
+    // shuffled-hash over sort-merge when its own size conditions hold
+    // (build side under autoBroadcastJoinThreshold × shuffle
+    // partitions per partition) — most of this engine's joins feed
+    // aggregations or very wide fan-outs, where SMJ's sort buys
+    // nothing downstream. NOT a forced hint: the planner still
+    // sort-merges anything it cannot size-bound, so spill safety at
+    // 100 TB is unchanged. The AQE twin converts remaining SMJs at
+    // runtime when every post-shuffle partition is under 64 MB —
+    // runtime-measured, scale-adaptive by construction.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
     graft.functions.GraftFunctions.register(spark)
     spark.udf.register("geomean",
       org.apache.spark.sql.functions.udaf(graft.functions.GeoMean))

@@ -166,6 +166,22 @@ object PlanProbe {
         spark.read.parquet(flat).filter(col("bvp").isin(pf: _*))))
       println(f"[planprobe] flat 8-file scan warm1=$tFlat%.3f warm2=$tFlat2%.3f s")
     }
+    if (which("cppart")) {
+      // does Dataset.localCheckpoint preserve outputPartitioning /
+      // outputOrdering into the LogicalRDD? (decides whether the
+      // posting-list self-joins can skip their exchanges)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.range(100000).selectExpr("id % 997 as k", "id as v")
+        .repartition(col("k")).sortWithinPartitions("k")
+        .localCheckpoint()
+      val j = df.as("a").join(df.as("b"),
+        col("a.k") === col("b.k") && col("a.v") < col("b.v"))
+      val p = j.queryExecution.executedPlan.toString
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      println(s"[planprobe] self-join exchanges=${"Exchange".r.findAllIn(p).size} " +
+        s"sorts=${"(?m)^\\s*[+:]?-? ?\\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(p).size}")
+      println(p.linesIterator.take(12).mkString("\n"))
+    }
     if (which("triwedges")) {
       // stage decomposition of the triangleSummary pipeline: where do
       // the gate's seconds actually go (guide §1 — measure first)

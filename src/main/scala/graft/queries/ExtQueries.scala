@@ -466,7 +466,13 @@ object ExtQueries {
     */
   def sketchKmvOverlap(spark: SparkSession, dir: String,
       k: Int = 64): DataFrame = {
-    val toks = srcShingles(spark, dir)
+    // pin the shingle table once (optimization r13): the sketch leg
+    // and the exact-audit legs otherwise each replay the docs scan +
+    // shingle explode (4 Generate subtrees in the pre-change plan —
+    // plans/r13/sketch_kmv_overlap_before.txt); Spark reuses nothing
+    // across the branches. Blocks are released by ContextCleaner once
+    // the frame is unreachable (the cosinePairs posture).
+    val toks = srcShingles(spark, dir).localCheckpoint()
     val sk = graft.operators.SketchOps.kmvSketch(
       toks, Seq("source"), col("w"), k)
     overlapWithExact(graft.operators.SketchOps.kmvOverlap(sk, "source"),
@@ -481,7 +487,10 @@ object ExtQueries {
     */
   private def overlapWithExact(pairs: DataFrame,
       toks: DataFrame): DataFrame = {
-    val dtoks = toks.distinct()
+    // the distinct shingle table feeds THREE branches (per-source
+    // counts + both sides of the intersection self-join); pin it so
+    // the distinct shuffle runs once (optimization r13)
+    val dtoks = toks.distinct().localCheckpoint()
     val ex = dtoks.groupBy("source").agg(count(lit(1)).as("ex"))
     val exInter = dtoks.as("x")
       .join(dtoks.as("y"),
