@@ -821,7 +821,12 @@ object WebOps {
   def blocklistHitsBy(decorated: DataFrame,
       rules: DataFrame): DataFrame = {
     requireDecorated(decorated, "blocklistHitsBy")
+    // pin the decorated projection (optimization r13): the audit fans
+    // it into one branch per rule KIND plus one per host-rule depth,
+    // and each branch otherwise replays the docs scan + canonicalizer
+    // kernel; blocks release via ContextCleaner once unreachable
     val d = decorated.select("canon_url", "host", "domain")
+      .localCheckpoint()
     val prepped = blocklistPrep(rules)
     val dm = d.join(broadcast(prepped.filter(col("kind") === "domain")
         .select(col("rule_id"), col("pat"))),
