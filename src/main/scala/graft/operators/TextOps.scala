@@ -938,7 +938,11 @@ object TextOps {
     * vocabulary outgrows a broadcast.
     */
   def surprisal(docs: DataFrame): DataFrame = {
+    // pinned (optimization r13): the token table feeds the frequency
+    // aggregation, the corpus total AND the probe side — unpinned,
+    // the tokenizer explode replays once per branch
     val tok = docs.select(col("doc_id"), explode(tokens).as("w"))
+      .localCheckpoint()
     val freq = tok.groupBy("w").agg(count(lit(1)).as("c"))
     val total = tok.agg(count(lit(1)).cast("double").as("n"))
     tok.join(freq, "w")
@@ -1004,7 +1008,9 @@ object TextOps {
     * outgrows a broadcast — → per-doc mean.
     */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
-    val bg = docBigrams(docs)
+    // pinned (optimization r13): three consumers (bigram counts,
+    // prefix counts, probe) — the surprisal replay reasoning
+    val bg = docBigrams(docs).localCheckpoint()
     val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cw1 = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
     bg.join(cbg, Seq("w1", "w2")).join(cw1, Seq("w1"))
@@ -1189,13 +1195,28 @@ object TextOps {
     val win = windowTableOn(docs, winHashes).localCheckpoint()
     val dupH = win.groupBy("h").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2).select("h")
+    // covered-token count WITHOUT the ×k explode (optimization r13):
+    // the flagged windows are fixed-length intervals [pos, pos+k) at
+    // UNIQUE positions per doc (one row per (doc_id, pos) by
+    // construction of the stride-1 window table), so the size of
+    // their union is exactly Σ min(k, pos − prev_pos) with the first
+    // window contributing k — one lag window over each doc's flagged
+    // positions instead of exploding every window into k index rows
+    // and paying a two-column count-distinct EXPAND over them. Same
+    // integers, ~k× fewer aggregation input rows; the per-doc sort is
+    // bounded by the doc's own window count (the crawlSchedule
+    // stratum argument).
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
     win.join(dupH, "h")
-      .select(col("doc_id"), col("n_tokens"), col("pos"),
-        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("idx"))
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("cov",
+        when(col("prev").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("pos") - col("prev"))))
       .groupBy("doc_id")
       .agg(max("n_tokens").as("n_tokens"),
-        countDistinct("pos").as("n_dup_windows"),
-        countDistinct("idx").as("dup_tokens"))
+        count(lit(1)).as("n_dup_windows"),
+        sum("cov").as("dup_tokens"))
       .withColumn("dup_token_frac_x10k",
         expr("(dup_tokens * 10000) div n_tokens"))
   }
@@ -1211,8 +1232,12 @@ object TextOps {
     */
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pinned (optimization r13): tf feeds the document-frequency
+    // aggregation AND the probe side — unpinned, the explode+count
+    // subtree replays per branch
     val tf = docs.select(col("doc_id"), explode(tokens).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfW = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     tf.join(dfW, "w")

@@ -2193,8 +2193,11 @@ object ExtQueries {
     */
   def dedupUrl(spark: SparkSession, dir: String): DataFrame =
     dedupUrlDocs(spark, dir)
+      // the FUSED kernel (optimization r13): byte-identical to the
+      // algebra by the url_canon gate's kernel≡algebra pin; this gate
+      // was the last query-path call site still on the ~15-op algebra
       .withColumn("canon_url",
-        graft.operators.WebOps.canonicalizeUrl(col("url")))
+        graft.operators.WebOps.canonicalizeUrlFused(col("url")))
       .groupBy("canon_url")
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_dups"))
