@@ -74,18 +74,16 @@ object BandIndex {
       .getOrElse(2)
   }
 
-  // per-JVM memo of the frozen lens: meta is immutable between
-  // [[write]] generations (compact/append/delete never touch it), so
-  // re-reading the one-row parquet on every classify would price a
-  // full Spark job per call for a constant. Invalidated by [[write]].
-  private val contractCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  // frozen lens through the shared fingerprint-fenced memo
+  // (optimization r13, [[IndexStores.readTinyStore]]): the earlier
+  // invalidate-on-write cache missed rewrites from other JVMs; the
+  // fingerprint fence catches any committed rewrite. Stores written
+  // before the lens existed have no meta and read as (2, 2).
   private def contract(spark: SparkSession, path: String): (Int, Int) =
-    contractCache.computeIfAbsent(path, _ =>
-      if (IndexStores.hasStore(spark, s"$path/meta")) {
-        val r = IndexStores.readStore(spark, s"$path/meta").head
-        (r.getAs[Int]("bkp_len"), r.getAs[Int]("dp_len"))
-      } else (2, 2))
+    if (IndexStores.hasStore(spark, s"$path/meta")) {
+      val r = IndexStores.readTinyStore(spark, s"$path/meta").head
+      (r.getAs[Int]("bkp_len"), r.getAs[Int]("dp_len"))
+    } else (2, 2)
 
   private def bandsOf(docs: DataFrame, len: Int): DataFrame =
     TextOps.minhashBands(docs).withColumn("bkp", bkp(col("bk"), len))
@@ -142,7 +140,6 @@ object BandIndex {
         .write.mode("overwrite").parquet(s"$staging/meta")
     } finally graft.BenchUtil.releaseNewRdds(sc, before)
     IndexStores.swapInto(spark, path, staging)
-    contractCache.remove(path)
   }
 
   /** Append `newDocs`' bands (and shingles, when the store exists) —

@@ -48,8 +48,10 @@ object BoilerplateIndex {
       .groupBy("h").agg(countDistinct(col("doc_id")).cast("long").as("cnt"))
 
   private def segTokensOf(spark: SparkSession, path: String): Int =
-    IndexStores.readStore(spark, s"$path/meta")
-      .select("seg_tokens").head.getInt(0)
+    // fingerprint-memoized one-row read (optimization r13) —
+    // [[IndexStores.readTinyStore]]
+    IndexStores.readTinyStore(spark, s"$path/meta")
+      .head.getAs[Int]("seg_tokens")
 
   /** Build the index from an initial corpus. Staged + atomic swap
     * ([[IndexStores.swapInto]]): a rebuild that dies mid-write leaves

@@ -86,7 +86,8 @@ object BucketStore {
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     IndexStores.healRoot(spark, path)
-    val r = spark.read.parquet(s"$path/meta").head()
+    // fingerprint-memoized (optimization r13) — [[IndexStores.readTinyStore]]
+    val r = IndexStores.readTinyStore(spark, s"$path/meta").head
     Meta(r.getAs[String]("schemaDdl"), r.getAs[String]("key"),
       r.getAs[Int]("nBuckets"))
   }

@@ -101,8 +101,11 @@ object ContaminationIndex {
       val fresh = benchGrams(benchmark)
         .join(stored, Seq("s"), "left_anti").localCheckpoint()
       if (fresh.head(1).isEmpty) return
-      val bitsPerItem = IndexStores.readStore(spark, s"$path/meta")
-        .select("bits_per_item").head.getInt(0)
+      // fingerprint-memoized (optimization r13): the meta row also
+      // carries the sketch blob, so this read doubles as its cache —
+      // [[IndexStores.readTinyStore]]
+      val bitsPerItem = IndexStores.readTinyStore(spark, s"$path/meta")
+        .head.getAs[Int]("bits_per_item")
       val sketch = graft.functions.Bloom.sketchOf(
         stored.unionByName(fresh), "s", bitsPerItem)
       graft.core.ParquetTable.overwriteAtomic(spark, s"$path/meta",
@@ -145,8 +148,11 @@ object ContaminationIndex {
                     maxDfAbs: Long = TextOps.DfCapAbsDefault): DataFrame = {
     val spark = docs.sparkSession
     IndexStores.healRoot(spark, path)
-    val sketch = IndexStores.readStore(spark, s"$path/meta")
-      .select("sketch").head.getAs[Array[Byte]](0)
+    // fingerprint-memoized (optimization r13): every decontaminate
+    // call re-read the bounded Bloom blob as a Spark job —
+    // [[IndexStores.readTinyStore]]
+    val sketch = IndexStores.readTinyStore(spark, s"$path/meta")
+      .head.getAs[Array[Byte]]("sketch")
     val bench = IndexStores.readStore(spark, s"$path/grams").select("s")
     TextOps.decontaminateAgainst(docs, bench, sketch, minShared,
       maxDfFrac, maxDfAbs)

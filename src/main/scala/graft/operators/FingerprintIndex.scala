@@ -64,19 +64,16 @@ object FingerprintIndex {
     math.min(256L, math.max(1L, nFps / math.max(1L, rowsPerBucket))).toInt
   }
 
-  // per-JVM memo of the frozen contract (the BandIndex posture): meta
-  // only changes on [[write]], which invalidates; everything else
-  // would otherwise pay one Spark job per classify for three constants
-  private val contractCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
-  private def contract(spark: SparkSession, path: String): (Int, Int, Int) =
-    contractCache.computeIfAbsent(path, _ => {
-      val df = IndexStores.readStore(spark, s"$path/meta")
-      val r = df.head
-      val mod = if (df.columns.contains("bucket_mod"))
-        r.getAs[Int]("bucket_mod") else 256
-      (r.getAs[Int]("n_bits"), r.getAs[Int]("max_hamming"), mod)
-    })
+  // frozen contract through the shared fingerprint-fenced memo
+  // (optimization r13, [[IndexStores.readTinyStore]]): the earlier
+  // invalidate-on-write cache missed rewrites from other JVMs; the
+  // fingerprint fence catches any committed rewrite
+  private def contract(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val r = IndexStores.readTinyStore(spark, s"$path/meta").head
+    val mod = if (r.schema.fieldNames.contains("bucket_mod"))
+      r.getAs[Int]("bucket_mod") else 256
+    (r.getAs[Int]("n_bits"), r.getAs[Int]("max_hamming"), mod)
+  }
 
   /** The fps store, or a schema-correct empty frame when no file
     * exists yet — a store [[write]]-built from an EMPTY fingerprint
@@ -122,7 +119,6 @@ object FingerprintIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/meta")
     IndexStores.swapInto(spark, path, staging)
-    contractCache.remove(path)
   }
 
   /** Classify a batch of fingerprints against the index: candidate

@@ -210,12 +210,15 @@ object FrequencyStore {
   // entry point does, once — repeated ParquetTable.exists probes per
   // streaming trigger are dead FS work on object stores)
   private def metaOf(spark: SparkSession, path: String): Meta = {
-    val df = IndexStores.readStore(spark, s"$path/meta")
-    val r = df.head
+    // fingerprint-memoized (optimization r13): meta changes only via
+    // the staged-swap publish, which changes the dir fingerprint —
+    // [[IndexStores.readTinyStore]]
+    val r = IndexStores.readTinyStore(spark, s"$path/meta").head
     // pre-marker stores carry no key_format column: read as "" (the
     // unversioned format), so versioned callers reject them loudly
     val kf =
-      if (df.columns.contains("key_format")) r.getAs[String]("key_format")
+      if (r.schema.fieldNames.contains("key_format"))
+        r.getAs[String]("key_format")
       else ""
     Meta(r.getAs[Double]("eps"), r.getAs[Double]("confidence"),
       r.getAs[Int]("seed"), r.getAs[Long]("total_items"),
@@ -223,7 +226,9 @@ object FrequencyStore {
   }
 
   private def sketchBytes(spark: SparkSession, path: String): Array[Byte] =
-    IndexStores.readStore(spark, s"$path/sketch").head.getAs[Array[Byte]](0)
+    // fingerprint-memoized (optimization r13), like the meta above
+    IndexStores.readTinyStore(spark, s"$path/sketch")
+      .head.getAs[Array[Byte]](0)
 
   /** The applied-id ledger in RANGE form — contiguous per-producer
     * runs stay one entry on disk AND in memory (VERDICT r12 #7), so

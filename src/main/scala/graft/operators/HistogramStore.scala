@@ -49,7 +49,10 @@ object HistogramStore {
       nBins: Int)
 
   private def metaOf(spark: SparkSession, path: String): HistMeta = {
-    val r = IndexStores.readStore(spark, s"$path/meta").head
+    // fingerprint-memoized (optimization r13): geometry is frozen at
+    // write/rebin, and every serve/extend/drift/quantiles call pays a
+    // Spark job re-reading this one row — [[IndexStores.readTinyStore]]
+    val r = IndexStores.readTinyStore(spark, s"$path/meta").head
     HistMeta(r.getAs[String]("value_col"), r.getAs[Long]("lo"),
       r.getAs[Long]("hi"), r.getAs[Int]("n_bins"))
   }

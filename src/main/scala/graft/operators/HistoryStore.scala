@@ -626,7 +626,9 @@ object HistoryStore {
   }
 
   private def metaOf(spark: SparkSession, path: String): Meta = {
-    val r = IndexStores.readStore(spark, s"$path/meta").head
+    // fingerprint-memoized (optimization r13): the dimension contract
+    // is frozen at write; see [[IndexStores.readTinyStore]]
+    val r = IndexStores.readTinyStore(spark, s"$path/meta").head
     Meta(r.getString(0), r.getString(1),
       r.getString(2).split(",").toSeq.filter(_.nonEmpty),
       r.getString(3).split(",").toSeq.filter(_.nonEmpty),

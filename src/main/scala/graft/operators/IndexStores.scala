@@ -53,6 +53,54 @@ private[graft] object IndexStores {
     spark.read.parquet(dir)
   }
 
+  /** Per-JVM memo of tiny, driver-collected store artifacts (one-row
+    * meta tables, tag ledgers): un-memoized, each read is a full
+    * Spark job for a constant-sized result, and a store-serving query
+    * path pays 3–6 of them per call before touching any data
+    * (optimization r13, guide §5.2 — driver-blocking launches
+    * serialize the whole read). Fenced by the directory's FILE
+    * LISTING (name/size/mtime of every entry): every committed
+    * rewrite of these artifacts lands via staged write + atomic
+    * rename with fresh randomized part-file names, so ANY rewrite —
+    * this JVM or a concurrent process — changes the fingerprint and
+    * forces a re-read; no invalidation hook to forget. An absent dir
+    * is never cached (a store can be created later).
+    */
+  private val tinyReadCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[org.apache.spark.sql.Row])]()
+
+  private def dirFingerprint(spark: SparkSession,
+      dir: String): Option[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) None
+    else Some(f.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|"))
+  }
+
+  /** Collect a bounded-tiny store table through the fingerprint memo.
+    * Heals the `.__old_`-only crash window first (the [[readStore]]
+    * contract). Rows keep their schema ([[GenericRowWithSchema]]), so
+    * callers can still probe optional columns.
+    */
+  def readTinyStore(spark: SparkSession,
+      dir: String): Seq[org.apache.spark.sql.Row] = {
+    ParquetTable.exists(spark, dir)
+    dirFingerprint(spark, dir) match {
+      case None => // let the parquet reader raise the canonical error
+        spark.read.parquet(dir).collect().toSeq
+      case Some(fp) =>
+        val cached = tinyReadCache.get(dir)
+        if (cached != null && cached._1 == fp) cached._2
+        else {
+          val rows = spark.read.parquet(dir).collect().toSeq
+          tinyReadCache.put(dir, (fp, rows))
+          rows
+        }
+    }
+  }
+
   /** Append ids to the store's tombstone table (logical delete). */
   def tombstone(spark: SparkSession, path: String, ids: Seq[Long],
                 idCol: String): Unit = {
@@ -297,9 +345,13 @@ private[graft] object IndexStores {
       path: String): Seq[(String, Long, String)] =
     if (!hasStore(spark, s"$path/batches")) Seq.empty
     else {
-      val df = readStore(spark, s"$path/batches")
-      val hasLo = df.columns.contains("lo_id")
-      df.collect().toSeq.flatMap { r =>
+      // fingerprint-memoized (optimization r13): the ledger is read on
+      // EVERY serve/extend/compact and is a handful of rows — see
+      // [[readTinyStore]]
+      val rows = readTinyStore(spark, s"$path/batches")
+      val hasLo = rows.headOption.exists(
+        _.schema.fieldNames.contains("lo_id"))
+      rows.flatMap { r =>
         val (p, hi, t) = (r.getString(0), r.getLong(1), r.getString(2))
         val lo = if (hasLo) r.getAs[Long]("lo_id") else hi
         (lo to hi).map(i => (p, i, t))
@@ -398,9 +450,11 @@ private[graft] object IndexStores {
       path: String): Seq[(String, Long, Long)] =
     if (!hasStore(spark, s"$path/batches")) Seq.empty
     else {
-      val df = readStore(spark, s"$path/batches")
-      val hasLo = df.columns.contains("lo_id")
-      df.collect().toSeq.map { r =>
+      // fingerprint-memoized (optimization r13) — [[readTinyStore]]
+      val rows = readTinyStore(spark, s"$path/batches")
+      val hasLo = rows.headOption.exists(
+        _.schema.fieldNames.contains("lo_id"))
+      rows.map { r =>
         val (p, hi) = (r.getString(0), r.getLong(1))
         val lo = if (hasLo) r.getAs[Long]("lo_id") else hi
         (p, lo, hi)

@@ -142,8 +142,10 @@ object LanguageModelStore {
     */
   def load(spark: SparkSession, path: String): Model = {
     IndexStores.healRoot(spark, path)
-    val v = IndexStores.readStore(spark, s"$path/meta")
-      .select("vocab_size").head.getLong(0)
+    // fingerprint-memoized one-row read (optimization r13) —
+    // [[IndexStores.readTinyStore]]
+    val v = IndexStores.readTinyStore(spark, s"$path/meta")
+      .head.getAs[Long]("vocab_size")
     Model(IndexStores.readStore(spark, s"$path/unigrams"),
       IndexStores.readStore(spark, s"$path/bigrams"), v)
   }

@@ -112,8 +112,9 @@ object LayoutStore {
 
   def loadMeta(spark: SparkSession, path: String): LayoutMeta = {
     IndexStores.healRoot(spark, path)
-    val row = IndexStores.readStore(spark, s"$path/meta").collect() match {
-      case Array(r) => r
+    // fingerprint-memoized (optimization r13) — [[IndexStores.readTinyStore]]
+    val row = IndexStores.readTinyStore(spark, s"$path/meta") match {
+      case Seq(r) => r
       case rs => throw new IllegalStateException(
         s"$path/meta: expected one meta row, found ${rs.length}")
     }

@@ -228,12 +228,16 @@ object MembershipStore {
     out.toByteArray
   }
 
+  // both fingerprint-memoized (optimization r13): every probe/extend
+  // trigger re-read the blob and the one-row meta as full Spark jobs;
+  // the staged-swap publish changes the dir fingerprint, so a new
+  // generation is always re-read — [[IndexStores.readTinyStore]]
   private def sketchBytes(spark: SparkSession, path: String): Array[Byte] =
-    IndexStores.readStore(spark, s"$path/sketch")
+    IndexStores.readTinyStore(spark, s"$path/sketch")
       .head.getAs[Array[Byte]](0)
 
   private def metaOf(spark: SparkSession, path: String): Meta = {
-    val r = IndexStores.readStore(spark, s"$path/meta").head
+    val r = IndexStores.readTinyStore(spark, s"$path/meta").head
     Meta(r.getAs[Long]("expected_items"), r.getAs[Double]("fpp"),
       r.getAs[Long]("total_added"), r.getAs[Long]("generation"))
   }

@@ -456,7 +456,8 @@ object ReservoirStore {
   }
 
   private def metaOf(spark: SparkSession, path: String): ResMeta = {
-    val r = IndexStores.readStore(spark, s"$path/meta").head
+    // fingerprint-memoized (optimization r13) — [[IndexStores.readTinyStore]]
+    val r = IndexStores.readTinyStore(spark, s"$path/meta").head
     ResMeta(r.getAs[String]("id_col"), r.getAs[Int]("capacity"),
       r.getAs[String]("seed"), r.getAs[Long]("n_seen"),
       r.getAs[Long]("generation"), r.getAs[String]("group_col"))

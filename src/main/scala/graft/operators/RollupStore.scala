@@ -254,7 +254,9 @@ object RollupStore {
   private final case class Meta(keyCols: Seq[String], valueCol: String)
 
   private def metaOf(spark: SparkSession, path: String): Meta = {
-    val r = IndexStores.readStore(spark, s"$path/meta").head
+    // fingerprint-memoized (optimization r13): the grain is frozen at
+    // writeBase; see [[IndexStores.readTinyStore]]
+    val r = IndexStores.readTinyStore(spark, s"$path/meta").head
     Meta(r.getAs[String]("key_cols").split(",").toSeq,
       r.getAs[String]("value_col"))
   }

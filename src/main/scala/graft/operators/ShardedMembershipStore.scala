@@ -295,7 +295,8 @@ object ShardedMembershipStore {
 
   private def metaOf(spark: SparkSession, path: String): Meta = {
     IndexStores.healRoot(spark, s"$path/ctl")
-    val r = IndexStores.readStore(spark, s"$path/ctl/meta").head
+    // fingerprint-memoized (optimization r13) — [[IndexStores.readTinyStore]]
+    val r = IndexStores.readTinyStore(spark, s"$path/ctl/meta").head
     Meta(r.getAs[Long]("expected_items"), r.getAs[Double]("fpp"),
       r.getAs[Int]("shards"), r.getAs[Long]("total_added"),
       r.getAs[Long]("generation"))

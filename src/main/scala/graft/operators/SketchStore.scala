@@ -104,7 +104,9 @@ object SketchStore {
     */
   private def metaOf(spark: SparkSession, path: String): (String, Int) = {
     IndexStores.healRoot(spark, path)
-    val m = IndexStores.readStore(spark, s"$path/meta").head
+    // fingerprint-memoized (optimization r13): one Spark job per read
+    // of a frozen one-row table — [[IndexStores.readTinyStore]]
+    val m = IndexStores.readTinyStore(spark, s"$path/meta").head
     (m.getAs[String]("group_col"), m.getAs[Int]("k"))
   }
 

@@ -71,8 +71,11 @@ object TokenizerStore {
     */
   def load(spark: SparkSession, path: String): Seq[(String, String)] = {
     IndexStores.healRoot(spark, path)
-    IndexStores.readStore(spark, s"$path/merges")
-      .orderBy("rnk").collect()
+    // fingerprint-memoized (optimization r13), ordered driver-side —
+    // the un-memoized orderBy+collect was a full shuffle job per load
+    // of a model-sized constant ([[IndexStores.readTinyStore]])
+    IndexStores.readTinyStore(spark, s"$path/merges")
+      .sortBy(_.getAs[Int]("rnk"))
       .map(r => (r.getAs[String]("l"), r.getAs[String]("r"))).toSeq
   }
 
@@ -111,8 +114,9 @@ object TokenizerStore {
     val spark = docs.sparkSession
     require(extraMerges > 0, "TokenizerStore.extend: extraMerges <= 0")
     val stored = load(spark, path)
-    val maxWords = IndexStores.readStore(spark, s"$path/meta")
-      .select("max_words").head.getInt(0)
+    // fingerprint-memoized (optimization r13) — [[IndexStores.readTinyStore]]
+    val maxWords = IndexStores.readTinyStore(spark, s"$path/meta")
+      .head.getAs[Int]("max_words")
     val grown = TextOps.bpeTrain(docs, stored.length + extraMerges, maxWords)
     require(grown.take(stored.length) == stored,
       "TokenizerStore.extend: stored merges are not a prefix of the " +

@@ -207,7 +207,8 @@ object VectorIndex {
     // store this would otherwise surface as an unresolved-column
     // AnalysisException on `scale`, and a dim-mismatched query as a
     // per-row ByteDot error mid-scan
-    val metaRows = IndexStores.readStore(spark, s"$path/meta").collect()
+    // fingerprint-memoized (optimization r13) — [[IndexStores.readTinyStore]]
+    val metaRows = IndexStores.readTinyStore(spark, s"$path/meta")
     require(metaRows.length == 1,
       s"searchSq8: expected exactly one meta row at $path/meta, got " +
         s"${metaRows.length} — partial or duplicated store write")
@@ -260,8 +261,9 @@ object VectorIndex {
     */
   def loadIvfPq(spark: SparkSession, path: String): IvfPqModel = {
     IndexStores.healRoot(spark, path)
-    val row = IndexStores.readStore(spark, s"$path/meta").collect() match {
-      case Array(r) => r
+    // fingerprint-memoized (optimization r13) — [[IndexStores.readTinyStore]]
+    val row = IndexStores.readTinyStore(spark, s"$path/meta") match {
+      case Seq(r) => r
       case rs => throw new IllegalStateException(
         s"$path/meta: expected exactly one meta row, found ${rs.length} — " +
           "not a VectorIndex layout (or a partial write)")
