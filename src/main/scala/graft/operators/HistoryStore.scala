@@ -73,10 +73,29 @@ object HistoryStore {
     spark.conf.getOption("spark.graft.history.purgeLocalCap")
       .map(_.toLong).getOrElse(100000L)
 
+  /** Sentinel bucket count: choose the geometry from the MEASURED
+    * dimension size at build (rows / `spark.graft.history
+    * .rowsPerBucket`, default 4096, clamped to [1, 64] — 64 is the
+    * historical granularity, which the touched-bucket pruning
+    * asymptotics at corpus scale still want), frozen into meta;
+    * [[extend]] called with Auto adopts the store's frozen geometry.
+    * The FingerprintIndex/BandIndex lesson (optimization r13) applied
+    * to the SCD2 family: a small dimension written 64-way pays a
+    * per-file open tax on every serve for pruning it never needs,
+    * ×3 stores ×tags.
+    */
+  val AutoBuckets: Int = 0
+
+  private def chooseBuckets(spark: SparkSession, rows: Long): Int = {
+    val rowsPerBucket = spark.conf
+      .get("spark.graft.history.rowsPerBucket", "4096").toLong
+    math.min(64L, math.max(1L, rows / math.max(1L, rowsPerBucket))).toInt
+  }
+
   /** Build the store from the full change log seen so far. */
   def write(changes: DataFrame, path: String, key: String,
       orderCol: String, stateCols: Seq[String],
-      tieCols: Seq[String] = Nil, nBuckets: Int = 64): Unit =
+      tieCols: Seq[String] = Nil, nBuckets: Int = AutoBuckets): Unit =
     writeBase(changes, path,
       Meta(key, orderCol, stateCols, tieCols, nBuckets),
       Seq(("base", 0L)))
@@ -104,15 +123,21 @@ object HistoryStore {
     try {
       val dim = HistoryOps.scd2(changes, m.key, m.orderCol,
         m.stateCols, m.tieCols).localCheckpoint(true)
+      // resolve the Auto geometry on the PINNED frame (one cheap count
+      // on a checkpointed dim, once per build) — see [[AutoBuckets]]
+      val mr =
+        if (m.nBuckets == AutoBuckets)
+          m.copy(nBuckets = chooseBuckets(spark, dim.count()))
+        else m
       val tag = IndexStores.tagFor(pairs.head._1, pairs.head._2)
       def writeInto(root: String, commit: Boolean): Unit = {
-        writeMeta(spark, root, m)
+        writeMeta(spark, root, mr)
         writeDelta(spark, root, tag,
           data = dim.drop("last_changed", "is_current"),
           closures = emptyClosures(spark, dim, m.key),
           frontier = dim.groupBy(m.key).agg(max("last_changed")
             .as("last_changed")),
-          meta = m)
+          meta = mr)
         val ledger = pairs.map(p => (p._1, p._2, tag))
         if (commit) commitLedger(spark, root, ledger)
         else {
@@ -138,7 +163,7 @@ object HistoryStore {
     */
   def extend(changes: DataFrame, path: String, batchId: Long,
       key: String, orderCol: String, stateCols: Seq[String],
-      tieCols: Seq[String] = Nil, nBuckets: Int = 64,
+      tieCols: Seq[String] = Nil, nBuckets: Int = AutoBuckets,
       producer: String = "default"): Unit = {
     val spark = changes.sparkSession
     IndexStores.healRoot(spark, path)
@@ -151,9 +176,11 @@ object HistoryStore {
       return
     }
     val m = metaOf(spark, path)
+    // Auto adopts the store's frozen geometry (see [[AutoBuckets]]);
+    // an EXPLICIT bucket count keeps the strict equality contract
     require(m.key == key && m.orderCol == orderCol &&
       m.stateCols == stateCols && m.tieCols == tieCols &&
-      m.nBuckets == nBuckets,
+      (nBuckets == AutoBuckets || m.nBuckets == nBuckets),
       s"history store at $path holds grain (${m.key}; ${m.orderCol}; " +
         s"${m.stateCols.mkString(",")}; ${m.tieCols.mkString(",")}; " +
         s"${m.nBuckets} buckets); extend declared ($key; $orderCol; " +

@@ -458,4 +458,39 @@ class HistoryStoreSpec extends SparkSpec {
     assert(HistoryStore.stats(spark, path).head
       .getAs[Long]("applied_batches") === 3L)
   }
+
+  test("bucket geometry follows the measured dimension size; served " +
+    "frames are identical across geometries; Auto extend adopts the " +
+    "store's frozen geometry") {
+    def bucketDirs(path: String): Int = {
+      val d = new java.io.File(s"$path/data")
+      d.listFiles().filter(_.isDirectory).flatMap(
+        _.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("bkp="))).map(_.getName).distinct.length
+    }
+    // small dim under Auto: one bucket directory, not 64
+    val small = tmpDir("hs-geo-small") + "/dim"
+    HistoryStore.write(early, small, "k", "ts", Seq("state"), Seq("id"))
+    assert(bucketDirs(small) === 1,
+      "a 120-row dimension must not be written 64-way")
+    // Auto extend adopts the frozen geometry (no declared-count reject)
+    HistoryStore.extend(late, small, batchId = 1L, "k", "ts",
+      Seq("state"), Seq("id"))
+    // the historical geometry is reproducible via the conf, and the
+    // served frame is identical across geometries
+    val wide = tmpDir("hs-geo-wide") + "/dim"
+    HistoryStore.write(early, wide, "k", "ts", Seq("state"), Seq("id"),
+      nBuckets = 64)
+    assert(bucketDirs(wide) > 1)
+    HistoryStore.extend(late, wide, batchId = 1L, "k", "ts",
+      Seq("state"), Seq("id"), nBuckets = 64)
+    assert(asSet(HistoryStore.serve(spark, small)) ===
+      asSet(HistoryStore.serve(spark, wide)))
+    assert(asSet(HistoryStore.serve(spark, small)) === asSet(rebuild))
+    // an explicit count against a mismatched store still rejects
+    intercept[IllegalArgumentException] {
+      HistoryStore.extend(late, small, batchId = 2L, "k", "ts",
+        Seq("state"), Seq("id"), nBuckets = 64)
+    }
+  }
 }
