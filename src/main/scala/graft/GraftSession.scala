@@ -33,13 +33,19 @@ object GraftSession {
     // optimization r13 (guide §3.1/§9): let the planner choose
     // shuffled-hash over sort-merge when its own size conditions hold
     // (build side under autoBroadcastJoinThreshold × shuffle
-    // partitions per partition) — most of this engine's joins feed
-    // aggregations or very wide fan-outs, where SMJ's sort buys
-    // nothing downstream. NOT a forced hint: the planner still
-    // sort-merges anything it cannot size-bound, so spill safety at
-    // 100 TB is unchanged. The AQE twin converts remaining SMJs at
-    // runtime when every post-shuffle partition is under 64 MB —
-    // runtime-measured, scale-adaptive by construction.
+    // partitions per partition, AND ≥3× smaller than the probe side)
+    // — most of this engine's joins feed aggregations or very wide
+    // fan-outs, where SMJ's sort buys nothing downstream. HONEST
+    // CAVEAT: the static planner's bound is a Catalyst size ESTIMATE,
+    // and SHJ's build map does not spill — a badly under-estimated
+    // build side (post-filter/post-agg subtrees are the classic case)
+    // that would have sorted-and-spilled under SMJ can OOM a task
+    // under SHJ. The 3×-smaller + per-partition-bound conditions keep
+    // that window narrow, and a deployment that hits it turns this
+    // one conf back on. The AQE twin below is the safe half: it
+    // converts remaining SMJs at runtime from MEASURED map output
+    // (every post-shuffle partition under 64 MB) — runtime-sized,
+    // scale-adaptive by construction.
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     spark.conf.set(
       "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")

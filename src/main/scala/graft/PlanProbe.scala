@@ -20,6 +20,14 @@ object PlanProbe {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val which = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // a typo'd probe must fail loudly, not silently write nothing and
+    // exit 0 (the PlanDump posture) — before/after plan evidence that
+    // is silently absent reads as "nothing to dump"
+    val known = Set("triangles", "triangles_after", "kcore_after",
+      "mm", "cppart", "triwedges", "labelprop", "kcore")
+    require((which -- known).isEmpty,
+      s"PlanProbe knows no probe(s): ${(which -- known).toSeq.sorted
+        .mkString(", ")} — known: ${known.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

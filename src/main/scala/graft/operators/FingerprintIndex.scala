@@ -96,29 +96,38 @@ object FingerprintIndex {
   /** Build the index from `(media_id, fp)` rows. Staged + atomic swap.
     * `nBits`/`maxHamming` freeze the banding contract (see object doc).
     */
-  def write(fps: DataFrame, path: String, nBits: Int,
+  def write(fps0: DataFrame, path: String, nBits: Int,
             maxHamming: Int = 4): Unit = {
-    val spark = fps.sparkSession
+    val spark = fps0.sparkSession
     import spark.implicits._
     require(nBits >= maxHamming + 1 && nBits <= 62,
       s"fingerprint width $nBits outside (maxHamming, 62]")
-    val dupIn = fps.groupBy("media_id").agg(countDistinct("fp").as("n"))
-      .filter(col("n") > 1).limit(5)
-      .collect().map(_.getLong(0))
-    require(dupIn.isEmpty,
-      s"FingerprintIndex.write: conflicting fps for ids: " +
-        dupIn.mkString(","))
-    // bucket granularity follows the measured index size (see
-    // [[chooseMod]]); frozen into meta beside the banding contract
-    val mod = chooseMod(spark, fps.count())
-    val staging = IndexStores.stagingFor(spark, path)
-    banded(fps, nBits, maxHamming + 1, mod)
-      .repartition(col("bvp"))
-      .write.mode("overwrite").partitionBy("bvp").parquet(s"$staging/fps")
-    Seq((nBits, maxHamming, mod)).toDF("n_bits", "max_hamming", "bucket_mod")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/meta")
-    IndexStores.swapInto(spark, path, staging)
+    // pin the input once (the BandIndex.write posture, review
+    // finding): it feeds the dup-check, the size measurement AND the
+    // banded write — unpinned, an expensive lineage (image decode +
+    // dHash) would run three times
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val fps = fps0.localCheckpoint()
+      val dupIn = fps.groupBy("media_id").agg(countDistinct("fp").as("n"))
+        .filter(col("n") > 1).limit(5)
+        .collect().map(_.getLong(0))
+      require(dupIn.isEmpty,
+        s"FingerprintIndex.write: conflicting fps for ids: " +
+          dupIn.mkString(","))
+      // bucket granularity follows the measured index size (see
+      // [[chooseMod]]); frozen into meta beside the banding contract
+      val mod = chooseMod(spark, fps.count())
+      val staging = IndexStores.stagingFor(spark, path)
+      banded(fps, nBits, maxHamming + 1, mod)
+        .repartition(col("bvp"))
+        .write.mode("overwrite").partitionBy("bvp").parquet(s"$staging/fps")
+      Seq((nBits, maxHamming, mod)).toDF("n_bits", "max_hamming", "bucket_mod")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/meta")
+      IndexStores.swapInto(spark, path, staging)
+    } finally graft.BenchUtil.releaseNewRdds(sc, before)
   }
 
   /** Classify a batch of fingerprints against the index: candidate

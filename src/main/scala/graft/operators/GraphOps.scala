@@ -364,8 +364,12 @@ object GraphOps {
     require(rounds >= 0, s"k-core needs rounds >= 0, got $rounds")
     var (edges, eIds) = eagerCp(kCoreCanon(pairs))
     // edge count only shrinks as rounds peel, so one up-front measure
-    // gates every round's broadcast (survivors ≤ 2·edges rows)
-    val bcast = fitsBroadcast(edges, edges.count())
+    // gates every round's broadcast. The broadcast SIDE is the
+    // survivor NODE set — up to 2·edges rows — so the gate charges 2×
+    // the measured count against the configured row bound (review
+    // finding: gating on bare edges let a path-shaped graph broadcast
+    // double the configured limit)
+    val bcast = fitsBroadcast(edges, 2L * edges.count())
     for (_ <- 1 to rounds) {
       val (next, nIds) = eagerCp(peelOnce(edges, k, bcast))
       releaseCp(edges, eIds)
@@ -385,7 +389,9 @@ object GraphOps {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     var (edges, eIds) = eagerCp(kCoreCanon(pairs))
     var prev = edges.count()
-    val bcast = fitsBroadcast(edges, prev)
+    // ×2: the broadcast side is the survivor NODE set, ≤ 2·edges rows
+    // (see kCorePeel)
+    val bcast = fitsBroadcast(edges, 2L * prev)
     var converged = prev == 0L
     var iter = 0
     while (!converged && iter < maxIter) {

@@ -45,7 +45,8 @@ import org.apache.spark.sql.functions._
 object HistoryStore {
 
   private final case class Meta(key: String, orderCol: String,
-      stateCols: Seq[String], tieCols: Seq[String], nBuckets: Int)
+      stateCols: Seq[String], tieCols: Seq[String], nBuckets: Int,
+      autoBuckets: Boolean = false)
 
   /** The purge list plus HOW it is held: `local = true` means a
     * driver-materialised bounded frame (broadcast into every
@@ -124,10 +125,14 @@ object HistoryStore {
       val dim = HistoryOps.scd2(changes, m.key, m.orderCol,
         m.stateCols, m.tieCols).localCheckpoint(true)
       // resolve the Auto geometry on the PINNED frame (one cheap count
-      // on a checkpointed dim, once per build) — see [[AutoBuckets]]
+      // on a checkpointed dim, once per build) — see [[AutoBuckets]].
+      // Auto-ness is recorded in meta: [[compact]] may re-choose an
+      // Auto store's geometry as the dimension grows, but must never
+      // touch an explicitly-bucketed store's caller contract
       val mr =
         if (m.nBuckets == AutoBuckets)
-          m.copy(nBuckets = chooseBuckets(spark, dim.count()))
+          m.copy(nBuckets = chooseBuckets(spark, dim.count()),
+            autoBuckets = true)
         else m
       val tag = IndexStores.tagFor(pairs.head._1, pairs.head._2)
       def writeInto(root: String, commit: Boolean): Unit = {
@@ -364,6 +369,40 @@ object HistoryStore {
       val p1 = purgedLocal(spark, path)
       val dim = serveBuckets(spark, path, m, None, p1)
         .localCheckpoint(true)
+      // geometry re-choice at the compaction boundary (review finding,
+      // optimization r13): an Auto store bootstrapped from a tiny
+      // first batch froze a degenerate bucket count for the store's
+      // whole life; compaction rewrites every row anyway, so it is
+      // the one point the frozen geometry can follow the MEASURED
+      // dimension size for free. Only for Auto-built stores (an
+      // explicit count is a caller contract) and only with no purge
+      // entries outstanding: the migration publishes meta + stores +
+      // ledger as ONE staged-root swap (meta and tags must never
+      // disagree on geometry — an extend pruning new-geometry bkps
+      // over old-geometry dirs would silently miss rows), which is
+      // the rebuild posture, and a pending erasure cycle must not be
+      // carried across it. Geometry-stable compacts keep the
+      // in-place + grace-window path below.
+      val wantBuckets =
+        if (m.autoBuckets && p1.isEmpty)
+          chooseBuckets(spark, dim.count())
+        else m.nBuckets
+      if (wantBuckets != m.nBuckets) {
+        val m2 = m.copy(nBuckets = wantBuckets)
+        val staging = IndexStores.stagingFor(spark, path)
+        writeMeta(spark, staging, m2)
+        writeDelta(spark, staging, tag,
+          data = dim.drop("last_changed", "is_current"),
+          closures = emptyClosures(spark, dim, m.key),
+          frontier = dim.groupBy(m.key).agg(max("last_changed")
+            .as("last_changed")),
+          meta = m2)
+        require(ledger(spark, path) == applied,
+          s"history store at $path advanced during compact")
+        commitLedger(spark, staging, applied.map(r => (r._1, r._2, tag)))
+        IndexStores.swapInto(spark, path, staging)
+        return
+      }
       writeDelta(spark, path, tag,
         data = dim.drop("last_changed", "is_current"),
         closures = emptyClosures(spark, dim, m.key),
@@ -647,19 +686,25 @@ object HistoryStore {
       m: Meta): Unit = {
     import spark.implicits._
     Seq((m.key, m.orderCol, m.stateCols.mkString(","),
-      m.tieCols.mkString(","), m.nBuckets))
-      .toDF("key", "order_col", "state_cols", "tie_cols", "n_buckets")
+      m.tieCols.mkString(","), m.nBuckets, m.autoBuckets))
+      .toDF("key", "order_col", "state_cols", "tie_cols", "n_buckets",
+        "auto_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   private def metaOf(spark: SparkSession, path: String): Meta = {
     // fingerprint-memoized (optimization r13): the dimension contract
-    // is frozen at write; see [[IndexStores.readTinyStore]]
+    // changes only through full-store swaps; see
+    // [[IndexStores.readTinyStore]]
     val r = IndexStores.readTinyStore(spark, s"$path/meta").head
     Meta(r.getString(0), r.getString(1),
       r.getString(2).split(",").toSeq.filter(_.nonEmpty),
       r.getString(3).split(",").toSeq.filter(_.nonEmpty),
-      r.getInt(4))
+      r.getInt(4),
+      // stores written before the flag existed are treated as
+      // explicitly bucketed — compact must not migrate them
+      r.schema.fieldNames.contains("auto_buckets") &&
+        r.getAs[Boolean]("auto_buckets"))
   }
 
   private def ledger(spark: SparkSession,

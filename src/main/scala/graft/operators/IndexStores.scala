@@ -68,16 +68,29 @@ private[graft] object IndexStores {
     */
   private val tinyReadCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Seq[org.apache.spark.sql.Row])]()
+  // approximate retained bytes (per-entry on-disk dir size — an upper
+  // proxy for the collected rows that matters exactly for the entries
+  // that matter: serialized sketch blobs): the cache must stay a
+  // bounded accelerator, not a monotonic leak across every store path
+  // a long-lived session ever touches (review finding). Crossing the
+  // cap clears the whole map — correct (it is a pure cache; the next
+  // read repopulates) and rare at the default 256 MB.
+  private val tinyReadBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def tinyCacheCap(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.store.tinyCacheBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
 
-  private def dirFingerprint(spark: SparkSession,
-      dir: String): Option[String] = {
+  private def dirListing(spark: SparkSession,
+      dir: String): Option[Array[org.apache.hadoop.fs.FileStatus]] = {
     val f = fs(spark, dir)
     val p = new Path(dir)
-    if (!f.exists(p)) None
-    else Some(f.listStatus(p).map(s =>
-        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString("|"))
+    if (!f.exists(p)) None else Some(f.listStatus(p))
   }
+
+  private def fingerprintOf(
+      ls: Array[org.apache.hadoop.fs.FileStatus]): String =
+    ls.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
 
   /** Collect a bounded-tiny store table through the fingerprint memo.
     * Heals the `.__old_`-only crash window first (the [[readStore]]
@@ -87,14 +100,20 @@ private[graft] object IndexStores {
   def readTinyStore(spark: SparkSession,
       dir: String): Seq[org.apache.spark.sql.Row] = {
     ParquetTable.exists(spark, dir)
-    dirFingerprint(spark, dir) match {
+    dirListing(spark, dir) match {
       case None => // let the parquet reader raise the canonical error
         spark.read.parquet(dir).collect().toSeq
-      case Some(fp) =>
+      case Some(ls) =>
+        val fp = fingerprintOf(ls)
         val cached = tinyReadCache.get(dir)
         if (cached != null && cached._1 == fp) cached._2
         else {
           val rows = spark.read.parquet(dir).collect().toSeq
+          val bytes = ls.map(_.getLen).sum
+          if (tinyReadBytes.addAndGet(bytes) > tinyCacheCap(spark)) {
+            tinyReadCache.clear()
+            tinyReadBytes.set(bytes)
+          }
           tinyReadCache.put(dir, (fp, rows))
           rows
         }

@@ -1196,16 +1196,19 @@ object TextOps {
     val dupH = win.groupBy("h").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2).select("h")
     // covered-token count WITHOUT the ×k explode (optimization r13):
-    // the flagged windows are fixed-length intervals [pos, pos+k) at
-    // UNIQUE positions per doc (one row per (doc_id, pos) by
-    // construction of the stride-1 window table), so the size of
-    // their union is exactly Σ min(k, pos − prev_pos) with the first
-    // window contributing k — one lag window over each doc's flagged
-    // positions instead of exploding every window into k index rows
-    // and paying a two-column count-distinct EXPAND over them. Same
-    // integers, ~k× fewer aggregation input rows; the per-doc sort is
-    // bounded by the doc's own window count (the crawlSchedule
-    // stratum argument).
+    // the flagged windows are fixed-length intervals [pos, pos+k), so
+    // the size of their union is exactly Σ min(k, pos − prev_pos) with
+    // the first window contributing k — one lag window over each doc's
+    // flagged positions instead of exploding every window into k index
+    // rows and paying a two-column count-distinct EXPAND over them.
+    // Same integers, ~k× fewer aggregation input rows (a duplicated
+    // (doc_id, pos) row — a malformed upstream union — contributes
+    // cov = min(k, 0) = 0, so the union size stays exact); the per-doc
+    // sort is bounded by the doc's own window count (the crawlSchedule
+    // stratum argument). n_dup_windows stays countDistinct(pos) — the
+    // single-distinct plan carries no Expand — so duplicate input rows
+    // can't inflate the flagged-window statistic either (review
+    // finding).
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     win.join(dupH, "h")
@@ -1215,7 +1218,7 @@ object TextOps {
           .otherwise(least(lit(k.toLong), col("pos") - col("prev"))))
       .groupBy("doc_id")
       .agg(max("n_tokens").as("n_tokens"),
-        count(lit(1)).as("n_dup_windows"),
+        countDistinct("pos").as("n_dup_windows"),
         sum("cov").as("dup_tokens"))
       .withColumn("dup_token_frac_x10k",
         expr("(dup_tokens * 10000) div n_tokens"))

@@ -493,4 +493,45 @@ class HistoryStoreSpec extends SparkSpec {
         Seq("state"), Seq("id"), nBuckets = 64)
     }
   }
+
+  test("compact re-chooses an Auto store's geometry from the grown " +
+    "dimension; explicit stores and ledger replay are untouched") {
+    def bucketDirs(path: String): Int = {
+      val d = new java.io.File(s"$path/data")
+      d.listFiles().filter(_.isDirectory).flatMap(
+        _.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("bkp="))).map(_.getName).distinct.length
+    }
+    // force a tiny rowsPerBucket so the 240-row rebuild wants >1
+    // buckets — the mechanism under test, not the production dial
+    spark.conf.set("spark.graft.history.rowsPerBucket", "60")
+    try {
+      val path = tmpDir("hs-geo-compact") + "/dim"
+      // bootstrap from the SMALL first batch: freezes a narrow geometry
+      HistoryStore.extend(early.limit(20), path, batchId = 0L, "k", "ts",
+        Seq("state"), Seq("id"))
+      val narrow = bucketDirs(path)
+      HistoryStore.extend(early.join(early.limit(20),
+        Seq("k", "ts", "id", "state"), "left_anti"), path, 1L, "k", "ts",
+        Seq("state"), Seq("id"))
+      HistoryStore.extend(late, path, 2L, "k", "ts",
+        Seq("state"), Seq("id"))
+      // compact: the Auto store's geometry follows the measured size
+      HistoryStore.compact(spark, path)
+      assert(bucketDirs(path) > narrow,
+        "compact must widen an Auto store's degenerate bootstrap geometry")
+      assert(asSet(HistoryStore.serve(spark, path)) === asSet(rebuild))
+      // ledger pairs preserved across the migration: replay is a no-op
+      HistoryStore.extend(late, path, 2L, "k", "ts",
+        Seq("state"), Seq("id"))
+      assert(asSet(HistoryStore.serve(spark, path)) === asSet(rebuild))
+      // an EXPLICITLY-bucketed store keeps its caller contract
+      val ex = tmpDir("hs-geo-explicit") + "/dim"
+      HistoryStore.write(early, ex, "k", "ts", Seq("state"), Seq("id"),
+        nBuckets = 2)
+      HistoryStore.compact(spark, ex)
+      assert(bucketDirs(ex) <= 2,
+        "compact must not migrate an explicitly-bucketed store")
+    } finally spark.conf.unset("spark.graft.history.rowsPerBucket")
+  }
 }
