@@ -691,27 +691,43 @@ object GraphOps {
     */
   private[graft] def closedWedgesFrom(oriented: DataFrame,
       bcastClose: Boolean): DataFrame = {
-    // wedges b←src→c with (deg,id)-ordered ends, closed by edge b→c —
-    // which is exactly how that third edge is oriented, because the
-    // wedge filter and the orientation share one total order
-    val o1 = oriented
-      .select(col("src"), col("dst").as("b"), col("ddst").as("db"))
-    val o2 = oriented
-      .select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
-    val close0 = oriented.select(col("src").as("b"), col("dst").as("c"))
-    val close = if (bcastClose) broadcast(close0) else close0
-    // under the same measured gate, hash- instead of sort-merge-join
-    // the wedge self-join: the per-partition build side is edge-sized
-    // (provably tiny when bcastClose holds — the WHOLE edge table fits
-    // a broadcast), and the join's output is 30-70× its input, so the
-    // sort buys nothing downstream. Past the gate the hint is absent
-    // and the planner keeps SMJ's graceful spill.
-    val o1h = if (bcastClose) o1.hint("SHUFFLE_HASH") else o1
-    o1h.join(o2, "src")
-      .filter(col("db") < col("dc") ||
-        (col("db") === col("dc") && col("b") < col("c")))
-      .join(close, Seq("b", "c"))
-      .select("src", "b", "c")
+    // optimization r14 (VERDICT r13 #1): adjacency-list intersection
+    // instead of wedge materialisation. The r13 kernel (o1 ⋈ o2 on src,
+    // (deg,id)-order filter, close by edge b→c) was already degree-
+    // oriented, but it MATERIALISED the full O(E^1.5) oriented-wedge
+    // stream as rows (41.1 M at sf0.1 vs 1.2 M edges) through the
+    // self-join + closure join. The classic "forward" refinement: for
+    // each oriented edge a→b, every c ∈ N⁺(a) ∩ N⁺(b) closes exactly
+    // the triangle the wedge kernel found at pivot a (a→c from the a
+    // side, b→c from the b side, orientation = the same (deg,id) total
+    // order, so b before c automatically) — each triangle still found
+    // exactly once, but the only rows that ever exist are E edge rows
+    // carrying bounded adjacency arrays (out-degree ≤ O(√E) under the
+    // orientation) and one output row PER TRIANGLE. The Σ|N⁺| touch
+    // count is the same as the wedge volume — that is the algorithm —
+    // but it runs as hash-set probes inside one projection instead of
+    // 41 M join-output rows flowing through an exchange-adjacent
+    // aggregation. Evidence: plans/r14/graph_triangles_{before,after},
+    // OPTIMIZATION_r14.md (bench + PlanProbe triwedges row counts).
+    //
+    // array_intersect dedups, but adjacency lists are duplicate-free by
+    // construction (canonEdges distinct), so the multiset is unchanged.
+    val adj = oriented.groupBy(col("src").as("node"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    // the adjacency table carries one row per non-sink node and E total
+    // entries — edge-sized, exactly the frame the r13 kernel broadcast
+    // as the closure side; the same measured-count gate applies. Past
+    // the gate both attach joins fall back to planner-default shuffles
+    // (scale-adaptive; the arrays stay O(√E)-bounded per row).
+    def side(k: String): DataFrame = {
+      val p = adj.select(col("node").as(k), col("nbrs").as(s"n_$k"))
+      if (bcastClose) broadcast(p) else p
+    }
+    oriented.select(col("src"), col("dst").as("b"))
+      .join(side("src"), "src")
+      .join(side("b"), "b")
+      .select(col("src"), col("b"),
+        explode(array_intersect(col("n_src"), col("n_b"))).as("c"))
   }
 
   /** Graph-total triangle count WITHOUT the per-node attribution — one

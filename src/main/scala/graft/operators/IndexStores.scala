@@ -67,7 +67,7 @@ private[graft] object IndexStores {
     * is never cached (a store can be created later).
     */
   private val tinyReadCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Seq[org.apache.spark.sql.Row])]()
+    String, (String, Seq[org.apache.spark.sql.Row], Long)]()
   // approximate retained bytes (per-entry on-disk dir size — an upper
   // proxy for the collected rows that matters exactly for the entries
   // that matter: serialized sketch blobs): the cache must stay a
@@ -76,6 +76,13 @@ private[graft] object IndexStores {
   // cap clears the whole map — correct (it is a pure cache; the next
   // read repopulates) and rare at the default 256 MB.
   private val tinyReadBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test probe: (entries, accounted bytes) of the tiny-read memo — the
+    * byte-accounting spec pins that rewrites of one store never charge
+    * the budget cumulatively (which would clear unrelated entries).
+    */
+  private[graft] def tinyReadStats: (Int, Long) =
+    (tinyReadCache.size, tinyReadBytes.get)
   private def tinyCacheCap(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.store.tinyCacheBytes")
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
@@ -91,6 +98,14 @@ private[graft] object IndexStores {
       ls: Array[org.apache.hadoop.fs.FileStatus]): String =
     ls.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString("|")
+
+  /** Total on-disk bytes of a store directory (None when absent) — the
+    * byte gate callers use to decide whether [[readTinyStore]] may
+    * collect the table at all (optimization r14: the purge-list memo).
+    */
+  private[graft] def tinyStoreBytes(spark: SparkSession,
+      dir: String): Option[Long] =
+    dirListing(spark, dir).map(_.map(_.getLen).sum)
 
   /** Collect a bounded-tiny store table through the fingerprint memo.
     * Heals the `.__old_`-only crash window first (the [[readStore]]
@@ -110,11 +125,18 @@ private[graft] object IndexStores {
         else {
           val rows = spark.read.parquet(dir).collect().toSeq
           val bytes = ls.map(_.getLen).sum
-          if (tinyReadBytes.addAndGet(bytes) > tinyCacheCap(spark)) {
+          // replacing a stale entry must return its bytes to the budget
+          // (optimization r14, VERDICT r13 #3): without the subtraction a
+          // store rewritten N times charges N× its size and forces
+          // premature whole-cache clears in exactly the long-lived-session
+          // case the bound exists for
+          val prev = tinyReadCache.put(dir, (fp, rows, bytes))
+          val delta = bytes - (if (prev == null) 0L else prev._3)
+          if (tinyReadBytes.addAndGet(delta) > tinyCacheCap(spark)) {
             tinyReadCache.clear()
             tinyReadBytes.set(bytes)
+            tinyReadCache.put(dir, (fp, rows, bytes))
           }
-          tinyReadCache.put(dir, (fp, rows))
           rows
         }
     }
