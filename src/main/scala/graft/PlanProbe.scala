@@ -24,7 +24,7 @@ object PlanProbe {
     // exit 0 (the PlanDump posture) — before/after plan evidence that
     // is silently absent reads as "nothing to dump"
     val known = Set("triangles", "triangles_after", "kcore_after",
-      "mm", "cppart", "triwedges", "labelprop", "kcore")
+      "mm", "cppart", "triwedges", "labelprop", "kcore", "gatejobs")
     require((which -- known).isEmpty,
       s"PlanProbe knows no probe(s): ${(which -- known).toSeq.sorted
         .mkString(", ")} — known: ${known.toSeq.sorted.mkString(", ")}")
@@ -206,6 +206,47 @@ object PlanProbe {
       BenchUtil.sink(coPairs.selectExpr("least(pa,pb) u", "greatest(pa,pb) v")
         .where("u <> v").distinct())
       println(f"[planprobe] canon distinct=${(System.nanoTime() - e0) / 1e9}%.3f s")
+    }
+    if (which("gatejobs")) {
+      // Spark-job count per gate serve (optimization r14, VERDICT r13
+      // #3/#6): every job submitted during construction is a
+      // sequential driver-blocking barrier (eager checkpoints, bounded
+      // collects) — on an object store each is a LIST+GET round trip
+      // the serve cannot overlap. Counts jobs from gate-fn entry
+      // through one full materialisation (collect).
+      val gates = sys.env.getOrElse("SPARK_GRAFT_PROBE_GATES",
+        "dedup_incremental_verified,dedup_incremental_verified_indexed," +
+          "scd2_purge_history,scd2_store_history")
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      // optional conf overrides for in-process A/B (e.g. disabling the
+      // purge-list memo via spark.graft.history.purgeTinyBytes=0)
+      sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(",")
+        .map(_.trim).filter(_.contains("=")).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          spark.conf.set(k, v)
+          println(s"[planprobe] conf $k=$v")
+        })
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      gates.foreach { g =>
+        // warm serve first: session-cached index/model builds and their
+        // one-time jobs land outside the measured serve
+        SparkEntry.queries(g)(spark, sfDir).collect()
+        Thread.sleep(500) // let queued listener events drain
+        counter.set(0)
+        val (_, t: Double) = time {
+          SparkEntry.queries(g)(spark, sfDir).collect()
+          Thread.sleep(500)
+        }
+        val n = counter.get()
+        println(f"[planprobe] gatejobs $g jobs=$n%d wall=$t%.3f s")
+      }
+      spark.sparkContext.removeSparkListener(listener)
     }
     if (which("labelprop")) {
       val seeds = graft.sources.Tables.part(spark, sfDir)

@@ -503,39 +503,6 @@ object TextOps {
     // table is pinned once and serves both legs' batch sides AND the
     // in-batch other side — the same re-runs-per-branch reasoning as
     // the pinned band table above.
-    lazy val bsh = shingles(newDocs).localCheckpoint()
-    def verified(pairs0: DataFrame,
-                 otherShinglesFor: DataFrame => DataFrame): DataFrame =
-      if (minJaccard <= 0) pairs0
-      else {
-        // pin the (collision-bounded, tiny) pair set and collider
-        // shingle table: each is read twice below, and Spark reuses
-        // nothing across self-referencing branches — unpinned, the
-        // corpus band join and the corpus shingle kernel would run
-        // twice per call
-        val pairs = pairs0.localCheckpoint()
-        val osh = otherShinglesFor(pairs)
-          .select(col("doc_id").as("other"), col("s"))
-          .join(pairs.select("other").distinct(), Seq("other"), "left_semi")
-          .localCheckpoint()
-        val na = bsh.groupBy("doc_id").agg(count(lit(1)).as("na"))
-        val nb = osh.groupBy("other").agg(count(lit(1)).as("nb"))
-        pairs.join(bsh, "doc_id")
-          .join(osh, Seq("other", "s"))
-          .groupBy("doc_id", "other").agg(count(lit(1)).as("common"))
-          .join(na, "doc_id").join(nb, "other")
-          // fixed-point threshold (the jaccardOf emission protocol):
-          // exact integral comparison, engine-identical by construction
-          .filter(expr("(common * 10000) div (na + nb - common)") >=
-            math.round(minJaccard * 10000))
-          .select("doc_id", "other")
-      }
-    val ch = verified(corpusPairs, corpusShinglesFor)
-      .groupBy("doc_id")
-      .agg(countDistinct(col("other")).as("n_c"), min(col("other")).as("m_c"))
-    val bh = verified(batchPairs, _ => bsh)
-      .groupBy("doc_id")
-      .agg(countDistinct(col("other")).as("n_b"), min(col("other")).as("m_b"))
     // total over the batch: docs too short to shingle (< k tokens) have
     // no signature and CANNOT be classified — they get an explicit
     // `no_signature` row instead of silently vanishing (an ingest gate
@@ -543,10 +510,81 @@ object TextOps {
     // distinct: exactly ONE row per batch doc_id even if a malformed
     // batch repeats an id — the totality contract is per id
     val signed = bb.select("doc_id").distinct().withColumn("has_sig", lit(1))
-    newDocs.select("doc_id").distinct()
+    val base = newDocs.select("doc_id").distinct()
       .join(signed, Seq("doc_id"), "left")
-      .join(ch, Seq("doc_id"), "left")
-      .join(bh, Seq("doc_id"), "left")
+    val withStats =
+      if (minJaccard <= 0)
+        base
+          .join(corpusPairs.groupBy("doc_id")
+            .agg(countDistinct(col("other")).as("n_c"),
+              min(col("other")).as("m_c")), Seq("doc_id"), "left")
+          .join(batchPairs.groupBy("doc_id")
+            .agg(countDistinct(col("other")).as("n_b"),
+              min(col("other")).as("m_b")), Seq("doc_id"), "left")
+      else {
+        // exact-Jaccard verification of colliding pairs: the other
+        // side's shingles are fetched ONLY for colliders (semi-join),
+        // so the cost is bounded by the collision set. Ratio + 4-dp
+        // rounding follow [[jaccardPairs]]'s arithmetic over RAW
+        // shingle sets (thresholds NOT interchangeable with the
+        // DF-capped operator on boilerplate-heavy corpora).
+        //
+        // optimization r14 (VERDICT r13 #3): ONE leg-tagged candidate
+        // union instead of a per-leg pin/fetch/verify cascade. r13 ran
+        // verification twice — corpus leg and in-batch leg each pinned
+        // its pair set and its collider shingle table (4 eager
+        // checkpoint jobs) and joined separately. The legs share every
+        // operand shape, so the pair sets union under a `leg` tag (one
+        // pin), the collider shingle sides union under the same tag
+        // (one pin), and ONE join+aggregate verifies both — per-leg
+        // semantics preserved exactly because every join below carries
+        // `leg` in its key. ~10 sequential driver-blocking jobs per
+        // serve → ~6 (measured in OPTIMIZATION_r14.md).
+        val pairs = corpusPairs.withColumn("leg", lit("c"))
+          .unionByName(batchPairs.withColumn("leg", lit("b")))
+          .localCheckpoint()
+        // the batch shingle table serves the na side, the in-batch
+        // collider side AND the verification join — pinned once
+        val bsh = shingles(newDocs).localCheckpoint()
+        val cPairs = pairs.filter(col("leg") === "c")
+        val osh = corpusShinglesFor(cPairs)
+          .select(col("doc_id").as("other"), col("s"))
+          .join(cPairs.select("other").distinct(), Seq("other"), "left_semi")
+          .withColumn("leg", lit("c"))
+          .unionByName(bsh
+            .select(col("doc_id").as("other"), col("s"))
+            .join(pairs.filter(col("leg") === "b").select("other").distinct(),
+              Seq("other"), "left_semi")
+            .withColumn("leg", lit("b")))
+          .localCheckpoint()
+        val na = bsh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+        val nb = osh.groupBy("leg", "other").agg(count(lit(1)).as("nb"))
+        val ok = pairs.join(bsh, "doc_id")
+          .join(osh, Seq("leg", "other", "s"))
+          .groupBy("leg", "doc_id", "other").agg(count(lit(1)).as("common"))
+          .join(na, "doc_id").join(nb, Seq("leg", "other"))
+          // fixed-point threshold (the jaccardOf emission protocol):
+          // exact integral comparison, engine-identical by construction
+          .filter(expr("(common * 10000) div (na + nb - common)") >=
+            math.round(minJaccard * 10000))
+          .select("leg", "doc_id", "other")
+        // fold both legs in one pass; zero counts nullify so the
+        // verdict/coalesce logic below sees EXACTLY what the per-leg
+        // left joins produced (a doc with only batch matches must have
+        // n_c NULL, not 0)
+        val vAgg = ok.groupBy("doc_id")
+          .agg(countDistinct(when(col("leg") === "c", col("other")))
+            .as("nc0"),
+            min(when(col("leg") === "c", col("other"))).as("m_c"),
+            countDistinct(when(col("leg") === "b", col("other")))
+              .as("nb0"),
+            min(when(col("leg") === "b", col("other"))).as("m_b"))
+          .select(col("doc_id"),
+            when(col("nc0") > 0, col("nc0")).as("n_c"), col("m_c"),
+            when(col("nb0") > 0, col("nb0")).as("n_b"), col("m_b"))
+        base.join(vAgg, Seq("doc_id"), "left")
+      }
+    withStats
       .select(col("doc_id"),
         when(col("has_sig").isNull, "no_signature")
           .when(col("n_c").isNotNull, "near_dup_of_corpus")
