@@ -30,23 +30,26 @@ object GraftSession {
     // thresholds: the 10 GB application-side floor is the right guard
     // against paying the filter build on small scans.
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    // optimization r13 (guide §3.1/§9): let the planner choose
-    // shuffled-hash over sort-merge when its own size conditions hold
-    // (build side under autoBroadcastJoinThreshold × shuffle
-    // partitions per partition, AND ≥3× smaller than the probe side)
-    // — most of this engine's joins feed aggregations or very wide
-    // fan-outs, where SMJ's sort buys nothing downstream. HONEST
-    // CAVEAT: the static planner's bound is a Catalyst size ESTIMATE,
-    // and SHJ's build map does not spill — a badly under-estimated
-    // build side (post-filter/post-agg subtrees are the classic case)
-    // that would have sorted-and-spilled under SMJ can OOM a task
-    // under SHJ. The 3×-smaller + per-partition-bound conditions keep
-    // that window narrow, and a deployment that hits it turns this
-    // one conf back on. The AQE twin below is the safe half: it
-    // converts remaining SMJs at runtime from MEASURED map output
+    // optimization r13 set BOTH halves of the shuffled-hash-join
+    // policy: static `preferSortMergeJoin=false` (planner picks SHJ
+    // from Catalyst size ESTIMATES) + the AQE runtime threshold.
+    // Optimization r14 (VERDICT r13 #2) re-adjudicated with an
+    // INTERLEAVED per-gate A/C/B probe (PlanProbe shjab — alternating
+    // single serves in one process, so box drift hits every variant
+    // equally, the confound that poisoned r13's whole-suite draws):
+    // on every gate r13 credited to the confs (sketch_kmv_indexed/
+    // overlap, dedup_cosine_pairs, dedup_incremental_indexed,
+    // text_quality_classifier, scd2_pit_join) the AQE-only variant is
+    // within noise of both-halves — the static half contributes no
+    // measurable win. It DOES carry the real 100 TB hazard: SHJ's
+    // build map does not spill, and a badly under-estimated
+    // post-filter build side that would have sorted-and-spilled under
+    // SMJ can OOM a task. So the static half is DROPPED (planner
+    // default preferSortMergeJoin=true stands) and only the safe leg
+    // stays: AQE converts SMJ→SHJ at runtime from MEASURED map output
     // (every post-shuffle partition under 64 MB) — runtime-sized,
-    // scale-adaptive by construction.
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    // scale-adaptive, spill-risk bounded by real sizes, not estimates.
+    // Evidence: plans/r14/shjab_probe.txt, OPTIMIZATION_r14.md.
     spark.conf.set(
       "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
     graft.functions.GraftFunctions.register(spark)

@@ -24,7 +24,8 @@ object PlanProbe {
     // exit 0 (the PlanDump posture) — before/after plan evidence that
     // is silently absent reads as "nothing to dump"
     val known = Set("triangles", "triangles_after", "kcore_after",
-      "mm", "cppart", "triwedges", "labelprop", "kcore", "gatejobs")
+      "mm", "cppart", "triwedges", "labelprop", "kcore", "gatejobs",
+      "shjab")
     require((which -- known).isEmpty,
       s"PlanProbe knows no probe(s): ${(which -- known).toSeq.sorted
         .mkString(", ")} — known: ${known.toSeq.sorted.mkString(", ")}")
@@ -247,6 +248,51 @@ object PlanProbe {
         println(f"[planprobe] gatejobs $g jobs=$n%d wall=$t%.3f s")
       }
       spark.sparkContext.removeSparkListener(listener)
+    }
+    if (which("shjab")) {
+      // interleaved A/B/A of the session join-strategy confs (VERDICT
+      // r13 #2): preferSortMergeJoin=false + AQE SHJ threshold ON
+      // (A, the session default) vs planner default SMJ (B), three
+      // serves each per phase, min per phase — interleaving in ONE
+      // process removes the box-drift confound that poisoned r13's
+      // whole-suite comparisons.
+      val gates = sys.env.getOrElse("SPARK_GRAFT_PROBE_GATES",
+        "text_quality_classifier,dedup_cosine_pairs")
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      // A = both halves on (r13 session default: static
+      // preferSortMergeJoin=false + AQE SHJ threshold 64m);
+      // C = AQE half only (the spill-safe leg: static planner keeps
+      // SMJ, AQE converts from MEASURED map output);
+      // B = neither (planner defaults)
+      val variants = Seq(
+        "A" -> ("false", "64m"), "C" -> ("true", "64m"),
+        "B" -> ("true", "0"))
+      def setConfs(v: String): Unit = {
+        val (smj, thr) = variants.toMap.apply(v)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", smj)
+        spark.conf.set(
+          "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", thr)
+      }
+      def serve(g: String): Double = {
+        val (_, t) = time(BenchUtil.sink(SparkEntry.queries(g)(spark, sfDir)))
+        t
+      }
+      gates.foreach { g =>
+        serve(g); serve(g) // warm (session caches, codegen)
+        // ALTERNATE single serves A,C,B,A,C,B,… so a monotonic
+        // warm-up / drift trend hits every variant equally
+        val draws = (0 until 15).map { i =>
+          val v = variants(i % 3)._1
+          setConfs(v); (v, serve(g))
+        }
+        setConfs("C") // restore the session policy (AQE half only, r14)
+        def fmt(v: String): String = {
+          val ts = draws.filter(_._1 == v).map(_._2)
+          f"${ts.min}%.3f(${ts.map(t => f"$t%.2f").mkString("/")})"
+        }
+        println(s"[planprobe] shjab $g " +
+          variants.map(v => s"${v._1}=${fmt(v._1)}").mkString(" "))
+      }
     }
     if (which("labelprop")) {
       val seeds = graft.sources.Tables.part(spark, sfDir)

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *    one directory per z-cell, so a box read is partition-directory
   *    pruning over [[LayoutOps.cellsForBox]]'s candidate list.
   *  - `ids/` — a narrow `(id, dims, zcell)` sidecar partitioned by
-  *    `idp = id mod 256`: the presence/changed-content probe for
+  *    `idp = id mod m`, where `m` follows the measured corpus size at
+  *    build (clamp(rows/4096, 1, 256), frozen in meta — the
+  *    FingerprintIndex adaptive-geometry posture, optimization r14):
+  *    the presence/changed-content probe for
   *    appends. It CANNOT live in `data/` alone: data is partitioned by
   *    content (the cell), and a re-appended id with changed dimensions
   *    lands in a DIFFERENT cell — a cell-pruned probe would miss the
@@ -44,7 +47,22 @@ object LayoutStore {
     */
   case class LayoutMeta(cols: Seq[String], idCol: String, bits: Int,
                         cellBits: Int, mins: Seq[Long], maxs: Seq[Long],
-                        curve: String = "z")
+                        curve: String = "z", idpMod: Int = 256)
+
+  /** `ids/` sidecar directory granularity follows the MEASURED corpus
+    * size at build (optimization r14, VERDICT r13 #8 — the
+    * FingerprintIndex bucket-geometry lesson applied to the last fixed
+    * 256-way store): clamp(rows / rowsPerBucket, 1, 256), frozen into
+    * meta so appends and probes agree forever. A 10k-row layout stops
+    * paying 256 directory opens per append presence probe; a
+    * corpus-scale store keeps the historical 256-way pruning (the cap).
+    */
+  private def idpModFor(spark: SparkSession, rows: Long): Int = {
+    val perBucket = spark.conf
+      .getOption("spark.graft.layout.rowsPerBucket")
+      .map(_.toLong).getOrElse(4096L)
+    math.max(1L, math.min(256L, rows / perBucket)).toInt
+  }
 
   /** Build and persist: bounds from this corpus become the frozen
     * grid. Staged write + atomic swap ([[IndexStores.swapInto]]) — a
@@ -83,15 +101,17 @@ object LayoutStore {
         .write.mode("overwrite").partitionBy("zcell")
         .parquet(s"$staging/data")
       // the probe sidecar reads back the just-written data (not the
-      // input plan — same reuse posture as writeIvfPq's vectors join)
-      idRows(spark.read.parquet(s"$staging/data"), cols, idCol)
+      // input plan — same reuse posture as writeIvfPq's vectors join);
+      // its directory granularity follows the measured input size
+      val idpMod = idpModFor(spark, df.count())
+      idRows(spark.read.parquet(s"$staging/data"), cols, idCol, idpMod)
         .repartition(col("idp"))
         .write.mode("overwrite").partitionBy("idp")
         .parquet(s"$staging/ids")
       import spark.implicits._
-      Seq((cols, idCol, bits, cellBits, mins, maxs, curve))
+      Seq((cols, idCol, bits, cellBits, mins, maxs, curve, idpMod))
         .toDF("cols", "id_col", "bits", "cell_bits", "mins", "maxs",
-          "curve")
+          "curve", "idp_mod")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$staging/meta")
       IndexStores.swapInto(spark, path, staging)
@@ -105,10 +125,10 @@ object LayoutStore {
     * would hold mixed physical types across files.
     */
   private def idRows(encoded: DataFrame, cols: Seq[String],
-                     idCol: String): DataFrame =
+                     idCol: String, idpMod: Int): DataFrame =
     encoded.select(col(idCol) +: cols.map(col) :+
       col("zcell").cast("long").as("zcell"): _*)
-      .withColumn("idp", pmod(col(idCol), lit(256)).cast("int"))
+      .withColumn("idp", pmod(col(idCol), lit(idpMod)).cast("int"))
 
   def loadMeta(spark: SparkSession, path: String): LayoutMeta = {
     IndexStores.healRoot(spark, path)
@@ -125,9 +145,16 @@ object LayoutStore {
     val curve =
       if (row.schema.fieldNames.contains("curve")) row.getString(6)
       else "z"
+    // stores persisted before the adaptive sidecar geometry carry no
+    // idp_mod — they were all written 256-way (same defensive posture
+    // as `curve`)
+    val idpMod =
+      if (row.schema.fieldNames.contains("idp_mod"))
+        row.getInt(row.fieldIndex("idp_mod"))
+      else 256
     LayoutMeta(row.getSeq[String](0), row.getString(1), row.getInt(2),
       row.getInt(3), row.getSeq[Long](4), row.getSeq[Long](5),
-      curve)
+      curve, idpMod)
   }
 
   /** Ingest a batch under the frozen grid: encode with the stored
@@ -176,7 +203,8 @@ object LayoutStore {
         throw new IllegalArgumentException(
           s"LayoutStore.append: ${meta.idCol}=" +
             s"${dup(0).getAs[Any](0)} appears more than once in the batch")
-      val encIds = idRows(enc, meta.cols, meta.idCol).localCheckpoint()
+      val encIds = idRows(enc, meta.cols, meta.idCol, meta.idpMod)
+        .localCheckpoint()
       val prefixes = encIds.select("idp").distinct()
         .collect().map(_.getInt(0)).toSeq
       val stored = IndexStores.presentRows(spark, s"$path/ids",
@@ -246,7 +274,7 @@ object LayoutStore {
     graft.core.ParquetTable.overwriteAtomicPartitioned(spark,
       s"$path/ids",
       idRows(IndexStores.readStore(spark, s"$path/data"),
-        meta.cols, meta.idCol).repartition(col("idp")),
+        meta.cols, meta.idCol, meta.idpMod).repartition(col("idp")),
       "idp")
     IndexStores.clearTombstones(spark, path)
   }

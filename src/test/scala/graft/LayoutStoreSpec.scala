@@ -365,4 +365,38 @@ class LayoutStoreSpec extends SparkSpec {
     assert(files <= dirs,
       s"expected ≤1 file per cell after in-stream compaction: $files/$dirs")
   }
+
+  test("ids sidecar geometry follows the measured store size") {
+    // 400-row corpus at the 4096 default → ONE idp directory, not 256
+    val path = tmpDir("ls-geom") + "/layout"
+    LayoutStore.write(corpus, path, Seq("x", "y"), idCol = "id")
+    assert(LayoutStore.loadMeta(spark, path).idpMod === 1)
+    assert(spark.read.parquet(s"$path/ids")
+      .select("idp").distinct().count() === 1)
+    // the historical geometry stays reproducible via the conf, results
+    // identical across geometries, appends honour the frozen mod
+    spark.conf.set("spark.graft.layout.rowsPerBucket", "2")
+    val wide = tmpDir("ls-geom-wide") + "/layout"
+    try LayoutStore.write(corpus, wide, Seq("x", "y"), idCol = "id")
+    finally spark.conf.unset("spark.graft.layout.rowsPerBucket")
+    assert(LayoutStore.loadMeta(spark, wide).idpMod === 200)
+    assert(dumpBox(wide, box) === dumpBox(path, box))
+    val b = mkRows(400 until 430, i => (i.toLong % 1000, i.toLong % 5000))
+      .localCheckpoint()
+    LayoutStore.append(spark, path, b)
+    LayoutStore.append(spark, wide, b)
+    assert(spark.read.parquet(s"$path/ids")
+      .select("idp").distinct().count() === 1,
+      "append must honour the frozen 1-way geometry")
+    val all = Seq((0L, 1000L), (0L, 5000L))
+    assert(dumpBox(path, all) === dumpBox(wide, all))
+    // retry-skip and changed-content reject still hold on the new
+    // geometry (they read the sidecar through the frozen mod)
+    LayoutStore.append(spark, path, b) // replay = no-op
+    assert(dumpBox(path, all) === dumpBox(wide, all))
+    intercept[IllegalArgumentException] {
+      LayoutStore.append(spark, path,
+        mkRows(400 until 401, i => (999L, 999L)).localCheckpoint())
+    }
+  }
 }
