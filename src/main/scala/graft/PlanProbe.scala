@@ -51,15 +51,11 @@ object PlanProbe {
       println(s"[planprobe] wrote $name")
     }
 
-    // the co-purchase pair frame all three graph gates share
-    def coPairs: DataFrame = {
-      val li = graft.sources.Tables.lineitem(spark, sfDir)
-        .select("l_orderkey", "l_partkey").distinct()
-      val a = li.alias("a"); val b = li.alias("b")
-      a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-    }
+    // the co-purchase pair frame all three graph gates share (the
+    // GATE-faithful derivation — r14 replaced the distinct+self-join
+    // with the grouped-array form, see ExtQueries.coPurchasePairs)
+    def coPairs: DataFrame =
+      graft.queries.ExtQueries.coPurchasePairs(spark, sfDir)
 
     if (which("triangles")) {
       // the per-node triangle frame IS the computation the gate times

@@ -781,15 +781,32 @@ object ExtQueries {
     * part gets. Top-20 parts by triangle participation with the
     * graph's total attached; all-integer, hash-exact.
     */
+  /** The co-purchase pair frame the three graph gates share.
+    * Optimization r14 (guide §2.4): the old derivation paid
+    * distinct + self-join on l_orderkey — two exchanges of the
+    * lineitem projection BEFORE the graph operators' own canonical
+    * distinct. The same pair SET falls out of ONE exchange: group each
+    * order's distinct parts into a sorted array and emit the in-order
+    * pairs map-side (sorted-set elements are strictly increasing, so
+    * pa < pb and no self-pairs by construction; per-order fanout is
+    * the same bounded quadratic the self-join paid). Cross-order
+    * duplicate pairs collapse in the operators' canonical distinct
+    * exactly as the join's duplicates did — the graph is identical.
+    * Evidence: plans/r14/graph_label_prop_{before,after}.txt.
+    */
+  private[graft] def coPurchasePairs(spark: SparkSession,
+                                     dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+          |    struct(x AS pa, y AS pb))))""".stripMargin)).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_partkey").distinct()
-    val a = li.alias("a")
-    val b = li.alias("b")
-    val pairs = a.join(b,
-      col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    val pairs = coPurchasePairs(spark, dir)
     GraphOps.triangleSummary(pairs, topN = 20)
       .select(col("node").as("part"), col("degree"), col("triangles"),
         col("total_triangles"))
@@ -805,14 +822,7 @@ object ExtQueries {
     * unrolls all three rounds as CTEs, the pagerank posture).
     */
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_partkey").distinct()
-    val a = li.alias("a")
-    val b = li.alias("b")
-    val pairs = a.join(b,
-      col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    val pairs = coPurchasePairs(spark, dir)
     val seeds = Tables.part(spark, dir)
       .filter(col("p_partkey") % 5 === 0)
       .select(col("p_partkey").as("id"),
@@ -829,17 +839,9 @@ object ExtQueries {
     * oracle unrolls every peel round (the pagerank posture); the
     * fixpoint face is spec-pinned equal at the measured peel depth.
     */
-  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_partkey").distinct()
-    val a = li.alias("a")
-    val b = li.alias("b")
-    val pairs = a.join(b,
-      col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-    GraphOps.kCorePeel(pairs, k = 80, rounds = 3).orderBy("id")
-  }
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.kCorePeel(coPurchasePairs(spark, dir), k = 80, rounds = 3)
+      .orderBy("id")
 
   /** Declarative data-quality suite
     * ([[graft.operators.ConstraintOps.check]]) over `orders` — six
