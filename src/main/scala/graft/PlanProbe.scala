@@ -236,10 +236,12 @@ object PlanProbe {
         SparkEntry.queries(g)(spark, sfDir).collect()
         Thread.sleep(500) // let queued listener events drain
         counter.set(0)
+        // the drain sleep stays OUTSIDE the timed block (review r14:
+        // a constant +0.5 s would overstate every sub-second serve)
         val (_, t: Double) = time {
           SparkEntry.queries(g)(spark, sfDir).collect()
-          Thread.sleep(500)
         }
+        Thread.sleep(500)
         val n = counter.get()
         println(f"[planprobe] gatejobs $g jobs=$n%d wall=$t%.3f s")
       }

@@ -679,46 +679,56 @@ object GraphOps {
     (closedWedgesFrom(oriented, bcastClose = false), deg)
   }
 
-  /** The wedge-closure join over an oriented edge frame. The closing
-    * side is the edge table itself projected to `(b, c)` — edge-sized,
-    * so when the caller MEASURED the edge count small
-    * ([[triangleSummary]]) it broadcasts, and the (potentially
-    * E^1.5-sized) wedge stream is never exchanged: wedges flow map-side
-    * through the broadcast hash join straight into the consumer's
-    * partial aggregation. Past the threshold the closure stays a
-    * shuffle join — the wedge volume is the algorithm's cost either
-    * way, the broadcast only removes the exchange.
+  /** Out-adjacency lists of an oriented edge frame:
+    * `(node, nbrs = array of N⁺(node), order immaterial)`. One row per
+    * non-sink node, E total entries — edge-sized, and every list is
+    * O(√E)-bounded under the degree orientation. Duplicate-free by
+    * construction (the oriented frame descends from canonEdges'
+    * distinct).
+    */
+  private[graft] def adjacencyOf(oriented: DataFrame): DataFrame =
+    oriented.groupBy(col("src").as("node"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+
+  /** Closed triangles by ADJACENCY-LIST INTERSECTION (optimization
+    * r14, VERDICT r13 #1 — the classic "forward" refinement). The r13
+    * kernel (o1 ⋈ o2 on src, (deg,id)-order filter, close by edge
+    * b→c) was already degree-oriented, but it MATERIALISED the full
+    * O(E^1.5) oriented-wedge stream as rows (41.1 M at sf0.1 vs 1.2 M
+    * edges) through a self-join + closure join. Here, for each
+    * oriented edge a→b, every c ∈ N⁺(a) ∩ N⁺(b) closes exactly the
+    * triangle the wedge kernel found at pivot a (a→c from the a side,
+    * b→c from the b side, orientation = the same (deg,id) total
+    * order, so b before c automatically) — each triangle still found
+    * exactly once, same `(src, b, c)` multiset (array_intersect's
+    * dedup is a no-op on duplicate-free lists), but the only rows
+    * that ever exist are E edge rows carrying bounded adjacency
+    * arrays and one output row PER TRIANGLE. The Σ|N⁺| probe count
+    * equals the wedge volume — that is the algorithm — but it runs as
+    * hash-set probes inside one projection instead of 41 M
+    * join-output rows flowing through an exchange-adjacent
+    * aggregation.
+    *
+    * `bcastClose`: when the caller MEASURED the edge count small
+    * ([[triangleSummary]]), both adjacency attaches broadcast (the
+    * adjacency table is edge-sized, exactly the frame the r13 kernel
+    * broadcast as its closure side) and the edge stream is never
+    * exchanged. Past the gate both attach joins fall back to
+    * planner-default shuffles — scale-adaptive. Evidence:
+    * plans/r14/graph_triangles_{before,after}, OPTIMIZATION_r14.md.
     */
   private[graft] def closedWedgesFrom(oriented: DataFrame,
-      bcastClose: Boolean): DataFrame = {
-    // optimization r14 (VERDICT r13 #1): adjacency-list intersection
-    // instead of wedge materialisation. The r13 kernel (o1 ⋈ o2 on src,
-    // (deg,id)-order filter, close by edge b→c) was already degree-
-    // oriented, but it MATERIALISED the full O(E^1.5) oriented-wedge
-    // stream as rows (41.1 M at sf0.1 vs 1.2 M edges) through the
-    // self-join + closure join. The classic "forward" refinement: for
-    // each oriented edge a→b, every c ∈ N⁺(a) ∩ N⁺(b) closes exactly
-    // the triangle the wedge kernel found at pivot a (a→c from the a
-    // side, b→c from the b side, orientation = the same (deg,id) total
-    // order, so b before c automatically) — each triangle still found
-    // exactly once, but the only rows that ever exist are E edge rows
-    // carrying bounded adjacency arrays (out-degree ≤ O(√E) under the
-    // orientation) and one output row PER TRIANGLE. The Σ|N⁺| touch
-    // count is the same as the wedge volume — that is the algorithm —
-    // but it runs as hash-set probes inside one projection instead of
-    // 41 M join-output rows flowing through an exchange-adjacent
-    // aggregation. Evidence: plans/r14/graph_triangles_{before,after},
-    // OPTIMIZATION_r14.md (bench + PlanProbe triwedges row counts).
-    //
-    // array_intersect dedups, but adjacency lists are duplicate-free by
-    // construction (canonEdges distinct), so the multiset is unchanged.
-    val adj = oriented.groupBy(col("src").as("node"))
-      .agg(collect_list(col("dst")).as("nbrs"))
-    // the adjacency table carries one row per non-sink node and E total
-    // entries — edge-sized, exactly the frame the r13 kernel broadcast
-    // as the closure side; the same measured-count gate applies. Past
-    // the gate both attach joins fall back to planner-default shuffles
-    // (scale-adaptive; the arrays stay O(√E)-bounded per row).
+      bcastClose: Boolean): DataFrame =
+    closedWedgesFromAdj(oriented, adjacencyOf(oriented), bcastClose)
+
+  /** [[closedWedgesFrom]] with a caller-supplied adjacency table.
+    * Catalyst reuses nothing across the two attach branches, so an
+    * inline adjacency subtree executes TWICE (full groupBy + exchange
+    * + broadcast build each) — [[triangleSummary]] pins it once
+    * (review r14) and passes the checkpoint here.
+    */
+  private[graft] def closedWedgesFromAdj(oriented: DataFrame,
+      adj: DataFrame, bcastClose: Boolean): DataFrame = {
     def side(k: String): DataFrame = {
       val p = adj.select(col("node").as(k), col("nbrs").as(s"n_$k"))
       if (bcastClose) broadcast(p) else p
@@ -734,10 +744,11 @@ object GraphOps {
     * row, `(total_triangles)`. For consumers that only gate on the
     * aggregate (e.g. "how clustered is this co-occurrence graph"), the
     * per-node explode (3 rows per triangle) + groupBy + zero-fill join
-    * back against the degree table is pure waste: each closed wedge IS
-    * one triangle, so the total is a bare map-side-combinable count of
-    * the closure join's output — the O(E^1.5) wedge join stays (it is
-    * the algorithm), everything after it collapses to one count.
+    * back against the degree table is pure waste: the intersection
+    * kernel emits one row PER TRIANGLE, so the total is a bare
+    * map-side-combinable count of its output — the O(E^1.5)
+    * intersection probe work stays (it is the algorithm), everything
+    * after it collapses to one count.
     * Pinned ≡ `sum(triangleCounts.triangles) div 3` by spec.
     */
   def triangleTotal(pairs: DataFrame): DataFrame =
@@ -775,8 +786,13 @@ object GraphOps {
       val bClose = fitsBroadcast(e, e.count())
       val (oriented, oIds) = eagerCp(orientFrom(e, deg, bDeg))
       releaseCp(e, eIds)
+      // pin the adjacency table (review r14): inline, its groupBy +
+      // exchange + broadcast build would execute once PER attach side
+      val (adj, adjIds) = eagerCp(adjacencyOf(oriented))
       val (tc, tcIds) = eagerCp(triangleCountsFrom(
-        closedWedgesFrom(oriented, bClose), deg, bcastPerNode = bDeg))
+        closedWedgesFromAdj(oriented, adj, bClose), deg,
+        bcastPerNode = bDeg))
+      releaseCp(adj, adjIds)
       releaseCp(oriented, oIds)
       releaseCp(deg, degIds)
       try {

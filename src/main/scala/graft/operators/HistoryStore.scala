@@ -552,17 +552,24 @@ object HistoryStore {
     if (!IndexStores.hasStore(spark, s"$path/purged")) return None
     // optimization r14 (VERDICT r13 #6): the list is constant between
     // purge()/compact() rewrites and coalesced to one file — at or
-    // under the byte gate, serve it through the fingerprint-fenced
+    // under the gates, serve it through the fingerprint-fenced
     // tiny-read memo instead of paying count+collect (2 sequential
     // driver-blocking jobs) on EVERY serve. Any rewrite changes the
     // directory fingerprint and forces a re-read, so staleness is
     // impossible by the same argument as every other memoized store
-    // artifact.
+    // artifact. BOTH gates are checked BEFORE any collect (review
+    // r14): the footer row count is a driver-side metadata read, so a
+    // delta/RLE-compressed million-key list — byte-tiny but far over
+    // the row cap — is routed to the join-based path below without
+    // its rows ever landing on the driver, exactly the protection
+    // purgeLocalCap documents.
     val tiny = IndexStores.tinyStoreBytes(spark, s"$path/purged")
       .filter(_ <= purgeTinyBytes(spark))
+      .flatMap(_ => IndexStores.parquetFooterRows(spark, s"$path/purged"))
+      .filter(n => n > 0 && n <= purgeLocalCap(spark))
       .map(_ => IndexStores.readTinyStore(spark, s"$path/purged"))
     tiny match {
-      case Some(rows) if rows.nonEmpty && rows.size <= purgeLocalCap(spark) =>
+      case Some(rows) if rows.nonEmpty =>
         return Some(PurgeList(
           spark.createDataFrame(java.util.Arrays.asList(rows: _*),
             rows.head.schema),

@@ -107,6 +107,28 @@ private[graft] object IndexStores {
       dir: String): Option[Long] =
     dirListing(spark, dir).map(_.map(_.getLen).sum)
 
+  /** EXACT row count of a parquet store from the file footers — a
+    * driver-side metadata read (no Spark job), one footer per data
+    * file. This is the guard that lets a caller refuse to collect a
+    * byte-tiny store whose ROW count is huge (review r14: delta/RLE
+    * encoding can pack millions of long-pair rows under any byte
+    * gate, and a collect of those rows is exactly the driver-heap
+    * cliff the row caps exist to prevent). None when the dir is
+    * absent.
+    */
+  private[graft] def parquetFooterRows(spark: SparkSession,
+      dir: String): Option[Long] =
+    dirListing(spark, dir).map { ls =>
+      val conf = spark.sessionState.newHadoopConf()
+      ls.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+    }
+
   /** Collect a bounded-tiny store table through the fingerprint memo.
     * Heals the `.__old_`-only crash window first (the [[readStore]]
     * contract). Rows keep their schema ([[GenericRowWithSchema]]), so

@@ -792,7 +792,8 @@ object ExtQueries {
     * the same bounded quadratic the self-join paid). Cross-order
     * duplicate pairs collapse in the operators' canonical distinct
     * exactly as the join's duplicates did — the graph is identical.
-    * Evidence: plans/r14/graph_label_prop_{before,after}.txt.
+    * Evidence: plans/r14/graph_pairs_{before,after}.txt (plan pair +
+    * in-run pair-set equality check).
     */
   private[graft] def coPurchasePairs(spark: SparkSession,
                                      dir: String): DataFrame =
@@ -2578,9 +2579,14 @@ object ExtQueries {
     * lineage — and the checkpoints that frame reads stay pinned until
     * the NEXT invocation of the same gate releases them here. Retained
     * blocks are bounded by one invocation per gate key; a failed build
-    * still releases its own pins immediately. (A frame returned by a
-    * PREVIOUS invocation dies loudly if executed after this release —
-    * the localCheckpoint contract; consumers materialise once.)
+    * still releases its own pins immediately. A frame returned by a
+    * PREVIOUS invocation is not guaranteed re-executable after this
+    * release: a never-materialised one fails loudly on first access
+    * (the localCheckpoint contract, spec-pinned in
+    * NearDupGateLatchSpec), an already-materialised one may keep
+    * serving from its cached exchange outputs — either way it can
+    * never silently serve wrong or stale rows. Consumers materialise
+    * once.
     */
   private val gatePins = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.SparkContext, Set[Int])]()
@@ -2589,8 +2595,11 @@ object ExtQueries {
     val sc = spark.sparkContext
     Option(gatePins.remove(key)).foreach { case (psc, ids) =>
       if (psc eq sc)
+        // blocking: the previous frame's death must be deterministic
+        // (spec-pinned loud failure), not a race against async block
+        // removal; the released sets are invocation-bounded and small
         ids.foreach(id =>
-          sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
     }
     val before = sc.getPersistentRDDs.keySet.toSet
     try {
@@ -2611,7 +2620,12 @@ object ExtQueries {
     * directly (equivalent by pigeonhole: bands = maxHamming + 1 makes
     * the banded join exhaustive, not approximate). Bounded output;
     * the one-decode-pass checkpoint is released by the next call
-    * ([[retainedAcrossCalls]]).
+    * ([[retainedAcrossCalls]]) — as for the other three near-dup
+    * gates, the returned frame is fully valid until the SAME gate is
+    * called again; after that a not-yet-materialised frame fails
+    * loudly on first access (spec-pinned), while an
+    * already-materialised one may keep serving from its own cached
+    * exchange outputs (same rows either way — never stale data).
     */
   def multimodalNearDup(spark: SparkSession, dir: String): DataFrame =
     retainedAcrossCalls(spark, "multimodal_neardup") {
