@@ -77,14 +77,17 @@ object PlanProbe {
       val deg = GraphOps.degreesOf(e).localCheckpoint()
       val oriented = GraphOps.orientFrom(e, deg, bcastDeg = true)
         .localCheckpoint()
+      // gate-faithful (r14): the adjacency table is pinned once, as
+      // triangleSummary does, so the probe times what the gate runs
+      val adj = GraphOps.adjacencyOf(oriented).localCheckpoint()
       val tc = GraphOps.triangleCountsFrom(
-        GraphOps.closedWedgesFrom(oriented, bcastClose = true), deg,
-        bcastPerNode = true)
+        GraphOps.closedWedgesFromAdj(oriented, adj, bcastClose = true),
+        deg, bcastPerNode = true)
       val (_, t) = time(BenchUtil.sink(tc))
       write("graph_triangles_after",
         f"// staged triangleSummary core (post-checkpoint): counts noop-sink=$t%.3f s\n" +
           "// stages orient from an eager-checkpointed edge table; deg and the\n" +
-          "// closure side broadcast under the measured-count gate (GraphOps.fitsBroadcast)\n" +
+          "// pinned adjacency table broadcast under the measured-count gate\n" +
           fmt(tc))
     }
     if (which("kcore_after")) {
